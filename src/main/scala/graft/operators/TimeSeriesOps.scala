@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Set-based re-expressions of the reference's row-at-a-time temporal
+  * operators (CSIRO-enviro-informatics/cosmoz-data-pipeline). Each is a
+  * single-shuffle plan: one hash partitioning on the series keys plus a
+  * per-partition sort, so it scales linearly with data volume and keeps
+  * all work inside whole-stage codegen (no UDFs, no driver loops).
+  */
+object TimeSeriesOps {
+
+  /** As-of lookup with backward-then-forward fallback.
+    *
+    * Reference: `pipeline/cosmoz_process_levels.py:259-285` — for each left
+    * row at time t, take LAST(right.value) with rts <= t; if none, take
+    * FIRST(right.value) with rts >= t; if none, null (caller substitutes a
+    * default, e.g. intensity_corr = 1.0).
+    *
+    * Implementation: union the two streams tagged with `__is_left` and run
+    * `last(_, ignoreNulls)` / `first(_, ignoreNulls)` over unbounded frames
+    * partitioned by the series keys. At equal timestamps right rows sort
+    * before left rows, so an exactly-coincident right row is matched by the
+    * backward tier (rts <= t is inclusive). One shuffle, no join explosion —
+    * this is what a sort-merge as-of join does, expressed with built-ins.
+    *
+    * @param valueCols right-side columns to carry to matching left rows;
+    *                  emitted as `<name><outSuffix>`.
+    */
+  def asOfLookup(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      outSuffix: String = "_asof",
+      backward: Boolean = true,
+      forward: Boolean = true): DataFrame = {
+    require(backward || forward, "at least one direction required")
+    val leftCols = left.columns.toSeq
+    val leftTypes = left.schema.map(f => f.name -> f.dataType).toMap
+    val rightTypes = right.schema.map(f => f.name -> f.dataType).toMap
+
+    val lU = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__is_left", lit(1))
+      .select(
+        (leftCols.map(col) ++ Seq(col("__ts"), col("__is_left")) ++
+          valueCols.map(c => lit(null).cast(rightTypes(c)).as(s"__v_$c"))): _*)
+    val rU = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__is_left", lit(0))
+      .select(
+        (leftCols.map(c =>
+          if (keys.contains(c)) col(c)
+          else lit(null).cast(leftTypes(c)).as(c)) ++
+          Seq(col("__ts"), col("__is_left")) ++
+          valueCols.map(c => col(c).as(s"__v_$c"))): _*)
+
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__is_left").asc)
+    val wBack = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val withPicks = valueCols.foldLeft(lU.unionByName(rU)) { (df, c) =>
+      val back =
+        if (backward) last(col(s"__v_$c"), ignoreNulls = true).over(wBack)
+        else lit(null).cast(rightTypes(c))
+      val fwd =
+        if (forward) first(col(s"__v_$c"), ignoreNulls = true).over(wFwd)
+        else lit(null).cast(rightTypes(c))
+      df.withColumn(s"$c$outSuffix", coalesce(back, fwd))
+    }
+    withPicks
+      .filter(col("__is_left") === 1)
+      .select((leftCols.map(col) ++ valueCols.map(c => col(s"$c$outSuffix"))): _*)
+  }
+
+  /** Near-duplicate suppression within a trailing time window.
+    *
+    * Reference: `pipeline/cosmoz_process_levels.py:375-390` + `is_duplicate`
+    * `:316-337` — a row is a duplicate iff some strictly-earlier row of the
+    * same series within [t - window, t) has every comparison column equal.
+    *
+    * Implementation: per-series range frame collecting the prior rows'
+    * (ts, cmp...) structs, then an `exists` higher-order predicate applying
+    * the full-precision time bound and field equality. The frame is sized in
+    * whole seconds (one second wider than needed); the exact bound is applied
+    * inside `exists`, so microsecond timestamps are handled correctly.
+    * O(rows x windowOccupancy), one shuffle, no self-join explosion.
+    */
+  def dedupWithin(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      windowSeconds: Long,
+      cmpCols: Seq[String],
+      markOnly: Boolean = false,
+      dupFlagCol: String = "__is_dup"): DataFrame = {
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).cast("long"))
+      .rangeBetween(-windowSeconds - 1, 0)
+    val prior = collect_list(struct((col(tsCol).as("__pts") +: cmpCols.map(col)): _*)).over(w)
+    val isDup = exists(
+      prior,
+      p =>
+        p("__pts") < col(tsCol) &&
+          p("__pts") >= col(tsCol) - expr(s"INTERVAL $windowSeconds SECOND") &&
+          cmpCols.map(c => p(c) <=> col(c)).reduce(_ && _))
+    val marked = df.withColumn(dupFlagCol, isDup)
+    if (markOnly) marked
+    else marked.filter(!col(dupFlagCol)).drop(dupFlagCol)
+  }
+
+  /** Centered moving aggregate over a +/- time radius (the level4 filter).
+    *
+    * Reference: `pipeline/cosmoz_process_levels.py:62-77` — MEAN over rows in
+    * [t - 3h - 1s, t + 3h + 1s] of the valid subset; the row itself is always
+    * inside its own frame so the probe is never empty.
+    *
+    * `spec` maps output column name -> aggregate over the frame.
+    */
+  def centeredWindowAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      radiusSeconds: Long,
+      spec: Map[String, Column => Column],
+      srcCols: Map[String, String]): DataFrame = {
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).cast("long"))
+      .rangeBetween(-radiusSeconds, radiusSeconds)
+    spec.foldLeft(df) { case (d, (out, agg)) =>
+      d.withColumn(out, agg(col(srcCols(out))).over(w))
+    }
+  }
+
+  /** Per-series lag, the set-based form of InfluxQL `DIFFERENCE`
+    * (`pipeline/cosmoz_process_levels.py:357-361`). Emits `<col>_prev`.
+    */
+  def withLag(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      cols: Seq[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)).map(_.asc): _*)
+    cols.foldLeft(df)((d, c) => d.withColumn(s"${c}_prev", lag(col(c), 1).over(w)))
+  }
+}

@@ -1,0 +1,231 @@
+package graft.queries
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scans, filters, projections, equi-joins and plain aggregates — SURVEY.md
+  * §2.1 (S1, S2, S9-S12), §2.2 (P1-P8), §2.3 (J1), §2.4 (A5) re-expressed on
+  * the driver test tables. Each entry cites the reference behavior it
+  * re-implements.
+  */
+object RelationalQueries extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  val queries: Map[String, Q] = Map(
+    // S1 — measurement scan with tag + time-range pushdown
+    // (pipeline/cosmoz_process_levels.py:49-54: SELECT <cols> FROM m WHERE
+    //  time > t AND site_no=$s). Filter + projection reach the parquet scan.
+    "s1_scan_pushdown" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "events")
+          .filter(col("user_id") === 7 &&
+            col("ts") >= lit("2024-01-15 00:00:00").cast(TimestampType))
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .orderBy(col("event_id")),
+      oracle = Some("""
+        SELECT event_id, user_id, event_type, value FROM events
+        WHERE user_id = 7 AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+        ORDER BY event_id""")),
+
+    // S2 — delimited text source (pipeline/csv_influx_converter.py:95-374):
+    // typed TSV read with explicit schema; proven by a TSV round-trip of the
+    // nation table (write then re-read must be lossless).
+    "s2_csv_roundtrip" -> Q(
+      fn = (s, dir) => {
+        val tmp = "target/tmp/graft_s2_nation_tsv"
+        t(s, dir, "nation")
+          .coalesce(1)
+          .write.mode("overwrite")
+          .option("sep", "\t").option("header", "true")
+          .csv(tmp)
+        val schema = StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType)))
+        s.read.option("sep", "\t").option("header", "true")
+          .schema(schema).csv(tmp)
+          .orderBy(col("n_nationkey"))
+      },
+      oracle = Some(
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    // S10 — row delete of corrupt rows as an anti-join
+    // (fix_raws, pipeline/cosmoz_process_levels.py:431-452: collect bad
+    // (site, time) keys, DELETE each). Here: derive the key set, left-anti.
+    "s10_delete_antijoin" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+        val corrupt = ev
+          .filter(col("event_type") === "error" && col("value") < 1.0)
+          .select(col("user_id"), col("ts"))
+        ev.join(corrupt, Seq("user_id", "ts"), "left_anti")
+          .select(col("event_id"), col("user_id"), col("value"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some("""
+        SELECT event_id, user_id, value FROM events a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM events b
+          WHERE b.user_id = a.user_id AND b.ts = a.ts
+            AND b.event_type = 'error' AND b.value < 1.0)
+        ORDER BY event_id""")),
+
+    // S11 — series-to-series copy with re-tag
+    // (pipeline/csv_influx_converter.py:53-93: read site A intensity range,
+    // rewrite tagged as site B).
+    "s11_retag_copy" -> Q(
+      fn = (s, dir) => {
+        val src = t(s, dir, "events")
+          .filter(col("user_id") === 3 && col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        src.unionByName(src.withColumn("user_id", lit(9999L)))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      oracle = Some("""
+        SELECT user_id, event_id, ts, value FROM events
+        WHERE user_id = 3 AND event_type = 'purchase'
+        UNION ALL
+        SELECT CAST(9999 AS BIGINT) AS user_id, event_id, ts, value FROM events
+        WHERE user_id = 3 AND event_type = 'purchase'
+        ORDER BY user_id, event_id""")),
+
+    // S12 — keyed metadata lookup / $in filter
+    // (nmdb/mongo_db.py:59-82: find({'site_no': {"$in": list}})).
+    "s12_isin_lookup" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "customer")
+          .filter(col("c_custkey").isin(1L, 5L, 10L, 42L, 77L, 100L))
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+          .orderBy(col("c_custkey")),
+      oracle = Some("""
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        WHERE c_custkey IN (1, 5, 10, 42, 77, 100)
+        ORDER BY c_custkey""")),
+
+    // P1-P6+P8 — projection, rename-in-scan, closed time interval, tag
+    // equality, null-guard predicate (pipeline/cosmoz_process_levels.py:
+    // 352-355 projection; :66-69 closed interval; :440-444 corrupt guard).
+    "p_filter_kit" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "events")
+          .filter(
+            col("ts").between(
+              lit("2024-01-05 00:00:00").cast(TimestampType),
+              lit("2024-01-20 23:59:59.999999").cast(TimestampType)) &&
+              col("user_id") < 50 &&
+              !(col("value").isNull && col("props").isNull))
+          .select(col("event_id"), col("event_type").as("etype"),
+            col("value"), col("ts"))
+          .orderBy(col("event_id")),
+      oracle = Some("""
+        SELECT event_id, event_type AS etype, value, ts FROM events
+        WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+                     AND TIMESTAMP '2024-01-20 23:59:59.999999'
+          AND user_id < 50
+          AND NOT (value IS NULL AND props IS NULL)
+        ORDER BY event_id""")),
+
+    // P7 — scalar-subquery filter (pipeline/level3->level4.sql:64:
+    // Timestamp >= (SELECT InstallationDate ...)); decorrelated to a
+    // broadcast cross-join of the 1-row aggregate.
+    "p7_scalar_subquery" -> Q(
+      fn = (s, dir) => {
+        val cutoff = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .agg(max(col("o_orderdate")).as("cutoff"))
+        t(s, dir, "lineitem")
+          .join(broadcast(cutoff))
+          .filter(col("l_shipdate") >= col("cutoff"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            rd(sum(dec2(col("l_quantity"))), 2).as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag, count(*) AS n,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+        FROM lineitem
+        WHERE l_shipdate >= (SELECT max(o_orderdate) FROM orders
+                             WHERE o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // J1 — station-metadata broadcast equi-join
+    // (pipeline/level1->level2.sql:238-239 AllStations x LevelView;
+    // pipeline/cosmoz_process_levels.py:105,181 hoisted find_one).
+    // Dims are broadcast: no shuffle of the fact side beyond the groupBy.
+    "j1_broadcast_dims" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_cust"),
+            rd(sum(dec2(col("c_acctbal"))), 2).as("total_bal"))
+          .orderBy(col("r_name"), col("n_name")),
+      oracle = Some("""
+        SELECT r_name, n_name, count(*) AS n_cust,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name""")),
+
+    // A5 + flagship — TPC-H Q1-style scan-heavy aggregate with exact decimal
+    // arithmetic (order-independent sums -> deterministic hash compare).
+    "q1_agg" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampType))
+        val qty = dec2(col("l_quantity"))
+        val price = dec2(col("l_extendedprice"))
+        val disc = dec2(col("l_discount"))
+        val tax = dec2(col("l_tax"))
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            rd(sum(qty), 2).as("sum_qty"),
+            rd(sum(price), 2).as("sum_base_price"),
+            rd(sum(price * (lit(1).cast("decimal(18,2)") - disc)), 4).as("sum_disc_price"),
+            rd(sum(price * (lit(1).cast("decimal(18,2)") - disc) *
+              (lit(1).cast("decimal(18,2)") + tax)), 6).as("sum_charge"),
+            rd(sum(qty).cast("double") / count(lit(1)), 6).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS sum_disc_price,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 6) AS sum_charge,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      bench = true),
+
+    // A5 — diagnostic group counts (pipeline/detect_duplicates.py:89-111).
+    "a5_group_counts" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"),
+            rd(sum(dec2(col("value"))), 2).as("total"))
+          .orderBy(col("event_type"), col("day")),
+      oracle = Some("""
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        FROM events
+        GROUP BY event_type, CAST(ts AS DATE)
+        ORDER BY event_type, day"""))
+  )
+}

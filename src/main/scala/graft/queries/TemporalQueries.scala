@@ -1,0 +1,239 @@
+package graft.queries
+
+import graft.{Q, QueryModule, Tables}
+import graft.operators.TimeSeriesOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins and windowed aggregates — SURVEY.md §2.3 (J2-J4, J6),
+  * §2.4 (A1-A4), §2.1 (S13) on the events/orders tables. These are the
+  * operators the reference implements as per-row correlated InfluxQL
+  * lookups; here each is one shuffle + one per-partition sort.
+  */
+object TemporalQueries extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  val queries: Map[String, Q] = Map(
+    // S13 — imei->site as-of pick (nmdb/mongo_db.py:20-56: among candidates,
+    // take the one with latest installation_date <= sent date):
+    // row_number over desc order, keep rank 1.
+    "s13_asof_pick" -> Q(
+      fn = (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        t(s, dir, "orders")
+          .filter(col("o_orderdate") <= lit("1997-06-30 00:00:00").cast("timestamp"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+          .orderBy(col("o_custkey"))
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey, o_orderdate FROM (
+          SELECT o_custkey, o_orderkey, o_orderdate,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders
+          WHERE o_orderdate <= TIMESTAMP '1997-06-30 00:00:00')
+        WHERE rn = 1
+        ORDER BY o_custkey""")),
+
+    // J2 — day-equality join (pipeline/level1->level2.sql:105-106:
+    // CONVERT(date, l.Timestamp) = CONVERT(date, s.Date2)): events joined to
+    // a per-day rollup on the date key.
+    "j2_day_join" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+        val daily = ev
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(rd(sum(dec2(col("value"))), 2).as("day_total"),
+            count(lit(1)).as("day_n"))
+        ev.filter(col("event_type") === "purchase")
+          .withColumn("day", to_date(col("ts")))
+          .join(daily, "day")
+          .select(col("event_id"), col("day"), col("value"),
+            col("day_total"), col("day_n"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS day_total,
+                 count(*) AS day_n
+          FROM events GROUP BY 1)
+        SELECT e.event_id, CAST(e.ts AS DATE) AS day, e.value, d.day_total, d.day_n
+        FROM events e JOIN daily d ON CAST(e.ts AS DATE) = d.day
+        WHERE e.event_type = 'purchase'
+        ORDER BY e.event_id""")),
+
+    // J3 + A3 — hour-equality left join with a last-per-group selector
+    // (pipeline/level1->level2.sql:113-114 hour match;
+    // pipeline/cosmoz_process_levels.py:209 LAST(*) selector).
+    "j3_hour_join" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+        val hourly = ev.filter(col("event_type") === "error")
+          .groupBy(date_trunc("hour", col("ts")).as("hr"))
+          .agg(max_by(col("value"), col("ts")).as("last_err"))
+        ev.filter(col("event_type") === "purchase")
+          .withColumn("hr", date_trunc("hour", col("ts")))
+          .join(hourly, Seq("hr"), "left")
+          .select(col("event_id"), col("hr"),
+            coalesce(col("last_err"), lit(-1.0)).as("intensity"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT date_trunc('hour', ts) AS hr, arg_max(value, ts) AS last_err
+          FROM events WHERE event_type = 'error' GROUP BY 1)
+        SELECT e.event_id, date_trunc('hour', e.ts) AS hr,
+               coalesce(h.last_err, -1.0) AS intensity
+        FROM events e LEFT JOIN h ON date_trunc('hour', e.ts) = h.hr
+        WHERE e.event_type = 'purchase'
+        ORDER BY e.event_id""")),
+
+    // J4 — as-of lookup with backward-then-forward fallback
+    // (pipeline/cosmoz_process_levels.py:259-285): for each click, the last
+    // purchase value at or before it, else the first after, else -1.
+    "j4_asof_lookup" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        TimeSeriesOps
+          .asOfLookup(clicks, purchases, Seq("user_id"), "ts", "ts", Seq("value"))
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("value_asof"), lit(-1.0)).as("asof_value"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some("""
+        SELECT a.event_id, a.user_id,
+               coalesce(
+                 (SELECT b.value FROM events b
+                  WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+                    AND b.ts <= a.ts
+                  ORDER BY b.ts DESC LIMIT 1),
+                 (SELECT c.value FROM events c
+                  WHERE c.user_id = a.user_id AND c.event_type = 'purchase'
+                    AND c.ts >= a.ts
+                  ORDER BY c.ts ASC LIMIT 1),
+                 -1.0) AS asof_value
+        FROM events a
+        WHERE a.event_type = 'click'
+        ORDER BY a.event_id""")),
+
+    // J6 — 29-minute near-duplicate suppression
+    // (pipeline/cosmoz_process_levels.py:375-390, is_duplicate :316-337):
+    // drop a row if an equal row exists in the preceding 29 minutes of the
+    // same series. Window + exists, not a self-join.
+    "j6_dedup_within" -> Q(
+      fn = (s, dir) =>
+        TimeSeriesOps
+          .dedupWithin(t(s, dir, "events"), Seq("user_id"), "ts",
+            windowSeconds = 29 * 60, cmpCols = Seq("event_type"))
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+          .orderBy(col("event_id")),
+      oracle = Some("""
+        SELECT event_id, user_id, event_type, ts FROM events a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM events b
+          WHERE b.user_id = a.user_id
+            AND b.event_type = a.event_type
+            AND b.ts < a.ts
+            AND b.ts >= a.ts - INTERVAL 1740 SECOND)
+        ORDER BY event_id"""),
+      bench = true),
+
+    // A1 — centered +/-3h(+1s) moving aggregate (the level4 filter,
+    // pipeline/cosmoz_process_levels.py:62-77). Range frame on epoch
+    // seconds; exact decimal sum + count, avg derived deterministically.
+    "a1_moving_avg" -> Q(
+      fn = (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").cast("long"))
+          .rangeBetween(-(3 * 3600 + 1), 3 * 3600 + 1)
+        t(s, dir, "events")
+          .filter(col("event_type") === "view")
+          .withColumn("mv_sum_d", sum(dec2(col("value"))).over(w))
+          .withColumn("mv_n", count(lit(1)).over(w))
+          .select(col("event_id"), col("user_id"),
+            rd(col("mv_sum_d"), 2).as("mv_sum"), col("mv_n"),
+            rd(col("mv_sum_d").cast("double") / col("mv_n"), 6).as("mv_avg"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some("""
+        SELECT event_id, user_id,
+               round(CAST(mv_sum_d AS DOUBLE), 2) AS mv_sum, mv_n,
+               round(CAST(mv_sum_d AS DOUBLE) / mv_n, 6) AS mv_avg
+        FROM (
+          SELECT event_id, user_id,
+                 sum(CAST(value AS DECIMAL(18,2))) OVER w AS mv_sum_d,
+                 count(*) OVER w AS mv_n
+          FROM events WHERE event_type = 'view'
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                       RANGE BETWEEN 10801 PRECEDING AND 10801 FOLLOWING))
+        ORDER BY event_id"""),
+      bench = true),
+
+    // A2 — per-series lag / DIFFERENCE (pipeline/cosmoz_process_levels.py:
+    // 357-361; TSQL LAG raw->level1.sql:91-92).
+    "a2_lag_diff" -> Q(
+      fn = (s, dir) =>
+        TimeSeriesOps
+          .withLag(t(s, dir, "events"), Seq("user_id"), "ts",
+            Seq("value"), tieBreak = Seq("event_id"))
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("value_prev"),
+            (col("value") - col("value_prev")).as("diff"))
+          .orderBy(col("event_id")),
+      oracle = Some("""
+        SELECT event_id, user_id, value,
+               lag(value) OVER w AS value_prev,
+               value - lag(value) OVER w AS diff
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id""")),
+
+    // A3 — last-per-group selector (SELECT LAST(*) ... GROUP BY day;
+    // pipeline/cosmoz_process_levels.py:209): max_by / arg_max.
+    "a3_last_per_group" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(max_by(col("value"), col("ts")).as("last_value"),
+            max(col("ts")).as("last_ts"),
+            count(lit(1)).as("n"))
+          .orderBy(col("user_id"), col("day")),
+      oracle = Some("""
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               arg_max(value, ts) AS last_value,
+               max(ts) AS last_ts, count(*) AS n
+        FROM events
+        GROUP BY user_id, CAST(ts AS DATE)
+        ORDER BY user_id, day""")),
+
+    // A4 — top-1 by time per series (nmdb/influx_db.py:175,219:
+    // ORDER BY time DESC/ASC LIMIT 1).
+    "a4_top1_by_time" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("first_ts"),
+            max(col("ts")).as("last_ts"),
+            max_by(col("event_id"), col("ts")).as("last_event_id"),
+            count(lit(1)).as("n"))
+          .orderBy(col("user_id")),
+      oracle = Some("""
+        SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+               arg_max(event_id, ts) AS last_event_id, count(*) AS n
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id"""))
+  )
+}
