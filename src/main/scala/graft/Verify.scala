@@ -17,11 +17,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        // Spark writes TimestampType as parquet TIMESTAMP(isAdjustedToUTC=
+        // true), which DuckDB reads as TIMESTAMPTZ while the oracle yields
+        // naive TIMESTAMP — cast to timestamp_ntz (session TZ is UTC, so
+        // the wall-clock value is unchanged) so both sides agree.
+        val df = fn(spark, sfDir)
+        val ntz = df.schema.fields.collect {
+          case f if f.dataType == org.apache.spark.sql.types.TimestampType =>
+            f.name
+        }
+        val out = ntz.foldLeft(df)((d, c) =>
+          d.withColumn(c, d.col(c).cast("timestamp_ntz")))
+        out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = String.valueOf(e.getMessage).take(500)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -39,6 +52,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A crashed query must fail loudly, not degrade to SPARK_MISSING.
+    val fjson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failures.json"), fjson)
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(s"[verify] ${failures.size} queries failed: " +
+        failures.keys.mkString(", "))
+    }
   }
 }

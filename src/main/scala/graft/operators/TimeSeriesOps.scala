@@ -60,11 +60,21 @@ object TimeSeriesOps {
           Seq(col("__ts"), col("__is_left")) ++
           valueCols.map(c => col(c).as(s"__v_$c"))): _*)
 
-    val w = Window
+    // Backward tier orders right rows (__is_left=0) before left rows at
+    // equal __ts, so a coincident right row falls inside the unbounded-
+    // preceding frame (rts <= t inclusive). The forward tier needs the
+    // opposite: left rows first at equal __ts, so a coincident right row
+    // falls inside the currentRow->following frame (rts >= t inclusive).
+    // Same partitioning, so the second ordering re-sorts within the one
+    // shuffle rather than adding an exchange.
+    val wBack = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__is_left").asc)
-    val wBack = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wFwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__is_left").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
     val withPicks = valueCols.foldLeft(lU.unionByName(rU)) { (df, c) =>
       val back =

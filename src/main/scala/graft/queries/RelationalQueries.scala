@@ -36,7 +36,17 @@ object RelationalQueries extends QueryModule {
     // nation table (write then re-read must be lossless).
     "s2_csv_roundtrip" -> Q(
       fn = (s, dir) => {
-        val tmp = "target/tmp/graft_s2_nation_tsv"
+        // Unique dir under java.io.tmpdir: CWD-independent, no collision
+        // between concurrent runs; cleaned up on JVM exit (the re-read is
+        // lazy, so the files must outlive this function).
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_s2_nation_tsv_").toString
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(new java.io.File(tmp))
+        }
         t(s, dir, "nation")
           .coalesce(1)
           .write.mode("overwrite")
