@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{PhysicsQueries, RelationalQueries, TemporalQueries}
+import graft.queries.{MultimodalQueries, PhysicsQueries, RelationalQueries,
+  SimilarityQueries, TemporalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +17,10 @@ object SparkEntry {
   val modules: Seq[QueryModule] = Seq(
     RelationalQueries,
     TemporalQueries,
-    PhysicsQueries)
+    PhysicsQueries,
+    TextQueries,
+    SimilarityQueries,
+    MultimodalQueries)
 
   lazy val all: Map[String, Q] = modules.flatMap(_.queries).toMap
 

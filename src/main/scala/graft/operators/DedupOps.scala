@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-scale deduplication operators. Shapes chosen for 100 TB inputs:
+  *
+  *  - exact dedup is one hash-shuffle on a 16-byte key (not the document
+  *    body), with the winner picked by min_by — a single partial-aggregable
+  *    groupBy, no window sort;
+  *  - MinHash/LSH candidate generation explodes each doc into `bands` rows
+  *    keyed by a band hash and self-joins per (band, key) bucket — the join
+  *    key space is uniform (md5), so the shuffle is skew-free by
+  *    construction except for degenerate buckets, which are capped;
+  *  - verification (exact Jaccard) runs only on the candidate pairs, i.e.
+  *    cost is O(candidates), not O(n^2).
+  */
+object DedupOps {
+
+  /** Exact dedup on an arbitrary key expression (e.g. md5 of normalized
+    * text). Keeps the row with the minimum `idCol` per key and annotates it
+    * with the group size. One shuffle on the hash key; fully partial-agg.
+    */
+  def exactDedupStats(
+      df: DataFrame,
+      keyExpr: Column,
+      idCol: String,
+      carryCols: Seq[String]): DataFrame = {
+    val keyed = df.withColumn("__key", keyExpr)
+    val aggs = Seq(
+      min(col(idCol)).as(idCol),
+      count(lit(1)).as("dup_count")) ++
+      carryCols.map(c => min_by(col(c), col(idCol)).as(c))
+    keyed
+      .groupBy(col("__key").as("dup_key"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash signatures + band keys for every document.
+    *
+    * @param bands     number of LSH bands; each covers numPerm/bands sig
+    *                  elements. P(candidate) = 1 - (1 - j^r)^b for Jaccard
+    *                  j, r = rows per band — the standard S-curve.
+    */
+  def minhashBands(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int,
+      numPerm: Int,
+      bands: Int): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val r = numPerm / bands
+    val sig = TextOps.minhashSignature(
+      TextOps.shingles(TextOps.tokens(col(textCol)), shingleK), numPerm)
+    val withSig = df.select(col(idCol), sig.as("sig"))
+    (0 until bands).foldLeft(withSig) { (d, b) =>
+      d.withColumn(s"band$b", TextOps.bandKey(col("sig"), b * r, (b + 1) * r))
+    }
+  }
+
+  /** LSH candidate pairs: documents sharing at least one band key.
+    * Explodes to (band_idx, band_key) and self-joins within buckets,
+    * capping pathological buckets at `maxBucket` rows (cap events should
+    * be logged/monitored in production — a hot bucket usually means a
+    * boilerplate shingle flood).
+    *
+    * Output: (a, b, shared_bands) with a < b.
+    */
+  def minhashCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numPerm: Int = 8,
+      bands: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    val banded = minhashBands(df, idCol, textCol, shingleK, numPerm, bands)
+    val exploded = banded.select(
+      col(idCol),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band_idx"), col(s"band$b").as("band_key"))): _*))
+        .as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_key"))
+    // Cap degenerate buckets: rank within bucket, drop beyond maxBucket.
+    val wB = Window.partitionBy(col("band_idx"), col("band_key"))
+      .orderBy(col(idCol))
+    val capped = exploded
+      .withColumn("__rk", row_number().over(wB))
+      .filter(col("__rk") <= maxBucket)
+      .drop("__rk")
+    val a = capped.select(col(idCol).as("a"), col("band_idx"), col("band_key"))
+    val b = capped.select(col(idCol).as("b"), col("band_idx"), col("band_key"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared_bands"))
+  }
+
+  /** Exact n-gram Jaccard for given id pairs: |A ∩ B| / |A ∪ B| over the
+    * distinct shingle sets. `pairs` must have columns (a, b); the docs side
+    * is joined twice (shuffle on id — at scale, broadcast `pairs` if the
+    * candidate set is small, which it is after LSH).
+    */
+  def ngramJaccard(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int): DataFrame = {
+    val sh = docs.select(
+      col(idCol),
+      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleK))
+        .as("sh"))
+    pairs
+      .join(sh.select(col(idCol).as("a"), col("sh").as("sh_a")), "a")
+      .join(sh.select(col(idCol).as("b"), col("sh").as("sh_b")), "b")
+      .withColumn("jaccard",
+        round(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .drop("sh_a", "sh_b")
+  }
+
+  /** SimHash near-dup candidates: 16-bit simhash per doc, pairs at Hamming
+    * distance <= maxHamming among docs sharing either 8-bit half (the
+    * standard multi-index trick: any pair within distance d must agree on
+    * at least one of d+1 blocks; 2 blocks covers d<=1 exactly and is a
+    * high-recall prefilter beyond that).
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sims = df.select(
+      col(idCol),
+      TextOps.simhash16(array_distinct(TextOps.tokens(col(textCol))))
+        .as("simhash"))
+    val withBlocks = sims
+      .withColumn("lo", pmod(col("simhash"), lit(256L)))
+      .withColumn("hi", floor(col("simhash") / 256.0).cast("long"))
+    val blocks = withBlocks.select(col(idCol), col("simhash"),
+      explode(array(
+        struct(lit(0).as("blk"), col("lo").as("key")),
+        struct(lit(1).as("blk"), col("hi").as("key")))).as("x"))
+      .select(col(idCol), col("simhash"), col("x.blk"), col("x.key"))
+    val l = blocks.select(col(idCol).as("a"), col("simhash").as("sh_a"),
+      col("blk"), col("key"))
+    val r = blocks.select(col(idCol).as("b"), col("simhash").as("sh_b"),
+      col("blk"), col("key"))
+    l.join(r, Seq("blk", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .withColumn("hamming", TextOps.hammingDistance(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

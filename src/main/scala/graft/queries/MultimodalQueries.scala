@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.{Q, QueryModule, Tables}
+import graft.operators.MultimodalOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column queries: documents' text bytes stand in for media
+  * payloads (this environment ships no codecs), exercising the real
+  * Spark-side plumbing — binary columns, metadata projection, deterministic
+  * frame sampling, and typed mapPartitions feature extraction. Oracles
+  * recompute the same values from the text on the SQL side (the payloads
+  * are ASCII, so byte arithmetic == codepoint arithmetic).
+  */
+object MultimodalQueries extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  val queries: Map[String, Q] = Map(
+    // M1 — blob metadata + frame sampling as pure columns over a binary
+    // payload: byte length, content md5, head bytes, stride-16 sample.
+    "m1_blob_meta" -> Q(
+      fn = (s, dir) => {
+        val blob = col("text").cast("binary")
+        val m = MultimodalOps.blobMeta(blob)
+        t(s, dir, "documents")
+          .select(col("doc_id").as("media_id"),
+            m("n_bytes").as("n_bytes"),
+            m("md5_hex").as("md5_hex"),
+            m("head4").as("head4"),
+            MultimodalOps.frameSample(col("text"), 16).as("frame_sample"))
+          .orderBy(col("media_id"))
+      },
+      oracle = Some("""
+        SELECT doc_id AS media_id,
+               CAST(length(text) AS INT) AS n_bytes,
+               md5(text) AS md5_hex,
+               substr(text, 1, 4) AS head4,
+               array_to_string(list_transform(
+                 generate_series(1, length(text), 16),
+                 i -> substr(text, CAST(i AS INT), 1)), '') AS frame_sample
+        FROM documents
+        ORDER BY media_id""")),
+
+    // M2 — typed mapPartitions decode stub: blobs -> fixed feature schema,
+    // partition-local (no blob ever shuffles). The oracle recomputes the
+    // stub's features from codepoints.
+    "m2_decode_features" -> Q(
+      fn = (s, dir) => {
+        val blobs = t(s, dir, "documents").select(
+          col("doc_id").as("media_id"),
+          when(col("doc_id") % 2 === 0, lit("image")).otherwise(lit("audio"))
+            .as("modality"),
+          col("text").cast("binary").as("blob"))
+        MultimodalOps.extractFeatures(blobs)
+          .toDF()
+          .orderBy(col("media_id"))
+      },
+      oracle = Some("""
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+               CAST(length(text) AS INT) AS n_bytes,
+               ord(substr(text, 1, 1)) AS first_byte,
+               ord(substr(text, CAST(length(text) AS INT), 1)) AS last_byte,
+               CAST(list_sum(list_transform(generate_series(1, length(text)),
+                 i -> ord(substr(text, CAST(i AS INT), 1)))) % 997 AS BIGINT)
+                 AS checksum_mod,
+               CAST(floor(length(text) / 64) + 1 AS INT) AS n_frames
+        FROM documents
+        ORDER BY media_id"""))
+  )
+}

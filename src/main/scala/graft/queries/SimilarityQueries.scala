@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.{Q, QueryModule, Tables}
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity operators over the `embeddings` table (array<float>
+  * of 64 dims + a label): brute-force cosine top-k, sign-LSH bucketed ANN,
+  * per-group centroids, and within-group nearest-neighbor (embedding
+  * near-dup). Dot products use per-term 12 dp rounding with decimal
+  * accumulation, so sums are order-independent and the DuckDB oracle
+  * matches bit-for-bit.
+  */
+object SimilarityQueries extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  // ---- shared DuckDB fragments (mirror SimilarityOps exactly) ----
+  /** Exact decimal dot product of two 64-dim list columns (1-based SQL). */
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1, 64), __i -> " +
+      s"CAST(round(CAST(($a)[__i] AS DOUBLE) * CAST(($b)[__i] AS DOUBLE), 12) " +
+      s"AS DECIMAL(38,12)))) AS DOUBLE)"
+  private def cosineSql(a: String, b: String): String =
+    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+  /** Sign-LSH bucket over 8 deterministic integer hyperplanes
+    * (weight(p,i0) = (p*37 + i0*17) % 19 - 9, i0 0-based).
+    */
+  private val bucketSql =
+    """CAST(list_sum(list_transform(generate_series(0, 7), p ->
+      |  CASE WHEN CAST(list_sum(list_transform(generate_series(1, 64), i ->
+      |    CAST(round(CAST(embedding[i] AS DOUBLE)
+      |               * ((p * 37 + (i - 1) * 17) % 19 - 9), 12)
+      |         AS DECIMAL(38,12)))) AS DOUBLE) > 0
+      |  THEN CAST(pow(2.0, p) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // V1 — brute-force cosine top-k against one query vector: broadcast the
+    // query, score in one pass, TakeOrderedAndProject for the k-heap (the
+    // exact-baseline an ANN index is judged against).
+    "v1_cosine_topk" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimilarityOps.bruteForceTopK(
+          emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 10)
+          .orderBy(col("rank"))
+      },
+      oracle = Some(s"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT e.vec_id, ${cosineSql("e.embedding", "q.qe")} AS sim
+          FROM embeddings e, q
+          WHERE e.vec_id <> 0),
+        topk AS (
+          SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10)
+        SELECT vec_id, sim,
+               CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank
+        FROM topk
+        ORDER BY rank"""),
+      bench = true),
+
+    // V2 — sign-LSH bucketed ANN: every vector gets a deterministic 8-bit
+    // bucket; the query's bucket-mates are ranked by exact cosine. The
+    // scale path: candidates come from one bucket's partition, not a scan.
+    "v2_lsh_ann" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimilarityOps.lshTopK(
+          emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+          numPlanes = 8, k = 10)
+          .orderBy(col("vec_id"))
+      },
+      oracle = Some(s"""
+        WITH b AS (
+          SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+        q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket
+              FROM b WHERE vec_id = 0),
+        flagged AS (
+          SELECT b.vec_id, b.bucket,
+                 b.bucket = q.qbucket AND b.vec_id <> q.qid AS is_candidate,
+                 CASE WHEN b.bucket = q.qbucket AND b.vec_id <> q.qid
+                      THEN ${cosineSql("b.embedding", "q.qe")} END AS sim
+          FROM b, q),
+        ranked AS (
+          SELECT *, CASE WHEN is_candidate THEN
+                   CAST(row_number() OVER (PARTITION BY is_candidate
+                        ORDER BY sim DESC, vec_id) AS INT) END AS rank
+          FROM flagged)
+        SELECT vec_id, bucket, is_candidate, sim, rank
+        FROM ranked
+        WHERE NOT is_candidate OR rank <= 10
+        ORDER BY vec_id""")),
+
+    // V3 — per-label centroids (posexplode + exact decimal mean per dim)
+    // and each vector's euclidean distance to its own centroid; the
+    // centroid table is tiny and broadcast back.
+    "v3_centroid_dist" -> Q(
+      fn = (s, dir) =>
+        SimilarityOps.distanceToCentroid(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+          .orderBy(col("vec_id")),
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, label, i AS dim,
+                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+          FROM embeddings, range(1, 65) t(i)),
+        c AS (
+          SELECT label, dim,
+                 CAST(sum(CAST(round(v, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                   / count(*) AS c
+          FROM e GROUP BY label, dim)
+        SELECT e.vec_id, e.label,
+               round(sqrt(CAST(sum(CAST(round((e.v - c.c) * (e.v - c.c), 12)
+                 AS DECIMAL(38,12))) AS DOUBLE)), 6) AS dist
+        FROM e JOIN c ON e.label = c.label AND e.dim = c.dim
+        GROUP BY e.vec_id, e.label
+        ORDER BY e.vec_id"""),
+      bench = true),
+
+    // V4 — embedding near-dup: top-1 nearest neighbor per vector within its
+    // label bucket (the bucket bounds the quadratic pair term; at corpus
+    // scale the bucket is an LSH key instead, same plan).
+    "v4_embed_neardup" -> Q(
+      fn = (s, dir) =>
+        SimilarityOps.nearestInGroup(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+          .select(col("a").as("vec_id"), col("label"), col("nn"), col("sim"))
+          .orderBy(col("vec_id")),
+      oracle = Some(s"""
+        WITH p AS (
+          SELECT a.vec_id AS va, a.label, b.vec_id AS vb,
+                 ${cosineSql("a.embedding", "b.embedding")} AS sim
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id <> b.vec_id),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY va
+                      ORDER BY sim DESC, vb) AS rk
+          FROM p)
+        SELECT va AS vec_id, label, vb AS nn, sim
+        FROM r WHERE rk = 1
+        ORDER BY vec_id"""))
+  )
+}

@@ -1,0 +1,274 @@
+package graft.queries
+
+import graft.{Q, QueryModule, Tables}
+import graft.operators.{DedupOps, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators over the `documents` corpus —
+  * the training-data-pipeline surface (token stats, language ID, quality
+  * scoring, fingerprinting, exact/MinHash/SimHash/Jaccard dedup). Every
+  * query pairs the Spark plan with a structurally-mirrored DuckDB oracle:
+  * all hashes are md5-derived and all float outputs rounded, so the two
+  * engines agree bit-for-bit.
+  */
+object TextQueries extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  // ---- shared DuckDB fragments (mirror TextOps exactly) ----
+  private val toksSql = "string_split(text, ' ')"
+  // 3-word shingles, 1-based inclusive slicing.
+  private val sh3Sql =
+    s"list_transform(generate_series(1, len($toksSql) - 2), " +
+      s"i -> array_to_string(($toksSql)[i:i+2], ' '))"
+  private val sh5Sql =
+    s"list_transform(generate_series(1, len($toksSql) - 4), " +
+      s"i -> array_to_string(($toksSql)[i:i+4], ' '))"
+  // 8-permutation MinHash signature as a list of md5-min strings.
+  private val sigsSql =
+    s"""sigs AS (
+       |  SELECT doc_id, list_transform(generate_series(0, 7),
+       |    p -> list_min(list_transform($sh3Sql, s -> md5(p || '|' || s)))) AS mh
+       |  FROM documents)""".stripMargin
+  private val bandsSql =
+    s"""$sigsSql,
+       |bands AS (
+       |  SELECT doc_id, 0 AS band_idx, md5(array_to_string(mh[1:4], '')) AS band_key FROM sigs
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band_idx, md5(array_to_string(mh[5:8], '')) AS band_key FROM sigs)""".stripMargin
+  // 16-bit simhash over distinct tokens (ascii/floor/pow arithmetic only).
+  private val simhashSql =
+    """CAST(list_sum(list_transform(generate_series(0, 15), j ->
+      |  CASE WHEN list_sum(list_transform(list_distinct(string_split(text, ' ')), tk ->
+      |    CASE WHEN CAST(floor(
+      |           (ord(substr(md5(tk), CAST(floor(j / 4) + 1 AS INT), 1))
+      |             - CASE WHEN substr(md5(tk), CAST(floor(j / 4) + 1 AS INT), 1) >= 'a' THEN 87 ELSE 48 END)
+      |           / pow(2.0, 3 - (j % 4))) AS BIGINT) % 2 = 1
+      |    THEN 1 ELSE -1 END)) > 0
+      |  THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  private val markers = Seq(
+    "en" -> Seq("the", "a"),
+    "db" -> Seq("table", "row", "column"),
+    "qq" -> Seq("query", "filter", "join"))
+  private val stopwords = Seq("the", "a", "of", "to")
+
+  private def markerSql(ws: Seq[String]): String =
+    s"round(len(list_filter($toksSql, w -> ${ws.map(w => s"w = '$w'").mkString(" OR ")})) " +
+      s"/ CAST(greatest(len($toksSql), 1) AS DOUBLE), 6)"
+
+  val queries: Map[String, Q] = Map(
+    // T1 — token counting: whitespace tokens + BPE-ish subword segments +
+    // char/byte stats. One narrow projection, no shuffle.
+    "t1_token_stats" -> Q(
+      fn = (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(toks).as("n_ws_tokens"),
+            size(TextOps.subwordTokens(col("text"))).as("n_subword_tokens"),
+            length(col("text")).as("n_chars_calc"),
+            round((length(col("text")) - (size(toks) - 1)).cast("double") /
+              greatest(size(toks), lit(1)), 6).as("mean_tok_len"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        SELECT doc_id,
+               len($toksSql) AS n_ws_tokens,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subword_tokens,
+               CAST(length(text) AS INT) AS n_chars_calc,
+               round(CAST(length(text) - (len($toksSql) - 1) AS DOUBLE)
+                     / greatest(len($toksSql), 1), 6) AS mean_tok_len
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // T2 — language ID by marker-ngram scoring: per-language marker-word
+    // density, argmax with deterministic tie-break (first marker set wins).
+    "t2_lang_id" -> Q(
+      fn = (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val (scores, pred) = TextOps.langScores(toks, markers)
+        t(s, dir, "documents")
+          .select(col("doc_id") +:
+            scores.map { case (l, c) => c.as(s"s_$l") } :+
+            pred.as("pred_lang"): _*)
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some {
+        val sc = markers.map { case (l, ws) => s"${markerSql(ws)} AS s_$l" }
+        val best = s"greatest(${markers.map(m => s"s_${m._1}").mkString(", ")})"
+        val cases = markers.map { case (l, _) =>
+          s"WHEN s_$l = __best AND __best > 0 THEN '$l'"
+        }.mkString(" ")
+        s"""
+        WITH scored AS (
+          SELECT doc_id, ${sc.mkString(", ")} FROM documents),
+        withbest AS (
+          SELECT *, $best AS __best FROM scored)
+        SELECT doc_id, ${markers.map(m => s"s_${m._1}").mkString(", ")},
+               CASE $cases ELSE 'und' END AS pred_lang
+        FROM withbest
+        ORDER BY doc_id"""
+      }),
+
+    // T3 — quality scoring: length score, lexical diversity, stopword load,
+    // mean token length -> composite [0,1] score + keep flag.
+    "t3_quality_score" -> Q(
+      fn = (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val m = TextOps.qualityScore(col("text"), toks, stopwords)
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            m("n_tok").as("n_tok"),
+            m("distinct_ratio").as("distinct_ratio"),
+            m("stop_ratio").as("stop_ratio"),
+            m("len_score").as("len_score"),
+            m("quality").as("quality"),
+            (m("quality") >= 0.5 && m("n_tok") >= 10).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH b AS (
+          SELECT doc_id,
+                 len($toksSql) AS n_tok,
+                 round(len(list_distinct($toksSql))
+                       / CAST(greatest(len($toksSql), 1) AS DOUBLE), 6) AS distinct_ratio,
+                 ${markerSql(stopwords)} AS stop_ratio,
+                 round(least(1.0, CAST(length(text) AS DOUBLE) / 400.0), 6) AS len_score
+          FROM documents),
+        q AS (
+          SELECT *, round(0.3 * len_score + 0.4 * distinct_ratio
+                          + 0.3 * (1.0 - least(1.0, stop_ratio * 4)), 6) AS quality
+          FROM b)
+        SELECT doc_id, n_tok, distinct_ratio, stop_ratio, len_score, quality,
+               quality >= 0.5 AND n_tok >= 10 AS keep
+        FROM q
+        ORDER BY doc_id""")),
+
+    // T4 — document fingerprinting: full-content md5, 16-way shard key from
+    // its first hex digit, min-shingle hash (1-perm MinHash over 5-grams),
+    // and an 8-token prefix blocking key.
+    "t4_fingerprint" -> Q(
+      fn = (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val f = TextOps.fingerprint(col("text"), toks, shingleK = 5)
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            f("md5_full").as("md5_full"),
+            f("shard").as("shard"),
+            f("min_shingle_hash").as("min_shingle_hash"),
+            f("prefix_key").as("prefix_key"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        SELECT doc_id,
+               md5(text) AS md5_full,
+               ord(substr(md5(text), 1, 1))
+                 - CASE WHEN substr(md5(text), 1, 1) >= 'a' THEN 87 ELSE 48 END AS shard,
+               list_min(list_transform($sh5Sql, s -> md5(s))) AS min_shingle_hash,
+               md5(array_to_string(($toksSql)[1:8], ' ')) AS prefix_key
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // D1 — exact deduplication by content key (here: md5 of the 8-token
+    // prefix, which has real collisions in the corpus): one hash-shuffle on
+    // the 16-byte key, min-id winner, group size annotated.
+    "d1_exact_dedup" -> Q(
+      fn = (s, dir) =>
+        DedupOps.exactDedupStats(
+          t(s, dir, "documents"),
+          md5(array_join(slice(TextOps.tokens(col("text")), 1, 8), " ")),
+          "doc_id", carryCols = Seq("source"))
+          .orderBy(col("doc_id")),
+      oracle = Some(s"""
+        SELECT md5(array_to_string(($toksSql)[1:8], ' ')) AS dup_key,
+               min(doc_id) AS doc_id,
+               count(*) AS dup_count,
+               arg_min(source, doc_id) AS source
+        FROM documents
+        GROUP BY 1
+        ORDER BY doc_id"""),
+      bench = true),
+
+    // D2 — MinHash signatures + LSH band keys (8 perms, 2 bands of 4) for
+    // every document; pure per-row compute, no shuffle.
+    "d2_minhash_sig" -> Q(
+      fn = (s, dir) => {
+        val banded = DedupOps.minhashBands(
+          t(s, dir, "documents"), "doc_id", "text",
+          shingleK = 3, numPerm = 8, bands = 2)
+        banded.select(
+          col("doc_id") +:
+            (0 until 8).map(i => col("sig")(i).as(s"mh$i")) :+
+            col("band0") :+ col("band1"): _*)
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH $sigsSql
+        SELECT doc_id,
+               ${(0 until 8).map(i => s"mh[${i + 1}] AS mh$i").mkString(", ")},
+               md5(array_to_string(mh[1:4], '')) AS band0,
+               md5(array_to_string(mh[5:8], '')) AS band1
+        FROM sigs
+        ORDER BY doc_id"""),
+      bench = true),
+
+    // D3 — LSH candidate pairs: docs sharing >=1 band bucket. The join key
+    // is a uniform md5, so the shuffle is skew-free; degenerate buckets are
+    // capped inside the operator (no-op here, load-bearing at 100 TB).
+    "d3_minhash_pairs" -> Q(
+      fn = (s, dir) =>
+        DedupOps.minhashCandidatePairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          shingleK = 3, numPerm = 8, bands = 2)
+          .orderBy(col("a"), col("b")),
+      oracle = Some(s"""
+        WITH $bandsSql
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared_bands
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+        WHERE x.doc_id < y.doc_id
+        GROUP BY 1, 2
+        ORDER BY a, b""")),
+
+    // D4 — exact n-gram Jaccard verification over a banded pair set (here:
+    // id-adjacency pairs a < b <= a+3, the post-LSH verify shape): distinct
+    // 3-shingle sets, |intersect|/|union|.
+    "d4_ngram_jaccard" -> Q(
+      fn = (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = docs
+          .select(col("doc_id").as("a"),
+            explode(sequence(lit(1), lit(3))).as("d"))
+          .select(col("a"), (col("a") + col("d")).as("b"))
+        DedupOps.ngramJaccard(pairs, docs, "doc_id", "text", shingleK = 3)
+          .select(col("a"), col("b"), col("jaccard"))
+          .orderBy(col("a"), col("b"))
+      },
+      oracle = Some(s"""
+        WITH sh AS (
+          SELECT doc_id, list_distinct($sh3Sql) AS s FROM documents)
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        FROM sh a JOIN sh b ON b.doc_id BETWEEN a.doc_id + 1 AND a.doc_id + 3
+        ORDER BY a, b"""),
+      bench = true),
+
+    // D5 — 16-bit SimHash per document over distinct tokens (bit votes from
+    // md5-derived token hashes; same formula widens to 64-bit).
+    "d5_simhash" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextOps.simhash16(array_distinct(TextOps.tokens(col("text"))))
+              .as("simhash"))
+          .orderBy(col("doc_id")),
+      oracle = Some(s"""
+        SELECT doc_id, $simhashSql AS simhash
+        FROM documents
+        ORDER BY doc_id"""))
+  )
+}
