@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{MultimodalQueries, PhysicsQueries, RelationalQueries,
-  SimilarityQueries, TemporalQueries, TextQueries}
+import graft.queries.{MultimodalQueries, PhysicsQueries, PipelineQueries,
+  RelationalQueries, SimilarityQueries, TemporalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,8 @@ object SparkEntry {
     PhysicsQueries,
     TextQueries,
     SimilarityQueries,
-    MultimodalQueries)
+    MultimodalQueries,
+    PipelineQueries)
 
   lazy val all: Map[String, Q] = modules.flatMap(_.queries).toMap
 

@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference pipeline's four processing levels as pure
+  * `DataFrame => DataFrame` stages (CSIRO-enviro-informatics/
+  * cosmoz-data-pipeline, `pipeline/cosmoz_process_levels.py`), re-expressed
+  * set-based: every per-row correlated lookup of the reference becomes a
+  * join, every sequential probe a window — one partitioning on `site_no`
+  * carries through all four stages, so the whole pipeline is a handful of
+  * shuffles regardless of row count, and all physics stays inside
+  * whole-stage codegen (pure Column expressions, zero UDFs).
+  *
+  * Input schemas follow SURVEY.md §1.2 (raw_values / silo_data / intensity
+  * measurements + the all_stations sidecar); timestamps are UTC
+  * TimestampType, tags are numeric columns.
+  */
+object LevelPipeline {
+
+  /** Station calibration metadata (Mongo `all_stations` document,
+    * `pipeline/csv_mongodb_converter.py:47-77`); Decimal128 params arrive
+    * as doubles (converted at use sites in the reference,
+    * `pipeline/cosmoz_process_levels.py:125-129`).
+    */
+  final case class Station(
+      site_no: Int,
+      beta: Double,
+      ref_pressure: Double,
+      ref_intensity: Double,
+      elev_scaling: Double,
+      latit_scaling: Double,
+      n0_cal: Double,
+      bulk_density: Double,
+      lattice_water_g_g: Double,
+      soil_organic_matter_g_g: Double,
+      alternate_algorithm: Option[String] = None)
+
+  private val sensorFields = Seq(
+    "count", "pressure1", "internal_temperature", "internal_humidity",
+    "battery", "tube_temperature", "tube_humidity", "rain",
+    "vwc1", "vwc2", "vwc3", "pressure2",
+    "external_temperature", "external_humidity")
+
+  /** raw_values -> level1 (`pipeline/cosmoz_process_levels.py:340-429`):
+    *
+    *  1. drop corrupt rows (`count IS NULL AND battery IS NULL`, fix_raws
+    *     `:440-444`);
+    *  2. per-site lag of `count` over the RAW (pre-dedup) sequence — a
+    *     skipped duplicate still consumes its diff, so `prev_count` for a
+    *     kept row can come from a duplicate (`:389-396`);
+    *  3. 29-minute near-duplicate suppression (J6, `:375-390`): equal on
+    *     every sensor field, keys time/site_no/flag excluded (`:331-332`);
+    *  4. flag rule E9 (`:397-402`): battery < 10 -> 4; count outside
+    *     [0.8, 1.2] x prev_count -> 1; else the raw flag;
+    *  5. the diff-less first row of each site is skipped (`:365-369`).
+    */
+  def level1(raw: DataFrame, dedupWindowSeconds: Long = 29 * 60): DataFrame = {
+    val w = Window.partitionBy(col("site_no")).orderBy(col("time"))
+    val lagged = raw
+      .filter(!(col("count").isNull && col("battery").isNull))
+      .withColumn("prev_count", lag(col("count"), 1).over(w))
+    val deduped = TimeSeriesOps.dedupWithin(
+      lagged, Seq("site_no"), "time", dedupWindowSeconds,
+      cmpCols = sensorFields)
+    deduped
+      .filter(col("prev_count").isNotNull)
+      .withColumn("flag",
+        when(col("battery") < 10, lit(4))
+          .when(col("count") < lit(0.8) * col("prev_count") ||
+            col("count") > lit(1.2) * col("prev_count"), lit(1))
+          .otherwise(col("flag")))
+      .drop("prev_count")
+  }
+
+  /** Water-vapour correction kernel (`:224-225`). */
+  def wvCorrExpr(tC: Column, h: Column): Column =
+    lit(1.0) + lit(0.0054) *
+      ((lit(2165.0) * ((lit(0.6108) * exp((lit(17.27) * tC) / (tC + lit(237.3)))) *
+        (h / lit(100.0)))) / (tC + lit(273.16)))
+
+  /** level1 -> level2 (`pipeline/cosmoz_process_levels.py:171-314`): the
+    * correction stage. The reference's up-to-3-correlated-queries-per-row
+    * become: one broadcast join (stations), one day-equality join with a
+    * last-per-day selector (SILO), one hour-equality join plus an as-of
+    * backward/forward fallback (intensity) — a fixed number of set-based
+    * joins total.
+    *
+    * @param silo       daily climate (site_no, time, average_temperature,
+    *                   average_humidity)
+    * @param intensity  neutron-monitor stream (site_no, time, intensity)
+    */
+  def level2(
+      level1: DataFrame,
+      stations: DataFrame,
+      silo: DataFrame,
+      intensity: DataFrame): DataFrame = {
+    // J1 — hoisted station lookup -> broadcast hash join (22-row dim).
+    val withStation = level1.join(broadcast(stations), "site_no")
+
+    // J2 + A3 — SILO day join with LAST(*) selector (`:200-216`). Quirk
+    // preserved: the reference's "day end" is 11:59:59.999999 AM (`:202`,
+    // d_time(11,59,59)), so only rows in the FIRST HALF of the day are
+    // candidates for the last-per-day pick.
+    val siloDaily = silo
+      .filter(hour(col("time")) < 12)
+      .groupBy(col("site_no"), to_date(col("time")).as("__day"))
+      .agg(
+        max_by(col("average_temperature"), col("time")).as("__silo_t"),
+        max_by(col("average_humidity"), col("time")).as("__silo_h"))
+    val withSilo = withStation
+      .withColumn("__day", to_date(col("time")))
+      .join(siloDaily, Seq("site_no", "__day"), "left")
+
+    // J3 — intensity hour-equality join, first-in-hour pick (`:251-257`).
+    val intensityHourly = intensity
+      .groupBy(col("site_no"), date_trunc("hour", col("time")).as("__hr"))
+      .agg(min_by(col("intensity"), col("time")).as("__int_hour"))
+    val withHour = withSilo
+      .withColumn("__hr", date_trunc("hour", col("time")))
+      .join(intensityHourly, Seq("site_no", "__hr"), "left")
+
+    // J4 — as-of fallback: LAST(intensity) at/before t, else FIRST at/after
+    // (`:259-285`), via the union+window as-of (one shuffle, no probe loop).
+    val withAsof = TimeSeriesOps.asOfLookup(
+      withHour,
+      intensity.select(col("site_no"), col("time"), col("intensity")),
+      keys = Seq("site_no"), leftTs = "time", rightTs = "time",
+      valueCols = Seq("intensity"))
+    val iVal = coalesce(col("__int_hour"), col("intensity_asof"), lit(0.0))
+
+    // E1 — pressure correction with zero-sentinel chain (`:192-199`).
+    val p = when(col("pressure2") =!= 0.0, col("pressure2"))
+      .when(col("pressure1") =!= 0.0, col("pressure1"))
+    val pressCorr = when(p.isNotNull, exp(col("beta") * (p - col("ref_pressure"))))
+      .otherwise(lit(1.0))
+
+    // E2 — water-vapour correction, full three-tier chain (`:221-249`):
+    // (1) both externals nonzero -> externals; (2) SILO humidity found ->
+    // SILO pair (temp nulled to 0.0); (3) mixed: take SILO for whichever
+    // external is zero, 1.0 only if the resulting humidity is null/zero.
+    // (wv_corr_store == wv_corr_use in modern mode, `:229-249`.)
+    val extT = col("external_temperature")
+    val extH = col("external_humidity")
+    val useH3 = when(extH === 0.0, col("__silo_h")).otherwise(extH)
+    val useT3 = when(extT === 0.0, col("__silo_t")).otherwise(extT)
+    val wv = when(extT =!= 0.0 && extH =!= 0.0, wvCorrExpr(extT, extH))
+      .when(col("__silo_h").isNotNull,
+        wvCorrExpr(coalesce(col("__silo_t"), lit(0.0)), col("__silo_h")))
+      .otherwise(
+        when(useH3.isNull || useH3 === 0.0, lit(1.0))
+          .otherwise(wvCorrExpr(coalesce(useT3, lit(0.0)), useH3)))
+
+    // E3 — intensity correction; 0 intensity -> 1.0 (`:278-285`).
+    val intCorr = when(iVal === 0.0, lit(1.0))
+      .otherwise(iVal / col("ref_intensity"))
+
+    // E4 — corrected count (`:286-296`).
+    val corrCount = (col("count") * wv * pressCorr / intCorr) /
+      (col("latit_scaling") / col("elev_scaling"))
+
+    withAsof
+      .withColumn("press_corr", pressCorr)
+      .withColumn("wv_corr", wv)
+      .withColumn("intensity_corr", intCorr)
+      .withColumn("corr_count", corrCount)
+      .select(col("site_no"), col("time"), col("flag"), col("count"),
+        col("press_corr"), col("wv_corr"), col("intensity_corr"),
+        col("corr_count"), col("rain"))
+  }
+
+  /** level2 -> level3 (`pipeline/cosmoz_process_levels.py:96-168`):
+    * soil-moisture conversion (default E5 or "sandy" alternate E6),
+    * effective depth E7 (uses the UNSCALED moisture value), rainfall E8,
+    * flag rule E10 (default thresholds n0/0.4*n0; sandy 3*n0/0.5*n0).
+    */
+  def level3(level2: DataFrame, stations: DataFrame): DataFrame = {
+    val withStation = level2.join(broadcast(stations), "site_no")
+    val sandy = coalesce(col("alternate_algorithm"), lit("")) === "sandy"
+    val latticeOrg = col("lattice_water_g_g") + col("soil_organic_matter_g_g")
+    val cmDefault = (lit(0.0808) / ((col("corr_count") / col("n0_cal")) - lit(0.372)) -
+      lit(0.115) - latticeOrg) * col("bulk_density")
+    val cmSandy = lit(1216036430.0) * pow(col("corr_count"), lit(-3.272))
+    val cm = when(sandy, cmSandy).otherwise(cmDefault)
+    val flag3 = when(col("wv_corr") === 1.0, lit(5))
+      .when(sandy && col("corr_count") > lit(3.0) * col("n0_cal"), lit(3))
+      .when(sandy && col("corr_count") < lit(0.5) * col("n0_cal"), lit(2))
+      .when(!sandy && col("corr_count") > col("n0_cal"), lit(3))
+      .when(!sandy && col("corr_count") < lit(0.4) * col("n0_cal"), lit(2))
+      .otherwise(col("flag"))
+    withStation
+      .select(col("site_no"), col("time"), flag3.as("flag"),
+        (cm * 100.0).as("soil_moist"),
+        (lit(5.8) / (latticeOrg * col("bulk_density") + cm + lit(0.0829)))
+          .as("effective_depth"),
+        (col("rain") * 0.2).as("rainfall"))
+  }
+
+  /** level3 -> level4 (`pipeline/cosmoz_process_levels.py:42-93`): the
+    * smoothing stage — over VALID (flag=0) rows only, centered moving
+    * average in [t-3h-1s, t+3h+1s] per site (A1; the row itself is always
+    * in-frame, so the reference's own-row fallback is implicit). The
+    * reference's LIMIT 7 is vacuous at hourly cadence (<=7 rows fit the
+    * frame) and is adopted as the range-frame reading (SURVEY §2.4 A1).
+    */
+  def level4(level3: DataFrame, radiusSeconds: Long = 3 * 3600 + 1): DataFrame = {
+    val w = Window.partitionBy(col("site_no"))
+      .orderBy(col("time").cast("long"))
+      .rangeBetween(-radiusSeconds, radiusSeconds)
+    level3
+      .filter(col("flag") === 0)
+      .withColumn("soil_moist_filtered", avg(col("soil_moist")).over(w))
+      .withColumn("depth_filtered", avg(col("effective_depth")).over(w))
+      .select(col("site_no"), col("time"), col("soil_moist"),
+        col("effective_depth"), col("rainfall"),
+        col("soil_moist_filtered"), col("depth_filtered"))
+  }
+
+  /** The full raw -> level4 chain with shared inputs. */
+  def processLevels(
+      raw: DataFrame,
+      stations: DataFrame,
+      silo: DataFrame,
+      intensity: DataFrame): DataFrame = {
+    val l1 = level1(raw)
+    val l2 = level2(l1, stations, silo, intensity)
+    val l3 = level3(l2, stations)
+    level4(l3)
+  }
+}
