@@ -1,0 +1,192 @@
+package graft
+
+import graft.operators.LevelPipeline
+import graft.operators.LevelPipeline.Station
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class LevelPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def T(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val station1 = Station(
+    site_no = 1, beta = 0.01, ref_pressure = 1000.0, ref_intensity = 100.0,
+    elev_scaling = 1.0, latit_scaling = 1.0, n0_cal = 100.0,
+    bulk_density = 1.0, lattice_water_g_g = 0.05,
+    soil_organic_matter_g_g = 0.05)
+  private val stationSandy = station1.copy(
+    site_no = 2, alternate_algorithm = Some("sandy"))
+  private def stations = Seq(station1, stationSandy).toDF()
+
+  /** Raw fixture row with all 14 sensor fields. */
+  private def rawRow(
+      t: String, count: Long, battery: Double, p1: Double, p2: Double,
+      extT: Double, extH: Double, rain: Double) =
+    (1, T(t), count, battery, p1, p2, extT, extH, rain,
+      20.0, 30.0, 21.0, 31.0, 0.1, 0.2, 0.3, 0)
+
+  private def rawDf(rows: Seq[(Int, java.sql.Timestamp, Long, Double, Double,
+      Double, Double, Double, Double, Double, Double, Double, Double, Double,
+      Double, Double, Int)]): DataFrame =
+    rows.toDF("site_no", "time", "count", "battery", "pressure1", "pressure2",
+      "external_temperature", "external_humidity", "rain",
+      "internal_temperature", "internal_humidity", "tube_temperature",
+      "tube_humidity", "vwc1", "vwc2", "vwc3", "flag")
+
+  test("level1: first-row skip, dup drop, lag-before-dedup, flag rule") {
+    val raw = rawDf(Seq(
+      rawRow("2024-01-01 10:00:00", 100, 12.0, 1000, 0, 20, 50, 0),
+      rawRow("2024-01-01 11:00:00", 100, 12.0, 1000, 0, 20, 50, 0),
+      // exact duplicate of the 11:00 row, 10 min later -> dropped, but its
+      // count still feeds the next row's prev_count
+      rawRow("2024-01-01 11:10:00", 100, 12.0, 1000, 0, 20, 50, 0),
+      // 130 > 1.2 * 100 -> flag 1 (prev comes from the DROPPED duplicate)
+      rawRow("2024-01-01 12:00:00", 130, 12.0, 1000, 0, 20, 50, 0),
+      // battery < 10 wins over the count rule -> flag 4
+      rawRow("2024-01-01 13:00:00", 50, 5.0, 1000, 0, 20, 50, 0)))
+    val out = LevelPipeline.level1(raw)
+      .select("time", "flag").as[(java.sql.Timestamp, Int)].collect().toMap
+    assert(out === Map(
+      T("2024-01-01 11:00:00") -> 0, // within [80,120] of prev 100
+      T("2024-01-01 12:00:00") -> 1,
+      T("2024-01-01 13:00:00") -> 4))
+  }
+
+  test("level1: corrupt rows (count and battery both null) are dropped") {
+    val good: DataFrame = rawDf(Seq(
+      rawRow("2024-01-01 10:00:00", 100, 12.0, 1000, 0, 20, 50, 0),
+      rawRow("2024-01-01 11:00:00", 100, 12.0, 1000, 0, 20, 50, 0)))
+    val raw = good.unionByName(
+        Seq((1, T("2024-01-01 12:00:00"))).toDF("site_no", "time")
+          .withColumn("count", lit(null).cast("long"))
+          .withColumn("battery", lit(null).cast("double"))
+          .withColumn("pressure1", lit(1000.0))
+          .withColumn("pressure2", lit(0.0))
+          .withColumn("external_temperature", lit(20.0))
+          .withColumn("external_humidity", lit(50.0))
+          .withColumn("rain", lit(0.0))
+          .withColumn("internal_temperature", lit(20.0))
+          .withColumn("internal_humidity", lit(30.0))
+          .withColumn("tube_temperature", lit(21.0))
+          .withColumn("tube_humidity", lit(31.0))
+          .withColumn("vwc1", lit(0.1)).withColumn("vwc2", lit(0.2))
+          .withColumn("vwc3", lit(0.3)).withColumn("flag", lit(0))
+          .select(good.columns.map(col): _*))
+    val out = LevelPipeline.level1(raw).select("time")
+      .as[java.sql.Timestamp].collect().toSet
+    assert(out === Set(T("2024-01-01 11:00:00")))
+  }
+
+  private def wv(t: Double, h: Double): Double =
+    1.0 + 0.0054 * ((2165.0 * ((0.6108 * math.exp((17.27 * t) / (t + 237.3))) *
+      (h / 100.0))) / (t + 273.16))
+
+  test("level2: correction chain with silo fallback and as-of tiers") {
+    val l1 = rawDf(Seq(
+      // ext zero -> SILO branch; both pressures zero -> press_corr 1.0;
+      // same-hour intensity 110 -> corr 1.1
+      rawRow("2024-01-01 11:00:00", 100, 12.0, 0, 0, 0, 50, 2.0),
+      // normal externals; p2 wins; no same-hour -> backward 110
+      rawRow("2024-01-01 12:00:00", 130, 12.0, 1000, 1005, 20, 50, 0)))
+      .withColumn("flag", lit(0))
+    val silo = Seq(
+      (1, T("2024-01-01 08:00:00"), 10.0, 60.0),
+      (1, T("2024-01-01 13:00:00"), 99.0, 99.0)) // past 11:59 -> excluded
+      .toDF("site_no", "time", "average_temperature", "average_humidity")
+    val intensity = Seq(
+      (1, T("2024-01-01 11:00:00"), 110.0))
+      .toDF("site_no", "time", "intensity")
+    val out = LevelPipeline.level2(l1, stations, silo, intensity)
+      .select("time", "press_corr", "wv_corr", "intensity_corr",
+        "corr_count", "rain")
+      .collect().map(r => r.getTimestamp(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+
+    val (p1c, w1c, i1c, c1c, rain1) = out(T("2024-01-01 11:00:00"))
+    assert(p1c === 1.0)
+    assert(w1c === wv(10.0, 60.0)) // SILO morning row, decoy excluded
+    assert(i1c === 1.1)
+    assert(c1c === (100 * w1c * 1.0 / 1.1) / 1.0)
+    assert(rain1 === 2.0) // rain carried through (J5 avoided)
+
+    val (p2c, w2c, i2c, c2c, _) = out(T("2024-01-01 12:00:00"))
+    assert(p2c === math.exp(0.01 * (1005 - 1000)))
+    assert(w2c === wv(20.0, 50.0))
+    assert(i2c === 1.1) // backward as-of pick
+    assert(c2c === (130 * w2c * p2c / 1.1) / 1.0)
+  }
+
+  test("level3: default + sandy conversions and flag thresholds") {
+    val l2 = Seq(
+      // default site: corr in band -> flag carried (0)
+      (1, T("2024-01-01 10:00:00"), 0, 90.0, 1.05, 1.0),
+      // default: corr > n0 -> 3; corr < 0.4*n0 -> 2; wv == 1.0 -> 5
+      (1, T("2024-01-01 11:00:00"), 0, 150.0, 1.05, 0.0),
+      (1, T("2024-01-01 12:00:00"), 0, 30.0, 1.05, 0.0),
+      (1, T("2024-01-01 13:00:00"), 0, 90.0, 1.0, 0.0),
+      // sandy site: thresholds are 3*n0 / 0.5*n0
+      (2, T("2024-01-01 10:00:00"), 0, 200.0, 1.05, 0.0), // in band
+      (2, T("2024-01-01 11:00:00"), 0, 301.0, 1.05, 0.0), // > 300 -> 3
+      (2, T("2024-01-01 12:00:00"), 0, 49.0, 1.05, 0.0))  // < 50 -> 2
+      .toDF("site_no", "time", "flag", "corr_count", "wv_corr", "rain")
+    val out = LevelPipeline.level3(l2, stations)
+      .select("site_no", "time", "flag", "soil_moist", "effective_depth")
+      .collect()
+      .map(r => (r.getInt(0), r.getTimestamp(1)) ->
+        (r.getInt(2), r.getDouble(3), r.getDouble(4))).toMap
+
+    assert(out((1, T("2024-01-01 10:00:00")))._1 === 0)
+    assert(out((1, T("2024-01-01 11:00:00")))._1 === 3)
+    assert(out((1, T("2024-01-01 12:00:00")))._1 === 2)
+    assert(out((1, T("2024-01-01 13:00:00")))._1 === 5)
+    assert(out((2, T("2024-01-01 10:00:00")))._1 === 0)
+    assert(out((2, T("2024-01-01 11:00:00")))._1 === 3)
+    assert(out((2, T("2024-01-01 12:00:00")))._1 === 2)
+
+    val cmDefault = (0.0808 / (90.0 / 100.0 - 0.372) - 0.115 - 0.1) * 1.0
+    val (_, sm, ed) = out((1, T("2024-01-01 10:00:00")))
+    assert(sm === cmDefault * 100.0)
+    assert(ed === 5.8 / (0.1 * 1.0 + cmDefault + 0.0829))
+
+    val cmSandy = 1216036430.0 * math.pow(200.0, -3.272)
+    assert(out((2, T("2024-01-01 10:00:00")))._2 === cmSandy * 100.0)
+  }
+
+  test("level4: +/-3h window mean over valid rows only") {
+    val l3 = Seq(
+      (1, T("2024-01-01 10:00:00"), 0, 10.0, 1.0, 0.0),
+      (1, T("2024-01-01 11:00:00"), 1, 99.0, 9.0, 0.0), // invalid: excluded
+      (1, T("2024-01-01 13:00:00"), 0, 20.0, 2.0, 0.0), // within 3h+1s
+      (1, T("2024-01-01 20:00:00"), 0, 50.0, 5.0, 0.0)) // isolated
+      .toDF("site_no", "time", "flag", "soil_moist", "effective_depth",
+        "rainfall")
+    val out = LevelPipeline.level4(l3)
+      .select("time", "soil_moist_filtered", "depth_filtered")
+      .collect().map(r => r.getTimestamp(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(T("2024-01-01 10:00:00")) === ((15.0, 1.5)))
+    assert(out(T("2024-01-01 13:00:00")) === ((15.0, 1.5)))
+    assert(out(T("2024-01-01 20:00:00")) === ((50.0, 5.0))) // own-row mean
+    assert(!out.contains(T("2024-01-01 11:00:00")))
+  }
+
+  test("processLevels end-to-end smoke: chain composes") {
+    val raw = rawDf(Seq(
+      rawRow("2024-01-01 10:00:00", 100, 12.0, 1000, 1005, 20, 50, 0),
+      rawRow("2024-01-01 11:00:00", 100, 12.0, 1000, 1005, 20, 50, 5.0),
+      rawRow("2024-01-01 12:00:00", 101, 12.0, 1000, 1005, 20, 50, 0)))
+    val silo = Seq((1, T("2024-01-01 08:00:00"), 10.0, 60.0))
+      .toDF("site_no", "time", "average_temperature", "average_humidity")
+    // corr 1.3 keeps corr_count ~90 inside the (0.4*n0, n0) valid band
+    val intensity = Seq((1, T("2024-01-01 11:00:00"), 130.0))
+      .toDF("site_no", "time", "intensity")
+    val out = LevelPipeline.processLevels(raw, stations, silo, intensity)
+      .select("time", "rainfall").as[(java.sql.Timestamp, Double)]
+      .collect().toMap
+    assert(out.keySet === Set(
+      T("2024-01-01 11:00:00"), T("2024-01-01 12:00:00")))
+    assert(out(T("2024-01-01 11:00:00")) === 1.0) // 5 tips * 0.2 mm
+  }
+}

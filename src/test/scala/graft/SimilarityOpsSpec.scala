@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.functions._
+
+class SimilarityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f), 0),
+    (2L, Array(0.0f, 1.0f, 0.0f), 0),
+    (3L, Array(0.0f, 0.0f, 1.0f), 1),
+    (4L, Array(0.0f, 0.1f, 0.9f), 1))
+    .toDF("vec_id", "embedding", "label")
+
+  test("cosine: orthogonal -> 0, identical -> 1") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(0.5f, 0.5f), Array(0.5f, 0.5f)))
+      .toDF("a", "b")
+    val out = df.select(SimilarityOps.cosine($"a", $"b")).as[Double].collect()
+    assert(out(0) === 0.0)
+    assert(out(1) === 1.0)
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes the query itself") {
+    val q = emb.filter($"vec_id" === 0)
+    val out = SimilarityOps.bruteForceTopK(emb, q, "vec_id", "embedding", 2)
+      .select("vec_id", "rank").as[(Long, Int)].collect().toMap
+    assert(out(1L) === 1) // closest: nearly parallel
+    assert(out.size === 2)
+    assert(!out.contains(0L))
+  }
+
+  test("lshBucket is deterministic and groups identical vectors") {
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)),
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(-1.0f, -2.0f, -3.0f)))
+      .toDF("vec_id", "embedding")
+    val out = df.select($"vec_id",
+      SimilarityOps.lshBucket($"embedding", 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(0L) === out(1L))
+    assert(out(0L) !== out(2L)) // opposite vector flips every sign bit
+    assert(out.values.forall(b => b >= 0 && b < 256))
+  }
+
+  test("distanceToCentroid: symmetric pair -> equal distances") {
+    val df = Seq(
+      (0L, Array(0.0f, 0.0f), 0),
+      (1L, Array(2.0f, 2.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps
+      .distanceToCentroid(df, "vec_id", "embedding", "label")
+      .select("vec_id", "dist").as[(Long, Double)].collect().toMap
+    // centroid (1,1); both at distance sqrt(2)
+    assert(out(0L) === out(1L))
+    assert(math.abs(out(0L) - math.sqrt(2)) < 1e-6)
+  }
+
+  test("nearestInGroup stays within the group") {
+    val out = SimilarityOps
+      .nearestInGroup(emb, "vec_id", "embedding", "label")
+      .select("a", "nn").as[(Long, Long)].collect().toMap
+    assert(out(0L) === 1L)
+    assert(out(1L) === 0L)
+    assert(out(3L) === 4L) // label 1 bucket: only 3<->4
+    assert(out(4L) === 3L)
+  }
+}

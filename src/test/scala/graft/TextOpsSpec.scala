@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.{DedupOps, TextOps}
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: overlapping k-grams, empty below k tokens") {
+    val df = Seq("a b c d", "a b").toDF("text")
+    val out = df.select(
+      TextOps.shingles(TextOps.tokens($"text"), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq("a b c", "b c d"))
+    assert(out(1) === Seq.empty)
+  }
+
+  test("minhashSignature is deterministic and permutation-keyed") {
+    val df = Seq("x y z w").toDF("text")
+    val sig = df.select(TextOps.minhashSignature(
+      TextOps.shingles(TextOps.tokens($"text"), 2), 4).as("sig"))
+      .as[Seq[String]].head()
+    assert(sig.length === 4)
+    assert(sig.distinct.length === 4) // different perms -> different mins
+    // stable across evaluations
+    val sig2 = df.select(TextOps.minhashSignature(
+      TextOps.shingles(TextOps.tokens($"text"), 2), 4).as("sig"))
+      .as[Seq[String]].head()
+    assert(sig === sig2)
+  }
+
+  test("simhash16 in range, equal docs equal, disjoint docs differ") {
+    val df = Seq(
+      (1, "spark query engine"),
+      (2, "spark query engine"),
+      (3, "entirely different words here")).toDF("id", "text")
+    val out = df.select($"id",
+      TextOps.simhash16(TextOps.tokens($"text")).as("sh"))
+      .as[(Int, Long)].collect().toMap
+    assert(out(1) === out(2))
+    assert(out(1) !== out(3))
+    assert(out.values.forall(v => v >= 0 && v < 65536))
+  }
+
+  test("hammingDistance counts differing bits") {
+    val df = Seq((0xF0F0L, 0x0F0FL), (5L, 5L)).toDF("a", "b")
+    val out = df.select(TextOps.hammingDistance($"a", $"b"))
+      .as[Int].collect().toSeq
+    assert(out === Seq(16, 0))
+  }
+
+  test("langScores argmax with first-wins tie-break and und fallback") {
+    val markers = Seq("en" -> Seq("the"), "fr" -> Seq("le"))
+    val df = Seq("the cat", "le chat", "the le", "nothing here").toDF("text")
+    val (_, pred) = TextOps.langScores(TextOps.tokens($"text"), markers)
+    val out = df.select(pred.as("p")).as[String].collect().toSeq
+    assert(out === Seq("en", "fr", "en" /* tie -> first */, "und"))
+  }
+
+  test("exactDedupStats keeps min id and counts group size") {
+    val df = Seq(
+      (10L, "aaa", "s1"), (11L, "aaa", "s2"), (12L, "bbb", "s3"))
+      .toDF("doc_id", "text", "source")
+    val out = DedupOps.exactDedupStats(df, md5($"text"), "doc_id", Seq("source"))
+      .select("doc_id", "dup_count", "source")
+      .as[(Long, Long, String)].collect().toSet
+    assert(out === Set((10L, 2L, "s1"), (12L, 1L, "s3")))
+  }
+
+  test("minhashCandidatePairs finds identical docs, skips disjoint ones") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.minhashCandidatePairs(df, "doc_id", "text")
+      .select("a", "b", "shared_bands").as[(Long, Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L, 2L))) // both bands agree; doc 3 nowhere
+  }
+
+  test("ngramJaccard: identical -> 1.0, disjoint -> 0.0") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val out = DedupOps.ngramJaccard(pairs, docs, "doc_id", "text", 2)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(out((1L, 2L)) === 1.0)
+    assert(out((1L, 3L)) === 0.0)
+  }
+
+  test("simhashPairs links near-identical docs via shared byte blocks") {
+    val df = Seq(
+      (1L, "spark window join group filter"),
+      (2L, "spark window join group filter"),
+      (3L, "totally unrelated content words"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.simhashPairs(df, "doc_id", "text", maxHamming = 0)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L)))
+  }
+}

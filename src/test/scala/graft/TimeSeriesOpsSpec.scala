@@ -1,0 +1,115 @@
+package graft
+
+import graft.operators.TimeSeriesOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class TimeSeriesOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(s)
+
+  private def left: DataFrame =
+    Seq(
+      (1, "2024-01-01 10:00:00"),
+      (2, "2024-01-01 12:00:00"),
+      (3, "2024-01-01 09:00:00"))
+      .toDF("id", "t").withColumn("t", to_timestamp($"t"))
+      .withColumn("k", lit(1))
+
+  private def right: DataFrame =
+    Seq(
+      ("2024-01-01 10:00:00", 111.0),
+      ("2024-01-01 13:00:00", 222.0))
+      .toDF("rt", "v").withColumn("rt", to_timestamp($"rt"))
+      .withColumn("k", lit(1))
+
+  test("asOfLookup backward tier includes coincident right row") {
+    val out = TimeSeriesOps
+      .asOfLookup(left, right, Seq("k"), "t", "rt", Seq("v"), forward = false)
+      .collect().map(r => r.getAs[Int]("id") -> Option(r.getAs[Any]("v_asof")))
+      .toMap
+    assert(out(1) === Some(111.0)) // coincident: rts == t counts as <= t
+    assert(out(2) === Some(111.0)) // last before
+    assert(out(3) === None)        // nothing before, backward-only -> null
+  }
+
+  test("asOfLookup forward tier includes coincident right row") {
+    val out = TimeSeriesOps
+      .asOfLookup(left, right, Seq("k"), "t", "rt", Seq("v"), backward = false)
+      .collect().map(r => r.getAs[Int]("id") -> Option(r.getAs[Any]("v_asof")))
+      .toMap
+    assert(out(1) === Some(111.0)) // coincident: rts == t counts as >= t
+    assert(out(2) === Some(222.0)) // first after
+    assert(out(3) === Some(111.0)) // first after (earlier than all rights)
+  }
+
+  test("asOfLookup backward-then-forward fallback chain") {
+    val out = TimeSeriesOps
+      .asOfLookup(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .collect().map(r => r.getAs[Int]("id") -> r.getAs[Double]("v_asof"))
+      .toMap
+    assert(out(3) === 111.0) // no backward match -> forward tier
+  }
+
+  test("dedupWithin drops equal rows within the window, keeps others") {
+    val df = Seq(
+      (1, "2024-01-01 10:00:00", 5.0),
+      (1, "2024-01-01 10:10:00", 5.0), // dup of previous (10 min)
+      (1, "2024-01-01 10:20:00", 6.0), // different value -> kept
+      (1, "2024-01-01 10:50:00", 5.0), // 50 min after first 5.0 -> kept
+      (2, "2024-01-01 10:10:00", 5.0)) // other series -> kept
+      .toDF("site", "t", "v").withColumn("t", to_timestamp($"t"))
+    val kept = TimeSeriesOps
+      .dedupWithin(df, Seq("site"), "t", 29 * 60, Seq("v"))
+      .select("site", "t").as[(Int, java.sql.Timestamp)].collect().toSet
+    assert(kept === Set(
+      (1, ts("2024-01-01 10:00:00")),
+      (1, ts("2024-01-01 10:20:00")),
+      (1, ts("2024-01-01 10:50:00")),
+      (2, ts("2024-01-01 10:10:00"))))
+  }
+
+  test("dedupWithin window boundary is [t-window, t): exact-boundary kept") {
+    val df = Seq(
+      (1, "2024-01-01 10:00:00", 5.0),
+      (1, "2024-01-01 10:29:00", 5.0)) // exactly 29 min later -> inside
+      .toDF("site", "t", "v").withColumn("t", to_timestamp($"t"))
+    val kept = TimeSeriesOps
+      .dedupWithin(df, Seq("site"), "t", 29 * 60, Seq("v"))
+      .count()
+    assert(kept === 1) // the 10:29 row IS a dup (>= t - 29min)
+  }
+
+  test("withLag emits previous value per series in time order") {
+    val df = Seq(
+      (1, "2024-01-01 10:00:00", 10.0),
+      (1, "2024-01-01 11:00:00", 20.0),
+      (2, "2024-01-01 10:00:00", 30.0))
+      .toDF("site", "t", "v").withColumn("t", to_timestamp($"t"))
+    val out = TimeSeriesOps.withLag(df, Seq("site"), "t", Seq("v"))
+      .select("site", "t", "v_prev")
+      .collect()
+      .map(r => (r.getInt(0), r.getTimestamp(1), Option(r.get(2)))).toSet
+    assert(out === Set(
+      (1, ts("2024-01-01 10:00:00"), None),
+      (1, ts("2024-01-01 11:00:00"), Some(10.0)),
+      (2, ts("2024-01-01 10:00:00"), None)))
+  }
+
+  test("centeredWindowAgg averages over the +/- radius frame") {
+    val df = Seq(
+      (1, "2024-01-01 10:00:00", 10.0),
+      (1, "2024-01-01 11:00:00", 20.0),
+      (1, "2024-01-01 20:00:00", 100.0)) // outside +/-3h of the others
+      .toDF("site", "t", "v").withColumn("t", to_timestamp($"t"))
+    val out = TimeSeriesOps.centeredWindowAgg(
+      df, Seq("site"), "t", 3 * 3600 + 1,
+      spec = Map("v_avg" -> (c => avg(c))),
+      srcCols = Map("v_avg" -> "v"))
+      .select("t", "v_avg").as[(java.sql.Timestamp, Double)].collect().toMap
+    assert(out(ts("2024-01-01 10:00:00")) === 15.0)
+    assert(out(ts("2024-01-01 20:00:00")) === 100.0)
+  }
+}
