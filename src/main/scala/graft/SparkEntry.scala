@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{MultimodalQueries, PhysicsQueries, PipelineQueries,
-  RelationalQueries, SimilarityQueries, TemporalQueries, TextQueries}
+  RelationalQueries, SimilarityQueries, TemporalQueries, TextQueries,
+  ValidationQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +22,8 @@ object SparkEntry {
     TextQueries,
     SimilarityQueries,
     MultimodalQueries,
-    PipelineQueries)
+    PipelineQueries,
+    ValidationQueries)
 
   lazy val all: Map[String, Q] = modules.flatMap(_.queries).toMap
 

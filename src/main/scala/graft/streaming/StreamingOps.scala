@@ -1,0 +1,106 @@
+package graft.streaming
+
+import graft.operators.IntensityOps
+import graft.operators.IntensityOps.{IntensityPoint, ValidatedPoint}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming forms of the ingest-side operators (SURVEY.md
+  * §2.7): the reference is scheduled micro-batch, so these are the
+  * always-on equivalents — same per-site semantics, state kept in the
+  * streaming state store instead of re-querying the sink.
+  *
+  * Scale notes: all state is keyed by site_no, so it shards across
+  * executors with the shuffle; per-key state is O(1) (validation) or
+  * O(window occupancy) (dedup buffer), and the dedup buffer is pruned
+  * every batch — no unbounded growth. Watermarks bound late data exactly
+  * like the reference's backprocess window bounds reprocessing.
+  */
+object StreamingOps {
+
+  /** Raw telemetry point for streaming dedup (29-min near-dup window on
+    * the comparison fingerprint, `pipeline/cosmoz_process_levels.py:375-390`).
+    */
+  final case class RawPoint(site_no: Int, time: java.sql.Timestamp,
+      fingerprint: String)
+
+  /** Stateful ±20% validation (E11) as a streaming flatMapGroupsWithState:
+    * state per site = (epoch millis, value) of the last valid point.
+    * Within a batch, points are processed in time order; across batches,
+    * state carries — identical to the reference's incremental catch-up
+    * walk (`nmdb/entrypoint.py:68-99`) with the DB round-trip removed.
+    */
+  def validatedIntensityStream(
+      points: Dataset[IntensityPoint],
+      tolerance: Double = 0.2,
+      maxGapSeconds: Long = 24 * 3600): Dataset[ValidatedPoint] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .groupByKey(_.site_no)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Int, it: Iterator[IntensityPoint],
+         state: GroupState[(Long, Double)]) => {
+          val ordered = it.toSeq.sortBy(_.time.getTime).iterator
+          val (out, newState) = IntensityOps.validateOrdered(
+            ordered, state.getOption, tolerance, maxGapSeconds)
+          newState.foreach(state.update)
+          out.iterator
+        })
+  }
+
+  /** Streaming 29-minute near-duplicate suppression (J6): per-site state
+    * buffers (time, fingerprint) of recent points; a new point equal to a
+    * buffered one within the trailing window is dropped. The buffer is
+    * pruned to the window width each batch, so state is bounded by the
+    * window occupancy (~1 row/30 min per site in the reference network).
+    */
+  def dedupStream(
+      points: Dataset[RawPoint],
+      windowSeconds: Long = 29 * 60): Dataset[RawPoint] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .groupByKey(_.site_no)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Int, it: Iterator[RawPoint],
+         state: GroupState[List[(Long, String)]]) => {
+          var buffer = state.getOption.getOrElse(Nil)
+          val kept = scala.collection.mutable.ListBuffer[RawPoint]()
+          it.toSeq.sortBy(_.time.getTime).foreach { p =>
+            val tMs = p.time.getTime
+            val winLo = tMs - windowSeconds * 1000L
+            val isDup = buffer.exists { case (bt, bf) =>
+              bt >= winLo && bt < tMs && bf == p.fingerprint
+            }
+            if (!isDup) kept += p
+            // even duplicates join the buffer: the reference compares
+            // against ALL raw rows, including earlier duplicates
+            buffer = (tMs, p.fingerprint) :: buffer.filter(_._1 >= winLo)
+          }
+          state.update(buffer)
+          kept.iterator
+        })
+  }
+
+  /** Hourly per-site windowed aggregation of a value column with a
+    * watermark — the streaming form of the scheduled per-level rollups.
+    */
+  def hourlyStats(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      watermark: String = "29 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(col("site_no"), window(col(tsCol), "1 hour"))
+      .agg(
+        count(lit(1)).as("n"),
+        avg(col(valueCol)).as("avg_value"),
+        min(col(valueCol)).as("min_value"),
+        max(col(valueCol)).as("max_value"))
+      .select(col("site_no"), col("window.start").as("hour_start"),
+        col("n"), col("avg_value"), col("min_value"), col("max_value"))
+}

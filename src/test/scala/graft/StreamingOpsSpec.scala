@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.IntensityOps.IntensityPoint
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.RawPoint
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def T(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("validatedIntensityStream flags drift across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[IntensityPoint]
+    val q = StreamingOps.validatedIntensityStream(input.toDS())
+      .writeStream.format("memory").queryName("val_out")
+      .outputMode(OutputMode.Append).start()
+
+    // batch 1: baseline then a +200% spike (invalid)
+    input.addData(
+      IntensityPoint(1, T("2024-01-01 10:00:00"), 100.0),
+      IntensityPoint(1, T("2024-01-01 11:00:00"), 300.0))
+    q.processAllAvailable()
+    // batch 2: 130 drifts >20% from the last VALID carried across the
+    // batch boundary (100, NOT 300) -> invalid; proves cross-batch state.
+    // Then 105 (valid vs 100) and 70 (invalid vs 105).
+    input.addData(
+      IntensityPoint(1, T("2024-01-01 12:00:00"), 130.0),
+      IntensityPoint(1, T("2024-01-01 13:00:00"), 105.0),
+      IntensityPoint(1, T("2024-01-01 14:00:00"), 70.0))
+    q.processAllAvailable()
+    val out = spark.table("val_out")
+      .as[graft.operators.IntensityOps.ValidatedPoint]
+      .collect().map(p => p.time -> p.bad_data_flag).toMap
+    q.stop()
+    assert(out === Map(
+      T("2024-01-01 10:00:00") -> 0,
+      T("2024-01-01 11:00:00") -> 1,
+      T("2024-01-01 12:00:00") -> 1,
+      T("2024-01-01 13:00:00") -> 0,
+      T("2024-01-01 14:00:00") -> 1))
+  }
+
+  test("validatedIntensityStream: >24h gap bypasses the drift check") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[IntensityPoint]
+    val q = StreamingOps.validatedIntensityStream(input.toDS())
+      .writeStream.format("memory").queryName("gap_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      IntensityPoint(2, T("2024-01-01 10:00:00"), 100.0),
+      IntensityPoint(2, T("2024-01-03 10:00:01"), 300.0)) // gap > 24h
+    q.processAllAvailable()
+    val out = spark.table("gap_out")
+      .as[graft.operators.IntensityOps.ValidatedPoint]
+      .collect().map(p => p.time -> p.bad_data_flag).toMap
+    q.stop()
+    assert(out(T("2024-01-03 10:00:01")) === 0)
+  }
+
+  test("dedupStream drops near-dups within 29 min, across batches") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[RawPoint]
+    val q = StreamingOps.dedupStream(input.toDS())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      RawPoint(1, T("2024-01-01 10:00:00"), "fpA"),
+      RawPoint(1, T("2024-01-01 10:10:00"), "fpA"), // dup in-batch
+      RawPoint(1, T("2024-01-01 10:20:00"), "fpB"))
+    q.processAllAvailable()
+    input.addData(
+      RawPoint(1, T("2024-01-01 10:25:00"), "fpA"), // dup vs batch 1 state
+      RawPoint(1, T("2024-01-01 11:00:00"), "fpA")) // outside 29 min -> kept
+    q.processAllAvailable()
+    val out = spark.table("dedup_out").as[RawPoint]
+      .collect().map(_.time).toSet
+    q.stop()
+    assert(out === Set(
+      T("2024-01-01 10:00:00"),
+      T("2024-01-01 10:20:00"),
+      T("2024-01-01 11:00:00")))
+  }
+
+  test("hourlyStats windows with watermark (batch-mode check)") {
+    val df = Seq(
+      (1, T("2024-01-01 10:05:00"), 10.0),
+      (1, T("2024-01-01 10:55:00"), 20.0),
+      (1, T("2024-01-01 11:05:00"), 30.0))
+      .toDF("site_no", "ts", "v")
+    val out = StreamingOps.hourlyStats(df, "ts", "v")
+      .orderBy("hour_start")
+      .collect().map(r => (r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (T("2024-01-01 10:00:00"), 2L, 15.0),
+      (T("2024-01-01 11:00:00"), 1L, 30.0)))
+  }
+}
