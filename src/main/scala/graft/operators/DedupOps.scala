@@ -52,9 +52,14 @@ object DedupOps {
       bands: Int): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val r = numPerm / bands
-    val sig = TextOps.minhashSignature(
-      TextOps.shingles(TextOps.tokens(col(textCol)), shingleK), numPerm)
-    val withSig = df.select(col(idCol), sig.as("sig"))
+    // One md5 per shingle; the signature fold consumes the hashed array
+    // in a single pass for all permutations (see minhashSignature).
+    val withSig = df.select(col(idCol),
+      TextOps.minhashSignature(
+        transform(
+          TextOps.shingles(TextOps.tokens(col(textCol)), shingleK),
+          s => TextOps.baseHash60(s)),
+        numPerm).as("sig"))
     (0 until bands).foldLeft(withSig) { (d, b) =>
       d.withColumn(s"band$b", TextOps.bandKey(col("sig"), b * r, (b + 1) * r))
     }
@@ -90,6 +95,9 @@ object DedupOps {
       .withColumn("__rk", row_number().over(wB))
       .filter(col("__rk") <= maxBucket)
       .drop("__rk")
+      // both sides of the self-join read this; without persist Spark
+      // recomputes the full MinHash (8 perms x shingles x md5) twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = capped.select(col(idCol).as("a"), col("band_idx"), col("band_key"))
     val b = capped.select(col(idCol).as("b"), col("band_idx"), col("band_key"))
     a.join(b, Seq("band_idx", "band_key"))

@@ -6,40 +6,45 @@ import org.apache.spark.sql.functions._
 
 /** Vector-similarity operators over an embedding column (array<float>).
   *
-  * Numeric discipline: dot products are folded with per-term rounding to
-  * 12 dp and decimal accumulation — addition over DECIMAL(38,12) is
-  * associative, so the result is independent of partitioning/fold order.
-  * That makes similarity scores reproducible run-to-run at any scale (a
-  * plain double sum is not, once Spark changes the reduction tree) and
-  * bit-comparable across engines. The 1e-12 per-term quantization is far
-  * below float32 input precision.
+  * Numeric discipline: dot products are strict LEFT folds over the
+  * element products in index order (Spark's `aggregate` lambda). A left
+  * fold is deterministic for a fixed element order regardless of
+  * partitioning — the reduction never crosses rows — so scores are
+  * reproducible run-to-run and bit-comparable against any engine that
+  * folds the same way (e.g. a SQL `list_reduce`). Per-row folds keep the
+  * arithmetic in cheap double registers (a decimal accumulator here costs
+  * ~10x; decimals are reserved for CROSS-row sums, where addition order
+  * genuinely varies — see distanceToCentroid).
   *
   * Scale notes: brute-force top-k is one broadcast of the query vector +
   * one pass + a k-row per-partition heap (Spark's TakeOrderedAndProject);
   * the LSH variant prunes candidates by sign-bucket before ranking, which
   * is the path that survives 1000x growth (bucket join instead of full
-  * scan); both shapes shuffle only (id, score) pairs, never the vectors.
+  * scan); pair operators precompute each vector's norm once (O(n) folds)
+  * so the quadratic stage folds only the dot (1 fold per pair, not 3);
+  * and only (id, score) pairs shuffle, never the vectors.
   */
 object SimilarityOps {
 
-  /** Order-independent exact dot product of two array<float/double> cols. */
-  def dotExact(a: Column, b: Column): Column =
+  /** Deterministic dot product: strict left fold over index-order element
+    * products of two array<float/double> columns.
+    */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(
-      zip_with(a, b, (x, y) =>
-        round(x.cast("double") * y.cast("double"), 12).cast("decimal(38,12)")),
-      lit(0).cast("decimal(38,12)"),
-      // re-cast: decimal addition widens (38,12)+(38,12) -> (38,11), but
-      // the aggregate merge must return the accumulator's exact type; the
-      // cast is lossless at these magnitudes (|dot| << 1e25).
-      (acc, x) => (acc + x).cast("decimal(38,12)"))
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
 
-  /** L2 norm (exact-sum variant) of an array<float/double> column. */
-  def normExact(a: Column): Column =
-    sqrt(dotExact(a, a).cast("double"))
+  /** L2 norm of an array<float/double> column (same fold discipline). */
+  def normFold(a: Column): Column = sqrt(dotFold(a, a))
 
   /** Cosine similarity, rounded to 6 dp. */
   def cosine(a: Column, b: Column): Column =
-    round(dotExact(a, b).cast("double") / (normExact(a) * normExact(b)), 6)
+    round(dotFold(a, b) / (normFold(a) * normFold(b)), 6)
+
+  /** Cosine from a precomputed dot and the two precomputed norms. */
+  def cosineFromParts(dot: Column, normA: Column, normB: Column): Column =
+    round(dot / (normA * normB), 6)
 
   /** Brute-force cosine top-k against a single query vector (broadcast:
     * the 1-row query side crosses into every partition; the plan is scan →
@@ -82,11 +87,9 @@ object SimilarityOps {
       lit(0L),
       (acc, p) => {
         val dot = aggregate(
-          transform(vec, (x, i) =>
-            round(x.cast("double") * planeWeight(p, i), 12)
-              .cast("decimal(38,12)")),
-          lit(0).cast("decimal(38,12)"),
-          (a, x) => (a + x).cast("decimal(38,12)"))
+          transform(vec, (x, i) => x.cast("double") * planeWeight(p, i)),
+          lit(0.0),
+          (a, x) => a + x)
         acc + when(dot > 0, pow(lit(2.0), p.cast("double")).cast("long"))
           .otherwise(0L)
       })
@@ -159,13 +162,18 @@ object SimilarityOps {
       idCol: String,
       vecCol: String,
       groupCol: String): DataFrame = {
-    val a = embeddings.select(col(groupCol),
-      col(idCol).as("a"), col(vecCol).as("va"))
-    val b = embeddings.select(col(groupCol),
-      col(idCol).as("b"), col(vecCol).as("vb"))
+    // Norms once per vector (O(n) folds); the quadratic pair stage then
+    // folds only the dot — 1 fold per pair instead of 3.
+    val normed = embeddings.select(col(groupCol), col(idCol), col(vecCol))
+      .withColumn("__norm", normFold(col(vecCol)))
+    val a = normed.select(col(groupCol), col(idCol).as("a"),
+      col(vecCol).as("va"), col("__norm").as("na"))
+    val b = normed.select(col(groupCol), col(idCol).as("b"),
+      col(vecCol).as("vb"), col("__norm").as("nb"))
     a.join(b, Seq(groupCol))
       .filter(col("a") =!= col("b"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("sim",
+        cosineFromParts(dotFold(col("va"), col("vb")), col("na"), col("nb")))
       .withColumn("rank",
         row_number().over(Window.partitionBy(col("a"))
           .orderBy(col("sim").desc, col("b").asc)))

@@ -38,22 +38,43 @@ object TextOps {
         i => array_join(slice(toks, i, lit(k)), " ")))
       .otherwise(array().cast("array<string>"))
 
-  /** MinHash signature: `numPerm` permutations, permutation p simulated by
-    * the keyed hash md5("p|" + shingle); the signature element is the
-    * lexicographic minimum over the doc's shingles (null when no shingles).
-    * Returns an array<string> of length numPerm.
+  /** 60-bit integer base hash of a string: value of the first 15 hex
+    * digits of its md5 (one md5 + one base conversion — the permutations
+    * below derive from this single hash arithmetically, the standard
+    * (a*h + b) mod p MinHash construction). 16^15 < 2^63, no overflow.
     */
-  def minhashSignature(shingleCol: Column, numPerm: Int): Column =
-    transform(sequence(lit(0), lit(numPerm - 1)),
-      p => array_min(transform(shingleCol,
-        s => md5(concat(p.cast("string"), lit("|"), s)))))
+  def baseHash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** MinHash modulus: 2^31 - 1 (Mersenne prime). */
+  val MinhashPrime = 2147483647L
+
+  /** MinHash signature over PRE-HASHED shingles (array<long> from
+    * [[baseHash60]]). Permutation p is the affine map
+    * ((2p+3)*(x mod P) + 7p+1) mod P. Computed as ONE fold over the
+    * shingle hashes carrying all numPerm running minima — the hashed
+    * array is referenced exactly once, so upstream hashing is never
+    * duplicated per permutation (an array_min-per-permutation shape makes
+    * Catalyst's projection collapse inline — and so recompute — the
+    * hashes numPerm times). Returns array<long>; a shingle-less doc gets
+    * the P sentinel in every slot.
+    */
+  def minhashSignature(hashedShingles: Column, numPerm: Int): Column =
+    aggregate(
+      hashedShingles,
+      array(Seq.fill(numPerm)(lit(MinhashPrime)): _*),
+      (acc, x) =>
+        transform(acc, (m, p) =>
+          least(m, ((p * 2 + 3) * (x % MinhashPrime) + (p * 7 + 1)) % MinhashPrime)))
 
   /** LSH band key for signature elements [from, until): one md5 over the
     * concatenated band — equal keys <=> equal band, so a groupBy / join on
     * the key is the classic banding bucket step.
     */
   def bandKey(sig: Column, from: Int, until: Int): Column =
-    md5(array_join(slice(sig, from + 1, until - from), ""))
+    md5(array_join(
+      transform(slice(sig, from + 1, until - from), v => v.cast("string")),
+      ""))
 
   /** Value 0-15 of the 1-based `pos`-th hex digit of lowercase hex `h`:
     * ascii(c) - 48 for '0'-'9', ascii(c) - 87 for 'a'-'f'.

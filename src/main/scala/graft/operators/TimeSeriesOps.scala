@@ -60,28 +60,33 @@ object TimeSeriesOps {
           Seq(col("__ts"), col("__is_left")) ++
           valueCols.map(c => col(c).as(s"__v_$c"))): _*)
 
-    // Backward tier orders right rows (__is_left=0) before left rows at
-    // equal __ts, so a coincident right row falls inside the unbounded-
-    // preceding frame (rts <= t inclusive). The forward tier needs the
-    // opposite: left rows first at equal __ts, so a coincident right row
-    // falls inside the currentRow->following frame (rts >= t inclusive).
-    // Same partitioning, so the second ordering re-sorts within the one
-    // shuffle rather than adding an exchange.
+    // Both tiers are expressed as last(_, ignoreNulls) over an UNBOUNDED-
+    // PRECEDING frame, which Spark evaluates incrementally (O(rows)). The
+    // naive forward formulation — first() over currentRow->unboundedFollowing
+    // — recomputes the frame from scratch for every row, i.e. O(rows^2) per
+    // series: at 1000x data that's the difference between seconds and days.
+    //
+    // Backward: (ts asc, right-before-left at ties) — the running last
+    //   non-null is the largest rts <= t, coincident rows included.
+    // Forward: same frame over (ts DESC, right-before-left at ties) — the
+    //   running last non-null is the SMALLEST rts >= t, coincident included.
+    // Same partitioning for both, so the second ordering is a re-sort
+    // within the single shuffle, not another exchange.
     val wBack = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wFwd = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__is_left").desc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("__ts").desc, col("__is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val withPicks = valueCols.foldLeft(lU.unionByName(rU)) { (df, c) =>
       val back =
         if (backward) last(col(s"__v_$c"), ignoreNulls = true).over(wBack)
         else lit(null).cast(rightTypes(c))
       val fwd =
-        if (forward) first(col(s"__v_$c"), ignoreNulls = true).over(wFwd)
+        if (forward) last(col(s"__v_$c"), ignoreNulls = true).over(wFwd)
         else lit(null).cast(rightTypes(c))
       df.withColumn(s"$c$outSuffix", coalesce(back, fwd))
     }

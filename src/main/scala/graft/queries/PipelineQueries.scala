@@ -29,7 +29,7 @@ object PipelineQueries extends QueryModule {
   private val Days = 1100L            // silo grid days
 
   /** The station dimension (5 synthetic sites; 1 and 3 run "sandy"). */
-  private def stationsDf(s: SparkSession): DataFrame = {
+  private[graft] def stationsDf(s: SparkSession): DataFrame = {
     import s.implicits._
     (0 until 5).map { i =>
       LevelPipeline.Station(
@@ -58,7 +58,7 @@ object PipelineQueries extends QueryModule {
     * on deterministic event_id residues, plus +10 min clones (every 97th
     * event) that exercise the 29-min dedup.
     */
-  private def rawDf(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def rawDf(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
       .select(col("event_id"), coalesce(col("value"), lit(0.0)).as("v"))
     val base = ev
@@ -97,7 +97,7 @@ object PipelineQueries extends QueryModule {
   /** Daily SILO climate: one usable row per site-day at 08:00 plus a decoy
     * at 13:00 (must be excluded by the reference's half-day probe window).
     */
-  private def siloDf(s: SparkSession): DataFrame = {
+  private[graft] def siloDf(s: SparkSession): DataFrame = {
     val days = s.range(Days).select(col("id").as("d"))
     val sites = s.range(5).select(col("id").cast("int").as("site_no"))
     val morning = days.crossJoin(sites).select(
@@ -116,7 +116,7 @@ object PipelineQueries extends QueryModule {
   /** Hourly neutron-monitor intensity with every 3rd hour missing (forces
     * the as-of fallback tiers) and every 17th zero (div-zero guard).
     */
-  private def intensityDf(s: SparkSession): DataFrame = {
+  private[graft] def intensityDf(s: SparkSession): DataFrame = {
     val hours = s.range(HMax).select(col("id").as("h"))
       .filter(col("h") % 3 =!= 0)
     val sites = s.range(5).select(col("id").cast("int").as("site_no"))

@@ -18,11 +18,14 @@ object SimilarityQueries extends QueryModule {
     Tables(s, dir, n)
 
   // ---- shared DuckDB fragments (mirror SimilarityOps exactly) ----
-  /** Exact decimal dot product of two 64-dim list columns (1-based SQL). */
+  /** Strict left-fold dot product of two 64-dim list columns. list_reduce
+    * folds ((e1+e2)+e3)... which is bit-identical to Spark's
+    * aggregate-with-0.0-init left fold over the same element order.
+    */
   private def dotSql(a: String, b: String): String =
-    s"CAST(list_sum(list_transform(generate_series(1, 64), __i -> " +
-      s"CAST(round(CAST(($a)[__i] AS DOUBLE) * CAST(($b)[__i] AS DOUBLE), 12) " +
-      s"AS DECIMAL(38,12)))) AS DOUBLE)"
+    s"list_reduce(list_transform(generate_series(1, 64), __i -> " +
+      s"CAST(($a)[__i] AS DOUBLE) * CAST(($b)[__i] AS DOUBLE)), " +
+      s"(__x, __y) -> __x + __y)"
   private def cosineSql(a: String, b: String): String =
     s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
   /** Sign-LSH bucket over 8 deterministic integer hyperplanes
@@ -30,10 +33,9 @@ object SimilarityQueries extends QueryModule {
     */
   private val bucketSql =
     """CAST(list_sum(list_transform(generate_series(0, 7), p ->
-      |  CASE WHEN CAST(list_sum(list_transform(generate_series(1, 64), i ->
-      |    CAST(round(CAST(embedding[i] AS DOUBLE)
-      |               * ((p * 37 + (i - 1) * 17) % 19 - 9), 12)
-      |         AS DECIMAL(38,12)))) AS DOUBLE) > 0
+      |  CASE WHEN list_reduce(list_transform(generate_series(1, 64), i ->
+      |    CAST(embedding[i] AS DOUBLE) * ((p * 37 + (i - 1) * 17) % 19 - 9)),
+      |    (x, y) -> x + y) > 0
       |  THEN CAST(pow(2.0, p) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
 
   val queries: Map[String, Q] = Map(

@@ -26,18 +26,33 @@ object TextQueries extends QueryModule {
   private val sh5Sql =
     s"list_transform(generate_series(1, len($toksSql) - 4), " +
       s"i -> array_to_string(($toksSql)[i:i+4], ' '))"
-  // 8-permutation MinHash signature as a list of md5-min strings.
+  // 60-bit base hash per shingle (fold of the first 15 md5 hex digits),
+  // then 8 affine MinHash permutations mod 2^31-1 — mirrors
+  // TextOps.baseHash60/minhashSignature exactly.
+  private val baseHashSql =
+    "list_reduce(list_transform(generate_series(1, 15), __i -> " +
+      "CAST(ord(substr(md5(s), CAST(__i AS INT), 1)) - " +
+      "CASE WHEN substr(md5(s), CAST(__i AS INT), 1) >= 'a' THEN 87 ELSE 48 END " +
+      "AS BIGINT)), (__a, __d) -> __a * 16 + __d)"
   private val sigsSql =
-    s"""sigs AS (
+    s"""hashed AS (
+       |  SELECT doc_id,
+       |         list_transform($sh3Sql, s -> $baseHashSql) AS hs
+       |  FROM documents),
+       |sigs AS (
        |  SELECT doc_id, list_transform(generate_series(0, 7),
-       |    p -> list_min(list_transform($sh3Sql, s -> md5(p || '|' || s)))) AS mh
-       |  FROM documents)""".stripMargin
+       |    p -> list_min(list_transform(hs,
+       |      x -> ((p * 2 + 3) * (x % 2147483647) + (p * 7 + 1)) % 2147483647))) AS mh
+       |  FROM hashed)""".stripMargin
+  private def bandKeySql(fromIdx: Int, untilIdx: Int): String =
+    s"md5(array_to_string(list_transform(mh[$fromIdx:$untilIdx], " +
+      s"__v -> CAST(__v AS VARCHAR)), ''))"
   private val bandsSql =
     s"""$sigsSql,
        |bands AS (
-       |  SELECT doc_id, 0 AS band_idx, md5(array_to_string(mh[1:4], '')) AS band_key FROM sigs
+       |  SELECT doc_id, 0 AS band_idx, ${bandKeySql(1, 4)} AS band_key FROM sigs
        |  UNION ALL
-       |  SELECT doc_id, 1 AS band_idx, md5(array_to_string(mh[5:8], '')) AS band_key FROM sigs)""".stripMargin
+       |  SELECT doc_id, 1 AS band_idx, ${bandKeySql(5, 8)} AS band_key FROM sigs)""".stripMargin
   // 16-bit simhash over distinct tokens (ascii/floor/pow arithmetic only).
   private val simhashSql =
     """CAST(list_sum(list_transform(generate_series(0, 15), j ->
@@ -208,9 +223,9 @@ object TextQueries extends QueryModule {
       oracle = Some(s"""
         WITH $sigsSql
         SELECT doc_id,
-               ${(0 until 8).map(i => s"mh[${i + 1}] AS mh$i").mkString(", ")},
-               md5(array_to_string(mh[1:4], '')) AS band0,
-               md5(array_to_string(mh[5:8], '')) AS band1
+               ${(0 until 8).map(i => s"CAST(mh[${i + 1}] AS BIGINT) AS mh$i").mkString(", ")},
+               ${bandKeySql(1, 4)} AS band0,
+               ${bandKeySql(5, 8)} AS band1
         FROM sigs
         ORDER BY doc_id"""),
       bench = true),

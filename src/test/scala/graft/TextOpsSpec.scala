@@ -17,16 +17,16 @@ class TextOpsSpec extends SparkSpec {
 
   test("minhashSignature is deterministic and permutation-keyed") {
     val df = Seq("x y z w").toDF("text")
-    val sig = df.select(TextOps.minhashSignature(
-      TextOps.shingles(TextOps.tokens($"text"), 2), 4).as("sig"))
-      .as[Seq[String]].head()
+    def sigOf(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.select(TextOps.minhashSignature(
+        transform(TextOps.shingles(TextOps.tokens($"text"), 2),
+          s => TextOps.baseHash60(s)), 4).as("sig"))
+        .as[Seq[Long]].head()
+    val sig = sigOf(df)
     assert(sig.length === 4)
     assert(sig.distinct.length === 4) // different perms -> different mins
-    // stable across evaluations
-    val sig2 = df.select(TextOps.minhashSignature(
-      TextOps.shingles(TextOps.tokens($"text"), 2), 4).as("sig"))
-      .as[Seq[String]].head()
-    assert(sig === sig2)
+    assert(sig.forall(v => v >= 0 && v < TextOps.MinhashPrime))
+    assert(sig === sigOf(df)) // stable across evaluations
   }
 
   test("simhash16 in range, equal docs equal, disjoint docs differ") {
