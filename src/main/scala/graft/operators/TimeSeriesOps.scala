@@ -101,12 +101,16 @@ object TimeSeriesOps {
     * `:316-337` — a row is a duplicate iff some strictly-earlier row of the
     * same series within [t - window, t) has every comparison column equal.
     *
-    * Implementation: per-series range frame collecting the prior rows'
-    * (ts, cmp...) structs, then an `exists` higher-order predicate applying
-    * the full-precision time bound and field equality. The frame is sized in
-    * whole seconds (one second wider than needed); the exact bound is applied
-    * inside `exists`, so microsecond timestamps are handled correctly.
-    * O(rows x windowOccupancy), one shuffle, no self-join explosion.
+    * Implementation: "some equal row in the trailing window" is equivalent
+    * to "the LATEST strictly-earlier equal row is in the trailing window",
+    * so partition by (series keys ++ comparison columns) — null-safe
+    * grouping, like the reference's field equality — order by microsecond
+    * time, and take max(ts) over the strict-predecessor range frame
+    * (unboundedPreceding, -1µs]; the frame excludes coincident rows, like
+    * the reference's inclusive=(True, False) probe. One shuffle, O(1)
+    * work per row (the collect_list-per-row formulation costs O(window
+    * occupancy) per row and dominates dense streams), and the wider hash
+    * key only spreads the shuffle more evenly.
     */
   def dedupWithin(
       df: DataFrame,
@@ -116,17 +120,14 @@ object TimeSeriesOps {
       cmpCols: Seq[String],
       markOnly: Boolean = false,
       dupFlagCol: String = "__is_dup"): DataFrame = {
+    val tsMicros = unix_micros(col(tsCol))
     val w = Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).cast("long"))
-      .rangeBetween(-windowSeconds - 1, 0)
-    val prior = collect_list(struct((col(tsCol).as("__pts") +: cmpCols.map(col)): _*)).over(w)
-    val isDup = exists(
-      prior,
-      p =>
-        p("__pts") < col(tsCol) &&
-          p("__pts") >= col(tsCol) - expr(s"INTERVAL $windowSeconds SECOND") &&
-          cmpCols.map(c => p(c) <=> col(c)).reduce(_ && _))
+      .partitionBy((keys ++ cmpCols).map(col): _*)
+      .orderBy(tsMicros)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val latestPriorEqual = max(tsMicros).over(w)
+    val isDup = latestPriorEqual.isNotNull &&
+      latestPriorEqual >= tsMicros - windowSeconds * 1000000L
     val marked = df.withColumn(dupFlagCol, isDup)
     if (markOnly) marked
     else marked.filter(!col(dupFlagCol)).drop(dupFlagCol)

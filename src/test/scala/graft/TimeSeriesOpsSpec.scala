@@ -82,6 +82,18 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(kept === 1) // the 10:29 row IS a dup (>= t - 29min)
   }
 
+  test("dedupWithin ties: coincident rows both dup of a strictly-earlier equal") {
+    val df = Seq(
+      (1, "2024-01-01 10:00:00", 5.0, "A"),
+      (1, "2024-01-01 10:10:00", 5.0, "B"), // dup of A
+      (1, "2024-01-01 10:10:00", 5.0, "C"), // coincident with B, dup of A
+      (1, "2024-01-01 10:10:00", 6.0, "D")) // different value -> kept
+      .toDF("site", "t", "v", "tag").withColumn("t", to_timestamp($"t"))
+    val kept = TimeSeriesOps.dedupWithin(df, Seq("site"), "t", 29 * 60, Seq("v"))
+      .select("tag").as[String].collect().sorted.toSeq
+    assert(kept === Seq("A", "D"))
+  }
+
   test("withLag emits previous value per series in time order") {
     val df = Seq(
       (1, "2024-01-01 10:00:00", 10.0),
