@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{MultimodalQueries, PhysicsQueries, PipelineQueries,
-  RelationalQueries, SimilarityQueries, TemporalQueries, TextQueries,
-  ValidationQueries}
+import graft.queries.{LoaderQueries, MultimodalQueries, PhysicsQueries,
+  PipelineQueries, RelationalQueries, SimilarityQueries, TemporalQueries,
+  TextQueries, ValidationQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,8 @@ object SparkEntry {
     SimilarityQueries,
     MultimodalQueries,
     PipelineQueries,
-    ValidationQueries)
+    ValidationQueries,
+    LoaderQueries)
 
   lazy val all: Map[String, Q] = modules.flatMap(_.queries).toMap
 

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental recompute-and-overwrite semantics (SURVEY.md §2.7, S6/S8/S9):
+  * the reference re-derives a sliding look-back window twice a day and
+  * overwrites by (tags, time) — InfluxDB point-overwrite plus an optional
+  * `DROP SERIES ... WHERE site_no=N` (`pipeline/cosmoz_process_levels.py:
+  * 56-58`, `process_levels.sh:20`). The Spark equivalent is a day-bucketed
+  * layout with DYNAMIC partition overwrite: only the (site, day)
+  * partitions present in the recomputed frame are replaced, everything
+  * else is untouched, and re-running the same window is idempotent.
+  *
+  * At scale this is the difference between rewriting a 100 TB table and
+  * rewriting the ~31 affected day-partitions per site; the layout also
+  * gives every downstream scan partition pruning on site and time.
+  */
+object IncrementalRunner {
+
+  /** Columns a day-partitioned level table is bucketed by. */
+  private val DayCol = "day"
+
+  /** Idempotent windowed upsert: writes `updated` partitioned by
+    * (site_no, day) with dynamic overwrite — partitions NOT present in
+    * `updated` survive (the set-based DROP SERIES + rewrite).
+    */
+  def upsertByDay(updated: DataFrame, path: String, tsCol: String = "time"): Unit =
+    updated
+      .withColumn(DayCol, date_format(col(tsCol), "yyyy-MM-dd"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("site_no", DayCol)
+      .parquet(path)
+
+  /** Reads a day-partitioned level table back (partition-pruning friendly:
+    * filters on site_no / day prune directories before any IO).
+    */
+  def readLevel(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop(DayCol)
+
+  /** The reference CLI's backprocess window (`-d` days before `now`,
+    * `pipeline/cosmoz_process_levels.py:697-716`): rows with
+    * ts > now - backprocess.
+    */
+  def backprocessFilter(
+      df: DataFrame,
+      tsCol: String,
+      now: java.sql.Timestamp,
+      backprocessDays: Int): DataFrame =
+    df.filter(col(tsCol) > lit(now) - expr(s"INTERVAL $backprocessDays DAYS"))
+
+  /** Windowed incremental run of the full level pipeline with HISTORY
+    * PADDING: windowed operators (lag, 29-min dedup, ±3h smoothing, as-of)
+    * read `padSeconds` of history before the recompute window so the
+    * window's first rows see their true predecessors — the reference
+    * instead truncates at the window edge (SURVEY §2.7 risk 4); pass
+    * padSeconds = 0 for bug-compatible truncation. Only rows INSIDE the
+    * window are written back.
+    */
+  def processLevelsIncremental(
+      raw: DataFrame,
+      stations: DataFrame,
+      silo: DataFrame,
+      intensity: DataFrame,
+      outPath: String,
+      now: java.sql.Timestamp,
+      backprocessDays: Int,
+      padSeconds: Long = 6 * 3600): Unit = {
+    val windowStart = lit(now) - expr(s"INTERVAL $backprocessDays DAYS")
+    val padded = raw.filter(
+      col("time") > windowStart - expr(s"INTERVAL $padSeconds SECOND") &&
+        col("time") <= lit(now))
+    val level4 = LevelPipeline.processLevels(padded, stations, silo, intensity)
+    upsertByDay(level4.filter(col("time") > windowStart), outPath)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.IncrementalRunner
+import org.apache.spark.sql.functions._
+
+class IncrementalRunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def T(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_incr_").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath + "/table"
+  }
+
+  test("upsertByDay replaces only the partitions present in the update") {
+    val path = tmpDir()
+    val initial = Seq(
+      (1, T("2024-01-01 10:00:00"), 1.0),
+      (1, T("2024-01-02 10:00:00"), 2.0),
+      (2, T("2024-01-01 10:00:00"), 3.0))
+      .toDF("site_no", "time", "v")
+    IncrementalRunner.upsertByDay(initial, path)
+
+    // recompute ONLY (site 1, Jan 2): one changed + one new row
+    val update = Seq(
+      (1, T("2024-01-02 10:00:00"), 20.0),
+      (1, T("2024-01-02 11:00:00"), 21.0))
+      .toDF("site_no", "time", "v")
+    IncrementalRunner.upsertByDay(update, path)
+
+    val out = IncrementalRunner.readLevel(spark, path)
+      .select("site_no", "time", "v").as[(Int, java.sql.Timestamp, Double)]
+      .collect().toSet
+    assert(out === Set(
+      (1, T("2024-01-01 10:00:00"), 1.0),   // untouched day
+      (1, T("2024-01-02 10:00:00"), 20.0),  // replaced
+      (1, T("2024-01-02 11:00:00"), 21.0),  // added
+      (2, T("2024-01-01 10:00:00"), 3.0)))  // untouched site
+  }
+
+  test("upsertByDay re-run with identical input is idempotent") {
+    val path = tmpDir()
+    val df = Seq((1, T("2024-01-01 10:00:00"), 1.0))
+      .toDF("site_no", "time", "v")
+    IncrementalRunner.upsertByDay(df, path)
+    IncrementalRunner.upsertByDay(df, path)
+    assert(IncrementalRunner.readLevel(spark, path).count() === 1)
+  }
+
+  test("backprocessFilter keeps rows strictly inside the look-back window") {
+    val df = Seq(
+      (1, T("2024-01-01 00:00:00")),
+      (1, T("2024-01-10 00:00:01")),
+      (1, T("2024-01-15 00:00:00")))
+      .toDF("site_no", "time")
+    val out = IncrementalRunner
+      .backprocessFilter(df, "time", T("2024-01-20 00:00:00"), 10)
+      .select("time").as[java.sql.Timestamp].collect().toSet
+    assert(out === Set(T("2024-01-10 00:00:01"), T("2024-01-15 00:00:00")))
+  }
+
+  test("processLevelsIncremental writes only the window, pads history") {
+    val path = tmpDir()
+    // hourly raw over 2 days for one site, all fields constant-ish
+    val raw = (0 until 48).map { h =>
+      (1, T(f"2024-01-0${1 + h / 24}%d ${h % 24}%02d:00:00"),
+        100L, 12.0, 1000.0, 1005.0, 20.0, 50.0, 0.0,
+        20.0, 30.0, 21.0, 31.0, 0.1, 0.2, 0.3, 0)
+    }.toDF("site_no", "time", "count", "battery", "pressure1", "pressure2",
+      "external_temperature", "external_humidity", "rain",
+      "internal_temperature", "internal_humidity", "tube_temperature",
+      "tube_humidity", "vwc1", "vwc2", "vwc3", "flag")
+    val stations = Seq(graft.operators.LevelPipeline.Station(
+      1, 0.01, 1000.0, 100.0, 1.0, 1.0, 100.0, 1.0, 0.05, 0.05)).toDF()
+    val silo = Seq((1, T("2024-01-01 08:00:00"), 10.0, 60.0))
+      .toDF("site_no", "time", "average_temperature", "average_humidity")
+    val intensity = (0 until 48).map(h =>
+      (1, T(f"2024-01-0${1 + h / 24}%d ${h % 24}%02d:00:00"), 130.0))
+      .toDF("site_no", "time", "intensity")
+
+    IncrementalRunner.processLevelsIncremental(
+      raw, stations, silo, intensity, path,
+      now = T("2024-01-03 00:00:00"), backprocessDays = 1)
+
+    val out = IncrementalRunner.readLevel(spark, path)
+    // only day-2 rows written (window = last 1 day)
+    assert(out.filter(col("time") < T("2024-01-02 00:00:00")).count() === 0)
+    val n = out.count()
+    assert(n > 0)
+    // rerun: same result (idempotent)
+    IncrementalRunner.processLevelsIncremental(
+      raw, stations, silo, intensity, path,
+      now = T("2024-01-03 00:00:00"), backprocessDays = 1)
+    assert(IncrementalRunner.readLevel(spark, path).count() === n)
+  }
+}
