@@ -20,12 +20,17 @@ object RelationalQueries extends QueryModule {
     // (pipeline/cosmoz_process_levels.py:49-54: SELECT <cols> FROM m WHERE
     //  time > t AND site_no=$s). Filter + projection reach the parquet scan.
     "s1_scan_pushdown" -> Q(
-      fn = (s, dir) =>
-        t(s, dir, "events")
-          .filter(col("user_id") === 7 &&
-            col("ts") >= lit("2024-01-15 00:00:00").cast(TimestampType))
+      fn = (s, dir) => {
+        // Filter on the RAW nanos column so both predicates reach the
+        // parquet scan (PushedFilters -> row-group pruning). A predicate
+        // on the converted timestamp is opaque to the source; for a
+        // whole-second bound, ts_nanos >= bound*1e9 is exactly equivalent.
+        val boundNanos = 1705276800L * 1000000000L // 2024-01-15 00:00:00 UTC
+        s.read.parquet(s"$dir/events.parquet")
+          .filter(col("user_id") === 7 && col("ts") >= boundNanos)
           .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-          .orderBy(col("event_id")),
+          .orderBy(col("event_id"))
+      },
       oracle = Some("""
         SELECT event_id, user_id, event_type, value FROM events
         WHERE user_id = 7 AND ts >= TIMESTAMP '2024-01-15 00:00:00'

@@ -1,0 +1,61 @@
+package graft
+
+/** Physical-plan assertions: the properties that make these operators
+  * scale are pinned here so a refactor that silently loses a pushdown, a
+  * broadcast, or the top-k shape fails the build — on a 100 TB input
+  * each of these is the difference between reading a row-group and
+  * reading the table, or between a broadcast and a 600 GB shuffle.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("s1: both predicates reach the parquet scan as pushed filters") {
+    val p = plan("s1_scan_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(user_id), IsNotNull(ts), " +
+      "EqualTo(user_id,7), GreaterThanOrEqual(ts,"), p)
+  }
+
+  test("s1: scan reads only the projected columns") {
+    val p = plan("s1_scan_pushdown")
+    val scanLine = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scanLine.contains("event_id"))
+    assert(!scanLine.contains("props"), scanLine) // unused wide column pruned
+  }
+
+  test("j1: dimension joins broadcast, no sort-merge join") {
+    val p = plan("j1_broadcast_dims")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("v1: brute-force top-k is a TakeOrdered, not a global sort") {
+    val p = plan("v1_cosine_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q1: aggregation is partial (map-side combine before the shuffle)") {
+    val p = plan("q1_agg")
+    val firstAgg = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(firstAgg.size >= 2, p) // partial_ + final
+    assert(firstAgg.exists(_.contains("partial_")), p)
+  }
+
+  test("pipeline: level chain reuses one site partitioning (no as-of " +
+    "re-shuffle) and joins dims by broadcast") {
+    val df = SparkEntry.queries("pl_levels_e2e")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the as-of union windows must NOT add exchanges beyond the site hash
+    // partitionings of the window/join stages; count total exchanges as a
+    // budget: raw lag/dedup (1 on site+cmp, 1 on site), silo/intensity
+    // rollup joins, as-of, smoothing, final sort + the generator ranges.
+    // observed: 2 site hashes (raw-path windows + as-of union), 2 rollup
+    // grouping hashes (silo day, intensity hour), 1 final range sort.
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(exchanges <= 6, s"exchange budget blown: $exchanges\n$p")
+    assert(p.contains("BroadcastHashJoin"), p) // stations join
+  }
+}

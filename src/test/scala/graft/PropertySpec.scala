@@ -1,0 +1,112 @@
+package graft
+
+import graft.operators.{IntensityOps, SimilarityOps, TimeSeriesOps}
+import graft.operators.IntensityOps.IntensityPoint
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based invariants (SURVEY.md §5d). ScalaCheck drives the pure
+  * fold directly (cheap, many samples) and Spark-evaluated operators with
+  * a reduced sample count.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(prop: Prop, samples: Int = 100): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(samples), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // ---- validateOrdered: pure sequential fold, heavily sampled ----
+
+  private val pointsGen: Gen[List[IntensityPoint]] = for {
+    n <- Gen.choose(0, 40)
+    vals <- Gen.listOfN(n, Gen.choose(50.0, 200.0))
+    gaps <- Gen.listOfN(n, Gen.choose(600L, 30 * 3600L))
+  } yield {
+    val times = gaps.scanLeft(1704067200000L)((t, g) => t + g * 1000).tail
+    times.zip(vals).map { case (t, v) =>
+      IntensityPoint(1, new java.sql.Timestamp(t), v)
+    }
+  }
+
+  test("validate: first point valid; flags binary; valid points in band") {
+    check(Prop.forAll(pointsGen) { pts =>
+      val (out, _) = IntensityOps.validateOrdered(pts.iterator, None, 0.2, 24 * 3600)
+      val firstOk = pts.isEmpty || out.head.bad_data_flag == 0
+      val binary = out.forall(p => p.bad_data_flag == 0 || p.bad_data_flag == 1)
+      // replay: every flagged point really does drift vs the last valid
+      var lastValid: Option[(Long, Double)] = None
+      val consistent = out.forall { p =>
+        val expectInvalid = lastValid.exists { case (t, v) =>
+          (p.time.getTime - t) <= 24 * 3600 * 1000L &&
+            (p.intensity < 0.8 * v || p.intensity > 1.2 * v)
+        }
+        if (!expectInvalid) lastValid = Some((p.time.getTime, p.intensity))
+        (p.bad_data_flag == 1) == expectInvalid
+      }
+      firstOk && binary && consistent
+    })
+  }
+
+  test("validate: state carry equals one-shot run (batch-split invariance)") {
+    check(Prop.forAll(pointsGen, Gen.choose(0, 40)) { (pts, splitAt) =>
+      val k = math.min(splitAt, pts.length)
+      val (a, b) = pts.splitAt(k)
+      val (outWhole, _) = IntensityOps.validateOrdered(pts.iterator, None, 0.2, 24 * 3600)
+      val (outA, st) = IntensityOps.validateOrdered(a.iterator, None, 0.2, 24 * 3600)
+      val (outB, _) = IntensityOps.validateOrdered(b.iterator, st, 0.2, 24 * 3600)
+      outWhole == outA ++ outB
+    })
+  }
+
+  // ---- Spark-evaluated operators: fewer samples ----
+
+  private val seriesGen: Gen[List[(Int, Long, Int)]] = for {
+    n <- Gen.choose(1, 25)
+    rows <- Gen.listOfN(n, for {
+      site <- Gen.choose(1, 2)
+      offMin <- Gen.choose(0, 300)
+      v <- Gen.choose(0, 2)
+    } yield (site, 1704067200L + offMin * 60L, v))
+  } yield rows
+
+  test("dedupWithin: idempotent, output subset, invariant holds") {
+    check(Prop.forAll(seriesGen) { rows =>
+      val df = rows.toDF("site", "epoch", "v")
+        .withColumn("t", timestamp_seconds(col("epoch"))).drop("epoch")
+        .distinct() // duplicate (site,t,v) triples are physically one point
+      val once = TimeSeriesOps.dedupWithin(df, Seq("site"), "t", 29 * 60, Seq("v"))
+      val kept = once.select("site", "t", "v")
+        .as[(Int, java.sql.Timestamp, Int)].collect().toSet
+      val input = df.select("site", "t", "v")
+        .as[(Int, java.sql.Timestamp, Int)].collect().toSet
+      val twice = TimeSeriesOps.dedupWithin(once, Seq("site"), "t", 29 * 60, Seq("v"))
+        .select("site", "t", "v").as[(Int, java.sql.Timestamp, Int)].collect().toSet
+      val subset = kept.subsetOf(input)
+      val idempotent = twice == kept
+      // invariant: among kept rows, no equal pair within (0, 29min]
+      val noClose = kept.groupBy(r => (r._1, r._3)).values.forall { g =>
+        val ts = g.map(_._2.getTime).toSeq.sorted
+        ts.zip(ts.drop(1)).forall { case (a, b) =>
+          b - a == 0 || b - a > 29 * 60 * 1000L
+        }
+      }
+      subset && idempotent && noClose
+    }, samples = 10)
+  }
+
+  test("cosine stays within [-1, 1] (rounded) and is symmetric") {
+    val vecGen = Gen.listOfN(8, Gen.choose(-5.0f, 5.0f))
+      .suchThat(_.exists(_ != 0.0f))
+    check(Prop.forAll(vecGen, vecGen) { (a, b) =>
+      val df = Seq((a.toArray, b.toArray)).toDF("a", "b")
+      val Array(ab, ba) = df.select(
+        SimilarityOps.cosine(col("a"), col("b")),
+        SimilarityOps.cosine(col("b"), col("a")))
+        .as[(Double, Double)].head() match { case (x, y) => Array(x, y) }
+      ab >= -1.000001 && ab <= 1.000001 && ab == ba
+    }, samples = 10)
+  }
+}
