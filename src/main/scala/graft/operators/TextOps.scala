@@ -39,12 +39,18 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
 
   /** 60-bit integer base hash of a string: value of the first 15 hex
-    * digits of its md5 (one md5 + one base conversion — the permutations
-    * below derive from this single hash arithmetically, the standard
-    * (a*h + b) mod p MinHash construction). 16^15 < 2^63, no overflow.
+    * digits of its md5 (one md5 — the permutations below derive from this
+    * single hash arithmetically, the standard (a*h + b) mod p MinHash
+    * construction). Backed by the native codegen'd
+    * [[graft.expressions.Md5Hash64]], which reads the digest bytes
+    * directly; `conv(substring(md5(s), 1, 15), 16, 10)` computes the
+    * identical value through two string materializations.
     */
-  def baseHash60(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+  def baseHash60(s: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.expressions.Md5Hash64(ColumnBridge.expression(s)))
+  }
 
   /** MinHash modulus: 2^31 - 1 (Mersenne prime). */
   val MinhashPrime = 2147483647L

@@ -23,6 +23,7 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       // match Verify/Bench: the events test table stores TIMESTAMP(NANOS)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
