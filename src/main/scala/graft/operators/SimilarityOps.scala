@@ -185,4 +185,65 @@ object SimilarityOps {
   private def broadcastableJoin(
       big: DataFrame, small: DataFrame, keys: Seq[String]): DataFrame =
     big.join(broadcast(small), keys)
+
+  /** Per-group centroid VECTORS (array<double>, dim-ordered), decimal-exact
+    * per-dimension means — the coarse codebook for IVF.
+    */
+  def centroidVectors(
+      embeddings: DataFrame,
+      vecCol: String,
+      groupCol: String): DataFrame = {
+    val exploded = embeddings.select(col(groupCol),
+      posexplode(col(vecCol)).as(Seq("dim", "v")))
+    exploded
+      .groupBy(col(groupCol), col("dim"))
+      .agg((sum(round(col("v").cast("double"), 12).cast("decimal(38,12)"))
+        .cast("double") / count(lit(1))).as("c"))
+      .groupBy(col(groupCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x("c")).as("centroid"))
+  }
+
+  /** IVF-style ANN: a coarse codebook of per-group centroids; every vector
+    * is assigned to its nearest cell by cosine (ties -> lowest cell id);
+    * the query probes its `nprobe` closest cells and ranks only THOSE
+    * cells' vectors by exact cosine. The 100 TB shape: the codebook
+    * broadcasts, assignment is one map-side pass, and the search scans
+    * nprobe/cells of the data instead of all of it.
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      query: DataFrame,
+      idCol: String,
+      vecCol: String,
+      groupCol: String,
+      nprobe: Int,
+      k: Int): DataFrame = {
+    val cb = broadcast(centroidVectors(embeddings, vecCol, groupCol)
+      .select(col(groupCol).as("cell"), col("centroid")))
+    def assign(df: DataFrame, rankCol: String, keep: Int): DataFrame = {
+      val wAssign = Window.partitionBy(col(idCol))
+        .orderBy(col("__csim").desc, col("cell").asc)
+      df.join(cb)
+        .withColumn("__csim", cosine(col(vecCol), col("centroid")))
+        .withColumn(rankCol, row_number().over(wAssign))
+        .filter(col(rankCol) <= keep)
+        .drop("centroid", "__csim")
+    }
+    val cells = assign(embeddings, "__crank", 1).drop("__crank")
+    val probed = assign(query, "__crank", nprobe)
+      .select(col(idCol).as("__qid"), col(vecCol).as("__qvec"),
+        col("cell"))
+    val q = broadcast(probed)
+    cells
+      .join(q, Seq("cell"))
+      .filter(col(idCol) =!= col("__qid"))
+      .select(col(idCol), col("cell"),
+        cosine(col(vecCol), col("__qvec")).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("sim").desc, col(idCol).asc)))
+  }
 }

@@ -121,6 +121,61 @@ object SimilarityQueries extends QueryModule {
         ORDER BY e.vec_id"""),
       bench = true),
 
+    // V5 — IVF-style ANN: per-label centroids form the coarse codebook;
+    // every vector is assigned to its nearest cell, the query probes its
+    // 2 closest cells, and only those cells' vectors are ranked by exact
+    // cosine. The scale path beyond LSH: codebook broadcasts, assignment
+    // is map-side, search touches nprobe/cells of the data.
+    "v5_ivf_ann" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimilarityOps.ivfTopK(
+          emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+          "label", nprobe = 2, k = 10)
+          .select(col("vec_id"), col("cell"), col("sim"), col("rank"))
+          .orderBy(col("rank"))
+      },
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT vec_id, label, i AS dim,
+                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+          FROM embeddings, range(1, 65) t(i)),
+        cdim AS (
+          SELECT label, dim,
+                 CAST(sum(CAST(round(v, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                   / count(*) AS c
+          FROM e GROUP BY label, dim),
+        cb AS (
+          SELECT label AS cell, list(c ORDER BY dim) AS centroid
+          FROM cdim GROUP BY 1),
+        csims AS (
+          SELECT b.vec_id, b.embedding, cb.cell,
+                 ${cosineSql("b.embedding", "cb.centroid")} AS csim
+          FROM embeddings b, cb),
+        assigned AS (
+          SELECT vec_id, embedding, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY csim DESC, cell) AS crank
+          FROM csims),
+        cells AS (SELECT vec_id, embedding, cell FROM assigned WHERE crank = 1),
+        probed AS (
+          SELECT a.cell, q.embedding AS qvec
+          FROM assigned a
+          JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q ON TRUE
+          WHERE a.vec_id = 0 AND a.crank <= 2),
+        scored AS (
+          SELECT c.vec_id, c.cell,
+                 ${cosineSql("c.embedding", "p.qvec")} AS sim
+          FROM cells c JOIN probed p ON c.cell = p.cell
+          WHERE c.vec_id <> 0),
+        topk AS (
+          SELECT vec_id, cell, sim FROM scored
+          ORDER BY sim DESC, vec_id LIMIT 10)
+        SELECT vec_id, cell, sim,
+               CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank
+        FROM topk
+        ORDER BY rank""")),
+
     // V4 — embedding near-dup: top-1 nearest neighbor per vector within its
     // label bucket (the bucket bounds the quadratic pair term; at corpus
     // scale the bucket is an LSH key instead, same plan).

@@ -272,6 +272,70 @@ object TextQueries extends QueryModule {
         ORDER BY a, b"""),
       bench = true),
 
+    // D6 — exact n-gram Jaccard at corpus scale: inverted-index (posting
+    // list) join on the shingle itself with a min-shared-count prefilter.
+    // Unlike the pairwise array-intersect shape (d4), this never forms
+    // non-overlapping pairs: cost is sum over shingles of occupancy^2,
+    // the classic similarity-join bound.
+    "d6_inverted_jaccard" -> Q(
+      fn = (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sh = docs.select(col("doc_id"),
+          explode(array_distinct(
+            TextOps.shingles(TextOps.tokens(col("text")), 3))).as("s"))
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val pairs = sh.select(col("doc_id").as("a"), col("s"))
+          .join(sh.select(col("doc_id").as("b"), col("s")), "s")
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("inter"))
+          .filter(col("inter") >= 5)
+        pairs
+          .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+          .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+          .select(col("a"), col("b"), col("inter"),
+            round(col("inter").cast("double") /
+              (col("sza") + col("szb") - col("inter")), 6).as("jaccard"))
+          .orderBy(col("a"), col("b"))
+      },
+      oracle = Some(s"""
+        WITH sh AS (
+          SELECT doc_id, unnest(list_distinct($sh3Sql)) AS s FROM documents),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        pairs AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+          FROM sh x JOIN sh y ON x.s = y.s
+          WHERE x.doc_id < y.doc_id
+          GROUP BY 1, 2
+          HAVING count(*) >= 5)
+        SELECT p.a, p.b, p.inter,
+               round(CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter), 6) AS jaccard
+        FROM pairs p
+        JOIN sizes sa ON p.a = sa.doc_id
+        JOIN sizes sb ON p.b = sb.doc_id
+        ORDER BY a, b"""),
+      bench = true),
+
+    // T5 — exact interpolated quantiles of document length per language
+    // (data-quality profiling; Spark percentile == SQL quantile_cont).
+    "t5_length_quantiles" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            round(percentile(col("n_chars"), lit(0.25)), 6).as("p25"),
+            round(percentile(col("n_chars"), lit(0.5)), 6).as("p50"),
+            round(percentile(col("n_chars"), lit(0.9)), 6).as("p90"))
+          .orderBy(col("lang")),
+      oracle = Some("""
+        SELECT lang, count(*) AS n,
+               round(quantile_cont(n_chars, 0.25), 6) AS p25,
+               round(quantile_cont(n_chars, 0.5), 6) AS p50,
+               round(quantile_cont(n_chars, 0.9), 6) AS p90
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang""")),
+
     // D5 — 16-bit SimHash per document over distinct tokens (bit votes from
     // md5-derived token hashes; same formula widens to 64-bit).
     "d5_simhash" -> Q(
