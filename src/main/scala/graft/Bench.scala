@@ -13,6 +13,10 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // One untimed run absorbs JVM/codegen/scan warm-up so the first timed
+    // query isn't charged for it.
+    try { SparkEntry.queries("q1_agg")(spark, sfDir).count() }
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

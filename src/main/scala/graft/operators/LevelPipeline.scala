@@ -91,11 +91,18 @@ object LevelPipeline {
     *                   average_humidity)
     * @param intensity  neutron-monitor stream (site_no, time, intensity)
     */
+  /** @param emulateOldVersion reproduce the legacy system byte-for-byte
+    *   (`:229-249, :262-264`): the backward intensity tier picks FIRST
+    *   (earliest at/before t) instead of LAST, and the STORED wv_corr is
+    *   1.0 for the mixed fallback tier (the computed value still feeds
+    *   corr_count, exactly like the reference's use/store split).
+    */
   def level2(
       level1: DataFrame,
       stations: DataFrame,
       silo: DataFrame,
-      intensity: DataFrame): DataFrame = {
+      intensity: DataFrame,
+      emulateOldVersion: Boolean = false): DataFrame = {
     // J1 — hoisted station lookup -> broadcast hash join (22-row dim).
     val withStation = level1.join(broadcast(stations), "site_no")
 
@@ -127,7 +134,8 @@ object LevelPipeline {
       withHour,
       intensity.select(col("site_no"), col("time"), col("intensity")),
       keys = Seq("site_no"), leftTs = "time", rightTs = "time",
-      valueCols = Seq("intensity"))
+      valueCols = Seq("intensity"),
+      backwardPickFirst = emulateOldVersion)
     val iVal = coalesce(col("__int_hour"), col("intensity_asof"), lit(0.0))
 
     // E1 — pressure correction with zero-sentinel chain (`:192-199`).
@@ -145,12 +153,20 @@ object LevelPipeline {
     val extH = col("external_humidity")
     val useH3 = when(extH === 0.0, col("__silo_h")).otherwise(extH)
     val useT3 = when(extT === 0.0, col("__silo_t")).otherwise(extT)
-    val wv = when(extT =!= 0.0 && extH =!= 0.0, wvCorrExpr(extT, extH))
-      .when(col("__silo_h").isNotNull,
+    val tier1 = extT =!= 0.0 && extH =!= 0.0
+    val tier2 = col("__silo_h").isNotNull
+    val wv = when(tier1, wvCorrExpr(extT, extH))
+      .when(tier2,
         wvCorrExpr(coalesce(col("__silo_t"), lit(0.0)), col("__silo_h")))
       .otherwise(
         when(useH3.isNull || useH3 === 0.0, lit(1.0))
           .otherwise(wvCorrExpr(coalesce(useT3, lit(0.0)), useH3)))
+    // use/store split: corr_count always uses the computed value; what is
+    // WRITTEN (and what level3's flag rule reads) is 1.0 for the mixed
+    // tier under legacy emulation.
+    val wvStore =
+      if (!emulateOldVersion) wv
+      else when(tier1 || tier2, wv).otherwise(lit(1.0))
 
     // E3 — intensity correction; 0 intensity -> 1.0 (`:278-285`).
     val intCorr = when(iVal === 0.0, lit(1.0))
@@ -162,7 +178,7 @@ object LevelPipeline {
 
     withAsof
       .withColumn("press_corr", pressCorr)
-      .withColumn("wv_corr", wv)
+      .withColumn("wv_corr", wvStore)
       .withColumn("intensity_corr", intCorr)
       .withColumn("corr_count", corrCount)
       .select(col("site_no"), col("time"), col("flag"), col("count"),

@@ -29,6 +29,11 @@ object TimeSeriesOps {
     * @param valueCols right-side columns to carry to matching left rows;
     *                  emitted as `<name><outSuffix>`.
     */
+  /** @param backwardPickFirst when true, the backward tier picks the
+    *   EARLIEST right row at/before t instead of the latest — the
+    *   reference's `emulate_old_version` quirk (`FIRST(intensity) WHERE
+    *   time <= t`, `pipeline/cosmoz_process_levels.py:262-264`).
+    */
   def asOfLookup(
       left: DataFrame,
       right: DataFrame,
@@ -38,7 +43,8 @@ object TimeSeriesOps {
       valueCols: Seq[String],
       outSuffix: String = "_asof",
       backward: Boolean = true,
-      forward: Boolean = true): DataFrame = {
+      forward: Boolean = true,
+      backwardPickFirst: Boolean = false): DataFrame = {
     require(backward || forward, "at least one direction required")
     val leftCols = left.columns.toSeq
     val leftTypes = left.schema.map(f => f.name -> f.dataType).toMap
@@ -83,8 +89,10 @@ object TimeSeriesOps {
 
     val withPicks = valueCols.foldLeft(lU.unionByName(rU)) { (df, c) =>
       val back =
-        if (backward) last(col(s"__v_$c"), ignoreNulls = true).over(wBack)
-        else lit(null).cast(rightTypes(c))
+        if (!backward) lit(null).cast(rightTypes(c))
+        // first(ignoreNulls) over unboundedPreceding is also incremental.
+        else if (backwardPickFirst) first(col(s"__v_$c"), ignoreNulls = true).over(wBack)
+        else last(col(s"__v_$c"), ignoreNulls = true).over(wBack)
       val fwd =
         if (forward) last(col(s"__v_$c"), ignoreNulls = true).over(wFwd)
         else lit(null).cast(rightTypes(c))

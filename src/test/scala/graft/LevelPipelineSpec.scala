@@ -118,6 +118,32 @@ class LevelPipelineSpec extends SparkSpec {
     assert(c2c === (130 * w2c * p2c / 1.1) / 1.0)
   }
 
+  test("level2 emulateOldVersion: backward FIRST pick + legacy wv store") {
+    val l1 = rawDf(Seq(
+      // no same-hour intensity; one ext zero and no silo row -> mixed tier
+      rawRow("2024-01-02 12:30:00", 100, 12.0, 1000, 1005, 0, 50, 0)))
+      .withColumn("flag", lit(0))
+    val silo = Seq((99, T("2024-01-01 08:00:00"), 10.0, 60.0)) // other site
+      .toDF("site_no", "time", "average_temperature", "average_humidity")
+    val intensity = Seq(
+      (1, T("2024-01-02 09:00:00"), 80.0),   // earliest before t
+      (1, T("2024-01-02 11:00:00"), 120.0))  // latest before t
+      .toDF("site_no", "time", "intensity")
+
+    val modern = LevelPipeline.level2(l1, stations, silo, intensity)
+      .select("wv_corr", "intensity_corr").head()
+    val legacy = LevelPipeline
+      .level2(l1, stations, silo, intensity, emulateOldVersion = true)
+      .select("wv_corr", "intensity_corr").head()
+
+    // modern: LAST before t -> 120/100; mixed-tier wv computed from ext_h
+    assert(modern.getDouble(1) === 1.2)
+    assert(modern.getDouble(0) !== 1.0)
+    // legacy: FIRST before t -> 80/100; stored wv forced to 1.0
+    assert(legacy.getDouble(1) === 0.8)
+    assert(legacy.getDouble(0) === 1.0)
+  }
+
   test("level3: default + sandy conversions and flag thresholds") {
     val l2 = Seq(
       // default site: corr in band -> flag carried (0)
