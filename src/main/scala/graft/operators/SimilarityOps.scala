@@ -27,13 +27,17 @@ import org.apache.spark.sql.functions._
 object SimilarityOps {
 
   /** Deterministic dot product: strict left fold over index-order element
-    * products of two array<float/double> columns.
+    * products of two array<float/double> columns. Backed by the native
+    * codegen'd [[graft.expressions.DotFold]] — the equivalent
+    * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` HOF chain evaluates
+    * interpreted with per-element closure dispatch (~10x slower), and the
+    * fold order (hence the result bits) is identical.
     */
-  def dotFold(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+  def dotFold(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.DotFold(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   /** L2 norm of an array<float/double> column (same fold discipline). */
   def normFold(a: Column): Column = sqrt(dotFold(a, a))

@@ -24,6 +24,20 @@ class Md5Hash64Spec extends SparkSpec {
     assert(out(0).exists(v => v >= 0 && v < (1L << 60)))
   }
 
+  test("native DotFold equals the HOF zip_with/aggregate formulation") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(0.5f, -1.5f, 2.25f)),
+      (Array(0.1f, 0.2f), Array(0.3f, 0.7f)))
+      .toDF("a", "b")
+    val out = df.select(
+      graft.operators.SimilarityOps.dotFold($"a", $"b").as("native"),
+      aggregate(zip_with($"a", $"b",
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("hof"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (n, h) => assert(n === h) }
+  }
+
   test("registered as a SQL function via GraftExtensions") {
     // the shared test session installs graft.GraftExtensions
     val v = spark.sql("SELECT graft_md5hash64('spark') AS h").as[Long].head()
