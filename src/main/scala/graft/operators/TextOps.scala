@@ -169,6 +169,65 @@ object TextOps {
       "quality" -> quality)
   }
 
+  /** Content-defined chunking (Rabin-Karp): polynomial rolling hash over
+    * an 8-char window; a position is a chunk boundary when its hash is
+    * divisible by `avgChunk` (expected chunk length = avgChunk chars).
+    * Because boundaries depend only on LOCAL content, an edit reshifts at
+    * most the chunks it touches — chunk hashes before/after the edit
+    * still match, which is what makes CDC the dedup primitive for
+    * near-identical large documents (vs fixed-size chunking, where one
+    * inserted byte shifts every later chunk).
+    *
+    * Returns (boundary positions incl. 0 and len, per-chunk md5 list) as
+    * two array columns; all integer arithmetic (base 257 mod 1e9+7), so
+    * any SQL engine reproduces it exactly.
+    */
+  def cdcChunks(text: Column, window: Int = 8, avgChunk: Int = 64)
+      : (Column, Column) = {
+    val B = 257L
+    val M = 1000000007L
+    val Bw = (1 to window).foldLeft(1L)((a, _) => a * B % M) // B^window mod M
+    val len = length(text)
+    // Seed: direct hash of the first `window` chars, then ONE linear fold
+    // applies the rolling update h' = h*B - c_out*B^w + c_in (mod M) and
+    // accumulates boundary positions in the fold state. Single pass -- a
+    // per-position-refold formulation re-evaluates the whole hash chain
+    // wherever the boundary array is referenced (measured 117 s on 500
+    // docs vs ~1 s for this shape).
+    val seed = aggregate(
+      sequence(lit(1), lit(window)), lit(0L),
+      (acc, j) => (acc * B + ascii(substring(text, j, lit(1)))) % M)
+    val emptyInts = array().cast("array<int>")
+    val init = struct(
+      seed.as("h"),
+      when(seed % avgChunk === 0, array(lit(window))).otherwise(emptyInts).as("bs"))
+    val folded = aggregate(
+      when(len > window, sequence(lit(window + 1), len)).otherwise(emptyInts),
+      init,
+      (acc, i) => {
+        val h2 = pmod(
+          acc("h") * B - ascii(substring(text, i - window, lit(1))) * Bw +
+            ascii(substring(text, i, lit(1))),
+          lit(M))
+        struct(h2.as("h"),
+          when(h2 % avgChunk === 0, concat(acc("bs"), array(i)))
+            .otherwise(acc("bs")).as("bs"))
+      })
+    val bpos = when(len >= window, folded("bs")).otherwise(emptyInts)
+    // boundary list framed by 0 and len; consecutive pairs are chunks.
+    // try_element_at: ANSI-safe on the empty-boundary case.
+    val frame = concat(array(lit(0)), bpos,
+      when(try_element_at(bpos, lit(-1)) === len, emptyInts)
+        .otherwise(array(len)))
+    // zip_with over two frame slices: chunk (start, end) pairs without
+    // re-referencing the frame inside a per-element lambda.
+    val chunkMd5s = zip_with(
+      slice(frame, lit(1), size(frame) - 1),
+      slice(frame, lit(2), size(frame) - 1),
+      (s, e) => md5(substring(text, s + 1, e - s)))
+    (frame, chunkMd5s)
+  }
+
   /** Content fingerprint kit: full-text md5, a 4-bit shard derived from its
     * first hex digit (stable routing key for 16-way layout), the
     * min-shingle hash (a 1-permutation MinHash — robust to small edits),

@@ -336,6 +336,57 @@ object TextQueries extends QueryModule {
         GROUP BY lang
         ORDER BY lang""")),
 
+    // T6 — content-defined chunking (Rabin-Karp rolling hash, 8-char
+    // window, ~64-char expected chunks): boundaries depend only on local
+    // content, so an edit reshifts only the chunks it touches — the CDC
+    // dedup primitive for near-identical large documents.
+    "t6_cdc_chunks" -> Q(
+      fn = (s, dir) => {
+        val (frame, md5s) = TextOps.cdcChunks(col("text"))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            (size(frame) - 1).as("n_chunks"),
+            round(length(col("text")).cast("double") /
+              greatest(size(frame) - 1, lit(1)), 6).as("mean_chunk_len"),
+            array_min(md5s).as("min_chunk_md5"),
+            element_at(frame, 2).as("first_boundary"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT doc_id, text, length(text) AS len,
+            list_filter(
+              list_transform(
+                CASE WHEN length(text) >= 8
+                     THEN generate_series(8, CAST(length(text) AS INT))
+                     ELSE [] END,
+                i -> CASE WHEN list_reduce(
+                       list_transform(generate_series(i - 7, i),
+                         j -> CAST(ord(substr(text, CAST(j AS INT), 1)) AS BIGINT)),
+                       (acc, cx) -> (acc * 257 + cx) % 1000000007) % 64 = 0
+                     THEN i END),
+              p -> p IS NOT NULL) AS bpos
+          FROM documents),
+        f AS (
+          SELECT doc_id, text, len,
+            list_concat(list_concat([CAST(0 AS BIGINT)],
+              list_transform(bpos, b -> CAST(b AS BIGINT))),
+              CASE WHEN len(bpos) > 0 AND bpos[-1] = len
+                   THEN [] ELSE [CAST(len AS BIGINT)] END) AS frame
+          FROM h)
+        SELECT doc_id,
+               CAST(len(frame) - 1 AS INT) AS n_chunks,
+               round(CAST(len AS DOUBLE) / greatest(len(frame) - 1, 1), 6)
+                 AS mean_chunk_len,
+               list_min(list_transform(generate_series(1, len(frame) - 1),
+                 j -> md5(substr(text, CAST(frame[CAST(j AS INT)] + 1 AS INT),
+                   CAST(frame[CAST(j AS INT) + 1] - frame[CAST(j AS INT)] AS INT)))))
+                 AS min_chunk_md5,
+               CAST(frame[2] AS INT) AS first_boundary
+        FROM f
+        ORDER BY doc_id"""),
+      bench = true),
+
     // D5 — 16-bit SimHash per document over distinct tokens (bit votes from
     // md5-derived token hashes; same formula widens to 64-bit).
     "d5_simhash" -> Q(
