@@ -106,6 +106,40 @@ object DedupOps {
       .agg(count(lit(1)).as("shared_bands"))
   }
 
+  /** Connected components over a candidate-pair edge list — the final
+    * clustering step of corpus dedup (keep one doc per component). Min-
+    * label propagation: every node repeatedly adopts the minimum label in
+    * its neighborhood; converges in O(component diameter) rounds, checked
+    * by a driver-side fixpoint count (the standard iterative-algorithm
+    * shape on Spark — each round is one shuffle on node id, and dedup
+    * components are tiny, so rounds ≈ 2-3 in practice).
+    *
+    * Output: (id, component) where component = min id reachable.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("b"), col("label").as("nl")), "b")
+        .groupBy(col("a").as("id"))
+        .agg(min(col("nl")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("next"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = updated.filter(col("next") < col("label")).count()
+      labels = updated.select(col("id"), col("next").as("label"))
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("component"))
+  }
+
   /** Exact n-gram Jaccard for given id pairs: |A ∩ B| / |A ∪ B| over the
     * distinct shingle sets. `pairs` must have columns (a, b); the docs side
     * is joined twice (shuffle on id — at scale, broadcast `pairs` if the

@@ -336,6 +336,92 @@ object TextQueries extends QueryModule {
         GROUP BY lang
         ORDER BY lang""")),
 
+    // D7 — dedup clustering: connected components over the LSH candidate
+    // pairs (min-label propagation; the oracle walks reachability with a
+    // recursive CTE). Keep-one-per-component is the last dedup step.
+    "d7_dup_clusters" -> Q(
+      fn = (s, dir) => {
+        val pairs = DedupOps.minhashCandidatePairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          shingleK = 3, numPerm = 8, bands = 2)
+          .select(col("a"), col("b"))
+        DedupOps.connectedComponents(pairs)
+          .withColumn("keep", col("id") === col("component"))
+          .orderBy(col("id"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $bandsSql,
+        pairs AS (
+          SELECT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y
+            ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+          WHERE x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+        e AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+        walk(id, label) AS (
+          SELECT DISTINCT a AS id, a AS label FROM e
+          UNION
+          SELECT e.a AS id, walk.label
+          FROM e JOIN walk ON e.b = walk.id)
+        SELECT id, min(label) AS component, id = min(label) AS keep
+        FROM walk
+        GROUP BY id
+        ORDER BY id""")),
+
+    // T7 — PII redaction: pattern scrubbing with redaction counts (emails
+    // and IPv4 here; the pattern set is pluggable). Runs on a derived
+    // pii-bearing column so the branch is exercised deterministically.
+    "t7_redact" -> Q(
+      fn = (s, dir) => {
+        val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+        val pii = concat(
+          lit("contact user"), col("doc_id"), lit("@example.com from 10.0."),
+          (col("doc_id") % 256).cast("string"), lit("."),
+          (col("doc_id") % 100).cast("string"), lit(" re: "),
+          substring(col("text"), lit(1), lit(40)))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            regexp_count(pii, lit(emailRe)).as("n_emails"),
+            regexp_count(pii, lit(ipRe)).as("n_ips"),
+            regexp_replace(regexp_replace(pii, emailRe, "<EMAIL>"),
+              ipRe, "<IP>").as("redacted"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id,
+                 'contact user' || doc_id || '@example.com from 10.0.' ||
+                 (doc_id % 256) || '.' || (doc_id % 100) || ' re: ' ||
+                 substr(text, 1, 40) AS pii
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(pii, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(pii, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
+               regexp_replace(
+                 regexp_replace(pii, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                 '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+        FROM p
+        ORDER BY doc_id""")),
+
+    // T8 — vocabulary statistics: global top-20 tokens by frequency
+    // (explode -> partial-agg count -> TakeOrdered; the profiling pass
+    // that sizes tokenizer vocab / stopword lists).
+    "t8_vocab_topk" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(20),
+      oracle = Some("""
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 20""")),
+
     // T6 — content-defined chunking (Rabin-Karp rolling hash, 8-char
     // window, ~64-char expected chunks): boundaries depend only on local
     // content, so an edit reshifts only the chunks it touches — the CDC
