@@ -122,6 +122,7 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
+    var prevCache: Option[DataFrame] = None
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -134,6 +135,10 @@ object DedupOps {
           least(col("label"), coalesce(col("nmin"), col("label"))).as("next"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       changed = updated.filter(col("next") < col("label")).count()
+      // the new cache is materialized by the count; the previous
+      // iteration's cache is no longer referenced — release it
+      prevCache.foreach(_.unpersist())
+      prevCache = Some(updated)
       labels = updated.select(col("id"), col("next").as("label"))
       i += 1
     }

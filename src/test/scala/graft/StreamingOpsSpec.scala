@@ -84,6 +84,37 @@ class StreamingOpsSpec extends SparkSpec {
       T("2024-01-01 11:00:00")))
   }
 
+  test("file-source streaming e2e: csv readStream -> dedup -> sink") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_").toFile
+    dir.deleteOnExit()
+    val srcDir = new java.io.File(dir, "src"); srcDir.mkdirs()
+    val schema = StructType(Seq(
+      StructField("site_no", IntegerType),
+      StructField("time", TimestampType),
+      StructField("fingerprint", StringType)))
+    // batch file 1, dropped into the source dir before the query starts
+    java.nio.file.Files.writeString(
+      new java.io.File(srcDir, "b1.csv").toPath,
+      "1,2024-01-01 10:00:00,fpA\n1,2024-01-01 10:10:00,fpA\n")
+    val stream = spark.readStream.schema(schema).csv(srcDir.getAbsolutePath)
+      .as[RawPoint]
+    val q = StreamingOps.dedupStream(stream)
+      .writeStream.format("memory").queryName("file_dedup")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    q.processAllAvailable()
+    // batch file 2 arrives later: one dup vs carried state, one fresh
+    java.nio.file.Files.writeString(
+      new java.io.File(srcDir, "b2.csv").toPath,
+      "1,2024-01-01 10:20:00,fpA\n1,2024-01-01 11:30:00,fpA\n")
+    q.processAllAvailable()
+    val out = spark.table("file_dedup").as[RawPoint].collect().map(_.time).toSet
+    q.stop()
+    assert(out === Set(
+      T("2024-01-01 10:00:00"),   // first fpA kept
+      T("2024-01-01 11:30:00")))  // outside 29 min of any prior fpA
+  }
+
   test("hourlyStats windows with watermark (batch-mode check)") {
     val df = Seq(
       (1, T("2024-01-01 10:05:00"), 10.0),
