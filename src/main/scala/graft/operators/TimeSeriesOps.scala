@@ -141,6 +141,52 @@ object TimeSeriesOps {
     else marked.filter(!col(dupFlagCol)).drop(dupFlagCol)
   }
 
+  /** Near-duplicate AUDIT (the reference's standalone detector,
+    * `pipeline/detect_duplicates.py:62-111`): for each row, count prior
+    * rows within the trailing window where >= minMatches of the audit
+    * fields are equal — the pressure field is chosen dynamically from the
+    * CURRENT row (pressure2 when it is live (>10) and pressure1 is not,
+    * `:72-77`) and the SAME choice is read from both rows.
+    *
+    * Shape: banded range self-join — each row probes its own window-width
+    * bucket and the previous one (any prior row within windowSeconds lands
+    * in one of the two), so the join is an equi-join on (keys, bucket)
+    * with the exact time bound applied after. No theta-join explosion;
+    * bucket occupancy bounds the per-row work.
+    */
+  def nearDupAudit(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      windowSeconds: Long,
+      auditFields: Seq[String],
+      pressure1: String = "pressure1",
+      pressure2: String = "pressure2",
+      minMatches: Int = 5): DataFrame = {
+    val bucket = floor(unix_micros(col(tsCol)) / (windowSeconds * 1000000L))
+    val a = df.withColumn("__bkt", bucket).alias("a")
+    val b = df.withColumn("__bkt", bucket).alias("b")
+    val probe = a.withColumn("__probe",
+      explode(array(col("a.__bkt"), col("a.__bkt") - 1)))
+    val keyCond = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+    val joined = probe.join(b,
+      keyCond && col("__probe") === col("b.__bkt") &&
+        col(s"b.$tsCol") >= col(s"a.$tsCol") - expr(s"INTERVAL $windowSeconds SECOND") &&
+        col(s"b.$tsCol") < col(s"a.$tsCol"))
+    val usePressure2 = col(s"a.$pressure2").isNotNull && col(s"a.$pressure2") > 10 &&
+      (col(s"a.$pressure1").isNull || col(s"a.$pressure1") < 10)
+    val pA = when(usePressure2, col(s"a.$pressure2")).otherwise(col(s"a.$pressure1"))
+    val pB = when(usePressure2, col(s"b.$pressure2")).otherwise(col(s"b.$pressure1"))
+    val matches = (auditFields.map(f =>
+      when(col(s"a.$f") <=> col(s"b.$f"), 1).otherwise(0)) :+
+      when(pA <=> pB, 1).otherwise(0)).reduce(_ + _)
+    joined
+      .filter(matches >= minMatches)
+      .groupBy(keys.map(k => col(s"a.$k").as(k)) :+
+        col(s"a.$tsCol").as(tsCol): _*)
+      .agg(count(lit(1)).as("n_dups"))
+  }
+
   /** Centered moving aggregate over a +/- time radius (the level4 filter).
     *
     * Reference: `pipeline/cosmoz_process_levels.py:62-77` — MEAN over rows in

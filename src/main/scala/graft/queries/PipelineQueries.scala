@@ -127,35 +127,9 @@ object PipelineQueries extends QueryModule {
         .otherwise(lit(100.0) + col("h") % 50).as("intensity"))
   }
 
-  val queries: Map[String, Q] = Map(
-    "pl_levels_e2e" -> Q(
-      fn = (s, dir) => {
-        val stations = stationsDf(s)
-        val l1 = LevelPipeline.level1(rawDf(s, dir))
-        val l2 = LevelPipeline.level2(l1, stations, siloDf(s), intensityDf(s))
-        val l3 = LevelPipeline.level3(l2, stations)
-        val valid = l3.filter(col("flag") === 0)
-        val w = Window.partitionBy(col("site_no"))
-          .orderBy(col("time").cast("long"))
-          .rangeBetween(-(3 * 3600 + 1), 3 * 3600 + 1)
-        valid
-          .withColumn("__sm_sum",
-            sum(round(col("soil_moist"), 9).cast("decimal(38,9)")).over(w))
-          .withColumn("__dp_sum",
-            sum(round(col("effective_depth"), 9).cast("decimal(38,9)")).over(w))
-          .withColumn("__n", count(lit(1)).over(w))
-          .select(col("site_no"), col("time"),
-            round(col("soil_moist"), 6).as("soil_moist"),
-            round(col("effective_depth"), 6).as("effective_depth"),
-            round(col("rainfall"), 6).as("rainfall"),
-            round(col("__sm_sum").cast("double") / col("__n"), 6)
-              .as("soil_moist_filtered"),
-            round(col("__dp_sum").cast("double") / col("__n"), 6)
-              .as("depth_filtered"))
-          .orderBy(col("site_no"), col("time"))
-      },
-      oracle = Some(s"""
-        WITH ev AS (
+  /** Shared oracle CTEs: the synthetic raw_values frame (ev/b0/raw). */
+  private[graft] val rawCtesSql: String =
+    s"""ev AS (
           SELECT event_id, coalesce(value, 0.0) AS v FROM events),
         b0 AS (
           SELECT CAST(event_id % 5 AS INT) AS site_no,
@@ -190,7 +164,73 @@ object PipelineQueries extends QueryModule {
                  external_humidity, rain, internal_temperature,
                  internal_humidity, tube_temperature, tube_humidity,
                  vwc1, vwc2, vwc3, flag
-          FROM b0 WHERE event_id % 97 = 0),
+          FROM b0 WHERE event_id % 97 = 0)"""
+
+  val queries: Map[String, Q] = Map(
+    // J7 — the standalone duplicate AUDIT (detect_duplicates.py:62-111):
+    // >=5 matching fields among (battery, count, tube_temperature, rain,
+    // dynamically-chosen pressure) within the trailing 29 min; emits
+    // per-row prior-dup counts. Banded range self-join (bucket + bucket-1
+    // probe), so the plan is an equi-join, not a theta explosion.
+    "j7_dup_audit" -> Q(
+      fn = (s, dir) =>
+        graft.operators.TimeSeriesOps.nearDupAudit(
+          rawDf(s, dir), Seq("site_no"), "time",
+          windowSeconds = 29 * 60,
+          auditFields = Seq("battery", "count", "tube_temperature", "rain"))
+          .orderBy(col("site_no"), col("time")),
+      oracle = Some(s"""
+        WITH $rawCtesSql,
+        audit AS (
+          SELECT a.site_no, a.time, count(*) AS n_dups
+          FROM raw a JOIN raw b
+            ON a.site_no = b.site_no
+           AND b.time >= a.time - INTERVAL 1740 SECOND
+           AND b.time < a.time
+          WHERE (CASE WHEN a.battery = b.battery THEN 1 ELSE 0 END
+               + CASE WHEN a.count = b.count THEN 1 ELSE 0 END
+               + CASE WHEN a.tube_temperature = b.tube_temperature THEN 1 ELSE 0 END
+               + CASE WHEN a.rain = b.rain THEN 1 ELSE 0 END
+               + CASE WHEN (CASE WHEN a.pressure2 IS NOT NULL AND a.pressure2 > 10
+                                  AND (a.pressure1 IS NULL OR a.pressure1 < 10)
+                                 THEN a.pressure2 ELSE a.pressure1 END)
+                         = (CASE WHEN a.pressure2 IS NOT NULL AND a.pressure2 > 10
+                                  AND (a.pressure1 IS NULL OR a.pressure1 < 10)
+                                 THEN b.pressure2 ELSE b.pressure1 END)
+                    THEN 1 ELSE 0 END) >= 5
+          GROUP BY a.site_no, a.time)
+        SELECT site_no, time, n_dups FROM audit
+        ORDER BY site_no, time"""),
+      bench = true),
+
+    "pl_levels_e2e" -> Q(
+      fn = (s, dir) => {
+        val stations = stationsDf(s)
+        val l1 = LevelPipeline.level1(rawDf(s, dir))
+        val l2 = LevelPipeline.level2(l1, stations, siloDf(s), intensityDf(s))
+        val l3 = LevelPipeline.level3(l2, stations)
+        val valid = l3.filter(col("flag") === 0)
+        val w = Window.partitionBy(col("site_no"))
+          .orderBy(col("time").cast("long"))
+          .rangeBetween(-(3 * 3600 + 1), 3 * 3600 + 1)
+        valid
+          .withColumn("__sm_sum",
+            sum(round(col("soil_moist"), 9).cast("decimal(38,9)")).over(w))
+          .withColumn("__dp_sum",
+            sum(round(col("effective_depth"), 9).cast("decimal(38,9)")).over(w))
+          .withColumn("__n", count(lit(1)).over(w))
+          .select(col("site_no"), col("time"),
+            round(col("soil_moist"), 6).as("soil_moist"),
+            round(col("effective_depth"), 6).as("effective_depth"),
+            round(col("rainfall"), 6).as("rainfall"),
+            round(col("__sm_sum").cast("double") / col("__n"), 6)
+              .as("soil_moist_filtered"),
+            round(col("__dp_sum").cast("double") / col("__n"), 6)
+              .as("depth_filtered"))
+          .orderBy(col("site_no"), col("time"))
+      },
+      oracle = Some(s"""
+        WITH $rawCtesSql,
         lagged AS (
           SELECT *,
                  lag(count) OVER (PARTITION BY site_no ORDER BY time) AS prev_count,
