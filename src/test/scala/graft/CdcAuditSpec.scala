@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.{TextOps, TimeSeriesOps}
+import org.apache.spark.sql.functions._
+
+class CdcAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def T(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("cdcChunks: edit stability — a prefix insertion only reshifts " +
+    "the chunks it touches") {
+    val doc = scala.util.Random.javaRandomToRandom(new java.util.Random(7))
+      .alphanumeric.take(600).mkString
+    val df = Seq(("orig", doc), ("edited", "XYZQW " + doc)).toDF("tag", "text")
+    val (_, md5s) = TextOps.cdcChunks(col("text"))
+    val out = df.select($"tag", md5s.as("m"))
+      .as[(String, Seq[String])].collect().toMap
+    val shared = out("orig").toSet & out("edited").toSet
+    assert(out("orig").size >= 8)
+    // all but the first chunk(s) survive the edit
+    assert(shared.size >= out("orig").size - 2,
+      s"only ${shared.size} of ${out("orig").size} chunks survived")
+  }
+
+  test("cdcChunks: short doc (< window) is one whole-text chunk") {
+    val (frame, md5s) = TextOps.cdcChunks(col("text"))
+    val row = Seq("tiny").toDF("text")
+      .select(frame.as("f"), md5s.as("m"))
+      .as[(Seq[Int], Seq[String])].head()
+    assert(row._1 === Seq(0, 4))
+    assert(row._2.size === 1)
+  }
+
+  test("nearDupAudit: dynamic pressure selection and 5-field threshold") {
+    def row(t: String, battery: Double, count: Long, tube: Double,
+        rain: Double, p1: Double, p2: Double) =
+      (1, T(t), battery, count, tube, rain, p1, p2)
+    val df = Seq(
+      row("2024-01-01 10:00:00", 12.0, 100L, 21.0, 0.0, 5.0, 1000.0),
+      // all five match (p1 dead <10 on the CURRENT row -> pressure2 used)
+      row("2024-01-01 10:10:00", 12.0, 100L, 21.0, 0.0, 5.0, 1000.0),
+      // four match, pressure2 differs -> below threshold, not flagged
+      row("2024-01-01 10:20:00", 12.0, 100L, 21.0, 0.0, 5.0, 999.0),
+      // outside the 29-min window of the only identical row -> not flagged
+      row("2024-01-01 11:00:00", 12.0, 100L, 21.0, 0.0, 5.0, 999.0))
+      .toDF("site_no", "time", "battery", "count", "tube_temperature",
+        "rain", "pressure1", "pressure2")
+    val out = TimeSeriesOps.nearDupAudit(
+      df, Seq("site_no"), "time", 29 * 60,
+      Seq("battery", "count", "tube_temperature", "rain"))
+      .select("time", "n_dups").as[(java.sql.Timestamp, Long)]
+      .collect().toMap
+    assert(out === Map(T("2024-01-01 10:10:00") -> 1L))
+  }
+}
