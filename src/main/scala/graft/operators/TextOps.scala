@@ -122,6 +122,34 @@ object TextOps {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Character n-grams of the raw text (positions 1..len-n+1). */
+  def charNgrams(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      transform(sequence(lit(1), length(text) - (n - 1)),
+        i => substring(text, i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
+  /** n-gram profile language ID: fraction of the text's char n-grams that
+    * appear in a per-language profile set (the classic Cavnar-Trenkle
+    * shape with a fixed profile; swap in learned profiles at will).
+    */
+  def ngramLangScores(
+      text: Column,
+      n: Int,
+      profiles: Seq[(String, Seq[String])]): (Seq[(String, Column)], Column) = {
+    val grams = charNgrams(text, n)
+    val total = greatest(size(grams), lit(1)).cast("double")
+    val scores = profiles.map { case (lang, ps) =>
+      lang -> round(
+        size(filter(grams, g => ps.map(p => g === p).reduce(_ || _))) / total, 6)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pred = scores.reverse.foldLeft(lit("und")) {
+      case (els, (lang, s)) => when(s === best && best > 0, lit(lang)).otherwise(els)
+    }
+    (scores, pred)
+  }
+
   /** Count of tokens equal to any of `words` (marker-word occurrence). */
   def markerCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => words.map(w => t === w).reduce(_ || _)))

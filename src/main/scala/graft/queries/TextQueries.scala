@@ -128,6 +128,48 @@ object TextQueries extends QueryModule {
         ORDER BY doc_id"""
       }),
 
+    // T9 — char-trigram profile language ID (Cavnar-Trenkle shape): the
+    // fraction of the text's trigrams found in each language's profile,
+    // argmax with first-wins tie-break.
+    "t9_langid_ngram" -> Q(
+      fn = (s, dir) => {
+        val profiles = Seq(
+          "en" -> Seq("the", "he ", " th", "ing", "nd "),
+          "db" -> Seq("row", "tab", "col", "que", "joi"),
+          "io" -> Seq("sca", "str", "eam", "lin", "bat"))
+        val (scores, pred) = TextOps.ngramLangScores(col("text"), 3, profiles)
+        t(s, dir, "documents")
+          .select(col("doc_id") +:
+            scores.map { case (l, c) => c.as(s"g_$l") } :+
+            pred.as("pred_lang"): _*)
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some {
+        val profiles = Seq(
+          "en" -> Seq("the", "he ", " th", "ing", "nd "),
+          "db" -> Seq("row", "tab", "col", "que", "joi"),
+          "io" -> Seq("sca", "str", "eam", "lin", "bat"))
+        val gramsSql =
+          "list_transform(generate_series(1, CAST(length(text) AS INT) - 2), " +
+            "__i -> substr(text, CAST(__i AS INT), 3))"
+        val sc = profiles.map { case (l, ps) =>
+          val cond = ps.map(p => s"g = '${p.replace("'", "''")}'").mkString(" OR ")
+          s"round(len(list_filter($gramsSql, g -> $cond)) / " +
+            s"CAST(greatest(len($gramsSql), 1) AS DOUBLE), 6) AS g_$l"
+        }
+        val names = profiles.map(p => s"g_${p._1}")
+        val cases = profiles.map { case (l, _) =>
+          s"WHEN g_$l = __best AND __best > 0 THEN '$l'"
+        }.mkString(" ")
+        s"""
+        WITH scored AS (SELECT doc_id, ${sc.mkString(", ")} FROM documents),
+        wb AS (SELECT *, greatest(${names.mkString(", ")}) AS __best FROM scored)
+        SELECT doc_id, ${names.mkString(", ")},
+               CASE $cases ELSE 'und' END AS pred_lang
+        FROM wb
+        ORDER BY doc_id"""
+      }),
+
     // T3 — quality scoring: length score, lexical diversity, stopword load,
     // mean token length -> composite [0,1] score + keep flag.
     "t3_quality_score" -> Q(
