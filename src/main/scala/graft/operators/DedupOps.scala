@@ -51,14 +51,14 @@ object DedupOps {
       numPerm: Int,
       bands: Int): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    require(shingleK == 3, "integer shingling is specialized to k=3")
     val r = numPerm / bands
-    // One md5 per shingle; the signature fold consumes the hashed array
-    // in a single pass for all permutations (see minhashSignature).
+    // One md5 per TOKEN (no shingle strings — see hashedShingles3); the
+    // signature fold consumes the hashed array in a single pass for all
+    // permutations (see minhashSignature).
     val withSig = df.select(col(idCol),
       TextOps.minhashSignature(
-        transform(
-          TextOps.shingles(TextOps.tokens(col(textCol)), shingleK),
-          s => TextOps.baseHash60(s)),
+        TextOps.hashedShingles3(TextOps.tokens(col(textCol))),
         numPerm).as("sig"))
     (0 until bands).foldLeft(withSig) { (d, b) =>
       d.withColumn(s"band$b", TextOps.bandKey(col("sig"), b * r, (b + 1) * r))
@@ -116,7 +116,42 @@ object DedupOps {
     *
     * Output: (id, component) where component = min id reachable.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  /** @param maxLocalEdges edge lists at or below this size are solved by
+    *   driver union-find (microseconds) instead of the iterative join
+    *   loop, whose per-round cost is scheduler overhead at small scale —
+    *   the same adaptive local/distributed split as a broadcast-join
+    *   threshold. Post-LSH candidate lists are usually tiny relative to
+    *   the corpus; raise the threshold accordingly.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      maxIter: Int = 20,
+      maxLocalEdges: Long = 1000000L): DataFrame = {
+    val spark = edges.sparkSession
+    val collected = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .limit((maxLocalEdges + 1).toInt).collect()
+    if (collected.length <= maxLocalEdges) {
+      // driver union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent.getOrElse(c, c); parent(c) = r; c = n
+        }
+        r
+      }
+      collected.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      import spark.implicits._
+      return rows.toDF("id", "component")
+    }
     val sym = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -156,9 +191,10 @@ object DedupOps {
       idCol: String,
       textCol: String,
       shingleK: Int): DataFrame = {
+    require(shingleK == 3, "integer shingling is specialized to k=3")
     val sh = docs.select(
       col(idCol),
-      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleK))
+      array_distinct(TextOps.hashedShingles3(TextOps.tokens(col(textCol))))
         .as("sh"))
     pairs
       .join(sh.select(col(idCol).as("a"), col("sh").as("sh_a")), "a")

@@ -55,6 +55,40 @@ object TextOps {
   /** MinHash modulus: 2^31 - 1 (Mersenne prime). */
   val MinhashPrime = 2147483647L
 
+  /** Shingle-combination modulus / multiplier (integer 3-gram hashing). */
+  val ShingleMod = 1000000007L
+  val ShingleMul = 1000003L
+
+  /** Integer 3-shingle hashes straight from per-token hashes — no shingle
+    * STRING is ever built (array_join + a 20-char md5 per shingle is the
+    * dominant cost of string shingling). One md5 per TOKEN via
+    * [[baseHash60]], then a single fold combines each consecutive triple
+    * as ((h1*B + h2) mod M * B + h3) mod M, carrying (prev1, prev2,
+    * result) in the fold state so the token-hash array is referenced
+    * exactly once (a per-index element_at formulation re-evaluates the
+    * hashing per shingle — the projection-collapse trap).
+    *
+    * Returns array<long>; empty below 3 tokens.
+    */
+  def hashedShingles3(toks: Column): Column = {
+    val tokHashes = transform(toks, t => baseHash60(t) % ShingleMod)
+    val init = struct(
+      lit(-1L).as("p1"), lit(-1L).as("p2"),
+      array().cast("array<long>").as("res"))
+    val folded = aggregate(
+      tokHashes,
+      init,
+      (acc, h) => {
+        val sh = ((acc("p1") * ShingleMul + acc("p2")) % ShingleMod *
+          ShingleMul + h) % ShingleMod
+        struct(
+          acc("p2").as("p1"), h.as("p2"),
+          when(acc("p1") >= 0, concat(acc("res"), array(sh)))
+            .otherwise(acc("res")).as("res"))
+      })
+    folded("res")
+  }
+
   /** MinHash signature over PRE-HASHED shingles (array<long> from
     * [[baseHash60]]). Permutation p is the affine map
     * ((2p+3)*(x mod P) + 7p+1) mod P. Computed as ONE fold over the

@@ -34,11 +34,21 @@ object TextQueries extends QueryModule {
       "CAST(ord(substr(md5(s), CAST(__i AS INT), 1)) - " +
       "CASE WHEN substr(md5(s), CAST(__i AS INT), 1) >= 'a' THEN 87 ELSE 48 END " +
       "AS BIGINT)), (__a, __d) -> __a * 16 + __d)"
-  private val sigsSql =
+  // integer 3-shingle hashes from per-token hashes (mirror of
+  // TextOps.hashedShingles3: one md5 per token, triples combined as
+  // ((h1*B + h2) mod M * B + h3) mod M).
+  private val tokHashesSql =
+    s"list_transform($toksSql, s -> $baseHashSql % 1000000007)"
+  private val hashedShSql =
+    "list_transform(generate_series(1, len(th) - 2), " +
+      "__i -> ((th[__i] * 1000003 + th[__i+1]) % 1000000007 " +
+      "* 1000003 + th[__i+2]) % 1000000007)"
+  private val hashedCteSql =
     s"""hashed AS (
-       |  SELECT doc_id,
-       |         list_transform($sh3Sql, s -> $baseHashSql) AS hs
-       |  FROM documents),
+       |  SELECT doc_id, $hashedShSql AS hs
+       |  FROM (SELECT doc_id, $tokHashesSql AS th FROM documents))""".stripMargin
+  private val sigsSql =
+    s"""$hashedCteSql,
        |sigs AS (
        |  SELECT doc_id, list_transform(generate_series(0, 7),
        |    p -> list_min(list_transform(hs,
@@ -306,7 +316,8 @@ object TextQueries extends QueryModule {
       },
       oracle = Some(s"""
         WITH sh AS (
-          SELECT doc_id, list_distinct($sh3Sql) AS s FROM documents)
+          SELECT doc_id, list_distinct($hashedShSql) AS s
+          FROM (SELECT doc_id, $tokHashesSql AS th FROM documents))
         SELECT a.doc_id AS a, b.doc_id AS b,
                round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                      / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
@@ -324,7 +335,7 @@ object TextQueries extends QueryModule {
         val docs = t(s, dir, "documents")
         val sh = docs.select(col("doc_id"),
           explode(array_distinct(
-            TextOps.shingles(TextOps.tokens(col("text")), 3))).as("s"))
+            TextOps.hashedShingles3(TextOps.tokens(col("text"))))).as("s"))
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         val pairs = sh.select(col("doc_id").as("a"), col("s"))
           .join(sh.select(col("doc_id").as("b"), col("s")), "s")
@@ -342,7 +353,8 @@ object TextQueries extends QueryModule {
       },
       oracle = Some(s"""
         WITH sh AS (
-          SELECT doc_id, unnest(list_distinct($sh3Sql)) AS s FROM documents),
+          SELECT doc_id, unnest(list_distinct($hashedShSql)) AS s
+          FROM (SELECT doc_id, $tokHashesSql AS th FROM documents)),
         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
         pairs AS (
           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter

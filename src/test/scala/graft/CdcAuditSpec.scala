@@ -32,6 +32,19 @@ class CdcAuditSpec extends SparkSpec {
     assert(row._2.size === 1)
   }
 
+  test("connectedComponents: local union-find and distributed loop agree") {
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (10L, 11L))
+      .toDF("a", "b")
+    val local = graft.operators.DedupOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val distributed = graft.operators.DedupOps
+      .connectedComponents(edges, maxLocalEdges = 0L)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(local === distributed)
+    assert(local === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (10L, 10L), (11L, 10L)))
+  }
+
   test("nearDupAudit: dynamic pressure selection and 5-field threshold") {
     def row(t: String, battery: Double, count: Long, tube: Double,
         rain: Double, p1: Double, p2: Double) =

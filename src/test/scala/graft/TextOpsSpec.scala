@@ -83,7 +83,7 @@ class TextOpsSpec extends SparkSpec {
       (1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
       .toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
-    val out = DedupOps.ngramJaccard(pairs, docs, "doc_id", "text", 2)
+    val out = DedupOps.ngramJaccard(pairs, docs, "doc_id", "text", 3)
       .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
       .map { case (a, b, j) => (a, b) -> j }.toMap
     assert(out((1L, 2L)) === 1.0)
