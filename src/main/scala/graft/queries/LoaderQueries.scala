@@ -41,10 +41,10 @@ object LoaderQueries extends QueryModule {
             parts(0).cast(IntegerType).as("site_no"),
             parts(1).as("site_name"),
             to_timestamp(parts(2), "yyyy-MM-dd'T'HH:mm:ssX").as("installation_date"),
-            parts(3).cast(DecimalType(38, 18)).as("latitude"),
-            parts(4).cast(DecimalType(38, 18)).as("longitude"),
+            round(parts(3).cast(DecimalType(38, 18)).cast(DoubleType), 6).as("latitude"),
+            round(parts(4).cast(DecimalType(38, 18)).cast(DoubleType), 6).as("longitude"),
             parts(5).cast(IntegerType).as("altitude"),
-            parts(6).cast(DecimalType(38, 18)).as("ref_pressure"),
+            round(parts(6).cast(DecimalType(38, 18)).cast(DoubleType), 6).as("ref_pressure"),
             round(parts(7).cast(DecimalType(38, 18)).cast(DoubleType), 6).as("ref_intensity_d"),
             round(parts(8).cast(DecimalType(38, 18)).cast(DoubleType), 6).as("beta_d"),
             round(parts(9).cast(DecimalType(38, 18)).cast(DoubleType), 6).as("n0_cal_d"))
@@ -56,10 +56,10 @@ object LoaderQueries extends QueryModule {
         SELECT CAST(f[1] AS INT) AS site_no,
                f[2] AS site_name,
                CAST(strptime(f[3], '%Y-%m-%dT%H:%M:%SZ') AS TIMESTAMP) AS installation_date,
-               CAST(f[4] AS DECIMAL(38,18)) AS latitude,
-               CAST(f[5] AS DECIMAL(38,18)) AS longitude,
+               round(CAST(CAST(f[4] AS DECIMAL(38,18)) AS DOUBLE), 6) AS latitude,
+               round(CAST(CAST(f[5] AS DECIMAL(38,18)) AS DOUBLE), 6) AS longitude,
                CAST(f[6] AS INT) AS altitude,
-               CAST(f[7] AS DECIMAL(38,18)) AS ref_pressure,
+               round(CAST(CAST(f[7] AS DECIMAL(38,18)) AS DOUBLE), 6) AS ref_pressure,
                round(CAST(CAST(f[8] AS DECIMAL(38,18)) AS DOUBLE), 6) AS ref_intensity_d,
                round(CAST(CAST(f[9] AS DECIMAL(38,18)) AS DOUBLE), 6) AS beta_d,
                round(CAST(CAST(f[10] AS DECIMAL(38,18)) AS DOUBLE), 6) AS n0_cal_d
