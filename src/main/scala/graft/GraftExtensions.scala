@@ -1,6 +1,8 @@
 package graft
 
-import graft.expressions.Md5Hash64
+import graft.expressions.{HashedShingles3, Md5Hash64, MinhashSig}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.types.IntegerType
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -19,6 +21,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 1, "graft_md5hash64 takes one argument")
         Md5Hash64(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles3"),
+      new ExpressionInfo(classOf[HashedShingles3].getName, "graft_shingles3"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_shingles3 takes one argument")
+        HashedShingles3(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_minhash_sig(shingles, numPerm)")
+        val numPerm = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash_sig numPerm must be an int literal, got $other")
+        }
+        MinhashSig(children.head, numPerm)
       }))
   }
 }

@@ -62,15 +62,24 @@ object TextOps {
   /** Integer 3-shingle hashes straight from per-token hashes — no shingle
     * STRING is ever built (array_join + a 20-char md5 per shingle is the
     * dominant cost of string shingling). One md5 per TOKEN via
-    * [[baseHash60]], then a single fold combines each consecutive triple
-    * as ((h1*B + h2) mod M * B + h3) mod M, carrying (prev1, prev2,
-    * result) in the fold state so the token-hash array is referenced
-    * exactly once (a per-index element_at formulation re-evaluates the
-    * hashing per shingle — the projection-collapse trap).
+    * [[baseHash60]], combining each consecutive triple as
+    * ((h1*B + h2) mod M * B + h3) mod M. Backed by the native codegen'd
+    * [[graft.expressions.HashedShingles3]] loop; [[hashedShingles3Hof]] is
+    * the HOF restatement it is equivalence-tested against.
     *
     * Returns array<long>; empty below 3 tokens.
     */
   def hashedShingles3(toks: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.HashedShingles3(
+      ColumnBridge.expression(toks)))
+  }
+
+  /** The higher-order-function restatement of [[hashedShingles3]] — kept as
+    * the executable spec the native expression is equivalence-tested
+    * against (interpreted, ~25x slower; do not use on the hot path).
+    */
+  private[graft] def hashedShingles3Hof(toks: Column): Column = {
     val tokHashes = transform(toks, t => baseHash60(t) % ShingleMod)
     val init = struct(
       lit(-1L).as("p1"), lit(-1L).as("p2"),
@@ -99,7 +108,16 @@ object TextOps {
     * hashes numPerm times). Returns array<long>; a shingle-less doc gets
     * the P sentinel in every slot.
     */
-  def minhashSignature(hashedShingles: Column, numPerm: Int): Column =
+  def minhashSignature(hashedShingles: Column, numPerm: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.MinhashSig(
+      ColumnBridge.expression(hashedShingles), numPerm))
+  }
+
+  /** HOF restatement of [[minhashSignature]] — the equivalence-spec twin
+    * of the native expression (see [[hashedShingles3Hof]]).
+    */
+  private[graft] def minhashSignatureHof(hashedShingles: Column, numPerm: Int): Column =
     aggregate(
       hashedShingles,
       array(Seq.fill(numPerm)(lit(MinhashPrime)): _*),

@@ -333,10 +333,14 @@ object TextQueries extends QueryModule {
     "d6_inverted_jaccard" -> Q(
       fn = (s, dir) => {
         val docs = t(s, dir, "documents")
-        val sh = docs.select(col("doc_id"),
-          explode(array_distinct(
-            TextOps.hashedShingles3(TextOps.tokens(col("text"))))).as("s"))
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        // Shingle-set arrays once; set sizes come from size(arr) BEFORE the
+        // explode (no extra groupBy shuffle to re-count what the array
+        // already knows).
+        val arr = docs.select(col("doc_id"),
+          array_distinct(
+            TextOps.hashedShingles3(TextOps.tokens(col("text")))).as("arr"))
+        val sizes = arr.select(col("doc_id"), size(col("arr")).as("sz"))
+        val sh = arr.select(col("doc_id"), explode(col("arr")).as("s"))
         val pairs = sh.select(col("doc_id").as("a"), col("s"))
           .join(sh.select(col("doc_id").as("b"), col("s")), "s")
           .filter(col("a") < col("b"))
