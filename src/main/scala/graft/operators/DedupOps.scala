@@ -89,19 +89,30 @@ object DedupOps {
         .as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_key"))
     // Cap degenerate buckets: rank within bucket, drop beyond maxBucket.
+    // row_number + filter compiles to a WindowGroupLimit, so the cap
+    // applies map-side BEFORE the shuffle — a hot bucket never ships more
+    // than maxBucket rows per input partition.
     val wB = Window.partitionBy(col("band_idx"), col("band_key"))
       .orderBy(col(idCol))
     val capped = exploded
       .withColumn("__rk", row_number().over(wB))
       .filter(col("__rk") <= maxBucket)
       .drop("__rk")
-      // both sides of the self-join read this; without persist Spark
-      // recomputes the full MinHash (8 perms x shingles x md5) twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = capped.select(col(idCol).as("a"), col("band_idx"), col("band_key"))
-    val b = capped.select(col(idCol).as("b"), col("band_idx"), col("band_key"))
-    a.join(b, Seq("band_idx", "band_key"))
-      .filter(col("a") < col("b"))
+    // Pairs are generated INSIDE each bucket (collect the <= maxBucket ids,
+    // emit the i<j combinations) instead of a bucket self-join. One lineage
+    // pass — the MinHash computation runs once, so no persist/cache is
+    // needed (a self-join reads the lineage twice and either recomputes or
+    // leaks a cache); and the groupBy lands on the window's partitioning,
+    // so it adds no exchange.
+    val buckets = capped
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("shared_bands"))
   }
@@ -128,9 +139,12 @@ object DedupOps {
       maxIter: Int = 20,
       maxLocalEdges: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
-    val collected = edges.select(col("a").cast("long"), col("b").cast("long"))
-      .limit((maxLocalEdges + 1).toInt).collect()
-    if (collected.length <= maxLocalEdges) {
+    val longEdges = edges.select(col("a").cast("long"), col("b").cast("long"))
+    // Cheap bounded count first — the distributed path never pulls edges
+    // to the driver; only the small-graph path pays the collect.
+    val probed = longEdges.limit((maxLocalEdges + 1).toInt).count()
+    if (probed <= maxLocalEdges) {
+      val collected = longEdges.collect()
       // driver union-find with path compression
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
@@ -177,7 +191,17 @@ object DedupOps {
       labels = updated.select(col("id"), col("next").as("label"))
       i += 1
     }
-    labels.select(col("id"), col("label").as("component"))
+    // Cut lineage off the loop caches, then RELEASE them: an explicit
+    // persist is pinned by the CacheManager until unpersist, and a
+    // long-lived session (Verify/Bench run 50+ queries in one JVM) would
+    // otherwise accumulate dead caches until later queries' sorts spill.
+    // localCheckpoint blocks, by contrast, are reclaimed by the
+    // ContextCleaner once the returned frame is unreachable.
+    val out = labels.select(col("id"), col("label").as("component"))
+      .localCheckpoint(true)
+    prevCache.foreach(_.unpersist())
+    sym.unpersist()
+    out
   }
 
   /** Exact n-gram Jaccard for given id pairs: |A ∩ B| / |A ∪ B| over the

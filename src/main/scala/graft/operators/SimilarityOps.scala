@@ -174,8 +174,11 @@ object SimilarityOps {
       col(vecCol).as("va"), col("__norm").as("na"))
     val b = normed.select(col(groupCol), col(idCol).as("b"),
       col(vecCol).as("vb"), col("__norm").as("nb"))
-    // Top-1 per vector as a partial-aggregable max(struct): (sim desc,
-    // b asc) via (sim, -b) lexicographic max. Map-side combine collapses
+    // Top-1 per vector as a partial-aggregable min_by: ordering key
+    // struct(-sim, b) makes the lexicographic MIN the (sim desc, b asc)
+    // winner. Negating the DOUBLE sim (never the id) keeps the tie-break
+    // type-generic — string/date ids order correctly, where a (sim, -id)
+    // max would null-cast non-numeric ids. Map-side combine collapses
     // each partition to one row per `a` BEFORE the shuffle — a row_number
     // window would instead shuffle and sort the full quadratic pair set
     // (measured 3x slower at 400k pairs; the gap widens with bucket size).
@@ -185,7 +188,8 @@ object SimilarityOps {
         cosineFromParts(dotFold(col("va"), col("vb")),
           col("na"), col("nb")).as("sim"))
       .groupBy(col("a"), col(groupCol))
-      .agg(max(struct(col("sim"), (-col("b")).as("negb"), col("b"))).as("__m"))
+      .agg(min_by(struct(col("b"), col("sim")),
+        struct((-col("sim")).as("ns"), col("b"))).as("__m"))
       .select(col("a"), col(groupCol),
         col("__m.b").as("nn"), col("__m.sim").as("sim"))
   }
@@ -231,17 +235,26 @@ object SimilarityOps {
       k: Int): DataFrame = {
     val cb = broadcast(centroidVectors(embeddings, vecCol, groupCol)
       .select(col(groupCol).as("cell"), col("centroid")))
-    def assign(df: DataFrame, rankCol: String, keep: Int): DataFrame = {
-      val wAssign = Window.partitionBy(col(idCol))
-        .orderBy(col("__csim").desc, col("cell").asc)
-      df.join(cb)
-        .withColumn("__csim", cosine(col(vecCol), col("centroid")))
-        .withColumn(rankCol, row_number().over(wAssign))
-        .filter(col(rankCol) <= keep)
-        .drop("centroid", "__csim")
-    }
-    val cells = assign(embeddings, "__crank", 1).drop("__crank")
-    val probed = assign(query, "__crank", nprobe)
+    // Nearest cell per vector (ties -> lowest cell id) as a partial-
+    // aggregable min_by over struct(-csim, cell) — no per-vector sort:
+    // the broadcast fan-out (n x cells rows) collapses back to one row
+    // per vector map-side, before any exchange. The vector rides inside
+    // the min_by value struct, so only the winner's copy survives.
+    val cells = embeddings.join(cb)
+      .select(col(idCol), col(vecCol), col("cell"),
+        cosine(col(vecCol), col("centroid")).as("__csim"))
+      .groupBy(col(idCol))
+      .agg(min_by(struct(col("cell"), col(vecCol)),
+        struct((-col("__csim")).as("ns"), col("cell"))).as("__m"))
+      .select(col(idCol), col("__m.cell").as("cell"),
+        col(s"__m.$vecCol").as(vecCol))
+    // Query side keeps the nprobe-rank window: 1 row x |cells|, trivial.
+    val wProbe = Window.partitionBy(col(idCol))
+      .orderBy(col("__csim").desc, col("cell").asc)
+    val probed = query.join(cb)
+      .withColumn("__csim", cosine(col(vecCol), col("centroid")))
+      .withColumn("__crank", row_number().over(wProbe))
+      .filter(col("__crank") <= nprobe)
       .select(col(idCol).as("__qid"), col(vecCol).as("__qvec"),
         col("cell"))
     val q = broadcast(probed)

@@ -329,20 +329,36 @@ object TextQueries extends QueryModule {
     // list) join on the shingle itself with a min-shared-count prefilter.
     // Unlike the pairwise array-intersect shape (d4), this never forms
     // non-overlapping pairs: cost is sum over shingles of occupancy^2,
-    // the classic similarity-join bound.
+    // the classic similarity-join bound. That bound is only safe when the
+    // occupancies are bounded, so shingles whose document frequency
+    // exceeds dfCap are DROPPED before the self-join (a boilerplate
+    // shingle shared by f docs otherwise emits f^2 join rows — the
+    // scale-killer). Jaccard is then exact over the SURVIVING shingle
+    // sets: sizes and intersections both count only df<=dfCap shingles,
+    // so the ratio stays internally consistent; pairs similar ONLY via
+    // boilerplate are the (intended) recall loss — see SCALE.md.
     "d6_inverted_jaccard" -> Q(
       fn = (s, dir) => {
+        val dfCap = 50
         val docs = t(s, dir, "documents")
-        // Shingle-set arrays once; set sizes come from size(arr) BEFORE the
-        // explode (no extra groupBy shuffle to re-count what the array
-        // already knows).
         val arr = docs.select(col("doc_id"),
           array_distinct(
             TextOps.hashedShingles3(TextOps.tokens(col("text")))).as("arr"))
-        val sizes = arr.select(col("doc_id"), size(col("arr")).as("sz"))
         val sh = arr.select(col("doc_id"), explode(col("arr")).as("s"))
-        val pairs = sh.select(col("doc_id").as("a"), col("s"))
-          .join(sh.select(col("doc_id").as("b"), col("s")), "s")
+        // Posting-list frequency cap: df per shingle, keep df <= dfCap.
+        // The df agg, the keep-join, and the pair self-join all hash on
+        // `s`, so the exchange is computed once and reused.
+        val kept = sh.groupBy(col("s"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= dfCap)
+        val shK = sh.join(kept, "s")
+        // Sizes count surviving shingles only (post-cap set semantics).
+        val sizes = shK.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        // df=1 shingles can't form a pair — skip them in the join input
+        // (pure pruning; they still count in sizes above).
+        val shP = shK.filter(col("df") >= 2)
+        val pairs = shP.select(col("doc_id").as("a"), col("s"))
+          .join(shP.select(col("doc_id").as("b"), col("s")), "s")
           .filter(col("a") < col("b"))
           .groupBy(col("a"), col("b"))
           .agg(count(lit(1)).as("inter"))
@@ -359,11 +375,13 @@ object TextQueries extends QueryModule {
         WITH sh AS (
           SELECT doc_id, unnest(list_distinct($hashedShSql)) AS s
           FROM (SELECT doc_id, $tokHashesSql AS th FROM documents)),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        kept AS (SELECT s, count(*) AS df FROM sh GROUP BY 1 HAVING count(*) <= 50),
+        shk AS (SELECT sh.doc_id, sh.s, kept.df FROM sh JOIN kept USING (s)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shk GROUP BY 1),
         pairs AS (
           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-          FROM sh x JOIN sh y ON x.s = y.s
-          WHERE x.doc_id < y.doc_id
+          FROM shk x JOIN shk y ON x.s = y.s
+          WHERE x.doc_id < y.doc_id AND x.df >= 2 AND y.df >= 2
           GROUP BY 1, 2
           HAVING count(*) >= 5)
         SELECT p.a, p.b, p.inter,
