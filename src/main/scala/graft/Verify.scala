@@ -61,6 +61,7 @@ object Verify {
     if (failures.nonEmpty) {
       System.err.println(s"[verify] ${failures.size} queries failed: " +
         failures.keys.mkString(", "))
+      sys.exit(1)
     }
   }
 }

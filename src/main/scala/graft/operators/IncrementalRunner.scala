@@ -66,12 +66,28 @@ object IncrementalRunner {
       outPath: String,
       now: java.sql.Timestamp,
       backprocessDays: Int,
-      padSeconds: Long = 6 * 3600): Unit = {
+      padSeconds: Long = 6 * 3600): Unit =
+    processLevelsIncremental(raw, stations, silo, intensity,
+      new ParquetDaySink(outPath), now, backprocessDays, padSeconds)
+
+  /** Sink-parameterized form: the recomputed window goes through the
+    * pluggable write boundary (parquet, external DB, test collector —
+    * see [[Sink]]).
+    */
+  def processLevelsIncremental(
+      raw: DataFrame,
+      stations: DataFrame,
+      silo: DataFrame,
+      intensity: DataFrame,
+      sink: Sink,
+      now: java.sql.Timestamp,
+      backprocessDays: Int,
+      padSeconds: Long): Unit = {
     val windowStart = lit(now) - expr(s"INTERVAL $backprocessDays DAYS")
     val padded = raw.filter(
       col("time") > windowStart - expr(s"INTERVAL $padSeconds SECOND") &&
         col("time") <= lit(now))
     val level4 = LevelPipeline.processLevels(padded, stations, silo, intensity)
-    upsertByDay(level4.filter(col("time") > windowStart), outPath)
+    sink.upsert(level4.filter(col("time") > windowStart))
   }
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** The pluggable write boundary: every pipeline output goes through a
+  * `Sink`, so swapping day-partitioned parquet for an external store
+  * (the reference writes to InfluxDB — `nmdb/influx_db.py:76-147` — and
+  * MongoDB — `pipeline/csv_mongodb_converter.py:47-101`) is a
+  * constructor argument, not a pipeline change.
+  *
+  * Semantics every implementation must honor: `upsert` is an IDEMPOTENT
+  * windowed overwrite keyed by (site, day of tsCol) — re-running the
+  * same recompute window twice leaves the same state (the reference's
+  * point-overwrite + DROP SERIES behavior).
+  */
+trait Sink extends Serializable {
+  def upsert(updated: DataFrame, tsCol: String = "time"): Unit
+}
+
+object Sink {
+  /** Adapter for Structured Streaming: `writeStream.foreachBatch(
+    * Sink.foreachBatch(sink))` pushes each micro-batch through the same
+    * seam the batch pipeline uses.
+    */
+  def foreachBatch(sink: Sink, tsCol: String = "time"): (DataFrame, Long) => Unit =
+    (batch, _) => sink.upsert(batch, tsCol)
+}
+
+/** Day-partitioned parquet with dynamic partition overwrite — the scale
+  * default (see [[IncrementalRunner.upsertByDay]]).
+  */
+final class ParquetDaySink(path: String) extends Sink {
+  override def upsert(updated: DataFrame, tsCol: String): Unit =
+    IncrementalRunner.upsertByDay(updated, path, tsCol)
+}
+
+/** One connection-scoped writer per partition (opened and closed on the
+  * EXECUTOR — the factory closure must be serializable and must not
+  * capture driver-only resources).
+  */
+trait RowBatchWriter extends AutoCloseable {
+  def writeBatch(rows: Seq[Row]): Unit
+}
+
+/** External-DB-shaped sink: each partition opens one writer and streams
+  * its rows in bounded batches — the shape of an Influx line-protocol or
+  * Mongo bulk writer. Idempotency is the writer's contract (e.g. an
+  * upsert-by-key bulk op); this class only guarantees the delivery shape:
+  * one connection per partition, batches of at most `batchSize`, close on
+  * completion or failure.
+  */
+final class BatchingRowSink(open: () => RowBatchWriter, batchSize: Int = 1000)
+    extends Sink {
+  override def upsert(updated: DataFrame, tsCol: String): Unit = {
+    val openF = open
+    val bs = batchSize
+    updated.foreachPartition { (it: Iterator[Row]) =>
+      if (it.nonEmpty) {
+        val w = openF()
+        try it.grouped(bs).foreach(g => w.writeBatch(g.toSeq))
+        finally w.close()
+      }
+    }
+  }
+}

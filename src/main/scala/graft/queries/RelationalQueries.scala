@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, QueryModule, Tables}
+import graft.operators.IncrementalRunner
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -67,6 +68,54 @@ object RelationalQueries extends QueryModule {
       },
       oracle = Some(
         "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    // S6/S8/S9 — idempotent windowed upsert, proven by a parquet
+    // round-trip: write a day-partitioned table, dynamically OVERWRITE one
+    // (site, day) partition with updated (and fewer) rows, read back. The
+    // final state must show the replacement partition's new contents and
+    // every other partition untouched — i.e. InfluxDB point-overwrite +
+    // DROP SERIES semantics (pipeline/cosmoz_process_levels.py:56-58).
+    "s6_upsert_roundtrip" -> Q(
+      fn = (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_s6_upsert_").toString
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(new java.io.File(tmp))
+        }
+        val base = t(s, dir, "events").select(
+          (col("user_id") % 5).cast("int").as("site_no"),
+          col("event_id"), col("ts").as("time"),
+          coalesce(col("value"), lit(0.0)).as("value"))
+        // Partition-selection metadata (one scalar), not a data-path
+        // collect: which day to overwrite.
+        val minDay = base.filter(col("site_no") === 2)
+          .agg(min(to_date(col("time")))).collect()(0).getDate(0).toString
+        IncrementalRunner.upsertByDay(base, tmp)
+        val updated = base
+          .filter(col("site_no") === 2 &&
+            to_date(col("time")) === lit(minDay) && col("event_id") % 2 === 0)
+          .withColumn("value", col("value") + lit(1000.0))
+        IncrementalRunner.upsertByDay(updated, tmp)
+        IncrementalRunner.readLevel(s, tmp)
+          .select(col("site_no"), col("event_id"), rd(col("value"), 6).as("value"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT CAST(user_id % 5 AS INT) AS site_no, event_id, ts,
+                 coalesce(value, 0.0) AS value
+          FROM events),
+        minday AS (SELECT min(CAST(ts AS DATE)) AS d FROM base WHERE site_no = 2)
+        SELECT site_no, event_id,
+               round(CASE WHEN site_no = 2 AND CAST(ts AS DATE) = (SELECT d FROM minday)
+                          THEN value + 1000.0 ELSE value END, 6) AS value
+        FROM base
+        WHERE NOT (site_no = 2 AND CAST(ts AS DATE) = (SELECT d FROM minday)
+                   AND event_id % 2 = 1)
+        ORDER BY event_id""")),
 
     // S10 — row delete of corrupt rows as an anti-join
     // (fix_raws, pipeline/cosmoz_process_levels.py:431-452: collect bad
