@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{HashedShingles3, Md5Hash64, MinhashSig}
+import graft.expressions.{DotFold, HashedShingles3, Md5Hash64, MinhashSig}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.types.IntegerType
 import org.apache.spark.sql.SparkSessionExtensions
@@ -40,6 +40,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_minhash_sig numPerm must be an int literal, got $other")
         }
         MinhashSig(children.head, numPerm)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dotfold"),
+      new ExpressionInfo(classOf[DotFold].getName, "graft_dotfold"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dotfold takes two array arguments")
+        DotFold(children.head, children(1))
       }))
   }
 }

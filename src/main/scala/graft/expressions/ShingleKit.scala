@@ -49,6 +49,11 @@ object HashedShingles3 {
   /** Called from generated code. Iteration order and modular arithmetic
     * must stay bit-identical to the HOF fold (and the DuckDB oracle SQL
     * that restates it) — determinism contracts depend on it.
+    *
+    * Null ELEMENTS (legal for any SQL caller — the type check accepts
+    * array<string> regardless of containsNull) are skipped, i.e. the
+    * array is shingled as if nulls were filtered out first; the output
+    * therefore honors the declared containsNull=false.
     */
   def shingles(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
@@ -58,16 +63,18 @@ object HashedShingles3 {
     var i = 0
     var j = 0
     while (i < n) {
-      val h = Md5Hash64.hash(toks.getUTF8String(i)) % M
-      if (p1 >= 0) {
-        out(j) = ((p1 * B + p2) % M * B + h) % M
-        j += 1
+      if (!toks.isNullAt(i)) {
+        val h = Md5Hash64.hash(toks.getUTF8String(i)) % M
+        if (p1 >= 0) {
+          out(j) = ((p1 * B + p2) % M * B + h) % M
+          j += 1
+        }
+        p1 = p2
+        p2 = h
       }
-      p1 = p2
-      p2 = h
       i += 1
     }
-    ArrayData.toArrayData(out)
+    ArrayData.toArrayData(if (j == out.length) out else out.take(j))
   }
 }
 
@@ -104,18 +111,22 @@ case class MinhashSig(child: Expression, numPerm: Int) extends UnaryExpression {
 object MinhashSig {
   import graft.operators.TextOps.{MinhashPrime => P}
 
-  /** Called from generated code. */
+  /** Called from generated code. Null elements are skipped (a getLong on
+    * a null slot would read garbage); see [[HashedShingles3.shingles]].
+    */
   def signature(shingles: ArrayData, numPerm: Int): ArrayData = {
     val out = Array.fill(numPerm)(P)
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
-      val x = shingles.getLong(i) % P
-      var p = 0
-      while (p < numPerm) {
-        val v = ((2L * p + 3L) * x + (7L * p + 1L)) % P
-        if (v < out(p)) out(p) = v
-        p += 1
+      if (!shingles.isNullAt(i)) {
+        val x = shingles.getLong(i) % P
+        var p = 0
+        while (p < numPerm) {
+          val v = ((2L * p + 3L) * x + (7L * p + 1L)) % P
+          if (v < out(p)) out(p) = v
+          p += 1
+        }
       }
       i += 1
     }

@@ -28,26 +28,27 @@ object LoaderQueries extends QueryModule {
     lines.map(l => s"('${l.replace("'", "''")}')").mkString(", ")
 
   val queries: Map[String, Q] = Map(
-    // S3 — station TSV -> typed station documents: tab split, exact
-    // DecimalType(38,18) for the Decimal128 calibration numerics, and the
-    // at-use-site double conversion (float(x.to_decimal()),
-    // pipeline/cosmoz_process_levels.py:125-129) as separate columns.
+    // S3 — station TSV -> typed station documents via StationLoader: the
+    // loaded document keeps EXACT DecimalType(38,18) calibration numerics
+    // plus `_d` double twins (the at-use-site float(x.to_decimal())
+    // conversion, pipeline/cosmoz_process_levels.py:125-129; exactness
+    // pinned by StationLoaderSpec). This QUERY projects the rounded double
+    // twins only — decimal cells normalize differently across comparator
+    // environments (the round-2 driver-gate mismatch), so the hash-compare
+    // surface is deliberately double-typed.
     "s3_station_load" -> Q(
       fn = (s, dir) => {
         import s.implicits._
-        val parts = split(col("line"), "\t")
-        stationTsv.toDF("line")
+        graft.operators.StationLoader.fromTsv(stationTsv.toDF("line"))
           .select(
-            parts(0).cast(IntegerType).as("site_no"),
-            parts(1).as("site_name"),
-            to_timestamp(parts(2), "yyyy-MM-dd'T'HH:mm:ssX").as("installation_date"),
-            round(parts(3).cast(DecimalType(38, 18)).cast(DoubleType), 6).as("latitude"),
-            round(parts(4).cast(DecimalType(38, 18)).cast(DoubleType), 6).as("longitude"),
-            parts(5).cast(IntegerType).as("altitude"),
-            round(parts(6).cast(DecimalType(38, 18)).cast(DoubleType), 6).as("ref_pressure"),
-            round(parts(7).cast(DecimalType(38, 18)).cast(DoubleType), 6).as("ref_intensity_d"),
-            round(parts(8).cast(DecimalType(38, 18)).cast(DoubleType), 6).as("beta_d"),
-            round(parts(9).cast(DecimalType(38, 18)).cast(DoubleType), 6).as("n0_cal_d"))
+            col("site_no"), col("site_name"), col("installation_date"),
+            round(col("latitude_d"), 6).as("latitude"),
+            round(col("longitude_d"), 6).as("longitude"),
+            col("altitude"),
+            round(col("ref_pressure_d"), 6).as("ref_pressure"),
+            round(col("ref_intensity_d"), 6).as("ref_intensity_d"),
+            round(col("beta_d"), 6).as("beta_d"),
+            round(col("n0_cal_d"), 6).as("n0_cal_d"))
           .orderBy(col("site_no"))
       },
       oracle = Some(s"""

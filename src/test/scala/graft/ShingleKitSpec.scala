@@ -52,6 +52,22 @@ class ShingleKitSpec extends SparkSpec {
     assert(out === Array(false, true))
   }
 
+  test("null ELEMENTS are skipped, not NPE'd (arbitrary SQL input)") {
+    import graft.operators.TextOps
+    // array with a null slot: shingles must equal the null-filtered array's
+    val out = spark.sql(
+      """SELECT graft_shingles3(array('a', CAST(NULL AS STRING), 'b', 'c', 'd')) AS s,
+                graft_shingles3(array('a', 'b', 'c', 'd')) AS t""")
+      .as[(Seq[Long], Seq[Long])].head()
+    assert(out._1 === out._2)
+    // minhash over an array<bigint> with a null slot: null slots ignored
+    val sig = spark.sql(
+      """SELECT graft_minhash_sig(array(CAST(7 AS BIGINT), CAST(NULL AS BIGINT)), 4) AS a,
+                graft_minhash_sig(array(CAST(7 AS BIGINT)), 4) AS b""")
+      .as[(Seq[Long], Seq[Long])].head()
+    assert(sig._1 === sig._2)
+  }
+
   test("registered as SQL functions via GraftExtensions") {
     val viaSql = spark.sql(
       "SELECT graft_minhash_sig(graft_shingles3(split('a b c d', ' ')), 4) AS s")
