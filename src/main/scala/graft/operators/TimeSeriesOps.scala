@@ -154,15 +154,19 @@ object TimeSeriesOps {
     * with the exact time bound applied after. No theta-join explosion;
     * bucket occupancy bounds the per-row work.
     */
-  def nearDupAudit(
+  /** The matched audit pairs (shared by the count and report forms):
+    * one row per (current row, prior row within window, >= minMatches
+    * equal fields), carrying both rows' audit fields as JSON.
+    */
+  private def nearDupAuditPairs(
       df: DataFrame,
       keys: Seq[String],
       tsCol: String,
       windowSeconds: Long,
       auditFields: Seq[String],
-      pressure1: String = "pressure1",
-      pressure2: String = "pressure2",
-      minMatches: Int = 5): DataFrame = {
+      pressure1: String,
+      pressure2: String,
+      minMatches: Int): DataFrame = {
     val bucket = floor(unix_micros(col(tsCol)) / (windowSeconds * 1000000L))
     val a = df.withColumn("__bkt", bucket).alias("a")
     val b = df.withColumn("__bkt", bucket).alias("b")
@@ -180,12 +184,99 @@ object TimeSeriesOps {
     val matches = (auditFields.map(f =>
       when(col(s"a.$f") <=> col(s"b.$f"), 1).otherwise(0)) :+
       when(pA <=> pB, 1).otherwise(0)).reduce(_ + _)
+    val recCols = auditFields :+ pressure1 :+ pressure2
     joined
       .filter(matches >= minMatches)
-      .groupBy(keys.map(k => col(s"a.$k").as(k)) :+
-        col(s"a.$tsCol").as(tsCol): _*)
-      .agg(count(lit(1)).as("n_dups"))
+      .select(keys.map(k => col(s"a.$k").as(k)) ++ Seq(
+        col(s"a.$tsCol").as(tsCol),
+        to_json(struct(recCols.map(f => col(s"a.$f").as(f)): _*)).as("a_rec"),
+        col(s"b.$tsCol").as("prior_ts"),
+        to_json(struct(recCols.map(f => col(s"b.$f").as(f)): _*)).as("b_rec"),
+        (unix_micros(col(s"a.$tsCol")) - unix_micros(col(s"b.$tsCol")))
+          .as("offset_us")): _*)
   }
+
+  def nearDupAudit(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      windowSeconds: Long,
+      auditFields: Seq[String],
+      pressure1: String = "pressure1",
+      pressure2: String = "pressure2",
+      minMatches: Int = 5): DataFrame =
+    nearDupAuditPairs(df, keys, tsCol, windowSeconds, auditFields,
+      pressure1, pressure2, minMatches)
+      .groupBy(keys.map(col) :+ col(tsCol): _*)
+      .agg(count(lit(1)).as("n_dups"))
+
+  /** Human-review report for the audit — the reference writes a text file
+    * per site (`pipeline/detect_duplicates.py:89-111`: a station header,
+    * then per duplicate time the current record and each prior record with
+    * its minutes/seconds offset). Emitted as ORDERED REPORT LINES
+    * (keys..., at_time, pos, line) so formatting stays distributed; pair
+    * with [[writeAuditReport]] to lay them down as per-site text files.
+    */
+  def nearDupAuditReport(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      windowSeconds: Long,
+      auditFields: Seq[String],
+      pressure1: String = "pressure1",
+      pressure2: String = "pressure2",
+      minMatches: Int = 5): DataFrame = {
+    val pairs = nearDupAuditPairs(df, keys, tsCol, windowSeconds,
+      auditFields, pressure1, pressure2, minMatches)
+    val perTime = pairs
+      .groupBy(keys.map(col) :+ col(tsCol): _*)
+      .agg(
+        any_value(col("a_rec")).as("a_rec"),
+        array_sort(collect_list(struct(col("prior_ts"), col("offset_us"),
+          col("b_rec")))).as("priors"))
+    // offset < 1 minute is reported in seconds, like the reference
+    val priorLines = flatten(transform(col("priors"), p => {
+      val secs = p("offset_us").cast("double") / 1e6
+      val line1 = when(secs < 60.0,
+        format_string("\tRecord at %s seconds before:", secs.cast("string")))
+        .otherwise(format_string("\tRecord at %s minutes before:",
+          (secs / 60.0).cast("string")))
+      array(line1,
+        format_string("\t%s - %s", p("prior_ts").cast("string"), p("b_rec")))
+    }))
+    val body = perTime.select(keys.map(col) ++ Seq(
+      col(tsCol).as("at_time"),
+      posexplode(concat(
+        array(
+          format_string("%nTime %s is potentially a duplicate of %d previous records:",
+            col(tsCol).cast("string"), size(col("priors"))),
+          format_string("\tThis record: %s", col("a_rec"))),
+        priorLines))): _*)
+      .withColumnRenamed("col", "line")
+    // one header line per key group; null at_time sorts first
+    val header = df.select(keys.map(col): _*).distinct()
+      .join(body.select(keys.map(col): _*).distinct(), keys, "left_semi")
+      .select(keys.map(col) ++ Seq(
+        lit(null).cast("timestamp").as("at_time"), lit(0).as("pos"),
+        format_string("Results of search for duplicates at station number %s",
+          concat_ws("/", keys.map(k => col(k).cast("string")): _*))
+          .as("line")): _*)
+    header.unionByName(body)
+  }
+
+  /** Writes report lines as per-site text files (ops glue for the review
+    * workflow; each key group's file reads top to bottom in report order).
+    */
+  def writeAuditReport(
+      lines: DataFrame,
+      keys: Seq[String],
+      path: String): Unit =
+    lines
+      .repartition(keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col) ++
+        Seq(col("at_time").asc_nulls_first, col("pos")): _*)
+      .select(keys.map(col) :+ col("line").as("value"): _*)
+      .write.mode("overwrite").partitionBy(keys: _*).text(path)
 
   /** Centered moving aggregate over a +/- time radius (the level4 filter).
     *

@@ -66,4 +66,44 @@ class CdcAuditSpec extends SparkSpec {
       .collect().toMap
     assert(out === Map(T("2024-01-01 10:10:00") -> 1L))
   }
+
+  test("nearDupAuditReport emits the review-file lines in order") {
+    def row(t: String, battery: Double, count: Long, tube: Double,
+        rain: Double, p1: Double, p2: Double) =
+      (1, T(t), battery, count, tube, rain, p1, p2)
+    val df = Seq(
+      row("2024-01-01 10:00:00", 12.0, 100L, 21.0, 0.0, 5.0, 1000.0),
+      row("2024-01-01 10:00:30", 12.0, 100L, 21.0, 0.0, 5.0, 1000.0),
+      row("2024-01-01 10:10:00", 12.0, 100L, 21.0, 0.0, 5.0, 1000.0))
+      .toDF("site_no", "time", "battery", "count", "tube_temperature",
+        "rain", "pressure1", "pressure2")
+    val lines = TimeSeriesOps.nearDupAuditReport(
+      df, Seq("site_no"), "time", 29 * 60,
+      Seq("battery", "count", "tube_temperature", "rain"))
+      .orderBy(col("at_time").asc_nulls_first, col("pos"))
+      .select("line").as[String].collect().toSeq
+    assert(lines.head ===
+      "Results of search for duplicates at station number 1")
+    // 10:00:30 duplicates 1 prior (30s before); 10:10 duplicates 2 priors
+    assert(lines.exists(_.contains(
+      "Time 2024-01-01 10:00:30 is potentially a duplicate of 1 previous records:")))
+    assert(lines.exists(_.contains("Record at 30.0 seconds before:")))
+    assert(lines.exists(_.contains(
+      "Time 2024-01-01 10:10:00 is potentially a duplicate of 2 previous records:")))
+    assert(lines.exists(_.contains("Record at 10.0 minutes before:")))
+    assert(lines.exists(_.contains("This record: ")))
+    // per-prior record lines carry the timestamp and the JSON record
+    assert(lines.exists(l => l.contains("2024-01-01 10:00:00 - ") &&
+      l.contains("\"battery\":12.0")))
+    // the write path lays the lines down as a per-site text file
+    val d = java.nio.file.Files.createTempDirectory("graft_audit_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/report"
+    TimeSeriesOps.writeAuditReport(
+      TimeSeriesOps.nearDupAuditReport(df, Seq("site_no"), "time", 29 * 60,
+        Seq("battery", "count", "tube_temperature", "rain")),
+      Seq("site_no"), path)
+    val written = spark.read.text(s"$path/site_no=1").as[String].collect()
+    assert(written.head === "Results of search for duplicates at station number 1")
+  }
 }

@@ -44,6 +44,35 @@ class PlanSpec extends SparkSpec {
     assert(firstAgg.exists(_.contains("partial_")), p)
   }
 
+  test("v5: IVF cell assignment is a partial aggregation, not a window sort") {
+    val p = plan("v5_ivf_ann")
+    // the n x cells fan-out must collapse map-side: a partial min_by agg
+    // keyed by vector id (the query-side nprobe rank keeps its window —
+    // that's 1 row x cells, not the data fan-out)
+    assert(p.contains("partial_min_by"), p)
+  }
+
+  test("d3: candidate pairs run on ONE MinHash lineage (no cached self-join)") {
+    val p = plan("d3_minhash_pairs")
+    // the in-bucket pair generation reads the banded lineage once: a single
+    // scan of documents, no InMemoryTableScan (nothing persisted)
+    assert(!p.contains("InMemoryTableScan"), p)
+    assert("FileScan parquet".r.findAllIn(p).size === 1, p)
+    // the bucket cap still applies map-side before the shuffle
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("d6: posting lists are df-capped before the self-join") {
+    val p = plan("d6_inverted_jaccard")
+    // the document-frequency cap (and the df>=2 pair-pruning) must sit
+    // between the df aggregate and the join — without it one boilerplate
+    // shingle in f docs emits f^2 join rows
+    assert("Filter \\(\\(df#\\d+L? <= 50\\) AND \\(df#\\d+L? >= 2\\)\\)".r
+      .findFirstIn(p).isDefined, p)
+    // intersection counts partial-aggregate before their shuffle
+    assert(p.contains("partial_count"), p)
+  }
+
   test("pipeline: level chain reuses one site partitioning (no as-of " +
     "re-shuffle) and joins dims by broadcast") {
     val df = SparkEntry.queries("pl_levels_e2e")(spark, dir)
