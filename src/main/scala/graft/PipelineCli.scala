@@ -1,17 +1,28 @@
 package graft
 
-import graft.operators.{IncrementalRunner, LevelPipeline}
+import graft.operators.{IncrementalRunner, LevelPipeline, NmdbCatchup}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** CLI runner mirroring the reference's process-levels entry point
-  * (`pipeline/cosmoz_process_levels.py:677-716`):
+/** CLI runner mirroring the reference's two cron entry points.
   *
+  * Levels (`pipeline/cosmoz_process_levels.py:677-716`, via
+  * `process_levels.sh`):
   * {{{
   * runMain graft.PipelineCli --input <dir> --output <dir>
   *   [-s SITE] [-d DAYS | -t ISO_DATETIME] [--now ISO_DATETIME]
   *   [--emulate-old-version] [--pad-seconds N]
   * }}}
+  *
+  * NMDB intensity catch-up (`nmdb/entrypoint.py:68-99`, via
+  * `get_nmdb_intensities.sh`, cron 2x/day):
+  * {{{
+  * runMain graft.PipelineCli --mode nmdb-catchup --input <dir>
+  *   --feed <parquet> --output <dir> [--now ISO] [--max-lookback-hours N]
+  * }}}
+  * `--feed` is the hourly intensity source table (the stand-in for the
+  * NMDB NEST HTTP endpoint — in production a fetcher lands those rows;
+  * parsing is S5). Resume/clamp/gap-stop/validation per [[NmdbCatchup]].
   *
   * `<input dir>` must hold raw_values/ silo_data/ intensity/ stations/
   * parquet tables (SURVEY §1.2 schemas). `-d` and `-t` are mutually
@@ -24,6 +35,9 @@ object PipelineCli {
   final case class Config(
       input: String = "",
       output: String = "",
+      mode: String = "levels",
+      feed: String = "",
+      maxLookbackHours: Int = NmdbCatchup.DefaultMaxLookbackHours,
       site: Option[Int] = None,
       backprocessDays: Option[Int] = None,
       fromDatetime: Option[java.sql.Timestamp] = None,
@@ -58,11 +72,21 @@ object PipelineCli {
       case "--pad-seconds" :: v :: t =>
         v.toLongOption.toRight(s"--pad-seconds must be an integer, got '$v'")
           .flatMap(p => loop(t, c.copy(padSeconds = p)))
+      case "--mode" :: v :: t =>
+        if (v == "levels" || v == "nmdb-catchup") loop(t, c.copy(mode = v))
+        else Left(s"--mode must be levels or nmdb-catchup, got '$v'")
+      case "--feed" :: v :: t => loop(t, c.copy(feed = v))
+      case "--max-lookback-hours" :: v :: t =>
+        v.toIntOption.filter(_ > 0)
+          .toRight(s"--max-lookback-hours must be a positive integer, got '$v'")
+          .flatMap(h => loop(t, c.copy(maxLookbackHours = h)))
       case other :: _ => Left(s"unknown argument '$other'")
     }
     loop(args.toList, Config()).flatMap { c =>
       if (c.input.isEmpty || c.output.isEmpty)
         Left("--input and --output are required")
+      else if (c.mode == "nmdb-catchup" && c.feed.isEmpty)
+        Left("--feed is required in nmdb-catchup mode")
       else if (c.backprocessDays.isDefined && c.fromDatetime.isDefined)
         Left("Cannot use -d and -t at the same time. Pick one.")
       else if (c.backprocessDays.exists(_ < 0))
@@ -101,7 +125,37 @@ object PipelineCli {
     }
   }
 
-  def run(spark: SparkSession, c: Config): Unit = {
+  def run(spark: SparkSession, c: Config): Unit =
+    if (c.mode == "nmdb-catchup") runNmdbCatchup(spark, c)
+    else runLevels(spark, c)
+
+  /** The reference's resume-from-last-stored walk, fleet-wide: plan the
+    * missing hours per site, execute against the feed table with
+    * gap-stop + validation, append to the day-partitioned store.
+    */
+  def runNmdbCatchup(spark: SparkSession, c: Config): Unit = {
+    val now = c.now.getOrElse(
+      new java.sql.Timestamp(System.currentTimeMillis()))
+    def table(name: String) = {
+      val df = spark.read.parquet(s"${c.input}/$name")
+      c.site.fold(df)(s => df.filter(col("site_no") === s))
+    }
+    val intensity = table("intensity")
+    val raw = table("raw_values")
+    val feed = {
+      val df = spark.read.parquet(c.feed)
+      c.site.fold(df)(s => df.filter(col("site_no") === s))
+    }
+    val nowHour = date_trunc("hour", lit(now))
+    val plan = NmdbCatchup.fetchPlan(intensity, raw, nowHour,
+      c.maxLookbackHours)
+    val appended = NmdbCatchup.catchupAppend(intensity, feed, plan)
+    IncrementalRunner.upsertByDay(appended, c.output)
+    println(s"[nmdb-catchup] appended validated intensity hours " +
+      s"(now=$now, lookback=${c.maxLookbackHours}h) to ${c.output}")
+  }
+
+  def runLevels(spark: SparkSession, c: Config): Unit = {
     val now = c.now.getOrElse(
       new java.sql.Timestamp(System.currentTimeMillis()))
     val days = resolveBackprocessDays(c, now) match {

@@ -30,4 +30,52 @@ class PipelineCliSpec extends SparkSpec {
       PipelineCli.Config(input = "i", output = "o",
         fromDatetime = Some(T("2024-01-01 00:00:00"))), now) === Right(32))
   }
+
+  test("parse: nmdb-catchup mode requires --feed, validates lookback") {
+    assert(PipelineCli.parse(Seq("--mode", "nmdb-catchup", "--input", "i",
+      "--output", "o", "--feed", "f")).exists(c =>
+      c.mode == "nmdb-catchup" && c.feed == "f" && c.maxLookbackHours == 24))
+    assert(PipelineCli.parse(Seq("--mode", "nmdb-catchup", "--input", "i",
+      "--output", "o")).left.exists(_.contains("--feed is required")))
+    assert(PipelineCli.parse(Seq("--mode", "bogus", "--input", "i",
+      "--output", "o")).left.exists(_.contains("--mode must be")))
+    assert(PipelineCli.parse(Seq("--mode", "nmdb-catchup", "--input", "i",
+      "--output", "o", "--feed", "f", "--max-lookback-hours", "0"))
+      .left.exists(_.contains("positive")))
+  }
+
+  test("nmdb-catchup mode: resumes, validates, appends to the store") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_cli_nmdb_").toFile
+    d.deleteOnExit()
+    val in = d.getAbsolutePath + "/in"
+    val out = d.getAbsolutePath + "/out"
+    val feedPath = d.getAbsolutePath + "/feed"
+    // store: site 1 up to 10:00; raw: irrelevant here but must exist
+    Seq((1, T("2024-01-05 09:00:00"), 100.0, 0),
+      (1, T("2024-01-05 10:00:00"), 101.0, 0))
+      .toDF("site_no", "time", "intensity", "bad_data_flag")
+      .write.parquet(s"$in/intensity")
+    Seq((1, T("2024-01-05 00:00:00"), 1.0))
+      .toDF("site_no", "time", "v").write.parquet(s"$in/raw_values")
+    // feed: hours 10..13 present, 12:00 spikes 2x (flagged), 14:00 missing
+    Seq((1, T("2024-01-05 10:00:00"), 101.0),
+      (1, T("2024-01-05 11:00:00"), 102.0),
+      (1, T("2024-01-05 12:00:00"), 210.0),
+      (1, T("2024-01-05 13:00:00"), 103.0))
+      .toDF("site_no", "time", "intensity").write.parquet(feedPath)
+    PipelineCli.runNmdbCatchup(spark, PipelineCli.Config(
+      input = in, output = out, mode = "nmdb-catchup", feed = feedPath,
+      now = Some(T("2024-01-05 15:30:00"))))
+    val got = graft.operators.IncrementalRunner.readLevel(spark, out)
+      .select("time", "intensity", "bad_data_flag")
+      .as[(java.sql.Timestamp, Double, Int)].collect().sortBy(_._1.getTime)
+    // walk = 10:00..15:00 inclusive, stops at missing 14:00 -> 10..13
+    assert(got.map(_._1) === Seq(T("2024-01-05 10:00:00"),
+      T("2024-01-05 11:00:00"), T("2024-01-05 12:00:00"),
+      T("2024-01-05 13:00:00")).toArray)
+    // the 2x spike is flagged and does not poison the chain
+    assert(got.map(r => (r._2, r._3)) ===
+      Array((101.0, 0), (102.0, 0), (210.0, 1), (103.0, 0)))
+  }
 }
