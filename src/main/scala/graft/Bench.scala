@@ -31,8 +31,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // Materialize EVERY column: sum(xxhash64(c1, ..., cn)) defeats column
-    // pruning and forces per-row evaluation of the whole output schema.
+    // Materialize EVERY column: bit_xor(xxhash64(c1, ..., cn)) defeats
+    // column pruning and forces per-row evaluation of the whole output
+    // schema. bit_xor, not sum — summing uniform 64-bit hashes overflows
+    // long, which ANSI mode (Spark 4 default) turns into a runtime error.
     // (Map columns aren't hashable — stringify those; none exist today.)
     def force(name: String): Unit = {
       val df = SparkEntry.queries(name)(spark, sfDir)
@@ -40,16 +42,21 @@ object Bench {
         if (f.dataType.isInstanceOf[MapType]) col(f.name).cast("string")
         else col(f.name)
       }
-      df.select(sum(xxhash64(cols.toSeq: _*))).collect()
+      df.select(bit_xor(xxhash64(cols.toSeq: _*))).collect()
       ()
     }
     // One untimed run absorbs JVM/codegen/scan warm-up so the first timed
     // query isn't charged for it.
     try force("q1_agg") catch { case _: Throwable => () }
+    // A failed query must be VISIBLE: its slot reports -1, never a
+    // plausible-looking elapsed time.
     def timedPass(): Seq[(String, Double)] = names.map { name =>
       val t0 = System.nanoTime()
-      try force(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { force(name); true } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val pass1 = timedPass()
     val pass2 = timedPass()

@@ -42,6 +42,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinhashSig(children.head, numPerm)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_cdc_boundaries"),
+      new ExpressionInfo(classOf[graft.expressions.CdcBoundaries].getName,
+        "graft_cdc_boundaries"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_cdc_boundaries(text, window, avgChunk)")
+        def intLit(e: Expression, n: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_cdc_boundaries $n must be an int literal, got $other")
+        }
+        graft.expressions.CdcBoundaries(children.head,
+          intLit(children(1), "window"), intLit(children(2), "avgChunk"))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_dotfold"),
       new ExpressionInfo(classOf[DotFold].getName, "graft_dotfold"),
       (children: Seq[Expression]) => {

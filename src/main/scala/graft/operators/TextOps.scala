@@ -184,8 +184,32 @@ object TextOps {
   /** n-gram profile language ID: fraction of the text's char n-grams that
     * appear in a per-language profile set (the classic Cavnar-Trenkle
     * shape with a fixed profile; swap in learned profiles at will).
+    * Backed by the native [[graft.expressions.NgramProfileCounts]]: one
+    * pass over the text counts every profile at once (the HOF twin below
+    * re-builds the gram array per profile at O(len^2) each).
     */
   def ngramLangScores(
+      text: Column,
+      n: Int,
+      profiles: Seq[(String, Seq[String])]): (Seq[(String, Column)], Column) = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val counts = ColumnBridge.column(graft.expressions.NgramProfileCounts(
+      ColumnBridge.expression(text), n, profiles.map(_._2)))
+    val total = greatest(element_at(counts, 1), lit(1L)).cast("double")
+    val scores = profiles.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> round(element_at(counts, i + 2) / total, 6)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pred = scores.reverse.foldLeft(lit("und")) {
+      case (els, (lang, s)) => when(s === best && best > 0, lit(lang)).otherwise(els)
+    }
+    (scores, pred)
+  }
+
+  /** HOF twin of [[ngramLangScores]] — the executable spec the native
+    * expression is equivalence-tested against (TextOpsSpec).
+    */
+  def ngramLangScoresHof(
       text: Column,
       n: Int,
       profiles: Seq[(String, Seq[String])]): (Seq[(String, Column)], Column) = {
@@ -262,7 +286,28 @@ object TextOps {
     * two array columns; all integer arithmetic (base 257 mod 1e9+7), so
     * any SQL engine reproduces it exactly.
     */
+  /** CDC chunk frame + per-chunk md5s, backed by the native codegen'd
+    * [[graft.expressions.CdcBoundaries]] boundary scan (one tight loop
+    * per doc; the HOF twin below costs O(len^2) via per-character
+    * substring seeks — 69 s vs ~1 s on the sf0.1 corpus when the chunk
+    * column is actually materialized).
+    */
   def cdcChunks(text: Column, window: Int = 8, avgChunk: Int = 64)
+      : (Column, Column) = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val frame = ColumnBridge.column(graft.expressions.CdcBoundaries(
+      ColumnBridge.expression(text), window, avgChunk))
+    val chunkMd5s = zip_with(
+      slice(frame, lit(1), size(frame) - 1),
+      slice(frame, lit(2), size(frame) - 1),
+      (s, e) => md5(substring(text, s + 1, e - s)))
+    (frame, chunkMd5s)
+  }
+
+  /** HOF twin of [[cdcChunks]] — kept as the executable spec the native
+    * expression is equivalence-tested against (CdcAuditSpec).
+    */
+  def cdcChunksHof(text: Column, window: Int = 8, avgChunk: Int = 64)
       : (Column, Column) = {
     val B = 257L
     val M = 1000000007L

@@ -346,26 +346,33 @@ object TextQueries extends QueryModule {
             TextOps.hashedShingles3(TextOps.tokens(col("text")))).as("arr"))
         val sh = arr.select(col("doc_id"), explode(col("arr")).as("s"))
         // Posting-list frequency cap: df per shingle, keep df <= dfCap.
-        // The df agg, the keep-join, and the pair self-join all hash on
-        // `s`, so the exchange is computed once and reused.
         val kept = sh.groupBy(col("s"))
           .agg(count(lit(1)).as("df"))
           .filter(col("df") <= dfCap)
-        val shK = sh.join(kept, "s")
-        // Sizes count surviving shingles only (post-cap set semantics).
-        val sizes = shK.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        // df=1 shingles can't form a pair — skip them in the join input
-        // (pure pruning; they still count in sizes above).
-        val shP = shK.filter(col("df") >= 2)
-        val pairs = shP.select(col("doc_id").as("a"), col("s"))
-          .join(shP.select(col("doc_id").as("b"), col("s")), "s")
+        // Re-group the SURVIVING postings per doc so the set size rides
+        // along with every posting row — this kills the two separate
+        // `sizes` branches (each of which re-scanned the corpus and
+        // re-shingled it) and, at scale, the per-doc exchange below and
+        // the df exchange above are each computed once and reused across
+        // the self-join's two sides (canonically identical subplans).
+        // Sizes count surviving shingles only (post-cap set semantics);
+        // df=1 shingles can't pair, so they're dropped from the join
+        // input AFTER being counted into sz.
+        val shP = sh.join(kept, "s")
+          .groupBy(col("doc_id"))
+          .agg(collect_list(struct(col("s"), col("df"))).as("sd"))
+          .select(col("doc_id"), size(col("sd")).as("sz"),
+            explode(col("sd")).as("x"))
+          .filter(col("x.df") >= 2)
+          .select(col("doc_id"), col("sz"), col("x.s").as("s"))
+        shP.select(col("doc_id").as("a"), col("sz").as("sza"), col("s"))
+          .join(shP.select(col("doc_id").as("b"), col("sz").as("szb"),
+            col("s")), "s")
           .filter(col("a") < col("b"))
           .groupBy(col("a"), col("b"))
-          .agg(count(lit(1)).as("inter"))
+          .agg(count(lit(1)).as("inter"),
+            any_value(col("sza")).as("sza"), any_value(col("szb")).as("szb"))
           .filter(col("inter") >= 5)
-        pairs
-          .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
-          .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
           .select(col("a"), col("b"), col("inter"),
             round(col("inter").cast("double") /
               (col("sza") + col("szb") - col("inter")), 6).as("jaccard"))

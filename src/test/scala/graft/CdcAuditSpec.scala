@@ -23,6 +23,23 @@ class CdcAuditSpec extends SparkSpec {
       s"only ${shared.size} of ${out("orig").size} chunks survived")
   }
 
+  test("cdcChunks: native boundary scan equals the HOF fold formulation") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      "",
+      "short",
+      "exactly8",
+      "the quick brown fox jumps over the lazy dog " * 20,
+      "émoji ✓ unicode ±¶ text with 🚀 non-bmp chars repeated " * 10,
+      ("a" * 63) + "b" + ("c" * 200))
+      .toDF("text")
+    val (nf, nm) = TextOps.cdcChunks(col("text"))
+    val (hf, hm) = TextOps.cdcChunksHof(col("text"))
+    val rows = docs.select(nf.as("nf"), hf.as("hf"), nm.as("nm"), hm.as("hm"))
+      .as[(Seq[Int], Seq[Int], Seq[String], Seq[String])].collect()
+    rows.foreach { case (a, b, c, d) => assert(a === b); assert(c === d) }
+  }
+
   test("cdcChunks: short doc (< window) is one whole-text chunk") {
     val (frame, md5s) = TextOps.cdcChunks(col("text"))
     val row = Seq("tiny").toDF("text")

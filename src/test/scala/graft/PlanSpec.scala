@@ -64,11 +64,11 @@ class PlanSpec extends SparkSpec {
 
   test("d6: posting lists are df-capped before the self-join") {
     val p = plan("d6_inverted_jaccard")
-    // the document-frequency cap (and the df>=2 pair-pruning) must sit
-    // between the df aggregate and the join — without it one boilerplate
-    // shingle in f docs emits f^2 join rows
-    assert("Filter \\(\\(df#\\d+L? <= 50\\) AND \\(df#\\d+L? >= 2\\)\\)".r
-      .findFirstIn(p).isDefined, p)
+    // the document-frequency cap must sit between the df aggregate and
+    // the join — without it one boilerplate shingle in f docs emits f^2
+    // join rows; the df>=2 pair-pruning applies after the per-doc regroup
+    assert("\\(df#\\d+L? <= 50\\)".r.findFirstIn(p).isDefined, p)
+    assert("\\(x#\\d+\\.df >= 2\\)".r.findFirstIn(p).isDefined, p)
     // intersection counts partial-aggregate before their shuffle
     assert(p.contains("partial_count"), p)
   }

@@ -49,6 +49,24 @@ class TextOpsSpec extends SparkSpec {
     assert(out === Seq(16, 0))
   }
 
+  test("ngramLangScores: native one-pass counter equals the HOF fold") {
+    val profiles = Seq(
+      "en" -> Seq("the", "he ", " th"),
+      "xx" -> Seq("éma", "a✓b", "the")) // overlap + unicode grams
+    val docs = Seq(
+      "", "th", "the theme of the thing",
+      "cinéma✓bar éma éma", "no hits at all here?",
+      "the" * 50).toDF("text")
+    val (ns, np) = TextOps.ngramLangScores(col("text"), 3, profiles)
+    val (hs, hp) = TextOps.ngramLangScoresHof(col("text"), 3, profiles)
+    val cols = ns.map(_._2) ++ hs.map(_._2) :+ np :+ hp
+    docs.select(cols: _*).collect().foreach { r =>
+      assert(r.get(0) === r.get(2), "en score")
+      assert(r.get(1) === r.get(3), "xx score")
+      assert(r.get(4) === r.get(5), "pred")
+    }
+  }
+
   test("langScores argmax with first-wins tie-break and und fallback") {
     val markers = Seq("en" -> Seq("the"), "fr" -> Seq("le"))
     val df = Seq("the cat", "le chat", "the le", "nothing here").toDF("text")
