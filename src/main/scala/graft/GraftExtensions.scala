@@ -42,6 +42,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinhashSig(children.head, numPerm)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_simhash16"),
+      new ExpressionInfo(classOf[graft.expressions.Simhash16].getName,
+        "graft_simhash16"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_simhash16 takes one argument")
+        graft.expressions.Simhash16(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_cdc_boundaries"),
       new ExpressionInfo(classOf[graft.expressions.CdcBoundaries].getName,
         "graft_cdc_boundaries"),

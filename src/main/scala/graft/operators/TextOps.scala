@@ -155,9 +155,20 @@ object TextOps {
     * semantics). Bit j is set when the +1/-1 vote over all tokens of the
     * token-hash bit j is positive. 16-bit by design: the same formula
     * widens to 64 by swapping the constant; 16 keeps cross-engine
-    * verification tractable.
+    * verification tractable. Backed by the native codegen'd
+    * [[graft.expressions.Simhash16]] — one md5 per token (the HOF twin
+    * below digests every token once PER BIT).
     */
-  def simhash16(toks: Column): Column =
+  def simhash16(toks: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.Simhash16(
+      ColumnBridge.expression(toks)))
+  }
+
+  /** HOF twin of [[simhash16]] — the executable spec the native
+    * expression is equivalence-tested against (TextOpsSpec).
+    */
+  def simhash16Hof(toks: Column): Column =
     aggregate(
       sequence(lit(0), lit(15)),
       lit(0L),

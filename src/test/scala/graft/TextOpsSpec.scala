@@ -49,6 +49,24 @@ class TextOpsSpec extends SparkSpec {
     assert(out === Seq(16, 0))
   }
 
+  test("simhash16: native single-digest form equals the HOF fold") {
+    val docs = Seq(
+      "", "one", "the quick brown fox", "a b c d e f g h",
+      "émoji ✓ utf8 tokens here", "dup dup dup dup").toDF("text")
+    val out = docs.select(
+      TextOps.simhash16(TextOps.tokens($"text")).as("n"),
+      TextOps.simhash16Hof(TextOps.tokens($"text")).as("h"))
+      .as[(Long, Long)].collect()
+    out.foreach { case (n, h) => assert(n === h) }
+    // null ELEMENT votes -1 everywhere in both formulations
+    val withNull = spark.sql(
+      "SELECT graft_simhash16(array('a', CAST(NULL AS STRING), 'b')) AS n")
+      .as[Long].head()
+    val hofNull = Seq(1).toDF("x").select(TextOps.simhash16Hof(
+      array(lit("a"), lit(null).cast("string"), lit("b")))).as[Long].head()
+    assert(withNull === hofNull)
+  }
+
   test("ngramLangScores: native one-pass counter equals the HOF fold") {
     val profiles = Seq(
       "en" -> Seq("the", "he ", " th"),
