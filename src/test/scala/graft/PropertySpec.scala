@@ -61,6 +61,89 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  // ---- native expression helpers vs independent references ----
+  // The natives are rolling/one-pass; the references below RE-DERIVE per
+  // position (the same formulation the DuckDB oracles use), so agreement
+  // checks the algebra, not the implementation.
+
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(0, 120)
+    cps <- Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.choose(32, 126),          // ascii
+      1 -> Gen.oneOf(0xe9, 0x2713),      // é, ✓ (multi-byte BMP)
+      1 -> Gen.const(0x1f680)))          // 🚀 (non-BMP, surrogate pair)
+  } yield new String(cps.toArray, 0, cps.length)
+
+  test("CdcBoundaries: rolling scan equals per-position refold (oracle shape)") {
+    def ref(s: String, w: Int, avg: Int): Seq[Int] = {
+      val cps = s.codePoints().toArray
+      val len = cps.length
+      if (len < w) Seq(0, len)
+      else {
+        val bs = (w to len).filter { i =>
+          val h = (i - w until i).foldLeft(0L)(
+            (acc, j) => (acc * 257L + cps(j)) % 1000000007L)
+          h % avg == 0
+        }
+        (0 +: bs) ++ (if (bs.nonEmpty && bs.last == len) Nil else Seq(len))
+      }
+    }
+    check(Prop.forAll(textGen, Gen.choose(1, 12), Gen.oneOf(4, 16, 64)) {
+      (s, w, avg) =>
+        val native = graft.expressions.CdcBoundaries
+          .boundaries(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+            w, avg).toIntArray().toSeq
+        native == ref(s, w, avg)
+    }, samples = 200)
+  }
+
+  test("Simhash16: digest-byte votes equal hex-digit-arithmetic reference") {
+    def ref(toks: Seq[String]): Long = {
+      def bit(hex: String, j: Int): Int = {
+        val c = hex(j / 4)
+        val digit = if (c >= 'a') c - 87 else c - 48
+        (digit >> (3 - j % 4)) & 1
+      }
+      val votes = new Array[Int](16)
+      toks.foreach { t =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(t.getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString
+        (0 until 16).foreach(j =>
+          votes(j) += (if (bit(hex, j) == 1) 1 else -1))
+      }
+      (0 until 16).map(j => if (votes(j) > 0) 1L << j else 0L).sum
+    }
+    check(Prop.forAll(Gen.listOf(textGen)) { toks =>
+      val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        toks.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
+      graft.expressions.Simhash16.simhash(arr) == ref(toks)
+    }, samples = 200)
+  }
+
+  test("NgramProfileCounts: one-pass counts equal sliding-window reference") {
+    val gramGen: Gen[String] =
+      Gen.listOfN(3, Gen.oneOf('a', 'b', 'c', 'é', ' ')).map(_.mkString)
+    check(Prop.forAll(textGen, Gen.listOfN(2, Gen.listOfN(3, gramGen))) {
+      (s, profiles0) =>
+        // profiles must be length-3 in code points (single-cp chars above)
+        val profiles = profiles0.map { ps =>
+          val ok = ps.filter(g => g.codePointCount(0, g.length) == 3)
+          if (ok.isEmpty) Seq("abc") else ok
+        }
+        val expr = graft.expressions.NgramProfileCounts(
+          org.apache.spark.sql.catalyst.expressions.Literal("x"), 3, profiles)
+        val got = expr.counts(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s)).toLongArray().toSeq
+        val cps = s.codePoints().toArray
+        val grams = cps.sliding(3).filter(_.length == 3)
+          .map(a => new String(a, 0, 3)).toSeq
+        val want = (if (cps.length >= 3) (cps.length - 3 + 1).toLong else 0L) +:
+          profiles.map(ps => grams.count(ps.contains).toLong)
+        got == want
+    }, samples = 200)
+  }
+
   // ---- Spark-evaluated operators: fewer samples ----
 
   private val seriesGen: Gen[List[(Int, Long, Int)]] = for {
