@@ -127,6 +127,40 @@ object TemporalQueries extends QueryModule {
         WHERE a.event_type = 'click'
         ORDER BY a.event_id""")),
 
+    // J4b — the emulate_old_version quirk on the backward tier
+    // (pipeline/cosmoz_process_levels.py:262-264: `FIRST(intensity) WHERE
+    // time <= t` — the OLDEST row at/before t, not the latest; forward
+    // fallback unchanged). Previously spec-only; the quirk is plain SQL.
+    "j8_asof_old_emulation" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        TimeSeriesOps
+          .asOfLookup(clicks, purchases, Seq("user_id"), "ts", "ts",
+            Seq("value"), backwardPickFirst = true)
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("value_asof"), lit(-1.0)).as("asof_value"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some("""
+        SELECT a.event_id, a.user_id,
+               coalesce(
+                 (SELECT b.value FROM events b
+                  WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+                    AND b.ts <= a.ts
+                  ORDER BY b.ts ASC LIMIT 1),
+                 (SELECT c.value FROM events c
+                  WHERE c.user_id = a.user_id AND c.event_type = 'purchase'
+                    AND c.ts >= a.ts
+                  ORDER BY c.ts ASC LIMIT 1),
+                 -1.0) AS asof_value
+        FROM events a
+        WHERE a.event_type = 'click'
+        ORDER BY a.event_id""")),
+
     // J6 — 29-minute near-duplicate suppression
     // (pipeline/cosmoz_process_levels.py:375-390, is_duplicate :316-337):
     // drop a row if an equal row exists in the preceding 29 minutes of the
