@@ -370,11 +370,20 @@ object TextOps {
     * and a prefix key over the first 8 tokens (near-dup blocking key).
     */
   def fingerprint(text: Column, toks: Column, shingleK: Int): Map[String, Column] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val full = md5(text)
+    // min_shingle_hash: native one-pass (build shingle, digest, fold a
+    // 16-byte min) — the HOF twin materializes the shingle-string AND
+    // md5-hex arrays per doc; equivalence-tested in TextOpsSpec.
     Map(
       "md5_full" -> full,
       "shard" -> hexDigitVal(full, lit(1)),
-      "min_shingle_hash" -> array_min(transform(shingles(toks, shingleK), s => md5(s))),
+      "min_shingle_hash" -> ColumnBridge.column(
+        graft.expressions.MinShingleMd5(ColumnBridge.expression(toks), shingleK)),
       "prefix_key" -> md5(array_join(slice(toks, 1, 8), " ")))
   }
+
+  /** HOF twin of the fingerprint's min_shingle_hash (executable spec). */
+  def minShingleMd5Hof(toks: Column, shingleK: Int): Column =
+    array_min(transform(shingles(toks, shingleK), s => md5(s)))
 }

@@ -49,6 +49,19 @@ class TextOpsSpec extends SparkSpec {
     assert(out === Seq(16, 0))
   }
 
+  test("minShingleMd5: native fold equals the HOF array formulation") {
+    val docs = Seq(
+      "", "one two", "one two three four five",
+      "the quick brown fox jumps over the lazy dog",
+      "émoji ✓ utf8 tokens here again and again").toDF("text")
+    val toks = TextOps.tokens($"text")
+    val out = docs.select(
+      TextOps.fingerprint($"text", toks, 3)("min_shingle_hash").as("n"),
+      TextOps.minShingleMd5Hof(toks, 3).as("h"))
+      .collect()
+    out.foreach(r => assert(r.get(0) === r.get(1)))
+  }
+
   test("simhash16: native single-digest form equals the HOF fold") {
     val docs = Seq(
       "", "one", "the quick brown fox", "a b c d e f g h",
