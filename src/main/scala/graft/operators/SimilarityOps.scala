@@ -218,6 +218,65 @@ object SimilarityOps {
         x => x("c")).as("centroid"))
   }
 
+  /** Distributed Lloyd's k-means over an embedding column — the "train
+    * the IVF codebook" step v5 assumes (there it reuses semantic groups;
+    * here the cells are learned). Fully deterministic and engine-portable
+    * by construction, so it is oracle-checkable:
+    *  - init = the k lowest-id vectors, cluster id by id order;
+    *  - assignment = min squared euclidean distance, computed as an
+    *    exact DECIMAL(38,12) sum of 12-dp-quantized per-dim terms (no
+    *    float addition-order sensitivity), ties -> lowest cluster;
+    *  - update = decimal-exact per-dim means (same discipline as
+    *    centroidVectors).
+    *
+    * Plan shape per iteration: centroids (k x dims, tiny) BROADCAST into
+    * the exploded vector table, one (id, cluster) partial-aggregable
+    * min_by — no window sorts, no driver loops; the iteration count is
+    * the only sequential dimension. Each iteration's lineage references
+    * the input again (Spark recomputes the scan, it never re-runs prior
+    * assignments); for many-iteration runs at scale, localCheckpoint the
+    * assignment per iteration — dedup codebooks converge in 2-3, which
+    * deep lineage handles fine.
+    */
+  def kmeansClusters(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
+    require(k > 0 && iters > 0, "k and iters must be positive")
+    val e = embeddings
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "v0")))
+      .select(col(idCol), col("dim"), col("v0").cast("double").as("v"))
+    val wInit = Window.orderBy(col(idCol))
+    var cent = embeddings.orderBy(col(idCol)).limit(k)
+      .select((row_number().over(wInit) - 1).as("cluster"), col(vecCol))
+      .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "c0")))
+      .select(col("cluster"), col("dim"), col("c0").cast("double").as("c"))
+    var assign: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      val d = e.join(broadcast(cent), Seq("dim"))
+        .select(col(idCol), col("cluster"),
+          round((col("v") - col("c")) * (col("v") - col("c")), 12)
+            .cast("decimal(38,12)").as("dd"))
+        .groupBy(col(idCol), col("cluster"))
+        .agg(sum(col("dd")).as("d2"))
+      assign = d.groupBy(col(idCol))
+        .agg(min_by(struct(col("cluster"), col("d2")),
+          struct(col("d2"), col("cluster"))).as("__m"))
+        .select(col(idCol), col("__m.cluster").as("cluster"),
+          col("__m.d2").as("d2"))
+      cent = e.join(assign.select(col(idCol), col("cluster")), Seq(idCol))
+        .groupBy(col("cluster"), col("dim"))
+        .agg((sum(round(col("v"), 12).cast("decimal(38,12)")).cast("double") /
+          count(lit(1))).as("c"))
+      i += 1
+    }
+    assign.select(col(idCol), col("cluster"),
+      round(col("d2").cast("double"), 6).as("dist2"))
+  }
+
   /** IVF-style ANN: a coarse codebook of per-group centroids; every vector
     * is assigned to its nearest cell by cosine (ties -> lowest cell id);
     * the query probes its `nprobe` closest cells and ranks only THOSE

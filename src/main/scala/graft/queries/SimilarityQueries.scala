@@ -197,6 +197,60 @@ object SimilarityQueries extends QueryModule {
           FROM p)
         SELECT va AS vec_id, label, vb AS nn, sim
         FROM r WHERE rk = 1
+        ORDER BY vec_id""")),
+
+    // V6 — k-means clustering (Lloyd's, 2 iterations, k=4): the learned
+    // codebook path for IVF (v5 reuses semantic labels; here the cells
+    // come from the data). Deterministic by construction — lowest-id
+    // init, decimal-exact distances and means, lowest-cluster ties — so
+    // the oracle unrolls the two iterations as plain SQL.
+    "v6_kmeans" -> Q(
+      fn = (s, dir) =>
+        SimilarityOps.kmeansClusters(
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 4, iters = 2)
+          .orderBy(col("vec_id")),
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, i AS dim, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+          FROM embeddings, range(1, 65) t(i)),
+        init AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+                 vec_id
+          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+        c0 AS (SELECT i.cluster, e.dim, e.v AS c
+               FROM init i JOIN e ON e.vec_id = i.vec_id),
+        d1 AS (
+          SELECT e.vec_id, c.cluster,
+                 sum(CAST(round((e.v - c.c) * (e.v - c.c), 12)
+                   AS DECIMAL(38,12))) AS d2
+          FROM e JOIN c0 c ON e.dim = c.dim
+          GROUP BY 1, 2),
+        a1 AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cluster) AS rn
+            FROM d1) WHERE rn = 1),
+        c1 AS (
+          SELECT a.cluster, e.dim,
+                 CAST(sum(CAST(round(e.v, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                   / count(*) AS c
+          FROM e JOIN a1 a ON e.vec_id = a.vec_id
+          GROUP BY 1, 2),
+        dd2 AS (
+          SELECT e.vec_id, c.cluster,
+                 sum(CAST(round((e.v - c.c) * (e.v - c.c), 12)
+                   AS DECIMAL(38,12))) AS d2
+          FROM e JOIN c1 c ON e.dim = c.dim
+          GROUP BY 1, 2),
+        a2 AS (
+          SELECT vec_id, cluster, d2 FROM (
+            SELECT vec_id, cluster, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cluster) AS rn
+            FROM dd2) WHERE rn = 1)
+        SELECT vec_id, cluster, round(CAST(d2 AS DOUBLE), 6) AS dist2
+        FROM a2
         ORDER BY vec_id"""))
   )
 }

@@ -4,6 +4,23 @@ import graft.operators.SimilarityOps
 import org.apache.spark.sql.functions._
 
 class SimilarityOpsSpec extends SparkSpec {
+
+  test("kmeansClusters separates two well-separated blobs (k=2)") {
+    import spark.implicits._
+    // blob A near the origin (ids 0,1,2), blob B near (10,10) (ids 3,4,5);
+    // init = two lowest ids, both in blob A — the update step must still
+    // pull one centroid across to blob B within two iterations
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.1f)), (1L, Array(0.1f, 0.0f)), (2L, Array(0.2f, 0.1f)),
+      (3L, Array(10.0f, 10.1f)), (4L, Array(10.1f, 9.9f)), (5L, Array(9.9f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.SimilarityOps
+      .kmeansClusters(vecs, "vec_id", "embedding", k = 2, iters = 3)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    assert(Set(out(0L), out(1L), out(2L)).size === 1, "blob A one cluster")
+    assert(Set(out(3L), out(4L), out(5L)).size === 1, "blob B one cluster")
+    assert(out(0L) !== out(3L), "blobs in different clusters")
+  }
   import spark.implicits._
 
   private def emb = Seq(
