@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset-curation operators: sampling, splitting, and
+  * sequence packing for training-data assembly. Everything here is
+  * HASH-ordered rather than rng-ordered — `rand()` gives a different
+  * sample every run/partitioning, which destroys reproducibility and
+  * can't be restated by an independent engine; md5-of-id order is
+  * uniform-ish, stable across runs, engines, and partition counts, and
+  * each row's placement is decidable locally (no global coordination).
+  */
+object SampleOps {
+
+  private def hashOrder(idCol: String): Seq[Column] =
+    Seq(md5(col(idCol).cast("string")), col(idCol))
+
+  /** Per-group deterministic sample of `n` rows: rank by md5(id) within
+    * the group, keep the first n. row_number + filter compiles to
+    * WindowGroupLimit, so the cap prunes map-side BEFORE the shuffle —
+    * a group with 10^9 rows ships ~n per input partition, not 10^9.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(hashOrder(idCol): _*)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
+  /** Deterministic train/holdout split: 60-bit md5 of the id mod 100
+    * against the percentage. Purely per-row (no shuffle, no state) and
+    * stable under any re-partitioning or re-run — the property that
+    * matters when the split must agree across pipeline stages.
+    */
+  def hashSplit(
+      idCol: Column,
+      trainPct: Int,
+      trainLabel: String = "train",
+      holdoutLabel: String = "holdout"): Column =
+    when(pmod(TextOps.baseHash60(idCol.cast("string")), lit(100)) < trainPct,
+      lit(trainLabel)).otherwise(lit(holdoutLabel))
+
+  /** Greedy sequence-packing approximation: stream each shard's docs in
+    * hash order, keep a running length cumsum, and place each doc in the
+    * bin where its first token lands when the stream is concatenated
+    * (bin = floor(start / maxLen)). One window per shard — O(1) state
+    * per row, no quadratic bin search; bins can overflow by at most one
+    * document tail, the standard concat-then-chunk packing used for
+    * pretraining batches (documents spanning a boundary are split
+    * downstream at tokenization, not here).
+    *
+    * Output adds: `shard_pos` (start offset in the shard's concatenated
+    * stream), `bin` (the pack id within the shard).
+    */
+  def packSequences(
+      df: DataFrame,
+      shardCol: String,
+      idCol: String,
+      lenCol: String,
+      maxLen: Int): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(hashOrder(idCol): _*)
+    val cum = sum(col(lenCol)).over(w)
+    df.withColumn("shard_pos", (cum - col(lenCol)).cast("long"))
+      .withColumn("bin",
+        floor(col("shard_pos") / lit(maxLen.toDouble)).cast("long"))
+  }
+}

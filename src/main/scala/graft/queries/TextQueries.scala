@@ -490,6 +490,65 @@ object TextQueries extends QueryModule {
     // T8 — vocabulary statistics: global top-20 tokens by frequency
     // (explode -> partial-agg count -> TakeOrdered; the profiling pass
     // that sizes tokenizer vocab / stopword lists).
+    // T10 — deterministic stratified sampling + hash train/holdout split
+    // (dataset curation): per-language 40-doc sample in md5-of-id order
+    // (reproducible across engines/runs — rand() is neither), split by
+    // 60-bit id hash mod 100. The sample rank compiles to a map-side
+    // WindowGroupLimit; the split is a pure per-row column.
+    "t10_sample_split" -> Q(
+      fn = (s, dir) =>
+        graft.operators.SampleOps
+          .stratifiedSample(t(s, dir, "documents"), "lang", "doc_id", n = 40)
+          .select(col("doc_id"), col("lang"),
+            graft.operators.SampleOps.hashSplit(col("doc_id"), 90).as("split"))
+          .orderBy(col("doc_id")),
+      oracle = Some {
+        val h60 = baseHashSql.replace("md5(s)", "md5(CAST(doc_id AS VARCHAR))")
+        s"""
+        WITH ranked AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+        SELECT doc_id, lang,
+               CASE WHEN ($h60) % 100 < 90 THEN 'train' ELSE 'holdout' END AS split
+        FROM ranked
+        WHERE rn <= 40
+        ORDER BY doc_id"""
+      }),
+
+    // T11 — greedy sequence packing (pretraining batch assembly): shard
+    // by id hash, stream each shard in hash order, place each doc at its
+    // cumulative offset, bin = floor(offset / maxLen) — the concat-then-
+    // chunk packing, one running-sum window per shard.
+    "t11_pack_sequences" -> Q(
+      fn = (s, dir) => {
+        val sharded = t(s, dir, "documents")
+          .withColumn("shard",
+            pmod(graft.operators.TextOps.baseHash60(
+              col("doc_id").cast("string")), lit(8)))
+        graft.operators.SampleOps
+          .packSequences(sharded, "shard", "doc_id", "n_chars", maxLen = 2048)
+          .select(col("doc_id"), col("shard"), col("shard_pos"), col("bin"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some {
+        val h60 = baseHashSql.replace("md5(s)", "md5(CAST(doc_id AS VARCHAR))")
+        s"""
+        WITH sharded AS (
+          SELECT doc_id, n_chars, ($h60) % 8 AS shard FROM documents),
+        packed AS (
+          SELECT doc_id, shard,
+                 CAST(sum(n_chars) OVER (PARTITION BY shard
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   - n_chars AS BIGINT) AS shard_pos
+          FROM sharded)
+        SELECT doc_id, shard,shard_pos,
+               CAST(floor(shard_pos / 2048.0) AS BIGINT) AS bin
+        FROM packed
+        ORDER BY doc_id"""
+      }),
+
     "t8_vocab_topk" -> Q(
       fn = (s, dir) =>
         t(s, dir, "documents")

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.SampleOps
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators: the property that matters is DETERMINISM
+  * under re-partitioning and re-runs — a sample/split/packing that moves
+  * when the cluster layout changes poisons every downstream stage.
+  */
+class SampleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (0L until 200L).map(i =>
+    (i, s"lang${i % 3}", (i % 37 + 1).toInt)).toDF("id", "lang", "len")
+
+  test("stratifiedSample: exact n per group, stable under repartition") {
+    val a = SampleOps.stratifiedSample(docs, "lang", "id", 10)
+      .select("id").as[Long].collect().toSet
+    val b = SampleOps.stratifiedSample(docs.repartition(7), "lang", "id", 10)
+      .select("id").as[Long].collect().toSet
+    assert(a === b)
+    val sizes = SampleOps.stratifiedSample(docs, "lang", "id", 10)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.toSet === Set(10L))
+  }
+
+  test("hashSplit: stable per id, roughly the requested ratio") {
+    val out = docs.select(col("id"),
+      SampleOps.hashSplit(col("id"), 90).as("split"))
+      .as[(Long, String)].collect().toMap
+    val out2 = docs.repartition(5).select(col("id"),
+      SampleOps.hashSplit(col("id"), 90).as("split"))
+      .as[(Long, String)].collect().toMap
+    assert(out === out2)
+    val train = out.values.count(_ == "train")
+    assert(train > 150 && train < 200, s"train=$train of 200")
+  }
+
+  test("packSequences: contiguous offsets per shard, bins chunk at maxLen") {
+    val packed = SampleOps.packSequences(docs, "lang", "id", "len", maxLen = 64)
+      .select("lang", "id", "len", "shard_pos", "bin")
+      .as[(String, Long, Int, Long, Long)].collect()
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._4)
+      // offsets tile the concatenated stream exactly
+      assert(ordered.head._4 === 0L)
+      ordered.sliding(2).foreach {
+        case Array(p, q) => assert(q._4 === p._4 + p._3)
+        case _ =>
+      }
+      // bin = floor(start / maxLen)
+      ordered.foreach(r => assert(r._5 === r._4 / 64))
+    }
+    // deterministic under repartition
+    val again = SampleOps.packSequences(
+      docs.repartition(9), "lang", "id", "len", maxLen = 64)
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    assert(packed.map(r => r._2 -> r._5).toMap === again)
+  }
+}
