@@ -229,14 +229,14 @@ object SimilarityOps {
     *  - update = decimal-exact per-dim means (same discipline as
     *    centroidVectors).
     *
-    * Plan shape per iteration: centroids (k x dims, tiny) BROADCAST into
-    * the exploded vector table, one (id, cluster) partial-aggregable
-    * min_by — no window sorts, no driver loops; the iteration count is
-    * the only sequential dimension. Each iteration's lineage references
-    * the input again (Spark recomputes the scan, it never re-runs prior
-    * assignments); for many-iteration runs at scale, localCheckpoint the
-    * assignment per iteration — dedup codebooks converge in 2-3, which
-    * deep lineage handles fine.
+    * Iteration shape (the MLlib one): the codebook LIVES ON THE DRIVER
+    * between iterations — k x dims doubles, metadata-scale — and is
+    * re-broadcast as literal rows each round, so every iteration is ONE
+    * scan of the input with constant lineage depth (keeping the codebook
+    * as a lazy DataFrame instead makes iteration i recompute iterations
+    * 1..i-1). Per iteration: broadcast join, one (id, cluster)
+    * partial-aggregable min_by — no window sorts; the mean update is a
+    * (cluster, dim) aggregation collected back to the driver.
     */
   def kmeansClusters(
       embeddings: DataFrame,
@@ -245,36 +245,45 @@ object SimilarityOps {
       k: Int,
       iters: Int): DataFrame = {
     require(k > 0 && iters > 0, "k and iters must be positive")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val e = embeddings
       .select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "v0")))
       .select(col(idCol), col("dim"), col("v0").cast("double").as("v"))
-    val wInit = Window.orderBy(col(idCol))
-    var cent = embeddings.orderBy(col(idCol)).limit(k)
-      .select((row_number().over(wInit) - 1).as("cluster"), col(vecCol))
-      .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "c0")))
-      .select(col("cluster"), col("dim"), col("c0").cast("double").as("c"))
-    var assign: DataFrame = null
-    var i = 0
-    while (i < iters) {
-      val d = e.join(broadcast(cent), Seq("dim"))
+    // init: the k lowest-id vectors, cluster id in id order (driver-side;
+    // k rows of metadata, like a broadcast-join threshold decision)
+    var cent: Seq[(Int, Int, Double)] = embeddings
+      .orderBy(col(idCol)).limit(k)
+      .select(col(idCol), col(vecCol).cast("array<double>").as("vec"))
+      .collect().zipWithIndex.flatMap { case (row, cl) =>
+        row.getSeq[Double](1).zipWithIndex.map { case (v, dim) => (cl, dim, v) }
+      }.toSeq
+    def assignTo(centDf: DataFrame): DataFrame = {
+      val d = e.join(broadcast(centDf), Seq("dim"))
         .select(col(idCol), col("cluster"),
           round((col("v") - col("c")) * (col("v") - col("c")), 12)
             .cast("decimal(38,12)").as("dd"))
         .groupBy(col(idCol), col("cluster"))
         .agg(sum(col("dd")).as("d2"))
-      assign = d.groupBy(col(idCol))
+      d.groupBy(col(idCol))
         .agg(min_by(struct(col("cluster"), col("d2")),
           struct(col("d2"), col("cluster"))).as("__m"))
         .select(col(idCol), col("__m.cluster").as("cluster"),
           col("__m.d2").as("d2"))
+    }
+    var i = 0
+    while (i < iters - 1) {
+      val assign = assignTo(cent.toDF("cluster", "dim", "c"))
       cent = e.join(assign.select(col(idCol), col("cluster")), Seq(idCol))
         .groupBy(col("cluster"), col("dim"))
         .agg((sum(round(col("v"), 12).cast("decimal(38,12)")).cast("double") /
           count(lit(1))).as("c"))
+        .as[(Int, Int, Double)].collect().toSeq
       i += 1
     }
-    assign.select(col(idCol), col("cluster"),
-      round(col("d2").cast("double"), 6).as("dist2"))
+    assignTo(cent.toDF("cluster", "dim", "c"))
+      .select(col(idCol), col("cluster"),
+        round(col("d2").cast("double"), 6).as("dist2"))
   }
 
   /** IVF-style ANN: a coarse codebook of per-group centroids; every vector
