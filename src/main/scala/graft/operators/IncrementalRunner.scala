@@ -24,10 +24,18 @@ object IncrementalRunner {
   /** Idempotent windowed upsert: writes `updated` partitioned by
     * (site_no, day) with dynamic overwrite — partitions NOT present in
     * `updated` survive (the set-based DROP SERIES + rewrite).
+    *
+    * Rows are repartitioned on the partition columns first, so each
+    * (site, day) directory gets ONE file instead of one per shuffle
+    * partition — without it, a 31-day x 100-site recompute at 200
+    * shuffle partitions lays down ~600k near-empty files (the classic
+    * small-files failure). A single (site, day) is bounded by the hourly
+    * cadence, so the per-task write never skews large.
     */
   def upsertByDay(updated: DataFrame, path: String, tsCol: String = "time"): Unit =
     updated
       .withColumn(DayCol, date_format(col(tsCol), "yyyy-MM-dd"))
+      .repartition(col("site_no"), col(DayCol))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("site_no", DayCol)
