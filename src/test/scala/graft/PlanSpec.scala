@@ -73,6 +73,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("t10: stratified sample caps map-side (WindowGroupLimit, both phases)") {
+    val p = plan("t10_sample_split")
+    // rank<=n must prune BEFORE the shuffle: partial + final group limits
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(p).isDefined, p)
+    assert("WindowGroupLimit.*Final".r.findFirstIn(p).isDefined, p)
+  }
+
   test("pipeline: level chain reuses one site partitioning (no as-of " +
     "re-shuffle) and joins dims by broadcast") {
     val df = SparkEntry.queries("pl_levels_e2e")(spark, dir)
