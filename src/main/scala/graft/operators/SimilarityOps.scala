@@ -243,7 +243,21 @@ object SimilarityOps {
       idCol: String,
       vecCol: String,
       k: Int,
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame =
+    kmeansFit(embeddings, idCol, vecCol, k, iters)._1
+      .select(col(idCol), col("cluster"),
+        round(col("d2").cast("double"), 6).as("dist2"))
+
+  /** The fit itself: (final assignment with raw decimal d2, the codebook
+    * the assignment was made against as (cluster, dim, c) rows). The
+    * codebook is what an IVF index probes — see [[ivfTopKLearned]].
+    */
+  def kmeansFit(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): (DataFrame, Seq[(Int, Int, Double)]) = {
     require(k > 0 && iters > 0, "k and iters must be positive")
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -281,9 +295,51 @@ object SimilarityOps {
         .as[(Int, Int, Double)].collect().toSeq
       i += 1
     }
-    assignTo(cent.toDF("cluster", "dim", "c"))
-      .select(col(idCol), col("cluster"),
-        round(col("d2").cast("double"), 6).as("dist2"))
+    (assignTo(cent.toDF("cluster", "dim", "c")), cent)
+  }
+
+  /** IVF ANN over a LEARNED codebook: k-means trains the cells, every
+    * vector joins its assigned cell, the query probes its `nprobe`
+    * closest learned centroids by cosine, and only those cells' vectors
+    * are ranked exactly. The end-to-end composition [[kmeansFit]] →
+    * assignment → probe; same 100 TB shape as [[ivfTopK]] (broadcast
+    * codebook, cell equi-join, TakeOrdered) with the cells coming from
+    * the data instead of a semantic label.
+    */
+  def ivfTopKLearned(
+      embeddings: DataFrame,
+      query: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kCells: Int,
+      trainIters: Int,
+      nprobe: Int,
+      k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (assign, cent) = kmeansFit(embeddings, idCol, vecCol, kCells, trainIters)
+    val cb = broadcast(cent.toDF("cell", "dim", "c")
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x("c")).as("centroid")))
+    val cells = embeddings
+      .join(assign.select(col(idCol), col("cluster").as("cell")), Seq(idCol))
+    val wProbe = Window.partitionBy(col(idCol))
+      .orderBy(col("__csim").desc, col("cell").asc)
+    val probed = query.join(cb)
+      .withColumn("__csim", cosine(col(vecCol), col("centroid")))
+      .withColumn("__crank", row_number().over(wProbe))
+      .filter(col("__crank") <= nprobe)
+      .select(col(idCol).as("__qid"), col(vecCol).as("__qvec"), col("cell"))
+    cells
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col(idCol) =!= col("__qid"))
+      .select(col(idCol), col("cell"),
+        cosine(col(vecCol), col("__qvec")).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("sim").desc, col(idCol).asc)))
   }
 
   /** IVF-style ANN: a coarse codebook of per-group centroids; every vector

@@ -251,6 +251,85 @@ object SimilarityQueries extends QueryModule {
             FROM dd2) WHERE rn = 1)
         SELECT vec_id, cluster, round(CAST(d2 AS DOUBLE), 6) AS dist2
         FROM a2
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    // V7 — IVF over a LEARNED codebook: k-means (2 iterations, k=4)
+    // trains the cells, the query probes its 2 closest learned centroids
+    // by cosine, only those cells' vectors rank. The composed end-to-end
+    // path v5 assumes a label for; the oracle unrolls training + probe.
+    "v7_ivf_learned" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimilarityOps.ivfTopKLearned(
+          emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+          kCells = 4, trainIters = 2, nprobe = 2, k = 10)
+          .orderBy(col("rank"))
+      },
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT vec_id, i AS dim, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+          FROM embeddings, range(1, 65) t(i)),
+        init AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+                 vec_id
+          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+        c0 AS (SELECT i.cluster, e.dim, e.v AS c
+               FROM init i JOIN e ON e.vec_id = i.vec_id),
+        d1 AS (
+          SELECT e.vec_id, c.cluster,
+                 sum(CAST(round((e.v - c.c) * (e.v - c.c), 12)
+                   AS DECIMAL(38,12))) AS d2
+          FROM e JOIN c0 c ON e.dim = c.dim
+          GROUP BY 1, 2),
+        a1 AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cluster) AS rn
+            FROM d1) WHERE rn = 1),
+        c1 AS (
+          SELECT a.cluster, e.dim,
+                 CAST(sum(CAST(round(e.v, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                   / count(*) AS c
+          FROM e JOIN a1 a ON e.vec_id = a.vec_id
+          GROUP BY 1, 2),
+        dd2 AS (
+          SELECT e.vec_id, c.cluster,
+                 sum(CAST(round((e.v - c.c) * (e.v - c.c), 12)
+                   AS DECIMAL(38,12))) AS d2
+          FROM e JOIN c1 c ON e.dim = c.dim
+          GROUP BY 1, 2),
+        a2 AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cluster) AS rn
+            FROM dd2) WHERE rn = 1),
+        cb AS (
+          SELECT cluster AS cell, list(c ORDER BY dim) AS centroid
+          FROM c1 GROUP BY 1),
+        probed AS (
+          SELECT cell FROM (
+            SELECT cb.cell,
+                   row_number() OVER (ORDER BY
+                     ${cosineSql("q.embedding", "cb.centroid")} DESC,
+                     cb.cell) AS crank
+            FROM cb, (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
+          WHERE crank <= 2),
+        scored AS (
+          SELECT b.vec_id, a.cluster AS cell,
+                 ${cosineSql("b.embedding", "q.embedding")} AS sim
+          FROM embeddings b
+          JOIN a2 a ON a.vec_id = b.vec_id
+          JOIN probed p ON p.cell = a.cluster
+          CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+          WHERE b.vec_id <> 0),
+        topk AS (
+          SELECT vec_id, cell, sim FROM scored
+          ORDER BY sim DESC, vec_id LIMIT 10)
+        SELECT vec_id, cell, sim,
+               CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank
+        FROM topk
+        ORDER BY rank"""))
   )
 }
