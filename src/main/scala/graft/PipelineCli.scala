@@ -150,7 +150,11 @@ object PipelineCli {
     val plan = NmdbCatchup.fetchPlan(intensity, raw, nowHour,
       c.maxLookbackHours)
     val appended = NmdbCatchup.catchupAppend(intensity, feed, plan)
-    IncrementalRunner.upsertByDay(appended, c.output)
+    // Point upsert, NOT partition overwrite: the appended frame holds only
+    // hours >= each site's resume point, so a whole-partition replace would
+    // delete previously stored earlier hours of the same day (the reference
+    // point-upserts, never deletes — nmdb/influx_db.py:76-147).
+    IncrementalRunner.upsertByKey(appended, c.output)
     println(s"[nmdb-catchup] appended validated intensity hours " +
       s"(now=$now, lookback=${c.maxLookbackHours}h) to ${c.output}")
   }

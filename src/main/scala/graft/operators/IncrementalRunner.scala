@@ -47,6 +47,56 @@ object IncrementalRunner {
   def readLevel(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop(DayCol)
 
+  /** POINT upsert into a day-partitioned store: like [[upsertByDay]] but
+    * rows already stored in the affected (site, day) partitions that do
+    * NOT collide on `keyCols` survive the write. This is the reference's
+    * InfluxDB point-overwrite (`nmdb/influx_db.py:76-147`: writing a point
+    * at an existing (tags, time) replaces it, everything else is
+    * untouched) — the semantics a partial-window append needs. A plain
+    * [[upsertByDay]] of a frame holding only part of a day silently
+    * deletes the rest of that day's rows; use THIS when the frame is not
+    * a full recompute of every partition it touches (e.g. the NMDB
+    * catch-up, which appends only hours >= each site's resume point).
+    *
+    * Scale shape: survivors are read ONLY from the affected partitions —
+    * the semi join is on the store's real partition columns with a
+    * broadcast build side, so dynamic partition pruning keeps the scan at
+    * O(affected days), not O(store). The merged frame is then
+    * `localCheckpoint`ed (it is bounded by the affected window, not the
+    * store) because a parquet path cannot be overwritten by a plan that
+    * still reads from it; a transactional table format (MERGE) subsumes
+    * this on a production lake.
+    */
+  def upsertByKey(
+      updated: DataFrame,
+      path: String,
+      keyCols: Seq[String] = Seq("site_no", "time"),
+      tsCol: String = "time"): Unit = {
+    val spark = updated.sparkSession
+    val merged =
+      if (!storeExists(spark, path)) updated
+      else {
+        val existing = spark.read.parquet(path)
+        val affected = updated
+          .select(col("site_no"),
+            date_format(col(tsCol), "yyyy-MM-dd").as(DayCol))
+          .distinct()
+        val survivors = existing
+          .join(broadcast(affected), Seq("site_no", DayCol), "left_semi")
+          .drop(DayCol)
+          .join(updated.select(keyCols.map(col): _*), keyCols, "left_anti")
+        updated
+          .unionByName(survivors.select(updated.columns.map(col).toIndexedSeq: _*))
+          .localCheckpoint(true)
+      }
+    upsertByDay(merged, path, tsCol)
+  }
+
+  private def storeExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   /** The reference CLI's backprocess window (`-d` days before `now`,
     * `pipeline/cosmoz_process_levels.py:697-716`): rows with
     * ts > now - backprocess.

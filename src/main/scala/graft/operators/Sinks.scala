@@ -27,11 +27,23 @@ object Sink {
 }
 
 /** Day-partitioned parquet with dynamic partition overwrite — the scale
-  * default (see [[IncrementalRunner.upsertByDay]]).
+  * default for FULL-window recomputes (every touched partition is fully
+  * re-derived; see [[IncrementalRunner.upsertByDay]]).
   */
 final class ParquetDaySink(path: String) extends Sink {
   override def upsert(updated: DataFrame, tsCol: String): Unit =
     IncrementalRunner.upsertByDay(updated, path, tsCol)
+}
+
+/** Day-partitioned parquet with POINT-overwrite semantics: stored rows in
+  * touched partitions that don't collide on `keyCols` survive — for
+  * partial-window appends (see [[IncrementalRunner.upsertByKey]]).
+  */
+final class ParquetPointUpsertSink(
+    path: String, keyCols: Seq[String] = Seq("site_no", "time"))
+    extends Sink {
+  override def upsert(updated: DataFrame, tsCol: String): Unit =
+    IncrementalRunner.upsertByKey(updated, path, keyCols, tsCol)
 }
 
 /** One connection-scoped writer per partition (opened and closed on the

@@ -49,6 +49,47 @@ class IncrementalRunnerSpec extends SparkSpec {
     assert(IncrementalRunner.readLevel(spark, path).count() === 1)
   }
 
+  test("upsertByKey keeps non-colliding rows of touched partitions") {
+    val path = tmpDir()
+    val initial = Seq(
+      (1, T("2024-01-01 10:00:00"), 1.0),
+      (1, T("2024-01-01 11:00:00"), 2.0),
+      (1, T("2024-01-02 10:00:00"), 3.0),
+      (2, T("2024-01-01 10:00:00"), 4.0))
+      .toDF("site_no", "time", "v")
+    IncrementalRunner.upsertByDay(initial, path)
+
+    // PARTIAL-day update for (site 1, Jan 1): replaces 11:00, adds 12:00.
+    // 10:00 must survive; (1, Jan 2) and site 2 are untouched partitions.
+    val update = Seq(
+      (1, T("2024-01-01 11:00:00"), 20.0),
+      (1, T("2024-01-01 12:00:00"), 21.0))
+      .toDF("site_no", "time", "v")
+    IncrementalRunner.upsertByKey(update, path)
+
+    val out = IncrementalRunner.readLevel(spark, path)
+      .select("site_no", "time", "v").as[(Int, java.sql.Timestamp, Double)]
+      .collect().toSet
+    assert(out === Set(
+      (1, T("2024-01-01 10:00:00"), 1.0),   // earlier hour survives
+      (1, T("2024-01-01 11:00:00"), 20.0),  // point-replaced
+      (1, T("2024-01-01 12:00:00"), 21.0),  // appended
+      (1, T("2024-01-02 10:00:00"), 3.0),   // untouched day
+      (2, T("2024-01-01 10:00:00"), 4.0)))  // untouched site
+
+    // re-run with identical input is idempotent
+    IncrementalRunner.upsertByKey(update, path)
+    assert(IncrementalRunner.readLevel(spark, path).count() === 5)
+  }
+
+  test("upsertByKey on a fresh path is a plain write") {
+    val path = tmpDir()
+    val df = Seq((1, T("2024-01-01 10:00:00"), 1.0))
+      .toDF("site_no", "time", "v")
+    IncrementalRunner.upsertByKey(df, path)
+    assert(IncrementalRunner.readLevel(spark, path).count() === 1)
+  }
+
   test("backprocessFilter keeps rows strictly inside the look-back window") {
     val df = Seq(
       (1, T("2024-01-01 00:00:00")),

@@ -78,4 +78,50 @@ class PipelineCliSpec extends SparkSpec {
     assert(got.map(r => (r._2, r._3)) ===
       Array((101.0, 0), (102.0, 0), (210.0, 1), (103.0, 0)))
   }
+
+  test("nmdb-catchup run twice: earlier same-day hours survive the append") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_cli_nmdb2_").toFile
+    d.deleteOnExit()
+    val in1 = d.getAbsolutePath + "/in1"
+    val in2 = d.getAbsolutePath + "/in2"
+    val out = d.getAbsolutePath + "/out"
+    val feed1 = d.getAbsolutePath + "/feed1"
+    val feed2 = d.getAbsolutePath + "/feed2"
+    Seq((1, T("2024-01-05 09:00:00"), 100.0, 0),
+      (1, T("2024-01-05 10:00:00"), 101.0, 0))
+      .toDF("site_no", "time", "intensity", "bad_data_flag")
+      .write.parquet(s"$in1/intensity")
+    Seq((1, T("2024-01-05 00:00:00"), 1.0))
+      .toDF("site_no", "time", "v").write.parquet(s"$in1/raw_values")
+    Seq((1, T("2024-01-05 10:00:00"), 101.0),
+      (1, T("2024-01-05 11:00:00"), 102.0),
+      (1, T("2024-01-05 12:00:00"), 103.0),
+      (1, T("2024-01-05 13:00:00"), 104.0))
+      .toDF("site_no", "time", "intensity").write.parquet(feed1)
+    PipelineCli.runNmdbCatchup(spark, PipelineCli.Config(
+      input = in1, output = out, mode = "nmdb-catchup", feed = feed1,
+      now = Some(T("2024-01-05 15:30:00"))))
+    // second run resumes FROM THE STORE the first run wrote (13:00), so its
+    // append holds only hours >= 13:00 of a day that already has 10..12
+    graft.operators.IncrementalRunner.readLevel(spark, out)
+      .write.parquet(s"$in2/intensity")
+    Seq((1, T("2024-01-05 00:00:00"), 1.0))
+      .toDF("site_no", "time", "v").write.parquet(s"$in2/raw_values")
+    Seq((1, T("2024-01-05 13:00:00"), 104.0),
+      (1, T("2024-01-05 14:00:00"), 105.0),
+      (1, T("2024-01-05 15:00:00"), 106.0))
+      .toDF("site_no", "time", "intensity").write.parquet(feed2)
+    PipelineCli.runNmdbCatchup(spark, PipelineCli.Config(
+      input = in2, output = out, mode = "nmdb-catchup", feed = feed2,
+      now = Some(T("2024-01-05 17:30:00"))))
+    val got = graft.operators.IncrementalRunner.readLevel(spark, out)
+      .select("time", "intensity", "bad_data_flag")
+      .as[(java.sql.Timestamp, Double, Int)].collect().sortBy(_._1.getTime)
+    // hours 10..12 from run 1 MUST survive run 2's partial-day append
+    assert(got.map(_._1) === (10 to 15).map(h =>
+      T(f"2024-01-05 $h%02d:00:00")).toArray)
+    assert(got.map(_._2) === Array(101.0, 102.0, 103.0, 104.0, 105.0, 106.0))
+    assert(got.forall(_._3 == 0))
+  }
 }
