@@ -71,5 +71,54 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_dotfold takes two array arguments")
         DotFold(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_lshbucket"),
+      new ExpressionInfo(classOf[graft.expressions.LshBucket].getName,
+        "graft_lshbucket"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_lshbucket(vec, numPlanes)")
+        val numPlanes = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_lshbucket numPlanes must be an int literal, got $other")
+        }
+        graft.expressions.LshBucket(children.head, numPlanes)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_ngram_profile_counts"),
+      new ExpressionInfo(classOf[graft.expressions.NgramProfileCounts].getName,
+        "graft_ngram_profile_counts"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_ngram_profile_counts(text, n, array(array(ngrams)...))")
+        val n = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_ngram_profile_counts n must be an int literal, got $other")
+        }
+        require(children(2).foldable,
+          "graft_ngram_profile_counts profiles must be a literal array of arrays")
+        val profiles = children(2).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType))
+          .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toObjectArray(org.apache.spark.sql.types.StringType)
+            .map(_.toString).toSeq).toSeq
+        graft.expressions.NgramProfileCounts(children.head, n, profiles)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_min_shingle_md5"),
+      new ExpressionInfo(classOf[graft.expressions.MinShingleMd5].getName,
+        "graft_min_shingle_md5"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_min_shingle_md5(text, k)")
+        val k = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_min_shingle_md5 k must be an int literal, got $other")
+        }
+        graft.expressions.MinShingleMd5(children.head, k)
+      }))
   }
 }

@@ -84,8 +84,20 @@ object SimilarityOps {
     * is set iff dot(vec, plane_p) > 0. Vectors in the same bucket are
     * angularly close with high probability; candidate generation is then
     * an equi-join on the bucket id (shuffle on a small int key).
+    * Backed by the native codegen'd [[graft.expressions.LshBucket]]; the
+    * higher-order twin below is the executable spec it is tested against.
     */
-  def lshBucket(vec: Column, numPlanes: Int): Column =
+  def lshBucket(vec: Column, numPlanes: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.LshBucket(
+      ColumnBridge.expression(vec), numPlanes))
+  }
+
+  /** Higher-order twin of [[lshBucket]] (interpreted, O(planes x dims)
+    * with per-element closure dispatch — ~10x the native's cost; kept as
+    * the equivalence-tested spec of the fold semantics, like DotFold's).
+    */
+  def lshBucketHof(vec: Column, numPlanes: Int): Column =
     aggregate(
       sequence(lit(0), lit(numPlanes - 1)),
       lit(0L),
@@ -192,6 +204,21 @@ object SimilarityOps {
         struct((-col("sim")).as("ns"), col("b"))).as("__m"))
       .select(col("a"), col(groupCol),
         col("__m.b").as("nn"), col("__m.sim").as("sim"))
+  }
+
+  /** The top-k searches rank with a single global orderBy/limit and drop
+    * the query id, so results of different query rows would compete for
+    * one top-k and be unattributable — enforce the one-query contract
+    * (the check is a 2-row bounded count: metadata-scale, like a
+    * broadcast-threshold decision). Multi-query batches: call per query
+    * or rank per query id externally.
+    */
+  private def requireSingleQuery(
+      query: DataFrame, idCol: String, op: String): Unit = {
+    val n = query.select(col(idCol)).limit(2).count()
+    require(n == 1,
+      s"$op ranks a SINGLE query row's top-k (got $n query rows); " +
+        "pass one row, or rank per query id externally")
   }
 
   // Centroid side is small (groups x dims); hint broadcast when sensible.
@@ -315,6 +342,7 @@ object SimilarityOps {
       trainIters: Int,
       nprobe: Int,
       k: Int): DataFrame = {
+    requireSingleQuery(query, idCol, "ivfTopKLearned")
     val spark = embeddings.sparkSession
     import spark.implicits._
     val (assign, cent) = kmeansFit(embeddings, idCol, vecCol, kCells, trainIters)
@@ -357,6 +385,7 @@ object SimilarityOps {
       groupCol: String,
       nprobe: Int,
       k: Int): DataFrame = {
+    requireSingleQuery(query, idCol, "ivfTopK")
     val cb = broadcast(centroidVectors(embeddings, vecCol, groupCol)
       .select(col(groupCol).as("cell"), col("centroid")))
     // Nearest cell per vector (ties -> lowest cell id) as a partial-

@@ -64,6 +64,54 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out.values.forall(b => b >= 0 && b < 256))
   }
 
+  test("native lshBucket === higher-order twin (incl. empty and double)") {
+    // deterministic pseudo-random float vectors + edge shapes
+    val vecs: Seq[Array[Float]] =
+      (0 until 50).map { s =>
+        Array.tabulate(64)(i => (((s * 131 + i * 17) % 97) - 48) / 7.0f)
+      } :+ Array.empty[Float] :+ Array(0.0f, 0.0f)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    for (planes <- Seq(1, 8, 16)) {
+      val mismatch = df.select(
+        SimilarityOps.lshBucket($"embedding", planes).as("native"),
+        SimilarityOps.lshBucketHof($"embedding", planes).as("hof"))
+        .filter($"native" =!= $"hof").count()
+      assert(mismatch === 0, s"planes=$planes")
+    }
+    // double arrays take the other element-access path
+    val dd = Seq((0L, Array(0.5, -1.5, 2.5)), (1L, Array(-0.5, 0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val got = dd.select(
+      SimilarityOps.lshBucket($"embedding", 8).as("native"),
+      SimilarityOps.lshBucketHof($"embedding", 8).as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(got === 0)
+  }
+
+  test("graft_lshbucket / graft_min_shingle_md5 / graft_ngram_profile_counts are SQL-reachable") {
+    emb.createOrReplaceTempView("__lsh_sql_probe")
+    val viaSql = spark.sql(
+      "SELECT vec_id, graft_lshbucket(embedding, 8) AS b FROM __lsh_sql_probe")
+      .as[(Long, Long)].collect().toMap
+    val viaApi = emb.select($"vec_id",
+      SimilarityOps.lshBucket($"embedding", 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaSql === viaApi)
+    val fp = spark.sql(
+      "SELECT graft_min_shingle_md5(array('the quick brown', 'quick brown fox', " +
+        "'brown fox jumps'), 2) AS fp")
+      .as[String].collect().head
+    assert(fp != null && fp.nonEmpty)
+    val counts = spark.sql(
+      """SELECT graft_ngram_profile_counts(' the and ', 3,
+        |  array(array(' th', 'the', 'he '), array(' de', 'der'))) AS c
+        |""".stripMargin).as[Seq[Long]].collect().head
+    // [0] = total gram count, [i+1] = profile i hits
+    assert(counts.length === 3 && counts(0) === 7 && counts(1) > 0 &&
+      counts(2) === 0)
+  }
+
   test("distanceToCentroid: symmetric pair -> equal distances") {
     val df = Seq(
       (0L, Array(0.0f, 0.0f), 0),
