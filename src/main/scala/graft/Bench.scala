@@ -62,9 +62,13 @@ object Bench {
     val pass2 = timedPass()
     def fmt(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val t1 = pass1.map(_._2).sum
-    val t2 = pass2.map(_._2).sum
-    println(s"""{"metric":"total","value":$t2,"unit":"sec","queries":${fmt(pass2)},"sf":"$sfDir","pass1_total":$t1,"pass2_total":$t2,"pass1":${fmt(pass1)}}""")
+    // Totals sum only SUCCESSFUL slots — a failed query's -1 sentinel must
+    // not make the bench look faster; failures are counted separately.
+    val t1 = pass1.map(_._2).filter(_ >= 0).sum
+    val t2 = pass2.map(_._2).filter(_ >= 0).sum
+    val f1 = pass1.count(_._2 < 0)
+    val f2 = pass2.count(_._2 < 0)
+    println(s"""{"metric":"total","value":$t2,"unit":"sec","queries":${fmt(pass2)},"sf":"$sfDir","pass1_total":$t1,"pass2_total":$t2,"failed_pass1":$f1,"failed_pass2":$f2,"pass1":${fmt(pass1)}}""")
     spark.stop()
   }
 }

@@ -142,7 +142,10 @@ object DedupOps {
     val longEdges = edges.select(col("a").cast("long"), col("b").cast("long"))
     // Cheap bounded count first — the distributed path never pulls edges
     // to the driver; only the small-graph path pays the collect.
-    val probed = longEdges.limit((maxLocalEdges + 1).toInt).count()
+    // clamp: maxLocalEdges >= Int.MaxValue must not overflow to a
+    // negative limit() (callers effectively asking for always-local)
+    val probeLimit = math.min(maxLocalEdges + 1, Int.MaxValue.toLong).toInt
+    val probed = longEdges.limit(probeLimit).count()
     if (probed <= maxLocalEdges) {
       val collected = longEdges.collect()
       // driver union-find with path compression

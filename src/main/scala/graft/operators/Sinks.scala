@@ -57,19 +57,51 @@ trait RowBatchWriter extends AutoCloseable {
 /** External-DB-shaped sink: each partition opens one writer and streams
   * its rows in bounded batches — the shape of an Influx line-protocol or
   * Mongo bulk writer. Idempotency is the writer's contract (e.g. an
-  * upsert-by-key bulk op); this class only guarantees the delivery shape:
+  * upsert-by-key bulk op); this class guarantees the delivery shape:
   * one connection per partition, batches of at most `batchSize`, close on
-  * completion or failure.
+  * completion or failure, and bounded RETRY of a failed batch — the
+  * reference's buffered writer sleeps 5 s and retries the write once on
+  * a timeout (`pipeline/influx_cached_writer.py:30-36`, duplicated at
+  * `nmdb/influx_db.py:16-59`); `maxRetries = 1` + `backoffMillis = 5000`
+  * is that policy. A retried batch may have partially landed — this is
+  * why idempotent (upsert-by-key) writers are the contract; retries
+  * re-deliver, they never duplicate state. Retries exhausted -> the
+  * failure propagates (Spark then retries/fails the task, same as the
+  * reference's raise after its single retry).
+  *
+  * `sleep` is injectable for tests; the default really sleeps on the
+  * EXECUTOR thread, which is the correct place for write backpressure
+  * (never the driver).
   */
-final class BatchingRowSink(open: () => RowBatchWriter, batchSize: Int = 1000)
-    extends Sink {
+final class BatchingRowSink(
+    open: () => RowBatchWriter,
+    batchSize: Int = 1000,
+    maxRetries: Int = 1,
+    backoffMillis: Long = 5000L,
+    sleep: Long => Unit = Thread.sleep) extends Sink {
+  require(maxRetries >= 0, "maxRetries must be >= 0")
   override def upsert(updated: DataFrame, tsCol: String): Unit = {
     val openF = open
     val bs = batchSize
+    val retries = maxRetries
+    val backoff = backoffMillis
+    val sleepF = sleep
     updated.foreachPartition { (it: Iterator[Row]) =>
       if (it.nonEmpty) {
         val w = openF()
-        try it.grouped(bs).foreach(g => w.writeBatch(g.toSeq))
+        try it.grouped(bs).foreach { g =>
+          val batch = g.toSeq
+          var attempt = 0
+          var done = false
+          while (!done) {
+            try { w.writeBatch(batch); done = true }
+            catch {
+              case e if scala.util.control.NonFatal(e) && attempt < retries =>
+                attempt += 1
+                sleepF(backoff)
+            }
+          }
+        }
         finally w.close()
       }
     }

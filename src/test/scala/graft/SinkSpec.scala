@@ -25,6 +25,27 @@ object CollectorSink {
   }
 }
 
+/** A writer whose FIRST writeBatch call (JVM-wide) fails — exercises the
+  * retry-once path. Static like [[CollectorSink]] so the executor-side
+  * failure count survives the closure round-trip in local mode.
+  */
+object FlakyCollectorSink {
+  val batches = new ConcurrentLinkedQueue[Seq[Row]]()
+  val failuresLeft = new java.util.concurrent.atomic.AtomicInteger(0)
+  val sleeps = new ConcurrentLinkedQueue[java.lang.Long]()
+  def reset(failures: Int): Unit = {
+    batches.clear(); sleeps.clear(); failuresLeft.set(failures)
+  }
+  def writer(): RowBatchWriter = new RowBatchWriter {
+    override def writeBatch(rows: Seq[Row]): Unit = {
+      if (failuresLeft.getAndDecrement() > 0)
+        throw new java.io.IOException("transient write timeout")
+      batches.add(rows)
+    }
+    override def close(): Unit = ()
+  }
+}
+
 class SinkSpec extends SparkSpec {
   import spark.implicits._
 
@@ -86,6 +107,60 @@ class SinkSpec extends SparkSpec {
     assert(out === Set(
       (1, T("2024-01-01 10:00:00"), 1.0),
       (1, T("2024-01-02 10:00:00"), 20.0)))
+  }
+
+  test("BatchingRowSink retries a failed batch once after backoff " +
+    "(reference: sleep 5s, retry once)") {
+    FlakyCollectorSink.reset(failures = 1)
+    val sink = new BatchingRowSink(
+      () => FlakyCollectorSink.writer(), batchSize = 2,
+      maxRetries = 1, backoffMillis = 5000L,
+      sleep = ms => { FlakyCollectorSink.sleeps.add(ms); () })
+    val df = (1 to 5).map(i => (1, T(f"2024-01-01 0$i%d:00:00"), i.toDouble))
+      .toDF("site_no", "time", "v").coalesce(1)
+    sink.upsert(df)
+    // all 5 rows land exactly once despite the first batch's failure
+    var rows = List.empty[Row]
+    FlakyCollectorSink.batches.forEach(b => rows = rows ++ b)
+    assert(rows.map(_.getAs[Double]("v")).sorted === List(1.0, 2.0, 3.0, 4.0, 5.0))
+    // exactly one backoff sleep of the configured duration happened
+    assert(FlakyCollectorSink.sleeps.size() === 1)
+    assert(FlakyCollectorSink.sleeps.peek() === 5000L)
+  }
+
+  test("BatchingRowSink propagates the failure once retries are exhausted") {
+    FlakyCollectorSink.reset(failures = 2) // fails first attempt AND its retry
+    val sink = new BatchingRowSink(
+      () => FlakyCollectorSink.writer(), batchSize = 10,
+      maxRetries = 1, backoffMillis = 1L, sleep = _ => ())
+    val df = Seq((1, T("2024-01-01 01:00:00"), 1.0))
+      .toDF("site_no", "time", "v").coalesce(1)
+    val e = intercept[org.apache.spark.SparkException] { sink.upsert(df) }
+    assert(e.getMessage != null)
+  }
+
+  test("replaying a micro-batch through Sink.foreachBatch(ParquetDaySink) " +
+    "is idempotent (restart/replay exactly-once)") {
+    val d = java.nio.file.Files.createTempDirectory("graft_replay_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/table"
+    val fn = Sink.foreachBatch(new ParquetDaySink(path))
+    val batch = Seq(
+      (1, T("2024-01-01 10:00:00"), 1.0),
+      (1, T("2024-01-02 10:00:00"), 2.0),
+      (2, T("2024-01-01 10:00:00"), 3.0)).toDF("site_no", "time", "v")
+    fn(batch, 7L)
+    val first = IncrementalRunner.readLevel(spark, path)
+      .select("site_no", "time", "v").as[(Int, java.sql.Timestamp, Double)]
+      .collect().toSet
+    // a restart re-delivers the SAME micro-batch (same epoch): state must
+    // be bit-identical, not doubled — the §2.7 point-overwrite guarantee
+    fn(batch, 7L)
+    val second = IncrementalRunner.readLevel(spark, path)
+      .select("site_no", "time", "v").as[(Int, java.sql.Timestamp, Double)]
+      .collect().toSet
+    assert(second === first)
+    assert(second.size === 3)
   }
 
   test("Sink.foreachBatch adapts the seam to streaming micro-batches") {
