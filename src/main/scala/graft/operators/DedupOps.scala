@@ -37,6 +37,50 @@ object DedupOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Collapse near-duplicate CLUSTERS to a canonical representative —
+    * the step after candidate pairs + connected components that actually
+    * shrinks the corpus (the CCNet/Dolma-style "keep the best copy"
+    * policy). Every document gets its duplicate-cluster id (its own id
+    * when unclustered) and a flag marking the cluster's winner: highest
+    * `score`, ties to the lowest id.
+    *
+    * Scale shape: components come from [[connectedComponents]] (edges
+    * only — unclustered docs never enter the CC computation or its
+    * shuffle); the winner per cluster is a partial-aggregable
+    * `min_by(id, struct(-score, id))` (map-side collapse, no window
+    * sort); the join back is an equi-join on the cluster id. Nothing is
+    * ever per-corpus on the driver.
+    *
+    * @param docs  one row per document
+    * @param idCol numeric document id column name
+    * @param score quality score column expression over `docs` (higher =
+    *              better; e.g. [[TextOps.qualityScore]]'s "quality")
+    * @param pairs candidate duplicate pairs (a, b) — e.g.
+    *              [[minhashCandidatePairs]] output
+    * @return (idCol, component, score, is_canonical)
+    */
+  def canonicalPick(
+      docs: DataFrame,
+      idCol: String,
+      score: Column,
+      pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+      .select(col("id").as("__cc_id"), col("component"))
+    val scored = docs.select(col(idCol), score.as("score"))
+    val withComp = scored
+      .join(comp, col(idCol).cast("long") === col("__cc_id"), "left")
+      .withColumn("component",
+        coalesce(col("component"), col(idCol).cast("long")))
+      .drop("__cc_id")
+    val winners = withComp
+      .groupBy(col("component"))
+      .agg(min_by(col(idCol), struct((-col("score")).as("ns"), col(idCol)))
+        .as("__canonical"))
+    withComp.join(winners, Seq("component"))
+      .select(col(idCol), col("component"), col("score"),
+        (col(idCol) === col("__canonical")).as("is_canonical"))
+  }
+
   /** MinHash signatures + band keys for every document.
     *
     * @param bands     number of LSH bands; each covers numPerm/bands sig

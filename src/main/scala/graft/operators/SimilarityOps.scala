@@ -143,6 +143,51 @@ object SimilarityOps {
         col("sim"), col("rank"))
   }
 
+  /** Multi-probe sign-LSH ANN: the query probes its OWN bucket plus every
+    * bucket at Hamming distance 1 (each of the `numPlanes` sign bits
+    * flipped once) — the standard recall repair for bucketed LSH: a
+    * near-neighbor whose dot with one hyperplane sits just across zero
+    * lands one bit away, and single-bucket probing misses it. Candidates
+    * from the numPlanes+1 buckets are ranked by exact cosine, top-k.
+    *
+    * Scale shape: identical to [[lshTopK]] — bucket assignment is the
+    * native [[lshBucket]] map-side, the probe set (numPlanes+1 rows)
+    * broadcasts, the join is an equi-join on the bucket id, and ranking
+    * ends in TakeOrderedAndProject. Probing costs (numPlanes+1)/2^planes
+    * of the corpus in expectation, not a scan.
+    */
+  def lshMultiProbeTopK(
+      embeddings: DataFrame,
+      query: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numPlanes: Int,
+      k: Int): DataFrame = {
+    requireSingleQuery(query, idCol, "lshMultiProbeTopK")
+    val bucketed = embeddings
+      .withColumn("bucket", lshBucket(col(vecCol), numPlanes))
+    val q = query
+      .select(col(idCol).as("__qid"), col(vecCol).as("__qvec"))
+      .withColumn("__qbucket", lshBucket(col("__qvec"), numPlanes))
+    // exact bucket first, then each single-bit flip (2^p via the same
+    // pow-cast the bucket fold uses — engine-portable)
+    val probes = broadcast(q.select(col("__qid"), col("__qvec"),
+      explode(concat(
+        array(col("__qbucket")),
+        transform(sequence(lit(0), lit(numPlanes - 1)), p =>
+          col("__qbucket").bitwiseXOR(
+            pow(lit(2.0), p.cast("double")).cast("long"))))).as("bucket")))
+    bucketed
+      .join(probes, Seq("bucket"))
+      .filter(col(idCol) =!= col("__qid"))
+      .select(col(idCol), col("bucket"),
+        cosine(col(vecCol), col("__qvec")).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("sim").desc, col(idCol).asc)))
+  }
+
   /** Per-group centroids via posexplode + exact decimal mean per dimension,
     * then each vector's euclidean distance to its own group centroid.
     * Two shuffles: (group, dim) aggregation + the group equi-join back;

@@ -386,4 +386,57 @@ object TextOps {
   /** HOF twin of the fingerprint's min_shingle_hash (executable spec). */
   def minShingleMd5Hof(toks: Column, shingleK: Int): Column =
     array_min(transform(shingles(toks, shingleK), s => md5(s)))
+
+  /** Repetition signals (the Gopher-style quality filters that target
+    * boilerplate and degenerate generation): per document,
+    *  - `top_word` / `top_word_frac`: the most frequent token (ties ->
+    *    lexicographically smallest) and its share of all tokens;
+    *  - `top_bigram` / `top_bigram_frac`: same over word bigrams;
+    *  - `dup_3gram_frac`: fraction of 3-shingle INSTANCES that are
+    *    repeats of an already-seen shingle.
+    *
+    * Scale shape: the per-token/bigram counts are partial-aggregable
+    * groupBys keyed by (doc, gram) — uniform keys, map-side combine
+    * collapses each doc's grams before the shuffle; the per-doc winner is
+    * a `min_by(gram, struct(-count, gram))` (no window sort); the
+    * 3-gram ratio is a pure column (array_distinct over the shingle
+    * array, zero shuffle). A 10^9-doc corpus shuffles counts, never text
+    * bodies.
+    */
+  def repetitionSignals(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    def topGram(grams: Column, outGram: String, outFrac: String) = {
+      val exploded = docs
+        .select(col(idCol), explode(grams).as("__g"))
+        .groupBy(col(idCol), col("__g"))
+        .agg(count(lit(1)).as("__c"))
+      exploded
+        .groupBy(col(idCol))
+        .agg(
+          min_by(struct(col("__g"), col("__c")),
+            struct((-col("__c").cast("double")).as("nc"), col("__g")))
+            .as("__m"),
+          sum(col("__c")).as("__n"))
+        .select(col(idCol), col("__m.__g").as(outGram),
+          round(col("__m.__c").cast("double") / col("__n"), 6).as(outFrac))
+    }
+    val sh3 = shingles(toks, 3)
+    val perDoc = docs.select(col(idCol),
+      size(toks).as("n_tok"),
+      round((size(sh3) - size(array_distinct(sh3))).cast("double") /
+        greatest(size(sh3), lit(1)), 6).as("dup_3gram_frac"))
+    val words = topGram(toks, "top_word", "top_word_frac")
+    val bigrams = topGram(shingles(toks, 2), "top_bigram", "top_bigram_frac")
+    perDoc
+      .join(words, Seq(idCol), "left")
+      .join(bigrams, Seq(idCol), "left")
+      .select(col(idCol), col("n_tok"),
+        col("top_word"), col("top_word_frac"),
+        coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+        col("dup_3gram_frac"))
+  }
 }

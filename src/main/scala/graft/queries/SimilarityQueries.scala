@@ -95,6 +95,42 @@ object SimilarityQueries extends QueryModule {
         WHERE NOT is_candidate OR rank <= 10
         ORDER BY vec_id""")),
 
+    // V8 — multi-probe sign-LSH ANN: the query probes its own bucket PLUS
+    // every bucket one sign-bit away (the standard recall repair — a
+    // near-neighbor whose dot with one hyperplane sits just across zero
+    // lands one bit away and single-bucket probing misses it). Candidates
+    // from the 9 probed buckets rank by exact cosine.
+    "v8_multiprobe_lsh" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimilarityOps.lshMultiProbeTopK(
+          emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+          numPlanes = 8, k = 10)
+          .orderBy(col("rank"))
+      },
+      oracle = Some(s"""
+        WITH b AS (
+          SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+        q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket
+              FROM b WHERE vec_id = 0),
+        probes AS (
+          SELECT qid, qe,
+                 unnest(list_prepend(qbucket,
+                   list_transform(generate_series(0, 7),
+                     p -> xor(qbucket, CAST(pow(2.0, p) AS BIGINT))))) AS bucket
+          FROM q),
+        scored AS (
+          SELECT b.vec_id, b.bucket, ${cosineSql("b.embedding", "p.qe")} AS sim
+          FROM b JOIN probes p ON b.bucket = p.bucket
+          WHERE b.vec_id <> p.qid),
+        topk AS (
+          SELECT vec_id, bucket, sim FROM scored
+          ORDER BY sim DESC, vec_id LIMIT 10)
+        SELECT vec_id, bucket, sim,
+               CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank
+        FROM topk
+        ORDER BY rank""")),
+
     // V3 — per-label centroids (posexplode + exact decimal mean per dim)
     // and each vector's euclidean distance to its own centroid; the
     // centroid table is tiny and broadcast back.

@@ -451,6 +451,101 @@ object TextQueries extends QueryModule {
         GROUP BY id
         ORDER BY id""")),
 
+    // D8 — canonical pick: the step after pairs + connected components
+    // that actually shrinks the corpus — every doc gets its duplicate
+    // cluster (own id when unclustered) and the cluster's winner by
+    // quality (ties -> lowest id) is flagged canonical.
+    "d8_canonical_pick" -> Q(
+      fn = (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = DedupOps.minhashCandidatePairs(
+          docs, "doc_id", "text", shingleK = 3, numPerm = 8, bands = 2)
+          .select(col("a"), col("b"))
+        val quality = TextOps.qualityScore(
+          col("text"), TextOps.tokens(col("text")), stopwords)("quality")
+        DedupOps.canonicalPick(docs, "doc_id", quality, pairs)
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $bandsSql,
+        pairs AS (
+          SELECT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y
+            ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+          WHERE x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+        e AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+        walk(id, label) AS (
+          SELECT DISTINCT a AS id, a AS label FROM e
+          UNION
+          SELECT e.a AS id, walk.label
+          FROM e JOIN walk ON e.b = walk.id),
+        comp AS (SELECT id, min(label) AS component FROM walk GROUP BY id),
+        qual AS (
+          SELECT doc_id,
+                 round(0.3 * round(least(1.0, CAST(length(text) AS DOUBLE) / 400.0), 6)
+                     + 0.4 * round(len(list_distinct($toksSql))
+                         / CAST(greatest(len($toksSql), 1) AS DOUBLE), 6)
+                     + 0.3 * (1.0 - least(1.0, ${markerSql(stopwords)} * 4)), 6) AS score
+          FROM documents),
+        j AS (
+          SELECT q.doc_id, coalesce(c.component, q.doc_id) AS component, q.score
+          FROM qual q LEFT JOIN comp c ON c.id = q.doc_id)
+        SELECT doc_id, component, score,
+               doc_id = first_value(doc_id) OVER
+                 (PARTITION BY component ORDER BY score DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS is_canonical
+        FROM j
+        ORDER BY doc_id""")),
+
+    // T13 — repetition signals (Gopher-style boilerplate/degeneration
+    // filters): modal token and bigram shares + duplicate-3-gram
+    // instance fraction.
+    "t13_repetition" -> Q(
+      fn = (s, dir) =>
+        TextOps.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      oracle = Some(s"""
+        WITH w AS (
+          SELECT doc_id, tok, count(*) AS c
+          FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+          GROUP BY 1, 2),
+        tw AS (
+          SELECT doc_id, tok AS top_word,
+                 round(CAST(c AS DOUBLE) / n, 6) AS top_word_frac
+          FROM (SELECT doc_id, tok, c, sum(c) OVER (PARTITION BY doc_id) AS n,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY c DESC, tok) AS rn
+                FROM w) WHERE rn = 1),
+        b2 AS (
+          SELECT doc_id, bg, count(*) AS c
+          FROM (SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len($toksSql) - 1),
+                         i -> array_to_string(($toksSql)[i:i+1], ' '))) AS bg
+                FROM documents)
+          GROUP BY 1, 2),
+        tb AS (
+          SELECT doc_id, bg AS top_bigram,
+                 round(CAST(c AS DOUBLE) / n, 6) AS top_bigram_frac
+          FROM (SELECT doc_id, bg, c, sum(c) OVER (PARTITION BY doc_id) AS n,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY c DESC, bg) AS rn
+                FROM b2) WHERE rn = 1),
+        base AS (
+          SELECT doc_id, len($toksSql) AS n_tok,
+                 round(CAST(len($sh3Sql) - len(list_distinct($sh3Sql)) AS DOUBLE)
+                       / greatest(len($sh3Sql), 1), 6) AS dup_3gram_frac
+          FROM documents)
+        SELECT base.doc_id, n_tok, top_word, top_word_frac,
+               coalesce(top_bigram, '') AS top_bigram,
+               coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+               dup_3gram_frac
+        FROM base
+        LEFT JOIN tw ON tw.doc_id = base.doc_id
+        LEFT JOIN tb ON tb.doc_id = base.doc_id
+        ORDER BY base.doc_id""")),
+
     // T7 — PII redaction: pattern scrubbing with redaction counts (emails
     // and IPv4 here; the pattern set is pluggable). Runs on a derived
     // pii-bearing column so the branch is exercised deterministically.

@@ -1,0 +1,33 @@
+package graft
+
+import graft.operators.DedupOps
+import org.apache.spark.sql.functions._
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("canonicalPick: winner by quality, ties to lowest id, singletons " +
+    "keep themselves") {
+    // cluster {1,2,3} via edges; {5,6} via one edge; 4 and 7 unclustered
+    val docs = Seq(
+      (1L, 0.5), (2L, 0.9), (3L, 0.9), // winner: 2 (quality tie 2 vs 3)
+      (4L, 0.1),
+      (5L, 0.3), (6L, 0.2), // winner: 5
+      (7L, 0.8))
+      .toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val out = DedupOps.canonicalPick(docs, "doc_id", col("q"), pairs)
+      .select(col("doc_id"), col("component"), col("is_canonical"))
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) === ((1L, false)))
+    assert(out(2L) === ((1L, true)))
+    assert(out(3L) === ((1L, false)))
+    assert(out(4L) === ((4L, true))) // singleton: own cluster, canonical
+    assert(out(5L) === ((5L, true)))
+    assert(out(6L) === ((5L, false)))
+    assert(out(7L) === ((7L, true)))
+    // exactly one canonical per cluster: {1,2,3}, {5,6}, {4}, {7}
+    assert(out.values.count(_._2) === 4)
+  }
+}

@@ -112,6 +112,34 @@ class SimilarityOpsSpec extends SparkSpec {
       counts(2) === 0)
   }
 
+  test("lshMultiProbeTopK recovers a hamming-1 neighbor single-bucket " +
+    "probing misses") {
+    // find two near-identical vectors whose buckets differ in exactly one
+    // bit by nudging one dimension until the bucket flips once
+    val base = Array.tabulate(8)(i => (i + 1) / 10.0f)
+    def bucketOf(v: Array[Float]): Long = {
+      val df = Seq((0L, v)).toDF("vec_id", "embedding")
+      df.select(SimilarityOps.lshBucket($"embedding", 8)).as[Long].head()
+    }
+    val b0 = bucketOf(base)
+    val nudged = (1 to 400).iterator
+      .map { s => val c = base.clone(); c(s % 8) += s * 0.01f; c }
+      .find { c =>
+        java.lang.Long.bitCount(bucketOf(c) ^ b0) == 1
+      }.get
+    val emb = Seq((0L, base), (1L, nudged), (2L, base.map(-_)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 0)
+    val single = SimilarityOps.lshTopK(emb, q, "vec_id", "embedding", 8, 5)
+      .filter($"is_candidate").select("vec_id").as[Long].collect().toSet
+    val multi = SimilarityOps
+      .lshMultiProbeTopK(emb, q, "vec_id", "embedding", 8, 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!single.contains(1L), "hamming-1 neighbor invisible to one bucket")
+    assert(multi.contains(1L), "multi-probe recovers it")
+    assert(!multi.contains(0L), "query itself excluded")
+  }
+
   test("distanceToCentroid: symmetric pair -> equal distances") {
     val df = Seq(
       (0L, Array(0.0f, 0.0f), 0),

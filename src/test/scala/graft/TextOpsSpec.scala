@@ -106,6 +106,28 @@ class TextOpsSpec extends SparkSpec {
     assert(out === Seq("en", "fr", "en" /* tie -> first */, "und"))
   }
 
+  test("repetitionSignals: modal word/bigram shares and dup-3gram fraction") {
+    val docs = Seq(
+      // "b b b a": top word b (3/4); bigrams: "b b" x2, "b a" -> 2/3;
+      // 3-grams: "b b b", "b b a" -> 0 dup
+      (1L, "b b b a"),
+      // all same token: top a 4/4, bigram "a a" 3/3, 3-grams "a a a" x2
+      // -> 1 duplicate instance of 2 -> 0.5
+      (2L, "a a a a"),
+      // all distinct, tie on counts -> lexicographically smallest wins
+      (3L, "c b a"),
+      // single token: no bigrams/3-grams
+      (4L, "z"))
+      .toDF("doc_id", "text")
+    val out = TextOps.repetitionSignals(docs, "doc_id", "text")
+      .as[(Long, Int, String, Double, String, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 4, "b", 0.75, "b b", 0.666667, 0.0)))
+    assert(out(2L) === ((2L, 4, "a", 1.0, "a a", 1.0, 0.5)))
+    assert(out(3L) === ((3L, 3, "a", 0.333333, "b a", 0.5, 0.0)))
+    assert(out(4L) === ((4L, 1, "z", 1.0, "", 0.0, 0.0)))
+  }
+
   test("exactDedupStats keeps min id and counts group size") {
     val df = Seq(
       (10L, "aaa", "s1"), (11L, "aaa", "s2"), (12L, "bbb", "s3"))
