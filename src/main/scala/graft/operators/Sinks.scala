@@ -20,7 +20,13 @@ trait Sink extends Serializable {
 object Sink {
   /** Adapter for Structured Streaming: `writeStream.foreachBatch(
     * Sink.foreachBatch(sink))` pushes each micro-batch through the same
-    * seam the batch pipeline uses.
+    * seam the batch pipeline uses. A micro-batch is a PARTIAL-window
+    * frame, so pair this with a point-upsert sink
+    * ([[ParquetPointUpsertSink]] or an upsert-by-key external writer) —
+    * a partition-REPLACE sink would delete a day's earlier rows whenever
+    * a later batch touches the same day. Restart/replay safety comes from
+    * the upsert key: re-delivering a committed batch rewrites the same
+    * keys (spec: StreamingOpsSpec "checkpointed restart").
     */
   def foreachBatch(sink: Sink, tsCol: String = "time"): (DataFrame, Long) => Unit =
     (batch, _) => sink.upsert(batch, tsCol)

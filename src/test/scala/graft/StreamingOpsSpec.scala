@@ -115,6 +115,53 @@ class StreamingOpsSpec extends SparkSpec {
       T("2024-01-01 11:30:00")))  // outside 29 min of any prior fpA
   }
 
+  test("checkpointed restart through ParquetPointUpsertSink: no " +
+    "duplicates, no loss") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_restart_").toFile
+    dir.deleteOnExit()
+    val srcDir = new java.io.File(dir, "src"); srcDir.mkdirs()
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    val chk = new java.io.File(dir, "chk").getAbsolutePath
+    val schema = StructType(Seq(
+      StructField("site_no", IntegerType),
+      StructField("time", TimestampType),
+      StructField("v", DoubleType)))
+    // A micro-batch is a PARTIAL-day frame, so the streaming seam pairs
+    // with the POINT-upsert sink — ParquetDaySink's partition replace
+    // would delete a day's earlier rows when a later batch touches the
+    // same day (the same pitfall the NMDB catch-up fix closed).
+    val sinkFn = graft.operators.Sink.foreachBatch(
+      new graft.operators.ParquetPointUpsertSink(out))
+    def startQ() = spark.readStream.schema(schema)
+      .csv(srcDir.getAbsolutePath)
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch(sinkFn)
+      .start()
+    def storedTimes(): Set[java.sql.Timestamp] =
+      graft.operators.IncrementalRunner.readLevel(spark, out)
+        .select("time").as[java.sql.Timestamp].collect().toSet
+
+    java.nio.file.Files.writeString(
+      new java.io.File(srcDir, "b1.csv").toPath,
+      "1,2024-01-01 10:00:00,1.0\n1,2024-01-02 10:00:00,2.0\n")
+    val q1 = startQ(); q1.processAllAvailable(); q1.stop()
+    assert(storedTimes() === Set(
+      T("2024-01-01 10:00:00"), T("2024-01-02 10:00:00")))
+
+    // RESTART from the same checkpoint; a new file (same day 1 partition)
+    // arrives. The committed batch must not re-apply or duplicate, the
+    // new one must land, and day 1's earlier row must survive the
+    // day-partitioned upsert of the new batch.
+    java.nio.file.Files.writeString(
+      new java.io.File(srcDir, "b2.csv").toPath,
+      "1,2024-01-01 11:00:00,3.0\n")
+    val q2 = startQ(); q2.processAllAvailable(); q2.stop()
+    assert(storedTimes() === Set(
+      T("2024-01-01 10:00:00"), T("2024-01-01 11:00:00"),
+      T("2024-01-02 10:00:00")))
+  }
+
   test("hourlyStats windows with watermark (batch-mode check)") {
     val df = Seq(
       (1, T("2024-01-01 10:05:00"), 10.0),
