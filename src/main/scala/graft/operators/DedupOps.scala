@@ -81,6 +81,41 @@ object DedupOps {
         (col(idCol) === col("__canonical")).as("is_canonical"))
   }
 
+  /** Semantic (embedding-space) dedup, SemDeDup-style: link every vector
+    * to its nearest neighbor within its group when the cosine clears
+    * `tau`, take connected components over those links, and keep the
+    * lowest id per cluster. Complements the lexical families: rewordings
+    * that share no shingles still land in one embedding cluster.
+    *
+    * Scale shape: the candidate stage is [[SimilarityOps.nearestInGroup]]
+    * (norms once, partial-aggregable top-1 — the group bucket bounds the
+    * quadratic term; swap the group for an LSH bucket at corpus scale),
+    * edges are at most one per vector, and unclustered vectors never
+    * enter the CC computation.
+    *
+    * @return (idCol, component, is_canonical) for EVERY input vector
+    *         (singletons form their own cluster)
+    */
+  def semanticDedup(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      groupCol: String,
+      tau: Double): DataFrame = {
+    val edges = SimilarityOps
+      .nearestInGroup(embeddings, idCol, vecCol, groupCol)
+      .filter(col("sim") >= tau)
+      .select(col("a"), col("nn").as("b"))
+    val comp = connectedComponents(edges)
+      .select(col("id").as("__cc_id"), col("component"))
+    embeddings.select(col(idCol))
+      .join(comp, col(idCol).cast("long") === col("__cc_id"), "left")
+      .withColumn("component",
+        coalesce(col("component"), col(idCol).cast("long")))
+      .select(col(idCol), col("component"),
+        (col(idCol).cast("long") === col("component")).as("is_canonical"))
+  }
+
   /** MinHash signatures + band keys for every document.
     *
     * @param bands     number of LSH bands; each covers numPerm/bands sig

@@ -188,6 +188,35 @@ object SimilarityOps {
         row_number().over(Window.orderBy(col("sim").desc, col(idCol).asc)))
   }
 
+  /** Batched exact top-k: one TOP-K PER QUERY ROW (the multi-query form
+    * the single-query searches refuse). The query batch broadcasts; each
+    * (query, candidate) pair scores once; the per-query rank filter
+    * compiles to Spark's WindowGroupLimit, so every map partition ships
+    * at most k rows per query to the shuffle — the shuffled volume is
+    * O(queries x k x partitions), never O(n x queries).
+    *
+    * For query batches too large to broadcast-scan (q x n pair scoring),
+    * compose with the bucketed paths instead: assign both sides
+    * [[lshBucket]]s (or IVF cells) and rank within buckets — same
+    * per-query window shape after the equi-join.
+    */
+  def topKPerQuery(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("qid"), col(vecCol).as("__qvec")))
+    embeddings
+      .join(q, col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        cosine(col(vecCol), col("__qvec")).as("sim"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col(idCol).asc)))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-group centroids via posexplode + exact decimal mean per dimension,
     * then each vector's euclidean distance to its own group centroid.
     * Two shuffles: (group, dim) aggregation + the group equi-join back;

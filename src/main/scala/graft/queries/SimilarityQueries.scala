@@ -131,6 +131,64 @@ object SimilarityQueries extends QueryModule {
         FROM topk
         ORDER BY rank""")),
 
+    // V9 — batched exact top-k: one top-k per query row (the multi-query
+    // form v1/v5 refuse). The per-query rank filter compiles to
+    // WindowGroupLimit: map partitions ship <= k rows per query.
+    "v9_topk_batch" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimilarityOps.topKPerQuery(
+          emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      oracle = Some(s"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                   WHERE vec_id < 3),
+        scored AS (
+          SELECT q.qid, e.vec_id, ${cosineSql("e.embedding", "q.qe")} AS sim
+          FROM embeddings e, q
+          WHERE e.vec_id <> q.qid),
+        r AS (
+          SELECT qid, vec_id, sim,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY sim DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        SELECT qid, vec_id, sim, rank
+        FROM r WHERE rank <= 5
+        ORDER BY qid, rank""")),
+
+    // D9 — semantic dedup (SemDeDup-style): nearest-neighbor links above
+    // a cosine threshold -> connected components -> keep lowest id.
+    // Catches rewordings that share no shingles with the lexical family.
+    "d9_semantic_dedup" -> Q(
+      fn = (s, dir) =>
+        graft.operators.DedupOps.semanticDedup(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label", tau = 0.4)
+          .orderBy(col("vec_id")),
+      oracle = Some(s"""
+        WITH RECURSIVE p AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb,
+                 ${cosineSql("a.embedding", "b.embedding")} AS sim
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id <> b.vec_id),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY va
+                      ORDER BY sim DESC, vb) AS rk
+          FROM p),
+        nn AS (SELECT va AS a, vb AS b FROM r WHERE rk = 1 AND sim >= 0.4),
+        e AS (SELECT a, b FROM nn UNION ALL SELECT b AS a, a AS b FROM nn),
+        walk(id, label) AS (
+          SELECT DISTINCT a AS id, a AS label FROM e
+          UNION
+          SELECT e.a AS id, walk.label
+          FROM e JOIN walk ON e.b = walk.id),
+        comp AS (SELECT id, min(label) AS component FROM walk GROUP BY id)
+        SELECT emb.vec_id,
+               coalesce(c.component, emb.vec_id) AS component,
+               emb.vec_id = coalesce(c.component, emb.vec_id) AS is_canonical
+        FROM embeddings emb LEFT JOIN comp c ON c.id = emb.vec_id
+        ORDER BY emb.vec_id""")),
+
     // V3 — per-label centroids (posexplode + exact decimal mean per dim)
     // and each vector's euclidean distance to its own centroid; the
     // centroid table is tiny and broadcast back.

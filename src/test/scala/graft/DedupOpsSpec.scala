@@ -30,4 +30,22 @@ class DedupOpsSpec extends SparkSpec {
     // exactly one canonical per cluster: {1,2,3}, {5,6}, {4}, {7}
     assert(out.values.count(_._2) === 4)
   }
+
+  test("semanticDedup links near-identical vectors, leaves the rest alone") {
+    // 0 and 1 are near-parallel (cosine ~1), 2 is orthogonal-ish; 3 is in
+    // another group so it can never link to 0/1 regardless of similarity
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.01f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 0),
+      (3L, Array(1.0f, 0.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = DedupOps.semanticDedup(emb, "vec_id", "embedding", "label", 0.9)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(0L) === ((0L, true)))
+    assert(out(1L) === ((0L, false))) // clustered under 0, not canonical
+    assert(out(2L) === ((2L, true))) // below tau -> singleton
+    assert(out(3L) === ((3L, true))) // other group -> singleton
+  }
 }

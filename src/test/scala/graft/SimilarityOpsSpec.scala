@@ -140,6 +140,19 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(!multi.contains(0L), "query itself excluded")
   }
 
+  test("topKPerQuery ranks independently per query row") {
+    val out = SimilarityOps.topKPerQuery(
+      emb, emb.filter($"vec_id" < 2), "vec_id", "embedding", k = 2)
+      .select($"qid", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect()
+    val byQ = out.groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2)).toMap
+    assert(byQ.keySet === Set(0L, 1L))
+    assert(byQ(0L).head === 1L) // 1 is 0's nearest
+    assert(byQ(1L).head === 0L) // and vice versa
+    assert(out.forall(r => r._1 != r._2), "query never ranks itself")
+    assert(out.count(_._1 == 0L) === 2 && out.count(_._1 == 1L) === 2)
+  }
+
   test("distanceToCentroid: symmetric pair -> equal distances") {
     val df = Seq(
       (0L, Array(0.0f, 0.0f), 0),
