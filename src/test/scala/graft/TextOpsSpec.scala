@@ -128,6 +128,20 @@ class TextOpsSpec extends SparkSpec {
     assert(out(4L) === ((4L, 1, "z", 1.0, "", 0.0, 0.0)))
   }
 
+  test("repetitionSignals native === explode/groupBy twin") {
+    val words = Seq("alpha", "beta", "gamma", "delta", "x", "y9")
+    val docs = (0 until 60).map { s =>
+      val n = 1 + (s * 7) % 23
+      (s.toLong, (0 until n).map(i => words((s * 13 + i * i) % words.length))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val a = TextOps.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = TextOps.repetitionSignalsShuffled(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
   test("exactDedupStats keeps min id and counts group size") {
     val df = Seq(
       (10L, "aaa", "s1"), (11L, "aaa", "s2"), (12L, "bbb", "s3"))
