@@ -396,37 +396,38 @@ object TextOps {
     *    repeats of an already-seen shingle.
     *
     * Scale shape: every signal is a PER-DOCUMENT statistic, so nothing
-    * may shuffle — the modal gram is the native [[graft.expressions
-    * .ModalGram]] (one hashmap pass per row inside the scan stage), and
-    * the 3-gram ratio is a pure column (array_distinct over the shingle
-    * array). Zero exchanges end-to-end: a 10^9-doc corpus never moves a
-    * gram. (The explode/groupBy formulation — kept as the
-    * equivalence-tested twin [[repetitionSignalsShuffled]] — shuffles
-    * (doc, gram) pairs corpus-wide to compute a per-row quantity;
-    * measured 6.7 s vs sub-second at sf0.1.)
+    * may shuffle — all counts come from the native one-pass
+    * [[graft.expressions.RepetitionKit]], evaluated exactly ONCE per row
+    * behind a Generate barrier (`explode(array(kit))`; CollapseProject
+    * re-inlines plain projected expressions into every consumer, which
+    * would re-run the pass per output column). Zero exchanges
+    * end-to-end: a 10^9-doc corpus never moves a gram. (The
+    * explode/groupBy formulation — kept as the equivalence-tested twin
+    * [[repetitionSignalsShuffled]] — shuffles (doc, gram) pairs
+    * corpus-wide to compute a per-row quantity; measured 6.7 s vs
+    * sub-second at sf0.1.)
     */
   def repetitionSignals(
       docs: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    def modal(c: Column): Column = ColumnBridge.column(
-      graft.expressions.ModalGram(ColumnBridge.expression(c)))
-    val toks = tokens(col(textCol))
-    val sh2 = shingles(toks, 2)
-    val sh3 = shingles(toks, 3)
-    val mTok = modal(toks)
-    val mBg = modal(sh2)
-    docs.select(col(idCol),
-      size(toks).as("n_tok"),
-      mTok.getField("gram").as("top_word"),
-      round(mTok.getField("cnt").cast("double") /
-        greatest(size(toks), lit(1)), 6).as("top_word_frac"),
-      mBg.getField("gram").as("top_bigram"),
-      round(mBg.getField("cnt").cast("double") /
-        greatest(size(sh2), lit(1)), 6).as("top_bigram_frac"),
-      round((size(sh3) - size(array_distinct(sh3))).cast("double") /
-        greatest(size(sh3), lit(1)), 6).as("dup_3gram_frac"))
+    val kit = ColumnBridge.column(graft.expressions.RepetitionKit(
+      ColumnBridge.expression(tokens(col(textCol)))))
+    val k = col("__k")
+    docs
+      .select(col(idCol), explode(array(kit)).as("__k"))
+      .select(col(idCol),
+        k.getField("n_tok").as("n_tok"),
+        k.getField("top_word").as("top_word"),
+        round(k.getField("top_word_cnt").cast("double") /
+          greatest(k.getField("n_tok"), lit(1)), 6).as("top_word_frac"),
+        k.getField("top_bigram").as("top_bigram"),
+        round(k.getField("top_bigram_cnt").cast("double") /
+          greatest(k.getField("n_bigrams"), lit(1)), 6).as("top_bigram_frac"),
+        round((k.getField("n_trigrams") - k.getField("distinct_trigrams"))
+          .cast("double") /
+          greatest(k.getField("n_trigrams"), lit(1)), 6).as("dup_3gram_frac"))
   }
 
   /** Explode/groupBy twin of [[repetitionSignals]] (executable spec of

@@ -80,6 +80,27 @@ class PlanSpec extends SparkSpec {
     assert("WindowGroupLimit.*Final".r.findFirstIn(p).isDefined, p)
   }
 
+  test("t13: repetition signals are a zero-exchange projection") {
+    val p = plan("t13_repetition")
+    // per-document statistics must never shuffle (the final orderBy is
+    // the only allowed exchange — the display sort of the query surface)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 0, s"per-doc stats must not shuffle:\n$p")
+    // the kit must be evaluated ONCE, behind the Generate barrier —
+    // CollapseProject would otherwise re-run the pass per output column
+    assert("graft_repetition_kit".r.findAllIn(p).size === 1, p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("v9: per-query top-k caps map-side (WindowGroupLimit) over a " +
+    "broadcast query batch") {
+    val p = plan("v9_topk_batch")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("pipeline: level chain reuses one site partitioning (no as-of " +
     "re-shuffle) and joins dims by broadcast") {
     val df = SparkEntry.queries("pl_levels_e2e")(spark, dir)
