@@ -108,14 +108,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.expressions.NgramProfileCounts(children.head, n, profiles)
       }))
     ext.injectFunction((
-      new FunctionIdentifier("graft_modal_gram"),
-      new ExpressionInfo(classOf[graft.expressions.ModalGram].getName,
-        "graft_modal_gram"),
-      (children: Seq[Expression]) => {
-        require(children.size == 1, "graft_modal_gram takes one argument")
-        graft.expressions.ModalGram(children.head)
-      }))
-    ext.injectFunction((
       new FunctionIdentifier("graft_min_shingle_md5"),
       new ExpressionInfo(classOf[graft.expressions.MinShingleMd5].getName,
         "graft_min_shingle_md5"),

@@ -75,7 +75,11 @@ object LshBucket {
         dot += x * ((p * 37 + j * 17) % 19 - 9)
         j += 1
       }
-      if (dot > 0) acc += (1L << p)
+      // Double.compare, not `>`: Spark SQL's GreaterThan (and DuckDB's)
+      // order NaN above every double, so a NaN dot SETS the bit in the
+      // HOF twin and the SQL oracle — plain Java `NaN > 0` is false and
+      // would silently break the bit-identical-twin invariant.
+      if (java.lang.Double.compare(dot, 0.0) > 0) acc += (1L << p)
       p += 1
     }
     acc

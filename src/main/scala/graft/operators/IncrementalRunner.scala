@@ -70,23 +70,36 @@ object IncrementalRunner {
   def upsertByKey(
       updated: DataFrame,
       path: String,
-      keyCols: Seq[String] = Seq("site_no", "time"),
+      keyCols: Seq[String] = Nil,
       tsCol: String = "time"): Unit = {
+    // The key must cover the partition identity (site_no) and the time
+    // column the day bucketing derives from — a key that misses either
+    // would dedup against the wrong rows or break the partition scan.
+    val keys = if (keyCols.isEmpty) Seq("site_no", tsCol) else keyCols
+    require(keys.contains("site_no") && keys.contains(tsCol),
+      s"upsertByKey keyCols must include site_no and tsCol=$tsCol, got $keys")
     val spark = updated.sparkSession
     val merged =
       if (!storeExists(spark, path)) updated
       else {
+        // Materialize the append ONCE up front (it is bounded by the
+        // recompute window): the affected-days broadcast, the anti-join
+        // build side, and the union each consume it, and without the
+        // checkpoint each would re-execute the full upstream plan —
+        // plus the final write may not read the path it overwrites.
+        val u = updated.localCheckpoint(true)
         val existing = spark.read.parquet(path)
-        val affected = updated
+        val affected = u
           .select(col("site_no"),
             date_format(col(tsCol), "yyyy-MM-dd").as(DayCol))
           .distinct()
         val survivors = existing
           .join(broadcast(affected), Seq("site_no", DayCol), "left_semi")
           .drop(DayCol)
-          .join(updated.select(keyCols.map(col): _*), keyCols, "left_anti")
-        updated
-          .unionByName(survivors.select(updated.columns.map(col).toIndexedSeq: _*))
+          .join(u.select(keys.map(col): _*), keys, "left_anti")
+        // second checkpoint: survivors' lineage still scans `path`, and
+        // the write below overwrites it — break that reference too
+        u.unionByName(survivors.select(u.columns.map(col).toIndexedSeq: _*))
           .localCheckpoint(true)
       }
     upsertByDay(merged, path, tsCol)

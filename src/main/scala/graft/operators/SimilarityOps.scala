@@ -60,6 +60,7 @@ object SimilarityOps {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
+    requireSingleQuery(query, idCol, "bruteForceTopK")
     val q = broadcast(query.select(
       col(idCol).as("__qid"), col(vecCol).as("__qvec")))
     // orderBy+limit compiles to TakeOrderedAndProject (per-partition k-heap,
@@ -122,6 +123,7 @@ object SimilarityOps {
       vecCol: String,
       numPlanes: Int,
       k: Int): DataFrame = {
+    requireSingleQuery(query, idCol, "lshTopK")
     val bucketed = embeddings
       .withColumn("bucket", lshBucket(col(vecCol), numPlanes))
     val q = broadcast(query
@@ -166,12 +168,14 @@ object SimilarityOps {
     requireSingleQuery(query, idCol, "lshMultiProbeTopK")
     val bucketed = embeddings
       .withColumn("bucket", lshBucket(col(vecCol), numPlanes))
+      .withColumn("__norm", normFold(col(vecCol)))
     val q = query
       .select(col(idCol).as("__qid"), col(vecCol).as("__qvec"))
       .withColumn("__qbucket", lshBucket(col("__qvec"), numPlanes))
+      .withColumn("__qnorm", normFold(col("__qvec")))
     // exact bucket first, then each single-bit flip (2^p via the same
     // pow-cast the bucket fold uses — engine-portable)
-    val probes = broadcast(q.select(col("__qid"), col("__qvec"),
+    val probes = broadcast(q.select(col("__qid"), col("__qvec"), col("__qnorm"),
       explode(concat(
         array(col("__qbucket")),
         transform(sequence(lit(0), lit(numPlanes - 1)), p =>
@@ -181,7 +185,8 @@ object SimilarityOps {
       .join(probes, Seq("bucket"))
       .filter(col(idCol) =!= col("__qid"))
       .select(col(idCol), col("bucket"),
-        cosine(col(vecCol), col("__qvec")).as("sim"))
+        cosineFromParts(dotFold(col(vecCol), col("__qvec")),
+          col("__norm"), col("__qnorm")).as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
       .withColumn("rank",
@@ -206,12 +211,17 @@ object SimilarityOps {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
+    // Norms once per side: the O(q x n) pair stage folds only the dot
+    // (1 fold per pair, not 3 — the module's pair-stage discipline).
     val q = broadcast(queries.select(
-      col(idCol).as("qid"), col(vecCol).as("__qvec")))
+      col(idCol).as("qid"), col(vecCol).as("__qvec"))
+      .withColumn("__qnorm", normFold(col("__qvec"))))
     embeddings
+      .withColumn("__norm", normFold(col(vecCol)))
       .join(q, col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol),
-        cosine(col(vecCol), col("__qvec")).as("sim"))
+        cosineFromParts(dotFold(col(vecCol), col("__qvec")),
+          col("__norm"), col("__qnorm")).as("sim"))
       .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col("sim").desc, col(idCol).asc)))
       .filter(col("rank") <= k)

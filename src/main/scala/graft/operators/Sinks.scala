@@ -46,7 +46,7 @@ final class ParquetDaySink(path: String) extends Sink {
   * partial-window appends (see [[IncrementalRunner.upsertByKey]]).
   */
 final class ParquetPointUpsertSink(
-    path: String, keyCols: Seq[String] = Seq("site_no", "time"))
+    path: String, keyCols: Seq[String] = Nil) // default: (site_no, tsCol)
     extends Sink {
   override def upsert(updated: DataFrame, tsCol: String): Unit =
     IncrementalRunner.upsertByKey(updated, path, keyCols, tsCol)

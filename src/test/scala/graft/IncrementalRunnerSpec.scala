@@ -82,6 +82,28 @@ class IncrementalRunnerSpec extends SparkSpec {
     assert(IncrementalRunner.readLevel(spark, path).count() === 5)
   }
 
+  test("upsertByKey couples the default key to a custom tsCol") {
+    val path = tmpDir()
+    IncrementalRunner.upsertByKey(
+      Seq((1, T("2024-01-01 10:00:00"), 1.0)).toDF("site_no", "ts", "v"),
+      path, tsCol = "ts")
+    IncrementalRunner.upsertByKey(
+      Seq((1, T("2024-01-01 10:00:00"), 9.0), // point-replaces
+        (1, T("2024-01-01 11:00:00"), 2.0)).toDF("site_no", "ts", "v"),
+      path, tsCol = "ts")
+    val out = IncrementalRunner.readLevel(spark, path)
+      .select("ts", "v").as[(java.sql.Timestamp, Double)].collect().toSet
+    assert(out === Set(
+      (T("2024-01-01 10:00:00"), 9.0), (T("2024-01-01 11:00:00"), 2.0)))
+    // a key that misses the tsCol is rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      IncrementalRunner.upsertByKey(
+        Seq((1, T("2024-01-01 10:00:00"), 1.0)).toDF("site_no", "ts", "v"),
+        path, keyCols = Seq("site_no", "time"), tsCol = "ts")
+    }
+    assert(e.getMessage.contains("must include"))
+  }
+
   test("upsertByKey on a fresh path is a plain write") {
     val path = tmpDir()
     val df = Seq((1, T("2024-01-01 10:00:00"), 1.0))

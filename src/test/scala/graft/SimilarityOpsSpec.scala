@@ -69,7 +69,8 @@ class SimilarityOpsSpec extends SparkSpec {
     val vecs: Seq[Array[Float]] =
       (0 until 50).map { s =>
         Array.tabulate(64)(i => (((s * 131 + i * 17) % 97) - 48) / 7.0f)
-      } :+ Array.empty[Float] :+ Array(0.0f, 0.0f)
+      } :+ Array.empty[Float] :+ Array(0.0f, 0.0f) :+
+        Array(Float.NaN, 1.0f) :+ Array(Float.PositiveInfinity, 2.0f)
     val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
       .toDF("vec_id", "embedding")
     for (planes <- Seq(1, 8, 16)) {
