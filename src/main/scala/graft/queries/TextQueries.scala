@@ -546,6 +546,24 @@ object TextQueries extends QueryModule {
         LEFT JOIN tb ON tb.doc_id = base.doc_id
         ORDER BY base.doc_id""")),
 
+    // T14 — column profiling: the data-quality pass before any curation
+    // (row/null/distinct counts + min/max per column, one agg job).
+    "t14_profile" -> Q(
+      fn = (s, dir) =>
+        graft.operators.ProfileOps.profileColumns(
+          t(s, dir, "documents"),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+          .orderBy(col("col_name")),
+      oracle = Some(Seq("doc_id", "text", "lang", "source", "n_chars")
+        .map(c => s"""
+          SELECT '$c' AS col_name, count(*) AS n_rows,
+                 count(*) - count($c) AS n_null,
+                 count(DISTINCT $c) AS n_distinct,
+                 CAST(min($c) AS VARCHAR) AS min_val,
+                 CAST(max($c) AS VARCHAR) AS max_val
+          FROM documents""")
+        .mkString(" UNION ALL ") + " ORDER BY col_name")),
+
     // T7 — PII redaction: pattern scrubbing with redaction counts (emails
     // and IPv4 here; the pattern set is pluggable). Runs on a derived
     // pii-bearing column so the branch is exercised deterministically.

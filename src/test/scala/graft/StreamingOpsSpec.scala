@@ -162,6 +162,42 @@ class StreamingOpsSpec extends SparkSpec {
       T("2024-01-02 10:00:00")))
   }
 
+  test("streaming NMDB path e2e: feed -> drift validation -> point-upsert " +
+    "store (earlier same-day hours survive later batches)") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_nmdb_stream_").toFile
+    dir.deleteOnExit()
+    val out = new java.io.File(dir, "store").getAbsolutePath
+    val sinkFn = graft.operators.Sink.foreachBatch(
+      new graft.operators.ParquetPointUpsertSink(out))
+    val input = MemoryStream[IntensityPoint]
+    val q = StreamingOps.validatedIntensityStream(input.toDS())
+      .writeStream
+      .foreachBatch((ds: org.apache.spark.sql.Dataset[
+        graft.operators.IntensityOps.ValidatedPoint], id: Long) =>
+        sinkFn(ds.toDF(), id))
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", new java.io.File(dir, "chk").getAbsolutePath)
+      .start()
+    input.addData(
+      IntensityPoint(1, T("2024-01-01 10:00:00"), 100.0),
+      IntensityPoint(1, T("2024-01-01 11:00:00"), 300.0)) // spike -> flagged
+    q.processAllAvailable()
+    input.addData( // SAME day, later hours: the store must keep 10/11:00
+      IntensityPoint(1, T("2024-01-01 12:00:00"), 105.0),
+      IntensityPoint(1, T("2024-01-01 13:00:00"), 106.0))
+    q.processAllAvailable()
+    q.stop()
+    val stored = graft.operators.IncrementalRunner.readLevel(spark, out)
+      .select("time", "bad_data_flag")
+      .as[(java.sql.Timestamp, Int)].collect().toMap
+    assert(stored === Map(
+      T("2024-01-01 10:00:00") -> 0,
+      T("2024-01-01 11:00:00") -> 1, // flagged spike persisted
+      T("2024-01-01 12:00:00") -> 0, // validated against 100, not 300
+      T("2024-01-01 13:00:00") -> 0))
+  }
+
   test("hourlyStats windows with watermark (batch-mode check)") {
     val df = Seq(
       (1, T("2024-01-01 10:05:00"), 10.0),

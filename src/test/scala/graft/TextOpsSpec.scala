@@ -142,6 +142,27 @@ class TextOpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("profileColumns: exact counts correct; approx within 5% of exact") {
+    val df = Seq(
+      (1L, "a", Option("x")), (2L, "b", None), (3L, "a", Option("y")),
+      (4L, "c", Option("y")))
+      .toDF("id", "s", "o")
+    val exact = graft.operators.ProfileOps
+      .profileColumns(df, Seq("id", "s", "o"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(exact("id") === ((4L, 0L, 4L, "1")))
+    assert(exact("s") === ((4L, 0L, 3L, "a")))
+    assert(exact("o") === ((4L, 1L, 2L, "x")))
+    val approx = graft.operators.ProfileOps
+      .profileColumns(df, Seq("id", "s", "o"), exact = false)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    exact.foreach { case (c, (_, _, nd, _)) =>
+      assert(math.abs(approx(c) - nd) <= math.max(1, nd / 20),
+        s"$c approx ${approx(c)} vs exact $nd")
+    }
+  }
+
   test("exactDedupStats keeps min id and counts group size") {
     val df = Seq(
       (10L, "aaa", "s1"), (11L, "aaa", "s2"), (12L, "bbb", "s3"))
