@@ -499,6 +499,74 @@ object TextQueries extends QueryModule {
         FROM j
         ORDER BY doc_id""")),
 
+    // C1 — the curation chain end-to-end, one plan: quality gate (t3) →
+    // exact dedup (d1, min-id winner carries its text/quality) → MinHash
+    // near-dup pairs (d3) → connected components (d7) → canonical pick by
+    // quality (d8). The LLM-data counterpart of pl_levels_e2e: what a
+    // corpus release actually runs, checked against a single SQL oracle.
+    "c1_curate_e2e" -> Q(
+      fn = (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val m = TextOps.qualityScore(
+          col("text"), TextOps.tokens(col("text")), stopwords)
+        val kept0 = docs.select(col("doc_id"), col("text"),
+          m("n_tok").as("n_tok"), m("quality").as("quality"))
+          .filter(col("quality") >= 0.5 && col("n_tok") >= 10)
+        val kept = DedupOps.exactDedupStats(kept0, md5(col("text")), "doc_id",
+          carryCols = Seq("text", "quality"))
+          .select(col("doc_id"), col("text"), col("quality"), col("dup_count"))
+        val pairs = DedupOps.minhashCandidatePairs(kept, "doc_id", "text",
+          shingleK = 3, numPerm = 8, bands = 2).select(col("a"), col("b"))
+        DedupOps.canonicalPick(kept, "doc_id", col("quality"), pairs)
+          .join(kept.select(col("doc_id"), col("dup_count")), Seq("doc_id"))
+          .select(col("doc_id"), col("component"), col("score").as("quality"),
+            col("dup_count"), col("is_canonical"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE qual AS (
+          SELECT doc_id, text,
+                 len($toksSql) AS n_tok,
+                 round(0.3 * round(least(1.0, CAST(length(text) AS DOUBLE) / 400.0), 6)
+                     + 0.4 * round(len(list_distinct($toksSql))
+                         / CAST(greatest(len($toksSql), 1) AS DOUBLE), 6)
+                     + 0.3 * (1.0 - least(1.0, ${markerSql(stopwords)} * 4)), 6)
+                   AS quality
+          FROM documents),
+        kept0 AS (
+          SELECT doc_id, text, quality FROM qual
+          WHERE quality >= 0.5 AND n_tok >= 10),
+        kept AS (
+          SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text,
+                 arg_min(quality, doc_id) AS quality, count(*) AS dup_count
+          FROM kept0 GROUP BY md5(text)),
+        ${bandsSql.replace("FROM documents", "FROM kept")},
+        pairs AS (
+          SELECT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y
+            ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+          WHERE x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+        e AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+        walk(id, label) AS (
+          SELECT DISTINCT a AS id, a AS label FROM e
+          UNION
+          SELECT e.a AS id, walk.label
+          FROM e JOIN walk ON e.b = walk.id),
+        comp AS (SELECT id, min(label) AS component FROM walk GROUP BY id),
+        j AS (
+          SELECT k.doc_id, coalesce(c.component, k.doc_id) AS component,
+                 k.quality, k.dup_count
+          FROM kept k LEFT JOIN comp c ON c.id = k.doc_id)
+        SELECT doc_id, component, quality, dup_count,
+               doc_id = first_value(doc_id) OVER
+                 (PARTITION BY component ORDER BY quality DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS is_canonical
+        FROM j
+        ORDER BY doc_id"""),
+      bench = true),
+
     // T13 — repetition signals (Gopher-style boilerplate/degeneration
     // filters): modal token and bigram shares + duplicate-3-gram
     // instance fraction.
