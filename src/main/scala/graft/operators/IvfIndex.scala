@@ -72,12 +72,22 @@ object IvfIndex {
       while (i < n) { acc += a(i) * b(i); i += 1 }
       acc
     }
-    def cosine(a: Array[Double], b: Array[Double]): Double =
-      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // NaN/Infinity pass through exactly as Spark's round() does (a
+    // zero-norm vector yields NaN; BigDecimal would throw), and the
+    // probe sort uses Double.compare so NaN orders LARGEST — matching
+    // the distributed formulation's `csim DESC` (Spark sorts NaN above
+    // every double), not Scala's default tuple sort.
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      val r = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      if (r.isNaN || r.isInfinite) r
+      else BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
     val probed = codebook.toSeq
       .map { case (cell, c) => (cell, cosine(queryVec, c)) }
-      .sortBy { case (cell, sim) => (-sim, cell) }
+      .sortWith { case ((c1, s1), (c2, s2)) =>
+        val cmp = java.lang.Double.compare(s1, s2)
+        if (cmp != 0) cmp > 0 else c1 < c2
+      }
       .take(nprobe).map(_._1)
     val qv = typedlit(queryVec)
     val vectors = spark.read.parquet(s"$path/vectors")

@@ -24,6 +24,12 @@ object ProfileOps {
       cols: Seq[String],
       exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profileColumns needs at least one column")
+    // names are interpolated into the stack() SQL string — restrict to
+    // plain identifiers and reject duplicates (ambiguous aliases) loudly
+    require(cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"profileColumns needs plain identifier column names, got $cols")
+    require(cols.distinct == cols,
+      s"profileColumns column list has duplicates: $cols")
     def nd(c: String) =
       if (exact) count_distinct(col(c)) else approx_count_distinct(col(c))
     val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>

@@ -60,8 +60,8 @@ object SimilarityOps {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    requireSingleQuery(query, idCol, "bruteForceTopK")
-    val q = broadcast(query.select(
+    val query1 = singleQueryGuard(query, idCol, "bruteForceTopK")
+    val q = broadcast(query1.select(
       col(idCol).as("__qid"), col(vecCol).as("__qvec")))
     // orderBy+limit compiles to TakeOrderedAndProject (per-partition k-heap,
     // driver merge of k*parts rows) — no global sort, no full shuffle; the
@@ -123,10 +123,10 @@ object SimilarityOps {
       vecCol: String,
       numPlanes: Int,
       k: Int): DataFrame = {
-    requireSingleQuery(query, idCol, "lshTopK")
+    val query1 = singleQueryGuard(query, idCol, "lshTopK")
     val bucketed = embeddings
       .withColumn("bucket", lshBucket(col(vecCol), numPlanes))
-    val q = broadcast(query
+    val q = broadcast(query1
       .select(col(idCol).as("__qid"), col(vecCol).as("__qvec"))
       .withColumn("__qbucket", lshBucket(col("__qvec"), numPlanes)))
     bucketed
@@ -165,11 +165,11 @@ object SimilarityOps {
       vecCol: String,
       numPlanes: Int,
       k: Int): DataFrame = {
-    requireSingleQuery(query, idCol, "lshMultiProbeTopK")
+    val query1 = singleQueryGuard(query, idCol, "lshMultiProbeTopK")
     val bucketed = embeddings
       .withColumn("bucket", lshBucket(col(vecCol), numPlanes))
       .withColumn("__norm", normFold(col(vecCol)))
-    val q = query
+    val q = query1
       .select(col(idCol).as("__qid"), col(vecCol).as("__qvec"))
       .withColumn("__qbucket", lshBucket(col("__qvec"), numPlanes))
       .withColumn("__qnorm", normFold(col("__qvec")))
@@ -293,16 +293,22 @@ object SimilarityOps {
   /** The top-k searches rank with a single global orderBy/limit and drop
     * the query id, so results of different query rows would compete for
     * one top-k and be unattributable — enforce the one-query contract
-    * (the check is a 2-row bounded count: metadata-scale, like a
-    * broadcast-threshold decision). Multi-query batches: call per query
-    * or rank per query id externally.
+    * IN the plan: an `assert_true` over a count window on the (tiny)
+    * query side throws at execution when >1 rows arrive, costing zero
+    * extra jobs (an eager `limit(2).count()` pre-check would re-scan the
+    * table backing a selective query filter on every call — measured on
+    * the v1/v2 bench paths). An EMPTY query frame yields an empty
+    * result, not an error. Multi-query batches: [[topKPerQuery]].
     */
-  private def requireSingleQuery(
-      query: DataFrame, idCol: String, op: String): Unit = {
-    val n = query.select(col(idCol)).limit(2).count()
-    require(n == 1,
-      s"$op ranks a SINGLE query row's top-k (got $n query rows); " +
-        "pass one row, or rank per query id externally")
+  private def singleQueryGuard(
+      query: DataFrame, idCol: String, op: String): DataFrame = {
+    val counted = query.withColumn("__qc",
+      count(lit(1)).over(Window.partitionBy(lit(1))))
+    counted
+      .filter(assert_true(col("__qc") === 1,
+        lit(s"$op ranks a SINGLE query row's top-k; pass one row, or use " +
+          "topKPerQuery for batches")).isNull)
+      .drop("__qc")
   }
 
   // Centroid side is small (groups x dims); hint broadcast when sensible.
@@ -426,7 +432,7 @@ object SimilarityOps {
       trainIters: Int,
       nprobe: Int,
       k: Int): DataFrame = {
-    requireSingleQuery(query, idCol, "ivfTopKLearned")
+    val query1 = singleQueryGuard(query, idCol, "ivfTopKLearned")
     val spark = embeddings.sparkSession
     import spark.implicits._
     val (assign, cent) = kmeansFit(embeddings, idCol, vecCol, kCells, trainIters)
@@ -438,7 +444,7 @@ object SimilarityOps {
       .join(assign.select(col(idCol), col("cluster").as("cell")), Seq(idCol))
     val wProbe = Window.partitionBy(col(idCol))
       .orderBy(col("__csim").desc, col("cell").asc)
-    val probed = query.join(cb)
+    val probed = query1.join(cb)
       .withColumn("__csim", cosine(col(vecCol), col("centroid")))
       .withColumn("__crank", row_number().over(wProbe))
       .filter(col("__crank") <= nprobe)
@@ -469,7 +475,7 @@ object SimilarityOps {
       groupCol: String,
       nprobe: Int,
       k: Int): DataFrame = {
-    requireSingleQuery(query, idCol, "ivfTopK")
+    val query1 = singleQueryGuard(query, idCol, "ivfTopK")
     val cb = broadcast(centroidVectors(embeddings, vecCol, groupCol)
       .select(col(groupCol).as("cell"), col("centroid")))
     // Nearest cell per vector (ties -> lowest cell id) as a partial-
@@ -488,7 +494,7 @@ object SimilarityOps {
     // Query side keeps the nprobe-rank window: 1 row x |cells|, trivial.
     val wProbe = Window.partitionBy(col(idCol))
       .orderBy(col("__csim").desc, col("cell").asc)
-    val probed = query.join(cb)
+    val probed = query1.join(cb)
       .withColumn("__csim", cosine(col(vecCol), col("centroid")))
       .withColumn("__crank", row_number().over(wProbe))
       .filter(col("__crank") <= nprobe)

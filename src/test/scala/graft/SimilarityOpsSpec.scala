@@ -141,6 +141,20 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(!multi.contains(0L), "query itself excluded")
   }
 
+  test("single-query guard throws in-plan for multi-row query frames") {
+    val e = intercept[Exception] {
+      SimilarityOps.bruteForceTopK(
+        emb, emb.filter($"vec_id" < 2), "vec_id", "embedding", 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("SINGLE query row")), e.toString)
+    // a one-row frame passes through the same guard untouched
+    assert(SimilarityOps.bruteForceTopK(
+      emb, emb.filter($"vec_id" === 0), "vec_id", "embedding", 2)
+      .count() === 2)
+  }
+
   test("topKPerQuery ranks independently per query row") {
     val out = SimilarityOps.topKPerQuery(
       emb, emb.filter($"vec_id" < 2), "vec_id", "embedding", k = 2)
