@@ -104,6 +104,35 @@ class IncrementalRunnerSpec extends SparkSpec {
     assert(e.getMessage.contains("must include"))
   }
 
+  test("upsertByKey agrees with a map model over random partial frames") {
+    // model-based check of the point-upsert semantics: after any
+    // sequence of partial-day appends, the store must equal a plain
+    // Map upsert keyed by (site, time) — nothing deleted, last write
+    // wins per key. Seeded, so the sequence is reproducible.
+    val path = tmpDir()
+    val rnd = new scala.util.Random(42)
+    var model = Map.empty[(Int, java.sql.Timestamp), Double]
+    for (step <- 1 to 5) {
+      val frame = (0 until (1 + rnd.nextInt(6))).map { _ =>
+        val site = 1 + rnd.nextInt(2)
+        val day = 1 + rnd.nextInt(2)
+        val hour = rnd.nextInt(24)
+        val ts = T(f"2024-01-0$day%d $hour%02d:00:00")
+        val v = step * 100.0 + rnd.nextInt(100)
+        ((site, ts), v)
+      }.toMap // dedup within the frame: one value per key
+      model = model ++ frame
+      val df = frame.toSeq.map { case ((s, ts), v) => (s, ts, v) }
+        .toDF("site_no", "time", "v")
+      IncrementalRunner.upsertByKey(df, path)
+      val stored = IncrementalRunner.readLevel(spark, path)
+        .select("site_no", "time", "v")
+        .as[(Int, java.sql.Timestamp, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(stored === model, s"diverged at step $step")
+    }
+  }
+
   test("upsertByKey on a fresh path is a plain write") {
     val path = tmpDir()
     val df = Seq((1, T("2024-01-01 10:00:00"), 1.0))
