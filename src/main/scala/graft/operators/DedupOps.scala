@@ -81,6 +81,35 @@ object DedupOps {
         (col(idCol) === col("__canonical")).as("is_canonical"))
   }
 
+  /** Benchmark DECONTAMINATION flag: a document is contaminated when it
+    * shares at least one hashed 3-token shingle with any benchmark
+    * document — the n-gram-overlap check a training corpus runs against
+    * eval sets before release. Returns every doc with the boolean flag.
+    *
+    * Scale shape: the benchmark shingle set is tiny (eval sets are
+    * thousands of docs) and broadcasts; the corpus side explodes to
+    * (doc, shingle-hash) longs — never text — and the left-semi join +
+    * distinct collapse map-side. One corpus pass, no corpus shuffle of
+    * anything wider than (id, hash64).
+    */
+  def flagContaminated(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    def shingled(df: DataFrame) = df.select(col(idCol),
+      explode(TextOps.hashedShingles3(
+        TextOps.tokens(col(textCol)))).as("__sh"))
+    val benchSet = broadcast(shingled(benchmark).select(col("__sh")).distinct())
+    val flagged = shingled(docs)
+      .join(benchSet, Seq("__sh"), "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("__hit", lit(1))
+    docs.select(col(idCol))
+      .join(flagged, Seq(idCol), "left")
+      .select(col(idCol), col("__hit").isNotNull.as("is_contaminated"))
+  }
+
   /** Semantic (embedding-space) dedup, SemDeDup-style: link every vector
     * to its nearest neighbor within its group when the cosine clears
     * `tau`, take connected components over those links, and keep the

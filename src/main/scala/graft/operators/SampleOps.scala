@@ -46,6 +46,33 @@ object SampleOps {
     when(pmod(TextOps.baseHash60(idCol.cast("string")), lit(100)) < trainPct,
       lit(trainLabel)).otherwise(lit(holdoutLabel))
 
+  /** Deterministic MIXTURE sampling — the pretraining-mix operator: keep
+    * each row with its group's target rate, decided by the row's own id
+    * hash (per-myriad resolution). Purely per-row like [[hashSplit]]:
+    * no shuffle, stable under re-partitioning/re-runs, and the kept set
+    * for one group never changes when another group's rate does (each
+    * group consumes a prefix of the same hash order). Rates are
+    * converted to integer per-myriad thresholds ONCE here, so an
+    * engine-portable restatement uses identical integer comparisons.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 1),
+      s"mixture rates must be in [0,1], got $rates default=$defaultRate")
+    val h = pmod(TextOps.baseHash60(col(idCol).cast("string")), lit(10000))
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(math.round(defaultRate * 10000).toInt)) {
+        case (els, (g, r)) =>
+          when(col(groupCol) === g, lit(math.round(r * 10000).toInt))
+            .otherwise(els)
+      }
+    df.filter(h < threshold)
+  }
+
   /** Greedy sequence-packing approximation: stream each shard's docs in
     * hash order, keep a running length cumsum, and place each doc in the
     * bin where its first token lands when the stream is concatenated

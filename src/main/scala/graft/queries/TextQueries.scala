@@ -668,6 +668,50 @@ object TextQueries extends QueryModule {
         FROM p
         ORDER BY doc_id""")),
 
+    // D10 — benchmark decontamination: flag every doc sharing a hashed
+    // 3-shingle with the (stand-in) benchmark set doc_id % 50 == 0 —
+    // the n-gram-overlap check a corpus runs against eval sets.
+    "d10_decontaminate" -> Q(
+      fn = (s, dir) => {
+        val docs = t(s, dir, "documents")
+        DedupOps.flagContaminated(
+          docs, docs.filter(col("doc_id") % 50 === 0), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH $hashedCteSql,
+        bench AS (
+          SELECT DISTINCT unnest(hs) AS sh FROM hashed WHERE doc_id % 50 = 0),
+        docsh AS (SELECT doc_id, unnest(hs) AS sh FROM hashed),
+        flagged AS (SELECT DISTINCT docsh.doc_id
+                    FROM docsh JOIN bench ON docsh.sh = bench.sh)
+        SELECT h.doc_id, f.doc_id IS NOT NULL AS is_contaminated
+        FROM hashed h LEFT JOIN flagged f ON f.doc_id = h.doc_id
+        ORDER BY h.doc_id""")),
+
+    // T15 — mixture sampling: per-language keep rates decided by each
+    // row's own id hash (per-myriad thresholds) — the pretraining-mix
+    // operator; one group's kept set is invariant to the others' rates.
+    "t15_mixture" -> Q(
+      fn = (s, dir) =>
+        graft.operators.SampleOps.mixtureSample(
+          t(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.1,
+            "zh" -> 0.05))
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id")),
+      oracle = Some {
+        val h60 = baseHashSql.replace("md5(s)", "md5(CAST(doc_id AS VARCHAR))")
+        s"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE ($h60) % 10000 <
+              CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000
+                        WHEN 'fr' THEN 2500 WHEN 'es' THEN 1000
+                        WHEN 'zh' THEN 500 ELSE 0 END
+        ORDER BY doc_id"""
+      }),
+
     // T8 — vocabulary statistics: global top-20 tokens by frequency
     // (explode -> partial-agg count -> TakeOrdered; the profiling pass
     // that sizes tokenizer vocab / stopword lists).

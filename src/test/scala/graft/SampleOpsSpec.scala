@@ -13,6 +13,27 @@ class SampleOpsSpec extends SparkSpec {
   private val docs = (0L until 200L).map(i =>
     (i, s"lang${i % 3}", (i % 37 + 1).toInt)).toDF("id", "lang", "len")
 
+  test("mixtureSample: rate-1 keeps all, rate-0 drops all, and one " +
+    "group's kept set ignores the others' rates") {
+    def kept(rates: Map[String, Double]): Map[String, Set[Long]] =
+      SampleOps.mixtureSample(docs, "id", "lang", rates)
+        .select("id", "lang").as[(Long, String)].collect()
+        .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val all = kept(Map("lang0" -> 1.0, "lang1" -> 0.5, "lang2" -> 0.0))
+    assert(all("lang0").size === docs.filter($"lang" === "lang0").count())
+    assert(!all.contains("lang2"))
+    assert(all("lang1").nonEmpty &&
+      all("lang1").size < docs.filter($"lang" === "lang1").count())
+    // independence: lang1's kept ids are identical when lang0's rate moves
+    val again = kept(Map("lang0" -> 0.1, "lang1" -> 0.5, "lang2" -> 1.0))
+    assert(again("lang1") === all("lang1"))
+    // determinism under repartition
+    val repart = SampleOps.mixtureSample(
+      docs.repartition(7), "id", "lang", Map("lang1" -> 0.5))
+      .select("id").as[Long].collect().toSet
+    assert(repart === all("lang1"))
+  }
+
   test("stratifiedSample: exact n per group, stable under repartition") {
     val a = SampleOps.stratifiedSample(docs, "lang", "id", 10)
       .select("id").as[Long].collect().toSet

@@ -163,6 +163,19 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("flagContaminated: shared 3-shingle flags, disjoint text doesn't") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over"), // benchmark member
+      (1L, "lazy dog sleeps the quick brown cat"), // shares "the quick brown"
+      (2L, "completely different words entirely here"), // clean
+      (3L, "quick brown fox runs")) // shares "quick brown fox"
+      .toDF("doc_id", "text")
+    val out = DedupOps.flagContaminated(
+      docs, docs.filter($"doc_id" === 0), "doc_id", "text")
+      .as[(Long, Boolean)].collect().toMap
+    assert(out === Map(0L -> true, 1L -> true, 2L -> false, 3L -> true))
+  }
+
   test("exactDedupStats keeps min id and counts group size") {
     val df = Seq(
       (10L, "aaa", "s1"), (11L, "aaa", "s2"), (12L, "bbb", "s3"))
