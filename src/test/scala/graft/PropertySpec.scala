@@ -155,6 +155,58 @@ class PropertySpec extends SparkSpec {
     } yield (site, 1704067200L + offMin * 60L, v))
   } yield rows
 
+  test("LshBucket: native loop equals per-plane refold (NaN above zero)") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val vecGen: Gen[Array[Double]] = for {
+      n <- Gen.choose(0, 20)
+      xs <- Gen.listOfN(n, Gen.frequency(
+        10 -> Gen.choose(-5.0, 5.0),
+        1 -> Gen.oneOf(Double.NaN, Double.PositiveInfinity,
+          Double.NegativeInfinity)))
+    } yield xs.toArray
+    check(Prop.forAll(vecGen, Gen.oneOf(1, 8, 16)) { (v, planes) =>
+      var ref = 0L
+      for (p <- 0 until planes) {
+        val dot = v.zipWithIndex.foldLeft(0.0) { case (a, (x, i)) =>
+          a + x * ((p * 37 + i * 17) % 19 - 9)
+        }
+        // Spark SQL / DuckDB order NaN above every double
+        if (java.lang.Double.compare(dot, 0.0) > 0) ref += (1L << p)
+      }
+      graft.expressions.LshBucket.bucket(
+        ArrayData.toArrayData(v), false, planes) == ref
+    }, samples = 200)
+  }
+
+  test("RepetitionKit: one-pass counts equal sliding-window reference") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val tokGen: Gen[List[String]] = for {
+      n <- Gen.choose(0, 30)
+      ts <- Gen.listOfN(n, Gen.oneOf("a", "b", "ab", "xyz", "q9", ""))
+    } yield ts
+    check(Prop.forAll(tokGen) { toks =>
+      def modal(gs: Seq[String]): (String, Long) =
+        if (gs.isEmpty) ("", 0L)
+        else {
+          val m = gs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+          val maxC = m.values.max
+          (m.filter(_._2 == maxC).keys.min, maxC)
+        }
+      val bgs = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val tgs = toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      val row = graft.expressions.RepetitionKit.counts(
+        ArrayData.toArrayData(toks.map(UTF8String.fromString).toArray))
+      val (tw, twc) = modal(toks)
+      val (tb, tbc) = modal(bgs)
+      row.getInt(0) == toks.length &&
+        row.getUTF8String(1).toString == tw && row.getLong(2) == twc &&
+        row.getUTF8String(3).toString == tb && row.getLong(4) == tbc &&
+        row.getInt(5) == bgs.length && row.getInt(6) == tgs.length &&
+        row.getInt(7) == tgs.distinct.length
+    }, samples = 300)
+  }
+
   test("dedupWithin: idempotent, output subset, invariant holds") {
     check(Prop.forAll(seriesGen) { rows =>
       val df = rows.toDF("site", "epoch", "v")
