@@ -63,14 +63,20 @@ object SampleOps {
       defaultRate: Double = 0.0): DataFrame = {
     require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 1),
       s"mixture rates must be in [0,1], got $rates default=$defaultRate")
-    val h = pmod(TextOps.baseHash60(col(idCol).cast("string")), lit(10000))
-    val threshold = rates.toSeq.sortBy(_._1)
-      .foldLeft(lit(math.round(defaultRate * 10000).toInt)) {
-        case (els, (g, r)) =>
-          when(col(groupCol) === g, lit(math.round(r * 10000).toInt))
-            .otherwise(els)
-      }
-    df.filter(h < threshold)
+    // Salt the hash per-operator: the RAW id hash is what hashSplit
+    // buckets on (mod 100), so an unsalted mixture at a sub-1% rate
+    // would keep only ids whose hash % 100 < threshold — forcing every
+    // survivor into one side of a later train/holdout split. The salt
+    // makes the two decisions independent.
+    val h = pmod(TextOps.baseHash60(
+      concat(col(idCol).cast("string"), lit("/mix"))), lit(10000))
+    // flat map lookup, not a nested when-chain: a realistic mix has
+    // hundreds of groups and a CaseWhen that deep strains analysis and
+    // codegen while evaluating sequentially per row
+    val thresholds = typedlit(
+      rates.map { case (g, r) => g -> math.round(r * 10000).toInt })
+    df.filter(h < coalesce(element_at(thresholds, col(groupCol)),
+      lit(math.round(defaultRate * 10000).toInt)))
   }
 
   /** Greedy sequence-packing approximation: stream each shard's docs in

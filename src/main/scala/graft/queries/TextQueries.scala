@@ -701,7 +701,8 @@ object TextQueries extends QueryModule {
           .select(col("doc_id"), col("lang"))
           .orderBy(col("doc_id")),
       oracle = Some {
-        val h60 = baseHashSql.replace("md5(s)", "md5(CAST(doc_id AS VARCHAR))")
+        val h60 = baseHashSql.replace("md5(s)",
+          "md5(CAST(doc_id AS VARCHAR) || '/mix')")
         s"""
         SELECT doc_id, lang
         FROM documents

@@ -32,6 +32,14 @@ class SampleOpsSpec extends SparkSpec {
       docs.repartition(7), "id", "lang", Map("lang1" -> 0.5))
       .select("id").as[Long].collect().toSet
     assert(repart === all("lang1"))
+    // composition with hashSplit: the mixture hash is salted, so the
+    // survivors of a low rate still split into BOTH labels (an unsalted
+    // hash would alias with the split's mod-100 buckets and empty one side)
+    val many = (0L until 2000L).map(i => (i, "g")).toDF("id", "lang")
+    val splits = SampleOps.mixtureSample(many, "id", "lang", Map("g" -> 0.05))
+      .select(SampleOps.hashSplit(col("id"), 50).as("split"))
+      .as[String].collect()
+    assert(splits.toSet === Set("train", "holdout"), splits.toSet.toString)
   }
 
   test("stratifiedSample: exact n per group, stable under repartition") {
