@@ -302,6 +302,54 @@ object TimeSeriesOps {
     }
   }
 
+  /** Regular-grid resampling with forward fill — the set-based form of
+    * InfluxQL's `GROUP BY time(interval) fill(previous)` (the query
+    * shape the reference's dashboards sit on): bucket each series to the
+    * interval, aggregate decimal-exactly, then materialize EVERY bucket
+    * between each key's first and last (gaps included) and carry the
+    * last seen value across gaps.
+    *
+    * Scale shape: one partial-aggregable (key, bucket) rollup; the grid
+    * comes from per-key spans (one tiny agg + an explode — never a
+    * cross join against a global calendar, so sparse keys don't pay for
+    * the fleet's full range); the gap join is an equi-join on
+    * (key, bucket); the fill is one O(rows) unbounded-preceding window
+    * per key. Grid size = keys x own-span/interval, caller-controlled
+    * via the interval.
+    *
+    * @return (key, bucket_start epoch-seconds, n_events, avg_v, v_fill,
+    *         is_gap), one row per key per interval in the key's span
+    */
+  def resample(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valCol: String,
+      intervalSeconds: Long): DataFrame = {
+    require(intervalSeconds > 0, "intervalSeconds must be positive")
+    val bucket = (unix_timestamp(col(tsCol)) / intervalSeconds)
+      .cast("long") // positive epochs: truncation == floor
+    val agged = df
+      .groupBy(col(keyCol), bucket.as("__b"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(round(col(valCol), 12).cast("decimal(38,12)"))
+          .cast("double") / count(lit(1)), 6).as("avg_v"))
+    val grid = agged
+      .groupBy(col(keyCol))
+      .agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"))).as("__b"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agged, Seq(keyCol, "__b"), "left")
+      .select(col(keyCol),
+        (col("__b") * intervalSeconds).as("bucket_start"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("avg_v"),
+        last(col("avg_v"), ignoreNulls = true).over(w).as("v_fill"),
+        col("avg_v").isNull.as("is_gap"))
+  }
+
   /** Per-series lag, the set-based form of InfluxQL `DIFFERENCE`
     * (`pipeline/cosmoz_process_levels.py:357-361`). Emits `<col>_prev`.
     */

@@ -252,6 +252,37 @@ object TemporalQueries extends QueryModule {
         GROUP BY user_id, CAST(ts AS DATE)
         ORDER BY user_id, day""")),
 
+    // A6 — regular-grid resample + forward fill: the set-based form of
+    // InfluxQL GROUP BY time(1d) fill(previous). Daily buckets per user,
+    // gaps materialized from each user's own span, last value carried.
+    "a6_resample_ffill" -> Q(
+      fn = (s, dir) =>
+        graft.operators.TimeSeriesOps.resample(
+          t(s, dir, "events"), "user_id", "ts", "value",
+          intervalSeconds = 86400L)
+          .orderBy(col("user_id"), col("bucket_start")),
+      oracle = Some("""
+        WITH a AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS b,
+                 count(*) AS n_events,
+                 round(CAST(sum(CAST(round(value, 12) AS DECIMAL(38,12)))
+                   AS DOUBLE) / count(*), 6) AS avg_v
+          FROM events GROUP BY 1, 2),
+        s AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM a GROUP BY 1),
+        g AS (SELECT user_id, unnest(generate_series(lo, hi)) AS b FROM s),
+        j AS (
+          SELECT g.user_id, g.b, a.n_events, a.avg_v
+          FROM g LEFT JOIN a ON a.user_id = g.user_id AND a.b = g.b)
+        SELECT user_id, b * 86400 AS bucket_start,
+               coalesce(n_events, 0) AS n_events, avg_v,
+               last_value(avg_v IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill,
+               avg_v IS NULL AS is_gap
+        FROM j
+        ORDER BY user_id, bucket_start""")),
+
     // A4 — top-1 by time per series (nmdb/influx_db.py:175,219:
     // ORDER BY time DESC/ASC LIMIT 1).
     "a4_top1_by_time" -> Q(

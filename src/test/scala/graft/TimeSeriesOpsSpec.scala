@@ -124,4 +124,24 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out(ts("2024-01-01 10:00:00")) === 15.0)
     assert(out(ts("2024-01-01 20:00:00")) === 100.0)
   }
+
+  test("resample: daily grid per key's own span, gaps filled forward") {
+    val df = Seq(
+      (1, "2024-01-01 10:00:00", 10.0),
+      (1, "2024-01-01 14:00:00", 20.0), // same bucket -> avg 15
+      (1, "2024-01-03 10:00:00", 30.0), // Jan 2 is a gap
+      (2, "2024-01-05 00:00:00", 5.0))  // other key, later span
+      .toDF("user_id", "ts", "value").withColumn("ts", to_timestamp($"ts"))
+    val out = TimeSeriesOps.resample(df, "user_id", "ts", "value", 86400L)
+      .orderBy($"user_id", $"bucket_start")
+      .as[(Int, Long, Long, Option[Double], Double, Boolean)].collect().toSeq
+    val d = 86400L
+    val jan1 = java.time.LocalDate.of(2024, 1, 1)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    assert(out === Seq(
+      (1, jan1, 2L, Some(15.0), 15.0, false),
+      (1, jan1 + d, 0L, None, 15.0, true), // gap: carries Jan 1's avg
+      (1, jan1 + 2 * d, 1L, Some(30.0), 30.0, false),
+      (2, jan1 + 4 * d, 1L, Some(5.0), 5.0, false))) // own span only
+  }
 }
