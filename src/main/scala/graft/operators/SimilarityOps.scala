@@ -511,4 +511,172 @@ object SimilarityOps {
       .withColumn("rank",
         row_number().over(Window.orderBy(col("sim").desc, col(idCol).asc)))
   }
+
+  // -------------------------------------------------------------------
+  // Product quantization (PQ) — the compressed-vector ANN path.
+  //
+  // A D-dim vector splits into `numSub` contiguous subvectors; each
+  // subspace gets its own kCodes-entry codebook (trained with the same
+  // deterministic Lloyd's discipline as [[kmeansFit]], generalized with
+  // `sub` as an extra grouping key so ONE scan per iteration trains ALL
+  // subspace codebooks at once). A vector is then stored as `numSub`
+  // small ints — for 64 float dims and numSub=4 that is 256 bytes ->
+  // 4 codes, the representation that lets a 100 TB corpus's index fit
+  // in cluster memory. Queries run ADC (asymmetric distance
+  // computation): one tiny (numSub x kCodes) table of exact
+  // query-subvector-to-codeword distances, broadcast; each stored
+  // vector's approximate distance is a sum of `numSub` table lookups —
+  // the corpus scan touches only the codes, never the original vectors.
+  // -------------------------------------------------------------------
+
+  /** (id, sub, dsub, v) long form: dim splits as sub = dim/dsubLen,
+    * dsub = dim%dsubLen (0-based, posexplode order).
+    */
+  private def pqExplode(
+      df: DataFrame, idCol: String, vecCol: String, dsubLen: Int): DataFrame =
+    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "v0")))
+      .select(col(idCol),
+        (col("dim") / dsubLen).cast("int").as("sub"),
+        (col("dim") % dsubLen).cast("int").as("dsub"),
+        col("v0").cast("double").as("v"))
+
+  /** Nearest codeword per (row, subspace): decimal-exact squared
+    * euclidean distance (12-dp-quantized per-dim terms), ties -> lowest
+    * code. The broadcast fan-out (rows x dims x kCodes) collapses
+    * map-side through BOTH partial aggregations before any exchange.
+    */
+  private def pqAssign(
+      e: DataFrame, idCol: String, centDf: DataFrame): DataFrame =
+    e.join(broadcast(centDf), Seq("sub", "dsub"))
+      .select(col(idCol), col("sub"), col("code"),
+        round((col("v") - col("c")) * (col("v") - col("c")), 12)
+          .cast("decimal(38,12)").as("dd"))
+      .groupBy(col(idCol), col("sub"), col("code"))
+      .agg(sum(col("dd")).as("d2"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min_by(struct(col("code"), col("d2")),
+        struct(col("d2"), col("code"))).as("__m"))
+      .select(col(idCol), col("sub"), col("__m.code").as("code"))
+
+  /** Train per-subspace PQ codebooks. Same deterministic recipe as
+    * [[kmeansFit]] (lowest-id seed vectors, decimal-exact distances and
+    * means, lowest-code ties) applied independently in every subspace —
+    * but in ONE plan: `sub` rides as a grouping key, so an iteration is
+    * a single input scan regardless of numSub. The codebook lives on
+    * the driver between iterations (numSub x kCodes x dsubLen doubles,
+    * metadata-scale) and is re-broadcast each round, keeping lineage
+    * depth constant. `iters = 1` returns the seed codebook itself (the
+    * k lowest-id vectors' subvectors) — the oracle-checkable baseline.
+    * A codeword that loses all members in an update round drops out,
+    * the standard Lloyd's empty-cluster behavior (same as kmeansFit).
+    *
+    * Returns (sub, code, dsub, c) rows.
+    */
+  def pqFit(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numSub: Int,
+      kCodes: Int,
+      iters: Int): Seq[(Int, Int, Int, Double)] = {
+    require(numSub > 0 && kCodes > 0 && iters > 0,
+      "numSub, kCodes and iters must be positive")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val seeds = embeddings
+      .orderBy(col(idCol)).limit(kCodes)
+      .select(col(vecCol).cast("array<double>").as("vec"))
+      .collect()
+    require(seeds.nonEmpty, "pqFit needs a non-empty embeddings input")
+    val dims = seeds.head.getSeq[Double](0).length
+    require(dims % numSub == 0,
+      s"vector dims ($dims) must divide evenly into numSub ($numSub)")
+    val dsubLen = dims / numSub
+    var cent: Seq[(Int, Int, Int, Double)] =
+      seeds.zipWithIndex.flatMap { case (row, code) =>
+        row.getSeq[Double](0).zipWithIndex.map { case (v, dim) =>
+          (dim / dsubLen, code, dim % dsubLen, v)
+        }
+      }.toSeq
+    if (iters > 1) {
+      val e = pqExplode(embeddings, idCol, vecCol, dsubLen)
+      var i = 0
+      while (i < iters - 1) {
+        val assign = pqAssign(e, idCol, cent.toDF("sub", "code", "dsub", "c"))
+        cent = e.join(assign, Seq(idCol, "sub"))
+          .groupBy(col("sub"), col("code"), col("dsub"))
+          .agg((sum(round(col("v"), 12).cast("decimal(38,12)")).cast("double") /
+            count(lit(1))).as("c"))
+          .as[(Int, Int, Int, Double)].collect().toSeq
+        i += 1
+      }
+    }
+    cent
+  }
+
+  /** Encode every vector as its per-subspace nearest-codeword ids:
+    * (id, codes array<int> in subspace order). This is the stored
+    * representation — numSub small ints per row instead of the vector.
+    */
+  def pqEncode(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebook: Seq[(Int, Int, Int, Double)]): DataFrame = {
+    require(codebook.nonEmpty, "empty PQ codebook")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dsubLen = codebook.map(_._3).max + 1
+    val e = pqExplode(embeddings, idCol, vecCol, dsubLen)
+    pqAssign(e, idCol, codebook.toDF("sub", "code", "dsub", "c"))
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x("code")).as("codes"))
+  }
+
+  /** PQ ANN end-to-end: fit codebooks, encode the corpus, rank by ADC.
+    * The query's exact distance to every codeword of every subspace is
+    * one tiny broadcast table (numSub x kCodes rows); each corpus row's
+    * approximate squared distance is the decimal-exact sum of its
+    * numSub table hits (cross-subspace sums are DECIMAL(38,12), so the
+    * result is addition-order-independent and engine-portable). Output:
+    * k nearest by approximate distance, (id, ad2, rank); ordered and
+    * tie-broken on the ROUNDED distance so rank is reproducible.
+    */
+  def pqTopK(
+      embeddings: DataFrame,
+      query: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numSub: Int,
+      kCodes: Int,
+      iters: Int,
+      k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val query1 = singleQueryGuard(query, idCol, "pqTopK")
+    val cb = pqFit(embeddings, idCol, vecCol, numSub, kCodes, iters)
+    val cbDf = cb.toDF("sub", "code", "dsub", "c")
+    val dsubLen = cb.map(_._3).max + 1
+    val codes = pqEncode(embeddings, idCol, vecCol, cb)
+    val table = pqExplode(query1, idCol, vecCol, dsubLen)
+      .join(broadcast(cbDf), Seq("sub", "dsub"))
+      .select(col(idCol).as("__qid"), col("sub"), col("code"),
+        round((col("v") - col("c")) * (col("v") - col("c")), 12)
+          .cast("decimal(38,12)").as("dd"))
+      .groupBy(col("__qid"), col("sub"), col("code"))
+      .agg(sum(col("dd")).as("d2q"))
+    val ranked = Window.orderBy(col("ad2").asc, col(idCol).asc)
+    codes
+      .select(col(idCol), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(table), Seq("sub", "code"))
+      .filter(col(idCol) =!= col("__qid"))
+      .groupBy(col(idCol))
+      .agg(sum(col("d2q")).as("__ad2"))
+      .select(col(idCol), round(col("__ad2").cast("double"), 6).as("ad2"))
+      .orderBy(col("ad2").asc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(ranked))
+  }
 }

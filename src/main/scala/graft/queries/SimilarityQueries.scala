@@ -424,6 +424,61 @@ object SimilarityQueries extends QueryModule {
         SELECT vec_id, cell, sim,
                CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank
         FROM topk
-        ORDER BY rank"""))
+        ORDER BY rank""")),
+
+    // V10 — product quantization + ADC: 64 dims split into 4 subspaces,
+    // each with a 4-codeword codebook (seed codebooks here — the k
+    // lowest-id vectors' subvectors — so the oracle can restate the fit;
+    // the TRAINED path is spec-covered). Every vector stores as 4 codes;
+    // the query ranks by a sum of 4 broadcast-table lookups instead of a
+    // 64-dim scan. The compressed-index path that fits 100 TB in memory.
+    "v10_pq_adc" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimilarityOps.pqTopK(
+          emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+          numSub = 4, kCodes = 4, iters = 1, k = 10)
+          .orderBy(col("rank"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id,
+                 CAST((i - 1) // 16 AS INT) AS sub,
+                 CAST((i - 1) % 16 AS INT) AS dsub,
+                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+          FROM embeddings, range(1, 65) t(i)),
+        init AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+                 vec_id
+          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+        cb AS (
+          SELECT e.sub, i.code, e.dsub, e.v AS c
+          FROM init i JOIN e ON e.vec_id = i.vec_id),
+        d AS (
+          SELECT e.vec_id, e.sub, cb.code,
+                 sum(CAST(round((e.v - cb.c) * (e.v - cb.c), 12)
+                   AS DECIMAL(38,12))) AS d2
+          FROM e JOIN cb ON e.sub = cb.sub AND e.dsub = cb.dsub
+          GROUP BY 1, 2, 3),
+        enc AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                     ORDER BY d2, code) AS rn
+            FROM d) WHERE rn = 1),
+        qt AS (SELECT sub, code, d2 FROM d WHERE vec_id = 0),
+        adc AS (
+          SELECT enc.vec_id,
+                 round(CAST(sum(qt.d2) AS DOUBLE), 6) AS ad2
+          FROM enc JOIN qt ON enc.sub = qt.sub AND enc.code = qt.code
+          WHERE enc.vec_id <> 0
+          GROUP BY 1),
+        topk AS (
+          SELECT vec_id, ad2 FROM adc ORDER BY ad2, vec_id LIMIT 10)
+        SELECT vec_id, ad2,
+               CAST(row_number() OVER (ORDER BY ad2, vec_id) AS INT) AS rank
+        FROM topk
+        ORDER BY rank"""),
+      bench = true)
   )
 }
