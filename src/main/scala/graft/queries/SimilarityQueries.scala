@@ -428,10 +428,12 @@ object SimilarityQueries extends QueryModule {
 
     // V10 — product quantization + ADC: 64 dims split into 4 subspaces,
     // each with a 4-codeword codebook (seed codebooks here — the k
-    // lowest-id vectors' subvectors — so the oracle can restate the fit;
-    // the TRAINED path is spec-covered). Every vector stores as 4 codes;
-    // the query ranks by a sum of 4 broadcast-table lookups instead of a
-    // 64-dim scan. The compressed-index path that fits 100 TB in memory.
+    // lowest-id vectors' subvectors; the TRAINED Lloyd's path is verified
+    // separately by the v11_pq_trained oracle below and by the PQ
+    // property tests in SimilarityOpsSpec). Every vector stores as 4
+    // codes; the query ranks by a sum of 4 broadcast-table lookups
+    // instead of a 64-dim scan. The compressed-index path that fits
+    // 100 TB in memory.
     "v10_pq_adc" -> Q(
       fn = (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -479,6 +481,79 @@ object SimilarityQueries extends QueryModule {
                CAST(row_number() OVER (ORDER BY ad2, vec_id) AS INT) AS rank
         FROM topk
         ORDER BY rank"""),
-      bench = true)
+      bench = true),
+
+    // V11 — PQ + ADC over TRAINED codebooks (iters = 2): exercises the
+    // Lloyd's update inside pqFit — assignment against the seed codebook,
+    // then decimal-exact per-(sub, code, dsub) means — which v10's seed-
+    // only oracle never reaches. Deterministic by the same construction
+    // as v6_kmeans (lowest-id seeds, decimal-exact distances and means,
+    // lowest-code ties), so the oracle unrolls the one training update
+    // in SQL exactly as v6 does for full-vector k-means.
+    "v11_pq_trained" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimilarityOps.pqTopK(
+          emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+          numSub = 4, kCodes = 4, iters = 2, k = 10)
+          .orderBy(col("rank"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id,
+                 CAST((i - 1) // 16 AS INT) AS sub,
+                 CAST((i - 1) % 16 AS INT) AS dsub,
+                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+          FROM embeddings, range(1, 65) t(i)),
+        init AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+                 vec_id
+          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+        cb0 AS (
+          SELECT e.sub, i.code, e.dsub, e.v AS c
+          FROM init i JOIN e ON e.vec_id = i.vec_id),
+        d0 AS (
+          SELECT e.vec_id, e.sub, cb0.code,
+                 sum(CAST(round((e.v - cb0.c) * (e.v - cb0.c), 12)
+                   AS DECIMAL(38,12))) AS d2
+          FROM e JOIN cb0 ON e.sub = cb0.sub AND e.dsub = cb0.dsub
+          GROUP BY 1, 2, 3),
+        a0 AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                     ORDER BY d2, code) AS rn
+            FROM d0) WHERE rn = 1),
+        cb1 AS (
+          SELECT e.sub, a.code, e.dsub,
+                 CAST(sum(CAST(round(e.v, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                   / count(*) AS c
+          FROM e JOIN a0 a ON e.vec_id = a.vec_id AND e.sub = a.sub
+          GROUP BY 1, 2, 3),
+        d1 AS (
+          SELECT e.vec_id, e.sub, cb1.code,
+                 sum(CAST(round((e.v - cb1.c) * (e.v - cb1.c), 12)
+                   AS DECIMAL(38,12))) AS d2
+          FROM e JOIN cb1 ON e.sub = cb1.sub AND e.dsub = cb1.dsub
+          GROUP BY 1, 2, 3),
+        enc AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                     ORDER BY d2, code) AS rn
+            FROM d1) WHERE rn = 1),
+        qt AS (SELECT sub, code, d2 FROM d1 WHERE vec_id = 0),
+        adc AS (
+          SELECT enc.vec_id,
+                 round(CAST(sum(qt.d2) AS DOUBLE), 6) AS ad2
+          FROM enc JOIN qt ON enc.sub = qt.sub AND enc.code = qt.code
+          WHERE enc.vec_id <> 0
+          GROUP BY 1),
+        topk AS (
+          SELECT vec_id, ad2 FROM adc ORDER BY ad2, vec_id LIMIT 10)
+        SELECT vec_id, ad2,
+               CAST(row_number() OVER (ORDER BY ad2, vec_id) AS INT) AS rank
+        FROM topk
+        ORDER BY rank"""))
   )
 }

@@ -190,4 +190,106 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out(3L) === 4L) // label 1 bucket: only 3<->4
     assert(out(4L) === 3L)
   }
+
+  // ---- product quantization: the TRAINED path ----
+  // dim 4, numSub 2 (dsubLen 2), kCodes 2; two tight groups per subspace
+  // so one Lloyd's update visibly moves the codewords. All coordinates
+  // are exactly representable floats.
+  private def pqEmb = Seq(
+    (0L, Array(0.0f, 0.0f, 10.0f, 10.0f)),
+    (1L, Array(1.0f, 1.0f, 11.0f, 11.0f)),
+    (2L, Array(0.5f, 0.5f, 10.5f, 10.5f)),
+    (3L, Array(8.0f, 8.0f, 0.0f, 0.0f)),
+    (4L, Array(9.0f, 9.0f, 1.0f, 1.0f)),
+    (5L, Array(8.5f, 8.5f, 0.5f, 0.5f)))
+    .toDF("vec_id", "embedding")
+
+  /** Driver-side distortion: Σ over rows and subspaces of the min squared
+    * euclidean distance from the subvector to its subspace codebook.
+    */
+  private def pqDistortion(
+      codebook: Seq[(Int, Int, Int, Double)],
+      vecs: Seq[Array[Float]],
+      numSub: Int): Double = {
+    val dsubLen = codebook.map(_._3).max + 1
+    val byCode = codebook.groupBy(c => (c._1, c._2))
+      .view.mapValues(_.sortBy(_._3).map(_._4).toArray).toMap
+    vecs.map { v =>
+      (0 until numSub).map { sub =>
+        byCode.keys.filter(_._1 == sub).map { k =>
+          val cw = byCode(k)
+          (0 until dsubLen).map { d =>
+            val diff = v(sub * dsubLen + d).toDouble - cw(d)
+            diff * diff
+          }.sum
+        }.min
+      }.sum
+    }.sum
+  }
+
+  test("pqFit: training strictly reduces distortion vs the seed codebook") {
+    val vecs = pqEmb.orderBy($"vec_id")
+      .select($"embedding").as[Array[Float]].collect().toSeq
+    val seed = SimilarityOps.pqFit(pqEmb, "vec_id", "embedding",
+      numSub = 2, kCodes = 2, iters = 1)
+    val trained = SimilarityOps.pqFit(pqEmb, "vec_id", "embedding",
+      numSub = 2, kCodes = 2, iters = 3)
+    val d1 = pqDistortion(seed, vecs, numSub = 2)
+    val d3 = pqDistortion(trained, vecs, numSub = 2)
+    assert(d3 < d1, s"trained distortion $d3 should beat seed $d1")
+    // seed codebook = the two lowest-id vectors' subvectors, verbatim
+    assert(seed.toSet === Set(
+      (0, 0, 0, 0.0), (0, 0, 1, 0.0), (1, 0, 0, 10.0), (1, 0, 1, 10.0),
+      (0, 1, 0, 1.0), (0, 1, 1, 1.0), (1, 1, 0, 11.0), (1, 1, 1, 11.0)))
+  }
+
+  test("pqEncode is deterministic under repartition") {
+    val cb = SimilarityOps.pqFit(pqEmb, "vec_id", "embedding",
+      numSub = 2, kCodes = 2, iters = 3)
+    def enc(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Int]] =
+      SimilarityOps.pqEncode(df, "vec_id", "embedding", cb)
+        .as[(Long, Seq[Int])].collect().toMap
+    val a = enc(pqEmb)
+    val b = enc(pqEmb.repartition(7))
+    assert(a === b)
+    assert(a.keySet === Set(0L, 1L, 2L, 3L, 4L, 5L))
+    assert(a.values.forall(_.length === 2))
+  }
+
+  test("pqTopK (iters=1) matches a hand-computed ADC ranking") {
+    // seed codebooks: sub0 {c0=(0,0), c1=(1,1)}, sub1 {c0=(10,10),
+    // c1=(11,11)}; query id 0 -> table d2q: (sub0,c0)=0, (sub0,c1)=2,
+    // (sub1,c0)=0, (sub1,c1)=2. Encodes: id1=[1,1], id2=[0,0] (ties ->
+    // lowest code), id3/4/5=[1,0]. ADC: id2=0, id3=id4=id5=2, id1=4.
+    val out = SimilarityOps.pqTopK(
+      pqEmb, pqEmb.filter($"vec_id" === 0), "vec_id", "embedding",
+      numSub = 2, kCodes = 2, iters = 1, k = 5)
+      .select($"vec_id", $"ad2", $"rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    assert(out === Seq(
+      (2L, 0.0, 1), (3L, 2.0, 2), (4L, 2.0, 3), (5L, 2.0, 4), (1L, 4.0, 5)))
+  }
+
+  test("pqFit drops a codeword that loses all members (empty-cluster)") {
+    // ids 0 and 1 are identical, so seed codes 0 and 1 coincide; every
+    // row ties to the lowest code, code 1 gets no members, and the
+    // Lloyd's update drops it — the standard empty-cluster behavior.
+    val dup = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
+      (3L, Array(2.0f, 2.0f, 2.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val trained = SimilarityOps.pqFit(dup, "vec_id", "embedding",
+      numSub = 2, kCodes = 2, iters = 2)
+    assert(trained.map(_._2).distinct === Seq(0), "only code 0 survives")
+    // the surviving codeword is the mean of all members in each subspace
+    assert(trained.toSet === Set(
+      (0, 0, 0, 0.75), (0, 0, 1, 0.75), (1, 0, 0, 0.75), (1, 0, 1, 0.75)))
+    // encoding against the shrunk codebook still covers every row
+    val codes = SimilarityOps.pqEncode(dup, "vec_id", "embedding", trained)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes.keySet === Set(0L, 1L, 2L, 3L))
+    assert(codes.values.forall(_ === Seq(0, 0)))
+  }
 }
