@@ -108,6 +108,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.expressions.NgramProfileCounts(children.head, n, profiles)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_repetition_kit"),
+      new ExpressionInfo(classOf[graft.expressions.RepetitionKit].getName,
+        "graft_repetition_kit"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          "graft_repetition_kit takes one array<string> argument")
+        graft.expressions.RepetitionKit(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_min_shingle_md5"),
       new ExpressionInfo(classOf[graft.expressions.MinShingleMd5].getName,
         "graft_min_shingle_md5"),

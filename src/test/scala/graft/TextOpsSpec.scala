@@ -219,4 +219,31 @@ class TextOpsSpec extends SparkSpec {
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(out === Set((1L, 2L)))
   }
+
+  test("graft_repetition_kit is SQL-reachable and matches the kit schema") {
+    Seq((1L, "a b a b a c"), (2L, "x"))
+      .toDF("doc_id", "text").createOrReplaceTempView("__rep_sql_probe")
+    val out = spark.sql(
+      """SELECT doc_id, graft_repetition_kit(split(text, ' ')) AS k
+        |FROM __rep_sql_probe ORDER BY doc_id""".stripMargin)
+      .select($"doc_id", $"k.n_tok", $"k.top_word", $"k.top_word_cnt",
+        $"k.top_bigram", $"k.top_bigram_cnt", $"k.n_bigrams",
+        $"k.n_trigrams", $"k.distinct_trigrams")
+      .as[(Long, Int, String, Long, String, Long, Int, Int, Int)]
+      .collect().toSeq
+    // "a b a b a c": 6 tokens, modal word a x3, modal bigram "a b" x2 of
+    // 5, trigrams {a b a, b a b, a b a, b a c} -> 4 total / 3 distinct
+    assert(out === Seq(
+      (1L, 6, "a", 3L, "a b", 2L, 5, 4, 3),
+      (2L, 1, "x", 1L, "", 0L, 0, 0, 0)))
+    // SQL registration evaluates the same expression the DataFrame path
+    // (repetitionSignals' ColumnBridge kit) uses — cross-check the
+    // derived fractions against the API output on the same rows
+    val api = TextOps.repetitionSignals(
+      Seq((1L, "a b a b a c"), (2L, "x")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .select($"doc_id", $"n_tok", $"top_word", $"top_bigram")
+      .as[(Long, Int, String, String)].collect().toSeq.sortBy(_._1)
+    assert(api === Seq((1L, 6, "a", "a b"), (2L, 1, "x", "")))
+  }
 }
