@@ -13,15 +13,36 @@ import org.apache.spark.sql.functions._
   * and filtering. The codebook (kCells x dims doubles) is metadata: it
   * rides the driver exactly as in [[SimilarityOps.kmeansFit]].
   *
+  * With [[Pq]] the layout additionally stores every vector's product-
+  * quantization codes (numSub small ints) alongside it, plus the
+  * per-subspace codebooks at `<path>/pq_codebook` — the IVF x PQ
+  * composition: the first query pass is partition-pruned AND
+  * column-pruned (it reads the codes column, never the vectors — for 64
+  * float dims and numSub=4 that is ~64x less IO), ranks by ADC, and
+  * only the top `refine` candidates' full vectors are read for the
+  * exact re-rank. This persisted layout is the serving surface for PQ:
+  * [[SimilarityOps.pqTopK]]'s fit+encode+query coupling exists for the
+  * oracle harness; production builds the artifacts once here.
+  *
   * Determinism discipline matches kmeansFit: probe-side cosines are
   * strict index-order left folds in double (computed on the driver over
   * the collected codebook — same fold order, same bits as the
-  * distributed expression), so a rebuilt index probes identical cells.
+  * distributed expression), so a rebuilt index probes identical cells;
+  * ADC reuses [[SimilarityOps.pqAdcTable]]'s decimal arithmetic, so
+  * candidate ranking is bit-identical to [[SimilarityOps.pqTopK]].
   */
 object IvfIndex {
 
+  /** PQ layout parameters: dims must divide evenly into `numSub`
+    * subspaces, each quantized to a `kCodes`-codeword codebook trained
+    * with `iters` Lloyd's rounds (1 = seed codebook).
+    */
+  final case class Pq(numSub: Int, kCodes: Int, iters: Int)
+
   /** Train on the corpus and write `<path>/codebook` (cell, dim, c) and
-    * `<path>/vectors` partitioned by cell.
+    * `<path>/vectors` partitioned by cell. With `pq` set, also writes
+    * `<path>/pq_codebook` (sub, code, dsub, c) and a `codes` column
+    * (array<int>, subspace order) on every vector row.
     */
   def write(
       embeddings: DataFrame,
@@ -29,16 +50,25 @@ object IvfIndex {
       vecCol: String,
       kCells: Int,
       trainIters: Int,
-      path: String): Unit = {
+      path: String,
+      pq: Option[Pq] = None): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val (assign, cent) = SimilarityOps.kmeansFit(
       embeddings, idCol, vecCol, kCells, trainIters)
     cent.toDF("cell", "dim", "c").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/codebook")
-    embeddings
+    val withCell = embeddings
       .join(assign.select(col(idCol), col("cluster").as("cell")), Seq(idCol))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    val rows = pq.fold(withCell) { p =>
+      val cb = SimilarityOps.pqFit(
+        embeddings, idCol, vecCol, p.numSub, p.kCodes, p.iters)
+      cb.toDF("sub", "code", "dsub", "c").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/pq_codebook")
+      withCell.join(
+        SimilarityOps.pqEncode(embeddings, idCol, vecCol, cb), Seq(idCol))
+    }
+    rows.write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
   }
 
   /** Query a persisted index with one vector: probe the `nprobe` closest
@@ -56,6 +86,99 @@ object IvfIndex {
       vecCol: String,
       nprobe: Int,
       k: Int): DataFrame = {
+    val probed = probeCells(spark, path, queryVec, nprobe)
+    val qv = typedlit(queryVec)
+    val vectors = spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(probed: _*))
+    excludeId.fold(vectors)(id => vectors.filter(col(idCol) =!= id))
+      .select(col(idCol), col("cell"),
+        SimilarityOps.cosine(col(vecCol), qv).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("sim").desc, col(idCol).asc)))
+  }
+
+  /** ADC first pass over a PQ-enabled index: the probed cells' CODES
+    * (never their vectors) rank by asymmetric distance — (idCol, cell,
+    * ad2), ascending, capped at `refine` rows. The scan is partition-
+    * pruned to the probed cells and column-pruned to the codes (pinned
+    * in IvfIndexSpec); the ADC table is numSub x kCodes rows, broadcast.
+    * Distances are bit-identical to [[SimilarityOps.pqTopK]]'s (same
+    * decimal discipline via [[SimilarityOps.pqAdcTable]]).
+    */
+  def adcCandidates(
+      spark: SparkSession,
+      path: String,
+      queryVec: Array[Double],
+      excludeId: Option[Long],
+      idCol: String,
+      vecCol: String,
+      nprobe: Int,
+      refine: Int): DataFrame = {
+    val probed = probeCells(spark, path, queryVec, nprobe)
+    val table = SimilarityOps.pqAdcTable(
+      spark.read.parquet(s"$path/pq_codebook"), queryVec, idCol, vecCol)
+    val codes = spark.read.parquet(s"$path/vectors")
+      .select(col(idCol), col("cell"), col("codes"))
+      .filter(col("cell").isin(probed: _*))
+    excludeId.fold(codes)(id => codes.filter(col(idCol) =!= id))
+      .select(col(idCol), col("cell"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(table), Seq("sub", "code"))
+      .groupBy(col(idCol), col("cell"))
+      .agg(sum(col("d2q")).as("__ad2"))
+      .select(col(idCol), col("cell"),
+        round(col("__ad2").cast("double"), 6).as("ad2"))
+      .orderBy(col("ad2").asc, col(idCol).asc)
+      .limit(refine)
+  }
+
+  /** IVF x PQ serving query: ADC-rank the probed cells' codes, take the
+    * `refine` best candidates, then exact-re-rank ONLY those candidates'
+    * full vectors by cosine. Output matches [[query]] /
+    * [[SimilarityOps.ivfTopKLearned]]: (idCol, cell, sim, rank). With
+    * `refine` >= the probed cells' population the result is exactly
+    * [[query]]'s (pinned in IvfIndexSpec); at corpus scale `refine` is
+    * a small multiple of k, so the full-vector read is k-scale — the
+    * 100 TB shape: partition-pruned code scan, then point reads.
+    */
+  def queryAdc(
+      spark: SparkSession,
+      path: String,
+      queryVec: Array[Double],
+      excludeId: Option[Long],
+      idCol: String,
+      vecCol: String,
+      nprobe: Int,
+      k: Int,
+      refine: Int): DataFrame = {
+    require(refine >= k, s"refine ($refine) must be >= k ($k)")
+    val candidates = adcCandidates(
+      spark, path, queryVec, excludeId, idCol, vecCol, nprobe, refine)
+      .select(col(idCol)).collect().map(_.getLong(0))
+    val probed = probeCells(spark, path, queryVec, nprobe)
+    val qv = typedlit(queryVec)
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(probed: _*))
+      .filter(col(idCol).isin(candidates: _*))
+      .select(col(idCol), col("cell"),
+        SimilarityOps.cosine(col(vecCol), qv).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("sim").desc, col(idCol).asc)))
+  }
+
+  /** The `nprobe` closest cells to the query by cosine against the
+    * persisted coarse codebook (ties -> lowest cell id), computed on the
+    * driver: kCells x dims doubles of metadata.
+    */
+  private def probeCells(
+      spark: SparkSession,
+      path: String,
+      queryVec: Array[Double],
+      nprobe: Int): Seq[Int] = {
     import spark.implicits._
     val codebook = spark.read.parquet(s"$path/codebook")
       .as[(Int, Int, Double)].collect()
@@ -82,22 +205,12 @@ object IvfIndex {
       if (r.isNaN || r.isInfinite) r
       else BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
-    val probed = codebook.toSeq
+    codebook.toSeq
       .map { case (cell, c) => (cell, cosine(queryVec, c)) }
       .sortWith { case ((c1, s1), (c2, s2)) =>
         val cmp = java.lang.Double.compare(s1, s2)
         if (cmp != 0) cmp > 0 else c1 < c2
       }
       .take(nprobe).map(_._1)
-    val qv = typedlit(queryVec)
-    val vectors = spark.read.parquet(s"$path/vectors")
-      .filter(col("cell").isin(probed: _*))
-    excludeId.fold(vectors)(id => vectors.filter(col(idCol) =!= id))
-      .select(col(idCol), col("cell"),
-        SimilarityOps.cosine(col(vecCol), qv).as("sim"))
-      .orderBy(col("sim").desc, col(idCol).asc)
-      .limit(k)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("sim").desc, col(idCol).asc)))
   }
 }

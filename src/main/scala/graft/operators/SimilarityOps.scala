@@ -635,6 +635,32 @@ object SimilarityOps {
         x => x("code")).as("codes"))
   }
 
+  /** The ADC lookup table for one query vector against a PQ codebook:
+    * (sub, code, d2q DECIMAL(38,12)) — the query subvector's exact
+    * squared distance to every codeword, with the same per-term 12-dp
+    * round + decimal accumulation as [[pqFit]]/[[pqEncode]], so a
+    * persisted-index serving path ([[IvfIndex.queryAdc]]) is
+    * bit-identical to the in-memory [[pqTopK]] by construction. The
+    * table is numSub x kCodes rows — metadata-scale, always broadcast.
+    */
+  def pqAdcTable(
+      codebook: DataFrame,
+      queryVec: Array[Double],
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val spark = codebook.sparkSession
+    import spark.implicits._
+    val dsubLen = codebook.agg(max(col("dsub"))).as[Int].head() + 1
+    val q = Seq((0L, queryVec)).toDF(idCol, vecCol)
+    pqExplode(q, idCol, vecCol, dsubLen)
+      .join(broadcast(codebook), Seq("sub", "dsub"))
+      .select(col("sub"), col("code"),
+        round((col("v") - col("c")) * (col("v") - col("c")), 12)
+          .cast("decimal(38,12)").as("dd"))
+      .groupBy(col("sub"), col("code"))
+      .agg(sum(col("dd")).as("d2q"))
+  }
+
   /** PQ ANN end-to-end: fit codebooks, encode the corpus, rank by ADC.
     * The query's exact distance to every codeword of every subspace is
     * one tiny broadcast table (numSub x kCodes rows); each corpus row's
@@ -643,6 +669,13 @@ object SimilarityOps {
     * result is addition-order-independent and engine-portable). Output:
     * k nearest by approximate distance, (id, ad2, rank); ordered and
     * tie-broken on the ROUNDED distance so rank is reproducible.
+    *
+    * NOTE: this method couples fit+encode+query in one call because the
+    * oracle harness needs a single self-contained plan. A serving path
+    * should never re-fit per query — build the artifacts once with
+    * [[IvfIndex.write]] (pq = Some(...)) and query the persisted layout
+    * via [[IvfIndex.queryAdc]], which reuses the same arithmetic
+    * ([[pqAdcTable]]) and so ranks candidates bit-identically.
     */
   def pqTopK(
       embeddings: DataFrame,
