@@ -170,6 +170,69 @@ object IvfIndex {
         row_number().over(Window.orderBy(col("sim").desc, col(idCol).asc)))
   }
 
+  /** Batched serving query: one top-k PER QUERY ROW against the
+    * persisted index — the production shape, where queries arrive in
+    * batches and the corpus is scanned once for all of them (a
+    * per-query loop re-opens the index per vector; measured parity with
+    * that loop is pinned in IvfIndexSpec).
+    *
+    * Plan shape: the coarse codebook broadcasts and every query row
+    * ranks its `nprobe` cells IN the plan (a per-query window over
+    * kCells rows — tiny); the union of probed cells (<= kCells values,
+    * metadata) becomes the isin() partition filter, so the vector scan
+    * is still pruned to cells some query actually probes; the probe set
+    * broadcasts into an equi-join on the cell id; and the per-query
+    * rank filter compiles to WindowGroupLimit, so map partitions ship
+    * at most k rows per query to the shuffle (the [[SimilarityOps
+    * .topKPerQuery]] discipline). The query batch must be broadcastable
+    * — chunk batches beyond that; each chunk still scans only its own
+    * probed cells.
+    *
+    * The in-plan probe uses the same [[SimilarityOps.cosine]] fold the
+    * driver-side [[probeCells]] mirrors bit-for-bit, so a batch of one
+    * probes exactly the cells the single-query path probes. Output:
+    * (qid, idCol, cell, sim, rank), rank 1..k per qid. Rows whose id
+    * equals the query id are excluded (shared id space, as in
+    * topKPerQuery).
+    */
+  def queryBatch(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nprobe: Int,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val cbVec = broadcast(spark.read.parquet(s"$path/codebook")
+      .groupBy(col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x("c")).as("centroid")))
+    val wProbe = Window.partitionBy(col("__qid"))
+      .orderBy(col("__csim").desc, col("cell").asc)
+    val probed = queries
+      .select(col(idCol).as("__qid"), col(vecCol).as("__qvec"))
+      .join(cbVec)
+      .withColumn("__csim", SimilarityOps.cosine(col("__qvec"), col("centroid")))
+      .withColumn("__crank", row_number().over(wProbe))
+      .filter(col("__crank") <= nprobe)
+      .select(col("__qid"), col("__qvec"), col("cell"))
+    // union of probed cells: <= kCells ints — metadata, like a broadcast
+    // threshold decision; keeps partition pruning for selective batches
+    val cells = probed.select(col("cell")).distinct().as[Int].collect().toSeq
+    spark.read.parquet(s"$path/vectors")
+      .select(col(idCol), col("cell"), col(vecCol))
+      .filter(col("cell").isin(cells: _*))
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col(idCol) =!= col("__qid"))
+      .select(col("__qid").as("qid"), col(idCol), col("cell"),
+        SimilarityOps.cosine(col(vecCol), col("__qvec")).as("sim"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col(idCol).asc)))
+      .filter(col("rank") <= k)
+  }
+
   /** The `nprobe` closest cells to the query by cosine against the
     * persisted coarse codebook (ties -> lowest cell id), computed on the
     * driver: kCells x dims doubles of metadata.

@@ -42,6 +42,42 @@ class IvfIndexSpec extends SparkSpec {
       plan)
   }
 
+  test("queryBatch == a per-query loop of single queries; the batch scan " +
+    "prunes to the union of probed cells and group-limits per query") {
+    val emb = Tables(spark, dir, "embeddings")
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfb_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/index"
+    IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
+      path = path)
+
+    val qids = Seq(0L, 250L, 499L)
+    val batch = IvfIndex.queryBatch(spark, path,
+      emb.filter($"vec_id".isin(qids: _*)), "vec_id", "embedding",
+      nprobe = 2, k = 10)
+    val got = batch.select($"qid", $"vec_id", $"cell", $"sim", $"rank")
+      .as[(Long, Long, Int, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4, t._5))
+        .sortBy(_._4).toSeq).toMap
+
+    qids.foreach { qid =>
+      val qvec = emb.filter($"vec_id" === qid)
+        .select($"embedding".cast("array<double>")).as[Array[Double]].head()
+      val single = IvfIndex.query(spark, path, qvec, excludeId = Some(qid),
+        "vec_id", "embedding", nprobe = 2, k = 10)
+        .select($"vec_id", $"cell", $"sim", $"rank")
+        .as[(Long, Int, Double, Int)].collect().sortBy(_._4).toSeq
+      assert(got(qid) === single, s"batch result for qid=$qid diverges")
+    }
+
+    val plan = batch.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[.*cell.*(IN|in)".r.findFirstIn(plan).isDefined,
+      plan)
+    // the per-query rank filter must group-limit map-side, not shuffle
+    // the full candidate set
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("IVF x PQ: queryAdc == query at full refine; the ADC pass is " +
     "partition-pruned and reads codes, never vectors") {
     val emb = Tables(spark, dir, "embeddings")
