@@ -170,6 +170,51 @@ object IvfIndex {
         row_number().over(Window.orderBy(col("sim").desc, col(idCol).asc)))
   }
 
+  /** Incremental maintenance: assign NEW vectors to the existing coarse
+    * codebook and append them to the cell-partitioned layout — no
+    * retrain, no rewrite of existing files. This is how a 100 TB index
+    * absorbs a daily embedding batch: the codebook is fixed at build
+    * time, assignment is one broadcast-join pass over the new rows
+    * (exactly [[SimilarityOps.kmeansFit]]'s decimal-exact euclidean
+    * assignment, shared code — an appended vector lands in the cell a
+    * full rebuild against the same codebook would choose), and
+    * `mode("append")` adds files only under the touched cell
+    * directories. With a PQ layout the new rows are encoded against the
+    * PERSISTED subspace codebooks ([[SimilarityOps.pqEncode]], the
+    * oracle-verified path), so ADC serving sees them immediately.
+    *
+    * Ids are the caller's contract: append assumes the new ids are not
+    * already in the index (the reference-pipeline upsert semantics —
+    * point-delete then re-add — compose from a partition rewrite, see
+    * IncrementalRunner.upsertByKey; an ANN index typically versions
+    * instead). Cell drift is the known cost of append-only IVF: as the
+    * corpus grows away from the frozen codebook, cells skew — rebuild
+    * cadence is an operational knob, and [[write]] is the rebuild.
+    */
+  def append(
+      spark: SparkSession,
+      path: String,
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String): Unit = {
+    import spark.implicits._
+    val cbDf = spark.read.parquet(s"$path/codebook")
+      .select(col("cell").as("cluster"), col("dim"), col("c"))
+    val assign = SimilarityOps.assignToCodebook(
+      SimilarityOps.explodeVec(embeddings, idCol, vecCol), idCol, cbDf)
+      .select(col(idCol), col("cluster").as("cell"))
+    val withCell = embeddings.join(assign, Seq(idCol))
+    val pqDir = new org.apache.hadoop.fs.Path(s"$path/pq_codebook")
+    val fs = pqDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val rows = if (fs.exists(pqDir)) {
+      val pqCb = spark.read.parquet(s"$path/pq_codebook")
+        .as[(Int, Int, Int, Double)].collect().toSeq
+      withCell.join(
+        SimilarityOps.pqEncode(embeddings, idCol, vecCol, pqCb), Seq(idCol))
+    } else withCell
+    rows.write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
   /** Batched serving query: one top-k PER QUERY ROW against the
     * persisted index — the production shape, where queries arrive in
     * batches and the corpus is scanned once for all of them (a

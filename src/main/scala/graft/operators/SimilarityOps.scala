@@ -365,6 +365,37 @@ object SimilarityOps {
       .select(col(idCol), col("cluster"),
         round(col("d2").cast("double"), 6).as("dist2"))
 
+  /** Nearest-centroid assignment of exploded (id, dim, v) rows against a
+    * literal (cluster, dim, c) codebook: decimal-exact squared euclidean
+    * distance (12-dp-quantized per-dim terms, so the result is
+    * addition-order-independent), ties -> lowest cluster. Returns
+    * (idCol, cluster, d2). Shared by [[kmeansFit]]'s iterations and
+    * [[IvfIndex.append]], so an appended vector lands in exactly the
+    * cell a full rebuild against the same codebook would choose.
+    */
+  private[operators] def assignToCodebook(
+      e: DataFrame, idCol: String, centDf: DataFrame): DataFrame = {
+    val d = e.join(broadcast(centDf), Seq("dim"))
+      .select(col(idCol), col("cluster"),
+        round((col("v") - col("c")) * (col("v") - col("c")), 12)
+          .cast("decimal(38,12)").as("dd"))
+      .groupBy(col(idCol), col("cluster"))
+      .agg(sum(col("dd")).as("d2"))
+    d.groupBy(col(idCol))
+      .agg(min_by(struct(col("cluster"), col("d2")),
+        struct(col("d2"), col("cluster"))).as("__m"))
+      .select(col(idCol), col("__m.cluster").as("cluster"),
+        col("__m.d2").as("d2"))
+  }
+
+  /** Exploded (id, dim, v DOUBLE) long form of an embedding column — the
+    * input [[assignToCodebook]] expects.
+    */
+  private[operators] def explodeVec(
+      df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "v0")))
+      .select(col(idCol), col("dim"), col("v0").cast("double").as("v"))
+
   /** The fit itself: (final assignment with raw decimal d2, the codebook
     * the assignment was made against as (cluster, dim, c) rows). The
     * codebook is what an IVF index probes — see [[ivfTopKLearned]].
@@ -378,9 +409,7 @@ object SimilarityOps {
     require(k > 0 && iters > 0, "k and iters must be positive")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val e = embeddings
-      .select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "v0")))
-      .select(col(idCol), col("dim"), col("v0").cast("double").as("v"))
+    val e = explodeVec(embeddings, idCol, vecCol)
     // init: the k lowest-id vectors, cluster id in id order (driver-side;
     // k rows of metadata, like a broadcast-join threshold decision)
     var cent: Seq[(Int, Int, Double)] = embeddings
@@ -389,19 +418,8 @@ object SimilarityOps {
       .collect().zipWithIndex.flatMap { case (row, cl) =>
         row.getSeq[Double](1).zipWithIndex.map { case (v, dim) => (cl, dim, v) }
       }.toSeq
-    def assignTo(centDf: DataFrame): DataFrame = {
-      val d = e.join(broadcast(centDf), Seq("dim"))
-        .select(col(idCol), col("cluster"),
-          round((col("v") - col("c")) * (col("v") - col("c")), 12)
-            .cast("decimal(38,12)").as("dd"))
-        .groupBy(col(idCol), col("cluster"))
-        .agg(sum(col("dd")).as("d2"))
-      d.groupBy(col(idCol))
-        .agg(min_by(struct(col("cluster"), col("d2")),
-          struct(col("d2"), col("cluster"))).as("__m"))
-        .select(col(idCol), col("__m.cluster").as("cluster"),
-          col("__m.d2").as("d2"))
-    }
+    def assignTo(centDf: DataFrame): DataFrame =
+      assignToCodebook(e, idCol, centDf)
     var i = 0
     while (i < iters - 1) {
       val assign = assignTo(cent.toDF("cluster", "dim", "c"))

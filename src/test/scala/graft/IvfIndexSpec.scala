@@ -78,6 +78,101 @@ class IvfIndexSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("append grows the index without retraining: new vectors land in " +
+    "their nearest frozen cell, old rows are untouched, and a full-probe " +
+    "query equals brute force over the union") {
+    val emb = Tables(spark, dir, "embeddings")
+    val h1 = emb.filter($"vec_id" < 250)
+    val h2 = emb.filter($"vec_id" >= 250)
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfa_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/index"
+    IvfIndex.write(h1, "vec_id", "embedding", kCells = 4, trainIters = 2,
+      path = path)
+    val before = spark.read.parquet(s"$path/vectors")
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+
+    IvfIndex.append(spark, path, h2, "vec_id", "embedding")
+
+    val after = spark.read.parquet(s"$path/vectors")
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    assert(after.size === 500, "all 500 vectors present after append")
+    before.foreach { case (id, cell) =>
+      assert(after(id) === cell, s"append must not move existing id=$id")
+    }
+
+    // independent driver-side check of the appended assignment: each new
+    // vector's cell must hold the (replicated decimal) minimum squared
+    // euclidean distance to the frozen codebook — a metric mix-up
+    // (e.g. assigning by cosine, which the QUERY side uses) fails this
+    val cb = spark.read.parquet(s"$path/codebook")
+      .as[(Int, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val vecs = h2.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+    vecs.foreach { case (id, v) =>
+      val d2 = cb.map { case (cell, c) =>
+        cell -> (0 until v.length).map { i =>
+          val diff = v(i).toDouble - c(i)
+          BigDecimal(diff * diff).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+      }
+      val dmin = d2.values.min
+      assert(d2(after(id)) <= dmin + BigDecimal("0.000000001"),
+        s"id=$id in cell ${after(id)} (d2=${d2(after(id))}) but min is $dmin")
+    }
+
+    // full probe over the grown index == exact brute force over the union
+    val qvec = emb.filter($"vec_id" === 300)
+      .select($"embedding".cast("array<double>")).as[Array[Double]].head()
+    val full = IvfIndex.query(spark, path, qvec, excludeId = Some(300L),
+      "vec_id", "embedding", nprobe = 4, k = 10)
+      .select($"vec_id", $"sim", $"rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    val brute = graft.operators.SimilarityOps.bruteForceTopK(
+      emb, emb.filter($"vec_id" === 300), "vec_id", "embedding", 10)
+      .select($"vec_id", $"sim", $"rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    assert(full === brute)
+  }
+
+  test("append to a PQ layout encodes new rows against the persisted " +
+    "subspace codebooks") {
+    val emb = Tables(spark, dir, "embeddings")
+    val h1 = emb.filter($"vec_id" < 250)
+    val h2 = emb.filter($"vec_id" >= 250)
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfap_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/index"
+    IvfIndex.write(h1, "vec_id", "embedding", kCells = 4, trainIters = 2,
+      path = path, pq = Some(IvfIndex.Pq(numSub = 4, kCodes = 4, iters = 2)))
+
+    IvfIndex.append(spark, path, h2, "vec_id", "embedding")
+
+    val pqCb = spark.read.parquet(s"$path/pq_codebook")
+      .as[(Int, Int, Int, Double)].collect().toSeq
+    val expected = graft.operators.SimilarityOps
+      .pqEncode(h2, "vec_id", "embedding", pqCb)
+      .as[(Long, Seq[Int])].collect().toMap
+    val stored = spark.read.parquet(s"$path/vectors")
+      .filter($"vec_id" >= 250)
+      .select($"vec_id", $"codes").as[(Long, Seq[Int])].collect().toMap
+    assert(stored === expected)
+
+    // the serving contract still holds on the grown index: full-refine
+    // ADC query == plain IVF query
+    val qvec = emb.filter($"vec_id" === 300)
+      .select($"embedding".cast("array<double>")).as[Array[Double]].head()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"cell", $"sim", $"rank")
+        .as[(Long, Int, Double, Int)].collect().sortBy(_._4).toSeq
+    val exact = IvfIndex.query(spark, path, qvec, excludeId = Some(300L),
+      "vec_id", "embedding", nprobe = 2, k = 10)
+    val viaAdc = IvfIndex.queryAdc(spark, path, qvec, excludeId = Some(300L),
+      "vec_id", "embedding", nprobe = 2, k = 10, refine = 10000)
+    assert(rows(viaAdc) === rows(exact))
+  }
+
   test("IVF x PQ: queryAdc == query at full refine; the ADC pass is " +
     "partition-pruned and reads codes, never vectors") {
     val emb = Tables(spark, dir, "embeddings")
