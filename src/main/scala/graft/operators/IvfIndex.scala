@@ -278,6 +278,106 @@ object IvfIndex {
       .filter(col("rank") <= k)
   }
 
+  /** Batched IVF x PQ serving: [[queryAdc]] for a query batch, fully
+    * in-plan — no driver round-trip between the ADC pass and the exact
+    * re-rank (the single-query path collects `refine` candidate ids
+    * into an isin(); at batch scale that is queries x refine driver
+    * rows, the anti-pattern). Shape: the codes of the union of probed
+    * cells are scanned ONCE for the whole batch; each query ranks its
+    * candidates by ADC through a per-query WindowGroupLimit (map
+    * partitions ship <= refine rows per query); the surviving
+    * (qid, id) pairs then equi-join the full vectors BY ID for the
+    * exact cosine re-rank — at corpus scale a k-proportional shuffle,
+    * never a second corpus scan. ADC arithmetic is the shared
+    * [[SimilarityOps.pqAdcTable]] discipline, one broadcast table per
+    * query row (batch x numSub x kCodes rows total — still metadata).
+    *
+    * Output matches [[queryBatch]]: (qid, idCol, cell, sim, rank),
+    * rank 1..k per qid by exact cosine among each query's `refine`
+    * best ADC candidates.
+    */
+  def queryAdcBatch(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nprobe: Int,
+      k: Int,
+      refine: Int): DataFrame = {
+    require(refine >= k, s"refine ($refine) must be >= k ($k)")
+    import spark.implicits._
+    // probe: identical in-plan cell ranking to queryBatch
+    val cbVec = broadcast(spark.read.parquet(s"$path/codebook")
+      .groupBy(col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x("c")).as("centroid")))
+    val wProbe = Window.partitionBy(col("__qid"))
+      .orderBy(col("__csim").desc, col("cell").asc)
+    val probed = queries
+      .select(col(idCol).as("__qid"), col(vecCol).as("__qvec"))
+      .join(cbVec)
+      .withColumn("__csim", SimilarityOps.cosine(col("__qvec"), col("centroid")))
+      .withColumn("__crank", row_number().over(wProbe))
+      .filter(col("__crank") <= nprobe)
+      .select(col("__qid"), col("__qvec"), col("cell"))
+    val cells = probed.select(col("cell")).distinct().as[Int].collect().toSeq
+
+    // per-query ADC tables in ONE plan: explode each query vector into
+    // subspaces against the broadcast PQ codebook — same per-term 12-dp
+    // round + decimal accumulation as pqAdcTable, keyed by __qid
+    val pqCb = spark.read.parquet(s"$path/pq_codebook")
+    val dsubLen = pqCb.agg(max(col("dsub"))).as[Int].head() + 1
+    val tables = queries
+      .select(col(idCol).as("__qid"),
+        posexplode(col(vecCol)).as(Seq("dim", "v0")))
+      .select(col("__qid"),
+        (col("dim") / dsubLen).cast("int").as("sub"),
+        (col("dim") % dsubLen).cast("int").as("dsub"),
+        col("v0").cast("double").as("v"))
+      .join(broadcast(pqCb), Seq("sub", "dsub"))
+      .select(col("__qid"), col("sub"), col("code"),
+        round((col("v") - col("c")) * (col("v") - col("c")), 12)
+          .cast("decimal(38,12)").as("dd"))
+      .groupBy(col("__qid"), col("sub"), col("code"))
+      .agg(sum(col("dd")).as("d2q"))
+
+    // ADC pass: code scan over the probed cells once for the batch,
+    // (qid, cell) membership via the probe join, per-query refine cut
+    val wAdc = Window.partitionBy(col("__qid"))
+      .orderBy(col("ad2").asc, col(idCol).asc)
+    val candidates = spark.read.parquet(s"$path/vectors")
+      .select(col(idCol), col("cell"), col("codes"))
+      .filter(col("cell").isin(cells: _*))
+      .join(broadcast(probed.select(col("__qid"), col("cell"))), Seq("cell"))
+      .filter(col(idCol) =!= col("__qid"))
+      .select(col("__qid"), col(idCol), col("cell"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(tables), Seq("__qid", "sub", "code"))
+      .groupBy(col("__qid"), col(idCol), col("cell"))
+      .agg(sum(col("d2q")).as("__ad2"))
+      .select(col("__qid"), col(idCol), col("cell"),
+        round(col("__ad2").cast("double"), 6).as("ad2"))
+      .withColumn("__arank", row_number().over(wAdc))
+      .filter(col("__arank") <= refine)
+      .select(col("__qid"), col(idCol), col("cell"))
+
+    // exact re-rank: candidates join the vectors BY ID — point reads at
+    // corpus scale, k-proportional rows through the final window
+    val qv = broadcast(queries
+      .select(col(idCol).as("__qid"), col(vecCol).as("__qvec")))
+    candidates
+      .join(spark.read.parquet(s"$path/vectors")
+        .select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(qv, Seq("__qid"))
+      .select(col("__qid").as("qid"), col(idCol), col("cell"),
+        SimilarityOps.cosine(col(vecCol), col("__qvec")).as("sim"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col(idCol).asc)))
+      .filter(col("rank") <= k)
+  }
+
   /** The `nprobe` closest cells to the query by cosine against the
     * persisted coarse codebook (ties -> lowest cell id), computed on the
     * driver: kCells x dims doubles of metadata.

@@ -78,6 +78,45 @@ class IvfIndexSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("queryAdcBatch == a per-query loop of queryAdc, with the batch " +
+    "ADC pass pruned to probed cells and group-limited per query") {
+    val emb = Tables(spark, dir, "embeddings")
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfab_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/index"
+    IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
+      path = path, pq = Some(IvfIndex.Pq(numSub = 4, kCodes = 4, iters = 2)))
+
+    val qids = Seq(0L, 250L, 499L)
+    val batch = IvfIndex.queryAdcBatch(spark, path,
+      emb.filter($"vec_id".isin(qids: _*)), "vec_id", "embedding",
+      nprobe = 2, k = 10, refine = 50)
+    val got = batch.select($"qid", $"vec_id", $"cell", $"sim", $"rank")
+      .as[(Long, Long, Int, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4, t._5))
+        .sortBy(_._4).toSeq).toMap
+
+    qids.foreach { qid =>
+      val qvec = emb.filter($"vec_id" === qid)
+        .select($"embedding".cast("array<double>")).as[Array[Double]].head()
+      val single = IvfIndex.queryAdc(spark, path, qvec, excludeId = Some(qid),
+        "vec_id", "embedding", nprobe = 2, k = 10, refine = 50)
+        .select($"vec_id", $"cell", $"sim", $"rank")
+        .as[(Long, Int, Double, Int)].collect().sortBy(_._4).toSeq
+      assert(got(qid) === single, s"batch ADC result for qid=$qid diverges")
+    }
+
+    val plan = batch.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[.*cell.*(IN|in)".r.findFirstIn(plan).isDefined,
+      plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // the ADC scan reads codes, never embedding vectors
+    val codeSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toList
+      .filter(_.contains("codes"))
+    assert(codeSchemas.nonEmpty && codeSchemas.forall(!_.contains("embedding")),
+      s"batch ADC scan must not read vectors:\n$plan")
+  }
+
   test("append grows the index without retraining: new vectors land in " +
     "their nearest frozen cell, old rows are untouched, and a full-probe " +
     "query equals brute force over the union") {
