@@ -86,6 +86,40 @@ object StreamingOps {
         })
   }
 
+  /** Streaming embedding ingestion into a persisted
+    * [[graft.operators.IvfIndex]]: plug into
+    * `writeStream.foreachBatch(StreamingOps.indexIngest(path, ...))` and
+    * every micro-batch of (id, vector) rows is assigned to the frozen
+    * coarse codebook and appended under the touched cell directories
+    * ([[graft.operators.IvfIndex.append]] — PQ codes included when the
+    * index has a PQ layout), so ANN serving sees new embeddings within
+    * one trigger interval without any retrain.
+    *
+    * Replay discipline: foreachBatch re-delivers a batch after failure,
+    * and a parquet append is not idempotent — so each applied batch id
+    * leaves a marker under `<path>/_appended/`, and a replayed id is
+    * skipped (same contract SinkSpec pins for the point-upsert sink). A
+    * crash BETWEEN the data write and the marker write re-appends that
+    * one batch on replay — the documented vanilla-parquet limitation
+    * (no multi-file transaction); the reference pipeline accepts the
+    * same window on its scheduled re-runs, and a transactional table
+    * format closes it without changing this surface.
+    */
+  def indexIngest(
+      path: String,
+      idCol: String,
+      vecCol: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val marker = new org.apache.hadoop.fs.Path(
+        s"$path/_appended/batch-$batchId")
+      val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(marker)) {
+        graft.operators.IvfIndex.append(spark, path, batch, idCol, vecCol)
+        fs.mkdirs(marker)
+      }
+    }
+
   /** Hourly per-site windowed aggregation of a value column with a
     * watermark — the streaming form of the scheduled per-level rollups.
     */

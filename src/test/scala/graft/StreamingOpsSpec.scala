@@ -198,6 +198,59 @@ class StreamingOpsSpec extends SparkSpec {
       T("2024-01-01 13:00:00") -> 0))
   }
 
+  test("indexIngest streams embeddings into a persisted IVF/PQ index " +
+    "across micro-batches, and replayed batch ids are skipped") {
+    implicit val sql = spark.sqlContext
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val h1 = emb.filter($"vec_id" < 250)
+    val h2rows = emb.filter($"vec_id" >= 250)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val d = java.nio.file.Files.createTempDirectory("graft_sidx_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/index"
+    graft.operators.IvfIndex.write(
+      h1, "vec_id", "embedding", kCells = 4, trainIters = 2, path = path,
+      pq = Some(graft.operators.IvfIndex.Pq(numSub = 4, kCodes = 4, iters = 2)))
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDS().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch(StreamingOps.indexIngest(path, "vec_id", "embedding"))
+      .outputMode(OutputMode.Append).start()
+    val (b1, b2) = h2rows.splitAt(125)
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val vectors = spark.read.parquet(s"$path/vectors")
+    assert(vectors.count() === 500)
+    // appended rows carry PQ codes from the persisted subspace codebooks
+    assert(vectors.filter($"vec_id" >= 250 && $"codes".isNull).count() === 0)
+
+    // full-probe query over the streamed-into index == exact brute force
+    val qvec = emb.filter($"vec_id" === 300)
+      .select($"embedding".cast("array<double>")).as[Array[Double]].head()
+    val full = graft.operators.IvfIndex.query(
+      spark, path, qvec, excludeId = Some(300L), "vec_id", "embedding",
+      nprobe = 4, k = 10)
+      .select($"vec_id", $"sim", $"rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    val brute = graft.operators.SimilarityOps.bruteForceTopK(
+      emb, emb.filter($"vec_id" === 300), "vec_id", "embedding", 10)
+      .select($"vec_id", $"sim", $"rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    assert(full === brute)
+
+    // a replayed batch id must be a no-op (the marker skip)
+    StreamingOps.indexIngest(path, "vec_id", "embedding")(
+      b1.toDF("vec_id", "embedding"), 0L)
+    assert(spark.read.parquet(s"$path/vectors").count() === 500,
+      "replaying an applied batch id must not re-append")
+  }
+
   test("hourlyStats windows with watermark (batch-mode check)") {
     val df = Seq(
       (1, T("2024-01-01 10:05:00"), 10.0),
