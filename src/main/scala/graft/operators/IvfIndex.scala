@@ -76,6 +76,19 @@ object IvfIndex {
     * then rank ONLY those cells' vectors — the isin(cells) filter prunes
     * partitions before IO. Output matches [[SimilarityOps.ivfTopKLearned]]:
     * (idCol, cell, sim, rank).
+    *
+    * `where` is FILTERED vector search — "top-k among rows satisfying a
+    * metadata predicate" (the vector-store feature every retrieval
+    * pipeline ends up needing). The layout keeps every non-vector
+    * column of the indexed frame alongside the vector, so the predicate
+    * lands on the SAME pruned scan as a parquet PushedFilter (pinned in
+    * IvfIndexSpec) — post-filtering ("fetch k then discard") is never
+    * needed, and k survives arbitrarily selective predicates. NOTE the
+    * probe is metadata-blind: cells are probed by query geometry, so a
+    * predicate correlated with cell assignment can concentrate matches
+    * in unprobed cells — raise nprobe with predicate selectivity (at
+    * full probe the result is exactly the filtered brute force, also
+    * pinned in the spec).
     */
   def query(
       spark: SparkSession,
@@ -85,12 +98,14 @@ object IvfIndex {
       idCol: String,
       vecCol: String,
       nprobe: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val probed = probeCells(spark, path, queryVec, nprobe)
     val qv = typedlit(queryVec)
     val vectors = spark.read.parquet(s"$path/vectors")
       .filter(col("cell").isin(probed: _*))
-    excludeId.fold(vectors)(id => vectors.filter(col(idCol) =!= id))
+    val filtered = where.fold(vectors)(vectors.filter)
+    excludeId.fold(filtered)(id => filtered.filter(col(idCol) =!= id))
       .select(col(idCol), col("cell"),
         SimilarityOps.cosine(col(vecCol), qv).as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
@@ -238,7 +253,9 @@ object IvfIndex {
     * probes exactly the cells the single-query path probes. Output:
     * (qid, idCol, cell, sim, rank), rank 1..k per qid. Rows whose id
     * equals the query id are excluded (shared id space, as in
-    * topKPerQuery).
+    * topKPerQuery). `where` filters the indexed rows by any metadata
+    * column before ranking (filtered vector search — see [[query]] for
+    * the probe-is-metadata-blind caveat).
     */
   def queryBatch(
       spark: SparkSession,
@@ -247,7 +264,8 @@ object IvfIndex {
       idCol: String,
       vecCol: String,
       nprobe: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import spark.implicits._
     val cbVec = broadcast(spark.read.parquet(s"$path/codebook")
       .groupBy(col("cell"))
@@ -266,9 +284,12 @@ object IvfIndex {
     // union of probed cells: <= kCells ints — metadata, like a broadcast
     // threshold decision; keeps partition pruning for selective batches
     val cells = probed.select(col("cell")).distinct().as[Int].collect().toSeq
-    spark.read.parquet(s"$path/vectors")
-      .select(col(idCol), col("cell"), col(vecCol))
+    val vectors = spark.read.parquet(s"$path/vectors")
       .filter(col("cell").isin(cells: _*))
+    // metadata predicate BEFORE the column prune so it may reference any
+    // indexed column; it reaches the scan as a PushedFilter either way
+    where.fold(vectors)(vectors.filter)
+      .select(col(idCol), col("cell"), col(vecCol))
       .join(broadcast(probed), Seq("cell"))
       .filter(col(idCol) =!= col("__qid"))
       .select(col("__qid").as("qid"), col(idCol), col("cell"),

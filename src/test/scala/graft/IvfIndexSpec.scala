@@ -78,6 +78,48 @@ class IvfIndexSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("filtered search: a metadata predicate reaches the pruned scan as " +
+    "a PushedFilter, and full-probe filtered query == filtered brute force") {
+    val emb = Tables(spark, dir, "embeddings")
+    val d = java.nio.file.Files.createTempDirectory("graft_ivff_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/index"
+    IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
+      path = path)
+
+    val qvec = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).as[Array[Double]].head()
+    val filtered = IvfIndex.query(spark, path, qvec, excludeId = Some(0L),
+      "vec_id", "embedding", nprobe = 4, k = 10,
+      where = Some($"label" === 2))
+
+    // k survives a selective predicate: top-10 among label-2 rows only
+    val got = filtered.select($"vec_id", $"sim", $"rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    val brute = graft.operators.SimilarityOps.bruteForceTopK(
+      emb.filter($"label" === 2), emb.filter($"vec_id" === 0),
+      "vec_id", "embedding", 10)
+      .select($"vec_id", $"sim", $"rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    assert(got === brute)
+    assert(got.size === 10, "selective predicate must not shrink k")
+
+    // the predicate is pushed into the (partition-pruned) parquet scan
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*label".r.findFirstIn(plan).isDefined,
+      plan)
+    assert("PartitionFilters: \\[.*cell.*(IN|in)".r.findFirstIn(plan).isDefined,
+      plan)
+
+    // batch form agrees with the single-query form under the same filter
+    val batchGot = IvfIndex.queryBatch(spark, path,
+      emb.filter($"vec_id" === 0), "vec_id", "embedding",
+      nprobe = 4, k = 10, where = Some($"label" === 2))
+      .select($"vec_id", $"sim", $"rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    assert(batchGot === got)
+  }
+
   test("queryAdcBatch == a per-query loop of queryAdc, with the batch " +
     "ADC pass pruned to probed cells and group-limited per query") {
     val emb = Tables(spark, dir, "embeddings")
