@@ -230,6 +230,48 @@ object IvfIndex {
     rows.write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
   }
 
+  /** Operational observability for the layout: per-cell row and file
+    * counts — (cell, rows, files), one row per cell. This is what
+    * decides the two maintenance actions: many small files per cell
+    * (the accumulation [[append]] causes) -> [[compact]]; row-count
+    * skew across cells (the drift of a frozen codebook away from a
+    * growing corpus) -> rebuild via [[write]]. One aggregation job over
+    * ids and file metadata only (column-pruned — vectors never load).
+    */
+  def stats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/vectors")
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("rows"),
+        countDistinct(col("_metadata.file_path")).as("files"))
+      .orderBy(col("cell"))
+
+  /** Rewrite the vector layout as one file per cell, contents unchanged
+    * — the small-file repair for an index that has absorbed many
+    * [[append]] batches (each append adds >= 1 file per touched cell;
+    * thousands of appends make the probe-side scan open thousands of
+    * tiny files). repartition BY the cell column moves every cell's rows
+    * into a single task before partitionBy splits directories, so each
+    * cell directory lands exactly one file. The rewrite goes to a
+    * sibling directory then swaps via delete + rename — readers racing
+    * the swap see the old or the new complete layout on a filesystem
+    * with atomic rename, never a mix; the delete-to-rename window is
+    * the vanilla-parquet limitation (same note as the streaming
+    * ingest marker), closed by a transactional table format.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val src = s"$path/vectors"
+    val tmp = s"$path/vectors_compacting"
+    spark.read.parquet(src)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val fs = srcPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(srcPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), srcPath)
+    ()
+  }
+
   /** Batched serving query: one top-k PER QUERY ROW against the
     * persisted index — the production shape, where queries arrive in
     * batches and the corpus is scanned once for all of them (a

@@ -254,6 +254,43 @@ class IvfIndexSpec extends SparkSpec {
     assert(rows(viaAdc) === rows(exact))
   }
 
+  test("compact collapses append-accumulated files to one per cell " +
+    "without changing any query result; stats reports the repair") {
+    val emb = Tables(spark, dir, "embeddings")
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfc_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/index"
+    IvfIndex.write(emb.filter($"vec_id" < 200), "vec_id", "embedding",
+      kCells = 4, trainIters = 2, path = path)
+    // three appends -> every touched cell gains files
+    Seq((200L, 300L), (300L, 400L), (400L, 500L)).foreach { case (lo, hi) =>
+      IvfIndex.append(spark, path,
+        emb.filter($"vec_id" >= lo && $"vec_id" < hi), "vec_id", "embedding")
+    }
+    val before = IvfIndex.stats(spark, path)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(before.map(_._2).sum === 500)
+    assert(before.exists(_._3 > 1), s"appends should fragment cells: $before")
+
+    val qvec = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).as[Array[Double]].head()
+    def topk() = IvfIndex.query(spark, path, qvec, excludeId = Some(0L),
+      "vec_id", "embedding", nprobe = 4, k = 10)
+      .select($"vec_id", $"cell", $"sim", $"rank")
+      .as[(Long, Int, Double, Int)].collect().sortBy(_._4).toSeq
+    val resultBefore = topk()
+
+    IvfIndex.compact(spark, path)
+
+    val after = IvfIndex.stats(spark, path)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(after.map(_._2).sum === 500, "compact must not lose rows")
+    assert(after.forall(_._3 === 1), s"one file per cell after compact: $after")
+    assert(after.map(c => c._1 -> c._2).toMap ===
+      before.map(c => c._1 -> c._2).toMap, "per-cell membership unchanged")
+    assert(topk() === resultBefore, "query results unchanged by compact")
+  }
+
   test("IVF x PQ: queryAdc == query at full refine; the ADC pass is " +
     "partition-pruned and reads codes, never vectors") {
     val emb = Tables(spark, dir, "embeddings")
