@@ -230,6 +230,55 @@ object IvfIndex {
     rows.write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
   }
 
+  /** Point delete from the layout: remove the given ids by rewriting
+    * ONLY the cell partitions that contain them — the reference
+    * pipeline's partition-scoped delete discipline
+    * (IncrementalRunner.upsertByDay) applied to the index. The id scan
+    * that finds affected cells is column-pruned (ids and cells, never
+    * vectors); survivors are read from the affected partitions alone and
+    * written back with dynamic partition overwrite, so the rewrite cost
+    * is O(affected cells), not O(index). The delete batch must be
+    * broadcastable — the practical contract for point deletes (bulk
+    * removals are a rebuild). localCheckpoint breaks the
+    * read-then-overwrite cycle exactly as upsertByKey documents.
+    *
+    * Dynamic overwrite only replaces partitions PRESENT in the written
+    * data, so a cell whose members are all deleted would silently keep
+    * its old files — emptied cells are removed explicitly (and [[stats]]
+    * then no longer lists them; a probe of that cell scans nothing).
+    */
+  def delete(
+      spark: SparkSession,
+      path: String,
+      ids: DataFrame,
+      idCol: String): Unit = {
+    import spark.implicits._
+    val src = s"$path/vectors"
+    val vectors = spark.read.parquet(src)
+    val affected = vectors.select(col(idCol), col("cell"))
+      .join(broadcast(ids.select(col(idCol))), Seq(idCol))
+      .select(col("cell")).distinct().as[Int].collect().toSeq
+    if (affected.nonEmpty) {
+      val survivors = vectors
+        .filter(col("cell").isin(affected: _*))
+        .join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti")
+        .localCheckpoint()
+      survivors
+        .repartition(col("cell"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(src)
+      val alive = survivors.select(col("cell")).distinct()
+        .as[Int].collect().toSet
+      val fs = new org.apache.hadoop.fs.Path(src)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      affected.filterNot(alive).foreach { cell =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$src/cell=$cell"), true)
+      }
+    }
+  }
+
   /** Operational observability for the layout: per-cell row and file
     * counts — (cell, rows, files), one row per cell. This is what
     * decides the two maintenance actions: many small files per cell

@@ -254,6 +254,83 @@ class IvfIndexSpec extends SparkSpec {
     assert(rows(viaAdc) === rows(exact))
   }
 
+  test("delete rewrites only the affected cells, removes emptied cell " +
+    "directories, and queries never see deleted rows") {
+    val emb = Tables(spark, dir, "embeddings")
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfd_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/index"
+    IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
+      path = path, pq = Some(IvfIndex.Pq(numSub = 4, kCodes = 4, iters = 2)))
+
+    val all = spark.read.parquet(s"$path/vectors")
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    val filesBefore = spark.read.parquet(s"$path/vectors")
+      .select($"cell", $"_metadata.file_path")
+      .as[(Int, String)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+
+    val doomed = Seq(0L, 1L, 2L, 3L, 4L)
+    val doomedCells = doomed.map(all).toSet
+    IvfIndex.delete(spark, path,
+      doomed.toDF("vec_id"), "vec_id")
+
+    val after = spark.read.parquet(s"$path/vectors")
+    assert(after.count() === 495)
+    assert(after.filter($"vec_id".isin(doomed: _*)).count() === 0)
+    // untouched cells keep their exact files (no index-wide rewrite)
+    val filesAfter = after.select($"cell", $"_metadata.file_path")
+      .as[(Int, String)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    filesBefore.keys.filterNot(doomedCells).foreach { cell =>
+      assert(filesAfter(cell) === filesBefore(cell),
+        s"cell $cell was rewritten though it held no deleted id")
+    }
+    // PQ codes survive the rewrite
+    assert(after.filter($"codes".isNull).count() === 0)
+
+    // full-probe query == brute force over the remaining corpus
+    val qvec = emb.filter($"vec_id" === 300)
+      .select($"embedding".cast("array<double>")).as[Array[Double]].head()
+    val got = IvfIndex.query(spark, path, qvec, excludeId = Some(300L),
+      "vec_id", "embedding", nprobe = 4, k = 10)
+      .select($"vec_id", $"sim", $"rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    val brute = graft.operators.SimilarityOps.bruteForceTopK(
+      emb.filter(!$"vec_id".isin(doomed: _*)),
+      emb.filter($"vec_id" === 300), "vec_id", "embedding", 10)
+      .select($"vec_id", $"sim", $"rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    assert(got === brute)
+  }
+
+  test("delete that empties a cell removes its directory entirely") {
+    import org.apache.spark.sql.functions.col
+    // two tight blobs -> k=2 trains one cell per blob (the kmeans spec
+    // fixture); deleting all of blob B must erase its cell directory
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.1f)), (1L, Array(0.1f, 0.0f)), (2L, Array(0.2f, 0.1f)),
+      (3L, Array(10.0f, 10.1f)), (4L, Array(10.1f, 9.9f)), (5L, Array(9.9f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfe_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/index"
+    IvfIndex.write(vecs, "vec_id", "embedding", kCells = 2, trainIters = 3,
+      path = path)
+    val blobBCell = spark.read.parquet(s"$path/vectors")
+      .filter(col("vec_id") === 3).select($"cell").as[Int].head()
+
+    IvfIndex.delete(spark, path, Seq(3L, 4L, 5L).toDF("vec_id"), "vec_id")
+
+    val stats = IvfIndex.stats(spark, path)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(stats.map(_._2).sum === 3)
+    assert(!stats.exists(_._1 == blobBCell),
+      s"emptied cell $blobBCell must vanish from the layout: $stats")
+    assert(!new java.io.File(s"$path/vectors/cell=$blobBCell").exists(),
+      "emptied cell directory must be deleted, not left with stale files")
+  }
+
   test("compact collapses append-accumulated files to one per cell " +
     "without changing any query result; stats reports the repair") {
     val emb = Tables(spark, dir, "embeddings")
