@@ -580,6 +580,108 @@ object SimilarityQueries extends QueryModule {
         FROM r WHERE rank <= 10
         ORDER BY qid, rank""")),
 
+    // V13 — incremental index growth under the oracle gate: the codebook
+    // trains on the FIRST HALF of the corpus only (write), the second
+    // half arrives later (append: frozen-codebook assignment, no
+    // retrain), and the batch query serves the grown index. The oracle
+    // is v12's SQL with ONE difference — the training CTEs (d1/a1, and
+    // c1 through a1's membership) restrict to vec_id < 250 — while the
+    // final assignment covers all 500 rows, which is exactly the
+    // append contract: a late vector lands where a rebuild against the
+    // SAME codebook would put it.
+    "v13_index_append" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_v13_index_").toString
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(new java.io.File(tmp))
+        }
+        val path = s"$tmp/index"
+        graft.operators.IvfIndex.write(
+          emb.filter(col("vec_id") < 250), "vec_id", "embedding",
+          kCells = 4, trainIters = 2, path)
+        graft.operators.IvfIndex.append(
+          s, path, emb.filter(col("vec_id") >= 250), "vec_id", "embedding")
+        graft.operators.IvfIndex.queryBatch(
+          s, path, emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+          nprobe = 2, k = 10)
+          .orderBy(col("qid"), col("rank"))
+      },
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT vec_id, i AS dim, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+          FROM embeddings, range(1, 65) t(i)),
+        init AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+                 vec_id
+          FROM (SELECT vec_id FROM embeddings WHERE vec_id < 250
+                ORDER BY vec_id LIMIT 4)),
+        c0 AS (SELECT i.cluster, e.dim, e.v AS c
+               FROM init i JOIN e ON e.vec_id = i.vec_id),
+        d1 AS (
+          SELECT e.vec_id, c.cluster,
+                 sum(CAST(round((e.v - c.c) * (e.v - c.c), 12)
+                   AS DECIMAL(38,12))) AS d2
+          FROM e JOIN c0 c ON e.dim = c.dim
+          WHERE e.vec_id < 250
+          GROUP BY 1, 2),
+        a1 AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cluster) AS rn
+            FROM d1) WHERE rn = 1),
+        c1 AS (
+          SELECT a.cluster, e.dim,
+                 CAST(sum(CAST(round(e.v, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                   / count(*) AS c
+          FROM e JOIN a1 a ON e.vec_id = a.vec_id
+          GROUP BY 1, 2),
+        dd2 AS (
+          SELECT e.vec_id, c.cluster,
+                 sum(CAST(round((e.v - c.c) * (e.v - c.c), 12)
+                   AS DECIMAL(38,12))) AS d2
+          FROM e JOIN c1 c ON e.dim = c.dim
+          GROUP BY 1, 2),
+        a2 AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cluster) AS rn
+            FROM dd2) WHERE rn = 1),
+        cb AS (
+          SELECT cluster AS cell, list(c ORDER BY dim) AS centroid
+          FROM c1 GROUP BY 1),
+        q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+              WHERE vec_id < 3),
+        probed AS (
+          SELECT qid, qe, cell FROM (
+            SELECT q.qid, q.qe, cb.cell,
+                   row_number() OVER (PARTITION BY q.qid ORDER BY
+                     ${cosineSql("q.qe", "cb.centroid")} DESC,
+                     cb.cell) AS crank
+            FROM cb, q)
+          WHERE crank <= 2),
+        scored AS (
+          SELECT p.qid, b.vec_id, a.cluster AS cell,
+                 ${cosineSql("b.embedding", "p.qe")} AS sim
+          FROM embeddings b
+          JOIN a2 a ON a.vec_id = b.vec_id
+          JOIN probed p ON p.cell = a.cluster
+          WHERE b.vec_id <> p.qid),
+        r AS (
+          SELECT qid, vec_id, cell, sim,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY sim DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        SELECT qid, vec_id, cell, sim, rank
+        FROM r WHERE rank <= 10
+        ORDER BY qid, rank""")),
+
     // V11 — PQ + ADC over TRAINED codebooks (iters = 2): exercises the
     // Lloyd's update inside pqFit — assignment against the seed codebook,
     // then decimal-exact per-(sub, code, dsub) means — which v10's seed-
