@@ -13,6 +13,19 @@ import org.apache.spark.sql.functions._
   * and filtering. The codebook (kCells x dims doubles) is metadata: it
   * rides the driver exactly as in [[SimilarityOps.kmeansFit]].
   *
+  * The full lifecycle lives here (oracle rows `v12_index_batch` /
+  * `v13_index_append` hash-check the round-trips against plain SQL):
+  *  - [[write]] build (+ optional [[Pq]] codes), [[append]] /
+  *    [[graft.streaming.StreamingOps.indexIngest]] grow without
+  *    retrain, [[delete]] point-removes by rewriting only affected
+  *    cells, [[compact]] repairs append-accumulated small files,
+  *    [[stats]] reports the per-cell skew that decides rebuild cadence;
+  *  - [[query]] / [[queryBatch]] serve exact-over-probed-cells top-k
+  *    (optionally filtered by a metadata predicate that lands on the
+  *    pruned scan as a PushedFilter); [[queryAdc]] / [[queryAdcBatch]]
+  *    serve the PQ-compressed form — code scan, ADC rank, exact
+  *    re-rank of the `refine` best.
+  *
   * With [[Pq]] the layout additionally stores every vector's product-
   * quantization codes (numSub small ints) alongside it, plus the
   * per-subspace codebooks at `<path>/pq_codebook` — the IVF x PQ
