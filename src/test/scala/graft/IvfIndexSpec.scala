@@ -254,6 +254,39 @@ class IvfIndexSpec extends SparkSpec {
     assert(rows(viaAdc) === rows(exact))
   }
 
+  test("degenerate corpus: duplicate-heavy input drops empty cells and " +
+    "full-probe query still equals brute force") {
+    import org.apache.spark.sql.functions.col
+    // 40 identical vectors + one outlier: the 4 lowest-id seeds coincide,
+    // every row ties to the lowest cluster, clusters 1-3 lose all members
+    // and the Lloyd's update drops them — the standard empty-cluster path.
+    // The index must build on the SURVIVING cells and stay correct.
+    val vecs = ((0L until 40L).map(i => (i, Array(1.0f, 2.0f))) :+
+      (40L, Array(5.0f, 6.0f))).toDF("vec_id", "embedding")
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfg_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/index"
+    IvfIndex.write(vecs, "vec_id", "embedding", kCells = 4, trainIters = 2,
+      path = path)
+
+    val cells = IvfIndex.stats(spark, path)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(cells.map(_._2).sum === 41)
+    assert(cells.size < 4, s"empty cells must drop from the layout: $cells")
+
+    val qvec = vecs.filter(col("vec_id") === 40)
+      .select($"embedding".cast("array<double>")).as[Array[Double]].head()
+    val got = IvfIndex.query(spark, path, qvec, excludeId = Some(40L),
+      "vec_id", "embedding", nprobe = 4, k = 5)
+      .select($"vec_id", $"sim", $"rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    val brute = graft.operators.SimilarityOps.bruteForceTopK(
+      vecs, vecs.filter(col("vec_id") === 40), "vec_id", "embedding", 5)
+      .select($"vec_id", $"sim", $"rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    assert(got === brute)
+  }
+
   test("delete rewrites only the affected cells, removes emptied cell " +
     "directories, and queries never see deleted rows") {
     val emb = Tables(spark, dir, "embeddings")
