@@ -488,12 +488,15 @@ object IvfIndex {
       .filter(col("__arank") <= refine)
       .select(col("__qid"), col(idCol), col("cell"))
 
-    // exact re-rank: candidates join the vectors BY ID — point reads at
-    // corpus scale, k-proportional rows through the final window
+    // exact re-rank: candidates join the vectors BY ID, with the scan
+    // partition-pruned to the probed cells (candidates cannot come from
+    // anywhere else) — the full-vector read touches nprobe-scale data
+    // and only k-proportional rows reach the final window
     val qv = broadcast(queries
       .select(col(idCol).as("__qid"), col(vecCol).as("__qvec")))
     candidates
       .join(spark.read.parquet(s"$path/vectors")
+        .filter(col("cell").isin(cells: _*))
         .select(col(idCol), col(vecCol)), Seq(idCol))
       .join(qv, Seq("__qid"))
       .select(col("__qid").as("qid"), col(idCol), col("cell"),

@@ -149,7 +149,10 @@ class IvfIndexSpec extends SparkSpec {
     }
 
     val plan = batch.queryExecution.executedPlan.toString
-    assert("PartitionFilters: \\[.*cell.*(IN|in)".r.findFirstIn(plan).isDefined,
+    // BOTH vector scans — the codes pass and the exact re-rank — must be
+    // partition-pruned to the probed cells; an unpruned re-rank would be
+    // a second full-corpus scan
+    assert("PartitionFilters: \\[.*cell.*(IN|in)".r.findAllIn(plan).size >= 2,
       plan)
     assert(plan.contains("WindowGroupLimit"), plan)
     // the ADC scan reads codes, never embedding vectors
