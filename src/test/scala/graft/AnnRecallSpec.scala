@@ -40,6 +40,13 @@ class AnnRecallSpec extends SparkSpec {
 
   private lazy val emb = Tables(spark, dir, "embeddings").cache()
 
+  // the test session is shared across every suite in the JVM — release
+  // the cache (the r3 bench post-mortem's persist-leak discipline)
+  override def afterAll(): Unit = {
+    emb.unpersist()
+    super.afterAll()
+  }
+
   private lazy val exactTop: Map[Long, Set[Long]] = queryIds.map { qid =>
     qid -> SimilarityOps.bruteForceTopK(
       emb, emb.filter($"vec_id" === qid), "vec_id", "embedding", k)
