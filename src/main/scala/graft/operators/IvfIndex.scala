@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,20 +13,30 @@ import org.apache.spark.sql.functions._
   * scan is partition-PRUNED to nprobe/kCells of the corpus before any
   * IO happens (pinned in IvfIndexSpec), instead of scanning everything
   * and filtering. The codebook (kCells x dims doubles) is metadata: it
-  * rides the driver exactly as in [[SimilarityOps.kmeansFit]].
+  * rides the driver exactly as in [[SimilarityOps.kmeansFit]] — and is
+  * CACHED per index path, so serving many single queries pays the
+  * codebook read once, not per call (invalidated by [[write]] /
+  * [[compact]]; pinned by the `codebookReads` counter in IvfIndexSpec).
+  *
+  * The index is self-describing: [[write]] persists a `<path>/_meta`
+  * JSON sidecar ({idCol, vecCol, kCells, dims, pq}) and every other
+  * lifecycle op reads it instead of trusting caller-supplied column
+  * names or PQ geometry — a query against the wrong column name is an
+  * impossible state, not a silent wrong answer.
   *
   * The full lifecycle lives here (oracle rows `v12_index_batch` /
-  * `v13_index_append` hash-check the round-trips against plain SQL):
+  * `v13_index_append` / `v14_index_residual` hash-check the
+  * round-trips against plain SQL):
   *  - [[write]] build (+ optional [[Pq]] codes), [[append]] /
   *    [[graft.streaming.StreamingOps.indexIngest]] grow without
   *    retrain, [[delete]] point-removes by rewriting only affected
   *    cells, [[compact]] repairs append-accumulated small files,
   *    [[stats]] reports the per-cell skew that decides rebuild cadence;
-  *  - [[query]] / [[queryBatch]] serve exact-over-probed-cells top-k
-  *    (optionally filtered by a metadata predicate that lands on the
-  *    pruned scan as a PushedFilter); [[queryAdc]] / [[queryAdcBatch]]
-  *    serve the PQ-compressed form — code scan, ADC rank, exact
-  *    re-rank of the `refine` best.
+  *  - [[query]] / [[queryBatch]] / [[queryBatchChunked]] serve
+  *    exact-over-probed-cells top-k (optionally filtered by a metadata
+  *    predicate that lands on the pruned scan as a PushedFilter);
+  *    [[queryAdc]] / [[queryAdcBatch]] serve the PQ-compressed form —
+  *    code scan, ADC rank, exact re-rank of the `refine` best.
   *
   * With [[Pq]] the layout additionally stores every vector's product-
   * quantization codes (numSub small ints) alongside it, plus the
@@ -37,25 +49,133 @@ import org.apache.spark.sql.functions._
   * [[SimilarityOps.pqTopK]]'s fit+encode+query coupling exists for the
   * oracle harness; production builds the artifacts once here.
   *
+  * `Pq(residual = true)` is canonical IVFADC: what gets quantized is
+  * each vector's RESIDUAL against its coarse-cell centroid, not the raw
+  * vector. Residuals carry far less energy than raw vectors (the coarse
+  * term is already explained by the cell), so the same code budget
+  * quantizes a tighter distribution and ADC ranks better at equal
+  * nprobe/refine — measured in AnnRecallSpec. The query side then
+  * builds a PER-CELL ADC table (the query's residual against cell c is
+  * q - centroid_c), still metadata-scale: nprobe x numSub x kCodes rows
+  * per query.
+  *
   * Determinism discipline matches kmeansFit: probe-side cosines are
   * strict index-order left folds in double (computed on the driver over
-  * the collected codebook — same fold order, same bits as the
-  * distributed expression), so a rebuilt index probes identical cells;
-  * ADC reuses [[SimilarityOps.pqAdcTable]]'s decimal arithmetic, so
-  * candidate ranking is bit-identical to [[SimilarityOps.pqTopK]].
+  * the cached codebook — same fold order, same bits as the distributed
+  * expression), so a rebuilt index probes identical cells; ADC reuses
+  * [[SimilarityOps.pqAdcTable]]'s decimal arithmetic, so candidate
+  * ranking is bit-identical to [[SimilarityOps.pqTopK]].
   */
 object IvfIndex {
 
   /** PQ layout parameters: dims must divide evenly into `numSub`
     * subspaces, each quantized to a `kCodes`-codeword codebook trained
-    * with `iters` Lloyd's rounds (1 = seed codebook).
+    * with `iters` Lloyd's rounds (1 = seed codebook). `residual = true`
+    * quantizes vector-minus-cell-centroid residuals (true IVFADC).
     */
-  final case class Pq(numSub: Int, kCodes: Int, iters: Int)
+  final case class Pq(
+      numSub: Int, kCodes: Int, iters: Int, residual: Boolean = false)
 
-  /** Train on the corpus and write `<path>/codebook` (cell, dim, c) and
-    * `<path>/vectors` partitioned by cell. With `pq` set, also writes
-    * `<path>/pq_codebook` (sub, code, dsub, c) and a `codes` column
-    * (array<int>, subspace order) on every vector row.
+  /** The persisted self-description of an index (`<path>/_meta`). */
+  final case class Meta(
+      idCol: String, vecCol: String, kCells: Int, dims: Int, pq: Option[Pq])
+
+  // ---- driver-side caches, keyed by index path --------------------------
+  // The codebook is kCells x dims doubles and the meta a few hundred
+  // bytes — both metadata-scale, both immutable between rebuilds. Serving
+  // many single queries against one index re-paid the codebook parquet
+  // read per call; the cache pays it once. write()/compact() invalidate.
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Array[Double]]]()
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Meta]()
+
+  /** Number of physical codebook loads (test observability: IvfIndexSpec
+    * asserts N single queries against one index load the codebook once).
+    */
+  private[graft] val codebookReads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Drop cached driver-side state for an index path (called by [[write]]
+    * and [[compact]]; public for callers that mutate the layout out of
+    * band).
+    */
+  def invalidateCache(path: String): Unit = {
+    codebookCache.remove(path)
+    metaCache.remove(path)
+    ()
+  }
+
+  private def cachedCodebook(
+      spark: SparkSession, path: String): Map[Int, Array[Double]] =
+    codebookCache.computeIfAbsent(path, _ => {
+      codebookReads.incrementAndGet()
+      import spark.implicits._
+      spark.read.parquet(s"$path/codebook")
+        .as[(Int, Int, Double)].collect()
+        .groupBy(_._1)
+        .map { case (cell, rows) => cell -> rows.sortBy(_._2).map(_._3) }
+    })
+
+  private def hadoopPath(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  private def fsFor(spark: SparkSession, s: String) =
+    hadoopPath(s).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def writeMeta(spark: SparkSession, path: String, meta: Meta): Unit = {
+    val pqJson = meta.pq.fold("null") { p =>
+      s"""{"numSub":${p.numSub},"kCodes":${p.kCodes},"iters":${p.iters},""" +
+        s""""residual":${p.residual}}"""
+    }
+    val json =
+      s"""{"version":1,"idCol":"${meta.idCol}","vecCol":"${meta.vecCol}",""" +
+        s""""kCells":${meta.kCells},"dims":${meta.dims},"pq":$pqJson}"""
+    val p = hadoopPath(s"$path/_meta")
+    val fs = fsFor(spark, path)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** Read the `<path>/_meta` sidecar (cached per path). */
+  def readMeta(spark: SparkSession, path: String): Meta =
+    metaCache.computeIfAbsent(path, _ => {
+      val p = hadoopPath(s"$path/_meta")
+      val fs = fsFor(spark, path)
+      require(fs.exists(p),
+        s"no index metadata at $path/_meta — build the index with IvfIndex.write")
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(buf, StandardCharsets.UTF_8))
+      val pq = Option(node.get("pq")).filterNot(_.isNull).map { n =>
+        Pq(n.get("numSub").asInt, n.get("kCodes").asInt, n.get("iters").asInt,
+          n.get("residual").asBoolean)
+      }
+      Meta(node.get("idCol").asText, node.get("vecCol").asText,
+        node.get("kCells").asInt, node.get("dims").asInt, pq)
+    })
+
+  /** (cell, __centroid array<double>) rows from the cached codebook — the
+    * broadcastable probe/residual side (kCells rows of metadata).
+    */
+  private def centroidDf(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    cachedCodebook(spark, path).toSeq
+      .map { case (cell, c) => (cell, c) }
+      .toDF("cell", "__centroid")
+  }
+
+  /** Train on the corpus and write `<path>/codebook` (cell, dim, c),
+    * `<path>/vectors` partitioned by cell, and the `<path>/_meta`
+    * self-description every other lifecycle op reads. With `pq` set,
+    * also writes `<path>/pq_codebook` (sub, code, dsub, c) and a `codes`
+    * column (array<int>, subspace order) on every vector row — codes of
+    * the raw vectors, or of the cell residuals when `pq.residual`.
+    * Rebuilding clears `<path>/_appended` (streaming-ingest replay
+    * markers from a previous incarnation must not mask new batches) and
+    * the driver-side caches.
     */
   def write(
       embeddings: DataFrame,
@@ -69,23 +189,44 @@ object IvfIndex {
     import spark.implicits._
     val (assign, cent) = SimilarityOps.kmeansFit(
       embeddings, idCol, vecCol, kCells, trainIters)
+    val dims = cent.map(_._2).max + 1
     cent.toDF("cell", "dim", "c").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/codebook")
     val withCell = embeddings
       .join(assign.select(col(idCol), col("cluster").as("cell")), Seq(idCol))
     val rows = pq.fold(withCell) { p =>
+      // what gets quantized: raw vectors, or (residual=true) each
+      // vector's offset from its own cell centroid — same deterministic
+      // pqFit/pqEncode either way, over a derived column
+      val base =
+        if (!p.residual) embeddings.select(col(idCol), col(vecCol))
+        else {
+          val centArr = broadcast(cent.groupBy(_._1).toSeq
+            .map { case (c, rs) => (c, rs.sortBy(_._2).map(_._3)) }
+            .toDF("cell", "__centroid"))
+          withCell.join(centArr, Seq("cell"))
+            .select(col(idCol),
+              zip_with(col(vecCol).cast("array<double>"), col("__centroid"),
+                (a, b) => a - b).as(vecCol))
+        }
       val cb = SimilarityOps.pqFit(
-        embeddings, idCol, vecCol, p.numSub, p.kCodes, p.iters)
+        base, idCol, vecCol, p.numSub, p.kCodes, p.iters)
       cb.toDF("sub", "code", "dsub", "c").coalesce(1)
         .write.mode("overwrite").parquet(s"$path/pq_codebook")
       withCell.join(
-        SimilarityOps.pqEncode(embeddings, idCol, vecCol, cb), Seq(idCol))
+        SimilarityOps.pqEncode(base, idCol, vecCol, cb), Seq(idCol))
     }
     rows.write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    // a rebuild is a new incarnation: stale replay markers must not mask
+    // the new stream's batch ids (ADVICE r9)
+    val fs = fsFor(spark, path)
+    fs.delete(hadoopPath(s"$path/_appended"), true)
+    writeMeta(spark, path, Meta(idCol, vecCol, kCells, dims, pq))
+    invalidateCache(path)
   }
 
   /** Query a persisted index with one vector: probe the `nprobe` closest
-    * cells (cosine against the collected codebook, ties -> lowest cell),
+    * cells (cosine against the cached codebook, ties -> lowest cell),
     * then rank ONLY those cells' vectors — the isin(cells) filter prunes
     * partitions before IO. Output matches [[SimilarityOps.ivfTopKLearned]]:
     * (idCol, cell, sim, rank).
@@ -108,58 +249,45 @@ object IvfIndex {
       path: String,
       queryVec: Array[Double],
       excludeId: Option[Long],
-      idCol: String,
-      vecCol: String,
       nprobe: Int,
       k: Int,
-      where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      where: Option[Column] = None): DataFrame = {
+    val meta = readMeta(spark, path)
     val probed = probeCells(spark, path, queryVec, nprobe)
     val qv = typedlit(queryVec)
     val vectors = spark.read.parquet(s"$path/vectors")
       .filter(col("cell").isin(probed: _*))
     val filtered = where.fold(vectors)(vectors.filter)
-    excludeId.fold(filtered)(id => filtered.filter(col(idCol) =!= id))
-      .select(col(idCol), col("cell"),
-        SimilarityOps.cosine(col(vecCol), qv).as("sim"))
-      .orderBy(col("sim").desc, col(idCol).asc)
+    excludeId.fold(filtered)(id => filtered.filter(col(meta.idCol) =!= id))
+      .select(col(meta.idCol), col("cell"),
+        SimilarityOps.cosine(col(meta.vecCol), qv).as("sim"))
+      .orderBy(col("sim").desc, col(meta.idCol).asc)
       .limit(k)
       .withColumn("rank",
-        row_number().over(Window.orderBy(col("sim").desc, col(idCol).asc)))
+        row_number().over(Window.orderBy(col("sim").desc, col(meta.idCol).asc)))
   }
 
-  /** ADC first pass over a PQ-enabled index: the probed cells' CODES
-    * (never their vectors) rank by asymmetric distance — (idCol, cell,
-    * ad2), ascending, capped at `refine` rows. The scan is partition-
-    * pruned to the probed cells and column-pruned to the codes (pinned
-    * in IvfIndexSpec); the ADC table is numSub x kCodes rows, broadcast.
-    * Distances are bit-identical to [[SimilarityOps.pqTopK]]'s (same
-    * decimal discipline via [[SimilarityOps.pqAdcTable]]).
+  /** ADC first pass over a PQ-enabled index for ONE query vector: the
+    * probed cells' CODES (never their vectors) rank by asymmetric
+    * distance — (idCol, cell, ad2), ascending, capped at `refine` rows.
+    * Runs as a 1-row [[queryAdcBatch]] candidate pass (shared plan, no
+    * single-query special case): the scan is partition-pruned to the
+    * probed cells and column-pruned to the codes (pinned in
+    * IvfIndexSpec), and distances are bit-identical to
+    * [[SimilarityOps.pqTopK]]'s (same decimal discipline).
     */
   def adcCandidates(
       spark: SparkSession,
       path: String,
       queryVec: Array[Double],
       excludeId: Option[Long],
-      idCol: String,
-      vecCol: String,
       nprobe: Int,
       refine: Int): DataFrame = {
-    val probed = probeCells(spark, path, queryVec, nprobe)
-    val table = SimilarityOps.pqAdcTable(
-      spark.read.parquet(s"$path/pq_codebook"), queryVec, idCol, vecCol)
-    val codes = spark.read.parquet(s"$path/vectors")
-      .select(col(idCol), col("cell"), col("codes"))
-      .filter(col("cell").isin(probed: _*))
-    excludeId.fold(codes)(id => codes.filter(col(idCol) =!= id))
-      .select(col(idCol), col("cell"),
-        posexplode(col("codes")).as(Seq("sub", "code")))
-      .join(broadcast(table), Seq("sub", "code"))
-      .groupBy(col(idCol), col("cell"))
-      .agg(sum(col("d2q")).as("__ad2"))
-      .select(col(idCol), col("cell"),
-        round(col("__ad2").cast("double"), 6).as("ad2"))
-      .orderBy(col("ad2").asc, col(idCol).asc)
-      .limit(refine)
+    val meta = readMeta(spark, path)
+    val (queries, excludeSelf) = singleAsBatch(spark, meta, queryVec, excludeId)
+    adcCandidateBatch(spark, path, meta, queries, excludeSelf, nprobe, refine)
+      .select(col(meta.idCol), col("cell"), col("ad2"))
+      .orderBy(col("ad2").asc, col(meta.idCol).asc)
   }
 
   /** IVF x PQ serving query: ADC-rank the probed cells' codes, take the
@@ -170,32 +298,37 @@ object IvfIndex {
     * [[query]]'s (pinned in IvfIndexSpec); at corpus scale `refine` is
     * a small multiple of k, so the full-vector read is k-scale — the
     * 100 TB shape: partition-pruned code scan, then point reads.
+    *
+    * Implemented as a 1-row [[queryAdcBatch]]: candidates flow from the
+    * ADC pass to the exact re-rank IN the plan — no driver round-trip
+    * collecting candidate ids (the r9 advice item).
     */
   def queryAdc(
       spark: SparkSession,
       path: String,
       queryVec: Array[Double],
       excludeId: Option[Long],
-      idCol: String,
-      vecCol: String,
       nprobe: Int,
       k: Int,
       refine: Int): DataFrame = {
-    require(refine >= k, s"refine ($refine) must be >= k ($k)")
-    val candidates = adcCandidates(
-      spark, path, queryVec, excludeId, idCol, vecCol, nprobe, refine)
-      .select(col(idCol)).collect().map(_.getLong(0))
-    val probed = probeCells(spark, path, queryVec, nprobe)
-    val qv = typedlit(queryVec)
-    spark.read.parquet(s"$path/vectors")
-      .filter(col("cell").isin(probed: _*))
-      .filter(col(idCol).isin(candidates: _*))
-      .select(col(idCol), col("cell"),
-        SimilarityOps.cosine(col(vecCol), qv).as("sim"))
-      .orderBy(col("sim").desc, col(idCol).asc)
-      .limit(k)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("sim").desc, col(idCol).asc)))
+    val meta = readMeta(spark, path)
+    val (queries, excludeSelf) = singleAsBatch(spark, meta, queryVec, excludeId)
+    adcBatchImpl(spark, path, meta, queries, excludeSelf, nprobe, k, refine)
+      .drop("qid")
+  }
+
+  /** A 1-row query batch frame for the single-vector entry points. When
+    * no id is excluded the qid takes a sentinel and self-exclusion is
+    * disabled, so a corpus row sharing the sentinel id is NOT dropped.
+    */
+  private def singleAsBatch(
+      spark: SparkSession,
+      meta: Meta,
+      queryVec: Array[Double],
+      excludeId: Option[Long]): (DataFrame, Boolean) = {
+    import spark.implicits._
+    val qid = excludeId.getOrElse(0L)
+    (Seq((qid, queryVec)).toDF(meta.idCol, meta.vecCol), excludeId.isDefined)
   }
 
   /** Incremental maintenance: assign NEW vectors to the existing coarse
@@ -209,7 +342,10 @@ object IvfIndex {
     * `mode("append")` adds files only under the touched cell
     * directories. With a PQ layout the new rows are encoded against the
     * PERSISTED subspace codebooks ([[SimilarityOps.pqEncode]], the
-    * oracle-verified path), so ADC serving sees them immediately.
+    * oracle-verified path) — residuals first when the meta says so —
+    * so ADC serving sees them immediately. The incoming frame must
+    * carry the id/vector columns the index was built with (meta-read,
+    * not caller-claimed).
     *
     * Ids are the caller's contract: append assumes the new ids are not
     * already in the index (the reference-pipeline upsert semantics —
@@ -222,52 +358,62 @@ object IvfIndex {
   def append(
       spark: SparkSession,
       path: String,
-      embeddings: DataFrame,
-      idCol: String,
-      vecCol: String): Unit = {
+      embeddings: DataFrame): Unit = {
     import spark.implicits._
+    val meta = readMeta(spark, path)
+    val idCol = meta.idCol
+    val vecCol = meta.vecCol
     val cbDf = spark.read.parquet(s"$path/codebook")
       .select(col("cell").as("cluster"), col("dim"), col("c"))
     val assign = SimilarityOps.assignToCodebook(
       SimilarityOps.explodeVec(embeddings, idCol, vecCol), idCol, cbDf)
       .select(col(idCol), col("cluster").as("cell"))
     val withCell = embeddings.join(assign, Seq(idCol))
-    val pqDir = new org.apache.hadoop.fs.Path(s"$path/pq_codebook")
-    val fs = pqDir.getFileSystem(spark.sessionState.newHadoopConf())
-    val rows = if (fs.exists(pqDir)) {
+    val rows = meta.pq.fold(withCell) { p =>
       val pqCb = spark.read.parquet(s"$path/pq_codebook")
         .as[(Int, Int, Int, Double)].collect().toSeq
+      val base =
+        if (!p.residual) embeddings.select(col(idCol), col(vecCol))
+        else withCell.join(broadcast(centroidDf(spark, path)), Seq("cell"))
+          .select(col(idCol),
+            zip_with(col(vecCol).cast("array<double>"), col("__centroid"),
+              (a, b) => a - b).as(vecCol))
       withCell.join(
-        SimilarityOps.pqEncode(embeddings, idCol, vecCol, pqCb), Seq(idCol))
-    } else withCell
+        SimilarityOps.pqEncode(base, idCol, vecCol, pqCb), Seq(idCol))
+    }
     rows.write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
   }
 
-  /** Point delete from the layout: remove the given ids by rewriting
-    * ONLY the cell partitions that contain them — the reference
-    * pipeline's partition-scoped delete discipline
-    * (IncrementalRunner.upsertByDay) applied to the index. The id scan
-    * that finds affected cells is column-pruned (ids and cells, never
-    * vectors); survivors are read from the affected partitions alone and
-    * written back with dynamic partition overwrite, so the rewrite cost
-    * is O(affected cells), not O(index). The delete batch must be
-    * broadcastable — the practical contract for point deletes (bulk
-    * removals are a rebuild). localCheckpoint breaks the
+  /** Point delete from the layout: remove the given ids (a frame carrying
+    * the index's id column) by rewriting ONLY the cell partitions that
+    * contain them — the reference pipeline's partition-scoped delete
+    * discipline (IncrementalRunner.upsertByDay) applied to the index.
+    * The id scan that finds affected cells is column-pruned (ids and
+    * cells, never vectors); survivors are read from the affected
+    * partitions alone and written back with dynamic partition overwrite,
+    * so the rewrite cost is O(affected cells), not O(index). The delete
+    * batch must be broadcastable — the practical contract for point
+    * deletes (bulk removals are a rebuild). localCheckpoint breaks the
     * read-then-overwrite cycle exactly as upsertByKey documents.
     *
     * Dynamic overwrite only replaces partitions PRESENT in the written
     * data, so a cell whose members are all deleted would silently keep
     * its old files — emptied cells are removed explicitly (and [[stats]]
     * then no longer lists them; a probe of that cell scans nothing).
+    * A delete that would empty the ENTIRE index fails fast instead of
+    * leaving a schema-less layout every later read trips over (ADVICE
+    * r9) — drop the index directory or rebuild via [[write]] instead.
     */
   def delete(
       spark: SparkSession,
       path: String,
-      ids: DataFrame,
-      idCol: String): Unit = {
+      ids: DataFrame): Unit = {
     import spark.implicits._
+    val meta = readMeta(spark, path)
+    val idCol = meta.idCol
     val src = s"$path/vectors"
     val vectors = spark.read.parquet(src)
+    val allCells = vectors.select(col("cell")).distinct().as[Int].collect().toSet
     val affected = vectors.select(col(idCol), col("cell"))
       .join(broadcast(ids.select(col(idCol))), Seq(idCol))
       .select(col("cell")).distinct().as[Int].collect().toSeq
@@ -276,18 +422,23 @@ object IvfIndex {
         .filter(col("cell").isin(affected: _*))
         .join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti")
         .localCheckpoint()
-      survivors
-        .repartition(col("cell"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell")
-        .parquet(src)
       val alive = survivors.select(col("cell")).distinct()
         .as[Int].collect().toSet
-      val fs = new org.apache.hadoop.fs.Path(src)
-        .getFileSystem(spark.sessionState.newHadoopConf())
+      if (alive.isEmpty && affected.toSet == allCells)
+        throw new IllegalStateException(
+          s"delete would remove every row of the index at $path; a " +
+            "schema-less layout cannot be read back — rebuild with " +
+            "IvfIndex.write or drop the index directory instead")
+      if (alive.nonEmpty)
+        survivors
+          .repartition(col("cell"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cell")
+          .parquet(src)
+      val fs = fsFor(spark, src)
       affected.filterNot(alive).foreach { cell =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$src/cell=$cell"), true)
+        fs.delete(hadoopPath(s"$src/cell=$cell"), true)
       }
     }
   }
@@ -314,31 +465,48 @@ object IvfIndex {
     * thousands of appends make the probe-side scan open thousands of
     * tiny files). repartition BY the cell column moves every cell's rows
     * into a single task before partitionBy splits directories, so each
-    * cell directory lands exactly one file. The rewrite goes to a
-    * sibling directory then swaps via delete + rename — readers racing
-    * the swap see the old or the new complete layout on a filesystem
-    * with atomic rename, never a mix; the delete-to-rename window is
-    * the vanilla-parquet limitation (same note as the streaming
-    * ingest marker), closed by a transactional table format.
+    * cell directory lands exactly one file.
+    *
+    * Swap discipline (ADVICE r9): rename-aside, not delete-then-rename —
+    * `vectors` -> `vectors_old`, `vectors_compacting` -> `vectors`, then
+    * delete `vectors_old`. Hadoop FileSystem signals most failures by
+    * RETURNING FALSE rather than throwing, so every step is checked and
+    * a false throws: a failed swap can no longer silently leave the
+    * index path empty while the data sits stranded in a sibling, and a
+    * crash mid-swap leaves the old data recoverable under one of the
+    * sibling names. Readers racing the swap see old or new complete
+    * layouts on a filesystem with atomic rename, never a mix; the
+    * brief no-`vectors` window between the two renames is the
+    * vanilla-parquet limitation, closed by a transactional table format.
     */
   def compact(spark: SparkSession, path: String): Unit = {
     val src = s"$path/vectors"
     val tmp = s"$path/vectors_compacting"
+    val old = s"$path/vectors_old"
     spark.read.parquet(src)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    val srcPath = new org.apache.hadoop.fs.Path(src)
-    val fs = srcPath.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(srcPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), srcPath)
-    ()
+    val fs = fsFor(spark, path)
+    def must(ok: Boolean, step: String): Unit =
+      if (!ok) throw new IllegalStateException(
+        s"compact($path): $step failed — layout left under " +
+          s"$src/$tmp/$old, no data deleted")
+    // a leftover vectors_old from a crashed previous compact blocks the
+    // rename; it is a fully-superseded copy, safe to clear
+    if (fs.exists(hadoopPath(old))) must(fs.delete(hadoopPath(old), true),
+      s"clearing stale $old")
+    must(fs.rename(hadoopPath(src), hadoopPath(old)), s"rename $src -> $old")
+    must(fs.rename(hadoopPath(tmp), hadoopPath(src)), s"rename $tmp -> $src")
+    must(fs.delete(hadoopPath(old), true), s"delete $old")
+    invalidateCache(path)
   }
 
   /** Batched serving query: one top-k PER QUERY ROW against the
     * persisted index — the production shape, where queries arrive in
     * batches and the corpus is scanned once for all of them (a
     * per-query loop re-opens the index per vector; measured parity with
-    * that loop is pinned in IvfIndexSpec).
+    * that loop is pinned in IvfIndexSpec). The query frame carries the
+    * index's id/vector columns (meta-read).
     *
     * Plan shape: the coarse codebook broadcasts and every query row
     * ranks its `nprobe` cells IN the plan (a per-query window over
@@ -349,8 +517,8 @@ object IvfIndex {
     * rank filter compiles to WindowGroupLimit, so map partitions ship
     * at most k rows per query to the shuffle (the [[SimilarityOps
     * .topKPerQuery]] discipline). The query batch must be broadcastable
-    * — chunk batches beyond that; each chunk still scans only its own
-    * probed cells.
+    * — [[queryBatchChunked]] loops broadcastable slices beyond that;
+    * each chunk still scans only its own probed cells.
     *
     * The in-plan probe uses the same [[SimilarityOps.cosine]] fold the
     * driver-side [[probeCells]] mirrors bit-for-bit, so a batch of one
@@ -365,26 +533,13 @@ object IvfIndex {
       spark: SparkSession,
       path: String,
       queries: DataFrame,
-      idCol: String,
-      vecCol: String,
       nprobe: Int,
       k: Int,
-      where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      where: Option[Column] = None): DataFrame = {
     import spark.implicits._
-    val cbVec = broadcast(spark.read.parquet(s"$path/codebook")
-      .groupBy(col("cell"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("dim"), col("c")))),
-        x => x("c")).as("centroid")))
-    val wProbe = Window.partitionBy(col("__qid"))
-      .orderBy(col("__csim").desc, col("cell").asc)
-    val probed = queries
-      .select(col(idCol).as("__qid"), col(vecCol).as("__qvec"))
-      .join(cbVec)
-      .withColumn("__csim", SimilarityOps.cosine(col("__qvec"), col("centroid")))
-      .withColumn("__crank", row_number().over(wProbe))
-      .filter(col("__crank") <= nprobe)
-      .select(col("__qid"), col("__qvec"), col("cell"))
+    val meta = readMeta(spark, path)
+    val idCol = meta.idCol
+    val probed = probeBatch(spark, path, meta, queries, nprobe)
     // union of probed cells: <= kCells ints — metadata, like a broadcast
     // threshold decision; keeps partition pruning for selective batches
     val cells = probed.select(col("cell")).distinct().as[Int].collect().toSeq
@@ -393,29 +548,175 @@ object IvfIndex {
     // metadata predicate BEFORE the column prune so it may reference any
     // indexed column; it reaches the scan as a PushedFilter either way
     where.fold(vectors)(vectors.filter)
-      .select(col(idCol), col("cell"), col(vecCol))
+      .select(col(idCol), col("cell"), col(meta.vecCol))
       .join(broadcast(probed), Seq("cell"))
       .filter(col(idCol) =!= col("__qid"))
       .select(col("__qid").as("qid"), col(idCol), col("cell"),
-        SimilarityOps.cosine(col(vecCol), col("__qvec")).as("sim"))
+        SimilarityOps.cosine(col(meta.vecCol), col("__qvec")).as("sim"))
       .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col("sim").desc, col(idCol).asc)))
       .filter(col("rank") <= k)
   }
 
+  /** [[queryBatch]] for query batches too large to broadcast: slices the
+    * batch into `maxBatch`-row chunks (deterministic qid order) and
+    * unions the per-chunk results. Each chunk probes and prunes its OWN
+    * cells — a chunk of geometrically-close queries still scans only its
+    * cells, not the union over the whole batch — and the broadcasts
+    * inside each [[queryBatch]] call stay bounded by `maxBatch`. The
+    * chunk assignment is one qid-scale window + localCheckpoint (so the
+    * sort runs once, not once per chunk); chunk count is batch/maxBatch
+    * — a driver loop over plans, not over rows.
+    */
+  def queryBatchChunked(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      nprobe: Int,
+      k: Int,
+      maxBatch: Int,
+      where: Option[Column] = None): DataFrame = {
+    require(maxBatch > 0, s"maxBatch ($maxBatch) must be positive")
+    val meta = readMeta(spark, path)
+    val chunked = queries
+      .withColumn("__chunk",
+        ((row_number().over(Window.orderBy(col(meta.idCol))) - 1) / maxBatch)
+          .cast("int"))
+      .localCheckpoint()
+    val top = chunked.agg(max(col("__chunk"))).head()
+    if (top.isNullAt(0)) queryBatch(spark, path, queries, nprobe, k, where)
+    else (0 to top.getInt(0))
+      .map(c => queryBatch(spark, path,
+        chunked.filter(col("__chunk") === c).drop("__chunk"),
+        nprobe, k, where))
+      .reduce(_ unionAll _)
+  }
+
+  /** In-plan probe shared by the batch paths: (__qid, __qvec, cell) —
+    * each query row's `nprobe` closest cells by the same cosine fold the
+    * driver-side [[probeCells]] computes, against the cached codebook as
+    * a broadcast local relation (no parquet re-read per call).
+    */
+  private def probeBatch(
+      spark: SparkSession,
+      path: String,
+      meta: Meta,
+      queries: DataFrame,
+      nprobe: Int): DataFrame = {
+    val cbVec = broadcast(centroidDf(spark, path)
+      .withColumnRenamed("__centroid", "centroid"))
+    val wProbe = Window.partitionBy(col("__qid"))
+      .orderBy(col("__csim").desc, col("cell").asc)
+    queries
+      .select(col(meta.idCol).as("__qid"), col(meta.vecCol).as("__qvec"))
+      .join(cbVec)
+      .withColumn("__csim", SimilarityOps.cosine(col("__qvec"), col("centroid")))
+      .withColumn("__crank", row_number().over(wProbe))
+      .filter(col("__crank") <= nprobe)
+      .select(col("__qid"), col("__qvec"), col("cell"))
+  }
+
+  /** The batched ADC first pass: (__qid, idCol, cell, ad2), at most
+    * `refine` rows per query (WindowGroupLimit — map partitions ship
+    * <= refine rows per query). The code scan over the union of probed
+    * cells runs ONCE for the whole batch, partition-pruned and
+    * column-pruned to the codes.
+    *
+    * ADC tables build in ONE plan with the same per-term 12-dp round +
+    * decimal accumulation as [[SimilarityOps.pqAdcTable]], keyed by
+    * __qid — and, for a residual layout, by (__qid, cell): the query's
+    * residual against cell c is q - centroid_c, so each probed cell
+    * gets its own table (nprobe x numSub x kCodes rows per query,
+    * still metadata) and each candidate's codes meet the table of the
+    * candidate's OWN cell — canonical IVFADC.
+    */
+  private def adcCandidateBatch(
+      spark: SparkSession,
+      path: String,
+      meta: Meta,
+      queries: DataFrame,
+      excludeSelf: Boolean,
+      nprobe: Int,
+      refine: Int): DataFrame = {
+    import spark.implicits._
+    val probed = probeBatch(spark, path, meta, queries, nprobe)
+    val cells = probed.select(col("cell")).distinct().as[Int].collect().toSeq
+    adcCandidateBatchFrom(spark, path, meta, probed, cells, excludeSelf, refine)
+  }
+
+  private def adcCandidateBatchFrom(
+      spark: SparkSession,
+      path: String,
+      meta: Meta,
+      probed: DataFrame,
+      cells: Seq[Int],
+      excludeSelf: Boolean,
+      refine: Int): DataFrame = {
+    val idCol = meta.idCol
+    val pq = meta.pq.getOrElse(throw new IllegalArgumentException(
+      s"index at $path has no PQ layout — ADC serving needs " +
+        "write(..., pq = Some(...))"))
+    val dsubLen = meta.dims / pq.numSub
+    val pqCb = spark.read.parquet(s"$path/pq_codebook")
+
+    // the query side of the table: residual layouts subtract the probed
+    // cell's centroid first (per-(qid, cell) tables); raw layouts share
+    // one table per qid across its probed cells
+    val tableKey: Seq[String] =
+      if (pq.residual) Seq("__qid", "cell") else Seq("__qid")
+    val qDims =
+      if (pq.residual)
+        probed.join(broadcast(centroidDf(spark, path)), Seq("cell"))
+          .select(col("__qid"), col("cell"),
+            posexplode(zip_with(col("__qvec").cast("array<double>"),
+              col("__centroid"), (a, b) => a - b)).as(Seq("dim", "v0")))
+      else
+        probed.select(col("__qid"), col("__qvec")).distinct()
+          .select(col("__qid"),
+            posexplode(col("__qvec")).as(Seq("dim", "v0")))
+    val tables = qDims
+      .select((tableKey.map(col) :+
+        (col("dim") / dsubLen).cast("int").as("sub") :+
+        (col("dim") % dsubLen).cast("int").as("dsub") :+
+        col("v0").cast("double").as("v")): _*)
+      .join(broadcast(pqCb), Seq("sub", "dsub"))
+      .select((tableKey.map(col) :+ col("sub") :+ col("code") :+
+        round((col("v") - col("c")) * (col("v") - col("c")), 12)
+          .cast("decimal(38,12)").as("dd")): _*)
+      .groupBy((tableKey ++ Seq("sub", "code")).map(col): _*)
+      .agg(sum(col("dd")).as("d2q"))
+
+    val wAdc = Window.partitionBy(col("__qid"))
+      .orderBy(col("ad2").asc, col(idCol).asc)
+    val codes = spark.read.parquet(s"$path/vectors")
+      .select(col(idCol), col("cell"), col("codes"))
+      .filter(col("cell").isin(cells: _*))
+      .join(broadcast(probed.select(col("__qid"), col("cell"))), Seq("cell"))
+    val candidates = (if (excludeSelf) codes.filter(col(idCol) =!= col("__qid"))
+      else codes)
+      .select(col("__qid"), col(idCol), col("cell"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(tables), tableKey ++ Seq("sub", "code"))
+      .groupBy(col("__qid"), col(idCol), col("cell"))
+      .agg(sum(col("d2q")).as("__ad2"))
+      .select(col("__qid"), col(idCol), col("cell"),
+        round(col("__ad2").cast("double"), 6).as("ad2"))
+      .withColumn("__arank", row_number().over(wAdc))
+      .filter(col("__arank") <= refine)
+    candidates.select(col("__qid"), col(idCol), col("cell"), col("ad2"))
+  }
+
   /** Batched IVF x PQ serving: [[queryAdc]] for a query batch, fully
     * in-plan — no driver round-trip between the ADC pass and the exact
-    * re-rank (the single-query path collects `refine` candidate ids
-    * into an isin(); at batch scale that is queries x refine driver
-    * rows, the anti-pattern). Shape: the codes of the union of probed
-    * cells are scanned ONCE for the whole batch; each query ranks its
-    * candidates by ADC through a per-query WindowGroupLimit (map
-    * partitions ship <= refine rows per query); the surviving
-    * (qid, id) pairs then equi-join the full vectors BY ID for the
-    * exact cosine re-rank — at corpus scale a k-proportional shuffle,
-    * never a second corpus scan. ADC arithmetic is the shared
-    * [[SimilarityOps.pqAdcTable]] discipline, one broadcast table per
-    * query row (batch x numSub x kCodes rows total — still metadata).
+    * re-rank. Shape: the codes of the union of probed cells are scanned
+    * ONCE for the whole batch; each query ranks its candidates by ADC
+    * through a per-query WindowGroupLimit (map partitions ship <=
+    * refine rows per query); the surviving (qid, id) pairs then
+    * equi-join the full vectors BY ID for the exact cosine re-rank —
+    * at corpus scale a k-proportional shuffle, never a second corpus
+    * scan. ADC arithmetic is the shared [[SimilarityOps.pqAdcTable]]
+    * discipline; residual layouts get per-(query, cell) tables (see
+    * [[adcCandidateBatch]]).
     *
     * Output matches [[queryBatch]]: (qid, idCol, cell, sim, rank),
     * rank 1..k per qid by exact cosine among each query's `refine`
@@ -425,89 +726,51 @@ object IvfIndex {
       spark: SparkSession,
       path: String,
       queries: DataFrame,
-      idCol: String,
-      vecCol: String,
+      nprobe: Int,
+      k: Int,
+      refine: Int): DataFrame = {
+    val meta = readMeta(spark, path)
+    adcBatchImpl(spark, path, meta, queries, excludeSelf = true,
+      nprobe, k, refine)
+  }
+
+  private def adcBatchImpl(
+      spark: SparkSession,
+      path: String,
+      meta: Meta,
+      queries: DataFrame,
+      excludeSelf: Boolean,
       nprobe: Int,
       k: Int,
       refine: Int): DataFrame = {
     require(refine >= k, s"refine ($refine) must be >= k ($k)")
     import spark.implicits._
-    // probe: identical in-plan cell ranking to queryBatch
-    val cbVec = broadcast(spark.read.parquet(s"$path/codebook")
-      .groupBy(col("cell"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("dim"), col("c")))),
-        x => x("c")).as("centroid")))
-    val wProbe = Window.partitionBy(col("__qid"))
-      .orderBy(col("__csim").desc, col("cell").asc)
-    val probed = queries
-      .select(col(idCol).as("__qid"), col(vecCol).as("__qvec"))
-      .join(cbVec)
-      .withColumn("__csim", SimilarityOps.cosine(col("__qvec"), col("centroid")))
-      .withColumn("__crank", row_number().over(wProbe))
-      .filter(col("__crank") <= nprobe)
-      .select(col("__qid"), col("__qvec"), col("cell"))
+    val idCol = meta.idCol
+    val probed = probeBatch(spark, path, meta, queries, nprobe)
     val cells = probed.select(col("cell")).distinct().as[Int].collect().toSeq
-
-    // per-query ADC tables in ONE plan: explode each query vector into
-    // subspaces against the broadcast PQ codebook — same per-term 12-dp
-    // round + decimal accumulation as pqAdcTable, keyed by __qid
-    val pqCb = spark.read.parquet(s"$path/pq_codebook")
-    val dsubLen = pqCb.agg(max(col("dsub"))).as[Int].head() + 1
-    val tables = queries
-      .select(col(idCol).as("__qid"),
-        posexplode(col(vecCol)).as(Seq("dim", "v0")))
-      .select(col("__qid"),
-        (col("dim") / dsubLen).cast("int").as("sub"),
-        (col("dim") % dsubLen).cast("int").as("dsub"),
-        col("v0").cast("double").as("v"))
-      .join(broadcast(pqCb), Seq("sub", "dsub"))
-      .select(col("__qid"), col("sub"), col("code"),
-        round((col("v") - col("c")) * (col("v") - col("c")), 12)
-          .cast("decimal(38,12)").as("dd"))
-      .groupBy(col("__qid"), col("sub"), col("code"))
-      .agg(sum(col("dd")).as("d2q"))
-
-    // ADC pass: code scan over the probed cells once for the batch,
-    // (qid, cell) membership via the probe join, per-query refine cut
-    val wAdc = Window.partitionBy(col("__qid"))
-      .orderBy(col("ad2").asc, col(idCol).asc)
-    val candidates = spark.read.parquet(s"$path/vectors")
-      .select(col(idCol), col("cell"), col("codes"))
-      .filter(col("cell").isin(cells: _*))
-      .join(broadcast(probed.select(col("__qid"), col("cell"))), Seq("cell"))
-      .filter(col(idCol) =!= col("__qid"))
-      .select(col("__qid"), col(idCol), col("cell"),
-        posexplode(col("codes")).as(Seq("sub", "code")))
-      .join(broadcast(tables), Seq("__qid", "sub", "code"))
-      .groupBy(col("__qid"), col(idCol), col("cell"))
-      .agg(sum(col("d2q")).as("__ad2"))
-      .select(col("__qid"), col(idCol), col("cell"),
-        round(col("__ad2").cast("double"), 6).as("ad2"))
-      .withColumn("__arank", row_number().over(wAdc))
-      .filter(col("__arank") <= refine)
+    val candidates = adcCandidateBatchFrom(
+      spark, path, meta, probed, cells, excludeSelf, refine)
       .select(col("__qid"), col(idCol), col("cell"))
-
     // exact re-rank: candidates join the vectors BY ID, with the scan
     // partition-pruned to the probed cells (candidates cannot come from
     // anywhere else) — the full-vector read touches nprobe-scale data
     // and only k-proportional rows reach the final window
     val qv = broadcast(queries
-      .select(col(idCol).as("__qid"), col(vecCol).as("__qvec")))
+      .select(col(idCol).as("__qid"), col(meta.vecCol).as("__qvec")))
     candidates
       .join(spark.read.parquet(s"$path/vectors")
         .filter(col("cell").isin(cells: _*))
-        .select(col(idCol), col(vecCol)), Seq(idCol))
+        .select(col(idCol), col(meta.vecCol)), Seq(idCol))
       .join(qv, Seq("__qid"))
       .select(col("__qid").as("qid"), col(idCol), col("cell"),
-        SimilarityOps.cosine(col(vecCol), col("__qvec")).as("sim"))
+        SimilarityOps.cosine(col(meta.vecCol), col("__qvec")).as("sim"))
       .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col("sim").desc, col(idCol).asc)))
       .filter(col("rank") <= k)
   }
 
   /** The `nprobe` closest cells to the query by cosine against the
-    * persisted coarse codebook (ties -> lowest cell id), computed on the
+    * cached coarse codebook (ties -> lowest cell id), computed on the
     * driver: kCells x dims doubles of metadata.
     */
   private def probeCells(
@@ -515,13 +778,7 @@ object IvfIndex {
       path: String,
       queryVec: Array[Double],
       nprobe: Int): Seq[Int] = {
-    import spark.implicits._
-    val codebook = spark.read.parquet(s"$path/codebook")
-      .as[(Int, Int, Double)].collect()
-      .groupBy(_._1)
-      .map { case (cell, rows) =>
-        cell -> rows.sortBy(_._2).map(_._3)
-      }
+    val codebook = cachedCodebook(spark, path)
     // driver-side strict left folds — identical order to the DotFold
     // expression, so cell choice matches the distributed formulation
     def dot(a: Array[Double], b: Array[Double]): Double = {

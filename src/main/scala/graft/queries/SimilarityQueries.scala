@@ -17,6 +17,23 @@ object SimilarityQueries extends QueryModule {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
+  // v12/v13/v14 build a throwaway persisted index per invocation; ONE
+  // shared temp root with ONE JVM shutdown hook (a hook registered per
+  // invocation accumulates across repeated harness runs in one JVM —
+  // ADVICE r9), fresh subdirectory per call so invocations never collide.
+  private lazy val indexTmpRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_index_q_")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(root.toFile)
+    }
+    root
+  }
+  private def freshIndexDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(indexTmpRoot, tag).toString
+
   // ---- shared DuckDB fragments (mirror SimilarityOps exactly) ----
   /** Strict left-fold dot product of two 64-dim list columns. list_reduce
     * folds ((e1+e2)+e3)... which is bit-identical to Spark's
@@ -495,20 +512,11 @@ object SimilarityQueries extends QueryModule {
     "v12_index_batch" -> Q(
       fn = (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_v12_index_").toString
-        sys.addShutdownHook {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-          }
-          rm(new java.io.File(tmp))
-        }
-        val path = s"$tmp/index"
+        val path = freshIndexDir("v12_") + "/index"
         graft.operators.IvfIndex.write(
           emb, "vec_id", "embedding", kCells = 4, trainIters = 2, path)
         graft.operators.IvfIndex.queryBatch(
-          s, path, emb.filter(col("vec_id") < 3), "vec_id", "embedding",
-          nprobe = 2, k = 10)
+          s, path, emb.filter(col("vec_id") < 3), nprobe = 2, k = 10)
           .orderBy(col("qid"), col("rank"))
       },
       oracle = Some(s"""
@@ -592,23 +600,14 @@ object SimilarityQueries extends QueryModule {
     "v13_index_append" -> Q(
       fn = (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_v13_index_").toString
-        sys.addShutdownHook {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-          }
-          rm(new java.io.File(tmp))
-        }
-        val path = s"$tmp/index"
+        val path = freshIndexDir("v13_") + "/index"
         graft.operators.IvfIndex.write(
           emb.filter(col("vec_id") < 250), "vec_id", "embedding",
           kCells = 4, trainIters = 2, path)
         graft.operators.IvfIndex.append(
-          s, path, emb.filter(col("vec_id") >= 250), "vec_id", "embedding")
+          s, path, emb.filter(col("vec_id") >= 250))
         graft.operators.IvfIndex.queryBatch(
-          s, path, emb.filter(col("vec_id") < 3), "vec_id", "embedding",
-          nprobe = 2, k = 10)
+          s, path, emb.filter(col("vec_id") < 3), nprobe = 2, k = 10)
           .orderBy(col("qid"), col("rank"))
       },
       oracle = Some(s"""
@@ -679,6 +678,48 @@ object SimilarityQueries extends QueryModule {
                    ORDER BY sim DESC, vec_id) AS INT) AS rank
           FROM scored)
         SELECT qid, vec_id, cell, sim, rank
+        FROM r WHERE rank <= 10
+        ORDER BY qid, rank""")),
+
+    // V14 — RESIDUAL product quantization (true IVFADC) under the oracle
+    // gate: the index PQ-encodes each vector's residual against its
+    // coarse-cell centroid, and the batched ADC query runs the full
+    // serving pipeline — per-(query, cell) residual ADC tables, code
+    // scan, per-query refine cut, exact cosine re-rank. At FULL probe
+    // and full refine the candidate set provably covers the corpus, so
+    // the end result must equal plain per-query brute force — which IS
+    // SQL-expressible, giving the whole residual train/encode/serve
+    // round-trip a hash-checked oracle (the ADC-ordering quality itself
+    // is asserted in AnnRecallSpec; candidate-set completeness and the
+    // re-rank arithmetic are what this row pins). Cell is dropped from
+    // the output so the oracle needs no Lloyd's unroll.
+    "v14_index_residual" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val path = freshIndexDir("v14_") + "/index"
+        graft.operators.IvfIndex.write(
+          emb, "vec_id", "embedding", kCells = 4, trainIters = 2, path,
+          pq = Some(graft.operators.IvfIndex.Pq(
+            numSub = 4, kCodes = 4, iters = 2, residual = true)))
+        graft.operators.IvfIndex.queryAdcBatch(
+          s, path, emb.filter(col("vec_id") < 3),
+          nprobe = 4, k = 10, refine = 100000)
+          .select(col("qid"), col("vec_id"), col("sim"), col("rank"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      oracle = Some(s"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                   WHERE vec_id < 3),
+        scored AS (
+          SELECT q.qid, e.vec_id, ${cosineSql("e.embedding", "q.qe")} AS sim
+          FROM embeddings e, q
+          WHERE e.vec_id <> q.qid),
+        r AS (
+          SELECT qid, vec_id, sim,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY sim DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        SELECT qid, vec_id, sim, rank
         FROM r WHERE rank <= 10
         ORDER BY qid, rank""")),
 

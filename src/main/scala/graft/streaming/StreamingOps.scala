@@ -88,34 +88,41 @@ object StreamingOps {
 
   /** Streaming embedding ingestion into a persisted
     * [[graft.operators.IvfIndex]]: plug into
-    * `writeStream.foreachBatch(StreamingOps.indexIngest(path, ...))` and
+    * `writeStream.foreachBatch(StreamingOps.indexIngest(path))` and
     * every micro-batch of (id, vector) rows is assigned to the frozen
     * coarse codebook and appended under the touched cell directories
     * ([[graft.operators.IvfIndex.append]] — PQ codes included when the
-    * index has a PQ layout), so ANN serving sees new embeddings within
-    * one trigger interval without any retrain.
+    * index has a PQ layout; column names come from the index's _meta),
+    * so ANN serving sees new embeddings within one trigger interval
+    * without any retrain.
     *
     * Replay discipline: foreachBatch re-delivers a batch after failure,
     * and a parquet append is not idempotent — so each applied batch id
-    * leaves a marker under `<path>/_appended/`, and a replayed id is
-    * skipped (same contract SinkSpec pins for the point-upsert sink). A
-    * crash BETWEEN the data write and the marker write re-appends that
-    * one batch on replay — the documented vanilla-parquet limitation
-    * (no multi-file transaction); the reference pipeline accepts the
-    * same window on its scheduled re-runs, and a transactional table
-    * format closes it without changing this surface.
+    * leaves a marker under `<path>/_appended/<streamId>/`, and a
+    * replayed id is skipped (same contract SinkSpec pins for the
+    * point-upsert sink). Markers are NAMESPACED by `streamId` because
+    * batch ids restart at 0 with every fresh checkpoint: a restarted
+    * stream reusing an old marker space would silently skip its first
+    * batches (ADVICE r9) — give each (checkpoint, index) pairing its
+    * own streamId, and note `IvfIndex.write` clears `_appended`
+    * entirely on rebuild, so a rebuilt index never inherits stale
+    * markers. A crash BETWEEN the data write and the marker write
+    * re-appends that one batch on replay — the documented
+    * vanilla-parquet limitation (no multi-file transaction); the
+    * reference pipeline accepts the same window on its scheduled
+    * re-runs, and a transactional table format closes it without
+    * changing this surface.
     */
   def indexIngest(
       path: String,
-      idCol: String,
-      vecCol: String): (DataFrame, Long) => Unit =
+      streamId: String = "stream"): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       val marker = new org.apache.hadoop.fs.Path(
-        s"$path/_appended/batch-$batchId")
+        s"$path/_appended/$streamId/batch-$batchId")
       val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
       if (!fs.exists(marker)) {
-        graft.operators.IvfIndex.append(spark, path, batch, idCol, vecCol)
+        graft.operators.IvfIndex.append(spark, path, batch)
         fs.mkdirs(marker)
       }
     }

@@ -25,7 +25,7 @@ class IvfIndexSpec extends SparkSpec {
       .select($"embedding".cast("array<double>"))
       .as[Array[Double]].head()
     val fromIndex = IvfIndex.query(spark, path, qvec, excludeId = Some(0L),
-      "vec_id", "embedding", nprobe = 2, k = 10)
+      nprobe = 2, k = 10)
     val inMemory = SimilarityOps.ivfTopKLearned(
       emb, emb.filter($"vec_id" === 0), "vec_id", "embedding",
       kCells = 4, trainIters = 2, nprobe = 2, k = 10)
@@ -53,8 +53,7 @@ class IvfIndexSpec extends SparkSpec {
 
     val qids = Seq(0L, 250L, 499L)
     val batch = IvfIndex.queryBatch(spark, path,
-      emb.filter($"vec_id".isin(qids: _*)), "vec_id", "embedding",
-      nprobe = 2, k = 10)
+      emb.filter($"vec_id".isin(qids: _*)), nprobe = 2, k = 10)
     val got = batch.select($"qid", $"vec_id", $"cell", $"sim", $"rank")
       .as[(Long, Long, Int, Double, Int)].collect()
       .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4, t._5))
@@ -64,7 +63,7 @@ class IvfIndexSpec extends SparkSpec {
       val qvec = emb.filter($"vec_id" === qid)
         .select($"embedding".cast("array<double>")).as[Array[Double]].head()
       val single = IvfIndex.query(spark, path, qvec, excludeId = Some(qid),
-        "vec_id", "embedding", nprobe = 2, k = 10)
+      nprobe = 2, k = 10)
         .select($"vec_id", $"cell", $"sim", $"rank")
         .as[(Long, Int, Double, Int)].collect().sortBy(_._4).toSeq
       assert(got(qid) === single, s"batch result for qid=$qid diverges")
@@ -90,7 +89,7 @@ class IvfIndexSpec extends SparkSpec {
     val qvec = emb.filter($"vec_id" === 0)
       .select($"embedding".cast("array<double>")).as[Array[Double]].head()
     val filtered = IvfIndex.query(spark, path, qvec, excludeId = Some(0L),
-      "vec_id", "embedding", nprobe = 4, k = 10,
+      nprobe = 4, k = 10,
       where = Some($"label" === 2))
 
     // k survives a selective predicate: top-10 among label-2 rows only
@@ -113,8 +112,7 @@ class IvfIndexSpec extends SparkSpec {
 
     // batch form agrees with the single-query form under the same filter
     val batchGot = IvfIndex.queryBatch(spark, path,
-      emb.filter($"vec_id" === 0), "vec_id", "embedding",
-      nprobe = 4, k = 10, where = Some($"label" === 2))
+      emb.filter($"vec_id" === 0), nprobe = 4, k = 10, where = Some($"label" === 2))
       .select($"vec_id", $"sim", $"rank")
       .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
     assert(batchGot === got)
@@ -131,8 +129,7 @@ class IvfIndexSpec extends SparkSpec {
 
     val qids = Seq(0L, 250L, 499L)
     val batch = IvfIndex.queryAdcBatch(spark, path,
-      emb.filter($"vec_id".isin(qids: _*)), "vec_id", "embedding",
-      nprobe = 2, k = 10, refine = 50)
+      emb.filter($"vec_id".isin(qids: _*)), nprobe = 2, k = 10, refine = 50)
     val got = batch.select($"qid", $"vec_id", $"cell", $"sim", $"rank")
       .as[(Long, Long, Int, Double, Int)].collect()
       .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4, t._5))
@@ -142,7 +139,7 @@ class IvfIndexSpec extends SparkSpec {
       val qvec = emb.filter($"vec_id" === qid)
         .select($"embedding".cast("array<double>")).as[Array[Double]].head()
       val single = IvfIndex.queryAdc(spark, path, qvec, excludeId = Some(qid),
-        "vec_id", "embedding", nprobe = 2, k = 10, refine = 50)
+      nprobe = 2, k = 10, refine = 50)
         .select($"vec_id", $"cell", $"sim", $"rank")
         .as[(Long, Int, Double, Int)].collect().sortBy(_._4).toSeq
       assert(got(qid) === single, s"batch ADC result for qid=$qid diverges")
@@ -176,7 +173,7 @@ class IvfIndexSpec extends SparkSpec {
     val before = spark.read.parquet(s"$path/vectors")
       .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
 
-    IvfIndex.append(spark, path, h2, "vec_id", "embedding")
+    IvfIndex.append(spark, path, h2)
 
     val after = spark.read.parquet(s"$path/vectors")
       .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
@@ -210,7 +207,7 @@ class IvfIndexSpec extends SparkSpec {
     val qvec = emb.filter($"vec_id" === 300)
       .select($"embedding".cast("array<double>")).as[Array[Double]].head()
     val full = IvfIndex.query(spark, path, qvec, excludeId = Some(300L),
-      "vec_id", "embedding", nprobe = 4, k = 10)
+      nprobe = 4, k = 10)
       .select($"vec_id", $"sim", $"rank")
       .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
     val brute = graft.operators.SimilarityOps.bruteForceTopK(
@@ -231,7 +228,7 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.write(h1, "vec_id", "embedding", kCells = 4, trainIters = 2,
       path = path, pq = Some(IvfIndex.Pq(numSub = 4, kCodes = 4, iters = 2)))
 
-    IvfIndex.append(spark, path, h2, "vec_id", "embedding")
+    IvfIndex.append(spark, path, h2)
 
     val pqCb = spark.read.parquet(s"$path/pq_codebook")
       .as[(Int, Int, Int, Double)].collect().toSeq
@@ -251,9 +248,9 @@ class IvfIndexSpec extends SparkSpec {
       df.select($"vec_id", $"cell", $"sim", $"rank")
         .as[(Long, Int, Double, Int)].collect().sortBy(_._4).toSeq
     val exact = IvfIndex.query(spark, path, qvec, excludeId = Some(300L),
-      "vec_id", "embedding", nprobe = 2, k = 10)
+      nprobe = 2, k = 10)
     val viaAdc = IvfIndex.queryAdc(spark, path, qvec, excludeId = Some(300L),
-      "vec_id", "embedding", nprobe = 2, k = 10, refine = 10000)
+      nprobe = 2, k = 10, refine = 10000)
     assert(rows(viaAdc) === rows(exact))
   }
 
@@ -280,7 +277,7 @@ class IvfIndexSpec extends SparkSpec {
     val qvec = vecs.filter(col("vec_id") === 40)
       .select($"embedding".cast("array<double>")).as[Array[Double]].head()
     val got = IvfIndex.query(spark, path, qvec, excludeId = Some(40L),
-      "vec_id", "embedding", nprobe = 4, k = 5)
+      nprobe = 4, k = 5)
       .select($"vec_id", $"sim", $"rank")
       .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
     val brute = graft.operators.SimilarityOps.bruteForceTopK(
@@ -309,7 +306,7 @@ class IvfIndexSpec extends SparkSpec {
     val doomed = Seq(0L, 1L, 2L, 3L, 4L)
     val doomedCells = doomed.map(all).toSet
     IvfIndex.delete(spark, path,
-      doomed.toDF("vec_id"), "vec_id")
+      doomed.toDF("vec_id"))
 
     val after = spark.read.parquet(s"$path/vectors")
     assert(after.count() === 495)
@@ -329,7 +326,7 @@ class IvfIndexSpec extends SparkSpec {
     val qvec = emb.filter($"vec_id" === 300)
       .select($"embedding".cast("array<double>")).as[Array[Double]].head()
     val got = IvfIndex.query(spark, path, qvec, excludeId = Some(300L),
-      "vec_id", "embedding", nprobe = 4, k = 10)
+      nprobe = 4, k = 10)
       .select($"vec_id", $"sim", $"rank")
       .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
     val brute = graft.operators.SimilarityOps.bruteForceTopK(
@@ -356,7 +353,7 @@ class IvfIndexSpec extends SparkSpec {
     val blobBCell = spark.read.parquet(s"$path/vectors")
       .filter(col("vec_id") === 3).select($"cell").as[Int].head()
 
-    IvfIndex.delete(spark, path, Seq(3L, 4L, 5L).toDF("vec_id"), "vec_id")
+    IvfIndex.delete(spark, path, Seq(3L, 4L, 5L).toDF("vec_id"))
 
     val stats = IvfIndex.stats(spark, path)
       .as[(Int, Long, Long)].collect().toSeq
@@ -378,7 +375,7 @@ class IvfIndexSpec extends SparkSpec {
     // three appends -> every touched cell gains files
     Seq((200L, 300L), (300L, 400L), (400L, 500L)).foreach { case (lo, hi) =>
       IvfIndex.append(spark, path,
-        emb.filter($"vec_id" >= lo && $"vec_id" < hi), "vec_id", "embedding")
+        emb.filter($"vec_id" >= lo && $"vec_id" < hi))
     }
     val before = IvfIndex.stats(spark, path)
       .as[(Int, Long, Long)].collect().toSeq
@@ -388,7 +385,7 @@ class IvfIndexSpec extends SparkSpec {
     val qvec = emb.filter($"vec_id" === 0)
       .select($"embedding".cast("array<double>")).as[Array[Double]].head()
     def topk() = IvfIndex.query(spark, path, qvec, excludeId = Some(0L),
-      "vec_id", "embedding", nprobe = 4, k = 10)
+      nprobe = 4, k = 10)
       .select($"vec_id", $"cell", $"sim", $"rank")
       .as[(Long, Int, Double, Int)].collect().sortBy(_._4).toSeq
     val resultBefore = topk()
@@ -420,9 +417,9 @@ class IvfIndexSpec extends SparkSpec {
     // refine >= every probed cell's population -> the exact re-rank sees
     // all candidates, so the result must equal the plain IVF query
     val exact = IvfIndex.query(spark, path, qvec, excludeId = Some(0L),
-      "vec_id", "embedding", nprobe = 2, k = 10)
+      nprobe = 2, k = 10)
     val viaAdc = IvfIndex.queryAdc(spark, path, qvec, excludeId = Some(0L),
-      "vec_id", "embedding", nprobe = 2, k = 10, refine = 10000)
+      nprobe = 2, k = 10, refine = 10000)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select($"vec_id", $"cell", $"sim", $"rank")
         .as[(Long, Int, Double, Int)].collect().sortBy(_._4).toSeq
@@ -432,7 +429,8 @@ class IvfIndexSpec extends SparkSpec {
     // pqTopK (iters=2, same params) over the same corpus agrees on ad2
     // for every id it returns (top-10 by ADC)
     val cand = IvfIndex.adcCandidates(spark, path, qvec,
-      excludeId = Some(0L), "vec_id", "embedding", nprobe = 4, refine = 10)
+      excludeId = Some(0L),
+      nprobe = 4, refine = 10)
       .select($"vec_id", $"ad2").as[(Long, Double)].collect().toMap
     val inMem = SimilarityOps.pqTopK(
       emb, emb.filter($"vec_id" === 0), "vec_id", "embedding",
@@ -444,7 +442,8 @@ class IvfIndexSpec extends SparkSpec {
     // on the probed cells, and a read schema that has the codes column
     // but NOT the vector column
     val adc = IvfIndex.adcCandidates(spark, path, qvec,
-      excludeId = Some(0L), "vec_id", "embedding", nprobe = 2, refine = 50)
+      excludeId = Some(0L),
+      nprobe = 2, refine = 50)
     val plan = adc.queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[.*cell.*(IN|in)".r.findFirstIn(plan).isDefined,
       plan)
@@ -453,5 +452,204 @@ class IvfIndexSpec extends SparkSpec {
     assert(readSchemas.nonEmpty, plan)
     assert(readSchemas.forall(!_.contains("embedding")),
       s"ADC scan must not read vectors:\n$plan")
+  }
+
+  test("_meta sidecar: the index is self-describing, misuse fails fast") {
+    val emb = Tables(spark, dir, "embeddings")
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfm_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/index"
+    IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
+      path = path,
+      pq = Some(IvfIndex.Pq(numSub = 4, kCodes = 4, iters = 2,
+        residual = true)))
+    assert(IvfIndex.readMeta(spark, path) === IvfIndex.Meta(
+      "vec_id", "embedding", kCells = 4, dims = 64,
+      Some(IvfIndex.Pq(4, 4, 2, residual = true))))
+
+    // no meta -> no index: the query refuses instead of guessing columns
+    val bare = d.getAbsolutePath + "/not_an_index"
+    intercept[IllegalArgumentException] {
+      IvfIndex.readMeta(spark, bare)
+    }
+    // ADC serving against a plain (non-PQ) layout refuses
+    val plainPath = d.getAbsolutePath + "/plain"
+    IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
+      path = plainPath)
+    assert(IvfIndex.readMeta(spark, plainPath).pq.isEmpty)
+    intercept[IllegalArgumentException] {
+      IvfIndex.queryAdc(spark, plainPath, Array.fill(64)(0.5),
+        excludeId = None, nprobe = 2, k = 5, refine = 10).collect()
+    }
+  }
+
+  test("residual PQ layout: stored codes quantize vector-minus-centroid " +
+    "residuals, ADC distances match a driver-side recomputation, and " +
+    "full refine still recovers the exact IVF result") {
+    val emb = Tables(spark, dir, "embeddings")
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfr_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/index"
+    IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
+      path = path,
+      pq = Some(IvfIndex.Pq(numSub = 4, kCodes = 4, iters = 2,
+        residual = true)))
+
+    // stored codes == pqEncode of independently-derived residuals against
+    // the persisted subspace codebooks (a write that quantized RAW
+    // vectors, or residuals against the wrong cell, fails here)
+    val centArr = spark.read.parquet(s"$path/codebook")
+      .as[(Int, Int, Double)].collect()
+      .groupBy(_._1).toSeq
+      .map { case (c, rs) => (c, rs.sortBy(_._2).map(_._3)) }
+      .toDF("cell", "__centroid")
+    val assigned = spark.read.parquet(s"$path/vectors")
+      .select($"vec_id", $"cell", $"codes")
+    val resid = emb.join(assigned.select($"vec_id", $"cell"), Seq("vec_id"))
+      .join(broadcast(centArr), Seq("cell"))
+      .select($"vec_id",
+        zip_with($"embedding".cast("array<double>"), $"__centroid",
+          (a, b) => a - b).as("rv"))
+    val pqCb = spark.read.parquet(s"$path/pq_codebook")
+      .as[(Int, Int, Int, Double)].collect().toSeq
+    val expected = SimilarityOps.pqEncode(resid, "vec_id", "rv", pqCb)
+      .as[(Long, Seq[Int])].collect().toMap
+    val stored = assigned.select($"vec_id", $"codes")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(stored === expected)
+
+    // ADC first-pass distances == a from-scratch driver recomputation of
+    // canonical IVFADC: per-cell query residual, per-term 12-dp round,
+    // decimal accumulation, final 6-dp round — the same bits
+    val qvec = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).as[Array[Double]].head()
+    val got = IvfIndex.adcCandidates(spark, path, qvec, excludeId = Some(0L),
+      nprobe = 2, refine = 30)
+      .select($"vec_id", $"cell", $"ad2")
+      .as[(Long, Int, Double)].collect()
+    val cbMap = spark.read.parquet(s"$path/codebook")
+      .as[(Int, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val pqMap = pqCb.groupBy(t => (t._1, t._2))
+      .view.mapValues(_.sortBy(_._3).map(_._4)).toMap
+    val codeMap = assigned.select($"vec_id", $"codes")
+      .as[(Long, Seq[Int])].collect().toMap
+    got.foreach { case (id, cell, ad2) =>
+      val qr = qvec.zip(cbMap(cell)).map { case (q, c) => q - c }
+      val want = codeMap(id).zipWithIndex.map { case (code, sub) =>
+        val cw = pqMap((sub, code))
+        cw.indices.map { dsub =>
+          val diff = qr(sub * cw.length + dsub) - cw(dsub)
+          BigDecimal(diff * diff)
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+      }.sum
+      val wantD = BigDecimal(want.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(ad2 === wantD, s"id=$id cell=$cell: ad2 $ad2 != $wantD")
+    }
+
+    // the refine contract is orthogonal to what was quantized
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"cell", $"sim", $"rank")
+        .as[(Long, Int, Double, Int)].collect().sortBy(_._4).toSeq
+    val exact = IvfIndex.query(spark, path, qvec, excludeId = Some(0L),
+      nprobe = 2, k = 10)
+    val viaAdc = IvfIndex.queryAdc(spark, path, qvec, excludeId = Some(0L),
+      nprobe = 2, k = 10, refine = 10000)
+    assert(rows(viaAdc) === rows(exact))
+  }
+
+  test("the driver-side codebook cache loads once across N single " +
+    "queries and is invalidated by a rebuild") {
+    val emb = Tables(spark, dir, "embeddings")
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfcc_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/index"
+    IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
+      path = path)
+    val qvec = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).as[Array[Double]].head()
+    def ask() = IvfIndex.query(spark, path, qvec, excludeId = Some(0L),
+      nprobe = 2, k = 10)
+      .select($"vec_id", $"sim").as[(Long, Double)].collect().toSeq
+
+    val before = IvfIndex.codebookReads.get()
+    val first = ask()
+    (1 to 4).foreach(_ => assert(ask() === first))
+    assert(IvfIndex.codebookReads.get() === before + 1,
+      "5 single queries against one index must load the codebook once")
+
+    // a rebuild invalidates: the next query re-reads and serves the NEW
+    // codebook (here trained on half the corpus, so cells genuinely move)
+    IvfIndex.write(emb.filter($"vec_id" < 250), "vec_id", "embedding",
+      kCells = 4, trainIters = 2, path = path)
+    val after = ask()
+    assert(IvfIndex.codebookReads.get() === before + 2,
+      "a rebuild must drop the cached codebook")
+    assert(after.forall(_._1 < 250), "results must reflect the rebuilt index")
+  }
+
+  test("queryBatchChunked == queryBatch for a batch larger than maxBatch") {
+    val emb = Tables(spark, dir, "embeddings")
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfch_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/index"
+    IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
+      path = path)
+    val queries = emb.filter($"vec_id" < 40)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"vec_id", $"cell", $"sim", $"rank")
+        .as[(Long, Long, Int, Double, Int)].collect().sortBy(t => (t._1, t._5))
+        .toSeq
+    val whole = rows(IvfIndex.queryBatch(spark, path, queries,
+      nprobe = 2, k = 5))
+    val chunked = rows(IvfIndex.queryBatchChunked(spark, path, queries,
+      nprobe = 2, k = 5, maxBatch = 16))
+    assert(chunked === whole)
+    // degenerate chunk sizes still agree
+    assert(rows(IvfIndex.queryBatchChunked(spark, path, queries,
+      nprobe = 2, k = 5, maxBatch = 1000)) === whole)
+  }
+
+  test("delete refuses to empty the entire index, and the layout stays " +
+    "readable after the refusal") {
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.1f)), (1L, Array(0.1f, 0.0f)),
+      (2L, Array(10.0f, 10.1f)), (3L, Array(10.1f, 9.9f)))
+      .toDF("vec_id", "embedding")
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfda_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/index"
+    IvfIndex.write(vecs, "vec_id", "embedding", kCells = 2, trainIters = 2,
+      path = path)
+    val ex = intercept[IllegalStateException] {
+      IvfIndex.delete(spark, path, Seq(0L, 1L, 2L, 3L).toDF("vec_id"))
+    }
+    assert(ex.getMessage.contains("rebuild"))
+    // nothing was mutated: all four rows still served
+    assert(spark.read.parquet(s"$path/vectors").count() === 4)
+  }
+
+  test("compact clears a stale vectors_old leftover from a crashed " +
+    "previous run and swaps cleanly") {
+    val emb = Tables(spark, dir, "embeddings")
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfco_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/index"
+    IvfIndex.write(emb.filter($"vec_id" < 100), "vec_id", "embedding",
+      kCells = 2, trainIters = 2, path = path)
+    IvfIndex.append(spark, path, emb.filter($"vec_id" >= 100))
+    // simulate the crash window: a fully-superseded vectors_old left behind
+    val stale = new java.io.File(s"$path/vectors_old")
+    assert(stale.mkdirs())
+    val junk = new java.io.File(stale, "junk.bin")
+    java.nio.file.Files.write(junk.toPath, Array[Byte](1, 2, 3))
+
+    IvfIndex.compact(spark, path)
+
+    assert(!stale.exists, "stale vectors_old must be cleared by the swap")
+    assert(!new java.io.File(s"$path/vectors_compacting").exists)
+    assert(spark.read.parquet(s"$path/vectors").count() === 500)
   }
 }

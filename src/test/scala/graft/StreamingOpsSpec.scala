@@ -216,7 +216,7 @@ class StreamingOpsSpec extends SparkSpec {
     val input = MemoryStream[(Long, Array[Float])]
     val q = input.toDS().toDF("vec_id", "embedding")
       .writeStream
-      .foreachBatch(StreamingOps.indexIngest(path, "vec_id", "embedding"))
+      .foreachBatch(StreamingOps.indexIngest(path))
       .outputMode(OutputMode.Append).start()
     val (b1, b2) = h2rows.splitAt(125)
     input.addData(b1: _*)
@@ -234,7 +234,7 @@ class StreamingOpsSpec extends SparkSpec {
     val qvec = emb.filter($"vec_id" === 300)
       .select($"embedding".cast("array<double>")).as[Array[Double]].head()
     val full = graft.operators.IvfIndex.query(
-      spark, path, qvec, excludeId = Some(300L), "vec_id", "embedding",
+      spark, path, qvec, excludeId = Some(300L),
       nprobe = 4, k = 10)
       .select($"vec_id", $"sim", $"rank")
       .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
@@ -245,7 +245,7 @@ class StreamingOpsSpec extends SparkSpec {
     assert(full === brute)
 
     // a replayed batch id must be a no-op (the marker skip)
-    StreamingOps.indexIngest(path, "vec_id", "embedding")(
+    StreamingOps.indexIngest(path)(
       b1.toDF("vec_id", "embedding"), 0L)
     assert(spark.read.parquet(s"$path/vectors").count() === 500,
       "replaying an applied batch id must not re-append")
