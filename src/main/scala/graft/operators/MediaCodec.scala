@@ -1,0 +1,264 @@
+package graft.operators
+
+/** Pure-JVM media container codec: parses the PUBLIC header formats
+  * (PNG, JPEG/JFIF, GIF, RIFF/WAVE) for dimensions / channel layout /
+  * duration directly from the leading bytes of a blob — the real
+  * implementation behind [[MultimodalOps.decodeReal]] (this container
+  * ships no image/audio libraries, but container headers are plain
+  * public byte layouts and need none).
+  *
+  * Every parser is defensive: truncated, corrupt, or foreign bytes
+  * yield `valid = false` (format = the sniffed magic when one matched,
+  * "unknown" otherwise) — NEVER an exception, because one poison blob
+  * must not kill a 100 TB decode pass; per-row failure surfaces as a
+  * row, filterable and countable downstream (MultimodalOpsSpec pins
+  * truncations at every prefix length).
+  *
+  * The deterministic `build*` synthesizers emit real, spec-conformant
+  * headers (the same byte layouts the parsers read) so fixtures and the
+  * `m3_decode_real` oracle can exercise the true parse path with
+  * expected values that are pure arithmetic in the row id.
+  */
+object MediaCodec {
+
+  /** Parsed header facts; absent fields are None (e.g. audio has no
+    * width, palette GIFs no fixed channel count).
+    */
+  final case class MediaInfo(
+      format: String,
+      valid: Boolean,
+      width: Option[Int],
+      height: Option[Int],
+      channels: Option[Int],
+      sample_rate: Option[Int],
+      duration_ms: Option[Long])
+
+  private def invalid(format: String) =
+    MediaInfo(format, valid = false, None, None, None, None, None)
+
+  // ---- byte readers (bounds are the CALLER's job — all uses below are
+  // guarded by explicit length checks first) ----
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) |
+      u8(b, i + 3)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) |
+      (u8(b, i + 3).toLong << 24)
+  private def ascii(b: Array[Byte], i: Int, n: Int): String =
+    new String(b, i, n, java.nio.charset.StandardCharsets.US_ASCII)
+
+  private val pngSig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Sniff the container by magic. "unknown" when nothing matches. */
+  def sniff(b: Array[Byte]): String =
+    if (b == null || b.length < 4) "unknown"
+    else if (b.length >= 8 && b.take(8).sameElements(pngSig)) "png"
+    else if (u8(b, 0) == 0xff && u8(b, 1) == 0xd8) "jpeg"
+    else if (ascii(b, 0, 4) == "GIF8") "gif"
+    else if (ascii(b, 0, 4) == "RIFF") "wav"
+    else "unknown"
+
+  /** Parse whatever container the magic says. Never throws. */
+  def decode(b: Array[Byte]): MediaInfo = sniff(b) match {
+    case "png" => decodePng(b)
+    case "jpeg" => decodeJpeg(b)
+    case "gif" => decodeGif(b)
+    case "wav" => decodeWav(b)
+    case other => invalid(other)
+  }
+
+  /** PNG: 8-byte signature, then the IHDR chunk (must be first per the
+    * spec): 4-byte length, "IHDR", width/height as big-endian u32,
+    * bit depth, color type. Channels derive from the color type
+    * (grayscale 1, rgb 3, palette 1, gray+alpha 2, rgba 4).
+    */
+  private def decodePng(b: Array[Byte]): MediaInfo = {
+    if (b.length < 26 || ascii(b, 12, 4) != "IHDR") invalid("png")
+    else {
+      val w = be32(b, 16)
+      val h = be32(b, 20)
+      val channels = u8(b, 25) match {
+        case 0 => Some(1); case 2 => Some(3); case 3 => Some(1)
+        case 4 => Some(2); case 6 => Some(4); case _ => None
+      }
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue ||
+        channels.isEmpty) invalid("png")
+      else MediaInfo("png", valid = true, Some(w.toInt), Some(h.toInt),
+        channels, None, None)
+    }
+  }
+
+  /** JPEG/JFIF: SOI then a marker walk. Dimensions live in the first
+    * start-of-frame segment (SOF0..SOF15, excluding DHT/JPG/DAC =
+    * C4/C8/CC): precision u8, height/width big-endian u16, component
+    * count = channels. Stops at SOS/EOI — a stream with no SOF before
+    * its entropy data is corrupt.
+    */
+  private def decodeJpeg(b: Array[Byte]): MediaInfo = {
+    var i = 2
+    while (i + 1 < b.length) {
+      if (u8(b, i) != 0xff) return invalid("jpeg")
+      val marker = u8(b, i + 1)
+      if (marker == 0xd8 || marker == 0x01 ||
+        (marker >= 0xd0 && marker <= 0xd7)) i += 2 // parameterless markers
+      else if (marker == 0xd9 || marker == 0xda) return invalid("jpeg")
+      else if (i + 3 >= b.length) return invalid("jpeg")
+      else {
+        val segLen = be16(b, i + 2)
+        if (segLen < 2 || i + 2 + segLen > b.length) return invalid("jpeg")
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (segLen < 8) return invalid("jpeg")
+          val h = be16(b, i + 5)
+          val w = be16(b, i + 7)
+          val ncomp = u8(b, i + 9)
+          return if (w <= 0 || h <= 0 || ncomp <= 0) invalid("jpeg")
+          else MediaInfo("jpeg", valid = true, Some(w), Some(h),
+            Some(ncomp), None, None)
+        }
+        i += 2 + segLen
+      }
+    }
+    invalid("jpeg")
+  }
+
+  /** GIF87a/GIF89a: width/height as little-endian u16 in the logical
+    * screen descriptor. Pixel depth is palette-driven, so no fixed
+    * channel count is reported.
+    */
+  private def decodeGif(b: Array[Byte]): MediaInfo = {
+    val version = if (b.length >= 6) ascii(b, 4, 2) else ""
+    if (b.length < 10 || (version != "7a" && version != "9a")) invalid("gif")
+    else {
+      val w = le16(b, 6)
+      val h = le16(b, 8)
+      if (w <= 0 || h <= 0) invalid("gif")
+      else MediaInfo("gif", valid = true, Some(w), Some(h), None, None, None)
+    }
+  }
+
+  /** RIFF/WAVE: chunk walk from offset 12. `fmt ` carries channels,
+    * sample rate, byte rate, bits per sample; `data` carries the
+    * payload size, and duration_ms = dataSize * 1000 / byteRate. Valid
+    * needs BOTH chunks, a positive byte rate, and the declared data to
+    * actually fit the blob (a truncated payload is corrupt). Chunks are
+    * word-aligned per the RIFF spec.
+    */
+  private def decodeWav(b: Array[Byte]): MediaInfo = {
+    if (b.length < 12 || ascii(b, 8, 4) != "WAVE") return invalid("wav")
+    var i = 12
+    var channels = -1
+    var sampleRate = -1L
+    var byteRate = -1L
+    var dataSize = -1L
+    while (i + 8 <= b.length) {
+      val id = ascii(b, i, 4)
+      val size = le32(b, i + 4)
+      if (size < 0 || i + 8 + size > b.length) return invalid("wav")
+      if (id == "fmt ") {
+        if (size < 16) return invalid("wav")
+        channels = le16(b, i + 10)
+        sampleRate = le32(b, i + 12)
+        byteRate = le32(b, i + 16)
+      } else if (id == "data") dataSize = size
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (channels <= 0 || sampleRate <= 0 || byteRate <= 0 || dataSize < 0)
+      invalid("wav")
+    else MediaInfo("wav", valid = true, None, None, Some(channels),
+      Some(sampleRate.toInt), Some(dataSize * 1000L / byteRate))
+  }
+
+  // ---- deterministic synthesizers (real spec-conformant headers) ----
+
+  /** Minimal well-formed PNG: signature, IHDR (8-bit, given color type),
+    * zero CRC (parsers here don't checksum), empty IEND.
+    */
+  def buildPng(width: Int, height: Int, colorType: Int = 6): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(8 + 25 + 12)
+    out.put(pngSig)
+    out.putInt(13).put("IHDR".getBytes) // IHDR length + tag
+    out.putInt(width).putInt(height)
+    out.put(8.toByte).put(colorType.toByte) // bit depth, color type
+    out.put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+    out.putInt(0) // CRC (unchecked)
+    out.putInt(0).put("IEND".getBytes).putInt(0)
+    out.array()
+  }
+
+  /** Minimal JFIF JPEG: SOI, APP0, SOF0 with the given geometry, EOI. */
+  def buildJpeg(width: Int, height: Int, channels: Int = 3): Array[Byte] = {
+    val sofLen = 8 + 3 * channels
+    val out = java.nio.ByteBuffer.allocate(2 + 18 + 2 + sofLen + 2)
+    out.put(0xff.toByte).put(0xd8.toByte) // SOI
+    out.put(0xff.toByte).put(0xe0.toByte).putShort(16) // APP0
+    out.put("JFIF".getBytes).put(0.toByte)
+    out.put(1.toByte).put(1.toByte).put(0.toByte) // version, units
+    out.putShort(1).putShort(1).put(0.toByte).put(0.toByte) // density, thumb
+    out.put(0xff.toByte).put(0xc0.toByte).putShort(sofLen.toShort) // SOF0
+    out.put(8.toByte).putShort(height.toShort).putShort(width.toShort)
+    out.put(channels.toByte)
+    (0 until channels).foreach { c =>
+      out.put((c + 1).toByte).put(0x11.toByte).put(0.toByte)
+    }
+    out.put(0xff.toByte).put(0xd9.toByte) // EOI
+    out.array()
+  }
+
+  /** Minimal GIF89a: logical screen descriptor + trailer. */
+  def buildGif(width: Int, height: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(6 + 7 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("GIF89a".getBytes)
+    out.putShort(width.toShort).putShort(height.toShort)
+    out.put(0.toByte).put(0.toByte).put(0.toByte) // flags, bg, aspect
+    out.put(0x3b.toByte) // trailer
+    out.array()
+  }
+
+  /** Minimal PCM WAV: RIFF header, canonical 16-byte fmt chunk, data
+    * chunk of `dataBytes` zero samples.
+    */
+  def buildWav(
+      sampleRate: Int,
+      channels: Int,
+      bitsPerSample: Int,
+      dataBytes: Int): Array[Byte] = {
+    val byteRate = sampleRate * channels * (bitsPerSample / 8)
+    val blockAlign = channels * (bitsPerSample / 8)
+    val out = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+    out.put("fmt ".getBytes).putInt(16)
+    out.putShort(1) // PCM
+    out.putShort(channels.toShort).putInt(sampleRate)
+    out.putInt(byteRate).putShort(blockAlign.toShort)
+    out.putShort(bitsPerSample.toShort)
+    out.put("data".getBytes).putInt(dataBytes)
+    out.array() // data payload stays zeroed
+  }
+
+  /** The m3 oracle fixture: one deterministic container per id, format
+    * rotating by id % 4, every parameter pure arithmetic in the id (so
+    * a SQL oracle recomputes the expected parse without any bytes).
+    */
+  def buildFixture(id: Long): Array[Byte] = {
+    val w = (id % 199 + 1).toInt
+    val h = (id % 97 + 1).toInt
+    (id % 4) match {
+      case 0 => buildPng(w, h, colorType = 6)
+      case 1 => buildJpeg(w, h, channels = 3)
+      case 2 => buildGif(w, h)
+      case _ => buildWav(
+        sampleRate = (8000 + (id % 5) * 2000).toInt,
+        channels = (id % 2 + 1).toInt,
+        bitsPerSample = 16,
+        dataBytes = ((id % 50 + 1) * 1024).toInt)
+    }
+  }
+}

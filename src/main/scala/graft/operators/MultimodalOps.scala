@@ -33,12 +33,30 @@ object MultimodalOps {
       checksum_mod: Long,
       n_frames: Int)
 
-  /** REAL decode hook — intentionally unimplemented: wire an actual codec
-    * (JPEG/PNG/audio frame decoder) here when the runtime provides one.
-    * Everything around it (typed Dataset, partition batching, feature
-    * schema) is production-shaped and tested via [[decodeStub]].
+  /** One decoded header row: the blob id plus [[MediaCodec.MediaInfo]]'s
+    * facts (fixed small schema — this is all that shuffles).
     */
-  def decodeReal(blob: Array[Byte]): MediaFeatures = ???
+  final case class MediaHeader(
+      media_id: Long,
+      format: String,
+      valid: Boolean,
+      width: Option[Int],
+      height: Option[Int],
+      channels: Option[Int],
+      sample_rate: Option[Int],
+      duration_ms: Option[Long])
+
+  /** REAL decode: pure-JVM container-header parsing ([[MediaCodec]] —
+    * PNG/JPEG/GIF/WAV dims, channels, sample rate, duration). Full
+    * sample decoding (pixel/PCM payloads) still needs a codec library
+    * this environment doesn't ship; header facts are what the curation
+    * pipeline filters and routes on, and they parse from public byte
+    * layouts alone. Never throws — corrupt or truncated blobs surface
+    * as `valid = false` rows (MultimodalOpsSpec pins every prefix
+    * truncation of every format).
+    */
+  def decodeReal(blob: Array[Byte]): MediaCodec.MediaInfo =
+    MediaCodec.decode(blob)
 
   /** Deterministic stand-in for the codec: derives features from the raw
     * bytes only (length, boundary bytes, rolling checksum, fake frame
@@ -73,6 +91,24 @@ object MultimodalOps {
         col("blob").cast("binary"))
       .as[MediaRecord]
       .mapPartitions(_.map(decodeStub))
+  }
+
+  /** Partition-parallel REAL header decoding over (media_id, blob) rows:
+    * the same typed-mapPartitions shape as [[extractFeatures]], with
+    * [[decodeReal]] as the per-record codec — blobs stay partition-local,
+    * only the fixed-schema header rows come back.
+    */
+  def decodeHeaders(blobs: DataFrame): Dataset[MediaHeader] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs
+      .select(col("media_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val m = decodeReal(b)
+        MediaHeader(id, m.format, m.valid, m.width, m.height, m.channels,
+          m.sample_rate, m.duration_ms)
+      })
   }
 
   /** Deterministic frame sampling: bytes at stride offsets re-assembled as

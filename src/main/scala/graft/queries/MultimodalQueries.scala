@@ -68,6 +68,49 @@ object MultimodalQueries extends QueryModule {
                  AS checksum_mod,
                CAST(floor(length(text) / 64) + 1 AS INT) AS n_frames
         FROM documents
+        ORDER BY media_id""")),
+
+    // M3 — REAL container-header decoding: each doc id synthesizes a
+    // spec-conformant PNG/JPEG/GIF/WAV whose geometry is pure arithmetic
+    // in the id (MediaCodec.buildFixture), and the typed mapPartitions
+    // pass parses the actual bytes back (magic sniff, marker walk, chunk
+    // walk). The oracle recomputes the expected parse arithmetically —
+    // a hash match proves the parser inverts the builder on every row,
+    // i.e. the byte-level header layouts really round-trip. Corrupt /
+    // truncated inputs are spec territory (MultimodalOpsSpec).
+    "m3_decode_real" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val blobs = t(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, graft.operators.MediaCodec.buildFixture(id))))
+          .toDF("media_id", "blob")
+        MultimodalOps.decodeHeaders(blobs)
+          .toDF()
+          .orderBy(col("media_id"))
+      },
+      oracle = Some("""
+        SELECT doc_id AS media_id,
+               CASE CAST(doc_id % 4 AS INT)
+                 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                 WHEN 2 THEN 'gif' ELSE 'wav' END AS format,
+               TRUE AS valid,
+               CASE WHEN doc_id % 4 <= 2
+                 THEN CAST(doc_id % 199 + 1 AS INT) END AS width,
+               CASE WHEN doc_id % 4 <= 2
+                 THEN CAST(doc_id % 97 + 1 AS INT) END AS height,
+               CASE CAST(doc_id % 4 AS INT)
+                 WHEN 0 THEN 4 WHEN 1 THEN 3
+                 WHEN 3 THEN CAST(doc_id % 2 + 1 AS INT) END AS channels,
+               CASE WHEN doc_id % 4 = 3
+                 THEN CAST(8000 + (doc_id % 5) * 2000 AS INT)
+                 END AS sample_rate,
+               CASE WHEN doc_id % 4 = 3
+                 THEN CAST(((doc_id % 50 + 1) * 1024 * 1000)
+                   // ((8000 + (doc_id % 5) * 2000) * (doc_id % 2 + 1) * 2)
+                   AS BIGINT) END AS duration_ms
+        FROM documents
         ORDER BY media_id"""))
   )
 }

@@ -43,4 +43,102 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(row.getString(1) === "5d41402abc4b2a76b9719d911017c592")
     assert(row.getString(2) === "hell")
   }
+
+  test("MediaCodec round-trips its own spec-conformant headers") {
+    import graft.operators.MediaCodec
+    val png = MediaCodec.decode(MediaCodec.buildPng(640, 480, colorType = 6))
+    assert(png === MediaCodec.MediaInfo("png", valid = true,
+      Some(640), Some(480), Some(4), None, None))
+    // every PNG color type maps to its channel count
+    assert(MediaCodec.decode(MediaCodec.buildPng(5, 7, colorType = 0))
+      .channels === Some(1))
+    assert(MediaCodec.decode(MediaCodec.buildPng(5, 7, colorType = 2))
+      .channels === Some(3))
+    assert(MediaCodec.decode(MediaCodec.buildPng(5, 7, colorType = 4))
+      .channels === Some(2))
+
+    val jpg = MediaCodec.decode(MediaCodec.buildJpeg(1920, 1080, channels = 3))
+    assert(jpg === MediaCodec.MediaInfo("jpeg", valid = true,
+      Some(1920), Some(1080), Some(3), None, None))
+    assert(MediaCodec.decode(MediaCodec.buildJpeg(8, 8, channels = 1))
+      .channels === Some(1))
+
+    val gif = MediaCodec.decode(MediaCodec.buildGif(320, 200))
+    assert(gif === MediaCodec.MediaInfo("gif", valid = true,
+      Some(320), Some(200), None, None, None))
+
+    // 44.1 kHz stereo 16-bit, 1s of samples: byteRate = 176400
+    val wav = MediaCodec.decode(MediaCodec.buildWav(44100, 2, 16, 176400))
+    assert(wav === MediaCodec.MediaInfo("wav", valid = true,
+      None, None, Some(2), Some(44100), Some(1000L)))
+    // duration is integer ms of dataBytes/byteRate
+    assert(MediaCodec.decode(MediaCodec.buildWav(8000, 1, 16, 4000))
+      .duration_ms === Some(250L))
+  }
+
+  test("MediaCodec never throws: every prefix truncation of every " +
+    "format and corrupt magics decode as invalid rows") {
+    import graft.operators.MediaCodec
+    val fixtures = Seq(
+      "png" -> MediaCodec.buildPng(100, 50),
+      "jpeg" -> MediaCodec.buildJpeg(100, 50),
+      "gif" -> MediaCodec.buildGif(100, 50),
+      "wav" -> MediaCodec.buildWav(8000, 1, 16, 64))
+    fixtures.foreach { case (fmt, full) =>
+      val fullInfo = MediaCodec.decode(full)
+      assert(fullInfo.valid, s"$fmt full must parse")
+      // every strict prefix: never an exception, never a phantom parse —
+      // a prefix either fails (header incomplete) or, once the header is
+      // complete, parses EXACTLY the facts the full blob parses
+      (0 until full.length).foreach { n =>
+        val info = MediaCodec.decode(full.take(n))
+        if (info.valid)
+          assert(info === fullInfo,
+            s"$fmt prefix $n parsed different facts than the full blob")
+      }
+      // below any plausible header there is nothing to phantom-parse
+      (0 until 10).foreach { n =>
+        assert(!MediaCodec.decode(full.take(n)).valid,
+          s"$fmt truncated at $n must be invalid")
+      }
+    }
+    // corrupt payloads behind a valid magic
+    val noIhdr = MediaCodec.buildPng(9, 9)
+    System.arraycopy("XXXX".getBytes, 0, noIhdr, 12, 4)
+    assert(!MediaCodec.decode(noIhdr).valid)
+    val noSof = Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte) // SOI then EOI
+    assert(MediaCodec.decode(noSof) ===
+      MediaCodec.MediaInfo("jpeg", valid = false, None, None, None, None, None))
+    val riffNotWave = MediaCodec.buildWav(8000, 1, 16, 4)
+    System.arraycopy("AVI ".getBytes, 0, riffNotWave, 8, 4)
+    assert(!MediaCodec.decode(riffNotWave).valid)
+    // wav whose declared data size overruns the actual bytes = corrupt
+    val overrun = MediaCodec.buildWav(8000, 1, 16, 64).dropRight(8)
+    assert(!MediaCodec.decode(overrun).valid)
+    assert(MediaCodec.decode(Array.empty[Byte]).format === "unknown")
+    assert(MediaCodec.decode(null).format === "unknown")
+    assert(MediaCodec.decode("plain text bytes".getBytes).format === "unknown")
+  }
+
+  test("decodeHeaders: partition-parallel real decoding over mixed blobs, " +
+    "poison rows surface as invalid rows") {
+    import graft.operators.MediaCodec
+    val blobs = Seq(
+      (0L, MediaCodec.buildPng(12, 34)),
+      (1L, MediaCodec.buildJpeg(56, 78)),
+      (2L, MediaCodec.buildGif(90, 12)),
+      (3L, MediaCodec.buildWav(16000, 2, 16, 8000)),
+      (4L, "not media at all".getBytes),
+      (5L, MediaCodec.buildPng(12, 34).take(10))) // truncated
+      .toDF("media_id", "blob")
+    val out = MultimodalOps.decodeHeaders(blobs)
+      .collect().map(h => h.media_id -> h).toMap
+    assert(out(0L).format === "png" && out(0L).width === Some(12))
+    assert(out(1L).format === "jpeg" && out(1L).height === Some(78))
+    assert(out(2L).format === "gif" && out(2L).channels === None)
+    assert(out(3L).sample_rate === Some(16000))
+    assert(out(3L).duration_ms === Some(8000L * 1000 / (16000 * 2 * 2)))
+    assert(out(4L).format === "unknown" && !out(4L).valid)
+    assert(out(5L).format === "png" && !out(5L).valid)
+  }
 }
