@@ -204,10 +204,16 @@ object IvfIndex {
           val centArr = broadcast(cent.groupBy(_._1).toSeq
             .map { case (c, rs) => (c, rs.sortBy(_._2).map(_._3)) }
             .toDF("cell", "__centroid"))
+          // materialize the residuals ONCE: their lineage contains the
+          // coarse assignment (a join + two aggregations), which pqFit
+          // would otherwise recompute on every Lloyd's scan and pqEncode
+          // once more — measured ~2x on the v14 build. Corpus-scale
+          // storage, but write() is materializing the corpus anyway.
           withCell.join(centArr, Seq("cell"))
             .select(col(idCol),
               zip_with(col(vecCol).cast("array<double>"), col("__centroid"),
                 (a, b) => a - b).as(vecCol))
+            .localCheckpoint()
         }
       val cb = SimilarityOps.pqFit(
         base, idCol, vecCol, p.numSub, p.kCodes, p.iters)
