@@ -87,6 +87,8 @@ object IvfIndex {
   // read per call; the cache pays it once. write()/compact() invalidate.
   private val codebookCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Array[Double]]]()
+  private val pqCodebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Int, Int, Double)]]()
   private val metaCache =
     new java.util.concurrent.ConcurrentHashMap[String, Meta]()
 
@@ -102,6 +104,7 @@ object IvfIndex {
     */
   def invalidateCache(path: String): Unit = {
     codebookCache.remove(path)
+    pqCodebookCache.remove(path)
     metaCache.remove(path)
     ()
   }
@@ -115,6 +118,14 @@ object IvfIndex {
         .as[(Int, Int, Double)].collect()
         .groupBy(_._1)
         .map { case (cell, rows) => cell -> rows.sortBy(_._2).map(_._3) }
+    })
+
+  private def cachedPqCodebook(
+      spark: SparkSession, path: String): Seq[(Int, Int, Int, Double)] =
+    pqCodebookCache.computeIfAbsent(path, _ => {
+      import spark.implicits._
+      spark.read.parquet(s"$path/pq_codebook")
+        .as[(Int, Int, Int, Double)].collect().toSeq
     })
 
   private def hadoopPath(s: String) = new org.apache.hadoop.fs.Path(s)
@@ -259,6 +270,8 @@ object IvfIndex {
       k: Int,
       where: Option[Column] = None): DataFrame = {
     val meta = readMeta(spark, path)
+    require(queryVec.length == meta.dims,
+      s"query vector has ${queryVec.length} dims, index expects ${meta.dims}")
     val probed = probeCells(spark, path, queryVec, nprobe)
     val qv = typedlit(queryVec)
     val vectors = spark.read.parquet(s"$path/vectors")
@@ -333,6 +346,8 @@ object IvfIndex {
       queryVec: Array[Double],
       excludeId: Option[Long]): (DataFrame, Boolean) = {
     import spark.implicits._
+    require(queryVec.length == meta.dims,
+      s"query vector has ${queryVec.length} dims, index expects ${meta.dims}")
     val qid = excludeId.getOrElse(0L)
     (Seq((qid, queryVec)).toDF(meta.idCol, meta.vecCol), excludeId.isDefined)
   }
@@ -369,15 +384,19 @@ object IvfIndex {
     val meta = readMeta(spark, path)
     val idCol = meta.idCol
     val vecCol = meta.vecCol
-    val cbDf = spark.read.parquet(s"$path/codebook")
-      .select(col("cell").as("cluster"), col("dim"), col("c"))
+    // both codebooks ride the driver caches: a streaming ingest appends
+    // every trigger interval, and re-reading two parquet artifacts per
+    // micro-batch is pure latency (append never mutates either)
+    val cbDf = cachedCodebook(spark, path).toSeq
+      .flatMap { case (cell, arr) =>
+        arr.zipWithIndex.map { case (v, dim) => (cell, dim, v) }
+      }.toDF("cluster", "dim", "c")
     val assign = SimilarityOps.assignToCodebook(
       SimilarityOps.explodeVec(embeddings, idCol, vecCol), idCol, cbDf)
       .select(col(idCol), col("cluster").as("cell"))
     val withCell = embeddings.join(assign, Seq(idCol))
     val rows = meta.pq.fold(withCell) { p =>
-      val pqCb = spark.read.parquet(s"$path/pq_codebook")
-        .as[(Int, Int, Int, Double)].collect().toSeq
+      val pqCb = cachedPqCodebook(spark, path)
       val base =
         if (!p.residual) embeddings.select(col(idCol), col(vecCol))
         else withCell.join(broadcast(centroidDf(spark, path)), Seq("cell"))
@@ -663,7 +682,8 @@ object IvfIndex {
       s"index at $path has no PQ layout — ADC serving needs " +
         "write(..., pq = Some(...))"))
     val dsubLen = meta.dims / pq.numSub
-    val pqCb = spark.read.parquet(s"$path/pq_codebook")
+    import spark.implicits._
+    val pqCb = cachedPqCodebook(spark, path).toDF("sub", "code", "dsub", "c")
 
     // the query side of the table: residual layouts subtract the probed
     // cell's centroid first (per-(qid, cell) tables); raw layouts share
@@ -738,6 +758,35 @@ object IvfIndex {
     val meta = readMeta(spark, path)
     adcBatchImpl(spark, path, meta, queries, excludeSelf = true,
       nprobe, k, refine)
+  }
+
+  /** [[queryAdcBatch]] for query batches too large to broadcast — the
+    * ADC twin of [[queryBatchChunked]]: maxBatch-row slices in
+    * deterministic qid order, each running the full in-plan ADC + exact
+    * re-rank over its OWN probed cells, results unioned.
+    */
+  def queryAdcBatchChunked(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      nprobe: Int,
+      k: Int,
+      refine: Int,
+      maxBatch: Int): DataFrame = {
+    require(maxBatch > 0, s"maxBatch ($maxBatch) must be positive")
+    val meta = readMeta(spark, path)
+    val chunked = queries
+      .withColumn("__chunk",
+        ((row_number().over(Window.orderBy(col(meta.idCol))) - 1) / maxBatch)
+          .cast("int"))
+      .localCheckpoint()
+    val top = chunked.agg(max(col("__chunk"))).head()
+    if (top.isNullAt(0)) queryAdcBatch(spark, path, queries, nprobe, k, refine)
+    else (0 to top.getInt(0))
+      .map(c => queryAdcBatch(spark, path,
+        chunked.filter(col("__chunk") === c).drop("__chunk"),
+        nprobe, k, refine))
+      .reduce(_ unionAll _)
   }
 
   private def adcBatchImpl(

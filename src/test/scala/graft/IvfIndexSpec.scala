@@ -558,6 +558,26 @@ class IvfIndexSpec extends SparkSpec {
     val viaAdc = IvfIndex.queryAdc(spark, path, qvec, excludeId = Some(0L),
       nprobe = 2, k = 10, refine = 10000)
     assert(rows(viaAdc) === rows(exact))
+
+    // the per-(query, cell) residual tables must not cost the batch plan
+    // its shape: both scans still partition-pruned, per-query refine
+    // still a WindowGroupLimit, ADC pass still reads codes, not vectors
+    val batch = IvfIndex.queryAdcBatch(spark, path,
+      emb.filter($"vec_id" < 3), nprobe = 2, k = 10, refine = 50)
+    val plan = batch.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[.*cell.*(IN|in)".r.findAllIn(plan).size >= 2,
+      plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    val codeSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toList
+      .filter(_.contains("codes"))
+    assert(codeSchemas.nonEmpty && codeSchemas.forall(!_.contains("embedding")),
+      s"residual ADC scan must not read vectors:\n$plan")
+
+    // a query with the wrong dimensionality is an impossible state
+    intercept[IllegalArgumentException] {
+      IvfIndex.query(spark, path, Array(1.0, 2.0), excludeId = None,
+        nprobe = 2, k = 10)
+    }
   }
 
   test("the driver-side codebook cache loads once across N single " +
@@ -610,6 +630,20 @@ class IvfIndexSpec extends SparkSpec {
     // degenerate chunk sizes still agree
     assert(rows(IvfIndex.queryBatchChunked(spark, path, queries,
       nprobe = 2, k = 5, maxBatch = 1000)) === whole)
+
+    // the ADC twin holds the same contract over a PQ layout
+    val dp = java.nio.file.Files.createTempDirectory("graft_ivfchp_").toFile
+    dp.deleteOnExit()
+    val pqPath = dp.getAbsolutePath + "/index"
+    IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
+      path = pqPath,
+      pq = Some(IvfIndex.Pq(numSub = 4, kCodes = 4, iters = 2,
+        residual = true)))
+    val wholeAdc = rows(IvfIndex.queryAdcBatch(spark, pqPath, queries,
+      nprobe = 2, k = 5, refine = 20))
+    val chunkedAdc = rows(IvfIndex.queryAdcBatchChunked(spark, pqPath,
+      queries, nprobe = 2, k = 5, refine = 20, maxBatch = 16))
+    assert(chunkedAdc === wholeAdc)
   }
 
   test("delete refuses to empty the entire index, and the layout stays " +
