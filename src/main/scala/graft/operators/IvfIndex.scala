@@ -301,10 +301,12 @@ object IvfIndex {
       queryVec: Array[Double],
       excludeId: Option[Long],
       nprobe: Int,
-      refine: Int): DataFrame = {
+      refine: Int,
+      where: Option[Column] = None): DataFrame = {
     val meta = readMeta(spark, path)
     val (queries, excludeSelf) = singleAsBatch(spark, meta, queryVec, excludeId)
-    adcCandidateBatch(spark, path, meta, queries, excludeSelf, nprobe, refine)
+    adcCandidateBatch(spark, path, meta, queries, excludeSelf, nprobe, refine,
+      where)
       .select(col(meta.idCol), col("cell"), col("ad2"))
       .orderBy(col("ad2").asc, col(meta.idCol).asc)
   }
@@ -320,7 +322,10 @@ object IvfIndex {
     *
     * Implemented as a 1-row [[queryAdcBatch]]: candidates flow from the
     * ADC pass to the exact re-rank IN the plan — no driver round-trip
-    * collecting candidate ids (the r9 advice item).
+    * collecting candidate ids (the r9 advice item). `where` is filtered
+    * vector search on the compressed path: the predicate lands on the
+    * pruned codes scan as a PushedFilter (vectors still unread in the
+    * first pass); the probe stays metadata-blind, see [[query]].
     */
   def queryAdc(
       spark: SparkSession,
@@ -329,10 +334,12 @@ object IvfIndex {
       excludeId: Option[Long],
       nprobe: Int,
       k: Int,
-      refine: Int): DataFrame = {
+      refine: Int,
+      where: Option[Column] = None): DataFrame = {
     val meta = readMeta(spark, path)
     val (queries, excludeSelf) = singleAsBatch(spark, meta, queryVec, excludeId)
-    adcBatchImpl(spark, path, meta, queries, excludeSelf, nprobe, k, refine)
+    adcBatchImpl(spark, path, meta, queries, excludeSelf, nprobe, k, refine,
+      where)
       .drop("qid")
   }
 
@@ -662,11 +669,13 @@ object IvfIndex {
       queries: DataFrame,
       excludeSelf: Boolean,
       nprobe: Int,
-      refine: Int): DataFrame = {
+      refine: Int,
+      where: Option[Column]): DataFrame = {
     import spark.implicits._
     val probed = probeBatch(spark, path, meta, queries, nprobe)
     val cells = probed.select(col("cell")).distinct().as[Int].collect().toSeq
-    adcCandidateBatchFrom(spark, path, meta, probed, cells, excludeSelf, refine)
+    adcCandidateBatchFrom(spark, path, meta, probed, cells, excludeSelf,
+      refine, where)
   }
 
   private def adcCandidateBatchFrom(
@@ -676,7 +685,8 @@ object IvfIndex {
       probed: DataFrame,
       cells: Seq[Int],
       excludeSelf: Boolean,
-      refine: Int): DataFrame = {
+      refine: Int,
+      where: Option[Column]): DataFrame = {
     val idCol = meta.idCol
     val pq = meta.pq.getOrElse(throw new IllegalArgumentException(
       s"index at $path has no PQ layout — ADC serving needs " +
@@ -714,7 +724,13 @@ object IvfIndex {
 
     val wAdc = Window.partitionBy(col("__qid"))
       .orderBy(col("ad2").asc, col(idCol).asc)
-    val codes = spark.read.parquet(s"$path/vectors")
+    // the metadata predicate (filtered vector search on the COMPRESSED
+    // path) applies BEFORE the column prune so it may reference any
+    // indexed column; it reaches the pruned scan as a PushedFilter. The
+    // scan then reads codes + the predicate columns — still never the
+    // vectors. Probe stays metadata-blind (see [[query]]'s caveat).
+    val scan = spark.read.parquet(s"$path/vectors")
+    val codes = where.fold(scan)(scan.filter)
       .select(col(idCol), col("cell"), col("codes"))
       .filter(col("cell").isin(cells: _*))
       .join(broadcast(probed.select(col("__qid"), col("cell"))), Seq("cell"))
@@ -754,10 +770,11 @@ object IvfIndex {
       queries: DataFrame,
       nprobe: Int,
       k: Int,
-      refine: Int): DataFrame = {
+      refine: Int,
+      where: Option[Column] = None): DataFrame = {
     val meta = readMeta(spark, path)
     adcBatchImpl(spark, path, meta, queries, excludeSelf = true,
-      nprobe, k, refine)
+      nprobe, k, refine, where)
   }
 
   /** [[queryAdcBatch]] for query batches too large to broadcast — the
@@ -772,7 +789,8 @@ object IvfIndex {
       nprobe: Int,
       k: Int,
       refine: Int,
-      maxBatch: Int): DataFrame = {
+      maxBatch: Int,
+      where: Option[Column] = None): DataFrame = {
     require(maxBatch > 0, s"maxBatch ($maxBatch) must be positive")
     val meta = readMeta(spark, path)
     val chunked = queries
@@ -781,11 +799,12 @@ object IvfIndex {
           .cast("int"))
       .localCheckpoint()
     val top = chunked.agg(max(col("__chunk"))).head()
-    if (top.isNullAt(0)) queryAdcBatch(spark, path, queries, nprobe, k, refine)
+    if (top.isNullAt(0))
+      queryAdcBatch(spark, path, queries, nprobe, k, refine, where)
     else (0 to top.getInt(0))
       .map(c => queryAdcBatch(spark, path,
         chunked.filter(col("__chunk") === c).drop("__chunk"),
-        nprobe, k, refine))
+        nprobe, k, refine, where))
       .reduce(_ unionAll _)
   }
 
@@ -797,14 +816,15 @@ object IvfIndex {
       excludeSelf: Boolean,
       nprobe: Int,
       k: Int,
-      refine: Int): DataFrame = {
+      refine: Int,
+      where: Option[Column] = None): DataFrame = {
     require(refine >= k, s"refine ($refine) must be >= k ($k)")
     import spark.implicits._
     val idCol = meta.idCol
     val probed = probeBatch(spark, path, meta, queries, nprobe)
     val cells = probed.select(col("cell")).distinct().as[Int].collect().toSeq
     val candidates = adcCandidateBatchFrom(
-      spark, path, meta, probed, cells, excludeSelf, refine)
+      spark, path, meta, probed, cells, excludeSelf, refine, where)
       .select(col("__qid"), col(idCol), col("cell"))
     // exact re-rank: candidates join the vectors BY ID, with the scan
     // partition-pruned to the probed cells (candidates cannot come from

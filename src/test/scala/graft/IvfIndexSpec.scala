@@ -580,6 +580,56 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("filtered search on the COMPRESSED path: the predicate reaches " +
+    "the codes scan as a PushedFilter, vectors still never read in the " +
+    "first pass, and full-probe/full-refine filtered ADC == filtered " +
+    "brute force") {
+    val emb = Tables(spark, dir, "embeddings")
+    val d = java.nio.file.Files.createTempDirectory("graft_ivffa_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/index"
+    IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
+      path = path,
+      pq = Some(IvfIndex.Pq(numSub = 4, kCodes = 4, iters = 2,
+        residual = true)))
+    val qvec = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).as[Array[Double]].head()
+
+    val filtered = IvfIndex.queryAdc(spark, path, qvec, excludeId = Some(0L),
+      nprobe = 4, k = 10, refine = 10000, where = Some($"label" === 2))
+    val got = filtered.select($"vec_id", $"sim", $"rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    val brute = SimilarityOps.bruteForceTopK(
+      emb.filter($"label" === 2), emb.filter($"vec_id" === 0),
+      "vec_id", "embedding", 10)
+      .select($"vec_id", $"sim", $"rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    assert(got === brute)
+    assert(got.size === 10, "selective predicate must not shrink k")
+
+    // the predicate lands on the pruned CODES scan as a PushedFilter;
+    // the first pass may read the predicate column but never the vectors
+    val cand = IvfIndex.adcCandidates(spark, path, qvec, excludeId = Some(0L),
+      nprobe = 2, refine = 50, where = Some($"label" === 2))
+    val plan = cand.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*label".r.findFirstIn(plan).isDefined,
+      plan)
+    assert("PartitionFilters: \\[.*cell.*(IN|in)".r.findFirstIn(plan).isDefined,
+      plan)
+    val codeSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toList
+      .filter(_.contains("codes"))
+    assert(codeSchemas.nonEmpty && codeSchemas.forall(!_.contains("embedding")),
+      s"filtered ADC first pass must not read vectors:\n$plan")
+
+    // batch form agrees under the same filter
+    val batchGot = IvfIndex.queryAdcBatch(spark, path,
+      emb.filter($"vec_id" === 0), nprobe = 4, k = 10, refine = 10000,
+      where = Some($"label" === 2))
+      .select($"vec_id", $"sim", $"rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    assert(batchGot === got)
+  }
+
   test("the driver-side codebook cache loads once across N single " +
     "queries and is invalidated by a rebuild") {
     val emb = Tables(spark, dir, "embeddings")
