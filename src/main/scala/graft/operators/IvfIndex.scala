@@ -591,14 +591,22 @@ object IvfIndex {
   }
 
   /** [[queryBatch]] for query batches too large to broadcast: slices the
-    * batch into `maxBatch`-row chunks (deterministic qid order) and
-    * unions the per-chunk results. Each chunk probes and prunes its OWN
-    * cells — a chunk of geometrically-close queries still scans only its
-    * cells, not the union over the whole batch — and the broadcasts
-    * inside each [[queryBatch]] call stay bounded by `maxBatch`. The
-    * chunk assignment is one qid-scale window + localCheckpoint (so the
-    * sort runs once, not once per chunk); chunk count is batch/maxBatch
-    * — a driver loop over plans, not over rows.
+    * batch into chunks of AT MOST `maxBatch` rows and unions the
+    * per-chunk results. Each chunk probes and prunes its OWN cells — a
+    * chunk of geometrically-close queries still scans only its cells,
+    * not the union over the whole batch — and the broadcasts inside
+    * each [[queryBatch]] call stay bounded by `maxBatch`.
+    *
+    * Chunk assignment is two-level and deterministic WITHOUT a global
+    * sort (a batch too big to broadcast is too big to row_number
+    * through one partition): a hash pre-chunk spreads rows over
+    * ~batch/maxBatch hash groups map-side, then a PARTITIONED window
+    * inside each group enforces the strict maxBatch bound. One
+    * localCheckpoint materializes the assignment so per-chunk filters
+    * re-read it instead of recomputing the query frame; the chunk-id
+    * collect and the count are metadata-scale. Chunk membership does
+    * not affect results — any disjoint cover unions to the same top-k
+    * set (parity pinned in IvfIndexSpec).
     */
   def queryBatchChunked(
       spark: SparkSession,
@@ -607,21 +615,38 @@ object IvfIndex {
       nprobe: Int,
       k: Int,
       maxBatch: Int,
-      where: Option[Column] = None): DataFrame = {
+      where: Option[Column] = None): DataFrame =
+    chunkedOver(spark, path, queries, maxBatch,
+      chunk => queryBatch(spark, path, chunk, nprobe, k, where))
+
+  /** Shared chunking harness for the batch serving paths. */
+  private def chunkedOver(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      maxBatch: Int,
+      run: DataFrame => DataFrame): DataFrame = {
     require(maxBatch > 0, s"maxBatch ($maxBatch) must be positive")
     val meta = readMeta(spark, path)
-    val chunked = queries
-      .withColumn("__chunk",
-        ((row_number().over(Window.orderBy(col(meta.idCol))) - 1) / maxBatch)
-          .cast("int"))
-      .localCheckpoint()
-    val top = chunked.agg(max(col("__chunk"))).head()
-    if (top.isNullAt(0)) queryBatch(spark, path, queries, nprobe, k, where)
-    else (0 to top.getInt(0))
-      .map(c => queryBatch(spark, path,
-        chunked.filter(col("__chunk") === c).drop("__chunk"),
-        nprobe, k, where))
-      .reduce(_ unionAll _)
+    val n = queries.count()
+    if (n <= maxBatch) run(queries)
+    else {
+      val groups = math.ceil(n.toDouble / maxBatch).toInt
+      val wSub = Window.partitionBy(col("__h")).orderBy(col(meta.idCol))
+      val chunked = queries
+        .withColumn("__h",
+          pmod(xxhash64(col(meta.idCol)), lit(groups)).cast("int"))
+        .withColumn("__sub",
+          ((row_number().over(wSub) - 1) / maxBatch).cast("int"))
+        .localCheckpoint()
+      val ids = chunked.select(col("__h"), col("__sub")).distinct()
+        .collect().map(r => (r.getInt(0), r.getInt(1))).sorted
+      ids.map { case (h, sub) =>
+        run(chunked
+          .filter(col("__h") === h && col("__sub") === sub)
+          .drop("__h", "__sub"))
+      }.reduce(_ unionAll _)
+    }
   }
 
   /** In-plan probe shared by the batch paths: (__qid, __qvec, cell) —
@@ -778,9 +803,9 @@ object IvfIndex {
   }
 
   /** [[queryAdcBatch]] for query batches too large to broadcast — the
-    * ADC twin of [[queryBatchChunked]]: maxBatch-row slices in
-    * deterministic qid order, each running the full in-plan ADC + exact
-    * re-rank over its OWN probed cells, results unioned.
+    * ADC twin of [[queryBatchChunked]]: same two-level deterministic
+    * chunking, each slice running the full in-plan ADC + exact re-rank
+    * over its OWN probed cells, results unioned.
     */
   def queryAdcBatchChunked(
       spark: SparkSession,
@@ -790,23 +815,9 @@ object IvfIndex {
       k: Int,
       refine: Int,
       maxBatch: Int,
-      where: Option[Column] = None): DataFrame = {
-    require(maxBatch > 0, s"maxBatch ($maxBatch) must be positive")
-    val meta = readMeta(spark, path)
-    val chunked = queries
-      .withColumn("__chunk",
-        ((row_number().over(Window.orderBy(col(meta.idCol))) - 1) / maxBatch)
-          .cast("int"))
-      .localCheckpoint()
-    val top = chunked.agg(max(col("__chunk"))).head()
-    if (top.isNullAt(0))
-      queryAdcBatch(spark, path, queries, nprobe, k, refine, where)
-    else (0 to top.getInt(0))
-      .map(c => queryAdcBatch(spark, path,
-        chunked.filter(col("__chunk") === c).drop("__chunk"),
-        nprobe, k, refine, where))
-      .reduce(_ unionAll _)
-  }
+      where: Option[Column] = None): DataFrame =
+    chunkedOver(spark, path, queries, maxBatch,
+      chunk => queryAdcBatch(spark, path, chunk, nprobe, k, refine, where))
 
   private def adcBatchImpl(
       spark: SparkSession,
