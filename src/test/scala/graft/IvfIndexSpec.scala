@@ -254,6 +254,61 @@ class IvfIndexSpec extends SparkSpec {
     assert(rows(viaAdc) === rows(exact))
   }
 
+  test("append to a RESIDUAL PQ layout encodes new rows' residuals " +
+    "against their assigned frozen cells") {
+    val emb = Tables(spark, dir, "embeddings")
+    val h1 = emb.filter($"vec_id" < 250)
+    val h2 = emb.filter($"vec_id" >= 250)
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfar_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/index"
+    IvfIndex.write(h1, "vec_id", "embedding", kCells = 4, trainIters = 2,
+      path = path,
+      pq = Some(IvfIndex.Pq(numSub = 4, kCodes = 4, iters = 2,
+        residual = true)))
+
+    IvfIndex.append(spark, path, h2)
+
+    // independently recompute: each appended row's residual against the
+    // cell append CHOSE for it, encoded with the persisted subspace
+    // codebooks — an append that encoded raw vectors, or residuals
+    // against the wrong centroid, fails here
+    val centArr = spark.read.parquet(s"$path/codebook")
+      .as[(Int, Int, Double)].collect()
+      .groupBy(_._1).toSeq
+      .map { case (c, rs) => (c, rs.sortBy(_._2).map(_._3)) }
+      .toDF("cell", "__centroid")
+    val assigned = spark.read.parquet(s"$path/vectors")
+      .filter($"vec_id" >= 250).select($"vec_id", $"cell", $"codes")
+    val resid = h2.join(assigned.select($"vec_id", $"cell"), Seq("vec_id"))
+      .join(broadcast(centArr), Seq("cell"))
+      .select($"vec_id",
+        zip_with($"embedding".cast("array<double>"), $"__centroid",
+          (a, b) => a - b).as("rv"))
+    val pqCb = spark.read.parquet(s"$path/pq_codebook")
+      .as[(Int, Int, Int, Double)].collect().toSeq
+    val expected = SimilarityOps.pqEncode(resid, "vec_id", "rv", pqCb)
+      .as[(Long, Seq[Int])].collect().toMap
+    val stored = assigned.select($"vec_id", $"codes")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(stored === expected)
+
+    // serving contract on the grown residual index: full-refine ADC ==
+    // plain IVF query, including appended rows among the results
+    val qvec = emb.filter($"vec_id" === 300)
+      .select($"embedding".cast("array<double>")).as[Array[Double]].head()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"cell", $"sim", $"rank")
+        .as[(Long, Int, Double, Int)].collect().sortBy(_._4).toSeq
+    val exact = IvfIndex.query(spark, path, qvec, excludeId = Some(300L),
+      nprobe = 4, k = 10)
+    val viaAdc = IvfIndex.queryAdc(spark, path, qvec, excludeId = Some(300L),
+      nprobe = 4, k = 10, refine = 10000)
+    assert(rows(viaAdc) === rows(exact))
+    assert(rows(exact).exists(_._1 >= 250),
+      "appended rows must be reachable through the residual ADC path")
+  }
+
   test("degenerate corpus: duplicate-heavy input drops empty cells and " +
     "full-probe query still equals brute force") {
     import org.apache.spark.sql.functions.col
