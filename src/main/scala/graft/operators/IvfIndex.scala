@@ -160,6 +160,10 @@ object IvfIndex {
       try in.readFully(0, buf) finally in.close()
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(new String(buf, StandardCharsets.UTF_8))
+      val version = Option(node.get("version")).map(_.asInt).getOrElse(-1)
+      require(version == 1,
+        s"index at $path has _meta version $version; this build reads " +
+          "version 1 — rebuild the index or upgrade the library")
       val pq = Option(node.get("pq")).filterNot(_.isNull).map { n =>
         Pq(n.get("numSub").asInt, n.get("kCodes").asInt, n.get("iters").asInt,
           n.get("residual").asBoolean)

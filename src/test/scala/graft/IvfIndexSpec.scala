@@ -527,6 +527,17 @@ class IvfIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       IvfIndex.readMeta(spark, bare)
     }
+    // a future layout version refuses instead of misreading
+    val future = d.getAbsolutePath + "/future_index"
+    new java.io.File(future).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$future/_meta"),
+      """{"version":2,"idCol":"x","vecCol":"y","kCells":1,"dims":2,"pq":null}"""
+        .getBytes)
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndex.readMeta(spark, future)
+    }
+    assert(ex.getMessage.contains("version 2"))
     // ADC serving against a plain (non-PQ) layout refuses
     val plainPath = d.getAbsolutePath + "/plain"
     IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
@@ -749,6 +760,12 @@ class IvfIndexSpec extends SparkSpec {
     val chunkedAdc = rows(IvfIndex.queryAdcBatchChunked(spark, pqPath,
       queries, nprobe = 2, k = 5, refine = 20, maxBatch = 16))
     assert(chunkedAdc === wholeAdc)
+
+    // an empty query batch is an empty result, not an error
+    assert(IvfIndex.queryBatchChunked(spark, path,
+      queries.limit(0), nprobe = 2, k = 5, maxBatch = 16).count() === 0)
+    assert(IvfIndex.queryBatch(spark, path,
+      queries.limit(0), nprobe = 2, k = 5).count() === 0)
   }
 
   test("delete refuses to empty the entire index, and the layout stays " +
