@@ -1,7 +1,8 @@
 package graft.operators
 
 /** Pure-JVM media container codec: parses the PUBLIC header formats
-  * (PNG, JPEG/JFIF, GIF, RIFF/WAVE) for dimensions / channel layout /
+  * (PNG, JPEG/JFIF, GIF, RIFF/WAVE, RIFF/WEBP) for dimensions /
+  * channel layout /
   * duration directly from the leading bytes of a blob — the real
   * implementation behind [[MultimodalOps.decodeReal]] (this container
   * ships no image/audio libraries, but container headers are plain
@@ -59,7 +60,9 @@ object MediaCodec {
     else if (b.length >= 8 && b.take(8).sameElements(pngSig)) "png"
     else if (u8(b, 0) == 0xff && u8(b, 1) == 0xd8) "jpeg"
     else if (ascii(b, 0, 4) == "GIF8") "gif"
-    else if (ascii(b, 0, 4) == "RIFF") "wav"
+    else if (ascii(b, 0, 4) == "RIFF")
+      // RIFF is a family: WAVE audio and WEBP images share the magic
+      if (b.length >= 12 && ascii(b, 8, 4) == "WEBP") "webp" else "wav"
     else "unknown"
 
   /** Parse whatever container the magic says. Never throws. */
@@ -68,6 +71,7 @@ object MediaCodec {
     case "jpeg" => decodeJpeg(b)
     case "gif" => decodeGif(b)
     case "wav" => decodeWav(b)
+    case "webp" => decodeWebp(b)
     case other => invalid(other)
   }
 
@@ -174,6 +178,55 @@ object MediaCodec {
       Some(sampleRate.toInt), Some(dataSize * 1000L / byteRate))
   }
 
+  /** WEBP (RIFF): the first chunk decides the flavor. VP8X (extended)
+    * carries the canvas as 24-bit LE minus-one fields at offsets 24/27;
+    * VP8L (lossless) packs 14-bit minus-one dims into the bytes after
+    * its 0x2f signature; VP8 (lossy) carries 14-bit dims in the frame
+    * header after the 9d 01 2a start code. Channels: 4 when the VP8X
+    * alpha flag (bit 4) or VP8L alpha bit is set, else 3.
+    */
+  private def decodeWebp(b: Array[Byte]): MediaInfo = {
+    if (b.length < 20) return invalid("webp")
+    val tag = ascii(b, 12, 4)
+    val size = le32(b, 16)
+    if (size < 0 || 20 + size > b.length) return invalid("webp")
+    tag match {
+      case "VP8X" =>
+        if (size < 10 || b.length < 30) invalid("webp")
+        else {
+          val alpha = (u8(b, 20) & 0x10) != 0
+          val w = (u8(b, 24) | (u8(b, 25) << 8) | (u8(b, 26) << 16)) + 1
+          val h = (u8(b, 27) | (u8(b, 28) << 8) | (u8(b, 29) << 16)) + 1
+          MediaInfo("webp", valid = true, Some(w), Some(h),
+            Some(if (alpha) 4 else 3), None, None)
+        }
+      case "VP8L" =>
+        if (size < 5 || u8(b, 20) != 0x2f) invalid("webp")
+        else {
+          val bits = le32(b, 21)
+          val w = (bits & 0x3fff).toInt + 1
+          val h = ((bits >> 14) & 0x3fff).toInt + 1
+          val alpha = ((bits >> 28) & 1) != 0
+          MediaInfo("webp", valid = true, Some(w), Some(h),
+            Some(if (alpha) 4 else 3), None, None)
+        }
+      case "VP8 " =>
+        // lossy frame header: 3-byte frame tag, 9d 01 2a start code,
+        // then 14-bit width and height (low 14 of each LE u16)
+        if (size < 10 || b.length < 30 ||
+          u8(b, 23) != 0x9d || u8(b, 24) != 0x01 || u8(b, 25) != 0x2a)
+          invalid("webp")
+        else {
+          val w = (le16(b, 26) & 0x3fff)
+          val h = (le16(b, 28) & 0x3fff)
+          if (w <= 0 || h <= 0) invalid("webp")
+          else MediaInfo("webp", valid = true, Some(w), Some(h),
+            Some(3), None, None)
+        }
+      case _ => invalid("webp")
+    }
+  }
+
   // ---- deterministic synthesizers (real spec-conformant headers) ----
 
   /** Minimal well-formed PNG: signature, IHDR (8-bit, given color type),
@@ -241,6 +294,25 @@ object MediaCodec {
     out.putShort(bitsPerSample.toShort)
     out.put("data".getBytes).putInt(dataBytes)
     out.array() // data payload stays zeroed
+  }
+
+  /** Minimal extended (VP8X) WEBP: RIFF header + VP8X chunk with the
+    * canvas size and optional alpha flag.
+    */
+  def buildWebp(width: Int, height: Int, alpha: Boolean = false): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(30)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(22).put("WEBP".getBytes)
+    out.put("VP8X".getBytes).putInt(10)
+    out.put((if (alpha) 0x10 else 0x00).toByte)
+    out.put(0.toByte).put(0.toByte).put(0.toByte) // reserved
+    val w = width - 1
+    val h = height - 1
+    out.put((w & 0xff).toByte).put(((w >> 8) & 0xff).toByte)
+      .put(((w >> 16) & 0xff).toByte)
+    out.put((h & 0xff).toByte).put(((h >> 8) & 0xff).toByte)
+      .put(((h >> 16) & 0xff).toByte)
+    out.array()
   }
 
   /** The m3 oracle fixture: one deterministic container per id, format

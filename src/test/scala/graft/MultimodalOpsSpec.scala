@@ -76,6 +76,49 @@ class MultimodalOpsSpec extends SparkSpec {
       .duration_ms === Some(250L))
   }
 
+  test("MediaCodec parses all three WEBP flavors and tells RIFF " +
+    "families apart") {
+    import graft.operators.MediaCodec
+    // VP8X (extended): canvas as 24-bit minus-one fields, alpha flag
+    assert(MediaCodec.decode(MediaCodec.buildWebp(1024, 768)) ===
+      MediaCodec.MediaInfo("webp", valid = true, Some(1024), Some(768),
+        Some(3), None, None))
+    assert(MediaCodec.decode(MediaCodec.buildWebp(16384, 2, alpha = true))
+      .channels === Some(4))
+    // VP8L (lossless): 0x2f signature then 14-bit packed minus-one dims
+    def vp8l(w: Int, h: Int, alpha: Boolean): Array[Byte] = {
+      val bits = (w - 1) | ((h - 1) << 14) | (if (alpha) 1 << 28 else 0)
+      val out = java.nio.ByteBuffer.allocate(26)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes).putInt(18).put("WEBP".getBytes)
+      out.put("VP8L".getBytes).putInt(6)
+      out.put(0x2f.toByte).putInt(bits).put(0.toByte)
+      out.array()
+    }
+    assert(MediaCodec.decode(vp8l(100, 50, alpha = false)) ===
+      MediaCodec.MediaInfo("webp", valid = true, Some(100), Some(50),
+        Some(3), None, None))
+    assert(MediaCodec.decode(vp8l(7, 9, alpha = true)).channels === Some(4))
+    // VP8 (lossy): 9d 01 2a start code then 14-bit LE dims
+    def vp8(w: Int, h: Int): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(30)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes).putInt(22).put("WEBP".getBytes)
+      out.put("VP8 ".getBytes).putInt(10)
+      out.put(0.toByte).put(0.toByte).put(0.toByte) // frame tag
+      out.put(0x9d.toByte).put(0x01.toByte).put(0x2a.toByte)
+      out.putShort(w.toShort).putShort(h.toShort)
+      out.array()
+    }
+    assert(MediaCodec.decode(vp8(320, 240)) ===
+      MediaCodec.MediaInfo("webp", valid = true, Some(320), Some(240),
+        Some(3), None, None))
+    // RIFF disambiguation: WAVE is wav, WEBP is webp, anything else in
+    // the family is an invalid wav-sniff, not a phantom parse
+    assert(MediaCodec.sniff(MediaCodec.buildWav(8000, 1, 16, 4)) === "wav")
+    assert(MediaCodec.sniff(MediaCodec.buildWebp(2, 2)) === "webp")
+  }
+
   test("MediaCodec never throws: every prefix truncation of every " +
     "format and corrupt magics decode as invalid rows") {
     import graft.operators.MediaCodec
@@ -83,7 +126,8 @@ class MultimodalOpsSpec extends SparkSpec {
       "png" -> MediaCodec.buildPng(100, 50),
       "jpeg" -> MediaCodec.buildJpeg(100, 50),
       "gif" -> MediaCodec.buildGif(100, 50),
-      "wav" -> MediaCodec.buildWav(8000, 1, 16, 64))
+      "wav" -> MediaCodec.buildWav(8000, 1, 16, 64),
+      "webp" -> MediaCodec.buildWebp(100, 50))
     fixtures.foreach { case (fmt, full) =>
       val fullInfo = MediaCodec.decode(full)
       assert(fullInfo.valid, s"$fmt full must parse")
