@@ -723,6 +723,182 @@ object SimilarityQueries extends QueryModule {
         FROM r WHERE rank <= 10
         ORDER BY qid, rank""")),
 
+    // V15 — residual ADC ORDERING under the oracle gate: v14 proves
+    // candidate completeness (full probe/refine collapses to brute
+    // force); this row pins the part v14 cannot — the residual ADC
+    // ranking itself decides who reaches the re-rank (refine=50 out of
+    // ~250 probed candidates at sf0.01, an ACTIVE cut). The oracle
+    // unrolls the whole pipeline in SQL: 2-iteration k-means (v12's
+    // CTEs), per-dimension residuals against the trained centroids,
+    // 2-iteration PQ fit ON THE RESIDUALS (v11's CTEs over the residual
+    // long form), the query's PER-CELL residual ADC tables, the
+    // (ad2, id) refine cut, and the exact cosine re-rank — every
+    // decimal/rounding step mirroring the Scala bit-for-bit.
+    "v15_residual_adc" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val path = freshIndexDir("v15_") + "/index"
+        graft.operators.IvfIndex.write(
+          emb, "vec_id", "embedding", kCells = 4, trainIters = 2, path,
+          pq = Some(graft.operators.IvfIndex.Pq(
+            numSub = 4, kCodes = 4, iters = 2, residual = true)))
+        val qvec = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .as[Array[Double]].head()
+        graft.operators.IvfIndex.queryAdc(
+          s, path, qvec, excludeId = Some(0L), nprobe = 2, k = 10,
+          refine = 50)
+          .orderBy(col("rank"))
+      },
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT vec_id, i AS dim, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+          FROM embeddings, range(1, 65) t(i)),
+        init AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+                 vec_id
+          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+        c0 AS (SELECT i.cluster, e.dim, e.v AS c
+               FROM init i JOIN e ON e.vec_id = i.vec_id),
+        d1 AS (
+          SELECT e.vec_id, c.cluster,
+                 sum(CAST(round((e.v - c.c) * (e.v - c.c), 12)
+                   AS DECIMAL(38,12))) AS d2
+          FROM e JOIN c0 c ON e.dim = c.dim
+          GROUP BY 1, 2),
+        a1 AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cluster) AS rn
+            FROM d1) WHERE rn = 1),
+        c1 AS (
+          SELECT a.cluster, e.dim,
+                 CAST(sum(CAST(round(e.v, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                   / count(*) AS c
+          FROM e JOIN a1 a ON e.vec_id = a.vec_id
+          GROUP BY 1, 2),
+        dd2 AS (
+          SELECT e.vec_id, c.cluster,
+                 sum(CAST(round((e.v - c.c) * (e.v - c.c), 12)
+                   AS DECIMAL(38,12))) AS d2
+          FROM e JOIN c1 c ON e.dim = c.dim
+          GROUP BY 1, 2),
+        a2 AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cluster) AS rn
+            FROM dd2) WHERE rn = 1),
+        -- residual long form against the trained centroid of each
+        -- vector's OWN cell, split into (sub, dsub)
+        re AS (
+          SELECT e.vec_id, a.cluster AS cell,
+                 CAST((e.dim - 1) // 16 AS INT) AS sub,
+                 CAST((e.dim - 1) % 16 AS INT) AS dsub,
+                 e.v - c.c AS v
+          FROM e
+          JOIN a2 a ON e.vec_id = a.vec_id
+          JOIN c1 c ON c.cluster = a.cluster AND c.dim = e.dim),
+        -- PQ fit on residuals: seed codebook = residuals of the 4
+        -- lowest-id vectors, then one Lloyd's update (v11's recipe)
+        rinit AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+                 vec_id
+          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+        rcb0 AS (
+          SELECT re.sub, i.code, re.dsub, re.v AS c
+          FROM rinit i JOIN re ON re.vec_id = i.vec_id),
+        rd0 AS (
+          SELECT re.vec_id, re.sub, rcb0.code,
+                 sum(CAST(round((re.v - rcb0.c) * (re.v - rcb0.c), 12)
+                   AS DECIMAL(38,12))) AS d2
+          FROM re JOIN rcb0 ON re.sub = rcb0.sub AND re.dsub = rcb0.dsub
+          GROUP BY 1, 2, 3),
+        ra0 AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                     ORDER BY d2, code) AS rn
+            FROM rd0) WHERE rn = 1),
+        rcb1 AS (
+          SELECT re.sub, a.code, re.dsub,
+                 CAST(sum(CAST(round(re.v, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                   / count(*) AS c
+          FROM re JOIN ra0 a ON re.vec_id = a.vec_id AND re.sub = a.sub
+          GROUP BY 1, 2, 3),
+        rd1 AS (
+          SELECT re.vec_id, re.sub, rcb1.code,
+                 sum(CAST(round((re.v - rcb1.c) * (re.v - rcb1.c), 12)
+                   AS DECIMAL(38,12))) AS d2
+          FROM re JOIN rcb1 ON re.sub = rcb1.sub AND re.dsub = rcb1.dsub
+          GROUP BY 1, 2, 3),
+        enc AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                     ORDER BY d2, code) AS rn
+            FROM rd1) WHERE rn = 1),
+        -- probe: the query's 2 closest trained cells by cosine
+        cb AS (
+          SELECT cluster AS cell, list(c ORDER BY dim) AS centroid
+          FROM c1 GROUP BY 1),
+        q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+              WHERE vec_id = 0),
+        probed AS (
+          SELECT cell FROM (
+            SELECT cb.cell,
+                   row_number() OVER (ORDER BY
+                     ${cosineSql("q.qe", "cb.centroid")} DESC,
+                     cb.cell) AS crank
+            FROM cb, q)
+          WHERE crank <= 2),
+        -- the query's PER-CELL residual ADC tables: residual against
+        -- cell c's centroid, distance to every residual codeword
+        qr AS (
+          SELECT c.cluster AS cell,
+                 CAST((e.dim - 1) // 16 AS INT) AS sub,
+                 CAST((e.dim - 1) % 16 AS INT) AS dsub,
+                 e.v - c.c AS v
+          FROM e JOIN c1 c ON c.dim = e.dim
+          WHERE e.vec_id = 0 AND c.cluster IN (SELECT cell FROM probed)),
+        qt AS (
+          SELECT qr.cell, qr.sub, rcb1.code,
+                 sum(CAST(round((qr.v - rcb1.c) * (qr.v - rcb1.c), 12)
+                   AS DECIMAL(38,12))) AS d2q
+          FROM qr JOIN rcb1 ON qr.sub = rcb1.sub AND qr.dsub = rcb1.dsub
+          GROUP BY 1, 2, 3),
+        -- ADC: each probed-cell candidate's codes meet the table of the
+        -- candidate's OWN cell
+        adc AS (
+          SELECT enc.vec_id, a.cluster AS cell,
+                 round(CAST(sum(qt.d2q) AS DOUBLE), 6) AS ad2
+          FROM enc
+          JOIN a2 a ON a.vec_id = enc.vec_id
+          JOIN qt ON qt.cell = a.cluster AND qt.sub = enc.sub
+                 AND qt.code = enc.code
+          WHERE enc.vec_id <> 0
+          GROUP BY 1, 2),
+        refine AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (ORDER BY ad2, vec_id) AS arank
+            FROM adc) WHERE arank <= 50),
+        rr AS (
+          SELECT r.vec_id, r.cell,
+                 ${cosineSql("b.embedding", "q.qe")} AS sim
+          FROM refine r
+          JOIN embeddings b ON b.vec_id = r.vec_id, q),
+        topk AS (
+          SELECT vec_id, cell, sim FROM rr
+          ORDER BY sim DESC, vec_id LIMIT 10)
+        SELECT vec_id, cell, sim,
+               CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT)
+                 AS rank
+        FROM topk
+        ORDER BY rank""")),
+
     // V11 — PQ + ADC over TRAINED codebooks (iters = 2): exercises the
     // Lloyd's update inside pqFit — assignment against the seed codebook,
     // then decimal-exact per-(sub, code, dsub) means — which v10's seed-
