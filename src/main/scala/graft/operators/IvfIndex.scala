@@ -209,6 +209,7 @@ object IvfIndex {
       .write.mode("overwrite").parquet(s"$path/codebook")
     val withCell = embeddings
       .join(assign.select(col(idCol), col("cluster").as("cell")), Seq(idCol))
+    var residCheckpoint: Option[DataFrame] = None
     val rows = pq.fold(withCell) { p =>
       // what gets quantized: raw vectors, or (residual=true) each
       // vector's offset from its own cell centroid — same deterministic
@@ -224,11 +225,13 @@ object IvfIndex {
           // would otherwise recompute on every Lloyd's scan and pqEncode
           // once more — measured ~2x on the v14 build. Corpus-scale
           // storage, but write() is materializing the corpus anyway.
-          withCell.join(centArr, Seq("cell"))
+          val r = withCell.join(centArr, Seq("cell"))
             .select(col(idCol),
               zip_with(col(vecCol).cast("array<double>"), col("__centroid"),
                 (a, b) => a - b).as(vecCol))
             .localCheckpoint()
+          residCheckpoint = Some(r)
+          r
         }
       val cb = SimilarityOps.pqFit(
         base, idCol, vecCol, p.numSub, p.kCodes, p.iters)
@@ -238,6 +241,11 @@ object IvfIndex {
         SimilarityOps.pqEncode(base, idCol, vecCol, cb), Seq(idCol))
     }
     rows.write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    // the final write consumed the residual checkpoint — release its
+    // corpus-scale blocks now, not at GC: a JVM that builds many indexes
+    // (the oracle harness builds one per invocation) would otherwise
+    // accumulate ~corpus-size block-manager pressure per build
+    residCheckpoint.foreach(_.unpersist())
     // a rebuild is a new incarnation: stale replay markers must not mask
     // the new stream's batch ids (ADVICE r9)
     val fs = fsFor(spark, path)
