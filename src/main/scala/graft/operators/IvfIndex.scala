@@ -84,13 +84,39 @@ object IvfIndex {
   // The codebook is kCells x dims doubles and the meta a few hundred
   // bytes — both metadata-scale, both immutable between rebuilds. Serving
   // many single queries against one index re-paid the codebook parquet
-  // read per call; the cache pays it once. write()/compact() invalidate.
+  // read per call; the cache pays it once. write()/compact() invalidate
+  // in this JVM; rebuilds from ANOTHER process are caught by stamping
+  // every entry with the _meta sidecar's modification time and
+  // re-validating with one FS stat per access — a stat instead of a
+  // parquet read, and a stale codebook is never served across a rebuild
+  // the cache-holding JVM didn't perform. (Granularity is the
+  // filesystem's mtime resolution, the usual vanilla-file caveat.)
+  private final case class Stamped[T](stamp: Long, value: T)
   private val codebookCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Stamped[Map[Int, Array[Double]]]]()
   private val pqCodebookCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Int, Int, Double)]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Stamped[Seq[(Int, Int, Int, Double)]]]()
   private val metaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Meta]()
+    new java.util.concurrent.ConcurrentHashMap[String, Stamped[Meta]]()
+
+  /** The _meta sidecar's modification time — the cache-coherence stamp
+    * (write() rewrites _meta last, so a rebuild always moves it).
+    */
+  private def metaStamp(spark: SparkSession, path: String): Long = {
+    val p = hadoopPath(s"$path/_meta")
+    val fs = fsFor(spark, path)
+    require(fs.exists(p),
+      s"no index metadata at $path/_meta — build the index with IvfIndex.write")
+    fs.getFileStatus(p).getModificationTime
+  }
+
+  private def stampedGet[T](
+      cache: java.util.concurrent.ConcurrentHashMap[String, Stamped[T]],
+      path: String,
+      stamp: Long)(load: => T): T =
+    cache.compute(path, (_, prev) =>
+      if (prev != null && prev.stamp == stamp) prev
+      else Stamped(stamp, load)).value
 
   /** Number of physical codebook loads (test observability: IvfIndexSpec
     * asserts N single queries against one index load the codebook once).
@@ -111,22 +137,22 @@ object IvfIndex {
 
   private def cachedCodebook(
       spark: SparkSession, path: String): Map[Int, Array[Double]] =
-    codebookCache.computeIfAbsent(path, _ => {
+    stampedGet(codebookCache, path, metaStamp(spark, path)) {
       codebookReads.incrementAndGet()
       import spark.implicits._
       spark.read.parquet(s"$path/codebook")
         .as[(Int, Int, Double)].collect()
         .groupBy(_._1)
         .map { case (cell, rows) => cell -> rows.sortBy(_._2).map(_._3) }
-    })
+    }
 
   private def cachedPqCodebook(
       spark: SparkSession, path: String): Seq[(Int, Int, Int, Double)] =
-    pqCodebookCache.computeIfAbsent(path, _ => {
+    stampedGet(pqCodebookCache, path, metaStamp(spark, path)) {
       import spark.implicits._
       spark.read.parquet(s"$path/pq_codebook")
         .as[(Int, Int, Int, Double)].collect().toSeq
-    })
+    }
 
   private def hadoopPath(s: String) = new org.apache.hadoop.fs.Path(s)
 
@@ -134,12 +160,16 @@ object IvfIndex {
     hadoopPath(s).getFileSystem(spark.sessionState.newHadoopConf())
 
   private def writeMeta(spark: SparkSession, path: String, meta: Meta): Unit = {
+    // column names are caller data — JSON-escape them (a quote or
+    // backslash in a column name must not write a corrupt sidecar)
+    def jstr(v: String): String = new com.fasterxml.jackson.databind
+      .ObjectMapper().writeValueAsString(v)
     val pqJson = meta.pq.fold("null") { p =>
       s"""{"numSub":${p.numSub},"kCodes":${p.kCodes},"iters":${p.iters},""" +
         s""""residual":${p.residual}}"""
     }
     val json =
-      s"""{"version":1,"idCol":"${meta.idCol}","vecCol":"${meta.vecCol}",""" +
+      s"""{"version":1,"idCol":${jstr(meta.idCol)},"vecCol":${jstr(meta.vecCol)},""" +
         s""""kCells":${meta.kCells},"dims":${meta.dims},"pq":$pqJson}"""
     val p = hadoopPath(s"$path/_meta")
     val fs = fsFor(spark, path)
@@ -147,13 +177,11 @@ object IvfIndex {
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
-  /** Read the `<path>/_meta` sidecar (cached per path). */
+  /** Read the `<path>/_meta` sidecar (cached per path, stamp-checked). */
   def readMeta(spark: SparkSession, path: String): Meta =
-    metaCache.computeIfAbsent(path, _ => {
+    stampedGet(metaCache, path, metaStamp(spark, path)) {
       val p = hadoopPath(s"$path/_meta")
       val fs = fsFor(spark, path)
-      require(fs.exists(p),
-        s"no index metadata at $path/_meta — build the index with IvfIndex.write")
       val len = fs.getFileStatus(p).getLen.toInt
       val buf = new Array[Byte](len)
       val in = fs.open(p)
@@ -170,7 +198,7 @@ object IvfIndex {
       }
       Meta(node.get("idCol").asText, node.get("vecCol").asText,
         node.get("kCells").asInt, node.get("dims").asInt, pq)
-    })
+    }
 
   /** (cell, __centroid array<double>) rows from the cached codebook — the
     * broadcastable probe/residual side (kCells rows of metadata).
@@ -457,7 +485,6 @@ object IvfIndex {
     val idCol = meta.idCol
     val src = s"$path/vectors"
     val vectors = spark.read.parquet(src)
-    val allCells = vectors.select(col("cell")).distinct().as[Int].collect().toSet
     val affected = vectors.select(col(idCol), col("cell"))
       .join(broadcast(ids.select(col(idCol))), Seq(idCol))
       .select(col("cell")).distinct().as[Int].collect().toSeq
@@ -466,24 +493,32 @@ object IvfIndex {
         .filter(col("cell").isin(affected: _*))
         .join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti")
         .localCheckpoint()
-      val alive = survivors.select(col("cell")).distinct()
-        .as[Int].collect().toSet
-      if (alive.isEmpty && affected.toSet == allCells)
-        throw new IllegalStateException(
-          s"delete would remove every row of the index at $path; a " +
-            "schema-less layout cannot be read back — rebuild with " +
-            "IvfIndex.write or drop the index directory instead")
-      if (alive.nonEmpty)
-        survivors
-          .repartition(col("cell"))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cell")
-          .parquet(src)
-      val fs = fsFor(spark, src)
-      affected.filterNot(alive).foreach { cell =>
-        fs.delete(hadoopPath(s"$src/cell=$cell"), true)
-      }
+      try {
+        val alive = survivors.select(col("cell")).distinct()
+          .as[Int].collect().toSet
+        if (alive.isEmpty) {
+          // only now (the rare terminal branch) is the full cell listing
+          // needed — the common O(affected cells) path never scans it
+          val allCells = vectors.select(col("cell")).distinct()
+            .as[Int].collect().toSet
+          if (affected.toSet == allCells)
+            throw new IllegalStateException(
+              s"delete would remove every row of the index at $path; a " +
+                "schema-less layout cannot be read back — rebuild with " +
+                "IvfIndex.write or drop the index directory instead")
+        }
+        if (alive.nonEmpty)
+          survivors
+            .repartition(col("cell"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell")
+            .parquet(src)
+        val fs = fsFor(spark, src)
+        affected.filterNot(alive).foreach { cell =>
+          fs.delete(hadoopPath(s"$src/cell=$cell"), true)
+        }
+      } finally survivors.unpersist()
     }
   }
 
@@ -631,7 +666,14 @@ object IvfIndex {
     chunkedOver(spark, path, queries, maxBatch,
       chunk => queryBatch(spark, path, chunk, nprobe, k, where))
 
-  /** Shared chunking harness for the batch serving paths. */
+  /** Shared chunking harness for the batch serving paths. The query
+    * frame's upstream plan evaluates ONCE (checkpointed before the
+    * count, so counting reads materialized blocks), and both
+    * checkpoints release deterministically: the batch-scale one as soon
+    * as the per-chunk results are materialized, the (much smaller,
+    * k-rows-per-query) result one when the caller drops the returned
+    * frame — the big vector-bearing blocks never wait for GC.
+    */
   private def chunkedOver(
       spark: SparkSession,
       path: String,
@@ -640,25 +682,27 @@ object IvfIndex {
       run: DataFrame => DataFrame): DataFrame = {
     require(maxBatch > 0, s"maxBatch ($maxBatch) must be positive")
     val meta = readMeta(spark, path)
-    val n = queries.count()
-    if (n <= maxBatch) run(queries)
-    else {
-      val groups = math.ceil(n.toDouble / maxBatch).toInt
-      val wSub = Window.partitionBy(col("__h")).orderBy(col(meta.idCol))
-      val chunked = queries
-        .withColumn("__h",
-          pmod(xxhash64(col(meta.idCol)), lit(groups)).cast("int"))
-        .withColumn("__sub",
-          ((row_number().over(wSub) - 1) / maxBatch).cast("int"))
-        .localCheckpoint()
-      val ids = chunked.select(col("__h"), col("__sub")).distinct()
-        .collect().map(r => (r.getInt(0), r.getInt(1))).sorted
-      ids.map { case (h, sub) =>
-        run(chunked
-          .filter(col("__h") === h && col("__sub") === sub)
-          .drop("__h", "__sub"))
-      }.reduce(_ unionAll _)
-    }
+    val base = queries.localCheckpoint()
+    try {
+      val n = base.count()
+      if (n <= maxBatch) run(base).localCheckpoint()
+      else {
+        val groups = math.ceil(n.toDouble / maxBatch).toInt
+        val wSub = Window.partitionBy(col("__h")).orderBy(col(meta.idCol))
+        val chunked = base
+          .withColumn("__h",
+            pmod(xxhash64(col(meta.idCol)), lit(groups)).cast("int"))
+          .withColumn("__sub",
+            ((row_number().over(wSub) - 1) / maxBatch).cast("int"))
+        val ids = chunked.select(col("__h"), col("__sub")).distinct()
+          .collect().map(r => (r.getInt(0), r.getInt(1))).sorted
+        ids.map { case (h, sub) =>
+          run(chunked
+            .filter(col("__h") === h && col("__sub") === sub)
+            .drop("__h", "__sub"))
+        }.reduce(_ unionAll _).localCheckpoint()
+      }
+    } finally base.unpersist()
   }
 
   /** In-plan probe shared by the batch paths: (__qid, __qvec, cell) —

@@ -60,10 +60,18 @@ object MediaCodec {
     else if (b.length >= 8 && b.take(8).sameElements(pngSig)) "png"
     else if (u8(b, 0) == 0xff && u8(b, 1) == 0xd8) "jpeg"
     else if (ascii(b, 0, 4) == "GIF8") "gif"
-    else if (ascii(b, 0, 4) == "RIFF")
-      // RIFF is a family: WAVE audio and WEBP images share the magic
-      if (b.length >= 12 && ascii(b, 8, 4) == "WEBP") "webp" else "wav"
-    else "unknown"
+    else if (ascii(b, 0, 4) == "RIFF") {
+      // RIFF is a family: the form type at offset 8 decides. A foreign
+      // RIFF (AVI, ANI) or one truncated before its form type is
+      // "unknown", not a phantom wav — per-format corruption counts
+      // must not attribute foreign containers to wav.
+      if (b.length < 12) "unknown"
+      else ascii(b, 8, 4) match {
+        case "WAVE" => "wav"
+        case "WEBP" => "webp"
+        case _ => "unknown"
+      }
+    } else "unknown"
 
   /** Parse whatever container the magic says. Never throws. */
   def decode(b: Array[Byte]): MediaInfo = sniff(b) match {
@@ -106,6 +114,10 @@ object MediaCodec {
     var i = 2
     while (i + 1 < b.length) {
       if (u8(b, i) != 0xff) return invalid("jpeg")
+      // the spec allows any number of 0xff FILL bytes before a marker;
+      // real encoders emit them — skip to the marker byte proper
+      if (u8(b, i + 1) == 0xff) { i += 1 }
+      else {
       val marker = u8(b, i + 1)
       if (marker == 0xd8 || marker == 0x01 ||
         (marker >= 0xd0 && marker <= 0xd7)) i += 2 // parameterless markers
@@ -126,6 +138,7 @@ object MediaCodec {
             Some(ncomp), None, None)
         }
         i += 2 + segLen
+      }
       }
     }
     invalid("jpeg")
@@ -172,7 +185,10 @@ object MediaCodec {
       } else if (id == "data") dataSize = size
       i += 8 + size.toInt + (size.toInt & 1)
     }
-    if (channels <= 0 || sampleRate <= 0 || byteRate <= 0 || dataSize < 0)
+    // u32 fields are read as Long; a corrupt header declaring e.g.
+    // sampleRate >= 2^31 must NOT narrow into a negative "valid" value
+    if (channels <= 0 || sampleRate <= 0 || sampleRate > Int.MaxValue ||
+      byteRate <= 0 || dataSize < 0)
       invalid("wav")
     else MediaInfo("wav", valid = true, None, None, Some(channels),
       Some(sampleRate.toInt), Some(dataSize * 1000L / byteRate))

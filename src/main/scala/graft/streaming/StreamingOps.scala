@@ -88,7 +88,7 @@ object StreamingOps {
 
   /** Streaming embedding ingestion into a persisted
     * [[graft.operators.IvfIndex]]: plug into
-    * `writeStream.foreachBatch(StreamingOps.indexIngest(path))` and
+    * `writeStream.foreachBatch(StreamingOps.indexIngest(path, streamId))` and
     * every micro-batch of (id, vector) rows is assigned to the frozen
     * coarse codebook and appended under the touched cell directories
     * ([[graft.operators.IvfIndex.append]] — PQ codes included when the
@@ -100,13 +100,14 @@ object StreamingOps {
     * and a parquet append is not idempotent — so each applied batch id
     * leaves a marker under `<path>/_appended/<streamId>/`, and a
     * replayed id is skipped (same contract SinkSpec pins for the
-    * point-upsert sink). Markers are NAMESPACED by `streamId` because
-    * batch ids restart at 0 with every fresh checkpoint: a restarted
-    * stream reusing an old marker space would silently skip its first
-    * batches (ADVICE r9) — give each (checkpoint, index) pairing its
-    * own streamId, and note `IvfIndex.write` clears `_appended`
-    * entirely on rebuild, so a rebuilt index never inherits stale
-    * markers. A crash BETWEEN the data write and the marker write
+    * point-upsert sink). Markers are NAMESPACED by `streamId`, and the
+    * parameter is deliberately REQUIRED with no default: batch ids
+    * restart at 0 with every fresh checkpoint, so two stream
+    * incarnations sharing a marker space silently skip each other's
+    * batches (ADVICE r9) — a default would recreate exactly that
+    * collision. Give each (checkpoint, index) pairing its own
+    * streamId; `IvfIndex.write` clears `_appended` entirely on
+    * rebuild, so a rebuilt index never inherits stale markers. A crash BETWEEN the data write and the marker write
     * re-appends that one batch on replay — the documented
     * vanilla-parquet limitation (no multi-file transaction); the
     * reference pipeline accepts the same window on its scheduled
@@ -115,7 +116,7 @@ object StreamingOps {
     */
   def indexIngest(
       path: String,
-      streamId: String = "stream"): (DataFrame, Long) => Unit =
+      streamId: String): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       val marker = new org.apache.hadoop.fs.Path(

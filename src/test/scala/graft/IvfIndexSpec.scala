@@ -726,6 +726,48 @@ class IvfIndexSpec extends SparkSpec {
     assert(after.forall(_._1 < 250), "results must reflect the rebuilt index")
   }
 
+  test("an out-of-band rebuild (another process, no invalidateCache) is " +
+    "picked up by the _meta stamp — no stale codebook is ever served") {
+    val emb = Tables(spark, dir, "embeddings")
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfoob_").toFile
+    d.deleteOnExit()
+    val servePath = d.getAbsolutePath + "/index"
+    val otherPath = d.getAbsolutePath + "/other"
+    IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
+      path = servePath)
+    IvfIndex.write(emb.filter($"vec_id" < 250), "vec_id", "embedding",
+      kCells = 4, trainIters = 2, path = otherPath)
+    val qvec = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).as[Array[Double]].head()
+    def ask() = IvfIndex.query(spark, servePath, qvec, excludeId = Some(0L),
+      nprobe = 4, k = 10)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(ask().nonEmpty) // cache is now warm for servePath
+
+    // simulate a rebuild by ANOTHER process: raw file replacement at the
+    // serving path, no IvfIndex call in this JVM touches its caches
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    def cp(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        Option(src.listFiles).foreach(_.foreach(c =>
+          cp(c, new java.io.File(dst, c.getName))))
+      } else {
+        java.nio.file.Files.copy(src.toPath, dst.toPath)
+        dst.setLastModified(System.currentTimeMillis()): Unit
+      }
+    }
+    Thread.sleep(20) // outrun filesystem mtime granularity
+    rm(new java.io.File(servePath))
+    cp(new java.io.File(otherPath), new java.io.File(servePath))
+
+    val after = ask()
+    assert(after.nonEmpty && after.forall(_ < 250),
+      s"stale codebook served after an out-of-band rebuild: $after")
+  }
+
   test("queryBatchChunked == queryBatch for a batch larger than maxBatch") {
     val emb = Tables(spark, dir, "embeddings")
     val d = java.nio.file.Files.createTempDirectory("graft_ivfch_").toFile

@@ -153,9 +153,24 @@ class MultimodalOpsSpec extends SparkSpec {
     val noSof = Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte) // SOI then EOI
     assert(MediaCodec.decode(noSof) ===
       MediaCodec.MediaInfo("jpeg", valid = false, None, None, None, None, None))
+    // a foreign RIFF container is unknown, never a phantom wav — and a
+    // RIFF truncated before its form type likewise
     val riffNotWave = MediaCodec.buildWav(8000, 1, 16, 4)
     System.arraycopy("AVI ".getBytes, 0, riffNotWave, 8, 4)
-    assert(!MediaCodec.decode(riffNotWave).valid)
+    assert(MediaCodec.decode(riffNotWave) ===
+      MediaCodec.MediaInfo("unknown", valid = false,
+        None, None, None, None, None))
+    assert(MediaCodec.sniff(riffNotWave.take(10)) === "unknown")
+    // a corrupt u32 sample rate must not narrow into a negative "valid"
+    val hugeRate = MediaCodec.buildWav(8000, 1, 16, 4)
+    hugeRate(27) = 0x80.toByte // sampleRate LE u32 -> 0x80000000 + 8000
+    assert(!MediaCodec.decode(hugeRate).valid)
+    // spec-legal 0xff FILL bytes before markers parse fine
+    val jf = MediaCodec.buildJpeg(33, 44)
+    val filled = jf.take(2) ++ Array.fill(3)(0xff.toByte) ++ jf.drop(2)
+    assert(MediaCodec.decode(filled) ===
+      MediaCodec.MediaInfo("jpeg", valid = true, Some(33), Some(44),
+        Some(3), None, None))
     // wav whose declared data size overruns the actual bytes = corrupt
     val overrun = MediaCodec.buildWav(8000, 1, 16, 64).dropRight(8)
     assert(!MediaCodec.decode(overrun).valid)

@@ -216,7 +216,7 @@ class StreamingOpsSpec extends SparkSpec {
     val input = MemoryStream[(Long, Array[Float])]
     val q = input.toDS().toDF("vec_id", "embedding")
       .writeStream
-      .foreachBatch(StreamingOps.indexIngest(path))
+      .foreachBatch(StreamingOps.indexIngest(path, streamId = "ingest-a"))
       .outputMode(OutputMode.Append).start()
     val (b1, b2) = h2rows.splitAt(125)
     input.addData(b1: _*)
@@ -245,7 +245,7 @@ class StreamingOpsSpec extends SparkSpec {
     assert(full === brute)
 
     // a replayed batch id must be a no-op (the marker skip)
-    StreamingOps.indexIngest(path)(
+    StreamingOps.indexIngest(path, streamId = "ingest-a")(
       b1.toDF("vec_id", "embedding"), 0L)
     assert(spark.read.parquet(s"$path/vectors").count() === 500,
       "replaying an applied batch id must not re-append")
