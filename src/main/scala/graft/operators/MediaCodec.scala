@@ -332,21 +332,22 @@ object MediaCodec {
   }
 
   /** The m3 oracle fixture: one deterministic container per id, format
-    * rotating by id % 4, every parameter pure arithmetic in the id (so
+    * rotating by id % 5, every parameter pure arithmetic in the id (so
     * a SQL oracle recomputes the expected parse without any bytes).
     */
   def buildFixture(id: Long): Array[Byte] = {
     val w = (id % 199 + 1).toInt
     val h = (id % 97 + 1).toInt
-    (id % 4) match {
+    (id % 5) match {
       case 0 => buildPng(w, h, colorType = 6)
       case 1 => buildJpeg(w, h, channels = 3)
       case 2 => buildGif(w, h)
-      case _ => buildWav(
-        sampleRate = (8000 + (id % 5) * 2000).toInt,
+      case 3 => buildWav(
+        sampleRate = (8000 + (id % 7) * 2000).toInt,
         channels = (id % 2 + 1).toInt,
         bitsPerSample = 16,
         dataBytes = ((id % 50 + 1) * 1024).toInt)
+      case _ => buildWebp(w, h, alpha = id % 2 == 0)
     }
   }
 }

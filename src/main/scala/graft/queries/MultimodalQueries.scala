@@ -71,7 +71,7 @@ object MultimodalQueries extends QueryModule {
         ORDER BY media_id""")),
 
     // M3 — REAL container-header decoding: each doc id synthesizes a
-    // spec-conformant PNG/JPEG/GIF/WAV whose geometry is pure arithmetic
+    // spec-conformant PNG/JPEG/GIF/WAV/WEBP whose geometry is pure arithmetic
     // in the id (MediaCodec.buildFixture), and the typed mapPartitions
     // pass parses the actual bytes back (magic sniff, marker walk, chunk
     // walk). The oracle recomputes the expected parse arithmetically —
@@ -92,23 +92,26 @@ object MultimodalQueries extends QueryModule {
       },
       oracle = Some("""
         SELECT doc_id AS media_id,
-               CASE CAST(doc_id % 4 AS INT)
+               CASE CAST(doc_id % 5 AS INT)
                  WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-                 WHEN 2 THEN 'gif' ELSE 'wav' END AS format,
+                 WHEN 2 THEN 'gif' WHEN 3 THEN 'wav'
+                 ELSE 'webp' END AS format,
                TRUE AS valid,
-               CASE WHEN doc_id % 4 <= 2
+               CASE WHEN doc_id % 5 <> 3
                  THEN CAST(doc_id % 199 + 1 AS INT) END AS width,
-               CASE WHEN doc_id % 4 <= 2
+               CASE WHEN doc_id % 5 <> 3
                  THEN CAST(doc_id % 97 + 1 AS INT) END AS height,
-               CASE CAST(doc_id % 4 AS INT)
+               CASE CAST(doc_id % 5 AS INT)
                  WHEN 0 THEN 4 WHEN 1 THEN 3
-                 WHEN 3 THEN CAST(doc_id % 2 + 1 AS INT) END AS channels,
-               CASE WHEN doc_id % 4 = 3
-                 THEN CAST(8000 + (doc_id % 5) * 2000 AS INT)
+                 WHEN 3 THEN CAST(doc_id % 2 + 1 AS INT)
+                 WHEN 4 THEN CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END
+                 END AS channels,
+               CASE WHEN doc_id % 5 = 3
+                 THEN CAST(8000 + (doc_id % 7) * 2000 AS INT)
                  END AS sample_rate,
-               CASE WHEN doc_id % 4 = 3
+               CASE WHEN doc_id % 5 = 3
                  THEN CAST(((doc_id % 50 + 1) * 1024 * 1000)
-                   // ((8000 + (doc_id % 5) * 2000) * (doc_id % 2 + 1) * 2)
+                   // ((8000 + (doc_id % 7) * 2000) * (doc_id % 2 + 1) * 2)
                    AS BIGINT) END AS duration_ms
         FROM documents
         ORDER BY media_id"""))
