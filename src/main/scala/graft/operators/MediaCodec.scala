@@ -1,7 +1,7 @@
 package graft.operators
 
 /** Pure-JVM media container codec: parses the PUBLIC header formats
-  * (PNG, JPEG/JFIF, GIF, RIFF/WAVE, RIFF/WEBP) for dimensions /
+  * (PNG, JPEG/JFIF, GIF, RIFF/WAVE, RIFF/WEBP, FLAC) for dimensions /
   * channel layout /
   * duration directly from the leading bytes of a blob — the real
   * implementation behind [[MultimodalOps.decodeReal]] (this container
@@ -60,6 +60,7 @@ object MediaCodec {
     else if (b.length >= 8 && b.take(8).sameElements(pngSig)) "png"
     else if (u8(b, 0) == 0xff && u8(b, 1) == 0xd8) "jpeg"
     else if (ascii(b, 0, 4) == "GIF8") "gif"
+    else if (ascii(b, 0, 4) == "fLaC") "flac"
     else if (ascii(b, 0, 4) == "RIFF") {
       // RIFF is a family: the form type at offset 8 decides. A foreign
       // RIFF (AVI, ANI) or one truncated before its form type is
@@ -80,6 +81,7 @@ object MediaCodec {
     case "gif" => decodeGif(b)
     case "wav" => decodeWav(b)
     case "webp" => decodeWebp(b)
+    case "flac" => decodeFlac(b)
     case other => invalid(other)
   }
 
@@ -192,6 +194,31 @@ object MediaCodec {
       invalid("wav")
     else MediaInfo("wav", valid = true, None, None, Some(channels),
       Some(sampleRate.toInt), Some(dataSize * 1000L / byteRate))
+  }
+
+  /** FLAC: the STREAMINFO metadata block (mandatory first block per
+    * the spec) packs 20 bits of sample rate, 3 bits of channels-1 and
+    * 36 bits of total samples into bytes 10..17 of its 34-byte body;
+    * duration_ms = totalSamples * 1000 / sampleRate, absent when the
+    * stream declares 0 total samples (legal: length unknown).
+    */
+  private def decodeFlac(b: Array[Byte]): MediaInfo = {
+    // 4 magic + 4 block header + 34 STREAMINFO bytes
+    if (b.length < 42 || (u8(b, 4) & 0x7f) != 0) return invalid("flac")
+    val blockLen = (u8(b, 5) << 16) | (u8(b, 6) << 8) | u8(b, 7)
+    if (blockLen < 34) return invalid("flac")
+    val o = 8
+    val sampleRate =
+      (u8(b, o + 10) << 12) | (u8(b, o + 11) << 4) | (u8(b, o + 12) >> 4)
+    val channels = ((u8(b, o + 12) >> 1) & 0x7) + 1
+    val totalSamples =
+      ((u8(b, o + 13) & 0xf).toLong << 32) | (u8(b, o + 14).toLong << 24) |
+        (u8(b, o + 15).toLong << 16) | (u8(b, o + 16).toLong << 8) |
+        u8(b, o + 17).toLong
+    if (sampleRate <= 0) invalid("flac")
+    else MediaInfo("flac", valid = true, None, None, Some(channels),
+      Some(sampleRate),
+      if (totalSamples > 0) Some(totalSamples * 1000L / sampleRate) else None)
   }
 
   /** WEBP (RIFF): the first chunk decides the flavor. VP8X (extended)
@@ -310,6 +337,30 @@ object MediaCodec {
     out.putShort(bitsPerSample.toShort)
     out.put("data".getBytes).putInt(dataBytes)
     out.array() // data payload stays zeroed
+  }
+
+  /** Minimal FLAC: magic + a last-block STREAMINFO with the given
+    * stream parameters (frame/block sizes and md5 zeroed — the parsers
+    * here read neither).
+    */
+  def buildFlac(
+      sampleRate: Int,
+      channels: Int,
+      totalSamples: Long): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(42)
+    out.put("fLaC".getBytes)
+    out.put(0x80.toByte) // last-metadata-block flag + type 0 (STREAMINFO)
+    out.put(0.toByte).put(0.toByte).put(34.toByte)
+    out.putShort(4096.toShort).putShort(4096.toShort) // min/max block size
+    out.put(Array.fill(6)(0.toByte)) // min/max frame size (unknown)
+    out.put((sampleRate >> 12).toByte)
+    out.put(((sampleRate >> 4) & 0xff).toByte)
+    out.put((((sampleRate & 0xf) << 4) | ((channels - 1) << 1) |
+      ((16 - 1) >> 4)).toByte) // rate low | channels-1 | bps-1 high bit
+    out.put(((((16 - 1) & 0xf) << 4) |
+      ((totalSamples >> 32) & 0xf).toInt).toByte)
+    out.putInt((totalSamples & 0xffffffffL).toInt)
+    out.array() // trailing 16 md5 bytes stay zeroed by allocation
   }
 
   /** Minimal extended (VP8X) WEBP: RIFF header + VP8X chunk with the

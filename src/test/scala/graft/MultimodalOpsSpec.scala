@@ -67,6 +67,18 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(gif === MediaCodec.MediaInfo("gif", valid = true,
       Some(320), Some(200), None, None, None))
 
+    // FLAC STREAMINFO: 44.1 kHz stereo, 88200 samples = exactly 2 s
+    val flac = MediaCodec.decode(MediaCodec.buildFlac(44100, 2, 88200L))
+    assert(flac === MediaCodec.MediaInfo("flac", valid = true,
+      None, None, Some(2), Some(44100), Some(2000L)))
+    // >32-bit total-sample counts use the 36-bit field
+    assert(MediaCodec.decode(MediaCodec.buildFlac(8000, 1, 1L << 33))
+      .duration_ms === Some((1L << 33) * 1000 / 8000))
+    // zero total samples is legal FLAC (length unknown): valid, no duration
+    val unknownLen = MediaCodec.decode(MediaCodec.buildFlac(48000, 8, 0L))
+    assert(unknownLen.valid && unknownLen.duration_ms.isEmpty &&
+      unknownLen.channels === Some(8))
+
     // 44.1 kHz stereo 16-bit, 1s of samples: byteRate = 176400
     val wav = MediaCodec.decode(MediaCodec.buildWav(44100, 2, 16, 176400))
     assert(wav === MediaCodec.MediaInfo("wav", valid = true,
@@ -127,7 +139,8 @@ class MultimodalOpsSpec extends SparkSpec {
       "jpeg" -> MediaCodec.buildJpeg(100, 50),
       "gif" -> MediaCodec.buildGif(100, 50),
       "wav" -> MediaCodec.buildWav(8000, 1, 16, 64),
-      "webp" -> MediaCodec.buildWebp(100, 50))
+      "webp" -> MediaCodec.buildWebp(100, 50),
+      "flac" -> MediaCodec.buildFlac(44100, 2, 88200L))
     fixtures.foreach { case (fmt, full) =>
       val fullInfo = MediaCodec.decode(full)
       assert(fullInfo.valid, s"$fmt full must parse")
