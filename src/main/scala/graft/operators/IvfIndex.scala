@@ -136,8 +136,8 @@ object IvfIndex {
   }
 
   private def cachedCodebook(
-      spark: SparkSession, path: String): Map[Int, Array[Double]] =
-    stampedGet(codebookCache, path, metaStamp(spark, path)) {
+      spark: SparkSession, path: String, stamp: Long): Map[Int, Array[Double]] =
+    stampedGet(codebookCache, path, stamp) {
       codebookReads.incrementAndGet()
       import spark.implicits._
       spark.read.parquet(s"$path/codebook")
@@ -147,8 +147,9 @@ object IvfIndex {
     }
 
   private def cachedPqCodebook(
-      spark: SparkSession, path: String): Seq[(Int, Int, Int, Double)] =
-    stampedGet(pqCodebookCache, path, metaStamp(spark, path)) {
+      spark: SparkSession, path: String,
+      stamp: Long): Seq[(Int, Int, Int, Double)] =
+    stampedGet(pqCodebookCache, path, stamp) {
       import spark.implicits._
       spark.read.parquet(s"$path/pq_codebook")
         .as[(Int, Int, Int, Double)].collect().toSeq
@@ -159,11 +160,13 @@ object IvfIndex {
   private def fsFor(spark: SparkSession, s: String) =
     hadoopPath(s).getFileSystem(spark.sessionState.newHadoopConf())
 
+  // one thread-safe Jackson mapper for the sidecar (reader and writer)
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   private def writeMeta(spark: SparkSession, path: String, meta: Meta): Unit = {
     // column names are caller data — JSON-escape them (a quote or
     // backslash in a column name must not write a corrupt sidecar)
-    def jstr(v: String): String = new com.fasterxml.jackson.databind
-      .ObjectMapper().writeValueAsString(v)
+    def jstr(v: String): String = jsonMapper.writeValueAsString(v)
     val pqJson = meta.pq.fold("null") { p =>
       s"""{"numSub":${p.numSub},"kCodes":${p.kCodes},"iters":${p.iters},""" +
         s""""residual":${p.residual}}"""
@@ -179,14 +182,21 @@ object IvfIndex {
 
   /** Read the `<path>/_meta` sidecar (cached per path, stamp-checked). */
   def readMeta(spark: SparkSession, path: String): Meta =
-    stampedGet(metaCache, path, metaStamp(spark, path)) {
+    metaAt(spark, path, metaStamp(spark, path))
+
+  // Internal stamped forms: every public entry point stats _meta ONCE
+  // and threads the stamp to each cache it touches — a query must not
+  // pay one FS stat per cache (on an object store each is a network
+  // round-trip), and one stamp per call is the same coherence guarantee.
+  private def metaAt(spark: SparkSession, path: String, stamp: Long): Meta =
+    stampedGet(metaCache, path, stamp) {
       val p = hadoopPath(s"$path/_meta")
       val fs = fsFor(spark, path)
       val len = fs.getFileStatus(p).getLen.toInt
       val buf = new Array[Byte](len)
       val in = fs.open(p)
       try in.readFully(0, buf) finally in.close()
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = jsonMapper
         .readTree(new String(buf, StandardCharsets.UTF_8))
       val version = Option(node.get("version")).map(_.asInt).getOrElse(-1)
       require(version == 1,
@@ -203,9 +213,10 @@ object IvfIndex {
   /** (cell, __centroid array<double>) rows from the cached codebook — the
     * broadcastable probe/residual side (kCells rows of metadata).
     */
-  private def centroidDf(spark: SparkSession, path: String): DataFrame = {
+  private def centroidDf(
+      spark: SparkSession, path: String, stamp: Long): DataFrame = {
     import spark.implicits._
-    cachedCodebook(spark, path).toSeq
+    cachedCodebook(spark, path, stamp).toSeq
       .map { case (cell, c) => (cell, c) }
       .toDF("cell", "__centroid")
   }
@@ -272,8 +283,12 @@ object IvfIndex {
     // the final write consumed the residual checkpoint — release its
     // corpus-scale blocks now, not at GC: a JVM that builds many indexes
     // (the oracle harness builds one per invocation) would otherwise
-    // accumulate ~corpus-size block-manager pressure per build
-    residCheckpoint.foreach(_.unpersist())
+    // accumulate ~corpus-size block-manager pressure per build. NOTE
+    // Dataset.unpersist() does NOT do this (it only routes to the
+    // CacheManager; checkpoint blocks are RDD-level) — the bridge
+    // unpersists the underlying checkpointed RDD itself.
+    residCheckpoint.foreach(
+      org.apache.spark.sql.graftbridge.CheckpointBridge.release)
     // a rebuild is a new incarnation: stale replay markers must not mask
     // the new stream's batch ids (ADVICE r9)
     val fs = fsFor(spark, path)
@@ -309,10 +324,11 @@ object IvfIndex {
       nprobe: Int,
       k: Int,
       where: Option[Column] = None): DataFrame = {
-    val meta = readMeta(spark, path)
+    val stamp = metaStamp(spark, path)
+    val meta = metaAt(spark, path, stamp)
     require(queryVec.length == meta.dims,
       s"query vector has ${queryVec.length} dims, index expects ${meta.dims}")
-    val probed = probeCells(spark, path, queryVec, nprobe)
+    val probed = probeCells(spark, path, queryVec, nprobe, stamp)
     val qv = typedlit(queryVec)
     val vectors = spark.read.parquet(s"$path/vectors")
       .filter(col("cell").isin(probed: _*))
@@ -343,10 +359,11 @@ object IvfIndex {
       nprobe: Int,
       refine: Int,
       where: Option[Column] = None): DataFrame = {
-    val meta = readMeta(spark, path)
+    val stamp = metaStamp(spark, path)
+    val meta = metaAt(spark, path, stamp)
     val (queries, excludeSelf) = singleAsBatch(spark, meta, queryVec, excludeId)
-    adcCandidateBatch(spark, path, meta, queries, excludeSelf, nprobe, refine,
-      where)
+    adcCandidateBatch(spark, path, meta, stamp, queries, excludeSelf, nprobe,
+      refine, where)
       .select(col(meta.idCol), col("cell"), col("ad2"))
       .orderBy(col("ad2").asc, col(meta.idCol).asc)
   }
@@ -376,10 +393,11 @@ object IvfIndex {
       k: Int,
       refine: Int,
       where: Option[Column] = None): DataFrame = {
-    val meta = readMeta(spark, path)
+    val stamp = metaStamp(spark, path)
+    val meta = metaAt(spark, path, stamp)
     val (queries, excludeSelf) = singleAsBatch(spark, meta, queryVec, excludeId)
-    adcBatchImpl(spark, path, meta, queries, excludeSelf, nprobe, k, refine,
-      where)
+    adcBatchImpl(spark, path, meta, stamp, queries, excludeSelf, nprobe, k,
+      refine, where)
       .drop("qid")
   }
 
@@ -428,13 +446,14 @@ object IvfIndex {
       path: String,
       embeddings: DataFrame): Unit = {
     import spark.implicits._
-    val meta = readMeta(spark, path)
+    val stamp = metaStamp(spark, path)
+    val meta = metaAt(spark, path, stamp)
     val idCol = meta.idCol
     val vecCol = meta.vecCol
     // both codebooks ride the driver caches: a streaming ingest appends
     // every trigger interval, and re-reading two parquet artifacts per
     // micro-batch is pure latency (append never mutates either)
-    val cbDf = cachedCodebook(spark, path).toSeq
+    val cbDf = cachedCodebook(spark, path, stamp).toSeq
       .flatMap { case (cell, arr) =>
         arr.zipWithIndex.map { case (v, dim) => (cell, dim, v) }
       }.toDF("cluster", "dim", "c")
@@ -443,10 +462,10 @@ object IvfIndex {
       .select(col(idCol), col("cluster").as("cell"))
     val withCell = embeddings.join(assign, Seq(idCol))
     val rows = meta.pq.fold(withCell) { p =>
-      val pqCb = cachedPqCodebook(spark, path)
+      val pqCb = cachedPqCodebook(spark, path, stamp)
       val base =
         if (!p.residual) embeddings.select(col(idCol), col(vecCol))
-        else withCell.join(broadcast(centroidDf(spark, path)), Seq("cell"))
+        else withCell.join(broadcast(centroidDf(spark, path, stamp)), Seq("cell"))
           .select(col(idCol),
             zip_with(col(vecCol).cast("array<double>"), col("__centroid"),
               (a, b) => a - b).as(vecCol))
@@ -481,7 +500,7 @@ object IvfIndex {
       path: String,
       ids: DataFrame): Unit = {
     import spark.implicits._
-    val meta = readMeta(spark, path)
+    val meta = readMeta(spark, path)  // one stat; delete touches no cache
     val idCol = meta.idCol
     val src = s"$path/vectors"
     val vectors = spark.read.parquet(src)
@@ -518,7 +537,8 @@ object IvfIndex {
         affected.filterNot(alive).foreach { cell =>
           fs.delete(hadoopPath(s"$src/cell=$cell"), true)
         }
-      } finally survivors.unpersist()
+      } finally org.apache.spark.sql.graftbridge.CheckpointBridge
+        .release(survivors)
     }
   }
 
@@ -616,9 +636,10 @@ object IvfIndex {
       k: Int,
       where: Option[Column] = None): DataFrame = {
     import spark.implicits._
-    val meta = readMeta(spark, path)
+    val stamp = metaStamp(spark, path)
+    val meta = metaAt(spark, path, stamp)
     val idCol = meta.idCol
-    val probed = probeBatch(spark, path, meta, queries, nprobe)
+    val probed = probeBatch(spark, path, meta, stamp, queries, nprobe)
     // union of probed cells: <= kCells ints — metadata, like a broadcast
     // threshold decision; keeps partition pruning for selective batches
     val cells = probed.select(col("cell")).distinct().as[Int].collect().toSeq
@@ -668,11 +689,17 @@ object IvfIndex {
 
   /** Shared chunking harness for the batch serving paths. The query
     * frame's upstream plan evaluates ONCE (checkpointed before the
-    * count, so counting reads materialized blocks), and both
-    * checkpoints release deterministically: the batch-scale one as soon
-    * as the per-chunk results are materialized, the (much smaller,
-    * k-rows-per-query) result one when the caller drops the returned
-    * frame — the big vector-bearing blocks never wait for GC.
+    * count, so counting reads materialized blocks), the chunk-
+    * assignment window evaluates ONCE (the assigned frame is itself
+    * checkpointed — per-chunk filters re-read its blocks instead of
+    * re-running the full-batch window shuffle per chunk, and
+    * row_number ties can never re-resolve differently between chunks),
+    * and every batch-scale checkpoint is released eagerly through
+    * [[org.apache.spark.sql.graftbridge.CheckpointBridge]] (a plain
+    * Dataset.unpersist does NOT free checkpoint blocks — they are
+    * RDD-level storage, not CacheManager entries). Only the small
+    * (k-rows-per-query) result checkpoint rides until the caller
+    * drops it.
     */
   private def chunkedOver(
       spark: SparkSession,
@@ -681,7 +708,8 @@ object IvfIndex {
       maxBatch: Int,
       run: DataFrame => DataFrame): DataFrame = {
     require(maxBatch > 0, s"maxBatch ($maxBatch) must be positive")
-    val meta = readMeta(spark, path)
+    val bridge = org.apache.spark.sql.graftbridge.CheckpointBridge
+    val meta = readMeta(spark, path)  // one stat; chunk ids need only idCol
     val base = queries.localCheckpoint()
     try {
       val n = base.count()
@@ -694,15 +722,18 @@ object IvfIndex {
             pmod(xxhash64(col(meta.idCol)), lit(groups)).cast("int"))
           .withColumn("__sub",
             ((row_number().over(wSub) - 1) / maxBatch).cast("int"))
-        val ids = chunked.select(col("__h"), col("__sub")).distinct()
-          .collect().map(r => (r.getInt(0), r.getInt(1))).sorted
-        ids.map { case (h, sub) =>
-          run(chunked
-            .filter(col("__h") === h && col("__sub") === sub)
-            .drop("__h", "__sub"))
-        }.reduce(_ unionAll _).localCheckpoint()
+          .localCheckpoint()
+        try {
+          val ids = chunked.select(col("__h"), col("__sub")).distinct()
+            .collect().map(r => (r.getInt(0), r.getInt(1))).sorted
+          ids.map { case (h, sub) =>
+            run(chunked
+              .filter(col("__h") === h && col("__sub") === sub)
+              .drop("__h", "__sub"))
+          }.reduce(_ unionAll _).localCheckpoint()
+        } finally bridge.release(chunked)
       }
-    } finally base.unpersist()
+    } finally bridge.release(base)
   }
 
   /** In-plan probe shared by the batch paths: (__qid, __qvec, cell) —
@@ -714,9 +745,10 @@ object IvfIndex {
       spark: SparkSession,
       path: String,
       meta: Meta,
+      stamp: Long,
       queries: DataFrame,
       nprobe: Int): DataFrame = {
-    val cbVec = broadcast(centroidDf(spark, path)
+    val cbVec = broadcast(centroidDf(spark, path, stamp)
       .withColumnRenamed("__centroid", "centroid"))
     val wProbe = Window.partitionBy(col("__qid"))
       .orderBy(col("__csim").desc, col("cell").asc)
@@ -747,15 +779,16 @@ object IvfIndex {
       spark: SparkSession,
       path: String,
       meta: Meta,
+      stamp: Long,
       queries: DataFrame,
       excludeSelf: Boolean,
       nprobe: Int,
       refine: Int,
       where: Option[Column]): DataFrame = {
     import spark.implicits._
-    val probed = probeBatch(spark, path, meta, queries, nprobe)
+    val probed = probeBatch(spark, path, meta, stamp, queries, nprobe)
     val cells = probed.select(col("cell")).distinct().as[Int].collect().toSeq
-    adcCandidateBatchFrom(spark, path, meta, probed, cells, excludeSelf,
+    adcCandidateBatchFrom(spark, path, meta, stamp, probed, cells, excludeSelf,
       refine, where)
   }
 
@@ -763,6 +796,7 @@ object IvfIndex {
       spark: SparkSession,
       path: String,
       meta: Meta,
+      stamp: Long,
       probed: DataFrame,
       cells: Seq[Int],
       excludeSelf: Boolean,
@@ -774,7 +808,8 @@ object IvfIndex {
         "write(..., pq = Some(...))"))
     val dsubLen = meta.dims / pq.numSub
     import spark.implicits._
-    val pqCb = cachedPqCodebook(spark, path).toDF("sub", "code", "dsub", "c")
+    val pqCb = cachedPqCodebook(spark, path, stamp)
+      .toDF("sub", "code", "dsub", "c")
 
     // the query side of the table: residual layouts subtract the probed
     // cell's centroid first (per-(qid, cell) tables); raw layouts share
@@ -783,7 +818,7 @@ object IvfIndex {
       if (pq.residual) Seq("__qid", "cell") else Seq("__qid")
     val qDims =
       if (pq.residual)
-        probed.join(broadcast(centroidDf(spark, path)), Seq("cell"))
+        probed.join(broadcast(centroidDf(spark, path, stamp)), Seq("cell"))
           .select(col("__qid"), col("cell"),
             posexplode(zip_with(col("__qvec").cast("array<double>"),
               col("__centroid"), (a, b) => a - b)).as(Seq("dim", "v0")))
@@ -853,8 +888,9 @@ object IvfIndex {
       k: Int,
       refine: Int,
       where: Option[Column] = None): DataFrame = {
-    val meta = readMeta(spark, path)
-    adcBatchImpl(spark, path, meta, queries, excludeSelf = true,
+    val stamp = metaStamp(spark, path)
+    val meta = metaAt(spark, path, stamp)
+    adcBatchImpl(spark, path, meta, stamp, queries, excludeSelf = true,
       nprobe, k, refine, where)
   }
 
@@ -879,6 +915,7 @@ object IvfIndex {
       spark: SparkSession,
       path: String,
       meta: Meta,
+      stamp: Long,
       queries: DataFrame,
       excludeSelf: Boolean,
       nprobe: Int,
@@ -888,10 +925,10 @@ object IvfIndex {
     require(refine >= k, s"refine ($refine) must be >= k ($k)")
     import spark.implicits._
     val idCol = meta.idCol
-    val probed = probeBatch(spark, path, meta, queries, nprobe)
+    val probed = probeBatch(spark, path, meta, stamp, queries, nprobe)
     val cells = probed.select(col("cell")).distinct().as[Int].collect().toSeq
     val candidates = adcCandidateBatchFrom(
-      spark, path, meta, probed, cells, excludeSelf, refine, where)
+      spark, path, meta, stamp, probed, cells, excludeSelf, refine, where)
       .select(col("__qid"), col(idCol), col("cell"))
     // exact re-rank: candidates join the vectors BY ID, with the scan
     // partition-pruned to the probed cells (candidates cannot come from
@@ -919,8 +956,9 @@ object IvfIndex {
       spark: SparkSession,
       path: String,
       queryVec: Array[Double],
-      nprobe: Int): Seq[Int] = {
-    val codebook = cachedCodebook(spark, path)
+      nprobe: Int,
+      stamp: Long): Seq[Int] = {
+    val codebook = cachedCodebook(spark, path, stamp)
     // driver-side strict left folds — identical order to the DotFold
     // expression, so cell choice matches the distributed formulation
     def dot(a: Array[Double], b: Array[Double]): Double = {

@@ -755,13 +755,16 @@ class IvfIndexSpec extends SparkSpec {
         Option(src.listFiles).foreach(_.foreach(c =>
           cp(c, new java.io.File(dst, c.getName))))
       } else {
-        java.nio.file.Files.copy(src.toPath, dst.toPath)
-        dst.setLastModified(System.currentTimeMillis()): Unit
+        java.nio.file.Files.copy(src.toPath, dst.toPath): Unit
       }
     }
-    Thread.sleep(20) // outrun filesystem mtime granularity
+    val oldStamp = new java.io.File(servePath, "_meta").lastModified
     rm(new java.io.File(servePath))
     cp(new java.io.File(otherPath), new java.io.File(servePath))
+    // force the stamp across ANY filesystem mtime granularity (a
+    // same-second rebuild must still invalidate)
+    assert(new java.io.File(servePath, "_meta")
+      .setLastModified(oldStamp + 2000))
 
     val after = ask()
     assert(after.nonEmpty && after.forall(_ < 250),
