@@ -113,10 +113,20 @@ object IvfIndex {
   private def stampedGet[T](
       cache: java.util.concurrent.ConcurrentHashMap[String, Stamped[T]],
       path: String,
-      stamp: Long)(load: => T): T =
-    cache.compute(path, (_, prev) =>
-      if (prev != null && prev.stamp == stamp) prev
-      else Stamped(stamp, load)).value
+      stamp: Long)(load: => T): T = {
+    // The loader is a distributed read + collect — never run it under the
+    // map's bin lock (compute() would serialize unrelated first-touch
+    // loads that hash together, and a re-entrant loader would throw).
+    // Racing loaders may both read; last-put wins — both hold the same
+    // stamp's data, so either value is correct.
+    val prev = cache.get(path)
+    if (prev != null && prev.stamp == stamp) prev.value
+    else {
+      val fresh = Stamped(stamp, load)
+      cache.put(path, fresh)
+      fresh.value
+    }
+  }
 
   /** Number of physical codebook loads (test observability: IvfIndexSpec
     * asserts N single queries against one index load the codebook once).
@@ -246,49 +256,48 @@ object IvfIndex {
     val dims = cent.map(_._2).max + 1
     cent.toDF("cell", "dim", "c").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/codebook")
-    val withCell = embeddings
+    // With PQ, materialize the assignment join ONCE: its lineage (a join
+    // over the exploded corpus + two aggregations) otherwise re-runs for
+    // every consumer — each pqFit Lloyd's scan, pqEncode, and the final
+    // layout write (measured ~2x on the v14 build). Corpus-scale blocks,
+    // but write() materializes the corpus anyway; released in the
+    // finally (even on a failed write — the r10-advice leak). Without PQ
+    // the join has exactly one consumer (the layout write), so the plain
+    // lazy frame costs nothing extra and no checkpoint is taken. NOTE
+    // Dataset.unpersist() does NOT free checkpoint blocks (it only
+    // routes to the CacheManager; checkpoints are RDD-level storage) —
+    // the bridge unpersists the checkpointed RDD itself.
+    val joined = embeddings
       .join(assign.select(col(idCol), col("cluster").as("cell")), Seq(idCol))
-    var residCheckpoint: Option[DataFrame] = None
-    val rows = pq.fold(withCell) { p =>
-      // what gets quantized: raw vectors, or (residual=true) each
-      // vector's offset from its own cell centroid — same deterministic
-      // pqFit/pqEncode either way, over a derived column
-      val base =
-        if (!p.residual) embeddings.select(col(idCol), col(vecCol))
-        else {
-          val centArr = broadcast(cent.groupBy(_._1).toSeq
-            .map { case (c, rs) => (c, rs.sortBy(_._2).map(_._3)) }
-            .toDF("cell", "__centroid"))
-          // materialize the residuals ONCE: their lineage contains the
-          // coarse assignment (a join + two aggregations), which pqFit
-          // would otherwise recompute on every Lloyd's scan and pqEncode
-          // once more — measured ~2x on the v14 build. Corpus-scale
-          // storage, but write() is materializing the corpus anyway.
-          val r = withCell.join(centArr, Seq("cell"))
-            .select(col(idCol),
-              zip_with(col(vecCol).cast("array<double>"), col("__centroid"),
-                (a, b) => a - b).as(vecCol))
-            .localCheckpoint()
-          residCheckpoint = Some(r)
-          r
-        }
-      val cb = SimilarityOps.pqFit(
-        base, idCol, vecCol, p.numSub, p.kCodes, p.iters)
-      cb.toDF("sub", "code", "dsub", "c").coalesce(1)
-        .write.mode("overwrite").parquet(s"$path/pq_codebook")
-      withCell.join(
-        SimilarityOps.pqEncode(base, idCol, vecCol, cb), Seq(idCol))
-    }
-    rows.write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
-    // the final write consumed the residual checkpoint — release its
-    // corpus-scale blocks now, not at GC: a JVM that builds many indexes
-    // (the oracle harness builds one per invocation) would otherwise
-    // accumulate ~corpus-size block-manager pressure per build. NOTE
-    // Dataset.unpersist() does NOT do this (it only routes to the
-    // CacheManager; checkpoint blocks are RDD-level) — the bridge
-    // unpersists the underlying checkpointed RDD itself.
-    residCheckpoint.foreach(
-      org.apache.spark.sql.graftbridge.CheckpointBridge.release)
+    val withCell = if (pq.isDefined) joined.localCheckpoint() else joined
+    try {
+      val rows = pq.fold(withCell) { p =>
+        // what gets quantized: raw vectors, or (residual=true) each
+        // vector's offset from its own cell centroid — same deterministic
+        // pqFit/pqEncode either way, over a derived column. The residual
+        // zip_with recomputes from the materialized assignment blocks per
+        // scan: map-side arithmetic, no join or shuffle re-runs.
+        val base =
+          if (!p.residual) withCell.select(col(idCol), col(vecCol))
+          else {
+            val centArr = broadcast(cent.groupBy(_._1).toSeq
+              .map { case (c, rs) => (c, rs.sortBy(_._2).map(_._3)) }
+              .toDF("cell", "__centroid"))
+            withCell.join(centArr, Seq("cell"))
+              .select(col(idCol),
+                zip_with(col(vecCol).cast("array<double>"), col("__centroid"),
+                  (a, b) => a - b).as(vecCol))
+          }
+        val cb = SimilarityOps.pqFit(
+          base, idCol, vecCol, p.numSub, p.kCodes, p.iters)
+        cb.toDF("sub", "code", "dsub", "c").coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/pq_codebook")
+        withCell.join(
+          SimilarityOps.pqEncode(base, idCol, vecCol, cb), Seq(idCol))
+      }
+      rows.write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    } finally if (pq.isDefined)
+      org.apache.spark.sql.graftbridge.CheckpointBridge.release(withCell)
     // a rebuild is a new incarnation: stale replay markers must not mask
     // the new stream's batch ids (ADVICE r9)
     val fs = fsFor(spark, path)
@@ -582,6 +591,7 @@ object IvfIndex {
     val src = s"$path/vectors"
     val tmp = s"$path/vectors_compacting"
     val old = s"$path/vectors_old"
+    recoverSwap(spark, src, tmp, old)
     spark.read.parquet(src)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp)
@@ -598,6 +608,38 @@ object IvfIndex {
     must(fs.rename(hadoopPath(tmp), hadoopPath(src)), s"rename $tmp -> $src")
     must(fs.delete(hadoopPath(old), true), s"delete $old")
     invalidateCache(path)
+  }
+
+  /** Roll a crashed [[compact]] swap forward or back so a re-run (or any
+    * read) finds `vectors` in place (ADVICE r10: a crash BETWEEN the two
+    * renames left no `vectors` directory and the next compact failed at
+    * the read). The swap only starts after the compacted copy is fully
+    * written, so when `vectors` is missing: a present `vectors_compacting`
+    * is a COMPLETE superseding copy — roll forward (finish the second
+    * rename); otherwise a present `vectors_old` is the complete
+    * pre-compact layout — roll back. With `vectors` in place there is
+    * nothing to recover (a stale sibling from a crash before the first
+    * rename is a partial write; [[compact]] clears/overwrites it).
+    */
+  private def recoverSwap(
+      spark: SparkSession, src: String, tmp: String, old: String): Unit = {
+    val fs = fsFor(spark, src)
+    if (!fs.exists(hadoopPath(src))) {
+      def must(ok: Boolean, step: String): Unit =
+        if (!ok) throw new IllegalStateException(
+          s"compact swap recovery: $step failed — layout left under " +
+            s"$src/$tmp/$old, no data deleted")
+      if (fs.exists(hadoopPath(tmp))) {
+        must(fs.rename(hadoopPath(tmp), hadoopPath(src)),
+          s"roll-forward rename $tmp -> $src")
+        if (fs.exists(hadoopPath(old)))
+          must(fs.delete(hadoopPath(old), true),
+            s"roll-forward delete $old")
+      } else if (fs.exists(hadoopPath(old))) {
+        must(fs.rename(hadoopPath(old), hadoopPath(src)),
+          s"roll-back rename $old -> $src")
+      }
+    }
   }
 
   /** Batched serving query: one top-k PER QUERY ROW against the
@@ -675,6 +717,13 @@ object IvfIndex {
     * collect and the count are metadata-scale. Chunk membership does
     * not affect results — any disjoint cover unions to the same top-k
     * set (parity pinned in IvfIndexSpec).
+    *
+    * The returned frame is `localCheckpoint()`ed (result-scale: at most
+    * k rows per query — the per-chunk inputs it was computed from are
+    * already released). A caller serving MANY chunked batches from one
+    * JVM should release each result once consumed via
+    * [[org.apache.spark.sql.graftbridge.CheckpointBridge.release]] —
+    * a plain `unpersist()` does not free checkpoint blocks.
     */
   def queryBatchChunked(
       spark: SparkSession,
@@ -699,7 +748,15 @@ object IvfIndex {
     * Dataset.unpersist does NOT free checkpoint blocks — they are
     * RDD-level storage, not CacheManager entries). Only the small
     * (k-rows-per-query) result checkpoint rides until the caller
-    * drops it.
+    * releases it (documented on the public entry points).
+    *
+    * The query frame is narrowed to exactly (idCol, vecCol) — all the
+    * batch paths read — BEFORE chunking: the internal working columns
+    * (__h, __sub here; __qid.. in probeBatch) can then never collide
+    * with a same-named caller column and silently chunk corrupted data
+    * (ADVICE r10), and the checkpoint stores no dead columns. A frame
+    * missing the index's columns fails the select with the column name
+    * in the error.
     */
   private def chunkedOver(
       spark: SparkSession,
@@ -709,8 +766,10 @@ object IvfIndex {
       run: DataFrame => DataFrame): DataFrame = {
     require(maxBatch > 0, s"maxBatch ($maxBatch) must be positive")
     val bridge = org.apache.spark.sql.graftbridge.CheckpointBridge
-    val meta = readMeta(spark, path)  // one stat; chunk ids need only idCol
-    val base = queries.localCheckpoint()
+    val meta = readMeta(spark, path)  // one stat; chunking reads only meta cols
+    val base = queries
+      .select(col(meta.idCol), col(meta.vecCol))
+      .localCheckpoint()
     try {
       val n = base.count()
       if (n <= maxBatch) run(base).localCheckpoint()
@@ -897,7 +956,10 @@ object IvfIndex {
   /** [[queryAdcBatch]] for query batches too large to broadcast — the
     * ADC twin of [[queryBatchChunked]]: same two-level deterministic
     * chunking, each slice running the full in-plan ADC + exact re-rank
-    * over its OWN probed cells, results unioned.
+    * over its OWN probed cells, results unioned. The result is
+    * checkpointed — release it once consumed via
+    * [[org.apache.spark.sql.graftbridge.CheckpointBridge.release]]
+    * (see [[queryBatchChunked]]).
     */
   def queryAdcBatchChunked(
       spark: SparkSession,

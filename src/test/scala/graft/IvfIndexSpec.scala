@@ -853,4 +853,77 @@ class IvfIndexSpec extends SparkSpec {
     assert(!new java.io.File(s"$path/vectors_compacting").exists)
     assert(spark.read.parquet(s"$path/vectors").count() === 500)
   }
+
+  test("compact recovers a crash BETWEEN the swap renames: roll-forward " +
+    "from vectors_compacting, roll-back from vectors_old") {
+    val emb = Tables(spark, dir, "embeddings")
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfcr_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/index"
+    IvfIndex.write(emb, "vec_id", "embedding", kCells = 2, trainIters = 2,
+      path = path)
+    val src = new java.io.File(s"$path/vectors")
+    val tmp = new java.io.File(s"$path/vectors_compacting")
+    val old = new java.io.File(s"$path/vectors_old")
+
+    // crash state A (after rename 1, before the compacted copy landed —
+    // tmp was already consumed or never completed): vectors is GONE, the
+    // complete pre-compact layout sits in vectors_old — before the fix a
+    // re-run died at spark.read.parquet(vectors) (ADVICE r10)
+    assert(src.renameTo(old))
+    IvfIndex.compact(spark, path) // must roll BACK from old, then compact
+    assert(src.exists && !tmp.exists && !old.exists)
+    assert(spark.read.parquet(s"$path/vectors").count() === 500)
+
+    // crash state B: vectors gone, compacted copy complete in
+    // vectors_compacting (crash right before the second rename)
+    assert(src.renameTo(tmp))
+    IvfIndex.compact(spark, path) // must roll forward from tmp, then compact
+    assert(src.exists && !tmp.exists && !old.exists)
+    assert(spark.read.parquet(s"$path/vectors").count() === 500)
+  }
+
+  test("chunked serving ignores extra caller columns — a query frame " +
+    "carrying a __h column chunks on clean data (reserved-name collision)") {
+    val emb = Tables(spark, dir, "embeddings")
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfhc_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/index"
+    IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
+      path = path)
+    val clean = emb.filter($"vec_id" < 12)
+    // the collision case the advice flagged: withColumn REPLACES the
+    // chunker's hash column, so before the narrowing fix every row
+    // landed in one corrupt chunk group
+    val dirty = clean
+      .withColumn("__h", lit(999))
+      .withColumn("__sub", lit(-1))
+      .withColumn("extra", lit("x"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"vec_id", $"sim", $"rank")
+        .as[(Long, Long, Double, Int)].collect().sortBy(t => (t._1, t._4)).toSeq
+    val want = rows(IvfIndex.queryBatch(spark, path, clean, nprobe = 2, k = 5))
+    val got = rows(IvfIndex.queryBatchChunked(
+      spark, path, dirty, nprobe = 2, k = 5, maxBatch = 5))
+    assert(got === want)
+  }
+
+  test("a FAILED PQ write still releases its corpus-scale checkpoint " +
+    "(try/finally, not success-path-only)") {
+    val emb = Tables(spark, dir, "embeddings")
+    val d = java.nio.file.Files.createTempDirectory("graft_ivffl_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/index"
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // numSub=7 does not divide 64 dims: pqFit throws AFTER write() has
+    // checkpointed the assignment join — the r10-advice leak window
+    intercept[IllegalArgumentException] {
+      IvfIndex.write(emb, "vec_id", "embedding", kCells = 2, trainIters = 2,
+        path = path,
+        pq = Some(IvfIndex.Pq(numSub = 7, kCodes = 4, iters = 1)))
+    }
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"failed write leaked checkpoint RDDs: ${after -- before}")
+  }
 }
