@@ -251,53 +251,37 @@ object IvfIndex {
       pq: Option[Pq] = None): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val (assign, cent) = SimilarityOps.kmeansFit(
+    val (_, cent) = SimilarityOps.kmeansFit(
       embeddings, idCol, vecCol, kCells, trainIters)
     val dims = cent.map(_._2).max + 1
     cent.toDF("cell", "dim", "c").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/codebook")
-    // With PQ, materialize the assignment join ONCE: its lineage (a join
-    // over the exploded corpus + two aggregations) otherwise re-runs for
-    // every consumer — each pqFit Lloyd's scan, pqEncode, and the final
-    // layout write (measured ~2x on the v14 build). Corpus-scale blocks,
-    // but write() materializes the corpus anyway; released in the
-    // finally (even on a failed write — the r10-advice leak). Without PQ
-    // the join has exactly one consumer (the layout write), so the plain
-    // lazy frame costs nothing extra and no checkpoint is taken. NOTE
-    // Dataset.unpersist() does NOT free checkpoint blocks (it only
-    // routes to the CacheManager; checkpoints are RDD-level storage) —
-    // the bridge unpersists the checkpointed RDD itself.
-    val joined = embeddings
-      .join(assign.select(col(idCol), col("cluster").as("cell")), Seq(idCol))
-    val withCell = if (pq.isDefined) joined.localCheckpoint() else joined
-    try {
-      val rows = pq.fold(withCell) { p =>
-        // what gets quantized: raw vectors, or (residual=true) each
-        // vector's offset from its own cell centroid — same deterministic
-        // pqFit/pqEncode either way, over a derived column. The residual
-        // zip_with recomputes from the materialized assignment blocks per
-        // scan: map-side arithmetic, no join or shuffle re-runs.
-        val base =
-          if (!p.residual) withCell.select(col(idCol), col(vecCol))
-          else {
-            val centArr = broadcast(cent.groupBy(_._1).toSeq
-              .map { case (c, rs) => (c, rs.sortBy(_._2).map(_._3)) }
-              .toDF("cell", "__centroid"))
-            withCell.join(centArr, Seq("cell"))
-              .select(col(idCol),
-                zip_with(col(vecCol).cast("array<double>"), col("__centroid"),
-                  (a, b) => a - b).as(vecCol))
-          }
-        val cb = SimilarityOps.pqFit(
-          base, idCol, vecCol, p.numSub, p.kCodes, p.iters)
-        cb.toDF("sub", "code", "dsub", "c").coalesce(1)
-          .write.mode("overwrite").parquet(s"$path/pq_codebook")
-        withCell.join(
-          SimilarityOps.pqEncode(base, idCol, vecCol, cb), Seq(idCol))
-      }
-      rows.write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
-    } finally if (pq.isDefined)
-      org.apache.spark.sql.graftbridge.CheckpointBridge.release(withCell)
+    // Everything after the fit is MAP-SIDE: the cell is an in-row argmin
+    // against the literal codebook ([[SimilarityOps.attachCell]]), the
+    // residual an in-row zip_with, the PQ codes in-row argmins — no
+    // assignment frame joined back on the id, no corpus-scale shuffle or
+    // checkpoint anywhere in the build. pqFit re-scans the input once
+    // per Lloyd's round and the layout write scans it once more; at
+    // corpus scale re-scanning parquet is the right trade (a 100 TB
+    // corpus cannot sit in the block manager, and each scan is
+    // embarrassingly parallel).
+    val centArrs = SimilarityOps.centroidArrays(cent)
+    val withCell = SimilarityOps.attachCell(embeddings, vecCol, centArrs, "cell")
+    val rows = pq.fold(withCell) { p =>
+      // what gets quantized: raw vectors, or (residual=true) each
+      // vector's offset from its own cell centroid
+      val withBase = withCell.withColumn("__base",
+        if (!p.residual) col(vecCol).cast("array<double>")
+        else SimilarityOps.residualTo(col(vecCol), col("cell"), centArrs))
+      val cb = SimilarityOps.pqFit(
+        withBase.select(col(idCol), col("__base").as(vecCol)),
+        idCol, vecCol, p.numSub, p.kCodes, p.iters)
+      cb.toDF("sub", "code", "dsub", "c").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/pq_codebook")
+      SimilarityOps.attachPqCodes(withBase, col("__base"), cb, "codes")
+        .drop("__base")
+    }
+    rows.write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
     // a rebuild is a new incarnation: stale replay markers must not mask
     // the new stream's batch ids (ADVICE r9)
     val fs = fsFor(spark, path)
@@ -454,32 +438,25 @@ object IvfIndex {
       spark: SparkSession,
       path: String,
       embeddings: DataFrame): Unit = {
-    import spark.implicits._
     val stamp = metaStamp(spark, path)
     val meta = metaAt(spark, path, stamp)
     val idCol = meta.idCol
     val vecCol = meta.vecCol
     // both codebooks ride the driver caches: a streaming ingest appends
     // every trigger interval, and re-reading two parquet artifacts per
-    // micro-batch is pure latency (append never mutates either)
-    val cbDf = cachedCodebook(spark, path, stamp).toSeq
-      .flatMap { case (cell, arr) =>
-        arr.zipWithIndex.map { case (v, dim) => (cell, dim, v) }
-      }.toDF("cluster", "dim", "c")
-    val assign = SimilarityOps.assignToCodebook(
-      SimilarityOps.explodeVec(embeddings, idCol, vecCol), idCol, cbDf)
-      .select(col(idCol), col("cluster").as("cell"))
-    val withCell = embeddings.join(assign, Seq(idCol))
+    // micro-batch is pure latency (append never mutates either). The
+    // whole pass is map-side — cell, residual, and codes are in-row
+    // expressions against the literal codebooks, one scan of only the
+    // new rows, no joins.
+    val centArrs = cachedCodebook(spark, path, stamp).toSeq
+    val withCell = SimilarityOps.attachCell(embeddings, vecCol, centArrs, "cell")
     val rows = meta.pq.fold(withCell) { p =>
       val pqCb = cachedPqCodebook(spark, path, stamp)
-      val base =
-        if (!p.residual) embeddings.select(col(idCol), col(vecCol))
-        else withCell.join(broadcast(centroidDf(spark, path, stamp)), Seq("cell"))
-          .select(col(idCol),
-            zip_with(col(vecCol).cast("array<double>"), col("__centroid"),
-              (a, b) => a - b).as(vecCol))
-      withCell.join(
-        SimilarityOps.pqEncode(base, idCol, vecCol, pqCb), Seq(idCol))
+      val withBase = withCell.withColumn("__base",
+        if (!p.residual) col(vecCol).cast("array<double>")
+        else SimilarityOps.residualTo(col(vecCol), col("cell"), centArrs))
+      SimilarityOps.attachPqCodes(withBase, col("__base"), pqCb, "codes")
+        .drop("__base")
     }
     rows.write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
   }

