@@ -780,4 +780,101 @@ object SimilarityOps {
       .limit(k)
       .withColumn("rank", row_number().over(ranked))
   }
+
+  // -------------------------------------------------------------------
+  // Scalar quantization (SQ8) — the third compression path, between raw
+  // vectors and PQ: each dimension quantizes INDEPENDENTLY to an 8-bit
+  // code against a per-dimension (min, max) range learned from the
+  // corpus. 4x smaller than float32 at far better fidelity than PQ's
+  // numSub ints (PQ wins on compression ratio, SQ8 on recall — the
+  // standard serving trade, e.g. faiss's SQ8 vs PQ index families).
+  // The "codebook" is 2 x dims doubles of driver-resident metadata;
+  // encode and dequantize are in-row transforms (zero shuffles, exactly
+  // like the PQ encode path); serving scores dequantized vectors with
+  // the shared deterministic cosine, so results are engine-portable and
+  // oracle-checkable bit for bit.
+  // -------------------------------------------------------------------
+
+  /** Learn the per-dimension (min, max) quantization ranges — the SQ8
+    * codebook. One exploded aggregation whose groups are the dims
+    * (partial-agged map-side; min/max SELECT input values rather than
+    * accumulate, so the fit is exact and engine-portable by nature).
+    * Returns dim-ordered (min, max) pairs.
+    */
+  def sq8Fit(embeddings: DataFrame, vecCol: String): Seq[(Double, Double)] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    embeddings
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .orderBy(col("dim"))
+      .as[(Int, Double, Double)].collect()
+      .map { case (_, mn, mx) => (mn, mx) }.toSeq
+  }
+
+  /** SQ8 codes for a vector column: code_i = round((v_i - min_i) * 255 /
+    * (max_i - min_i)), array<int> in dim order (a constant dimension
+    * encodes 0 — decided per dim on the driver, where min == max is
+    * exact). In-corpus values land in 0..255 by construction; the same
+    * expression shape in SQL reproduces the codes bit for bit (double
+    * subtraction/multiplication/division are IEEE-portable, and
+    * half-up rounding of non-negative arguments matches round-half-away).
+    */
+  def sq8EncodeCol(vec: Column, minMax: Seq[(Double, Double)]): Column = {
+    require(minMax.nonEmpty, "empty SQ8 codebook")
+    val mnLit = typedlit(minMax.map(_._1))
+    val mxLit = typedlit(minMax.map(_._2))
+    val flat = typedlit(minMax.map { case (mn, mx) => mn == mx })
+    transform(vec.cast("array<double>"), (v, i) =>
+      when(element_at(flat, i + 1), lit(0))
+        .otherwise(round((v - element_at(mnLit, i + 1)) * lit(255.0) /
+          (element_at(mxLit, i + 1) - element_at(mnLit, i + 1)), 0)
+          .cast("int")))
+  }
+
+  /** Reconstruct the quantized approximation: vhat_i = min_i + code_i *
+    * (max_i - min_i) / 255. The serving-side inverse of
+    * [[sq8EncodeCol]]; per-element double arithmetic, engine-portable.
+    */
+  def sq8DequantCol(codes: Column, minMax: Seq[(Double, Double)]): Column = {
+    require(minMax.nonEmpty, "empty SQ8 codebook")
+    val mnLit = typedlit(minMax.map(_._1))
+    val mxLit = typedlit(minMax.map(_._2))
+    transform(codes, (q, i) =>
+      element_at(mnLit, i + 1) + q.cast("double") *
+        (element_at(mxLit, i + 1) - element_at(mnLit, i + 1)) / lit(255.0))
+  }
+
+  /** SQ8 ANN end-to-end: learn ranges, encode the corpus, rank the
+    * DEQUANTIZED vectors by the shared deterministic cosine against one
+    * query vector — fit+encode+serve coupled for the oracle harness,
+    * like [[pqTopK]] (a serving path builds the codes once and reuses
+    * them). Output: (idCol, sim, rank), k rows — [[bruteForceTopK]]'s
+    * shape over the compressed representation; at full fidelity
+    * (255 >> spread) the ranking approaches the exact one, measured in
+    * Sq8Spec. Scan shape: encode and dequantize are in-row, the query
+    * broadcasts, TakeOrderedAndProject keeps k rows per partition — no
+    * vector ever shuffles.
+    */
+  def sq8TopK(
+      embeddings: DataFrame,
+      query: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val query1 = singleQueryGuard(query, idCol, "sq8TopK")
+    val mm = sq8Fit(embeddings, vecCol)
+    val ranked = Window.orderBy(col("sim").desc, col(idCol).asc)
+    embeddings
+      .select(col(idCol),
+        sq8DequantCol(sq8EncodeCol(col(vecCol), mm), mm).as("__vhat"))
+      .join(broadcast(query1.select(col(idCol).as("__qid"),
+        col(vecCol).as("__qvec"))))
+      .filter(col(idCol) =!= col("__qid"))
+      .select(col(idCol), cosine(col("__vhat"), col("__qvec")).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(ranked))
+  }
 }

@@ -899,6 +899,48 @@ object SimilarityQueries extends QueryModule {
         FROM topk
         ORDER BY rank""")),
 
+    // V16 — SQ8 scalar quantization: per-dimension (min, max) ranges
+    // learned from the corpus, 8-bit codes, serving over DEQUANTIZED
+    // vectors with the shared deterministic cosine. The oracle replays
+    // the whole pipeline in SQL — min/max are exact selections, the
+    // encode/dequantize expressions mirror the Scala shapes term for
+    // term (IEEE double ops; half-up rounding of non-negative args ==
+    // round-half-away), and the final cosine is the established
+    // list_reduce fold — so codes, reconstructions, and ranking all
+    // hash-match bit for bit.
+    "v16_sq8_topk" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimilarityOps.sq8TopK(
+          emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 10)
+          .orderBy(col("rank"))
+      },
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT vec_id, i AS dim, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+          FROM embeddings, range(1, 65) t(i)),
+        mm AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY 1),
+        deq AS (
+          SELECT e.vec_id,
+                 list(mm.mn + (CASE WHEN mm.mx = mm.mn THEN 0
+                       ELSE CAST(round((e.v - mm.mn) * 255.0 /
+                              (mm.mx - mm.mn), 0) AS INT) END)
+                    * (mm.mx - mm.mn) / 255.0 ORDER BY e.dim) AS vhat
+          FROM e JOIN mm ON e.dim = mm.dim
+          GROUP BY 1),
+        q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+              WHERE vec_id = 0),
+        scored AS (
+          SELECT d.vec_id, ${cosineSql("d.vhat", "q.qe")} AS sim
+          FROM deq d, q
+          WHERE d.vec_id <> q.qid),
+        topk AS (
+          SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10)
+        SELECT vec_id, sim,
+               CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank
+        FROM topk
+        ORDER BY rank""")),
+
     // V11 — PQ + ADC over TRAINED codebooks (iters = 2): exercises the
     // Lloyd's update inside pqFit — assignment against the seed codebook,
     // then decimal-exact per-(sub, code, dsub) means — which v10's seed-
