@@ -76,9 +76,14 @@ object IvfIndex {
   final case class Pq(
       numSub: Int, kCodes: Int, iters: Int, residual: Boolean = false)
 
-  /** The persisted self-description of an index (`<path>/_meta`). */
+  /** The persisted self-description of an index (`<path>/_meta`).
+    * `sq8` records whether the layout carries per-vector SQ8 codes (the
+    * per-dim ranges live at `<path>/sq8_codebook`); absent in sidecars
+    * written before the field existed, which reads as false.
+    */
   final case class Meta(
-      idCol: String, vecCol: String, kCells: Int, dims: Int, pq: Option[Pq])
+      idCol: String, vecCol: String, kCells: Int, dims: Int, pq: Option[Pq],
+      sq8: Boolean = false)
 
   // ---- driver-side caches, keyed by index path --------------------------
   // The codebook is kCells x dims doubles and the meta a few hundred
@@ -96,6 +101,8 @@ object IvfIndex {
     new java.util.concurrent.ConcurrentHashMap[String, Stamped[Map[Int, Array[Double]]]]()
   private val pqCodebookCache =
     new java.util.concurrent.ConcurrentHashMap[String, Stamped[Seq[(Int, Int, Int, Double)]]]()
+  private val sq8CodebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Stamped[Seq[(Double, Double)]]]()
   private val metaCache =
     new java.util.concurrent.ConcurrentHashMap[String, Stamped[Meta]]()
 
@@ -141,6 +148,7 @@ object IvfIndex {
   def invalidateCache(path: String): Unit = {
     codebookCache.remove(path)
     pqCodebookCache.remove(path)
+    sq8CodebookCache.remove(path)
     metaCache.remove(path)
     ()
   }
@@ -165,6 +173,16 @@ object IvfIndex {
         .as[(Int, Int, Int, Double)].collect().toSeq
     }
 
+  /** Dim-ordered (min, max) SQ8 ranges (driver cache, stamp-checked). */
+  private def cachedSq8Codebook(
+      spark: SparkSession, path: String, stamp: Long): Seq[(Double, Double)] =
+    stampedGet(sq8CodebookCache, path, stamp) {
+      import spark.implicits._
+      spark.read.parquet(s"$path/sq8_codebook")
+        .as[(Int, Double, Double)].collect().sortBy(_._1)
+        .map { case (_, mn, mx) => (mn, mx) }.toSeq
+    }
+
   private def hadoopPath(s: String) = new org.apache.hadoop.fs.Path(s)
 
   private def fsFor(spark: SparkSession, s: String) =
@@ -183,7 +201,8 @@ object IvfIndex {
     }
     val json =
       s"""{"version":1,"idCol":${jstr(meta.idCol)},"vecCol":${jstr(meta.vecCol)},""" +
-        s""""kCells":${meta.kCells},"dims":${meta.dims},"pq":$pqJson}"""
+        s""""kCells":${meta.kCells},"dims":${meta.dims},"pq":$pqJson,""" +
+        s""""sq8":${meta.sq8}}"""
     val p = hadoopPath(s"$path/_meta")
     val fs = fsFor(spark, path)
     val out = fs.create(p, true)
@@ -217,7 +236,9 @@ object IvfIndex {
           n.get("residual").asBoolean)
       }
       Meta(node.get("idCol").asText, node.get("vecCol").asText,
-        node.get("kCells").asInt, node.get("dims").asInt, pq)
+        node.get("kCells").asInt, node.get("dims").asInt, pq,
+        // absent in pre-sq8 sidecars -> false (still version 1)
+        Option(node.get("sq8")).exists(_.asBoolean))
     }
 
   /** (cell, __centroid array<double>) rows from the cached codebook — the
@@ -248,7 +269,8 @@ object IvfIndex {
       kCells: Int,
       trainIters: Int,
       path: String,
-      pq: Option[Pq] = None): Unit = {
+      pq: Option[Pq] = None,
+      sq8: Boolean = false): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val (_, cent) = SimilarityOps.kmeansFit(
@@ -267,7 +289,7 @@ object IvfIndex {
     // embarrassingly parallel).
     val centArrs = SimilarityOps.centroidArrays(cent)
     val withCell = SimilarityOps.attachCell(embeddings, vecCol, centArrs, "cell")
-    val rows = pq.fold(withCell) { p =>
+    val withPq = pq.fold(withCell) { p =>
       // what gets quantized: raw vectors, or (residual=true) each
       // vector's offset from its own cell centroid
       val withBase = withCell.withColumn("__base",
@@ -281,12 +303,25 @@ object IvfIndex {
       SimilarityOps.attachPqCodes(withBase, col("__base"), cb, "codes")
         .drop("__base")
     }
+    val rows =
+      if (!sq8) withPq
+      else {
+        // SQ8 quantizes the RAW vectors per dimension (independent of
+        // the coarse cells); ranges fit in one exploded partial-agged
+        // pass, the codes attach in-row — same map-side discipline
+        val mm = SimilarityOps.sq8Fit(embeddings, vecCol)
+        mm.zipWithIndex.map { case ((mn, mx), dim) => (dim, mn, mx) }
+          .toDF("dim", "mn", "mx").coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/sq8_codebook")
+        withPq.withColumn("sq8",
+          SimilarityOps.sq8EncodeCol(col(vecCol), mm))
+      }
     rows.write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
     // a rebuild is a new incarnation: stale replay markers must not mask
     // the new stream's batch ids (ADVICE r9)
     val fs = fsFor(spark, path)
     fs.delete(hadoopPath(s"$path/_appended"), true)
-    writeMeta(spark, path, Meta(idCol, vecCol, kCells, dims, pq))
+    writeMeta(spark, path, Meta(idCol, vecCol, kCells, dims, pq, sq8))
     invalidateCache(path)
   }
 
@@ -433,6 +468,10 @@ object IvfIndex {
     * instead). Cell drift is the known cost of append-only IVF: as the
     * corpus grows away from the frozen codebook, cells skew — rebuild
     * cadence is an operational knob, and [[write]] is the rebuild.
+    * (SQ8 codes of appended rows use the frozen per-dim ranges too: a
+    * value outside the original [min, max] encodes outside 0..255 and
+    * dequantizes by the same linear inverse — consistent extrapolation,
+    * not an error; range drift is another rebuild signal.)
     */
   def append(
       spark: SparkSession,
@@ -450,7 +489,7 @@ object IvfIndex {
     // new rows, no joins.
     val centArrs = cachedCodebook(spark, path, stamp).toSeq
     val withCell = SimilarityOps.attachCell(embeddings, vecCol, centArrs, "cell")
-    val rows = meta.pq.fold(withCell) { p =>
+    val withPq = meta.pq.fold(withCell) { p =>
       val pqCb = cachedPqCodebook(spark, path, stamp)
       val withBase = withCell.withColumn("__base",
         if (!p.residual) col(vecCol).cast("array<double>")
@@ -458,6 +497,10 @@ object IvfIndex {
       SimilarityOps.attachPqCodes(withBase, col("__base"), pqCb, "codes")
         .drop("__base")
     }
+    val rows =
+      if (!meta.sq8) withPq
+      else withPq.withColumn("sq8", SimilarityOps.sq8EncodeCol(col(vecCol),
+        cachedSq8Codebook(spark, path, stamp)))
     rows.write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
   }
 
@@ -969,10 +1012,26 @@ object IvfIndex {
     val candidates = adcCandidateBatchFrom(
       spark, path, meta, stamp, probed, cells, excludeSelf, refine, where)
       .select(col("__qid"), col(idCol), col("cell"))
-    // exact re-rank: candidates join the vectors BY ID, with the scan
-    // partition-pruned to the probed cells (candidates cannot come from
-    // anywhere else) — the full-vector read touches nprobe-scale data
-    // and only k-proportional rows reach the final window
+    exactReRank(spark, path, meta, queries, candidates, cells, k)
+  }
+
+  /** Shared exact re-rank tail of the compressed serving paths: the
+    * surviving (qid, id) candidates equi-join the full vectors BY ID,
+    * with the scan partition-pruned to the probed cells (candidates
+    * cannot come from anywhere else) — the full-vector read touches
+    * nprobe-scale data and only k-proportional rows reach the final
+    * window. Output: (qid, idCol, cell, sim, rank), rank 1..k per qid
+    * by exact cosine.
+    */
+  private def exactReRank(
+      spark: SparkSession,
+      path: String,
+      meta: Meta,
+      queries: DataFrame,
+      candidates: DataFrame,
+      cells: Seq[Int],
+      k: Int): DataFrame = {
+    val idCol = meta.idCol
     val qv = broadcast(queries
       .select(col(idCol).as("__qid"), col(meta.vecCol).as("__qvec")))
     candidates
@@ -985,6 +1044,95 @@ object IvfIndex {
       .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col("sim").desc, col(idCol).asc)))
       .filter(col("rank") <= k)
+  }
+
+  /** IVF x SQ8 serving for ONE query vector — [[querySq8Batch]] with a
+    * 1-row batch (shared plan, no driver round-trips), output matching
+    * [[query]]/[[queryAdc]]: (idCol, cell, sim, rank).
+    */
+  def querySq8(
+      spark: SparkSession,
+      path: String,
+      queryVec: Array[Double],
+      excludeId: Option[Long],
+      nprobe: Int,
+      k: Int,
+      refine: Int,
+      where: Option[Column] = None): DataFrame = {
+    val stamp = metaStamp(spark, path)
+    val meta = metaAt(spark, path, stamp)
+    val (queries, excludeSelf) = singleAsBatch(spark, meta, queryVec, excludeId)
+    sq8BatchImpl(spark, path, meta, stamp, queries, excludeSelf, nprobe, k,
+      refine, where)
+      .drop("qid")
+  }
+
+  /** Batched IVF x SQ8 serving: the probed cells' SQ8 codes (4x smaller
+    * than the vectors, column-pruned — the vector column is unread in
+    * the first pass) rank every candidate by the cosine of its
+    * DEQUANTIZED reconstruction, each query's `refine` best survive
+    * (per-query WindowGroupLimit), and the exact cosine re-rank of the
+    * survivors' full vectors is k-scale — [[queryAdcBatch]]'s shape
+    * with the ADC tables replaced by in-row dequantization. SQ8 sits
+    * between the raw and PQ serving modes: ~4x less candidate-scan IO
+    * than raw at near-exact fidelity (PQ compresses harder, ranks
+    * coarser). At full probe and refine >= candidates the result equals
+    * [[queryBatch]] exactly (pinned in IvfIndexSpec). `where` is
+    * filtered vector search on the compressed path, same contract as
+    * [[queryAdcBatch]].
+    */
+  def querySq8Batch(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      nprobe: Int,
+      k: Int,
+      refine: Int,
+      where: Option[Column] = None): DataFrame = {
+    val stamp = metaStamp(spark, path)
+    val meta = metaAt(spark, path, stamp)
+    sq8BatchImpl(spark, path, meta, stamp, queries, excludeSelf = true,
+      nprobe, k, refine, where)
+  }
+
+  private def sq8BatchImpl(
+      spark: SparkSession,
+      path: String,
+      meta: Meta,
+      stamp: Long,
+      queries: DataFrame,
+      excludeSelf: Boolean,
+      nprobe: Int,
+      k: Int,
+      refine: Int,
+      where: Option[Column]): DataFrame = {
+    require(refine >= k, s"refine ($refine) must be >= k ($k)")
+    require(meta.sq8,
+      s"index at $path has no SQ8 codes — build with write(..., sq8 = true)")
+    import spark.implicits._
+    val idCol = meta.idCol
+    val probed = probeBatch(spark, path, meta, stamp, queries, nprobe)
+    val cells = probed.select(col("cell")).distinct().as[Int].collect().toSeq
+    val mm = cachedSq8Codebook(spark, path, stamp)
+    // metadata predicate BEFORE the column prune so it may reference any
+    // indexed column; it reaches the pruned scan as a PushedFilter
+    val scan = spark.read.parquet(s"$path/vectors")
+    val codes = where.fold(scan)(scan.filter)
+      .select(col(idCol), col("cell"), col("sq8"))
+      .filter(col("cell").isin(cells: _*))
+      .join(broadcast(probed), Seq("cell"))
+    val wApprox = Window.partitionBy(col("__qid"))
+      .orderBy(col("__asim").desc, col(idCol).asc)
+    val candidates = (if (excludeSelf) codes.filter(col(idCol) =!= col("__qid"))
+      else codes)
+      .select(col("__qid"), col(idCol), col("cell"),
+        SimilarityOps.cosine(
+          SimilarityOps.sq8DequantCol(col("sq8"), mm), col("__qvec"))
+          .as("__asim"))
+      .withColumn("__arank", row_number().over(wApprox))
+      .filter(col("__arank") <= refine)
+      .select(col("__qid"), col(idCol), col("cell"))
+    exactReRank(spark, path, meta, queries, candidates, cells, k)
   }
 
   /** The `nprobe` closest cells to the query by cosine against the

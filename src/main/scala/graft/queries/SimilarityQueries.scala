@@ -941,6 +941,47 @@ object SimilarityQueries extends QueryModule {
         FROM topk
         ORDER BY rank""")),
 
+    // V17 — IVF x SQ8 under the oracle gate: the index stores SQ8 codes
+    // alongside the vectors, the serving query ranks candidates by the
+    // cosine of their dequantized reconstructions (codes-only first
+    // pass) and exact-re-ranks the survivors. At FULL probe and full
+    // refine the candidate set provably covers the corpus, so the end
+    // result must equal plain per-query brute force (v14's trick on the
+    // SQ8 path) — a hash-checked gate on the whole
+    // fit/encode/persist/serve round-trip; the approximate ORDERING
+    // quality is pinned separately (Sq8Spec overlap floor, v16's
+    // bit-exact dequantized ranking).
+    "v17_index_sq8" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val path = freshIndexDir("v17_") + "/index"
+        graft.operators.IvfIndex.write(
+          emb, "vec_id", "embedding", kCells = 4, trainIters = 2, path,
+          sq8 = true)
+        val qvec = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .as[Array[Double]].head()
+        graft.operators.IvfIndex.querySq8(
+          s, path, qvec, excludeId = Some(0L), nprobe = 4, k = 10,
+          refine = 100000)
+          .select(col("vec_id"), col("sim"), col("rank"))
+          .orderBy(col("rank"))
+      },
+      oracle = Some(s"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                   WHERE vec_id = 0),
+        scored AS (
+          SELECT e.vec_id, ${cosineSql("e.embedding", "q.qe")} AS sim
+          FROM embeddings e, q
+          WHERE e.vec_id <> q.qid),
+        topk AS (
+          SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10)
+        SELECT vec_id, sim,
+               CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank
+        FROM topk
+        ORDER BY rank""")),
+
     // V11 — PQ + ADC over TRAINED codebooks (iters = 2): exercises the
     // Lloyd's update inside pqFit — assignment against the seed codebook,
     // then decimal-exact per-(sub, code, dsub) means — which v10's seed-

@@ -908,6 +908,68 @@ class IvfIndexSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("IVF x SQ8: the codes-only first pass never reads vectors, " +
+    "full probe + full refine == exact query, and append maintains codes") {
+    val emb = Tables(spark, dir, "embeddings")
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfsq_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/index"
+    IvfIndex.write(emb.filter($"vec_id" < 400), "vec_id", "embedding",
+      kCells = 4, trainIters = 2, path = path, sq8 = true)
+    IvfIndex.append(spark, path, emb.filter($"vec_id" >= 400))
+    assert(IvfIndex.readMeta(spark, path).sq8)
+    // appended rows carry codes: no nulls anywhere in the layout
+    assert(spark.read.parquet(s"$path/vectors")
+      .filter($"sq8".isNull).count() === 0)
+
+    val qvec = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).as[Array[Double]].head()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"cell", $"sim", $"rank")
+        .as[(Long, Int, Double, Int)].collect().sortBy(_._4).toSeq
+    // full probe + refine >= corpus: must equal the exact path
+    val sq8Full = IvfIndex.querySq8(spark, path, qvec, excludeId = Some(0L),
+      nprobe = 4, k = 10, refine = 100000)
+    assert(rows(sq8Full) === rows(IvfIndex.query(spark, path, qvec,
+      excludeId = Some(0L), nprobe = 4, k = 10)))
+
+    // an ACTIVE refine cut still recovers the exact top-10 here (SQ8
+    // fidelity is near-exact on this fixture; deterministic, so pinned)
+    val sq8Cut = IvfIndex.querySq8(spark, path, qvec, excludeId = Some(0L),
+      nprobe = 4, k = 10, refine = 30)
+    assert(rows(sq8Cut) === rows(sq8Full))
+
+    // the candidate pass reads codes, never the vector column: of the
+    // two parquet scans in the plan, the sq8 one must not read embedding
+    val plan = sq8Cut.queryExecution.executedPlan.toString
+    val scanSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toSeq
+    assert(scanSchemas.exists(s => s.contains("sq8") && !s.contains("embedding")),
+      plan.take(4000))
+    // and the scans are partition-pruned to the probed cells
+    assert("PartitionFilters: \\[.*cell.*(IN|in)".r.findFirstIn(plan).isDefined,
+      plan)
+
+    // batch parity: a 1-row batch matches the single-query path
+    val batch = IvfIndex.querySq8Batch(spark, path,
+      emb.filter($"vec_id" === 0), nprobe = 4, k = 10, refine = 30)
+      .select($"vec_id", $"cell", $"sim", $"rank")
+      .as[(Long, Int, Double, Int)].collect().sortBy(_._4).toSeq
+    assert(batch === rows(sq8Cut))
+
+    // filtered vector search on the SQ8 path: full-probe filtered ==
+    // filtered brute force over the corpus
+    val filtered = IvfIndex.querySq8(spark, path, qvec, excludeId = Some(0L),
+      nprobe = 4, k = 5, refine = 100000, where = Some($"label" === 2))
+      .select($"vec_id", $"sim", $"rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    val brute = SimilarityOps.bruteForceTopK(
+      emb.filter($"label" === 2), emb.filter($"vec_id" === 0),
+      "vec_id", "embedding", 5)
+      .select($"vec_id", $"sim", $"rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    assert(filtered === brute)
+  }
+
   test("a FAILED PQ write still releases its corpus-scale checkpoint " +
     "(try/finally, not success-path-only)") {
     val emb = Tables(spark, dir, "embeddings")
