@@ -469,4 +469,133 @@ object TextOps {
         coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
         col("dup_3gram_frac"))
   }
+
+  // -------------------------------------------------------------------
+  // Trained byte-pair encoding — the tokenizer-training operator a
+  // pretraining pipeline runs over its corpus (t1's "BPE-ish regex" is
+  // a fixed approximation; this LEARNS the merges). The formulation is
+  // the one real trainers use at scale: the corpus collapses to a
+  // (word, count) table in ONE scan/shuffle — the vocabulary is orders
+  // of magnitude smaller than 100 TB of text — and every merge round
+  // then runs on the word table alone: pair counting is an exploded
+  // partial-agged aggregation weighted by word count, the argmax
+  // (count desc, pair asc — deterministic) collects ONE row, and the
+  // merge applies map-side as a literal replace. Symbols are single
+  // chars: merge r rewrites its pair to the private-use char
+  // U+E000+r-1, so "adjacent pair" stays "two chars" in every round —
+  // both pair extraction (substring) and merge application (leftmost
+  // non-overlapping replace) are plain engine-portable string ops, and
+  // the whole training unrolls in SQL for the oracle gate.
+  // -------------------------------------------------------------------
+
+  /** The merge symbol for merge rank r (1-based): U+E000 + r - 1. Input
+    * text containing private-use chars would collide — the standard
+    * trainer assumption (real tokenizers byte-escape first).
+    */
+  private def mergeChar(rank: Int): String = (0xE000 + rank - 1).toChar.toString
+
+  /** (word, cnt) vocabulary table of a document frame: whitespace
+    * pre-tokenization (BPE merges never cross word boundaries), one
+    * corpus scan, vocabulary-scale output.
+    */
+  def bpeWordTable(docs: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(explode(split(col(textCol), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** The symbol string of `word` after applying merges 1..n in training
+    * order (each literal, leftmost-non-overlapping — the greedy BPE
+    * application order).
+    */
+  def bpeApplyCol(word: Column, merges: Seq[(Int, String)]): Column =
+    merges.sortBy(_._1).foldLeft(word) { case (c, (rank, pair)) =>
+      replace(c, lit(pair), lit(mergeChar(rank)))
+    }
+
+  /** Train `numMerges` BPE merges over a document frame. Returns
+    * (rank, pair, weightedCount) in training order, where `pair` is the
+    * two-symbol string that merge rewrites (later ranks may reference
+    * earlier merge chars) and `weightedCount` the OVERLAPPING adjacent-
+    * pair count over the vocabulary at selection time, weighted by word
+    * frequency — the classic get_stats/merge loop. Ties break to the
+    * lexicographically smallest pair; training stops early when no word
+    * has two symbols left. The word table is materialized once
+    * (vocabulary-scale — safe to hold even for a 100 TB corpus) and
+    * released deterministically.
+    */
+  def bpeTrain(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      numMerges: Int): Seq[(Int, String, Long)] = {
+    require(numMerges > 0 && numMerges <= 6400,
+      s"numMerges ($numMerges) must be in 1..6400 (the private-use plane)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = bpeWordTable(docs, textCol).localCheckpoint()
+    try {
+      var merges = List.empty[(Int, String, Long)]
+      var r = 1
+      var exhausted = false
+      while (r <= numMerges && !exhausted) {
+        val sym = bpeApplyCol(col("word"),
+          merges.map { case (rk, p, _) => (rk, p) })
+        val top = words
+          .select(col("cnt"), sym.as("sym"))
+          .filter(length(col("sym")) >= 2)
+          .select(col("cnt"),
+            explode(sequence(lit(1), length(col("sym")) - 1)).as("i"),
+            col("sym"))
+          .select(expr("substring(sym, i, 2)").as("pair"), col("cnt"))
+          .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("pair").asc)
+          .limit(1)
+          .as[(String, Long)].collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          merges = (r, top.head._1, top.head._2) :: merges
+          r += 1
+        }
+      }
+      merges.reverse
+    } finally org.apache.spark.sql.graftbridge.CheckpointBridge.release(words)
+  }
+
+  /** Surface string of every merge symbol: rank -> the concatenation of
+    * its pair with earlier merge chars recursively expanded (driver-side
+    * metadata — the human-readable vocab entry for each merge).
+    */
+  def bpeSurfaceForms(merges: Seq[(Int, String, Long)]): Map[Int, String] = {
+    val byRank = merges.map { case (r, p, _) => r -> p }.toMap
+    def expand(s: String): String = s.flatMap { ch =>
+      val cp = ch.toInt
+      if (cp >= 0xE000 && cp < 0xE000 + 6400) {
+        byRank.get(cp - 0xE000 + 1).map(expand)
+          .getOrElse(ch.toString)
+      } else ch.toString
+    }
+    merges.map { case (r, p, _) => r -> expand(p) }.toMap
+  }
+
+  /** Tokenize a text column with a trained merge table: whitespace
+    * words, each rewritten by the merges in training order, symbols
+    * expanded back to surface strings — array<string> of BPE tokens,
+    * map-side (the merge table is a literal replace chain).
+    */
+  def bpeTokens(text: Column, merges: Seq[(Int, String, Long)]): Column = {
+    val nonEmptyWords = filter(split(text, "\\s+"), w => length(w) > 0)
+    if (merges.isEmpty)
+      flatten(transform(nonEmptyWords, w => split(w, "")))
+    else {
+      val surfaces = bpeSurfaceForms(merges)
+      val surfaceLit = typedlit(
+        merges.map { case (r, _, _) => (mergeChar(r), surfaces(r)) }.toMap)
+      flatten(transform(
+        nonEmptyWords,
+        w => transform(
+          split(bpeApplyCol(w, merges.map { case (r, p, _) => (r, p) }), ""),
+          ch => coalesce(element_at(surfaceLit, ch), ch))))
+    }
+  }
 }

@@ -853,6 +853,125 @@ object TextQueries extends QueryModule {
       oracle = Some(s"""
         SELECT doc_id, $simhashSql AS simhash
         FROM documents
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // T16 — TRAINED byte-pair encoding (t1's "BPE-ish" tokenization is a
+    // fixed regex; this LEARNS the merge table from the corpus). The
+    // Spark side trains on the (word, count) vocabulary table — one
+    // corpus scan, then one tiny aggregation per merge round — and the
+    // oracle unrolls the SAME get_stats/merge loop in SQL CTE rounds:
+    // overlapping adjacent symbol pairs weighted by word count, argmax
+    // with (count desc, pair asc) ties, literal leftmost replace to a
+    // private-use merge char. Output: the merge table with each merge's
+    // surface form recursively expanded, hash-checked per round.
+    "t16_bpe_train" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val merges = graft.operators.TextOps.bpeTrain(
+          t(s, dir, "documents"), "text", numMerges = 4)
+        val surfaces = graft.operators.TextOps.bpeSurfaceForms(merges)
+        merges.map { case (r, p, n) => (r, surfaces(r), n) }
+          .toDF("rank", "token", "n")
+          .orderBy(col("rank"))
+      },
+      oracle = Some(bpeTrainOracle(4))),
+
+    // T17 — tokenize WITH the trained merges: corpus token frequencies
+    // after 4 BPE rounds (the vocabulary histogram a tokenizer report
+    // shows). Spark tokenizes per document map-side (literal replace
+    // chain + surface expansion); the oracle counts symbol occurrences
+    // over the merged vocabulary table weighted by word count — the same
+    // totals by construction, so the top-20 hash-checks.
+    "t17_bpe_tokens" -> Q(
+      fn = (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = graft.operators.TextOps.bpeTrain(docs, "text", 4)
+        docs
+          .select(explode(
+            graft.operators.TextOps.bpeTokens(col("text"), merges))
+            .as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token").asc)
+          .limit(20)
+      },
+      oracle = Some(bpeTokensOracle(4, 20)))
   )
+
+  /** CTE chain for `rounds` BPE merges over the documents vocabulary:
+    * w0 = (sym, cnt); per round r: pr = weighted overlapping pair
+    * counts over w(r-1), mr = argmax, sr = surface form (prior merge
+    * chars expanded), wr = w(r-1) with the pair replaced by the merge
+    * char chr(0xE000 + r - 1).
+    */
+  private def bpeRoundsCte(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""
+        w0 AS (
+          SELECT word AS sym, count(*) AS cnt FROM (
+            SELECT unnest(string_split_regex(text, '\s+')) AS word
+            FROM documents) t
+          WHERE length(word) > 0
+          GROUP BY 1)""")
+    (1 to rounds).foreach { r =>
+      val mc = 0xE000 + r - 1
+      sb.append(s""",
+        p$r AS (
+          SELECT substr(sym, CAST(i AS INT), 2) AS pair, sum(cnt) AS n
+          FROM (SELECT sym, cnt,
+                       unnest(generate_series(1,
+                         CAST(length(sym) - 1 AS BIGINT))) AS i
+                FROM w${r - 1}
+                WHERE length(sym) >= 2) t
+          GROUP BY 1),
+        m$r AS (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1),
+        s$r AS (SELECT ${expandSql(r, s"(SELECT pair FROM m$r)")} AS tok),
+        w$r AS (
+          SELECT replace(sym, (SELECT pair FROM m$r), chr($mc)) AS sym, cnt
+          FROM w${r - 1})""")
+    }
+    sb.toString
+  }
+
+  /** SQL that expands merge chars 1..r-1 inside `expr` to their surface
+    * forms (nested replace chain — each round's char can only reference
+    * earlier rounds).
+    */
+  private def expandSql(r: Int, expr: String): String =
+    (1 until r).foldLeft(expr) { (acc, k) =>
+      s"replace($acc, chr(${0xE000 + k - 1}), (SELECT tok FROM s$k))"
+    }
+
+  private def bpeTrainOracle(rounds: Int): String = {
+    val rows = (1 to rounds).map { r =>
+      s"SELECT $r AS rank, (SELECT tok FROM s$r) AS token, " +
+        s"(SELECT n FROM m$r) AS n"
+    }.mkString("\n        UNION ALL ")
+    s"""
+        WITH ${bpeRoundsCte(rounds)}
+        $rows
+        ORDER BY rank"""
+  }
+
+  private def bpeTokensOracle(rounds: Int, topK: Int): String = {
+    // expand ALL rounds' merge chars in one symbol (chars from round k
+    // can appear in later vocab tables)
+    val tokenExpr = (1 to rounds).foldLeft("sym_char") { (acc, k) =>
+      s"replace($acc, chr(${0xE000 + k - 1}), (SELECT tok FROM s$k))"
+    }
+    s"""
+        WITH ${bpeRoundsCte(rounds)},
+        chars AS (
+          SELECT substr(sym, CAST(i AS INT), 1) AS sym_char, cnt
+          FROM (SELECT sym, cnt,
+                       unnest(generate_series(1, CAST(length(sym) AS BIGINT)))
+                         AS i
+                FROM w$rounds) t),
+        toks AS (
+          SELECT $tokenExpr AS token, sum(cnt) AS n
+          FROM chars
+          GROUP BY 1)
+        SELECT token, n FROM toks
+        ORDER BY n DESC, token
+        LIMIT $topK"""
+  }
 }
