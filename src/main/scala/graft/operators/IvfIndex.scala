@@ -273,6 +273,15 @@ object IvfIndex {
       sq8: Boolean = false): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // the layout persists every caller column (filtered search predicates
+    // may reference them) PLUS the reserved columns the build attaches;
+    // a caller column with a reserved name would be silently overwritten
+    // (or, for the internal __base, dropped) — fail fast instead
+    val reserved = Seq("cell", "codes", "sq8", "__base")
+      .filter(embeddings.columns.contains)
+    require(reserved.isEmpty,
+      s"embeddings frame carries reserved index column(s) " +
+        s"${reserved.mkString(", ")} — rename them before write()")
     val (_, cent) = SimilarityOps.kmeansFit(
       embeddings, idCol, vecCol, kCells, trainIters)
     val dims = cent.map(_._2).max + 1

@@ -988,4 +988,18 @@ class IvfIndexSpec extends SparkSpec {
     assert((after -- before).isEmpty,
       s"failed write leaked checkpoint RDDs: ${after -- before}")
   }
+
+  test("write refuses a caller column named like a reserved layout " +
+    "column instead of silently overwriting it") {
+    val emb = Tables(spark, dir, "embeddings")
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfrs_").toFile
+    d.deleteOnExit()
+    for (bad <- Seq("cell", "codes", "sq8", "__base")) {
+      val e = intercept[IllegalArgumentException] {
+        IvfIndex.write(emb.withColumn(bad, lit(1)), "vec_id", "embedding",
+          kCells = 2, trainIters = 1, path = d.getAbsolutePath + s"/ix_$bad")
+      }
+      assert(e.getMessage.contains(bad), e.getMessage)
+    }
+  }
 }
