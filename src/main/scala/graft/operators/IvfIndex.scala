@@ -252,6 +252,16 @@ object IvfIndex {
       .toDF("cell", "__centroid")
   }
 
+  /** The deterministic training sample `write(trainPct = p)` fits its
+    * codebooks on: the rows whose 60-bit md5-of-id lands under `p` of
+    * 100 — [[SampleOps.hashSplit]]'s recipe, so the subset is per-row
+    * decidable, engine-portable, and stable under any repartitioning
+    * (a spec or an independent engine can restate it exactly).
+    */
+  def trainSampleOf(df: DataFrame, idCol: String, trainPct: Int): DataFrame =
+    df.filter(pmod(TextOps.baseHash60(col(idCol).cast("string")),
+      lit(100)) < trainPct)
+
   /** Train on the corpus and write `<path>/codebook` (cell, dim, c),
     * `<path>/vectors` partitioned by cell, and the `<path>/_meta`
     * self-description every other lifecycle op reads. With `pq` set,
@@ -261,6 +271,19 @@ object IvfIndex {
     * Rebuilding clears `<path>/_appended` (streaming-ingest replay
     * markers from a previous incarnation must not mask new batches) and
     * the driver-side caches.
+    *
+    * `trainPct` < 100 fits the k-means and PQ codebooks on the
+    * deterministic [[trainSampleOf]] subset instead of the full corpus —
+    * the production shape at scale: Lloyd's re-scans its training set
+    * once per round, and a 100 TB corpus pays that bill 2x-iters times
+    * for centroids a 1-5% sample pins down just as well (sampling noise
+    * on a k-point codebook is far below quantization error). ENCODING
+    * is untouched — every row's cell, codes, and SQ8 values are in-row
+    * argmins/transforms over the full corpus — and so are the SQ8
+    * ranges (min/max must COVER the corpus; their fit is one cheap
+    * aggregation pass, not per-round). Serving semantics at full
+    * probe/refine are sample-independent (any codebook yields the same
+    * exact top-k — the v18 oracle gate).
     */
   def write(
       embeddings: DataFrame,
@@ -270,9 +293,12 @@ object IvfIndex {
       trainIters: Int,
       path: String,
       pq: Option[Pq] = None,
-      sq8: Boolean = false): Unit = {
+      sq8: Boolean = false,
+      trainPct: Int = 100): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    require(trainPct > 0 && trainPct <= 100,
+      s"trainPct ($trainPct) must be in 1..100")
     // the layout persists every caller column (filtered search predicates
     // may reference them) PLUS the reserved columns the build attaches;
     // a caller column with a reserved name would be silently overwritten
@@ -282,8 +308,11 @@ object IvfIndex {
     require(reserved.isEmpty,
       s"embeddings frame carries reserved index column(s) " +
         s"${reserved.mkString(", ")} — rename them before write()")
+    val trainSet =
+      if (trainPct == 100) embeddings
+      else trainSampleOf(embeddings, idCol, trainPct)
     val (_, cent) = SimilarityOps.kmeansFit(
-      embeddings, idCol, vecCol, kCells, trainIters)
+      trainSet, idCol, vecCol, kCells, trainIters)
     val dims = cent.map(_._2).max + 1
     cent.toDF("cell", "dim", "c").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/codebook")
@@ -304,8 +333,15 @@ object IvfIndex {
       val withBase = withCell.withColumn("__base",
         if (!p.residual) col(vecCol).cast("array<double>")
         else SimilarityOps.residualTo(col(vecCol), col("cell"), centArrs))
+      // the PQ fit trains on the same sampled subset as the coarse
+      // codebook (its Lloyd's rounds re-scan the training set too);
+      // __base recomputes on the sample — in-row argmin + zip_with,
+      // cheaper than materializing it
+      val trainBase =
+        if (trainPct == 100) withBase
+        else trainSampleOf(withBase, idCol, trainPct)
       val cb = SimilarityOps.pqFit(
-        withBase.select(col(idCol), col("__base").as(vecCol)),
+        trainBase.select(col(idCol), col("__base").as(vecCol)),
         idCol, vecCol, p.numSub, p.kCodes, p.iters)
       cb.toDF("sub", "code", "dsub", "c").coalesce(1)
         .write.mode("overwrite").parquet(s"$path/pq_codebook")
@@ -511,6 +547,48 @@ object IvfIndex {
       else withPq.withColumn("sq8", SimilarityOps.sq8EncodeCol(col(vecCol),
         cachedSq8Codebook(spark, path, stamp)))
     rows.write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
+  /** Merge another index's rows into this one — the shard-merge step of
+    * the scale build pattern (build per-shard indexes in parallel, then
+    * fold the shards into one serving index). The source's RAW vectors
+    * (and every caller metadata column) are read back and re-encoded
+    * against the DESTINATION's frozen codebooks via [[append]] — the
+    * honest cost model: cells, codes, and SQ8 ranges are codebook-
+    * relative, so src rows must re-derive all three under dst's
+    * codebooks, and that pass is entirely map-side (one scan of src,
+    * in-row argmins, zero shuffles). File-level adoption would only be
+    * sound for byte-identical codebooks, a coincidence not worth a
+    * second code path. The destination's own files are untouched
+    * (append semantics); the source index is not modified.
+    *
+    * Fails fast when the two layouts disagree on the id/vector columns,
+    * dims, or the caller metadata column set — an appended parquet
+    * directory with drifting schemas would silently serve nulls for the
+    * missing columns under some read orders.
+    */
+  def mergeFrom(spark: SparkSession, dstPath: String, srcPath: String): Unit = {
+    val dst = readMeta(spark, dstPath)
+    val src = readMeta(spark, srcPath)
+    require(src.idCol == dst.idCol && src.vecCol == dst.vecCol &&
+      src.dims == dst.dims,
+      s"mergeFrom: incompatible layouts — dst(id=${dst.idCol}, " +
+        s"vec=${dst.vecCol}, dims=${dst.dims}) vs src(id=${src.idCol}, " +
+        s"vec=${src.vecCol}, dims=${src.dims})")
+    val srcReserved =
+      Seq("cell") ++ (if (src.pq.isDefined) Seq("codes") else Nil) ++
+        (if (src.sq8) Seq("sq8") else Nil)
+    val raw = spark.read.parquet(s"$srcPath/vectors").drop(srcReserved: _*)
+    val dstReserved =
+      Seq("cell") ++ (if (dst.pq.isDefined) Seq("codes") else Nil) ++
+        (if (dst.sq8) Seq("sq8") else Nil)
+    val dstCaller = spark.read.parquet(s"$dstPath/vectors")
+      .drop(dstReserved: _*).columns.toSet
+    require(raw.columns.toSet == dstCaller,
+      s"mergeFrom: caller column sets differ — dst ${dstCaller.toSeq.sorted
+        .mkString("(", ", ", ")")} vs src ${raw.columns.sorted
+        .mkString("(", ", ", ")")}")
+    append(spark, dstPath, raw)
   }
 
   /** Point delete from the layout: remove the given ids (a frame carrying

@@ -401,7 +401,7 @@ object SimilarityOps {
     * [[IvfIndex.append]], so an appended vector lands in exactly the
     * cell a full rebuild against the same codebook would choose.
     */
-  private[operators] def assignNearest(
+  def assignNearest(
       df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Array[Double])]): DataFrame =
     df.select(col(idCol), nearestExpr(col(vecCol), centroids).as("__m"))
@@ -411,7 +411,7 @@ object SimilarityOps {
   /** (cluster, dim, c) codebook rows -> per-cluster dim-ordered arrays,
     * the [[attachCell]]/[[assignNearest]] input shape.
     */
-  private[operators] def centroidArrays(
+  def centroidArrays(
       cent: Seq[(Int, Int, Double)]): Seq[(Int, Array[Double])] =
     cent.groupBy(_._1).toSeq
       .map { case (cl, rs) => (cl, rs.sortBy(_._2).map(_._3).toArray) }

@@ -69,6 +69,41 @@ object RelationalQueries extends QueryModule {
       oracle = Some(
         "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
 
+    // S15 — JSONL round-trip: the native interchange format of LLM data
+    // pipelines (one JSON object per line — exactly Spark's json source,
+    // which reads/writes it line-parallel: a 100 TB JSONL corpus splits
+    // per line like CSV). Write the documents table as JSONL, read it
+    // back with an EXPLICIT schema (schema inference is a full extra
+    // scan and nondeterministic under type drift — production readers
+    // pin the schema), and every field must survive the trip bit for
+    // bit, newline-bearing text included (JSON string escaping is the
+    // point vs naive line formats).
+    "s15_jsonl_roundtrip" -> Q(
+      fn = (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_s15_docs_jsonl_").toString
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(new java.io.File(tmp))
+        }
+        t(s, dir, "documents").write.mode("overwrite").json(tmp)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType),
+          StructField("lang", StringType),
+          StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        s.read.schema(schema).json(tmp)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(
+        "SELECT doc_id, text, lang, source, n_chars FROM documents " +
+          "ORDER BY doc_id")),
+
     // S6/S8/S9 — idempotent windowed upsert, proven by a parquet
     // round-trip: write a day-partitioned table, dynamically OVERWRITE one
     // (site, day) partition with updated (and fewer) rows, read back. The

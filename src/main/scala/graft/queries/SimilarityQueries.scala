@@ -982,6 +982,90 @@ object SimilarityQueries extends QueryModule {
         FROM topk
         ORDER BY rank""")),
 
+    // V18 — SAMPLED codebook training: the codebooks fit on the
+    // deterministic 40% md5-of-id subset (trainSampleOf — hashSplit's
+    // recipe), encoding and serving stay full-corpus. The production
+    // shape at 100 TB: Lloyd's re-scans its training set once per round,
+    // and a small sample pins the centroids while the corpus pays only
+    // the one-pass map-side encode. At full probe/refine the exact
+    // top-k is codebook-independent, so brute-force SQL gates the whole
+    // sampled-train/encode/persist/serve round-trip; that the codebook
+    // REALLY trained on the sample is pinned structurally in
+    // IvfIndexSpec (bit-equal to kmeansFit on the restated subset).
+    "v18_sampled_build" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val path = freshIndexDir("v18_") + "/index"
+        graft.operators.IvfIndex.write(
+          emb, "vec_id", "embedding", kCells = 4, trainIters = 2, path,
+          trainPct = 40)
+        val qvec = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .as[Array[Double]].head()
+        graft.operators.IvfIndex.query(
+          s, path, qvec, excludeId = Some(0L), nprobe = 4, k = 10)
+          .select(col("vec_id"), col("sim"), col("rank"))
+          .orderBy(col("rank"))
+      },
+      oracle = Some(s"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                   WHERE vec_id = 0),
+        scored AS (
+          SELECT e.vec_id, ${cosineSql("e.embedding", "q.qe")} AS sim
+          FROM embeddings e, q
+          WHERE e.vec_id <> q.qid),
+        topk AS (
+          SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10)
+        SELECT vec_id, sim,
+               CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank
+        FROM topk
+        ORDER BY rank""")),
+
+    // V19 — shard merge: two indexes built independently over DISJOINT
+    // halves of the corpus (even/odd ids — different codebooks by
+    // construction), then mergeFrom folds the odd shard into the even
+    // one by re-encoding its raw vectors against the destination's
+    // frozen codebooks (append's map-side pass). Full probe over the
+    // merged index must equal brute force over the WHOLE corpus — the
+    // gate that merge lost no rows, re-derived every cell under the
+    // right codebook, and left the serving path consistent.
+    "v19_index_merge" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val base = freshIndexDir("v19_")
+        val dst = base + "/even"
+        val srcIx = base + "/odd"
+        graft.operators.IvfIndex.write(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          kCells = 3, trainIters = 2, dst)
+        graft.operators.IvfIndex.write(
+          emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+          kCells = 3, trainIters = 2, srcIx)
+        graft.operators.IvfIndex.mergeFrom(s, dst, srcIx)
+        val qvec = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .as[Array[Double]].head()
+        graft.operators.IvfIndex.query(
+          s, dst, qvec, excludeId = Some(0L), nprobe = 3, k = 10)
+          .select(col("vec_id"), col("sim"), col("rank"))
+          .orderBy(col("rank"))
+      },
+      oracle = Some(s"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                   WHERE vec_id = 0),
+        scored AS (
+          SELECT e.vec_id, ${cosineSql("e.embedding", "q.qe")} AS sim
+          FROM embeddings e, q
+          WHERE e.vec_id <> q.qid),
+        topk AS (
+          SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10)
+        SELECT vec_id, sim,
+               CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank
+        FROM topk
+        ORDER BY rank""")),
+
     // V11 — PQ + ADC over TRAINED codebooks (iters = 2): exercises the
     // Lloyd's update inside pqFit — assignment against the seed codebook,
     // then decimal-exact per-(sub, code, dsub) means — which v10's seed-

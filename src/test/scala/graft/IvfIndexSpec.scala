@@ -989,6 +989,106 @@ class IvfIndexSpec extends SparkSpec {
       s"failed write leaked checkpoint RDDs: ${after -- before}")
   }
 
+  test("sampled training (trainPct) fits the codebook on EXACTLY the " +
+    "restated md5 subset; encoding and serving stay full-corpus") {
+    val emb = Tables(spark, dir, "embeddings")
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfsm_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/index"
+    IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
+      path, trainPct = 40)
+
+    // the persisted codebook is bit-equal to kmeansFit over the
+    // independently restated sample — training really ran on the subset
+    val sample = IvfIndex.trainSampleOf(emb, "vec_id", 40)
+    val nSample = sample.count()
+    assert(nSample > 0 && nSample < emb.count(),
+      s"sample should be a proper subset, got $nSample rows")
+    val (_, cent) = SimilarityOps.kmeansFit(
+      sample, "vec_id", "embedding", 4, 2)
+    val persisted = spark.read.parquet(s"$path/codebook")
+      .as[(Int, Int, Double)].collect().toSeq.sorted
+    assert(persisted === cent.sorted)
+
+    // every corpus row was encoded (not just the sample)
+    assert(spark.read.parquet(s"$path/vectors").count() === emb.count())
+
+    // and full-probe serving is exact regardless of where the codebook
+    // trained — the completeness contract
+    val qvec = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>"))
+      .as[Array[Double]].head()
+    val got = IvfIndex.query(spark, path, qvec, Some(0L), nprobe = 4, k = 5)
+      .select($"vec_id", $"sim", $"rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    val brute = SimilarityOps.bruteForceTopK(
+      emb, emb.filter($"vec_id" === 0), "vec_id", "embedding", 5)
+      .select($"vec_id", $"sim", $"rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    assert(got === brute)
+
+    intercept[IllegalArgumentException] {
+      IvfIndex.write(emb, "vec_id", "embedding", kCells = 2, trainIters = 1,
+        d.getAbsolutePath + "/bad", trainPct = 0)
+    }
+  }
+
+  test("mergeFrom folds a shard into the destination: counts add up, " +
+    "src cells re-derive under dst's codebook, misuse fails fast") {
+    val emb = Tables(spark, dir, "embeddings")
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfmg_").toFile
+    d.deleteOnExit()
+    val dst = d.getAbsolutePath + "/even"
+    val src = d.getAbsolutePath + "/odd"
+    val even = emb.filter($"vec_id" % 2 === 0)
+    val odd = emb.filter($"vec_id" % 2 === 1)
+    IvfIndex.write(even, "vec_id", "embedding", kCells = 3, trainIters = 2,
+      dst, sq8 = true)
+    IvfIndex.write(odd, "vec_id", "embedding", kCells = 3, trainIters = 2,
+      src)
+    IvfIndex.mergeFrom(spark, dst, src)
+
+    // no rows lost, none duplicated
+    val merged = spark.read.parquet(s"$dst/vectors")
+    assert(merged.count() === emb.count())
+    assert(merged.select($"vec_id").distinct().count() === emb.count())
+
+    // every merged row sits in the cell DST's codebook assigns — the
+    // src assignment (different codebook) must not leak through; and
+    // merged sq8 codes come from dst's ranges even though src had none
+    val centArrs = spark.read.parquet(s"$dst/codebook")
+      .as[(Int, Int, Double)].collect().toSeq
+    val expect = SimilarityOps.assignNearest(
+      emb, "vec_id", "embedding", SimilarityOps.centroidArrays(centArrs))
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    val gotCells = merged.select($"vec_id", $"cell")
+      .as[(Long, Int)].collect().toMap
+    assert(gotCells === expect)
+    assert(merged.filter($"sq8".isNull).count() === 0)
+
+    // full-probe serving over the merged index == brute force over all
+    val qvec = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>"))
+      .as[Array[Double]].head()
+    val got = IvfIndex.query(spark, dst, qvec, Some(0L), nprobe = 3, k = 5)
+      .select($"vec_id", $"sim", $"rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    val brute = SimilarityOps.bruteForceTopK(
+      emb, emb.filter($"vec_id" === 0), "vec_id", "embedding", 5)
+      .select($"vec_id", $"sim", $"rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    assert(got === brute)
+
+    // a layout disagreeing on columns/dims refuses
+    val alien = d.getAbsolutePath + "/alien"
+    IvfIndex.write(odd.withColumnRenamed("vec_id", "other_id"), "other_id",
+      "embedding", kCells = 2, trainIters = 1, alien)
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.mergeFrom(spark, dst, alien)
+    }
+    assert(e.getMessage.contains("incompatible layouts"), e.getMessage)
+  }
+
   test("write refuses a caller column named like a reserved layout " +
     "column instead of silently overwriting it") {
     val emb = Tables(spark, dir, "embeddings")
