@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation operators. AQE's skew-join split
+  * (`spark.sql.adaptive.skewJoin`) is the first line of defense — it
+  * splits oversized SHUFFLE PARTITIONS after the map stage. Salting is
+  * the complementary, plan-level tool for the case AQE cannot fix: a
+  * SINGLE join key so hot that every row of it lands in one task no
+  * matter how partitions split (AQE can split a partition, but all
+  * same-key rows of the probe side still meet all same-key rows of the
+  * build side — a k^2 hot cell). Salting breaks the key itself: the
+  * skewed side spreads each hot key across `salts` sub-keys, the other
+  * side replicates each of its rows `salts` times, and the join runs on
+  * (key, salt) — the hot cell becomes `salts` independent cells that
+  * schedule on different cores/executors.
+  */
+object SkewOps {
+
+  /** Join `skewed` to `small` on `keys`, salted `salts` ways.
+    *
+    * The salt on the skewed side derives from `saltFrom` (any per-row
+    * expression — typically the row's unique id), NOT from the join key
+    * (same-key rows must SPREAD, which key-derived salt by definition
+    * cannot do) and not from a random number (determinism: replays and
+    * retries must re-derive identical salts — Spark task retries
+    * re-execute partitions independently, and a nondeterministic salt
+    * would let a retried map task send the same row to a different
+    * reducer than its first attempt, duplicating or dropping it).
+    *
+    * `small` is replicated `salts` x — the cost model: this is for a
+    * moderate-size build side that is too big to broadcast but cheap to
+    * replicate a few ways, against a probe side with hot keys. Output
+    * columns = the plain join's (the salt never escapes).
+    *
+    * Join types: inner and left_outer/left_semi/left_anti (the left row
+    * set is never replicated, so left-side semantics survive salting;
+    * right/full would duplicate the replicated side's unmatched rows —
+    * rejected).
+    */
+  def saltedJoin(
+      skewed: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      saltFrom: Column,
+      salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salts > 0, s"salts ($salts) must be positive")
+    require(keys.nonEmpty, "saltedJoin needs at least one equi key")
+    val ok = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti")
+    require(ok.contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins, not $joinType — a replicated " +
+        "right side would duplicate right/full unmatched rows")
+    for (side <- Seq(skewed, small); c <- Seq("__salt"))
+      require(!side.columns.contains(c),
+        s"saltedJoin reserves column $c — rename it on the input")
+    val l = skewed.withColumn("__salt",
+      pmod(xxhash64(saltFrom), lit(salts.toLong)).cast("int"))
+    val r = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, keys :+ "__salt", joinType).drop("__salt")
+  }
+}

@@ -364,4 +364,46 @@ object TimeSeriesOps {
       .orderBy((col(tsCol) +: tieBreak.map(col)).map(_.asc): _*)
     cols.foldLeft(df)((d, c) => d.withColumn(s"${c}_prev", lag(col(c), 1).over(w)))
   }
+
+  /** Gap-based sessionization: within each key, a row starts a new
+    * session when it arrives more than `gapSeconds` after its
+    * predecessor (or is the key's first row). Session ids are the
+    * running count of boundaries (1-based, in time order, `tieBreak`
+    * makes equal timestamps deterministic), so they are stable under
+    * re-partitioning and restatable by any engine. Returns one row per
+    * session: (keys..., session_no, session_start, session_end,
+    * n_events).
+    *
+    * Plan shape: ONE shuffle on the key — lag and the running sum share
+    * the same window ordering, so both evaluate in the single sorted
+    * pass, and the per-session rollup groups on (key, session_no),
+    * which is a prefix of the window partitioning and partial-aggs
+    * map-side. Epoch-second arithmetic, engine-portable. Sessions are
+    * the unit of work in event-log curation (bot detection, dialogue
+    * turn assembly) — the gap rule is the standard web-analytics
+    * definition.
+    */
+  def sessionize(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      gapSeconds: Long,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(gapSeconds > 0, "gapSeconds must be positive")
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)).map(_.asc): _*)
+    val epoch = floor(unix_timestamp(col(tsCol))).cast("long")
+    df
+      .withColumn("__e", epoch)
+      .withColumn("__boundary",
+        when(col("__e") - lag(col("__e"), 1).over(w) > gapSeconds ||
+          lag(col("__e"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("__boundary")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy((keys.map(col) :+ col("session_no")): _*)
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
 }

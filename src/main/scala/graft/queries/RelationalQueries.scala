@@ -277,6 +277,36 @@ object RelationalQueries extends QueryModule {
         GROUP BY r_name, n_name
         ORDER BY r_name, n_name""")),
 
+    // J9 — SALTED fact-to-dim join for the hot-key case AQE cannot
+    // split (all same-key rows still meet in one task after any
+    // partition split): lineitem's salt derives from its unique row
+    // identity — never the join key, never a random() (task retries
+    // must re-derive identical salts or rows duplicate/drop) — and
+    // orders replicates 8x, so one hot orderkey becomes 8 independent
+    // join cells. The salt never escapes the operator; the oracle is
+    // the PLAIN join, which salting must reproduce exactly.
+    "j9_salted_join" -> Q(
+      fn = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val ords = t(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        graft.operators.SkewOps.saltedJoin(
+          li, ords, Seq("l_orderkey"),
+          saltFrom = struct(col("l_orderkey"), col("l_linenumber")),
+          salts = 8)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            rd(sum(dec2(col("l_quantity"))), 2).as("sum_qty"))
+          .orderBy(col("o_orderpriority"))
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, count(*) AS n,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
     // A5 + flagship — TPC-H Q1-style scan-heavy aggregate with exact decimal
     // arithmetic (order-independent sums -> deterministic hash compare).
     "q1_agg" -> Q(
@@ -311,6 +341,32 @@ object RelationalQueries extends QueryModule {
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus"""),
       bench = true),
+
+    // A8 — ROLLUP subtotal hierarchy (the OLAP report shape): per
+    // (flag, status), per flag, and grand total in ONE pass — Spark
+    // expands the grouping sets before the exchange, so partial
+    // aggregation still collapses map-side and the shuffle carries one
+    // partial row per (set, group), not one per input row. grouping_id
+    // disambiguates real NULL group values from subtotal rows — both
+    // engines emit the standard bit order (first rollup column = MSB),
+    // which the hash compare pins.
+    "a8_rollup" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping_id().as("gid"),
+            count(lit(1)).as("n"),
+            rd(sum(dec2(col("l_quantity"))), 2).as("sum_qty"))
+          .select(col("gid"), col("l_returnflag"), col("l_linestatus"),
+            col("n"), col("sum_qty"))
+          .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus")),
+      oracle = Some("""
+        SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               l_returnflag, l_linestatus, count(*) AS n,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag, l_linestatus""")),
 
     // A5 — diagnostic group counts (pipeline/detect_duplicates.py:89-111).
     "a5_group_counts" -> Q(

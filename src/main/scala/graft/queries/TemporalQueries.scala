@@ -283,6 +283,40 @@ object TemporalQueries extends QueryModule {
         FROM j
         ORDER BY user_id, bucket_start""")),
 
+    // A7 — gap-based sessionization (30-min web-analytics rule): one
+    // shuffle on user_id; boundary lag, the running session counter, and
+    // the per-session rollup all ride the same sorted pass (the groupBy
+    // keys prefix the window partitioning). The oracle restates the
+    // boundary/running-sum construction over epoch seconds — session
+    // ids are order-deterministic (ts, event_id ties), so start/end/
+    // counts hash-match exactly.
+    "a7_sessionize" -> Q(
+      fn = (s, dir) =>
+        graft.operators.TimeSeriesOps.sessionize(
+          t(s, dir, "events"), Seq("user_id"), "ts",
+          gapSeconds = 1800L, tieBreak = Seq("event_id"))
+          .orderBy(col("user_id"), col("session_no")),
+      oracle = Some("""
+        WITH b AS (
+          SELECT user_id, ts, event_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS e,
+                 lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS pe
+          FROM events),
+        s AS (
+          SELECT user_id, ts,
+                 sum(CASE WHEN pe IS NULL OR e - pe > 1800
+                     THEN 1 ELSE 0 END) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sn
+          FROM b)
+        SELECT user_id, CAST(sn AS BIGINT) AS session_no,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events
+        FROM s
+        GROUP BY user_id, sn
+        ORDER BY user_id, session_no""")),
+
     // A4 — top-1 by time per series (nmdb/influx_db.py:175,219:
     // ORDER BY time DESC/ASC LIMIT 1).
     "a4_top1_by_time" -> Q(

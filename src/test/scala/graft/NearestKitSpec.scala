@@ -1,0 +1,116 @@
+package graft
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.functions._
+
+/** The native argmin expressions (NearestCentroid / PqCodesOf) against
+  * an independent driver-side replication of their documented decimal
+  * contract: round((a-b)^2, 12) -> DECIMAL(38,12) -> exact sum, strict
+  * argmin, ties to the lowest id. The codegen path (DataFrame eval) and
+  * the interpreted entry points must both match it — and the argmin
+  * PRUNING (early exit once the partial sum exceeds the running best)
+  * must be invisible in results.
+  */
+class NearestKitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d2Ref(v: Array[Double], c: Array[Double]): JBigDecimal = {
+    var acc = JBigDecimal.ZERO.setScale(12)
+    for (i <- c.indices) {
+      val sq = (v(i) - c(i)) * (v(i) - c(i))
+      val r = JBigDecimal.valueOf(sq).setScale(12, RoundingMode.HALF_UP)
+        .doubleValue()
+      acc = acc.add(JBigDecimal.valueOf(r).setScale(12, RoundingMode.HALF_UP))
+    }
+    acc
+  }
+
+  private def argminRef(
+      v: Array[Double], cents: Seq[(Int, Array[Double])]): Int = {
+    // no pruning here — the straightforward full-sum argmin
+    val sorted = cents.sortBy(_._1)
+    var best: JBigDecimal = null
+    var bi = 0
+    for (((_, c), i) <- sorted.zipWithIndex) {
+      val d = d2Ref(v, c)
+      if (best == null || d.compareTo(best) < 0) { best = d; bi = i }
+    }
+    sorted(bi)._1
+  }
+
+  // deterministic pseudo-random vectors (no Math.random in specs either)
+  private def vec(seed: Int, dims: Int): Array[Double] =
+    Array.tabulate(dims)(i => math.sin(seed * 31 + i * 7) * 10)
+
+  test("NearestCentroid == unpruned decimal-exact reference, double and " +
+    "float inputs, 40 vectors x 8 centroids") {
+    val cents = (0 until 8).map(c => (c, vec(c + 100, 16)))
+    val rows = (0 until 40).map(i => (i.toLong, vec(i, 16)))
+    val expect = rows.map { case (id, v) => id -> argminRef(v, cents) }.toMap
+
+    val gotD = SimilarityOps.assignNearest(
+      rows.toDF("id", "v"), "id", "v", cents)
+      .select($"id", $"cluster").as[(Long, Int)].collect().toMap
+    assert(gotD === expect)
+
+    val gotF = SimilarityOps.assignNearest(
+      rows.map { case (id, v) => (id, v.map(_.toFloat)) }.toDF("id", "v"),
+      "id", "v", cents.map { case (c, a) => (c, a.map(_.toFloat.toDouble)) })
+      .select($"id", $"cluster").as[(Long, Int)].collect().toMap
+    val expectF = rows.map { case (id, v) =>
+      id -> argminRef(v.map(_.toFloat.toDouble),
+        cents.map { case (c, a) => (c, a.map(_.toFloat.toDouble)) })
+    }.toMap
+    assert(gotF === expectF)
+  }
+
+  test("exact-decimal ties resolve to the LOWEST cluster id, with the " +
+    "duplicate centroid listed last") {
+    val c = vec(7, 8)
+    // clusters 5 and 2 share one centroid; 9 is far away
+    val cents = Seq((5, c), (2, c), (9, c.map(_ + 100.0)))
+    val got = SimilarityOps.assignNearest(
+      Seq((1L, c)).toDF("id", "v"), "id", "v", cents)
+      .select($"cluster").as[Int].head()
+    assert(got === 2)
+  }
+
+  test("interpreted eval (nearest/encode entry points) agrees with the " +
+    "codegen path") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val cents = (0 until 5).map(c => (c, vec(c + 50, 12)))
+    val sorted = cents.sortBy(_._1)
+    for (i <- 0 until 20) {
+      val v = vec(i + 1000, 12)
+      val row = graft.expressions.NearestCentroid.nearest(
+        new GenericArrayData(v), false,
+        sorted.map(_._1).toArray, sorted.map(_._2).toArray)
+      assert(row.getInt(0) === argminRef(v, cents), s"vector $i")
+    }
+  }
+
+  test("PqCodesOf slices subspaces correctly: each code is the " +
+    "per-subspace reference argmin (pruning invisible)") {
+    val dims = 12
+    val numSub = 3
+    val dsub = dims / numSub
+    // codebook rows (sub, code, dsub, c)
+    val cbRows = for {
+      s <- 0 until numSub; code <- 0 until 4; d <- 0 until dsub
+    } yield (s, code, d, vec(s * 10 + code, dsub)(d))
+    val rows = (0 until 30).map(i => (i.toLong, vec(i + 2000, dims)))
+    val got = SimilarityOps.pqEncode(
+      rows.toDF("id", "v"), "id", "v", cbRows)
+      .select($"id", $"codes").as[(Long, Seq[Int])].collect().toMap
+    val expect = rows.map { case (id, v) =>
+      id -> (0 until numSub).map { s =>
+        val sub = v.slice(s * dsub, (s + 1) * dsub)
+        argminRef(sub, (0 until 4).map(c => (c, vec(s * 10 + c, dsub))))
+      }
+    }.toMap
+    assert(got.view.mapValues(_.toList).toMap ===
+      expect.view.mapValues(_.toList).toMap)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.SkewOps
+import org.apache.spark.sql.functions._
+
+/** Salting must be invisible in the RESULT (bit-equal to the plain
+  * join, every supported join type) and visible in the PLAN (the join
+  * runs on (key, salt), the replicated side fans out `salts` x).
+  */
+class SkewOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plain(joinType: String) = {
+    val li = Tables(spark, dir, "lineitem")
+    val ords = Tables(spark, dir, "orders")
+      .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+    li.join(ords, Seq("l_orderkey"), joinType)
+  }
+
+  private def salted(joinType: String, salts: Int = 4) = {
+    val li = Tables(spark, dir, "lineitem")
+    val ords = Tables(spark, dir, "orders")
+      .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+    SkewOps.saltedJoin(li, ords, Seq("l_orderkey"),
+      saltFrom = struct($"l_orderkey", $"l_linenumber"), salts = salts,
+      joinType = joinType)
+  }
+
+  private def withNoBroadcast[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted inner/left_outer joins == plain joins, with broadcast " +
+    "disabled (the regime salting exists for)") {
+    withNoBroadcast {
+      for (jt <- Seq("inner", "left_outer")) {
+        val got = salted(jt)
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .as[(String, Long)].collect().toMap
+        val want = plain(jt)
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .as[(String, Long)].collect().toMap
+        assert(got === want, s"joinType=$jt")
+      }
+    }
+  }
+
+  test("left_semi keeps each left row at most once (replication never " +
+    "multiplies the probe side); left_anti matches the plain anti set") {
+    withNoBroadcast {
+      val semi = salted("left_semi").count()
+      assert(semi === plain("left_semi").count())
+      // anti on a foreign key that always matches -> empty, and must
+      // stay empty after salting (a salt-mismatch bug would leak rows)
+      assert(salted("left_anti").count() === plain("left_anti").count())
+    }
+  }
+
+  test("the join runs on (key, salt): salts land 0..n-1 and spread a " +
+    "single hot key across cells") {
+    val li = Tables(spark, dir, "lineitem").limit(500)
+      .withColumn("hot", lit(1))
+    val dim = Seq((1, "x")).toDF("hot", "v")
+    val out = SkewOps.saltedJoin(li, dim, Seq("hot"),
+      saltFrom = struct($"l_orderkey", $"l_linenumber"), salts = 8)
+    assert(out.count() === 500)
+    // restate the salt derivation: all 8 cells used on 500 rows
+    val cells = li.select(
+      pmod(xxhash64(struct($"l_orderkey", $"l_linenumber")), lit(8L))
+        .cast("int").as("s"))
+      .distinct().as[Int].collect().toSet
+    assert(cells === (0 until 8).toSet)
+  }
+
+  test("misuse fails fast: right/full joins, zero salts, reserved column") {
+    val a = Seq((1, "a")).toDF("k", "x")
+    val b = Seq((1, "b")).toDF("k", "y")
+    intercept[IllegalArgumentException] {
+      SkewOps.saltedJoin(a, b, Seq("k"), $"x", 4, joinType = "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      SkewOps.saltedJoin(a, b, Seq("k"), $"x", 0)
+    }
+    intercept[IllegalArgumentException] {
+      SkewOps.saltedJoin(a.withColumn("__salt", lit(1)), b, Seq("k"), $"x", 4)
+    }
+  }
+}
