@@ -145,4 +145,39 @@ object StreamingOps {
         max(col(valueCol)).as("max_value"))
       .select(col("site_no"), col("window.start").as("hour_start"),
         col("n"), col("avg_value"), col("min_value"), col("max_value"))
+
+  /** Streaming gap-based sessionization — the continuous twin of
+    * [[graft.operators.TimeSeriesOps.sessionize]], on Spark's native
+    * `session_window` state: a session extends while events keep
+    * arriving within `gap` of the last one, and EMITS exactly once the
+    * watermark passes its close (late events inside the watermark still
+    * extend/merge their session; events later than the watermark drop —
+    * the deliberate completeness/latency trade a batch re-run repairs).
+    * State size is O(open sessions per key), bounded by the watermark —
+    * the shape that holds on an unbounded 100 TB/day event stream,
+    * where the batch operator's "sort each key's full history" cannot
+    * even be stated. Output mirrors the batch operator minus the
+    * session counter (an unbounded running count has no streaming
+    * analogue; the session's identity is its start time).
+    *
+    * Boundary convention: `session_window` intervals are [start,
+    * last + gap), so an event arriving EXACTLY `gap` after its
+    * predecessor opens a new session here, where the batch operator's
+    * strict `> gapSeconds` rule extends the old one — the two agree on
+    * every gap not exactly equal to the threshold (with sub-second
+    * timestamps an exact hit is measure-zero).
+    */
+  def sessionStream(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"))
+      .select(col(keyCol), col("session_start"), col("session_end"),
+        col("n_events"))
 }

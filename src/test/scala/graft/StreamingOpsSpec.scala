@@ -251,6 +251,56 @@ class StreamingOpsSpec extends SparkSpec {
       "replaying an applied batch id must not re-append")
   }
 
+  test("sessionStream: sessions close when the watermark passes the gap, " +
+    "in-gap events extend and MERGE windows, the emitted rows match the " +
+    "batch sessionize on the same events") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = StreamingOps.sessionStream(
+      input.toDF().toDF("user_id", "ts"), "user_id", "ts")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    // session A: two events 10 min apart; then one 40 min later ->
+    // session B; feeding a much-later event advances the watermark so
+    // both emit
+    input.addData(
+      (1L, T("2024-01-01 10:00:00")),
+      (1L, T("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    input.addData((1L, T("2024-01-01 10:50:00")))
+    q.processAllAvailable()
+    // watermark rides max(eventTime) - 30 min: push it past both closes
+    input.addData((2L, T("2024-01-01 13:00:00")))
+    q.processAllAvailable()
+    // one more tick so the state store finalizes windows under the
+    // advanced watermark
+    input.addData((2L, T("2024-01-01 14:00:00")))
+    q.processAllAvailable()
+    val got = spark.table("sess_out")
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSet
+    q.stop()
+    assert(got === Set(
+      (1L, T("2024-01-01 10:00:00"), T("2024-01-01 10:10:00"), 2L),
+      (1L, T("2024-01-01 10:50:00"), T("2024-01-01 10:50:00"), 1L),
+      // the watermark-driving event's own session closed too once 14:00
+      // pushed the watermark past 13:00 + gap
+      (2L, T("2024-01-01 13:00:00"), T("2024-01-01 13:00:00"), 1L)))
+
+    // the emitted user-1 sessions equal the batch operator's on the
+    // same rows (user 2's open 14:00 session has no batch analogue yet)
+    val batch = graft.operators.TimeSeriesOps.sessionize(
+      Seq((1L, T("2024-01-01 10:00:00")),
+        (1L, T("2024-01-01 10:10:00")),
+        (1L, T("2024-01-01 10:50:00"))).toDF("user_id", "ts"),
+      Seq("user_id"), "ts", gapSeconds = 1800L)
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSet
+    assert(batch === got.filter(_._1 == 1L))
+  }
+
   test("hourlyStats windows with watermark (batch-mode check)") {
     val df = Seq(
       (1, T("2024-01-01 10:05:00"), 10.0),
