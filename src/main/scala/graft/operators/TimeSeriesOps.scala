@@ -365,6 +365,48 @@ object TimeSeriesOps {
     cols.foldLeft(df)((d, c) => d.withColumn(s"${c}_prev", lag(col(c), 1).over(w)))
   }
 
+  /** Bucketed point-in-interval join — the non-equi time join Spark
+    * otherwise executes as BroadcastNestedLoopJoin (every point against
+    * every interval: O(points x intervals), the plan that dies first at
+    * scale). Both sides map onto `bucketSeconds` time buckets — each
+    * point to its one bucket, each interval to EVERY bucket it overlaps
+    * — and the join becomes an equi join on the bucket with the exact
+    * [start, end) predicate as a post-filter. A (point, interval) match
+    * shares exactly one bucket (the point's), so no dedup is needed.
+    *
+    * Cost model: the interval side inflates by avg(interval length /
+    * bucketSeconds) rows — pick the bucket near the TYPICAL interval
+    * length so the inflation is a small constant, and the shuffle
+    * carries points + inflated intervals instead of a nested loop over
+    * their product. Empty/invalid intervals (end <= start) are dropped
+    * up front (they can match nothing; `sequence` would otherwise
+    * descend). Both inputs keep all their columns — name collisions
+    * between the two sides are the caller's to resolve, like any join.
+    */
+  def pointInInterval(
+      points: DataFrame,
+      ptsTsCol: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    for (side <- Seq(points, intervals))
+      require(!side.columns.contains("__b"),
+        "pointInInterval reserves column __b — rename it on the input")
+    val pb = points.withColumn("__b",
+      floor(unix_timestamp(col(ptsTsCol)) / bucketSeconds).cast("long"))
+    val ib = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__b", explode(sequence(
+        floor(unix_timestamp(col(startCol)) / bucketSeconds).cast("long"),
+        floor((unix_timestamp(col(endCol)) - 1) / bucketSeconds)
+          .cast("long"))))
+    pb.join(ib, Seq("__b"))
+      .filter(col(ptsTsCol) >= col(startCol) && col(ptsTsCol) < col(endCol))
+      .drop("__b")
+  }
+
   /** Gap-based sessionization: within each key, a row starts a new
     * session when it arrives more than `gapSeconds` after its
     * predecessor (or is the key's first row). Session ids are the

@@ -283,6 +283,41 @@ object TemporalQueries extends QueryModule {
         FROM j
         ORDER BY user_id, bucket_start""")),
 
+    // J10 — point-in-interval RANGE join (no equi key): which events
+    // fall inside each event-type's opening 2-day window. Spark's naive
+    // plan for a pure inequality join is a nested loop over the full
+    // product; pointInInterval buckets time (1-day buckets ~ the 2-day
+    // interval length) and runs an equi join on the bucket with the
+    // exact [start, end) predicate as a post-filter — the shuffle
+    // carries points + ~2 rows per interval instead of points x
+    // intervals pairs. The oracle states the same join as a plain
+    // inequality join, which DuckDB executes directly.
+    "j10_range_join" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+        val iv = ev.groupBy(col("event_type").as("itype"))
+          .agg(min(col("ts")).as("iv_start"))
+          .withColumn("iv_end",
+            col("iv_start") + expr("INTERVAL 2 DAYS"))
+        graft.operators.TimeSeriesOps.pointInInterval(
+          ev, "ts", iv, "iv_start", "iv_end", bucketSeconds = 86400L)
+          .groupBy(col("itype"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("itype"))
+      },
+      oracle = Some("""
+        WITH iv AS (
+          SELECT event_type AS itype, min(ts) AS s,
+                 min(ts) + INTERVAL 2 DAY AS e
+          FROM events GROUP BY 1)
+        SELECT iv.itype, count(*) AS n,
+               count(DISTINCT ev.user_id) AS n_users
+        FROM events ev, iv
+        WHERE ev.ts >= iv.s AND ev.ts < iv.e
+        GROUP BY iv.itype
+        ORDER BY iv.itype""")),
+
     // A7 — gap-based sessionization (30-min web-analytics rule): one
     // shuffle on user_id; boundary lag, the running session counter, and
     // the per-session rollup all ride the same sorted pass (the groupBy

@@ -92,6 +92,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode"), p)
   }
 
+  test("a7: sessionize is ONE shuffle — the session rollup reuses the " +
+    "window's key partitioning, both windows share one sort") {
+    val p = plan("a7_sessionize")
+    // hashpartitioning(user_id) satisfies the (user_id, session_no)
+    // clustering, so the aggregate adds no exchange; the display orderBy
+    // adds a rangepartitioning, which is not counted here
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"sessionize must shuffle once on the key:\n$p")
+    // exactly one (user_id, ts, ...) window sort — the display orderBy's
+    // (user_id, session_no) range sort is a different prefix
+    assert("Sort \\[user_id#\\d+L ASC NULLS FIRST, ts#".r
+      .findAllIn(p).size === 1,
+      s"lag + running sum + rollup must share one sorted pass:\n$p")
+  }
+
   test("v9: per-query top-k caps map-side (WindowGroupLimit) over a " +
     "broadcast query batch") {
     val p = plan("v9_topk_batch")

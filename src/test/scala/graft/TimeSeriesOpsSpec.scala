@@ -144,4 +144,52 @@ class TimeSeriesOpsSpec extends SparkSpec {
       (1, jan1 + 2 * d, 1L, Some(30.0), 30.0, false),
       (2, jan1 + 4 * d, 1L, Some(5.0), 5.0, false))) // own span only
   }
+
+  test("pointInInterval == the naive inequality join on real data, and " +
+    "the bucketed plan has no nested loop") {
+    val ev = Tables(spark, "/root/testdata/sf0.001", "events")
+      .select($"event_id", $"ts", $"event_type")
+    val iv = ev.groupBy($"event_type".as("itype"))
+      .agg(min($"ts").as("s"))
+      .withColumn("e", $"s" + expr("INTERVAL 36 HOURS"))
+    val got = TimeSeriesOps.pointInInterval(ev, "ts", iv, "s", "e", 86400L)
+      .select($"event_id", $"itype")
+      .as[(Long, String)].collect().toSet
+    val naive = ev.join(iv, $"ts" >= $"s" && $"ts" < $"e")
+      .select($"event_id", $"itype")
+      .as[(Long, String)].collect().toSet
+    assert(got === naive)
+    assert(got.nonEmpty)
+    val p = TimeSeriesOps.pointInInterval(ev, "ts", iv, "s", "e", 86400L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"bucketed range join must not nested-loop:\n$p")
+  }
+
+  test("pointInInterval edges: boundary timestamps are [start, end), " +
+    "empty intervals match nothing, bucket-straddling intervals match") {
+    val pts = Seq(
+      (1, "2024-01-01 00:00:00"),  // == start -> in
+      (2, "2024-01-03 00:00:00"),  // == end -> out
+      (3, "2024-01-02 23:59:59"),  // in, last second
+      (4, "2024-01-05 12:00:00"))  // straddle case below
+      .toDF("pid", "t").withColumn("t", to_timestamp($"t"))
+    val ivs = Seq(
+      (10, "2024-01-01 00:00:00", "2024-01-03 00:00:00"), // 2 days
+      (11, "2024-01-04 00:00:00", "2024-01-04 00:00:00"), // empty
+      (12, "2024-01-05 06:00:00", "2024-01-05 18:00:00")) // inside one day
+      .toDF("iid", "s", "e")
+      .withColumn("s", to_timestamp($"s")).withColumn("e", to_timestamp($"e"))
+    val got = TimeSeriesOps.pointInInterval(pts, "t", ivs, "s", "e", 86400L)
+      .select($"pid", $"iid").as[(Int, Int)].collect().toSet
+    assert(got === Set((1, 10), (3, 10), (4, 12)))
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.pointInInterval(pts, "t", ivs, "s", "e", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.pointInInterval(
+        pts.withColumn("__b", lit(1)), "t", ivs, "s", "e", 60L)
+    }
+  }
 }
