@@ -352,6 +352,89 @@ object TemporalQueries extends QueryModule {
         GROUP BY user_id, sn
         ORDER BY user_id, session_no""")),
 
+    // A9 — per-group EXACT quantiles: median and p90 per event type.
+    // Spark's percentile() and DuckDB's quantile_cont() both implement
+    // the standard linear-interpolation definition, so the values match
+    // to the 6-dp round. (approx_percentile is the 100 TB path when
+    // exactness can yield — different engines' sketches don't hash-
+    // match, which is exactly why the EXACT form is the oracle row.)
+    "a9_group_quantiles" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(rd(expr("percentile(value, 0.5)"), 6).as("median_v"),
+            rd(expr("percentile(value, 0.9)"), 6).as("p90_v"),
+            count(lit(1)).as("n"))
+          .orderBy(col("event_type")),
+      oracle = Some("""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS median_v,
+               round(quantile_cont(value, 0.9), 6) AS p90_v,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // A10 — pivot (long -> wide report shape): daily counts per event
+    // type as columns. The value list is EXPLICIT — with it the output
+    // schema is static and Spark skips the extra distinct-scan job that
+    // an implicit pivot needs to discover the columns (on 100 TB that
+    // discovery pass costs as much as the pivot). The oracle is the
+    // standard conditional-aggregation rewrite, which is also exactly
+    // how Spark executes pivot under the hood.
+    "a10_pivot" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .pivot("event_type",
+            Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy(col("day")),
+      oracle = Some("""
+        SELECT CAST(ts AS DATE) AS day,
+               count(*) FILTER (WHERE event_type = 'click') AS click,
+               count(*) FILTER (WHERE event_type = 'error') AS error,
+               count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               count(*) FILTER (WHERE event_type = 'signup') AS signup,
+               count(*) FILTER (WHERE event_type = 'view') AS view
+        FROM events
+        GROUP BY 1
+        ORDER BY day""")),
+
+    // A11 — analytic rank kit: rank / dense_rank / percent_rank /
+    // cume_dist / ntile(4) per user over value. All five are
+    // tie-deterministic under the (value, event_id) ordering (the
+    // tie-break matters only to ntile's row placement — the rank
+    // functions are tie-stable by definition), so both engines emit
+    // identical rows. One window, one shuffle, evaluated in a single
+    // sorted pass.
+    "a11_rank_kit" -> Q(
+      fn = (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("value").asc, col("event_id").asc)
+        t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("value"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            rd(percent_rank().over(w), 6).as("prnk"),
+            rd(cume_dist().over(w), 6).as("cdist"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some("""
+        SELECT event_id, user_id, value,
+               CAST(rank() OVER w AS INT) AS rnk,
+               CAST(dense_rank() OVER w AS INT) AS drnk,
+               round(percent_rank() OVER w, 6) AS prnk,
+               round(cume_dist() OVER w, 6) AS cdist,
+               CAST(ntile(4) OVER w AS INT) AS quartile
+        FROM events
+        WHERE event_type = 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+        ORDER BY event_id""")),
+
     // A4 — top-1 by time per series (nmdb/influx_db.py:175,219:
     // ORDER BY time DESC/ASC LIMIT 1).
     "a4_top1_by_time" -> Q(
