@@ -50,6 +50,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.expressions.Simhash16(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_nfc_normalize"),
+      new ExpressionInfo(classOf[graft.expressions.NfcNormalize].getName,
+        "graft_nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_nfc_normalize takes one argument")
+        graft.expressions.NfcNormalize(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_cdc_boundaries"),
       new ExpressionInfo(classOf[graft.expressions.CdcBoundaries].getName,
         "graft_cdc_boundaries"),

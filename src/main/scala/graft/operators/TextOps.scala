@@ -52,6 +52,19 @@ object TextOps {
       graft.expressions.Md5Hash64(ColumnBridge.expression(s)))
   }
 
+  /** Unicode NFC normalization (native [[graft.expressions.NfcNormalize]]):
+    * the canonical pre-hash step — composed and decomposed spellings of
+    * the same text must become one byte sequence BEFORE any fingerprint,
+    * MinHash, or exact-dedup key is computed, or visually identical
+    * documents dedup apart. Already-NFC strings (the overwhelming real-
+    * world case) pay only the quick-check scan.
+    */
+  def nfcNormalize(s: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.expressions.NfcNormalize(ColumnBridge.expression(s)))
+  }
+
   /** MinHash modulus: 2^31 - 1 (Mersenne prime). */
   val MinhashPrime = 2147483647L
 

@@ -855,6 +855,43 @@ object TextQueries extends QueryModule {
         FROM documents
         ORDER BY doc_id""")),
 
+    // T18 — Unicode NFC normalization (native expression vs DuckDB's
+    // nfc_normalize — two independent Unicode-conformant
+    // implementations must agree byte for byte). The corpus is ASCII
+    // (NFC already), so the query CONSTRUCTS the hard cases per row:
+    // a decomposed suffix (e + U+0301 must compose to U+00E9), a
+    // precomposed one (must pass through untouched), and a combining
+    // char with no composition partner (must survive as-is). The md5
+    // of the normalized result makes any byte difference a hash
+    // mismatch; dedup keys of composed vs decomposed spellings must
+    // collide after normalization (the operator's whole point).
+    "t18_nfc_normalize" -> Q(
+      fn = (s, dir) => {
+        val norm = graft.operators.TextOps.nfcNormalize _
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(norm(concat(col("text"), lit("e"), lit("\u0301"))))
+              .as("h_decomposed"),
+            md5(norm(concat(col("text"), lit("\u00e9")))).as("h_precomposed"),
+            md5(norm(concat(col("text"), lit("\u0301")))).as("h_orphan"),
+            (md5(norm(concat(col("text"), lit("e"), lit("\u0301")))) ===
+              md5(norm(concat(col("text"), lit("\u00e9")))))
+              .as("spellings_collide"),
+            length(norm(concat(col("text"), lit("e"), lit("\u0301"))))
+              .as("len_nfc"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               md5(nfc_normalize(text || 'e' || chr(769))) AS h_decomposed,
+               md5(nfc_normalize(text || chr(233))) AS h_precomposed,
+               md5(nfc_normalize(text || chr(769))) AS h_orphan,
+               md5(nfc_normalize(text || 'e' || chr(769))) =
+                 md5(nfc_normalize(text || chr(233))) AS spellings_collide,
+               length(nfc_normalize(text || 'e' || chr(769))) AS len_nfc
+        FROM documents
+        ORDER BY doc_id""")),
+
     // T16 — TRAINED byte-pair encoding (t1's "BPE-ish" tokenization is a
     // fixed regex; this LEARNS the merge table from the corpus). The
     // Spark side trains on the (word, count) vocabulary table — one

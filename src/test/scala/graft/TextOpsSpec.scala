@@ -246,4 +246,33 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Int, String, String)].collect().toSeq.sortBy(_._1)
     assert(api === Seq((1L, 6, "a", "a b"), (2L, 1, "x", "")))
   }
+
+  test("nfcNormalize: composes decomposed sequences, passes NFC input " +
+    "through, keeps orphan combining marks, null-safe, SQL-registered") {
+    // explicit escapes ONLY -- source-encoding normalization must never
+    // be able to silently merge the two spellings
+    val decomposed = "cafe\u0301"
+    val composed = "caf\u00e9"
+    assert(decomposed != composed) // the test's own sanity check
+    val rows = Seq(
+      (decomposed, composed),          // decomposed -> composed
+      (composed, composed),            // already NFC, untouched
+      ("\u0301x", "\u0301x"),          // orphan combining mark survives
+      ("plain ascii", "plain ascii"))
+    val got = rows.map(_._1).toDF("t")
+      .select(TextOps.nfcNormalize($"t")).as[String].collect().toSeq
+    assert(got === rows.map(_._2))
+
+    // dedup keys of the two spellings collide after normalization
+    val k = Seq(decomposed, composed).toDF("t")
+      .select(md5(TextOps.nfcNormalize($"t"))).as[String].collect().toSet
+    assert(k.size === 1)
+
+    assert(Seq(Option.empty[String]).toDF("t")
+      .select(TextOps.nfcNormalize($"t")).collect().head.isNullAt(0))
+
+    val viaSql = spark.sql(
+      "SELECT graft_nfc_normalize('cafe\u0301')").as[String].head()
+    assert(viaSql === composed)
+  }
 }
