@@ -313,6 +313,12 @@ object IvfIndex {
       else trainSampleOf(embeddings, idCol, trainPct)
     val (_, cent) = SimilarityOps.kmeansFit(
       trainSet, idCol, vecCol, kCells, trainIters)
+    // a too-aggressive trainPct on a small corpus can sample zero rows;
+    // without this check the failure surfaces as an opaque "max of empty
+    // collection" two lines down instead of naming the real cause
+    require(cent.nonEmpty,
+      s"write: training sample is empty (trainPct=$trainPct selected no " +
+        s"rows) — raise trainPct or train on the full corpus")
     val dims = cent.map(_._2).max + 1
     cent.toDF("cell", "dim", "c").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/codebook")
@@ -526,6 +532,26 @@ object IvfIndex {
     val meta = metaAt(spark, path, stamp)
     val idCol = meta.idCol
     val vecCol = meta.vecCol
+    // same drifting-schema guard as write()/mergeFrom(): an appended
+    // batch carrying a reserved name (or a column set differing from the
+    // layout's caller columns) would write parquet files with a different
+    // schema into the same directory — served as silent nulls under some
+    // read orders. One footer-level schema read per append; cheap even
+    // per micro-batch next to the write itself.
+    val reservedHit = Seq("cell", "codes", "sq8", "__base")
+      .filter(embeddings.columns.contains)
+    require(reservedHit.isEmpty,
+      s"append: batch carries reserved index column(s) " +
+        s"${reservedHit.mkString(", ")} — rename them before append()")
+    val layoutReserved =
+      Seq("cell") ++ (if (meta.pq.isDefined) Seq("codes") else Nil) ++
+        (if (meta.sq8) Seq("sq8") else Nil)
+    val layoutCaller = spark.read.parquet(s"$path/vectors")
+      .drop(layoutReserved: _*).columns.toSet
+    require(embeddings.columns.toSet == layoutCaller,
+      s"append: caller column sets differ — index ${layoutCaller.toSeq
+        .sorted.mkString("(", ", ", ")")} vs batch ${embeddings.columns
+        .sorted.mkString("(", ", ", ")")}")
     // both codebooks ride the driver caches: a streaming ingest appends
     // every trigger interval, and re-reading two parquet artifacts per
     // micro-batch is pure latency (append never mutates either). The
@@ -568,6 +594,17 @@ object IvfIndex {
     * missing columns under some read orders.
     */
   def mergeFrom(spark: SparkSession, dstPath: String, srcPath: String): Unit = {
+    // a self-merge passes every compatibility check below and silently
+    // doubles every row (append assumes disjoint ids) — fail fast on the
+    // filesystem-qualified paths, which catches ./x vs x spellings too
+    def qualified(p: String) = {
+      val hp = hadoopPath(p)
+      hp.getFileSystem(spark.sessionState.newHadoopConf())
+        .makeQualified(hp).toString
+    }
+    require(qualified(dstPath) != qualified(srcPath),
+      s"mergeFrom: dst and src are the same index ($dstPath) — " +
+        s"a self-merge would duplicate every row")
     val dst = readMeta(spark, dstPath)
     val src = readMeta(spark, srcPath)
     require(src.idCol == dst.idCol && src.vecCol == dst.vecCol &&

@@ -394,13 +394,20 @@ object TimeSeriesOps {
     for (side <- Seq(points, intervals))
       require(!side.columns.contains("__b"),
         "pointInInterval reserves column __b — rename it on the input")
+    // Bucket boundaries are whole seconds, so second-truncating a point
+    // (or an interval start) never moves it across a bucket edge. The
+    // EXCLUSIVE end is different: with a sub-second end (10:02:00.5),
+    // truncate-then-minus-one tops the bucket list out one bucket short
+    // of the last point the exact predicate admits — so the upper bound
+    // works in microseconds: the last admissible instant is end − 1 µs,
+    // and its bucket is floor((µs(end) − 1) / µs-per-bucket).
     val pb = points.withColumn("__b",
       floor(unix_timestamp(col(ptsTsCol)) / bucketSeconds).cast("long"))
     val ib = intervals
       .filter(col(endCol) > col(startCol))
       .withColumn("__b", explode(sequence(
         floor(unix_timestamp(col(startCol)) / bucketSeconds).cast("long"),
-        floor((unix_timestamp(col(endCol)) - 1) / bucketSeconds)
+        floor((unix_micros(col(endCol)) - 1) / (bucketSeconds * 1000000L))
           .cast("long"))))
     pb.join(ib, Seq("__b"))
       .filter(col(ptsTsCol) >= col(startCol) && col(ptsTsCol) < col(endCol))
@@ -420,7 +427,13 @@ object TimeSeriesOps {
     * the same window ordering, so both evaluate in the single sorted
     * pass, and the per-session rollup groups on (key, session_no),
     * which is a prefix of the window partitioning and partial-aggs
-    * map-side. Epoch-second arithmetic, engine-portable. Sessions are
+    * map-side. Epoch-MICROsecond arithmetic — the full precision of a
+    * Spark/DuckDB timestamp, so gaps a fraction of a second over the
+    * threshold split exactly as the streaming twin
+    * ([[graft.streaming.StreamingOps.sessionStream]]) splits them
+    * (second-truncating here would merge every true gap in
+    * (gap, gap+1s) whose truncated difference equals the threshold).
+    * Engine-portable: DuckDB restates it with epoch_us. Sessions are
     * the unit of work in event-log curation (bot detection, dialogue
     * turn assembly) — the gap rule is the standard web-analytics
     * definition.
@@ -432,14 +445,18 @@ object TimeSeriesOps {
       gapSeconds: Long,
       tieBreak: Seq[String] = Nil): DataFrame = {
     require(gapSeconds > 0, "gapSeconds must be positive")
+    for (c <- Seq("__e", "__boundary", "session_no"))
+      require(!df.columns.contains(c),
+        s"sessionize reserves column $c — rename it on the input")
     val w = Window
       .partitionBy(keys.map(col): _*)
       .orderBy((col(tsCol) +: tieBreak.map(col)).map(_.asc): _*)
-    val epoch = floor(unix_timestamp(col(tsCol))).cast("long")
+    val epoch = unix_micros(col(tsCol))
+    val gapMicros = gapSeconds * 1000000L
     df
       .withColumn("__e", epoch)
       .withColumn("__boundary",
-        when(col("__e") - lag(col("__e"), 1).over(w) > gapSeconds ||
+        when(col("__e") - lag(col("__e"), 1).over(w) > gapMicros ||
           lag(col("__e"), 1).over(w).isNull, 1L).otherwise(0L))
       .withColumn("session_no", sum(col("__boundary")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -80,14 +80,7 @@ object RelationalQueries extends QueryModule {
     // point vs naive line formats).
     "s15_jsonl_roundtrip" -> Q(
       fn = (s, dir) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_s15_docs_jsonl_").toString
-        sys.addShutdownHook {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-          }
-          rm(new java.io.File(tmp))
-        }
+        val tmp = freshTmpDir("s15_docs_jsonl_")
         t(s, dir, "documents").write.mode("overwrite").json(tmp)
         val schema = StructType(Seq(
           StructField("doc_id", LongType),

@@ -17,22 +17,10 @@ object SimilarityQueries extends QueryModule {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
-  // v12/v13/v14 build a throwaway persisted index per invocation; ONE
-  // shared temp root with ONE JVM shutdown hook (a hook registered per
-  // invocation accumulates across repeated harness runs in one JVM —
-  // ADVICE r9), fresh subdirectory per call so invocations never collide.
-  private lazy val indexTmpRoot: java.nio.file.Path = {
-    val root = java.nio.file.Files.createTempDirectory("graft_index_q_")
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(root.toFile)
-    }
-    root
-  }
-  private def freshIndexDir(tag: String): String =
-    java.nio.file.Files.createTempDirectory(indexTmpRoot, tag).toString
+  // v12/v13/v14 build a throwaway persisted index per invocation; the
+  // shared package-level temp root carries the ONE-shutdown-hook
+  // discipline (ADVICE r9), fresh subdirectory per call.
+  private def freshIndexDir(tag: String): String = freshTmpDir(tag)
 
   // ---- shared DuckDB fragments (mirror SimilarityOps exactly) ----
   /** Strict left-fold dot product of two 64-dim list columns. list_reduce

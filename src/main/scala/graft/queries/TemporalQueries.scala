@@ -322,9 +322,10 @@ object TemporalQueries extends QueryModule {
     // shuffle on user_id; boundary lag, the running session counter, and
     // the per-session rollup all ride the same sorted pass (the groupBy
     // keys prefix the window partitioning). The oracle restates the
-    // boundary/running-sum construction over epoch seconds — session
-    // ids are order-deterministic (ts, event_id ties), so start/end/
-    // counts hash-match exactly.
+    // boundary/running-sum construction over epoch MICROseconds (full
+    // timestamp precision, mirroring the operator) — session ids are
+    // order-deterministic (ts, event_id ties), so start/end/counts
+    // hash-match exactly.
     "a7_sessionize" -> Q(
       fn = (s, dir) =>
         graft.operators.TimeSeriesOps.sessionize(
@@ -334,13 +335,13 @@ object TemporalQueries extends QueryModule {
       oracle = Some("""
         WITH b AS (
           SELECT user_id, ts, event_id,
-                 CAST(floor(epoch(ts)) AS BIGINT) AS e,
-                 lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                 epoch_us(ts) AS e,
+                 lag(epoch_us(ts)) OVER
                    (PARTITION BY user_id ORDER BY ts, event_id) AS pe
           FROM events),
         s AS (
           SELECT user_id, ts,
-                 sum(CASE WHEN pe IS NULL OR e - pe > 1800
+                 sum(CASE WHEN pe IS NULL OR e - pe > 1800000000
                      THEN 1 ELSE 0 END) OVER
                    (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS UNBOUNDED PRECEDING) AS sn

@@ -163,9 +163,11 @@ object StreamingOps {
     * Boundary convention: `session_window` intervals are [start,
     * last + gap), so an event arriving EXACTLY `gap` after its
     * predecessor opens a new session here, where the batch operator's
-    * strict `> gapSeconds` rule extends the old one — the two agree on
-    * every gap not exactly equal to the threshold (with sub-second
-    * timestamps an exact hit is measure-zero).
+    * strict `> gapSeconds` rule extends the old one. Both sides compare
+    * at full microsecond timestamp precision (the batch operator works
+    * in epoch micros), so the two agree on every gap not exactly equal
+    * to the threshold — an exact-to-the-microsecond hit, which is
+    * measure-zero in real event time.
     */
   def sessionStream(
       df: DataFrame,

@@ -1102,4 +1102,36 @@ class IvfIndexSpec extends SparkSpec {
       assert(e.getMessage.contains(bad), e.getMessage)
     }
   }
+
+  test("append/mergeFrom guards: reserved or drifting batch schemas and " +
+    "self-merges fail fast instead of corrupting the layout") {
+    val emb = Tables(spark, dir, "embeddings")
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfg_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/index"
+    IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
+      path = path)
+    val batch = emb.filter($"vec_id" < 5)
+    // a reserved column on the batch would be overwritten (or collide
+    // with the layout's own) — refuse
+    intercept[IllegalArgumentException] {
+      IvfIndex.append(spark, path, batch.withColumn("codes", lit(1)))
+    }
+    // a caller column the layout has never seen would drift the parquet
+    // schema (served as nulls under some read orders) — refuse
+    intercept[IllegalArgumentException] {
+      IvfIndex.append(spark, path, batch.withColumn("extra", lit(1)))
+    }
+    // a missing caller column drifts the schema the other way — refuse
+    intercept[IllegalArgumentException] {
+      IvfIndex.append(spark, path, batch.drop("embedding"))
+    }
+    // self-merge passes every layout-compatibility check yet would
+    // double every row — refuse on the qualified path, ./x vs x too
+    intercept[IllegalArgumentException] {
+      IvfIndex.mergeFrom(spark, path, path)
+    }
+    // the guards rejected everything: the layout is bit-still
+    assert(spark.read.parquet(s"$path/vectors").count() === 500)
+  }
 }

@@ -192,4 +192,51 @@ class TimeSeriesOpsSpec extends SparkSpec {
         pts.withColumn("__b", lit(1)), "t", ivs, "s", "e", 60L)
     }
   }
+
+  test("pointInInterval sub-second precision: an interval ending on a " +
+    "fractional second still matches points in its final bucket") {
+    // bucket=60s, interval [10:00:00, 10:02:00.5): the last admissible
+    // point lives in the 10:02 bucket — truncate-then-minus-one would
+    // top the interval's bucket list out at 10:01 and drop it (r11
+    // review finding)
+    val pts = Seq(
+      (1, "2024-01-01 10:02:00.2"),  // < end -> in (the dropped case)
+      (2, "2024-01-01 10:02:00.5"),  // == end -> out
+      (3, "2024-01-01 10:01:59.9"),  // in, earlier bucket
+      (4, "2024-01-01 10:02:01.0"))  // > end -> out
+      .toDF("pid", "t").withColumn("t", to_timestamp($"t"))
+    val ivs = Seq((10, "2024-01-01 10:00:00", "2024-01-01 10:02:00.5"))
+      .toDF("iid", "s", "e")
+      .withColumn("s", to_timestamp($"s")).withColumn("e", to_timestamp($"e"))
+    val got = TimeSeriesOps.pointInInterval(pts, "t", ivs, "s", "e", 60L)
+      .select($"pid", $"iid").as[(Int, Int)].collect().toSet
+    val naive = pts.join(ivs, $"t" >= $"s" && $"t" < $"e")
+      .select($"pid", $"iid").as[(Int, Int)].collect().toSet
+    assert(got === naive)
+    assert(got === Set((1, 10), (3, 10)))
+  }
+
+  test("sessionize sub-second precision: gaps a fraction over/under the " +
+    "threshold split exactly as the streaming twin would, and reserved " +
+    "column names fail fast") {
+    // true gap 1800.8s > 1800 -> two sessions (second-truncated epochs
+    // would compute 1800 and merge them — r11 review finding)
+    val over = Seq(
+      (1L, "2024-01-01 10:00:00.1"), (1L, "2024-01-01 10:30:00.9"))
+      .toDF("user_id", "ts").withColumn("ts", to_timestamp($"ts"))
+    assert(TimeSeriesOps.sessionize(over, Seq("user_id"), "ts", 1800L)
+      .count() === 2L)
+    // true gap 1799.2s < 1800 -> one session of two events
+    val under = Seq(
+      (1L, "2024-01-01 10:00:00.9"), (1L, "2024-01-01 10:30:00.1"))
+      .toDF("user_id", "ts").withColumn("ts", to_timestamp($"ts"))
+    val one = TimeSeriesOps.sessionize(under, Seq("user_id"), "ts", 1800L)
+      .select($"n_events").as[Long].collect().toSeq
+    assert(one === Seq(2L))
+    for (c <- Seq("__e", "__boundary", "session_no"))
+      intercept[IllegalArgumentException] {
+        TimeSeriesOps.sessionize(
+          over.withColumn(c, lit(1)), Seq("user_id"), "ts", 1800L)
+      }
+  }
 }
