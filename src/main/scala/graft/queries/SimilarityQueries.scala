@@ -1054,6 +1054,69 @@ object SimilarityQueries extends QueryModule {
         FROM topk
         ORDER BY rank""")),
 
+    // V20 — HYBRID search: BM25 lexical top-20 over `documents` fused
+    // with exact-cosine top-20 over `embeddings` (shared 0..N-1 id
+    // space) by reciprocal-rank fusion, score(id) = Σ 1/(60 + rank).
+    // RRF is scale-free — ranks fuse without score calibration — which
+    // is why it is the standard lexical×vector combiner. Contributions
+    // are deterministic doubles rounded at 9 dp into a decimal sum, and
+    // every ranking is rank-cut before the fuse, so the fusion stage is
+    // top-k-sized no matter the corpus. The oracle restates both
+    // retrievers (t19's BM25 CTEs, v1's cosine CTEs) and the same
+    // fusion arithmetic.
+    "v20_hybrid_rrf" -> Q(
+      fn = (s, dir) => {
+        val lex = graft.operators.SearchOps.bm25TopK(
+          t(s, dir, "documents"), "doc_id", "text",
+          Seq("dup", "vector", "query"), k = 20)
+        val emb = t(s, dir, "embeddings")
+        val vec = SimilarityOps.bruteForceTopK(
+          emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+          k = 20).withColumnRenamed("vec_id", "doc_id")
+        graft.operators.SearchOps.rrfFuse(
+          Seq(lex.select(col("doc_id"), col("rank")),
+            vec.select(col("doc_id"), col("rank"))),
+          "doc_id", "rank", k = 10)
+          .orderBy(col("rank"))
+      },
+      oracle = Some(s"""
+        WITH ${TextQueries.bm25ScoredCte(Seq("dup", "vector", "query"))},
+        lex AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY s DESC, doc_id)
+                   AS BIGINT) AS r
+          FROM (SELECT doc_id, s FROM scored ORDER BY s DESC, doc_id
+                LIMIT 20)),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        vscored AS (
+          SELECT e.vec_id AS doc_id,
+                 ${cosineSql("e.embedding", "q.qe")} AS sim
+          FROM embeddings e, q
+          WHERE e.vec_id <> 0),
+        vec AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+                   AS BIGINT) AS r
+          FROM (SELECT doc_id, sim FROM vscored ORDER BY sim DESC, doc_id
+                LIMIT 20)),
+        u AS (SELECT doc_id, r FROM lex
+              UNION ALL SELECT doc_id, r FROM vec),
+        fused AS (
+          SELECT doc_id,
+                 sum(CAST(round(
+                   CAST(1.0 AS DOUBLE) / (CAST(60 AS DOUBLE) + r), 9)
+                   AS DECIMAL(38,9))) AS s,
+                 count(*) AS n_lists
+          FROM u GROUP BY 1),
+        topk AS (SELECT doc_id, s, n_lists FROM fused
+                 ORDER BY s DESC, doc_id LIMIT 10)
+        SELECT doc_id, round(CAST(s AS DOUBLE), 6) AS rrf, n_lists,
+               CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT)
+                 AS rank
+        FROM topk
+        ORDER BY rank"""),
+      bench = true),
+
     // V11 — PQ + ADC over TRAINED codebooks (iters = 2): exercises the
     // Lloyd's update inside pqFit — assignment against the seed codebook,
     // then decimal-exact per-(sub, code, dsub) means — which v10's seed-

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, QueryModule, Tables}
-import graft.operators.{DedupOps, TextOps}
+import graft.operators.{DedupOps, SearchOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -931,8 +931,92 @@ object TextQueries extends QueryModule {
           .orderBy(col("n").desc, col("token").asc)
           .limit(20)
       },
-      oracle = Some(bpeTokensOracle(4, 20)))
+      oracle = Some(bpeTokensOracle(4, 20))),
+
+    // T19 — Okapi BM25 lexical top-k (k1=1.5, b=0.75, Lucene idf): the
+    // keyword-retrieval half of hybrid search. The Spark plan filters the
+    // exploded token stream to the query terms map-side (only matching
+    // rows ever shuffle), broadcasts per-term df and the 1-row corpus
+    // stats back in, and k-cuts with TakeOrdered. The oracle restates
+    // the identical statistics pipeline; per-(doc, term) contributions
+    // round at 9 dp into a decimal sum, so scores are order-independent
+    // and the top-k cut agrees bit-for-bit. Terms mix df extremes
+    // ('dup' df≈25 vs 'scan' df≈398 at sf0.01) so idf ordering is
+    // actually exercised.
+    "t19_bm25" -> Q(
+      fn = (s, dir) =>
+        SearchOps.bm25TopK(
+          t(s, dir, "documents"), "doc_id", "text",
+          Seq("dup", "vector", "scan"), k = 10)
+          .orderBy(col("rank")),
+      oracle = Some(bm25Oracle(Seq("dup", "vector", "scan"), 10)),
+      bench = true),
+
+    // T20 — BM25 served from a PERSISTED postings index: build writes
+    // (term, doc, dl, tf) partitioned by pmod(xxhash64(term), 16), query
+    // reads only the query terms' bucket partitions (pruned before IO —
+    // SearchOpsSpec pins the PartitionFilters) and re-derives df from
+    // the pruned read (exact: a term's postings all live in its bucket).
+    // Same oracle construction as t19 — the index is a layout, not a
+    // different algorithm.
+    "t20_bm25_index" -> Q(
+      fn = (s, dir) => {
+        val path = freshTmpDir("t20_bm25_idx_") + "/index"
+        SearchOps.bm25IndexWrite(
+          t(s, dir, "documents"), "doc_id", "text", path, numBuckets = 16)
+        SearchOps.bm25QueryIndex(
+          s, path, Seq("dup", "key", "batch"), k = 10)
+          .orderBy(col("rank"))
+      },
+      oracle = Some(bm25Oracle(Seq("dup", "key", "batch"), 10)))
   )
+
+  /** Okapi BM25 over `documents` (k1=1.5, b=0.75 — both exactly
+    * representable, so `2.5`/`0.25`/`0.75` literals are bit-identical to
+    * the Scala side's), Lucene idf. Mirrors
+    * [[graft.operators.SearchOps.bm25TopK]] operation for operation; all
+    * integer operands cast to DOUBLE before any arithmetic so DuckDB
+    * never falls into decimal math where Spark does float math.
+    */
+  private[queries] def bm25ScoredCte(terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""stats AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                 string_split(text, ' ') AS tk
+          FROM documents),
+        corpus AS (
+          SELECT count(*) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM stats),
+        tf AS (
+          SELECT doc_id, dl, term, count(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(tk) AS term FROM stats)
+          WHERE term IN ($inList)
+          GROUP BY 1, 2, 3),
+        dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        scored AS (
+          SELECT t.doc_id,
+                 sum(CAST(round(
+                   ln((CAST(c.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) /
+                      (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+                   * (CAST(t.tf AS DOUBLE) * 2.5)
+                   / (CAST(t.tf AS DOUBLE) +
+                      1.5 * (0.25 + 0.75 * (CAST(t.dl AS DOUBLE) / c.avgdl))),
+                   9) AS DECIMAL(38,9))) AS s
+          FROM tf t JOIN dfs d USING (term) CROSS JOIN corpus c
+          GROUP BY 1)"""
+  }
+
+  private def bm25Oracle(terms: Seq[String], k: Int): String =
+    s"""
+        WITH ${bm25ScoredCte(terms)},
+        topk AS (SELECT doc_id, s FROM scored ORDER BY s DESC, doc_id
+                 LIMIT $k)
+        SELECT doc_id, round(CAST(s AS DOUBLE), 6) AS bm25,
+               CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT)
+                 AS rank
+        FROM topk
+        ORDER BY rank"""
 
   /** CTE chain for `rounds` BPE merges over the documents vocabulary:
     * w0 = (sym, cnt); per round r: pr = weighted overlapping pair
