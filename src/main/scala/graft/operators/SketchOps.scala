@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** K-minimum-values (KMV) distinct-count sketches: per group, keep the k
+  * smallest distinct 60-bit md5 hashes of the value; the k-th smallest
+  * hash estimates the cardinality as (k−1) / U(k) with U(k) the hash
+  * normalized to [0, 1). Unlike HLL registers, a KMV sketch built from a
+  * DETERMINISTIC hash is bit-reproducible across engines and runs — the
+  * property that makes it oracle-checkable here — while keeping HLL's
+  * operational virtues: fixed size (k longs), mergeable by union+re-cut,
+  * and ~1/√(k−2) relative error.
+  *
+  * Scale shape: the sketch is two shuffles — distinct (group, hash) with
+  * map-side partial aggregation (the corpus-scale one; only distinct
+  * hashes survive the map side), then the per-group k-cut, where the
+  * rank filter compiles to WindowGroupLimit (per-partition k-heap
+  * before the exchange), so the second shuffle carries ≤ k rows per
+  * group. Merging never touches raw data: union the sketch rows and
+  * re-cut — the algebra a 1000-executor rollup (per-day sketches folded
+  * into monthly) needs.
+  */
+object SketchOps {
+
+  private def guard(df: DataFrame, op: String): Unit = {
+    val hit = Seq("__h", "__rn").filter(df.columns.contains)
+    require(hit.isEmpty,
+      s"$op reserves column(s) ${hit.mkString(", ")} — rename them on " +
+        "the input")
+  }
+
+  /** Per-group k smallest distinct hashes of `valueCol` (stringified,
+    * md5-hashed to 60 bits). Output: keys..., `kmv` array<long> sorted
+    * ascending, length ≤ k.
+    */
+  def kmvSketch(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "kmvSketch: k must be at least 2 (the estimator " +
+      "divides by the k-th smallest hash)")
+    guard(df, "kmvSketch")
+    kSmallest(
+      df.select((keys.map(col) :+
+        TextOps.baseHash60(col(valueCol).cast("string")).as("__h")): _*)
+        .distinct(),
+      keys, k)
+  }
+
+  /** Fold many sketch rows per group (e.g. one per day, or one per
+    * partition of a distributed build) into one: union the retained
+    * hashes, drop duplicates, re-take the k smallest. Exactly the sketch
+    * of the union of the inputs — KMV's merge is lossless by
+    * construction (the k smallest of a union are among the per-part k
+    * smallest).
+    */
+  def kmvMerge(
+      sketches: DataFrame,
+      keys: Seq[String],
+      k: Int): DataFrame = {
+    require(k >= 2, "kmvMerge: k must be at least 2")
+    kSmallest(
+      sketches
+        .select((keys.map(col) :+ explode(col("kmv")).as("__h")): _*)
+        .distinct(),
+      keys, k)
+  }
+
+  /** Estimate per-group distinct counts from sketch rows: exact when the
+    * group retained fewer than k hashes (the sketch saw every distinct
+    * value), else (k−1) · 2^60 / h(k). Output: keys..., `n_retained`,
+    * `n_distinct_est` (rounded to 4 dp, engine-portable: every operand
+    * is an exactly-represented double).
+    */
+  def kmvEstimate(
+      sketches: DataFrame,
+      keys: Seq[String],
+      k: Int): DataFrame = {
+    require(k >= 2, "kmvEstimate: k must be at least 2")
+    val est = when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+      .otherwise(
+        (lit((k - 1).toDouble) * lit(math.pow(2.0, 60.0))) /
+          element_at(col("kmv"), k).cast("double"))
+    sketches.select((keys.map(col) :+
+      size(col("kmv")).as("n_retained") :+
+      round(est, 4).as("n_distinct_est")): _*)
+  }
+
+  /** Per-group k smallest of a distinct (keys, __h) frame: the rank
+    * filter compiles to WindowGroupLimit (k-heap per partition, pushed
+    * below the exchange), the final collect_list is bounded by k.
+    */
+  private def kSmallest(
+      hashed: DataFrame,
+      keys: Seq[String],
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__h"))
+    hashed
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col("__h"))).as("kmv"))
+  }
+}

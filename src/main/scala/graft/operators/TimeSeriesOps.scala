@@ -465,4 +465,71 @@ object TimeSeriesOps {
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"))
   }
+
+  /** Greedy-earliest funnel: per key, step 1's time is the earliest
+    * step-1 event, and step i's time is the earliest step-i event
+    * STRICTLY after step i−1's time — the chain a product analyst means
+    * by "viewed, then clicked, then purchased". Greedy-earliest is the
+    * standard semantics (ClickHouse `windowFunnel`-style) and, unlike
+    * "any matching subsequence", is order-deterministic and
+    * SQL-restatable as a k-deep min-chain.
+    *
+    * ONE shuffle: groupBy key collects each key's events (bounded by
+    * per-key activity, not corpus size), sorts them in place, and a
+    * native `aggregate` HOF folds the sorted list once, carrying the
+    * k step-times as its state — no per-step join cascade (a k-step
+    * funnel as SQL is k shuffles), no UDF. Emits one row per key:
+    * `step_1..step_k` timestamps (null once the chain breaks) and
+    * `steps_completed`. Events with identical timestamps cannot
+    * advance the chain past each other (strict `>`), so `tieBreak`
+    * only stabilizes the sort, not the result.
+    */
+  def funnel(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(steps.nonEmpty, "funnel: empty step list")
+    require(steps.distinct.size == steps.size,
+      "funnel: duplicate step types make the chain ambiguous")
+    val k = steps.size
+    // (epoch-micros ts, tiebreaks..., type) structs sort chronologically;
+    // the fold only reads ts and type
+    val ev = struct(
+      (unix_micros(col(tsCol)).as("t") +:
+        tieBreak.map(c => col(c).as(s"__tb_$c"))) :+
+        col(typeCol).as("ty"): _*)
+    val sorted = array_sort(collect_list(ev))
+    // state: array<long> of k step-times, null = step not reached; each
+    // event may fill the FIRST unfilled step whose type matches and whose
+    // predecessor fired strictly earlier
+    val zero = array_repeat(lit(null).cast("long"), k)
+    val folded = aggregate(
+      sorted,
+      zero,
+      (acc, x) => {
+        val upd = (i: Int) => {
+          val prevOk =
+            if (i == 0) lit(true)
+            else element_at(acc, i).isNotNull &&
+              x.getField("t") > element_at(acc, i)
+          when(element_at(acc, i + 1).isNull &&
+            x.getField("ty") === steps(i) && prevOk, x.getField("t"))
+            .otherwise(element_at(acc, i + 1))
+        }
+        // rebuild the k-slot state; k is a literal handful, so this is a
+        // fixed-width codegen-friendly expression, not a loop over data
+        array((0 until k).map(upd): _*)
+      })
+    val stepCols = steps.indices.map(i =>
+      timestamp_micros(element_at(col("__funnel"), i + 1))
+        .as(s"step_${i + 1}"))
+    df.groupBy(keys.map(col): _*)
+      .agg(folded.as("__funnel"))
+      .select((keys.map(col) ++ stepCols :+
+        size(filter(col("__funnel"), _.isNotNull))
+          .as("steps_completed")): _*)
+  }
 }

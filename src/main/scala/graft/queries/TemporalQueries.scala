@@ -452,6 +452,95 @@ object TemporalQueries extends QueryModule {
                arg_max(event_id, ts) AS last_event_id, count(*) AS n
         FROM events
         GROUP BY user_id
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // A12 — greedy-earliest funnel (view → click → purchase): step 1 is
+    // the user's earliest view, step i the earliest step-i event
+    // STRICTLY after step i−1 — the product-analytics conversion chain.
+    // The Spark side is ONE shuffle (per-user collect + sorted native
+    // fold carrying the k step-times as HOF state); the oracle restates
+    // the same greedy chain as a k-deep min-join cascade, which is
+    // semantically identical (min over a sorted stream = first
+    // qualifying element) but k shuffles — exactly the rewrite the
+    // operator exists to avoid.
+    "a12_funnel" -> Q(
+      fn = (s, dir) =>
+        graft.operators.TimeSeriesOps.funnel(
+          t(s, dir, "events"), Seq("user_id"), "ts", "event_type",
+          Seq("view", "click", "purchase"), tieBreak = Seq("event_id"))
+          .orderBy(col("user_id")),
+      oracle = Some("""
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        u AS (SELECT DISTINCT user_id FROM events)
+        SELECT u.user_id, s1.t1 AS step_1, s2.t2 AS step_2,
+               s3.t3 AS step_3,
+               CASE WHEN s3.t3 IS NOT NULL THEN 3
+                    WHEN s2.t2 IS NOT NULL THEN 2
+                    WHEN s1.t1 IS NOT NULL THEN 1
+                    ELSE 0 END AS steps_completed
+        FROM u
+        LEFT JOIN s1 ON u.user_id = s1.user_id
+        LEFT JOIN s2 ON u.user_id = s2.user_id
+        LEFT JOIN s3 ON u.user_id = s3.user_id
+        ORDER BY u.user_id""")),
+
+    // A13 — KMV distinct-count sketch (k = 32) of event ids per type,
+    // alongside the exact count it approximates. KMV over a
+    // deterministic md5-derived hash is bit-reproducible across engines
+    // (HLL register layouts are not — which is why THIS sketch gets an
+    // oracle row and approx_count_distinct never could), mergeable by
+    // union+re-cut, and fixed-size. The oracle restates hash → distinct
+    // → per-group 32 smallest → (k−1)·2^60/h(k) with the same 60-bit
+    // md5-fold fragment the MinHash oracles use.
+    "a13_kmv_distinct" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+        val sk = graft.operators.SketchOps.kmvSketch(
+          ev, Seq("event_type"), "event_id", k = 32)
+        val est = graft.operators.SketchOps.kmvEstimate(
+          sk, Seq("event_type"), k = 32)
+        val exact = ev.groupBy(col("event_type"))
+          .agg(count_distinct(col("event_id")).as("exact_distinct"))
+        est.join(exact, "event_type")
+          .select(col("event_type"), col("n_retained"),
+            col("n_distinct_est"), col("exact_distinct"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some(s"""
+        WITH h AS (
+          SELECT DISTINCT event_type,
+            list_transform([CAST(event_id AS VARCHAR)],
+              s -> ${TextQueries.baseHashSql})[1] AS hv
+          FROM events),
+        r AS (
+          SELECT event_type, hv,
+                 row_number() OVER (PARTITION BY event_type ORDER BY hv)
+                   AS rn
+          FROM h),
+        sk AS (
+          SELECT event_type, list_sort(list(hv)) AS kmv
+          FROM r WHERE rn <= 32 GROUP BY 1),
+        ex AS (
+          SELECT event_type, count(DISTINCT event_id) AS exact_distinct
+          FROM events GROUP BY 1)
+        SELECT sk.event_type,
+               CAST(len(kmv) AS INT) AS n_retained,
+               round(CASE WHEN len(kmv) < 32 THEN CAST(len(kmv) AS DOUBLE)
+                     ELSE (CAST(31 AS DOUBLE) * pow(2, 60)) /
+                          CAST(kmv[32] AS DOUBLE) END, 4)
+                 AS n_distinct_est,
+               ex.exact_distinct
+        FROM sk JOIN ex ON sk.event_type = ex.event_type
+        ORDER BY sk.event_type"""))
   )
 }

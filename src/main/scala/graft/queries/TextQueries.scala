@@ -29,7 +29,7 @@ object TextQueries extends QueryModule {
   // 60-bit base hash per shingle (fold of the first 15 md5 hex digits),
   // then 8 affine MinHash permutations mod 2^31-1 — mirrors
   // TextOps.baseHash60/minhashSignature exactly.
-  private val baseHashSql =
+  private[queries] val baseHashSql =
     "list_reduce(list_transform(generate_series(1, 15), __i -> " +
       "CAST(ord(substr(md5(s), CAST(__i AS INT), 1)) - " +
       "CASE WHEN substr(md5(s), CAST(__i AS INT), 1) >= 'a' THEN 87 ELSE 48 END " +

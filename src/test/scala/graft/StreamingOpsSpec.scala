@@ -209,8 +209,12 @@ class StreamingOpsSpec extends SparkSpec {
     val d = java.nio.file.Files.createTempDirectory("graft_sidx_").toFile
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
+    // build the base on exactly the columns the stream will carry —
+    // append now refuses drifting caller schemas (an index built with
+    // extra payload columns cannot ingest a narrower stream)
     graft.operators.IvfIndex.write(
-      h1, "vec_id", "embedding", kCells = 4, trainIters = 2, path = path,
+      h1.select($"vec_id", $"embedding"), "vec_id", "embedding",
+      kCells = 4, trainIters = 2, path = path,
       pq = Some(graft.operators.IvfIndex.Pq(numSub = 4, kCodes = 4, iters = 2)))
 
     val input = MemoryStream[(Long, Array[Float])]

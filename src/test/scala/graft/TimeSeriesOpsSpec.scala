@@ -239,4 +239,50 @@ class TimeSeriesOpsSpec extends SparkSpec {
           over.withColumn(c, lit(1)), Seq("user_id"), "ts", 1800L)
       }
   }
+
+  test("funnel: greedy-earliest chains, strict-after steps, equal " +
+    "timestamps cannot advance the chain, and broken chains stop") {
+    def ev(rows: (Long, String, String)*) = rows.toSeq
+      .zipWithIndex
+      .map { case ((u, ts, ty), i) => (u, ts, ty, i.toLong) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+      .withColumn("ts", to_timestamp($"ts"))
+    val events = ev(
+      // user 1: full chain, but the EARLIEST A is the one that counts
+      // even though a later A->B->C chain would also exist
+      (1L, "2024-01-01 10:00:00", "A"),
+      (1L, "2024-01-01 11:00:00", "A"),
+      (1L, "2024-01-01 12:00:00", "B"),
+      (1L, "2024-01-01 13:00:00", "C"),
+      // user 2: B BEFORE the first A never counts; chain stops at A
+      (2L, "2024-01-01 09:00:00", "B"),
+      (2L, "2024-01-01 10:00:00", "A"),
+      (2L, "2024-01-01 10:00:00", "C"),  // C without B: chain gap
+      // user 3: B at the SAME instant as A — strict > rejects it
+      (3L, "2024-01-01 10:00:00", "A"),
+      (3L, "2024-01-01 10:00:00", "B"),
+      // user 4: no A at all
+      (4L, "2024-01-01 10:00:00", "B"))
+    val got = TimeSeriesOps.funnel(
+      events, Seq("user_id"), "ts", "event_type", Seq("A", "B", "C"),
+      tieBreak = Seq("event_id"))
+      .select($"user_id", $"step_1".cast("string"),
+        $"step_2".cast("string"), $"step_3".cast("string"),
+        $"steps_completed")
+      .as[(Long, String, String, String, Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 12:00:00",
+        "2024-01-01 13:00:00", 3),
+      (2L, "2024-01-01 10:00:00", null, null, 1),
+      (3L, "2024-01-01 10:00:00", null, null, 1),
+      (4L, null, null, null, 0)))
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.funnel(events, Seq("user_id"), "ts", "event_type",
+        Seq("A", "A"))
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.funnel(events, Seq("user_id"), "ts", "event_type", Nil)
+    }
+  }
 }
