@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -87,6 +87,97 @@ object SketchOps {
     sketches.select((keys.map(col) :+
       size(col("kmv")).as("n_retained") :+
       round(est, 4).as("n_distinct_est")): _*)
+  }
+
+  /** Count-min sketch build: d×w counters where counter (p, b) is the
+    * number of input rows whose value hashes to bucket b under depth-p's
+    * hash. Depth p's bucket function is the MinHash affine family
+    * ((2p+3)·(h mod P) + 7p+1) mod P, cut to [0, w) — deterministic, so
+    * the whole sketch (and every point estimate) is bit-reproducible and
+    * oracle-checkable, unlike a seeded-murmur CMS. Output rows:
+    * keys..., `depth_no`, `bucket`, `cnt` — sparse (zero counters are
+    * absent; estimate treats absent as 0).
+    *
+    * Scale shape: the d-way posexplode happens map-side and partial
+    * aggregation collapses each task's contribution to ≤ d·w counter
+    * rows before the exchange — the shuffle carries sketch-sized data
+    * regardless of input size. Merge is counter addition ([[cmsMerge]]),
+    * so per-partition / per-day sketches fold into global ones without
+    * touching raw rows.
+    */
+  def cmsSketch(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      depth: Int,
+      width: Int): DataFrame = {
+    requireDims(depth, width, "cmsSketch")
+    guardCms(df, "cmsSketch")
+    df.select((keys.map(col) :+
+      posexplode(cmsBuckets(col(valueCol), depth, width))
+        .as(Seq("depth_no", "bucket"))): _*)
+      .groupBy((keys.map(col) ++ Seq(col("depth_no"), col("bucket"))): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Fold sketches built over disjoint row sets (per day, per partition)
+    * into the sketch of their union: counters add. Same (depth, width)
+    * on every input is the caller's contract — mixed widths would add
+    * counters from different hash ranges silently.
+    */
+  def cmsMerge(sketches: DataFrame, keys: Seq[String]): DataFrame =
+    sketches
+      .groupBy((keys.map(col) ++ Seq(col("depth_no"), col("bucket"))): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-estimate the frequency of each (keys, value) row in `queries`:
+    * min over the d depths of that depth's counter (absent counter = 0).
+    * Classic CMS guarantee: never an underestimate, overestimate bounded
+    * by collisions (ε ≈ e/w of total count at confidence 1−e^−d).
+    * The sketch side is ≤ groups·d·w rows — broadcast it; the join adds
+    * no shuffle on the (arbitrarily large) query side.
+    */
+  def cmsEstimate(
+      queries: DataFrame,
+      sketch: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      depth: Int,
+      width: Int): DataFrame = {
+    requireDims(depth, width, "cmsEstimate")
+    guardCms(queries, "cmsEstimate")
+    val q = queries.select((keys.map(col) :+ col(valueCol) :+
+      posexplode(cmsBuckets(col(valueCol), depth, width))
+        .as(Seq("depth_no", "bucket"))): _*)
+    q.join(broadcast(sketch), keys ++ Seq("depth_no", "bucket"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy((keys.map(col) :+ col(valueCol)): _*)
+      .agg(min(col("cnt")).as("est_freq"))
+  }
+
+  /** The d bucket positions of one value: affine-permute the 60-bit base
+    * hash per depth, cut to [0, width). Pure column expression — stays
+    * inside whole-stage codegen.
+    */
+  private def cmsBuckets(value: Column, depth: Int, width: Int): Column = {
+    val p = TextOps.MinhashPrime
+    val h = TextOps.baseHash60(value.cast("string")) % p
+    array((0 until depth).map(d =>
+      ((lit(2L * d + 3) * h + lit(7L * d + 1)) % p % width)
+        .cast("int")): _*)
+  }
+
+  private def requireDims(depth: Int, width: Int, op: String): Unit = {
+    require(depth >= 1 && depth <= 16,
+      s"$op: depth must be in [1, 16] (got $depth)")
+    require(width >= 2, s"$op: width must be at least 2 (got $width)")
+  }
+
+  private def guardCms(df: DataFrame, op: String): Unit = {
+    val hit = Seq("depth_no", "bucket", "cnt").filter(df.columns.contains)
+    require(hit.isEmpty,
+      s"$op reserves column(s) ${hit.mkString(", ")} — rename them on " +
+        "the input")
   }
 
   /** Per-group k smallest of a distinct (keys, __h) frame: the rank

@@ -532,4 +532,94 @@ object TimeSeriesOps {
         size(filter(col("__funnel"), _.isNotNull))
           .as("steps_completed")): _*)
   }
+
+  /** Cohort retention: bucket each entity by the period of its FIRST
+    * event (its cohort), then count distinct entities active per
+    * (cohort, period-offset) — the retention matrix behind every
+    * "week-1 / week-2 retention" product chart. `bucket` is any
+    * `date_trunc` unit (`day`, `week`, `month`).
+    *
+    * Two shuffles, both on reduced data: a whole-partition window on
+    * the entity (min-ts — no sort, the frame is unbounded) attaches the
+    * cohort with the events already co-located by entity, then the
+    * distinct-count groupBy's partial expand dedups (cohort, offset,
+    * entity) map-side, so the second exchange carries near-distinct
+    * triples, not raw events. `retention_pct` is each cell against its
+    * cohort's offset-0 size via one more window over the (tiny,
+    * cohorts × offsets) aggregated frame.
+    */
+  def cohortRetention(
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      bucket: String): DataFrame = {
+    val units = Map("day" -> 1L, "week" -> 7L, "month" -> -1L)
+    require(units.contains(bucket),
+      s"cohortRetention: bucket must be one of ${units.keys.mkString("/")}")
+    val firstTs = min(col(tsCol))
+      .over(Window.partitionBy(col(entityCol)))
+    val cohort = date_trunc(bucket, firstTs)
+    val period = date_trunc(bucket, col(tsCol))
+    // integral by construction: both endpoints are truncated to `bucket`
+    val offset =
+      if (bucket == "month")
+        (months_between(period, cohort)).cast("int")
+      else
+        (datediff(period, cohort) / units(bucket)).cast("int")
+    val cells = df
+      .select(col(entityCol), cohort.as("cohort"), offset.as("period_offset"))
+      .groupBy(col("cohort"), col("period_offset"))
+      .agg(countDistinct(col(entityCol)).as("n_active"))
+    val cohortSize = first(col("n_active"))
+      .over(Window.partitionBy(col("cohort")).orderBy(col("period_offset")))
+    cells.select(
+      col("cohort").cast("date").as("cohort"),
+      col("period_offset"),
+      col("n_active"),
+      round(col("n_active").cast("double") / cohortSize * 100.0, 4)
+        .as("retention_pct"))
+  }
+
+  /** Merge overlapping-or-touching [start, end] intervals per key into
+    * their union spans — coverage windows from possibly-overlapping
+    * observation intervals (gap-sessionize's sibling: sessionize chains
+    * POINTS by gap; this unions EXTENTS by overlap). `end < start` rows
+    * are rejected up front. Touching intervals (next.start == running
+    * max end) merge; a new span starts only when start exceeds the
+    * running max of all prior ends — max, not lag(end), because an
+    * interval can swallow its successors entirely.
+    *
+    * One shuffle: the sort by (start, end) and both running-max /
+    * running-sum windows share one partitioning on the keys, then the
+    * span groupBy arrives pre-partitioned (no second exchange).
+    */
+  def mergeIntervals(
+      df: DataFrame,
+      keys: Seq[String],
+      startCol: String,
+      endCol: String): DataFrame = {
+    for (c <- Seq("__maxEnd", "__boundary", "span_no"))
+      require(!df.columns.contains(c),
+        s"mergeIntervals reserves column $c — rename it on the input")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(startCol).asc, col(endCol).asc)
+    val checked = df.withColumn(startCol,
+      when(col(startCol) > col(endCol),
+        raise_error(concat(lit(s"mergeIntervals: $startCol > $endCol at ("),
+          concat_ws(", ", keys.map(col): _*), lit(")"))))
+        .otherwise(col(startCol)))
+    checked
+      .withColumn("__maxEnd",
+        max(col(endCol)).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__boundary",
+        when(col("__maxEnd").isNull ||
+          col(startCol) > col("__maxEnd"), 1L).otherwise(0L))
+      .withColumn("span_no", sum(col("__boundary")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy((keys.map(col) :+ col("span_no")): _*)
+      .agg(min(col(startCol)).as("span_start"),
+        max(col(endCol)).as("span_end"),
+        count(lit(1)).as("n_intervals"))
+  }
 }

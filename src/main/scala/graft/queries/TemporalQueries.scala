@@ -541,6 +541,129 @@ object TemporalQueries extends QueryModule {
                  AS n_distinct_est,
                ex.exact_distinct
         FROM sk JOIN ex ON sk.event_type = ex.event_type
-        ORDER BY sk.event_type"""))
+        ORDER BY sk.event_type""")),
+
+    // A14 — day-granularity cohort retention on events: cohort = date of
+    // a user's first event, cell (cohort, offset) = distinct users from
+    // that cohort active `offset` days later, plus retention vs the
+    // cohort's day-0 size. Spark side is two reduced shuffles (min-ts
+    // window co-located by user, then map-side-distinct count); the
+    // oracle restates first-seen as a per-user min + join.
+    "a14_cohort_retention" -> Q(
+      fn = (s, dir) =>
+        TimeSeriesOps.cohortRetention(
+          t(s, dir, "events"), "user_id", "ts", "day")
+          .orderBy(col("cohort"), col("period_offset")),
+      oracle = Some("""
+        WITH f AS (
+          SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE)
+                   AS cohort
+          FROM events GROUP BY 1),
+        cells AS (
+          SELECT f.cohort,
+                 CAST(date_diff('day', f.cohort,
+                   CAST(date_trunc('day', e.ts) AS DATE)) AS INT)
+                   AS period_offset,
+                 count(DISTINCT e.user_id) AS n_active
+          FROM events e JOIN f ON e.user_id = f.user_id
+          GROUP BY 1, 2)
+        SELECT cohort, period_offset, n_active,
+               round(CAST(n_active AS DOUBLE) /
+                 first_value(n_active) OVER (PARTITION BY cohort
+                   ORDER BY period_offset) * 100.0, 4) AS retention_pct
+        FROM cells
+        ORDER BY cohort, period_offset""")),
+
+    // A15 — count-min sketch (depth 4, width 64) of per-user event
+    // frequency, point-estimated for every user against the exact
+    // count. The affine bucket family is the MinHash permutation family
+    // mod width, so the sketch is deterministic and the whole counter
+    // matrix is restatable in SQL — the reproducibility property that
+    // lets a frequency sketch be oracle-checked at all. 150 users into
+    // 64 buckets forces real collisions: the estimates strictly
+    // dominate the exact counts (CMS never underestimates), visible in
+    // the data.
+    "a15_cms_freq" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+        val sk = graft.operators.SketchOps.cmsSketch(
+          ev, Nil, "user_id", depth = 4, width = 64)
+        val est = graft.operators.SketchOps.cmsEstimate(
+          ev.select(col("user_id")).distinct(), sk, Nil, "user_id",
+          depth = 4, width = 64)
+        val exact = ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("exact_freq"))
+        est.join(exact, "user_id")
+          .select(col("user_id"), col("est_freq"), col("exact_freq"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some(s"""
+        WITH u AS (
+          SELECT user_id, count(*) AS n,
+            list_transform([CAST(user_id AS VARCHAR)],
+              s -> ${TextQueries.baseHashSql})[1] % 2147483647 AS hv
+          FROM events GROUP BY user_id),
+        b AS (
+          SELECT u.user_id, u.n, d.dn,
+                 ((2 * d.dn + 3) * u.hv + (7 * d.dn + 1))
+                   % 2147483647 % 64 AS bucket
+          FROM u CROSS JOIN (
+            SELECT unnest(generate_series(0, 3)) AS dn) d),
+        c AS (
+          SELECT dn, bucket, CAST(sum(n) AS BIGINT) AS cnt
+          FROM b GROUP BY 1, 2)
+        SELECT b.user_id, min(c.cnt) AS est_freq, min(b.n) AS exact_freq
+        FROM b JOIN c ON b.dn = c.dn AND b.bucket = c.bucket
+        GROUP BY 1
+        ORDER BY 1""")),
+
+    // A16 — interval-union coverage: each event opens a [ts, ts +
+    // 100·value sec] observation window; merge overlapping-or-touching
+    // windows per user into coverage spans (gap-sessionize's sibling —
+    // extents by overlap, not points by gap). The merge criterion is
+    // start > running MAX of all prior ends (an interval can swallow
+    // its successors), which both engines restate identically.
+    "a16_interval_union" -> Q(
+      fn = (s, dir) => {
+        val iv = t(s, dir, "events").select(
+          col("user_id"),
+          col("ts").as("iv_start"),
+          timestamp_micros(unix_micros(col("ts")) +
+            round(col("value") * 100).cast("long") * 1000000L)
+            .as("iv_end"))
+        TimeSeriesOps.mergeIntervals(
+          iv, Seq("user_id"), "iv_start", "iv_end")
+          .select(col("user_id"), col("span_start"), col("span_end"),
+            col("n_intervals"))
+          .orderBy(col("user_id"), col("span_start"))
+      },
+      oracle = Some("""
+        WITH iv AS (
+          SELECT user_id, ts AS iv_start,
+                 ts + to_microseconds(
+                   CAST(round(value * 100) AS BIGINT) * 1000000)
+                   AS iv_end
+          FROM events),
+        m AS (
+          SELECT user_id, iv_start, iv_end,
+                 max(iv_end) OVER (PARTITION BY user_id
+                   ORDER BY iv_start, iv_end
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS max_end
+          FROM iv),
+        g AS (
+          SELECT *, CASE WHEN max_end IS NULL OR iv_start > max_end
+                         THEN 1 ELSE 0 END AS boundary
+          FROM m),
+        sp AS (
+          SELECT *, sum(boundary) OVER (PARTITION BY user_id
+                   ORDER BY iv_start, iv_end
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS span_no
+          FROM g)
+        SELECT user_id, min(iv_start) AS span_start,
+               max(iv_end) AS span_end, count(*) AS n_intervals
+        FROM sp GROUP BY user_id, span_no
+        ORDER BY user_id, span_start"""))
   )
 }

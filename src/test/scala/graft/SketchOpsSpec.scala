@@ -50,6 +50,41 @@ class SketchOpsSpec extends SparkSpec {
     assert(math.abs(est - n) / n < 0.38, s"est $est vs exact $n")
   }
 
+  test("CMS: estimates never underestimate, are exact without " +
+    "collisions, and per-part sketches merge into the whole's sketch") {
+    val ev = Tables(spark, dir, "events")
+    val (d, w) = (4, 64)
+    val whole = SketchOps.cmsSketch(ev, Nil, "user_id", d, w)
+    val users = ev.select($"user_id").distinct()
+    val est = SketchOps.cmsEstimate(users, whole, Nil, "user_id", d, w)
+      .as[(Long, Long)].collect().toMap
+    val exact = ev.groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(est.keySet === exact.keySet)
+    for ((u, n) <- exact) assert(est(u) >= n, s"user $u under-estimated")
+    // sketch counters conserve mass: every depth row sums to the corpus
+    val total = ev.count()
+    val perDepth = whole.groupBy($"depth_no")
+      .agg(sum($"cnt").as("s")).select($"s").as[Long].collect()
+    assert(perDepth.length === d && perDepth.forall(_ === total))
+    // merge algebra: per-part sketches fold into exactly the whole's
+    val parts = SketchOps.cmsSketch(
+      ev.filter($"event_id" % 2 === 0), Nil, "user_id", d, w)
+      .union(SketchOps.cmsSketch(
+        ev.filter($"event_id" % 2 === 1), Nil, "user_id", d, w))
+    val merged = SketchOps.cmsMerge(parts, Nil)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"depth_no", $"bucket", $"cnt").as[(Int, Int, Long)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(rows(merged) === rows(whole))
+    // a value the sketch never saw estimates 0 (absent counter short-
+    // circuits the min) unless every one of its buckets collides
+    val unseen = SketchOps.cmsEstimate(
+      Seq(Tuple1(-999999L)).toDF("user_id"), whole, Nil, "user_id", d, w)
+      .select($"est_freq").as[Long].head()
+    assert(unseen >= 0L)
+  }
+
   test("guards: k below 2 and reserved columns fail fast") {
     val df = Seq((1L, 2L)).toDF("g", "v")
     intercept[IllegalArgumentException] {
@@ -57,6 +92,15 @@ class SketchOpsSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       SketchOps.kmvSketch(df.withColumn("__h", lit(1)), Seq("g"), "v", 4)
+    }
+    intercept[IllegalArgumentException] {
+      SketchOps.cmsSketch(df, Seq("g"), "v", 0, 64)
+    }
+    intercept[IllegalArgumentException] {
+      SketchOps.cmsSketch(df, Seq("g"), "v", 4, 1)
+    }
+    intercept[IllegalArgumentException] {
+      SketchOps.cmsSketch(df.withColumn("cnt", lit(1)), Seq("g"), "v", 4, 8)
     }
   }
 }

@@ -285,4 +285,72 @@ class TimeSeriesOpsSpec extends SparkSpec {
       TimeSeriesOps.funnel(events, Seq("user_id"), "ts", "event_type", Nil)
     }
   }
+
+  test("cohortRetention: cohorts form on the first event's period, " +
+    "offsets count periods, retention is vs the day-0 size") {
+    val events = Seq(
+      // users 1,2 first seen day 0; user 1 returns day 2, user 2 doesn't
+      (1L, "2024-01-01 09:00:00"), (2L, "2024-01-01 23:59:59"),
+      (1L, "2024-01-03 00:00:00"),
+      // user 3 first seen day 1, returns day 1 (same period counts once)
+      (3L, "2024-01-02 08:00:00"), (3L, "2024-01-02 20:00:00"))
+      .toDF("user_id", "ts")
+      .withColumn("ts", to_timestamp($"ts"))
+    val got = TimeSeriesOps.cohortRetention(events, "user_id", "ts", "day")
+      .select($"cohort".cast("string"), $"period_offset", $"n_active",
+        $"retention_pct")
+      .as[(String, Int, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got === Seq(
+      ("2024-01-01", 0, 2L, 100.0),
+      ("2024-01-01", 2, 1L, 50.0),
+      ("2024-01-02", 0, 1L, 100.0)))
+    // week bucketing: 2024-01-01 is a Monday, so day 0..6 fold into
+    // week offset 0 and day 7 into offset 1
+    val wk = TimeSeriesOps.cohortRetention(
+      events.union(Seq((2L, "2024-01-08 12:00:00")).toDF("user_id", "ts")
+        .withColumn("ts", to_timestamp($"ts"))),
+      "user_id", "ts", "week")
+      .select($"cohort".cast("string"), $"period_offset", $"n_active")
+      .as[(String, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(wk === Seq(("2024-01-01", 0, 3L), ("2024-01-01", 1, 1L)))
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.cohortRetention(events, "user_id", "ts", "hour")
+    }
+  }
+
+  test("mergeIntervals: overlapping and touching spans merge, " +
+    "containment is swallowed, inverted intervals fail fast") {
+    def iv(rows: (Long, String, String)*) = rows.toSeq
+      .toDF("k", "s", "e")
+      .withColumn("s", to_timestamp($"s"))
+      .withColumn("e", to_timestamp($"e"))
+    val intervals = iv(
+      // overlap chain + a containing interval that swallows a later one
+      (1L, "2024-01-01 10:00:00", "2024-01-01 12:00:00"),
+      (1L, "2024-01-01 11:00:00", "2024-01-01 11:10:00"), // contained
+      (1L, "2024-01-01 11:30:00", "2024-01-01 13:00:00"),
+      (1L, "2024-01-01 13:00:00", "2024-01-01 14:00:00"), // touching
+      (1L, "2024-01-01 15:00:00", "2024-01-01 16:00:00"), // gap -> new
+      // key 2: single interval
+      (2L, "2024-01-01 00:00:00", "2024-01-01 00:00:00"))
+    val got = TimeSeriesOps.mergeIntervals(intervals, Seq("k"), "s", "e")
+      .select($"k", $"span_start".cast("string"),
+        $"span_end".cast("string"), $"n_intervals")
+      .as[(Long, String, String, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got === Seq(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 14:00:00", 4L),
+      (1L, "2024-01-01 15:00:00", "2024-01-01 16:00:00", 1L),
+      (2L, "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1L)))
+    val bad = iv((1L, "2024-01-01 10:00:00", "2024-01-01 09:00:00"))
+    val ex = intercept[Exception] {
+      TimeSeriesOps.mergeIntervals(bad, Seq("k"), "s", "e").collect()
+    }
+    assert(ex.getMessage.contains("mergeIntervals"))
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.mergeIntervals(
+        intervals.withColumn("span_no", lit(1)), Seq("k"), "s", "e")
+    }
+  }
 }
