@@ -341,6 +341,40 @@ object DedupOps {
       .drop("sh_a", "sh_b")
   }
 
+  /** Character-level edit-distance verification of a candidate pair set
+    * (the post-blocking refine step record linkage runs after LSH /
+    * sorted-neighborhood blocking): join the pair ids to their texts,
+    * compute Levenshtein distance and the normalized similarity
+    * 1 − dist/max(len) — 1.0 iff identical, 0.0 iff nothing aligns.
+    *
+    * O(|a|·|b|) per pair, so NEVER run it all-pairs: `pairs` must come
+    * from a blocking stage that bounds candidates (minhashCandidatePairs,
+    * simhashPairs, key-adjacency). `maxChars` hard-caps the DP cost per
+    * pair by comparing prefixes — the standard production guard against
+    * one pathological mega-doc pair stalling a task; 0 disables. The two
+    * id joins broadcast when docs are small, and only (id, text-prefix)
+    * is carried into the shuffle, not the full row.
+    */
+  def editDistanceVerify(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxChars: Int = 2000): DataFrame = {
+    require(maxChars >= 0, "editDistanceVerify: maxChars must be >= 0")
+    val txt =
+      if (maxChars == 0) col(textCol) else substring(col(textCol), 1, maxChars)
+    val t = docs.select(col(idCol), txt.as("__t"))
+    pairs
+      .join(t.select(col(idCol).as("a"), col("__t").as("t_a")), "a")
+      .join(t.select(col(idCol).as("b"), col("__t").as("t_b")), "b")
+      .withColumn("edit_dist", levenshtein(col("t_a"), col("t_b")))
+      .withColumn("similarity",
+        round(lit(1.0) - col("edit_dist").cast("double") /
+          greatest(length(col("t_a")), length(col("t_b"))), 6))
+      .drop("t_a", "t_b")
+  }
+
   /** SimHash near-dup candidates: 16-bit simhash per doc, pairs at Hamming
     * distance <= maxHamming among docs sharing either 8-bit half (the
     * standard multi-index trick: any pair within distance d must agree on

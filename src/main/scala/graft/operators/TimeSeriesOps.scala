@@ -580,6 +580,55 @@ object TimeSeriesOps {
         .as("retention_pct"))
   }
 
+  /** Rolling z-score anomaly flags: per key, each value against the mean
+    * and sample-stddev of the ±`radius`-row window around it (edges
+    * truncate; the point itself is included, the standard control-chart
+    * convention). Emits `z` (null when the window has <2 rows or zero
+    * variance) and `is_anomaly` = |z| > threshold.
+    *
+    * Engine-portable determinism, the part that makes an FP rolling
+    * stat oracle-checkable at all: the windowed sums run over
+    * decimal(18,2) casts of the values — exact, order-independent
+    * addition — and mean/variance are then derived in double arithmetic
+    * from those exact sums, so both engines evaluate the same IEEE
+    * operations on the same operands. Summing raw doubles instead would
+    * hash-diverge on summation order (Spark folds the frame
+    * incrementally; a segment-tree engine sums in a different
+    * association).
+    *
+    * One shuffle: a single (keys, ts)-sorted window feeds all three
+    * frame aggregates.
+    */
+  def rollingZscore(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      radius: Int,
+      threshold: Double = 2.0,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(radius >= 1, "rollingZscore: radius must be >= 1")
+    require(threshold > 0, "rollingZscore: threshold must be positive")
+    // a rows frame is only deterministic under a TOTAL order — equal
+    // timestamps need the tieBreak columns or window membership is
+    // engine/run-dependent
+    val f = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)).map(_.asc): _*)
+      .rowsBetween(-radius, radius)
+    val dec = col(valueCol).cast("decimal(18,2)")
+    val n = count(lit(1)).over(f).cast("double")
+    val s1 = sum(dec).over(f).cast("double")
+    val s2 = sum((dec * dec).cast("decimal(38,4)")).over(f).cast("double")
+    val mean = s1 / n
+    // sample variance from exact sums: (n·s2 − s1²) / (n·(n−1))
+    val variance = (n * s2 - s1 * s1) / (n * (n - lit(1.0)))
+    val z = when(n > 1 && variance > 0,
+      round((col(valueCol) - mean) / sqrt(variance), 6))
+    df.withColumn("z", z)
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > threshold, lit(false)))
+  }
+
   /** Merge overlapping-or-touching [start, end] intervals per key into
     * their union spans — coverage windows from possibly-overlapping
     * observation intervals (gap-sessionize's sibling: sessionize chains

@@ -664,6 +664,45 @@ object TemporalQueries extends QueryModule {
         SELECT user_id, min(iv_start) AS span_start,
                max(iv_end) AS span_end, count(*) AS n_intervals
         FROM sp GROUP BY user_id, span_no
-        ORDER BY user_id, span_start"""))
+        ORDER BY user_id, span_start""")),
+
+    // A17 — rolling z-score anomaly flags: each event's value against the
+    // mean/sample-stddev of the ±10-row window around it per user. The
+    // windowed sums run over exact decimal casts (order-independent
+    // addition — a raw-double rolling sum hash-diverges on summation
+    // association between engines), then mean/var/z derive in double from
+    // those exact sums: same IEEE operations, same operands, both
+    // engines. Equal timestamps are totally ordered by event_id or the
+    // frame itself would be nondeterministic.
+    "a17_rolling_zscore" -> Q(
+      fn = (s, dir) =>
+        TimeSeriesOps.rollingZscore(
+          t(s, dir, "events"), Seq("user_id"), "ts", "value",
+          radius = 10, threshold = 2.0, tieBreak = Seq("event_id"))
+          .select(col("event_id"), col("user_id"), col("z"),
+            col("is_anomaly"))
+          .orderBy(col("event_id")),
+      oracle = Some("""
+        WITH w AS (
+          SELECT event_id, user_id, value,
+            CAST(count(*) OVER f AS DOUBLE) AS n,
+            CAST(sum(CAST(value AS DECIMAL(18,2))) OVER f AS DOUBLE) AS s1,
+            CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) *
+                          CAST(value AS DECIMAL(18,2))
+                     AS DECIMAL(38,4))) OVER f AS DOUBLE) AS s2
+          FROM events
+          WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING)),
+        z AS (
+          SELECT event_id, user_id,
+            CASE WHEN n > 1 AND (n * s2 - s1 * s1) / (n * (n - 1.0)) > 0
+                 THEN round((value - s1 / n) /
+                   sqrt((n * s2 - s1 * s1) / (n * (n - 1.0))), 6)
+            END AS z
+          FROM w)
+        SELECT event_id, user_id, z,
+               coalesce(abs(z) > 2.0, false) AS is_anomaly
+        FROM z
+        ORDER BY event_id"""))
   )
 }

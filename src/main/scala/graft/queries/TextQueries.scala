@@ -689,6 +689,40 @@ object TextQueries extends QueryModule {
         FROM hashed h LEFT JOIN flagged f ON f.doc_id = h.doc_id
         ORDER BY h.doc_id""")),
 
+    // D11 — character-level edit-distance verification of a blocked pair
+    // set (the record-linkage refine step after LSH/sorted-neighborhood
+    // blocking): Levenshtein distance + normalized similarity
+    // 1 − dist/max(len) over id-adjacency pairs. Both engines implement
+    // textbook Levenshtein over characters, so the distances (ints) and
+    // the derived similarity (one division from int operands, rounded)
+    // hash-match exactly. Never all-pairs: O(|a|·|b|) per pair is the
+    // cost the blocking stage exists to bound.
+    "d11_edit_distance" -> Q(
+      fn = (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = docs
+          .select(col("doc_id").as("a"),
+            explode(sequence(lit(1), lit(2))).as("d"))
+          .select(col("a"), (col("a") + col("d")).as("b"))
+        DedupOps.editDistanceVerify(pairs, docs, "doc_id", "text")
+          .select(col("a"), col("b"), col("edit_dist"), col("similarity"))
+          .orderBy(col("a"), col("b"))
+      },
+      oracle = Some("""
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               CAST(levenshtein(substr(x.text, 1, 2000),
+                                substr(y.text, 1, 2000)) AS INT)
+                 AS edit_dist,
+               round(1.0 - CAST(levenshtein(substr(x.text, 1, 2000),
+                                            substr(y.text, 1, 2000))
+                                AS DOUBLE) /
+                 greatest(length(substr(x.text, 1, 2000)),
+                          length(substr(y.text, 1, 2000))), 6)
+                 AS similarity
+        FROM documents x JOIN documents y
+          ON y.doc_id BETWEEN x.doc_id + 1 AND x.doc_id + 2
+        ORDER BY a, b""")),
+
     // T15 — mixture sampling: per-language keep rates decided by each
     // row's own id hash (per-myriad thresholds) — the pretraining-mix
     // operator; one group's kept set is invariant to the others' rates.

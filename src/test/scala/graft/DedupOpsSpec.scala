@@ -48,4 +48,27 @@ class DedupOpsSpec extends SparkSpec {
     assert(out(2L) === ((2L, true))) // below tau -> singleton
     assert(out(3L) === ((3L, true))) // other group -> singleton
   }
+
+  test("editDistanceVerify: textbook distances, identity pairs score " +
+    "1.0, maxChars caps the compared prefix, guards reject negatives") {
+    val docs = Seq(
+      (1L, "kitten"), (2L, "sitting"), (3L, "kitten"), (4L, ""))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val got = DedupOps.editDistanceVerify(pairs, docs, "doc_id", "text")
+      .select($"a", $"b", $"edit_dist", $"similarity")
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(got === Seq(
+      (1L, 2L, 3, 0.571429), // kitten->sitting: the classic 3
+      (1L, 3L, 0, 1.0),
+      (1L, 4L, 6, 0.0))) // vs empty: dist = len, similarity 0
+    val capped = DedupOps.editDistanceVerify(
+      Seq((1L, 2L)).toDF("a", "b"), docs, "doc_id", "text", maxChars = 3)
+      .select($"edit_dist", $"similarity")
+      .as[(Int, Double)].head()
+    assert(capped === ((1, 0.666667))) // kit vs sit
+    intercept[IllegalArgumentException] {
+      DedupOps.editDistanceVerify(pairs, docs, "doc_id", "text", -1)
+    }
+  }
 }

@@ -319,6 +319,29 @@ class TimeSeriesOpsSpec extends SparkSpec {
     }
   }
 
+  test("rollingZscore: hand-computed z against the ±radius frame, " +
+    "zero-variance and singleton windows yield null, threshold flags") {
+    val ts = (1 to 5).map(i => (1L, s"2024-01-01 10:0$i:00"))
+    val vals = Seq(1.0, 1.0, 1.0, 1.0, 100.0)
+    val df = ts.zip(vals).map { case ((k, t), v) => (k, t, v) }
+      .toDF("k", "ts", "value")
+      .withColumn("ts", to_timestamp($"ts"))
+    val got = TimeSeriesOps.rollingZscore(
+      df, Seq("k"), "ts", "value", radius = 1, threshold = 0.6)
+      .select($"ts".cast("string"), $"z", $"is_anomaly")
+      .as[(String, Option[Double], Boolean)]
+      .collect().sortBy(_._1).toSeq
+    // rows 1-3 see constant windows (variance 0) -> null z, not flagged;
+    // row 4 sees [1,1,100]: mean 34, sample var 3267, z = -33/√3267;
+    // row 5 sees [1,100]: mean 50.5, var 4900.5, z = 49.5/√4900.5
+    assert(got.map(_._2) === Seq(
+      None, None, None, Some(-0.57735), Some(0.707107)))
+    assert(got.map(_._3) === Seq(false, false, false, false, true))
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.rollingZscore(df, Seq("k"), "ts", "value", 0)
+    }
+  }
+
   test("mergeIntervals: overlapping and touching spans merge, " +
     "containment is swallowed, inverted intervals fail fast") {
     def iv(rows: (Long, String, String)*) = rows.toSeq
