@@ -124,6 +124,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_repetition_kit takes one array<string> argument")
         graft.expressions.RepetitionKit(children.head)
       }))
+    // Spark's runtime-filter Bloom expressions, surfaced as SQL
+    // functions: build with a scalar subquery and probe map-side —
+    //   WHERE graft_bloom_might_contain(
+    //     (SELECT graft_bloom_agg(xxhash64(k), 1000000, 9585059) FROM s),
+    //     xxhash64(key))
+    // — the fully-lazy one-plan form of SketchOps.bloomBuild/MightContain.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_bloom_agg(keyHash, expectedItems, numBits)")
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(children(0), children(1), children(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain].getName, "graft_bloom_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_bloom_might_contain(bloom, keyHash)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_min_shingle_md5"),
       new ExpressionInfo(classOf[graft.expressions.MinShingleMd5].getName,

@@ -110,6 +110,47 @@ object DedupOps {
       .select(col(idCol), col("__hit").isNotNull.as("is_contaminated"))
   }
 
+  /** [[flagContaminated]] with a Bloom prefilter — EXACT same output,
+    * different (corpus-scale) plan. The benchmark shingle set is folded
+    * into a Bloom filter (a pure partial aggregation, no shuffle of the
+    * keys — [[SketchOps.bloomBuild]]); corpus shingles probe it map-side
+    * inside the scan's codegen stage, and only the passing sliver
+    * (true hits + ~fpp false positives) reaches the exact confirm
+    * semi-join that removes the false positives. The bulk of a 100 TB
+    * corpus is cleared by the probe without ever entering a join: the
+    * confirm join's probe-side input shrinks from |corpus shingles| to
+    * ~|contaminated| + fpp·|corpus shingles|, and when the benchmark key
+    * set is too big to broadcast as a hash relation (GBs) its ~10
+    * bits/key filter still is. This is Spark's own InjectRuntimeFilter
+    * pattern, made explicit and composable.
+    *
+    * @param expectedShingles sizing for the filter (overestimate is
+    *        safe: more bits, same exactness); fpp trades filter size
+    *        against confirm-join input
+    */
+  def bloomFlagContaminated(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      expectedShingles: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    def shingled(df: DataFrame) = df.select(col(idCol),
+      explode(TextOps.hashedShingles3(
+        TextOps.tokens(col(textCol)))).as("__sh"))
+    val bench = shingled(benchmark).select(col("__sh"))
+    val bloom = SketchOps.bloomBuild(
+      bench, xxhash64(col("__sh")), expectedShingles, fpp)
+    val flagged = shingled(docs)
+      .where(SketchOps.bloomMightContain(bloom, xxhash64(col("__sh"))))
+      .join(broadcast(bench.distinct()), Seq("__sh"), "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("__hit", lit(1))
+    docs.select(col(idCol))
+      .join(flagged, Seq(idCol), "left")
+      .select(col(idCol), col("__hit").isNotNull.as("is_contaminated"))
+  }
+
   /** Semantic (embedding-space) dedup, SemDeDup-style: link every vector
     * to its nearest neighbor within its group when the cosine clears
     * `tau`, take connected components over those links, and keep the

@@ -167,6 +167,76 @@ object SketchOps {
         .cast("int")): _*)
   }
 
+  /** Distributed Bloom-filter build over a 64-bit key-hash column (use
+    * `xxhash64(...)` — the probe side must hash identically): Spark's own
+    * `BloomFilterAggregate` (the engine's runtime-filter aggregate,
+    * reused as a first-class library surface). The build is pure
+    * partial aggregation — every task folds its rows into a local
+    * filter, the merge ORs fixed-size bit arrays — so a corpus-scale
+    * build moves numBits/8 bytes per task, never the keys. No
+    * `distinct` is needed (inserts are idempotent), which is what makes
+    * this strictly cheaper than materializing the key set: zero
+    * shuffles of key data.
+    *
+    * Returns the serialized filter (readable by
+    * [[bloomMightContain]] and by Spark's own `BloomFilter.readFrom`),
+    * sized `optimalNumOfBits(expectedItems, fpp)` — at the classic 1%
+    * fpp that is ~9.6 bits/key, so 100 M contamination keys ≈ 115 MB:
+    * broadcastable where the raw key set (GBs) is not. An empty input
+    * yields a filter that contains nothing.
+    *
+    * `expectedItems`/`numBits` are capped by Spark's runtime-filter
+    * confs (`spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+    * `.maxNumBits`, defaults 4 M / 64 Mbit) — raise those for bigger
+    * builds.
+    */
+  def bloomBuild(
+      keys: DataFrame,
+      keyHash: Column,
+      expectedItems: Long,
+      fpp: Double = 0.01): Array[Byte] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(expectedItems > 0,
+      s"bloomBuild: expectedItems must be positive (got $expectedItems)")
+    require(fpp > 0 && fpp < 1, s"bloomBuild: fpp must be in (0, 1), got $fpp")
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(
+        ColumnBridge.expression(keyHash),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression()
+    val row = keys.select(ColumnBridge.column(agg).as("bf")).head()
+    if (row.isNullAt(0)) { // empty input: a filter with no insertions
+      val empty = org.apache.spark.util.sketch.BloomFilter
+        .create(expectedItems, numBits)
+      val out = new java.io.ByteArrayOutputStream()
+      empty.writeTo(out)
+      out.toByteArray
+    } else row.getAs[Array[Byte]](0)
+  }
+
+  /** Membership probe against a [[bloomBuild]] filter: embeds the
+    * serialized filter as a literal (one deserialization per task, via
+    * Spark's codegen'd `BloomFilterMightContain`) and tests the 64-bit
+    * key hash. `keyHash` must be the same `xxhash64(...)` expression
+    * family used at build time. False positives at ~fpp, never false
+    * negatives — so `!bloomMightContain(...)` rows are DEFINITELY clean
+    * and can skip any exact confirm join entirely; only the passing
+    * sliver needs one. A null hash probes as false.
+    */
+  def bloomMightContain(bloom: Array[Byte], keyHash: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(bloom != null && bloom.nonEmpty,
+      "bloomMightContain: empty filter bytes")
+    ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bloom, org.apache.spark.sql.types.BinaryType),
+        ColumnBridge.expression(keyHash)))
+  }
+
   private def requireDims(depth: Int, width: Int, op: String): Unit = {
     require(depth >= 1 && depth <= 16,
       s"$op: depth must be in [1, 16] (got $depth)")

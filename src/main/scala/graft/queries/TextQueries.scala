@@ -689,6 +689,32 @@ object TextQueries extends QueryModule {
         FROM hashed h LEFT JOIN flagged f ON f.doc_id = h.doc_id
         ORDER BY h.doc_id""")),
 
+    // D12 — Bloom-prefiltered decontamination: same contract as d10 (and
+    // the SAME oracle — the Bloom pass is exact end-to-end because the
+    // prefilter only ever admits a superset and the confirm semi-join
+    // removes the false positives). The plan is the 100 TB shape: the
+    // benchmark set becomes a ~10-bits/key filter with a shuffle-free
+    // partial-agg build, corpus shingles probe it inside the scan stage,
+    // and only the passing sliver reaches the confirm join.
+    "d12_bloom_decontaminate" -> Q(
+      fn = (s, dir) => {
+        val docs = t(s, dir, "documents")
+        DedupOps.bloomFlagContaminated(
+          docs, docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+          expectedShingles = 1L << 16)
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH $hashedCteSql,
+        bench AS (
+          SELECT DISTINCT unnest(hs) AS sh FROM hashed WHERE doc_id % 50 = 0),
+        docsh AS (SELECT doc_id, unnest(hs) AS sh FROM hashed),
+        flagged AS (SELECT DISTINCT docsh.doc_id
+                    FROM docsh JOIN bench ON docsh.sh = bench.sh)
+        SELECT h.doc_id, f.doc_id IS NOT NULL AS is_contaminated
+        FROM hashed h LEFT JOIN flagged f ON f.doc_id = h.doc_id
+        ORDER BY h.doc_id""")),
+
     // D11 — character-level edit-distance verification of a blocked pair
     // set (the record-linkage refine step after LSH/sorted-neighborhood
     // blocking): Levenshtein distance + normalized similarity

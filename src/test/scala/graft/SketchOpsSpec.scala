@@ -85,6 +85,55 @@ class SketchOpsSpec extends SparkSpec {
     assert(unseen >= 0L)
   }
 
+  test("bloom: no false negatives ever, false positives near fpp, empty " +
+    "build contains nothing, SQL scalar-subquery form agrees, guards") {
+    val keys = spark.range(0, 1000).toDF("k")
+    val bloom = SketchOps.bloomBuild(keys, xxhash64($"k"), 1000, 0.01)
+    // every inserted key must probe true — Bloom's hard guarantee
+    val misses = keys
+      .where(!SketchOps.bloomMightContain(bloom, xxhash64($"k"))).count()
+    assert(misses === 0)
+    // disjoint probes: fp rate should be near 1% (generous ceiling 5%)
+    val fp = spark.range(10000, 30000).toDF("k")
+      .where(SketchOps.bloomMightContain(bloom, xxhash64($"k"))).count()
+    assert(fp < 1000, s"false-positive rate ${fp / 20000.0} far above fpp")
+    // empty input: a filter that contains nothing
+    val none = SketchOps.bloomBuild(
+      keys.where($"k" < 0), xxhash64($"k"), 100, 0.01)
+    assert(keys.where(
+      SketchOps.bloomMightContain(none, xxhash64($"k"))).count() === 0)
+    // the SQL surface (graft_bloom_agg via scalar subquery) matches
+    keys.createOrReplaceTempView("bloom_keys")
+    val sqlMisses = spark.sql("""
+      SELECT count(*) AS c FROM bloom_keys
+      WHERE NOT graft_bloom_might_contain(
+        (SELECT graft_bloom_agg(xxhash64(k), 1000L, 9585L) FROM bloom_keys),
+        xxhash64(k))""").head().getLong(0)
+    assert(sqlMisses === 0)
+    intercept[IllegalArgumentException] {
+      SketchOps.bloomBuild(keys, xxhash64($"k"), 0, 0.01)
+    }
+    intercept[IllegalArgumentException] {
+      SketchOps.bloomBuild(keys, xxhash64($"k"), 10, 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      SketchOps.bloomMightContain(Array.emptyByteArray, xxhash64($"k"))
+    }
+  }
+
+  test("bloomFlagContaminated == flagContaminated on real data") {
+    import graft.operators.DedupOps
+    val docs = Tables(spark, dir, "documents")
+    val bench = docs.filter($"doc_id" % 50 === 0)
+    val a = DedupOps.flagContaminated(docs, bench, "doc_id", "text")
+      .as[(Long, Boolean)].collect().sortBy(_._1).toSeq
+    val b = DedupOps.bloomFlagContaminated(docs, bench, "doc_id", "text",
+      expectedShingles = 1L << 14)
+      .as[(Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+    assert(a.exists(_._2) && a.exists(!_._2))
+  }
+
   test("guards: k below 2 and reserved columns fail fast") {
     val df = Seq((1L, 2L)).toDF("g", "v")
     intercept[IllegalArgumentException] {
