@@ -382,6 +382,62 @@ object DedupOps {
       .drop("sh_a", "sh_b")
   }
 
+  /** Paragraph-level exact dedup with document reassembly — the
+    * RefinedWeb-style pass that removes boilerplate below document
+    * granularity: split every document on `sep`, keep only the globally
+    * FIRST occurrence of each distinct paragraph (first by (id,
+    * position) — within-doc repeats collapse too), and stitch each
+    * document back together from its surviving paragraphs in original
+    * order. Documents whose every paragraph appeared earlier come back
+    * empty, not dropped.
+    *
+    * Scale shape: the winner pick runs on md5(paragraph) partitions
+    * through a rank-1 window that compiles to WindowGroupLimit — each
+    * map partition pre-reduces to one candidate per paragraph hash
+    * before the exchange, so the dedup shuffle carries at most one copy
+    * of each distinct paragraph per input partition, not every
+    * occurrence. Reassembly is one partial-aggregable groupBy(id) with
+    * a bounded per-doc sort (sort_array over that doc's kept
+    * paragraphs). Nothing is ever per-corpus on the driver.
+    *
+    * @return (idCol, n_paras, n_kept, text_dedup) for every input doc
+    */
+  def paragraphDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String,
+      joiner: String): DataFrame = {
+    val reserved = Seq("__h", "__rk", "pos", "para", "n_paras", "n_kept",
+      "text_dedup").filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"paragraphDedup reserves column(s) ${reserved.mkString(", ")} — " +
+        "rename them on the input")
+    val paras = docs
+      .select(col(idCol), posexplode(split(col(textCol), sep)))
+      .withColumnRenamed("col", "para")
+      .withColumn("__h", md5(col("para")))
+    val w = Window.partitionBy("__h").orderBy(col(idCol), col("pos"))
+    val kept = paras
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("para")))),
+            x => x.getField("para")),
+          joiner).as("text_dedup"))
+    docs
+      .select(col(idCol), size(split(col(textCol), sep)).as("n_paras"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_paras"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   /** Character-level edit-distance verification of a candidate pair set
     * (the post-blocking refine step record linkage runs after LSH /
     * sorted-neighborhood blocking): join the pair ids to their texts,

@@ -715,6 +715,42 @@ object TextQueries extends QueryModule {
         FROM hashed h LEFT JOIN flagged f ON f.doc_id = h.doc_id
         ORDER BY h.doc_id""")),
 
+    // D13 — paragraph-level dedup with reassembly (the RefinedWeb pass):
+    // split on ' the ', keep each distinct paragraph's globally first
+    // occurrence, stitch documents back in order. The winner window
+    // compiles to WindowGroupLimit (one candidate per paragraph hash per
+    // map partition crosses the exchange). Both engines pick winners by
+    // the same total order (doc_id, position), so the rebuilt texts are
+    // byte-identical.
+    "d13_paragraph_dedup" -> Q(
+      fn = (s, dir) =>
+        DedupOps.paragraphDedup(
+          t(s, dir, "documents"), "doc_id", "text",
+          sep = " the ", joiner = " the ")
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id, i, para
+          FROM (SELECT doc_id, string_split(text, ' the ') AS ps
+                FROM documents),
+               LATERAL (SELECT unnest(ps) AS para,
+                               generate_subscripts(ps, 1) AS i)),
+        w AS (
+          SELECT doc_id, i, para,
+                 row_number() OVER (PARTITION BY para
+                                    ORDER BY doc_id, i) AS rk
+          FROM p),
+        r AS (
+          SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+                 string_agg(para, ' the ' ORDER BY i) AS text_dedup
+          FROM w WHERE rk = 1 GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(len(string_split(d.text, ' the ')) AS INT) AS n_paras,
+               coalesce(r.n_kept, 0) AS n_kept,
+               coalesce(r.text_dedup, '') AS text_dedup
+        FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
     // D11 — character-level edit-distance verification of a blocked pair
     // set (the record-linkage refine step after LSH/sorted-neighborhood
     // blocking): Levenshtein distance + normalized similarity

@@ -49,6 +49,30 @@ class DedupOpsSpec extends SparkSpec {
     assert(out(3L) === ((3L, true))) // other group -> singleton
   }
 
+  test("paragraphDedup: global first occurrence wins, within-doc repeats " +
+    "collapse, emptied docs survive, plan pre-reduces before the shuffle") {
+    val docs = Seq(
+      (1L, "alpha|beta|alpha"), // within-doc repeat of alpha
+      (2L, "beta|gamma"),       // beta already taken by doc 1
+      (3L, "alpha|beta"))       // loses everything
+      .toDF("doc_id", "text")
+    val out = DedupOps.paragraphDedup(docs, "doc_id", "text", "\\|", "|")
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, 3, 2, "alpha|beta"),
+      (2L, 2, 1, "gamma"),
+      (3L, 2, 0, "")))
+    // the rank-1 window must compile to WindowGroupLimit so each map
+    // partition sends at most one candidate per paragraph hash
+    val plan = DedupOps.paragraphDedup(docs, "doc_id", "text", "\\|", "|")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    intercept[IllegalArgumentException] {
+      DedupOps.paragraphDedup(
+        docs.withColumn("pos", lit(1)), "doc_id", "text", "\\|", "|")
+    }
+  }
+
   test("editDistanceVerify: textbook distances, identity pairs score " +
     "1.0, maxChars caps the compared prefix, guards reject negatives") {
     val docs = Seq(
