@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Storage-layout helpers for repeat-join workloads. Bucketing
   * pre-shuffles a table ONCE at write time: two tables bucketed the same
@@ -32,4 +33,113 @@ object Layouts {
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Z-order (Morton) key over `cols`: each column is clamped to
+    * [min, max], shifted down to at most `bits` bits with a POWER-OF-2
+    * bin size (a pure `>>` — no division, so the mapping is exact
+    * integer arithmetic any engine reproduces bit-for-bit), and the
+    * per-column bits are interleaved LSB-first. Sorting or
+    * range-partitioning by this key clusters rows that are close in
+    * EVERY dimension into the same files, so parquet min/max file stats
+    * prune multi-column range predicates — the data-skipping layout a
+    * 100 TB table wants for (site, day)-style scans. Nulls map to the
+    * column's min. Built entirely from codegen'd bitwise built-ins: the
+    * whole key stays inside whole-stage codegen.
+    *
+    * @param mins/maxs clamp bounds per column (stats or fixed domain
+    *        knowledge; out-of-range values coarsen into the edge bin,
+    *        never error — safe for appends after the stats were taken)
+    * @param bits bits kept per column; cols.size * bits must fit a long
+    */
+  def zvalue(
+      cols: Seq[Column], mins: Seq[Long], maxs: Seq[Long],
+      bits: Int): Column = {
+    val k = cols.size
+    require(k >= 1 && mins.size == k && maxs.size == k,
+      s"zvalue: cols/mins/maxs sizes must match (got $k/${mins.size}/" +
+        s"${maxs.size})")
+    require(bits >= 1 && bits * k <= 63,
+      s"zvalue: need 1 <= bits and bits * cols <= 63 (got $bits * $k)")
+    require(mins.zip(maxs).forall { case (a, b) => a <= b },
+      "zvalue: every min must be <= its max")
+    val shifts = binShifts(mins, maxs, bits)
+    val scaled = cols.zipWithIndex.map { case (c, i) =>
+      val clamped = greatest(
+        least(coalesce(c.cast("long"), lit(mins(i))), lit(maxs(i))),
+        lit(mins(i)))
+      val (down, up) = shifts(i)
+      shiftleft(shiftright(clamped - lit(mins(i)), down), up)
+    }
+    val terms = for { i <- 0 until k; j <- 0 until bits } yield
+      shiftleft(shiftright(scaled(i), j).bitwiseAND(lit(1L)), j * k + i)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** The ANSI-SQL restatement of [[zvalue]] over column expressions —
+    * same clamp, same shifts, same interleave, as one unrolled bitwise
+    * expression (DuckDB/Trino-compatible). Kept in lockstep with
+    * [[zvalue]] so an external engine can verify the key byte-for-byte.
+    */
+  def zvalueSql(
+      exprs: Seq[String], mins: Seq[Long], maxs: Seq[Long],
+      bits: Int): String = {
+    val k = exprs.size
+    val shifts = binShifts(mins, maxs, bits)
+    val scaled = exprs.zipWithIndex.map { case (e, i) =>
+      val (down, up) = shifts(i)
+      s"(((greatest(least(coalesce(CAST($e AS BIGINT), ${mins(i)}), " +
+        s"${maxs(i)}), ${mins(i)}) - ${mins(i)}) >> $down) << $up)"
+    }
+    (for { i <- 0 until k; j <- 0 until bits } yield
+      s"(((${scaled(i)} >> $j) & 1) << ${j * k + i})").mkString(" | ")
+  }
+
+  /** Per-column (down, up) shifts that place every column in EXACTLY
+    * `bits` bits, MSB-aligned: down = bits dropped when the range
+    * overflows `bits`; up = left pad when it underfills. Without the
+    * pad, a narrow column's high bits sit below a wide column's in the
+    * interleave and the top of the z-key degenerates to a single-column
+    * sort — MSB alignment is what makes the curve split every dimension
+    * at every scale. Computed with exact integer ops on the driver
+    * (never floating log2 — engines must agree).
+    */
+  private def binShifts(
+      mins: Seq[Long], maxs: Seq[Long], bits: Int): Seq[(Int, Int)] =
+    mins.zip(maxs).map { case (mn, mx) =>
+      val needed = 64 - java.lang.Long.numberOfLeadingZeros(mx - mn)
+      (math.max(0, needed - bits), math.max(0, bits - needed))
+    }
+
+  /** Rewrite `df` into `outPartitions` z-ordered partitions on `zCols`
+    * (column bounds from one stats pass over the input): range-partition
+    * by the z-key, sort within partitions by it, drop it. Write the
+    * result and every file carries tight min/max stats on ALL of
+    * `zCols` at once — the one-time layout cost that converts recurring
+    * multi-column range scans into file-pruned reads, the same trade
+    * [[writeBucketed]] makes for joins. An empty input passes through.
+    */
+  def zorder(
+      df: DataFrame,
+      zCols: Seq[String],
+      outPartitions: Int,
+      bits: Int = 12): DataFrame = {
+    require(!df.columns.contains("__z"),
+      "zorder reserves column __z — rename it on the input")
+    require(outPartitions >= 1, "zorder: outPartitions must be positive")
+    val stats = df.agg(
+      zCols.flatMap(c => Seq(
+        min(col(c).cast("long")), max(col(c).cast("long")))).head,
+      zCols.flatMap(c => Seq(
+        min(col(c).cast("long")), max(col(c).cast("long")))).tail: _*)
+      .head()
+    if (stats.anyNull) df // empty input (or an all-null key): no layout
+    else {
+      val mins = zCols.indices.map(i => stats.getLong(2 * i))
+      val maxs = zCols.indices.map(i => stats.getLong(2 * i + 1))
+      df.withColumn("__z", zvalue(zCols.map(col), mins, maxs, bits))
+        .repartitionByRange(outPartitions, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    }
+  }
 }

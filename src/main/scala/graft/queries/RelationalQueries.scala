@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, QueryModule, Tables}
-import graft.operators.IncrementalRunner
+import graft.operators.{IncrementalRunner, Layouts}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -96,6 +96,31 @@ object RelationalQueries extends QueryModule {
       oracle = Some(
         "SELECT doc_id, text, lang, source, n_chars FROM documents " +
           "ORDER BY doc_id")),
+
+    // S16 — z-order (Morton) key: the multi-column clustering key behind
+    // Layouts.zorder. Power-of-2 bin shifts (pure >>, no division) and
+    // LSB-first interleave make the key exact integer arithmetic both
+    // engines reproduce bit-for-bit — the oracle runs
+    // Layouts.zvalueSql, the ANSI restatement generated from the SAME
+    // shift constants the Spark side uses. Fixed clamp bounds (domain
+    // knowledge, not data stats) keep the key stable under appends.
+    "s16_zorder_key" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"),
+            Layouts.zvalue(
+              Seq(col("l_orderkey"), col("l_partkey")),
+              mins = Seq(1L, 1L), maxs = Seq(1L << 20, 1L << 12),
+              bits = 8).as("z"))
+          .orderBy(col("z"), col("l_orderkey"), col("l_partkey")),
+      oracle = Some(s"""
+        SELECT l_orderkey, l_partkey,
+               ${Layouts.zvalueSql(
+                 Seq("l_orderkey", "l_partkey"),
+                 mins = Seq(1L, 1L), maxs = Seq(1L << 20, 1L << 12),
+                 bits = 8)} AS z
+        FROM lineitem
+        ORDER BY z, l_orderkey, l_partkey""")),
 
     // S6/S8/S9 — idempotent windowed upsert, proven by a parquet
     // round-trip: write a day-partitioned table, dynamically OVERWRITE one

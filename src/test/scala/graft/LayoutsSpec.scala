@@ -36,4 +36,71 @@ class LayoutsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_bkt_right")
     }
   }
+
+  test("zvalue: hand-checked interleave, clamping, nulls to min, guards") {
+    def z(x: Long, y: Long, bits: Int, mx: Long): Long =
+      Seq((x, y)).toDF("x", "y")
+        .select(Layouts.zvalue(Seq($"x", $"y"), Seq(0L, 0L), Seq(mx, mx),
+          bits).as("z"))
+        .as[Long].head()
+    // x=0b10 contributes bit1 -> position 1*2+0=2; y=0b01 -> position 0*2+1
+    assert(z(2, 1, 2, 3) === 6)
+    assert(z(0, 0, 2, 3) === 0)
+    assert(z(3, 3, 2, 3) === 15) // all four interleaved bits set
+    // clamp: out-of-range lands in the edge bin, never errors
+    assert(z(99, -5, 2, 3) === z(3, 0, 2, 3))
+    // null maps to min
+    val zn = Seq((Some(2L), Option.empty[Long])).toDF("x", "y")
+      .select(Layouts.zvalue(Seq($"x", $"y"), Seq(0L, 0L), Seq(3L, 3L),
+        2).as("z")).as[Long].head()
+    assert(zn === z(2, 0, 2, 3))
+    // a wider range than bits drops low bits, order preserved
+    assert(z(255, 0, 2, 255) === z(192, 0, 2, 255))
+    intercept[IllegalArgumentException] {
+      Layouts.zvalue(Seq($"x"), Seq(0L), Seq(3L, 4L), 2)
+    }
+    intercept[IllegalArgumentException] {
+      Layouts.zvalue(Seq($"x", $"y"), Seq(0L, 0L), Seq(3L, 3L), 32)
+    }
+    intercept[IllegalArgumentException] {
+      Layouts.zvalue(Seq($"x"), Seq(5L), Seq(3L), 2)
+    }
+  }
+
+  test("zorder: per-file min/max footprints shrink on BOTH dimensions " +
+    "vs the unsorted layout, and rows survive exactly") {
+    val d = java.nio.file.Files.createTempDirectory("graft_zorder_").toFile
+    d.deleteOnExit()
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_quantity")
+    val n = li.count()
+    Layouts.zorder(li, Seq("l_orderkey", "l_partkey"), outPartitions = 8)
+      .write.mode("overwrite").parquet(d.getAbsolutePath + "/z")
+    li.repartition(8)
+      .write.mode("overwrite").parquet(d.getAbsolutePath + "/plain")
+    def meanFileSpread(path: String, c: String): Double = {
+      val spreads = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max(col(c)) - min(col(c))).cast("double").as("spread"))
+        .select($"spread").as[Double].collect()
+      spreads.sum / spreads.length
+    }
+    val zPath = d.getAbsolutePath + "/z"
+    val pPath = d.getAbsolutePath + "/plain"
+    assert(spark.read.parquet(zPath).count() === n)
+    // BOTH dimensions must shrink (the MSB-aligned interleave splits
+    // every dimension, not just the widest — the balance property)...
+    val ratios = Seq("l_orderkey", "l_partkey").map { c =>
+      val r = meanFileSpread(zPath, c) / meanFileSpread(pPath, c)
+      assert(r < 0.8, s"$c: z-ordered/plain per-file spread ratio $r")
+      r
+    }
+    // ...and the bounding-box AREA (what a point predicate's file-hit
+    // probability follows) must collapse
+    assert(ratios.product < 0.4,
+      s"per-file bounding-box area ratio ${ratios.product} not < 0.4")
+    // empty input passes through
+    assert(Layouts.zorder(li.where($"l_orderkey" < 0),
+      Seq("l_orderkey"), 4).count() === 0)
+  }
 }
