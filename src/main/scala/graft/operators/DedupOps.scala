@@ -214,6 +214,42 @@ object DedupOps {
     }
   }
 
+  /** The exploded LSH banding rows (id[, sig], band_idx, band_key),
+    * with degenerate buckets capped: rank within bucket, drop beyond
+    * `maxBucket`. row_number + filter compiles to a WindowGroupLimit,
+    * so the cap applies map-side BEFORE the shuffle — a hot bucket
+    * never ships more than maxBucket rows per input partition. This is
+    * both [[minhashCandidatePairs]]'s candidate stage (`withSig =
+    * false`, lean shuffle) and [[DedupStore]]'s persisted row format
+    * (`withSig = true` — the signature rides along so store joins can
+    * verify matches without ever re-reading document text).
+    */
+  def bandRows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int,
+      numPerm: Int,
+      bands: Int,
+      maxBucket: Int,
+      withSig: Boolean): DataFrame = {
+    val banded = minhashBands(df, idCol, textCol, shingleK, numPerm, bands)
+    val sigCols = if (withSig) Seq(col("sig")) else Nil
+    val exploded = banded.select(
+      (col(idCol) +: sigCols :+
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band_idx"), col(s"band$b").as("band_key"))): _*))
+          .as("band")): _*)
+      .select((col(idCol) +: sigCols :+ col("band.band_idx") :+
+        col("band.band_key")): _*)
+    val wB = Window.partitionBy(col("band_idx"), col("band_key"))
+      .orderBy(col(idCol))
+    exploded
+      .withColumn("__rk", row_number().over(wB))
+      .filter(col("__rk") <= maxBucket)
+      .drop("__rk")
+  }
+
   /** LSH candidate pairs: documents sharing at least one band key.
     * Explodes to (band_idx, band_key) and self-joins within buckets,
     * capping pathological buckets at `maxBucket` rows (cap events should
@@ -230,23 +266,9 @@ object DedupOps {
       numPerm: Int = 8,
       bands: Int = 2,
       maxBucket: Int = 1000): DataFrame = {
-    val banded = minhashBands(df, idCol, textCol, shingleK, numPerm, bands)
-    val exploded = banded.select(
-      col(idCol),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band_idx"), col(s"band$b").as("band_key"))): _*))
-        .as("band"))
-      .select(col(idCol), col("band.band_idx"), col("band.band_key"))
-    // Cap degenerate buckets: rank within bucket, drop beyond maxBucket.
-    // row_number + filter compiles to a WindowGroupLimit, so the cap
-    // applies map-side BEFORE the shuffle — a hot bucket never ships more
-    // than maxBucket rows per input partition.
-    val wB = Window.partitionBy(col("band_idx"), col("band_key"))
-      .orderBy(col(idCol))
-    val capped = exploded
-      .withColumn("__rk", row_number().over(wB))
-      .filter(col("__rk") <= maxBucket)
-      .drop("__rk")
+    val capped = bandRows(
+      df, idCol, textCol, shingleK, numPerm, bands, maxBucket,
+      withSig = false)
     // Pairs are generated INSIDE each bucket (collect the <= maxBucket ids,
     // emit the i<j combinations) instead of a bucket self-join. One lineage
     // pass — the MinHash computation runs once, so no persist/cache is

@@ -1,0 +1,168 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash/LSH dedup store — the incremental form of corpus
+  * dedup. A one-time [[write]] indexes the corpus as capped LSH banding
+  * rows WITH signatures ([[DedupOps.bandRows]]); from then on each
+  * arriving batch is checked by [[dedupNewBatch]] with one bucket
+  * equi-join of the batch's rows against the store — the corpus is
+  * never re-shingled, re-hashed, or even re-read beyond this index, and
+  * match verification runs on the stored signatures (estimated Jaccard
+  * = matching-component fraction, the standard MinHash estimator), so
+  * the store needs no access to original document text at serve time.
+  * [[append]] then admits the batch's surviving rows, keeping the store
+  * current for the next batch — the ingest loop a 100 TB corpus
+  * actually runs (reprocessing the corpus per batch is the cost this
+  * store exists to delete).
+  *
+  * Layout: `<path>/rows` parquet (id, sig, band_idx, band_key) and a
+  * `<path>/_meta` JSON sidecar pinning the signature configuration —
+  * batch rows are only comparable to store rows built with identical
+  * (shingleK, numPerm, bands), so every entry point re-validates
+  * against the sidecar (the same self-description contract as
+  * [[IvfIndex]]).
+  *
+  * The first-occurrence policy: a batch doc is a duplicate iff it
+  * matches any STORED doc or an earlier (lower-id) doc of its own
+  * batch; ids are expected to grow monotonically across batches.
+  */
+object DedupStore {
+
+  /** The persisted self-description of a store (`<path>/_meta`). */
+  case class Meta(
+      idCol: String,
+      textCol: String,
+      shingleK: Int,
+      numPerm: Int,
+      bands: Int,
+      maxBucket: Int)
+
+  private def hadoopPath(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  private def fsFor(spark: SparkSession, s: String) =
+    hadoopPath(s).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Build the store at `path` from the current corpus (overwrites). */
+  def write(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      shingleK: Int = 3,
+      numPerm: Int = 8,
+      bands: Int = 2,
+      maxBucket: Int = 1000): Unit = {
+    val meta = Meta(idCol, textCol, shingleK, numPerm, bands, maxBucket)
+    DedupOps.bandRows(docs, idCol, textCol, shingleK, numPerm, bands,
+      maxBucket, withSig = true)
+      .withColumnRenamed(idCol, "id")
+      .write.mode("overwrite").parquet(s"$path/rows")
+    writeMeta(docs.sparkSession, path, meta)
+  }
+
+  /** Read the `<path>/_meta` sidecar. */
+  def readMeta(spark: SparkSession, path: String): Meta = {
+    val p = hadoopPath(s"$path/_meta")
+    val fs = fsFor(spark, path)
+    require(fs.exists(p),
+      s"no dedup-store metadata at $path/_meta — build with DedupStore.write")
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    val node = jsonMapper.readTree(new String(buf, StandardCharsets.UTF_8))
+    val version = Option(node.get("version")).map(_.asInt).getOrElse(-1)
+    require(version == 1,
+      s"dedup store at $path has _meta version $version; this build " +
+        "reads version 1 — rebuild the store or upgrade the library")
+    Meta(node.get("idCol").asText, node.get("textCol").asText,
+      node.get("shingleK").asInt, node.get("numPerm").asInt,
+      node.get("bands").asInt, node.get("maxBucket").asInt)
+  }
+
+  private def writeMeta(spark: SparkSession, path: String, m: Meta): Unit = {
+    def jstr(v: String): String = jsonMapper.writeValueAsString(v)
+    val json =
+      s"""{"version":1,"idCol":${jstr(m.idCol)},""" +
+        s""""textCol":${jstr(m.textCol)},"shingleK":${m.shingleK},""" +
+        s""""numPerm":${m.numPerm},"bands":${m.bands},""" +
+        s""""maxBucket":${m.maxBucket}}"""
+    val out = fsFor(spark, path).create(hadoopPath(s"$path/_meta"), true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** Flag each batch doc against the store and its own batch: `is_dup`
+    * iff some stored doc or lower-id batch doc shares an LSH bucket AND
+    * the signature-estimated Jaccard (matching-component fraction)
+    * clears `tau`; `dup_of` is the smallest such partner id (null when
+    * clean).
+    *
+    * One bucket equi-join (store rows ∪ batch rows) ⨝ batch rows on
+    * (band_idx, band_key) — the store side arrives pre-capped from
+    * disk, the batch side is capped on the fly, and verification is an
+    * inline map over the two signatures already in the joined row: no
+    * second join, no text. Cost scales with the BATCH size and its
+    * bucket overlap, never with the corpus.
+    */
+  def dedupNewBatch(
+      spark: SparkSession,
+      path: String,
+      newDocs: DataFrame,
+      tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"dedupNewBatch: tau must be in (0, 1], got $tau")
+    val m = readMeta(spark, path)
+    val batchRows = DedupOps.bandRows(newDocs, m.idCol, m.textCol,
+      m.shingleK, m.numPerm, m.bands, m.maxBucket, withSig = true)
+      .withColumnRenamed(m.idCol, "id")
+    val all = spark.read.parquet(s"$path/rows").unionByName(batchRows)
+    val pairs = all.as("x")
+      .join(batchRows.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("x.sig").as("sig_a"),
+        col("y.id").as("b"), col("y.sig").as("sig_b"))
+      // a pair sharing several bands is still one pair (sigs are
+      // functions of the ids, so first() is exact)
+      .groupBy(col("a"), col("b"))
+      .agg(first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
+    val matches = pairs
+      .withColumn("sig_sim",
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (p, q) => p === q), v => v)).cast("double") / m.numPerm, 6))
+      .where(col("sig_sim") >= tau)
+      .groupBy(col("b"))
+      .agg(min(col("a")).as("dup_of"))
+    newDocs.select(col(m.idCol))
+      .join(matches, col(m.idCol) === col("b"), "left")
+      .select(col(m.idCol), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"))
+  }
+
+  /** Admit a batch into the store: append the banding rows of `keepIds`
+    * (pass [[dedupNewBatch]]'s clean ids to keep the store duplicate-
+    * free — the usual policy — or every batch id to index everything).
+    * Parameters come from the sidecar, so appended rows are comparable
+    * with the stored ones by construction.
+    */
+  def append(
+      spark: SparkSession,
+      path: String,
+      newDocs: DataFrame,
+      keepIds: DataFrame): Unit = {
+    val m = readMeta(spark, path)
+    val keep = keepIds.select(col(m.idCol))
+    DedupOps.bandRows(
+      newDocs.join(broadcast(keep), Seq(m.idCol), "left_semi"),
+      m.idCol, m.textCol, m.shingleK, m.numPerm, m.bands, m.maxBucket,
+      withSig = true)
+      .withColumnRenamed(m.idCol, "id")
+      .write.mode("append").parquet(s"$path/rows")
+  }
+}

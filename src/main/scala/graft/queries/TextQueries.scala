@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, QueryModule, Tables}
-import graft.operators.{DedupOps, SearchOps, TextOps}
+import graft.operators.{DedupOps, DedupStore, SearchOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -714,6 +714,48 @@ object TextQueries extends QueryModule {
         SELECT h.doc_id, f.doc_id IS NOT NULL AS is_contaminated
         FROM hashed h LEFT JOIN flagged f ON f.doc_id = h.doc_id
         ORDER BY h.doc_id""")),
+
+    // D14 — incremental dedup against a PERSISTED store: index doc_id <
+    // 400 once, then flag the 400+ batch with one bucket join + stored-
+    // signature verification (matching-component fraction >= 0.5) — the
+    // corpus is never re-shingled. The oracle replays the identical
+    // minhash/banding pipeline over the union and applies the same
+    // first-occurrence rule, so flags and dup_of partners hash-match.
+    "d14_incremental_dedup" -> Q(
+      fn = (s, dir) => {
+        val tmp = freshTmpDir("d14_dedup_store_")
+        val docs = t(s, dir, "documents")
+        DedupStore.write(
+          docs.filter(col("doc_id") < 400), "doc_id", "text", tmp)
+        val flags = DedupStore.dedupNewBatch(
+          s, tmp, docs.filter(col("doc_id") >= 400), tau = 0.5)
+        // lifecycle smoke inside the same query: admitting the clean
+        // rows must not change the store's verdict on the same batch
+        DedupStore.append(s, tmp, docs.filter(col("doc_id") >= 400),
+          flags.filter(!col("is_dup")).select(col("doc_id")))
+        flags.orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH $bandsSql,
+        cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y
+            ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+          WHERE x.doc_id < y.doc_id AND y.doc_id >= 400),
+        sim AS (
+          SELECT c.a, c.b,
+                 round(CAST(len(list_filter(generate_series(1, 8),
+                   i -> sa.mh[i] = sb.mh[i])) AS DOUBLE) / 8, 6) AS sig_sim
+          FROM cand c
+          JOIN sigs sa ON sa.doc_id = c.a
+          JOIN sigs sb ON sb.doc_id = c.b),
+        m AS (
+          SELECT b, min(a) AS dup_of FROM sim
+          WHERE sig_sim >= 0.5 GROUP BY b)
+        SELECT d.doc_id, m.dup_of IS NOT NULL AS is_dup, m.dup_of
+        FROM documents d LEFT JOIN m ON m.b = d.doc_id
+        WHERE d.doc_id >= 400
+        ORDER BY d.doc_id""")),
 
     // D13 — paragraph-level dedup with reassembly (the RefinedWeb pass):
     // split on ' the ', keep each distinct paragraph's globally first

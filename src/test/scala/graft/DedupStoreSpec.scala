@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.DedupStore
+import org.apache.spark.sql.functions._
+
+/** The incremental dedup lifecycle: corpus indexed once, batches flagged
+  * against the store + themselves, admitted rows visible to the NEXT
+  * batch — and the config sidecar guards comparability.
+  */
+class DedupStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def store(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(tag).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("batch flags: store dup detected, within-batch dup points to the " +
+    "earlier batch doc, clean doc passes; append makes batch-1 visible " +
+    "to batch 2") {
+    val corpusText = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq((1L, corpusText), (2L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val p = store("graft_dedup_store_")
+    DedupStore.write(corpus, "doc_id", "text", p)
+    assert(DedupStore.readMeta(spark, p).numPerm === 8)
+
+    val freshText = "red orange yellow green blue indigo violet"
+    val batch1 = Seq(
+      (10L, corpusText),  // exact dup of stored doc 1
+      (11L, freshText),   // clean
+      (12L, freshText))   // dup of 11 within the batch
+      .toDF("doc_id", "text")
+    val flags1 = DedupStore.dedupNewBatch(spark, p, batch1, tau = 0.5)
+      .as[(Long, Boolean, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(flags1 === Seq(
+      (10L, true, Some(1L)),
+      (11L, false, None),
+      (12L, true, Some(11L))))
+
+    // admit only the clean rows, then a batch-2 copy of 11 must flag
+    DedupStore.append(spark, p, batch1,
+      Seq(Tuple1(11L)).toDF("doc_id"))
+    val batch2 = Seq((20L, freshText), (21L, "wholly new words here now"))
+      .toDF("doc_id", "text")
+    val flags2 = DedupStore.dedupNewBatch(spark, p, batch2, tau = 0.5)
+      .as[(Long, Boolean, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(flags2 === Seq(
+      (20L, true, Some(11L)),
+      (21L, false, None)))
+    // 12 was refused admission, so nothing points at it
+    assert(!flags2.exists(_._3.contains(12L)))
+  }
+
+  test("guards: missing sidecar, bad tau") {
+    val p = store("graft_dedup_store_empty_")
+    intercept[IllegalArgumentException] {
+      DedupStore.readMeta(spark, p)
+    }
+    val corpus = Seq((1L, "a b c")).toDF("doc_id", "text")
+    DedupStore.write(corpus, "doc_id", "text", p)
+    intercept[IllegalArgumentException] {
+      DedupStore.dedupNewBatch(spark, p, corpus, tau = 0.0)
+    }
+  }
+}
