@@ -63,7 +63,11 @@ object DedupStore {
       maxBucket, withSig = true)
       .withColumnRenamed(idCol, "id")
       .write.mode("overwrite").parquet(s"$path/rows")
-    writeMeta(docs.sparkSession, path, meta)
+    // a rebuilt store must not inherit a previous incarnation's
+    // streaming replay markers (same contract as IvfIndex.write)
+    val spark = docs.sparkSession
+    fsFor(spark, path).delete(hadoopPath(s"$path/_ingested"), true)
+    writeMeta(spark, path, meta)
   }
 
   /** Read the `<path>/_meta` sidecar. */

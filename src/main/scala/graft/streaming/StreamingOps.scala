@@ -128,6 +128,46 @@ object StreamingOps {
       }
     }
 
+  /** Streaming continuous dedup — each micro-batch is flagged against
+    * the persisted [[graft.operators.DedupStore]] (corpus + every
+    * earlier admitted batch), the decision log lands in `flagsPath`
+    * (parquet, stamped with the batch id), and the batch's CLEAN rows
+    * are admitted to the store so the next micro-batch sees them. The
+    * same replay contract as [[indexIngest]]: applied batch ids leave a
+    * marker under `<storePath>/_ingested/<streamId>/` and are skipped
+    * on checkpoint replay; `streamId` is required for the same
+    * collision reason; `DedupStore.write` clears `_ingested` on
+    * rebuild. A crash between the flag/append writes and the marker
+    * re-runs that one batch — dedup verdicts are deterministic, so the
+    * re-run appends the same clean rows; only the flag log may carry a
+    * duplicate (batch_id, doc) row for that batch, which downstream
+    * readers dedup on (batch_id, id) if they care.
+    */
+  def dedupIngest(
+      storePath: String,
+      flagsPath: String,
+      streamId: String,
+      tau: Double): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val marker = new org.apache.hadoop.fs.Path(
+        s"$storePath/_ingested/$streamId/batch-$batchId")
+      val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(marker)) {
+        val m = graft.operators.DedupStore.readMeta(spark, storePath)
+        val flags = graft.operators.DedupStore
+          .dedupNewBatch(spark, storePath, batch, tau)
+          .cache() // read twice below; batch-sized, released in finally
+        try {
+          flags.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(flagsPath)
+          graft.operators.DedupStore.append(spark, storePath, batch,
+            flags.filter(!col("is_dup")).select(col(m.idCol)))
+        } finally flags.unpersist()
+        fs.mkdirs(marker)
+      }
+    }
+
   /** Hourly per-site windowed aggregation of a value column with a
     * watermark — the streaming form of the scheduled per-level rollups.
     */

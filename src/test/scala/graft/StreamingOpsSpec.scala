@@ -255,6 +255,56 @@ class StreamingOpsSpec extends SparkSpec {
       "replaying an applied batch id must not re-append")
   }
 
+  test("dedupIngest: cross-batch duplicate visibility through the store, " +
+    "flag log lands per batch, replayed batch ids are skipped") {
+    implicit val sql = spark.sqlContext
+    val d = java.nio.file.Files.createTempDirectory("graft_sdedup_").toFile
+    d.deleteOnExit()
+    val store = d.getAbsolutePath + "/store"
+    val flagsP = d.getAbsolutePath + "/flags"
+    val corpusText = "alpha beta gamma delta epsilon zeta eta theta"
+    graft.operators.DedupStore.write(
+      Seq((1L, corpusText)).toDF("doc_id", "text"), "doc_id", "text", store)
+
+    val freshText = "red orange yellow green blue indigo violet"
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(StreamingOps.dedupIngest(
+        store, flagsP, streamId = "dedup-a", tau = 0.5))
+      .outputMode(OutputMode.Append).start()
+    input.addData((10L, corpusText), (11L, freshText)) // dup of stored, clean
+    q.processAllAvailable()
+    input.addData((20L, freshText), (21L, "wholly new words here now"))
+    q.processAllAvailable()
+    q.stop()
+
+    val flags = spark.read.parquet(flagsP)
+      .select($"doc_id", $"is_dup", $"dup_of", $"batch_id")
+      .as[(Long, Boolean, Option[Long], Long)].collect().sortBy(_._1).toSeq
+    assert(flags === Seq(
+      (10L, true, Some(1L), 0L),
+      (11L, false, None, 0L),
+      (20L, true, Some(11L), 1L), // batch-2 dup of batch-1's ADMITTED doc
+      (21L, false, None, 1L)))
+    // the store admitted exactly the clean docs (2 bands per doc)
+    val storedIds = spark.read.parquet(s"$store/rows")
+      .select($"id").distinct().as[Long].collect().sorted.toSeq
+    assert(storedIds === Seq(1L, 11L, 21L))
+
+    // replaying an applied batch id must change nothing
+    StreamingOps.dedupIngest(store, flagsP, "dedup-a", 0.5)(
+      Seq((10L, corpusText)).toDF("doc_id", "text"), 0L)
+    assert(spark.read.parquet(flagsP).count() === 4)
+
+    // a rebuild clears the marker space: the same batch id applies again
+    graft.operators.DedupStore.write(
+      Seq((1L, corpusText)).toDF("doc_id", "text"), "doc_id", "text", store)
+    StreamingOps.dedupIngest(store, flagsP, "dedup-a", 0.5)(
+      Seq((30L, freshText)).toDF("doc_id", "text"), 0L)
+    assert(spark.read.parquet(flagsP).count() === 5)
+  }
+
   test("sessionStream: sessions close when the watermark passes the gap, " +
     "in-gap events extend and MERGE windows, the emitted rows match the " +
     "batch sessionize on the same events") {
