@@ -53,6 +53,30 @@ class DedupStoreSpec extends SparkSpec {
     assert(!flags2.exists(_._3.contains(12L)))
   }
 
+  test("dedupNewBatch plan: the bucket join BROADCASTS the batch — the " +
+    "corpus-side store scan reaches the join with no exchange") {
+    val corpus = (0L until 50L)
+      .map(i => (i, s"w$i x$i y$i z$i a$i b$i")).toDF("doc_id", "text")
+    val p = store("graft_dedup_plan_")
+    DedupStore.write(corpus, "doc_id", "text", p)
+    val batch = Seq((100L, "w1 x1 y1 z1 a1 b1")).toDF("doc_id", "text")
+    val flags = DedupStore.dedupNewBatch(spark, p, batch, tau = 0.5)
+    flags.collect() // finalize the adaptive plan
+    val lines = flags.queryExecution.executedPlan.toString.linesIterator.toSeq
+    val join = lines.indexWhere(_.contains("BroadcastHashJoin [band_idx"))
+    assert(join >= 0, "bucket join must be a broadcast join:\n" +
+      lines.mkString("\n"))
+    // the streamed (printed-first) branch under the join is the store
+    // scan; nothing between them may re-partition the corpus
+    val storeScan = lines.indexWhere(
+      l => l.contains("FileScan parquet") && l.contains("/rows"), join)
+    assert(storeScan > join, lines.mkString("\n"))
+    val between = lines.slice(join + 1, storeScan)
+    assert(!between.exists(_.contains("Exchange")),
+      "exchange on the store side of the serve join:\n" +
+        lines.mkString("\n"))
+  }
+
   test("guards: missing sidecar, bad tau") {
     val p = store("graft_dedup_store_empty_")
     intercept[IllegalArgumentException] {
