@@ -62,4 +62,40 @@ object SkewOps {
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Occupancy profile of a prospective shuffle/join key — the
+    * measurement that DECIDES between plain join, AQE, and
+    * [[saltedJoin]] (salting un-hot keys wastes a replication; not
+    * salting a hot one stalls the stage on a single task). Returns the
+    * `topK` heaviest keys with `n` (occupancy), `share` (fraction of
+    * all rows) and `skew` (occupancy over the mean key's — the factor
+    * by which that key's join cell outweighs the average; ≥ ~5-10 is
+    * the classic "salt it" signal).
+    *
+    * One partial-aggregable groupBy, a 1-row global stats aggregate
+    * broadcast back over the counts, and a TakeOrdered top-k — the
+    * profile never materializes more than the distinct-key frame, and
+    * the returned frame is `topK` rows. Ties at the cut are broken by
+    * key order, so the result is deterministic.
+    */
+  def skewProfile(
+      df: DataFrame,
+      keys: Seq[String],
+      topK: Int = 20): DataFrame = {
+    require(keys.nonEmpty, "skewProfile: at least one key column")
+    require(topK >= 1, "skewProfile: topK must be positive")
+    for (c <- Seq("n", "share", "skew", "__total", "__distinct"))
+      require(!df.columns.contains(c),
+        s"skewProfile reserves column $c — rename it on the input")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    val stats = counts.agg(
+      sum(col("n")).as("__total"), count(lit(1)).as("__distinct"))
+    counts.crossJoin(broadcast(stats))
+      .select((keys.map(col) :+ col("n") :+
+        round(col("n") / col("__total"), 6).as("share") :+
+        round(col("n") / (col("__total") / col("__distinct")), 6)
+          .as("skew")): _*)
+      .orderBy((col("n").desc +: keys.map(col(_).asc)): _*)
+      .limit(topK)
+  }
 }

@@ -97,6 +97,31 @@ object RelationalQueries extends QueryModule {
         "SELECT doc_id, text, lang, source, n_chars FROM documents " +
           "ORDER BY doc_id")),
 
+    // S17 — ORC source/sink: the other columnar interchange format
+    // (predicate pushdown + column pruning work the same as parquet's —
+    // the scan is an OrcScan with pushed filters). Write the documents
+    // table as ORC, read it back with an explicit schema, every field
+    // must survive bit for bit.
+    "s17_orc_roundtrip" -> Q(
+      fn = (s, dir) => {
+        val tmp = freshTmpDir("s17_docs_orc_")
+        t(s, dir, "documents").write.mode("overwrite").orc(tmp)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType),
+          StructField("lang", StringType),
+          StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        s.read.schema(schema).orc(tmp)
+          .where(col("doc_id") >= 0) // a pushable predicate on the scan
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(
+        "SELECT doc_id, text, lang, source, n_chars FROM documents " +
+          "WHERE doc_id >= 0 ORDER BY doc_id")),
+
     // S16 — z-order (Morton) key: the multi-column clustering key behind
     // Layouts.zorder. Power-of-2 bin shifts (pure >>, no division) and
     // LSB-first interleave make the key exact integer arithmetic both

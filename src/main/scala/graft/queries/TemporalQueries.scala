@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, QueryModule, Tables}
-import graft.operators.TimeSeriesOps
+import graft.operators.{SkewOps, TimeSeriesOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -703,6 +703,26 @@ object TemporalQueries extends QueryModule {
         SELECT event_id, user_id, z,
                coalesce(abs(z) > 2.0, false) AS is_anomaly
         FROM z
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // A18 — shuffle-key skew profile: the measurement that decides
+    // between plain join, AQE skew split, and j9's salted join. Top-20
+    // heaviest keys with occupancy share and skew factor (occupancy /
+    // mean-key occupancy); ties at the cut break by key, so the top-k
+    // SET is deterministic. Both engines divide the same integer
+    // operands in double, so the rounded ratios hash-match.
+    "a18_skew_profile" -> Q(
+      fn = (s, dir) =>
+        SkewOps.skewProfile(t(s, dir, "events"), Seq("user_id"), topK = 20)
+          .orderBy(col("n").desc, col("user_id")),
+      oracle = Some("""
+        WITH c AS (SELECT user_id, count(*) AS n FROM events
+                   GROUP BY user_id),
+        s AS (SELECT sum(n) AS total, count(*) AS dst FROM c)
+        SELECT c.user_id, c.n, round(c.n / s.total, 6) AS share,
+               round(c.n / (s.total / s.dst), 6) AS skew
+        FROM c, s
+        ORDER BY n DESC, user_id
+        LIMIT 20"""))
   )
 }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, QueryModule, Tables}
 import graft.operators.{DedupOps, DedupStore, SearchOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication operators over the `documents` corpus —
@@ -504,6 +505,52 @@ object TextQueries extends QueryModule {
     // near-dup pairs (d3) → connected components (d7) → canonical pick by
     // quality (d8). The LLM-data counterpart of pl_levels_e2e: what a
     // corpus release actually runs, checked against a single SQL oracle.
+    // C2 — per-source corpus health report, one plan: doc counts, exact-
+    // duplicate rate (beyond-first copies by text md5 — the d1 rule),
+    // language spread, and token/char mass. Ratios divide exact integer
+    // sums in double, so they hash-match. The report is what an ingest
+    // run publishes per batch — and the shape is one groupBy over a
+    // window-marked frame, no per-metric re-scan.
+    "c2_corpus_report" -> Q(
+      fn = (s, dir) => {
+        val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
+        t(s, dir, "documents")
+          .withColumn("__h", md5(col("text")))
+          .withColumn("__rk", row_number().over(w))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("__rk") > 1, 1L).otherwise(0L)).as("n_dups"),
+            round(sum(when(col("__rk") > 1, 1L).otherwise(0L)) /
+              count(lit(1)), 6).as("dup_rate"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+            round(sum(size(split(col("text"), " ")).cast("long")) /
+              count(lit(1)), 6).as("mean_tokens"),
+            sum(col("n_chars")).as("n_chars"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT source, lang, n_chars, doc_id,
+                 len(string_split(text, ' ')) AS tok,
+                 row_number() OVER (PARTITION BY md5(text)
+                                    ORDER BY doc_id) AS rk
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+               sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS n_dups,
+               round(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) / count(*), 6)
+                 AS dup_rate,
+               count(DISTINCT lang) AS n_langs,
+               sum(tok) AS n_tokens,
+               round(sum(tok) / count(*), 6) AS mean_tokens,
+               sum(n_chars) AS n_chars,
+               min(doc_id) AS first_doc
+        FROM f
+        GROUP BY source
+        ORDER BY source""")),
+
     "c1_curate_e2e" -> Q(
       fn = (s, dir) => {
         val docs = t(s, dir, "documents")

@@ -92,4 +92,23 @@ class SkewOpsSpec extends SparkSpec {
       SkewOps.saltedJoin(a.withColumn("__salt", lit(1)), b, Seq("k"), $"x", 4)
     }
   }
+
+  test("skewProfile: hand-checked occupancy/share/skew, deterministic " +
+    "tie cut, guards") {
+    // key 1 x6, key 2 x2, keys 3..6 x1 each -> 12 rows, 6 keys, mean 2
+    val rows = Seq.fill(6)(1) ++ Seq.fill(2)(2) ++ (3 to 6)
+    val df = rows.map(k => (k, "p")).toDF("k", "payload")
+    val got = SkewOps.skewProfile(df, Seq("k"), topK = 3)
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(got === Seq(
+      (1, 6L, 0.5, 3.0),      // 6/12; 6/(12/6)
+      (2, 2L, 0.166667, 1.0),
+      (3, 1L, 0.083333, 0.5))) // ties among 3..6 cut by key order: 3 wins
+    intercept[IllegalArgumentException] {
+      SkewOps.skewProfile(df, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      SkewOps.skewProfile(df.withColumnRenamed("payload", "share"), Seq("k"))
+    }
+  }
 }
