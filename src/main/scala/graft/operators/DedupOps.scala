@@ -141,9 +141,13 @@ object DedupOps {
     val bench = shingled(benchmark).select(col("__sh"))
     val bloom = SketchOps.bloomBuild(
       bench, xxhash64(col("__sh")), expectedShingles, fpp)
+    // no broadcast hint on the confirm join: in the very regime this op
+    // exists for (benchmark too big to hash-broadcast) the optimizer
+    // must be free to shuffle — and the left side is already only the
+    // bloom-passing sliver, so that shuffle is small
     val flagged = shingled(docs)
       .where(SketchOps.bloomMightContain(bloom, xxhash64(col("__sh"))))
-      .join(broadcast(bench.distinct()), Seq("__sh"), "left_semi")
+      .join(bench.distinct(), Seq("__sh"), "left_semi")
       .select(col(idCol)).distinct()
       .withColumn("__hit", lit(1))
     docs.select(col(idCol))
@@ -406,7 +410,8 @@ object DedupOps {
 
   /** Paragraph-level exact dedup with document reassembly — the
     * RefinedWeb-style pass that removes boilerplate below document
-    * granularity: split every document on `sep`, keep only the globally
+    * granularity: split every document on the REGEX `sepRegex` (escape
+    * metacharacters for a literal separator), keep only the globally
     * FIRST occurrence of each distinct paragraph (first by (id,
     * position) — within-doc repeats collapse too), and stitch each
     * document back together from its surviving paragraphs in original
@@ -428,7 +433,7 @@ object DedupOps {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      sep: String,
+      sepRegex: String,
       joiner: String): DataFrame = {
     val reserved = Seq("__h", "__rk", "pos", "para", "n_paras", "n_kept",
       "text_dedup").filter(docs.columns.contains)
@@ -436,7 +441,7 @@ object DedupOps {
       s"paragraphDedup reserves column(s) ${reserved.mkString(", ")} — " +
         "rename them on the input")
     val paras = docs
-      .select(col(idCol), posexplode(split(col(textCol), sep)))
+      .select(col(idCol), posexplode(split(col(textCol), sepRegex)))
       .withColumnRenamed("col", "para")
       .withColumn("__h", md5(col("para")))
     val w = Window.partitionBy("__h").orderBy(col(idCol), col("pos"))
@@ -453,7 +458,7 @@ object DedupOps {
             x => x.getField("para")),
           joiner).as("text_dedup"))
     docs
-      .select(col(idCol), size(split(col(textCol), sep)).as("n_paras"))
+      .select(col(idCol), size(split(col(textCol), sepRegex)).as("n_paras"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), col("n_paras"),
         coalesce(col("n_kept"), lit(0)).as("n_kept"),
@@ -488,9 +493,12 @@ object DedupOps {
       .join(t.select(col(idCol).as("a"), col("__t").as("t_a")), "a")
       .join(t.select(col(idCol).as("b"), col("__t").as("t_b")), "b")
       .withColumn("edit_dist", levenshtein(col("t_a"), col("t_b")))
+      // the lit(1) floor makes the empty-vs-empty pair well-defined:
+      // dist 0 over a 0-length max would be 0/0 -> null, not the
+      // documented 1.0
       .withColumn("similarity",
         round(lit(1.0) - col("edit_dist").cast("double") /
-          greatest(length(col("t_a")), length(col("t_b"))), 6))
+          greatest(length(col("t_a")), length(col("t_b")), lit(1)), 6))
       .drop("t_a", "t_b")
   }
 

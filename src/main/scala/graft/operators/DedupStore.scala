@@ -3,6 +3,7 @@ package graft.operators
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Persisted MinHash/LSH dedup store — the incremental form of corpus
@@ -111,8 +112,18 @@ object DedupStore {
     * (band_idx, band_key) — the store side arrives pre-capped from
     * disk, the batch side is capped on the fly, and verification is an
     * inline map over the two signatures already in the joined row: no
-    * second join, no text. Cost scales with the BATCH size and its
-    * bucket overlap, never with the corpus.
+    * second join, no text. The batch side carries an explicit broadcast
+    * hint (DedupStoreSpec pins the plan): the store must reach the join
+    * with NO exchange regardless of the batch's size estimate — a batch
+    * too large to broadcast should be split by the caller, not silently
+    * demoted to a corpus-wide sort-merge shuffle. Cost then scales with
+    * the BATCH size and its bucket overlap, never with the corpus.
+    *
+    * The batch's banding is deliberately referenced twice (union side +
+    * broadcast side) and recomputed rather than cached: the recompute
+    * is one extra batch-sized shingling pass (native codegen'd), which
+    * is cheaper to accept per serve call than managing cache/checkpoint
+    * lifetimes under a lazily-consumed return value.
     */
   def dedupNewBatch(
       spark: SparkSession,
@@ -126,7 +137,7 @@ object DedupStore {
       .withColumnRenamed(m.idCol, "id")
     val all = spark.read.parquet(s"$path/rows").unionByName(batchRows)
     val pairs = all.as("x")
-      .join(batchRows.as("y"),
+      .join(broadcast(batchRows.as("y")),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_key") === col("y.band_key") &&
           col("x.id") < col("y.id"))
@@ -154,6 +165,13 @@ object DedupStore {
     * free — the usual policy — or every batch id to index everything).
     * Parameters come from the sidecar, so appended rows are comparable
     * with the stored ones by construction.
+    *
+    * The bucket cap applies to each batch INDEPENDENTLY: a degenerate
+    * bucket (e.g. the near-empty-signature bucket of shingle-less
+    * docs) can grow by up to maxBucket rows per admitted batch. Run
+    * [[compact]] periodically to re-impose the global cap — the same
+    * write-amplification-for-serve-cost trade as small-file
+    * compaction.
     */
   def append(
       spark: SparkSession,
@@ -168,5 +186,38 @@ object DedupStore {
       withSig = true)
       .withColumnRenamed(m.idCol, "id")
       .write.mode("append").parquet(s"$path/rows")
+  }
+
+  /** Re-impose the GLOBAL bucket cap across everything admitted so far
+    * (appends cap per batch — see [[append]]) and rewrite the row set
+    * as one compacted generation. Keeps the `maxBucket` lowest-id rows
+    * per bucket — the same winners a from-scratch [[write]] over the
+    * full corpus would keep, so serve results after compact match a
+    * fresh build's. Same safe-swap discipline as `IvfIndex.compact`:
+    * write aside, rename the old generation away, rename the new one
+    * in, drop the old — a crash leaves either generation readable
+    * (`rows_old` recovery is automatic on the next compact).
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val m = readMeta(spark, path)
+    val fs = fsFor(spark, path)
+    val rows = hadoopPath(s"$path/rows")
+    val old = hadoopPath(s"$path/rows_old")
+    val next = hadoopPath(s"$path/rows_compacting")
+    // crash recovery: a completed swap that failed to delete rows_old,
+    // or a mid-swap state with no rows — roll forward
+    if (!fs.exists(rows) && fs.exists(old)) fs.rename(old, rows)
+    fs.delete(old, true)
+    fs.delete(next, true)
+    val w = Window.partitionBy(col("band_idx"), col("band_key"))
+      .orderBy(col("id"))
+    spark.read.parquet(rows.toString)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= m.maxBucket)
+      .drop("__rk")
+      .write.parquet(next.toString)
+    require(fs.rename(rows, old), s"compact: cannot move $rows aside")
+    require(fs.rename(next, rows), s"compact: cannot activate $next")
+    fs.delete(old, true)
   }
 }

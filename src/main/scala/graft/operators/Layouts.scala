@@ -55,13 +55,7 @@ object Layouts {
       cols: Seq[Column], mins: Seq[Long], maxs: Seq[Long],
       bits: Int): Column = {
     val k = cols.size
-    require(k >= 1 && mins.size == k && maxs.size == k,
-      s"zvalue: cols/mins/maxs sizes must match (got $k/${mins.size}/" +
-        s"${maxs.size})")
-    require(bits >= 1 && bits * k <= 63,
-      s"zvalue: need 1 <= bits and bits * cols <= 63 (got $bits * $k)")
-    require(mins.zip(maxs).forall { case (a, b) => a <= b },
-      "zvalue: every min must be <= its max")
+    zChecks(k, mins, maxs, bits)
     val shifts = binShifts(mins, maxs, bits)
     val scaled = cols.zipWithIndex.map { case (c, i) =>
       val clamped = greatest(
@@ -84,6 +78,7 @@ object Layouts {
       exprs: Seq[String], mins: Seq[Long], maxs: Seq[Long],
       bits: Int): String = {
     val k = exprs.size
+    zChecks(k, mins, maxs, bits)
     val shifts = binShifts(mins, maxs, bits)
     val scaled = exprs.zipWithIndex.map { case (e, i) =>
       val (down, up) = shifts(i)
@@ -92,6 +87,21 @@ object Layouts {
     }
     (for { i <- 0 until k; j <- 0 until bits } yield
       s"(((${scaled(i)} >> $j) & 1) << ${j * k + i})").mkString(" | ")
+  }
+
+  /** The shared [[zvalue]]/[[zvalueSql]] argument contract — both forms
+    * must reject the same inputs, or the "lockstep" guarantee between
+    * them silently breaks on the SQL side.
+    */
+  private def zChecks(
+      k: Int, mins: Seq[Long], maxs: Seq[Long], bits: Int): Unit = {
+    require(k >= 1 && mins.size == k && maxs.size == k,
+      s"zvalue: cols/mins/maxs sizes must match (got $k/${mins.size}/" +
+        s"${maxs.size})")
+    require(bits >= 1 && bits * k <= 63,
+      s"zvalue: need 1 <= bits and bits * cols <= 63 (got $bits * $k)")
+    require(mins.zip(maxs).forall { case (a, b) => a <= b },
+      "zvalue: every min must be <= its max")
   }
 
   /** Per-column (down, up) shifts that place every column in EXACTLY
@@ -126,12 +136,9 @@ object Layouts {
     require(!df.columns.contains("__z"),
       "zorder reserves column __z — rename it on the input")
     require(outPartitions >= 1, "zorder: outPartitions must be positive")
-    val stats = df.agg(
-      zCols.flatMap(c => Seq(
-        min(col(c).cast("long")), max(col(c).cast("long")))).head,
-      zCols.flatMap(c => Seq(
-        min(col(c).cast("long")), max(col(c).cast("long")))).tail: _*)
-      .head()
+    val aggs = zCols.flatMap(c => Seq(
+      min(col(c).cast("long")), max(col(c).cast("long"))))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
     if (stats.anyNull) df // empty input (or an all-null key): no layout
     else {
       val mins = zCols.indices.map(i => stats.getLong(2 * i))

@@ -609,6 +609,9 @@ object TimeSeriesOps {
       tieBreak: Seq[String] = Nil): DataFrame = {
     require(radius >= 1, "rollingZscore: radius must be >= 1")
     require(threshold > 0, "rollingZscore: threshold must be positive")
+    for (c <- Seq("z", "is_anomaly"))
+      require(!df.columns.contains(c),
+        s"rollingZscore reserves column $c — rename it on the input")
     // a rows frame is only deterministic under a TOTAL order — equal
     // timestamps need the tieBreak columns or window membership is
     // engine/run-dependent

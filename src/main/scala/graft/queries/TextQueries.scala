@@ -772,8 +772,11 @@ object TextQueries extends QueryModule {
       fn = (s, dir) => {
         val tmp = freshTmpDir("d14_dedup_store_")
         val docs = t(s, dir, "documents")
+        // maxBucket high enough to be provably inert at ANY scale factor
+        // — the oracle's band join is uncapped, so the cap must not bite
         DedupStore.write(
-          docs.filter(col("doc_id") < 400), "doc_id", "text", tmp)
+          docs.filter(col("doc_id") < 400), "doc_id", "text", tmp,
+          maxBucket = 1 << 30)
         val flags = DedupStore.dedupNewBatch(
           s, tmp, docs.filter(col("doc_id") >= 400), tau = 0.5)
         // lifecycle smoke inside the same query: admitting the clean
@@ -815,7 +818,7 @@ object TextQueries extends QueryModule {
       fn = (s, dir) =>
         DedupOps.paragraphDedup(
           t(s, dir, "documents"), "doc_id", "text",
-          sep = " the ", joiner = " the ")
+          sepRegex = " the ", joiner = " the ")
           .orderBy(col("doc_id")),
       oracle = Some("""
         WITH p AS (
@@ -868,7 +871,7 @@ object TextQueries extends QueryModule {
                                             substr(y.text, 1, 2000))
                                 AS DOUBLE) /
                  greatest(length(substr(x.text, 1, 2000)),
-                          length(substr(y.text, 1, 2000))), 6)
+                          length(substr(y.text, 1, 2000)), 1), 6)
                  AS similarity
         FROM documents x JOIN documents y
           ON y.doc_id BETWEEN x.doc_id + 1 AND x.doc_id + 2

@@ -76,16 +76,17 @@ class DedupOpsSpec extends SparkSpec {
   test("editDistanceVerify: textbook distances, identity pairs score " +
     "1.0, maxChars caps the compared prefix, guards reject negatives") {
     val docs = Seq(
-      (1L, "kitten"), (2L, "sitting"), (3L, "kitten"), (4L, ""))
+      (1L, "kitten"), (2L, "sitting"), (3L, "kitten"), (4L, ""), (5L, ""))
       .toDF("doc_id", "text")
-    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L)).toDF("a", "b")
     val got = DedupOps.editDistanceVerify(pairs, docs, "doc_id", "text")
       .select($"a", $"b", $"edit_dist", $"similarity")
       .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._2))
     assert(got === Seq(
       (1L, 2L, 3, 0.571429), // kitten->sitting: the classic 3
       (1L, 3L, 0, 1.0),
-      (1L, 4L, 6, 0.0))) // vs empty: dist = len, similarity 0
+      (1L, 4L, 6, 0.0),  // vs empty: dist = len, similarity 0
+      (4L, 5L, 0, 1.0))) // empty vs empty: identical -> 1.0, not null
     val capped = DedupOps.editDistanceVerify(
       Seq((1L, 2L)).toDF("a", "b"), docs, "doc_id", "text", maxChars = 3)
       .select($"edit_dist", $"similarity")

@@ -77,6 +77,36 @@ class DedupStoreSpec extends SparkSpec {
         lines.mkString("\n"))
   }
 
+  test("compact: re-imposes the global bucket cap across appends and " +
+    "serve results match a fresh build; rows_old recovery rolls forward") {
+    // maxBucket 2: three same-text docs admitted over two generations
+    // overfill the shared bucket (write caps its 2, append adds 1 more)
+    val txt = "same words every time here"
+    val p = store("graft_dedup_compact_")
+    DedupStore.write(
+      Seq((1L, txt), (2L, txt)).toDF("doc_id", "text"),
+      "doc_id", "text", p, maxBucket = 2)
+    DedupStore.append(spark, p,
+      Seq((3L, txt)).toDF("doc_id", "text"),
+      Seq(Tuple1(3L)).toDF("doc_id"))
+    def bucketMax(): Long = spark.read.parquet(s"$p/rows")
+      .groupBy($"band_idx", $"band_key").count()
+      .agg(max($"count")).as[Long].head()
+    assert(bucketMax() === 3) // per-batch caps composed: over the cap
+    DedupStore.compact(spark, p)
+    assert(bucketMax() === 2) // global cap re-imposed, lowest ids win
+    val ids = spark.read.parquet(s"$p/rows")
+      .select($"id").distinct().as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L)) // the fresh-build winners
+    // crash recovery: simulate a swap that lost the live dir
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.rename(new org.apache.hadoop.fs.Path(s"$p/rows"),
+      new org.apache.hadoop.fs.Path(s"$p/rows_old"))
+    DedupStore.compact(spark, p) // must roll forward, not crash
+    assert(bucketMax() === 2)
+  }
+
   test("guards: missing sidecar, bad tau") {
     val p = store("graft_dedup_store_empty_")
     intercept[IllegalArgumentException] {
