@@ -79,6 +79,52 @@ object SampleOps {
       lit(math.round(defaultRate * 10000).toInt)))
   }
 
+  /** Token-BUDGET mix planning — [[mixtureSample]] with rates DERIVED
+    * from the data: given a per-group token budget, each group's keep
+    * rate is min(1, budget / its total tokens), so the expected kept
+    * token mass per group is its budget (groups under budget keep
+    * everything). This is the epoch-planning operator: "2B tokens of
+    * web, 500M of code" becomes per-group thresholds in one pass.
+    *
+    * One partial-aggregable groupBy over (group, tokens) — a
+    * distinct-group-sized frame — broadcast back as integer per-myriad
+    * thresholds against the SAME salted id hash as [[mixtureSample]]
+    * (a row kept at rate r stays kept at any rate >= r, and the
+    * thresholds restate in SQL exactly). Per-row decisions remain
+    * shuffle-free on the corpus side.
+    *
+    * @param budgets target token mass per group value; absent groups
+    *        get `defaultBudget` (0 = drop). Budgets above ~9e14 tokens
+    *        would overflow the per-myriad scaling — split such groups.
+    */
+  def planMixture(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      tokens: Column,
+      budgets: Map[String, Long],
+      defaultBudget: Long = 0L): DataFrame = {
+    require((budgets.values.toSeq :+ defaultBudget).forall(b =>
+      b >= 0 && b <= (Long.MaxValue / 10000)),
+      s"planMixture: budgets must be in [0, ${Long.MaxValue / 10000}]")
+    for (c <- Seq("__tok", "__thr"))
+      require(!df.columns.contains(c),
+        s"planMixture reserves column $c — rename it on the input")
+    val bl = typedlit(budgets)
+    val thresholds = df
+      .groupBy(col(groupCol))
+      .agg(sum(tokens.cast("long")).as("__tok"))
+      .select(col(groupCol),
+        least(lit(10000L), floor(lit(10000.0) *
+          coalesce(element_at(bl, col(groupCol)), lit(defaultBudget)) /
+          col("__tok")).cast("long")).as("__thr"))
+    val h = pmod(TextOps.baseHash60(
+      concat(col(idCol).cast("string"), lit("/mix"))), lit(10000))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .filter(h < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Greedy sequence-packing approximation: stream each shard's docs in
     * hash order, keep a running length cumsum, and place each doc in the
     * bin where its first token lands when the stream is concatenated

@@ -310,6 +310,31 @@ object TextOps {
     * two array columns; all integer arithmetic (base 257 mod 1e9+7), so
     * any SQL engine reproduces it exactly.
     */
+  /** Fixed-size sliding-window chunks with stride — the context-window
+    * materializer (CDC's fixed-geometry sibling: CDC cuts at content
+    * boundaries for dedup stability, this cuts at fixed offsets for
+    * model input assembly). Chunk i covers characters
+    * [i·stride, i·stride + size); the last chunk may run short, every
+    * doc yields at least one chunk (the empty doc yields one empty
+    * chunk), and stride < size gives the standard overlapping windows.
+    * Pure per-row generate + substring — no shuffle, stays in codegen.
+    *
+    * Chunk count = 1 + max(0, ceil((len − size) / stride)), computed as
+    * a floor over doubles — exact for any text below ~2^52 chars, and
+    * the identical expression restates in SQL.
+    */
+  def slidingChunks(
+      text: Column, size: Int, stride: Int): (Column, Column) = {
+    require(size >= 1, s"slidingChunks: size must be >= 1 (got $size)")
+    require(stride >= 1, s"slidingChunks: stride must be >= 1 (got $stride)")
+    val extra = greatest(
+      floor((length(text) - lit(size) + lit(stride - 1)) /
+        lit(stride.toDouble)).cast("int"),
+      lit(0))
+    val idx = sequence(lit(0), extra)
+    (idx, transform(idx, i => substring(text, i * stride + 1, lit(size))))
+  }
+
   /** CDC chunk frame + per-chunk md5s, backed by the native codegen'd
     * [[graft.expressions.CdcBoundaries]] boundary scan (one tight loop
     * per doc; the HOF twin below costs O(len^2) via per-character

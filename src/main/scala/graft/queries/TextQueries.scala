@@ -505,6 +505,70 @@ object TextQueries extends QueryModule {
     // near-dup pairs (d3) → connected components (d7) → canonical pick by
     // quality (d8). The LLM-data counterpart of pl_levels_e2e: what a
     // corpus release actually runs, checked against a single SQL oracle.
+    // T21 — sliding context windows: 120-char chunks at stride 100
+    // (overlapping), the model-input materializer. Chunk geometry is
+    // pure integer/floor arithmetic both engines restate; every doc
+    // yields >= 1 chunk, short tails stay short.
+    "t21_sliding_chunks" -> Q(
+      fn = (s, dir) => {
+        val (idx, chunks) = TextOps.slidingChunks(col("text"), 120, 100)
+        t(s, dir, "documents")
+          .select(col("doc_id"), arrays_zip(idx, chunks).as("z"))
+          .select(col("doc_id"), explode(col("z")).as("c"))
+          .select(col("doc_id"), col("c.0").cast("int").as("chunk_no"),
+            col("c.1").as("chunk"), length(col("c.1")).as("chunk_len"))
+          .orderBy(col("doc_id"), col("chunk_no"))
+      },
+      oracle = Some("""
+        WITH n AS (
+          SELECT doc_id, text,
+                 1 + greatest(CAST(floor((length(text) - 120 + 99) / 100.0)
+                              AS INT), 0) AS n_chunks
+          FROM documents),
+        c AS (
+          SELECT doc_id, CAST(i AS INT) AS chunk_no,
+                 substr(text, CAST(i AS INT) * 100 + 1, 120) AS chunk
+          FROM n, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1))
+                           AS i))
+        SELECT doc_id, chunk_no, chunk, length(chunk) AS chunk_len
+        FROM c
+        ORDER BY doc_id, chunk_no""")),
+
+    // C3 — token-budget mix planning: per-source keep rates derived from
+    // the data (rate = min(1, budget / source tokens)), applied with the
+    // same salted per-myriad id hash as t15. Sources under budget keep
+    // everything; the rest keep the budgeted fraction. Both engines
+    // derive thresholds as floor(10000 * budget / tokens) over identical
+    // integer operands.
+    "c3_mix_plan" -> Q(
+      fn = (s, dir) =>
+        graft.operators.SampleOps.planMixture(
+          t(s, dir, "documents"), "doc_id", "source",
+          tokens = size(split(col("text"), " ")),
+          budgets = Map("src0" -> 3000L, "src1" -> 800L, "src2" -> 100L),
+          defaultBudget = 400L)
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id")),
+      oracle = Some {
+        val h60 = baseHashSql.replace("md5(s)",
+          "md5(CAST(doc_id AS VARCHAR) || '/mix')")
+        s"""
+        WITH tot AS (
+          SELECT source, sum(len(string_split(text, ' '))) AS tok
+          FROM documents GROUP BY source),
+        thr AS (
+          SELECT source,
+                 least(10000, CAST(floor(10000.0 *
+                   CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 800
+                               WHEN 'src2' THEN 100 ELSE 400 END
+                   / tok) AS BIGINT)) AS t
+          FROM tot)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN thr ON thr.source = d.source
+        WHERE ($h60) % 10000 < thr.t
+        ORDER BY d.doc_id"""
+      }),
+
     // C2 — per-source corpus health report, one plan: doc counts, exact-
     // duplicate rate (beyond-first copies by text md5 — the d1 rule),
     // language spread, and token/char mass. Ratios divide exact integer

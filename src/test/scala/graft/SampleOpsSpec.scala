@@ -86,4 +86,37 @@ class SampleOpsSpec extends SparkSpec {
       .select("id", "bin").as[(Long, Long)].collect().toMap
     assert(packed.map(r => r._2 -> r._5).toMap === again)
   }
+
+  test("planMixture: under-budget groups keep everything, over-budget " +
+    "groups keep ~the budgeted token fraction, kept sets are a subset " +
+    "of mixtureSample at the same rate, guards") {
+    val docs = (0L until 400L).map { i =>
+      (i, if (i % 2 == 0) "big" else "small", 10L)
+    }.toDF("doc_id", "grp", "tok") // 200 docs x 10 tokens per group
+    val kept = SampleOps.planMixture(
+      docs, "doc_id", "grp", $"tok",
+      budgets = Map("big" -> 500L), defaultBudget = 100000L)
+      .select($"doc_id", $"grp").as[(Long, String)].collect().toSeq
+    // small: budget 100000 >= 2000 tokens -> rate 1, all 200 kept
+    assert(kept.count(_._2 == "small") === 200)
+    // big: rate 500/2000 = 0.25 -> threshold 2500 per-myriad; the kept
+    // count follows the hash, so assert the band and the exact rule
+    val bigKept = kept.filter(_._2 == "big").map(_._1).toSet
+    assert(bigKept.size > 20 && bigKept.size < 80,
+      s"~25% of 200 expected, got ${bigKept.size}")
+    // a doc kept at rate r must also be kept by mixtureSample(r)
+    val mix = SampleOps.mixtureSample(
+      docs.filter($"grp" === "big"), "doc_id", "grp",
+      Map("big" -> 0.25))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(bigKept === mix)
+    intercept[IllegalArgumentException] {
+      SampleOps.planMixture(docs, "doc_id", "grp", $"tok",
+        Map("big" -> -1L))
+    }
+    intercept[IllegalArgumentException] {
+      SampleOps.planMixture(docs.withColumnRenamed("tok", "__tok"),
+        "doc_id", "grp", $"__tok", Map.empty)
+    }
+  }
 }

@@ -275,4 +275,24 @@ class TextOpsSpec extends SparkSpec {
       "SELECT graft_nfc_normalize('cafe\u0301')").as[String].head()
     assert(viaSql === composed)
   }
+
+  test("slidingChunks: overlap geometry, short tails, empty doc yields " +
+    "one empty chunk, exact-fit has no phantom tail, guards") {
+    def chunks(text: String, size: Int, stride: Int): Seq[String] = {
+      val (_, cs) = TextOps.slidingChunks($"t", size, stride)
+      Seq(text).toDF("t").select(cs).as[Seq[String]].head()
+    }
+    assert(chunks("abcdefghij", 4, 3) ===
+      Seq("abcd", "defg", "ghij")) // [0,4) [3,7) [6,10): covers, overlaps
+    assert(chunks("abcdefghij", 4, 4) === Seq("abcd", "efgh", "ij"))
+    assert(chunks("abcd", 4, 3) === Seq("abcd")) // exact fit: one chunk
+    assert(chunks("ab", 4, 3) === Seq("ab"))     // shorter than size
+    assert(chunks("", 4, 3) === Seq(""))         // empty doc: one chunk
+    intercept[IllegalArgumentException] {
+      TextOps.slidingChunks($"t", 0, 3)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.slidingChunks($"t", 4, 0)
+    }
+  }
 }
