@@ -161,4 +161,45 @@ object IncrementalRunner {
     val level4 = LevelPipeline.processLevels(padded, stations, silo, intensity)
     sink.upsert(level4.filter(col("time") > windowStart))
   }
+
+  /** Snapshot diff — which keys were added, removed, or changed between
+    * two table generations, and WHICH columns changed (the audit the
+    * reference's old-vs-new golden tests do by hand, as an operator;
+    * also the change-feed a plain-parquet lake derives by comparing
+    * snapshots). One full outer join on the key; comparisons are
+    * null-safe (`<=>`), so null→value and value→null both count as
+    * changes. Unchanged keys are dropped — the output is the change
+    * set, sized by churn, not by the table.
+    *
+    * Output: keys..., `change` ('added'|'removed'|'changed'),
+    * `changed_cols` (array of changed column names; empty for
+    * added/removed).
+    */
+  def diffSnapshots(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "diffSnapshots: at least one key column")
+    require(compareCols.nonEmpty, "diffSnapshots: at least one compare column")
+    val o = oldDf.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__old", lit(1))
+    val n = newDf.select(
+      (keys.map(col) ++
+        compareCols.map(c => col(c).as(s"__new_$c"))): _*)
+      .withColumn("__new", lit(1))
+    val joined = o.join(n, keys, "full_outer")
+    val changedCols = array_compact(array(compareCols.map(c =>
+      when(!(col(c) <=> col(s"__new_$c")), lit(c))): _*))
+    joined
+      .withColumn("change",
+        when(col("__old").isNull, "added")
+          .when(col("__new").isNull, "removed")
+          .when(size(changedCols) > 0, "changed"))
+      .withColumn("changed_cols",
+        when(col("change") === "changed", changedCols)
+          .otherwise(array().cast("array<string>")))
+      .where(col("change").isNotNull)
+      .select((keys.map(col) :+ col("change") :+ col("changed_cols")): _*)
+  }
 }

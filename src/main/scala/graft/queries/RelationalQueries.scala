@@ -122,6 +122,87 @@ object RelationalQueries extends QueryModule {
         "SELECT doc_id, text, lang, source, n_chars FROM documents " +
           "WHERE doc_id >= 0 ORDER BY doc_id")),
 
+    // S18 — snapshot diff: added/removed/changed keys between two table
+    // generations plus WHICH columns changed — the change-feed a plain-
+    // parquet lake derives by comparing snapshots (both generations
+    // synthesized deterministically from orders). Null-safe compares;
+    // the change set is churn-sized, never table-sized.
+    "s18_snapshot_diff" -> Q(
+      fn = (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val oldGen = orders.filter(col("o_orderkey") % 7 =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"))
+        val newGen = orders.filter(col("o_orderkey") % 5 =!= 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1.5)
+              .otherwise(col("o_totalprice")).as("o_totalprice"),
+            col("o_orderstatus"))
+        IncrementalRunner.diffSnapshots(
+          oldGen, newGen, Seq("o_orderkey"),
+          Seq("o_totalprice", "o_orderstatus"))
+          .orderBy(col("o_orderkey"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+          WHERE o_orderkey % 7 <> 0),
+        n AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.5
+                      ELSE o_totalprice END AS o_totalprice,
+                 o_orderstatus
+          FROM orders WHERE o_orderkey % 5 <> 0),
+        j AS (
+          SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                 o.o_orderkey AS ok, n.o_orderkey AS nk,
+                 CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                      THEN 'o_totalprice' END AS c1,
+                 CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                      THEN 'o_orderstatus' END AS c2
+          FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey),
+        d AS (
+          SELECT o_orderkey,
+                 CASE WHEN ok IS NULL THEN 'added'
+                      WHEN nk IS NULL THEN 'removed'
+                      WHEN c1 IS NOT NULL OR c2 IS NOT NULL THEN 'changed'
+                 END AS change,
+                 list_filter([c1, c2], x -> x IS NOT NULL) AS cols
+          FROM j)
+        SELECT o_orderkey, change,
+               CASE WHEN change = 'changed' THEN cols ELSE [] END
+                 AS changed_cols
+        FROM d WHERE change IS NOT NULL
+        ORDER BY o_orderkey""")),
+
+    // S19 — JSON column extraction: corpora arrive with JSON metadata
+    // columns; both engines build the SAME json text, then extract with
+    // their native accessors (get_json_object / json_extract) — typed
+    // values, not raw json, are compared.
+    "s19_json_extract" -> Q(
+      fn = (s, dir) => {
+        val j = concat(lit("{\"id\":"), col("doc_id"),
+          lit(",\"lang\":\""), col("lang"),
+          lit("\",\"n\":"), col("n_chars"), lit("}"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), j.as("__j"))
+          .select(col("doc_id"),
+            get_json_object(col("__j"), "$.lang").as("j_lang"),
+            get_json_object(col("__j"), "$.n").cast("long").as("j_n"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT doc_id,
+                 '{"id":' || doc_id || ',"lang":"' || lang || '","n":' ||
+                   n_chars || '}' AS j
+          FROM documents)
+        SELECT doc_id,
+               json_extract_string(j, '$.lang') AS j_lang,
+               CAST(json_extract(j, '$.n') AS BIGINT) AS j_n
+        FROM b
+        ORDER BY doc_id""")),
+
     // S16 — z-order (Morton) key: the multi-column clustering key behind
     // Layouts.zorder. Power-of-2 bin shifts (pure >>, no division) and
     // LSB-first interleave make the key exact integer arithmetic both

@@ -723,6 +723,31 @@ object TemporalQueries extends QueryModule {
                round(c.n / (s.total / s.dst), 6) AS skew
         FROM c, s
         ORDER BY n DESC, user_id
-        LIMIT 20"""))
+        LIMIT 20""")),
+
+    // A19 — ordered LISTAGG: each user's event-type sequence as one
+    // string, ordered by (ts, event_id) — the session-path feature
+    // column. collect_list is unordered by contract, so the sort happens
+    // INSIDE the row (array_sort over (ts, event_id, type) structs): the
+    // aggregation stays partial-aggregable and the order is total.
+    "a19_listagg" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            array_join(
+              transform(
+                array_sort(collect_list(
+                  struct(col("ts"), col("event_id"), col("event_type")))),
+                x => x.getField("event_type")),
+              ",").as("path"))
+          .orderBy(col("user_id")),
+      oracle = Some("""
+        SELECT user_id, count(*) AS n_events,
+               string_agg(event_type, ',' ORDER BY ts, event_id) AS path
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id"""))
   )
 }

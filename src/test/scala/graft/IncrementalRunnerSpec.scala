@@ -187,4 +187,34 @@ class IncrementalRunnerSpec extends SparkSpec {
       now = T("2024-01-03 00:00:00"), backprocessDays = 1)
     assert(IncrementalRunner.readLevel(spark, path).count() === n)
   }
+
+  test("diffSnapshots: added/removed/changed with column attribution, " +
+    "null transitions count as changes, unchanged keys dropped") {
+    val oldG = Seq(
+      (1L, Some(10.0), "a"), // unchanged
+      (2L, Some(20.0), "b"), // price changes
+      (3L, None, "c"),       // null -> value: changed
+      (4L, Some(40.0), "d")) // removed
+      .toDF("k", "price", "status")
+    val newG = Seq(
+      (1L, Some(10.0), "a"),
+      (2L, Some(21.0), "b"),
+      (3L, Some(30.0), "c"),
+      (5L, Some(50.0), "e")) // added
+      .toDF("k", "price", "status")
+    val got = IncrementalRunner.diffSnapshots(
+      oldG, newG, Seq("k"), Seq("price", "status"))
+      .as[(Long, String, Seq[String])].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (2L, "changed", Seq("price")),
+      (3L, "changed", Seq("price")),
+      (4L, "removed", Seq.empty),
+      (5L, "added", Seq.empty)))
+    intercept[IllegalArgumentException] {
+      IncrementalRunner.diffSnapshots(oldG, newG, Seq.empty, Seq("price"))
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalRunner.diffSnapshots(oldG, newG, Seq("k"), Seq.empty)
+    }
+  }
 }
