@@ -116,6 +116,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("s17: the ORC read pushes the predicate and prunes columns like " +
+    "parquet") {
+    val p = plan("s17_orc_roundtrip")
+    assert(p.contains("Format: ORC") || p.contains("orc"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), " +
+      "GreaterThanOrEqual(doc_id,0)]"), p)
+  }
+
   test("pipeline: level chain reuses one site partitioning (no as-of " +
     "re-shuffle) and joins dims by broadcast") {
     val df = SparkEntry.queries("pl_levels_e2e")(spark, dir)
