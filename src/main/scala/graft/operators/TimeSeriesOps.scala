@@ -103,6 +103,96 @@ object TimeSeriesOps {
       .select((leftCols.map(col) ++ valueCols.map(c => col(s"$c$outSuffix"))): _*)
   }
 
+  /** General as-of join with `merge_asof` parity — [[asOfLookup]]'s
+    * sibling for the full contract: `direction` backward / forward /
+    * nearest (nearest ties break backward, the pandas convention), an
+    * optional `toleranceSeconds` beyond which a match is discarded, and
+    * the matched right timestamp emitted alongside the values
+    * (`<rightTs><outSuffix>`) so callers can audit match distance.
+    *
+    * Same scale shape as [[asOfLookup]]: union the tagged streams, one
+    * shuffle on the keys, and each direction is an incremental
+    * `last(_, ignoreNulls)` over an unbounded-preceding frame — O(rows)
+    * per series, never a range-join explosion. The right row rides as
+    * ONE struct per direction, so a null value column cannot desync
+    * from its matched timestamp (matching is by row presence, like
+    * merge_asof — not by value non-nullness). Coincident timestamps
+    * match in both directions (distance 0).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      direction: String = "backward",
+      toleranceSeconds: Long = -1L,
+      outSuffix: String = "_asof"): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"asofJoin: direction must be backward|forward|nearest, got $direction")
+    require(toleranceSeconds >= -1L,
+      s"asofJoin: toleranceSeconds must be -1 (none) or >= 0")
+    val reserved = Seq("__ts", "__is_left", "__vr", "__back", "__fwd")
+    for (c <- reserved; side <- Seq(left, right))
+      require(!side.columns.contains(c),
+        s"asofJoin reserves column $c — rename it on the input")
+    val leftCols = left.columns.toSeq
+    val leftTypes = left.schema.map(f => f.name -> f.dataType).toMap
+    val rightStruct = struct(
+      (col(rightTs).as("rts") +: valueCols.map(c => col(c))): _*)
+    val vrType = right.select(rightStruct).schema.head.dataType
+    val lU = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__is_left", lit(1))
+      .withColumn("__vr", lit(null).cast(vrType))
+    val rU = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__is_left", lit(0))
+      .withColumn("__vr", rightStruct)
+      .select(
+        (leftCols.map(c =>
+          if (keys.contains(c)) col(c)
+          else lit(null).cast(leftTypes(c)).as(c)) ++
+          Seq(col("__ts"), col("__is_left"), col("__vr"))): _*)
+    val wBack = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").desc, col("__is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val back =
+      if (direction == "forward") lit(null).cast(vrType)
+      else last(col("__vr"), ignoreNulls = true).over(wBack)
+    val fwd =
+      if (direction == "backward") lit(null).cast(vrType)
+      else last(col("__vr"), ignoreNulls = true).over(wFwd)
+    val tolMicros =
+      if (toleranceSeconds < 0) lit(Long.MaxValue)
+      else lit(toleranceSeconds * 1000000L)
+    val t = unix_micros(col("__ts"))
+    def dist(pick: Column) = abs(t - unix_micros(pick.getField("rts")))
+    val picked = direction match {
+      case "backward" => col("__back")
+      case "forward"  => col("__fwd")
+      case _ =>
+        when(col("__back").isNull, col("__fwd"))
+          .when(col("__fwd").isNull, col("__back"))
+          .when(dist(col("__back")) <= dist(col("__fwd")), col("__back"))
+          .otherwise(col("__fwd"))
+    }
+    val chosen = when(picked.isNotNull && dist(picked) <= tolMicros, picked)
+    lU.unionByName(rU)
+      .withColumn("__back", back)
+      .withColumn("__fwd", fwd)
+      .withColumn("__vr", chosen)
+      .filter(col("__is_left") === 1)
+      .select((leftCols.map(col) :+
+        col("__vr").getField("rts").as(s"$rightTs$outSuffix")) ++
+        valueCols.map(c =>
+          col("__vr").getField(c).as(s"$c$outSuffix")): _*)
+  }
+
   /** Near-duplicate suppression within a trailing time window.
     *
     * Reference: `pipeline/cosmoz_process_levels.py:375-390` + `is_duplicate`

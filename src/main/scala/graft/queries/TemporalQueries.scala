@@ -748,6 +748,66 @@ object TemporalQueries extends QueryModule {
                string_agg(event_type, ',' ORDER BY ts, event_id) AS path
         FROM events
         GROUP BY user_id
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // A20 — general as-of join, merge_asof parity: every event matched to
+    // the NEAREST reference event (event_id % 10 = 0) of its user within
+    // a 2-hour tolerance; ties break backward. The oracle replays the
+    // same union + two ignore-nulls window passes — matching is by row
+    // presence via one struct per direction, so a null value can't
+    // desync from its matched timestamp.
+    "a20_asof_nearest" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+        TimeSeriesOps.asofJoin(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          ev.filter(col("event_id") % 10 === 0)
+            .select(col("user_id"), col("ts"), col("value")),
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          valueCols = Seq("value"), direction = "nearest",
+          toleranceSeconds = 7200)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("ts_asof"), col("value_asof"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some("""
+        WITH l AS (SELECT event_id, user_id, ts FROM events),
+        r AS (SELECT user_id, ts AS rts, value FROM events
+              WHERE event_id % 10 = 0),
+        u AS (
+          SELECT user_id, ts, 1 AS is_left, event_id,
+                 CAST(NULL AS STRUCT(rts TIMESTAMP, value DOUBLE)) AS vr
+          FROM l
+          UNION ALL
+          SELECT user_id, rts AS ts, 0, NULL,
+                 struct_pack(rts := rts, value := value)
+          FROM r),
+        m AS (
+          SELECT user_id, ts, is_left, event_id,
+            last_value(vr IGNORE NULLS) OVER
+              (PARTITION BY user_id ORDER BY ts ASC, is_left ASC
+               ROWS UNBOUNDED PRECEDING) AS back,
+            last_value(vr IGNORE NULLS) OVER
+              (PARTITION BY user_id ORDER BY ts DESC, is_left ASC
+               ROWS UNBOUNDED PRECEDING) AS fwd
+          FROM u),
+        p AS (
+          SELECT event_id, user_id, ts,
+            CASE WHEN back IS NULL THEN fwd
+                 WHEN fwd IS NULL THEN back
+                 WHEN abs(epoch_us(ts) - epoch_us(back.rts)) <=
+                      abs(epoch_us(ts) - epoch_us(fwd.rts)) THEN back
+                 ELSE fwd END AS pick
+          FROM m WHERE is_left = 1),
+        c AS (
+          SELECT event_id, user_id, ts,
+            CASE WHEN pick IS NOT NULL AND
+                      abs(epoch_us(ts) - epoch_us(pick.rts)) <=
+                        7200000000 THEN pick END AS pick
+          FROM p)
+        SELECT event_id, user_id, ts, pick.rts AS ts_asof,
+               pick.value AS value_asof
+        FROM c
+        ORDER BY event_id"""))
   )
 }

@@ -342,6 +342,55 @@ class TimeSeriesOpsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin: direction semantics, nearest ties break backward, " +
+    "tolerance discards far matches, coincident rows match at distance " +
+    "0, a null right VALUE still matches by row presence, guards") {
+    def T(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, T("2024-01-01 10:00:00")),
+      (2L, 10L, T("2024-01-01 12:00:00")), // equidistant 11:00/13:00
+      (3L, 10L, T("2024-01-01 23:00:00")), // far from everything
+      (4L, 20L, T("2024-01-01 11:00:00"))) // coincident with its ref
+      .toDF("id", "k", "ts")
+    val right = Seq(
+      (10L, T("2024-01-01 11:00:00"), Some(1.0)),
+      (10L, T("2024-01-01 13:00:00"), Some(3.0)),
+      (20L, T("2024-01-01 11:00:00"), Option.empty[Double]))
+      .toDF("k", "rts", "v")
+    def run(dir: String, tol: Long = -1L) =
+      TimeSeriesOps.asofJoin(left, right, Seq("k"), "ts", "rts",
+        Seq("v"), direction = dir, toleranceSeconds = tol)
+        .select($"id", $"rts_asof".cast("string"), $"v_asof")
+        .as[(Long, Option[String], Option[Double])]
+        .collect().sortBy(_._1).toSeq
+    assert(run("nearest") === Seq(
+      (1L, Some("2024-01-01 11:00:00"), Some(1.0)), // forward fills
+      (2L, Some("2024-01-01 11:00:00"), Some(1.0)), // tie -> backward
+      (3L, Some("2024-01-01 13:00:00"), Some(3.0)),
+      (4L, Some("2024-01-01 11:00:00"), None))) // row matched, value null
+    assert(run("backward").map(r => (r._1, r._2)) === Seq(
+      (1L, None), // nothing at/before 10:00
+      (2L, Some("2024-01-01 11:00:00")),
+      (3L, Some("2024-01-01 13:00:00")),
+      (4L, Some("2024-01-01 11:00:00"))))
+    assert(run("forward").map(r => (r._1, r._2)) === Seq(
+      (1L, Some("2024-01-01 11:00:00")),
+      (2L, Some("2024-01-01 13:00:00")),
+      (3L, None), // nothing at/after 23:00
+      (4L, Some("2024-01-01 11:00:00"))))
+    // 2h tolerance: id 3 is 10h from its nearest -> discarded
+    assert(run("nearest", tol = 7200).map(r => (r._1, r._2.isDefined)) ===
+      Seq((1L, true), (2L, true), (3L, false), (4L, true)))
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.asofJoin(left, right, Seq("k"), "ts", "rts",
+        Seq("v"), direction = "sideways")
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.asofJoin(left.withColumn("__vr", lit(1)), right,
+        Seq("k"), "ts", "rts", Seq("v"))
+    }
+  }
+
   test("mergeIntervals: overlapping and touching spans merge, " +
     "containment is swallowed, inverted intervals fail fast") {
     def iv(rows: (Long, String, String)*) = rows.toSeq
