@@ -502,6 +502,38 @@ object DedupOps {
       .drop("t_a", "t_b")
   }
 
+  /** [[editDistanceVerify]] with a DISTANCE BOUND — the production form
+    * of the refine step. Record linkage rarely needs the exact distance
+    * of a bad pair, only "is it within k?": Spark's banded Levenshtein
+    * (threshold overload) answers that in O(k·min(|a|,|b|)) instead of
+    * O(|a|·|b|) — at a 2000-char cap and k=20 that is ~100× less DP
+    * work per pair, which is the difference between the verify stage
+    * being free and being the pipeline's bottleneck. Pairs beyond the
+    * bound report `edit_dist = -1` and `is_match = false` (the Spark
+    * convention, kept explicit here).
+    */
+  def editDistanceWithin(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int,
+      maxChars: Int = 2000): DataFrame = {
+    require(maxDist >= 0, "editDistanceWithin: maxDist must be >= 0")
+    require(maxChars >= 0, "editDistanceWithin: maxChars must be >= 0")
+    val txt =
+      if (maxChars == 0) col(textCol) else substring(col(textCol), 1, maxChars)
+    val t = docs.select(col(idCol), txt.as("__t"))
+    pairs
+      .join(t.select(col(idCol).as("a"), col("__t").as("t_a")), "a")
+      .join(t.select(col(idCol).as("b"), col("__t").as("t_b")), "b")
+      .withColumn("edit_dist",
+        levenshtein(col("t_a"), col("t_b"), maxDist))
+      .withColumn("is_match",
+        col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
+      .drop("t_a", "t_b")
+  }
+
   /** SimHash near-dup candidates: 16-bit simhash per doc, pairs at Hamming
     * distance <= maxHamming among docs sharing either 8-bit half (the
     * standard multi-index trick: any pair within distance d must agree on

@@ -203,6 +203,35 @@ object RelationalQueries extends QueryModule {
         FROM b
         ORDER BY doc_id""")),
 
+    // S20 — set operations (INTERSECT / EXCEPT / UNION DISTINCT): the
+    // remaining relational-algebra surface, as one labeled union. Spark
+    // plans these as aggregate + join under the hood — no special-casing
+    // needed, but the semantics (DISTINCT, null-safe equality) must
+    // match ANSI, which is exactly what the oracle checks.
+    "s20_set_ops" -> Q(
+      fn = (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_nationkey").as("k"))
+        val sup = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+        c.intersect(sup).withColumn("op", lit("both"))
+          .unionByName(c.except(sup).withColumn("op", lit("cust_only")))
+          .unionByName(sup.except(c).withColumn("op", lit("supp_only")))
+          .select(col("op"), col("k"))
+          .orderBy(col("op"), col("k"))
+      },
+      oracle = Some("""
+        SELECT 'both' AS op, k FROM
+          (SELECT c_nationkey AS k FROM customer
+           INTERSECT SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'cust_only', k FROM
+          (SELECT c_nationkey AS k FROM customer
+           EXCEPT SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'supp_only', k FROM
+          (SELECT s_nationkey AS k FROM supplier
+           EXCEPT SELECT c_nationkey FROM customer)
+        ORDER BY op, k""")),
+
     // S16 — z-order (Morton) key: the multi-column clustering key behind
     // Layouts.zorder. Power-of-2 bin shifts (pure >>, no division) and
     // LSB-first interleave make the key exact integer arithmetic both

@@ -941,6 +941,36 @@ object TextQueries extends QueryModule {
           ON y.doc_id BETWEEN x.doc_id + 1 AND x.doc_id + 2
         ORDER BY a, b""")),
 
+    // D15 — BOUNDED edit-distance verify: the banded O(k·n) Levenshtein
+    // (is the pair within 40 edits?) instead of d11's full O(n²) DP —
+    // at scale the refine stage's cost cap. Spark's threshold overload
+    // reports -1 beyond the bound; the oracle computes the full
+    // distance and applies the same convention.
+    "d15_bounded_edit" -> Q(
+      fn = (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = docs
+          .select(col("doc_id").as("a"),
+            explode(sequence(lit(1), lit(2))).as("d"))
+          .select(col("a"), (col("a") + col("d")).as("b"))
+        DedupOps.editDistanceWithin(pairs, docs, "doc_id", "text",
+          maxDist = 40)
+          .select(col("a"), col("b"), col("edit_dist"), col("is_match"))
+          .orderBy(col("a"), col("b"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT x.doc_id AS a, y.doc_id AS b,
+                 CAST(levenshtein(substr(x.text, 1, 2000),
+                                  substr(y.text, 1, 2000)) AS INT) AS fd
+          FROM documents x JOIN documents y
+            ON y.doc_id BETWEEN x.doc_id + 1 AND x.doc_id + 2)
+        SELECT a, b,
+               CASE WHEN fd <= 40 THEN fd ELSE -1 END AS edit_dist,
+               fd <= 40 AS is_match
+        FROM d
+        ORDER BY a, b""")),
+
     // T15 — mixture sampling: per-language keep rates decided by each
     // row's own id hash (per-myriad thresholds) — the pretraining-mix
     // operator; one group's kept set is invariant to the others' rates.

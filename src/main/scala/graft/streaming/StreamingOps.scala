@@ -168,6 +168,40 @@ object StreamingOps {
       }
     }
 
+  /** Stream-stream interval join — each left event enriched with the
+    * same key's right events inside [leftTs − before, leftTs + after].
+    * BOTH sides carry watermarks and the join condition bounds event
+    * time in both directions, which is what lets Spark expire buffered
+    * state: without the time bound (or with only one watermark) the
+    * join must keep every row ever seen on both sides forever — the
+    * unbounded-state trap. With them, state is O(keys × window), the
+    * cluster-safe shape. Inner join ⇒ append-mode output.
+    *
+    * The two timestamp column names must differ (both survive into the
+    * output for match-distance auditing).
+    */
+  def intervalJoinStream(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String,
+      rightTs: String,
+      before: String = "1 hour",
+      after: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    require(leftTs != rightTs,
+      "intervalJoinStream: left and right timestamp columns must be named " +
+        "differently (both survive into the output)")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+      .withColumnRenamed(keyCol, "__rkey")
+    l.join(r,
+      col(keyCol) === col("__rkey") &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after"))
+      .drop("__rkey")
+  }
+
   /** Hourly per-site windowed aggregation of a value column with a
     * watermark — the streaming form of the scheduled per-level rollups.
     */

@@ -255,6 +255,53 @@ class StreamingOpsSpec extends SparkSpec {
       "replaying an applied batch id must not re-append")
   }
 
+  test("intervalJoinStream: in-window pairs match across micro-batches, " +
+    "out-of-window pairs don't, output equals the batch interval join") {
+    implicit val sql = spark.sqlContext
+    val lIn = MemoryStream[(Long, java.sql.Timestamp)]
+    val rIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = StreamingOps.intervalJoinStream(
+      lIn.toDS().toDF("k", "lts"),
+      rIn.toDS().toDF("k", "rts", "v"),
+      keyCol = "k", leftTs = "lts", rightTs = "rts",
+      before = "30 minutes", after = "30 minutes", watermark = "2 hours")
+    val q = joined.writeStream.format("memory").queryName("ivj_out")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: left events; batch 2: rights arriving later (cross-batch)
+    lIn.addData(
+      (1L, T("2024-01-01 10:00:00")),
+      (1L, T("2024-01-01 12:00:00")),
+      (2L, T("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    rIn.addData(
+      (1L, T("2024-01-01 10:20:00"), 1.0), // in window of 10:00 only
+      (1L, T("2024-01-01 11:00:00"), 2.0), // in nobody's ±30min
+      (2L, T("2024-01-01 10:29:00"), 3.0)) // key 2 match
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ivj_out")
+      .select($"k", $"lts".cast("string"), $"v")
+      .as[(Long, String, Double)].collect().sorted.toSeq
+    assert(got === Seq(
+      (1L, "2024-01-01 10:00:00", 1.0),
+      (2L, "2024-01-01 10:00:00", 3.0)))
+    // and the batch form of the same join agrees
+    val lb = Seq((1L, T("2024-01-01 10:00:00")),
+      (1L, T("2024-01-01 12:00:00")), (2L, T("2024-01-01 10:00:00")))
+      .toDF("k", "lts")
+    val rb = Seq((1L, T("2024-01-01 10:20:00"), 1.0),
+      (1L, T("2024-01-01 11:00:00"), 2.0),
+      (2L, T("2024-01-01 10:29:00"), 3.0)).toDF("k", "rts", "v")
+    val batch = StreamingOps.intervalJoinStream(
+      lb, rb, "k", "lts", "rts", "30 minutes", "30 minutes", "2 hours")
+      .select($"k", $"lts".cast("string"), $"v")
+      .as[(Long, String, Double)].collect().sorted.toSeq
+    assert(batch === got)
+    intercept[IllegalArgumentException] {
+      StreamingOps.intervalJoinStream(lb, rb, "k", "ts", "ts")
+    }
+  }
+
   test("dedupIngest: cross-batch duplicate visibility through the store, " +
     "flag log lands per batch, replayed batch ids are skipped") {
     implicit val sql = spark.sqlContext
