@@ -750,6 +750,83 @@ object TemporalQueries extends QueryModule {
         GROUP BY user_id
         ORDER BY user_id""")),
 
+    // A21 — fixed-width histogram: 20 bins over [min, max] per event
+    // type, empty bins surfaced with zero counts (a profile with holes
+    // reads wrong) — the value-distribution profiling pass. Bin edges
+    // derive from one stats row; bin index is pure arithmetic both
+    // engines share; the bin grid is densified by a range join against
+    // sequence() so the output shape is types × 20 regardless of data.
+    "a21_histogram" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+        val stats = ev.groupBy(col("event_type")).agg(
+          min(col("value")).as("lo"), max(col("value")).as("hi"))
+        val binned = ev.join(stats, "event_type")
+          .withColumn("bin",
+            least(lit(19), greatest(lit(0),
+              floor((col("value") - col("lo")) * 20.0 /
+                (col("hi") - col("lo"))).cast("int"))))
+          .groupBy(col("event_type"), col("bin"))
+          .agg(count(lit(1)).as("n"))
+        stats
+          .select(col("event_type"),
+            explode(sequence(lit(0), lit(19))).as("bin"))
+          .join(binned, Seq("event_type", "bin"), "left")
+          .select(col("event_type"), col("bin"),
+            coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy(col("event_type"), col("bin"))
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT event_type, min(value) AS lo, max(value) AS hi
+          FROM events GROUP BY event_type),
+        b AS (
+          SELECT e.event_type,
+                 least(19, greatest(0, CAST(floor(
+                   (e.value - s.lo) * 20.0 / (s.hi - s.lo)) AS INT)))
+                   AS bin,
+                 count(*) AS n
+          FROM events e JOIN s USING (event_type)
+          GROUP BY 1, 2),
+        g AS (
+          SELECT s.event_type, CAST(i AS INT) AS bin
+          FROM s, LATERAL (SELECT unnest(generate_series(0, 19)) AS i))
+        SELECT g.event_type, g.bin, coalesce(b.n, 0) AS n
+        FROM g LEFT JOIN b ON b.event_type = g.event_type
+                          AND b.bin = g.bin
+        ORDER BY g.event_type, g.bin""")),
+
+    // A22 — winsorization: clamp each event's value to its type's
+    // [p05, p95] — the outlier-taming cleaning pass. Exact percentiles
+    // (same contract as a9) computed once per group and joined back;
+    // the clamp is pure per-row. Exact-decimal rounding keeps the
+    // emitted doubles engine-portable.
+    "a22_winsorize" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+        val cuts = ev.groupBy(col("event_type")).agg(
+          percentile(col("value"), lit(0.05)).as("p05"),
+          percentile(col("value"), lit(0.95)).as("p95"))
+        ev.join(cuts, "event_type")
+          .select(col("event_id"), col("event_type"),
+            round(greatest(col("p05"), least(col("p95"), col("value"))), 6)
+              .as("value_w"),
+            (col("value") < col("p05") || col("value") > col("p95"))
+              .as("clamped"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT event_type,
+                 quantile_cont(value, 0.05) AS p05,
+                 quantile_cont(value, 0.95) AS p95
+          FROM events GROUP BY event_type)
+        SELECT e.event_id, e.event_type,
+               round(greatest(c.p05, least(c.p95, e.value)), 6) AS value_w,
+               (e.value < c.p05 OR e.value > c.p95) AS clamped
+        FROM events e JOIN c USING (event_type)
+        ORDER BY e.event_id""")),
+
     // A20 — general as-of join, merge_asof parity: every event matched to
     // the NEAREST reference event (event_id % 10 = 0) of its user within
     // a 2-hour tolerance; ties break backward. The oracle replays the

@@ -615,6 +615,119 @@ object TextQueries extends QueryModule {
         GROUP BY source
         ORDER BY source""")),
 
+    // C4 — the COMPLETE training-data chain as ONE lazy plan (the LLM
+    // twin of pl_levels_e2e): quality gate → exact dedup → benchmark
+    // decontamination → paragraph dedup with reassembly → language-mix
+    // sampling → sliding context windows. Every stage is an operator
+    // with its own oracle elsewhere (t3/d1/d10/d13/t15/t21); this row
+    // proves they COMPOSE — same winners, same thresholds, same hash
+    // orders — because a pipeline that only works stage-by-stage isn't
+    // a pipeline. No driver materialization between stages.
+    "c4_pipeline_e2e" -> Q(
+      fn = (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val m = TextOps.qualityScore(
+          col("text"), TextOps.tokens(col("text")), stopwords)
+        val gated = docs.select(col("doc_id"), col("text"), col("lang"),
+          m("n_tok").as("n_tok"), m("quality").as("quality"))
+          .filter(col("quality") >= 0.5 && col("n_tok") >= 10)
+        val kept = DedupOps.exactDedupStats(gated, md5(col("text")),
+          "doc_id", carryCols = Seq("text", "lang"))
+          .select(col("doc_id"), col("text"), col("lang"))
+        val flags = DedupOps.flagContaminated(
+          kept, docs.filter(col("doc_id") % 50 === 0), "doc_id", "text")
+        val clean = kept.join(
+          flags.filter(!col("is_contaminated")).select(col("doc_id")),
+          Seq("doc_id"))
+        val rebuilt = DedupOps.paragraphDedup(
+          clean, "doc_id", "text", sepRegex = " the ", joiner = " the ")
+          .join(clean.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        val sampled = graft.operators.SampleOps.mixtureSample(
+          rebuilt, "doc_id", "lang",
+          Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25), defaultRate = 0.1)
+        val (idx, chunks) = TextOps.slidingChunks(col("text_dedup"), 120, 100)
+        sampled
+          .select(col("doc_id"), col("lang"),
+            arrays_zip(idx, chunks).as("z"))
+          .select(col("doc_id"), col("lang"), explode(col("z")).as("c"))
+          .select(col("doc_id"), col("lang"),
+            col("c.0").cast("int").as("chunk_no"), col("c.1").as("chunk"))
+          .orderBy(col("doc_id"), col("chunk_no"))
+      },
+      oracle = Some {
+        val h60 = baseHashSql.replace("md5(s)",
+          "md5(CAST(doc_id AS VARCHAR) || '/mix')")
+        val hb = hashedCteSql.replace("hashed AS", "hb AS")
+        val hk = hashedCteSql.replace("hashed AS", "hk AS")
+          .replace("FROM documents", "FROM kept")
+        s"""
+        WITH qual AS (
+          SELECT doc_id, text, lang,
+                 len($toksSql) AS n_tok,
+                 round(0.3 * round(least(1.0, CAST(length(text) AS DOUBLE) / 400.0), 6)
+                     + 0.4 * round(len(list_distinct($toksSql))
+                         / CAST(greatest(len($toksSql), 1) AS DOUBLE), 6)
+                     + 0.3 * (1.0 - least(1.0, ${markerSql(stopwords)} * 4)), 6)
+                   AS quality
+          FROM documents),
+        kept0 AS (
+          SELECT doc_id, text, lang FROM qual
+          WHERE quality >= 0.5 AND n_tok >= 10),
+        kept AS (
+          SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text,
+                 arg_min(lang, doc_id) AS lang
+          FROM kept0 GROUP BY md5(text)),
+        $hb,
+        bench AS (
+          SELECT DISTINCT unnest(hs) AS sh FROM hb WHERE doc_id % 50 = 0),
+        $hk,
+        docsh AS (SELECT doc_id, unnest(hs) AS sh FROM hk),
+        contaminated AS (
+          SELECT DISTINCT docsh.doc_id
+          FROM docsh JOIN bench ON docsh.sh = bench.sh),
+        clean AS (
+          SELECT k.* FROM kept k
+          LEFT JOIN contaminated c ON c.doc_id = k.doc_id
+          WHERE c.doc_id IS NULL),
+        p AS (
+          SELECT doc_id, i, para
+          FROM (SELECT doc_id, string_split(text, ' the ') AS ps
+                FROM clean),
+               LATERAL (SELECT unnest(ps) AS para,
+                               generate_subscripts(ps, 1) AS i)),
+        w AS (
+          SELECT doc_id, i, para,
+                 row_number() OVER (PARTITION BY para
+                                    ORDER BY doc_id, i) AS rk
+          FROM p),
+        r AS (
+          SELECT doc_id, string_agg(para, ' the ' ORDER BY i) AS text_dedup
+          FROM w WHERE rk = 1 GROUP BY doc_id),
+        rebuilt AS (
+          SELECT cl.doc_id, cl.lang,
+                 coalesce(r.text_dedup, '') AS text_dedup
+          FROM clean cl LEFT JOIN r ON r.doc_id = cl.doc_id),
+        sampled AS (
+          SELECT * FROM rebuilt
+          WHERE ($h60) % 10000 <
+                CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000
+                          WHEN 'fr' THEN 2500 ELSE 1000 END),
+        n AS (
+          SELECT doc_id, lang, text_dedup,
+                 1 + greatest(CAST(floor((length(text_dedup) - 120 + 99)
+                              / 100.0) AS INT), 0) AS n_chunks
+          FROM sampled),
+        ck AS (
+          SELECT doc_id, lang, CAST(i AS INT) AS chunk_no,
+                 substr(text_dedup, CAST(i AS INT) * 100 + 1, 120) AS chunk
+          FROM n, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1))
+                           AS i))
+        SELECT doc_id, lang, chunk_no, chunk
+        FROM ck
+        ORDER BY doc_id, chunk_no"""
+      },
+      bench = true),
+
     "c1_curate_e2e" -> Q(
       fn = (s, dir) => {
         val docs = t(s, dir, "documents")
