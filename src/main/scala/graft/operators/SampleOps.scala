@@ -79,6 +79,51 @@ object SampleOps {
       lit(math.round(defaultRate * 10000).toInt)))
   }
 
+  /** Per-ROW weighted sampling: keep each row with probability equal to
+    * its own `weight` column (clamped to [0, 1]) — quality-weighted
+    * corpus thinning, where better documents survive more often.
+    * [[mixtureSample]]'s per-row generalization: the same salted
+    * per-myriad id hash decides, so keeps are deterministic, a row kept
+    * at weight w stays kept at any weight >= w (monotone — raising
+    * quality never drops survivors), and the operator is pure per-row:
+    * no shuffle, no state, restatable by any engine.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weight: Column): DataFrame = {
+    val thr = floor(
+      least(lit(1.0), greatest(lit(0.0), weight)) * 10000).cast("long")
+    val h = pmod(TextOps.baseHash60(
+      concat(col(idCol).cast("string"), lit("/mix"))), lit(10000))
+    df.filter(h < thr)
+  }
+
+  /** Deterministic NEGATIVE sampling over a contiguous id space
+    * [0, n): each anchor gets `k` pseudo-random partner ids, never
+    * itself — the contrastive-pairs generator. Negative j of anchor a
+    * is (a + 1 + H(a, j) mod (n−1)) mod n: the offset is drawn from
+    * [1, n−1], so self-pairs are impossible BY CONSTRUCTION, the
+    * distribution over others is uniform-ish (md5), and every engine
+    * re-derives the same pairs (seeded-rng sampling can't be restated
+    * and breaks on retries). Pure per-row explode — no shuffle, no
+    * join against the corpus to "check existence": contiguity makes
+    * existence arithmetic.
+    */
+  def negativeSample(
+      df: DataFrame,
+      idCol: String,
+      k: Int,
+      n: Long): DataFrame = {
+    require(k >= 1, s"negativeSample: k must be >= 1 (got $k)")
+    require(n >= 2, s"negativeSample: need at least 2 ids (got $n)")
+    df.select(col(idCol), explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .withColumn("neg_id",
+        pmod(col(idCol) + 1 + pmod(TextOps.baseHash60(
+          concat(col(idCol).cast("string"), lit(":"), col("j"))),
+          lit(n - 1)), lit(n)))
+  }
+
   /** Token-BUDGET mix planning — [[mixtureSample]] with rates DERIVED
     * from the data: given a per-group token budget, each group's keep
     * rate is min(1, budget / its total tokens), so the expected kept

@@ -622,7 +622,11 @@ object TextQueries extends QueryModule {
     // with its own oracle elsewhere (t3/d1/d10/d13/t15/t21); this row
     // proves they COMPOSE — same winners, same thresholds, same hash
     // orders — because a pipeline that only works stage-by-stage isn't
-    // a pipeline. No driver materialization between stages.
+    // a pipeline. Deliberately ONE lazy plan here (the oracle needs a
+    // single deterministic dataflow); a production run of this chain
+    // persists the kept/clean stage boundaries instead — lazy
+    // composition re-derives shared subtrees per consumer, which is
+    // re-read amplification at corpus scale.
     "c4_pipeline_e2e" -> Q(
       fn = (s, dir) => {
         val docs = t(s, dir, "documents")
@@ -1053,6 +1057,53 @@ object TextQueries extends QueryModule {
         FROM documents x JOIN documents y
           ON y.doc_id BETWEEN x.doc_id + 1 AND x.doc_id + 2
         ORDER BY a, b""")),
+
+    // T22 — per-row weighted sampling: keep probability = each doc's own
+    // quality proxy (length/400, clamped) — better docs survive more
+    // often, decided by the same salted per-myriad hash as t15, so the
+    // keep set is deterministic and monotone in the weight.
+    "t22_weighted_sample" -> Q(
+      fn = (s, dir) =>
+        graft.operators.SampleOps.weightedSample(
+          t(s, dir, "documents"), "doc_id",
+          weight = col("n_chars") / 400.0)
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy(col("doc_id")),
+      oracle = Some {
+        val h60 = baseHashSql.replace("md5(s)",
+          "md5(CAST(doc_id AS VARCHAR) || '/mix')")
+        s"""
+        SELECT doc_id, n_chars
+        FROM documents
+        WHERE ($h60) % 10000 <
+              CAST(floor(least(1.0, greatest(0.0, n_chars / 400.0))
+                   * 10000) AS BIGINT)
+        ORDER BY doc_id"""
+      }),
+
+    // T23 — deterministic negative sampling over the contiguous id
+    // space: 4 contrastive partners per anchor, self-pairs impossible
+    // by construction (offset drawn from [1, n-1]), every engine
+    // re-derives the same pairs. n comes from the corpus itself via a
+    // scalar count on both sides.
+    "t23_negative_sample" -> Q(
+      fn = (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val n = docs.count()
+        graft.operators.SampleOps.negativeSample(docs, "doc_id", 4, n)
+          .orderBy(col("doc_id"), col("j"))
+      },
+      oracle = Some {
+        val h60 = baseHashSql.replace("md5(s)",
+          "md5(CAST(doc_id AS VARCHAR) || ':' || j)")
+        s"""
+        SELECT doc_id, CAST(j AS INT) AS j,
+               (doc_id + 1 + (($h60) % (cnt - 1))) % cnt AS neg_id
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(0, 3)) AS j),
+             (SELECT count(*) AS cnt FROM documents)
+        ORDER BY doc_id, j"""
+      }),
 
     // D15 — BOUNDED edit-distance verify: the banded O(k·n) Levenshtein
     // (is the pair within 40 edits?) instead of d11's full O(n²) DP —

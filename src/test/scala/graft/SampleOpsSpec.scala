@@ -87,6 +87,40 @@ class SampleOpsSpec extends SparkSpec {
     assert(packed.map(r => r._2 -> r._5).toMap === again)
   }
 
+  test("weightedSample: weight 1 keeps all, 0 keeps none, keeps are " +
+    "monotone in the weight; negativeSample: k per anchor, never self, " +
+    "deterministic, guards") {
+    val docs = (0L until 300L).map(i => (i, i.toDouble / 300)).toDF("id", "w")
+    assert(SampleOps.weightedSample(docs, "id", lit(1.0)).count() === 300)
+    assert(SampleOps.weightedSample(docs, "id", lit(0.0)).count() === 0)
+    assert(SampleOps.weightedSample(docs, "id", lit(5.0)).count() === 300)
+    val at03 = SampleOps.weightedSample(docs, "id", lit(0.3))
+      .select($"id").as[Long].collect().toSet
+    val at07 = SampleOps.weightedSample(docs, "id", lit(0.7))
+      .select($"id").as[Long].collect().toSet
+    assert(at03.subsetOf(at07)) // monotone: raising weight never drops
+    assert(at03.size > 50 && at03.size < 130) // ~30% of 300
+    // per-row weights: heavier rows keep more often
+    val perRow = SampleOps.weightedSample(docs, "id", $"w")
+      .select($"id").as[Long].collect()
+    assert(perRow.count(_ >= 150) > perRow.count(_ < 150))
+
+    val negs = SampleOps.negativeSample(docs, "id", k = 4, n = 300)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(negs.size === 1200)
+    assert(negs.forall { case (a, _, neg) => neg != a && neg >= 0 && neg < 300 })
+    assert(negs.groupBy(_._1).forall(_._2.map(_._2).sorted == Seq(0, 1, 2, 3)))
+    val again = SampleOps.negativeSample(
+      docs.repartition(7), "id", 4, 300).as[(Long, Int, Long)].collect().toSet
+    assert(again === negs.toSet) // partitioning-independent
+    intercept[IllegalArgumentException] {
+      SampleOps.negativeSample(docs, "id", 0, 300)
+    }
+    intercept[IllegalArgumentException] {
+      SampleOps.negativeSample(docs, "id", 4, 1)
+    }
+  }
+
   test("planMixture: under-budget groups keep everything, over-budget " +
     "groups keep ~the budgeted token fraction, kept sets are a subset " +
     "of mixtureSample at the same rate, guards") {
