@@ -877,4 +877,43 @@ object SimilarityOps {
       .limit(k)
       .withColumn("rank", row_number().over(ranked))
   }
+
+  /** L2-normalize an embedding column to unit vectors (the prep pass
+    * cosine pipelines want done ONCE at ingest, turning every later
+    * cosine into a bare dot product). Pure per-row arithmetic in one
+    * codegen'd projection — the [[dotFold]] norm and the per-element
+    * divide share one pass. Elements round to 6 dp (the engine-
+    * portability contract for emitted floats); an all-zero vector
+    * normalizes to all zeros rather than NaN.
+    */
+  def l2NormalizeCol(vec: Column): Column = {
+    val n = normFold(vec)
+    transform(vec.cast("array<double>"),
+      x => when(n > 0, round(x / n, 6)).otherwise(lit(0.0)))
+  }
+
+  /** Per-DIMENSION statistics of an embedding column — the profile that
+    * sizes SQ8 ranges, spots dead/saturated dimensions, and sanity-
+    * checks a new embedding source. One posexplode + one partial-
+    * aggregable groupBy(dim); mean/std derive in double from exact
+    * decimal sums (order-independent addition — the same construction
+    * as rollingZscore, and what makes the stats hash-checkable).
+    */
+  def dimStats(df: DataFrame, vecCol: String): DataFrame = {
+    val dec = col("__x").cast("decimal(18,6)")
+    val n = count(lit(1)).cast("double")
+    val s1 = sum(dec).cast("double")
+    val s2 = sum((dec * dec).cast("decimal(38,12)")).cast("double")
+    df.select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("dim", "__x")))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("__x")), 6).as("lo"),
+        round(max(col("__x")), 6).as("hi"),
+        round(s1 / n, 6).as("mean"),
+        round(sqrt((n * s2 - s1 * s1) / (n * (n - lit(1.0)))), 6)
+          .as("std"))
+      .orderBy(col("dim"))
+  }
 }

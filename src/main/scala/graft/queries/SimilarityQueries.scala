@@ -1188,6 +1188,55 @@ object SimilarityQueries extends QueryModule {
         SELECT vec_id, ad2,
                CAST(row_number() OVER (ORDER BY ad2, vec_id) AS INT) AS rank
         FROM topk
-        ORDER BY rank"""))
+        ORDER BY rank""")),
+
+    // V21 — L2 normalization to unit vectors: the ingest-time prep that
+    // turns every later cosine into a bare dot product. Per-row, one
+    // codegen'd projection; elements round to 6 dp; the unit-norm
+    // property is re-checked in the emitted norm column.
+    "v21_l2_normalize" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            SimilarityOps.l2NormalizeCol(col("embedding")).as("unit"),
+            round(SimilarityOps.normFold(col("embedding")), 6).as("norm"))
+          .orderBy(col("vec_id")),
+      oracle = Some(s"""
+        SELECT vec_id,
+               list_transform(generate_series(1, 64), __i ->
+                 round(CAST(embedding[__i] AS DOUBLE) /
+                   sqrt(${dotSql("embedding", "embedding")}), 6)) AS unit,
+               round(sqrt(${dotSql("embedding", "embedding")}), 6) AS norm
+        FROM embeddings
+        ORDER BY vec_id""")),
+
+    // V22 — per-dimension stats: the profile that sizes SQ8 ranges and
+    // spots dead/saturated dimensions. Mean/std derive in double from
+    // exact decimal sums (order-independent addition — the a17
+    // construction), so the emitted stats hash-match.
+    "v22_dim_stats" -> Q(
+      fn = (s, dir) =>
+        SimilarityOps.dimStats(t(s, dir, "embeddings"), "embedding"),
+      oracle = Some("""
+        WITH x AS (
+          SELECT CAST(i - 1 AS INT) AS dim,
+                 CAST(embedding[i] AS DOUBLE) AS v
+          FROM embeddings,
+               LATERAL (SELECT unnest(generate_series(1, 64)) AS i)),
+        s AS (
+          SELECT dim, count(*) AS n,
+                 round(min(v), 6) AS lo, round(max(v), 6) AS hi,
+                 CAST(count(*) AS DOUBLE) AS nd,
+                 CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+                 CAST(sum(CAST(CAST(v AS DECIMAL(18,6)) *
+                               CAST(v AS DECIMAL(18,6))
+                          AS DECIMAL(38,12))) AS DOUBLE) AS s2
+          FROM x GROUP BY dim)
+        SELECT dim, n, lo, hi,
+               round(s1 / nd, 6) AS mean,
+               round(sqrt((nd * s2 - s1 * s1) / (nd * (nd - 1.0))), 6)
+                 AS std
+        FROM s
+        ORDER BY dim"""))
   )
 }

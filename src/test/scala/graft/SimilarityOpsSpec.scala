@@ -292,4 +292,27 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(codes.keySet === Set(0L, 1L, 2L, 3L))
     assert(codes.values.forall(_ === Seq(0, 0)))
   }
+
+  test("l2NormalizeCol: unit norm out, zero vector stays zeros; " +
+    "dimStats: hand-computed per-dim stats") {
+    val vs = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f))).toDF("id", "v")
+    val unit = vs.select($"id", SimilarityOps.l2NormalizeCol($"v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(unit(1L) === Seq(0.6, 0.8))
+    assert(unit(2L) === Seq(0.0, 0.0)) // zero vector: zeros, not NaN
+    assert(unit(3L) === Seq(1.0, 0.0))
+
+    val stats = SimilarityOps.dimStats(
+      Seq((1L, Array(1.0f, 10.0f)), (2L, Array(3.0f, 30.0f)))
+        .toDF("id", "v"), "v")
+      .as[(Int, Long, Double, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    // dim0: {1,3} mean 2 std sqrt(2); dim1: {10,30} mean 20 std sqrt(200)
+    assert(stats === Seq(
+      (0, 2L, 1.0, 3.0, 2.0, 1.414214),
+      (1, 2L, 10.0, 30.0, 20.0, 14.142136)))
+  }
 }
