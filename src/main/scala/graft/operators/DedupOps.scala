@@ -486,12 +486,7 @@ object DedupOps {
       textCol: String,
       maxChars: Int = 2000): DataFrame = {
     require(maxChars >= 0, "editDistanceVerify: maxChars must be >= 0")
-    val txt =
-      if (maxChars == 0) col(textCol) else substring(col(textCol), 1, maxChars)
-    val t = docs.select(col(idCol), txt.as("__t"))
-    pairs
-      .join(t.select(col(idCol).as("a"), col("__t").as("t_a")), "a")
-      .join(t.select(col(idCol).as("b"), col("__t").as("t_b")), "b")
+    pairTexts(pairs, docs, idCol, textCol, maxChars)
       .withColumn("edit_dist", levenshtein(col("t_a"), col("t_b")))
       // the lit(1) floor makes the empty-vs-empty pair well-defined:
       // dist 0 over a 0-length max would be 0/0 -> null, not the
@@ -500,6 +495,25 @@ object DedupOps {
         round(lit(1.0) - col("edit_dist").cast("double") /
           greatest(length(col("t_a")), length(col("t_b")), lit(1)), 6))
       .drop("t_a", "t_b")
+  }
+
+  /** Shared refine-stage scaffolding: join a blocked (a, b) pair set to
+    * its capped text prefixes (columns `t_a`, `t_b`). Both edit-
+    * distance forms build on this so the prefix/join behavior cannot
+    * drift between them.
+    */
+  private def pairTexts(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxChars: Int): DataFrame = {
+    val txt =
+      if (maxChars == 0) col(textCol) else substring(col(textCol), 1, maxChars)
+    val t = docs.select(col(idCol), txt.as("__t"))
+    pairs
+      .join(t.select(col(idCol).as("a"), col("__t").as("t_a")), "a")
+      .join(t.select(col(idCol).as("b"), col("__t").as("t_b")), "b")
   }
 
   /** [[editDistanceVerify]] with a DISTANCE BOUND — the production form
@@ -521,12 +535,7 @@ object DedupOps {
       maxChars: Int = 2000): DataFrame = {
     require(maxDist >= 0, "editDistanceWithin: maxDist must be >= 0")
     require(maxChars >= 0, "editDistanceWithin: maxChars must be >= 0")
-    val txt =
-      if (maxChars == 0) col(textCol) else substring(col(textCol), 1, maxChars)
-    val t = docs.select(col(idCol), txt.as("__t"))
-    pairs
-      .join(t.select(col(idCol).as("a"), col("__t").as("t_a")), "a")
-      .join(t.select(col(idCol).as("b"), col("__t").as("t_b")), "b")
+    pairTexts(pairs, docs, idCol, textCol, maxChars)
       .withColumn("edit_dist",
         levenshtein(col("t_a"), col("t_b"), maxDist))
       .withColumn("is_match",

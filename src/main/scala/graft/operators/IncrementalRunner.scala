@@ -182,6 +182,14 @@ object IncrementalRunner {
       compareCols: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "diffSnapshots: at least one key column")
     require(compareCols.nonEmpty, "diffSnapshots: at least one compare column")
+    // only keys/compareCols survive the initial selects, so the clash
+    // that matters is one of THEM carrying a reserved name
+    val reserved = Set("__old", "__new", "change", "changed_cols") ++
+      compareCols.map(c => s"__new_$c")
+    val clash = (keys ++ compareCols).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"diffSnapshots reserves column(s) ${clash.mkString(", ")} — " +
+        "rename them on the input")
     val o = oldDf.select((keys ++ compareCols).map(col): _*)
       .withColumn("__old", lit(1))
     val n = newDf.select(

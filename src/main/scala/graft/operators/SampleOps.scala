@@ -82,11 +82,14 @@ object SampleOps {
   /** Per-ROW weighted sampling: keep each row with probability equal to
     * its own `weight` column (clamped to [0, 1]) — quality-weighted
     * corpus thinning, where better documents survive more often.
-    * [[mixtureSample]]'s per-row generalization: the same salted
-    * per-myriad id hash decides, so keeps are deterministic, a row kept
-    * at weight w stays kept at any weight >= w (monotone — raising
-    * quality never drops survivors), and the operator is pure per-row:
-    * no shuffle, no state, restatable by any engine.
+    * [[mixtureSample]]'s per-row generalization: a salted per-myriad id
+    * hash decides, so keeps are deterministic, a row kept at weight w
+    * stays kept at any weight >= w (monotone — raising quality never
+    * drops survivors), and the operator is pure per-row: no shuffle, no
+    * state, restatable by any engine. The salt ("/wt") is DISTINCT from
+    * mixtureSample's ("/mix"): this is an independent sampling stage,
+    * so composing the two must thin multiplicatively (~w·r), not take
+    * min(w, r) as a shared hash would.
     */
   def weightedSample(
       df: DataFrame,
@@ -95,7 +98,7 @@ object SampleOps {
     val thr = floor(
       least(lit(1.0), greatest(lit(0.0), weight)) * 10000).cast("long")
     val h = pmod(TextOps.baseHash60(
-      concat(col(idCol).cast("string"), lit("/mix"))), lit(10000))
+      concat(col(idCol).cast("string"), lit("/wt"))), lit(10000))
     df.filter(h < thr)
   }
 
@@ -152,22 +155,30 @@ object SampleOps {
     require((budgets.values.toSeq :+ defaultBudget).forall(b =>
       b >= 0 && b <= (Long.MaxValue / 10000)),
       s"planMixture: budgets must be in [0, ${Long.MaxValue / 10000}]")
-    for (c <- Seq("__tok", "__thr"))
+    for (c <- Seq("__tok", "__thr", "__grp"))
       require(!df.columns.contains(c),
         s"planMixture reserves column $c — rename it on the input")
     val bl = typedlit(budgets)
+    val budget = coalesce(element_at(bl, col(groupCol)), lit(defaultBudget))
     val thresholds = df
       .groupBy(col(groupCol))
       .agg(sum(tokens.cast("long")).as("__tok"))
-      .select(col(groupCol),
-        least(lit(10000L), floor(lit(10000.0) *
-          coalesce(element_at(bl, col(groupCol)), lit(defaultBudget)) /
-          col("__tok")).cast("long")).as("__thr"))
+      .select(col(groupCol).as("__grp"),
+        // a group with no countable tokens has nothing to budget:
+        // any positive budget keeps it whole, zero drops it (the
+        // null-token sum must NOT slip past least() as "keep all")
+        when(coalesce(col("__tok"), lit(0L)) > 0,
+          least(lit(10000L), floor(lit(10000.0) * budget / col("__tok"))
+            .cast("long")))
+          .otherwise(when(budget > 0, lit(10000L)).otherwise(lit(0L)))
+          .as("__thr"))
     val h = pmod(TextOps.baseHash60(
       concat(col(idCol).cast("string"), lit("/mix"))), lit(10000))
-    df.join(broadcast(thresholds), Seq(groupCol))
+    // null-safe group match: a NULL group gets its own threshold row
+    // (mixtureSample's default-rate contract), not silent removal
+    df.join(broadcast(thresholds), col(groupCol) <=> col("__grp"))
       .filter(h < col("__thr"))
-      .drop("__thr")
+      .drop("__thr", "__grp")
   }
 
   /** Greedy sequence-packing approximation: stream each shard's docs in

@@ -880,16 +880,25 @@ object SimilarityOps {
 
   /** L2-normalize an embedding column to unit vectors (the prep pass
     * cosine pipelines want done ONCE at ingest, turning every later
-    * cosine into a bare dot product). Pure per-row arithmetic in one
-    * codegen'd projection — the [[dotFold]] norm and the per-element
-    * divide share one pass. Elements round to 6 dp (the engine-
-    * portability contract for emitted floats); an all-zero vector
-    * normalizes to all zeros rather than NaN.
+    * cosine into a bare dot product). The norm is materialized as its
+    * own column BEFORE the per-element divide: a higher-order lambda
+    * re-evaluates outer subexpressions per element (ArrayTransform is
+    * not codegen'd), so an inline norm would cost O(d²) per row — two
+    * projections keep it O(d). Elements round to 6 dp; an all-zero
+    * vector normalizes to all zeros rather than NaN.
+    *
+    * @return df with `outCol` = unit vector array<double>
     */
-  def l2NormalizeCol(vec: Column): Column = {
-    val n = normFold(vec)
-    transform(vec.cast("array<double>"),
-      x => when(n > 0, round(x / n, 6)).otherwise(lit(0.0)))
+  def l2Normalize(
+      df: DataFrame, vecCol: String, outCol: String): DataFrame = {
+    require(!df.columns.contains("__n"),
+      "l2Normalize reserves column __n — rename it on the input")
+    df.withColumn("__n", normFold(col(vecCol)))
+      .withColumn(outCol,
+        transform(col(vecCol).cast("array<double>"),
+          x => when(col("__n") > 0, round(x / col("__n"), 6))
+            .otherwise(lit(0.0))))
+      .drop("__n")
   }
 
   /** Per-DIMENSION statistics of an embedding column — the profile that

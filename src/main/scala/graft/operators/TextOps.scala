@@ -310,6 +310,24 @@ object TextOps {
     * two array columns; all integer arithmetic (base 257 mod 1e9+7), so
     * any SQL engine reproduces it exactly.
     */
+  /** CDC chunk frame + per-chunk md5s, backed by the native codegen'd
+    * [[graft.expressions.CdcBoundaries]] boundary scan (one tight loop
+    * per doc; the HOF twin below costs O(len^2) via per-character
+    * substring seeks — 69 s vs ~1 s on the sf0.1 corpus when the chunk
+    * column is actually materialized).
+    */
+  def cdcChunks(text: Column, window: Int = 8, avgChunk: Int = 64)
+      : (Column, Column) = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val frame = ColumnBridge.column(graft.expressions.CdcBoundaries(
+      ColumnBridge.expression(text), window, avgChunk))
+    val chunkMd5s = zip_with(
+      slice(frame, lit(1), size(frame) - 1),
+      slice(frame, lit(2), size(frame) - 1),
+      (s, e) => md5(substring(text, s + 1, e - s)))
+    (frame, chunkMd5s)
+  }
+
   /** Fixed-size sliding-window chunks with stride — the context-window
     * materializer (CDC's fixed-geometry sibling: CDC cuts at content
     * boundaries for dedup stability, this cuts at fixed offsets for
@@ -333,24 +351,6 @@ object TextOps {
       lit(0))
     val idx = sequence(lit(0), extra)
     (idx, transform(idx, i => substring(text, i * stride + 1, lit(size))))
-  }
-
-  /** CDC chunk frame + per-chunk md5s, backed by the native codegen'd
-    * [[graft.expressions.CdcBoundaries]] boundary scan (one tight loop
-    * per doc; the HOF twin below costs O(len^2) via per-character
-    * substring seeks — 69 s vs ~1 s on the sf0.1 corpus when the chunk
-    * column is actually materialized).
-    */
-  def cdcChunks(text: Column, window: Int = 8, avgChunk: Int = 64)
-      : (Column, Column) = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    val frame = ColumnBridge.column(graft.expressions.CdcBoundaries(
-      ColumnBridge.expression(text), window, avgChunk))
-    val chunkMd5s = zip_with(
-      slice(frame, lit(1), size(frame) - 1),
-      slice(frame, lit(2), size(frame) - 1),
-      (s, e) => md5(substring(text, s + 1, e - s)))
-    (frame, chunkMd5s)
   }
 
   /** HOF twin of [[cdcChunks]] — kept as the executable spec the native

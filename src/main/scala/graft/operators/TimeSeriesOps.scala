@@ -155,11 +155,17 @@ object TimeSeriesOps {
           if (keys.contains(c)) col(c)
           else lit(null).cast(leftTypes(c)).as(c)) ++
           Seq(col("__ts"), col("__is_left"), col("__vr"))): _*)
+    // __vr as the final sort key makes the order TOTAL over right rows:
+    // two right rows sharing (key, ts) would otherwise sit in
+    // partitioning-dependent order and last() would match either one —
+    // nondeterminism the oracle (and any retry) cannot tolerate. Left
+    // rows tie only with left rows (null __vr), whose relative order
+    // cannot affect their own window results.
     val wBack = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__is_left").asc)
+      .orderBy(col("__ts").asc, col("__is_left").asc, col("__vr").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wFwd = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").desc, col("__is_left").asc)
+      .orderBy(col("__ts").desc, col("__is_left").asc, col("__vr").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val back =
       if (direction == "forward") lit(null).cast(vrType)

@@ -1196,18 +1196,23 @@ object SimilarityQueries extends QueryModule {
     // property is re-checked in the emitted norm column.
     "v21_l2_normalize" -> Q(
       fn = (s, dir) =>
-        t(s, dir, "embeddings")
-          .select(col("vec_id"),
-            SimilarityOps.l2NormalizeCol(col("embedding")).as("unit"),
+        SimilarityOps.l2Normalize(t(s, dir, "embeddings"),
+          "embedding", "unit")
+          .select(col("vec_id"), col("unit"),
             round(SimilarityOps.normFold(col("embedding")), 6).as("norm"))
           .orderBy(col("vec_id")),
       oracle = Some(s"""
+        WITH n AS (
+          SELECT vec_id, embedding,
+                 sqrt(${dotSql("embedding", "embedding")}) AS nm
+          FROM embeddings)
         SELECT vec_id,
                list_transform(generate_series(1, 64), __i ->
-                 round(CAST(embedding[__i] AS DOUBLE) /
-                   sqrt(${dotSql("embedding", "embedding")}), 6)) AS unit,
-               round(sqrt(${dotSql("embedding", "embedding")}), 6) AS norm
-        FROM embeddings
+                 CASE WHEN nm > 0
+                      THEN round(CAST(embedding[__i] AS DOUBLE) / nm, 6)
+                      ELSE 0.0 END) AS unit,
+               round(nm, 6) AS norm
+        FROM n
         ORDER BY vec_id""")),
 
     // V22 — per-dimension stats: the profile that sizes SQ8 ranges and

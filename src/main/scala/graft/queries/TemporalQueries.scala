@@ -762,10 +762,14 @@ object TemporalQueries extends QueryModule {
         val stats = ev.groupBy(col("event_type")).agg(
           min(col("value")).as("lo"), max(col("value")).as("hi"))
         val binned = ev.join(stats, "event_type")
+          // hi == lo (single-valued group) must not divide by zero:
+          // everything lands in bin 0, on both engines
           .withColumn("bin",
-            least(lit(19), greatest(lit(0),
-              floor((col("value") - col("lo")) * 20.0 /
-                (col("hi") - col("lo"))).cast("int"))))
+            when(col("hi") > col("lo"),
+              least(lit(19), greatest(lit(0),
+                floor((col("value") - col("lo")) * 20.0 /
+                  (col("hi") - col("lo"))).cast("int"))))
+              .otherwise(lit(0)))
           .groupBy(col("event_type"), col("bin"))
           .agg(count(lit(1)).as("n"))
         stats
@@ -782,9 +786,10 @@ object TemporalQueries extends QueryModule {
           FROM events GROUP BY event_type),
         b AS (
           SELECT e.event_type,
-                 least(19, greatest(0, CAST(floor(
-                   (e.value - s.lo) * 20.0 / (s.hi - s.lo)) AS INT)))
-                   AS bin,
+                 CASE WHEN s.hi > s.lo THEN
+                   least(19, greatest(0, CAST(floor(
+                     (e.value - s.lo) * 20.0 / (s.hi - s.lo)) AS INT)))
+                 ELSE 0 END AS bin,
                  count(*) AS n
           FROM events e JOIN s USING (event_type)
           GROUP BY 1, 2),
@@ -862,10 +867,10 @@ object TemporalQueries extends QueryModule {
         m AS (
           SELECT user_id, ts, is_left, event_id,
             last_value(vr IGNORE NULLS) OVER
-              (PARTITION BY user_id ORDER BY ts ASC, is_left ASC
+              (PARTITION BY user_id ORDER BY ts ASC, is_left ASC, vr ASC
                ROWS UNBOUNDED PRECEDING) AS back,
             last_value(vr IGNORE NULLS) OVER
-              (PARTITION BY user_id ORDER BY ts DESC, is_left ASC
+              (PARTITION BY user_id ORDER BY ts DESC, is_left ASC, vr ASC
                ROWS UNBOUNDED PRECEDING) AS fwd
           FROM u),
         p AS (

@@ -1071,7 +1071,7 @@ object TextQueries extends QueryModule {
           .orderBy(col("doc_id")),
       oracle = Some {
         val h60 = baseHashSql.replace("md5(s)",
-          "md5(CAST(doc_id AS VARCHAR) || '/mix')")
+          "md5(CAST(doc_id AS VARCHAR) || '/wt')")
         s"""
         SELECT doc_id, n_chars
         FROM documents

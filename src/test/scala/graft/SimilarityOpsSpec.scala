@@ -299,7 +299,8 @@ class SimilarityOpsSpec extends SparkSpec {
       (1L, Array(3.0f, 4.0f)),
       (2L, Array(0.0f, 0.0f)),
       (3L, Array(1.0f, 0.0f))).toDF("id", "v")
-    val unit = vs.select($"id", SimilarityOps.l2NormalizeCol($"v"))
+    val unit = SimilarityOps.l2Normalize(vs, "v", "unit")
+      .select($"id", $"unit")
       .as[(Long, Seq[Double])].collect().toMap
     assert(unit(1L) === Seq(0.6, 0.8))
     assert(unit(2L) === Seq(0.0, 0.0)) // zero vector: zeros, not NaN
