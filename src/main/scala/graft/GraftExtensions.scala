@@ -15,6 +15,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // `WHERE levenshtein(a, b) <= k` -> the banded O(k·n) form; see
+    // graft.plans.BandedLevenshteinRule
+    ext.injectOptimizerRule(_ => graft.plans.BandedLevenshteinRule)
     ext.injectFunction((
       new FunctionIdentifier("graft_md5hash64"),
       new ExpressionInfo(classOf[Md5Hash64].getName, "graft_md5hash64"),

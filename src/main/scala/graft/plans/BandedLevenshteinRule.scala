@@ -1,0 +1,56 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{
+  And, Expression, GreaterThan, GreaterThanOrEqual, LessThan,
+  LessThanOrEqual, Levenshtein, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Optimizer rule: a thresholded comparison against an UNBOUNDED
+  * `levenshtein(a, b)` is rewritten to the BANDED form
+  * `levenshtein(a, b, k) >= 0` — Ukkonen's O(k·min(|a|,|b|)) band
+  * instead of the full O(|a|·|b|) DP, with identical results (the
+  * 3-arg form returns the distance when it is <= k and -1 otherwise,
+  * so `banded >= 0  <=>  distance <= k`; both forms propagate null
+  * identically).
+  *
+  * This is the optimization a user cannot be expected to hand-write in
+  * every ad-hoc query: record-linkage SQL is naturally phrased as
+  * `WHERE levenshtein(a, b) <= 3`, which computes the full DP for
+  * every pair only to compare the result — at corpus scale a ~100×
+  * compute tax on the refine stage (see SCALE.md on d11 vs d15). The
+  * rule makes the cheap form the PLAN'S property instead of the query
+  * author's discipline. Registered by [[graft.GraftExtensions]];
+  * rewrites only when the bound is a foldable non-negative int literal
+  * (post-constant-folding, the common case).
+  */
+object BandedLevenshteinRule extends Rule[LogicalPlan] {
+
+  private def banded(a: Expression, b: Expression, k: Int): Expression =
+    GreaterThanOrEqual(
+      Levenshtein(a, b, Some(Literal(k))), Literal(0))
+
+  private def intLit(e: Expression): Option[Int] = e match {
+    case Literal(v: Int, IntegerType) => Some(v)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      // lev(a,b) <= k  /  k >= lev(a,b)
+      case LessThanOrEqual(Levenshtein(a, b, None), r)
+          if intLit(r).exists(_ >= 0) =>
+        banded(a, b, intLit(r).get)
+      case GreaterThanOrEqual(l, Levenshtein(a, b, None))
+          if intLit(l).exists(_ >= 0) =>
+        banded(a, b, intLit(l).get)
+      // lev(a,b) < k  /  k > lev(a,b)   (k >= 1: band at k-1)
+      case LessThan(Levenshtein(a, b, None), r)
+          if intLit(r).exists(_ >= 1) =>
+        banded(a, b, intLit(r).get - 1)
+      case GreaterThan(l, Levenshtein(a, b, None))
+          if intLit(l).exists(_ >= 1) =>
+        banded(a, b, intLit(l).get - 1)
+    }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The injected optimizer rule must rewrite thresholded full-DP
+  * levenshtein comparisons into the banded form — same rows, cheaper
+  * plan — and must leave non-rewritable shapes alone.
+  */
+class BandedLevenshteinRuleSpec extends SparkSpec {
+  import spark.implicits._
+
+  // file-backed (a LocalRelation filter is folded away at optimize
+  // time, which would hide the rewrite from the plan)
+  private lazy val pairsPath: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_lev_").toFile
+    d.deleteOnExit()
+    Seq(
+      ("kitten", "sitting"),   // distance 3
+      ("kitten", "kitten"),    // 0
+      ("abcdef", "zzzzzz"),    // 6
+      ("x", null))             // null -> comparison null -> dropped
+      .toDF("a", "b")
+      .write.mode("overwrite").parquet(d.getAbsolutePath)
+    d.getAbsolutePath
+  }
+
+  private def pairs: DataFrame = spark.read.parquet(pairsPath)
+
+  private def optimized(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  test("lev <= k, k >= lev, lev < k, k > lev all rewrite to the banded " +
+    "form and keep their rows") {
+    val le = pairs.filter("levenshtein(a, b) <= 3")
+    assert(optimized(le).contains("levenshtein(a#"), optimized(le))
+    assert(optimized(le).contains("Some(3)) >= 0"), optimized(le))
+    assert(le.select($"a").as[String].collect().sorted.toSeq ===
+      Seq("kitten", "kitten"))
+
+    val ge = pairs.filter("3 >= levenshtein(a, b)")
+    assert(optimized(ge).contains("Some(3)) >= 0"), optimized(ge))
+    assert(ge.count() === 2)
+
+    // strict: lev < 4 bands at 3
+    val lt = pairs.filter("levenshtein(a, b) < 4")
+    assert(optimized(lt).contains("Some(3)) >= 0"), optimized(lt))
+    assert(lt.count() === 2)
+    val gt = pairs.filter("6 > levenshtein(a, b)")
+    assert(optimized(gt).contains("Some(5)) >= 0"), optimized(gt))
+    assert(gt.count() === 2)
+  }
+
+  test("non-rewritable shapes are left alone: negative bound, " +
+    "non-literal bound, equality, already-banded") {
+    val neg = pairs.filter("levenshtein(a, b) <= -1")
+    assert(!optimized(neg).contains(">= 0"), optimized(neg))
+    assert(neg.count() === 0)
+
+    val dyn = pairs.filter("levenshtein(a, b) <= length(a)")
+    assert(!optimized(dyn).contains("-1"), optimized(dyn))
+    assert(dyn.count() === 3) // 0<=6, 3<=7, and abcdef/zzzzzz: 6<=6
+
+    val eq = pairs.filter("levenshtein(a, b) = 3")
+    assert(eq.count() === 1)
+
+    val pre = pairs.filter("levenshtein(a, b, 3) >= 0")
+    assert(pre.count() === 2) // idempotent: no double-rewrite blowup
+  }
+}
