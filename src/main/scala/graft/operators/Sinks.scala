@@ -113,3 +113,36 @@ final class BatchingRowSink(
     }
   }
 }
+
+/** Decorator adding ZERO-COST write metrics to any [[Sink]] via Spark's
+  * `observe` API: row count, null-timestamp count, and the written
+  * time span ride the write job's own pass as accumulator-backed
+  * aggregates — no second scan, no extra action, works identically
+  * under `foreachBatch`. The numbers a scheduled ingest publishes per
+  * run ("how many points, which window, any null times") come from the
+  * job that wrote them — a separate counting query can disagree with
+  * what was actually written; an observation cannot.
+  */
+final class MeteredSink(inner: Sink) extends Sink {
+  @volatile private var last: Option[Map[String, Any]] = None
+
+  /** Metrics of the most recent upsert on THIS driver: rows, null_ts,
+    * min_ts, max_ts. None before the first upsert.
+    */
+  def lastMetrics: Option[Map[String, Any]] = last
+
+  override def upsert(updated: DataFrame, tsCol: String): Unit = {
+    import org.apache.spark.sql.{functions => F}
+    val obs = org.apache.spark.sql.Observation()
+    val observed = updated.observe(obs,
+      F.count(F.lit(1)).as("rows"),
+      F.count_if(F.col(tsCol).isNull).as("null_ts"),
+      F.min(F.col(tsCol)).as("min_ts"),
+      F.max(F.col(tsCol)).as("max_ts"))
+    inner.upsert(observed, tsCol)
+    // upsert is synchronous and every Sink consumes the frame it is
+    // handed (that is the trait's contract), so the observed action has
+    // completed and get returns immediately
+    last = Some(obs.get.toMap)
+  }
+}

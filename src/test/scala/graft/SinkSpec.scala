@@ -2,8 +2,8 @@ package graft
 
 import java.util.concurrent.ConcurrentLinkedQueue
 
-import graft.operators.{BatchingRowSink, IncrementalRunner, ParquetDaySink,
-  RowBatchWriter, Sink}
+import graft.operators.{BatchingRowSink, IncrementalRunner, MeteredSink,
+  ParquetDaySink, RowBatchWriter, Sink}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
@@ -161,6 +161,30 @@ class SinkSpec extends SparkSpec {
       .collect().toSet
     assert(second === first)
     assert(second.size === 3)
+  }
+
+  test("MeteredSink: write metrics ride the write job itself — rows, " +
+    "null timestamps, and the written span, updated per upsert") {
+    val d = java.nio.file.Files.createTempDirectory("graft_metered_").toFile
+    d.deleteOnExit()
+    val sink = new MeteredSink(new ParquetDaySink(d.getAbsolutePath + "/t"))
+    assert(sink.lastMetrics.isEmpty)
+    sink.upsert(Seq(
+      (1, T("2024-01-01 10:00:00"), 1.0),
+      (1, T("2024-01-01 12:00:00"), 2.0),
+      (1, null.asInstanceOf[java.sql.Timestamp], 3.0))
+      .toDF("site_no", "time", "v")
+      .filter($"time".isNotNull), "time")
+    val m1 = sink.lastMetrics.get
+    assert(m1("rows") === 2L)
+    assert(m1("null_ts") === 0L)
+    assert(m1("min_ts").toString === "2024-01-01 10:00:00.0")
+    assert(m1("max_ts").toString === "2024-01-01 12:00:00.0")
+    // second upsert replaces the snapshot
+    sink.upsert(Seq((1, T("2024-01-02 09:00:00"), 9.0))
+      .toDF("site_no", "time", "v"), "time")
+    assert(sink.lastMetrics.get("rows") === 1L)
+    assert(sink.lastMetrics.get("min_ts").toString === "2024-01-02 09:00:00.0")
   }
 
   test("Sink.foreachBatch adapts the seam to streaming micro-batches") {
