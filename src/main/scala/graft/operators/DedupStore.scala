@@ -188,6 +188,26 @@ object DedupStore {
       .write.mode("append").parquet(s"$path/rows")
   }
 
+  /** Store observability: the bucket-occupancy profile of the persisted
+    * band rows ([[SkewOps.skewProfile]] over (band_idx, band_key)) plus
+    * totals — the numbers that decide when [[compact]] is due (a
+    * heaviest-bucket occupancy approaching maxBucket × generations
+    * means per-batch caps have been composing) and whether a hot
+    * boilerplate bucket is distorting serve-join cost.
+    */
+  def stats(spark: SparkSession, path: String, topK: Int = 20)
+      : (Long, Long, DataFrame) = {
+    readMeta(spark, path) // fail fast on a non-store path
+    val rows = spark.read.parquet(s"$path/rows")
+    val totals = rows.agg(
+      count(lit(1)).as("rows"),
+      countDistinct(col("id")).as("docs")).head()
+    (totals.getLong(0), totals.getLong(1),
+      SkewOps.skewProfile(
+        rows.select(col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"), topK))
+  }
+
   /** Re-impose the GLOBAL bucket cap across everything admitted so far
     * (appends cap per batch — see [[append]]) and rewrite the row set
     * as one compacted generation. Keeps the `maxBucket` lowest-id rows

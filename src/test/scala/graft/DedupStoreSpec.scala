@@ -105,6 +105,12 @@ class DedupStoreSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(s"$p/rows_old"))
     DedupStore.compact(spark, p) // must roll forward, not crash
     assert(bucketMax() === 2)
+    // observability: totals + the heaviest buckets, skew ratios included
+    val (rowsN, docsN, profile) = DedupStore.stats(spark, p)
+    assert(docsN === 2) // post-compact winners
+    assert(rowsN === profile.agg(sum($"n")).as[Long].head())
+    val top = profile.select($"n").as[Long].collect()
+    assert(top.nonEmpty && top.max === 2)
   }
 
   test("guards: missing sidecar, bad tau") {
