@@ -102,6 +102,19 @@ object DedupStore {
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
+  /** Every reader/writer of `<path>/rows` rolls a mid-compact crash
+    * state forward first: a crash between [[compact]]'s two renames
+    * leaves `rows_old` (complete, pre-compact) with no live `rows` —
+    * recoverable data that must not read as a broken store, least of
+    * all to [[stats]], the call that decides whether compact is due.
+    */
+  private def ensureLiveRows(spark: SparkSession, path: String): Unit = {
+    val fs = fsFor(spark, path)
+    val rows = hadoopPath(s"$path/rows")
+    if (!fs.exists(rows) && fs.exists(hadoopPath(s"$path/rows_old")))
+      fs.rename(hadoopPath(s"$path/rows_old"), rows)
+  }
+
   /** Flag each batch doc against the store and its own batch: `is_dup`
     * iff some stored doc or lower-id batch doc shares an LSH bucket AND
     * the signature-estimated Jaccard (matching-component fraction)
@@ -132,6 +145,7 @@ object DedupStore {
       tau: Double): DataFrame = {
     require(tau > 0 && tau <= 1, s"dedupNewBatch: tau must be in (0, 1], got $tau")
     val m = readMeta(spark, path)
+    ensureLiveRows(spark, path)
     val batchRows = DedupOps.bandRows(newDocs, m.idCol, m.textCol,
       m.shingleK, m.numPerm, m.bands, m.maxBucket, withSig = true)
       .withColumnRenamed(m.idCol, "id")
@@ -179,6 +193,7 @@ object DedupStore {
       newDocs: DataFrame,
       keepIds: DataFrame): Unit = {
     val m = readMeta(spark, path)
+    ensureLiveRows(spark, path)
     val keep = keepIds.select(col(m.idCol))
     DedupOps.bandRows(
       newDocs.join(broadcast(keep), Seq(m.idCol), "left_semi"),
@@ -198,6 +213,7 @@ object DedupStore {
   def stats(spark: SparkSession, path: String, topK: Int = 20)
       : (Long, Long, DataFrame) = {
     readMeta(spark, path) // fail fast on a non-store path
+    ensureLiveRows(spark, path)
     val rows = spark.read.parquet(s"$path/rows")
     val totals = rows.agg(
       count(lit(1)).as("rows"),
@@ -226,7 +242,7 @@ object DedupStore {
     val next = hadoopPath(s"$path/rows_compacting")
     // crash recovery: a completed swap that failed to delete rows_old,
     // or a mid-swap state with no rows — roll forward
-    if (!fs.exists(rows) && fs.exists(old)) fs.rename(old, rows)
+    ensureLiveRows(spark, path)
     fs.delete(old, true)
     fs.delete(next, true)
     val w = Window.partitionBy(col("band_idx"), col("band_key"))

@@ -122,6 +122,14 @@ final class BatchingRowSink(
   * run ("how many points, which window, any null times") come from the
   * job that wrote them — a separate counting query can disagree with
   * what was actually written; an observation cannot.
+  *
+  * Contract on the wrapped sink (every implementation in this file
+  * satisfies it): `upsert` must synchronously execute ONE FULL action
+  * over the frame it is handed. A sink that never materializes the
+  * frame would leave `obs.get` blocking the driver; one whose first
+  * action is a short-circuit probe (`take(1)`-style) would complete the
+  * observation from a partial scan and under-count. Wrap such sinks'
+  * INNER write path instead.
   */
 final class MeteredSink(inner: Sink) extends Sink {
   @volatile private var last: Option[Map[String, Any]] = None

@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
-  And, Expression, GreaterThan, GreaterThanOrEqual, LessThan,
+  And, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan,
   LessThanOrEqual, Levenshtein, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
@@ -24,6 +24,13 @@ import org.apache.spark.sql.types.IntegerType
   * author's discipline. Registered by [[graft.GraftExtensions]];
   * rewrites only when the bound is a foldable non-negative int literal
   * (post-constant-folding, the common case).
+  *
+  * All eight literal-comparison shapes band: <=, <, >=, > with the
+  * literal on either side (complements via the banded form's -1
+  * sentinel: `lev > k` becomes `levenshtein(a,b,k) < 0`). The
+  * trivially-true `lev >= 0` conjunct that SQL's BETWEEN desugars into
+  * collapses to null checks — inside Filter conditions only, where
+  * null and false coincide.
   */
 object BandedLevenshteinRule extends Rule[LogicalPlan] {
 
@@ -36,8 +43,14 @@ object BandedLevenshteinRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions {
+  /** Distance exceeds k: `levenshtein(a, b, k) < 0` (the banded form's
+    * -1 sentinel; null propagates like the unbounded comparison).
+    */
+  private def bandedOver(a: Expression, b: Expression, k: Int): Expression =
+    LessThan(Levenshtein(a, b, Some(Literal(k))), Literal(0))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val rewritten = plan.transformAllExpressions {
       // lev(a,b) <= k  /  k >= lev(a,b)
       case LessThanOrEqual(Levenshtein(a, b, None), r)
           if intLit(r).exists(_ >= 0) =>
@@ -52,5 +65,35 @@ object BandedLevenshteinRule extends Rule[LogicalPlan] {
       case GreaterThan(l, Levenshtein(a, b, None))
           if intLit(l).exists(_ >= 1) =>
         banded(a, b, intLit(l).get - 1)
+      // complements: lev(a,b) > k / k < lev(a,b) / lev(a,b) >= k (k>=1)
+      case GreaterThan(Levenshtein(a, b, None), r)
+          if intLit(r).exists(_ >= 0) =>
+        bandedOver(a, b, intLit(r).get)
+      case LessThan(l, Levenshtein(a, b, None))
+          if intLit(l).exists(_ >= 0) =>
+        bandedOver(a, b, intLit(l).get)
+      case GreaterThanOrEqual(Levenshtein(a, b, None), r)
+          if intLit(r).exists(_ >= 1) =>
+        bandedOver(a, b, intLit(r).get - 1)
+      case LessThanOrEqual(l, Levenshtein(a, b, None))
+          if intLit(l).exists(_ >= 1) =>
+        bandedOver(a, b, intLit(l).get - 1)
     }
+    // FILTER-only: `lev(a,b) >= 0` (the left conjunct SQL's BETWEEN
+    // desugars to) is true whenever both inputs are non-null and null
+    // otherwise — in a filter, null and false coincide, so the full DP
+    // collapses to two null checks. NOT valid in a projection (there
+    // null-in must stay null-out), hence the Filter scope.
+    rewritten.transform {
+      case f: Filter =>
+        f.copy(condition = f.condition.transform {
+          case GreaterThanOrEqual(Levenshtein(a, b, None), r)
+              if intLit(r).exists(_ <= 0) =>
+            And(IsNotNull(a), IsNotNull(b))
+          case LessThanOrEqual(l, Levenshtein(a, b, None))
+              if intLit(l).exists(_ <= 0) =>
+            And(IsNotNull(a), IsNotNull(b))
+        })
+    }
+  }
 }

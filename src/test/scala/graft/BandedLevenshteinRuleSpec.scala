@@ -51,6 +51,30 @@ class BandedLevenshteinRuleSpec extends SparkSpec {
     assert(gt.count() === 2)
   }
 
+  test("complement shapes band via the -1 sentinel, and BETWEEN leaves " +
+    "NO full-DP levenshtein in the plan") {
+    val gt = pairs.filter("levenshtein(a, b) > 3")
+    assert(optimized(gt).contains("Some(3)) < 0"), optimized(gt))
+    assert(gt.select($"a").as[String].collect().toSeq === Seq("abcdef"))
+    val ge = pairs.filter("levenshtein(a, b) >= 4")
+    assert(optimized(ge).contains("Some(3)) < 0"), optimized(ge))
+    assert(ge.count() === 1)
+    val flip = pairs.filter("3 < levenshtein(a, b)")
+    assert(optimized(flip).contains("Some(3)) < 0"), optimized(flip))
+    assert(flip.count() === 1)
+
+    // the BETWEEN desugaring: lev >= 0 AND lev <= 3 — the left conjunct
+    // must collapse to null checks, never survive as a full DP
+    val btw = pairs.filter("levenshtein(a, b) BETWEEN 0 AND 3")
+    val plan = optimized(btw)
+    assert(plan.contains("Some(3)) >= 0"), plan)
+    assert("levenshtein\\(a#\\d+, b#\\d+\\)".r.findFirstIn(plan).isEmpty,
+      s"full-DP levenshtein survived:\n$plan")
+    assert(btw.count() === 2)
+    // null inputs still drop (IsNotNull carries the null semantics)
+    assert(pairs.filter("levenshtein(a, b) BETWEEN 0 AND 99").count() === 3)
+  }
+
   test("non-rewritable shapes are left alone: negative bound, " +
     "non-literal bound, equality, already-banded") {
     val neg = pairs.filter("levenshtein(a, b) <= -1")

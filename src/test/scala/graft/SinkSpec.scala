@@ -185,6 +185,17 @@ class SinkSpec extends SparkSpec {
       .toDF("site_no", "time", "v"), "time")
     assert(sink.lastMetrics.get("rows") === 1L)
     assert(sink.lastMetrics.get("min_ts").toString === "2024-01-02 09:00:00.0")
+    // null_ts must actually COUNT nulls, not just read 0 on clean data —
+    // pair with a null-tolerant inner sink and feed one through
+    CollectorSink.reset()
+    val metered = new MeteredSink(
+      new BatchingRowSink(() => CollectorSink.writer(), batchSize = 10))
+    metered.upsert(Seq(
+      (1, T("2024-01-01 10:00:00"), 1.0),
+      (1, null.asInstanceOf[java.sql.Timestamp], 2.0))
+      .toDF("site_no", "time", "v"), "time")
+    assert(metered.lastMetrics.get("rows") === 2L)
+    assert(metered.lastMetrics.get("null_ts") === 1L)
   }
 
   test("Sink.foreachBatch adapts the seam to streaming micro-batches") {
