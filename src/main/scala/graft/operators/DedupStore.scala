@@ -224,6 +224,36 @@ object DedupStore {
         Seq("band_idx", "band_key"), topK))
   }
 
+  /** Point delete: remove every band row of the given doc ids — run
+    * when documents leave the corpus, or future batches keep matching
+    * ghosts and get dropped against text that no longer exists. The
+    * store has no per-doc partitioning (its layout serves bucket
+    * joins), so delete is an anti-join rewrite of the row set behind
+    * the same rename-aside swap as [[compact]]; batch deletions
+    * together rather than calling this per document. Refuses to empty
+    * the store entirely (that is [[write]]'s job, stated explicitly).
+    */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    val m = readMeta(spark, path)
+    ensureLiveRows(spark, path)
+    val fs = fsFor(spark, path)
+    val rows = hadoopPath(s"$path/rows")
+    val old = hadoopPath(s"$path/rows_old")
+    val next = hadoopPath(s"$path/rows_deleting")
+    fs.delete(old, true)
+    fs.delete(next, true)
+    val keep = spark.read.parquet(rows.toString)
+      .join(broadcast(ids.select(col(m.idCol).as("id"))),
+        Seq("id"), "left_anti")
+    keep.write.parquet(next.toString)
+    require(spark.read.parquet(next.toString).limit(1).count() > 0,
+      "delete would remove every stored row — rebuild with write() " +
+        "instead of deleting the whole corpus")
+    require(fs.rename(rows, old), s"delete: cannot move $rows aside")
+    require(fs.rename(next, rows), s"delete: cannot activate $next")
+    fs.delete(old, true)
+  }
+
   /** Re-impose the GLOBAL bucket cap across everything admitted so far
     * (appends cap per batch — see [[append]]) and rewrite the row set
     * as one compacted generation. Keeps the `maxBucket` lowest-id rows

@@ -113,6 +113,32 @@ class DedupStoreSpec extends SparkSpec {
     assert(top.nonEmpty && top.max === 2)
   }
 
+  test("delete: a removed doc stops matching future batches, survivors " +
+    "unaffected, emptying the store is refused") {
+    val corpusText = "alpha beta gamma delta epsilon zeta eta theta"
+    val otherText = "one two three four five six seven eight"
+    val p = store("graft_dedup_delete_")
+    DedupStore.write(
+      Seq((1L, corpusText), (2L, otherText)).toDF("doc_id", "text"),
+      "doc_id", "text", p)
+    val batch = Seq((10L, corpusText), (11L, otherText))
+      .toDF("doc_id", "text")
+    // before: both batch docs flag against the store
+    assert(DedupStore.dedupNewBatch(spark, p, batch, 0.5)
+      .filter($"is_dup").count() === 2)
+    DedupStore.delete(spark, p, Seq(Tuple1(1L)).toDF("doc_id"))
+    val after = DedupStore.dedupNewBatch(spark, p, batch, 0.5)
+      .as[(Long, Boolean, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(after === Seq(
+      (10L, false, None),      // ghost gone: no longer matches doc 1
+      (11L, true, Some(2L))))  // survivor still matches
+    intercept[IllegalArgumentException] {
+      DedupStore.delete(spark, p, Seq(Tuple1(2L)).toDF("doc_id"))
+    }
+    // the refused delete must leave the store intact and live
+    assert(DedupStore.stats(spark, p)._2 === 1)
+  }
+
   test("guards: missing sidecar, bad tau") {
     val p = store("graft_dedup_store_empty_")
     intercept[IllegalArgumentException] {

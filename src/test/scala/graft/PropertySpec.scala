@@ -244,4 +244,22 @@ class PropertySpec extends SparkSpec {
       ab >= -1.000001 && ab <= 1.000001 && ab == ba
     }, samples = 10)
   }
+
+  test("zvalue: the interleave is a bijection — de-interleaving the key " +
+    "recovers each column's scaled value exactly") {
+    import graft.operators.Layouts
+    val bits = 8
+    val mx = (1L << bits) - 1
+    val inGen = Gen.listOfN(2, Gen.choose(0L, mx))
+    check(Prop.forAll(inGen) { case List(x, y) =>
+      val z = Seq((x, y)).toDF("x", "y")
+        .select(Layouts.zvalue(Seq(col("x"), col("y")),
+          Seq(0L, 0L), Seq(mx, mx), bits).as("z"))
+        .as[Long].head()
+      // bit j of column i sits at position j*2 + i
+      def dein(i: Int): Long =
+        (0 until bits).map(j => ((z >> (j * 2 + i)) & 1L) << j).sum
+      dein(0) == x && dein(1) == y
+    }, samples = 15)
+  }
 }
