@@ -168,6 +168,29 @@ object StreamingOps {
       }
     }
 
+  /** Streaming EXACT dedup with bounded state — the built-in
+    * `dropDuplicatesWithinWatermark` surface ([[dedupStream]]'s
+    * near-dup sibling handles value-equality within a trailing window
+    * via custom state; this is the simpler contract: drop any row whose
+    * exact `keys` were already seen, with the engine expiring seen-keys
+    * state once the watermark passes — the state-boundedness guarantee
+    * a plain streaming `dropDuplicates(keys)` does NOT have, its state
+    * grows with every key ever seen). Duplicates arriving within the
+    * watermark of the original are dropped even across micro-batches;
+    * a re-arrival later than the watermark delay may survive — that is
+    * the documented trade for bounded state, and the downstream
+    * idempotent upsert sink absorbs it.
+    */
+  def exactDedupStream(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      watermark: String = "1 hour"): DataFrame = {
+    require(keys.nonEmpty, "exactDedupStream: at least one key column")
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+  }
+
   /** Stream-stream interval join — each left event enriched with the
     * same key's right events inside [leftTs − before, leftTs + after].
     * BOTH sides carry watermarks and the join condition bounds event

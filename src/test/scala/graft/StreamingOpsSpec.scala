@@ -255,6 +255,35 @@ class StreamingOpsSpec extends SparkSpec {
       "replaying an applied batch id must not re-append")
   }
 
+  test("exactDedupStream: exact re-arrivals within the watermark drop " +
+    "across micro-batches, distinct keys and later rows survive") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingOps.exactDedupStream(
+      input.toDS().toDF("id", "payload", "ts"),
+      keys = Seq("id"), tsCol = "ts", watermark = "1 hour")
+      .writeStream.format("memory").queryName("xdedup_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      (1L, "a", T("2024-01-01 10:00:00")),
+      (1L, "a-dup", T("2024-01-01 10:10:00")), // same key, same batch
+      (2L, "b", T("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    input.addData(
+      (1L, "a-again", T("2024-01-01 10:20:00")), // cross-batch re-arrival
+      (3L, "c", T("2024-01-01 10:30:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("xdedup_out")
+      .select($"id", $"payload").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    intercept[IllegalArgumentException] {
+      StreamingOps.exactDedupStream(
+        input.toDS().toDF("id", "payload", "ts"), Seq.empty, "ts")
+    }
+  }
+
   test("intervalJoinStream: in-window pairs match across micro-batches, " +
     "out-of-window pairs don't, output equals the batch interval join") {
     implicit val sql = spark.sqlContext
