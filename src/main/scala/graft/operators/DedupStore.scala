@@ -102,17 +102,67 @@ object DedupStore {
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
-  /** Every reader/writer of `<path>/rows` rolls a mid-compact crash
-    * state forward first: a crash between [[compact]]'s two renames
-    * leaves `rows_old` (complete, pre-compact) with no live `rows` —
-    * recoverable data that must not read as a broken store, least of
-    * all to [[stats]], the call that decides whether compact is due.
+  /** Crash recovery for the [[swapRows]] protocol, run by every
+    * reader/writer of `<path>/rows`. The protocol's invariant: the
+    * staging dir is only ever COMPLETE and validated when the live dir
+    * has been moved aside — so a missing live dir with staging present
+    * must roll FORWARD (activate the new generation). Rolling back
+    * would be semantics-preserving for [[compact]] but would silently
+    * undo a [[delete]]'s intent — the ghosts the deletion removed
+    * would resurrect with no error anywhere. A missing live dir with
+    * only `rows_old` present (staging lost) restores the old
+    * generation: the only complete one; the interrupted op must
+    * re-run. With the live dir present, stale aside/staging dirs are
+    * garbage from completed or abandoned swaps and are dropped.
     */
-  private def ensureLiveRows(spark: SparkSession, path: String): Unit = {
+  private def recoverRows(spark: SparkSession, path: String): Unit = {
     val fs = fsFor(spark, path)
     val rows = hadoopPath(s"$path/rows")
-    if (!fs.exists(rows) && fs.exists(hadoopPath(s"$path/rows_old")))
-      fs.rename(hadoopPath(s"$path/rows_old"), rows)
+    val old = hadoopPath(s"$path/rows_old")
+    val next = hadoopPath(s"$path/rows_next")
+    if (!fs.exists(rows)) {
+      if (fs.exists(next)) {
+        require(fs.rename(next, rows),
+          s"recovery: cannot activate staged $next")
+        fs.delete(old, true)
+      } else if (fs.exists(old)) {
+        require(fs.rename(old, rows),
+          s"recovery: cannot restore $old")
+      }
+    } else {
+      fs.delete(old, true)
+      fs.delete(next, true)
+    }
+  }
+
+  /** The shared rename-aside swap: stage `transform(live rows)` next to
+    * the live dir, validate, move live aside, activate the stage, drop
+    * the aside copy. One choreography for [[compact]] and [[delete]] —
+    * the swap and its recovery rules cannot drift between them.
+    *
+    * @param emptyError when Some, refuse to activate an empty staged
+    *        generation with this message (the staging dir is cleaned
+    *        before the refusal propagates)
+    */
+  private def swapRows(
+      spark: SparkSession, path: String, emptyError: Option[String])(
+      transform: DataFrame => DataFrame): Unit = {
+    recoverRows(spark, path)
+    val fs = fsFor(spark, path)
+    val rows = hadoopPath(s"$path/rows")
+    val old = hadoopPath(s"$path/rows_old")
+    val next = hadoopPath(s"$path/rows_next")
+    transform(spark.read.parquet(rows.toString))
+      .write.parquet(next.toString)
+    emptyError.foreach { msg =>
+      if (spark.read.parquet(next.toString).limit(1).count() == 0) {
+        fs.delete(next, true)
+        throw new IllegalArgumentException(msg)
+      }
+    }
+    require(fs.rename(rows, old), s"swap: cannot move $rows aside")
+    require(fs.rename(next, rows), s"swap: cannot activate $next")
+    fs.delete(old, true)
   }
 
   /** Flag each batch doc against the store and its own batch: `is_dup`
@@ -145,7 +195,7 @@ object DedupStore {
       tau: Double): DataFrame = {
     require(tau > 0 && tau <= 1, s"dedupNewBatch: tau must be in (0, 1], got $tau")
     val m = readMeta(spark, path)
-    ensureLiveRows(spark, path)
+    recoverRows(spark, path)
     val batchRows = DedupOps.bandRows(newDocs, m.idCol, m.textCol,
       m.shingleK, m.numPerm, m.bands, m.maxBucket, withSig = true)
       .withColumnRenamed(m.idCol, "id")
@@ -193,7 +243,7 @@ object DedupStore {
       newDocs: DataFrame,
       keepIds: DataFrame): Unit = {
     val m = readMeta(spark, path)
-    ensureLiveRows(spark, path)
+    recoverRows(spark, path)
     val keep = keepIds.select(col(m.idCol))
     DedupOps.bandRows(
       newDocs.join(broadcast(keep), Seq(m.idCol), "left_semi"),
@@ -213,7 +263,7 @@ object DedupStore {
   def stats(spark: SparkSession, path: String, topK: Int = 20)
       : (Long, Long, DataFrame) = {
     readMeta(spark, path) // fail fast on a non-store path
-    ensureLiveRows(spark, path)
+    recoverRows(spark, path)
     val rows = spark.read.parquet(s"$path/rows")
     val totals = rows.agg(
       count(lit(1)).as("rows"),
@@ -235,23 +285,15 @@ object DedupStore {
     */
   def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
     val m = readMeta(spark, path)
-    ensureLiveRows(spark, path)
-    val fs = fsFor(spark, path)
-    val rows = hadoopPath(s"$path/rows")
-    val old = hadoopPath(s"$path/rows_old")
-    val next = hadoopPath(s"$path/rows_deleting")
-    fs.delete(old, true)
-    fs.delete(next, true)
-    val keep = spark.read.parquet(rows.toString)
-      .join(broadcast(ids.select(col(m.idCol).as("id"))),
-        Seq("id"), "left_anti")
-    keep.write.parquet(next.toString)
-    require(spark.read.parquet(next.toString).limit(1).count() > 0,
+    // no broadcast hint on the id set: this op ENCOURAGES batched
+    // deletions, and a retention-sweep-sized id list must be allowed to
+    // fall back to a shuffle anti-join instead of OOMing a forced
+    // broadcast — the planner picks
+    swapRows(spark, path, Some(
       "delete would remove every stored row — rebuild with write() " +
-        "instead of deleting the whole corpus")
-    require(fs.rename(rows, old), s"delete: cannot move $rows aside")
-    require(fs.rename(next, rows), s"delete: cannot activate $next")
-    fs.delete(old, true)
+        "instead of deleting the whole corpus")) { rows =>
+      rows.join(ids.select(col(m.idCol).as("id")), Seq("id"), "left_anti")
+    }
   }
 
   /** Re-impose the GLOBAL bucket cap across everything admitted so far
@@ -261,29 +303,18 @@ object DedupStore {
     * full corpus would keep, so serve results after compact match a
     * fresh build's. Same safe-swap discipline as `IvfIndex.compact`:
     * write aside, rename the old generation away, rename the new one
-    * in, drop the old — a crash leaves either generation readable
-    * (`rows_old` recovery is automatic on the next compact).
+    * in, drop the old — see [[swapRows]]/[[recoverRows]] for the
+    * crash contract (staged generations roll FORWARD).
     */
   def compact(spark: SparkSession, path: String): Unit = {
     val m = readMeta(spark, path)
-    val fs = fsFor(spark, path)
-    val rows = hadoopPath(s"$path/rows")
-    val old = hadoopPath(s"$path/rows_old")
-    val next = hadoopPath(s"$path/rows_compacting")
-    // crash recovery: a completed swap that failed to delete rows_old,
-    // or a mid-swap state with no rows — roll forward
-    ensureLiveRows(spark, path)
-    fs.delete(old, true)
-    fs.delete(next, true)
-    val w = Window.partitionBy(col("band_idx"), col("band_key"))
-      .orderBy(col("id"))
-    spark.read.parquet(rows.toString)
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= m.maxBucket)
-      .drop("__rk")
-      .write.parquet(next.toString)
-    require(fs.rename(rows, old), s"compact: cannot move $rows aside")
-    require(fs.rename(next, rows), s"compact: cannot activate $next")
-    fs.delete(old, true)
+    swapRows(spark, path, emptyError = None) { rows =>
+      val w = Window.partitionBy(col("band_idx"), col("band_key"))
+        .orderBy(col("id"))
+      rows
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= m.maxBucket)
+        .drop("__rk")
+    }
   }
 }

@@ -113,6 +113,29 @@ class DedupStoreSpec extends SparkSpec {
     assert(top.nonEmpty && top.max === 2)
   }
 
+  test("mid-swap crash with a COMPLETE staged generation rolls FORWARD " +
+    "— a crashed delete must not resurrect its ghosts") {
+    val p = store("graft_dedup_fwd_")
+    DedupStore.write(
+      Seq((1L, "alpha beta gamma delta"), (2L, "one two three four"))
+        .toDF("doc_id", "text"), "doc_id", "text", p)
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def P(n: String) = new org.apache.hadoop.fs.Path(s"$p/$n")
+    // fabricate the post-rename1 crash state of delete(1): staged
+    // generation (doc 2 only) fully written, live dir moved aside
+    spark.read.parquet(s"$p/rows").filter($"id" === 2L)
+      .write.parquet(s"$p/rows_next")
+    fs.rename(P("rows"), P("rows_old"))
+    // ANY reader must activate the staged generation, not the old one
+    val (_, docs, _) = DedupStore.stats(spark, p)
+    assert(docs === 1, "rollback would have resurrected the deleted doc")
+    assert(!fs.exists(P("rows_next")) && !fs.exists(P("rows_old")))
+    // staging lost entirely -> the old generation is restored instead
+    fs.rename(P("rows"), P("rows_old"))
+    assert(DedupStore.stats(spark, p)._2 === 1)
+  }
+
   test("delete: a removed doc stops matching future batches, survivors " +
     "unaffected, emptying the store is refused") {
     val corpusText = "alpha beta gamma delta epsilon zeta eta theta"
