@@ -510,6 +510,46 @@ object TimeSeriesOps {
       .drop("__b")
   }
 
+  /** Interval-OVERLAP join — [[pointInInterval]]'s two-sided sibling:
+    * pair every left interval with the right intervals it overlaps
+    * (closed-interval convention: touching endpoints overlap). The
+    * classic meeting/downtime/coverage cross-reference, and the other
+    * inequality join BroadcastNestedLoop would otherwise eat.
+    *
+    * Same bucket decomposition: both sides explode to the whole-second
+    * buckets they cover, the join runs as a (bucket) equi-join with the
+    * exact predicate as residual, and a pair sharing several buckets is
+    * collapsed by a distinct on the carried columns — the caller
+    * selects id columns first (whole-row distinct on wide frames is its
+    * own shuffle of everything). Bucket width trades explode factor
+    * against bucket occupancy, exactly as in [[pointInInterval]].
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      lStart: String,
+      lEnd: String,
+      right: DataFrame,
+      rStart: String,
+      rEnd: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    for (side <- Seq(left, right))
+      require(!side.columns.contains("__b"),
+        "intervalOverlapJoin reserves column __b — rename it on the input")
+    def buckets(df: DataFrame, s: String, e: String) = df
+      .filter(col(e) >= col(s)) // inverted intervals match nothing
+      .withColumn("__b", explode(sequence(
+        floor(unix_timestamp(col(s)) / bucketSeconds).cast("long"),
+        // closed end: the last covered instant is end itself
+        floor(unix_micros(col(e)) / (bucketSeconds * 1000000L))
+          .cast("long"))))
+    buckets(left, lStart, lEnd)
+      .join(buckets(right, rStart, rEnd), Seq("__b"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .drop("__b")
+      .distinct()
+  }
+
   /** Gap-based sessionization: within each key, a row starts a new
     * session when it arrives more than `gapSeconds` after its
     * predecessor (or is the key's first row). Session ids are the

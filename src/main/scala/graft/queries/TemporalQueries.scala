@@ -318,6 +318,41 @@ object TemporalQueries extends QueryModule {
         GROUP BY iv.itype
         ORDER BY iv.itype""")),
 
+    // J12 — interval OVERLAP join (two-sided j10): per-user daily
+    // activity spans vs per-type network-wide spans — which users were
+    // active while each event type was live. Bucketed equi-join +
+    // residual, pair-distinct on ids; both engines evaluate the same
+    // closed-interval predicate.
+    "j12_interval_overlap" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+        val userSpans = ev.groupBy(col("user_id"))
+          .agg(min(col("ts")).as("u_start"), max(col("ts")).as("u_end"))
+        val typeSpans = ev.groupBy(col("event_type"))
+          .agg(min(col("ts")).as("t_start"))
+          .withColumn("t_end", col("t_start") + expr("INTERVAL 12 HOURS"))
+        TimeSeriesOps.intervalOverlapJoin(
+          userSpans, "u_start", "u_end",
+          typeSpans, "t_start", "t_end", bucketSeconds = 21600L)
+          .select(col("user_id"), col("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT user_id, min(ts) AS us, max(ts) AS ue
+          FROM events GROUP BY user_id),
+        t AS (
+          SELECT event_type, min(ts) AS ts0,
+                 min(ts) + INTERVAL 12 HOUR AS te
+          FROM events GROUP BY event_type)
+        SELECT t.event_type, count(*) AS n_users
+        FROM u, t
+        WHERE u.us <= t.te AND t.ts0 <= u.ue
+        GROUP BY t.event_type
+        ORDER BY t.event_type""")),
+
     // A7 — gap-based sessionization (30-min web-analytics rule): one
     // shuffle on user_id; boundary lag, the running session counter, and
     // the per-session rollup all ride the same sorted pass (the groupBy

@@ -342,6 +342,35 @@ class TimeSeriesOpsSpec extends SparkSpec {
     }
   }
 
+  test("intervalOverlapJoin: touching endpoints overlap (closed), " +
+    "disjoint and inverted intervals don't, bucket-straddling pairs " +
+    "match, equals the naive inequality join") {
+    def T(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, T("2024-01-01 10:00:00"), T("2024-01-01 12:00:00")),
+      (2L, T("2024-01-01 20:00:00"), T("2024-01-01 21:00:00")),
+      (3L, T("2024-01-01 12:00:00"), T("2024-01-01 11:00:00"))) // inverted
+      .toDF("lid", "ls", "le")
+    val right = Seq(
+      (10L, T("2024-01-01 12:00:00"), T("2024-01-01 13:00:00")), // touches 1
+      (11L, T("2024-01-01 09:00:00"), T("2024-01-02 09:00:00")), // spans all
+      (12L, T("2024-01-01 13:00:00"), T("2024-01-01 14:00:00"))) // disjoint
+      .toDF("rid", "rs", "re")
+    val got = TimeSeriesOps.intervalOverlapJoin(
+      left, "ls", "le", right, "rs", "re", bucketSeconds = 1800L)
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L), (1L, 11L), (2L, 11L)))
+    // naive quadratic join agrees
+    val naive = left.filter($"le" >= $"ls").join(right)
+      .filter($"ls" <= $"re" && $"rs" <= $"le")
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    assert(naive === got)
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.intervalOverlapJoin(
+        left.withColumn("__b", lit(1)), "ls", "le", right, "rs", "re", 60L)
+    }
+  }
+
   test("asofJoin: direction semantics, nearest ties break backward, " +
     "tolerance discards far matches, coincident rows match at distance " +
     "0, a null right VALUE still matches by row presence, guards") {
