@@ -501,13 +501,27 @@ object TimeSeriesOps {
       floor(unix_timestamp(col(ptsTsCol)) / bucketSeconds).cast("long"))
     val ib = intervals
       .filter(col(endCol) > col(startCol))
-      .withColumn("__b", explode(sequence(
-        floor(unix_timestamp(col(startCol)) / bucketSeconds).cast("long"),
-        floor((unix_micros(col(endCol)) - 1) / (bucketSeconds * 1000000L))
-          .cast("long"))))
+      .withColumn("__b", explode(coveredBuckets(
+        col(startCol), col(endCol), bucketSeconds, endExclusive = true)))
     pb.join(ib, Seq("__b"))
       .filter(col(ptsTsCol) >= col(startCol) && col(ptsTsCol) < col(endCol))
       .drop("__b")
+  }
+
+  /** The whole-second bucket ids an interval covers — the shared
+    * decomposition under [[pointInInterval]] (exclusive end: the last
+    * admissible instant is end − 1 µs) and [[intervalOverlapJoin]]
+    * (closed end: end itself is covered). The sub-second end handling
+    * lives HERE only — a precision fix must not have to find two
+    * copies.
+    */
+  private def coveredBuckets(
+      s: Column, e: Column, bucketSeconds: Long,
+      endExclusive: Boolean): Column = {
+    val endMicros = if (endExclusive) unix_micros(e) - 1 else unix_micros(e)
+    sequence(
+      floor(unix_timestamp(s) / bucketSeconds).cast("long"),
+      floor(endMicros / (bucketSeconds * 1000000L)).cast("long"))
   }
 
   /** Interval-OVERLAP join — [[pointInInterval]]'s two-sided sibling:
@@ -517,12 +531,15 @@ object TimeSeriesOps {
     * inequality join BroadcastNestedLoop would otherwise eat.
     *
     * Same bucket decomposition: both sides explode to the whole-second
-    * buckets they cover, the join runs as a (bucket) equi-join with the
-    * exact predicate as residual, and a pair sharing several buckets is
-    * collapsed by a distinct on the carried columns — the caller
-    * selects id columns first (whole-row distinct on wide frames is its
-    * own shuffle of everything). Bucket width trades explode factor
-    * against bucket occupancy, exactly as in [[pointInInterval]].
+    * buckets they cover and the join runs as a (bucket) equi-join with
+    * the exact predicate as residual. A pair sharing several buckets is
+    * matched in exactly ONE of them — the bucket of the overlap
+    * region's start, greatest(lStart, rStart), which both sides cover
+    * by construction — so no dedup pass exists at all: duplicate input
+    * rows multiply like any join's, and the whole-row distinct shuffle
+    * the naive formulation needs is gone. Bucket width trades explode
+    * factor against bucket occupancy, exactly as in
+    * [[pointInInterval]].
     */
   def intervalOverlapJoin(
       left: DataFrame,
@@ -538,16 +555,19 @@ object TimeSeriesOps {
         "intervalOverlapJoin reserves column __b — rename it on the input")
     def buckets(df: DataFrame, s: String, e: String) = df
       .filter(col(e) >= col(s)) // inverted intervals match nothing
-      .withColumn("__b", explode(sequence(
-        floor(unix_timestamp(col(s)) / bucketSeconds).cast("long"),
-        // closed end: the last covered instant is end itself
-        floor(unix_micros(col(e)) / (bucketSeconds * 1000000L))
-          .cast("long"))))
+      .withColumn("__b", explode(coveredBuckets(
+        col(s), col(e), bucketSeconds, endExclusive = false)))
+    // the canonical bucket: where the overlap region starts. Second-
+    // truncation only lowers, so it is >= both start buckets' ids and
+    // <= both end buckets' ids — always in both sides' exploded ranges.
+    val canonical = floor(
+      unix_timestamp(greatest(col(lStart), col(rStart))) / bucketSeconds)
+      .cast("long")
     buckets(left, lStart, lEnd)
       .join(buckets(right, rStart, rEnd), Seq("__b"))
-      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("__b") === canonical)
       .drop("__b")
-      .distinct()
   }
 
   /** Gap-based sessionization: within each key, a row starts a new

@@ -318,16 +318,21 @@ object TemporalQueries extends QueryModule {
         GROUP BY iv.itype
         ORDER BY iv.itype""")),
 
-    // J12 — interval OVERLAP join (two-sided j10): per-user daily
-    // activity spans vs per-type network-wide spans — which users were
-    // active while each event type was live. Bucketed equi-join +
-    // residual, pair-distinct on ids; both engines evaluate the same
+    // J12 — interval OVERLAP join (two-sided j10): each user's FIRST-DAY
+    // activity span vs per-type 12-hour launch windows — which users
+    // were active while each event type was live. Both interval
+    // families are BOUNDED (1 day / 12 h), so the bucket explode factor
+    // is a constant (≤5 / ≤3 at 6 h buckets) at ANY scale factor — an
+    // unbounded min..max span would explode with the corpus's time
+    // coverage, defeating the operator's cost model. Each pair matches
+    // in exactly one canonical bucket; both engines evaluate the same
     // closed-interval predicate.
     "j12_interval_overlap" -> Q(
       fn = (s, dir) => {
         val ev = t(s, dir, "events")
         val userSpans = ev.groupBy(col("user_id"))
-          .agg(min(col("ts")).as("u_start"), max(col("ts")).as("u_end"))
+          .agg(min(col("ts")).as("u_start"))
+          .withColumn("u_end", col("u_start") + expr("INTERVAL 1 DAY"))
         val typeSpans = ev.groupBy(col("event_type"))
           .agg(min(col("ts")).as("t_start"))
           .withColumn("t_end", col("t_start") + expr("INTERVAL 12 HOURS"))
@@ -341,7 +346,8 @@ object TemporalQueries extends QueryModule {
       },
       oracle = Some("""
         WITH u AS (
-          SELECT user_id, min(ts) AS us, max(ts) AS ue
+          SELECT user_id, min(ts) AS us,
+                 min(ts) + INTERVAL 1 DAY AS ue
           FROM events GROUP BY user_id),
         t AS (
           SELECT event_type, min(ts) AS ts0,

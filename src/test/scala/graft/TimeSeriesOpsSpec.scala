@@ -365,6 +365,18 @@ class TimeSeriesOpsSpec extends SparkSpec {
       .filter($"ls" <= $"re" && $"rs" <= $"le")
       .select($"lid", $"rid").as[(Long, Long)].collect().toSet
     assert(naive === got)
+    // true join semantics: duplicate input rows MULTIPLY (the canonical-
+    // bucket match is one-per-pair, not a row-collapsing distinct)
+    val dupd = TimeSeriesOps.intervalOverlapJoin(
+      left.union(left), "ls", "le", right, "rs", "re", 1800L)
+      .select($"lid", $"rid").as[(Long, Long)].collect()
+    assert(dupd.length === 2 * got.size)
+    // and the plan is an equi-join, never a nested loop
+    val plan = TimeSeriesOps.intervalOverlapJoin(
+      left, "ls", "le", right, "rs", "re", 1800L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"), plan)
     intercept[IllegalArgumentException] {
       TimeSeriesOps.intervalOverlapJoin(
         left.withColumn("__b", lit(1)), "ls", "le", right, "rs", "re", 60L)
