@@ -126,7 +126,10 @@ object RelationalQueries extends QueryModule {
     // generations plus WHICH columns changed — the change-feed a plain-
     // parquet lake derives by comparing snapshots (both generations
     // synthesized deterministically from orders). Null-safe compares;
-    // the change set is churn-sized, never table-sized.
+    // the change set is churn-sized, never table-sized. The operator
+    // emits changed_cols as a real array; the query joins it to a CSV
+    // string so the oracle comparator (which cannot sort array cells)
+    // can hash it.
     "s18_snapshot_diff" -> Q(
       fn = (s, dir) => {
         val orders = t(s, dir, "orders")
@@ -141,6 +144,7 @@ object RelationalQueries extends QueryModule {
         IncrementalRunner.diffSnapshots(
           oldGen, newGen, Seq("o_orderkey"),
           Seq("o_totalprice", "o_orderstatus"))
+          .withColumn("changed_cols", array_join(col("changed_cols"), ","))
           .orderBy(col("o_orderkey"))
       },
       oracle = Some("""
@@ -170,8 +174,11 @@ object RelationalQueries extends QueryModule {
                  list_filter([c1, c2], x -> x IS NOT NULL) AS cols
           FROM j)
         SELECT o_orderkey, change,
-               CASE WHEN change = 'changed' THEN cols ELSE [] END
-                 AS changed_cols
+               -- array_to_string([]) is NULL in DuckDB; Spark's
+               -- array_join([]) is '' — coalesce to match
+               coalesce(array_to_string(
+                 CASE WHEN change = 'changed' THEN cols ELSE [] END, ','),
+                 '') AS changed_cols
         FROM d WHERE change IS NOT NULL
         ORDER BY o_orderkey""")),
 

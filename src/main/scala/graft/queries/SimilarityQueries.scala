@@ -1193,12 +1193,19 @@ object SimilarityQueries extends QueryModule {
     // V21 — L2 normalization to unit vectors: the ingest-time prep that
     // turns every later cosine into a bare dot product. Per-row, one
     // codegen'd projection; elements round to 6 dp; the unit-norm
-    // property is re-checked in the emitted norm column.
+    // property is re-checked in the emitted norm column. The operator
+    // emits a real array<double>; the query fixes each element to a
+    // DECIMAL(18,6) string and CSV-joins so the oracle comparator
+    // (which cannot sort array cells, and whose double→text rendering
+    // differs from the JVM's) hashes a stable text form on both sides.
     "v21_l2_normalize" -> Q(
       fn = (s, dir) =>
         SimilarityOps.l2Normalize(t(s, dir, "embeddings"),
           "embedding", "unit")
-          .select(col("vec_id"), col("unit"),
+          .select(col("vec_id"),
+            array_join(transform(col("unit"),
+              e => e.cast("decimal(18,6)").cast("string")), ",")
+              .as("unit"),
             round(SimilarityOps.normFold(col("embedding")), 6).as("norm"))
           .orderBy(col("vec_id")),
       oracle = Some(s"""
@@ -1207,10 +1214,12 @@ object SimilarityQueries extends QueryModule {
                  sqrt(${dotSql("embedding", "embedding")}) AS nm
           FROM embeddings)
         SELECT vec_id,
-               list_transform(generate_series(1, 64), __i ->
-                 CASE WHEN nm > 0
-                      THEN round(CAST(embedding[__i] AS DOUBLE) / nm, 6)
-                      ELSE 0.0 END) AS unit,
+               array_to_string(list_transform(generate_series(1, 64), __i ->
+                 CAST(CAST(
+                   CASE WHEN nm > 0
+                        THEN round(CAST(embedding[__i] AS DOUBLE) / nm, 6)
+                        ELSE 0.0 END
+                   AS DECIMAL(18,6)) AS VARCHAR)), ',') AS unit,
                round(nm, 6) AS norm
         FROM n
         ORDER BY vec_id""")),

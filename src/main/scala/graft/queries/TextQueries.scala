@@ -603,13 +603,14 @@ object TextQueries extends QueryModule {
                                     ORDER BY doc_id) AS rk
           FROM documents)
         SELECT source, count(*) AS n_docs,
-               sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS n_dups,
+               CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dups,
                round(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) / count(*), 6)
                  AS dup_rate,
                count(DISTINCT lang) AS n_langs,
-               sum(tok) AS n_tokens,
+               CAST(sum(tok) AS BIGINT) AS n_tokens,
                round(sum(tok) / count(*), 6) AS mean_tokens,
-               sum(n_chars) AS n_chars,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
                min(doc_id) AS first_doc
         FROM f
         GROUP BY source
@@ -1511,7 +1512,7 @@ object TextQueries extends QueryModule {
   private def bpeTrainOracle(rounds: Int): String = {
     val rows = (1 to rounds).map { r =>
       s"SELECT $r AS rank, (SELECT tok FROM s$r) AS token, " +
-        s"(SELECT n FROM m$r) AS n"
+        s"CAST((SELECT n FROM m$r) AS BIGINT) AS n"
     }.mkString("\n        UNION ALL ")
     s"""
         WITH ${bpeRoundsCte(rounds)}
@@ -1534,7 +1535,7 @@ object TextQueries extends QueryModule {
                          AS i
                 FROM w$rounds) t),
         toks AS (
-          SELECT $tokenExpr AS token, sum(cnt) AS n
+          SELECT $tokenExpr AS token, CAST(sum(cnt) AS BIGINT) AS n
           FROM chars
           GROUP BY 1)
         SELECT token, n FROM toks
