@@ -24,18 +24,28 @@ trait QueryModule {
 
 object Tables {
 
-  /** Read one driver test table. The events table stores TIMESTAMP(NANOS),
-    * which Spark only reads as raw nanos (spark.sql.legacy.parquet
-    * .nanosAsLong=true, set by Verify/Bench); normalize it back to a
-    * microsecond TimestampType exactly like DuckDB's nanos read does
-    * (truncation), so oracle comparisons agree.
+  /** Read one driver test table, normalizing the events table's `ts` to
+    * a session-TZ TimestampType whatever physical form the generator
+    * used — the driver has shipped it two ways across rounds:
+    *   - TIMESTAMP(NANOS), which Spark only reads as raw nanos
+    *     (spark.sql.legacy.parquet.nanosAsLong=true, set by Verify/
+    *     Bench): truncate to micros exactly like DuckDB's nanos read;
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 infers
+    *     as TimestampNTZType: cast to TimestampType (sessions run UTC,
+    *     so the wall-clock value — what DuckDB's naive read sees — is
+    *     unchanged, and downstream unix_micros/window arithmetic that
+    *     requires TIMESTAMP resolves).
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (df.schema.exists(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType))
-      df.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-    else df
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, QueryModule, Tables}
 import graft.operators.{IncrementalRunner, Layouts}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -22,13 +22,20 @@ object RelationalQueries extends QueryModule {
     //  time > t AND site_no=$s). Filter + projection reach the parquet scan.
     "s1_scan_pushdown" -> Q(
       fn = (s, dir) => {
-        // Filter on the RAW nanos column so both predicates reach the
-        // parquet scan (PushedFilters -> row-group pruning). A predicate
-        // on the converted timestamp is opaque to the source; for a
-        // whole-second bound, ts_nanos >= bound*1e9 is exactly equivalent.
-        val boundNanos = 1705276800L * 1000000000L // 2024-01-15 00:00:00 UTC
-        s.read.parquet(s"$dir/events.parquet")
-          .filter(col("user_id") === 7 && col("ts") >= boundNanos)
+        // Filter on the RAW stored form of `ts` so both predicates reach
+        // the parquet scan (PushedFilters -> row-group pruning): a
+        // predicate on a CONVERTED column is opaque to the source. The
+        // generator has shipped ts as TIMESTAMP(NANOS)-read-as-long and
+        // as native TIMESTAMP_NTZ across rounds — bind the literal to
+        // whichever type the file actually carries (the cast of a
+        // foldable literal keeps the comparison pushable either way).
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val bound: Column = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            lit(1705276800L * 1000000000L) // 2024-01-15 00:00:00 UTC in nanos
+          case dt => lit("2024-01-15 00:00:00").cast(dt)
+        }
+        raw.filter(col("user_id") === 7 && col("ts") >= bound)
           .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
           .orderBy(col("event_id"))
       },
