@@ -30,6 +30,16 @@ import org.apache.spark.sql.functions._
   * The first-occurrence policy: a batch doc is a duplicate iff it
   * matches any STORED doc or an earlier (lower-id) doc of its own
   * batch; ids are expected to grow monotonically across batches.
+  *
+  * Concurrency contract (ADVICE r11): AT MOST ONE MUTATOR at a time
+  * per store path — [[append]]/[[delete]]/[[compact]]/[[write]] must
+  * be serialized by the caller (the ingest loop they serve is
+  * naturally sequential). Only mutators run [[recoverRows]]; the
+  * read-only entry points ([[dedupNewBatch]], [[stats]]) never rename
+  * or delete anything — they resolve the one complete generation
+  * visible at call time ([[resolveRowsForRead]]) and read it, so a
+  * reader racing a writer's swap can no longer roll the swap forward
+  * underneath the writer and fail its rename.
   */
 object DedupStore {
 
@@ -144,6 +154,23 @@ object DedupStore {
     *        generation with this message (the staging dir is cleaned
     *        before the refusal propagates)
     */
+  /** Read-side resolution of the [[swapRows]] state — which directory
+    * holds a COMPLETE generation right now — with no renames or
+    * deletes (readers must not mutate; see the concurrency contract).
+    * Precedence mirrors [[recoverRows]]: live `rows` wins; a missing
+    * live dir with staging present means the swap passed the point of
+    * no return, so the staged generation is the current one; otherwise
+    * the aside copy is the only complete generation.
+    */
+  private def resolveRowsForRead(spark: SparkSession, path: String): String = {
+    val fs = fsFor(spark, path)
+    val candidates = Seq(s"$path/rows", s"$path/rows_next", s"$path/rows_old")
+    candidates.find(p => fs.exists(hadoopPath(p))).getOrElse(
+      throw new IllegalStateException(
+        s"no row generation at $path (checked ${candidates.mkString(", ")})" +
+          " — build the store with DedupStore.write"))
+  }
+
   private def swapRows(
       spark: SparkSession, path: String, emptyError: Option[String])(
       transform: DataFrame => DataFrame): Unit = {
@@ -195,11 +222,11 @@ object DedupStore {
       tau: Double): DataFrame = {
     require(tau > 0 && tau <= 1, s"dedupNewBatch: tau must be in (0, 1], got $tau")
     val m = readMeta(spark, path)
-    recoverRows(spark, path)
+    val rowsDir = resolveRowsForRead(spark, path)
     val batchRows = DedupOps.bandRows(newDocs, m.idCol, m.textCol,
       m.shingleK, m.numPerm, m.bands, m.maxBucket, withSig = true)
       .withColumnRenamed(m.idCol, "id")
-    val all = spark.read.parquet(s"$path/rows").unionByName(batchRows)
+    val all = spark.read.parquet(rowsDir).unionByName(batchRows)
     val pairs = all.as("x")
       .join(broadcast(batchRows.as("y")),
         col("x.band_idx") === col("y.band_idx") &&
@@ -245,8 +272,13 @@ object DedupStore {
     val m = readMeta(spark, path)
     recoverRows(spark, path)
     val keep = keepIds.select(col(m.idCol))
+    // no broadcast hint on the keep set (ADVICE r11): a routine batch's
+    // ids auto-broadcast under the planner's threshold anyway, while a
+    // backfill-sized keep set must be allowed to shuffle-join instead
+    // of OOMing a forced broadcast — the same reasoning [[delete]]
+    // documents for its id set
     DedupOps.bandRows(
-      newDocs.join(broadcast(keep), Seq(m.idCol), "left_semi"),
+      newDocs.join(keep, Seq(m.idCol), "left_semi"),
       m.idCol, m.textCol, m.shingleK, m.numPerm, m.bands, m.maxBucket,
       withSig = true)
       .withColumnRenamed(m.idCol, "id")
@@ -263,8 +295,7 @@ object DedupStore {
   def stats(spark: SparkSession, path: String, topK: Int = 20)
       : (Long, Long, DataFrame) = {
     readMeta(spark, path) // fail fast on a non-store path
-    recoverRows(spark, path)
-    val rows = spark.read.parquet(s"$path/rows")
+    val rows = spark.read.parquet(resolveRowsForRead(spark, path))
     val totals = rows.agg(
       count(lit(1)).as("rows"),
       countDistinct(col("id")).as("docs")).head()

@@ -136,13 +136,22 @@ object Layouts {
     require(!df.columns.contains("__z"),
       "zorder reserves column __z — rename it on the input")
     require(outPartitions >= 1, "zorder: outPartitions must be positive")
-    val aggs = zCols.flatMap(c => Seq(
+    val aggs = count(lit(1)) +: zCols.flatMap(c => Seq(
       min(col(c).cast("long")), max(col(c).cast("long"))))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
-    if (stats.anyNull) df // empty input (or an all-null key): no layout
+    if (stats.getLong(0) == 0L) df // empty input: nothing to lay out
     else {
-      val mins = zCols.indices.map(i => stats.getLong(2 * i))
-      val maxs = zCols.indices.map(i => stats.getLong(2 * i + 1))
+      // an ALL-NULL z-column is not an empty input (ADVICE r11: it must
+      // not silently skip the whole layout while other columns carry
+      // data) — it contributes a degenerate [0, 0] range, zero bits of
+      // the key (nulls already map to the range minimum), and the
+      // remaining columns still cluster
+      val mins = zCols.indices.map { i =>
+        if (stats.isNullAt(1 + 2 * i)) 0L else stats.getLong(1 + 2 * i)
+      }
+      val maxs = zCols.indices.map { i =>
+        if (stats.isNullAt(2 + 2 * i)) 0L else stats.getLong(2 + 2 * i)
+      }
       df.withColumn("__z", zvalue(zCols.map(col), mins, maxs, bits))
         .repartitionByRange(outPartitions, col("__z"))
         .sortWithinPartitions("__z")

@@ -913,6 +913,12 @@ object SimilarityOps {
     val n = count(lit(1)).cast("double")
     val s1 = sum(dec).cast("double")
     val s2 = sum((dec * dec).cast("decimal(38,12)")).cast("double")
+    // sample std is undefined for a single observation — emit null, not
+    // the NaN the raw 0/0 division produces (NaN poisons downstream
+    // hash-compares and range sizing; the rollingZscore guard, ADVICE
+    // r11)
+    val std = when(n > lit(1.0),
+      round(sqrt((n * s2 - s1 * s1) / (n * (n - lit(1.0)))), 6))
     df.select(posexplode(col(vecCol).cast("array<double>"))
         .as(Seq("dim", "__x")))
       .groupBy(col("dim"))
@@ -921,8 +927,7 @@ object SimilarityOps {
         round(min(col("__x")), 6).as("lo"),
         round(max(col("__x")), 6).as("hi"),
         round(s1 / n, 6).as("mean"),
-        round(sqrt((n * s2 - s1 * s1) / (n * (n - lit(1.0)))), 6)
-          .as("std"))
+        std.as("std"))
       .orderBy(col("dim"))
   }
 }

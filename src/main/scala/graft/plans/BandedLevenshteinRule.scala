@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
   And, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan,
-  LessThanOrEqual, Levenshtein, Literal}
+  LessThanOrEqual, Levenshtein, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
@@ -29,10 +29,14 @@ import org.apache.spark.sql.types.IntegerType
   * literal on either side (complements via the banded form's -1
   * sentinel: `lev > k` becomes `levenshtein(a,b,k) < 0`). The
   * trivially-true `lev >= 0` conjunct that SQL's BETWEEN desugars into
-  * collapses to null checks — inside Filter conditions only, where
-  * null and false coincide.
+  * collapses to null checks — only as a TOP-LEVEL conjunct of a Filter
+  * condition, the one position where null and false coincide. Deeper
+  * in the condition tree they do not: under `NOT(...)` a null input
+  * yields NOT(null)=null (row dropped) while NOT(false)=true (row
+  * kept), and under `IS NULL` / CASE the substitution changes the
+  * value outright — so nested occurrences are left alone (ADVICE r11).
   */
-object BandedLevenshteinRule extends Rule[LogicalPlan] {
+object BandedLevenshteinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private def banded(a: Expression, b: Expression, k: Int): Expression =
     GreaterThanOrEqual(
@@ -79,21 +83,28 @@ object BandedLevenshteinRule extends Rule[LogicalPlan] {
           if intLit(l).exists(_ >= 1) =>
         bandedOver(a, b, intLit(l).get - 1)
     }
-    // FILTER-only: `lev(a,b) >= 0` (the left conjunct SQL's BETWEEN
-    // desugars to) is true whenever both inputs are non-null and null
-    // otherwise — in a filter, null and false coincide, so the full DP
-    // collapses to two null checks. NOT valid in a projection (there
-    // null-in must stay null-out), hence the Filter scope.
+    // FILTER-only, TOP-LEVEL-CONJUNCT-only: `lev(a,b) >= 0` (the left
+    // conjunct SQL's BETWEEN desugars to) is true whenever both inputs
+    // are non-null and null otherwise — as a conjunct of a filter
+    // condition, null and false coincide, so the full DP collapses to
+    // two null checks. NOT valid in a projection (there null-in must
+    // stay null-out) nor under NOT/IS NULL/CASE inside the condition
+    // (null and false diverge there), hence splitConjunctivePredicates
+    // rather than a depth-arbitrary transform.
     rewritten.transform {
       case f: Filter =>
-        f.copy(condition = f.condition.transform {
+        val conjuncts = splitConjunctivePredicates(f.condition)
+        val collapsed = conjuncts.map {
           case GreaterThanOrEqual(Levenshtein(a, b, None), r)
               if intLit(r).exists(_ <= 0) =>
             And(IsNotNull(a), IsNotNull(b))
           case LessThanOrEqual(l, Levenshtein(a, b, None))
               if intLit(l).exists(_ <= 0) =>
             And(IsNotNull(a), IsNotNull(b))
-        })
+          case other => other
+        }
+        if (collapsed == conjuncts) f
+        else f.copy(condition = collapsed.reduce(And))
     }
   }
 }

@@ -1248,8 +1248,9 @@ object SimilarityQueries extends QueryModule {
           FROM x GROUP BY dim)
         SELECT dim, n, lo, hi,
                round(s1 / nd, 6) AS mean,
-               round(sqrt((nd * s2 - s1 * s1) / (nd * (nd - 1.0))), 6)
-                 AS std
+               CASE WHEN nd > 1 THEN
+                 round(sqrt((nd * s2 - s1 * s1) / (nd * (nd - 1.0))), 6)
+               END AS std
         FROM s
         ORDER BY dim"""))
   )

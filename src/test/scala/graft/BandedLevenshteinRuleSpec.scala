@@ -91,4 +91,34 @@ class BandedLevenshteinRuleSpec extends SparkSpec {
     val pre = pairs.filter("levenshtein(a, b, 3) >= 0")
     assert(pre.count() === 2) // idempotent: no double-rewrite blowup
   }
+
+  test("null-check collapse fires ONLY on top-level conjuncts — under " +
+    "NOT / IS NULL / CASE, null and false diverge and the DP must stay") {
+    // NOT(lev >= 0): null input row gives NOT(null)=null (dropped);
+    // a naive collapse to NOT(a nn AND b nn) would KEEP it. Non-null
+    // rows always satisfy lev >= 0, so the correct answer is 0 rows.
+    val not = pairs.filter("NOT (levenshtein(a, b) >= 0)")
+    assert(not.count() === 0,
+      "NOT(lev >= 0) must drop every row (null comparison stays null)")
+    assert(optimized(not).contains("levenshtein"),
+      s"collapse fired under NOT:\n${optimized(not)}")
+
+    // (lev >= 0) IS NULL: true exactly for the null-input row
+    val isNull = pairs.filter("(levenshtein(a, b) >= 0) IS NULL")
+    assert(isNull.count() === 1, "IS NULL must keep only the null row")
+
+    // CASE over the predicate: the null-input row takes no THEN branch
+    // (WHEN null = no match), falls to ELSE true, and is KEPT; the
+    // three non-null rows hit THEN false and drop
+    val cse = pairs.filter(
+      "CASE WHEN levenshtein(a, b) >= 0 THEN false ELSE true END")
+    assert(cse.count() === 1,
+      "only the null-input row falls through to ELSE true")
+
+    // as a top-level conjunct the collapse still fires and null rows drop
+    val conj = pairs.filter("levenshtein(a, b) >= 0 AND a IS NOT NULL")
+    assert(conj.count() === 3)
+    assert(!optimized(conj).contains("levenshtein"),
+      s"top-level conjunct did not collapse:\n${optimized(conj)}")
+  }
 }

@@ -127,13 +127,23 @@ class DedupStoreSpec extends SparkSpec {
     spark.read.parquet(s"$p/rows").filter($"id" === 2L)
       .write.parquet(s"$p/rows_next")
     fs.rename(P("rows"), P("rows_old"))
-    // ANY reader must activate the staged generation, not the old one
+    // a reader must SEE the staged generation (rolling back would
+    // resurrect the deleted doc) but must not touch the swap state —
+    // recovery renames belong to mutators alone (ADVICE r11: a reader
+    // racing a writer's swap must not rename underneath it)
     val (_, docs, _) = DedupStore.stats(spark, p)
     assert(docs === 1, "rollback would have resurrected the deleted doc")
-    assert(!fs.exists(P("rows_next")) && !fs.exists(P("rows_old")))
-    // staging lost entirely -> the old generation is restored instead
+    assert(fs.exists(P("rows_next")) && fs.exists(P("rows_old")) &&
+      !fs.exists(P("rows")), "read-only stats mutated the swap state")
+    // the next MUTATOR rolls the swap forward and cleans up
+    DedupStore.compact(spark, p)
+    assert(fs.exists(P("rows")) &&
+      !fs.exists(P("rows_next")) && !fs.exists(P("rows_old")))
+    assert(DedupStore.stats(spark, p)._2 === 1)
+    // staging lost entirely -> readers fall back to the old generation
     fs.rename(P("rows"), P("rows_old"))
     assert(DedupStore.stats(spark, p)._2 === 1)
+    assert(fs.exists(P("rows_old")), "reader restored the old generation")
   }
 
   test("delete: a removed doc stops matching future batches, survivors " +

@@ -103,4 +103,28 @@ class LayoutsSpec extends SparkSpec {
     assert(Layouts.zorder(li.where($"l_orderkey" < 0),
       Seq("l_orderkey"), 4).count() === 0)
   }
+
+  test("zorder: an ALL-NULL z-column degrades to a zero-bit range — the " +
+    "other columns still cluster instead of the layout silently skipping") {
+    val df = spark.range(0, 1024).toDF("a")
+      .withColumn("b", lit(null).cast("long"))
+    val out = Layouts.zorder(df, Seq("a", "b"), outPartitions = 4)
+    assert(out.count() === 1024) // rows survive
+    // the live column still clusters: each range partition holds a
+    // contiguous, disjoint slice of `a`
+    import org.apache.spark.sql.functions.spark_partition_id
+    val spans = out
+      .groupBy(spark_partition_id().as("p"))
+      .agg(min($"a").as("lo"), max($"a").as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(spans.map(_._3).sum === 1024L)
+    spans.sliding(2).foreach {
+      case Array((_, hi1, _), (lo2, _, _)) =>
+        assert(hi1 < lo2, s"partitions overlap on `a`: $spans")
+      case _ =>
+    }
+  }
 }

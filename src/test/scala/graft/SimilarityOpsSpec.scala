@@ -315,5 +315,13 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(stats === Seq(
       (0, 2L, 1.0, 3.0, 2.0, 1.414214),
       (1, 2L, 10.0, 30.0, 20.0, 14.142136)))
+
+    // single observation: sample std is undefined — null, never the
+    // 0/0 NaN (which would poison hash-compares and range sizing)
+    val one = SimilarityOps.dimStats(
+      Seq((1L, Array(5.0f))).toDF("id", "v"), "v")
+      .select($"n", $"std")
+      .as[(Long, Option[Double])].collect().toSeq
+    assert(one === Seq((1L, None)))
   }
 }
