@@ -297,6 +297,46 @@ object TextOps {
       "quality" -> quality)
   }
 
+  /** Corpus-trained unigram language-model score per document: each
+    * doc's mean token log-probability under the corpus's own unigram
+    * distribution — the classic cheap LM-quality filter (docs of rare/
+    * garbled tokens score very negative; boilerplate of common tokens
+    * scores high). Reference scope: the reference has no LM scoring;
+    * this extends its text-quality family (t3) for training-data
+    * curation.
+    *
+    * Shape at scale: one shuffle to count tokens (vocabulary-scale
+    * output, partial-agged map-side), one join of the exploded tokens
+    * against those counts — deliberately UNHINTED: a bench-scale vocab
+    * broadcasts under the planner's threshold, a web-scale vocabulary
+    * must be allowed to shuffle-join — and one partial-agged groupBy
+    * back to doc grain. The corpus total rides in as a broadcast
+    * 1-row cross join, not a collect.
+    *
+    * Determinism for oracle hashing: each token's log-prob rounds to
+    * 6 dp and sums as exact DECIMAL (order-independent addition), the
+    * mean then derives in double — the a17/dimStats construction.
+    */
+  def unigramLogProb(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    toks
+      .join(counts, Seq("token"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        round(log(col("cnt").cast("double") / col("n_total").cast("double")), 6)
+          .cast("decimal(18,6)").as("lp"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(sum(col("lp")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("avg_logprob"))
+  }
+
   /** Content-defined chunking (Rabin-Karp): polynomial rolling hash over
     * an 8-char window; a position is a chunk boundary when its hash is
     * divisible by `avgChunk` (expected chunk length = avgChunk chars).

@@ -1415,7 +1415,36 @@ object TextQueries extends QueryModule {
           s, path, Seq("dup", "key", "batch"), k = 10)
           .orderBy(col("rank"))
       },
-      oracle = Some(bm25Oracle(Seq("dup", "key", "batch"), 10)))
+      oracle = Some(bm25Oracle(Seq("dup", "key", "batch"), 10))),
+
+    // T24 — unigram LM quality score: mean token log-probability under
+    // the corpus's own unigram distribution (the cheap LM filter that
+    // catches rare/garbled-token docs before an expensive model sees
+    // them). Token log-probs round to 6 dp and sum as exact DECIMAL so
+    // the mean hashes identically on both engines; the token-count join
+    // is unhinted (vocab broadcasts when small, shuffles when not).
+    "t24_lm_score" -> Q(
+      fn = (s, dir) =>
+        TextOps.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        cnt AS (
+          SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM cnt),
+        lp AS (
+          SELECT t.doc_id,
+                 CAST(round(ln(CAST(c.cnt AS DOUBLE) /
+                               CAST(n_total AS DOUBLE)), 6)
+                      AS DECIMAL(18,6)) AS lp
+          FROM tok t JOIN cnt c USING (token) CROSS JOIN tot)
+        SELECT doc_id, count(*) AS n_tokens,
+               round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+        FROM lp
+        GROUP BY doc_id
+        ORDER BY doc_id"""))
   )
 
   /** Okapi BM25 over `documents` (k1=1.5, b=0.75 — both exactly

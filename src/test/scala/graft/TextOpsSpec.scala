@@ -295,4 +295,14 @@ class TextOpsSpec extends SparkSpec {
       TextOps.slidingChunks($"t", 4, 0)
     }
   }
+
+  test("unigramLogProb: hand-computed corpus distribution — common " +
+    "tokens score high, rare tokens drag the mean down") {
+    // tokens: a:2, b:1, c:1 of 4 total -> lp(a)=ln(1/2), lp(b)=lp(c)=ln(1/4)
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val got = TextOps.unigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // doc1: (2·ln(.5) + ln(.25))/3 = -0.924196; doc2: ln(.25) = -1.386294
+    assert(got === Seq((1L, 3L, -0.924196), (2L, 1L, -1.386294)))
+  }
 }
