@@ -155,6 +155,57 @@ object DedupOps {
       .select(col(idCol), col("__hit").isNotNull.as("is_contaminated"))
   }
 
+  /** FUZZY decontamination: flag each corpus doc whose MinHash-estimated
+    * Jaccard against ANY benchmark doc clears `tau` — the near-duplicate
+    * sibling of [[flagContaminated]] (which only catches verbatim
+    * n-gram overlap; a lightly-paraphrased eval item slips an exact
+    * check but not this one).
+    *
+    * Scale shape (the [[DedupStore.dedupNewBatch]] serve-join, made
+    * cross-corpus): candidates come from ONE bucket equi-join of the
+    * corpus's capped LSH band rows against the benchmark's on
+    * (band_idx, band_key) — never an all-pairs comparison — and the
+    * match verdict is an in-row fold over the two signatures already in
+    * the joined row (matching-component fraction, the standard MinHash
+    * estimator), so verification re-reads NO document text. The
+    * benchmark side is deliberately unhinted: eval sets broadcast under
+    * the planner's threshold, and a benchmark too big for that must be
+    * allowed to shuffle rather than OOM a forced broadcast. Output is
+    * corpus-cardinality (idCol, is_contaminated); the intermediate hit
+    * set is churn-sized.
+    */
+  def fuzzyFlagContaminated(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      tau: Double,
+      shingleK: Int = 3,
+      numPerm: Int = 8,
+      bands: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    require(tau > 0 && tau <= 1,
+      s"fuzzyFlagContaminated: tau must be in (0, 1], got $tau")
+    val corpusRows = bandRows(
+      docs, idCol, textCol, shingleK, numPerm, bands, maxBucket,
+      withSig = true)
+    val benchRows = bandRows(
+      benchmark, idCol, textCol, shingleK, numPerm, bands, maxBucket,
+      withSig = true)
+      .select(col("band_idx"), col("band_key"), col("sig").as("__bsig"))
+    val hits = corpusRows
+      .join(benchRows, Seq("band_idx", "band_key"))
+      .withColumn("sig_sim",
+        round(size(filter(zip_with(col("sig"), col("__bsig"),
+          (p, q) => p === q), v => v)).cast("double") / numPerm, 6))
+      .where(col("sig_sim") >= tau)
+      .select(col(idCol)).distinct()
+      .withColumn("__hit", lit(1))
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("__hit").isNotNull.as("is_contaminated"))
+  }
+
   /** Semantic (embedding-space) dedup, SemDeDup-style: link every vector
     * to its nearest neighbor within its group when the cosine clears
     * `tau`, take connected components over those links, and keep the

@@ -944,6 +944,36 @@ object TextQueries extends QueryModule {
         FROM hashed h LEFT JOIN flagged f ON f.doc_id = h.doc_id
         ORDER BY h.doc_id""")),
 
+    // D16 — FUZZY decontamination: near-dup match of every corpus doc
+    // against the benchmark set (doc_id % 50 == 0) via one LSH bucket
+    // equi-join + in-row signature verification (estimated Jaccard =
+    // matching-component fraction >= 0.5) — catches the paraphrased
+    // eval leakage d10's exact n-gram check misses, without ever
+    // re-reading text at verify time. maxBucket set provably inert
+    // (the oracle's band join is uncapped).
+    "d16_fuzzy_decontaminate" -> Q(
+      fn = (s, dir) => {
+        val docs = t(s, dir, "documents")
+        DedupOps.fuzzyFlagContaminated(
+          docs, docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+          tau = 0.5, maxBucket = 100000)
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH $bandsSql,
+        hit AS (
+          SELECT DISTINCT c.doc_id
+          FROM bands c
+          JOIN bands b ON c.band_idx = b.band_idx
+            AND c.band_key = b.band_key AND b.doc_id % 50 = 0
+          JOIN sigs cs ON cs.doc_id = c.doc_id
+          JOIN sigs bs ON bs.doc_id = b.doc_id
+          WHERE round(CAST(len(list_filter(generate_series(1, 8),
+                  __i -> cs.mh[__i] = bs.mh[__i])) AS DOUBLE) / 8, 6) >= 0.5)
+        SELECT d.doc_id, h.doc_id IS NOT NULL AS is_contaminated
+        FROM documents d LEFT JOIN hit h ON h.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
     // D14 — incremental dedup against a PERSISTED store: index doc_id <
     // 400 once, then flag the 400+ batch with one bucket join + stored-
     // signature verification (matching-component fraction >= 0.5) — the

@@ -96,4 +96,25 @@ class DedupOpsSpec extends SparkSpec {
       DedupOps.editDistanceVerify(pairs, docs, "doc_id", "text", -1)
     }
   }
+
+  test("fuzzyFlagContaminated: near-identical text flags, unrelated text " +
+    "passes, the benchmark doc flags against itself, guards") {
+    val evalItem = "which year did the treaty of utrecht end the war"
+    val corpus = Seq(
+      // lightly edited copy of the benchmark item (tail append keeps
+      // every original shingle; Jaccard 8/9) — shares most shingles
+      (1L, "which year did the treaty of utrecht end the war exactly"),
+      (2L, "completely different text about soil moisture sensors here"),
+      (10L, evalItem)) // verbatim (the benchmark doc itself)
+      .toDF("doc_id", "text")
+    val bench = Seq((10L, evalItem)).toDF("doc_id", "text")
+    val got = DedupOps.fuzzyFlagContaminated(
+      corpus, bench, "doc_id", "text", tau = 0.5)
+      .as[(Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, true), (2L, false), (10L, true)))
+    intercept[IllegalArgumentException] {
+      DedupOps.fuzzyFlagContaminated(
+        corpus, bench, "doc_id", "text", tau = 0.0)
+    }
+  }
 }
