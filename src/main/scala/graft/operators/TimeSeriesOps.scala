@@ -830,4 +830,37 @@ object TimeSeriesOps {
         max(col(endCol)).as("span_end"),
         count(lit(1)).as("n_intervals"))
   }
+
+  /** UNCOVERED time per key: the gaps between [[mergeIntervals]]'s merged
+    * spans — outage/blind-window reporting from possibly-overlapping
+    * observation intervals (the union's complement, bounded by the key's
+    * own first and last coverage; open-ended edges are not gaps). Merged
+    * spans are strictly disjoint and non-touching by construction, so
+    * every adjacent pair yields one gap of positive width: one lag over
+    * the span frame, gap width exact in microseconds (integer
+    * arithmetic, engine-portable).
+    *
+    * Cost: the merge's one shuffle plus one window over the SPAN frame —
+    * union-output-sized, orders of magnitude below the interval input at
+    * any realistic coverage density.
+    */
+  def intervalGaps(
+      df: DataFrame,
+      keys: Seq[String],
+      startCol: String,
+      endCol: String): DataFrame = {
+    require(!df.columns.contains("__prevEnd"),
+      "intervalGaps reserves column __prevEnd — rename it on the input")
+    val spans = mergeIntervals(df, keys, startCol, endCol)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("span_start").asc)
+    spans
+      .withColumn("__prevEnd", lag(col("span_end"), 1).over(w))
+      .where(col("__prevEnd").isNotNull)
+      .select((keys.map(col) :+
+        col("__prevEnd").as("gap_start") :+
+        col("span_start").as("gap_end") :+
+        (unix_micros(col("span_start")) - unix_micros(col("__prevEnd")))
+          .as("gap_micros")): _*)
+  }
 }

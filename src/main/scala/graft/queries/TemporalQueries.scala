@@ -707,6 +707,64 @@ object TemporalQueries extends QueryModule {
         FROM sp GROUP BY user_id, span_no
         ORDER BY user_id, span_start""")),
 
+    // A23 — interval GAPS: the uncovered windows between a16's merged
+    // coverage spans per user (outage reporting — the union's
+    // complement, bounded by each key's first and last coverage). Same
+    // interval synthesis as a16; one lag over the span frame; gap width
+    // exact in integer microseconds.
+    "a23_interval_gaps" -> Q(
+      fn = (s, dir) => {
+        val iv = t(s, dir, "events").select(
+          col("user_id"),
+          col("ts").as("iv_start"),
+          timestamp_micros(unix_micros(col("ts")) +
+            round(col("value") * 100).cast("long") * 1000000L)
+            .as("iv_end"))
+        TimeSeriesOps.intervalGaps(
+          iv, Seq("user_id"), "iv_start", "iv_end")
+          .orderBy(col("user_id"), col("gap_start"))
+      },
+      oracle = Some("""
+        WITH iv AS (
+          SELECT user_id, ts AS iv_start,
+                 ts + to_microseconds(
+                   CAST(round(value * 100) AS BIGINT) * 1000000)
+                   AS iv_end
+          FROM events),
+        m AS (
+          SELECT user_id, iv_start, iv_end,
+                 max(iv_end) OVER (PARTITION BY user_id
+                   ORDER BY iv_start, iv_end
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS max_end
+          FROM iv),
+        g AS (
+          SELECT *, CASE WHEN max_end IS NULL OR iv_start > max_end
+                         THEN 1 ELSE 0 END AS boundary
+          FROM m),
+        sp AS (
+          SELECT *, sum(boundary) OVER (PARTITION BY user_id
+                   ORDER BY iv_start, iv_end
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS span_no
+          FROM g),
+        spans AS (
+          SELECT user_id, min(iv_start) AS span_start,
+                 max(iv_end) AS span_end
+          FROM sp GROUP BY user_id, span_no),
+        lagged AS (
+          SELECT user_id,
+                 lag(span_end) OVER (PARTITION BY user_id
+                   ORDER BY span_start) AS gap_start,
+                 span_start AS gap_end
+          FROM spans)
+        SELECT user_id, gap_start, gap_end,
+               CAST(epoch_us(gap_end) - epoch_us(gap_start) AS BIGINT)
+                 AS gap_micros
+        FROM lagged
+        WHERE gap_start IS NOT NULL
+        ORDER BY user_id, gap_start""")),
+
     // A17 — rolling z-score anomaly flags: each event's value against the
     // mean/sample-stddev of the ±10-row window around it per user. The
     // windowed sums run over exact decimal casts (order-independent

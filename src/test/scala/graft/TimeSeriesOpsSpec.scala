@@ -465,5 +465,15 @@ class TimeSeriesOpsSpec extends SparkSpec {
       TimeSeriesOps.mergeIntervals(
         intervals.withColumn("span_no", lit(1)), Seq("k"), "s", "e")
     }
+
+    // gaps are the spans' complement: key 1 has exactly one uncovered
+    // window (14:00 -> 15:00, 3600s); key 2's single span yields none
+    val gaps = TimeSeriesOps.intervalGaps(intervals, Seq("k"), "s", "e")
+      .select($"k", $"gap_start".cast("string"),
+        $"gap_end".cast("string"), $"gap_micros")
+      .as[(Long, String, String, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(gaps === Seq(
+      (1L, "2024-01-01 14:00:00", "2024-01-01 15:00:00", 3600000000L)))
   }
 }
