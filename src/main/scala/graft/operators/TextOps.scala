@@ -337,6 +337,46 @@ object TextOps {
           .as("avg_logprob"))
   }
 
+  /** Per-source distribution drift: KL(source ‖ corpus) over unigram
+    * token distributions — the observability number that catches a
+    * source going off-distribution (a scraper regression, an injection
+    * of boilerplate, a language shift) before it pollutes a training
+    * mix. Every source token exists in the global distribution by
+    * construction (source ⊆ corpus), so no zero-probability smoothing
+    * is needed and the divergence is exact.
+    *
+    * Shape at scale: ONE shuffle builds the (source, token) counts;
+    * the global-token and per-source marginals re-aggregate that
+    * vocabulary-scale frame (identical subplans — Spark reuses the
+    * exchange), and the corpus total rides in as a broadcast 1-row
+    * cross join. Per-token KL terms round then sum as exact decimals
+    * (order-independent), the a17/t24 hashing discipline.
+    */
+  def sourceDivergence(
+      docs: org.apache.spark.sql.DataFrame,
+      srcCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(srcCol), explode(tokens(col(textCol))).as("token"))
+    val bySrc = toks.groupBy(col(srcCol), col("token"))
+      .agg(count(lit(1)).as("n_st"))
+    val srcTotals = bySrc.groupBy(col(srcCol)).agg(sum(col("n_st")).as("n_s"))
+    val global = bySrc.groupBy(col("token")).agg(sum(col("n_st")).as("n_t"))
+    val total = global.agg(sum(col("n_t")).as("n"))
+    val ps = col("n_st").cast("double") / col("n_s").cast("double")
+    val pg = col("n_t").cast("double") / col("n").cast("double")
+    bySrc
+      .join(global, Seq("token"))
+      .join(srcTotals, Seq(srcCol))
+      .crossJoin(broadcast(total))
+      .select(col(srcCol), col("n_s"),
+        round(ps * log(ps / pg), 9).cast("decimal(28,9)").as("term"))
+      .groupBy(col(srcCol))
+      .agg(
+        first(col("n_s")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        round(sum(col("term")).cast("double"), 6).as("kl"))
+  }
+
   /** Content-defined chunking (Rabin-Karp): polynomial rolling hash over
     * an 8-char window; a position is a chunk boundary when its hash is
     * divisible by `avgChunk` (expected chunk length = avgChunk chars).

@@ -616,6 +616,43 @@ object TextQueries extends QueryModule {
         GROUP BY source
         ORDER BY source""")),
 
+    // C5 — per-source distribution drift: KL(source ‖ corpus) over
+    // unigram token distributions — catches a source going
+    // off-distribution (scraper regression, boilerplate injection)
+    // before it pollutes a training mix. Source ⊆ corpus, so no
+    // smoothing; per-token terms round then sum as exact decimals.
+    "c5_source_divergence" -> Q(
+      fn = (s, dir) =>
+        TextOps.sourceDivergence(t(s, dir, "documents"), "source", "text")
+          .orderBy(col("source")),
+      oracle = Some("""
+        WITH tok AS (
+          SELECT source, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        st AS (
+          SELECT source, token, count(*) AS n_st FROM tok GROUP BY 1, 2),
+        s AS (
+          SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s
+          FROM st GROUP BY source),
+        g AS (
+          SELECT token, CAST(sum(n_st) AS BIGINT) AS n_t
+          FROM st GROUP BY token),
+        tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n FROM g),
+        terms AS (
+          SELECT st.source, s.n_s,
+                 CAST(round(
+                   (CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE)) *
+                   ln((CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE)) /
+                      (CAST(n_t AS DOUBLE) / CAST(n AS DOUBLE))), 9)
+                   AS DECIMAL(28,9)) AS term
+          FROM st JOIN g USING (token) JOIN s USING (source)
+          CROSS JOIN tot)
+        SELECT source, min(n_s) AS n_tokens, count(*) AS vocab,
+               round(CAST(sum(term) AS DOUBLE), 6) AS kl
+        FROM terms
+        GROUP BY source
+        ORDER BY source""")),
+
     // C4 — the COMPLETE training-data chain as ONE lazy plan (the LLM
     // twin of pl_levels_e2e): quality gate → exact dedup → benchmark
     // decontamination → paragraph dedup with reassembly → language-mix

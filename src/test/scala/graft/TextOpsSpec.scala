@@ -305,4 +305,20 @@ class TextOpsSpec extends SparkSpec {
     // doc1: (2·ln(.5) + ln(.25))/3 = -0.924196; doc2: ln(.25) = -1.386294
     assert(got === Seq((1L, 3L, -0.924196), (2L, 1L, -1.386294)))
   }
+
+  test("sourceDivergence: a source matching the corpus distribution " +
+    "scores 0; fully disjoint sources score ln(2) against a 50/50 mix") {
+    val same = Seq(("s1", "a b"), ("s2", "a b")).toDF("source", "text")
+    val kl0 = TextOps.sourceDivergence(same, "source", "text")
+      .select($"source", $"kl").as[(String, Double)].collect().toMap
+    assert(kl0 === Map("s1" -> 0.0, "s2" -> 0.0))
+
+    // global: a/b each p=1/2; each source is all-one-token (p=1):
+    // KL = 1·ln(1/0.5) = ln 2 = 0.693147
+    val skew = Seq(("s1", "a a"), ("s2", "b b")).toDF("source", "text")
+    val kl = TextOps.sourceDivergence(skew, "source", "text")
+      .select($"source", $"n_tokens", $"vocab", $"kl")
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(kl === Seq(("s1", 2L, 1L, 0.693147), ("s2", 2L, 1L, 0.693147)))
+  }
 }
