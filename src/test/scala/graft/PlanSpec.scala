@@ -116,6 +116,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("t24: LM scoring partial-aggregates the vocabulary count and " +
+    "broadcasts it into the token join at this SF") {
+    val p = plan("t24_lm_score")
+    // the token count must combine map-side before its shuffle
+    assert(p.contains("partial_count"), p)
+    // at bench SF the vocabulary fits the planner's broadcast threshold;
+    // the join must not be a sort-merge (the unhinted operator leaves
+    // the web-scale shuffle demotion to the planner)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("c5: the marginals re-aggregate the (source, token) counts " +
+    "through reused exchanges at runtime, not four separate corpus aggs") {
+    // exchange reuse is an EXECUTION-time property under AQE — the
+    // initial adaptive plan prints each branch separately; only the
+    // final plan shows the ReusedExchange nodes
+    val df = SparkEntry.queries("c5_source_divergence")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
+    assert(p.contains("ReusedExchange"),
+      s"(source, token) counts must be computed once and reused:\n$p")
+  }
+
+  test("d16: fuzzy decontamination candidates come from a bucket " +
+    "EQUI-join — never a cartesian or nested-loop pairing") {
+    val p = plan("d16_fuzzy_decontaminate")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the band-bucket join keys must reach the join as an equi-condition
+    assert("Join \\[band_idx#\\d+, band_key#\\d+\\]".r.findFirstIn(p)
+      .isDefined || p.contains("BroadcastHashJoin [band_idx"), p)
+  }
+
   test("s17: the ORC read pushes the predicate and prunes columns like " +
     "parquet") {
     val p = plan("s17_orc_roundtrip")
