@@ -168,6 +168,38 @@ object StreamingOps {
       }
     }
 
+  /** Streaming fuzzy decontamination — each micro-batch of documents is
+    * near-dup-matched against a STATIC benchmark/eval frame
+    * ([[graft.operators.DedupOps.fuzzyFlagContaminated]]: one LSH
+    * bucket equi-join + in-row signature verify) and the verdicts land
+    * in `flagsPath` stamped with the batch id — the continuous form of
+    * the ingest gate that keeps eval leakage out of a training corpus
+    * as it arrives. Unlike [[dedupIngest]] there is no store to mutate:
+    * the benchmark is fixed, so batches are independent and the only
+    * replay concern is the flag log itself — applied batch ids leave a
+    * marker under `<flagsPath>/_applied/` and are skipped on checkpoint
+    * replay, keeping the log append-exactly-once.
+    */
+  def decontaminateIngest(
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      flagsPath: String,
+      tau: Double): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val marker = new org.apache.hadoop.fs.Path(
+        s"$flagsPath/_applied/batch-$batchId")
+      val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(marker)) {
+        graft.operators.DedupOps
+          .fuzzyFlagContaminated(batch, benchmark, idCol, textCol, tau)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(flagsPath)
+        fs.mkdirs(marker)
+      }
+    }
+
   /** Streaming EXACT dedup with bounded state — the built-in
     * `dropDuplicatesWithinWatermark` surface ([[dedupStream]]'s
     * near-dup sibling handles value-equality within a trailing window

@@ -381,6 +381,41 @@ class StreamingOpsSpec extends SparkSpec {
     assert(spark.read.parquet(flagsP).count() === 5)
   }
 
+  test("decontaminateIngest: per-batch verdicts against the static " +
+    "benchmark land once, replayed batch ids are skipped") {
+    implicit val sql = spark.sqlContext
+    val d = java.nio.file.Files.createTempDirectory("graft_sdecon_").toFile
+    d.deleteOnExit()
+    val flagsP = d.getAbsolutePath + "/flags"
+    val evalItem = "which year did the treaty of utrecht end the war"
+    val bench = Seq((1000L, evalItem)).toDF("doc_id", "text")
+
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(StreamingOps.decontaminateIngest(
+        bench, "doc_id", "text", flagsP, tau = 0.5))
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      (10L, evalItem + " exactly"), // near-dup of the eval item
+      (11L, "completely different text about soil moisture sensors"))
+    q.processAllAvailable()
+    input.addData((20L, evalItem)) // verbatim leak in a later batch
+    q.processAllAvailable()
+    q.stop()
+
+    val flags = spark.read.parquet(flagsP)
+      .select($"doc_id", $"is_contaminated", $"batch_id")
+      .as[(Long, Boolean, Long)].collect().sortBy(_._1).toSeq
+    assert(flags === Seq(
+      (10L, true, 0L), (11L, false, 0L), (20L, true, 1L)))
+
+    // replaying an applied batch id must append nothing
+    StreamingOps.decontaminateIngest(bench, "doc_id", "text", flagsP, 0.5)(
+      Seq((10L, evalItem)).toDF("doc_id", "text"), 0L)
+    assert(spark.read.parquet(flagsP).count() === 3)
+  }
+
   test("sessionStream: sessions close when the watermark passes the gap, " +
     "in-gap events extend and MERGE windows, the emitted rows match the " +
     "batch sessionize on the same events") {
