@@ -129,6 +129,32 @@ object RelationalQueries extends QueryModule {
         "SELECT doc_id, text, lang, source, n_chars FROM documents " +
           "WHERE doc_id >= 0 ORDER BY doc_id")),
 
+    // S22 — schema evolution across table generations: an older parquet
+    // generation lacks a column a newer one carries; mergeSchema
+    // unifies the footers at planning time (schema-only — no data
+    // rewrite of the old files, the cheap half of lake schema
+    // evolution) and the missing column reads as null for old rows.
+    // Both generations are derived deterministically from documents.
+    "s22_schema_merge" -> Q(
+      fn = (s, dir) => {
+        val tmp = freshTmpDir("s22_schema_")
+        val docs = t(s, dir, "documents")
+        docs.select(col("doc_id"), col("lang"))
+          .where(col("doc_id") < 250)
+          .write.mode("overwrite").parquet(s"$tmp/gen1")
+        docs.select(col("doc_id"), col("lang"), col("n_chars"))
+          .where(col("doc_id") >= 250)
+          .write.mode("overwrite").parquet(s"$tmp/gen2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$tmp/gen1", s"$tmp/gen2")
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        SELECT doc_id, lang,
+               CASE WHEN doc_id >= 250 THEN n_chars END AS n_chars
+        FROM documents
+        ORDER BY doc_id""")),
+
     // S18 — snapshot diff: added/removed/changed keys between two table
     // generations plus WHICH columns changed — the change-feed a plain-
     // parquet lake derives by comparing snapshots (both generations
