@@ -970,6 +970,45 @@ object SimilarityQueries extends QueryModule {
         FROM topk
         ORDER BY rank""")),
 
+    // V23 — FILTERED vector search from the persisted index: top-k among
+    // rows satisfying a metadata predicate (label = 3), the vector-store
+    // feature every retrieval pipeline ends up needing. The layout keeps
+    // every non-vector column beside the vector, so the predicate lands
+    // on the SAME pruned scan as a parquet PushedFilter — never
+    // "fetch k then discard", and k survives arbitrary selectivity. At
+    // FULL probe the result is exactly the filtered brute force (the
+    // IvfIndexSpec-pinned identity), which is what makes the oracle
+    // expressible without restating the learned cells.
+    "v23_filtered_ann" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val path = freshIndexDir("v23_") + "/index"
+        graft.operators.IvfIndex.write(
+          emb, "vec_id", "embedding", kCells = 4, trainIters = 2, path)
+        val qvec = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .as[Array[Double]].head()
+        graft.operators.IvfIndex.query(
+          s, path, qvec, excludeId = Some(0L), nprobe = 4, k = 10,
+          where = Some(col("label") === 3))
+          .select(col("vec_id"), col("sim"), col("rank"))
+          .orderBy(col("rank"))
+      },
+      oracle = Some(s"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                   WHERE vec_id = 0),
+        scored AS (
+          SELECT e.vec_id, ${cosineSql("e.embedding", "q.qe")} AS sim
+          FROM embeddings e, q
+          WHERE e.vec_id <> q.qid AND e.label = 3),
+        topk AS (
+          SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10)
+        SELECT vec_id, sim,
+               CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank
+        FROM topk
+        ORDER BY rank""")),
+
     // V18 — SAMPLED codebook training: the codebooks fit on the
     // deterministic 40% md5-of-id subset (trainSampleOf — hashSplit's
     // recipe), encoding and serving stay full-corpus. The production
