@@ -210,4 +210,46 @@ object IncrementalRunner {
       .where(col("change").isNotNull)
       .select((keys.map(col) :+ col("change") :+ col("changed_cols")): _*)
   }
+
+  /** Apply a CDC changelog to a snapshot — [[diffSnapshots]]' inverse
+    * and the lake-side MERGE primitive: per key, the LATEST change (by
+    * `seqCol`) wins; an 'I'/'U' replaces the snapshot row, a 'D'
+    * removes it, and untouched snapshot rows pass through. Changes must
+    * carry the snapshot's columns plus (`opCol`, `seqCol`); a 'D' row's
+    * value columns are ignored.
+    *
+    * Scale shape: one window over the CHANGELOG (churn-sized, never the
+    * snapshot) picks each key's latest op; the snapshot is touched by
+    * exactly one anti-join on the change keys — unhinted, so a routine
+    * churn set broadcasts and a backfill-sized one shuffles — plus the
+    * union of surviving upserts. The snapshot itself is never windowed,
+    * shuffled, or collected.
+    */
+  def applyChangelog(
+      snapshot: DataFrame,
+      changes: DataFrame,
+      keys: Seq[String],
+      opCol: String = "op",
+      seqCol: String = "seq"): DataFrame = {
+    require(keys.nonEmpty, "applyChangelog: at least one key column")
+    require(!snapshot.columns.contains("__rn") &&
+      !changes.columns.contains("__rn"),
+      "applyChangelog reserves column __rn — rename it on the input")
+    require(!snapshot.columns.contains(opCol) &&
+      !snapshot.columns.contains(seqCol),
+      s"applyChangelog: snapshot must not carry $opCol/$seqCol")
+    // seqCol should be unique per key (a changelog's sequence number);
+    // the opCol tie-break only makes a malformed tie deterministic
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc, col(opCol).asc)
+    val latest = changes
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+    snapshot
+      .join(latest.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(
+        latest.where(col(opCol) =!= "D").drop(opCol, seqCol))
+  }
 }

@@ -155,6 +155,41 @@ object RelationalQueries extends QueryModule {
         FROM documents
         ORDER BY doc_id""")),
 
+    // S23 — CDC changelog apply (diffSnapshots' inverse, the lake MERGE
+    // primitive): latest change per key wins — a second-generation 'D'
+    // overrides a first-generation 'U' on the same key; untouched rows
+    // pass through. The changelog is synthesized deterministically from
+    // orders; the oracle states the NET EFFECT (what the table must
+    // look like), independent of the merge mechanics — a stronger check
+    // than replaying the same window dance in SQL.
+    "s23_cdc_apply" -> Q(
+      fn = (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val snapshot = orders.select(
+          col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        val upserts = snapshot.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 5.0)
+          .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+        val lateDeletes = snapshot.filter(col("o_orderkey") % 20 === 0)
+          .withColumn("op", lit("D")).withColumn("seq", lit(2L))
+        val inserts = snapshot.filter(col("o_orderkey") % 10 === 5)
+          .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+          .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+        IncrementalRunner.applyChangelog(
+          snapshot, upserts.unionByName(lateDeletes).unionByName(inserts),
+          Seq("o_orderkey"))
+          .orderBy(col("o_orderkey"))
+      },
+      oracle = Some("""
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 5.0
+                    WHEN o_orderkey % 10 = 5 THEN o_totalprice * 2.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders
+        WHERE o_orderkey % 20 <> 0
+        ORDER BY o_orderkey""")),
+
     // S18 — snapshot diff: added/removed/changed keys between two table
     // generations plus WHICH columns changed — the change-feed a plain-
     // parquet lake derives by comparing snapshots (both generations

@@ -217,4 +217,30 @@ class IncrementalRunnerSpec extends SparkSpec {
       IncrementalRunner.diffSnapshots(oldG, newG, Seq("k"), Seq.empty)
     }
   }
+
+  test("applyChangelog: latest op per key wins, deletes remove, upserts " +
+    "replace, untouched rows pass through, guards fire") {
+    val snap = Seq(
+      (1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+      .toDF("k", "price")
+    val changes = Seq(
+      (2L, 21.0, "U", 1L),  // plain upsert
+      (3L, 31.0, "U", 1L),  // upsert...
+      (3L, 0.0, "D", 2L),   // ...overridden by a LATER delete
+      (5L, 50.0, "I", 1L),  // brand-new key
+      (4L, 0.0, "D", 1L),   // delete
+      (4L, 41.0, "U", 2L))  // ...revived by a LATER upsert
+      .toDF("k", "price", "op", "seq")
+    val got = IncrementalRunner.applyChangelog(
+      snap, changes, Seq("k"))
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 10.0), (2L, 21.0), (4L, 41.0), (5L, 50.0)))
+    intercept[IllegalArgumentException] {
+      IncrementalRunner.applyChangelog(snap, changes, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalRunner.applyChangelog(
+        snap.withColumn("op", lit("x")), changes, Seq("k"))
+    }
+  }
 }
