@@ -181,6 +181,55 @@ object SampleOps {
       .drop("__thr", "__grp")
   }
 
+  /** Temperature-scaled mixture resampling — the standard multilingual/
+    * multi-source flattening: group weights q_i ∝ (token mass)^alpha
+    * (alpha in (0,1]; 1 = proportional, smaller = flatter head/tail),
+    * per-group keep rate = min(1, budget·q_i / tokens_i), applied with
+    * the same deterministic per-myriad id-hash as [[planMixture]] (salt
+    * '/temp', so the two samplers draw independently). One distinct-
+    * group aggregation + a 1-row weight total — no corpus-scale second
+    * pass; thresholds broadcast.
+    *
+    * Hash-comparability discipline: the pow() weights round to 9 dp and
+    * total as exact decimals before the rate math derives in double —
+    * pow is within 1 ulp on any IEEE libm, and the rounding absorbs
+    * that before it can flip a floor().
+    */
+  def temperatureMixture(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      tokens: Column,
+      totalBudget: Long,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1,
+      s"temperatureMixture: alpha must be in (0, 1], got $alpha")
+    require(totalBudget >= 0 && totalBudget <= (Long.MaxValue / 10000),
+      s"temperatureMixture: budget must be in [0, ${Long.MaxValue / 10000}]")
+    for (c <- Seq("__tok", "__thr", "__grp", "__w", "__wsum"))
+      require(!df.columns.contains(c),
+        s"temperatureMixture reserves column $c — rename it on the input")
+    val sums = df.groupBy(col(groupCol))
+      .agg(coalesce(sum(tokens.cast("long")), lit(0L)).as("__tok"))
+      .select(col(groupCol).as("__grp"), col("__tok"),
+        round(pow(col("__tok").cast("double"), lit(alpha)), 9)
+          .cast("decimal(28,9)").as("__w"))
+    val tot = sums.agg(sum(col("__w")).as("__wsum"))
+    val thresholds = sums.crossJoin(broadcast(tot))
+      .select(col("__grp"),
+        when(col("__tok") > 0,
+          least(lit(10000L),
+            floor(lit(10000.0) * lit(totalBudget.toDouble) *
+              (col("__w").cast("double") / col("__wsum").cast("double")) /
+              col("__tok").cast("double")).cast("long")))
+          .otherwise(lit(0L)).as("__thr"))
+    val h = pmod(TextOps.baseHash60(
+      concat(col(idCol).cast("string"), lit("/temp"))), lit(10000))
+    df.join(broadcast(thresholds), col(groupCol) <=> col("__grp"))
+      .filter(h < col("__thr"))
+      .drop("__thr", "__grp")
+  }
+
   /** Greedy sequence-packing approximation: stream each shard's docs in
     * hash order, keep a running length cumsum, and place each doc in the
     * bin where its first token lands when the stream is concatenated

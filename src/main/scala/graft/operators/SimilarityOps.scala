@@ -227,6 +227,33 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** k-NN classification: each query row takes the majority label of its
+    * `k` nearest training vectors (cosine), ties to the smallest label —
+    * the classic embedding-space classifier (weak-label propagation,
+    * quality-tier assignment, language-family tagging) built on
+    * [[topKPerQuery]]'s broadcast-query + map-side-capped candidate
+    * stage. The label join touches only the q×k candidate rows, and the
+    * vote is one partial-aggregable groupBy over them.
+    */
+  def knnClassify(
+      train: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val topk = topKPerQuery(train, queries, idCol, vecCol, k)
+    topk
+      .join(train.select(col(idCol), col(labelCol)), Seq(idCol))
+      .groupBy(col("qid"), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("votes").desc, col(labelCol).asc)))
+      .where(col("__r") === 1)
+      .select(col("qid"), col(labelCol).as("pred"), col("votes"))
+  }
+
   /** Per-group centroids via posexplode + exact decimal mean per dimension,
     * then each vector's euclidean distance to its own group centroid.
     * Two shuffles: (group, dim) aggregation + the group equi-join back;

@@ -1009,6 +1009,44 @@ object SimilarityQueries extends QueryModule {
         FROM topk
         ORDER BY rank""")),
 
+    // V24 — k-NN classification: the first five vectors take the
+    // majority label of their 10 nearest (cosine) training vectors
+    // (all the rest), ties to the smallest label — embedding-space
+    // weak labeling on the topKPerQuery candidate stage; the label
+    // join touches only the q×k candidate rows.
+    "v24_knn_classify" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimilarityOps.knnClassify(
+          emb.filter(col("vec_id") >= 5), emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "label", k = 10)
+          .orderBy(col("qid"))
+      },
+      oracle = Some(s"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                   WHERE vec_id < 5),
+        t AS (SELECT vec_id, label, embedding FROM embeddings
+              WHERE vec_id >= 5),
+        scored AS (
+          SELECT q.qid, t.vec_id, t.label,
+                 ${cosineSql("t.embedding", "q.qe")} AS sim
+          FROM t, q),
+        rk AS (
+          SELECT *, row_number() OVER (PARTITION BY qid
+                      ORDER BY sim DESC, vec_id) AS rnk
+          FROM scored),
+        votes AS (
+          SELECT qid, label, count(*) AS votes
+          FROM rk WHERE rnk <= 10 GROUP BY 1, 2),
+        best AS (
+          SELECT qid, label, votes,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY votes DESC, label) AS r
+          FROM votes)
+        SELECT qid, label AS pred, CAST(votes AS BIGINT) AS votes
+        FROM best WHERE r = 1
+        ORDER BY qid""")),
+
     // V18 — SAMPLED codebook training: the codebooks fit on the
     // deterministic 40% md5-of-id subset (trainSampleOf — hashSplit's
     // recipe), encoding and serving stay full-corpus. The production

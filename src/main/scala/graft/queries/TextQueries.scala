@@ -569,6 +569,47 @@ object TextQueries extends QueryModule {
         ORDER BY d.doc_id"""
       }),
 
+    // C6 — temperature-scaled mixture (alpha = 0.5): source weights
+    // ∝ sqrt(token mass) — the standard multilingual flattening that
+    // up-samples tail sources relative to proportional sampling —
+    // against a 20k-token budget, drawn with the deterministic
+    // '/temp'-salted id hash. pow weights round to 9 dp and total as
+    // exact decimals before the rate math, so both engines floor the
+    // same thresholds.
+    "c6_temperature_mix" -> Q(
+      fn = (s, dir) =>
+        graft.operators.SampleOps.temperatureMixture(
+          t(s, dir, "documents"), "doc_id", "source",
+          tokens = size(split(col("text"), " ")),
+          totalBudget = 20000L, alpha = 0.5)
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id")),
+      oracle = Some {
+        val h60 = baseHashSql.replace("md5(s)",
+          "md5(CAST(doc_id AS VARCHAR) || '/temp')")
+        s"""
+        WITH tot AS (
+          SELECT source,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok
+          FROM documents GROUP BY source),
+        w AS (
+          SELECT source, tok,
+                 CAST(round(pow(CAST(tok AS DOUBLE), 0.5), 9)
+                      AS DECIMAL(28,9)) AS w
+          FROM tot),
+        ws AS (SELECT sum(w) AS wsum FROM w),
+        thr AS (
+          SELECT source,
+                 least(10000, CAST(floor(10000.0 * 20000 *
+                   (CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE))
+                   / CAST(tok AS DOUBLE)) AS BIGINT)) AS t
+          FROM w CROSS JOIN ws)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN thr ON thr.source = d.source
+        WHERE ($h60) % 10000 < thr.t
+        ORDER BY d.doc_id"""
+      }),
+
     // C2 — per-source corpus health report, one plan: doc counts, exact-
     // duplicate rate (beyond-first copies by text md5 — the d1 rule),
     // language spread, and token/char mass. Ratios divide exact integer

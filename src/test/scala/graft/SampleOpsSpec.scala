@@ -153,4 +153,34 @@ class SampleOpsSpec extends SparkSpec {
         "doc_id", "grp", $"__tok", Map.empty)
     }
   }
+
+  test("temperatureMixture: alpha < 1 up-samples the tail source " +
+    "relative to proportional, rates cap at 1, guards fire") {
+    // big: 200 docs x 10 tokens; tail: 20 docs x 10 tokens
+    val docs = ((1L to 200L).map((_, "big", 10)) ++
+      (201L to 220L).map((_, "tail", 10)))
+      .toDF("doc_id", "grp", "tok")
+    def kept(alpha: Double): Map[String, Long] =
+      SampleOps.temperatureMixture(
+        docs, "doc_id", "grp", $"tok", totalBudget = 1000L, alpha = alpha)
+        .groupBy($"grp").count()
+        .as[(String, Long)].collect().toMap.withDefaultValue(0L)
+    val flat = kept(0.5)
+    val prop = kept(1.0)
+    // alpha=0.5: tail rate = budget·q/200 = 1.2 -> capped at 1.0,
+    // every tail doc survives; proportional keeps tail at ~45%
+    assert(flat("tail") === 20L)
+    assert(prop("tail") < 20L)
+    assert(flat("tail") > prop("tail"), s"flat=$flat prop=$prop")
+    // the flattening takes FROM the head
+    assert(flat("big") < prop("big"), s"flat=$flat prop=$prop")
+    intercept[IllegalArgumentException] {
+      SampleOps.temperatureMixture(docs, "doc_id", "grp", $"tok", 100L, 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      SampleOps.temperatureMixture(
+        docs.withColumnRenamed("tok", "__tok"),
+        "doc_id", "grp", $"__tok", 100L, 0.5)
+    }
+  }
 }
