@@ -765,6 +765,51 @@ object TemporalQueries extends QueryModule {
         WHERE gap_start IS NOT NULL
         ORDER BY user_id, gap_start""")),
 
+    // A24 — growth accounting: per day, event volume, active users, NEW
+    // users (first-ever event lands that day) and the cumulative user
+    // count — the DAU/retention denominator every analytics stack
+    // derives. First-seen attribution is one per-user min (partial-
+    // aggregable, no window over the event stream); the running total
+    // is a window over the DAY frame — calendar-sized, not data-sized.
+    "a24_user_growth" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val firstSeen = ev.groupBy(col("user_id"))
+          .agg(min(col("day")).as("first_day"))
+        val daily = ev.groupBy(col("day"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_active"))
+        val newUsers = firstSeen.groupBy(col("first_day").as("day"))
+          .agg(count(lit(1)).as("n_new"))
+        daily.join(newUsers, Seq("day"), "left")
+          .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+          .withColumn("cum_users",
+            sum(col("n_new")).over(
+              Window.orderBy(col("day"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .orderBy(col("day"))
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        fs AS (
+          SELECT user_id, min(day) AS first_day FROM ev GROUP BY user_id),
+        daily AS (
+          SELECT day, count(*) AS n_events,
+                 count(DISTINCT user_id) AS n_active
+          FROM ev GROUP BY day),
+        nu AS (
+          SELECT first_day AS day, count(*) AS n_new
+          FROM fs GROUP BY first_day)
+        SELECT d.day, d.n_events, d.n_active,
+               coalesce(nu.n_new, 0) AS n_new,
+               sum(coalesce(nu.n_new, 0)) OVER (ORDER BY d.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_users
+        FROM daily d LEFT JOIN nu ON nu.day = d.day
+        ORDER BY d.day""")),
+
     // A17 — rolling z-score anomaly flags: each event's value against the
     // mean/sample-stddev of the ±10-row window around it per user. The
     // windowed sums run over exact decimal casts (order-independent
