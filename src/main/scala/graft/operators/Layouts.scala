@@ -158,4 +158,74 @@ object Layouts {
         .drop("__z")
     }
   }
+
+  private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  /** Compact a plain-parquet table directory to ~`targetFileBytes`
+    * files — the generic small-file repair for any append-accumulated
+    * dataset (the store-specific compactors in IvfIndex/DedupStore are
+    * layout-aware siblings of this). The output file count derives from
+    * the CURRENT on-disk byte size (one namenode listing, no data
+    * read); contents are byte-equal, only the file geometry changes.
+    *
+    * Swap discipline: write to `<path>_compacting`, then the same
+    * rename-aside two-step as the stores (`path` -> `<path>_old`,
+    * staging -> `path`, drop the aside copy), every rename checked —
+    * Hadoop FileSystem reports most failures by returning false. A
+    * crash between the renames is recovered by [[recoverTableSwap]],
+    * run on entry: a COMPLETE staged copy rolls forward, otherwise the
+    * aside copy rolls back. Single mutator per path, like the stores.
+    */
+  def compactTable(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long): Unit = {
+    require(targetFileBytes > 0,
+      s"compactTable: targetFileBytes must be positive, got $targetFileBytes")
+    val tmp = s"${path}_compacting"
+    val old = s"${path}_old"
+    recoverTableSwap(spark, path, tmp, old)
+    val fs = hPath(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(hPath(path)).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    spark.read.parquet(path)
+      .repartition(nFiles.toInt)
+      .write.mode("overwrite").parquet(tmp)
+    def must(ok: Boolean, step: String): Unit =
+      if (!ok) throw new IllegalStateException(
+        s"compactTable($path): $step failed — data left under " +
+          s"$path/$tmp/$old, nothing deleted")
+    if (fs.exists(hPath(old))) must(fs.delete(hPath(old), true),
+      s"clearing stale $old")
+    must(fs.rename(hPath(path), hPath(old)), s"rename $path -> $old")
+    must(fs.rename(hPath(tmp), hPath(path)), s"rename $tmp -> $path")
+    must(fs.delete(hPath(old), true), s"delete $old")
+  }
+
+  /** Roll a crashed [[compactTable]] swap forward or back so `path` is
+    * always present on entry — the [[graft.operators.IvfIndex]]
+    * recoverSwap protocol applied to a bare table directory: when the
+    * live dir is missing, a present staging copy is COMPLETE (the swap
+    * only starts after the write finishes) and rolls forward; otherwise
+    * the aside copy is the only complete generation and rolls back.
+    */
+  private def recoverTableSwap(
+      spark: SparkSession, path: String, tmp: String, old: String): Unit = {
+    val fs = hPath(path).getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hPath(path))) {
+      def must(ok: Boolean, step: String): Unit =
+        if (!ok) throw new IllegalStateException(
+          s"compactTable recovery: $step failed — data left under " +
+            s"$path/$tmp/$old, nothing deleted")
+      if (fs.exists(hPath(tmp))) {
+        must(fs.rename(hPath(tmp), hPath(path)),
+          s"roll-forward rename $tmp -> $path")
+        if (fs.exists(hPath(old)))
+          must(fs.delete(hPath(old), true), s"roll-forward delete $old")
+      } else if (fs.exists(hPath(old))) {
+        must(fs.rename(hPath(old), hPath(path)),
+          s"roll-back rename $old -> $path")
+      }
+    }
+  }
 }

@@ -155,6 +155,25 @@ object RelationalQueries extends QueryModule {
         FROM documents
         ORDER BY doc_id""")),
 
+    // S24 — generic table compaction: a 32-file append-accumulated copy
+    // of documents compacts to target-sized files behind the rename-
+    // aside crash-safe swap (the stores' protocol on a bare directory);
+    // contents must survive byte-equal — only the file geometry moves.
+    "s24_compact_table" -> Q(
+      fn = (s, dir) => {
+        val tmp = freshTmpDir("s24_compact_") + "/docs"
+        t(s, dir, "documents")
+          .repartition(32).write.mode("overwrite").parquet(tmp)
+        Layouts.compactTable(s, tmp, targetFileBytes = 8L * 1024 * 1024)
+        s.read.parquet(tmp)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(
+        "SELECT doc_id, text, lang, source, n_chars FROM documents " +
+          "ORDER BY doc_id")),
+
     // S23 — CDC changelog apply (diffSnapshots' inverse, the lake MERGE
     // primitive): latest change per key wins — a second-generation 'D'
     // overrides a first-generation 'U' on the same key; untouched rows

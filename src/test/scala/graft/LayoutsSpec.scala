@@ -104,6 +104,37 @@ class LayoutsSpec extends SparkSpec {
       Seq("l_orderkey"), 4).count() === 0)
   }
 
+  test("compactTable: file count collapses to the byte-derived target, " +
+    "rows survive exactly, and a mid-swap crash self-heals both ways") {
+    val d = java.nio.file.Files.createTempDirectory("graft_ctable_").toFile
+    d.deleteOnExit()
+    val p = d.getAbsolutePath + "/t"
+    spark.range(0, 10000).toDF("id")
+      .repartition(24).write.parquet(p)
+    def files(): Int = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files() === 24)
+    Layouts.compactTable(spark, p, targetFileBytes = 1L << 30) // 1 file
+    assert(files() === 1, s"expected 1 file, got ${files()}")
+    assert(spark.read.parquet(p).count() === 10000)
+    intercept[IllegalArgumentException] {
+      Layouts.compactTable(spark, p, 0L)
+    }
+    // crash state A: live gone, aside present -> roll back, then compact
+    val src = new java.io.File(p)
+    val old = new java.io.File(p + "_old")
+    val tmp = new java.io.File(p + "_compacting")
+    assert(src.renameTo(old))
+    Layouts.compactTable(spark, p, 1L << 30)
+    assert(src.exists && !old.exists && !tmp.exists)
+    assert(spark.read.parquet(p).count() === 10000)
+    // crash state B: live gone, complete staging present -> roll forward
+    assert(src.renameTo(tmp))
+    Layouts.compactTable(spark, p, 1L << 30)
+    assert(src.exists && !old.exists && !tmp.exists)
+    assert(spark.read.parquet(p).count() === 10000)
+  }
+
   test("zorder: an ALL-NULL z-column degrades to a zero-bit range — the " +
     "other columns still cluster instead of the layout silently skipping") {
     val df = spark.range(0, 1024).toDF("a")
