@@ -1047,6 +1047,67 @@ object SimilarityQueries extends QueryModule {
         FROM best WHERE r = 1
         ORDER BY qid""")),
 
+    // V25 — MEASURED recall@10 of single-bucket sign-LSH against the
+    // exact top-k, per query, inside the oracle gate: the engine
+    // measures its own approximation and an independent engine
+    // reproduces the number. This is AnnRecallSpec's discipline
+    // promoted to a hash-checked query — the recall a user would see
+    // is a verified output, not a test-log claim.
+    "v25_ann_recall" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val b = emb.withColumn("bucket",
+          SimilarityOps.lshBucket(col("embedding"), 8))
+        val q = b.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("bucket").as("qbucket"))
+        val exact = SimilarityOps.topKPerQuery(
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+          .select(col("qid"), col("vec_id"))
+        val wA = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+        val approx = b.join(broadcast(q), col("bucket") === col("qbucket"))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("sim", SimilarityOps.cosine(col("embedding"), col("qe")))
+          .withColumn("rank", row_number().over(wA))
+          .where(col("rank") <= 10)
+          .select(col("qid"), col("vec_id"))
+        exact
+          .join(approx.withColumn("__m", lit(1)), Seq("qid", "vec_id"),
+            "left")
+          .groupBy(col("qid"))
+          .agg(count(col("__m")).as("hits")) // non-null = found by LSH
+          .withColumn("recall", round(col("hits") / 10.0, 6))
+          .orderBy(col("qid"))
+      },
+      oracle = Some(s"""
+        WITH b AS (
+          SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+        q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket
+              FROM b WHERE vec_id < 5),
+        ex AS (
+          SELECT q.qid, e.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${cosineSql("e.embedding", "q.qe")} DESC,
+                            e.vec_id) AS rnk
+          FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        exact AS (SELECT qid, vec_id FROM ex WHERE rnk <= 10),
+        ap AS (
+          SELECT q.qid, b.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${cosineSql("b.embedding", "q.qe")} DESC,
+                            b.vec_id) AS rnk
+          FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.qid),
+        approx AS (SELECT qid, vec_id FROM ap WHERE rnk <= 10),
+        hits AS (
+          SELECT e.qid, CAST(count(a.vec_id) AS BIGINT) AS hits
+          FROM exact e LEFT JOIN approx a
+            ON a.qid = e.qid AND a.vec_id = e.vec_id
+          GROUP BY e.qid)
+        SELECT qid, hits, round(hits / 10.0, 6) AS recall
+        FROM hits ORDER BY qid""")),
+
     // V18 — SAMPLED codebook training: the codebooks fit on the
     // deterministic 40% md5-of-id subset (trainSampleOf — hashSplit's
     // recipe), encoding and serving stay full-corpus. The production
