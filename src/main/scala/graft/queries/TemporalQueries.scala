@@ -804,9 +804,9 @@ object TemporalQueries extends QueryModule {
           FROM fs GROUP BY first_day)
         SELECT d.day, d.n_events, d.n_active,
                coalesce(nu.n_new, 0) AS n_new,
-               sum(coalesce(nu.n_new, 0)) OVER (ORDER BY d.day
+               CAST(sum(coalesce(nu.n_new, 0)) OVER (ORDER BY d.day
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS cum_users
+                 AS BIGINT) AS cum_users
         FROM daily d LEFT JOIN nu ON nu.day = d.day
         ORDER BY d.day""")),
 
