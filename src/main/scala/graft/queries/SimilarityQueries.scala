@@ -1108,6 +1108,83 @@ object SimilarityQueries extends QueryModule {
         SELECT qid, hits, round(hits / 10.0, 6) AS recall
         FROM hits ORDER BY qid""")),
 
+    // V26 — MEASURED recall@10 of MULTI-PROBE sign-LSH (own bucket plus
+    // every Hamming-distance-1 bucket, 9 probes over 8 planes) against
+    // the exact top-k: v25's twin for the recall REPAIR, so the number
+    // AnnRecallSpec floors (multi-probe ⊇ single-bucket candidates,
+    // hence recall(v26) >= recall(v25) per query) is itself a
+    // hash-checked output. Spark probes via an exploded 9-row-per-query
+    // broadcast and a bucket equi-join (lshMultiProbeTopK's shape —
+    // (planes+1)/2^planes of the corpus in expectation, never a scan);
+    // the oracle states the same probe set declaratively as
+    // bit_count(xor(bucket, qbucket)) <= 1.
+    "v26_multiprobe_recall" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val b = emb.withColumn("bucket",
+          SimilarityOps.lshBucket(col("embedding"), 8))
+        val q = b.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("bucket").as("qbucket"))
+        // 9 probe rows per query: the bucket itself + each single-bit
+        // flip (distinct by construction, so a corpus row matches at
+        // most one probe per query — no candidate dedup needed).
+        val probes = broadcast(q.select(col("qid"), col("qe"),
+          explode(concat(
+            array(col("qbucket")),
+            transform(sequence(lit(0), lit(7)), p =>
+              col("qbucket").bitwiseXOR(
+                pow(lit(2.0), p.cast("double")).cast("long")))))
+            .as("bucket")))
+        val exact = SimilarityOps.topKPerQuery(
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+          .select(col("qid"), col("vec_id"))
+        val wA = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+        val approx = b.join(probes, Seq("bucket"))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("sim", SimilarityOps.cosine(col("embedding"), col("qe")))
+          .withColumn("rank", row_number().over(wA))
+          .where(col("rank") <= 10)
+          .select(col("qid"), col("vec_id"))
+        exact
+          .join(approx.withColumn("__m", lit(1)), Seq("qid", "vec_id"),
+            "left")
+          .groupBy(col("qid"))
+          .agg(count(col("__m")).as("hits"))
+          .withColumn("recall", round(col("hits") / 10.0, 6))
+          .orderBy(col("qid"))
+      },
+      oracle = Some(s"""
+        WITH b AS (
+          SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+        q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket
+              FROM b WHERE vec_id < 5),
+        ex AS (
+          SELECT q.qid, e.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${cosineSql("e.embedding", "q.qe")} DESC,
+                            e.vec_id) AS rnk
+          FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        exact AS (SELECT qid, vec_id FROM ex WHERE rnk <= 10),
+        ap AS (
+          SELECT q.qid, b.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${cosineSql("b.embedding", "q.qe")} DESC,
+                            b.vec_id) AS rnk
+          FROM b JOIN q
+            ON bit_count(xor(b.bucket, q.qbucket)) <= 1
+           AND b.vec_id <> q.qid),
+        approx AS (SELECT qid, vec_id FROM ap WHERE rnk <= 10),
+        hits AS (
+          SELECT e.qid, CAST(count(a.vec_id) AS BIGINT) AS hits
+          FROM exact e LEFT JOIN approx a
+            ON a.qid = e.qid AND a.vec_id = e.vec_id
+          GROUP BY e.qid)
+        SELECT qid, hits, round(hits / 10.0, 6) AS recall
+        FROM hits ORDER BY qid""")),
+
     // V18 — SAMPLED codebook training: the codebooks fit on the
     // deterministic 40% md5-of-id subset (trainSampleOf — hashSplit's
     // recipe), encoding and serving stay full-corpus. The production
