@@ -1,6 +1,5 @@
 package graft.operators
 
-import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -57,7 +56,6 @@ object DedupStore {
   private def fsFor(spark: SparkSession, s: String) =
     hadoopPath(s).getFileSystem(spark.sessionState.newHadoopConf())
 
-  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** Build the store at `path` from the current corpus (overwrites). */
   def write(
@@ -82,34 +80,23 @@ object DedupStore {
   }
 
   /** Read the `<path>/_meta` sidecar. */
+  // Sidecar protocol (I/O, version gate, escaping) is [[MetaSidecar]] —
+  // shared with IvfIndex; only the field layout is this store's.
   def readMeta(spark: SparkSession, path: String): Meta = {
-    val p = hadoopPath(s"$path/_meta")
-    val fs = fsFor(spark, path)
-    require(fs.exists(p),
-      s"no dedup-store metadata at $path/_meta — build with DedupStore.write")
-    val len = fs.getFileStatus(p).getLen.toInt
-    val buf = new Array[Byte](len)
-    val in = fs.open(p)
-    try in.readFully(0, buf) finally in.close()
-    val node = jsonMapper.readTree(new String(buf, StandardCharsets.UTF_8))
-    val version = Option(node.get("version")).map(_.asInt).getOrElse(-1)
-    require(version == 1,
-      s"dedup store at $path has _meta version $version; this build " +
-        "reads version 1 — rebuild the store or upgrade the library")
+    val node = MetaSidecar.read(spark, path, "dedup store",
+      "build with DedupStore.write")
     Meta(node.get("idCol").asText, node.get("textCol").asText,
       node.get("shingleK").asInt, node.get("numPerm").asInt,
       node.get("bands").asInt, node.get("maxBucket").asInt)
   }
 
   private def writeMeta(spark: SparkSession, path: String, m: Meta): Unit = {
-    def jstr(v: String): String = jsonMapper.writeValueAsString(v)
-    val json =
-      s"""{"version":1,"idCol":${jstr(m.idCol)},""" +
+    import MetaSidecar.jstr
+    MetaSidecar.write(spark, path,
+      s""""idCol":${jstr(m.idCol)},""" +
         s""""textCol":${jstr(m.textCol)},"shingleK":${m.shingleK},""" +
         s""""numPerm":${m.numPerm},"bands":${m.bands},""" +
-        s""""maxBucket":${m.maxBucket}}"""
-    val out = fsFor(spark, path).create(hadoopPath(s"$path/_meta"), true)
-    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        s""""maxBucket":${m.maxBucket}""")
   }
 
   /** Crash recovery for the [[swapRows]] protocol, run by every

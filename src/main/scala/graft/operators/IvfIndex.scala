@@ -1,6 +1,5 @@
 package graft.operators
 
-import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -109,13 +108,9 @@ object IvfIndex {
   /** The _meta sidecar's modification time — the cache-coherence stamp
     * (write() rewrites _meta last, so a rebuild always moves it).
     */
-  private def metaStamp(spark: SparkSession, path: String): Long = {
-    val p = hadoopPath(s"$path/_meta")
-    val fs = fsFor(spark, path)
-    require(fs.exists(p),
-      s"no index metadata at $path/_meta — build the index with IvfIndex.write")
-    fs.getFileStatus(p).getModificationTime
-  }
+  private def metaStamp(spark: SparkSession, path: String): Long =
+    MetaSidecar.stamp(spark, path, "index",
+      "build the index with IvfIndex.write")
 
   private def stampedGet[T](
       cache: java.util.concurrent.ConcurrentHashMap[String, Stamped[T]],
@@ -188,25 +183,18 @@ object IvfIndex {
   private def fsFor(spark: SparkSession, s: String) =
     hadoopPath(s).getFileSystem(spark.sessionState.newHadoopConf())
 
-  // one thread-safe Jackson mapper for the sidecar (reader and writer)
-  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
-
+  // Sidecar protocol (I/O, version gate, escaping) is [[MetaSidecar]] —
+  // shared with DedupStore; only the field layout is this index's.
   private def writeMeta(spark: SparkSession, path: String, meta: Meta): Unit = {
-    // column names are caller data — JSON-escape them (a quote or
-    // backslash in a column name must not write a corrupt sidecar)
-    def jstr(v: String): String = jsonMapper.writeValueAsString(v)
+    import MetaSidecar.jstr
     val pqJson = meta.pq.fold("null") { p =>
       s"""{"numSub":${p.numSub},"kCodes":${p.kCodes},"iters":${p.iters},""" +
         s""""residual":${p.residual}}"""
     }
-    val json =
-      s"""{"version":1,"idCol":${jstr(meta.idCol)},"vecCol":${jstr(meta.vecCol)},""" +
+    MetaSidecar.write(spark, path,
+      s""""idCol":${jstr(meta.idCol)},"vecCol":${jstr(meta.vecCol)},""" +
         s""""kCells":${meta.kCells},"dims":${meta.dims},"pq":$pqJson,""" +
-        s""""sq8":${meta.sq8}}"""
-    val p = hadoopPath(s"$path/_meta")
-    val fs = fsFor(spark, path)
-    val out = fs.create(p, true)
-    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        s""""sq8":${meta.sq8}""")
   }
 
   /** Read the `<path>/_meta` sidecar (cached per path, stamp-checked). */
@@ -219,18 +207,8 @@ object IvfIndex {
   // round-trip), and one stamp per call is the same coherence guarantee.
   private def metaAt(spark: SparkSession, path: String, stamp: Long): Meta =
     stampedGet(metaCache, path, stamp) {
-      val p = hadoopPath(s"$path/_meta")
-      val fs = fsFor(spark, path)
-      val len = fs.getFileStatus(p).getLen.toInt
-      val buf = new Array[Byte](len)
-      val in = fs.open(p)
-      try in.readFully(0, buf) finally in.close()
-      val node = jsonMapper
-        .readTree(new String(buf, StandardCharsets.UTF_8))
-      val version = Option(node.get("version")).map(_.asInt).getOrElse(-1)
-      require(version == 1,
-        s"index at $path has _meta version $version; this build reads " +
-          "version 1 — rebuild the index or upgrade the library")
+      val node = MetaSidecar.read(spark, path, "index",
+        "build the index with IvfIndex.write")
       val pq = Option(node.get("pq")).filterNot(_.isNull).map { n =>
         Pq(n.get("numSub").asInt, n.get("kCodes").asInt, n.get("iters").asInt,
           n.get("residual").asBoolean)
