@@ -183,15 +183,20 @@ object DedupOps {
       shingleK: Int = 3,
       numPerm: Int = 8,
       bands: Int = 2,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      capMetric: Option[String] = None): DataFrame = {
     require(tau > 0 && tau <= 1,
       s"fuzzyFlagContaminated: tau must be in (0, 1], got $tau")
+    // A corpus doc ranked past the cap in a hot bucket is silently
+    // never matched — a false negative in a SAFETY gate — so the
+    // metered form reports both sides' cap events (`<name>.corpus`,
+    // `<name>.benchmark`); see the bandRows scaladoc for the trade.
     val corpusRows = bandRows(
       docs, idCol, textCol, shingleK, numPerm, bands, maxBucket,
-      withSig = true)
+      withSig = true, capMetric = capMetric.map(_ + ".corpus"))
     val benchRows = bandRows(
       benchmark, idCol, textCol, shingleK, numPerm, bands, maxBucket,
-      withSig = true)
+      withSig = true, capMetric = capMetric.map(_ + ".benchmark"))
       .select(col("band_idx"), col("band_key"), col("sig").as("__bsig"))
     val hits = corpusRows
       .join(benchRows, Seq("band_idx", "band_key"))
@@ -278,6 +283,22 @@ object DedupOps {
     * false`, lean shuffle) and [[DedupStore]]'s persisted row format
     * (`withSig = true` — the signature rides along so store joins can
     * verify matches without ever re-reading document text).
+    *
+    * A capped row is a candidate the downstream match NEVER sees — in
+    * a decontamination gate that is a false negative, so cap events
+    * must be visible (ADVICE r12): pass `capMetric` and the query
+    * reports `rows_past_cap` / `max_bucket_rank` as a named observed
+    * metric (`Dataset.observe` — an accumulator piggybacked on the
+    * pass, no extra job), surfaced through `QueryExecutionListener`
+    * for batch and `StreamingQueryProgress.observedMetrics` for
+    * streams. Names must be unique per query — callers scoring two
+    * frames in one plan suffix them (see [[fuzzyFlagContaminated]]).
+    * The explicit trade: counting past-cap rows means they must reach
+    * the metrics node, so the metered form gives up the
+    * WindowGroupLimit map-side pre-reduction and ships whole hot
+    * buckets to the shuffle — metering cost is proportional to the
+    * pathology being watched; leave `capMetric` off on paths where the
+    * cap is a pure throughput guard and false negatives are fine.
     */
   def bandRows(
       df: DataFrame,
@@ -287,7 +308,8 @@ object DedupOps {
       numPerm: Int,
       bands: Int,
       maxBucket: Int,
-      withSig: Boolean): DataFrame = {
+      withSig: Boolean,
+      capMetric: Option[String] = None): DataFrame = {
     val banded = minhashBands(df, idCol, textCol, shingleK, numPerm, bands)
     val sigCols = if (withSig) Seq(col("sig")) else Nil
     val exploded = banded.select(
@@ -299,8 +321,12 @@ object DedupOps {
         col("band.band_key")): _*)
     val wB = Window.partitionBy(col("band_idx"), col("band_key"))
       .orderBy(col(idCol))
-    exploded
-      .withColumn("__rk", row_number().over(wB))
+    val ranked = exploded.withColumn("__rk", row_number().over(wB))
+    val metered = capMetric.fold(ranked)(name => ranked.observe(name,
+      sum(when(col("__rk") > maxBucket, 1L).otherwise(0L))
+        .as("rows_past_cap"),
+      max(col("__rk")).as("max_bucket_rank")))
+    metered
       .filter(col("__rk") <= maxBucket)
       .drop("__rk")
   }

@@ -148,6 +148,18 @@ object DedupStore {
     * live dir with staging present means the swap passed the point of
     * no return, so the staged generation is the current one; otherwise
     * the aside copy is the only complete generation.
+    *
+    * What this does and does not give a reader racing a mutator
+    * (ADVICE r12): the directory resolves here but the parquet scan
+    * executes LATER (lazily), and a mutator finishing a swap in
+    * between can rename or delete the resolved directory (e.g.
+    * `rows_old` dropped after roll-forward) — the read then fails
+    * TRANSIENTLY with a missing-path error. It never silently reads a
+    * half-written generation (staging only becomes visible complete),
+    * so the failure mode is clean and a retry — which re-resolves the
+    * post-swap state — is always safe. Readers that cannot tolerate
+    * even transient failures must serialize with mutators, same as
+    * the single-mutator contract above.
     */
   private def resolveRowsForRead(spark: SparkSession, path: String): String = {
     val fs = fsFor(spark, path)

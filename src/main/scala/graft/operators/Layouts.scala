@@ -188,6 +188,14 @@ object Layouts {
     val fs = hPath(path).getFileSystem(spark.sessionState.newHadoopConf())
     val bytes = fs.getContentSummary(hPath(path)).getLength
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    // ADVICE r12: a tiny targetFileBytes on a huge table can push the
+    // ratio past Int range, and a silent .toInt wrap would ask for a
+    // negative partition count — fail with the cause instead (before
+    // any rename, so nothing is touched).
+    require(nFiles <= Int.MaxValue,
+      s"compactTable($path): $bytes bytes / $targetFileBytes target " +
+        s"bytes = $nFiles output files, beyond Spark's Int partition " +
+        "range — raise targetFileBytes")
     spark.read.parquet(path)
       .repartition(nFiles.toInt)
       .write.mode("overwrite").parquet(tmp)

@@ -176,16 +176,36 @@ object StreamingOps {
     * the ingest gate that keeps eval leakage out of a training corpus
     * as it arrives. Unlike [[dedupIngest]] there is no store to mutate:
     * the benchmark is fixed, so batches are independent and the only
-    * replay concern is the flag log itself — applied batch ids leave a
-    * marker under `<flagsPath>/_applied/` and are skipped on checkpoint
-    * replay, keeping the log append-exactly-once.
+    * replay concern is the flag log itself. Each batch's verdicts land
+    * in their OWN partition directory (`<flagsPath>/batch_id=<id>`,
+    * overwrite) — a checkpoint replay rewrites that directory instead
+    * of appending a second copy, so the log is exactly-once even
+    * across a crash mid-batch (ADVICE r12: the previous flat append +
+    * marker pair left a duplicate-flags window between the two steps).
+    * The `_applied` marker remains as a replay fast-path (skip the LSH
+    * join entirely), not as the correctness mechanism. Readers
+    * `spark.read.parquet(flagsPath)` and get `batch_id` back through
+    * partition discovery.
+    *
+    * The signature knobs mirror
+    * [[graft.operators.DedupOps.fuzzyFlagContaminated]] (ADVICE r12:
+    * they were hard-coded here) — in particular `maxBucket`, whose
+    * default cap silently drops hot-bucket candidates (false negatives
+    * in a safety gate); raise it for decontamination-grade runs (the
+    * batch query d16 passes 100000) and set `capMetric` to surface
+    * cap events as observed metrics on the per-batch executions.
     */
   def decontaminateIngest(
       benchmark: DataFrame,
       idCol: String,
       textCol: String,
       flagsPath: String,
-      tau: Double): (DataFrame, Long) => Unit =
+      tau: Double,
+      shingleK: Int = 3,
+      numPerm: Int = 8,
+      bands: Int = 2,
+      maxBucket: Int = 1000,
+      capMetric: Option[String] = None): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       val marker = new org.apache.hadoop.fs.Path(
@@ -193,9 +213,11 @@ object StreamingOps {
       val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
       if (!fs.exists(marker)) {
         graft.operators.DedupOps
-          .fuzzyFlagContaminated(batch, benchmark, idCol, textCol, tau)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(flagsPath)
+          .fuzzyFlagContaminated(batch, benchmark, idCol, textCol, tau,
+            shingleK, numPerm, bands, maxBucket,
+            capMetric = capMetric.map(m => s"$m.batch$batchId"))
+          .write.mode("overwrite")
+          .parquet(s"$flagsPath/batch_id=$batchId")
         fs.mkdirs(marker)
       }
     }

@@ -117,4 +117,36 @@ class DedupOpsSpec extends SparkSpec {
         corpus, bench, "doc_id", "text", tau = 0.0)
     }
   }
+
+  test("bandRows capMetric: past-cap rows surface as an observed metric " +
+    "(a capped candidate is a safety-gate false negative — ADVICE r12 " +
+    "asks for cap events to be visible, not silent)") {
+    // four IDENTICAL docs -> each of the 2 band buckets holds 4 rows;
+    // maxBucket=2 silently drops 2 per bucket, 4 total
+    val docs = (1L to 4L).map(i => (i, "aaa bbb ccc ddd eee"))
+      .toDF("doc_id", "text")
+    @volatile var seen: Option[org.apache.spark.sql.Row] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.get("cap_test").foreach(r => seen = Some(r))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val kept = DedupOps.bandRows(docs, "doc_id", "text",
+        shingleK = 3, numPerm = 8, bands = 2, maxBucket = 2,
+        withSig = false, capMetric = Some("cap_test")).count()
+      assert(kept === 4L) // 2 buckets x cap 2
+      val deadline = System.currentTimeMillis + 30000
+      while (seen.isEmpty && System.currentTimeMillis < deadline)
+        Thread.sleep(50) // QueryExecutionListener delivery is async
+      assert(seen.isDefined, "observed cap metric never delivered")
+      assert(seen.get.getAs[Long]("rows_past_cap") === 4L)
+      assert(seen.get.getAs[Int]("max_bucket_rank") === 4)
+    } finally spark.listenerManager.unregister(listener)
+  }
 }

@@ -414,6 +414,20 @@ class StreamingOpsSpec extends SparkSpec {
     StreamingOps.decontaminateIngest(bench, "doc_id", "text", flagsP, 0.5)(
       Seq((10L, evalItem)).toDF("doc_id", "text"), 0L)
     assert(spark.read.parquet(flagsP).count() === 3)
+
+    // the ADVICE r12 crash window: flags written but the _applied
+    // marker lost (crash between the two steps). A replay must
+    // OVERWRITE the batch's partition directory, not append a second
+    // copy of its rows.
+    val fs = new org.apache.hadoop.fs.Path(flagsP)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$flagsP/_applied/batch-1"),
+      true)
+    StreamingOps.decontaminateIngest(bench, "doc_id", "text", flagsP, 0.5)(
+      Seq((20L, evalItem)).toDF("doc_id", "text"), 1L)
+    assert(spark.read.parquet(flagsP).count() === 3)
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$flagsP/_applied/batch-1")))
   }
 
   test("sessionStream: sessions close when the watermark passes the gap, " +
