@@ -183,4 +183,57 @@ class DedupStoreSpec extends SparkSpec {
       DedupStore.dedupNewBatch(spark, p, corpus, tau = 0.0)
     }
   }
+
+  test("a reader holding a pre-swap generation across compact/delete " +
+    "completes or fails CLEANLY (missing files, retry-safe) — never a " +
+    "wrong or partial answer; a re-resolved retry always succeeds") {
+    // At 100 TB compaction and serving overlap: the documented contract
+    // (resolveRowsForRead scaladoc, ADVICE r12) is that a reader whose
+    // lazily-executed scan loses its generation to a swap fails with a
+    // clean missing-path error — it must never silently read a
+    // half-written generation — and re-resolving picks up the new one.
+    val corpusText = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq((1L, corpusText), (2L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val p = store("graft_dedup_race_")
+    DedupStore.write(corpus, "doc_id", "text", p)
+    val batch = Seq((30L, corpusText)).toDF("doc_id", "text")
+    val expected = Seq((30L, true, Some(1L)))
+
+    def collectFlags(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Boolean, Option[Long])].collect().sortBy(_._1).toSeq
+
+    def cleanFailure(e: Throwable): Boolean = {
+      val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .take(10).toSeq
+      chain.exists(t => t.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(t.getMessage).exists(m =>
+          m.contains("does not exist") || m.contains("FileNotFound")))
+    }
+
+    // -- compact swap (content-preserving): a surviving reader must
+    //    return exactly the same flags; a failing one fails cleanly
+    val preCompact = DedupStore.dedupNewBatch(spark, p, batch, tau = 0.5)
+    DedupStore.compact(spark, p)
+    scala.util.Try(collectFlags(preCompact)) match {
+      case scala.util.Success(got) => assert(got === expected)
+      case scala.util.Failure(e) => assert(cleanFailure(e), e.toString)
+    }
+    assert(collectFlags(DedupStore.dedupNewBatch(spark, p, batch, 0.5))
+      === expected)
+
+    // -- delete swap (semantics-changing): a surviving reader answers
+    //    for the complete generation it resolved (pre- or post-delete,
+    //    both are consistent states); a failing one fails cleanly
+    val preDelete = DedupStore.dedupNewBatch(spark, p, batch, tau = 0.5)
+    DedupStore.delete(spark, p, Seq(Tuple1(1L)).toDF("doc_id"))
+    val postDeleteExpected = Seq((30L, false, None))
+    scala.util.Try(collectFlags(preDelete)) match {
+      case scala.util.Success(got) =>
+        assert(got === expected || got === postDeleteExpected, got.toString)
+      case scala.util.Failure(e) => assert(cleanFailure(e), e.toString)
+    }
+    assert(collectFlags(DedupStore.dedupNewBatch(spark, p, batch, 0.5))
+      === postDeleteExpected)
+  }
 }

@@ -1134,4 +1134,59 @@ class IvfIndexSpec extends SparkSpec {
     // the guards rejected everything: the layout is bit-still
     assert(spark.read.parquet(s"$path/vectors").count() === 500)
   }
+
+  test("a query plan built before delete/compact completes or fails " +
+    "CLEANLY when the swap rewrites its cells — never a partial answer; " +
+    "a re-planned retry always matches brute force (ADVICE r12)") {
+    // At 100 TB serving and maintenance overlap: delete dynamically
+    // overwrites the affected cell partitions and compact swaps the
+    // whole vectors dir, so a plan holding the old file listing loses
+    // its files mid-flight. The contract: clean missing-file failure
+    // (retry-safe), or a complete answer for ONE generation.
+    val emb = Tables(spark, dir, "embeddings")
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfrace_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/index"
+    IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
+      path = path)
+    val qvec = emb.filter($"vec_id" === 300)
+      .select($"embedding".cast("array<double>")).as[Array[Double]].head()
+    def topIds(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id").as[Long].collect().toSeq
+    def brute(excluded: Seq[Long]) = topIds(
+      graft.operators.SimilarityOps.bruteForceTopK(
+        emb.filter(!$"vec_id".isin((300L +: excluded): _*)),
+        emb.filter($"vec_id" === 300), "vec_id", "embedding", 10))
+    def cleanFailure(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+        .exists(t => t.isInstanceOf[java.io.FileNotFoundException] ||
+          Option(t.getMessage).exists(m =>
+            m.contains("does not exist") || m.contains("FileNotFound")))
+
+    // -- delete overwrites the victims' cells under the held plan
+    val preDelete = IvfIndex.query(spark, path, qvec,
+      excludeId = Some(300L), nprobe = 4, k = 10)
+    val doomed = brute(Nil).take(3) // guaranteed to intersect the top-k
+    IvfIndex.delete(spark, path, doomed.toDF("vec_id"))
+    scala.util.Try(topIds(preDelete)) match {
+      case scala.util.Success(got) =>
+        assert(got === brute(Nil) || got === brute(doomed), got.toString)
+      case scala.util.Failure(e) => assert(cleanFailure(e), e.toString)
+    }
+    val retry = IvfIndex.query(spark, path, qvec, excludeId = Some(300L),
+      nprobe = 4, k = 10)
+    assert(topIds(retry) === brute(doomed))
+
+    // -- compact swaps the whole generation under the held plan;
+    //    content is preserved, so a survivor must answer identically
+    val preCompact = IvfIndex.query(spark, path, qvec,
+      excludeId = Some(300L), nprobe = 4, k = 10)
+    IvfIndex.compact(spark, path)
+    scala.util.Try(topIds(preCompact)) match {
+      case scala.util.Success(got) => assert(got === brute(doomed))
+      case scala.util.Failure(e) => assert(cleanFailure(e), e.toString)
+    }
+    assert(topIds(IvfIndex.query(spark, path, qvec, excludeId = Some(300L),
+      nprobe = 4, k = 10)) === brute(doomed))
+  }
 }
