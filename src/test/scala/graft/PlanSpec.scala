@@ -173,4 +173,63 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 6, s"exchange budget blown: $exchanges\n$p")
     assert(p.contains("BroadcastHashJoin"), p) // stations join
   }
+
+  test("pipeline under hot-site skew (one site ~60% of raw rows): every " +
+    "join is broadcast or keyed composite — the hot site never " +
+    "serializes a join exchange — and output equals the union of " +
+    "per-site isolated runs") {
+    // SCALE.md §2's 100 TB caveat made a fixture (VERDICT r12 item 4).
+    // The per-site window stages (lag/dedup, as-of) MUST partition by
+    // site alone — that is the sequential semantics — so the skew
+    // posture rests on (a) every join keying finer than the site
+    // (composite day/hour rollups) or broadcasting, and (b) the
+    // documented escape hatch for the window stages themselves
+    // (AsofStrategies.asOfLookupBucketed, SCALE.md §9). This pins (a)
+    // structurally and the cross-site isolation functionally.
+    import org.apache.spark.sql.functions._
+    import graft.queries.PipelineQueries
+    import graft.operators.LevelPipeline
+    val raw = PipelineQueries.rawDf(spark, dir)
+    // fold sites 1 and 2 onto site 0 (offsets keep (site, time) unique:
+    // base grids land at +0/+360/+720 s, clone rows at +600 on top)
+    val hotRaw = raw.filter(col("site_no").isin(0, 1, 2))
+      .withColumn("time",
+        expr("timestampadd(SECOND, site_no * 360, time)"))
+      .withColumn("site_no", lit(0))
+      .unionByName(raw.filter(!col("site_no").isin(0, 1, 2)))
+    val counts = hotRaw.groupBy(col("site_no")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts(0).toDouble / counts.values.sum > 0.5,
+      s"fixture lost its skew: $counts")
+
+    val stations = PipelineQueries.stationsDf(spark)
+    val silo = PipelineQueries.siloDf(spark)
+    val intensity = PipelineQueries.intensityDf(spark)
+    def chain(r: org.apache.spark.sql.DataFrame) =
+      LevelPipeline.level3(
+        LevelPipeline.level2(LevelPipeline.level1(r),
+          stations, silo, intensity), stations)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("site_no"), col("time"),
+        round(col("soil_moist"), 6), round(col("effective_depth"), 6),
+        round(col("rainfall"), 6), col("flag"))
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+
+    // (b is §9's; a) the plan: every shuffled join keys composite
+    val p = chain(hotRaw).queryExecution.executedPlan.toString
+    val shuffledJoinKeys =
+      """(?:SortMergeJoin|ShuffledHashJoin)(?:\w*)? \[([^\]]*)\]""".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+    shuffledJoinKeys.foreach { keys =>
+      assert(keys.contains(","),
+        s"a join shuffles on the site alone under skew: [$keys]\n$p")
+    }
+
+    // cross-site isolation: the hot site computes exactly what it would
+    // compute alone, and the untouched sites are unaffected
+    val whole = rows(chain(hotRaw))
+    val split = rows(chain(hotRaw.filter(col("site_no") === 0))) ++
+      rows(chain(hotRaw.filter(col("site_no") =!= 0)))
+    assert(whole === split.sortBy(_.mkString("|")))
+  }
 }
