@@ -542,6 +542,76 @@ object DedupOps {
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 
+  /** Frequency-threshold boilerplate removal — [[paragraphDedup]]'s
+    * CCNet-style sibling: instead of keeping each distinct paragraph's
+    * first occurrence, REMOVE every occurrence of any paragraph that
+    * appears in >= `minDocs` DISTINCT documents (optionally counted
+    * within `groupCol`, e.g. per source/domain — a nav header is
+    * boilerplate for its site, not for the web). Repeats inside one
+    * rare document survive: the threshold is on document frequency,
+    * not occurrence count. Documents whose every paragraph is
+    * boilerplate come back empty, not dropped.
+    *
+    * Scale shape: document frequency is one two-phase distinct
+    * aggregation on md5(paragraph) (partial per map partition — the
+    * shuffle carries at most one (group, hash, doc) triple per
+    * partition, then re-aggs the distinct-paragraph-sized frame). The
+    * boilerplate set that comes back is threshold-sized, joined to the
+    * exploded corpus with an UNHINTED left-anti join — auto-broadcast
+    * when small, demoted to a shuffle join when a web-scale corpus
+    * yields a giant boilerplate set instead of OOMing a forced
+    * broadcast. Reassembly is [[paragraphDedup]]'s partial-aggregable
+    * groupBy(id) with a bounded per-doc sort. Nothing is per-corpus on
+    * the driver.
+    *
+    * @return (idCol, n_paras, n_kept, text_clean) for every input doc
+    */
+  def boilerplateRemoval(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sepRegex: String,
+      joiner: String,
+      minDocs: Int,
+      groupCol: Option[String] = None): DataFrame = {
+    require(minDocs >= 2,
+      s"minDocs must be >= 2 (got $minDocs) — a threshold of 1 removes " +
+        "every paragraph")
+    val reserved = Seq("__h", "pos", "para", "n_paras", "n_kept",
+      "text_clean").filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"boilerplateRemoval reserves column(s) ${reserved.mkString(", ")} — " +
+        "rename them on the input")
+    val gCols = groupCol.toSeq.map(col)
+    val paras = docs
+      .select(col(idCol) +: gCols :+
+        posexplode(split(col(textCol), sepRegex)): _*)
+      .withColumnRenamed("col", "para")
+      .withColumn("__h", md5(col("para")))
+    val common = paras
+      .groupBy(gCols :+ col("__h"): _*)
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .drop("__nd")
+    val kept = paras.join(common,
+      groupCol.toSeq :+ "__h", "left_anti")
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("para")))),
+            x => x.getField("para")),
+          joiner).as("text_clean"))
+    docs
+      .select(col(idCol), size(split(col(textCol), sepRegex)).as("n_paras"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_paras"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Character-level edit-distance verification of a candidate pair set
     * (the post-blocking refine step record linkage runs after LSH /
     * sorted-neighborhood blocking): join the pair ids to their texts,

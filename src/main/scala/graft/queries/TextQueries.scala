@@ -1133,6 +1133,45 @@ object TextQueries extends QueryModule {
         FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id
         ORDER BY d.doc_id""")),
 
+    // D17 — frequency-threshold boilerplate removal (the CCNet pass,
+    // d13's sibling): a paragraph appearing in >= 2 distinct documents
+    // is boilerplate and EVERY occurrence goes; within-doc repeats of
+    // rare paragraphs survive. Document frequency is one two-phase
+    // distinct agg on md5(paragraph); the threshold-sized common set
+    // anti-joins the exploded corpus unhinted (broadcast here, shuffle
+    // at web scale). Reassembly is byte-identical across engines
+    // because both restitch by the same (doc, position) order.
+    "d17_boilerplate" -> Q(
+      fn = (s, dir) =>
+        DedupOps.boilerplateRemoval(
+          t(s, dir, "documents"), "doc_id", "text",
+          sepRegex = " the ", joiner = " the ", minDocs = 2)
+          .orderBy(col("doc_id")),
+      bench = true,
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id, i, para
+          FROM (SELECT doc_id, string_split(text, ' the ') AS ps
+                FROM documents),
+               LATERAL (SELECT unnest(ps) AS para,
+                               generate_subscripts(ps, 1) AS i)),
+        common AS (
+          SELECT para FROM p
+          GROUP BY para HAVING count(DISTINCT doc_id) >= 2),
+        k AS (
+          SELECT p.doc_id, p.i, p.para FROM p
+          WHERE p.para NOT IN (SELECT para FROM common)),
+        r AS (
+          SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+                 string_agg(para, ' the ' ORDER BY i) AS text_clean
+          FROM k GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(len(string_split(d.text, ' the ')) AS INT) AS n_paras,
+               coalesce(r.n_kept, 0) AS n_kept,
+               coalesce(r.text_clean, '') AS text_clean
+        FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
     // D11 — character-level edit-distance verification of a blocked pair
     // set (the record-linkage refine step after LSH/sorted-neighborhood
     // blocking): Levenshtein distance + normalized similarity

@@ -73,6 +73,43 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("boilerplateRemoval: >=minDocs paragraphs go everywhere, rare " +
+    "within-doc repeats survive, emptied docs come back empty, per-group " +
+    "scoping counts frequency inside the group only") {
+    val docs = Seq(
+      (1L, "nav|body1|nav"),  // nav is boilerplate (docs 1,2,3); repeat dies too
+      (2L, "nav|body2"),
+      (3L, "nav"),            // all boilerplate -> empty
+      (4L, "rare|rare|body4")) // within-doc repeat of a df=1 para survives
+      .toDF("doc_id", "text")
+    val out = DedupOps.boilerplateRemoval(
+      docs, "doc_id", "text", "\\|", "|", minDocs = 2)
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, 3, 1, "body1"),
+      (2L, 2, 1, "body2"),
+      (3L, 1, 0, ""),
+      (4L, 3, 3, "rare|rare|body4")))
+    // per-group scoping: "hdr" is boilerplate inside source A only; the
+    // single B occurrence survives
+    val grouped = Seq(
+      (1L, "A", "hdr|a1"), (2L, "A", "hdr|a2"), (3L, "B", "hdr|b1"))
+      .toDF("doc_id", "src", "text")
+    val g = DedupOps.boilerplateRemoval(
+      grouped, "doc_id", "text", "\\|", "|", minDocs = 2,
+      groupCol = Some("src"))
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(g === Seq(
+      (1L, 2, 1, "a1"), (2L, 2, 1, "a2"), (3L, 2, 2, "hdr|b1")))
+    intercept[IllegalArgumentException] {
+      DedupOps.boilerplateRemoval(docs, "doc_id", "text", "\\|", "|", 1)
+    }
+    intercept[IllegalArgumentException] {
+      DedupOps.boilerplateRemoval(
+        docs.withColumn("para", lit(1)), "doc_id", "text", "\\|", "|", 2)
+    }
+  }
+
   test("editDistanceVerify: textbook distances, identity pairs score " +
     "1.0, maxChars caps the compared prefix, guards reject negatives") {
     val docs = Seq(
