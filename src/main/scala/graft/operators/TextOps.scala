@@ -377,6 +377,95 @@ object TextOps {
         round(sum(col("term")).cast("double"), 6).as("kl"))
   }
 
+  /** Pairwise source vocabulary overlap — [[sourceDivergence]]'s
+    * two-sided sibling: for every source pair (a < b), the Jaccard
+    * similarity of their token vocabularies. KL answers "how far is
+    * this source from the corpus"; this answers "which two sources are
+    * the SAME feed under different names" — the redundancy diagnostic
+    * that catches a scraper registered twice before both copies flood
+    * the mix.
+    *
+    * Scale shape: one distinct-agg shuffle builds the (source, token)
+    * vocabulary frame; per-source sizes re-agg that vocabulary-scale
+    * frame; the intersection is a self-equi-join ON TOKEN (each token
+    * contributes m(m−1)/2 pairs for the m sources containing it — never
+    * a doc-level cross product), partial-agg counted into a
+    * sources²-sized output. Source count is assumed feed-catalog-sized
+    * (10²–10⁴); vocabulary and corpus size are unbounded.
+    *
+    * @return (src_a, src_b, vocab_a, vocab_b, n_common, jaccard),
+    *         one row per unordered pair
+    */
+  def sourceOverlap(
+      docs: org.apache.spark.sql.DataFrame,
+      srcCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val vocab = docs
+      .select(col(srcCol).as("__g"), explode(tokens(col(textCol))).as("__t"))
+      .distinct()
+    val sizes = vocab.groupBy(col("__g"))
+      .agg(count(lit(1)).cast("int").as("__nv"))
+    val common = vocab.as("x")
+      .join(vocab.as("y"),
+        col("x.__t") === col("y.__t") && col("x.__g") < col("y.__g"))
+      .groupBy(col("x.__g").as("src_a"), col("y.__g").as("src_b"))
+      .agg(count(lit(1)).cast("int").as("n_common"))
+    common
+      .join(sizes.select(col("__g").as("src_a"), col("__nv").as("vocab_a")),
+        Seq("src_a"))
+      .join(sizes.select(col("__g").as("src_b"), col("__nv").as("vocab_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("vocab_a"), col("vocab_b"),
+        col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("vocab_a") + col("vocab_b") - col("n_common")), 6)
+          .as("jaccard"))
+  }
+
+  /** Per-document n-gram novelty vs the earlier corpus: the fraction of
+    * a document's DISTINCT word k-shingles that no lower-id document
+    * contains — 1.0 for genuinely new content, near 0 for a re-crawl or
+    * template spin. The streaming-order quality signal used to decide
+    * whether an incremental crawl batch is worth keeping at all
+    * (document-level, where [[graft.operators.DedupOps.paragraphDedup]]
+    * acts paragraph-level and d1/d2 act whole-document).
+    *
+    * Scale shape: shingles dedup IN-ROW (array_distinct) before the
+    * explode; the shuffle carries md5(shingle) — 16 bytes, never text.
+    * First-owner per shingle is one partial-aggregable min; ownership
+    * joins back on the hash (reusing the exchange) and rolls up per
+    * doc. Nothing is per-corpus on the driver, and the frame never
+    * exceeds (distinct shingles) rows.
+    *
+    * @return (idCol, n_shingles, n_novel, novelty_frac) for every doc;
+    *         novelty_frac is null when the doc has < k tokens
+    */
+  def ngramNovelty(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val sh = docs
+      .select(col(idCol),
+        explode(array_distinct(shingles(tokens(col(textCol)), k))).as("__s"))
+      .select(col(idCol), md5(col("__s")).as("__h"))
+    val first = sh.groupBy(col("__h")).agg(min(col(idCol)).as("__first"))
+    val per = sh.join(first, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_shingles"),
+        sum(when(col("__first") === col(idCol), 1).otherwise(0))
+          .cast("int").as("n_novel"))
+    docs.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0)).as("n_novel"),
+        when(col("n_shingles") > 0,
+          round(col("n_novel").cast("double") /
+            col("n_shingles").cast("double"), 6)).as("novelty_frac"))
+  }
+
   /** Content-defined chunking (Rabin-Karp): polynomial rolling hash over
     * an 8-char window; a position is a chunk boundary when its hash is
     * divisible by `avgChunk` (expected chunk length = avgChunk chars).

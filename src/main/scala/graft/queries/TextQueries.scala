@@ -694,6 +694,64 @@ object TextQueries extends QueryModule {
         GROUP BY source
         ORDER BY source""")),
 
+    // C8 — pairwise source vocabulary overlap (c5's two-sided sibling):
+    // Jaccard of token vocabularies for every source pair a < b — the
+    // redundancy diagnostic that catches one feed registered under two
+    // names. One distinct-agg builds (source, token); the intersection
+    // is a self-join ON TOKEN (m sources sharing a token contribute
+    // m(m-1)/2 pairs — never a doc cross product), partial-agg counted
+    // into a sources²-sized frame.
+    "c8_source_overlap" -> Q(
+      fn = (s, dir) =>
+        TextOps.sourceOverlap(t(s, dir, "documents"), "source", "text")
+          .orderBy(col("src_a"), col("src_b")),
+      oracle = Some("""
+        WITH v AS (
+          SELECT DISTINCT source AS g, tok FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)),
+        sz AS (SELECT g, CAST(count(*) AS INT) AS nv FROM v GROUP BY g),
+        c AS (
+          SELECT x.g AS src_a, y.g AS src_b, CAST(count(*) AS INT) AS n_common
+          FROM v x JOIN v y ON x.tok = y.tok AND x.g < y.g
+          GROUP BY x.g, y.g)
+        SELECT c.src_a, c.src_b, sa.nv AS vocab_a, sb.nv AS vocab_b,
+               c.n_common,
+               round(CAST(c.n_common AS DOUBLE) /
+                     (sa.nv + sb.nv - c.n_common), 6) AS jaccard
+        FROM c JOIN sz sa ON sa.g = c.src_a
+               JOIN sz sb ON sb.g = c.src_b
+        ORDER BY src_a, src_b""")),
+
+    // T25 — per-document n-gram novelty vs the earlier corpus: the
+    // fraction of a doc's DISTINCT 3-word shingles that no lower-id doc
+    // contains — the is-this-crawl-batch-new signal. Shingles dedup
+    // in-row before the explode; the shuffle carries md5 hashes, never
+    // text; first-owner is one partial-aggregable min.
+    "t25_ngram_novelty" -> Q(
+      fn = (s, dir) =>
+        TextOps.ngramNovelty(t(s, dir, "documents"), "doc_id", "text", 3)
+          .orderBy(col("doc_id")),
+      bench = true,
+      oracle = Some(s"""
+        WITH s AS (
+          SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id, unnest($sh3Sql) AS sh FROM documents)),
+        f AS (SELECT sh, min(doc_id) AS first_doc FROM s GROUP BY sh),
+        per AS (
+          SELECT s.doc_id, CAST(count(*) AS INT) AS n_shingles,
+                 CAST(sum(CASE WHEN f.first_doc = s.doc_id
+                               THEN 1 ELSE 0 END) AS INT) AS n_novel
+          FROM s JOIN f ON f.sh = s.sh GROUP BY s.doc_id)
+        SELECT d.doc_id,
+               coalesce(per.n_shingles, 0) AS n_shingles,
+               coalesce(per.n_novel, 0) AS n_novel,
+               CASE WHEN per.n_shingles > 0 THEN
+                 round(CAST(per.n_novel AS DOUBLE) / per.n_shingles, 6)
+               END AS novelty_frac
+        FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
     // C4 — the COMPLETE training-data chain as ONE lazy plan (the LLM
     // twin of pl_levels_e2e): quality gate → exact dedup → benchmark
     // decontamination → paragraph dedup with reassembly → language-mix

@@ -321,4 +321,38 @@ class TextOpsSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
     assert(kl === Seq(("s1", 2L, 1L, 0.693147), ("s2", 2L, 1L, 0.693147)))
   }
+
+  test("sourceOverlap: identical vocabularies score 1, disjoint pairs 0, " +
+    "partial overlap counts distinct tokens once, pairs come back a < b") {
+    val docs = Seq(
+      ("s1", "a b c"), ("s1", "a a"),  // s1 vocab {a,b,c}
+      ("s2", "a b c"),                 // s2 vocab {a,b,c} — same as s1
+      ("s3", "c d"),                   // s3 vocab {c,d} — 1 of 4 with s1/s2
+      ("s4", "x y"))                   // s4 vocab {x,y} — disjoint
+      .toDF("source", "text")
+    val out = TextOps.sourceOverlap(docs, "source", "text")
+      .as[(String, String, Int, Int, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(out.keySet === Set(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
+    assert(out(("s1", "s2")) === ((3, 3, 3, 1.0)))
+    assert(out(("s1", "s3")) === ((3, 2, 1, 0.25)))
+    assert(out(("s2", "s3")) === ((3, 2, 1, 0.25)))
+  }
+
+  test("ngramNovelty: first owner scores 1, an exact re-spin scores 0, " +
+    "partial reuse prorates, short docs come back null") {
+    val docs = Seq(
+      (1L, "a b c d"),     // shingles {abc, bcd} — both novel
+      (2L, "a b c d"),     // identical — nothing novel
+      (3L, "b c d e"),     // {bcd, cde}: bcd owned by doc 1 -> 1/2
+      (4L, "x y"))         // < 3 tokens -> no shingles
+      .toDF("doc_id", "text")
+    val out = TextOps.ngramNovelty(docs, "doc_id", "text", 3)
+      .as[(Long, Int, Int, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, 2, 2, Some(1.0)),
+      (2L, 2, 0, Some(0.0)),
+      (3L, 2, 1, Some(0.5)),
+      (4L, 0, 0, None)))
+  }
 }
