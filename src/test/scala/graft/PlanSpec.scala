@@ -141,6 +141,36 @@ class PlanSpec extends SparkSpec {
       s"(source, token) counts must be computed once and reused:\n$p")
   }
 
+  test("d17: boilerplate doc-frequency combines map-side and the " +
+    "threshold set anti-joins without a nested loop") {
+    val p = plan("d17_boilerplate")
+    // the distinct-doc count must partial-agg before its exchange
+    assert(p.contains("partial_count(distinct"), p)
+    // the boilerplate set joins as a hash anti-join (broadcast at this
+    // SF; the unhinted shape leaves web-scale demotion to the planner)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t25: novelty's first-owner min is a partial aggregation and " +
+    "the shuffle carries shingle hashes, not text") {
+    val p = plan("t25_ngram_novelty")
+    assert(p.contains("partial_min"), p)
+    // the ownership join keys on the md5 hash column
+    assert(p.contains("__h"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("c8: source overlap pairs come from an EQUI-join on token over " +
+    "a distinct vocabulary frame — never a cartesian pairing") {
+    val p = plan("c8_source_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the vocabulary distinct must combine map-side before its exchange
+    assert(p.contains("partial"), p)
+  }
+
   test("d16: fuzzy decontamination candidates come from a bucket " +
     "EQUI-join — never a cartesian or nested-loop pairing") {
     val p = plan("d16_fuzzy_decontaminate")
