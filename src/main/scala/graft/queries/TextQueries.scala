@@ -1649,7 +1649,72 @@ object TextQueries extends QueryModule {
                round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
         FROM lp
         GROUP BY doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // T26 — in-engine trained quality classifier: full-batch logistic
+    // regression (3 GD steps, lr=0.5) over two cheap scaled features
+    // (chars/400, tokens/100), target lang='en', then every doc scored
+    // by the trained model. The whole trajectory is deterministic
+    // cross-engine: per-row gradient terms round to 9 dp and sum as
+    // decimals, weights re-round to 9 dp each step (kmeansFit's
+    // discipline applied to GD), so the oracle can replay training as
+    // three unrolled CTE rounds and the final sigmoid scores hash-match
+    // at 6 dp. One full scan per step, weights are O(features) driver
+    // metadata — the Lloyd's shape.
+    "t26_lr_quality" -> Q(
+      fn = (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val feats = Seq(
+          col("n_chars") / 400.0,
+          size(split(col("text"), " ")) / lit(100.0))
+        val w = graft.operators.ClassifierOps.logisticFit(
+          docs, feats, col("lang") === "en", iters = 3, lr = 0.5)
+        docs.select(col("doc_id"),
+          round(graft.operators.ClassifierOps.logisticScore(feats, w), 6)
+            .as("score"))
+          .withColumn("pred", col("score") >= 0.5)
+          .orderBy(col("doc_id"))
+      },
+      bench = true,
+      oracle = Some {
+        def z(w: String) = s"1.0*${w}a + x1*${w}b + x2*${w}c"
+        def err(w: String) = s"(1.0/(1.0+exp(-(${z(w)}))) - y)"
+        def gradCte(g: String, w: String) =
+          s"""$g AS (
+             |  SELECT
+             |    CAST(sum(CAST(round(${err(w)} * 1.0, 9) AS DECIMAL(38,9)))
+             |         AS DOUBLE) / count(*) AS ga,
+             |    CAST(sum(CAST(round(${err(w)} * x1, 9) AS DECIMAL(38,9)))
+             |         AS DOUBLE) / count(*) AS gb,
+             |    CAST(sum(CAST(round(${err(w)} * x2, 9) AS DECIMAL(38,9)))
+             |         AS DOUBLE) / count(*) AS gc
+             |  FROM f CROSS JOIN $w)""".stripMargin
+        def stepCte(wNew: String, wOld: String, g: String) =
+          s"""$wNew AS (
+             |  SELECT round(${wOld}a - 0.5*ga, 9) AS ${wNew}a,
+             |         round(${wOld}b - 0.5*gb, 9) AS ${wNew}b,
+             |         round(${wOld}c - 0.5*gc, 9) AS ${wNew}c
+             |  FROM $wOld CROSS JOIN $g)""".stripMargin
+        s"""
+        WITH f AS (
+          SELECT doc_id,
+                 CAST(n_chars AS DOUBLE) / 400.0 AS x1,
+                 CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0 AS x2,
+                 CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+          FROM documents),
+        w0 AS (SELECT 0.0 AS w0a, 0.0 AS w0b, 0.0 AS w0c),
+        ${gradCte("g1", "w0")},
+        ${stepCte("w1", "w0", "g1")},
+        ${gradCte("g2", "w1")},
+        ${stepCte("w2", "w1", "g2")},
+        ${gradCte("g3", "w2")},
+        ${stepCte("w3", "w2", "g3")}
+        SELECT doc_id,
+               round(1.0/(1.0+exp(-(${z("w3")}))), 6) AS score,
+               round(1.0/(1.0+exp(-(${z("w3")}))), 6) >= 0.5 AS pred
+        FROM f CROSS JOIN w3
+        ORDER BY doc_id"""
+      })
   )
 
   /** Okapi BM25 over `documents` (k1=1.5, b=0.75 — both exactly
