@@ -612,6 +612,49 @@ object DedupOps {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** Within-document duplicate-segment removal — the in-row third member
+    * of the sub-document dedup family ([[paragraphDedup]] dedups across
+    * the corpus, [[boilerplateRemoval]] removes corpus-frequent
+    * segments): split each document on `sepRegex`, keep only the FIRST
+    * occurrence of each distinct segment inside that same document
+    * (original order preserved), and rejoin with `joiner`. The CCNet
+    * per-document line-dedup step that runs BEFORE any cross-document
+    * hashing — it normalizes away internal repetition (nav menus pasted
+    * twice, chat scaffolding) so corpus-level fingerprints aren't
+    * dominated by it.
+    *
+    * Scale shape: ZERO shuffles — the whole operator is one codegen'd
+    * projection (split → indexed filter → array_join); no explode, no
+    * window, no join, so it composes into any ingest scan for free. The
+    * kept-segment test is first-occurrence-index == own-index
+    * (array_position is the first index of the value), O(L²) in-row for
+    * a doc of L segments — fine for real documents (L ~ 10²); a
+    * pathological mega-doc should go through [[paragraphDedup]]'s
+    * exploded shape instead.
+    *
+    * @return (idCol, n_segments, n_kept, text_dedup) for every input doc
+    */
+  def lineDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sepRegex: String,
+      joiner: String): DataFrame = {
+    val reserved = Seq("n_segments", "n_kept", "text_dedup")
+      .filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"lineDedup reserves column(s) ${reserved.mkString(", ")} — " +
+        "rename them on the input")
+    val segs = split(col(textCol), sepRegex)
+    // keep a segment iff the first index its value occurs at is its own
+    // 1-based position — later repeats fail the test, order survives
+    val kept = filter(segs, (x, i) => array_position(segs, x) === (i + 1))
+    docs.select(col(idCol),
+      size(segs).as("n_segments"),
+      size(kept).as("n_kept"),
+      array_join(kept, joiner).as("text_dedup"))
+  }
+
   /** Character-level edit-distance verification of a candidate pair set
     * (the post-blocking refine step record linkage runs after LSH /
     * sorted-neighborhood blocking): join the pair ids to their texts,

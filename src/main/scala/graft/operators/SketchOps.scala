@@ -89,6 +89,99 @@ object SketchOps {
       round(est, 4).as("n_distinct_est")): _*)
   }
 
+  /** Mergeable quantile sketch — the bottom-k row sample: retain, per
+    * group, the k (hash, value) pairs with the smallest deterministic
+    * hashes of a ROW-UNIQUE identity column. A bottom-k-by-hash cut of
+    * unique row ids is a uniform row sample, so quantiles of the
+    * retained values estimate the group's quantiles with the usual
+    * O(1/√k) sample error; hashing the IDENTITY (never the value)
+    * preserves duplicate-value mass, which a distinct-value sample
+    * ([[kmvSketch]]'s cut) would collapse. Deterministic md5 hashing
+    * makes the sketch — and every estimate — bit-reproducible across
+    * engines and retries, the property that lets a sampler be
+    * oracle-checked at all.
+    *
+    * Output: keys..., `qsk` = array of struct(h, v) sorted by h.
+    * Scale shape: one WindowGroupLimit-reduced shuffle (each map
+    * partition pre-cuts to its own bottom-k before the exchange);
+    * sketch rows are O(k) forever after.
+    *
+    * @param idCol row-unique identity (a doc/event id); duplicate ids
+    *              collapse in the merge algebra and bias the sample
+    */
+  def qSketch(
+      df: DataFrame,
+      keys: Seq[String],
+      idCol: String,
+      valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "qSketch: k must be at least 2")
+    guard(df, "qSketch")
+    qCut(
+      df.select((keys.map(col) :+
+        TextOps.baseHash60(col(idCol).cast("string")).as("__h") :+
+        col(valueCol).cast("double").as("__v")): _*),
+      keys, k)
+  }
+
+  /** Fold many quantile-sketch rows per group (per-day, per-partition
+    * builds) into one: union the retained pairs, dedup by hash (the
+    * same row seen twice is one sample point), re-cut to the k smallest.
+    * Exactly the sketch of the union — bottom-k's merge is lossless for
+    * the same reason KMV's is.
+    */
+  def qMerge(
+      sketches: DataFrame,
+      keys: Seq[String],
+      k: Int): DataFrame = {
+    require(k >= 2, "qMerge: k must be at least 2")
+    qCut(
+      sketches
+        .select((keys.map(col) :+ explode(col("qsk")).as("__p")): _*)
+        .select((keys.map(col) :+ col("__p.h").as("__h") :+
+          col("__p.v").as("__v")): _*)
+        .dropDuplicates(keys :+ "__h"),
+      keys, k)
+  }
+
+  /** Per-group quantile estimates from sketch rows: for each requested
+    * q, the Type-1 (lower) sample quantile — the element at 1-based
+    * index max(1, ceil(q·n)) of the retained values sorted ascending.
+    * An element PICK, not an interpolation: the output is one of the
+    * input doubles untouched, so there is no cross-engine arithmetic to
+    * disagree on. Output: keys..., `n_retained`, `q`, `est`.
+    */
+  def qEstimate(
+      sketches: DataFrame,
+      keys: Seq[String],
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "qEstimate: quantiles must lie in [0, 1]")
+    val vals = array_sort(transform(col("qsk"), x => x.getField("v")))
+    sketches
+      .select((keys.map(col) :+
+        size(col("qsk")).as("n_retained") :+
+        vals.as("__vals") :+
+        explode(array(qs.map(lit): _*)).as("q")): _*)
+      .withColumn("est",
+        element_at(col("__vals"),
+          greatest(lit(1), ceil(col("q") * col("n_retained")).cast("int"))))
+      .drop("__vals")
+  }
+
+  private def qCut(
+      hashed: DataFrame,
+      keys: Seq[String],
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__h"))
+    hashed
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(struct(
+        col("__h").as("h"), col("__v").as("v")))).as("qsk"))
+  }
+
   /** Count-min sketch build: d×w counters where counter (p, b) is the
     * number of input rows whose value hashes to bucket b under depth-p's
     * hash. Depth p's bucket function is the MinHash affine family

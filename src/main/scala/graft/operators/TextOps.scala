@@ -337,6 +337,71 @@ object TextOps {
           .as("avg_logprob"))
   }
 
+  /** Interpolated bigram LM scoring — [[unigramLogProb]]'s stronger
+    * sibling (the Jelinek-Mercer two-gram): each document scores the
+    * mean log of p(w2|w1) = λ·c(w1 w2)/c(w1) + (1−λ)·c(w2)/N under the
+    * corpus's own counts. Context-sensitive where the unigram filter is
+    * not — scrambled text with common words scores high on unigrams but
+    * collapses here, which is exactly the gibberish/MT-artifact signal
+    * a pretraining quality gate wants.
+    *
+    * Cross-engine determinism: the complement weight is computed as
+    * 1.0 − λ IN IEEE DOUBLES on both sides (never a re-literalized
+    * "0.3", which is a different double than 1.0 − 0.7); each log-prob
+    * rounds to 6 dp and sums as exact decimals — t24's discipline.
+    *
+    * Scale shape: doc bigrams are built IN-ROW (zip_with over two
+    * slices — no positional self-join, one explode); the bigram- and
+    * unigram-count joins are unhinted so a web-scale vocabulary may
+    * shuffle; the corpus total rides in as a broadcast 1-row frame.
+    * Docs with fewer than two tokens surface with n_bigrams=0 and a
+    * null score, not silently dropped.
+    *
+    * @return (idCol, n_bigrams, avg_logprob)
+    */
+  def bigramLogProb(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      lambda: Double = 0.7): org.apache.spark.sql.DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0,
+      s"bigramLogProb: lambda must lie in (0, 1), got $lambda — at the " +
+        "endpoints unseen bigrams/unigrams hit log(0)")
+    val ts = tokens(col(textCol))
+    val bigrams = docs.select(col(idCol),
+      explode(zip_with(
+        slice(ts, lit(1), size(ts) - 1),
+        slice(ts, lit(2), size(ts) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val toks = docs.select(explode(ts).as("token"))
+    val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("c1"))
+    val bi = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val total = uni.agg(sum(col("c1")).as("n_total"))
+    val p =
+      lit(lambda) * (col("c2").cast("double") / col("cw1").cast("double")) +
+        (lit(1.0) - lit(lambda)) *
+          (col("cw2").cast("double") / col("n_total").cast("double"))
+    val scored = bigrams
+      .join(bi, Seq("w1", "w2"))
+      .join(uni.select(col("token").as("w1"), col("c1").as("cw1")), "w1")
+      .join(uni.select(col("token").as("w2"), col("c1").as("cw2")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        round(log(p), 6).cast("decimal(18,6)").as("lp"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("avg_logprob"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logprob"))
+  }
+
   /** Per-source distribution drift: KL(source ‖ corpus) over unigram
     * token distributions — the observability number that catches a
     * source going off-distribution (a scraper regression, an injection

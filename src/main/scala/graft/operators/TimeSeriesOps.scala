@@ -863,4 +863,65 @@ object TimeSeriesOps {
         (unix_micros(col("span_start")) - unix_micros(col("__prevEnd")))
           .as("gap_micros")): _*)
   }
+
+  /** Trapezoidal time-weighted average per key — the irregular-series
+    * mean that duration-weights each value instead of letting burst
+    * periods dominate a row-count average (the TSDB `integral / span`
+    * aggregate): twa = Σ (vᵢ+vᵢ₊₁)/2 · Δtᵢ / (t_max − t_min) over the
+    * key's samples in time order. A sensor that idles at 0 for an hour
+    * then spikes for a second reads ~0 here and ~spike/2 in a plain
+    * mean — that difference is the operator.
+    *
+    * Determinism: consecutive pairing is order-sensitive when
+    * timestamps tie, so ordering is (ts, tieCol) — a tie-break the
+    * oracle can restate exactly. Each trapezoid term rounds to 9 dp
+    * and sums as exact decimals (a17's discipline); the denominator
+    * telescopes to max−min in exact integer micros. Keys with zero
+    * span (one sample, or all samples at one instant) surface a null
+    * twa, not an Inf.
+    *
+    * Cost: ONE shuffle on the keys — the lead window and the final
+    * aggregation share the same hash partitioning, and the window
+    * frame is (1 following), no full-partition materialization.
+    *
+    * @return keys..., n_points, mean_v (plain decimal-summed mean for
+    *         contrast), twa
+    */
+  def timeWeightedAvg(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      tieCol: String): DataFrame = {
+    val reserved = Seq("__v2", "__tu", "__tu2", "__term", "n_points",
+      "mean_v", "twa").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"timeWeightedAvg reserves column(s) ${reserved.mkString(", ")} — " +
+        "rename them on the input")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val withNext = df
+      .withColumn("__tu", unix_micros(col(tsCol)))
+      .withColumn("__v2", lead(col(valueCol), 1).over(w))
+      .withColumn("__tu2", lead(col("__tu"), 1).over(w))
+      .withColumn("__term",
+        round((col(valueCol) + col("__v2")) * lit(0.5) *
+          ((col("__tu2") - col("__tu")).cast("double") / lit(1000000.0)), 9)
+          .cast("decimal(28,9)"))
+    withNext
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_points"),
+        round(sum(round(col(valueCol), 9).cast("decimal(28,9)"))
+          .cast("double") / count(lit(1)), 6).as("mean_v"),
+        min(col("__tu")).as("__mn"),
+        max(col("__tu")).as("__mx"),
+        sum(col("__term")).as("__num"))
+      .withColumn("twa",
+        when(col("__mx") > col("__mn"),
+          round(col("__num").cast("double") /
+            ((col("__mx") - col("__mn")).cast("double") / lit(1000000.0)),
+            6)))
+      .drop("__mn", "__mx", "__num")
+  }
 }

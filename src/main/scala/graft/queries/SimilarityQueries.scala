@@ -352,6 +352,82 @@ object SimilarityQueries extends QueryModule {
         FROM a2
         ORDER BY vec_id""")),
 
+    // C7 — corpus cluster map: the k-means fit (v6's exact trajectory)
+    // summarized per cluster — size, mean squared distance to the
+    // centroid (cohesion), and the representative member (closest to
+    // the centroid, ties to the lowest id). The "what is in this
+    // corpus" topographic report a curation run opens with; at 100 TB
+    // the summary is a k-row frame produced by one partial-aggregable
+    // groupBy over the map-side assignment (the representative rides
+    // the same agg as min(struct(d2, id)) — no per-cluster window, no
+    // second scan). The oracle replays training CTE-for-CTE (v6's
+    // prefix) and summarizes a2.
+    "c7_cluster_map" -> Q(
+      fn = (s, dir) => {
+        val (asg, _) = SimilarityOps.kmeansFit(
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 4, iters = 2)
+        asg.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_members"),
+            round(sum(col("d2")).cast("double") / count(lit(1)), 6)
+              .as("mean_dist2"),
+            min(struct(col("d2"), col("vec_id"))).getField("vec_id")
+              .as("rep_id"))
+          .orderBy(col("cluster"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, i AS dim, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+          FROM embeddings, range(1, 65) t(i)),
+        init AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+                 vec_id
+          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+        c0 AS (SELECT i.cluster, e.dim, e.v AS c
+               FROM init i JOIN e ON e.vec_id = i.vec_id),
+        d1 AS (
+          SELECT e.vec_id, c.cluster,
+                 sum(CAST(round((e.v - c.c) * (e.v - c.c), 12)
+                   AS DECIMAL(38,12))) AS d2
+          FROM e JOIN c0 c ON e.dim = c.dim
+          GROUP BY 1, 2),
+        a1 AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cluster) AS rn
+            FROM d1) WHERE rn = 1),
+        c1 AS (
+          SELECT a.cluster, e.dim,
+                 CAST(sum(CAST(round(e.v, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                   / count(*) AS c
+          FROM e JOIN a1 a ON e.vec_id = a.vec_id
+          GROUP BY 1, 2),
+        dd2 AS (
+          SELECT e.vec_id, c.cluster,
+                 sum(CAST(round((e.v - c.c) * (e.v - c.c), 12)
+                   AS DECIMAL(38,12))) AS d2
+          FROM e JOIN c1 c ON e.dim = c.dim
+          GROUP BY 1, 2),
+        a2 AS (
+          SELECT vec_id, cluster, d2 FROM (
+            SELECT vec_id, cluster, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cluster) AS rn
+            FROM dd2) WHERE rn = 1),
+        g AS (
+          SELECT cluster, count(*) AS n_members,
+                 round(CAST(sum(d2) AS DOUBLE) / count(*), 6) AS mean_dist2
+          FROM a2 GROUP BY 1),
+        rep AS (
+          SELECT cluster, vec_id AS rep_id FROM (
+            SELECT cluster, vec_id,
+                   row_number() OVER (PARTITION BY cluster
+                     ORDER BY d2, vec_id) AS rn
+            FROM a2) WHERE rn = 1)
+        SELECT g.cluster, g.n_members, g.mean_dist2, rep.rep_id
+        FROM g JOIN rep ON rep.cluster = g.cluster
+        ORDER BY g.cluster""")),
+
     // V7 — IVF over a LEARNED codebook: k-means (2 iterations, k=4)
     // trains the cells, the query probes its 2 closest learned centroids
     // by cosine, only those cells' vectors rank. The composed end-to-end

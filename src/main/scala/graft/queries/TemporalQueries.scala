@@ -584,6 +584,78 @@ object TemporalQueries extends QueryModule {
         FROM sk JOIN ex ON sk.event_type = ex.event_type
         ORDER BY sk.event_type""")),
 
+    // A25 — mergeable quantile sketch (the sketch family's fourth
+    // member: KMV distinct / CMS frequency / Bloom membership /
+    // bottom-k quantiles): per event_type, a deterministic bottom-64
+    // row sample by md5(event_id) estimates value quantiles, checked
+    // here against the exact ones. The estimate is an element PICK
+    // from the sample (Type-1 quantile), not interpolation — one of
+    // the input doubles untouched, so both engines agree bit-for-bit.
+    // Build is a WindowGroupLimit-reduced shuffle; the query also
+    // exercises the merge algebra: sketches built per half of the id
+    // space fold into exactly the whole-frame sketch.
+    "a25_quantile_sketch" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+        val sk = graft.operators.SketchOps.qMerge(
+          graft.operators.SketchOps.qSketch(
+            ev.filter(col("event_id") % 2 === 0),
+            Seq("event_type"), "event_id", "value", k = 64)
+            .union(graft.operators.SketchOps.qSketch(
+              ev.filter(col("event_id") % 2 === 1),
+              Seq("event_type"), "event_id", "value", k = 64)),
+          Seq("event_type"), k = 64)
+        val est = graft.operators.SketchOps.qEstimate(
+          sk, Seq("event_type"), Seq(0.25, 0.5, 0.75, 0.9))
+        val exact = ev.groupBy(col("event_type"))
+          .agg(round(percentile(col("value"), lit(0.25)), 6).as("e25"),
+            round(percentile(col("value"), lit(0.5)), 6).as("e50"),
+            round(percentile(col("value"), lit(0.75)), 6).as("e75"),
+            round(percentile(col("value"), lit(0.9)), 6).as("e90"))
+          .select(col("event_type"),
+            expr("stack(4, 0.25d, e25, 0.5d, e50, 0.75d, e75, 0.9d, e90)" +
+              " AS (q, exact_q)"))
+        est.join(exact, Seq("event_type", "q"))
+          .select(col("event_type"), col("q"), col("n_retained"),
+            col("est"), col("exact_q"))
+          .orderBy(col("event_type"), col("q"))
+      },
+      oracle = Some(s"""
+        WITH h AS (
+          SELECT event_type,
+            list_transform([CAST(event_id AS VARCHAR)],
+              s -> ${TextQueries.baseHashSql})[1] AS hv,
+            value
+          FROM events),
+        r AS (
+          SELECT event_type, hv, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY hv)
+                   AS rn
+          FROM h),
+        sk AS (
+          SELECT event_type, list_sort(list(value)) AS vals,
+                 CAST(count(*) AS INT) AS n_retained
+          FROM r WHERE rn <= 64 GROUP BY 1),
+        ex0 AS (
+          SELECT event_type,
+                 round(quantile_cont(value, 0.25), 6) AS e25,
+                 round(quantile_cont(value, 0.50), 6) AS e50,
+                 round(quantile_cont(value, 0.75), 6) AS e75,
+                 round(quantile_cont(value, 0.90), 6) AS e90
+          FROM events GROUP BY 1),
+        ex AS (
+          SELECT event_type, CAST(0.25 AS DOUBLE) AS q, e25 AS exact_q
+          FROM ex0
+          UNION ALL SELECT event_type, CAST(0.5 AS DOUBLE), e50 FROM ex0
+          UNION ALL SELECT event_type, CAST(0.75 AS DOUBLE), e75 FROM ex0
+          UNION ALL SELECT event_type, CAST(0.9 AS DOUBLE), e90 FROM ex0)
+        SELECT sk.event_type, ex.q, sk.n_retained,
+               vals[CAST(greatest(1, ceil(ex.q * n_retained)) AS INT)]
+                 AS est,
+               ex.exact_q
+        FROM sk JOIN ex ON ex.event_type = sk.event_type
+        ORDER BY sk.event_type, ex.q""")),
+
     // A14 — day-granularity cohort retention on events: cohort = date of
     // a user's first event, cell (cohort, offset) = distinct users from
     // that cohort active `offset` days later, plus retention vs the
@@ -764,6 +836,49 @@ object TemporalQueries extends QueryModule {
         FROM lagged
         WHERE gap_start IS NOT NULL
         ORDER BY user_id, gap_start""")),
+
+    // A26 — trapezoidal time-weighted average per event type (the TSDB
+    // integral/span aggregate): duration-weights each sample so burst
+    // periods stop dominating the mean — shown next to the plain
+    // decimal-summed mean for contrast. Pairing is order-sensitive at
+    // tied timestamps, so both engines order (ts, event_id); trapezoid
+    // terms round 9 dp and sum as decimals, the denominator telescopes
+    // to exact integer micros. One shuffle: lead window and final agg
+    // share the event_type partitioning.
+    "a26_time_weighted_avg" -> Q(
+      fn = (s, dir) =>
+        TimeSeriesOps.timeWeightedAvg(
+          t(s, dir, "events"), Seq("event_type"), "ts", "value",
+          tieCol = "event_id")
+          .orderBy(col("event_type")),
+      oracle = Some("""
+        WITH o AS (
+          SELECT event_type, value, epoch_us(ts) AS tu,
+                 lead(value) OVER (PARTITION BY event_type
+                   ORDER BY ts, event_id) AS v2,
+                 lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                   ORDER BY ts, event_id) AS tu2
+          FROM events),
+        t AS (
+          SELECT event_type,
+                 CAST(round((value + v2) * 0.5 *
+                      (CAST(tu2 - tu AS DOUBLE) / 1000000.0), 9)
+                   AS DECIMAL(28,9)) AS term
+          FROM o WHERE v2 IS NOT NULL),
+        b AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_points,
+                 round(CAST(sum(CAST(round(value, 9) AS DECIMAL(28,9)))
+                       AS DOUBLE) / count(*), 6) AS mean_v,
+                 min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+          FROM events GROUP BY 1),
+        s AS (SELECT event_type, sum(term) AS num FROM t GROUP BY 1)
+        SELECT b.event_type, b.n_points, b.mean_v,
+               CASE WHEN b.mx > b.mn THEN
+                 round(CAST(s.num AS DOUBLE) /
+                   (CAST(b.mx - b.mn AS DOUBLE) / 1000000.0), 6)
+               END AS twa
+        FROM b LEFT JOIN s ON s.event_type = b.event_type
+        ORDER BY b.event_type""")),
 
     // A24 — growth accounting: per day, event volume, active users, NEW
     // users (first-ever event lands that day) and the cumulative user

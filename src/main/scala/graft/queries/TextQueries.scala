@@ -1230,6 +1230,43 @@ object TextQueries extends QueryModule {
         FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id
         ORDER BY d.doc_id""")),
 
+    // D18 — within-document duplicate-segment removal (the CCNet
+    // per-doc line-dedup pass that runs BEFORE any corpus hashing;
+    // d13/d17's in-row sibling): first occurrence of each distinct
+    // pseudo-paragraph inside its own document survives, later repeats
+    // go, order preserved. The Spark side is ONE codegen'd projection —
+    // zero shuffles, no explode — which is the point: this composes
+    // into a 100 TB ingest scan for free. The oracle restates it as
+    // unnest + first-occurrence window (d13's shape, scoped per doc).
+    "d18_line_dedup" -> Q(
+      fn = (s, dir) =>
+        DedupOps.lineDedup(
+          t(s, dir, "documents"), "doc_id", "text",
+          sepRegex = " the ", joiner = " the ")
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id, i, seg
+          FROM (SELECT doc_id, string_split(text, ' the ') AS ps
+                FROM documents),
+               LATERAL (SELECT unnest(ps) AS seg,
+                               generate_subscripts(ps, 1) AS i)),
+        w AS (
+          SELECT doc_id, i, seg,
+                 row_number() OVER (PARTITION BY doc_id, seg
+                                    ORDER BY i) AS rk
+          FROM p),
+        r AS (
+          SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+                 string_agg(seg, ' the ' ORDER BY i) AS text_dedup
+          FROM w WHERE rk = 1 GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(len(string_split(d.text, ' the ')) AS INT)
+                 AS n_segments,
+               r.n_kept, r.text_dedup
+        FROM documents d JOIN r ON r.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
     // D11 — character-level edit-distance verification of a blocked pair
     // set (the record-linkage refine step after LSH/sorted-neighborhood
     // blocking): Levenshtein distance + normalized similarity
@@ -1650,6 +1687,59 @@ object TextQueries extends QueryModule {
         FROM lp
         GROUP BY doc_id
         ORDER BY doc_id""")),
+
+    // T27 — interpolated bigram LM scoring (Jelinek-Mercer, λ=0.7):
+    // t24's context-sensitive sibling — p(w2|w1) = λ·c(w1w2)/c(w1) +
+    // (1−λ)·c(w2)/N under the corpus's own counts, mean log per doc.
+    // Doc bigrams build IN-ROW (zip_with over two slices, no positional
+    // self-join); the oracle has no slice-zip so it restates them as a
+    // positional self-join. The complement weight is 1.0 − 0.7 in IEEE
+    // doubles on BOTH sides — a "0.3" literal is a different double and
+    // would hash-mismatch every row.
+    "t27_bigram_lm" -> Q(
+      fn = (s, dir) =>
+        TextOps.bigramLogProb(t(s, dir, "documents"), "doc_id", "text",
+          lambda = 0.7)
+          .orderBy(col("doc_id")),
+      bench = true,
+      oracle = Some("""
+        WITH tok AS (
+          SELECT doc_id, i, token
+          FROM (SELECT doc_id, string_split(text, ' ') AS ts
+                FROM documents),
+               LATERAL (SELECT unnest(ts) AS token,
+                               generate_subscripts(ts, 1) AS i)),
+        uni AS (
+          SELECT token, count(*) AS c1 FROM tok GROUP BY token),
+        tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n_total FROM uni),
+        bg AS (
+          SELECT t1.doc_id, t1.token AS w1, t2.token AS w2
+          FROM tok t1 JOIN tok t2
+            ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1),
+        bi AS (
+          SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        lp AS (
+          SELECT bg.doc_id,
+                 CAST(round(ln(
+                   0.7 * (CAST(bi.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE)) +
+                   (1.0 - 0.7) * (CAST(u2.c1 AS DOUBLE) /
+                                  CAST(n_total AS DOUBLE))), 6)
+                   AS DECIMAL(18,6)) AS lp
+          FROM bg
+          JOIN bi ON bi.w1 = bg.w1 AND bi.w2 = bg.w2
+          JOIN uni u1 ON u1.token = bg.w1
+          JOIN uni u2 ON u2.token = bg.w2
+          CROSS JOIN tot),
+        sc AS (
+          SELECT doc_id, count(*) AS n_bigrams,
+                 round(CAST(sum(lp) AS DOUBLE) / count(*), 6)
+                   AS avg_logprob
+          FROM lp GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(sc.n_bigrams, 0) AS n_bigrams,
+               sc.avg_logprob
+        FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
 
     // T26 — in-engine trained quality classifier: full-batch logistic
     // regression (3 GD steps, lr=0.5) over two cheap scaled features

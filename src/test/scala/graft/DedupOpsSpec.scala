@@ -110,6 +110,33 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("lineDedup: first occurrence survives in order, repeats go, docs " +
+    "never empty, the plan carries no exchange") {
+    val docs = Seq(
+      (1L, "alpha|beta|alpha|beta|gamma"), // repeats collapse, order kept
+      (2L, "solo"),                        // single segment untouched
+      (3L, "x|x|x"),                       // all same -> one survivor
+      (4L, ""))                            // empty text -> one empty segment
+      .toDF("doc_id", "text")
+    val out = DedupOps.lineDedup(docs, "doc_id", "text", "\\|", "|")
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, 5, 3, "alpha|beta|gamma"),
+      (2L, 1, 1, "solo"),
+      (3L, 3, 1, "x"),
+      (4L, 1, 1, "")))
+    // the whole operator must be one in-row projection: no shuffle, no
+    // window, no join anywhere in the physical plan
+    val plan = DedupOps.lineDedup(docs, "doc_id", "text", "\\|", "|")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Window"), plan)
+    intercept[IllegalArgumentException] {
+      DedupOps.lineDedup(
+        docs.withColumn("n_kept", lit(1)), "doc_id", "text", "\\|", "|")
+    }
+  }
+
   test("editDistanceVerify: textbook distances, identity pairs score " +
     "1.0, maxChars caps the compared prefix, guards reject negatives") {
     val docs = Seq(

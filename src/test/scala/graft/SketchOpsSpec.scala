@@ -50,6 +50,55 @@ class SketchOpsSpec extends SparkSpec {
     assert(math.abs(est - n) / n < 0.38, s"est $est vs exact $n")
   }
 
+  test("qSketch: merge is lossless, below-k groups are exhaustive and " +
+    "exact, estimates land within sample error, duplicate mass survives") {
+    val ev = Tables(spark, dir, "events")
+    val k = 64
+    val whole = SketchOps.qSketch(ev, Seq("event_type"), "event_id", "value", k)
+    val parts = SketchOps.qSketch(
+      ev.filter($"event_id" % 2 === 0), Seq("event_type"), "event_id",
+      "value", k)
+      .union(SketchOps.qSketch(
+        ev.filter($"event_id" % 2 === 1), Seq("event_type"), "event_id",
+        "value", k))
+    val merged = SketchOps.qMerge(parts, Seq("event_type"), k)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_type", $"qsk".cast("array<struct<h:long,v:double>>"))
+        .as[(String, Seq[(Long, Double)])].collect().sortBy(_._1).toSeq
+    assert(rows(merged) === rows(whole))
+    // a group smaller than k retains every row, so the q=1.0 estimate
+    // IS the exact max and q=0 the exact min
+    val tiny = Seq(("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0))
+      .toDF("g", "id", "v")
+    val est = SketchOps.qEstimate(
+      SketchOps.qSketch(tiny, Seq("g"), "id", "v", k = 8),
+      Seq("g"), Seq(0.0, 0.5, 1.0))
+      .select($"q", $"est").as[(Double, Double)].collect().toMap
+    assert(est(0.0) === 10.0 && est(1.0) === 30.0)
+    assert(est(0.5) === 20.0) // ceil(0.5 * 3) = 2nd of sorted (10,20,30)
+    // duplicate-value mass: 9 copies of 1.0 and one 100.0 — the median
+    // must be 1.0, which a distinct-value sample would miss
+    val dup = ((1L to 9L).map(i => ("d", i, 1.0)) :+ (("d", 10L, 100.0)))
+      .toDF("g", "id", "v")
+    val dupEst = SketchOps.qEstimate(
+      SketchOps.qSketch(dup, Seq("g"), "id", "v", k = 16),
+      Seq("g"), Seq(0.5)).select($"est").as[Double].head()
+    assert(dupEst === 1.0)
+    // on the real column, a k=64 sample median lands inside the exact
+    // p25..p75 band (deterministic — fixed hashes, no flake)
+    val bands = ev.groupBy($"event_type")
+      .agg(percentile($"value", lit(0.25)).as("lo"),
+        percentile($"value", lit(0.75)).as("hi"))
+    val med = SketchOps.qEstimate(whole, Seq("event_type"), Seq(0.5))
+    val joined = med.join(bands, "event_type")
+      .select($"event_type", $"est", $"lo", $"hi")
+      .as[(String, Double, Double, Double)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (g, est0, lo, hi) =>
+      assert(est0 >= lo && est0 <= hi, s"group $g: $est0 not in [$lo, $hi]")
+    }
+  }
+
   test("CMS: estimates never underestimate, are exact without " +
     "collisions, and per-part sketches merge into the whole's sketch") {
     val ev = Tables(spark, dir, "events")

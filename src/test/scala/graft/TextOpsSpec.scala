@@ -306,6 +306,31 @@ class TextOpsSpec extends SparkSpec {
     assert(got === Seq((1L, 3L, -0.924196), (2L, 1L, -1.386294)))
   }
 
+  test("bigramLogProb: hand-computed interpolation, scrambled text " +
+    "scores below its fluent twin, short docs surface null, λ guarded") {
+    // corpus: "a b", "a b", "b a", "a" — uni a:4 b:3 N=7;
+    // bi (a,b):2 (b,a):1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "b a"), (4L, "a"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bigramLogProb(docs, "doc_id", "text", lambda = 0.7)
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    val lam = 0.7
+    def sc(c2: Double, cw1: Double, cw2: Double) =
+      BigDecimal(math.log(
+        lam * (c2 / cw1) + (1.0 - lam) * (cw2 / 7.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Seq(
+      (1L, 1L, Some(sc(2, 4, 3))),
+      (2L, 1L, Some(sc(2, 4, 3))),
+      (3L, 1L, Some(sc(1, 3, 4))),
+      (4L, 0L, None)))
+    // the repeated bigram outranks the one-off: context sensitivity
+    assert(out(0)._3.get > out(2)._3.get)
+    intercept[IllegalArgumentException] {
+      TextOps.bigramLogProb(docs, "doc_id", "text", lambda = 1.0)
+    }
+  }
+
   test("sourceDivergence: a source matching the corpus distribution " +
     "scores 0; fully disjoint sources score ln(2) against a 50/50 mix") {
     val same = Seq(("s1", "a b"), ("s2", "a b")).toDF("source", "text")

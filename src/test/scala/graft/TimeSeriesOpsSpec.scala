@@ -476,4 +476,40 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(gaps === Seq(
       (1L, "2024-01-01 14:00:00", "2024-01-01 15:00:00", 3600000000L)))
   }
+
+  test("timeWeightedAvg: idle-then-spike reads near zero, tied " +
+    "timestamps pair by the tie-break, zero spans surface null, one " +
+    "shuffle total") {
+    val rows = Seq(
+      // g1: an hour at 0 then a 1s ramp to 10 — twa 5/3601, mean 10/3
+      ("g1", 1L, "2024-01-01 00:00:00", 0.0),
+      ("g1", 2L, "2024-01-01 01:00:00", 0.0),
+      ("g1", 3L, "2024-01-01 01:00:01", 10.0),
+      // g2: two samples at the SAME instant — pairing must follow the
+      // tie-break (id): (0,100) over 0s, then (100,0) over 10s -> 50
+      ("g2", 1L, "2024-01-01 00:00:10", 0.0),
+      ("g2", 2L, "2024-01-01 00:00:10", 100.0),
+      ("g2", 3L, "2024-01-01 00:00:20", 0.0),
+      // g3: single sample -> zero span -> null twa
+      ("g3", 1L, "2024-01-01 00:00:00", 7.0))
+      .map { case (g, id, s, v) => (g, id, ts(s), v) }
+      .toDF("g", "id", "t", "v")
+    val out = TimeSeriesOps.timeWeightedAvg(rows, Seq("g"), "t", "v", "id")
+      .as[(String, Long, Double, Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    val g1Twa = BigDecimal(5.0 / 3601.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Seq(
+      ("g1", 3L, 3.333333, Some(g1Twa)),
+      ("g2", 3L, 33.333333, Some(50.0)),
+      ("g3", 1L, 7.0, None)))
+    // window and final agg share the key partitioning: one exchange
+    val p = TimeSeriesOps.timeWeightedAvg(rows, Seq("g"), "t", "v", "id")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.timeWeightedAvg(
+        rows.withColumn("twa", lit(1)), Seq("g"), "t", "v", "id")
+    }
+  }
 }
