@@ -612,6 +612,93 @@ object DedupOps {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** Sorted-neighborhood blocking — the third blocking family next to
+    * LSH buckets ([[minhashCandidatePairs]]) and SimHash bands: order
+    * the corpus by a blocking key (length, a fingerprint prefix, a
+    * normalized title), slide a window of `window` rows, and pair each
+    * row with its `window − 1` successors in that total order. Catches
+    * the near-misses hash blocking splits (off-by-one lengths, prefix
+    * edits) at O(n·w) pairs; the classic record-linkage complement.
+    *
+    * DISTRIBUTED-EXACT, no global window: the frame range-partitions on
+    * (key, id) — a total order consistent across partition boundaries —
+    * and each partition pairs internally under a per-partition window.
+    * Cross-boundary pairs come from replicating each partition's first
+    * `window − 1` rows into its predecessor ("borrowed" rows), which
+    * pair only as SUCCESSORS of that partition's own rows — borrowed-to-
+    * borrowed pairs are suppressed, so nothing duplicates. The only
+    * global structure is the range boundaries themselves (sampled
+    * metadata); no stage ever single-partitions the corpus, which is
+    * what makes this shape survive 100 TB where the textbook
+    * row_number-over-everything formulation dies.
+    *
+    * Requires every range partition to hold ≥ `window` rows (borrowing
+    * reaches one partition ahead only); `validatePartitions` checks
+    * this with one partition-count pass and fails fast — skip it at
+    * scale when n / numParts >> window makes violation impossible.
+    *
+    * Output: (a, b, key_a, key_b) with a before b in (key, id) order.
+    */
+  def sortedNeighborPairs(
+      docs: DataFrame,
+      idCol: String,
+      keyCol: Column,
+      window: Int,
+      numParts: Int = 0,
+      validatePartitions: Boolean = true): DataFrame = {
+    require(window >= 2,
+      s"sortedNeighborPairs: window must be >= 2 (got $window) — a " +
+        "window of 1 pairs nothing")
+    val spark = docs.sparkSession
+    val parts =
+      if (numParts > 0) numParts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = docs
+      .select(col(idCol).as("__id"), keyCol.as("__key"))
+      .repartitionByRange(parts, col("__key"), col("__id"))
+      .sortWithinPartitions(col("__key"), col("__id"))
+      .withColumn("__pid", spark_partition_id())
+    if (validatePartitions) {
+      val counts = base.groupBy(col("__pid")).count()
+        .select(min(col("count"))).collect()
+      val minCount = if (counts.head.isNullAt(0)) 0L else counts.head.getLong(0)
+      require(counts.isEmpty || minCount >= window,
+        s"sortedNeighborPairs: a range partition holds $minCount < " +
+          s"$window rows — lower numParts (or pass " +
+          "validatePartitions=false when n/numParts >> window)")
+    }
+    val wIn = Window.partitionBy(col("__pid"))
+      .orderBy(col("__key"), col("__id"))
+    val borrowed = base
+      .withColumn("__rn", row_number().over(wIn))
+      .where(col("__rn") < window && col("__pid") > 0)
+      .select((col("__pid") - 1).as("__pid"), col("__id"), col("__key"),
+        lit(true).as("__borrowed"))
+    val frame = base
+      .select(col("__pid"), col("__id"), col("__key"),
+        lit(false).as("__borrowed"))
+      .union(borrowed)
+    // borrowed rows sort AFTER every original row of the host partition
+    // (they are the next range), so ordering by (key, id) inside the
+    // partition reproduces the global order across the boundary
+    val wPair = Window.partitionBy(col("__pid"))
+      .orderBy(col("__key"), col("__id"))
+    val leads = (1 until window).map { i =>
+      lead(struct(col("__id"), col("__key"), col("__borrowed")), i)
+        .over(wPair).as(s"__l$i")
+    }
+    frame
+      .select(col("__pid") +: col("__id") +: col("__key") +:
+        col("__borrowed") +: leads: _*)
+      .where(!col("__borrowed")) // borrowed rows never LEAD a pair
+      .select(col("__id"), col("__key"),
+        explode(array((1 until window).map(i => col(s"__l$i")): _*))
+          .as("__nb"))
+      .where(col("__nb").isNotNull)
+      .select(col("__id").as("a"), col("__nb.__id").as("b"),
+        col("__key").as("key_a"), col("__nb.__key").as("key_b"))
+  }
+
   /** Within-document duplicate-segment removal — the in-row third member
     * of the sub-document dedup family ([[paragraphDedup]] dedups across
     * the corpus, [[boilerplateRemoval]] removes corpus-frequent

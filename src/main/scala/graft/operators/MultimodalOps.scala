@@ -128,4 +128,40 @@ object MultimodalOps {
       "n_bytes" -> length(blob),
       "md5_hex" -> md5(blob),
       "head4" -> substr(blob, lit(1), lit(4)).cast("string"))
+
+  /** Fixed-size byte patching — the model-input assembly step for
+    * binary payloads (a ViT-style patch grid flattened to 1-D, an audio
+    * chunker): blob id → ⌈n/patchBytes⌉ rows of (patch_no, patch bytes,
+    * its length and md5), last patch ragged. Patch extraction is IN-ROW
+    * (sequence + substr over the binary — codegen, no lambda); only the
+    * explode multiplies rows, and the blob itself still never shuffles
+    * when the caller keeps downstream ops partition-local (the
+    * [[extractFeatures]] contract). [[TextOps.slidingChunks]]'s binary
+    * sibling — fixed geometry, byte units, no overlap.
+    *
+    * @return (idCol, patch_no, n_bytes, md5_hex) — patch bytes are
+    *         hashed, not carried, so the output is metadata-sized
+    */
+  def patchify(
+      blobs: DataFrame,
+      idCol: String,
+      blobCol: String,
+      patchBytes: Int): DataFrame = {
+    require(patchBytes >= 1,
+      s"patchify: patchBytes must be >= 1 (got $patchBytes)")
+    val reserved = Seq("patch_no", "n_bytes", "md5_hex", "__patch")
+      .filter(blobs.columns.contains)
+    require(reserved.isEmpty,
+      s"patchify reserves column(s) ${reserved.mkString(", ")} — rename " +
+        "them on the input")
+    val b = col(blobCol)
+    blobs
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(1), greatest(length(b), lit(1)), lit(patchBytes)),
+          off => substr(b, off, lit(patchBytes)))))
+      .select(col(idCol), col("pos").cast("int").as("patch_no"),
+        length(col("col")).as("n_bytes"),
+        md5(col("col")).as("md5_hex"))
+  }
 }

@@ -43,6 +43,34 @@ object MultimodalQueries extends QueryModule {
         FROM documents
         ORDER BY media_id""")),
 
+    // M4 — fixed-size byte patching of the blob column (the ViT-style
+    // model-input assembly step, slidingChunks' binary sibling): each
+    // payload becomes ceil(n/64) patch rows carrying length + md5, last
+    // patch ragged. Patch extraction is in-row (sequence + substr,
+    // codegen); patch BYTES are hashed, never carried, so the output —
+    // and everything downstream — is metadata-sized. The oracle
+    // recomputes every patch hash from character offsets (the corpus is
+    // ASCII, so byte and char slicing agree).
+    "m4_patchify" -> Q(
+      fn = (s, dir) =>
+        MultimodalOps.patchify(
+          t(s, dir, "documents")
+            .select(col("doc_id").as("media_id"),
+              col("text").cast("binary").as("blob")),
+          "media_id", "blob", patchBytes = 64)
+          .orderBy(col("media_id"), col("patch_no")),
+      oracle = Some("""
+        SELECT doc_id AS media_id,
+               CAST(j - 1 AS INT) AS patch_no,
+               CAST(length(substr(text, CAST((j-1)*64 + 1 AS INT), 64))
+                 AS INT) AS n_bytes,
+               md5(substr(text, CAST((j-1)*64 + 1 AS INT), 64)) AS md5_hex
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(1,
+               CAST(ceil(greatest(length(text), 1) / 64.0) AS BIGINT)))
+               AS j)
+        ORDER BY media_id, patch_no""")),
+
     // M2 — typed mapPartitions decode stub: blobs -> fixed feature schema,
     // partition-local (no blob ever shuffles). The oracle recomputes the
     // stub's features from codepoints.

@@ -1267,6 +1267,32 @@ object TextQueries extends QueryModule {
         FROM documents d JOIN r ON r.doc_id = d.doc_id
         ORDER BY d.doc_id""")),
 
+    // D19 — sorted-neighborhood blocking: corpus ordered by a blocking
+    // key (document length here), each row paired with its 2 successors
+    // in that total order — the record-linkage complement that catches
+    // near-misses hash blocking splits. The Spark side is the
+    // DISTRIBUTED-EXACT shape: range-partition on (key, id), pair under
+    // per-partition windows, replicate each partition's head rows into
+    // its predecessor for the boundary pairs — no stage ever
+    // single-partitions the corpus. The oracle is the textbook global
+    // row_number + rank-band self-join, which is exactly the
+    // formulation that does NOT scale and exists here only to prove
+    // the distributed one equals it.
+    "d19_sorted_neighbors" -> Q(
+      fn = (s, dir) =>
+        DedupOps.sortedNeighborPairs(
+          t(s, dir, "documents"), "doc_id", col("n_chars"), window = 3)
+          .orderBy(col("a"), col("b")),
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id, n_chars,
+                 row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+          FROM documents)
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               a.n_chars AS key_a, b.n_chars AS key_b
+        FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 2
+        ORDER BY a, b""")),
+
     // D11 — character-level edit-distance verification of a blocked pair
     // set (the record-linkage refine step after LSH/sorted-neighborhood
     // blocking): Levenshtein distance + normalized similarity

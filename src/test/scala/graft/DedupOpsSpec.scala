@@ -110,6 +110,40 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("sortedNeighborPairs: distributed pairs equal the textbook global " +
+    "order across partition boundaries, ties break by id, guards hold") {
+    // 40 rows, keys with heavy ties so boundaries land inside tie runs
+    val rows = (1L to 40L).map(i => (i, i % 7)).toSeq
+    val docs = rows.toDF("doc_id", "k")
+    val w = 4
+    // expected: textbook sliding window over the (key, id) total order
+    val sorted = rows.sortBy { case (id, k) => (k, id) }
+    val expected = (for {
+      i <- sorted.indices
+      j <- (i + 1) until math.min(i + w, sorted.length)
+    } yield (sorted(i)._1, sorted(j)._1, sorted(i)._2, sorted(j)._2)).toSet
+    for (parts <- Seq(1, 4)) {
+      val got = DedupOps.sortedNeighborPairs(
+        docs, "doc_id", col("k"), window = w, numParts = parts)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === expected, s"numParts=$parts")
+    }
+    // no stage may single-partition the corpus: the plan must carry no
+    // Exchange SinglePartition (the global-window formulation's tell)
+    val plan = DedupOps.sortedNeighborPairs(
+      docs, "doc_id", col("k"), window = w, numParts = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(800))
+    intercept[IllegalArgumentException] {
+      DedupOps.sortedNeighborPairs(docs, "doc_id", col("k"), window = 1)
+    }
+    // 40 rows over 30 partitions cannot give every partition >= 4 rows
+    intercept[IllegalArgumentException] {
+      DedupOps.sortedNeighborPairs(
+        docs, "doc_id", col("k"), window = 4, numParts = 30)
+    }
+  }
+
   test("lineDedup: first occurrence survives in order, repeats go, docs " +
     "never empty, the plan carries no exchange") {
     val docs = Seq(

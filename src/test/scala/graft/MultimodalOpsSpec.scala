@@ -213,4 +213,28 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(out(4L).format === "unknown" && !out(4L).valid)
     assert(out(5L).format === "png" && !out(5L).valid)
   }
+
+  test("patchify: ragged last patch, hashes match an independent digest, " +
+    "empty blobs yield one empty patch, guards reject misuse") {
+    def md5hex(bs: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(bs)
+        .map("%02x".format(_)).mkString
+    val payload = "abcdefghij".getBytes // 10 bytes, patch 4 -> 4,4,2
+    val blobs = Seq((0L, payload), (1L, Array.emptyByteArray))
+      .toDF("media_id", "blob")
+    val out = MultimodalOps.patchify(blobs, "media_id", "blob", 4)
+      .as[(Long, Int, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out === Seq(
+      (0L, 0, 4, md5hex("abcd".getBytes)),
+      (0L, 1, 4, md5hex("efgh".getBytes)),
+      (0L, 2, 2, md5hex("ij".getBytes)),
+      (1L, 0, 0, md5hex(Array.emptyByteArray))))
+    intercept[IllegalArgumentException] {
+      MultimodalOps.patchify(blobs, "media_id", "blob", 0)
+    }
+    intercept[IllegalArgumentException] {
+      MultimodalOps.patchify(
+        blobs.withColumn("patch_no", lit(1)), "media_id", "blob", 4)
+    }
+  }
 }
