@@ -400,6 +400,121 @@ object TextQueries extends QueryModule {
         ORDER BY a, b"""),
       bench = true),
 
+    // D20 — asymmetric shingle CONTAINMENT over the inverted index
+    // (d6's one-sided sibling): containment(A→B) = |S(A)∩S(B)|/|S(A)|
+    // catches quote-inclusion — a short doc fully embedded in a long
+    // one scores ~1.0 on its own side while Jaccard (normalized by the
+    // union) stays low and misses it. Same posting-list shape as d6:
+    // df-capped inverted join, set sizes riding the posting rows, one
+    // partial-agged pair reduction — cost is O(candidate pairs), never
+    // O(n²), and both directions come from the SAME pair row.
+    "d20_containment" -> Q(
+      fn = (s, dir) => {
+        val dfCap = 50
+        val docs = t(s, dir, "documents")
+        val sh = docs.select(col("doc_id"),
+          explode(array_distinct(
+            TextOps.hashedShingles3(TextOps.tokens(col("text"))))).as("s"))
+        val kept = sh.groupBy(col("s"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= dfCap)
+        val shP = sh.join(kept, "s")
+          .groupBy(col("doc_id"))
+          .agg(collect_list(struct(col("s"), col("df"))).as("sd"))
+          .select(col("doc_id"), size(col("sd")).as("sz"),
+            explode(col("sd")).as("x"))
+          .filter(col("x.df") >= 2)
+          .select(col("doc_id"), col("sz"), col("x.s").as("s"))
+        shP.select(col("doc_id").as("a"), col("sz").as("sza"), col("s"))
+          .join(shP.select(col("doc_id").as("b"), col("sz").as("szb"),
+            col("s")), "s")
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("inter"),
+            any_value(col("sza")).as("sza"), any_value(col("szb")).as("szb"))
+          .filter(col("inter") >= 3)
+          .select(col("a"), col("b"), col("inter"),
+            round(col("inter").cast("double") / col("sza"), 6)
+              .as("containment_a"),
+            round(col("inter").cast("double") / col("szb"), 6)
+              .as("containment_b"))
+          .orderBy(col("a"), col("b"))
+      },
+      oracle = Some(s"""
+        WITH sh AS (
+          SELECT doc_id, unnest(list_distinct($hashedShSql)) AS s
+          FROM (SELECT doc_id, $tokHashesSql AS th FROM documents)),
+        kept AS (SELECT s, count(*) AS df FROM sh GROUP BY 1 HAVING count(*) <= 50),
+        shk AS (SELECT sh.doc_id, sh.s, kept.df FROM sh JOIN kept USING (s)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shk GROUP BY 1),
+        pairs AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+          FROM shk x JOIN shk y ON x.s = y.s
+          WHERE x.doc_id < y.doc_id AND x.df >= 2 AND y.df >= 2
+          GROUP BY 1, 2
+          HAVING count(*) >= 3)
+        SELECT p.a, p.b, p.inter,
+               round(CAST(p.inter AS DOUBLE) / sa.sz, 6) AS containment_a,
+               round(CAST(p.inter AS DOUBLE) / sb.sz, 6) AS containment_b
+        FROM pairs p
+        JOIN sizes sa ON p.a = sa.doc_id
+        JOIN sizes sb ON p.b = sb.doc_id
+        ORDER BY a, b""")),
+
+    // C9 — train/holdout split-leakage report: after the t10 hash
+    // split, how much of each holdout document's shingle set already
+    // sits in the train split — the audit that catches a split done
+    // AFTER imperfect dedup (the silent eval-inflation bug). The train
+    // shingle set is a distinct aggregation (vocab-scale, partial-
+    // agged); the holdout side joins it UNHINTED — broadcast at this
+    // SF, demoted to shuffle when a 100 TB train vocabulary demands
+    // it. n_leaked sums as BIGINT on both engines (the a24 lesson).
+    "c9_split_leakage" -> Q(
+      fn = (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.operators.SampleOps.hashSplit(col("doc_id"), 90)
+              .as("split"),
+            explode(array_distinct(
+              TextOps.hashedShingles3(TextOps.tokens(col("text")))))
+              .as("s"))
+        val trainSh = sh.filter(col("split") === "train")
+          .select(col("s")).distinct()
+          .withColumn("in_train", lit(1))
+        sh.filter(col("split") === "holdout")
+          .join(trainSh, Seq("s"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(coalesce(col("in_train"), lit(0)).cast("long"))
+              .as("n_leaked"))
+          .select(col("doc_id"), col("n_shingles"), col("n_leaked"),
+            round(col("n_leaked").cast("double") / col("n_shingles"), 6)
+              .as("leak_pct"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some {
+        val h60 = baseHashSql.replace("md5(s)", "md5(CAST(doc_id AS VARCHAR))")
+        s"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 CASE WHEN ($h60) % 100 < 90 THEN 'train' ELSE 'holdout'
+                 END AS split
+          FROM documents),
+        sh AS (
+          SELECT doc_id, split, unnest(list_distinct($hashedShSql)) AS s
+          FROM (SELECT doc_id, split, $tokHashesSql AS th FROM base)),
+        tr AS (SELECT DISTINCT s FROM sh WHERE split = 'train')
+        SELECT doc_id, count(*) AS n_shingles,
+               CAST(sum(CASE WHEN s IN (SELECT s FROM tr) THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_leaked,
+               round(CAST(sum(CASE WHEN s IN (SELECT s FROM tr) THEN 1
+                                 ELSE 0 END) AS DOUBLE) / count(*), 6)
+                 AS leak_pct
+        FROM sh WHERE split = 'holdout'
+        GROUP BY doc_id
+        ORDER BY doc_id"""
+      }),
+
     // T5 — exact interpolated quantiles of document length per language
     // (data-quality profiling; Spark percentile == SQL quantile_cont).
     "t5_length_quantiles" -> Q(

@@ -128,6 +128,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("t27: doc bigrams are built IN-ROW (zip_with over slices) — no " +
+    "positional self-join of the token frame") {
+    val p = plan("t27_bigram_lm")
+    // the in-row construction shows as a zip_with inside the Generate;
+    // a positional self-join would key a join on (doc_id, pos)
+    assert(p.contains("zip_with"), p.take(1500))
+    // count aggregations combine map-side before their shuffles
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("a25: the sketch build pre-cuts map-side — rank filters compile " +
+    "to WindowGroupLimit on both the build and merge cuts") {
+    val p = plan("a25_quantile_sketch")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+  }
+
   test("c5: the marginals re-aggregate the (source, token) counts " +
     "through reused exchanges at runtime, not four separate corpus aggs") {
     // exchange reuse is an EXECUTION-time property under AQE — the
