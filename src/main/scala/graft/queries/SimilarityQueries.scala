@@ -194,6 +194,93 @@ object SimilarityQueries extends QueryModule {
         FROM embeddings emb LEFT JOIN comp c ON c.id = emb.vec_id
         ORDER BY emb.vec_id""")),
 
+    // V27 — SemDeDup as published: k-means clusters (not a given label)
+    // are the blocking groups for semantic dedup. d9 assumed a metadata
+    // group; here the clusters come from the data — kmeansFit (v6's
+    // exact trajectory) partitions the corpus, then within-cluster
+    // nearest-neighbor links above tau feed connected components and
+    // the lowest id per component survives. The quadratic term is
+    // bounded by the LEARNED cluster size, which is the published
+    // algorithm's entire scaling argument (k grows with the corpus so
+    // n²/k stays tractable). The oracle replays training (v6's CTE
+    // prefix) and then d9's recursive reachability within the learned
+    // clusters.
+    "v27_semdedup" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val (asg, _) = SimilarityOps.kmeansFit(
+          emb, "vec_id", "embedding", k = 4, iters = 2)
+        val clustered = emb.join(
+          asg.select(col("vec_id"), col("cluster")), "vec_id")
+        graft.operators.DedupOps.semanticDedup(
+          clustered, "vec_id", "embedding", "cluster", tau = 0.4)
+          .orderBy(col("vec_id"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE e AS (
+          SELECT vec_id, i AS dim, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+          FROM embeddings, range(1, 65) t(i)),
+        init AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+                 vec_id
+          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+        c0 AS (SELECT i.cluster, e.dim, e.v AS c
+               FROM init i JOIN e ON e.vec_id = i.vec_id),
+        d1 AS (
+          SELECT e.vec_id, c.cluster,
+                 sum(CAST(round((e.v - c.c) * (e.v - c.c), 12)
+                   AS DECIMAL(38,12))) AS d2
+          FROM e JOIN c0 c ON e.dim = c.dim
+          GROUP BY 1, 2),
+        a1 AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cluster) AS rn
+            FROM d1) WHERE rn = 1),
+        c1 AS (
+          SELECT a.cluster, e.dim,
+                 CAST(sum(CAST(round(e.v, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                   / count(*) AS c
+          FROM e JOIN a1 a ON e.vec_id = a.vec_id
+          GROUP BY 1, 2),
+        dd2 AS (
+          SELECT e.vec_id, c.cluster,
+                 sum(CAST(round((e.v - c.c) * (e.v - c.c), 12)
+                   AS DECIMAL(38,12))) AS d2
+          FROM e JOIN c1 c ON e.dim = c.dim
+          GROUP BY 1, 2),
+        a2 AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cluster) AS rn
+            FROM dd2) WHERE rn = 1),
+        p AS (
+          SELECT x.vec_id AS va, y.vec_id AS vb,
+                 ${cosineSql("ea.embedding", "eb.embedding")} AS sim
+          FROM a2 x JOIN a2 y
+            ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+          JOIN embeddings ea ON ea.vec_id = x.vec_id
+          JOIN embeddings eb ON eb.vec_id = y.vec_id),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY va
+                      ORDER BY sim DESC, vb) AS rk
+          FROM p),
+        nn AS (SELECT va AS a, vb AS b FROM r WHERE rk = 1 AND sim >= 0.4),
+        ed AS (SELECT a, b FROM nn UNION ALL SELECT b AS a, a AS b FROM nn),
+        walk(id, label) AS (
+          SELECT DISTINCT a AS id, a AS label FROM ed
+          UNION
+          SELECT ed.a AS id, walk.label
+          FROM ed JOIN walk ON ed.b = walk.id),
+        comp AS (SELECT id, min(label) AS component FROM walk GROUP BY id)
+        SELECT emb.vec_id,
+               coalesce(c.component, emb.vec_id) AS component,
+               emb.vec_id = coalesce(c.component, emb.vec_id) AS is_canonical
+        FROM embeddings emb LEFT JOIN comp c ON c.id = emb.vec_id
+        ORDER BY emb.vec_id""")),
+
     // V3 — per-label centroids (posexplode + exact decimal mean per dim)
     // and each vector's euclidean distance to its own centroid; the
     // centroid table is tiny and broadcast back.

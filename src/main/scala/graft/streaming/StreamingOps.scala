@@ -235,6 +235,49 @@ object StreamingOps {
     * the documented trade for bounded state, and the downstream
     * idempotent upsert sink absorbs it.
     */
+  /** Streaming quantile-sketch maintenance — the live profiling twin of
+    * the a25 rollup: each micro-batch writes its own PARTIAL bottom-k
+    * sketch ([[graft.operators.SketchOps.qSketch]]) into a per-batch
+    * partition directory (`<path>/batch_id=<id>`, overwrite), and
+    * [[readSketch]] folds all partials with the lossless union+recut
+    * merge. No swap protocol, no mutable store, no marker bookkeeping:
+    * a checkpoint replay REWRITES its own partition (idempotent by
+    * construction), partials are O(groups × k) rows each, and the
+    * read-side fold is exactly the distributed-rollup algebra the
+    * sketch family exists for. This is the shape to prefer whenever an
+    * aggregate has a merge algebra — the mutable-store choreography
+    * ([[dedupIngest]], [[indexIngest]]) is only for state that does
+    * NOT merge.
+    */
+  def sketchIngest(
+      sketchPath: String,
+      keys: Seq[String],
+      idCol: String,
+      valueCol: String,
+      k: Int): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      graft.operators.SketchOps.qSketch(batch, keys, idCol, valueCol, k)
+        .write.mode("overwrite")
+        .parquet(s"$sketchPath/batch_id=$batchId")
+    }
+
+  /** Fold the per-batch partial sketches under `sketchPath` into the
+    * whole-stream sketch — identical to having sketched every row seen
+    * so far in one batch (the merge is lossless). Partition discovery
+    * surfaces `batch_id`; it is dropped before the merge. A returned
+    * plan holds the file listing of the moment it resolved: a replay
+    * overwriting a partition afterwards fails that reader TRANSIENTLY
+    * (missing-file, never a half-merged result) — re-invoke after
+    * ingest activity, the stores' reader contract.
+    */
+  def readSketch(
+      spark: org.apache.spark.sql.SparkSession,
+      sketchPath: String,
+      keys: Seq[String],
+      k: Int): DataFrame =
+    graft.operators.SketchOps.qMerge(
+      spark.read.parquet(sketchPath).drop("batch_id"), keys, k)
+
   def exactDedupStream(
       df: DataFrame,
       keys: Seq[String],

@@ -255,6 +255,52 @@ class StreamingOpsSpec extends SparkSpec {
       "replaying an applied batch id must not re-append")
   }
 
+  test("sketchIngest: per-batch partials fold to the whole-stream " +
+    "sketch, and a replayed batch overwrites its own partition") {
+    implicit val sql = spark.sqlContext
+    val d = java.nio.file.Files.createTempDirectory("graft_qsk_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/sketch"
+    val rows = (1L to 200L).map(i => (i, s"g${i % 3}", (i * 7 % 101).toDouble))
+    val input = MemoryStream[(Long, String, Double)]
+    val q = input.toDS().toDF("id", "g", "v")
+      .writeStream
+      .foreachBatch(StreamingOps.sketchIngest(
+        path, Seq("g"), "id", "v", k = 32))
+      .outputMode(OutputMode.Append).start()
+    val (b1, b2) = rows.splitAt(120)
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      df.select($"g", $"qsk".cast("array<struct<h:long,v:double>>"))
+        .as[(String, Seq[(Long, Double)])].collect().sortBy(_._1).toSeq
+    val streamed = StreamingOps.readSketch(spark, path, Seq("g"), 32)
+    val oneShot = graft.operators.SketchOps.qSketch(
+      rows.toDF("id", "g", "v"), Seq("g"), "id", "v", 32)
+    assert(sk(streamed) === sk(oneShot))
+    // estimates off the streamed sketch match the one-shot ones
+    val est = graft.operators.SketchOps.qEstimate(
+      streamed, Seq("g"), Seq(0.5))
+      .select($"g", $"est").as[(String, Double)].collect().toMap
+    val estOne = graft.operators.SketchOps.qEstimate(
+      oneShot, Seq("g"), Seq(0.5))
+      .select($"g", $"est").as[(String, Double)].collect().toMap
+    assert(est === estOne)
+
+    // replaying batch 0 rewrites its partition — a FRESH read folds to
+    // the same whole-stream sketch (a reader plan resolved BEFORE the
+    // rewrite holds the old file listing and fails transiently — the
+    // readSketch contract says re-read after ingest activity)
+    StreamingOps.sketchIngest(path, Seq("g"), "id", "v", 32)(
+      b1.toDF("id", "g", "v"), 0L)
+    assert(sk(StreamingOps.readSketch(spark, path, Seq("g"), 32))
+      === sk(oneShot))
+  }
+
   test("exactDedupStream: exact re-arrivals within the watermark drop " +
     "across micro-batches, distinct keys and later rows survive") {
     implicit val sql = spark.sqlContext
