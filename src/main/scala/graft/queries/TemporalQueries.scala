@@ -837,6 +837,50 @@ object TemporalQueries extends QueryModule {
         WHERE gap_start IS NOT NULL
         ORDER BY user_id, gap_start""")),
 
+    // A28 — event transition matrix (first-order Markov over each
+    // user's event stream): count and probability of every observed
+    // (event_type → next event_type) transition — the path-analysis /
+    // next-event-model input. ONE shuffle on user_id feeds the lead
+    // window; the (from, to) aggregation then collapses to a
+    // type-pair-sized frame and the per-from totals re-agg that.
+    // Tied timestamps pair by (ts, event_id) on both engines — a26's
+    // tie-break discipline.
+    "a28_transition_matrix" -> Q(
+      fn = (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val trans = t(s, dir, "events")
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .where(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = trans.groupBy(col("from_type"))
+          .agg(sum(col("n")).as("total"))
+        trans.join(totals, "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+            round(col("n").cast("double") / col("total").cast("double"), 6)
+              .as("prob"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      oracle = Some("""
+        WITH tr AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS to_type
+          FROM events),
+        c AS (
+          SELECT from_type, to_type, count(*) AS n
+          FROM tr WHERE to_type IS NOT NULL
+          GROUP BY 1, 2),
+        tot AS (
+          SELECT from_type, CAST(sum(n) AS BIGINT) AS total
+          FROM c GROUP BY 1)
+        SELECT c.from_type, c.to_type, c.n,
+               round(CAST(c.n AS DOUBLE) / CAST(tot.total AS DOUBLE), 6)
+                 AS prob
+        FROM c JOIN tot ON tot.from_type = c.from_type
+        ORDER BY c.from_type, c.to_type""")),
+
     // A26 — trapezoidal time-weighted average per event type (the TSDB
     // integral/span aggregate): duration-weights each sample so burst
     // periods stop dominating the mean — shown next to the plain

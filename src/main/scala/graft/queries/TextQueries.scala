@@ -1620,6 +1620,59 @@ object TextQueries extends QueryModule {
         ORDER BY n DESC, token
         LIMIT 20""")),
 
+    // T28 — TF-IDF keyword extraction: each document's top-3 terms by
+    // tf · ln((N+1)/(df+1)) — BM25's query-less sibling, the corpus-
+    // grounded "what is this document about" signal (tag generation,
+    // near-dup explanation, topic drift audits). The idf rounds to
+    // 9 dp BEFORE the tf multiply so both engines agree bit-for-bit;
+    // the top-3 rank filter compiles to WindowGroupLimit (map-side
+    // pre-cut). df comes from the tf frame — already one row per
+    // (doc, token) — so no second distinct pass over the corpus.
+    "t28_tfidf_topk" -> Q(
+      fn = (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val tf = docs
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("token"))
+        tf.join(df, "token")
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            round(col("tf") *
+              round(log((col("n") + 1).cast("double") /
+                (col("df") + 1).cast("double")), 9), 6))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk"), col("token"), col("tf"),
+            col("score"))
+          .orderBy(col("doc_id"), col("rnk"))
+      },
+      bench = true,
+      oracle = Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        tf AS (
+          SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM documents),
+        sc AS (
+          SELECT tf.doc_id, tf.token, tf.tf,
+                 round(tf.tf * round(ln(CAST(n + 1 AS DOUBLE) /
+                   CAST(df.df + 1 AS DOUBLE)), 9), 6) AS score
+          FROM tf JOIN df USING (token) CROSS JOIN nn),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, token) AS rnk
+          FROM sc)
+        SELECT doc_id, rnk, token, tf, score
+        FROM r WHERE rnk <= 3
+        ORDER BY doc_id, rnk""")),
+
     // T6 — content-defined chunking (Rabin-Karp rolling hash, 8-char
     // window, ~64-char expected chunks): boundaries depend only on local
     // content, so an edit reshifts only the chunks it touches — the CDC
