@@ -612,6 +612,71 @@ object DedupOps {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** Bounded-iteration PageRank over the candidate-pair graph, with a
+    * per-component authority pick — the centrality-based alternative to
+    * [[canonicalPick]]'s quality score: in a duplicate cluster the copy
+    * most linked to other near-dups is usually the original (mirrors
+    * link the source; the source links everything). Fixed `iters`
+    * power-iteration rounds composed as ONE lazy plan (each round is a
+    * contribution join + a partial-aggregable sum on the node frame —
+    * no driver loop materializes anything), undirected edges, uniform
+    * init 1/N.
+    *
+    * Engine-portable arithmetic (the kmeansFit/logisticFit discipline):
+    * per-edge contributions round 12 dp → exact decimal sums
+    * (order-independent), ranks re-round 9 dp each round, and the
+    * damping complement is computed 1.0 − d in IEEE doubles on both
+    * engines — never a re-literalized "0.15".
+    *
+    * Input contract: `pairs` distinct with a < b (what the blocking
+    * stages emit). Only nodes IN the graph are ranked — an isolated doc
+    * has no authority question to answer.
+    *
+    * @return (id, component, pr, is_authority) — pr at 9 dp; exactly
+    *         one authority per component (max pr, ties to lowest id)
+    */
+  def pagerankPick(
+      pairs: DataFrame,
+      damping: Double = 0.85,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"pagerankPick: iters must be >= 1 (got $iters)")
+    require(damping > 0.0 && damping < 1.0,
+      s"pagerankPick: damping must lie in (0, 1), got $damping")
+    val e = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+    val deg = e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("a", "id")
+    val n1 = deg.agg(count(lit(1)).as("n"))
+    var pr = deg.crossJoin(broadcast(n1))
+      .select(col("id"),
+        round(lit(1.0) / col("n").cast("double"), 9).as("pr"))
+    var i = 0
+    while (i < iters) {
+      val src = pr.join(deg, "id")
+        .select(col("id").as("a"),
+          round(col("pr") / col("deg").cast("double"), 12)
+            .cast("decimal(38,12)").as("__c"))
+      val sums = e.join(src, "a")
+        .groupBy(col("b")).agg(sum(col("__c")).as("__s"))
+        .withColumnRenamed("b", "id")
+      pr = deg.select(col("id"))
+        .join(sums, Seq("id"), "left")
+        .crossJoin(broadcast(n1))
+        .select(col("id"),
+          round((lit(1.0) - lit(damping)) / col("n").cast("double") +
+            lit(damping) * coalesce(col("__s").cast("double"), lit(0.0)),
+            9).as("pr"))
+      i += 1
+    }
+    val comp = connectedComponents(pairs)
+      .select(col("id"), col("component"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("pr").desc, col("id").asc)
+    pr.join(comp, "id")
+      .withColumn("is_authority", row_number().over(w) === 1)
+      .select(col("id"), col("component"), col("pr"), col("is_authority"))
+  }
+
   /** Sorted-neighborhood blocking — the third blocking family next to
     * LSH buckets ([[minhashCandidatePairs]]) and SimHash bands: order
     * the corpus by a blocking key (length, a fingerprint prefix, a

@@ -615,6 +615,31 @@ object RelationalQueries extends QueryModule {
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY gid, l_returnflag, l_linestatus""")),
 
+    // A29 — CUBE: the full 2^k grouping-set lattice (a8's rollup emits
+    // only the prefix hierarchy; CUBE adds the column-wise marginals —
+    // per-status-across-flags here — that a drill-anywhere OLAP report
+    // needs). Same scale shape as rollup: the sets expand BEFORE the
+    // exchange, partials still collapse map-side, the shuffle carries
+    // one partial row per (set, group). grouping_id bit order pinned
+    // by the hash compare, as in a8.
+    "a29_cube" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping_id().as("gid"),
+            count(lit(1)).as("n"),
+            rd(sum(dec2(col("l_quantity"))), 2).as("sum_qty"))
+          .select(col("gid"), col("l_returnflag"), col("l_linestatus"),
+            col("n"), col("sum_qty"))
+          .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus")),
+      oracle = Some("""
+        SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               l_returnflag, l_linestatus, count(*) AS n,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag, l_linestatus""")),
+
     // A5 — diagnostic group counts (pipeline/detect_duplicates.py:89-111).
     "a5_group_counts" -> Q(
       fn = (s, dir) =>

@@ -567,6 +567,97 @@ object TextQueries extends QueryModule {
         GROUP BY id
         ORDER BY id""")),
 
+    // D21 — PageRank authority pick over the LSH pair graph (d8's
+    // centrality-based alternative: the most-linked copy in a dup
+    // cluster is usually the original — mirrors link the source). 3
+    // power-iteration rounds composed as ONE lazy plan; per-edge
+    // contributions round 12 dp and sum as decimals, ranks re-round
+    // 9 dp per round, and the damping complement is 1.0 − 0.85 in IEEE
+    // doubles on BOTH engines (never a "0.15" literal — DuckDB would
+    // parse it as an exact DECIMAL and diverge). The oracle unrolls
+    // the three rounds as CTEs over d7's band-join pair prefix.
+    "d21_pagerank_pick" -> Q(
+      fn = (s, dir) => {
+        val pairs = DedupOps.minhashCandidatePairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          shingleK = 3, numPerm = 8, bands = 2)
+          .select(col("a"), col("b"))
+        DedupOps.pagerankPick(pairs, damping = 0.85, iters = 3)
+          .orderBy(col("id"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $bandsSql,
+        pairs AS (
+          SELECT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y
+            ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+          WHERE x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+        e AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+        deg AS (SELECT a AS id, count(*) AS deg FROM e GROUP BY 1),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+        p0 AS (
+          SELECT id, round(CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE), 9) AS pr
+          FROM deg CROSS JOIN nn),
+        c1 AS (
+          SELECT e.b AS id,
+                 sum(CAST(round(p.pr / CAST(d.deg AS DOUBLE), 12)
+                   AS DECIMAL(38,12))) AS s
+          FROM e JOIN p0 p ON p.id = e.a JOIN deg d ON d.id = e.a
+          GROUP BY 1),
+        p1 AS (
+          SELECT d.id,
+                 round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) /
+                     CAST(n AS DOUBLE) +
+                   CAST(0.85 AS DOUBLE) *
+                     coalesce(CAST(c.s AS DOUBLE), CAST(0.0 AS DOUBLE)), 9)
+                   AS pr
+          FROM deg d LEFT JOIN c1 c ON c.id = d.id CROSS JOIN nn),
+        c2 AS (
+          SELECT e.b AS id,
+                 sum(CAST(round(p.pr / CAST(d.deg AS DOUBLE), 12)
+                   AS DECIMAL(38,12))) AS s
+          FROM e JOIN p1 p ON p.id = e.a JOIN deg d ON d.id = e.a
+          GROUP BY 1),
+        p2 AS (
+          SELECT d.id,
+                 round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) /
+                     CAST(n AS DOUBLE) +
+                   CAST(0.85 AS DOUBLE) *
+                     coalesce(CAST(c.s AS DOUBLE), CAST(0.0 AS DOUBLE)), 9)
+                   AS pr
+          FROM deg d LEFT JOIN c2 c ON c.id = d.id CROSS JOIN nn),
+        c3 AS (
+          SELECT e.b AS id,
+                 sum(CAST(round(p.pr / CAST(d.deg AS DOUBLE), 12)
+                   AS DECIMAL(38,12))) AS s
+          FROM e JOIN p2 p ON p.id = e.a JOIN deg d ON d.id = e.a
+          GROUP BY 1),
+        p3 AS (
+          SELECT d.id,
+                 round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) /
+                     CAST(n AS DOUBLE) +
+                   CAST(0.85 AS DOUBLE) *
+                     coalesce(CAST(c.s AS DOUBLE), CAST(0.0 AS DOUBLE)), 9)
+                   AS pr
+          FROM deg d LEFT JOIN c3 c ON c.id = d.id CROSS JOIN nn),
+        walk(id, label) AS (
+          SELECT DISTINCT a AS id, a AS label FROM e
+          UNION
+          SELECT e.a AS id, walk.label
+          FROM e JOIN walk ON e.b = walk.id),
+        comp AS (SELECT id, min(label) AS component FROM walk GROUP BY id),
+        j AS (
+          SELECT p3.id, comp.component, p3.pr
+          FROM p3 JOIN comp ON comp.id = p3.id)
+        SELECT id, component, pr,
+               id = first_value(id) OVER
+                 (PARTITION BY component ORDER BY pr DESC, id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS is_authority
+        FROM j
+        ORDER BY id""")),
+
     // D8 — canonical pick: the step after pairs + connected components
     // that actually shrinks the corpus — every doc gets its duplicate
     // cluster (own id when unclustered) and the cluster's winner by

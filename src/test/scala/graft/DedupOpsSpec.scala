@@ -110,6 +110,46 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("pagerankPick: the hub outranks leaves, symmetric ties break to " +
+    "the lowest id, one authority per component, hand-replicated ranks") {
+    // path 1-2-3 (2 is the hub) plus the symmetric pair 4-5
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val out = DedupOps.pagerankPick(pairs, damping = 0.85, iters = 3)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    // replicate the arithmetic contract exactly: contributions round
+    // 12 dp and sum, ranks re-round 9 dp per iteration
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r12(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val deg = Map(1L -> 1.0, 2L -> 2.0, 3L -> 1.0, 4L -> 1.0, 5L -> 1.0)
+    val nbrs = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L),
+      4L -> Seq(5L), 5L -> Seq(4L))
+    var pr = deg.keys.map(_ -> r9(1.0 / 5.0)).toMap
+    for (_ <- 1 to 3) {
+      val c = pr.keys.map { i =>
+        i -> (BigDecimal(0) /: nbrs(i)) { (acc, j) =>
+          acc + BigDecimal(r12(pr(j) / deg(j)))
+        }
+      }.toMap
+      pr = pr.keys.map { i =>
+        i -> r9((1.0 - 0.85) / 5.0 + 0.85 * c(i).toDouble)
+      }.toMap
+    }
+    assert(out.map(r => r._1 -> r._3).toMap === pr)
+    // hub wins its component; the symmetric pair ties to the lowest id
+    assert(out.map(r => r._1 -> r._4).toMap ===
+      Map(1L -> false, 2L -> true, 3L -> false, 4L -> true, 5L -> false))
+    assert(out.count(_._4) === 2) // one authority per component
+    assert(out.forall(r => if (r._1 <= 3) r._2 === 1L else r._2 === 4L))
+    intercept[IllegalArgumentException] {
+      DedupOps.pagerankPick(pairs, damping = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      DedupOps.pagerankPick(pairs, iters = 0)
+    }
+  }
+
   test("sortedNeighborPairs: distributed pairs equal the textbook global " +
     "order across partition boundaries, ties break by id, guards hold") {
     // 40 rows, keys with heavy ties so boundaries land inside tie runs
