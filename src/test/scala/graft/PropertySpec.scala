@@ -262,4 +262,78 @@ class PropertySpec extends SparkSpec {
       dein(0) == x && dein(1) == y
     }, samples = 15)
   }
+
+  test("lineDedup: idempotent, kept segments are a prefix-preserving " +
+    "subset, counts consistent") {
+    import graft.operators.DedupOps
+    val segGen = Gen.oneOf("x", "y", "z", "w")
+    val docGen = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, segGen).map(_.mkString("|")))
+    check(Prop.forAll(Gen.listOfN(3, docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val once = DedupOps.lineDedup(docs, "doc_id", "text", "\\|", "|")
+      val rows = once.as[(Long, Int, Int, String)].collect().sortBy(_._1)
+      val again = DedupOps.lineDedup(
+        once.select($"doc_id", $"text_dedup".as("text")),
+        "doc_id", "text", "\\|", "|")
+        .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+      rows.zip(again).forall { case ((id, _, kept, txt), (id2, n2, k2, t2)) =>
+        // re-applying is a no-op, and counts describe the output
+        id == id2 && t2 == txt && n2 == kept && k2 == kept &&
+          txt.split("\\|", -1).length == kept &&
+          txt.split("\\|", -1).toSeq ==
+            rows.find(_._1 == id).get._4.split("\\|", -1).toSeq.distinct
+      }
+    }, samples = 15)
+  }
+
+  test("qSketch: 3-way split merged in either grouping equals the " +
+    "one-shot sketch (merge associativity / split invariance)") {
+    import graft.operators.SketchOps
+    val rowsGen = for {
+      n <- Gen.choose(4, 60)
+      vs <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+    } yield vs.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+    check(Prop.forAll(rowsGen, Gen.choose(2, 5)) { (rows, k) =>
+      val df = rows.toDF("id", "g", "v")
+      def sk(d: org.apache.spark.sql.DataFrame) =
+        SketchOps.qSketch(d, Seq("g"), "id", "v", k)
+      def rowsOf(d: org.apache.spark.sql.DataFrame) =
+        d.select($"g", $"qsk".cast("array<struct<h:long,v:double>>"))
+          .as[(String, Seq[(Long, Double)])].collect().toSeq.sortBy(_._1)
+      val whole = rowsOf(sk(df))
+      val p0 = sk(df.filter($"id" % 3 === 0))
+      val p1 = sk(df.filter($"id" % 3 === 1))
+      val p2 = sk(df.filter($"id" % 3 === 2))
+      // ((p0 + p1) + p2) and (p0 + (p1 + p2)) both equal the one-shot
+      val left = SketchOps.qMerge(
+        SketchOps.qMerge(p0.union(p1), Seq("g"), k).union(p2), Seq("g"), k)
+      val right = SketchOps.qMerge(
+        p0.union(SketchOps.qMerge(p1.union(p2), Seq("g"), k)), Seq("g"), k)
+      rowsOf(left) == whole && rowsOf(right) == whole
+    }, samples = 10)
+  }
+
+  test("pagerankPick: rank mass stays ~1 over the graph, exactly one " +
+    "authority per component, ranks positive") {
+    import graft.operators.DedupOps
+    val pairGen = for {
+      n <- Gen.choose(2, 10)
+      m <- Gen.choose(1, 12)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong)
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield es.filter(p => p._1 != p._2).distinct
+    check(Prop.forAll(pairGen.suchThat(_.nonEmpty)) { es =>
+      val out = DedupOps.pagerankPick(es.toDF("a", "b"), 0.85, iters = 3)
+        .as[(Long, Long, Double, Boolean)].collect().toSeq
+      val mass = out.map(_._3).sum
+      val comps = out.map(_._2).distinct
+      math.abs(mass - 1.0) < 1e-6 &&
+        out.forall(_._3 > 0.0) &&
+        comps.forall(c => out.count(r => r._2 == c && r._4) == 1)
+    }, samples = 10)
+  }
 }
