@@ -43,7 +43,10 @@ object PipelineCli {
       fromDatetime: Option[java.sql.Timestamp] = None,
       now: Option[java.sql.Timestamp] = None,
       emulateOldVersion: Boolean = false,
-      padSeconds: Long = 6 * 3600)
+      padSeconds: Long = 6 * 3600,
+      benchmark: Option[String] = None,
+      minQuality: Double = 0.3,
+      sep: String = "\n")
 
   /** Pure argument parser (reference semantics: -d xor -t, ints checked,
     * negative windows rejected). Returns Left(error) on bad usage.
@@ -73,9 +76,18 @@ object PipelineCli {
         v.toLongOption.toRight(s"--pad-seconds must be an integer, got '$v'")
           .flatMap(p => loop(t, c.copy(padSeconds = p)))
       case "--mode" :: v :: t =>
-        if (v == "levels" || v == "nmdb-catchup") loop(t, c.copy(mode = v))
-        else Left(s"--mode must be levels or nmdb-catchup, got '$v'")
+        if (v == "levels" || v == "nmdb-catchup" || v == "curate")
+          loop(t, c.copy(mode = v))
+        else Left(s"--mode must be levels, nmdb-catchup or curate, got '$v'")
       case "--feed" :: v :: t => loop(t, c.copy(feed = v))
+      case "--benchmark" :: v :: t => loop(t, c.copy(benchmark = Some(v)))
+      case "--min-quality" :: v :: t =>
+        v.toDoubleOption.filter(q => q >= 0.0 && q <= 1.0)
+          .toRight(s"--min-quality must be a number in [0, 1], got '$v'")
+          .flatMap(q => loop(t, c.copy(minQuality = q)))
+      case "--sep" :: v :: t =>
+        if (v.isEmpty) Left("--sep must be a non-empty literal separator")
+        else loop(t, c.copy(sep = v))
       case "--max-lookback-hours" :: v :: t =>
         v.toIntOption.filter(_ > 0)
           .toRight(s"--max-lookback-hours must be a positive integer, got '$v'")
@@ -126,8 +138,82 @@ object PipelineCli {
   }
 
   def run(spark: SparkSession, c: Config): Unit =
-    if (c.mode == "nmdb-catchup") runNmdbCatchup(spark, c)
-    else runLevels(spark, c)
+    c.mode match {
+      case "nmdb-catchup" => runNmdbCatchup(spark, c)
+      case "curate" => runCurate(spark, c)
+      case _ => runLevels(spark, c)
+    }
+
+  /** Corpus curation entry point — the LLM-pipeline twin of the levels
+    * cron: quality-gate, within-doc line dedup, corpus exact dedup, and
+    * (with `--benchmark`) eval decontamination over
+    * `<input>/documents`, writing
+    *
+    *   - `<output>/decisions` — one row PER INPUT DOC with its quality
+    *     score and every gate verdict (the auditable decision log a
+    *     production curation run must leave behind: "why did doc X
+    *     disappear" has a queryable answer);
+    *   - `<output>/curated`   — the surviving docs with deduped text.
+    *
+    * Shape: ONE corpus-wide lazy plan computes all verdicts and writes
+    * the decision log (the only full-width pass); the curated split and
+    * the one-line JSON report re-read the decisions parquet, which is
+    * flag-columns-plus-text — never recomputed. Exact-dup winners are
+    * chosen among quality-passing docs only (min doc_id per md5 of the
+    * line-deduped text), so a gated doc can't shadow a clean one.
+    */
+  def runCurate(spark: SparkSession, c: Config): Unit = {
+    import graft.operators.{DedupOps, TextOps}
+    val docs = spark.read.parquet(s"${c.input}/documents")
+    val sepRegex = java.util.regex.Pattern.quote(c.sep)
+    val stop = Seq("the", "a", "of", "to")
+    val deduped = DedupOps.lineDedup(docs, "doc_id", "text", sepRegex, c.sep)
+      .select(col("doc_id"), col("n_segments"), col("n_kept"),
+        col("text_dedup"))
+    val quality = TextOps.qualityScore(
+      col("text"), TextOps.tokens(col("text")), stop)("quality")
+    val base = docs.join(deduped, "doc_id")
+      .withColumn("quality", quality)
+      .withColumn("passed_quality", col("quality") >= c.minQuality)
+    val winners = base.filter(col("passed_quality"))
+      .groupBy(md5(col("text_dedup")).as("__k"))
+      .agg(min(col("doc_id")).as("__win"))
+    val withDup = base
+      .withColumn("__k", md5(col("text_dedup")))
+      .join(winners, Seq("__k"), "left")
+      .withColumn("is_exact_dup",
+        col("passed_quality") && col("doc_id") =!= col("__win"))
+    val withCon = c.benchmark match {
+      case Some(bp) =>
+        val bench = spark.read.parquet(bp)
+        val flags = DedupOps.flagContaminated(
+          withDup.select(col("doc_id"), col("text_dedup").as("text")),
+          bench, "doc_id", "text")
+        withDup.join(flags, "doc_id")
+      case None => withDup.withColumn("is_contaminated", lit(false))
+    }
+    withCon
+      .withColumn("keep",
+        col("passed_quality") && !col("is_exact_dup") &&
+          !col("is_contaminated"))
+      .select(col("doc_id"), col("quality"), col("passed_quality"),
+        col("n_segments"), col("n_kept"), col("is_exact_dup"),
+        col("is_contaminated"), col("keep"), col("text_dedup"))
+      .write.mode("overwrite").parquet(s"${c.output}/decisions")
+    val dec = spark.read.parquet(s"${c.output}/decisions")
+    dec.filter(col("keep"))
+      .select(col("doc_id"), col("text_dedup").as("text"))
+      .write.mode("overwrite").parquet(s"${c.output}/curated")
+    val r = dec.agg(
+      count(lit(1)).as("n_in"),
+      sum(when(col("passed_quality"), 1L).otherwise(0L)).as("n_quality"),
+      sum(when(col("is_exact_dup"), 1L).otherwise(0L)).as("n_dup"),
+      sum(when(col("is_contaminated"), 1L).otherwise(0L)).as("n_contam"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept")).head()
+    println(s"""{"mode":"curate","docs_in":${r.getLong(0)},""" +
+      s""""passed_quality":${r.getLong(1)},"exact_dups":${r.getLong(2)},""" +
+      s""""contaminated":${r.getLong(3)},"kept":${r.getLong(4)}}""")
+  }
 
   /** The reference's resume-from-last-stored walk, fleet-wide: plan the
     * missing hours per site, execute against the feed table with

@@ -124,4 +124,67 @@ class PipelineCliSpec extends SparkSpec {
     assert(got.map(_._2) === Array(101.0, 102.0, 103.0, 104.0, 105.0, 106.0))
     assert(got.forall(_._3 == 0))
   }
+
+  test("parse: curate mode flags (--benchmark, --min-quality bounds, " +
+    "--sep non-empty)") {
+    assert(PipelineCli.parse(Seq("--mode", "curate", "--input", "i",
+      "--output", "o", "--benchmark", "b", "--min-quality", "0.5",
+      "--sep", "|")).exists(c =>
+      c.mode == "curate" && c.benchmark == Some("b") &&
+        c.minQuality == 0.5 && c.sep == "|"))
+    assert(PipelineCli.parse(Seq("--mode", "curate", "--input", "i",
+      "--output", "o", "--min-quality", "1.5"))
+      .left.exists(_.contains("min-quality")))
+    assert(PipelineCli.parse(Seq("--mode", "curate", "--input", "i",
+      "--output", "o", "--sep", ""))
+      .left.exists(_.contains("non-empty")))
+  }
+
+  test("curate mode: decision log covers every input doc, gates compose, " +
+    "curated output carries deduped text") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_cur_").toFile
+    d.deleteOnExit()
+    val in = d.getAbsolutePath + "/in"
+    val out = d.getAbsolutePath + "/out"
+    Seq(
+      (1L, "alpha beta gamma delta"),       // clean, unique -> kept
+      (2L, "alpha beta gamma delta"),       // exact dup of 1 -> dropped
+      (3L, "a a a a a"),                    // degenerate -> fails quality
+      (4L, "foo bar\nfoo bar\nbaz qux"),    // internal repeat -> dedups, kept
+      (5L, "evalmark secret tokens here words")) // hits the benchmark
+      .toDF("doc_id", "text")
+      .write.parquet(s"$in/documents")
+    val bench = d.getAbsolutePath + "/bench"
+    Seq((100L, "evalmark secret tokens overlap"))
+      .toDF("doc_id", "text").write.parquet(bench)
+
+    PipelineCli.run(spark, PipelineCli.Config(
+      input = in, output = out, mode = "curate",
+      benchmark = Some(bench), sep = "\n"))
+
+    val dec = spark.read.parquet(s"$out/decisions")
+      .select($"doc_id", $"passed_quality", $"is_exact_dup",
+        $"is_contaminated", $"keep", $"text_dedup")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(dec.size === 5) // one decision row PER input doc
+    assert(dec(1L)._5 === true)
+    assert(dec(2L)._3 === true && dec(2L)._5 === false) // dup of 1
+    assert(dec(3L)._2 === false && dec(3L)._5 === false) // quality gate
+    assert(dec(4L)._5 === true &&
+      dec(4L)._6 === "foo bar\nbaz qux") // internal repeat removed
+    assert(dec(5L)._4 === true && dec(5L)._5 === false) // decontaminated
+
+    val curated = spark.read.parquet(s"$out/curated")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(curated === Seq(
+      (1L, "alpha beta gamma delta"), (4L, "foo bar\nbaz qux")))
+
+    // re-run is idempotent (overwrite semantics)
+    PipelineCli.run(spark, PipelineCli.Config(
+      input = in, output = out, mode = "curate",
+      benchmark = Some(bench), sep = "\n"))
+    assert(spark.read.parquet(s"$out/curated").count() === 2)
+  }
 }
