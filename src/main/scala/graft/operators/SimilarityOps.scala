@@ -928,6 +928,76 @@ object SimilarityOps {
       .drop("__n")
   }
 
+  /** Sign-bit binary quantization: bit (i mod 64) of word (i / 64) is set
+    * iff `vec[i] > 0`. 64 dims pack into ONE long — 32× smaller than the
+    * float32 vector, which is the 100 TB story: the Hamming first pass
+    * scans 8 bytes/vector of packed codes (a codes-only columnar read in
+    * a persisted layout), and the float vectors are touched only for the
+    * k·rerank survivors. The threshold is literal zero, not a learned
+    * per-dim mean, so the bit is a pure float comparison — no arithmetic
+    * whose last-ulp could flip a bit between engines or runs.
+    */
+  def signBits(vec: Column, dims: Int): Column = {
+    require(dims > 0, "signBits needs a positive dimension count")
+    val words = (dims + 63) / 64
+    val wordCols = (0 until words).map { w =>
+      val lo = w * 64
+      val hi = math.min(dims, lo + 64)
+      (lo until hi).map { i =>
+        when(element_at(vec, i + 1) > lit(0.0),
+          shiftleft(lit(1L), i - lo)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    }
+    array(wordCols: _*)
+  }
+
+  /** Hamming distance between two packed sign-bit codes (array<long>):
+    * popcount of the per-word XOR, summed. Pure builtins — bit_count and
+    * bitwise xor are codegen'd, so the distance stays inside whole-stage
+    * codegen.
+    */
+  def hammingWords(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x).cast("int")
+
+  /** Binary-quantization ANN: rank the whole corpus by Hamming distance
+    * between packed sign-bit codes (cheap, 8 bytes/vector at 64 dims),
+    * keep the k·rerankFactor closest, then exact-cosine re-rank just
+    * those. Candidate cut and final rank are both totally ordered
+    * (distance, then id), so the result is deterministic. The plan is
+    * scan → project(code, hamming) → TakeOrderedAndProject(k·rerank) →
+    * cosine over k·rerank rows — no shuffle of vectors, no global sort.
+    */
+  def binaryQuantTopK(
+      embeddings: DataFrame,
+      query: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      k: Int,
+      rerankFactor: Int = 4): DataFrame = {
+    val query1 = singleQueryGuard(query, idCol, "binaryQuantTopK")
+    val q = broadcast(query1.select(
+      col(idCol).as("__qid"),
+      signBits(col(vecCol), dims).as("__qcode"),
+      col(vecCol).as("__qvec")))
+    embeddings
+      .join(q, col(idCol) =!= col("__qid"))
+      .select(col(idCol),
+        hammingWords(signBits(col(vecCol), dims), col("__qcode"))
+          .as("hamming"),
+        col(vecCol), col("__qvec"))
+      .orderBy(col("hamming").asc, col(idCol).asc)
+      .limit(k * rerankFactor)
+      .select(col(idCol), col("hamming"),
+        cosine(col(vecCol), col("__qvec")).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("sim").desc, col(idCol).asc)))
+  }
+
   /** Per-DIMENSION statistics of an embedding column — the profile that
     * sizes SQ8 ranges, spots dead/saturated dimensions, and sanity-
     * checks a new embedding source. One posexplode + one partial-

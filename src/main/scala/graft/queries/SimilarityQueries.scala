@@ -1050,6 +1050,49 @@ object SimilarityQueries extends QueryModule {
         FROM topk
         ORDER BY rank""")),
 
+    // V28 — binary-quantization ANN: every vector's 64 dims pack into ONE
+    // long of sign bits (dim i sets bit i iff v[i] > 0 — a pure float
+    // compare, no arithmetic that could flip a boundary bit); the first
+    // pass ranks the corpus by popcount(xor) Hamming distance over those
+    // 8-byte codes, and only the 4k closest get the exact-cosine re-rank.
+    // The modern 32×-compression serving layout (BQ/RaBitQ family): at
+    // 100 TB the Hamming pass is a codes-only columnar scan + a k-heap
+    // (TakeOrderedAndProject — no shuffle of vectors), and float vectors
+    // are fetched for 40 rows. The oracle recomputes the same bits from
+    // the same compares, so hamming, candidate cut, and final rank all
+    // hash-match.
+    "v28_binary_quant" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimilarityOps.binaryQuantTopK(
+          emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+          dims = 64, k = 10, rerankFactor = 4)
+          .orderBy(col("rank"))
+      },
+      bench = true,
+      oracle = Some(s"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                   FROM embeddings WHERE vec_id = 0),
+        h AS (
+          SELECT e.vec_id, e.embedding, q.qe,
+                 CAST(list_sum(list_transform(generate_series(1, 64), i ->
+                   CASE WHEN (CAST(e.embedding[i] AS DOUBLE) > 0.0)
+                          <> (CAST(q.qe[i] AS DOUBLE) > 0.0)
+                        THEN 1 ELSE 0 END)) AS INT) AS hamming
+          FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        cand AS (
+          SELECT * FROM h ORDER BY hamming ASC, vec_id ASC LIMIT 40),
+        scored AS (
+          SELECT vec_id, hamming, ${cosineSql("embedding", "qe")} AS sim
+          FROM cand),
+        topk AS (
+          SELECT * FROM scored ORDER BY sim DESC, vec_id LIMIT 10)
+        SELECT vec_id, hamming, sim,
+               CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT)
+                 AS rank
+        FROM topk
+        ORDER BY rank""")),
+
     // V16 — SQ8 scalar quantization: per-dimension (min, max) ranges
     // learned from the corpus, 8-bit codes, serving over DEQUANTIZED
     // vectors with the shared deterministic cosine. The oracle replays

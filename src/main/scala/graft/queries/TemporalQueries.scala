@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, QueryModule, Tables}
 import graft.operators.{SkewOps, TimeSeriesOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -968,6 +968,123 @@ object TemporalQueries extends QueryModule {
                  AS BIGINT) AS cum_users
         FROM daily d LEFT JOIN nu ON nu.day = d.day
         ORDER BY d.day""")),
+
+    // A30 — exponentially weighted moving average (pandas ewm adjust=True,
+    // alpha=0.3, truncated at 10 lags): each user's final smoothed value
+    // = Σ v_j·0.7^lag / Σ 0.7^lag over the last 10 events. The 10-lag
+    // truncation is what makes it a WINDOW op (rows 9 preceding), not a
+    // whole-history recursion — state is O(10) per user at any scale, and
+    // the collect_list frame order is the window's total order (ts, then
+    // event_id on ties). Weights round to 9 dp before the multiply:
+    // 0.7^k is EXACT at k decimal digits, so a last-ulp pow() divergence
+    // between engines rounds away; the term fold is the established
+    // left-fold == list_reduce equivalence.
+    "a30_ewma" -> Q(
+      fn = (s, dir) => {
+        val ord = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val arr = collect_list(col("value"))
+          .over(ord.rowsBetween(-9, Window.currentRow))
+        val last = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val n = size(col("arr"))
+        val term = (j: Column) =>
+          element_at(col("arr"), j) *
+            round(pow(lit(0.7), (n - j).cast("double")), 9)
+        val wgt = (j: Column) =>
+          round(pow(lit(0.7), (n - j).cast("double")), 9)
+        t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("arr", arr)
+          .withColumn("n_events",
+            count(lit(1)).over(Window.partitionBy(col("user_id"))))
+          .withColumn("rn", row_number().over(last))
+          .filter(col("rn") === 1)
+          .withColumn("ewma", round(
+            aggregate(sequence(lit(1), n), lit(0.0),
+              (acc, j) => acc + term(j)) /
+              aggregate(sequence(lit(1), n), lit(0.0),
+                (acc, j) => acc + wgt(j)), 6))
+          .select(col("user_id"), col("n_events"), col("ewma"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id,
+                 list(value) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS arr,
+                 count(*) OVER (PARTITION BY user_id) AS n_events,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        SELECT user_id, n_events,
+               round(
+                 list_reduce(list_transform(generate_series(1, len(arr)),
+                   j -> arr[j] * round(pow(0.7,
+                     CAST(len(arr) - j AS DOUBLE)), 9)),
+                   (x, y) -> x + y)
+                 /
+                 list_reduce(list_transform(generate_series(1, len(arr)),
+                   j -> round(pow(0.7,
+                     CAST(len(arr) - j AS DOUBLE)), 9)),
+                   (x, y) -> x + y), 6) AS ewma
+        FROM ev WHERE rn = 1
+        ORDER BY user_id""")),
+
+    // A31 — MAD robust outliers: per event_type, flag values more than
+    // 3·1.4826·MAD from the median (the z-score's heavy-tail-safe
+    // sibling — median and MAD don't move when the outliers themselves
+    // do). Two exact-percentile aggregations + two broadcast joins of a
+    // 5-row frame; at scale the exact percentile swaps for
+    // approx_percentile without touching the shape. Median and MAD round
+    // to 9 dp before the threshold compare so a last-ulp interpolation
+    // difference between engines can't flip a flag.
+    "a31_mad_outliers" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+        val med = ev.groupBy(col("event_type"))
+          .agg(round(percentile(col("value"), lit(0.5)), 9).as("med9"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("absdev", abs(col("value") - col("med9")))
+        val mad = dev.groupBy(col("event_type"))
+          .agg(round(percentile(col("absdev"), lit(0.5)), 9).as("mad9"))
+        dev.join(broadcast(mad), "event_type")
+          .withColumn("is_out",
+            col("absdev") > round(lit(3) * lit(1.4826) * col("mad9"), 9))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(first(col("med9")), 6).as("med"),
+            round(first(col("mad9")), 6).as("mad"),
+            count(when(col("is_out"), 1)).as("n_outliers"))
+          .withColumn("outlier_pct",
+            round(col("n_outliers").cast("double") / col("n"), 6))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        WITH med AS (
+          SELECT event_type, round(quantile_cont(value, 0.5), 9) AS med9
+          FROM events GROUP BY event_type),
+        dev AS (
+          SELECT e.event_type, e.value, m.med9,
+                 abs(e.value - m.med9) AS absdev
+          FROM events e JOIN med m USING (event_type)),
+        mad AS (
+          SELECT event_type, round(quantile_cont(absdev, 0.5), 9) AS mad9
+          FROM dev GROUP BY event_type),
+        flg AS (
+          SELECT d.event_type, d.med9, m.mad9,
+                 d.absdev > round(3 * 1.4826 * m.mad9, 9) AS is_out
+          FROM dev d JOIN mad m USING (event_type))
+        SELECT event_type, count(*) AS n,
+               round(max(med9), 6) AS med,
+               round(max(mad9), 6) AS mad,
+               count(CASE WHEN is_out THEN 1 END) AS n_outliers,
+               round(CAST(count(CASE WHEN is_out THEN 1 END) AS DOUBLE)
+                 / count(*), 6) AS outlier_pct
+        FROM flg
+        GROUP BY event_type
+        ORDER BY event_type""")),
 
     // A17 — rolling z-score anomaly flags: each event's value against the
     // mean/sample-stddev of the ±10-row window around it per user. The

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, QueryModule, Tables}
 import graft.operators.{DedupOps, DedupStore, SearchOps, TextOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -469,6 +469,169 @@ object TextQueries extends QueryModule {
     // agged); the holdout side joins it UNHINTED — broadcast at this
     // SF, demoted to shuffle when a 100 TB train vocabulary demands
     // it. n_leaked sums as BIGINT on both engines (the a24 lesson).
+    // C10 — curation funnel report: the per-stage survivor counts of the
+    // canonical filter chain (language → length band → exact dedup →
+    // min-token quality). THE operational readout of a curation run —
+    // "where did my corpus go" — and the first thing to audit when a
+    // training mix shrinks. One scan computes the stage-1/2 predicates as
+    // booleans (conjunction counts, partial-aggable); only the survivors
+    // enter the dedup window (keep-first by doc_id within an md5(text)
+    // group). Counts are count(CASE …) → BIGINT on both engines (no
+    // HUGEINT sums, the a24 lesson); stage rows assemble from two 1-row
+    // aggregate frames, driver-side-free.
+    "c10_filter_funnel" -> Q(
+      fn = (s, dir) => {
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+          .withColumn("p1", col("lang") === "en")
+          .withColumn("p12",
+            col("lang") === "en" && col("n_chars").between(100, 400))
+        val b = base.agg(
+          count(lit(1)).as("total"),
+          count(when(col("p1"), 1)).as("c1"),
+          count(when(col("p12"), 1)).as("c2"))
+        val surv = base.filter(col("p12"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+          .withColumn("q", size(TextOps.tokens(col("text"))) >= 25)
+        val sv = surv.agg(
+          count(when(col("rn") === 1, 1)).as("c3"),
+          count(when(col("rn") === 1 && col("q"), 1)).as("c4"))
+        b.crossJoin(sv)
+          .select(explode(array(
+            struct(lit(1).as("stage"), lit("lang_en").as("name"),
+              col("total").as("docs_in"), col("c1").as("docs_out")),
+            struct(lit(2).as("stage"), lit("len_100_400").as("name"),
+              col("c1").as("docs_in"), col("c2").as("docs_out")),
+            struct(lit(3).as("stage"), lit("exact_dedup").as("name"),
+              col("c2").as("docs_in"), col("c3").as("docs_out")),
+            struct(lit(4).as("stage"), lit("min_tokens_25").as("name"),
+              col("c3").as("docs_in"), col("c4").as("docs_out"))))
+            .as("st"))
+          .select(col("st.stage").as("stage"), col("st.name").as("name"),
+            col("st.docs_in").as("docs_in"),
+            col("st.docs_out").as("docs_out"),
+            (col("st.docs_in") - col("st.docs_out")).as("dropped"))
+          .orderBy(col("stage"))
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT doc_id, text,
+                 (lang = 'en') AS p1,
+                 (lang = 'en' AND n_chars BETWEEN 100 AND 400) AS p12
+          FROM documents),
+        b AS (
+          SELECT count(*) AS total,
+                 count(CASE WHEN p1 THEN 1 END) AS c1,
+                 count(CASE WHEN p12 THEN 1 END) AS c2
+          FROM base),
+        surv AS (
+          SELECT doc_id,
+                 row_number() OVER (PARTITION BY md5(text)
+                                    ORDER BY doc_id) AS rn,
+                 len(string_split(text, ' ')) >= 25 AS q
+          FROM base WHERE p12),
+        sv AS (
+          SELECT count(CASE WHEN rn = 1 THEN 1 END) AS c3,
+                 count(CASE WHEN rn = 1 AND q THEN 1 END) AS c4
+          FROM surv),
+        stages AS (
+          SELECT 1 AS stage, 'lang_en' AS name,
+                 total AS docs_in, c1 AS docs_out FROM b, sv
+          UNION ALL SELECT 2, 'len_100_400', c1, c2 FROM b, sv
+          UNION ALL SELECT 3, 'exact_dedup', c2, c3 FROM b, sv
+          UNION ALL SELECT 4, 'min_tokens_25', c3, c4 FROM b, sv)
+        SELECT stage, name, docs_in, docs_out,
+               docs_in - docs_out AS dropped
+        FROM stages
+        ORDER BY stage""")),
+
+    // T29 — Zipf law fit over the vocabulary head: log-log least-squares
+    // of frequency vs rank for the top-500 tokens — slope ≈ -1 is the
+    // natural-language signature, and a drifting slope is a cheap canary
+    // for generated/boilerplate contamination of a source. The top-500
+    // cut is orderBy+limit (TakeOrderedAndProject — per-partition k-heap,
+    // no global sort over a web-scale vocabulary); the row_number window
+    // then ranks 500 rows. ln() values round to 9 dp (last-ulp libm
+    // divergence rounds away), products round to 12 dp in double, and
+    // the regression sums accumulate as exact decimals — order-
+    // independent, so the fit hash-matches bit for bit.
+    "t29_zipf_fit" -> Q(
+      fn = (s, dir) => {
+        val tf = t(s, dir, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token")).limit(500)
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("n").desc, col("token"))))
+        val xy = tf.select(
+          round(log(col("rn").cast("double")), 9).as("x"),
+          round(log(col("n").cast("double")), 9).as("y"))
+        val dec = (c: Column) => c.cast("decimal(38,12)")
+        xy.agg(
+          count(lit(1)).as("n_terms"),
+          sum(dec(col("x"))).as("sx"),
+          sum(dec(col("y"))).as("sy"),
+          sum(dec(round(col("x") * col("x"), 12))).as("sxx"),
+          sum(dec(round(col("y") * col("y"), 12))).as("syy"),
+          sum(dec(round(col("x") * col("y"), 12))).as("sxy"))
+          .select(col("n_terms"),
+            col("n_terms").cast("double").as("m"),
+            col("sx").cast("double").as("sx"),
+            col("sy").cast("double").as("sy"),
+            col("sxx").cast("double").as("sxx"),
+            col("syy").cast("double").as("syy"),
+            col("sxy").cast("double").as("sxy"))
+          .select(col("n_terms"),
+            round((col("m") * col("sxy") - col("sx") * col("sy")) /
+              (col("m") * col("sxx") - col("sx") * col("sx")), 6)
+              .as("slope"),
+            round(col("sy") / col("m") -
+              ((col("m") * col("sxy") - col("sx") * col("sy")) /
+                (col("m") * col("sxx") - col("sx") * col("sx"))) *
+                (col("sx") / col("m")), 6).as("intercept"),
+            round(((col("m") * col("sxy") - col("sx") * col("sy")) *
+              (col("m") * col("sxy") - col("sx") * col("sy"))) /
+              ((col("m") * col("sxx") - col("sx") * col("sx")) *
+                (col("m") * col("syy") - col("sy") * col("sy"))), 6)
+              .as("r2"))
+      },
+      oracle = Some("""
+        WITH tf AS (
+          SELECT token, count(*) AS n
+          FROM (SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents)
+          GROUP BY token
+          ORDER BY n DESC, token
+          LIMIT 500),
+        rk AS (
+          SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rn
+          FROM tf),
+        xy AS (
+          SELECT round(ln(CAST(rn AS DOUBLE)), 9) AS x,
+                 round(ln(CAST(n AS DOUBLE)), 9) AS y
+          FROM rk),
+        sums AS (
+          SELECT count(*) AS n_terms,
+                 CAST(count(*) AS DOUBLE) AS m,
+                 CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12)))
+                   AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(round(y * y, 12) AS DECIMAL(38,12)))
+                   AS DOUBLE) AS syy,
+                 CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12)))
+                   AS DOUBLE) AS sxy
+          FROM xy)
+        SELECT n_terms,
+               round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6)
+                 AS slope,
+               round(sy / m - ((m * sxy - sx * sy) /
+                 (m * sxx - sx * sx)) * (sx / m), 6) AS intercept,
+               round(((m * sxy - sx * sy) * (m * sxy - sx * sy)) /
+                 ((m * sxx - sx * sx) * (m * syy - sy * sy)), 6) AS r2
+        FROM sums""")),
+
     "c9_split_leakage" -> Q(
       fn = (s, dir) => {
         val sh = t(s, dir, "documents")

@@ -197,6 +197,30 @@ class PlanSpec extends SparkSpec {
       .isDefined || p.contains("BroadcastHashJoin [band_idx"), p)
   }
 
+  test("v28: binary-quant ANN is two TakeOrdered heaps (Hamming cut, " +
+    "cosine re-rank) — no global sort, no shuffle of vectors") {
+    val p = plan("v28_binary_quant")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size === 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the 1-row query side broadcasts; the corpus never shuffles
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p)
+  }
+
+  test("t29: the zipf vocabulary-head cut is a TakeOrdered heap over the " +
+    "partially-aggregated counts; the regression sums partial-agg too") {
+    val p = plan("t29_zipf_fit")
+    assert(p.contains("TakeOrderedAndProject(limit=500"), p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("a31: the median/MAD frames (|event_type| rows) broadcast back to " +
+    "the fact side — never a sort-merge join of the event stream") {
+    val p = plan("a31_mad_outliers")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
   test("s17: the ORC read pushes the predicate and prunes columns like " +
     "parquet") {
     val p = plan("s17_orc_roundtrip")

@@ -50,6 +50,58 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(!out.contains(0L))
   }
 
+  test("signBits packs sign bits into words; hammingWords counts flips") {
+    // 3 dims in word 0; a 70-dim vector spills into a second word
+    val df = Seq(
+      (0L, Array(1.0f, -2.0f, 3.0f)),
+      (1L, Array(1.0f, 2.0f, -3.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))) // zeros are NOT positive -> no bits
+      .toDF("vec_id", "embedding")
+    val codes = df.select($"vec_id",
+      SimilarityOps.signBits($"embedding", 3).as("c"))
+      .as[(Long, Array[Long])].collect().toMap
+    assert(codes(0L).toSeq === Seq(0x5L)) // bits 0 and 2
+    assert(codes(1L).toSeq === Seq(0x3L)) // bits 0 and 1
+    assert(codes(2L).toSeq === Seq(0x0L))
+    val wide = Seq((0L, Array.fill(70)(1.0f))).toDF("vec_id", "embedding")
+      .select(SimilarityOps.signBits($"embedding", 70).as("c"))
+      .as[Array[Long]].head()
+    assert(wide.length === 2)
+    assert(wide(0) === -1L) // all 64 bits set
+    assert(wide(1) === (1L << 6) - 1) // dims 64..69 -> low 6 bits
+    val h = df.as("a").crossJoin(df.as("b"))
+      .select($"a.vec_id", $"b.vec_id",
+        SimilarityOps.hammingWords(
+          SimilarityOps.signBits($"a.embedding", 3),
+          SimilarityOps.signBits($"b.embedding", 3)).as("h"))
+      .as[(Long, Long, Int)].collect()
+      .map { case (x, y, d) => (x, y) -> d }.toMap
+    assert(h((0L, 0L)) === 0)
+    assert(h((0L, 1L)) === 2) // bits 1 and 2 differ
+    assert(h((0L, 2L)) === 2)
+  }
+
+  test("binaryQuantTopK: exact re-rank orders candidates by cosine and " +
+    "the Hamming first pass excludes bit-distant vectors") {
+    // query 0 along +x; id 1 nearly parallel (same signs), id 2 orthogonal
+    // (different sign pattern), id 3 antipodal (every bit flipped)
+    val df = Seq(
+      (0L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
+      (1L, Array(0.9f, 1.1f, 0.8f, 1.2f)),
+      (2L, Array(-1.0f, 1.0f, -1.0f, 1.0f)),
+      (3L, Array(-1.0f, -1.0f, -1.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.binaryQuantTopK(
+      df, df.filter($"vec_id" === 0), "vec_id", "embedding",
+      dims = 4, k = 2, rerankFactor = 1)
+      .select("vec_id", "hamming", "rank").as[(Long, Int, Int)].collect()
+    assert(out.map(_._1).toSet === Set(1L, 2L), "k*rerank=2 keeps the two " +
+      "lowest-Hamming ids; the antipodal vector (hamming 4) is cut")
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 === 0 && byId(1L)._3 === 1) // same signs, top cosine
+    assert(byId(2L)._2 === 2)
+  }
+
   test("lshBucket is deterministic and groups identical vectors") {
     val df = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f)),

@@ -512,4 +512,51 @@ class TimeSeriesOpsSpec extends SparkSpec {
         rows.withColumn("twa", lit(1)), Seq("g"), "t", "v", "id")
     }
   }
+
+  test("a30 ewma: window formula equals the recursive truncated-EWMA " +
+    "reference on real data") {
+    // reference: adjusted EWMA truncated at 10 lags, alpha=0.3 —
+    // sum_{j=0..min(9,n-1)} v_{n-j}·0.7^j / sum 0.7^j, computed the naive
+    // per-user way; the query must agree to float tolerance (the oracle
+    // already pins exact bits, this pins the SEMANTICS)
+    val ev = Tables(spark, "/root/testdata/sf0.001", "events")
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+    val ref = ev.groupBy(_._1).map { case (u, rows) =>
+      val vs = rows.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+      val tail = vs.takeRight(10).reverse // newest first: lag j = index
+      val num = tail.zipWithIndex.map { case (v, j) => v * math.pow(0.7, j) }.sum
+      val den = tail.indices.map(j => math.pow(0.7, j)).sum
+      u -> num / den
+    }
+    val out = SparkEntry.queries("a30_ewma")(spark, "/root/testdata/sf0.001")
+      .select($"user_id", $"ewma").as[(Long, Double)].collect().toMap
+    assert(out.keySet === ref.keySet)
+    ref.foreach { case (u, e) =>
+      assert(math.abs(out(u) - e) < 1e-4, s"user $u: ${out(u)} vs $e")
+    }
+  }
+
+  test("a31 mad outliers: per-type counts equal the collected-data " +
+    "median/MAD reference") {
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val ev = Tables(spark, "/root/testdata/sf0.001", "events")
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    val ref = ev.groupBy(_._1).map { case (t, rows) =>
+      val vs = rows.map(_._2).toSeq
+      val med = median(vs)
+      val mad = median(vs.map(v => math.abs(v - med)))
+      t -> (vs.size.toLong, vs.count(v => math.abs(v - med) > 3 * 1.4826 * mad).toLong)
+    }
+    val out = SparkEntry.queries("a31_mad_outliers")(
+      spark, "/root/testdata/sf0.001")
+      .select($"event_type", $"n", $"n_outliers")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out === ref)
+  }
 }
