@@ -382,6 +382,76 @@ object MediaCodec {
     out.array()
   }
 
+  /** A 16-bit mono PCM WAV whose samples are pure arithmetic in the id:
+    * sample k = (id·31 + k·17) mod 2003 − 1001, n = (id mod 20 + 1)·128.
+    * The m5 fixture — a SQL oracle recomputes every sample (and so every
+    * aggregate of them) from the id without touching a byte.
+    */
+  def buildWavTone(id: Long): Array[Byte] = {
+    val n = ((id % 20) + 1).toInt * 128
+    val sampleRate = (8000 + (id % 7) * 2000).toInt
+    val b = buildWav(sampleRate, channels = 1, bitsPerSample = 16,
+      dataBytes = n * 2)
+    val buf = java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.position(44)
+    var k = 0
+    while (k < n) {
+      buf.putShort(((id * 31 + k * 17) % 2003 - 1001).toShort)
+      k += 1
+    }
+    b
+  }
+
+  /** Exact integer statistics of a PCM WAV's sample stream (16-bit LE,
+    * any channel count — channels interleave and aggregate together).
+    * Integer min/max/sum/sum-of-squares only: every float derivation
+    * (mean, RMS) belongs in the query layer where both engines share
+    * the IEEE ops. Returns None for anything that is not a valid
+    * 16-bit PCM WAV — poison blobs surface as invalid rows, never
+    * exceptions (the decodeHeaders contract).
+    */
+  def pcmStats(b: Array[Byte]): Option[(Int, Int, Int, Int, Long, Long)] = {
+    if (sniff(b) != "wav") return None
+    var i = 12
+    var sampleRate = -1
+    var bits = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (i + 8 <= b.length) {
+      val id = ascii(b, i, 4)
+      val size = le32(b, i + 4)
+      if (size < 0 || i + 8 + size > b.length) return None
+      if (id == "fmt ") {
+        if (size < 16) return None
+        sampleRate = le32(b, i + 12).toInt
+        bits = le16(b, i + 22)
+      } else if (id == "data") {
+        dataOff = i + 8
+        dataLen = size.toInt
+      }
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (sampleRate <= 0 || bits != 16 || dataOff < 0 || dataLen < 2)
+      return None
+    val n = dataLen / 2
+    var k = 0
+    var mn = Int.MaxValue
+    var mx = Int.MinValue
+    var sum = 0L
+    var sumSq = 0L
+    while (k < n) {
+      val off = dataOff + k * 2
+      val s = ((b(off) & 0xff) | (b(off + 1) << 8)).toShort.toInt
+      if (s < mn) mn = s
+      if (s > mx) mx = s
+      sum += s
+      sumSq += s.toLong * s
+      k += 1
+    }
+    Some((sampleRate, n, mn, mx, sum, sumSq))
+  }
+
   /** The m3 oracle fixture: one deterministic container per id, format
     * rotating by id % 5, every parameter pure arithmetic in the id (so
     * a SQL oracle recomputes the expected parse without any bytes).

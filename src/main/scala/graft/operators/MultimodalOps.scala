@@ -48,8 +48,9 @@ object MultimodalOps {
 
   /** REAL decode: pure-JVM container-header parsing ([[MediaCodec]] —
     * PNG/JPEG/GIF/WAV dims, channels, sample rate, duration). Full
-    * sample decoding (pixel/PCM payloads) still needs a codec library
-    * this environment doesn't ship; header facts are what the curation
+    * PIXEL decoding still needs a codec library this environment
+    * doesn't ship (raw PCM audio needs none — [[pcmSampleStats]]
+    * decodes it for real); header facts are what the curation
     * pipeline filters and routes on, and they parse from public byte
     * layouts alone. Never throws — corrupt or truncated blobs surface
     * as `valid = false` rows (MultimodalOpsSpec pins every prefix
@@ -57,6 +58,42 @@ object MultimodalOps {
     */
   def decodeReal(blob: Array[Byte]): MediaCodec.MediaInfo =
     MediaCodec.decode(blob)
+
+  final case class PcmStats(
+      media_id: Long,
+      valid: Boolean,
+      sample_rate: Option[Int],
+      n_samples: Option[Int],
+      min_s: Option[Int],
+      max_s: Option[Int],
+      sum_s: Option[Long],
+      sumsq_s: Option[Long])
+
+  /** REAL PCM sample statistics: 16-bit LE WAV payloads decode with
+    * plain byte math (PCM is uncompressed — no codec needed), yielding
+    * exact INTEGER aggregates per blob (n, min, max, Σs, Σs²). Float
+    * derivations (mean, RMS, loudness) belong in the query layer where
+    * both engines share the IEEE ops on these exact operands. Blobs
+    * stay inside their partition — the output is metadata-sized, the
+    * audio never shuffles. Non-WAV / non-16-bit / truncated payloads
+    * surface as `valid = false` rows, never exceptions.
+    */
+  def pcmSampleStats(blobs: DataFrame): Dataset[PcmStats] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs
+      .select(col("media_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        MediaCodec.pcmStats(b) match {
+          case Some((rate, n, mn, mx, sum, sumSq)) =>
+            PcmStats(id, valid = true, Some(rate), Some(n), Some(mn),
+              Some(mx), Some(sum), Some(sumSq))
+          case None =>
+            PcmStats(id, valid = false, None, None, None, None, None, None)
+        }
+      })
+  }
 
   /** Deterministic stand-in for the codec: derives features from the raw
     * bytes only (length, boundary bytes, rolling checksum, fake frame

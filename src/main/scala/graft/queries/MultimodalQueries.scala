@@ -142,6 +142,57 @@ object MultimodalQueries extends QueryModule {
                    // ((8000 + (doc_id % 7) * 2000) * (doc_id % 2 + 1) * 2)
                    AS BIGINT) END AS duration_ms
         FROM documents
+        ORDER BY media_id""")),
+
+    // M5 — REAL PCM sample decoding: each doc id synthesizes a 16-bit
+    // mono WAV whose SAMPLES are pure arithmetic in the id
+    // (MediaCodec.buildWavTone: s_k = (id·31 + k·17) mod 2003 − 1001),
+    // and the typed pass decodes the actual bytes back into exact
+    // integer aggregates — the loudness/clipping/silence profile an
+    // audio-curation gate filters on. Raw PCM needs no codec, so unlike
+    // the stubbed pixel path this decode is fully real. The oracle
+    // regenerates every sample arithmetically: a hash match proves the
+    // byte-level sample layout round-trips on every row. Float mean/RMS
+    // derive in the query layer from the exact integer sums (same IEEE
+    // ops both engines); blobs never shuffle — output is metadata-sized.
+    "m5_pcm_stats" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val blobs = t(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, graft.operators.MediaCodec.buildWavTone(id))))
+          .toDF("media_id", "blob")
+        MultimodalOps.pcmSampleStats(blobs).toDF()
+          .select(col("media_id"), col("sample_rate"), col("n_samples"),
+            col("min_s"), col("max_s"),
+            round(col("sum_s").cast("double") / col("n_samples"), 6)
+              .as("mean_s"),
+            round(sqrt(col("sumsq_s").cast("double") / col("n_samples")), 6)
+              .as("rms"),
+            round(col("n_samples").cast("double") / col("sample_rate"), 6)
+              .as("duration_s"))
+          .orderBy(col("media_id"))
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id AS media_id,
+                 CAST(8000 + (doc_id % 7) * 2000 AS INT) AS sample_rate,
+                 CAST((doc_id % 20 + 1) * 128 AS INT) AS n_samples,
+                 list_transform(
+                   generate_series(0, CAST((doc_id % 20 + 1) * 128 - 1
+                     AS BIGINT)),
+                   k -> (doc_id * 31 + k * 17) % 2003 - 1001) AS s
+          FROM documents)
+        SELECT media_id, sample_rate, n_samples,
+               CAST(list_min(s) AS INT) AS min_s,
+               CAST(list_max(s) AS INT) AS max_s,
+               round(CAST(list_sum(s) AS DOUBLE) / n_samples, 6) AS mean_s,
+               round(sqrt(CAST(list_sum(list_transform(s, v -> v * v))
+                 AS DOUBLE) / n_samples), 6) AS rms,
+               round(CAST(n_samples AS DOUBLE) / sample_rate, 6)
+                 AS duration_s
+        FROM p
         ORDER BY media_id"""))
   )
 }

@@ -237,4 +237,35 @@ class MultimodalOpsSpec extends SparkSpec {
         blobs.withColumn("patch_no", lit(1)), "media_id", "blob", 4)
     }
   }
+
+  test("pcmStats inverts buildWavTone exactly; non-PCM and truncated " +
+    "blobs are invalid rows, never exceptions") {
+    import graft.operators.MediaCodec
+    val id = 7L
+    val n = ((id % 20) + 1).toInt * 128
+    val ref = (0 until n).map(k => ((id * 31 + k * 17) % 2003 - 1001).toInt)
+    val Some((rate, got_n, mn, mx, sum, sumSq)) =
+      MediaCodec.pcmStats(MediaCodec.buildWavTone(id))
+    assert(rate === (8000 + (id % 7) * 2000).toInt)
+    assert(got_n === n)
+    assert(mn === ref.min && mx === ref.max)
+    assert(sum === ref.map(_.toLong).sum)
+    assert(sumSq === ref.map(s => s.toLong * s).sum)
+    // negative samples must decode sign-extended, and some exist
+    assert(mn < 0)
+    // poison: a PNG, every truncation of the tone, and garbage
+    assert(MediaCodec.pcmStats(MediaCodec.buildFixture(0)).isEmpty) // png
+    val tone = MediaCodec.buildWavTone(3L)
+    (0 to 45).foreach { cut =>
+      assert(MediaCodec.pcmStats(tone.take(cut)).isEmpty, s"cut $cut")
+    }
+    assert(MediaCodec.pcmStats("garbage".getBytes).isEmpty)
+    // the typed dataset pass carries the same facts
+    val out = MultimodalOps.pcmSampleStats(
+      Seq((id, MediaCodec.buildWavTone(id)),
+        (99L, "not a wav".getBytes)).toDF("media_id", "blob"))
+      .collect().sortBy(_.media_id)
+    assert(out(0).valid && out(0).sum_s.contains(sum))
+    assert(!out(1).valid && out(1).n_samples.isEmpty)
+  }
 }
