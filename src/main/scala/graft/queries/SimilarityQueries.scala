@@ -1314,6 +1314,85 @@ object SimilarityQueries extends QueryModule {
         SELECT qid, hits, round(hits / 10.0, 6) AS recall
         FROM hits ORDER BY qid""")),
 
+    // V29 — MEASURED recall@10 of binary quantization (v28's Hamming
+    // top-40 + cosine re-rank) against the exact top-k: the third member
+    // of the measured-recall family (v25 single-bucket LSH, v26
+    // multiprobe), so the BQ serving layout's quality is a hash-checked
+    // output too. Per-query Hamming candidate cuts are windows
+    // (WindowGroupLimit pre-cuts map-side); the oracle recomputes the
+    // bits from the same float compares.
+    "v29_bq_recall" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val codes = emb.withColumn("code",
+          SimilarityOps.signBits(col("embedding"), 64))
+        val q = codes.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("code").as("qcode"))
+        val exact = SimilarityOps.topKPerQuery(
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+          .select(col("qid"), col("vec_id"))
+        val wH = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("hamming").asc, col("vec_id").asc)
+        val wS = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+        val approx = codes.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("hamming",
+            SimilarityOps.hammingWords(col("code"), col("qcode")))
+          .withColumn("hrank", row_number().over(wH))
+          .where(col("hrank") <= 40)
+          .withColumn("sim",
+            SimilarityOps.cosine(col("embedding"), col("qe")))
+          .withColumn("rank", row_number().over(wS))
+          .where(col("rank") <= 10)
+          .select(col("qid"), col("vec_id"))
+        exact
+          .join(approx.withColumn("__m", lit(1)), Seq("qid", "vec_id"),
+            "left")
+          .groupBy(col("qid"))
+          .agg(count(col("__m")).as("hits"))
+          .withColumn("recall", round(col("hits") / 10.0, 6))
+          .orderBy(col("qid"))
+      },
+      oracle = Some(s"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                   FROM embeddings WHERE vec_id < 5),
+        h AS (
+          SELECT q.qid, e.vec_id, e.embedding, q.qe,
+                 list_sum(list_transform(generate_series(1, 64), i ->
+                   CASE WHEN (CAST(e.embedding[i] AS DOUBLE) > 0.0)
+                          <> (CAST(q.qe[i] AS DOUBLE) > 0.0)
+                        THEN 1 ELSE 0 END)) AS hamming
+          FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        hr AS (
+          SELECT *, row_number() OVER (PARTITION BY qid
+                      ORDER BY hamming, vec_id) AS hrank
+          FROM h),
+        cand AS (SELECT * FROM hr WHERE hrank <= 40),
+        sc AS (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY ${cosineSql("embedding", "qe")} DESC,
+                            vec_id) AS rnk
+          FROM cand),
+        approx AS (SELECT qid, vec_id FROM sc WHERE rnk <= 10),
+        ex AS (
+          SELECT q.qid, e.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${cosineSql("e.embedding", "q.qe")} DESC,
+                            e.vec_id) AS rnk
+          FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        exact AS (SELECT qid, vec_id FROM ex WHERE rnk <= 10),
+        hits AS (
+          SELECT e.qid, CAST(count(a.vec_id) AS BIGINT) AS hits
+          FROM exact e LEFT JOIN approx a
+            ON a.qid = e.qid AND a.vec_id = e.vec_id
+          GROUP BY e.qid)
+        SELECT qid, hits, round(hits / 10.0, 6) AS recall
+        FROM hits ORDER BY qid""")),
+
     // V26 — MEASURED recall@10 of MULTI-PROBE sign-LSH (own bucket plus
     // every Hamming-distance-1 bucket, 9 probes over 8 planes) against
     // the exact top-k: v25's twin for the recall REPAIR, so the number

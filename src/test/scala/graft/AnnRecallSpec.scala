@@ -139,6 +139,32 @@ class AnnRecallSpec extends SparkSpec {
     assert(s2 >= 0.3, s"v2 planes=2 recall $s2 under floor 0.3")
   }
 
+  private def v28Recall(rerank: Int): Double =
+    recallOf(s"v28_binary_quant rerank=$rerank") { qid =>
+      SimilarityOps.binaryQuantTopK(
+        emb, emb.filter($"vec_id" === qid), "vec_id", "embedding",
+        dims = 64, k = k, rerankFactor = rerank)
+        .select($"vec_id").as[Long].collect().toSet
+    }
+
+  test("binary quantization (v28): recall is monotone in the re-rank " +
+    "budget and EXACT when the Hamming cut covers the corpus") {
+    // Hamming candidates at budget b are a prefix of the candidates at
+    // budget b' > b (same total order), so recall can never decrease —
+    // the implementation-owned superset invariant. At k·rerank >= n-1
+    // the 'cut' is the whole corpus and the exact re-rank IS v1.
+    // Measured on this fixture: 0.58 at rerank=4, 0.94 at rerank=16
+    // (sign bits keep real angular signal here, unlike the PQ codes —
+    // one bit per dim beats 4 sub-vector codes at 64 dims).
+    val r4 = v28Recall(4)
+    val r16 = v28Recall(16)
+    val rAll = v28Recall(50) // k*50 = 500 >= n-1: exhaustive
+    assert(r4 <= r16 && r16 <= rAll,
+      s"recall not monotone in re-rank budget: $r4, $r16, $rAll")
+    assert(rAll === 1.0, s"full-cover re-rank not exact: $rAll")
+    assert(r4 >= 0.4, s"v28 rerank=4 recall $r4 under floor 0.4")
+  }
+
   test("PQ/ADC (v10): quantization alone cannot rank this corpus; the " +
     "served IVFxPQ path recovers IVF-level recall via exact re-rank") {
     // Plain trained ADC at the oracle's 4x4 geometry: measured 0.10 —
