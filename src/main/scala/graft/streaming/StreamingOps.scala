@@ -322,6 +322,58 @@ object StreamingOps {
       .drop("__rkey")
   }
 
+  /** Stream-static dimension enrichment — the most common production
+    * streaming shape: every micro-batch of facts joins a slowly-changing
+    * dimension table by key. STATELESS: no watermark, no streaming
+    * state. SNAPSHOT semantics, stated honestly: a path-based static
+    * DataFrame pins its file LISTING at creation, so dimension rows
+    * appended (or overwritten) after the query starts are NOT seen by
+    * later micro-batches — re-execution per batch re-scans the same
+    * files (the spec pins this). For an always-fresh dimension use
+    * [[enrichForeachBatch]], which re-reads the path per batch.
+    *
+    * The dimension broadcasts — facts never shuffle, the only sane
+    * shape when the stream side is the big one. Left join by default so
+    * an unknown key surfaces as nulls (auditable) instead of silently
+    * dropping the fact row.
+    *
+    * 100 TB posture: the broadcast is per-executor O(|dim|); a
+    * dimension too big to broadcast belongs in a store-backed lookup
+    * (dedupIngest's shape), not this operator.
+    */
+  def enrichStream(
+      stream: DataFrame,
+      dim: DataFrame,
+      keyCol: String,
+      joinType: String = "left"): DataFrame = {
+    val clash = dim.columns.toSet
+      .intersect(stream.columns.toSet) - keyCol
+    require(clash.isEmpty,
+      s"enrichStream: dimension columns ${clash.mkString(", ")} collide " +
+        "with stream columns — rename or prune the dimension first")
+    stream.join(broadcast(dim), Seq(keyCol), joinType)
+  }
+
+  /** Always-fresh dimension enrichment: a `foreachBatch` body that
+    * re-reads the dimension parquet at EVERY micro-batch, enriches via
+    * [[enrichStream]], and hands the result to `write`. This is the
+    * SCD-1 refresh pattern a fixed static DataFrame cannot express
+    * (its file listing is pinned at creation — see [[enrichStream]]):
+    * an in-place dimension overwrite between batches is visible on the
+    * very next batch, no query restart. The per-batch listing RPC is
+    * O(dim files) against the namenode — fine for the broadcast-sized
+    * dimensions this targets.
+    */
+  def enrichForeachBatch(
+      dimPath: String,
+      keyCol: String,
+      joinType: String = "left")(
+      write: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val dim = batch.sparkSession.read.parquet(dimPath)
+      write(enrichStream(batch, dim, keyCol, joinType), batchId)
+    }
+
   /** Hourly per-site windowed aggregation of a value column with a
     * watermark — the streaming form of the scheduled per-level rollups.
     */

@@ -539,4 +539,70 @@ class StreamingOpsSpec extends SparkSpec {
       (T("2024-01-01 10:00:00"), 2L, 15.0),
       (T("2024-01-01 11:00:00"), 1L, 30.0)))
   }
+
+  test("enrichStream: snapshot semantics (pinned dim listing), unknown " +
+    "keys survive as nulls, the dimension broadcasts; enrichForeachBatch " +
+    "sees an in-place dimension overwrite on the very next batch") {
+    implicit val sql = spark.sqlContext
+    import java.nio.file.Files
+    val dimDir = Files.createTempDirectory("graft_enrich_dim_").toString
+    Seq((1L, "alpha"), (2L, "beta")).toDF("k", "name")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val input = MemoryStream[(Long, Double)]
+    val enriched = StreamingOps.enrichStream(
+      input.toDS().toDF("k", "v"), dim, "k")
+    val q = enriched.writeStream.format("memory").queryName("enr_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData((1L, 10.0), (3L, 30.0)) // 3 has no dim row yet
+    q.processAllAvailable()
+    // SNAPSHOT pin: APPEND a key-3 dim row between batches — the fixed
+    // static frame's listing was taken at creation, so batch 2 must
+    // still see key 3 as unknown (the scaladoc's stated semantics)
+    Seq((3L, "gamma")).toDF("k", "name")
+      .write.mode("append").parquet(dimDir)
+    input.addData((3L, 31.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enr_out")
+      .select($"k", $"v", $"name").as[(Long, Double, Option[String])]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got === Seq(
+      (1L, 10.0, Some("alpha")),
+      (3L, 30.0, None),
+      (3L, 31.0, None))) // appended dim row invisible to the snapshot
+    // the fact side must not shuffle: dimension joins as a broadcast
+    val plan = StreamingOps.enrichStream(
+      Seq((1L, 1.0)).toDF("k", "v"), dim, "k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    intercept[IllegalArgumentException] {
+      StreamingOps.enrichStream(
+        Seq((1L, 1.0)).toDF("k", "v"),
+        Seq((1L, 2.0)).toDF("k", "v"), "k")
+    }
+
+    // enrichForeachBatch: re-reads the dim per batch, so an in-place
+    // OVERWRITE between batches is visible with no restart
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double, Option[String])]
+    val input2 = MemoryStream[(Long, Double)]
+    val q2 = input2.toDS().toDF("k", "v").writeStream
+      .foreachBatch(StreamingOps.enrichForeachBatch(dimDir, "k") {
+        (df, _) =>
+          seen ++= df.select($"k", $"v", $"name")
+            .as[(Long, Double, Option[String])].collect()
+      })
+      .outputMode(OutputMode.Append).start()
+    input2.addData((1L, 10.0))
+    q2.processAllAvailable()
+    Seq((1L, "alpha2")).toDF("k", "name")
+      .write.mode("overwrite").parquet(dimDir)
+    input2.addData((1L, 11.0))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(seen.sortBy(_._2).toSeq === Seq(
+      (1L, 10.0, Some("alpha")),
+      (1L, 11.0, Some("alpha2")))) // fresh name, no restart
+  }
 }
