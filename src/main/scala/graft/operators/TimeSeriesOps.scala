@@ -924,4 +924,48 @@ object TimeSeriesOps {
             6)))
       .drop("__mn", "__mx", "__num")
   }
+
+  /** Gaps-and-islands run-length encoding: collapse consecutive rows that
+    * share the same `valueCol` (per `keys`, in (`orderCol`, `tieCol`)
+    * order) into one row per run — sequential `run_id`, `run_len`, and
+    * the run's (`run_start`, `run_end`) span. The boundary test is
+    * null-safe (`<=>`), so null-valued rows form their own runs instead
+    * of merging with their neighbors.
+    *
+    * Shuffle shape: ONE hash exchange on `keys` feeds the boundary
+    * window, the running-sum window, and the run aggregation —
+    * HashPartitioning(keys) satisfies the (keys, run_id, value)
+    * clustering, so the groupBy adds no second exchange. Runs nest
+    * inside keys by construction, so a run can never span partitions;
+    * the only skew risk is a single hot key, the same profile as every
+    * keyed window op here (SkewOps.skewProfile is the detector).
+    */
+  def islands(
+      df: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      tieCol: String,
+      valueCol: String): DataFrame = {
+    val reserved = Seq("__rn", "__prev", "__new", "run_id", "run_len",
+      "run_start", "run_end").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"islands reserves column(s) ${reserved.mkString(", ")} — rename " +
+        "them on the input")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol), col(tieCol))
+    df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__prev", lag(col(valueCol), 1).over(w))
+      .withColumn("__new",
+        when(col("__rn") === 1 || !(col("__prev") <=> col(valueCol)),
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("run_id",
+        sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(keys.map(col) ++ Seq(col("run_id"), col(valueCol)): _*)
+      .agg(
+        count(lit(1)).as("run_len"),
+        min(col(orderCol)).as("run_start"),
+        max(col(orderCol)).as("run_end"))
+  }
 }

@@ -969,6 +969,92 @@ object TemporalQueries extends QueryModule {
         FROM daily d LEFT JOIN nu ON nu.day = d.day
         ORDER BY d.day""")),
 
+    // A32 — gaps-and-islands run-length encoding: per user, collapse
+    // consecutive same-event_type rows (ts order, event_id ties) into one
+    // row per run with a sequential run_id and the run's span. The classic
+    // sessionless pattern detector (retry storms, sensor stuck-at faults);
+    // one hash exchange on user_id feeds the boundary window, the running
+    // sum, and the run aggregation (TimeSeriesOps.islands scaladoc).
+    "a32_event_runs" -> Q(
+      fn = (s, dir) => {
+        TimeSeriesOps.islands(
+          t(s, dir, "events")
+            .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type")),
+          Seq("user_id"), "ts", "event_id", "event_type")
+          .select(col("user_id"), col("run_id"), col("event_type"),
+            col("run_len"), col("run_start"), col("run_end"))
+          .orderBy(col("user_id"), col("run_id"))
+      },
+      bench = true,
+      oracle = Some("""
+        WITH x AS (
+          SELECT user_id, event_type, ts, event_id,
+                 row_number() OVER w AS rn,
+                 lag(event_type) OVER w AS prev
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        r AS (
+          SELECT *, CAST(sum(CASE WHEN rn = 1
+                     OR prev IS DISTINCT FROM event_type
+                     THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS run_id
+          FROM x)
+        SELECT user_id, run_id, event_type,
+               CAST(count(*) AS BIGINT) AS run_len,
+               min(ts) AS run_start, max(ts) AS run_end
+        FROM r GROUP BY 1, 2, 3
+        ORDER BY user_id, run_id""")),
+
+    // A33 — CUSUM drift detection on daily event volume per type: the
+    // running sum of (daily count - per-type mean daily count), the
+    // standard change-point excursion statistic. Computed EXACTLY in
+    // scaled integers — cusum_scaled = Σ(n·days - total) — so the only
+    // float is the final normalized readout; by construction the last
+    // row of every series returns to exactly 0. Per-type daily grids are
+    // calendar-bounded (the a24 argument), so the per-type window never
+    // exceeds ~37k rows even at 100 years.
+    "a33_cusum_drift" -> Q(
+      fn = (s, dir) => {
+        val d = t(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val tot = d.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("days"), sum(col("n")).as("total"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        d.join(broadcast(tot), "event_type")
+          .withColumn("cusum_scaled",
+            sum(col("n") * col("days") - col("total")).over(w))
+          .withColumn("cusum",
+            round(col("cusum_scaled").cast("double") / col("days"), 6))
+          .select(col("event_type"), col("day"), col("n"),
+            col("cusum_scaled"), col("cusum"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      bench = true,
+      oracle = Some("""
+        WITH d AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        t AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS days,
+                 CAST(sum(n) AS BIGINT) AS total
+          FROM d GROUP BY 1),
+        c AS (
+          SELECT d.event_type, d.day, d.n, t.days,
+                 CAST(sum(d.n * t.days - t.total) OVER (
+                   PARTITION BY d.event_type ORDER BY d.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cusum_scaled
+          FROM d JOIN t USING (event_type))
+        SELECT event_type, day, n, cusum_scaled,
+               round(CAST(cusum_scaled AS DOUBLE) / days, 6) AS cusum
+        FROM c
+        ORDER BY event_type, day""")),
+
     // A30 — exponentially weighted moving average (pandas ewm adjust=True,
     // alpha=0.3, truncated at 10 lags): each user's final smoothed value
     // = Σ v_j·0.7^lag / Σ 0.7^lag over the last 10 events. The 10-lag

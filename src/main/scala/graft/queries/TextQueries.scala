@@ -461,6 +461,158 @@ object TextQueries extends QueryModule {
         JOIN sizes sb ON p.b = sb.doc_id
         ORDER BY a, b""")),
 
+    // C11 — language × source balance audit: the observed contingency
+    // table with per-cell chi-square contributions — the standard
+    // independence test a corpus curator runs before fixing a sampling
+    // mix (a cell with a large contribution is a source over/under-
+    // serving a language). EXACT integer arithmetic end to end:
+    // contribution = (n·o − rt·ct)² / (n·rt·ct) evaluates both products
+    // in BIGINT and casts once to double for the division, so both
+    // engines produce the identical IEEE result. Marginals broadcast
+    // (|langs| and |sources| are tiny at any corpus scale); the cell
+    // table itself is one partial-agged groupBy over the scan.
+    "c11_lang_balance" -> Q(
+      fn = (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val o = docs.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("o"))
+        val rt = o.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+        val ct = o.groupBy(col("source")).agg(sum(col("o")).as("ct"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val num = col("n") * col("o") - col("rt") * col("ct")
+        o.join(broadcast(rt), "lang")
+          .join(broadcast(ct), "source")
+          .crossJoin(broadcast(n))
+          .withColumn("chi2_term",
+            round((num * num).cast("double") /
+              (col("n") * col("rt") * col("ct")).cast("double"), 6))
+          .select(col("lang"), col("source"), col("o"), col("rt"),
+            col("ct"), col("chi2_term"))
+          .orderBy(col("lang"), col("source"))
+      },
+      bench = true,
+      oracle = Some("""
+        WITH o AS (
+          SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+          FROM documents GROUP BY 1, 2),
+        rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt
+               FROM o GROUP BY 1),
+        ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct
+               FROM o GROUP BY 1),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        SELECT o.lang, o.source, o.o, rt.rt, ct.ct,
+               round(CAST((n * o.o - rt.rt * ct.ct) *
+                          (n * o.o - rt.rt * ct.ct) AS DOUBLE) /
+                     CAST(n * rt.rt * ct.ct AS DOUBLE), 6) AS chi2_term
+        FROM o JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN nn
+        ORDER BY o.lang, o.source""")),
+
+    // T30 — sentence-level shape statistics: sentences counted as runs
+    // of terminal punctuation ([.!?]+ via regexp_count — identical RE2-
+    // subset semantics on both engines, no split-trailing-empty
+    // ambiguity), words as the t28 whitespace convention, and the
+    // words-per-sentence readout a quality filter thresholds on (the
+    // wall-of-text / chopped-fragment detectors). Pure per-row map —
+    // no shuffle at all; the scan prunes to (doc_id, text).
+    "t30_sentence_stats" -> Q(
+      fn = (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            regexp_count(col("text"), lit("[.!?]+")).cast("bigint")
+              .as("n_sent"),
+            size(split(col("text"), " ")).cast("bigint").as("n_words"))
+          .withColumn("wps",
+            round(col("n_words").cast("double") /
+              greatest(col("n_sent"), lit(1L)), 6))
+          .orderBy(col("doc_id"))
+      },
+      bench = true,
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+                 AS n_sent,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               round(CAST(len(string_split(text, ' ')) AS DOUBLE) /
+                 greatest(len(regexp_extract_all(text, '[.!?]+')), 1), 6)
+                 AS wps
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // T31 — PMI collocation mining: top-20 adjacent token pairs by
+    // pointwise mutual information, ln(c(xy)·N_uni² / (N_big·c(x)·c(y))),
+    // the classic multi-word-expression detector ("new york") a
+    // tokenizer-merge or stop-phrase list is built from. The ratio
+    // assembles in exact BIGINT before ONE double division + ln (t28's
+    // rounding discipline); the c(xy) ≥ 5 support floor is what keeps
+    // the statistic meaningful and the ranked set small. Unigram and
+    // bigram counts are partial-agged token-key shuffles; the
+    // count-attach joins are deliberately UNHINTED — broadcast-sized
+    // here, shuffle joins when a 100 TB vocabulary demands (the t24
+    // argument). The final top-20 window runs over only the support-
+    // filtered collocation set.
+    "t31_pmi_collocations" -> Q(
+      fn = (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(split(col("text"), " ").as("t"))
+        val uni = toks.select(explode(col("t")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val nUni = uni.agg(sum(col("c")).as("n_uni"))
+        val big = toks.filter(size(col("t")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(t) - 1), " +
+              "i -> struct(element_at(t, i) AS x, " +
+              "element_at(t, i + 1) AS y))")).as("p"))
+          .select(col("p.x").as("x"), col("p.y").as("y"))
+          .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+        val nBig = big.agg(sum(col("cxy")).as("n_big"))
+        val w = Window.orderBy(col("pmi").desc, col("x"), col("y"))
+        big.filter(col("cxy") >= 5)
+          .join(uni.select(col("tok").as("x"), col("c").as("cx")), "x")
+          .join(uni.select(col("tok").as("y"), col("c").as("cy")), "y")
+          .crossJoin(broadcast(nUni))
+          .crossJoin(broadcast(nBig))
+          .withColumn("pmi",
+            round(log((col("cxy") * col("n_uni") * col("n_uni"))
+              .cast("double") /
+              (col("n_big") * col("cx") * col("cy")).cast("double")), 6))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 20)
+          .select(col("rnk"), col("x"), col("y"), col("cxy"), col("cx"),
+            col("cy"), col("pmi"))
+          .orderBy(col("rnk"))
+      },
+      bench = true,
+      oracle = Some("""
+        WITH toks AS (
+          SELECT string_split(text, ' ') AS t FROM documents),
+        uc AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+        nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uc),
+        bxy AS (
+          SELECT t[CAST(i AS INT)] AS x, t[CAST(i AS INT) + 1] AS y
+          FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                FROM toks WHERE len(t) >= 2)),
+        bc AS (
+          SELECT x, y, CAST(count(*) AS BIGINT) AS cxy
+          FROM bxy GROUP BY 1, 2),
+        nb AS (SELECT CAST(sum(cxy) AS BIGINT) AS n_big FROM bc),
+        j AS (
+          SELECT bc.x, bc.y, bc.cxy, ux.c AS cx, uy.c AS cy,
+                 round(ln(CAST(bc.cxy * nu.n_uni * nu.n_uni AS DOUBLE) /
+                   CAST(nb.n_big * ux.c * uy.c AS DOUBLE)), 6) AS pmi
+          FROM bc
+          JOIN uc ux ON bc.x = ux.tok
+          JOIN uc uy ON bc.y = uy.tok
+          CROSS JOIN nu CROSS JOIN nb
+          WHERE bc.cxy >= 5),
+        r AS (
+          SELECT *, row_number() OVER (ORDER BY pmi DESC, x, y) AS rnk
+          FROM j)
+        SELECT rnk, x, y, cxy, cx, cy, pmi
+        FROM r WHERE rnk <= 20
+        ORDER BY rnk""")),
+
     // C9 — train/holdout split-leakage report: after the t10 hash
     // split, how much of each holdout document's shingle set already
     // sits in the train split — the audit that catches a split done

@@ -559,4 +559,53 @@ class TimeSeriesOpsSpec extends SparkSpec {
       .map(r => r._1 -> (r._2, r._3)).toMap
     assert(out === ref)
   }
+
+  test("islands: sequential run ids restart per key, null values form " +
+    "their own runs, ties follow the tie-break, one shuffle total") {
+    val rows = Seq(
+      // u1: a a b a ∅ ∅ a — five runs, nulls neither merge with
+      // neighbors nor with each other's non-null flanks
+      ("u1", 1L, "2024-01-01 10:00:00", Some("a")),
+      ("u1", 2L, "2024-01-01 10:01:00", Some("a")),
+      ("u1", 3L, "2024-01-01 10:02:00", Some("b")),
+      ("u1", 4L, "2024-01-01 10:03:00", Some("a")),
+      ("u1", 5L, "2024-01-01 10:04:00", None),
+      ("u1", 6L, "2024-01-01 10:05:00", None),
+      ("u1", 7L, "2024-01-01 10:06:00", Some("a")),
+      // u2: FIRST row is null-valued — must still open run 1
+      ("u2", 1L, "2024-01-01 09:00:00", None),
+      ("u2", 2L, "2024-01-01 09:01:00", Some("x")),
+      // u3: tied timestamps order by the tie-break (id): p then q,
+      // so the coincident q joins the later q into one run of 2
+      ("u3", 1L, "2024-01-01 08:00:00", Some("p")),
+      ("u3", 2L, "2024-01-01 08:00:00", Some("q")),
+      ("u3", 3L, "2024-01-01 08:01:00", Some("q")))
+      .map { case (u, id, s, v) => (u, id, ts(s), v) }
+      .toDF("u", "id", "t", "v")
+    val out = TimeSeriesOps
+      .islands(rows, Seq("u"), "t", "id", "v")
+      .select($"u", $"run_id", $"v", $"run_len",
+        date_format($"run_start", "HH:mm").as("s"),
+        date_format($"run_end", "HH:mm").as("e"))
+      .as[(String, Long, Option[String], Long, String, String)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out === Seq(
+      ("u1", 1L, Some("a"), 2L, "10:00", "10:01"),
+      ("u1", 2L, Some("b"), 1L, "10:02", "10:02"),
+      ("u1", 3L, Some("a"), 1L, "10:03", "10:03"),
+      ("u1", 4L, None, 2L, "10:04", "10:05"),
+      ("u1", 5L, Some("a"), 1L, "10:06", "10:06"),
+      ("u2", 1L, None, 1L, "09:00", "09:00"),
+      ("u2", 2L, Some("x"), 1L, "09:01", "09:01"),
+      ("u3", 1L, Some("p"), 1L, "08:00", "08:00"),
+      ("u3", 2L, Some("q"), 2L, "08:00", "08:01")))
+    // both windows and the run aggregation ride ONE key exchange
+    val p = TimeSeriesOps.islands(rows, Seq("u"), "t", "id", "v")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.islands(
+        rows.withColumn("run_id", lit(1)), Seq("u"), "t", "id", "v")
+    }
+  }
 }
