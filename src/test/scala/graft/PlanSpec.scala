@@ -221,6 +221,46 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
   }
 
+  test("a32: islands rides ONE key exchange — boundary window, running " +
+    "sum, and run aggregation all reuse the user_id partitioning") {
+    val p = plan("a32_event_runs")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("a33: the per-type totals broadcast back to the daily grid; the " +
+    "daily aggregation is partial") {
+    val p = plan("a33_cusum_drift")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("c11: chi-square marginals and the grand total all broadcast — " +
+    "the cell table never sort-merges") {
+    val p = plan("c11_lang_balance")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 2, p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row total
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("t30: sentence stats are a pure per-row map — zero hash " +
+    "exchanges, scan pruned to (doc_id, text)") {
+    val p = plan("t30_sentence_stats")
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+    val scanLine = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scanLine.contains("doc_id") && scanLine.contains("text"))
+    assert(!scanLine.contains("source"), scanLine) // unused columns pruned
+  }
+
+  test("t31: unigram and bigram counts partial-aggregate before their " +
+    "token-key shuffles; the top-20 cut windows only the support-" +
+    "filtered collocations") {
+    val p = plan("t31_pmi_collocations")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("row_number"), p)
+  }
+
   test("s17: the ORC read pushes the predicate and prunes columns like " +
     "parquet") {
     val p = plan("s17_orc_roundtrip")
