@@ -1314,6 +1314,120 @@ object SimilarityQueries extends QueryModule {
         SELECT qid, hits, round(hits / 10.0, 6) AS recall
         FROM hits ORDER BY qid""")),
 
+    // V30 — MEASURED recall@10 of IVF cell-probing (v5's label-centroid
+    // layout, nprobe=2) against the exact top-k — the fourth member of
+    // the measured-recall family (v25 single-bucket LSH, v26 multiprobe,
+    // v29 binary quantization), so every serving layout's quality is a
+    // hash-checked output. The codebook is the per-label decimal-exact
+    // mean (v5's construction, restated for 5 queries); probe lists come
+    // from the SAME assignment frame the corpus uses, so query and
+    // corpus can never disagree about cell geometry.
+    "v30_ivf_recall" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cdim = emb
+          .select(col("label"), posexplode(col("embedding"))
+            .as(Seq("dim", "v")))
+          .groupBy(col("label"), col("dim"))
+          .agg((sum(round(col("v").cast("double"), 12)
+            .cast("decimal(38,12)")).cast("double") / count(lit(1)))
+            .as("c"))
+        val cb = cdim.groupBy(col("label").as("cell"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("dim"), col("c")))),
+            x => x("c")).as("centroid"))
+        val wC = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cell").asc)
+        val assigned = emb.join(broadcast(cb))
+          .withColumn("csim",
+            SimilarityOps.cosine(col("embedding"), col("centroid")))
+          .withColumn("crank", row_number().over(wC))
+        val cells = assigned.filter(col("crank") === 1)
+          .select(col("vec_id"), col("embedding"), col("cell"))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val probed = assigned
+          .filter(col("vec_id") < 5 && col("crank") <= 2)
+          .select(col("vec_id").as("qid"), col("cell"))
+        val wA = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+        val approx = cells
+          .join(broadcast(probed), Seq("cell"))
+          .join(broadcast(q), Seq("qid"))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("sim",
+            SimilarityOps.cosine(col("embedding"), col("qe")))
+          .withColumn("rank", row_number().over(wA))
+          .where(col("rank") <= 10)
+          .select(col("qid"), col("vec_id"))
+        val exact = SimilarityOps.topKPerQuery(
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+          .select(col("qid"), col("vec_id"))
+        exact
+          .join(approx.withColumn("__m", lit(1)), Seq("qid", "vec_id"),
+            "left")
+          .groupBy(col("qid"))
+          .agg(count(col("__m")).as("hits"))
+          .withColumn("recall", round(col("hits") / 10.0, 6))
+          .orderBy(col("qid"))
+      },
+      bench = true,
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT vec_id, label, i AS dim,
+                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+          FROM embeddings, range(1, 65) t(i)),
+        cdim AS (
+          SELECT label, dim,
+                 CAST(sum(CAST(round(v, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                   / count(*) AS c
+          FROM e GROUP BY label, dim),
+        cb AS (
+          SELECT label AS cell, list(c ORDER BY dim) AS centroid
+          FROM cdim GROUP BY 1),
+        csims AS (
+          SELECT b.vec_id, b.embedding, cb.cell,
+                 ${cosineSql("b.embedding", "cb.centroid")} AS csim
+          FROM embeddings b, cb),
+        assigned AS (
+          SELECT vec_id, embedding, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY csim DESC, cell) AS crank
+          FROM csims),
+        cells AS (
+          SELECT vec_id, embedding, cell FROM assigned WHERE crank = 1),
+        q AS (SELECT vec_id AS qid, embedding AS qe
+              FROM embeddings WHERE vec_id < 5),
+        probed AS (
+          SELECT vec_id AS qid, cell FROM assigned
+          WHERE vec_id < 5 AND crank <= 2),
+        ap AS (
+          SELECT p.qid, c.vec_id,
+                 row_number() OVER (PARTITION BY p.qid
+                   ORDER BY ${cosineSql("c.embedding", "q.qe")} DESC,
+                            c.vec_id) AS rnk
+          FROM cells c
+          JOIN probed p ON c.cell = p.cell
+          JOIN q ON q.qid = p.qid
+          WHERE c.vec_id <> p.qid),
+        approx AS (SELECT qid, vec_id FROM ap WHERE rnk <= 10),
+        ex AS (
+          SELECT q.qid, e2.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${cosineSql("e2.embedding", "q.qe")} DESC,
+                            e2.vec_id) AS rnk
+          FROM embeddings e2, q WHERE e2.vec_id <> q.qid),
+        exact AS (SELECT qid, vec_id FROM ex WHERE rnk <= 10),
+        hits AS (
+          SELECT e.qid, CAST(count(a.vec_id) AS BIGINT) AS hits
+          FROM exact e LEFT JOIN approx a
+            ON a.qid = e.qid AND a.vec_id = e.vec_id
+          GROUP BY e.qid)
+        SELECT qid, hits, round(hits / 10.0, 6) AS recall
+        FROM hits ORDER BY qid""")),
+
     // V29 — MEASURED recall@10 of binary quantization (v28's Hamming
     // top-40 + cosine re-rank) against the exact top-k: the third member
     // of the measured-recall family (v25 single-bucket LSH, v26
