@@ -461,6 +461,171 @@ object TextQueries extends QueryModule {
         JOIN sizes sb ON p.b = sb.doc_id
         ORDER BY a, b""")),
 
+    // D22 — MEASURED LSH dedup recall as a similarity curve: for every
+    // TRUE near-dup pair (exact df-capped inverted-index Jaccard ≥ 0.2,
+    // d6's machinery with the support floor at 2), did the d3 MinHash
+    // band join (8 perms, 2 bands) surface it as a candidate? Bucketed
+    // by Jaccard decile this is the textbook LSH S-curve, measured on
+    // the corpus and hash-checked — the dedup family's answer to the
+    // v25/v26/v29/v30 ANN recall queries, and the quantified basis for
+    // choosing bands/rows at 100 TB (low-similarity deciles are MEANT
+    // to be missed; a dip in a high decile is a config bug).
+    "d22_lsh_recall" -> Q(
+      fn = (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sh = docs.select(col("doc_id"),
+          explode(array_distinct(
+            TextOps.hashedShingles3(TextOps.tokens(col("text")))))
+            .as("s"))
+        val kept = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 50)
+        val shP = sh.join(kept, "s")
+          .groupBy(col("doc_id"))
+          .agg(collect_list(struct(col("s"), col("df"))).as("sd"))
+          .select(col("doc_id"), size(col("sd")).as("sz"),
+            explode(col("sd")).as("x"))
+          .filter(col("x.df") >= 2)
+          .select(col("doc_id"), col("sz"), col("x.s").as("s"))
+        val truth = shP
+          .select(col("doc_id").as("a"), col("sz").as("sza"), col("s"))
+          .join(shP.select(col("doc_id").as("b"), col("sz").as("szb"),
+            col("s")), "s")
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("inter"),
+            any_value(col("sza")).as("sza"),
+            any_value(col("szb")).as("szb"))
+          .filter(col("inter") >= 2)
+          .select(col("a"), col("b"),
+            round(col("inter").cast("double") /
+              (col("sza") + col("szb") - col("inter")), 6).as("jaccard"))
+          .filter(col("jaccard") >= 0.2)
+        val cand = DedupOps.minhashCandidatePairs(docs, "doc_id", "text",
+          shingleK = 3, numPerm = 8, bands = 2)
+          .select(col("a"), col("b")).withColumn("__c", lit(1))
+        truth.join(cand, Seq("a", "b"), "left")
+          .withColumn("bucket",
+            least(floor(col("jaccard") * 10), lit(9)).cast("bigint"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_true"), count(col("__c")).as("n_caught"))
+          .withColumn("recall",
+            round(col("n_caught").cast("double") / col("n_true"), 6))
+          .orderBy(col("bucket"))
+      },
+      bench = true,
+      oracle = Some(s"""
+        WITH $bandsSql,
+        cand AS (
+          SELECT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y
+            ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+          WHERE x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct($hashedShSql)) AS s
+          FROM (SELECT doc_id, $tokHashesSql AS th FROM documents)),
+        kept AS (SELECT s, count(*) AS df FROM sh GROUP BY 1
+                 HAVING count(*) <= 50),
+        shk AS (SELECT sh.doc_id, sh.s, kept.df FROM sh JOIN kept USING (s)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shk GROUP BY 1),
+        pairs AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+          FROM shk x JOIN shk y ON x.s = y.s
+          WHERE x.doc_id < y.doc_id AND x.df >= 2 AND y.df >= 2
+          GROUP BY 1, 2
+          HAVING count(*) >= 2),
+        truth AS (
+          SELECT a, b, jaccard FROM (
+            SELECT p.a, p.b,
+                   round(CAST(p.inter AS DOUBLE) /
+                     (sa.sz + sb.sz - p.inter), 6) AS jaccard
+            FROM pairs p
+            JOIN sizes sa ON p.a = sa.doc_id
+            JOIN sizes sb ON p.b = sb.doc_id)
+          WHERE jaccard >= 0.2),
+        m AS (
+          SELECT t.jaccard,
+                 CASE WHEN c.a IS NULL THEN 0 ELSE 1 END AS caught
+          FROM truth t LEFT JOIN cand c ON c.a = t.a AND c.b = t.b)
+        SELECT CAST(least(floor(jaccard * 10), 9) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_true,
+               CAST(sum(caught) AS BIGINT) AS n_caught,
+               round(CAST(sum(caught) AS DOUBLE) / count(*), 6) AS recall
+        FROM m
+        GROUP BY 1
+        ORDER BY bucket""")),
+
+    // C13 — population stability index (PSI) of the length distribution
+    // per source vs the whole corpus: the standard production drift
+    // metric (PSI < 0.1 stable, > 0.25 drifted), here as per-(source,
+    // bin) terms over ten 50-char bins with +1 Laplace smoothing so
+    // empty cells stay defined. The dense grid cross-joins the source
+    // list with the literal bin range (both tiny frames); every ratio
+    // assembles in BIGINT with ONE division before the ln (the c11
+    // discipline), so both engines agree bit-for-bit.
+    "c13_psi_drift" -> Q(
+      fn = (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val binned = docs.select(col("source"),
+          least(floor(col("n_chars") / lit(50)), lit(9)).cast("bigint")
+            .as("bin"))
+        val cs = binned.groupBy(col("source"), col("bin"))
+          .agg(count(lit(1)).as("cs"))
+        val ca = binned.groupBy(col("bin")).agg(count(lit(1)).as("ca"))
+        val ns = binned.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+        val na = binned.agg(count(lit(1)).as("na"))
+        val grid = docs.select(col("source")).distinct()
+          .crossJoin(s.range(0, 10).select(col("id").as("bin")))
+        val p = (lit(1) + col("cs")).cast("double") / (col("ns") + 10)
+        val q = (lit(1) + col("ca")).cast("double") / (col("na") + 10)
+        val lnRatio = round(log(
+          ((col("cs") + 1) * (col("na") + 10)).cast("double") /
+            ((col("ca") + 1) * (col("ns") + 10)).cast("double")), 9)
+        grid
+          .join(cs, Seq("source", "bin"), "left")
+          .withColumn("cs", coalesce(col("cs"), lit(0L)))
+          .join(broadcast(ca), Seq("bin"), "left")
+          .withColumn("ca", coalesce(col("ca"), lit(0L)))
+          .join(broadcast(ns), Seq("source"))
+          .crossJoin(broadcast(na))
+          .withColumn("psi_term", round((p - q) * lnRatio, 6))
+          .select(col("source"), col("bin"), col("cs"), col("ca"),
+            col("psi_term"))
+          .orderBy(col("source"), col("bin"))
+      },
+      bench = true,
+      oracle = Some("""
+        WITH b AS (
+          SELECT source,
+                 CAST(least(floor(n_chars / 50), 9) AS BIGINT) AS bin
+          FROM documents),
+        cs AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS cs
+               FROM b GROUP BY 1, 2),
+        ca AS (SELECT bin, CAST(count(*) AS BIGINT) AS ca
+               FROM b GROUP BY 1),
+        ns AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+               FROM b GROUP BY 1),
+        na AS (SELECT CAST(count(*) AS BIGINT) AS na FROM b),
+        grid AS (
+          SELECT DISTINCT source, g.bin
+          FROM documents, (SELECT CAST(range AS BIGINT) AS bin
+                           FROM range(0, 10)) g)
+        SELECT g.source, g.bin,
+               coalesce(cs.cs, 0) AS cs,
+               coalesce(ca.ca, 0) AS ca,
+               round((CAST(1 + coalesce(cs.cs, 0) AS DOUBLE) / (ns.ns + 10)
+                      - CAST(1 + coalesce(ca.ca, 0) AS DOUBLE) / (na.na + 10))
+                 * round(ln(
+                     CAST((coalesce(cs.cs, 0) + 1) * (na.na + 10) AS DOUBLE) /
+                     CAST((coalesce(ca.ca, 0) + 1) * (ns.ns + 10) AS DOUBLE)),
+                   9), 6) AS psi_term
+        FROM grid g
+        LEFT JOIN cs ON cs.source = g.source AND cs.bin = g.bin
+        LEFT JOIN ca ON ca.bin = g.bin
+        JOIN ns ON ns.source = g.source
+        CROSS JOIN na
+        ORDER BY g.source, g.bin""")),
+
     // C11 — language × source balance audit: the observed contingency
     // table with per-cell chi-square contributions — the standard
     // independence test a corpus curator runs before fixing a sampling
