@@ -483,6 +483,42 @@ object TemporalQueries extends QueryModule {
         GROUP BY 1
         ORDER BY day""")),
 
+    // A36 — unpivot/melt, a10's inverse and the reshape family's other
+    // half: four wide measure columns become (measure, val) long rows
+    // through ONE Expand pass — no shuffle, no join, 4 output rows per
+    // input row materialized map-side (PlanSpec pins the Expand + zero
+    // exchanges). Values are raw stored doubles, no arithmetic needed.
+    "a36_unpivot" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_orderkey") <= 1000)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax"))
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_extendedprice"),
+              col("l_discount"), col("l_tax")),
+            "measure", "val")
+          .orderBy(col("l_orderkey"), col("l_linenumber"),
+            col("measure")),
+      bench = true,
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber,
+               'l_quantity' AS measure, l_quantity AS val
+        FROM lineitem WHERE l_orderkey <= 1000
+        UNION ALL
+        SELECT l_orderkey, l_linenumber,
+               'l_extendedprice', l_extendedprice
+        FROM lineitem WHERE l_orderkey <= 1000
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        FROM lineitem WHERE l_orderkey <= 1000
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        FROM lineitem WHERE l_orderkey <= 1000
+        ORDER BY l_orderkey, l_linenumber, measure""")),
+
     // A11 — analytic rank kit: rank / dense_rank / percent_rank /
     // cume_dist / ntile(4) per user over value. All five are
     // tie-deterministic under the (value, event_id) ordering (the
@@ -1093,6 +1129,98 @@ object TemporalQueries extends QueryModule {
                round(CAST(cusum_scaled AS DOUBLE) / days, 6) AS cusum
         FROM c
         ORDER BY event_type, day""")),
+
+    // A34 — hourly OHLC downsampling bars per event_type: open/close by
+    // (ts, event_id) order, high/low as plain extremes — the canonical
+    // lossy time-series compaction (a6 resamples onto a grid and
+    // carries values; OHLC summarizes the within-bucket trajectory).
+    // open/close/high/low are RAW stored doubles — no arithmetic, so no
+    // rounding is needed for cross-engine agreement. Both row_number
+    // windows and the bar aggregation share the (event_type, hour) hash
+    // partitioning — HashPartitioning satisfies the superset clustering,
+    // the a32 argument — so the whole query is one exchange.
+    "a34_ohlc_bars" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"),
+            date_trunc("hour", col("ts")).as("hour"),
+            col("ts"), col("event_id"), col("value"))
+        val wAsc = Window.partitionBy(col("event_type"), col("hour"))
+          .orderBy(col("ts"), col("event_id"))
+        val wDesc = Window.partitionBy(col("event_type"), col("hour"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        ev.withColumn("rna", row_number().over(wAsc))
+          .withColumn("rnd", row_number().over(wDesc))
+          .groupBy(col("event_type"), col("hour"))
+          .agg(count(lit(1)).as("n"),
+            max(when(col("rna") === 1, col("value"))).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max(when(col("rnd") === 1, col("value"))).as("close"))
+          .orderBy(col("event_type"), col("hour"))
+      },
+      bench = true,
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour, value,
+                 row_number() OVER (PARTITION BY event_type,
+                   date_trunc('hour', ts) ORDER BY ts, event_id) AS rna,
+                 row_number() OVER (PARTITION BY event_type,
+                   date_trunc('hour', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rnd
+          FROM events)
+        SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n,
+               max(CASE WHEN rna = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rnd = 1 THEN value END) AS close
+        FROM e GROUP BY 1, 2
+        ORDER BY event_type, hour""")),
+
+    // A35 — day-of-week seasonal residuals on daily volume: the a33
+    // CUSUM detects LEVEL drift; this subtracts the weekly seasonal
+    // baseline first, the difference between "weekends are always
+    // quiet" and "this Saturday was anomalous". Same exact-integer
+    // discipline: resid_scaled = n·days_dow − total_dow is pure BIGINT
+    // and sums to zero within every (type, dow) cell by construction;
+    // the normalized readout is the only float. Day-of-week alignment:
+    // Spark dayofweek() is 1=Sunday..7, DuckDB dow() is 0..6 — the
+    // Spark side subtracts 1 to meet DuckDB's convention.
+    "a35_seasonal_residual" -> Q(
+      fn = (s, dir) => {
+        val d = t(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("dow", (dayofweek(col("day")) - 1).cast("bigint"))
+        val base = d.groupBy(col("event_type"), col("dow"))
+          .agg(count(lit(1)).as("days_dow"), sum(col("n")).as("tot_dow"))
+        d.join(broadcast(base), Seq("event_type", "dow"))
+          .withColumn("resid_scaled",
+            col("n") * col("days_dow") - col("tot_dow"))
+          .withColumn("resid",
+            round(col("resid_scaled").cast("double") / col("days_dow"), 6))
+          .select(col("event_type"), col("day"), col("dow"), col("n"),
+            col("resid_scaled"), col("resid"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      bench = true,
+      oracle = Some("""
+        WITH d AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        dd AS (
+          SELECT *, CAST(dayofweek(day) AS BIGINT) AS dow FROM d),
+        base AS (
+          SELECT event_type, dow, CAST(count(*) AS BIGINT) AS days_dow,
+                 CAST(sum(n) AS BIGINT) AS tot_dow
+          FROM dd GROUP BY 1, 2)
+        SELECT dd.event_type, dd.day, dd.dow, dd.n,
+               dd.n * base.days_dow - base.tot_dow AS resid_scaled,
+               round(CAST(dd.n * base.days_dow - base.tot_dow AS DOUBLE)
+                 / base.days_dow, 6) AS resid
+        FROM dd JOIN base USING (event_type, dow)
+        ORDER BY dd.event_type, dd.day""")),
 
     // A30 — exponentially weighted moving average (pandas ewm adjust=True,
     // alpha=0.3, truncated at 10 lags): each user's final smoothed value

@@ -415,6 +415,63 @@ object StreamingOps {
     * to the threshold — an exact-to-the-microsecond hit, which is
     * measure-zero in real event time.
     */
+  /** One event for the streaming run detector ([[runStream]]). */
+  final case class RunEvent(key: Long, ts: java.sql.Timestamp,
+      value: String)
+
+  /** The open run per key — [[runStream]]'s O(1) state record. */
+  final case class OpenRun(runId: Long, value: Option[String],
+      startMs: Long, endMs: Long, n: Long)
+
+  /** A completed run emitted by [[runStream]]. */
+  final case class CompletedRun(key: Long, run_id: Long,
+      value: Option[String], run_len: Long,
+      run_start: java.sql.Timestamp, run_end: java.sql.Timestamp)
+
+  /** Streaming gaps-and-islands — the online twin of
+    * `TimeSeriesOps.islands` and the always-on stuck-at / retry-storm
+    * alarm: per key, consecutive equal values accumulate into the open
+    * run; the first differing value EMITS the completed run and opens
+    * the next. State per key is O(1) — (run_id, value, span, count) —
+    * regardless of run length, so a sensor stuck for a month costs the
+    * state store one row. Within a batch rows process in time order
+    * (the validatedIntensityStream convention); run ids are sequential
+    * per key across batches, and a run spanning many batches emits
+    * once, with the full span. The tail run stays open (unemitted)
+    * until a different value arrives — Append semantics can never
+    * retract, so only COMPLETED runs are facts. Null values are runs
+    * of their own, matching the batch operator's null-safe boundary.
+    */
+  def runStream(events: Dataset[RunEvent]): Dataset[CompletedRun] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[RunEvent],
+         state: GroupState[OpenRun]) => {
+          val out = scala.collection.mutable.ArrayBuffer.empty[CompletedRun]
+          var st = state.getOption
+          it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val v = Option(e.value)
+            st match {
+              case Some(s) if s.value == v =>
+                st = Some(s.copy(endMs = e.ts.getTime, n = s.n + 1))
+              case Some(s) =>
+                out += CompletedRun(key, s.runId, s.value, s.n,
+                  new java.sql.Timestamp(s.startMs),
+                  new java.sql.Timestamp(s.endMs))
+                st = Some(OpenRun(s.runId + 1, v, e.ts.getTime,
+                  e.ts.getTime, 1L))
+              case None =>
+                st = Some(OpenRun(1L, v, e.ts.getTime, e.ts.getTime, 1L))
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+        })
+  }
+
   def sessionStream(
       df: DataFrame,
       keyCol: String,

@@ -261,6 +261,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("row_number"), p)
   }
 
+  test("a34: both OHLC row_number windows and the bar aggregation share " +
+    "ONE (event_type, hour) exchange") {
+    val p = plan("a34_ohlc_bars")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("a36: unpivot compiles to ONE Expand pass — no shuffle, no join") {
+    val p = plan("a36_unpivot")
+    assert(p.contains("Expand"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("s17: the ORC read pushes the predicate and prunes columns like " +
     "parquet") {
     val p = plan("s17_orc_roundtrip")

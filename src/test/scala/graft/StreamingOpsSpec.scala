@@ -605,4 +605,46 @@ class StreamingOpsSpec extends SparkSpec {
       (1L, 10.0, Some("alpha")),
       (1L, 11.0, Some("alpha2")))) // fresh name, no restart
   }
+
+  test("runStream: completed runs emit on value change, a run spanning " +
+    "batches emits once with the full span and sequential ids, null " +
+    "values form their own runs, the open tail never emits") {
+    implicit val sql = spark.sqlContext
+    import StreamingOps.{CompletedRun, RunEvent}
+    val input = MemoryStream[RunEvent]
+    val q = StreamingOps.runStream(input.toDS())
+      .writeStream.format("memory").queryName("runs_out")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: key1 a,a,b → run1(a,2) completes when b arrives;
+    // key2 opens a null-valued run (no emission yet)
+    input.addData(
+      RunEvent(1L, T("2024-01-01 00:00:01"), "a"),
+      RunEvent(1L, T("2024-01-01 00:00:02"), "a"),
+      RunEvent(1L, T("2024-01-01 00:00:03"), "b"),
+      RunEvent(2L, T("2024-01-01 00:00:01"), null))
+    q.processAllAvailable()
+    val afterB1 = spark.table("runs_out")
+      .as[CompletedRun].collect().toSeq
+    assert(afterB1.map(r => (r.key, r.run_id, r.value, r.run_len)) ===
+      Seq((1L, 1L, Some("a"), 2L)))
+    // batch 2: key1's b-run EXTENDS across the batch boundary then c
+    // closes it — one emission, full span, id 2; key2's null run closes
+    input.addData(
+      RunEvent(1L, T("2024-01-01 00:00:04"), "b"),
+      RunEvent(1L, T("2024-01-01 00:00:05"), "c"),
+      RunEvent(2L, T("2024-01-01 00:00:02"), "x"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("runs_out").as[CompletedRun].collect()
+      .sortBy(r => (r.key, r.run_id)).toSeq
+      .map(r => (r.key, r.run_id, r.value, r.run_len,
+        r.run_start.toString.substring(11, 19),
+        r.run_end.toString.substring(11, 19)))
+    assert(got === Seq(
+      (1L, 1L, Some("a"), 2L, "00:00:01", "00:00:02"),
+      (1L, 2L, Some("b"), 2L, "00:00:03", "00:00:04"), // cross-batch
+      (2L, 1L, None, 1L, "00:00:01", "00:00:01"))) // null run stands
+    // the open tails (key1 "c", key2 "x") are state, not output
+    assert(got.size === 3)
+  }
 }
