@@ -1428,6 +1428,132 @@ object SimilarityQueries extends QueryModule {
         SELECT qid, hits, round(hits / 10.0, 6) AS recall
         FROM hits ORDER BY qid""")),
 
+    // V31 — MEASURED recall@10 of PQ-ADC (v10's 4×16 codebook, init
+    // encode) against the exact L2 top-k — the fifth member of the
+    // measured-recall family, and the one whose ground truth is L2, not
+    // cosine: ADC approximates squared Euclidean distance, so the
+    // honest baseline is exact ||q−x||² (computed as q·q − 2q·x + x·x
+    // from three identical-fold dots), not an objective it never
+    // optimized. Code distances assemble in exact decimals (the v10
+    // discipline); the ADC join touches codes only, never vectors.
+    "v31_pq_recall" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val e = emb
+          .select(col("vec_id"), posexplode(col("embedding"))
+            .as(Seq("i0", "vf")))
+          .select(col("vec_id"), (col("i0") / 16).cast("int").as("sub"),
+            (col("i0") % 16).cast("int").as("dsub"),
+            col("vf").cast("double").as("v"))
+        val wInit = org.apache.spark.sql.expressions.Window
+          .orderBy(col("vec_id"))
+        val init = emb.orderBy(col("vec_id")).limit(4)
+          .select(col("vec_id"))
+          .withColumn("code", (row_number().over(wInit) - 1).cast("int"))
+        val cb = init.join(e, "vec_id")
+          .select(col("sub"), col("code"), col("dsub"), col("v").as("c"))
+        val d = e.join(broadcast(cb), Seq("sub", "dsub"))
+          .groupBy(col("vec_id"), col("sub"), col("code"))
+          .agg(sum(round((col("v") - col("c")) * (col("v") - col("c")), 12)
+            .cast("decimal(38,12)")).as("d2"))
+        val wEnc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("d2"), col("code"))
+        val enc = d.withColumn("rn", row_number().over(wEnc))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("sub"), col("code"))
+        val qt = d.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("sub"), col("code"),
+            col("d2"))
+        val wA = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("ad2"), col("vec_id"))
+        val approx = enc.join(broadcast(qt), Seq("sub", "code"))
+          .filter(col("vec_id") =!= col("qid"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(round(sum(col("d2")).cast("double"), 6).as("ad2"))
+          .withColumn("rnk", row_number().over(wA))
+          .filter(col("rnk") <= 10)
+          .select(col("qid"), col("vec_id"))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val wE = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("sq"), col("vec_id"))
+        val exact = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("sq", round(
+            SimilarityOps.dotFold(col("embedding"), col("embedding"))
+              - lit(2) * SimilarityOps.dotFold(col("embedding"), col("qe"))
+              + SimilarityOps.dotFold(col("qe"), col("qe")), 6))
+          .withColumn("rnk", row_number().over(wE))
+          .filter(col("rnk") <= 10)
+          .select(col("qid"), col("vec_id"))
+        exact
+          .join(approx.withColumn("__m", lit(1)), Seq("qid", "vec_id"),
+            "left")
+          .groupBy(col("qid"))
+          .agg(count(col("__m")).as("hits"))
+          .withColumn("recall", round(col("hits") / 10.0, 6))
+          .orderBy(col("qid"))
+      },
+      bench = true,
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT vec_id,
+                 CAST((i - 1) // 16 AS INT) AS sub,
+                 CAST((i - 1) % 16 AS INT) AS dsub,
+                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+          FROM embeddings, range(1, 65) t(i)),
+        init AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                   AS code, vec_id
+          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+        cb AS (
+          SELECT e.sub, i.code, e.dsub, e.v AS c
+          FROM init i JOIN e ON e.vec_id = i.vec_id),
+        d AS (
+          SELECT e.vec_id, e.sub, cb.code,
+                 sum(CAST(round((e.v - cb.c) * (e.v - cb.c), 12)
+                   AS DECIMAL(38,12))) AS d2
+          FROM e JOIN cb ON e.sub = cb.sub AND e.dsub = cb.dsub
+          GROUP BY 1, 2, 3),
+        enc AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                     ORDER BY d2, code) AS rn
+            FROM d) WHERE rn = 1),
+        qt AS (SELECT vec_id AS qid, sub, code, d2
+               FROM d WHERE vec_id < 5),
+        adc AS (
+          SELECT qt.qid, enc.vec_id,
+                 round(CAST(sum(qt.d2) AS DOUBLE), 6) AS ad2
+          FROM enc JOIN qt ON enc.sub = qt.sub AND enc.code = qt.code
+          WHERE enc.vec_id <> qt.qid
+          GROUP BY 1, 2),
+        ap AS (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY ad2, vec_id) AS rnk
+          FROM adc),
+        approx AS (SELECT qid, vec_id FROM ap WHERE rnk <= 10),
+        q AS (SELECT vec_id AS qid, embedding AS qe
+              FROM embeddings WHERE vec_id < 5),
+        exq AS (
+          SELECT q.qid, b.vec_id,
+                 row_number() OVER (PARTITION BY q.qid ORDER BY
+                   round(${dotSql("b.embedding", "b.embedding")}
+                     - 2 * ${dotSql("b.embedding", "q.qe")}
+                     + ${dotSql("q.qe", "q.qe")}, 6),
+                   b.vec_id) AS rnk
+          FROM embeddings b, q WHERE b.vec_id <> q.qid),
+        exact AS (SELECT qid, vec_id FROM exq WHERE rnk <= 10),
+        hits AS (
+          SELECT e.qid, CAST(count(a.vec_id) AS BIGINT) AS hits
+          FROM exact e LEFT JOIN approx a
+            ON a.qid = e.qid AND a.vec_id = e.vec_id
+          GROUP BY e.qid)
+        SELECT qid, hits, round(hits / 10.0, 6) AS recall
+        FROM hits ORDER BY qid""")),
+
     // V29 — MEASURED recall@10 of binary quantization (v28's Hamming
     // top-40 + cosine re-rank) against the exact top-k: the third member
     // of the measured-recall family (v25 single-bucket LSH, v26
