@@ -1222,6 +1222,51 @@ object TemporalQueries extends QueryModule {
         FROM dd JOIN base USING (event_type, dow)
         ORDER BY dd.event_type, dd.day""")),
 
+    // A37 — EXACT trailing-7-day distinct users (DAU/WAU + stickiness):
+    // each (day, user) distinct pair contributes to its next seven
+    // target days, so the rolling distinct is one 7× expansion of the
+    // DISTINCT-PAIR frame (bounded by 7·|daily actives|, never 7× the
+    // raw stream) + one count-distinct — the exact-sliding-distinct
+    // idiom that replaces a quadratic self-join. Targets restrict to
+    // observed days via the spine join.
+    "a37_rolling_distinct" -> Q(
+      fn = (s, dir) => {
+        val du = t(s, dir, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        val spine = du.select(col("day")).distinct()
+        val dau = du.groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("dau"))
+        val roll = du
+          .withColumn("off", explode(sequence(lit(0), lit(6))))
+          .select(col("user_id"), date_add(col("day"), col("off")).as("day"))
+          .join(spine, Seq("day"))
+          .groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("wau"))
+        dau.join(roll, Seq("day"))
+          .withColumn("stickiness",
+            round(col("dau").cast("double") / col("wau"), 6))
+          .orderBy(col("day"))
+      },
+      bench = true,
+      oracle = Some("""
+        WITH du AS (
+          SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        spine AS (SELECT DISTINCT day FROM du),
+        dau AS (
+          SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+          FROM du GROUP BY 1),
+        roll AS (
+          SELECT s.day, CAST(count(DISTINCT x.user_id) AS BIGINT) AS wau
+          FROM (SELECT d.user_id, d.day + o.off AS tday
+                FROM du d CROSS JOIN (SELECT CAST(range AS INT) AS off
+                                      FROM range(0, 7)) o) x
+          JOIN spine s ON s.day = x.tday
+          GROUP BY 1)
+        SELECT d.day, d.dau, r.wau,
+               round(CAST(d.dau AS DOUBLE) / r.wau, 6) AS stickiness
+        FROM dau d JOIN roll r USING (day)
+        ORDER BY day""")),
+
     // A30 — exponentially weighted moving average (pandas ewm adjust=True,
     // alpha=0.3, truncated at 10 lags): each user's final smoothed value
     // = Σ v_j·0.7^lag / Σ 0.7^lag over the last 10 events. The 10-lag

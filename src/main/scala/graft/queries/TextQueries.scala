@@ -626,6 +626,88 @@ object TextQueries extends QueryModule {
         CROSS JOIN na
         ORDER BY g.source, g.bin""")),
 
+    // T32 — tokenizer vocabulary coverage (OOV rate) per source: the
+    // fraction of token occurrences outside the top-500 corpus
+    // vocabulary — the readout that decides whether a tokenizer's vocab
+    // fits a new source before training on it. The head cut is t29's
+    // TakeOrdered-over-partial-agg shape (never a global vocabulary
+    // sort); the membership join broadcasts the 500-row head and the
+    // per-source rollup partial-aggs in the same pass.
+    "t32_oov_rate" -> Q(
+      fn = (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tok")).limit(500)
+          .select(col("tok")).withColumn("__v", lit(1))
+        toks.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_tokens"),
+            count(when(col("__v").isNull, 1)).as("n_oov"))
+          .withColumn("oov_rate",
+            round(col("n_oov").cast("double") / col("n_tokens"), 6))
+          .orderBy(col("source"))
+      },
+      bench = true,
+      oracle = Some("""
+        WITH toks AS (
+          SELECT source, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        vocab AS (
+          SELECT tok FROM (
+            SELECT tok, count(*) AS c FROM toks GROUP BY 1
+            ORDER BY c DESC, tok LIMIT 500)),
+        j AS (
+          SELECT t.source,
+                 CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+          FROM toks t LEFT JOIN vocab v USING (tok))
+        SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(oov) AS BIGINT) AS n_oov,
+               round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+        FROM j GROUP BY 1
+        ORDER BY source""")),
+
+    // C14 — dedup savings report: per source, how many documents and
+    // characters exact dedup would reclaim (non-canonical members of
+    // each md5(text) group, keep-lowest-doc_id winners — d1/d8's
+    // convention). THE number a storage/training-budget conversation
+    // starts from. One hash-keyed window ranks group members; the
+    // per-source rollup partial-aggs; nothing touches text twice.
+    "c14_dedup_savings" -> Q(
+      fn = (s, dir) => {
+        val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+        t(s, dir, "documents")
+          .withColumn("h", md5(col("text")))
+          .withColumn("rn", row_number().over(w))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            count(when(col("rn") > 1, 1)).as("n_dups"),
+            sum(when(col("rn") > 1, col("n_chars")).otherwise(lit(0L)))
+              .as("chars_saved"))
+          .withColumn("savings_pct",
+            round(col("chars_saved").cast("double") / col("total_chars"),
+              6))
+          .orderBy(col("source"))
+      },
+      bench = true,
+      oracle = Some("""
+        WITH h AS (
+          SELECT source, n_chars,
+                 row_number() OVER (PARTITION BY md5(text)
+                   ORDER BY doc_id) AS rn
+          FROM documents)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(count(CASE WHEN rn > 1 THEN 1 END) AS BIGINT)
+                 AS n_dups,
+               CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END)
+                 AS BIGINT) AS chars_saved,
+               round(CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END)
+                 AS DOUBLE) / sum(n_chars), 6) AS savings_pct
+        FROM h GROUP BY 1
+        ORDER BY source""")),
+
     // C11 — language × source balance audit: the observed contingency
     // table with per-cell chi-square contributions — the standard
     // independence test a corpus curator runs before fixing a sampling
