@@ -1554,6 +1554,97 @@ object SimilarityQueries extends QueryModule {
         SELECT qid, hits, round(hits / 10.0, 6) AS recall
         FROM hits ORDER BY qid""")),
 
+    // V32 — MEASURED recall@10 of SQ8 scalar quantization (v16's
+    // per-dim min/max 8-bit codes, ranking by the cosine of the
+    // DEQUANTIZED reconstruction) against the exact cosine top-k — the
+    // sixth member of the measured-recall family, so every serving
+    // layout in the library (LSH, multiprobe, IVF, BQ, PQ, SQ8) now
+    // carries a hash-checked quality number. SQ8's recall should sit
+    // near 1.0 — 8 bits/dim is nearly lossless — which is exactly the
+    // quantified contrast with v29's 1-bit and v31's 2-bit-per-dim
+    // codes that justifies the 4× storage.
+    "v32_sq8_recall" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val e = emb
+          .select(col("vec_id"), posexplode(col("embedding"))
+            .as(Seq("i0", "vf")))
+          .select(col("vec_id"), col("i0").as("dim"),
+            col("vf").cast("double").as("v"))
+        val mm = e.groupBy(col("dim"))
+          .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        val code = when(col("mx") === col("mn"), lit(0))
+          .otherwise(round((col("v") - col("mn")) * 255.0 /
+            (col("mx") - col("mn")), 0).cast("int"))
+        val deq = e.join(broadcast(mm), Seq("dim"))
+          .withColumn("vh",
+            col("mn") + code * (col("mx") - col("mn")) / lit(255.0))
+          .groupBy(col("vec_id"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("dim"), col("vh")))),
+            x => x("vh")).as("vhat"))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"),
+            col("embedding").cast("array<double>").as("qe"))
+        val wA = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+        val approx = deq.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("sim",
+            SimilarityOps.cosine(col("vhat"), col("qe")))
+          .withColumn("rnk", row_number().over(wA))
+          .where(col("rnk") <= 10)
+          .select(col("qid"), col("vec_id"))
+        val exact = SimilarityOps.topKPerQuery(
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+          .select(col("qid"), col("vec_id"))
+        exact
+          .join(approx.withColumn("__m", lit(1)), Seq("qid", "vec_id"),
+            "left")
+          .groupBy(col("qid"))
+          .agg(count(col("__m")).as("hits"))
+          .withColumn("recall", round(col("hits") / 10.0, 6))
+          .orderBy(col("qid"))
+      },
+      bench = true,
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT vec_id, i - 1 AS dim,
+                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+          FROM embeddings, range(1, 65) t(i)),
+        mm AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY 1),
+        deq AS (
+          SELECT e.vec_id,
+                 list(mm.mn + (CASE WHEN mm.mx = mm.mn THEN 0
+                       ELSE CAST(round((e.v - mm.mn) * 255.0 /
+                              (mm.mx - mm.mn), 0) AS INT) END)
+                    * (mm.mx - mm.mn) / 255.0 ORDER BY e.dim) AS vhat
+          FROM e JOIN mm ON e.dim = mm.dim
+          GROUP BY 1),
+        q AS (SELECT vec_id AS qid, embedding AS qe
+              FROM embeddings WHERE vec_id < 5),
+        ap AS (
+          SELECT q.qid, d.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${cosineSql("d.vhat", "q.qe")} DESC,
+                            d.vec_id) AS rnk
+          FROM deq d, q WHERE d.vec_id <> q.qid),
+        approx AS (SELECT qid, vec_id FROM ap WHERE rnk <= 10),
+        ex AS (
+          SELECT q.qid, b.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${cosineSql("b.embedding", "q.qe")} DESC,
+                            b.vec_id) AS rnk
+          FROM embeddings b, q WHERE b.vec_id <> q.qid),
+        exact AS (SELECT qid, vec_id FROM ex WHERE rnk <= 10),
+        hits AS (
+          SELECT e.qid, CAST(count(a.vec_id) AS BIGINT) AS hits
+          FROM exact e LEFT JOIN approx a
+            ON a.qid = e.qid AND a.vec_id = e.vec_id
+          GROUP BY e.qid)
+        SELECT qid, hits, round(hits / 10.0, 6) AS recall
+        FROM hits ORDER BY qid""")),
+
     // V29 — MEASURED recall@10 of binary quantization (v28's Hamming
     // top-40 + cosine re-rank) against the exact top-k: the third member
     // of the measured-recall family (v25 single-bucket LSH, v26
