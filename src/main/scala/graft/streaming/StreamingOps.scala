@@ -415,6 +415,60 @@ object StreamingOps {
     * to the threshold — an exact-to-the-microsecond hit, which is
     * measure-zero in real event time.
     */
+  /** One item observation for [[heavyHittersStream]]; `seq` fixes the
+    * within-batch processing order (deterministic summaries).
+    */
+  final case class ItemEvent(key: Long, seq: Long, item: String)
+
+  /** A heavy-hitter estimate emitted after each batch: `est` is the
+    * Misra-Gries counter (true_count − processed/k ≤ est ≤ true_count),
+    * `processed` the items folded into this key's summary so far.
+    */
+  final case class HeavyHitter(key: Long, item: String, est: Long,
+      processed: Long)
+
+  /** Streaming heavy hitters per key via Misra-Gries: at most k−1
+    * counters of state per key — O(k), NOT O(distinct items) — with the
+    * classic deterministic guarantee that every item whose true
+    * frequency exceeds processed/k is present in the summary, and
+    * every counter underestimates by at most processed/k. The CMS
+    * query (a15) answers "how often did X occur" probabilistically;
+    * this answers "what are the frequent items" with a deterministic
+    * bound and bounded state — the right shape for per-key trending
+    * items over an unbounded stream. Update output mode: each batch
+    * re-emits the key's current summary (estimates are evolving facts,
+    * not append-only events); within a batch, items fold in `seq`
+    * order so summaries are reproducible.
+    */
+  def heavyHittersStream(
+      events: Dataset[ItemEvent],
+      k: Int): Dataset[HeavyHitter] = {
+    require(k >= 2, s"heavyHittersStream needs k >= 2, got $k")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[ItemEvent],
+         state: GroupState[(Map[String, Long], Long)]) => {
+          var (ctr, n) =
+            state.getOption.getOrElse((Map.empty[String, Long], 0L))
+          it.toSeq.sortBy(_.seq).foreach { e =>
+            n += 1
+            if (ctr.contains(e.item))
+              ctr = ctr.updated(e.item, ctr(e.item) + 1)
+            else if (ctr.size < k - 1)
+              ctr = ctr.updated(e.item, 1L)
+            else
+              ctr = ctr.map { case (i, c) => i -> (c - 1) }
+                .filter(_._2 > 0)
+          }
+          state.update((ctr, n))
+          ctr.toSeq.sortBy { case (i, c) => (-c, i) }
+            .map { case (i, c) => HeavyHitter(key, i, c, n) }.iterator
+        })
+  }
+
   /** One event for the streaming run detector ([[runStream]]). */
   final case class RunEvent(key: Long, ts: java.sql.Timestamp,
       value: String)

@@ -606,6 +606,44 @@ class StreamingOpsSpec extends SparkSpec {
       (1L, 11.0, Some("alpha2")))) // fresh name, no restart
   }
 
+  test("heavyHittersStream: Misra-Gries summaries carry across batches " +
+    "with at most k-1 counters, every item above processed/k survives, " +
+    "and estimates never exceed true counts") {
+    implicit val sql = spark.sqlContext
+    import StreamingOps.{HeavyHitter, ItemEvent}
+    val input = MemoryStream[ItemEvent]
+    val q = StreamingOps.heavyHittersStream(input.toDS(), k = 3)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode(OutputMode.Update).start()
+    // batch 1: a,a,a,b,c,a,b,a — the c arrival decrements (evicts b),
+    // b re-enters later; hand-folded summary is {a:4, b:1}, n=8
+    input.addData(
+      ItemEvent(1L, 1, "a"), ItemEvent(1L, 2, "a"), ItemEvent(1L, 3, "a"),
+      ItemEvent(1L, 4, "b"), ItemEvent(1L, 5, "c"), ItemEvent(1L, 6, "a"),
+      ItemEvent(1L, 7, "b"), ItemEvent(1L, 8, "a"))
+    q.processAllAvailable()
+    val b1 = spark.table("hh_out").as[HeavyHitter].collect()
+      .filter(_.processed == 8L).map(h => (h.item, h.est)).toSet
+    assert(b1 === Set(("a", 4L), ("b", 1L)))
+    // batch 2: four c's — state carries, b evicts, c climbs;
+    // hand-folded summary is {a:3, c:3}, n=12
+    input.addData(
+      ItemEvent(1L, 9, "c"), ItemEvent(1L, 10, "c"),
+      ItemEvent(1L, 11, "c"), ItemEvent(1L, 12, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val b2 = spark.table("hh_out").as[HeavyHitter].collect()
+      .filter(_.processed == 12L).map(h => (h.item, h.est)).toSet
+    assert(b2 === Set(("a", 3L), ("c", 3L)))
+    // the MG guarantee on the final summary: true a=5, c=5, b=2 over
+    // n=12 with k=3 — every item with freq > n/k=4 present (a, c both
+    // are), and each estimate underestimates by at most n/k
+    assert(b2.forall { case (i, est) =>
+      val truth = Map("a" -> 5L, "c" -> 5L)(i)
+      est <= truth && est >= truth - 12 / 3
+    })
+  }
+
   test("runStream: completed runs emit on value change, a run spanning " +
     "batches emits once with the full span and sequential ids, null " +
     "values form their own runs, the open tail never emits") {
