@@ -1267,6 +1267,53 @@ object TemporalQueries extends QueryModule {
         FROM dau d JOIN roll r USING (day)
         ORDER BY day""")),
 
+    // A38 — value-window kit, a11's navigation sibling completing the
+    // §2.5 window surface: first/last over the full frame, running
+    // last-non-null with IGNORE NULLS (the forward-fill primitive a6
+    // builds from), nth_value, and defaulted lag/lead. One
+    // user-partitioned sort serves all six functions; values are raw
+    // stored doubles (no arithmetic, no rounding needed).
+    "a38_value_window_kit" -> Q(
+      fn = (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wFull = w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        val wCur = w.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .withColumn("big", when(col("value") > 50, col("value")))
+          .select(col("event_id"), col("user_id"), col("value"),
+            first(col("value")).over(wFull).as("first_v"),
+            last(col("value")).over(wFull).as("last_v"),
+            last(col("big"), ignoreNulls = true).over(wCur)
+              .as("last_big"),
+            nth_value(col("value"), 2).over(wFull).as("second_v"),
+            lag(col("value"), 1, -1.0).over(w).as("prev_v"),
+            lead(col("value"), 1, -1.0).over(w).as("next_v"))
+          .orderBy(col("event_id"))
+      },
+      bench = true,
+      oracle = Some("""
+        SELECT event_id, user_id, value,
+               first_value(value) OVER wf AS first_v,
+               last_value(value) OVER wf AS last_v,
+               last_value(CASE WHEN value > 50 THEN value END
+                 IGNORE NULLS) OVER wc AS last_big,
+               nth_value(value, 2) OVER wf AS second_v,
+               lag(value, 1, -1.0) OVER w AS prev_v,
+               lead(value, 1, -1.0) OVER w AS next_v
+        FROM events WHERE event_type = 'purchase'
+        WINDOW
+          w AS (PARTITION BY user_id ORDER BY ts, event_id),
+          wc AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND UNBOUNDED FOLLOWING)
+        ORDER BY event_id""")),
+
     // A30 — exponentially weighted moving average (pandas ewm adjust=True,
     // alpha=0.3, truncated at 10 lags): each user's final smoothed value
     // = Σ v_j·0.7^lag / Σ 0.7^lag over the last 10 events. The 10-lag

@@ -37,6 +37,25 @@ class LayoutsSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition pruning: a filtered dim prunes the " +
+    "partitioned fact's day directories at runtime — the 100 TB star " +
+    "join reads only the matching partitions") {
+    val d = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
+    spark.range(0, 1000)
+      .selectExpr("id", "CAST(id % 10 AS INT) AS day")
+      .write.partitionBy("day").mode("overwrite").parquet(s"$d/fact")
+    val fact = spark.read.parquet(s"$d/fact")
+    val dim = spark.range(0, 10)
+      .selectExpr("CAST(id AS INT) AS day2", "CAST(id % 5 AS INT) AS grp")
+    val joined = fact.join(dim.filter($"grp" === 0),
+      $"day" === $"day2")
+    // the fact scan's PartitionFilters must carry the runtime
+    // dynamicpruning subquery fed by the dim's selective filter
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+    assert(joined.count() === 200) // day ∈ {0, 5} → 2 of 10 partitions
+  }
+
   test("zvalue: hand-checked interleave, clamping, nulls to min, guards") {
     def z(x: Long, y: Long, bits: Int, mx: Long): Long =
       Seq((x, y)).toDF("x", "y")
