@@ -200,6 +200,37 @@ object TemporalQueries extends QueryModule {
         WHERE a.event_type = 'click'
         ORDER BY a.event_id""")),
 
+    // J13 — temporal anti-join: clicks with NO purchase by the same
+    // user within the following hour — the "did not convert" cohort,
+    // the NOT-EXISTS-with-range shape every funnel-debugging session
+    // needs. Decorrelates to ONE left_anti join with an equi user key
+    // plus range predicates — the user-key shuffle does the work, the
+    // range condition only filters within matched keys (never a
+    // cartesian pairing).
+    "j13_temporal_antijoin" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("ts").as("pts"))
+        clicks.join(purch,
+          col("user_id") === col("pu") &&
+            col("pts") >= col("ts") &&
+            col("pts") <= col("ts") + expr("INTERVAL 1 HOUR"),
+          "left_anti")
+          .orderBy(col("event_id"))
+      },
+      bench = true,
+      oracle = Some("""
+        SELECT a.event_id, a.user_id, a.ts
+        FROM events a
+        WHERE a.event_type = 'click' AND NOT EXISTS (
+          SELECT 1 FROM events b
+          WHERE b.event_type = 'purchase' AND b.user_id = a.user_id
+            AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR)
+        ORDER BY a.event_id""")),
+
     // J6 — 29-minute near-duplicate suppression
     // (pipeline/cosmoz_process_levels.py:375-390, is_duplicate :316-337):
     // drop a row if an equal row exists in the preceding 29 minutes of the

@@ -1378,6 +1378,96 @@ object TextQueries extends QueryModule {
         ORDER BY d.doc_id"""
       }),
 
+    // C15 — achieved-vs-target mix audit: after the c6 temperature
+    // sampler runs, did each source actually land its α=0.5-weighted
+    // token share? Per source: total and sampled token mass, achieved
+    // share, the temperature target share, and the relative error —
+    // the closure of the sampling loop (c3 plans, c6 executes, c15
+    // AUDITS; thresholded per-doc hashing only approximates the target,
+    // and this query is the measured gap). Shares round before the
+    // error division on both engines, so the readout hash-matches.
+    "c15_mix_audit" -> Q(
+      fn = (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("ntok",
+            size(split(col("text"), " ")).cast("long"))
+        val sampled = graft.operators.SampleOps.temperatureMixture(
+          docs, "doc_id", "source",
+          tokens = size(split(col("text"), " ")),
+          totalBudget = 20000L, alpha = 0.5)
+          .select(col("doc_id")).withColumn("__s", lit(1))
+        val bySrc = docs.join(sampled, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(sum(col("ntok")).as("tok_total"),
+            sum(when(col("__s").isNotNull, col("ntok"))
+              .otherwise(lit(0L))).as("tok_sampled"))
+        val w = bySrc.withColumn("w",
+          round(pow(col("tok_total").cast("double"), 0.5), 9)
+            .cast("decimal(28,9)"))
+        val ws = w.agg(sum(col("w")).as("wsum"),
+          sum(col("tok_sampled")).as("tot_sampled"))
+        w.crossJoin(broadcast(ws))
+          .withColumn("achieved_share",
+            round(col("tok_sampled").cast("double") /
+              col("tot_sampled"), 6))
+          .withColumn("target_share",
+            round(col("w").cast("double") / col("wsum").cast("double"),
+              6))
+          .withColumn("rel_err",
+            round((col("achieved_share") - col("target_share")) /
+              col("target_share"), 6))
+          .select(col("source"), col("tok_total"), col("tok_sampled"),
+            col("achieved_share"), col("target_share"), col("rel_err"))
+          .orderBy(col("source"))
+      },
+      bench = true,
+      oracle = Some {
+        val h60 = baseHashSql.replace("md5(s)",
+          "md5(CAST(doc_id AS VARCHAR) || '/temp')")
+        s"""
+        WITH tot AS (
+          SELECT source,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok
+          FROM documents GROUP BY source),
+        w AS (
+          SELECT source, tok,
+                 CAST(round(pow(CAST(tok AS DOUBLE), 0.5), 9)
+                      AS DECIMAL(28,9)) AS w
+          FROM tot),
+        ws AS (SELECT sum(w) AS wsum FROM w),
+        thr AS (
+          SELECT source,
+                 least(10000, CAST(floor(10000.0 * 20000 *
+                   (CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE))
+                   / CAST(tok AS DOUBLE)) AS BIGINT)) AS t
+          FROM w CROSS JOIN ws),
+        samp AS (
+          SELECT d.source,
+                 CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
+                   AS tok_sampled
+          FROM documents d JOIN thr ON thr.source = d.source
+          WHERE ($h60) % 10000 < thr.t
+          GROUP BY d.source),
+        tots AS (
+          SELECT CAST(sum(tok_sampled) AS BIGINT) AS tot_sampled
+          FROM samp)
+        SELECT w.source, w.tok AS tok_total,
+               coalesce(samp.tok_sampled, 0) AS tok_sampled,
+               round(CAST(coalesce(samp.tok_sampled, 0) AS DOUBLE)
+                 / tots.tot_sampled, 6) AS achieved_share,
+               round(CAST(w.w AS DOUBLE) / CAST(ws.wsum AS DOUBLE), 6)
+                 AS target_share,
+               round((round(CAST(coalesce(samp.tok_sampled, 0) AS DOUBLE)
+                       / tots.tot_sampled, 6)
+                      - round(CAST(w.w AS DOUBLE)
+                        / CAST(ws.wsum AS DOUBLE), 6))
+                 / round(CAST(w.w AS DOUBLE) / CAST(ws.wsum AS DOUBLE),
+                     6), 6) AS rel_err
+        FROM w CROSS JOIN ws CROSS JOIN tots
+        LEFT JOIN samp ON samp.source = w.source
+        ORDER BY w.source"""
+      }),
+
     // C2 — per-source corpus health report, one plan: doc counts, exact-
     // duplicate rate (beyond-first copies by text md5 — the d1 rule),
     // language spread, and token/char mass. Ratios divide exact integer
