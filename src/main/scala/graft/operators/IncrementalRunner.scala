@@ -252,4 +252,39 @@ object IncrementalRunner {
       .unionByName(
         latest.where(col(opCol) =!= "D").drop(opCol, seqCol))
   }
+
+  /** SCD-2 history from a versioned changelog: every non-delete version
+    * becomes one history row valid from its own sequence number until
+    * the NEXT event on the same key (any op — a later version supersedes,
+    * a delete closes); the last open version is flagged current. Deletes
+    * emit no row of their own — their entire effect is bounding the
+    * predecessor's validity, which one `lead()` expresses — so the
+    * operator is a single per-key window pass: no self-join, no
+    * snapshot scan, cost O(changelog), never O(history).
+    *
+    * [[applyChangelog]] answers "what is true NOW" (SCD-1); this keeps
+    * every version addressable by sequence — the as-of audit shape
+    * (which price did we show at seq 5?) that regulatory replay needs.
+    */
+  def scd2History(
+      changelog: DataFrame,
+      keys: Seq[String],
+      opCol: String = "op",
+      seqCol: String = "seq"): DataFrame = {
+    require(keys.nonEmpty, "scd2History: at least one key column")
+    val reserved = Seq("valid_from", "valid_to", "is_current")
+      .filter(changelog.columns.contains)
+    require(reserved.isEmpty,
+      s"scd2History reserves column(s) ${reserved.mkString(", ")} — " +
+        "rename them on the input")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).asc, col(opCol).asc)
+    changelog
+      .withColumn("valid_from", col(seqCol))
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .where(col(opCol) =!= "D")
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(opCol, seqCol)
+  }
 }

@@ -209,6 +209,52 @@ object RelationalQueries extends QueryModule {
         WHERE o_orderkey % 20 <> 0
         ORDER BY o_orderkey""")),
 
+    // S26 — SCD-2 history from a versioned changelog: s23 answers "what
+    // is true NOW"; this keeps every version addressable — each
+    // non-delete version valid from its own seq until the next event on
+    // the key (a later version supersedes, a delete closes), the as-of
+    // audit shape regulatory replay needs. ONE per-key window pass —
+    // deletes' entire effect is bounding the predecessor via lead(), so
+    // there is no self-join and no snapshot scan (cost O(changelog)).
+    "s26_scd2_history" -> Q(
+      fn = (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val base = orders.select(col("o_orderkey"), col("o_totalprice"))
+          .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+        val reprice = orders.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") + 10.0).as("o_totalprice"))
+          .withColumn("op", lit("U")).withColumn("seq", lit(2L))
+        val deletes = orders.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), lit(0.0).as("o_totalprice"))
+          .withColumn("op", lit("D")).withColumn("seq", lit(3L))
+        IncrementalRunner.scd2History(
+          base.unionByName(reprice).unionByName(deletes),
+          Seq("o_orderkey"))
+          .orderBy(col("o_orderkey"), col("valid_from"))
+      },
+      bench = true,
+      oracle = Some("""
+        WITH ch AS (
+          SELECT o_orderkey, o_totalprice, 'I' AS op,
+                 CAST(1 AS BIGINT) AS seq
+          FROM orders
+          UNION ALL
+          SELECT o_orderkey, o_totalprice + 10.0, 'U', 2
+          FROM orders WHERE o_orderkey % 3 = 0
+          UNION ALL
+          SELECT o_orderkey, 0.0, 'D', 3
+          FROM orders WHERE o_orderkey % 5 = 0),
+        h AS (
+          SELECT o_orderkey, o_totalprice, op, seq AS valid_from,
+                 lead(seq) OVER (PARTITION BY o_orderkey
+                   ORDER BY seq, op) AS valid_to
+          FROM ch)
+        SELECT o_orderkey, o_totalprice, valid_from, valid_to,
+               valid_to IS NULL AS is_current
+        FROM h WHERE op <> 'D'
+        ORDER BY o_orderkey, valid_from""")),
+
     // S18 — snapshot diff: added/removed/changed keys between two table
     // generations plus WHICH columns changed — the change-feed a plain-
     // parquet lake derives by comparing snapshots (both generations

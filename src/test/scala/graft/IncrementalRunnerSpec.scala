@@ -218,6 +218,39 @@ class IncrementalRunnerSpec extends SparkSpec {
     }
   }
 
+  test("scd2History: versions chain valid_from->valid_to, deletes close " +
+    "without emitting, delete-then-reinsert reopens, last version is " +
+    "current, reserved columns guarded") {
+    val ch = Seq(
+      // k1: two versions, still live — v1 closed by v2, v2 current
+      (1L, 10.0, "I", 1L), (1L, 11.0, "U", 4L),
+      // k2: insert then delete — one row, closed, NOT current
+      (2L, 20.0, "I", 1L), (2L, 0.0, "D", 2L),
+      // k3: delete then REINSERT — v1 closed at the delete seq,
+      // v3 reopens and is current
+      (3L, 30.0, "I", 1L), (3L, 0.0, "D", 2L), (3L, 31.0, "I", 3L))
+      .toDF("k", "price", "op", "seq")
+    val out = IncrementalRunner.scd2History(ch, Seq("k"))
+      .select($"k", $"price", $"valid_from", $"valid_to", $"is_current")
+      .as[(Long, Double, Long, Option[Long], Boolean)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(out === Seq(
+      (1L, 10.0, 1L, Some(4L), false),
+      (1L, 11.0, 4L, None, true),
+      (2L, 20.0, 1L, Some(2L), false),
+      (3L, 30.0, 1L, Some(2L), false),
+      (3L, 31.0, 3L, None, true)))
+    // single window pass: one exchange, no join anywhere in the plan
+    val plan = IncrementalRunner.scd2History(ch, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("Join"), plan)
+    intercept[IllegalArgumentException] {
+      IncrementalRunner.scd2History(
+        ch.withColumn("valid_to", lit(1)), Seq("k"))
+    }
+  }
+
   test("applyChangelog: latest op per key wins, deletes remove, upserts " +
     "replace, untouched rows pass through, guards fire") {
     val snap = Seq(
