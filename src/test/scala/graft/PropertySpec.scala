@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{IntensityOps, SimilarityOps, TimeSeriesOps}
+import graft.operators.{IncrementalRunner, IntensityOps, SimilarityOps, TimeSeriesOps}
 import graft.operators.IntensityOps.IntensityPoint
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
@@ -335,5 +335,58 @@ class PropertySpec extends SparkSpec {
         out.forall(_._3 > 0.0) &&
         comps.forall(c => out.count(r => r._2 == c && r._4) == 1)
     }, samples = 10)
+  }
+
+  test("islands: expanding the runs reconstructs the exact value " +
+    "sequence; ids are sequential; adjacent runs always differ") {
+    val rowsGen: Gen[List[(Int, Int, Option[String])]] = for {
+      n <- Gen.choose(1, 30)
+      kvs <- Gen.listOfN(n, for {
+        k <- Gen.choose(1, 2)
+        v <- Gen.oneOf(Some("a"), Some("b"), Option.empty[String])
+      } yield (k, v))
+    } yield kvs.zipWithIndex.map { case ((k, v), i) => (k, i, v) }
+    check(Prop.forAll(rowsGen) { rows =>
+      val out = TimeSeriesOps
+        .islands(rows.toDF("k", "seq", "v"), Seq("k"), "seq", "seq", "v")
+        .select($"k", $"run_id", $"v", $"run_len", $"run_start",
+          $"run_end")
+        .as[(Int, Long, Option[String], Long, Int, Int)]
+        .collect().sortBy(r => (r._1, r._2)).toList
+      rows.groupBy(_._1).forall { case (k, rs) =>
+        val seq = rs.sortBy(_._2).map(_._3)
+        val runs = out.filter(_._1 == k)
+        runs.map(_._2) == (1L to runs.size.toLong).toList &&
+          runs.flatMap(r => List.fill(r._4.toInt)(r._3)) == seq &&
+          runs.iterator.sliding(2).withPartial(false)
+            .forall(p => p(0)._3 != p(1)._3) &&
+          runs.forall(r => r._5 <= r._6)
+      }
+    }, samples = 15)
+  }
+
+  test("scd2History: intervals chain through every event; exactly one " +
+    "current row unless the key ends deleted") {
+    val chGen: Gen[List[(Long, Long, String, Double)]] = for {
+      n <- Gen.choose(1, 12)
+      ops <- Gen.listOfN(n, Gen.frequency(3 -> Gen.const("I"),
+        1 -> Gen.const("D")))
+    } yield ops.zipWithIndex.map { case (op, i) =>
+      (1L, i + 1L, op, i * 1.5)
+    }
+    check(Prop.forAll(chGen) { ch =>
+      val out = IncrementalRunner
+        .scd2History(ch.toDF("k", "seq", "op", "price"), Seq("k"))
+        .select($"k", $"price", $"valid_from", $"valid_to", $"is_current")
+        .as[(Long, Double, Long, Option[Long], Boolean)]
+        .collect().sortBy(_._3).toList
+      val nonDel = ch.filter(_._3 != "D").sortBy(_._2)
+      out.size == nonDel.size &&
+        out.zip(nonDel).forall { case (o, c) =>
+          o._3 == c._2 && o._2 == c._4 } &&
+        out.forall { o => // valid_to = the key's next event, if any
+          o._4 == ch.map(_._2).filter(_ > o._3).sorted.headOption } &&
+        out.count(_._5) == (if (ch.last._3 == "D") 0 else 1)
+    }, samples = 15)
   }
 }
