@@ -452,6 +452,45 @@ object MediaCodec {
     Some((sampleRate, n, mn, mx, sum, sumSq))
   }
 
+  /** The full decoded sample stream of a 16-bit PCM WAV (LE, channels
+    * interleaved) plus its sample rate — [[pcmStats]]'s raw sibling for
+    * operators that need per-sample access (framing, windowed DSP).
+    * Same validity contract: None for anything not 16-bit PCM.
+    */
+  def pcmSamples(b: Array[Byte]): Option[(Int, Array[Int])] = {
+    if (sniff(b) != "wav") return None
+    var i = 12
+    var sampleRate = -1
+    var bits = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (i + 8 <= b.length) {
+      val id = ascii(b, i, 4)
+      val size = le32(b, i + 4)
+      if (size < 0 || i + 8 + size > b.length) return None
+      if (id == "fmt ") {
+        if (size < 16) return None
+        sampleRate = le32(b, i + 12).toInt
+        bits = le16(b, i + 22)
+      } else if (id == "data") {
+        dataOff = i + 8
+        dataLen = size.toInt
+      }
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (sampleRate <= 0 || bits != 16 || dataOff < 0 || dataLen < 2)
+      return None
+    val n = dataLen / 2
+    val out = new Array[Int](n)
+    var k = 0
+    while (k < n) {
+      val off = dataOff + k * 2
+      out(k) = ((b(off) & 0xff) | (b(off + 1) << 8)).toShort.toInt
+      k += 1
+    }
+    Some((sampleRate, out))
+  }
+
   /** The m3 oracle fixture: one deterministic container per id, format
     * rotating by id % 5, every parameter pure arithmetic in the id (so
     * a SQL oracle recomputes the expected parse without any bytes).

@@ -95,6 +95,46 @@ object MultimodalOps {
       })
   }
 
+  /** One fixed-size PCM frame's exact integer aggregates ([[pcmFrames]]).
+    * `sumsq` stays integer so the RMS float derivation belongs to the
+    * query layer (the pcmSampleStats discipline).
+    */
+  final case class PcmFrame(media_id: Long, frame_idx: Int, n_f: Int,
+      peak: Int, sumsq: Long)
+
+  /** Fixed-size framing over the decoded PCM stream — the windowed-DSP
+    * feature-extraction primitive (VAD energy gates, loudness contours,
+    * silence trimming all start from per-frame peak/energy). One typed
+    * mapPartitions decodes each blob ONCE and emits its frames; a blob
+    * that is not valid 16-bit PCM contributes no rows (the poison-blob
+    * contract). The last frame may be partial; `n_f` carries its true
+    * length so the query layer normalizes correctly.
+    */
+  def pcmFrames(blobs: DataFrame, frameSize: Int): Dataset[PcmFrame] = {
+    require(frameSize > 0, s"pcmFrames: frameSize must be > 0, got $frameSize")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs
+      .select(col("media_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        MediaCodec.pcmSamples(b) match {
+          case Some((_, s)) =>
+            s.grouped(frameSize).zipWithIndex.map { case (fr, i) =>
+              var peak = 0
+              var sq = 0L
+              fr.foreach { v =>
+                val a = math.abs(v)
+                if (a > peak) peak = a
+                sq += v.toLong * v
+              }
+              PcmFrame(id, i, fr.length, peak, sq)
+            }
+          case None => Iterator.empty
+        }
+      })
+  }
+
   /** Deterministic stand-in for the codec: derives features from the raw
     * bytes only (length, boundary bytes, rolling checksum, fake frame
     * count), so tests and cross-engine oracles are exact.

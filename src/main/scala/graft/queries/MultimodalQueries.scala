@@ -155,6 +155,56 @@ object MultimodalQueries extends QueryModule {
     // byte-level sample layout round-trips on every row. Float mean/RMS
     // derive in the query layer from the exact integer sums (same IEEE
     // ops both engines); blobs never shuffle — output is metadata-sized.
+    // M6 — fixed 64-sample PCM framing with per-frame peak and RMS: the
+    // windowed-DSP primitive under VAD energy gates, loudness contours,
+    // and silence trimming. Each blob decodes ONCE and emits its frames
+    // from one typed mapPartitions; integer peak/sumsq cross the
+    // engine boundary, the RMS float is derived in the query (the m5
+    // discipline). The tone fixture's n is a multiple of 128, so every
+    // frame is full — the operator still carries n_f for the general
+    // partial-tail case (MultimodalOpsSpec covers it).
+    "m6_pcm_frames" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val blobs = t(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, graft.operators.MediaCodec.buildWavTone(id))))
+          .toDF("media_id", "blob")
+        MultimodalOps.pcmFrames(blobs, frameSize = 64).toDF()
+          .select(col("media_id"), col("frame_idx"), col("n_f"),
+            col("peak"),
+            round(sqrt(col("sumsq").cast("double") / col("n_f")), 6)
+              .as("rms"))
+          .orderBy(col("media_id"), col("frame_idx"))
+      },
+      bench = true,
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id AS media_id,
+                 CAST((doc_id % 20 + 1) * 128 AS INT) AS n_samples,
+                 list_transform(
+                   generate_series(0, CAST((doc_id % 20 + 1) * 128 - 1
+                     AS BIGINT)),
+                   k -> (doc_id * 31 + k * 17) % 2003 - 1001) AS s
+          FROM documents),
+        f AS (
+          SELECT media_id,
+                 CAST(fi AS INT) AS frame_idx,
+                 s[CAST(fi * 64 + 1 AS INT):CAST((fi + 1) * 64 AS INT)]
+                   AS fs
+          FROM (SELECT media_id, s,
+                       unnest(generate_series(0,
+                         CAST(n_samples / 64 - 1 AS BIGINT))) AS fi
+                FROM p))
+        SELECT media_id, frame_idx, CAST(64 AS INT) AS n_f,
+               CAST(list_max(list_transform(fs, v -> abs(v))) AS INT)
+                 AS peak,
+               round(sqrt(CAST(list_sum(list_transform(fs, v -> v * v))
+                 AS DOUBLE) / 64), 6) AS rms
+        FROM f
+        ORDER BY media_id, frame_idx""")),
+
     "m5_pcm_stats" -> Q(
       fn = (s, dir) => {
         import s.implicits._

@@ -268,4 +268,28 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(out(0).valid && out(0).sum_s.contains(sum))
     assert(!out(1).valid && out(1).n_samples.isEmpty)
   }
+
+  test("pcmFrames: frames tile the sample stream with a true-length " +
+    "partial tail, aggregates match a per-frame refold, poison blobs " +
+    "emit nothing") {
+    import graft.operators.MediaCodec
+    val id = 4L // n = 640 samples: 640/48 = 13 full frames + tail of 16
+    val Some((_, samples)) = MediaCodec.pcmSamples(MediaCodec.buildWavTone(id))
+    val out = MultimodalOps.pcmFrames(
+      Seq((id, MediaCodec.buildWavTone(id)),
+        (99L, "not a wav".getBytes)).toDF("media_id", "blob"),
+      frameSize = 48)
+      .collect().sortBy(r => (r.media_id, r.frame_idx))
+    assert(out.forall(_.media_id == id)) // poison blob contributed 0 rows
+    val ref = samples.grouped(48).toSeq
+    assert(out.length === ref.length)
+    assert(out.last.n_f === samples.length % 48) // true-length tail
+    out.zip(ref).foreach { case (f, rs) =>
+      assert(f.n_f === rs.length)
+      assert(f.peak === rs.map(math.abs).max)
+      assert(f.sumsq === rs.map(v => v.toLong * v).sum)
+    }
+    // frames tile: lengths sum back to the stream
+    assert(out.map(_.n_f).sum === samples.length)
+  }
 }
