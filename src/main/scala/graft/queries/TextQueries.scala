@@ -2559,6 +2559,59 @@ object TextQueries extends QueryModule {
       },
       oracle = Some(bpeTokensOracle(4, 20))),
 
+    // T33 — BPE fertility per source: subword tokens per whitespace
+    // word under the t16-trained merge table — THE tokenizer-fit metric
+    // (fertility near 1 = vocabulary matches the source; high fertility
+    // = the source fragments, inflating sequence lengths and training
+    // cost). Consumes the same corpus-global merges as t17; the oracle
+    // re-derives each DISTINCT word's post-merge symbol length through
+    // the same replace chain, then rolls up per source — so tokenizer
+    // training AND its per-source consequence are both hash-checked.
+    "t33_bpe_fertility" -> Q(
+      fn = (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = graft.operators.TextOps.bpeTrain(docs, "text", 4)
+        docs
+          .select(col("source"),
+            size(graft.operators.TextOps.bpeTokens(col("text"), merges))
+              .cast("long").as("nsub"),
+            size(filter(split(col("text"), "\\s+"),
+              w => length(w) > 0)).cast("long").as("nw"))
+          .groupBy(col("source"))
+          .agg(sum(col("nw")).as("n_words"),
+            sum(col("nsub")).as("n_subwords"))
+          .withColumn("fertility",
+            round(col("n_subwords").cast("double") / col("n_words"), 6))
+          .orderBy(col("source"))
+      },
+      bench = true,
+      oracle = Some {
+        val rounds = 4
+        val folded = (1 to rounds).foldLeft("word") { (acc, r) =>
+          s"replace($acc, (SELECT pair FROM m$r), chr(${0xE000 + r - 1}))"
+        }
+        s"""
+        WITH ${bpeRoundsCte(rounds)},
+        sw AS (
+          SELECT source, word, count(*) AS cnt FROM (
+            SELECT source,
+                   unnest(string_split_regex(text, '\\s+')) AS word
+            FROM documents) t
+          WHERE length(word) > 0
+          GROUP BY 1, 2),
+        wm AS (
+          SELECT word, CAST(length($folded) AS BIGINT) AS n_sub
+          FROM (SELECT DISTINCT word FROM sw) t)
+        SELECT sw.source,
+               CAST(sum(sw.cnt) AS BIGINT) AS n_words,
+               CAST(sum(sw.cnt * wm.n_sub) AS BIGINT) AS n_subwords,
+               round(CAST(sum(sw.cnt * wm.n_sub) AS DOUBLE)
+                 / sum(sw.cnt), 6) AS fertility
+        FROM sw JOIN wm USING (word)
+        GROUP BY 1
+        ORDER BY sw.source"""
+      }),
+
     // T19 — Okapi BM25 lexical top-k (k1=1.5, b=0.75, Lucene idf): the
     // keyword-retrieval half of hybrid search. The Spark plan filters the
     // exploded token stream to the query terms map-side (only matching
