@@ -1345,6 +1345,60 @@ object TemporalQueries extends QueryModule {
                  AND UNBOUNDED FOLLOWING)
         ORDER BY event_id""")),
 
+    // A39 — weighted median per group: smallest value whose cumulative
+    // weight reaches half the group total — the robust center when rows
+    // carry unequal mass (dedup multiplicities, sampling weights,
+    // token counts). The threshold compare is 2·cw ≥ tw in pure BIGINT
+    // (no halves, no floats anywhere until the output value itself,
+    // which is a raw stored double); one keyed window + one rank pick,
+    // the same single-exchange shape as every keyed analytic here.
+    // Weights derive deterministically from row identity (event_id%5+1)
+    // so the oracle reproduces them exactly.
+    "a39_weighted_median" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("wt", (col("event_id") % 5 + 1).cast("long"))
+        val wCum = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = ev.groupBy(col("event_type"))
+          .agg(sum(col("wt")).as("tw"))
+        val wPick = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        ev.withColumn("cw", sum(col("wt")).over(wCum))
+          .join(broadcast(tot), Seq("event_type"))
+          .filter(col("cw") * 2 >= col("tw"))
+          .withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("value").as("weighted_median"),
+            col("tw"))
+          .orderBy(col("event_type"))
+      },
+      bench = true,
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_type, event_id, value,
+                 CAST(event_id % 5 + 1 AS BIGINT) AS wt
+          FROM events),
+        c AS (
+          SELECT event_type, event_id, value, wt,
+                 CAST(sum(wt) OVER (PARTITION BY event_type
+                   ORDER BY value, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cw
+          FROM e),
+        t AS (SELECT event_type, CAST(sum(wt) AS BIGINT) AS tw
+              FROM e GROUP BY 1),
+        f AS (
+          SELECT c.event_type, c.value, t.tw,
+                 row_number() OVER (PARTITION BY c.event_type
+                   ORDER BY c.value, c.event_id) AS rn
+          FROM c JOIN t USING (event_type)
+          WHERE c.cw * 2 >= t.tw)
+        SELECT event_type, value AS weighted_median, tw
+        FROM f WHERE rn = 1
+        ORDER BY event_type""")),
+
     // A30 — exponentially weighted moving average (pandas ewm adjust=True,
     // alpha=0.3, truncated at 10 lags): each user's final smoothed value
     // = Σ v_j·0.7^lag / Σ 0.7^lag over the last 10 events. The 10-lag

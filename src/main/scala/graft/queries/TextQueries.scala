@@ -708,6 +708,67 @@ object TextQueries extends QueryModule {
         FROM h GROUP BY 1
         ORDER BY source""")),
 
+    // T34 — code-vs-prose heuristic: symbol density, code-keyword hits,
+    // and an integer-compare verdict (n_sym·20 > n_chars) — the
+    // curation signal that routes documents to a code pipeline or
+    // strips code blocks from a prose corpus; orthogonal to t3's
+    // prose-quality score. Pure per-row regexp counters (RE2-subset
+    // patterns shared verbatim by both engines), zero shuffles, scan
+    // pruned to (doc_id, text, n_chars).
+    "t34_code_score" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            regexp_count(col("text"), lit("[{}();=<>\\[\\]]"))
+              .cast("bigint").as("n_sym"),
+            regexp_count(col("text"),
+              lit("\\b(def|class|return|import|void|int)\\b"))
+              .cast("bigint").as("n_kw"))
+          .withColumn("sym_ratio",
+            round(col("n_sym").cast("double") /
+              greatest(col("n_chars"), lit(1L)), 6))
+          .withColumn("is_codeish", col("n_sym") * 20 > col("n_chars"))
+          .orderBy(col("doc_id")),
+      bench = true,
+      oracle = Some("""
+        SELECT doc_id, n_chars,
+               CAST(len(regexp_extract_all(text, '[{}();=<>\[\]]'))
+                 AS BIGINT) AS n_sym,
+               CAST(len(regexp_extract_all(text,
+                 '\b(def|class|return|import|void|int)\b')) AS BIGINT)
+                 AS n_kw,
+               round(CAST(len(regexp_extract_all(text, '[{}();=<>\[\]]'))
+                 AS DOUBLE) / greatest(n_chars, 1), 6) AS sym_ratio,
+               CAST(len(regexp_extract_all(text, '[{}();=<>\[\]]'))
+                 AS BIGINT) * 20 > n_chars AS is_codeish
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // C16 — duplicate-cluster size histogram: how many md5 groups have
+    // 1, 2, 3… members and how many documents each size class holds —
+    // the shape that distinguishes pervasive boilerplate (many small
+    // clusters) from mirror dumps (few huge ones), which decide
+    // different dedup strategies. Two partial-agged groupBys, the
+    // second over cluster-count-sized data.
+    "c16_cluster_sizes" -> Q(
+      fn = (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(md5(col("text")).as("h"))
+          .agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("sz")).as("n_docs"))
+          .orderBy(col("sz")),
+      bench = true,
+      oracle = Some("""
+        WITH g AS (
+          SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS sz
+          FROM documents GROUP BY 1)
+        SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(sz) AS BIGINT) AS n_docs
+        FROM g GROUP BY 1
+        ORDER BY sz""")),
+
     // C11 — language × source balance audit: the observed contingency
     // table with per-cell chi-square contributions — the standard
     // independence test a corpus curator runs before fixing a sampling
