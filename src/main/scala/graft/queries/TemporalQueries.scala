@@ -231,6 +231,46 @@ object TemporalQueries extends QueryModule {
             AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR)
         ORDER BY a.event_id""")),
 
+    // J14 — bounded-staleness as-of: the backward tier only, with a
+    // 2-hour freshness guard — the sensor-fusion rule that a reading
+    // older than the tolerance is WORSE than no reading (j4 would
+    // happily join a week-old purchase). The match timestamp rides
+    // along as a second value column and one post-filter applies the
+    // bound; nearest-preceding-then-bound equals bounded-window pick
+    // exactly, so no second window is needed.
+    "j14_asof_staleness" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+          .withColumn("rts", col("ts"))
+        TimeSeriesOps
+          .asOfLookup(clicks, purch, Seq("user_id"), "ts", "ts",
+            Seq("value", "rts"), forward = false)
+          .select(col("event_id"), col("user_id"),
+            coalesce(
+              when(unix_micros(col("ts")) - unix_micros(col("rts_asof"))
+                <= lit(7200L * 1000000L), col("value_asof")),
+              lit(-1.0)).as("asof_value"))
+          .orderBy(col("event_id"))
+      },
+      bench = true,
+      oracle = Some("""
+        SELECT a.event_id, a.user_id,
+               coalesce(
+                 (SELECT b.value FROM events b
+                  WHERE b.user_id = a.user_id
+                    AND b.event_type = 'purchase'
+                    AND b.ts <= a.ts
+                    AND b.ts >= a.ts - INTERVAL 2 HOUR
+                  ORDER BY b.ts DESC LIMIT 1),
+                 -1.0) AS asof_value
+        FROM events a
+        WHERE a.event_type = 'click'
+        ORDER BY a.event_id""")),
+
     // J6 — 29-minute near-duplicate suppression
     // (pipeline/cosmoz_process_levels.py:375-390, is_duplicate :316-337):
     // drop a row if an equal row exists in the preceding 29 minutes of the
