@@ -1439,6 +1439,54 @@ object TemporalQueries extends QueryModule {
         FROM f WHERE rn = 1
         ORDER BY event_type""")),
 
+    // A40 — Gini concentration of activity per event type: how unequal
+    // the per-user event distribution is (0 = uniform, →1 = one user
+    // dominates) — the whale-detection diagnostic behind rate limits
+    // and skew planning (a18 profiles keys; this is the scalar
+    // inequality readout). Exact integer assembly: with per-user
+    // counts x ranked ascending, G = (2·Σr·x − (n+1)·Σx) / (n·Σx) —
+    // numerator and denominator both BIGINT, ONE double division.
+    "a40_gini_activity" -> Q(
+      fn = (s, dir) => {
+        val cnt = t(s, dir, "events")
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("x"), col("user_id"))
+        cnt.withColumn("r", row_number().over(w).cast("long"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("x")).as("s0"),
+            sum(col("r") * col("x")).as("s1"))
+          .withColumn("gini",
+            round((lit(2) * col("s1") - (col("n_users") + 1) * col("s0"))
+              .cast("double") /
+              (col("n_users") * col("s0")).cast("double"), 6))
+          .select(col("event_type"), col("n_users"), col("s0"),
+            col("gini"))
+          .orderBy(col("event_type"))
+      },
+      bench = true,
+      oracle = Some("""
+        WITH c AS (
+          SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        r AS (
+          SELECT event_type, x,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                   ORDER BY x, user_id) AS BIGINT) AS r
+          FROM c),
+        g AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(x) AS BIGINT) AS s0,
+                 CAST(sum(r * x) AS BIGINT) AS s1
+          FROM r GROUP BY 1)
+        SELECT event_type, n_users, s0,
+               round(CAST(2 * s1 - (n_users + 1) * s0 AS DOUBLE) /
+                 CAST(n_users * s0 AS DOUBLE), 6) AS gini
+        FROM g
+        ORDER BY event_type""")),
+
     // A30 — exponentially weighted moving average (pandas ewm adjust=True,
     // alpha=0.3, truncated at 10 lags): each user's final smoothed value
     // = Σ v_j·0.7^lag / Σ 0.7^lag over the last 10 events. The 10-lag

@@ -769,6 +769,36 @@ object TextQueries extends QueryModule {
         FROM g GROUP BY 1
         ORDER BY sz""")),
 
+    // T35 — lexical diversity (type-token ratio) per source: distinct
+    // tokens over total tokens, plus the corpus-global share of each
+    // source's vocabulary — low TTR flags templated/generated text the
+    // way t13's repetition signals do within a document, but at source
+    // granularity. Distinct-aggregation over the token stream; the
+    // division is the only float.
+    "t35_ttr" -> Q(
+      fn = (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("source"),
+            explode(split(col("text"), " ")).as("tok"))
+        toks.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("tok")).as("n_types"))
+          .withColumn("ttr",
+            round(col("n_types").cast("double") / col("n_tokens"), 6))
+          .orderBy(col("source"))
+      },
+      bench = true,
+      oracle = Some("""
+        WITH toks AS (
+          SELECT source, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+               round(CAST(count(DISTINCT tok) AS DOUBLE) / count(*), 6)
+                 AS ttr
+        FROM toks GROUP BY 1
+        ORDER BY source""")),
+
     // C11 — language × source balance audit: the observed contingency
     // table with per-cell chi-square contributions — the standard
     // independence test a corpus curator runs before fixing a sampling
