@@ -274,6 +274,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("a37: rolling distinct expands the DISTINCT pair frame, not the " +
+    "raw stream — the explode sits above a distinct aggregation") {
+    val p = plan("a37_rolling_distinct")
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("a39/a40: weighted median and gini each ride keyed exchanges " +
+    "with broadcast totals — no sort-merge join of the event stream") {
+    val p39 = plan("a39_weighted_median")
+    assert(p39.contains("BroadcastHashJoin"), p39)
+    assert(!p39.contains("SortMergeJoin"), p39)
+    val p40 = plan("a40_gini_activity")
+    assert(p40.contains("partial_count"), p40)
+    assert(!p40.contains("SortMergeJoin"), p40)
+  }
+
+  test("t32: the vocabulary head is a TakeOrdered heap and broadcasts " +
+    "into the membership join — the token stream never sort-merges") {
+    val p = plan("t32_oov_rate")
+    assert(p.contains("TakeOrderedAndProject(limit=500"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("c14: dedup savings is ONE hash-keyed window then a partial-" +
+    "agged rollup — the corpus text is scanned once") {
+    val p = plan("c14_dedup_savings")
+    assert("FileScan parquet".r.findAllIn(p).size === 1, p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("s17: the ORC read pushes the predicate and prunes columns like " +
     "parquet") {
     val p = plan("s17_orc_roundtrip")
