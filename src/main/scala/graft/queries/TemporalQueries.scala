@@ -1487,6 +1487,40 @@ object TemporalQueries extends QueryModule {
         FROM g
         ORDER BY event_type""")),
 
+    // A41 — period-over-period change: weekly volumes per type with the
+    // previous week's count and the growth ratio — the standard BI
+    // trend readout (a24 tracks cumulative growth; this is the
+    // derivative view). Weeks truncate via date_trunc('week') —
+    // Monday-start on both engines; the ratio is the only float.
+    "a41_wow_change" -> Q(
+      fn = (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("week"))
+        t(s, dir, "events")
+          .groupBy(col("event_type"),
+            date_trunc("week", col("ts")).as("week"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("prev_n", lag(col("n"), 1).over(w))
+          .withColumn("wow",
+            round(col("n").cast("double") / col("prev_n"), 6))
+          .orderBy(col("event_type"), col("week"))
+      },
+      bench = true,
+      oracle = Some("""
+        WITH wk AS (
+          SELECT event_type,
+                 CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, week, n,
+               lag(n) OVER (PARTITION BY event_type ORDER BY week)
+                 AS prev_n,
+               round(CAST(n AS DOUBLE) /
+                 lag(n) OVER (PARTITION BY event_type ORDER BY week), 6)
+                 AS wow
+        FROM wk
+        ORDER BY event_type, week""")),
+
     // A30 — exponentially weighted moving average (pandas ewm adjust=True,
     // alpha=0.3, truncated at 10 lags): each user's final smoothed value
     // = Σ v_j·0.7^lag / Σ 0.7^lag over the last 10 events. The 10-lag

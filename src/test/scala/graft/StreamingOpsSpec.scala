@@ -606,6 +606,37 @@ class StreamingOpsSpec extends SparkSpec {
       (1L, 11.0, Some("alpha2")))) // fresh name, no restart
   }
 
+  test("runStream: batch-split invariance — any split of the same event " +
+    "sequence yields the same completed runs") {
+    implicit val sql = spark.sqlContext
+    import StreamingOps.{CompletedRun, RunEvent}
+    // a fixed mixed sequence for one key: runs a(2), b(1), ∅(2), a(1),
+    // then an open tail c — completed set must not depend on batching
+    val events = Seq("a", "a", "b", null, null, "a", "c").zipWithIndex
+      .map { case (v, i) => RunEvent(1L, T(s"2024-01-01 00:00:0$i"), v) }
+    def runWith(splitAt: Int): Seq[(Long, Long, Option[String], Long)] = {
+      val input = MemoryStream[RunEvent]
+      val name = s"runs_split_$splitAt"
+      val q = StreamingOps.runStream(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      val (b1, b2) = events.splitAt(splitAt)
+      if (b1.nonEmpty) { input.addData(b1: _*); q.processAllAvailable() }
+      if (b2.nonEmpty) { input.addData(b2: _*); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[CompletedRun].collect()
+        .sortBy(_.run_id).map(r => (r.key, r.run_id, r.value, r.run_len))
+        .toSeq
+    }
+    val oneShot = runWith(0)
+    assert(oneShot === Seq(
+      (1L, 1L, Some("a"), 2L), (1L, 2L, Some("b"), 1L),
+      (1L, 3L, None, 2L), (1L, 4L, Some("a"), 1L)))
+    (1 until events.size).foreach { cut =>
+      assert(runWith(cut) === oneShot, s"split at $cut diverged")
+    }
+  }
+
   test("heavyHittersStream: Misra-Gries summaries carry across batches " +
     "with at most k-1 counters, every item above processed/k survives, " +
     "and estimates never exceed true counts") {
