@@ -1027,4 +1027,77 @@ object SimilarityOps {
         std.as("std"))
       .orderBy(col("dim"))
   }
+
+  /** Maximal Marginal Relevance re-ranking of a per-query candidate
+    * head: greedily pick argmax λ·sim − (1−λ)·max_cosine_to_selected —
+    * the standard diversity pass between first-stage retrieval and
+    * serving (λ=1 degenerates to plain sim order; lower λ demotes
+    * near-duplicates of already-picked results). Input columns
+    * (qid, vec_id, embedding, sim); output (qid, rank, vec_id,
+    * mmr_score).
+    *
+    * 100 TB shape: the greedy recursion is inherently sequential, so it
+    * runs INSIDE `flatMapGroups` per query over the BOUNDED candidate
+    * head a first-stage retriever produced (top-50/100) — distributed
+    * across queries, O(k·|head|·dim) per query, nothing driver-side
+    * and nothing corpus-sized. Ties break by vec_id, so the ranking is
+    * deterministic under retries.
+    */
+  def mmrRerank(
+      candidates: DataFrame,
+      lambdaParam: Double,
+      k: Int): DataFrame = {
+    require(lambdaParam >= 0.0 && lambdaParam <= 1.0,
+      s"mmrRerank: lambda must be in [0,1], got $lambdaParam")
+    require(k >= 1, s"mmrRerank: k must be >= 1, got $k")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    candidates
+      .select(col("qid").cast("long"), col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"), col("sim").cast("double"))
+      .as[(Long, Long, Seq[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        def cos(a: Seq[Double], b: Seq[Double]): Double = {
+          var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          val n = math.min(a.length, b.length)
+          while (i < n) {
+            d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+            i += 1
+          }
+          if (na == 0.0 || nb == 0.0) 0.0 else d / math.sqrt(na * nb)
+        }
+        val remaining = scala.collection.mutable.ArrayBuffer(it.toSeq: _*)
+        val selected =
+          scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Int, Long, Double)]
+        var rank = 1
+        while (rank <= k && remaining.nonEmpty) {
+          var bestIdx = 0
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < remaining.length) {
+            val c = remaining(i)
+            val red =
+              if (selected.isEmpty) 0.0
+              else selected.iterator.map(s => cos(c._3, s)).max
+            val sc = lambdaParam * c._4 - (1.0 - lambdaParam) * red
+            if (sc > bestScore ||
+              (sc == bestScore && c._2 < remaining(bestIdx)._2)) {
+              bestScore = sc; bestIdx = i
+            }
+            i += 1
+          }
+          val picked = remaining.remove(bestIdx)
+          selected += picked._3
+          out += ((qid, rank, picked._2,
+            BigDecimal(bestScore)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          rank += 1
+        }
+        out.iterator
+      }
+      .toDF("qid", "rank", "vec_id", "mmr_score")
+  }
 }

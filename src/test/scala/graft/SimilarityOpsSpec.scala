@@ -376,4 +376,38 @@ class SimilarityOpsSpec extends SparkSpec {
       .as[(Long, Option[Double])].collect().toSeq
     assert(one === Seq((1L, None)))
   }
+
+  test("mmrRerank: lambda=1 is plain sim order; diversity demotes the " +
+    "near-duplicate of the top pick below a diverse candidate; " +
+    "per-query isolation; guards") {
+    import spark.implicits._
+    // A (top), B (near-duplicate of A), C (orthogonal, lower sim)
+    val cands = Seq(
+      (0L, 10L, Array(1.0f, 0.0f), 0.90),
+      (0L, 11L, Array(1.0f, 0.01f), 0.85),
+      (0L, 12L, Array(0.0f, 1.0f), 0.50),
+      // a second query must re-rank independently
+      (1L, 20L, Array(1.0f, 0.0f), 0.30),
+      (1L, 21L, Array(0.0f, 1.0f), 0.80))
+      .toDF("qid", "vec_id", "embedding", "sim")
+    val plain = SimilarityOps.mmrRerank(cands, lambdaParam = 1.0, k = 3)
+      .as[(Long, Int, Long, Double)].collect()
+      .filter(_._1 == 0L).sortBy(_._2).map(_._3).toSeq
+    assert(plain === Seq(10L, 11L, 12L)) // pure sim order
+    val div = SimilarityOps.mmrRerank(cands, lambdaParam = 0.6, k = 3)
+      .as[(Long, Int, Long, Double)].collect()
+    val q0 = div.filter(_._1 == 0L).sortBy(_._2)
+    // B's redundancy vs A (~cos 1.0) scores 0.6*0.85-0.4*~1 ≈ 0.11,
+    // C scores 0.6*0.5-0 = 0.30 → C overtakes the near-duplicate
+    assert(q0.map(_._3).toSeq === Seq(10L, 12L, 11L))
+    assert(q0.head._4 === 0.54) // λ·0.9 exactly, rounded 6
+    val q1 = div.filter(_._1 == 1L).sortBy(_._2)
+    assert(q1.map(_._3).toSeq === Seq(21L, 20L)) // isolated per query
+    intercept[IllegalArgumentException] {
+      SimilarityOps.mmrRerank(cands, lambdaParam = 1.5, k = 3)
+    }
+    intercept[IllegalArgumentException] {
+      SimilarityOps.mmrRerank(cands, lambdaParam = 0.5, k = 0)
+    }
+  }
 }
