@@ -265,6 +265,15 @@ object IncrementalRunner {
     * [[applyChangelog]] answers "what is true NOW" (SCD-1); this keeps
     * every version addressable by sequence — the as-of audit shape
     * (which price did we show at seq 5?) that regulatory replay needs.
+    *
+    * PRECONDITION: (keys, seq) is unique — the same contract
+    * [[applyChangelog]] assumes of its changelog. A duplicate sequence
+    * number on one key has no well-defined version order, and under
+    * the (seq asc, op asc) tie-break a same-seq 'D' would sort BEFORE
+    * the 'I'/'U' it was meant to close, leaving a deleted key flagged
+    * is_current. Enforced here (cheap: rides the window pass's own
+    * partitioning) rather than documented-only, because a violated
+    * precondition at 100 TB is a silent wrong history.
     */
   def scd2History(
       changelog: DataFrame,
@@ -280,9 +289,19 @@ object IncrementalRunner {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col(seqCol).asc, col(opCol).asc)
+    // Duplicate-(keys, seq) detection is a neighbor test under w's own
+    // sort (equal seqs are adjacent), so the guard shares the ONE
+    // exchange+sort the lead() needs anyway — no extra window pass.
+    val nextSeq = lead(col(seqCol), 1).over(w)
+    val prevSeq = lag(col(seqCol), 1).over(w)
+    val dupSeq = (nextSeq === col(seqCol)) || (prevSeq === col(seqCol))
     changelog
       .withColumn("valid_from", col(seqCol))
-      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .withColumn("valid_to",
+        when(dupSeq, raise_error(concat(
+          lit("scd2History: duplicate (keys, seq) — version order is " +
+            "undefined; offending seq="), col(seqCol).cast("string"))))
+          .otherwise(nextSeq))
       .where(col(opCol) =!= "D")
       .withColumn("is_current", col("valid_to").isNull)
       .drop(opCol, seqCol)

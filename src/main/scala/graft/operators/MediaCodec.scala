@@ -403,17 +403,18 @@ object MediaCodec {
     b
   }
 
-  /** Exact integer statistics of a PCM WAV's sample stream (16-bit LE,
-    * any channel count — channels interleave and aggregate together).
-    * Integer min/max/sum/sum-of-squares only: every float derivation
-    * (mean, RMS) belongs in the query layer where both engines share
-    * the IEEE ops. Returns None for anything that is not a valid
-    * 16-bit PCM WAV — poison blobs surface as invalid rows, never
-    * exceptions (the decodeHeaders contract).
+  /** Shared RIFF chunk walk behind [[pcmStats]] and [[pcmSamples]]
+    * (they previously duplicated it verbatim, so a validity fix could
+    * silently miss one — ADVICE r13). Returns (sampleRate, dataOff,
+    * dataLen) only for a valid 16-bit LINEAR-PCM WAV: the fmt chunk's
+    * audio-format code (fmt data offset +0, i.e. le16 at chunk i+8)
+    * must be 1 — a 16-bit ADPCM/companded WAV is NOT linear PCM and
+    * decoding its bytes as samples would be silently wrong.
     */
-  def pcmStats(b: Array[Byte]): Option[(Int, Int, Int, Int, Long, Long)] = {
+  private def pcmHeaderWalk(b: Array[Byte]): Option[(Int, Int, Int)] = {
     if (sniff(b) != "wav") return None
     var i = 12
+    var fmtCode = -1
     var sampleRate = -1
     var bits = -1
     var dataOff = -1
@@ -424,6 +425,7 @@ object MediaCodec {
       if (size < 0 || i + 8 + size > b.length) return None
       if (id == "fmt ") {
         if (size < 16) return None
+        fmtCode = le16(b, i + 8)
         sampleRate = le32(b, i + 12).toInt
         bits = le16(b, i + 22)
       } else if (id == "data") {
@@ -432,8 +434,24 @@ object MediaCodec {
       }
       i += 8 + size.toInt + (size.toInt & 1)
     }
-    if (sampleRate <= 0 || bits != 16 || dataOff < 0 || dataLen < 2)
-      return None
+    if (fmtCode != 1 || sampleRate <= 0 || bits != 16 || dataOff < 0 ||
+      dataLen < 2) None
+    else Some((sampleRate, dataOff, dataLen))
+  }
+
+  /** Exact integer statistics of a PCM WAV's sample stream (16-bit LE,
+    * any channel count — channels interleave and aggregate together).
+    * Integer min/max/sum/sum-of-squares only: every float derivation
+    * (mean, RMS) belongs in the query layer where both engines share
+    * the IEEE ops. Returns None for anything that is not a valid
+    * 16-bit PCM WAV — poison blobs surface as invalid rows, never
+    * exceptions (the decodeHeaders contract).
+    */
+  def pcmStats(b: Array[Byte]): Option[(Int, Int, Int, Int, Long, Long)] = {
+    val (sampleRate, dataOff, dataLen) = pcmHeaderWalk(b) match {
+      case Some(t) => t
+      case None    => return None
+    }
     val n = dataLen / 2
     var k = 0
     var mn = Int.MaxValue
@@ -458,28 +476,10 @@ object MediaCodec {
     * Same validity contract: None for anything not 16-bit PCM.
     */
   def pcmSamples(b: Array[Byte]): Option[(Int, Array[Int])] = {
-    if (sniff(b) != "wav") return None
-    var i = 12
-    var sampleRate = -1
-    var bits = -1
-    var dataOff = -1
-    var dataLen = -1
-    while (i + 8 <= b.length) {
-      val id = ascii(b, i, 4)
-      val size = le32(b, i + 4)
-      if (size < 0 || i + 8 + size > b.length) return None
-      if (id == "fmt ") {
-        if (size < 16) return None
-        sampleRate = le32(b, i + 12).toInt
-        bits = le16(b, i + 22)
-      } else if (id == "data") {
-        dataOff = i + 8
-        dataLen = size.toInt
-      }
-      i += 8 + size.toInt + (size.toInt & 1)
+    val (sampleRate, dataOff, dataLen) = pcmHeaderWalk(b) match {
+      case Some(t) => t
+      case None    => return None
     }
-    if (sampleRate <= 0 || bits != 16 || dataOff < 0 || dataLen < 2)
-      return None
     val n = dataLen / 2
     val out = new Array[Int](n)
     var k = 0

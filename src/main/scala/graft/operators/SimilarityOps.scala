@@ -1042,6 +1042,12 @@ object SimilarityOps {
     * across queries, O(k·|head|·dim) per query, nothing driver-side
     * and nothing corpus-sized. Ties break by vec_id, so the ranking is
     * deterministic under retries.
+    *
+    * Scores round to 9 dp BEFORE the argmax compare (the t26/kmeansFit
+    * discipline): the greedy pick then depends only on 9-dp-stable
+    * quantities, so the whole trajectory replays bit-identically in a
+    * SQL engine whose CTE-unrolled rounds apply the same rounding —
+    * what lets the v33 oracle hash-check every (rank, vec_id, score).
     */
   def mmrRerank(
       candidates: DataFrame,
@@ -1082,7 +1088,14 @@ object SimilarityOps {
             val red =
               if (selected.isEmpty) 0.0
               else selected.iterator.map(s => cos(c._3, s)).max
-            val sc = lambdaParam * c._4 - (1.0 - lambdaParam) * red
+            val raw = lambdaParam * c._4 - (1.0 - lambdaParam) * red
+            // NaN (a zero-norm vector's cosine) stays NaN — BigDecimal
+            // would throw; NaN never beats bestScore, so such rows just
+            // rank last, same as before the rounding landed.
+            val sc =
+              if (raw.isNaN) raw
+              else BigDecimal(raw)
+                .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
             if (sc > bestScore ||
               (sc == bestScore && c._2 < remaining(bestIdx)._2)) {
               bestScore = sc; bestIdx = i
@@ -1092,8 +1105,10 @@ object SimilarityOps {
           val picked = remaining.remove(bestIdx)
           selected += picked._3
           out += ((qid, rank, picked._2,
-            BigDecimal(bestScore)
-              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+            if (java.lang.Double.isFinite(bestScore))
+              BigDecimal(bestScore)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            else bestScore))
           rank += 1
         }
         out.iterator

@@ -347,6 +347,125 @@ object SketchOps {
     * filter compiles to WindowGroupLimit (k-heap per partition, pushed
     * below the exchange), the final collect_list is bounded by k.
     */
+  /** Misra-Gries heavy-hitter summary per group: at most k−1 retained
+    * (item, est) counters with the classic deterministic guarantee
+    *   true_count − mg_err  ≤  est  ≤  true_count,   mg_err ≤ mg_n / k,
+    * and every item whose true count exceeds mg_err IS retained. The
+    * streaming side ([[graft.streaming.StreamingOps.heavyHittersStream]])
+    * folds items one at a time; THIS is its batch/merge algebra — the
+    * piece every other sketch here already had (KMV/CMS/Bloom/bottom-k
+    * all merge) and MG was missing (ADVICE r14 task list).
+    *
+    * Batch build (Agarwal et al., "Mergeable Summaries", PODS'12): from
+    * EXACT per-item counts, keep the k−1 largest and subtract the k-th
+    * largest count c(k) from each (drop ≤ 0); the subtraction is the
+    * summary's error bound, and k·c(k) ≤ n gives c(k) ≤ n/k.
+    *
+    * Output: keys..., `mg` array<struct<item string, est long>> sorted
+    * by item, `mg_err` long (max undercount), `mg_n` long (rows folded).
+    * Scale shape: one partial-aggregated count shuffle (the only
+    * corpus-sized one), then ONE keys-exchange carrying the rank / c(k)
+    * / total windows AND the final groupBy — HashPartitioning(keys)
+    * satisfies all four, so the trim adds no second shuffle.
+    */
+  def mgSketch(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "mgSketch: k must be at least 2")
+    guardMg(df, "mgSketch")
+    val counts = df
+      .groupBy((keys.map(col) :+
+        col(valueCol).cast("string").as("__item")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    mgTrim(counts, keys, k)
+      .select((keys.map(col) :+ col("mg") :+
+        col("__ck").as("mg_err") :+ col("__tot").as("mg_n")): _*)
+  }
+
+  /** Fold many MG summary rows per group (per-day, per-partition
+    * builds) into one summary of the UNION: add retained counters
+    * item-wise, re-trim to k−1 (subtract the combined k-th largest
+    * c(k), drop ≤ 0), and sum the error bounds:
+    *   mg_err' = Σ mg_err_i + c(k)  — still ≤ (Σ mg_n_i) / k
+    * (the mergeability theorem), so merged summaries keep the absolute
+    * n/k guarantee no matter how many levels of rollup fold in. Groups
+    * whose inputs were all-empty summaries survive with mg = [].
+    */
+  def mgMerge(
+      sketches: DataFrame,
+      keys: Seq[String],
+      k: Int): DataFrame = {
+    require(k >= 2, "mgMerge: k must be at least 2")
+    val tot = sketches.groupBy(keys.map(col): _*)
+      .agg(sum(col("mg_err")).as("__err0"), sum(col("mg_n")).as("mg_n"))
+    val items = sketches
+      .select((keys.map(col) :+ explode(col("mg")).as("__p")): _*)
+      .select((keys.map(col) :+ col("__p.item").as("__item") :+
+        col("__p.est").as("__cnt")): _*)
+      .groupBy((keys.map(col) :+ col("__item")): _*)
+      .agg(sum(col("__cnt")).as("__cnt"))
+    val emptyMg = array().cast("array<struct<item:string,est:bigint>>")
+    tot
+      .join(mgTrim(items, keys, k), keys, "left")
+      .select((keys.map(col) :+
+        coalesce(col("mg"), emptyMg).as("mg") :+
+        (col("__err0") + coalesce(col("__ck"), lit(0L))).as("mg_err") :+
+        col("mg_n")): _*)
+  }
+
+  /** One row per retained item with its deterministic frequency
+    * bracket: est_lo ≤ true count ≤ est_hi (= est_lo + mg_err). Any
+    * item NOT retained has true count ≤ mg_err — the completeness half
+    * of the guarantee a top-k report needs to state.
+    */
+  def mgEstimate(sketches: DataFrame, keys: Seq[String]): DataFrame =
+    sketches
+      .select((keys.map(col) :+ col("mg_err") :+ col("mg_n") :+
+        explode(col("mg")).as("__p")): _*)
+      .select((keys.map(col) :+ col("__p.item").as("item") :+
+        col("__p.est").as("est_lo") :+
+        (col("__p.est") + col("mg_err")).as("est_hi") :+
+        col("mg_n")): _*)
+
+  /** The MG trim: rank per group by (count desc, item asc), c(k) = the
+    * k-th count (0 when the group has < k items — nothing subtracted,
+    * the summary is exact), retain rank ≤ k−1 with est = count − c(k)
+    * > 0. Returns keys..., mg, __ck, __tot (= Σ count). Every group
+    * survives, even fully-trimmed ones (collect_list skips the
+    * when()'s nulls but the group row remains).
+    */
+  private def mgTrim(
+      counts: DataFrame,
+      keys: Seq[String],
+      k: Int): DataFrame = {
+    val wOrd = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__cnt").desc, col("__item").asc)
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    counts
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__ck", coalesce(
+        max(when(col("__rn") === k, col("__cnt"))).over(wAll), lit(0L)))
+      .withColumn("__tot", sum(col("__cnt")).over(wAll))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        array_sort(collect_list(
+          when(col("__rn") <= k - 1 && col("__cnt") > col("__ck"),
+            struct(col("__item").as("item"),
+              (col("__cnt") - col("__ck")).as("est"))))).as("mg"),
+        first(col("__ck")).as("__ck"),
+        first(col("__tot")).as("__tot"))
+  }
+
+  private def guardMg(df: DataFrame, op: String): Unit = {
+    val hit = Seq("__item", "__cnt", "__rn", "__ck", "__tot", "__p",
+      "mg", "mg_err", "mg_n").filter(df.columns.contains)
+    require(hit.isEmpty,
+      s"$op reserves column(s) ${hit.mkString(", ")} — rename them on " +
+        "the input")
+  }
+
   private def kSmallest(
       hashed: DataFrame,
       keys: Seq[String],

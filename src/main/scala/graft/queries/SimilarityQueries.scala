@@ -43,6 +43,81 @@ object SimilarityQueries extends QueryModule {
       |    (x, y) -> x + y) > 0
       |  THEN CAST(pow(2.0, p) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
 
+  /** Unrounded cosine in mmrRerank's exact shape: left-fold dot over
+    * doubles, then d / sqrt(na * nb) — the PRODUCT goes under ONE sqrt
+    * (cosineSql's sqrt(na)·sqrt(nb) is a different double; using it
+    * here would flip argmax picks at the 9-dp boundary).
+    */
+  private def mmrCosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)}))"
+
+  /** v33's oracle: the MMR greedy trajectory (λ=0.6, k=5, head=20,
+    * qids 0–3) as k unrolled CTE rounds — sel{r} carries the picks so
+    * far, p{r} scores every remaining candidate with a correlated
+    * max-cos over sel{r-1}, rounded to 9 dp before the per-qid argmax
+    * (row_number, ties by vec_id) exactly like mmrRerank. λ is CAST AS
+    * DOUBLE and the complement computed as (1.0 − λ) in double, so both
+    * weights are the Scala side's IEEE values (the t27 lesson).
+    */
+  private lazy val mmrOracleSql: String = {
+    val k = 5
+    val lam = "CAST(0.6 AS DOUBLE)"
+    val sb = new StringBuilder
+    sb.append(s"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                   FROM embeddings WHERE vec_id < 4),
+        scored AS (
+          SELECT q.qid, e.vec_id, e.embedding,
+                 ${cosineSql("e.embedding", "q.qe")} AS sim
+          FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        head AS (
+          SELECT qid, vec_id, embedding, sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY sim DESC, vec_id) AS rn
+            FROM scored)
+          WHERE rn <= 20),
+        p1 AS (SELECT qid, vec_id, embedding,
+                      round($lam * sim, 9) AS sc
+               FROM head),
+        k1 AS (SELECT qid, vec_id, embedding, sc,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY sc DESC, vec_id) AS rn
+               FROM p1),
+        sel1 AS (SELECT qid, CAST(1 AS INT) AS rank, vec_id, embedding,
+                        sc
+                 FROM k1 WHERE rn = 1)""")
+    (2 to k).foreach { r =>
+      val prev = s"sel${r - 1}"
+      sb.append(s""",
+        red$r AS (
+          SELECT h.qid, h.vec_id,
+                 max(${mmrCosSql("h.embedding", "s.embedding")}) AS red
+          FROM head h JOIN $prev s ON s.qid = h.qid
+          GROUP BY h.qid, h.vec_id),
+        p$r AS (
+          SELECT h.qid, h.vec_id, h.embedding,
+                 round($lam * h.sim - (1.0 - $lam) * r.red, 9) AS sc
+          FROM head h
+          JOIN red$r r ON r.qid = h.qid AND r.vec_id = h.vec_id
+          WHERE NOT EXISTS (SELECT 1 FROM $prev x
+                            WHERE x.qid = h.qid
+                              AND x.vec_id = h.vec_id)),
+        k$r AS (SELECT qid, vec_id, embedding, sc,
+                       row_number() OVER (PARTITION BY qid
+                         ORDER BY sc DESC, vec_id) AS rn
+                FROM p$r),
+        sel$r AS (SELECT qid, rank, vec_id, embedding, sc FROM $prev
+                  UNION ALL
+                  SELECT qid, CAST($r AS INT) AS rank, vec_id,
+                         embedding, sc
+                  FROM k$r WHERE rn = 1)""")
+    }
+    sb.append(s"""
+        SELECT qid, rank, vec_id, round(sc, 6) AS mmr_score
+        FROM sel$k ORDER BY qid, rank""")
+    sb.toString
+  }
+
   val queries: Map[String, Q] = Map(
     // V1 — brute-force cosine top-k against one query vector: broadcast the
     // query, score in one pass, TakeOrderedAndProject for the k-heap (the
@@ -1652,6 +1727,37 @@ object SimilarityQueries extends QueryModule {
     // output too. Per-query Hamming candidate cuts are windows
     // (WindowGroupLimit pre-cuts map-side); the oracle recomputes the
     // bits from the same float compares.
+    // V33 — oracle-gated MMR diversity re-rank (λ=0.6, k=5) over a
+    // per-query top-20 cosine head (qids 0–3): the serving-side pass
+    // between first-stage retrieval and the response, greedily picking
+    // argmax λ·sim − (1−λ)·max-cos-to-selected. Spark runs the greedy
+    // recursion inside flatMapGroups per query (mmrRerank — bounded
+    // head, distributed across queries); the oracle replays the SAME
+    // trajectory as k unrolled CTE rounds, which hash-match because
+    // every score rounds to 9 dp BEFORE the argmax compare (the
+    // t26/d21 discipline) and the reduction cosine is the identical
+    // left-fold dot with sqrt(na·nb) — product THEN sqrt, matching
+    // mmrRerank's d/sqrt(na*nb), not cosineSql's sqrt·sqrt.
+    "v33_mmr_rerank" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = broadcast(emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+        val wS = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+        val head = emb.join(q, col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), col("embedding"),
+            SimilarityOps.cosine(col("embedding"), col("qe")).as("sim"))
+          .withColumn("rn", row_number().over(wS))
+          .where(col("rn") <= 20)
+          .drop("rn")
+        SimilarityOps.mmrRerank(head, lambdaParam = 0.6, k = 5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      bench = true,
+      oracle = Some(mmrOracleSql)),
+
     "v29_bq_recall" -> Q(
       fn = (s, dir) => {
         val emb = t(s, dir, "embeddings")

@@ -876,6 +876,106 @@ object TemporalQueries extends QueryModule {
         GROUP BY 1
         ORDER BY 1""")),
 
+    // A42 — Misra-Gries heavy hitters (k=20) of user_id per event_type,
+    // INCLUDING the merge algebra: two disjoint per-half builds fold
+    // into one summary (counter-add, re-trim, SUMMED error bounds —
+    // mergeable-summaries), then every retained item reports its
+    // deterministic bracket est_lo ≤ true ≤ est_hi against the exact
+    // count. CMS (a15) answers "how often did X occur" probabilistically
+    // with fixed-width collisions; MG answers "what are the frequent
+    // items" with a deterministic n/k bound and k−1 counters — the
+    // batch twin of heavyHittersStream. The trim is deterministic
+    // (count desc, item asc; c(k) subtraction), so the whole summary —
+    // and the error bound itself — is restatable in SQL.
+    "a42_mg_topk" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+        val keys = Seq("event_type")
+        val parts = graft.operators.SketchOps.mgSketch(
+          ev.filter(col("event_id") % 2 === 0), keys, "user_id", k = 20)
+          .union(graft.operators.SketchOps.mgSketch(
+            ev.filter(col("event_id") % 2 === 1), keys, "user_id",
+            k = 20))
+        val sk = graft.operators.SketchOps.mgMerge(parts, keys, k = 20)
+        val est = graft.operators.SketchOps.mgEstimate(sk, keys)
+        val exact = ev.groupBy(col("event_type"),
+          col("user_id").cast("string").as("item"))
+          .agg(count(lit(1)).as("exact_freq"))
+        est.join(exact, Seq("event_type", "item"))
+          .select(col("event_type"), col("item"), col("est_lo"),
+            col("est_hi"), col("mg_n"), col("exact_freq"))
+          .orderBy(col("event_type"), col("item"))
+      },
+      bench = true,
+      oracle = Some("""
+        WITH c0 AS (
+          SELECT event_type, CAST(user_id AS VARCHAR) AS item,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
+        r0 AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                      ORDER BY cnt DESC, item) AS rn
+          FROM c0),
+        k0 AS (
+          SELECT event_type,
+                 coalesce(max(CASE WHEN rn = 20 THEN cnt END),
+                          CAST(0 AS BIGINT)) AS ck,
+                 CAST(sum(cnt) AS BIGINT) AS n
+          FROM r0 GROUP BY 1),
+        s0 AS (
+          SELECT r.event_type, r.item, r.cnt - k.ck AS est
+          FROM r0 r JOIN k0 k USING (event_type)
+          WHERE r.rn <= 19 AND r.cnt > k.ck),
+        c1 AS (
+          SELECT event_type, CAST(user_id AS VARCHAR) AS item,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2),
+        r1 AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                      ORDER BY cnt DESC, item) AS rn
+          FROM c1),
+        k1 AS (
+          SELECT event_type,
+                 coalesce(max(CASE WHEN rn = 20 THEN cnt END),
+                          CAST(0 AS BIGINT)) AS ck,
+                 CAST(sum(cnt) AS BIGINT) AS n
+          FROM r1 GROUP BY 1),
+        s1 AS (
+          SELECT r.event_type, r.item, r.cnt - k.ck AS est
+          FROM r1 r JOIN k1 k USING (event_type)
+          WHERE r.rn <= 19 AND r.cnt > k.ck),
+        m AS (
+          SELECT event_type, item, CAST(sum(est) AS BIGINT) AS cnt
+          FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1)
+          GROUP BY 1, 2),
+        rm AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                      ORDER BY cnt DESC, item) AS rn
+          FROM m),
+        km AS (
+          SELECT event_type,
+                 coalesce(max(CASE WHEN rn = 20 THEN cnt END),
+                          CAST(0 AS BIGINT)) AS ck
+          FROM rm GROUP BY 1),
+        meta AS (
+          SELECT k0.event_type, k0.ck + k1.ck + km.ck AS mg_err,
+                 k0.n + k1.n AS mg_n
+          FROM k0 JOIN k1 USING (event_type) JOIN km USING (event_type)),
+        sm AS (
+          SELECT r.event_type, r.item, r.cnt - km.ck AS est
+          FROM rm r JOIN km USING (event_type)
+          WHERE r.rn <= 19 AND r.cnt > km.ck),
+        ex AS (
+          SELECT event_type, CAST(user_id AS VARCHAR) AS item,
+                 CAST(count(*) AS BIGINT) AS exact_freq
+          FROM events GROUP BY 1, 2)
+        SELECT s.event_type, s.item, s.est AS est_lo,
+               s.est + meta.mg_err AS est_hi, meta.mg_n, ex.exact_freq
+        FROM sm s
+        JOIN meta USING (event_type)
+        JOIN ex ON ex.event_type = s.event_type AND ex.item = s.item
+        ORDER BY s.event_type, s.item""")),
+
     // A16 — interval-union coverage: each event opens a [ts, ts +
     // 100·value sec] observation window; merge overlapping-or-touching
     // windows per user into coverage spans (gap-sessionize's sibling —

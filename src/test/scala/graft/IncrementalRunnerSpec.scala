@@ -251,6 +251,27 @@ class IncrementalRunnerSpec extends SparkSpec {
     }
   }
 
+  test("scd2History: a duplicate (keys, seq) raises instead of leaving " +
+    "a same-seq-deleted key flagged current (ADVICE r13 — version order " +
+    "is undefined, so silence would be a wrong history)") {
+    // same key, same seq: an update AND a delete — under (seq, op) the
+    // 'D' sorts first and could never close the 'U'
+    val dup = Seq(
+      (1L, 10.0, "I", 1L), (1L, 11.0, "U", 2L), (1L, 0.0, "D", 2L))
+      .toDF("k", "price", "op", "seq")
+    val e = intercept[Exception] {
+      IncrementalRunner.scd2History(dup, Seq("k")).collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    assert(rootMessages(e).exists(_.contains("duplicate (keys, seq)")), e)
+    // clean changelogs are untouched by the guard (same fixture as above)
+    val ch = Seq((1L, 10.0, "I", 1L), (1L, 11.0, "U", 4L))
+      .toDF("k", "price", "op", "seq")
+    assert(IncrementalRunner.scd2History(ch, Seq("k")).count() === 2)
+  }
+
   test("applyChangelog: latest op per key wins, deletes remove, upserts " +
     "replace, untouched rows pass through, guards fire") {
     val snap = Seq(

@@ -40,7 +40,7 @@ class LayoutsSpec extends SparkSpec {
   test("dynamic partition pruning: a filtered dim prunes the " +
     "partitioned fact's day directories at runtime — the 100 TB star " +
     "join reads only the matching partitions") {
-    val d = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
+    val d = tempDir("graft_dpp_")
     spark.range(0, 1000)
       .selectExpr("id", "CAST(id % 10 AS INT) AS day")
       .write.partitionBy("day").mode("overwrite").parquet(s"$d/fact")

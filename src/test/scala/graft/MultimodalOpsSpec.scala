@@ -260,6 +260,13 @@ class MultimodalOpsSpec extends SparkSpec {
       assert(MediaCodec.pcmStats(tone.take(cut)).isEmpty, s"cut $cut")
     }
     assert(MediaCodec.pcmStats("garbage".getBytes).isEmpty)
+    // a 16-bit WAV whose fmt audio-format code is NOT 1 (linear PCM) —
+    // e.g. 2 = ADPCM — must be rejected, not decoded as linear samples
+    // (ADVICE r13: the format tag lives at fmt data offset +0)
+    val adpcm = MediaCodec.buildWavTone(3L).clone()
+    adpcm(20) = 2.toByte // le16 fmt code at chunk offset 12+8
+    assert(MediaCodec.pcmStats(adpcm).isEmpty)
+    assert(MediaCodec.pcmSamples(adpcm).isEmpty)
     // the typed dataset pass carries the same facts
     val out = MultimodalOps.pcmSampleStats(
       Seq((id, MediaCodec.buildWavTone(id)),

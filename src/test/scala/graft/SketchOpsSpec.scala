@@ -183,6 +183,70 @@ class SketchOpsSpec extends SparkSpec {
     assert(a.exists(_._2) && a.exists(!_._2))
   }
 
+  test("Misra-Gries: the deterministic bracket holds for every retained " +
+    "item (est ≤ true ≤ est + mg_err), mg_err ≤ n/k, every item above " +
+    "mg_err is retained, and the merge algebra keeps ALL of it over a " +
+    "3-way split — the summed-error bound") {
+    val ev = Tables(spark, dir, "events")
+    val k = 8 // 150 users per type → real trimming
+    val keys = Seq("event_type")
+    val exact = ev.groupBy($"event_type", $"user_id".cast("string").as("item"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect()
+      .map { case (g, i, n) => (g, i) -> n }.toMap
+    def check(sk: org.apache.spark.sql.DataFrame,
+        truth: Map[(String, String), Long]): Unit = {
+      val rows = SketchOps.mgEstimate(sk, keys)
+        .as[(String, String, Long, Long, Long)].collect()
+      val meta = sk.select($"event_type", $"mg_err", $"mg_n")
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+        .toMap
+      // bracket + bound
+      rows.foreach { case (g, item, lo, hi, n) =>
+        val t = truth((g, item))
+        assert(lo <= t && t <= hi, s"($g,$item): [$lo,$hi] vs true $t")
+        assert(hi === lo + meta(g)._1)
+        assert(n === meta(g)._2)
+      }
+      meta.foreach { case (g, (err, n)) =>
+        assert(err <= n / k, s"$g: err $err > n/k ${n / k}")
+        assert(n === truth.collect { case ((gg, _), c) if gg == g => c }.sum)
+      }
+      // completeness: true > mg_err ⇒ retained
+      val retained = rows.map(r => (r._1, r._2)).toSet
+      truth.foreach { case ((g, item), t) =>
+        if (t > meta(g)._1)
+          assert(retained((g, item)), s"($g,$item) true=$t > err, missing")
+      }
+      // ≤ k−1 counters per group
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        assert(rs.length <= k - 1, s"$g kept ${rs.length}")
+      }
+    }
+    check(SketchOps.mgSketch(ev, keys, "user_id", k), exact)
+    // merge: three disjoint per-part builds fold into one summary that
+    // still satisfies every bound against the UNION's truth
+    val parts = (0 until 3).map(r =>
+      SketchOps.mgSketch(ev.filter($"event_id" % 3 === r), keys,
+        "user_id", k)).reduce(_ union _)
+    check(SketchOps.mgMerge(parts, keys, k), exact)
+    // empty-summary groups survive the merge with mg = []
+    val uniform = Seq.tabulate(12)(i => (1L, i.toLong % 4))
+      .toDF("g", "v") // 4 items × 3 each, k=4 → all trimmed
+    val sk = SketchOps.mgSketch(uniform, Seq("g"), "v", 4)
+    assert(sk.select(size($"mg")).as[Int].head() === 0)
+    val m = SketchOps.mgMerge(sk.union(sk), Seq("g"), 4)
+    assert(m.count() === 1 &&
+      m.select($"mg_n").as[Long].head() === 24L)
+    intercept[IllegalArgumentException] {
+      SketchOps.mgSketch(uniform, Seq("g"), "v", 1)
+    }
+    intercept[IllegalArgumentException] {
+      SketchOps.mgSketch(uniform.withColumn("mg_n", lit(1)), Seq("g"),
+        "v", 4)
+    }
+  }
+
   test("guards: k below 2 and reserved columns fail fast") {
     val df = Seq((1L, 2L)).toDF("g", "v")
     intercept[IllegalArgumentException] {

@@ -9,10 +9,40 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSpec.session
 
+  /** Temp directory that is ACTUALLY removed at JVM exit.
+    * `File.deleteOnExit` silently no-ops on non-empty directories, so
+    * parquet-filled test dirs accumulated across runs (ADVICE r13) —
+    * this registers one shutdown-hook recursive walk instead.
+    */
+  def tempDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(tag)
+    SparkSpec.registerForCleanup(d)
+    d.toString
+  }
+
   override def afterAll(): Unit = super.afterAll()
 }
 
 object SparkSpec {
+  private val cleanupDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val cleanupHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      cleanupDirs.forEach { root =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+            catch { case _: Throwable => () })
+        } catch { case _: Throwable => () }
+      }))
+  }
+  def registerForCleanup(p: java.nio.file.Path): Unit = {
+    cleanupHook
+    cleanupDirs.add(p)
+    ()
+  }
+
   // One session per JVM: sbt forks a single test JVM, so specs share it.
   lazy val session: SparkSession = {
     val s = SparkSession.builder()

@@ -545,7 +545,7 @@ class StreamingOpsSpec extends SparkSpec {
     "sees an in-place dimension overwrite on the very next batch") {
     implicit val sql = spark.sqlContext
     import java.nio.file.Files
-    val dimDir = Files.createTempDirectory("graft_enrich_dim_").toString
+    val dimDir = tempDir("graft_enrich_dim_")
     Seq((1L, "alpha"), (2L, "beta")).toDF("k", "name")
       .write.mode("overwrite").parquet(dimDir)
     val dim = spark.read.parquet(dimDir)
