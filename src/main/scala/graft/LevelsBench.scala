@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The VERDICT r13 item-2 spike bench: the full raw→level4 chain
+  * ([[graft.operators.LevelPipeline.processLevels]]) volume-scaled the
+  * same way AsofBench scaled J4 — raw multiplied
+  * `SPARK_GRAFT_LEVELS_MULT`× (default 200), replicas offset by seconds
+  * AND perturbed on one sensor field so the 29-min dedup does not
+  * collapse them back — under (a) the production 5-site distribution and
+  * (b) a pathological hot-site fixture (~60% of all rows on site 0: 50%
+  * hash-reassigned plus site 0's own fifth of the rest).
+  *
+  * Each fixture runs the chain twice: the default union+window as-of
+  * (J4) and the j11 bucketed hatch
+  * ([[graft.operators.AsofStrategies.asOfLookupBucketed]] threaded via
+  * `processLevels(bucketedAsofSeconds)`). The level1 dedup stage (J6)
+  * is also timed alone on the hot fixture — the site_no window
+  * partitioning serializes THERE first, before J4 ever runs, which is
+  * what decides whether the hatch alone can rescue a hot-site chain.
+  * The a18 skewProfile signal (top-key share/skew on the hot fixture)
+  * is embedded in the output line so the SCALE.md decision rule cites a
+  * measured number, not a guess. Two timed passes, warm pass reported
+  * first-class, one JSON line — Bench.scala's discipline.
+  */
+object LevelsBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_LEVELS_MULT", "200").toInt
+    // measure the PRE-r14 level4 (naive centered RANGE frame,
+    // O(n·frame) re-accumulation) instead of the decimal prefix form —
+    // the before/after lever for the spike writeup
+    val naiveL4 = sys.env.get("SPARK_GRAFT_LEVELS_NAIVE_L4").contains("1")
+    val bucketSecs =
+      sys.env.getOrElse("SPARK_GRAFT_LEVELS_BUCKET", "21600").toLong
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val stations = graft.queries.PipelineQueries.stationsDf(spark)
+    val silo = graft.queries.PipelineQueries.siloDf(spark)
+    val intensity = graft.queries.PipelineQueries.intensityDf(spark)
+
+    // mult× the raw feed: +__rep seconds keeps timestamps distinct, and
+    // the internal_temperature nudge keeps replicas OUT of the 29-min
+    // equal-sensor dedup (the dedup must stay loaded, not collapse the
+    // multiplier away).
+    val raw = graft.queries.PipelineQueries.rawDf(spark, sfDir)
+      .crossJoin(spark.range(mult.toLong).select($"id".as("__rep")))
+      .withColumn("time", expr("timestampadd(SECOND, __rep, time)"))
+      .withColumn("internal_temperature",
+        $"internal_temperature" + $"__rep" * 0.001)
+      .drop("__rep")
+
+    // hot fixture: half of all rows hash-collapse onto site 0 (site 0
+    // ends up with ~60% of the stream)
+    val hot = raw.withColumn("site_no",
+      when(pmod(xxhash64($"time", $"internal_temperature"), lit(2)) === 0,
+        lit(0)).otherwise($"site_no"))
+
+    def force(df: DataFrame): Unit = {
+      df.select(bit_xor(xxhash64(df.columns.map(col).toSeq: _*))).collect()
+      ()
+    }
+    import graft.operators.LevelPipeline
+    val cases: Seq[(String, () => DataFrame)] = Seq(
+      "uniform_union" -> (() =>
+        LevelPipeline.processLevels(raw, stations, silo, intensity,
+          naiveLevel4Frame = naiveL4)),
+      "uniform_bucketed" -> (() =>
+        LevelPipeline.processLevels(raw, stations, silo, intensity,
+          bucketedAsofSeconds = Some(bucketSecs),
+          naiveLevel4Frame = naiveL4)),
+      "hot_union" -> (() =>
+        LevelPipeline.processLevels(hot, stations, silo, intensity,
+          naiveLevel4Frame = naiveL4)),
+      "hot_bucketed" -> (() =>
+        LevelPipeline.processLevels(hot, stations, silo, intensity,
+          bucketedAsofSeconds = Some(bucketSecs),
+          naiveLevel4Frame = naiveL4)),
+      "hot_l1_dedup_only" -> (() => LevelPipeline.level1(hot)))
+
+    // the a18 signal on the hot fixture's shuffle key
+    val prof = graft.operators.SkewOps
+      .skewProfile(hot.select($"site_no"), Seq("site_no"), topK = 1)
+      .select($"share", $"skew").as[(Double, Double)].head()
+
+    try force(cases.head._2()) catch { case _: Throwable => () } // warm-up
+    def pass(): Seq[(String, Double)] = cases.map { case (name, mk) =>
+      val t0 = System.nanoTime()
+      val ok = try { force(mk()); true } catch { case e: Throwable =>
+        System.err.println(s"[levels-bench] $name FAILED: ${e.getMessage}")
+        false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    val p1 = pass()
+    val p2 = pass()
+    def fmt(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"levels_spike","unit":"sec","sf":"$sfDir","mult":$mult,"bucket_seconds":$bucketSecs,"cpus":$cpus,"naive_l4":$naiveL4,"hot_top_share":${prof._1},"hot_top_skew":${prof._2},"pass2":${fmt(p2)},"pass1":${fmt(p1)}}""")
+    spark.stop()
+  }
+}

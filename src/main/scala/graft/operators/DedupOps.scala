@@ -829,7 +829,7 @@ object DedupOps {
       maxChars: Int = 2000): DataFrame = {
     require(maxChars >= 0, "editDistanceVerify: maxChars must be >= 0")
     pairTexts(pairs, docs, idCol, textCol, maxChars)
-      .withColumn("edit_dist", levenshtein(col("t_a"), col("t_b")))
+      .withColumn("edit_dist", myersLevenshtein(col("t_a"), col("t_b")))
       // the lit(1) floor makes the empty-vs-empty pair well-defined:
       // dist 0 over a 0-length max would be 0/0 -> null, not the
       // documented 1.0
@@ -837,6 +837,19 @@ object DedupOps {
         round(lit(1.0) - col("edit_dist").cast("double") /
           greatest(length(col("t_a")), length(col("t_b")), lit(1)), 6))
       .drop("t_a", "t_b")
+  }
+
+  /** Exact Levenshtein as a native bit-parallel expression
+    * ([[graft.expressions.MyersLev]]): identical values to Spark's
+    * `levenshtein` (code-point distance) at O(n·⌈m/64⌉) instead of
+    * O(n·m) — the unbounded refine stage at the 2000-char cap drops
+    * ~60× in DP work. Codegen-friendly: the generated code is one
+    * static call, same shape as dotFold.
+    */
+  def myersLevenshtein(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.MyersLev(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
   /** Shared refine-stage scaffolding: join a blocked (a, b) pair set to

@@ -97,12 +97,26 @@ object LevelPipeline {
     *   1.0 for the mixed fallback tier (the computed value still feeds
     *   corr_count, exactly like the reference's use/store split).
     */
+  /** @param bucketedAsofSeconds engage the j11 skew hatch for the J4
+    *   as-of: [[AsofStrategies.asOfLookupBucketed]] with this bucket
+    *   width instead of the union+window form. Same values whenever the
+    *   right feed's carried column is non-null (the intensity case —
+    *   LevelPipelineSpec pins chain equality); use when a18's
+    *   skewProfile says one site dominates the stream (SCALE.md §9).
+    *   Not compatible with `emulateOldVersion` (the legacy
+    *   pick-first-backward quirk only exists in the union form).
+    */
   def level2(
       level1: DataFrame,
       stations: DataFrame,
       silo: DataFrame,
       intensity: DataFrame,
-      emulateOldVersion: Boolean = false): DataFrame = {
+      emulateOldVersion: Boolean = false,
+      bucketedAsofSeconds: Option[Long] = None): DataFrame = {
+    require(bucketedAsofSeconds.isEmpty || !emulateOldVersion,
+      "level2: the bucketed as-of hatch cannot emulate the legacy " +
+        "pick-first-backward quirk — use the union form for old-version " +
+        "emulation")
     // J1 — hoisted station lookup -> broadcast hash join (22-row dim).
     val withStation = level1.join(broadcast(stations), "site_no")
 
@@ -129,13 +143,24 @@ object LevelPipeline {
       .join(intensityHourly, Seq("site_no", "__hr"), "left")
 
     // J4 — as-of fallback: LAST(intensity) at/before t, else FIRST at/after
-    // (`:259-285`), via the union+window as-of (one shuffle, no probe loop).
-    val withAsof = TimeSeriesOps.asOfLookup(
-      withHour,
-      intensity.select(col("site_no"), col("time"), col("intensity")),
-      keys = Seq("site_no"), leftTs = "time", rightTs = "time",
-      valueCols = Seq("intensity"),
-      backwardPickFirst = emulateOldVersion)
+    // (`:259-285`), via the union+window as-of (one shuffle, no probe
+    // loop) — or the bucketed hatch when a hot site would serialize the
+    // site_no window partition.
+    val asofRight = intensity
+      .select(col("site_no"), col("time"), col("intensity"))
+    val withAsof = bucketedAsofSeconds match {
+      case Some(w) =>
+        AsofStrategies.asOfLookupBucketed(
+          withHour, asofRight, keys = Seq("site_no"),
+          leftTs = "time", rightTs = "time",
+          valueCols = Seq("intensity"), bucketSeconds = w)
+      case None =>
+        TimeSeriesOps.asOfLookup(
+          withHour, asofRight,
+          keys = Seq("site_no"), leftTs = "time", rightTs = "time",
+          valueCols = Seq("intensity"),
+          backwardPickFirst = emulateOldVersion)
+    }
     val iVal = coalesce(col("__int_hour"), col("intensity_asof"), lit(0.0))
 
     // E1 — pressure correction with zero-sentinel chain (`:192-199`).
@@ -220,28 +245,54 @@ object LevelPipeline {
     * reference's LIMIT 7 is vacuous at hourly cadence (<=7 rows fit the
     * frame) and is adopted as the range-frame reading (SURVEY §2.4 A1).
     */
-  def level4(level3: DataFrame, radiusSeconds: Long = 3 * 3600 + 1): DataFrame = {
-    val w = Window.partitionBy(col("site_no"))
-      .orderBy(col("time").cast("long"))
-      .rangeBetween(-radiusSeconds, radiusSeconds)
-    level3
-      .filter(col("flag") === 0)
-      .withColumn("soil_moist_filtered", avg(col("soil_moist")).over(w))
-      .withColumn("depth_filtered", avg(col("effective_depth")).over(w))
+  /** @param naiveFrame use the literal centered RANGE frame instead of
+    *   the O(n) decimal prefix-difference form
+    *   ([[TimeSeriesOps.centeredMeanPrefix]]). The naive frame
+    *   re-accumulates O(frame) work per row
+    *   (`SlidingWindowFunctionFrame` cannot retract) — kept only so
+    *   LevelsBench can measure the difference; never use it on dense
+    *   series.
+    */
+  def level4(
+      level3: DataFrame,
+      radiusSeconds: Long = 3 * 3600 + 1,
+      naiveFrame: Boolean = false): DataFrame = {
+    val valid = level3.filter(col("flag") === 0)
+    val smoothed =
+      if (naiveFrame) {
+        val w = Window.partitionBy(col("site_no"))
+          .orderBy(col("time").cast("long"))
+          .rangeBetween(-radiusSeconds, radiusSeconds)
+        valid
+          .withColumn("soil_moist_filtered",
+            avg(col("soil_moist")).over(w))
+          .withColumn("depth_filtered",
+            avg(col("effective_depth")).over(w))
+      } else
+        TimeSeriesOps.centeredMeanPrefix(valid, Seq("site_no"), "time",
+          radiusSeconds, Map(
+            "soil_moist_filtered" -> "soil_moist",
+            "depth_filtered" -> "effective_depth"))
+    smoothed
       .select(col("site_no"), col("time"), col("soil_moist"),
         col("effective_depth"), col("rainfall"),
         col("soil_moist_filtered"), col("depth_filtered"))
   }
 
-  /** The full raw -> level4 chain with shared inputs. */
+  /** The full raw -> level4 chain with shared inputs.
+    * `bucketedAsofSeconds` threads the j11 hatch into level2's J4.
+    */
   def processLevels(
       raw: DataFrame,
       stations: DataFrame,
       silo: DataFrame,
-      intensity: DataFrame): DataFrame = {
+      intensity: DataFrame,
+      bucketedAsofSeconds: Option[Long] = None,
+      naiveLevel4Frame: Boolean = false): DataFrame = {
     val l1 = level1(raw)
-    val l2 = level2(l1, stations, silo, intensity)
+    val l2 = level2(l1, stations, silo, intensity,
+      bucketedAsofSeconds = bucketedAsofSeconds)
     val l3 = level3(l2, stations)
-    level4(l3)
+    level4(l3, naiveFrame = naiveLevel4Frame)
   }
 }

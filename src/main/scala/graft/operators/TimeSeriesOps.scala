@@ -398,6 +398,70 @@ object TimeSeriesOps {
     }
   }
 
+  /** Centered moving MEAN over a ± time radius in O(n) per partition —
+    * the scale form of the A1/level4 smoothing filter.
+    *
+    * Spark evaluates a centered RANGE frame with
+    * `SlidingWindowFunctionFrame`, which RE-ACCUMULATES the whole frame
+    * for every row (aggregates cannot retract) — O(n·frame) per
+    * partition. At production cadence frames hold ~7 rows and nobody
+    * notices; at dense cadence the stage explodes: the r14 LEVELS
+    * spike measured a single hot-site task pinned in
+    * `AggregateProcessor.update` for ~10¹¹ operations (thread-dump
+    * verified) with the chain 200×-densified.
+    *
+    * This form computes the same mean as TWO fixed-lower-bound frames —
+    * `[unbounded, t+R]` minus `[unbounded, t−R−1]` — each of which
+    * Spark runs incrementally (`UnboundedPrecedingWindowFunctionFrame`
+    * only ever ADDS rows), then divides by the matching count
+    * difference. Prefix-difference is unsafe in floating point (the
+    * subtraction drifts), so the sums are DECIMAL: decimal addition is
+    * exact, making the difference bit-equal to summing the frame
+    * directly — which is why pl_levels_e2e/a1 could switch to this
+    * form with unchanged oracle hashes. All 4·|cols| window functions
+    * share one partitioning+sort → one exchange, one sort, O(n) scan.
+    *
+    * Inputs quantize to `scale` decimal places (exact for anything
+    * already rounded coarser; ≤ 1e-scale perturbation otherwise).
+    * Output is null iff the frame holds no non-null source value.
+    */
+  def centeredMeanPrefix(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      radiusSeconds: Long,
+      cols: Map[String, String],
+      scale: Int = 12): DataFrame = {
+    require(radiusSeconds >= 0, "centeredMeanPrefix: radius must be >= 0")
+    require(cols.nonEmpty, "centeredMeanPrefix: no output columns")
+    val ord = col(tsCol).cast("long")
+    val wHi = Window.partitionBy(keys.map(col): _*).orderBy(ord)
+      .rangeBetween(Window.unboundedPreceding, radiusSeconds)
+    val wLo = Window.partitionBy(keys.map(col): _*).orderBy(ord)
+      .rangeBetween(Window.unboundedPreceding, -radiusSeconds - 1)
+    // PRECISION HEADROOM IS LOAD-BEARING: subtracting two decimals of
+    // precision p needs p+1; at p = 38 Spark cannot widen and instead
+    // REDUCES THE SCALE, silently rounding the difference (and a
+    // comparison against the full-scale value coerces both sides down,
+    // hiding it — how the bug first slipped past a direct equality
+    // probe). Inputs cast to precision scale+13 (13 integer digits per
+    // value), sums get +10 (23 digits of sum headroom), the subtraction
+    // +1 — all ≤ 38 for scale ≤ 14, so the difference keeps full scale
+    // and stays EXACT.
+    require(scale >= 0 && scale <= 14,
+      "centeredMeanPrefix: scale must be in 0..14 (precision headroom)")
+    cols.foldLeft(df) { case (d, (out, src)) =>
+      val dec = col(src).cast(s"decimal(${scale + 13},$scale)")
+      val zero = lit(0).cast(s"decimal(${scale + 23},$scale)")
+      val s = sum(dec).over(wHi) - coalesce(sum(dec).over(wLo), zero)
+      val n = count(col(src)).over(wHi) - count(col(src)).over(wLo)
+      // divide in DOUBLE (the exact decimal frame-sum, then one IEEE
+      // division) — a decimal quotient would quantize at the result
+      // scale instead
+      d.withColumn(out, when(n > 0, s.cast("double") / n))
+    }
+  }
+
   /** Regular-grid resampling with forward fill — the set-based form of
     * InfluxQL's `GROUP BY time(interval) fill(previous)` (the query
     * shape the reference's dashboards sit on): bucket each series to the

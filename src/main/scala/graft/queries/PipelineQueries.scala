@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, QueryModule, Tables}
 import graft.operators.LevelPipeline
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -210,15 +210,33 @@ object PipelineQueries extends QueryModule {
         val l2 = LevelPipeline.level2(l1, stations, siloDf(s), intensityDf(s))
         val l3 = LevelPipeline.level3(l2, stations)
         val valid = l3.filter(col("flag") === 0)
-        val w = Window.partitionBy(col("site_no"))
+        // the ±3h sums as DECIMAL PREFIX DIFFERENCES (two add-only
+        // frames, O(n) — centeredMeanPrefix's construction): decimal
+        // addition is exact, so the difference is bit-equal to summing
+        // the centered frame directly and the oracle hash is unchanged,
+        // while the naive sliding frame's O(n·frame) re-accumulation
+        // (the r14 spike's measured bottleneck at dense cadence) is gone
+        val r = 3 * 3600 + 1
+        val wHi = Window.partitionBy(col("site_no"))
           .orderBy(col("time").cast("long"))
-          .rangeBetween(-(3 * 3600 + 1), 3 * 3600 + 1)
+          .rangeBetween(Window.unboundedPreceding, r)
+        val wLo = Window.partitionBy(col("site_no"))
+          .orderBy(col("time").cast("long"))
+          .rangeBetween(Window.unboundedPreceding, -r - 1)
+        // inputs at decimal(22,9), sums at (32,9): the subtraction fits
+        // precision 33 WITH scale 9 intact — at (38,9) Spark would have
+        // to shed scale on the difference and round the 9th digit (the
+        // bug the first cut of this rewrite hit)
+        val zero = lit(0).cast("decimal(32,9)")
+        def pref(c: Column): Column =
+          sum(c).over(wHi) - coalesce(sum(c).over(wLo), zero)
         valid
           .withColumn("__sm_sum",
-            sum(round(col("soil_moist"), 9).cast("decimal(38,9)")).over(w))
+            pref(round(col("soil_moist"), 9).cast("decimal(22,9)")))
           .withColumn("__dp_sum",
-            sum(round(col("effective_depth"), 9).cast("decimal(38,9)")).over(w))
-          .withColumn("__n", count(lit(1)).over(w))
+            pref(round(col("effective_depth"), 9).cast("decimal(22,9)")))
+          .withColumn("__n",
+            count(lit(1)).over(wHi) - count(lit(1)).over(wLo))
           .select(col("site_no"), col("time"),
             round(col("soil_moist"), 6).as("soil_moist"),
             round(col("effective_depth"), 6).as("effective_depth"),

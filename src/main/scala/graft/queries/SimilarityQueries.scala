@@ -949,6 +949,50 @@ object SimilarityQueries extends QueryModule {
         FROM r WHERE rank <= 10
         ORDER BY qid, rank""")),
 
+    // V34 — the PRODUCTION residual-PQ build: v14's full IVFADC pipeline
+    // (residual encode, batched per-cell ADC, refine, exact re-rank)
+    // but with BOTH codebooks — coarse k-means AND the residual PQ —
+    // trained on the deterministic 40% md5-of-id sample (v18's
+    // trainSampleOf recipe). In-query full-corpus Lloyd's is v14/v15's
+    // oracle-gating device, not the shape you'd ship: at 100 TB the
+    // training re-scans dominate the build, and a sample pins the
+    // codebooks at a fraction of the cost while the encode stays one
+    // map-side full-corpus pass. At full probe/refine the exact top-k
+    // is codebook-independent, so the same brute-force SQL gates the
+    // whole sampled-train residual round-trip; that the codebooks
+    // really fit on the sample is pinned structurally in IvfIndexSpec.
+    "v34_residual_sampled" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val path = freshIndexDir("v34_") + "/index"
+        graft.operators.IvfIndex.write(
+          emb, "vec_id", "embedding", kCells = 4, trainIters = 2, path,
+          pq = Some(graft.operators.IvfIndex.Pq(
+            numSub = 4, kCodes = 4, iters = 2, residual = true)),
+          trainPct = 40)
+        graft.operators.IvfIndex.queryAdcBatch(
+          s, path, emb.filter(col("vec_id") < 3),
+          nprobe = 4, k = 10, refine = 100000)
+          .select(col("qid"), col("vec_id"), col("sim"), col("rank"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      bench = true,
+      oracle = Some(s"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                   WHERE vec_id < 3),
+        scored AS (
+          SELECT q.qid, e.vec_id, ${cosineSql("e.embedding", "q.qe")} AS sim
+          FROM embeddings e, q
+          WHERE e.vec_id <> q.qid),
+        r AS (
+          SELECT qid, vec_id, sim,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY sim DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        SELECT qid, vec_id, sim, rank
+        FROM r WHERE rank <= 10
+        ORDER BY qid, rank""")),
+
     // V15 — residual ADC ORDERING under the oracle gate: v14 proves
     // candidate completeness (full probe/refine collapses to brute
     // force); this row pins the part v14 cannot — the residual ADC

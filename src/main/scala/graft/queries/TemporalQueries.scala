@@ -298,13 +298,26 @@ object TemporalQueries extends QueryModule {
     // seconds; exact decimal sum + count, avg derived deterministically.
     "a1_moving_avg" -> Q(
       fn = (s, dir) => {
-        val w = Window.partitionBy(col("user_id"))
+        // decimal prefix differences instead of the centered frame:
+        // same values bit-for-bit (decimal addition is exact), O(n)
+        // instead of SlidingWindowFunctionFrame's O(n·frame)
+        // re-accumulation — centeredMeanPrefix's construction, applied
+        // where the oracle already sums decimals
+        val r = 3 * 3600 + 1
+        val wHi = Window.partitionBy(col("user_id"))
           .orderBy(col("ts").cast("long"))
-          .rangeBetween(-(3 * 3600 + 1), 3 * 3600 + 1)
+          .rangeBetween(Window.unboundedPreceding, r)
+        val wLo = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").cast("long"))
+          .rangeBetween(Window.unboundedPreceding, -r - 1)
         t(s, dir, "events")
           .filter(col("event_type") === "view")
-          .withColumn("mv_sum_d", sum(dec2(col("value"))).over(w))
-          .withColumn("mv_n", count(lit(1)).over(w))
+          .withColumn("mv_sum_d",
+            sum(dec2(col("value"))).over(wHi) -
+              coalesce(sum(dec2(col("value"))).over(wLo),
+                lit(0).cast("decimal(18,2)")))
+          .withColumn("mv_n",
+            count(lit(1)).over(wHi) - count(lit(1)).over(wLo))
           .select(col("event_id"), col("user_id"),
             rd(col("mv_sum_d"), 2).as("mv_sum"), col("mv_n"),
             rd(col("mv_sum_d").cast("double") / col("mv_n"), 6).as("mv_avg"))

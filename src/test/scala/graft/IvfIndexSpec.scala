@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{IvfIndex, SimilarityOps}
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 /** Persistent IVF index: build-once/query-many must agree with the
@@ -1031,6 +1032,39 @@ class IvfIndexSpec extends SparkSpec {
       IvfIndex.write(emb, "vec_id", "embedding", kCells = 2, trainIters = 1,
         d.getAbsolutePath + "/bad", trainPct = 0)
     }
+  }
+
+  test("sampled RESIDUAL-PQ training (the v34 shape): coarse AND pq " +
+    "codebooks are bit-equal to a full-train build over the restated " +
+    "md5 sample, while encoding stays full-corpus") {
+    val emb = Tables(spark, dir, "embeddings")
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfrs_").toFile
+    d.deleteOnExit()
+    val sampled = d.getAbsolutePath + "/sampled"
+    val restated = d.getAbsolutePath + "/restated"
+    val pq = Some(IvfIndex.Pq(numSub = 4, kCodes = 4, iters = 2,
+      residual = true))
+    IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
+      sampled, pq = pq, trainPct = 40)
+    // independently restate the training set and train on ALL of it:
+    // same coarse fit (kmeansFit over the sample), same cells for the
+    // sample rows, same residuals — both codebooks must agree
+    // bit-for-bit if and only if v34's build really trained on the
+    // sample
+    val sample = IvfIndex.trainSampleOf(emb, "vec_id", 40)
+    assert(sample.count() > 0 && sample.count() < emb.count())
+    IvfIndex.write(sample, "vec_id", "embedding", kCells = 4,
+      trainIters = 2, restated, pq = pq)
+    def cb(p: String, name: String): Seq[Row] =
+      spark.read.parquet(s"$p/$name").collect().toSeq
+        .sortBy(_.toString)
+    assert(cb(sampled, "codebook") === cb(restated, "codebook"))
+    assert(cb(sampled, "pq_codebook") === cb(restated, "pq_codebook"))
+    // encoding is full-corpus on the sampled build, sample-only on the
+    // restated one
+    assert(spark.read.parquet(s"$sampled/vectors").count() === emb.count())
+    assert(spark.read.parquet(s"$restated/vectors").count() ===
+      sample.count())
   }
 
   test("mergeFrom folds a shard into the destination: counts add up, " +

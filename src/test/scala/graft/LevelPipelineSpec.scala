@@ -215,4 +215,29 @@ class LevelPipelineSpec extends SparkSpec {
       T("2024-01-01 11:00:00"), T("2024-01-01 12:00:00")))
     assert(out(T("2024-01-01 11:00:00")) === 1.0) // 5 tips * 0.2 mm
   }
+
+  test("processLevels with the j11 bucketed as-of hatch equals the " +
+    "union-form chain row for row on the full sf0.001 fixture — the " +
+    "hatch changes the PLAN under a hot site, never the answer") {
+    val dir = "/root/testdata/sf0.001"
+    val stations5 = graft.queries.PipelineQueries.stationsDf(spark)
+    val silo5 = graft.queries.PipelineQueries.siloDf(spark)
+    val inten5 = graft.queries.PipelineQueries.intensityDf(spark)
+    val raw5 = graft.queries.PipelineQueries.rawDf(spark, dir)
+    def rows(bucket: Option[Long]) =
+      LevelPipeline.processLevels(raw5, stations5, silo5, inten5,
+        bucketedAsofSeconds = bucket)
+        .collect().map(_.toString).sorted.toSeq
+    val union = rows(None)
+    assert(union.nonEmpty)
+    // a bucket width smaller than the intensity cadence gap forces real
+    // cross-bucket carries; a day-wide one mostly stays in-bucket —
+    // both must match the union form exactly
+    assert(rows(Some(3600L)) === union)
+    assert(rows(Some(86400L)) === union)
+    intercept[IllegalArgumentException] {
+      LevelPipeline.level2(raw5, stations5, silo5, inten5,
+        emulateOldVersion = true, bucketedAsofSeconds = Some(3600L))
+    }
+  }
 }

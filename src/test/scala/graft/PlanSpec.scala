@@ -306,6 +306,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("j13: the temporal anti-join is ONE equi-keyed LeftAnti hash " +
+    "join — the range bound rides as a residual condition, never a " +
+    "BroadcastNestedLoop pairing") {
+    val p = plan("j13_temporal_antijoin")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("LeftAnti".r.findAllIn(p).size === 1, p)
+    // the equi user key drives the join; the hour bound is a filter
+    // within matched keys
+    assert("Join \\[user_id#\\d+L?\\], \\[pu#\\d+L?\\], LeftAnti"
+      .r.findFirstIn(p).isDefined, p)
+  }
+
+  test("j14: the bounded-staleness as-of runs the union as-of shape — " +
+    "ONE user-keyed exchange, no join anywhere") {
+    val p = plan("j14_asof_staleness")
+    assert(!p.contains("Join"), p)
+    val ex = "Exchange hashpartitioning\\(user_id#\\d+L?"
+      .r.findAllIn(p).size
+    assert(ex === 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("a41: the raw event scan partial-aggregates BEFORE any exchange " +
+    "— both shuffles carry (type, week) aggregate rows, never events. " +
+    "(One event_type-keyed exchange would let the window ride free but " +
+    "would shuffle the raw corpus into ~4 skewed partitions — the " +
+    "two-exchange plan is the scale-correct one.)") {
+    val p = plan("a41_wow_change")
+    assert(p.contains("partial_count"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
+    // the scan reads only the two columns the rollup needs
+    val scanLine = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scanLine.contains("ReadSchema: struct<ts:"), scanLine)
+    assert(!scanLine.contains("value"), scanLine)
+  }
+
   test("s17: the ORC read pushes the predicate and prunes columns like " +
     "parquet") {
     val p = plan("s17_orc_roundtrip")

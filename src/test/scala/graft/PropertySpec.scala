@@ -389,4 +389,103 @@ class PropertySpec extends SparkSpec {
         out.count(_._5) == (if (ch.last._3 == "D") 0 else 1)
     }, samples = 15)
   }
+
+  test("MediaCodec fuzz: arbitrary byte blobs — random, magic-prefixed, " +
+    "and bit-flipped/truncated real containers — never throw; invalid " +
+    "rows surface as invalid/None; pcmStats is consistent with " +
+    "pcmSamples whenever either accepts") {
+    import graft.operators.MediaCodec
+    val rawGen: Gen[Array[Byte]] = for {
+      n <- Gen.choose(0, 300)
+      bs <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield bs.toArray
+    val magics: Seq[Array[Byte]] = Seq(
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a),
+      Array(0xff, 0xd8), "GIF8".getBytes.map(_.toInt),
+      "fLaC".getBytes.map(_.toInt),
+      ("RIFF   WAVE").getBytes.map(_.toInt),
+      ("RIFF   WEBP").getBytes.map(_.toInt))
+      .map(_.map(_.toByte))
+    val magicGen: Gen[Array[Byte]] = for {
+      m <- Gen.oneOf(magics)
+      tail <- rawGen
+    } yield m ++ tail
+    // real containers, corrupted: deterministic fixture + seeded flips
+    // or a truncation — the adversarial-crawl shape
+    val corruptGen: Gen[Array[Byte]] = for {
+      id <- Gen.choose(0L, 40L)
+      base <- Gen.oneOf(
+        Gen.const(MediaCodec.buildFixture(id)),
+        Gen.const(MediaCodec.buildWavTone(id)))
+      mode <- Gen.choose(0, 2)
+      cut <- Gen.choose(0, 60)
+      flips <- Gen.listOfN(4, Gen.choose(0, 10000))
+    } yield mode match {
+      case 0 => base.take(math.min(cut, base.length))
+      case _ =>
+        val c = base.clone()
+        flips.foreach(f => c(f % c.length) = (c(f % c.length) ^ 0x55).toByte)
+        c
+    }
+    val blobGen = Gen.frequency(
+      (3, rawGen), (3, magicGen), (4, corruptGen))
+    check(Prop.forAll(blobGen) { b =>
+      val info = MediaCodec.decode(b) // must not throw
+      val st = MediaCodec.pcmStats(b)
+      val sm = MediaCodec.pcmSamples(b)
+      // the two WAV parsers share one validity verdict and agree on
+      // every derived fact
+      st.isDefined == sm.isDefined &&
+        st.forall { case (rate, n, mn, mx, sum, sumSq) =>
+          val (rate2, arr) = sm.get
+          rate == rate2 && n == arr.length &&
+            (n == 0 || (mn == arr.min && mx == arr.max)) &&
+            sum == arr.map(_.toLong).sum &&
+            sumSq == arr.map(s => s.toLong * s).sum
+        } &&
+        // a blob the sniffer can't type is never "valid"
+        (info.format != "unknown" || !info.valid)
+    }, samples = 500)
+  }
+
+  test("MyersLev: bit-parallel distance equals the classic DP on random " +
+    "strings straddling the 64-cell word boundary, repeats, and " +
+    "supplementary-plane code points; the Column form matches Spark's " +
+    "levenshtein") {
+    def dp(a: Array[Int], b: Array[Int]): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var diag = prev(0); prev(0) = i
+        for (j <- 1 to b.length) {
+          val tmp = prev(j)
+          prev(j) = math.min(math.min(prev(j) + 1, prev(j - 1) + 1),
+            diag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          diag = tmp
+        }
+      }
+      prev(b.length)
+    }
+    // small alphabet forces real match structure; lengths cluster at the
+    // single-word/multi-word boundary and at 2+ full words
+    val cpGen = Gen.frequency(
+      (8, Gen.choose('a'.toInt, 'e'.toInt)),
+      (1, Gen.choose(0x4e00, 0x4e05)),
+      (1, Gen.const(0x1f600))) // 😀: one code point, two UTF-16 units
+    val strGen = for {
+      n <- Gen.frequency((3, Gen.choose(0, 20)), (3, Gen.choose(55, 75)),
+        (2, Gen.choose(120, 200)))
+      cs <- Gen.listOfN(n, cpGen)
+    } yield cs.toArray
+    check(Prop.forAll(strGen, strGen) { (a, b) =>
+      graft.expressions.MyersLev.distanceCp(a, b) == dp(a, b)
+    }, samples = 300)
+    val pairs = Seq(("kitten", "sitting"), ("", "abc"), ("abc", ""),
+      ("flaw", "lawn"), ("😀ab", "a😀b"),
+      ("a" * 200, "b" * 150))
+      .toDF("a", "b")
+    val both = pairs.select(
+      graft.operators.DedupOps.myersLevenshtein($"a", $"b"),
+      levenshtein($"a", $"b")).as[(Int, Int)].collect()
+    assert(both.forall(r => r._1 === r._2), both.toSeq.toString)
+  }
 }

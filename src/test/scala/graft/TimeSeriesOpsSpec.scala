@@ -608,4 +608,46 @@ class TimeSeriesOpsSpec extends SparkSpec {
         rows.withColumn("run_id", lit(1)), Seq("u"), "t", "id", "v")
     }
   }
+
+  test("centeredMeanPrefix: the O(n) decimal prefix-difference mean " +
+    "equals a brute-force per-row frame mean exactly (inputs at ≤ 12 " +
+    "dp), nulls fall out of both sum and count, an all-null frame " +
+    "yields null, and all four window functions ride ONE exchange") {
+    val r = 100L
+    // irregular grid, 2 keys, values at 3 dp (exact in decimal(38,12)),
+    // a null value, and a lone-row key
+    val rows = Seq(
+      (1L, 0L, Some(1.125)), (1L, 40L, Some(2.5)), (1L, 90L, None),
+      (1L, 150L, Some(4.75)), (1L, 400L, Some(10.0)),
+      (2L, 10L, Some(7.875)), (3L, 5L, Option.empty[Double]))
+      .toDF("k", "sec", "v")
+      .withColumn("t", timestamp_seconds($"sec"))
+    val got = TimeSeriesOps.centeredMeanPrefix(
+      rows, Seq("k"), "t", r, Map("m" -> "v"))
+      .select($"k", $"sec", $"m").as[(Long, Long, Option[Double])]
+      .collect().map(x => (x._1, x._2) -> x._3).toMap
+    val data = Seq(
+      (1L, 0L, Some(1.125)), (1L, 40L, Some(2.5)), (1L, 90L, None),
+      (1L, 150L, Some(4.75)), (1L, 400L, Some(10.0)),
+      (2L, 10L, Some(7.875)), (3L, 5L, Option.empty[Double]))
+    data.foreach { case (k, s, _) =>
+      val frame = data.filter(d =>
+        d._1 == k && d._2 >= s - r && d._2 <= s + r).flatMap(_._3)
+      val want =
+        if (frame.isEmpty) None
+        else Some(frame.map(BigDecimal(_)).sum.toDouble / frame.length)
+      assert(got((k, s)) === want, s"key $k sec $s")
+    }
+    val p = TimeSeriesOps.centeredMeanPrefix(
+      rows, Seq("k"), "t", r, Map("m" -> "v"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    // the incremental frame shape, not the sliding one: no centered
+    // RANGE frame survives in the plan
+    assert(!p.contains("RANGE BETWEEN -"), p)
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.centeredMeanPrefix(rows, Seq("k"), "t", -1,
+        Map("m" -> "v"))
+    }
+  }
 }
