@@ -932,4 +932,86 @@ object DedupOps {
       .withColumn("hamming", TextOps.hammingDistance(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Exact duplicated-substring spans (the token-window form of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL'22 — their ExactSubstr suffix-array pass, re-expressed for a
+    * distributed engine): every length-`w` token window is hashed; a
+    * window whose hash occurs ≥ 2 times ANYWHERE in the corpus
+    * (including within the same document) marks its w tokens as
+    * duplicated; per document, the covered positions merge into maximal
+    * spans (overlapping or abutting windows form ONE span — the
+    * gaps-and-islands rule `start > running_max(end) + 1` starts a new
+    * one). This is the span-level statistic paragraph/line dedup (d13/
+    * d18) cannot see: duplication that crosses line boundaries or sits
+    * mid-paragraph.
+    *
+    * Output: one row per input doc — `n_tokens`, `n_windows`,
+    * `n_dup_windows`, `n_dup_spans`, `dup_tokens` (covered positions),
+    * `dup_frac` (6 dp). Docs shorter than w have zero windows.
+    *
+    * Scale shape: document text NEVER shuffles — windows reduce to
+    * (hash, doc, pos) triples map-side; the corpus-sized shuffle
+    * carries the 8-byte hash counts (partial-aggregated), the
+    * duplicated-hash set after the ≥2 cut is small and joins back
+    * against the window triples; the island merge is one window pass
+    * partitioned by doc (per-doc bounded). At 100 TB the w-token
+    * re-hash per position is the dominant map cost — `baseHash60` is
+    * the codegen'd native expression, and w is a constant so the slice
+    * never allocates beyond the window.
+    */
+  def substringSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int): DataFrame = {
+    require(w >= 2, s"substringSpans: window must be at least 2 tokens, got $w")
+    val base = df.select(col(idCol),
+      split(col(textCol), " ").as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    val wins = base.filter(col("__n") >= w)
+      .select(col(idCol),
+        explode(sequence(lit(1), col("__n") - (w - 1))).as("__pos"),
+        col("__toks"))
+      .select(col(idCol), col("__pos"),
+        TextOps.baseHash60(
+          concat_ws(" ", slice(col("__toks"), col("__pos"), lit(w))))
+          .as("__wh"))
+    val dupHashes = wins.groupBy(col("__wh"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2)
+      .select(col("__wh"))
+    val dup = wins.join(dupHashes, "__wh")
+      .select(col(idCol), col("__pos"))
+    val wPrev = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val spans = dup
+      .withColumn("__brk",
+        when(col("__pos") >
+          coalesce(max(col("__pos") + (w - 1)).over(wPrev), lit(-1)) + 1,
+          1).otherwise(0))
+      .withColumn("__g", sum(col("__brk")).over(wCum))
+      .groupBy(col(idCol), col("__g"))
+      .agg(min(col("__pos")).as("__s"),
+        (max(col("__pos")) + (w - 1)).as("__e"),
+        count(lit(1)).as("__nd"))
+    // n_dup_spans / dup_tokens / n_dup_windows all roll up from the ONE
+    // islands lineage, and n_windows is pure per-row arithmetic
+    // (n − w + 1, floored at 0) — the hashed-window subtree is built
+    // exactly twice (the count and the join-back), never per-statistic.
+    val per = spans.groupBy(col(idCol)).agg(
+      count(lit(1)).cast("int").as("n_dup_spans"),
+      sum(col("__e") - col("__s") + 1).as("dup_tokens"),
+      sum(col("__nd")).cast("int").as("n_dup_windows"))
+    base.select(col(idCol), col("__n").as("n_tokens"),
+      greatest(col("__n") - (w - 1), lit(0)).as("n_windows"))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0)).as("n_dup_windows"),
+        coalesce(col("n_dup_spans"), lit(0)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("dup_frac"))
+  }
 }

@@ -135,6 +135,60 @@ object MultimodalOps {
       })
   }
 
+  /** Energy-gate segmentation over the framed PCM stream — the VAD
+    * (voice-activity-detection) shape every speech-data pipeline runs
+    * before transcription/frame-sampling: a frame is ACTIVE when its
+    * energy clears the gate (`sumsq > sumsqThreshold`, an all-integer
+    * compare so both engines agree exactly), and consecutive active
+    * frames merge into segments by the islands rule (a gap of ≥ 1
+    * inactive frame splits). Builds on [[pcmFrames]] — the blob still
+    * decodes exactly once — and everything after the decode is
+    * relational: a filter, one doc-keyed window pass, a rollup. Per
+    * segment: frame span, sample count, peak, and RMS over the
+    * segment's samples (the one derived float, rounded).
+    *
+    * Scale shape: frames fan out map-side from the decode; the only
+    * exchange is keyed by media_id (bounded per blob), and the
+    * segment window never sees inactive frames — silence is filtered
+    * before the shuffle, which for sparse audio (most of a crawl) is
+    * the dominant data cut.
+    */
+  def energySegments(
+      blobs: DataFrame,
+      frameSize: Int,
+      sumsqThreshold: Long): DataFrame = {
+    require(sumsqThreshold >= 0,
+      s"energySegments: threshold must be >= 0, got $sumsqThreshold")
+    import org.apache.spark.sql.expressions.Window
+    val act = pcmFrames(blobs, frameSize).toDF()
+      .filter(col("sumsq") > sumsqThreshold)
+    val wPrev = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    val segs = act
+      .withColumn("__brk",
+        when(col("frame_idx") >
+          coalesce(max(col("frame_idx")).over(wPrev), lit(-2)) + 1,
+          1).otherwise(0))
+      .withColumn("__g", sum(col("__brk")).over(wCum))
+      .groupBy(col("media_id"), col("__g"))
+      .agg(
+        min(col("frame_idx")).as("seg_start"),
+        max(col("frame_idx")).as("seg_end"),
+        count(lit(1)).cast("int").as("n_frames"),
+        sum(col("n_f")).cast("long").as("n_samples"),
+        max(col("peak")).as("seg_peak"),
+        sum(col("sumsq")).as("__sumsq"))
+    segs
+      .withColumn("seg_idx",
+        row_number().over(
+          Window.partitionBy(col("media_id")).orderBy(col("seg_start"))))
+      .select(col("media_id"), col("seg_idx"), col("seg_start"),
+        col("seg_end"), col("n_frames"), col("n_samples"), col("seg_peak"),
+        round(sqrt(col("__sumsq").cast("double") / col("n_samples")), 6)
+          .as("seg_rms"))
+  }
+
   /** Deterministic stand-in for the codec: derives features from the raw
     * bytes only (length, boundary bytes, rolling checksum, fake frame
     * count), so tests and cross-engine oracles are exact.

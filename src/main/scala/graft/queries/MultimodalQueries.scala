@@ -205,6 +205,83 @@ object MultimodalQueries extends QueryModule {
         FROM f
         ORDER BY media_id, frame_idx""")),
 
+    // M7 — energy-gate (VAD) segmentation: m6's frames filtered by an
+    // ALL-INTEGER energy gate (sumsq > 21.4M ≈ the tone's median frame
+    // energy, so roughly half the frames are active), consecutive
+    // active frames merged into segments by the islands rule, one RMS
+    // float derived per segment at the end. The oracle re-derives the
+    // tone, frames it, and restates the same gate + islands window —
+    // the whole decode→frame→gate→segment audio front-end under one
+    // hash check.
+    "m7_vad_segments" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val blobs = t(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, graft.operators.MediaCodec.buildWavTone(id))))
+          .toDF("media_id", "blob")
+        MultimodalOps.energySegments(blobs, frameSize = 64,
+          sumsqThreshold = 21400000L)
+          .orderBy(col("media_id"), col("seg_idx"))
+      },
+      bench = true,
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id AS media_id,
+                 CAST((doc_id % 20 + 1) * 128 AS INT) AS n_samples,
+                 list_transform(
+                   generate_series(0, CAST((doc_id % 20 + 1) * 128 - 1
+                     AS BIGINT)),
+                   k -> (doc_id * 31 + k * 17) % 2003 - 1001) AS s
+          FROM documents),
+        f AS (
+          SELECT media_id,
+                 CAST(fi AS INT) AS frame_idx,
+                 s[CAST(fi * 64 + 1 AS INT):CAST((fi + 1) * 64 AS INT)]
+                   AS fs
+          FROM (SELECT media_id, s,
+                       unnest(generate_series(0,
+                         CAST(n_samples / 64 - 1 AS BIGINT))) AS fi
+                FROM p)),
+        e AS (
+          SELECT media_id, frame_idx,
+                 CAST(list_max(list_transform(fs, v -> abs(v))) AS INT)
+                   AS peak,
+                 CAST(list_sum(list_transform(fs, v -> v * v)) AS BIGINT)
+                   AS sumsq
+          FROM f),
+        act AS (SELECT * FROM e WHERE sumsq > 21400000),
+        isl AS (
+          SELECT media_id, frame_idx, peak, sumsq,
+                 CASE WHEN frame_idx > coalesce(max(frame_idx) OVER (
+                        PARTITION BY media_id ORDER BY frame_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -2) + 1
+                      THEN 1 ELSE 0 END AS brk
+          FROM act),
+        grp AS (
+          SELECT media_id, frame_idx, peak, sumsq,
+                 sum(brk) OVER (PARTITION BY media_id
+                   ORDER BY frame_idx) AS g
+          FROM isl),
+        segs AS (
+          SELECT media_id, g,
+                 CAST(min(frame_idx) AS INT) AS seg_start,
+                 CAST(max(frame_idx) AS INT) AS seg_end,
+                 CAST(count(*) AS INT) AS n_frames,
+                 CAST(count(*) * 64 AS BIGINT) AS n_samples,
+                 CAST(max(peak) AS INT) AS seg_peak,
+                 CAST(sum(sumsq) AS BIGINT) AS ssq
+          FROM grp GROUP BY 1, 2)
+        SELECT media_id,
+               CAST(row_number() OVER (PARTITION BY media_id
+                 ORDER BY seg_start) AS INT) AS seg_idx,
+               seg_start, seg_end, n_frames, n_samples, seg_peak,
+               round(sqrt(CAST(ssq AS DOUBLE) / n_samples), 6) AS seg_rms
+        FROM segs
+        ORDER BY media_id, seg_idx""")),
+
     "m5_pcm_stats" -> Q(
       fn = (s, dir) => {
         import s.implicits._

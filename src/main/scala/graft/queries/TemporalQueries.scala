@@ -989,6 +989,189 @@ object TemporalQueries extends QueryModule {
         JOIN ex ON ex.event_type = s.event_type AND ex.item = s.item
         ORDER BY s.event_type, s.item""")),
 
+    // A43 — HyperLogLog distinct users per event_type (m = 64
+    // registers over the deterministic 60-bit md5 hash), INCLUDING the
+    // merge algebra: per-half builds (even/odd event_id) fold by
+    // register-wise max into exactly the full build, so merged_est must
+    // equal n_distinct_est. KMV (a13) retains k hashes; HLL retains m
+    // 6-bit ranks — ~8× smaller at equal error, the layout production
+    // cardinality rollups use. The registers are restated verbatim in
+    // SQL (bucket = hv div 2^54, rho = 55 − msb position via bin());
+    // the estimator sum is assembled as the INTEGER Σ 2^(55−reg) so no
+    // float-summation order can split the engines, with one double
+    // division at the end (one-division discipline).
+    "a43_hll_distinct" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+        val keys = Seq("event_type")
+        val full = graft.operators.SketchOps.hllSketch(ev, keys, "user_id")
+        val merged = graft.operators.SketchOps.hllMerge(
+          graft.operators.SketchOps.hllSketch(
+            ev.filter(col("event_id") % 2 === 0), keys, "user_id")
+            .union(graft.operators.SketchOps.hllSketch(
+              ev.filter(col("event_id") % 2 === 1), keys, "user_id")),
+          keys)
+        val est = graft.operators.SketchOps.hllEstimate(full, keys)
+        val mest = graft.operators.SketchOps.hllEstimate(merged, keys)
+          .select(col("event_type"), col("n_distinct_est").as("merged_est"))
+        val exact = ev.groupBy(col("event_type"))
+          .agg(count_distinct(col("user_id")).as("exact_distinct"))
+        est.join(mest, "event_type").join(exact, "event_type")
+          .select(col("event_type"), col("n_zero_regs"),
+            col("n_distinct_est"), col("merged_est"), col("exact_distinct"))
+          .orderBy(col("event_type"))
+      },
+      bench = true,
+      oracle = Some(s"""
+        WITH h AS (
+          SELECT DISTINCT event_type,
+            list_transform([CAST(user_id AS VARCHAR)],
+              s -> ${TextQueries.baseHashSql})[1] AS hv
+          FROM events),
+        b AS (
+          SELECT event_type,
+                 CAST(hv // 18014398509481984 AS INT) AS bucket,
+                 hv % 18014398509481984 AS rem
+          FROM h),
+        r AS (
+          SELECT event_type, bucket,
+                 max(CASE WHEN rem = 0 THEN 55
+                          ELSE 55 - length(bin(rem)) END) AS reg
+          FROM b GROUP BY 1, 2),
+        g AS (SELECT DISTINCT event_type FROM events),
+        f AS (
+          SELECT g.event_type, t.b AS bucket, coalesce(r.reg, 0) AS reg
+          FROM g CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) t
+          LEFT JOIN r ON r.event_type = g.event_type AND r.bucket = t.b),
+        s AS (
+          SELECT event_type,
+                 CAST(sum(CAST(1 AS BIGINT) << (55 - reg)) AS BIGINT)
+                   AS s_int,
+                 CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS INT)
+                   AS zeros
+          FROM f GROUP BY 1),
+        e AS (
+          SELECT event_type, zeros AS n_zero_regs,
+            CASE WHEN CAST(0.709 AS DOUBLE) * 4096 * 36028797018963968
+                        / s_int <= CAST(160 AS DOUBLE)
+                   AND zeros > 0
+              THEN round(64 * ln(64 / CAST(zeros AS DOUBLE)), 4)
+              ELSE round(CAST(0.709 AS DOUBLE) * 4096 * 36028797018963968
+                           / s_int, 4)
+            END AS n_distinct_est
+          FROM s),
+        x AS (
+          SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+          FROM events GROUP BY 1)
+        SELECT e.event_type, e.n_zero_regs, e.n_distinct_est,
+               e.n_distinct_est AS merged_est, x.exact_distinct
+        FROM e JOIN x USING (event_type)
+        ORDER BY e.event_type""")),
+
+    // A44 — θ-sketch set algebra on KMV sketches (k = 32): per
+    // event_type, the user sets seen on even vs odd event_ids are
+    // sketched independently, and union / Jaccard / intersection are
+    // estimated from the two 32-hash summaries alone — the overlap
+    // question ("how many users did both crawls re-collect") that
+    // kmvMerge's union-only algebra cannot answer. Estimator (Beyer et
+    // al. SIGMOD'07): re-cut the union to k, θ = k-th hash; members of
+    // the cut present in BOTH sketches are a uniform sample of the
+    // intersection. Exact values ride along for the error audit.
+    "a44_kmv_algebra" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+        val keys = Seq("event_type")
+        val ska = graft.operators.SketchOps.kmvSketch(
+          ev.filter(col("event_id") % 2 === 0), keys, "user_id", k = 32)
+        val skb = graft.operators.SketchOps.kmvSketch(
+          ev.filter(col("event_id") % 2 === 1), keys, "user_id", k = 32)
+        val alg = graft.operators.SketchOps.kmvAlgebra(
+          ska, skb, keys, k = 32)
+        val ua = ev.filter(col("event_id") % 2 === 0)
+          .select(col("event_type"), col("user_id")).distinct()
+        val ub = ev.filter(col("event_id") % 2 === 1)
+          .select(col("event_type"), col("user_id")).distinct()
+        val exact = ua.union(ub).distinct()
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("exact_union"))
+          .join(ua.intersect(ub)
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("exact_intersect")), "event_type")
+        alg.join(exact, "event_type")
+          .select(col("event_type"), col("n_union_retained"),
+            col("union_est"), col("jaccard_est"), col("intersect_est"),
+            col("exact_union"), col("exact_intersect"))
+          .orderBy(col("event_type"))
+      },
+      bench = true,
+      oracle = Some(s"""
+        WITH ha AS (
+          SELECT DISTINCT event_type,
+            list_transform([CAST(user_id AS VARCHAR)],
+              s -> ${TextQueries.baseHashSql})[1] AS hv
+          FROM events WHERE event_id % 2 = 0),
+        ra AS (
+          SELECT event_type, hv,
+                 row_number() OVER (PARTITION BY event_type ORDER BY hv)
+                   AS rn
+          FROM ha),
+        ska AS (
+          SELECT event_type, list_sort(list(hv)) AS ka
+          FROM ra WHERE rn <= 32 GROUP BY 1),
+        hb AS (
+          SELECT DISTINCT event_type,
+            list_transform([CAST(user_id AS VARCHAR)],
+              s -> ${TextQueries.baseHashSql})[1] AS hv
+          FROM events WHERE event_id % 2 = 1),
+        rb AS (
+          SELECT event_type, hv,
+                 row_number() OVER (PARTITION BY event_type ORDER BY hv)
+                   AS rn
+          FROM hb),
+        skb AS (
+          SELECT event_type, list_sort(list(hv)) AS kb
+          FROM rb WHERE rn <= 32 GROUP BY 1),
+        alg0 AS (
+          SELECT a.event_type, a.ka, b.kb,
+                 list_sort(list_distinct(list_concat(a.ka, b.kb))) AS u
+          FROM ska a JOIN skb b USING (event_type)),
+        alg1 AS (
+          SELECT event_type, ka, kb, u, u[1:32] AS cut,
+                 CASE WHEN len(u) < 32 THEN CAST(len(u) AS DOUBLE)
+                      ELSE CAST(31 AS DOUBLE) * pow(2, 60) /
+                           CAST(u[32] AS DOUBLE) END AS uest
+          FROM alg0),
+        alg2 AS (
+          SELECT event_type, CAST(len(cut) AS INT) AS n_union_retained,
+                 uest,
+                 CAST(len(list_filter(cut, h ->
+                   list_contains(ka, h) AND list_contains(kb, h)))
+                   AS DOUBLE) / CAST(len(cut) AS DOUBLE) AS jac
+          FROM alg1),
+        ua AS (SELECT DISTINCT event_type, user_id FROM events
+               WHERE event_id % 2 = 0),
+        ub AS (SELECT DISTINCT event_type, user_id FROM events
+               WHERE event_id % 2 = 1),
+        xu AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS exact_union
+          FROM (SELECT DISTINCT event_type, user_id FROM
+                 (SELECT * FROM ua UNION ALL SELECT * FROM ub))
+          GROUP BY 1),
+        xi AS (
+          SELECT ua.event_type, CAST(count(*) AS BIGINT) AS exact_intersect
+          FROM ua JOIN ub ON ua.event_type = ub.event_type
+                         AND ua.user_id = ub.user_id
+          GROUP BY 1)
+        SELECT a.event_type, a.n_union_retained,
+               round(a.uest, 4) AS union_est,
+               round(a.jac, 6) AS jaccard_est,
+               round(a.jac * a.uest, 4) AS intersect_est,
+               xu.exact_union, xi.exact_intersect
+        FROM alg2 a
+        JOIN xu USING (event_type)
+        JOIN xi USING (event_type)
+        ORDER BY a.event_type""")),
+
     // A16 — interval-union coverage: each event opens a [ts, ts +
     // 100·value sec] observation window; merge overlapping-or-touching
     // windows per user into coverage spans (gap-sessionize's sibling —

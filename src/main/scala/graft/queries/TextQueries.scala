@@ -2242,6 +2242,72 @@ object TextQueries extends QueryModule {
         FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 2
         ORDER BY a, b""")),
 
+    // D23 — exact duplicated-substring spans (Lee et al. ACL'22
+    // ExactSubstr, token-window form, w = 8): windows whose hash occurs
+    // ≥ 2 times corpus-wide mark their tokens duplicated; per doc the
+    // covered positions merge into maximal spans by the islands rule
+    // (start > running max(end) + 1 breaks). The span statistic — not
+    // the pair — is the output: d13/d18 dedup whole paragraphs/lines,
+    // this catches duplication that CROSSES those boundaries. Text
+    // never shuffles: the corpus-sized exchange carries 8-byte window
+    // hashes; the oracle restates windows via inclusive list slicing,
+    // the same md5-fold hash, and the identical islands window.
+    "d23_substring_spans" -> Q(
+      fn = (s, dir) =>
+        DedupOps.substringSpans(t(s, dir, "documents"), "doc_id", "text", 8)
+          .orderBy(col("doc_id")),
+      bench = true,
+      oracle = Some(s"""
+        WITH tok AS (
+          SELECT doc_id, $toksSql AS toks,
+                 CAST(len($toksSql) AS INT) AS n_tokens
+          FROM documents),
+        win AS (
+          SELECT doc_id, i AS pos,
+                 list_transform([array_to_string(toks[i:i+7], ' ')],
+                   s -> $baseHashSql)[1] AS wh
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 7)) AS i
+                FROM tok WHERE len(toks) >= 8)),
+        cnt AS (SELECT wh FROM win GROUP BY wh HAVING count(*) >= 2),
+        dup AS (
+          SELECT w.doc_id, w.pos FROM win w JOIN cnt ON cnt.wh = w.wh),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos > coalesce(max(pos + 7) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1) + 1
+                      THEN 1 ELSE 0 END AS brk
+          FROM dup),
+        grp AS (
+          SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+          FROM isl),
+        spans AS (
+          SELECT doc_id, g, min(pos) AS s, max(pos) + 7 AS e
+          FROM grp GROUP BY 1, 2),
+        per AS (
+          SELECT doc_id, CAST(count(*) AS INT) AS n_dup_spans,
+                 CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+          FROM spans GROUP BY 1),
+        nw AS (SELECT doc_id, CAST(count(*) AS INT) AS n_windows
+               FROM win GROUP BY 1),
+        nd AS (SELECT doc_id, CAST(count(*) AS INT) AS n_dup_windows
+               FROM dup GROUP BY 1)
+        SELECT t.doc_id, t.n_tokens,
+               coalesce(nw.n_windows, 0) AS n_windows,
+               coalesce(nd.n_dup_windows, 0) AS n_dup_windows,
+               coalesce(per.n_dup_spans, 0) AS n_dup_spans,
+               coalesce(per.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+               round(CAST(coalesce(per.dup_tokens, 0) AS DOUBLE)
+                 / t.n_tokens, 6) AS dup_frac
+        FROM tok t
+        LEFT JOIN nw ON nw.doc_id = t.doc_id
+        LEFT JOIN nd ON nd.doc_id = t.doc_id
+        LEFT JOIN per ON per.doc_id = t.doc_id
+        ORDER BY t.doc_id""")),
+
     // D11 — character-level edit-distance verification of a blocked pair
     // set (the record-linkage refine step after LSH/sorted-neighborhood
     // blocking): Levenshtein distance + normalized similarity

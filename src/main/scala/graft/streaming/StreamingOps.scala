@@ -278,6 +278,39 @@ object StreamingOps {
     graft.operators.SketchOps.qMerge(
       spark.read.parquet(sketchPath).drop("batch_id"), keys, k)
 
+  /** Streaming HLL maintenance — the cardinality twin of
+    * [[sketchIngest]]: each micro-batch writes its own register file
+    * ([[graft.operators.SketchOps.hllSketch]], O(groups × 64) rows)
+    * into a per-batch partition, and [[readHllSketch]] folds them by
+    * register-wise max. HLL's fold is IDEMPOTENT (max), so this layout
+    * is safe against a strictly larger failure class than the additive
+    * sketches: not just a replay overwriting its own partition, but
+    * rows double-delivered across DIFFERENT batch ids (at-least-once
+    * sources, overlapping backfills) leave the merged registers — and
+    * every estimate — unchanged.
+    */
+  def hllIngest(
+      sketchPath: String,
+      keys: Seq[String],
+      valueCol: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      graft.operators.SketchOps.hllSketch(batch, keys, valueCol)
+        .write.mode("overwrite")
+        .parquet(s"$sketchPath/batch_id=$batchId")
+    }
+
+  /** Fold the per-batch HLL partials under `sketchPath` into the
+    * whole-stream register file — identical to one sketch over every
+    * row seen so far. Same reader contract as [[readSketch]]: a plan
+    * holds the listing of the moment it resolved.
+    */
+  def readHllSketch(
+      spark: org.apache.spark.sql.SparkSession,
+      sketchPath: String,
+      keys: Seq[String]): DataFrame =
+    graft.operators.SketchOps.hllMerge(
+      spark.read.parquet(sketchPath).drop("batch_id"), keys)
+
   def exactDedupStream(
       df: DataFrame,
       keys: Seq[String],

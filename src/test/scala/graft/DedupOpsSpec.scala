@@ -287,4 +287,39 @@ class DedupOpsSpec extends SparkSpec {
       assert(seen.get.getAs[Int]("max_bucket_rank") === 4)
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("substringSpans: cross-doc duplicate windows mark spans, " +
+    "overlapping and abutting windows merge, gaps split, short docs " +
+    "and clean docs report zeros") {
+    val docs = Seq(
+      // C/D/E: C's three windows all duplicated via D and E — the
+      // overlapping coverage must merge into ONE span over all 6 tokens
+      (1L, "a b c d e f"),
+      (2L, "a b c d e z"),
+      (3L, "b c d e f y"),
+      // F: within-doc repetition — [1,4] and [5,8] coverage ABUTS
+      // (5 > 4+1 is false), so one contiguous 8-token span
+      (4L, "m n o p m n o p"),
+      // G/H: the same 4-token run at positions 1 and 9, separated by
+      // unique tokens — two spans, 8 of 12 tokens covered
+      (5L, "d1 d2 d3 d4 g1 g2 g3 g4 d1 d2 d3 d4"),
+      (6L, "u1 d1 d2 d3 d4 u2 u3 u4 u5 u6 u7 u8"),
+      // short doc: fewer tokens than w — zero windows
+      (7L, "t u"),
+      // clean doc: windows exist but none duplicated
+      (8L, "q1 q2 q3 q4 q5 q6")).toDF("doc_id", "text")
+    val out = DedupOps.substringSpans(docs, "doc_id", "text", w = 4)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_tokens", $"n_windows", $"n_dup_windows",
+        $"n_dup_spans", $"dup_tokens", $"dup_frac")
+      .as[(Long, Int, Int, Int, Int, Long, Double)].collect()
+    assert(out(0) === ((1L, 6, 3, 3, 1, 6L, 1.0)))
+    assert(out(1) === ((2L, 6, 3, 2, 1, 5L, 0.833333)))
+    assert(out(2) === ((3L, 6, 3, 2, 1, 5L, 0.833333)))
+    assert(out(3) === ((4L, 8, 5, 2, 1, 8L, 1.0)))
+    assert(out(4) === ((5L, 12, 9, 2, 2, 8L, 0.666667)))
+    assert(out(5) === ((6L, 12, 9, 1, 1, 4L, 0.333333)))
+    assert(out(6) === ((7L, 2, 0, 0, 0, 0L, 0.0)))
+    assert(out(7) === ((8L, 6, 3, 0, 0, 0L, 0.0)))
+  }
 }

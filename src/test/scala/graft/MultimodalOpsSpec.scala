@@ -299,4 +299,45 @@ class MultimodalOpsSpec extends SparkSpec {
     // frames tile: lengths sum back to the stream
     assert(out.map(_.n_f).sum === samples.length)
   }
+
+  test("energySegments: gate is strict (> threshold), adjacent active " +
+    "frames merge across a partial tail, gaps split, abs peak, poison " +
+    "blobs and all-quiet blobs emit nothing") {
+    import graft.operators.MediaCodec
+    def wavOf(samples: Seq[Int]): Array[Byte] = {
+      val b = MediaCodec.buildWav(8000, 1, 16, samples.length * 2)
+      val bb = java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.zipWithIndex.foreach { case (v, i) =>
+        bb.putShort(44 + i * 2, v.toShort)
+      }
+      b
+    }
+    // frameSize 4, threshold 100 (strict >):
+    //   f0 [10,10,10,10]  sumsq 400  ACTIVE  -> segment A = [0,0]
+    //   f1 [1,1,1,1]      sumsq 4    quiet
+    //   f2 [10,0,0,0]     sumsq 100  quiet (boundary: 100 is NOT > 100)
+    //   f3 [-20,0,0,0]    sumsq 400  ACTIVE (peak from abs)
+    //   f4 [6,5,5,5]      sumsq 111  ACTIVE
+    //   f5 [30,30] (tail) sumsq 1800 ACTIVE -> segment B = [3,5], 10 samples
+    val samples = Seq(10, 10, 10, 10, 1, 1, 1, 1, 10, 0, 0, 0,
+      -20, 0, 0, 0, 6, 5, 5, 5, 30, 30)
+    val blobs = Seq(
+      (1L, wavOf(samples)),
+      (2L, wavOf(Seq(1, 1, 1, 1, 1))), // all-quiet: no segments
+      (99L, "not a wav".getBytes)).toDF("media_id", "blob")
+    val out = MultimodalOps.energySegments(blobs, frameSize = 4,
+      sumsqThreshold = 100L)
+      .orderBy($"media_id", $"seg_idx")
+      .select($"media_id", $"seg_idx", $"seg_start", $"seg_end",
+        $"n_frames", $"n_samples", $"seg_peak", $"seg_rms")
+      .as[(Long, Int, Int, Int, Int, Long, Int, Double)].collect()
+    assert(out.length === 2)
+    assert(out(0) === ((1L, 1, 0, 0, 1, 4L, 10,
+      BigDecimal(math.sqrt(400.0 / 4)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out(1) === ((1L, 2, 3, 5, 3, 10L, 30,
+      BigDecimal(math.sqrt((400.0 + 111 + 1800) / 10)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
 }

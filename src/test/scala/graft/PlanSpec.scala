@@ -342,6 +342,45 @@ class PlanSpec extends SparkSpec {
     assert(!scanLine.contains("value"), scanLine)
   }
 
+  test("a43: HLL registers partial-aggregate map-side (each task " +
+    "collapses to <= 64 rows per group BEFORE the exchange) and the " +
+    "corpus scans prune to the id/key columns") {
+    val p = plan("a43_hll_distinct")
+    assert(p.contains("partial_max"), p)
+    // every events scan reads only the columns the sketch needs
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.nonEmpty, p)
+    assert(scans.forall(s => !s.contains("value") && !s.contains("ts:")),
+      scans.mkString("\n"))
+  }
+
+  test("a44: both KMV cuts pre-reduce per partition (WindowGroupLimit " +
+    "Partial k-heaps below the exchange) and the algebra joins " +
+    "broadcast — sketch rows, never raw data, cross the wire") {
+    val p = plan("a44_kmv_algebra")
+    assert("WindowGroupLimit .* Partial".r.findAllIn(p).size === 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("d23: document text never shuffles — the corpus-sized exchange " +
+    "carries 8-byte window hashes with map-side partial counts; the " +
+    "hash-count subtree reads ONLY the text column; all duplicate-span " +
+    "statistics roll up from one islands lineage (3 scans total: " +
+    "count, join-back, per-doc totals)") {
+    val p = plan("d23_substring_spans")
+    assert(p.contains("partial_count"), p)
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.size === 3, p)
+    assert(scans.exists(_.contains("ReadSchema: struct<text:string>")),
+      scans.mkString("\n"))
+    // no exchange repartitions the raw text: every hashpartitioning is
+    // on the window hash or the doc id
+    val exch = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exch.forall(e => e.contains("__wh") || e.contains("doc_id")),
+      exch.mkString("\n"))
+  }
+
   test("s17: the ORC read pushes the predicate and prunes columns like " +
     "parquet") {
     val p = plan("s17_orc_roundtrip")

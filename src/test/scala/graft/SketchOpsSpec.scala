@@ -247,10 +247,115 @@ class SketchOpsSpec extends SparkSpec {
     }
   }
 
+  test("HLL: merged per-part sketches equal the whole-corpus build " +
+    "register-for-register, and the merge is idempotent") {
+    val ev = Tables(spark, dir, "events")
+    val keys = Seq("event_type")
+    val whole = SketchOps.hllSketch(ev, keys, "user_id")
+    val parts = SketchOps.hllSketch(
+      ev.filter($"event_id" % 2 === 0), keys, "user_id")
+      .union(SketchOps.hllSketch(
+        ev.filter($"event_id" % 2 === 1), keys, "user_id"))
+    val merged = SketchOps.hllMerge(parts, keys)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_type", $"regs").as[(String, Seq[Int])]
+        .collect().sortBy(_._1).toSeq
+    assert(rows(merged) === rows(whole))
+    // max is idempotent: folding the merged sketch with itself changes
+    // nothing — the replay-safety property streaming folds rely on
+    assert(rows(SketchOps.hllMerge(merged.union(merged), keys))
+      === rows(whole))
+    // layout: always exactly m registers, each within the rho range
+    assert(rows(whole).forall { case (_, r) =>
+      r.length === 64 && r.forall(v => v >= 0 && v <= 55) })
+  }
+
+  test("HLL: estimator lands within error bounds in the raw regime and " +
+    "tracks tiny cardinalities through linear counting") {
+    val ev = Tables(spark, dir, "events")
+    // raw regime: distinct user_ids, σ ≈ 1.04/√64 ≈ 13% — deterministic
+    // hash makes the estimate a fixed number, asserted at 3σ
+    val est = SketchOps.hllEstimate(
+      SketchOps.hllSketch(ev, Seq(), "user_id"), Seq())
+      .select($"n_distinct_est").as[Double].head()
+    val n = ev.select($"user_id").distinct().count().toDouble
+    assert(math.abs(est - n) / n < 0.39, s"est $est vs exact $n")
+    // linear-counting regime: 3 distinct values -> 61 zero registers,
+    // estimate m·ln(m/V) ≈ 3.07
+    val tiny = Seq.tabulate(30)(i => (1L, (i % 3).toLong)).toDF("g", "v")
+    val (zeros, tinyEst) = SketchOps.hllEstimate(
+      SketchOps.hllSketch(tiny, Seq("g"), "v"), Seq("g"))
+      .select($"n_zero_regs", $"n_distinct_est")
+      .as[(Int, Double)].head()
+    assert(zeros === 61)
+    assert(math.abs(tinyEst - 3.0) < 1.0, s"linear-counting est $tinyEst")
+  }
+
+  test("kmvAlgebra: exact below k, and the estimators hit the known " +
+    "degenerate cases (disjoint -> 0, identical -> union)") {
+    val k = 32
+    // A = {0..19}, B = {10..29}: union 30 < k -> every estimate exact
+    val a = Seq.tabulate(20)(i => (1L, i.toLong)).toDF("g", "v")
+    val b = Seq.tabulate(20)(i => (1L, (i + 10).toLong)).toDF("g", "v")
+    val alg = SketchOps.kmvAlgebra(
+      SketchOps.kmvSketch(a, Seq("g"), "v", k),
+      SketchOps.kmvSketch(b, Seq("g"), "v", k),
+      Seq("g"), k)
+      .select($"n_union_retained", $"union_est", $"jaccard_est",
+        $"intersect_est")
+      .as[(Int, Double, Double, Double)].head()
+    assert(alg === ((30, 30.0, 0.333333, 10.0)))
+    // disjoint sets
+    val c = Seq.tabulate(20)(i => (1L, (i + 100).toLong)).toDF("g", "v")
+    val dis = SketchOps.kmvAlgebra(
+      SketchOps.kmvSketch(a, Seq("g"), "v", k),
+      SketchOps.kmvSketch(c, Seq("g"), "v", k),
+      Seq("g"), k)
+      .select($"jaccard_est", $"intersect_est")
+      .as[(Double, Double)].head()
+    assert(dis === ((0.0, 0.0)))
+    // identical sets: jaccard 1, intersection == union
+    val same = SketchOps.kmvAlgebra(
+      SketchOps.kmvSketch(a, Seq("g"), "v", k),
+      SketchOps.kmvSketch(a, Seq("g"), "v", k),
+      Seq("g"), k)
+      .select($"union_est", $"jaccard_est", $"intersect_est")
+      .as[(Double, Double, Double)].head()
+    assert(same._2 === 1.0)
+    assert(same._3 === same._1)
+    // above-k regime on a real column: estimates within 3σ of truth
+    val ev = Tables(spark, dir, "events")
+    val ea = SketchOps.kmvSketch(
+      ev.filter($"event_id" % 2 === 0), Seq(), "user_id", 64)
+    val eb = SketchOps.kmvSketch(
+      ev.filter($"event_id" % 2 === 1), Seq(), "user_id", 64)
+    val ua = ev.filter($"event_id" % 2 === 0)
+      .select($"user_id").distinct()
+    val ub = ev.filter($"event_id" % 2 === 1)
+      .select($"user_id").distinct()
+    val exactU = ua.union(ub).distinct().count().toDouble
+    val exactI = ua.intersect(ub).count().toDouble
+    val (uEst, iEst) = SketchOps.kmvAlgebra(ea, eb, Seq(), 64)
+      .select($"union_est", $"intersect_est")
+      .as[(Double, Double)].head()
+    assert(math.abs(uEst - exactU) / exactU < 0.39,
+      s"union $uEst vs $exactU")
+    assert(math.abs(iEst - exactI) / math.max(exactI, 1.0) < 0.6,
+      s"intersect $iEst vs $exactI")
+  }
+
   test("guards: k below 2 and reserved columns fail fast") {
     val df = Seq((1L, 2L)).toDF("g", "v")
     intercept[IllegalArgumentException] {
       SketchOps.kmvSketch(df, Seq("g"), "v", 1)
+    }
+    intercept[IllegalArgumentException] {
+      SketchOps.hllSketch(df.withColumn("regs", lit(1)), Seq("g"), "v")
+    }
+    intercept[IllegalArgumentException] {
+      SketchOps.kmvAlgebra(
+        Seq((1L, Seq(1L))).toDF("g", "kmv"),
+        Seq((1L, Seq(2L))).toDF("g", "kmv"), Seq("g"), 1)
     }
     intercept[IllegalArgumentException] {
       SketchOps.kmvSketch(df.withColumn("__h", lit(1)), Seq("g"), "v", 4)

@@ -301,6 +301,53 @@ class StreamingOpsSpec extends SparkSpec {
       === sk(oneShot))
   }
 
+  test("hllIngest: per-batch register partials fold to the whole-stream " +
+    "sketch, and double-delivery across DIFFERENT batch ids leaves the " +
+    "fold unchanged — max-idempotence, the property additive sketches " +
+    "lack") {
+    implicit val sql = spark.sqlContext
+    val d = java.nio.file.Files.createTempDirectory("graft_hll_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/sketch"
+    val rows = (1L to 200L).map(i => (i, s"g${i % 3}", i * 7 % 101))
+    val input = MemoryStream[(Long, String, Long)]
+    val q = input.toDS().toDF("id", "g", "v")
+      .writeStream
+      .foreachBatch(StreamingOps.hllIngest(path, Seq("g"), "v"))
+      .outputMode(OutputMode.Append).start()
+    val (b1, b2) = rows.splitAt(120)
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      df.select($"g", $"regs").as[(String, Seq[Int])]
+        .collect().sortBy(_._1).toSeq
+    val streamed = StreamingOps.readHllSketch(spark, path, Seq("g"))
+    val oneShot = graft.operators.SketchOps.hllSketch(
+      rows.toDF("id", "g", "v"), Seq("g"), "v")
+    assert(sk(streamed) === sk(oneShot))
+    // at-least-once delivery: batch 1's rows re-arrive under a NEW
+    // batch id (not a partition overwrite — genuinely duplicated data)
+    // and the fold still equals the one-shot sketch
+    StreamingOps.hllIngest(path, Seq("g"), "v")(
+      b1.toDF("id", "g", "v"), 99L)
+    assert(sk(StreamingOps.readHllSketch(spark, path, Seq("g")))
+      === sk(oneShot))
+    // estimates off the streamed registers match the one-shot ones
+    val est = graft.operators.SketchOps.hllEstimate(
+      StreamingOps.readHllSketch(spark, path, Seq("g")), Seq("g"))
+      .select($"g", $"n_distinct_est").as[(String, Double)]
+      .collect().toMap
+    val estOne = graft.operators.SketchOps.hllEstimate(
+      oneShot, Seq("g"))
+      .select($"g", $"n_distinct_est").as[(String, Double)]
+      .collect().toMap
+    assert(est === estOne)
+  }
+
   test("exactDedupStream: exact re-arrivals within the watermark drop " +
     "across micro-batches, distinct keys and later rows survive") {
     implicit val sql = spark.sqlContext
