@@ -1014,4 +1014,80 @@ object DedupOps {
         round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
           col("n_tokens"), 6).as("dup_frac"))
   }
+
+  /** Max tokens per document for [[substringDedup]]'s composite
+    * ownership key (doc_id · 2^21 + pos must stay injective).
+    */
+  val SubstringDedupMaxTokens: Int = 1 << 21
+
+  /** The REMOVAL form of [[substringSpans]] — Lee et al.'s ExactSubstr
+    * dedup as a transform, not a report: every duplicated w-token
+    * window keeps exactly its GLOBAL first occurrence (minimum
+    * (doc_id, pos), encoded as the integer doc_id·2^21 + pos so
+    * ownership is a partial-aggregable `min`, never a window sort over
+    * the corpus); positions covered only by non-owner duplicate
+    * windows are removed, positions covered by an owner window always
+    * survive (the kept copy can never be destroyed by overlapping
+    * duplicates), and each document reassembles in-row from its kept
+    * tokens. Documents with no duplicated windows pass through
+    * byte-identical.
+    *
+    * Output: idCol, `n_tokens`, `n_removed`, `n_kept`, `text_dedup`.
+    *
+    * Scale shape: same as [[substringSpans]] — text never shuffles
+    * (hash-count + min-key exchange, join-back on the duplicated-hash
+    * sliver, per-position fan-out of DUP windows only), plus one
+    * doc-keyed exchange carrying removal-position lists (bounded per
+    * doc). Preconditions: `idCol` is an integral column and documents
+    * have < 2^21 tokens (the composite-key capacity; enforced).
+    */
+  def substringDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int): DataFrame = {
+    require(w >= 2, s"substringDedup: window must be at least 2 tokens, got $w")
+    // the token-cap assert rides inside __n (adds coalesce(null-on-pass)
+    // = 0) so column pruning can never drop the check
+    val base = df.select(col(idCol),
+      split(col(textCol), " ").as("__toks"))
+      .withColumn("__n",
+        size(col("__toks")) + coalesce(
+          assert_true(size(col("__toks")) < lit(SubstringDedupMaxTokens),
+            lit(s"substringDedup: document exceeds the 2^21 token cap"))
+            .cast("int"),
+          lit(0)))
+    val wins = base.filter(col("__n") >= w)
+      .select(col(idCol),
+        explode(sequence(lit(1), col("__n") - (w - 1))).as("__pos"),
+        col("__toks"))
+      .select(col(idCol), col("__pos"),
+        TextOps.baseHash60(
+          concat_ws(" ", slice(col("__toks"), col("__pos"), lit(w))))
+          .as("__wh"),
+        (col(idCol).cast("long") * SubstringDedupMaxTokens.toLong +
+          col("__pos")).as("__key"))
+    val cnt = wins.groupBy(col("__wh"))
+      .agg(count(lit(1)).as("__c"), min(col("__key")).as("__minkey"))
+      .filter(col("__c") >= 2)
+      .select(col("__wh"), col("__minkey"))
+    val cov = wins.join(cnt, "__wh")
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + (w - 1))).as("__p"),
+        (col("__key") === col("__minkey")).as("__owner"))
+      .groupBy(col(idCol), col("__p"))
+      .agg(max(when(col("__owner"), 1).otherwise(0)).as("__anyowner"))
+    val rm = cov.filter(col("__anyowner") === 0)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__p"))).as("__rm0"))
+    base.join(rm, Seq(idCol), "left")
+      .withColumn("__rm",
+        coalesce(col("__rm0"), array().cast("array<int>")))
+      .select(col(idCol), col("__n").as("n_tokens"),
+        size(col("__rm")).as("n_removed"),
+        (col("__n") - size(col("__rm"))).as("n_kept"),
+        concat_ws(" ", expr(
+          "filter(__toks, (t, i) -> NOT array_contains(__rm, i + 1))"))
+          .as("text_dedup"))
+  }
 }

@@ -510,6 +510,83 @@ object TimeSeriesOps {
         col("avg_v").isNull.as("is_gap"))
   }
 
+  /** Regular-grid resampling with LINEAR interpolation — the
+    * `fill(linear)` sibling of [[resample]] (InfluxQL's third fill
+    * mode, and the gap repair a sensor series wants when carrying the
+    * last value misstates a trend). Same bucket rollup and per-key
+    * grid; each gap bucket then interpolates between the nearest
+    * non-empty buckets on either side:
+    *   v = pv + (nv − pv) · (b − pb)/(nb − pb)
+    * with the ratio formed from exact integer bucket indices in ONE
+    * double division, so both engines derive bit-identical values.
+    * Non-gap buckets carry their own average. (The grid spans each
+    * key's first..last OBSERVED bucket, so every gap has a neighbor on
+    * both sides by construction — no edge-null case exists.)
+    *
+    * Float discipline — interpolation is MIDPOINT-PRONE: with 6-dp
+    * neighbors and small integer denominators (a 2-bucket gap divides
+    * by 2), v lands EXACTLY on 6-dp rounding midpoints, where Spark's
+    * exact-expansion HALF_UP and DuckDB's float round() systematically
+    * disagree (hit in round 14: 65.9733335 → .334 vs .333). So no
+    * round() touches a derived double: neighbors are recovered as
+    * exact 6-dp integers (decimal cast ×10⁶ — safe, they sit ~1 ulp
+    * from a 6-dp value, never near a midpoint), the interpolation is
+    * integer arithmetic with explicit half-up ((2·num + den) div
+    * (2·den), values nonneg by the caller's data), and the ONE double
+    * division by 10⁶ at the end is exact-input deterministic.
+    *
+    * Scale shape: identical to [[resample]] — the prev/next carriers
+    * are two ignore-nulls struct windows over the SAME partitioning
+    * and sort (one exchange, one sort; the forward frame reads the
+    * sorted run in reverse, no second sort).
+    */
+  def resampleInterp(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valCol: String,
+      intervalSeconds: Long): DataFrame = {
+    require(intervalSeconds > 0, "intervalSeconds must be positive")
+    val bucket = (unix_timestamp(col(tsCol)) / intervalSeconds)
+      .cast("long")
+    val agged = df
+      .groupBy(col(keyCol), bucket.as("__b"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(round(col(valCol), 12).cast("decimal(38,12)"))
+          .cast("double") / count(lit(1)), 6).as("avg_v"))
+    val grid = agged
+      .groupBy(col(keyCol))
+      .agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"))).as("__b"))
+    val wPrev = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obs = when(col("avg_v").isNotNull,
+      struct(col("__b").as("b"), col("avg_v").as("v")))
+    val joined = grid.join(agged, Seq(keyCol, "__b"), "left")
+      .withColumn("__p", last(obs, ignoreNulls = true).over(wPrev))
+      .withColumn("__x", first(obs, ignoreNulls = true).over(wNext))
+      .withColumn("__pd6",
+        (col("__p.v").cast("decimal(24,6)") * 1000000).cast("long"))
+      .withColumn("__nd6",
+        (col("__x.v").cast("decimal(24,6)") * 1000000).cast("long"))
+      .withColumn("__den", col("__x.b") - col("__p.b"))
+      .withColumn("__num",
+        col("__pd6") * (col("__x.b") - col("__b")) +
+          col("__nd6") * (col("__b") - col("__p.b")))
+      .withColumn("__v6", expr("(__num * 2 + __den) div (__den * 2)"))
+    joined.select(col(keyCol),
+      (col("__b") * intervalSeconds).as("bucket_start"),
+      coalesce(col("n_events"), lit(0L)).as("n_events"),
+      col("avg_v"),
+      when(col("avg_v").isNotNull, col("avg_v"))
+        .otherwise(col("__v6").cast("double") / 1000000.0)
+        .as("v_interp"),
+      col("avg_v").isNull.as("is_gap"))
+  }
+
   /** Per-series lag, the set-based form of InfluxQL `DIFFERENCE`
     * (`pipeline/cosmoz_process_levels.py:357-361`). Emits `<col>_prev`.
     */

@@ -406,6 +406,76 @@ object TemporalQueries extends QueryModule {
         FROM j
         ORDER BY user_id, bucket_start""")),
 
+    // A45 — resample with LINEAR interpolation (a6's fill(linear)
+    // sibling, InfluxQL's third fill mode): 6-hour buckets per user
+    // (~10k gap rows at sf0.01 — the interpolation path carries real
+    // weight), each gap filled between the nearest non-empty buckets.
+    // The lerp itself is EXACT integer arithmetic with explicit
+    // half-up — (2·(pv6·(nb−b) + nv6·(b−pb)) + den) div (2·den) over
+    // ×10⁶-scaled neighbors — because the float form lands exactly on
+    // 6-dp rounding midpoints where the engines' round() disagree
+    // (see resampleInterp's scaladoc). The oracle restates the
+    // carriers as IGNORE NULLS last/first windows and the identical
+    // integer construction.
+    "a45_resample_interp" -> Q(
+      fn = (s, dir) =>
+        graft.operators.TimeSeriesOps.resampleInterp(
+          t(s, dir, "events"), "user_id", "ts", "value",
+          intervalSeconds = 21600L)
+          .orderBy(col("user_id"), col("bucket_start")),
+      bench = true,
+      oracle = Some("""
+        WITH a AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS b,
+                 count(*) AS n_events,
+                 round(CAST(sum(CAST(round(value, 12) AS DECIMAL(38,12)))
+                   AS DOUBLE) / count(*), 6) AS avg_v
+          FROM events GROUP BY 1, 2),
+        s AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM a GROUP BY 1),
+        g AS (SELECT user_id, unnest(generate_series(lo, hi)) AS b FROM s),
+        j AS (
+          SELECT g.user_id, g.b, a.n_events, a.avg_v
+          FROM g LEFT JOIN a ON a.user_id = g.user_id AND a.b = g.b),
+        c AS (
+          SELECT user_id, b, n_events, avg_v,
+                 last_value(CASE WHEN avg_v IS NOT NULL THEN b END
+                   IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS pb,
+                 last_value(avg_v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS pv,
+                 first_value(CASE WHEN avg_v IS NOT NULL THEN b END
+                   IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY b
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS nb,
+                 first_value(avg_v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY b
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS nv
+          FROM j),
+        d AS (
+          SELECT user_id, b, n_events, avg_v, pb, nb,
+                 CAST(CAST(pv AS DECIMAL(24,6)) * 1000000 AS BIGINT)
+                   AS pv6,
+                 CAST(CAST(nv AS DECIMAL(24,6)) * 1000000 AS BIGINT)
+                   AS nv6
+          FROM c)
+        SELECT user_id, b * 21600 AS bucket_start,
+               coalesce(n_events, 0) AS n_events, avg_v,
+               CASE WHEN avg_v IS NOT NULL THEN avg_v
+                    ELSE CAST(((pv6 * (nb - b) + nv6 * (b - pb)) * 2
+                           + (nb - pb)) // ((nb - pb) * 2) AS DOUBLE)
+                         / 1000000
+               END AS v_interp,
+               avg_v IS NULL AS is_gap
+        FROM d
+        ORDER BY user_id, bucket_start""")),
+
     // J10 — point-in-interval RANGE join (no equi key): which events
     // fall inside each event-type's opening 2-day window. Spark's naive
     // plan for a pure inequality join is a nested loop over the full

@@ -2308,6 +2308,58 @@ object TextQueries extends QueryModule {
         LEFT JOIN per ON per.doc_id = t.doc_id
         ORDER BY t.doc_id""")),
 
+    // D24 — ExactSubstr REMOVAL (d23's transform form): each duplicated
+    // 8-token window keeps its global first occurrence — ownership is
+    // min(doc_id·2^21 + pos), a partial-aggregable integer min, never a
+    // corpus window sort — and positions covered only by non-owner
+    // duplicates are cut, with owner coverage immune so the kept copy
+    // survives overlapping dups. Docs reassemble IN-ROW from kept
+    // tokens; the dedup'd text itself is hash-checked (the d13/d18
+    // reassembly discipline), so the oracle proves byte-identical
+    // output, not just matching counts. Spark's filter() lambda index
+    // is 0-based, DuckDB's is 1-based — both sides test membership of
+    // the same 1-based removal set.
+    "d24_substring_dedup" -> Q(
+      fn = (s, dir) =>
+        DedupOps.substringDedup(t(s, dir, "documents"), "doc_id", "text", 8)
+          .orderBy(col("doc_id")),
+      bench = true,
+      oracle = Some(s"""
+        WITH tok AS (
+          SELECT doc_id, $toksSql AS toks,
+                 CAST(len($toksSql) AS INT) AS n_tokens
+          FROM documents),
+        win AS (
+          SELECT doc_id, i AS pos,
+                 list_transform([array_to_string(toks[i:i+7], ' ')],
+                   s -> $baseHashSql)[1] AS wh,
+                 doc_id * 2097152 + i AS key
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 7)) AS i
+                FROM tok WHERE len(toks) >= 8)),
+        cnt AS (
+          SELECT wh, min(key) AS mk FROM win
+          GROUP BY wh HAVING count(*) >= 2),
+        cov AS (
+          SELECT doc_id, CAST(p AS INT) AS p,
+                 max(CASE WHEN key = mk THEN 1 ELSE 0 END) AS ao
+          FROM (SELECT w.doc_id, w.key, c.mk,
+                       unnest(generate_series(w.pos, w.pos + 7)) AS p
+                FROM win w JOIN cnt c ON c.wh = w.wh)
+          GROUP BY 1, 2),
+        rm AS (
+          SELECT doc_id, list_sort(list(p)) AS rml
+          FROM cov WHERE ao = 0 GROUP BY 1)
+        SELECT t.doc_id, t.n_tokens,
+               CAST(coalesce(len(rm.rml), 0) AS INT) AS n_removed,
+               CAST(t.n_tokens - coalesce(len(rm.rml), 0) AS INT)
+                 AS n_kept,
+               coalesce(array_to_string(list_filter(t.toks, (x, i) ->
+                 NOT list_contains(coalesce(rm.rml, []), i)), ' '), '')
+                 AS text_dedup
+        FROM tok t LEFT JOIN rm ON rm.doc_id = t.doc_id
+        ORDER BY t.doc_id""")),
+
     // D11 — character-level edit-distance verification of a blocked pair
     // set (the record-linkage refine step after LSH/sorted-neighborhood
     // blocking): Levenshtein distance + normalized similarity

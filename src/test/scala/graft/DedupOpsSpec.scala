@@ -322,4 +322,40 @@ class DedupOpsSpec extends SparkSpec {
     assert(out(6) === ((7L, 2, 0, 0, 0, 0L, 0.0)))
     assert(out(7) === ((8L, 6, 3, 0, 0, 0L, 0.0)))
   }
+
+  test("substringDedup: global first occurrence survives byte-identical, " +
+    "non-owner coverage is cut, owner coverage is immune to overlapping " +
+    "dups, within-doc repeats keep the first copy, clean/short docs " +
+    "pass through") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // owns every shared window -> untouched
+      (2L, "a b c d e z"),   // loses [1,5] to doc1 -> "z"
+      (3L, "b c d e f y"),   // loses [1,5] to doc1 -> "y"
+      (4L, "m n o p m n o p"), // within-doc: keeps FIRST run
+      (5L, "d1 d2 d3 d4 g1 g2 g3 g4 d1 d2 d3 d4"), // owner at 1, red at 9
+      (6L, "u1 d1 d2 d3 d4 u2 u3 u4 u5 u6 u7 u8"), // loses [2,5] to doc5
+      (7L, "t u"),
+      (8L, "q1 q2 q3 q4 q5 q6")).toDF("doc_id", "text")
+    val out = DedupOps.substringDedup(docs, "doc_id", "text", w = 4)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_tokens", $"n_removed", $"n_kept",
+        $"text_dedup")
+      .as[(Long, Int, Int, Int, String)].collect()
+    assert(out(0) === ((1L, 6, 0, 6, "a b c d e f")))
+    assert(out(1) === ((2L, 6, 5, 1, "z")))
+    assert(out(2) === ((3L, 6, 5, 1, "y")))
+    assert(out(3) === ((4L, 8, 4, 4, "m n o p")))
+    assert(out(4) === ((5L, 12, 4, 8, "d1 d2 d3 d4 g1 g2 g3 g4")))
+    assert(out(5) === ((6L, 12, 4, 8, "u1 u2 u3 u4 u5 u6 u7 u8")))
+    assert(out(6) === ((7L, 2, 0, 2, "t u")))
+    assert(out(7) === ((8L, 6, 0, 6, "q1 q2 q3 q4 q5 q6")))
+    // removal is idempotent: a second pass over the dedup'd corpus
+    // finds nothing left to cut
+    val again = DedupOps.substringDedup(
+      out.map(r => (r._1, r._5)).toSeq.toDF("doc_id", "text"),
+      "doc_id", "text", w = 4)
+      .select($"doc_id", $"text_dedup").as[(Long, String)]
+      .collect().sortBy(_._1)
+    assert(again.map(_._2).toSeq === out.map(_._5).toSeq)
+  }
 }

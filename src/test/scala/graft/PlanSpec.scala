@@ -381,6 +381,30 @@ class PlanSpec extends SparkSpec {
       exch.mkString("\n"))
   }
 
+  test("d24: the removal form keeps d23's no-text-shuffle property — " +
+    "every exchange keys on the window hash, the doc id, or the " +
+    "position; ownership is a map-side partial min, never a corpus " +
+    "window sort; 3 document scans") {
+    val p = plan("d24_substring_dedup")
+    assert(p.contains("partial_min"), p)
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.size === 3, p)
+    val exch = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exch.forall(e => e.contains("__wh") || e.contains("doc_id")),
+      exch.mkString("\n"))
+  }
+
+  test("a45: both interpolation carrier windows ride ONE sort on the " +
+    "grid's key exchange (the bucket rollup broadcasts in) — two hash " +
+    "exchanges total, no extra sort per window") {
+    val p = plan("a45_resample_interp")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
+    assert("Window \\[".r.findAllIn(p).size === 2, p)
+    assert("Sort \\[user_id#\\d+L ASC NULLS FIRST, __b#\\d+L ASC NULLS FIRST\\], false"
+      .r.findAllIn(p).size === 1, p)
+  }
+
   test("s17: the ORC read pushes the predicate and prunes columns like " +
     "parquet") {
     val p = plan("s17_orc_roundtrip")

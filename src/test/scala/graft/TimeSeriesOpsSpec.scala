@@ -145,6 +145,33 @@ class TimeSeriesOpsSpec extends SparkSpec {
       (2, jan1 + 4 * d, 1L, Some(5.0), 5.0, false))) // own span only
   }
 
+  test("resampleInterp: multi-bucket gaps interpolate linearly between " +
+    "the nearest observations, observed buckets carry their own " +
+    "average, single keys' spans stay independent") {
+    val df = Seq(
+      (1, "2024-01-01 10:00:00", 10.0),
+      (1, "2024-01-01 14:00:00", 20.0), // bucket 0 -> avg 15
+      // Jan 2 and Jan 3 are gaps; Jan 4 observes 45:
+      //   thirds of the 15 -> 45 climb: 25, 35
+      (1, "2024-01-04 10:00:00", 45.0),
+      (2, "2024-01-05 00:00:00", 5.0)) // single bucket, no gaps
+      .toDF("user_id", "ts", "value").withColumn("ts", to_timestamp($"ts"))
+    val out = TimeSeriesOps.resampleInterp(
+      df, "user_id", "ts", "value", 86400L)
+      .orderBy($"user_id", $"bucket_start")
+      .as[(Int, Long, Long, Option[Double], Option[Double], Boolean)]
+      .collect().toSeq
+    val d = 86400L
+    val jan1 = java.time.LocalDate.of(2024, 1, 1)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    assert(out === Seq(
+      (1, jan1, 2L, Some(15.0), Some(15.0), false),
+      (1, jan1 + d, 0L, None, Some(25.0), true),
+      (1, jan1 + 2 * d, 0L, None, Some(35.0), true),
+      (1, jan1 + 3 * d, 1L, Some(45.0), Some(45.0), false),
+      (2, jan1 + 4 * d, 1L, Some(5.0), Some(5.0), false)))
+  }
+
   test("pointInInterval == the naive inequality join on real data, and " +
     "the bucketed plan has no nested loop") {
     val ev = Tables(spark, "/root/testdata/sf0.001", "events")
