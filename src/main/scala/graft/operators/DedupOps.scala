@@ -966,23 +966,29 @@ object DedupOps {
       textCol: String,
       w: Int): DataFrame = {
     require(w >= 2, s"substringSpans: window must be at least 2 tokens, got $w")
-    val base = df.select(col(idCol),
-      split(col(textCol), " ").as("__toks"))
-      .withColumn("__n", size(col("__toks")))
-    val wins = base.filter(col("__n") >= w)
-      .select(col(idCol),
-        explode(sequence(lit(1), col("__n") - (w - 1))).as("__pos"),
-        col("__toks"))
-      .select(col(idCol), col("__pos"),
-        TextOps.baseHash60(
-          concat_ws(" ", slice(col("__toks"), col("__pos"), lit(w))))
-          .as("__wh"))
+    val wins = substrWindows(df, idCol, textCol, w)
     val dupHashes = wins.groupBy(col("__wh"))
       .agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= 2)
       .select(col("__wh"))
-    val dup = wins.join(dupHashes, "__wh")
-      .select(col(idCol), col("__pos"))
+    substrSpanStats(df, wins.join(dupHashes, "__wh"), idCol, textCol, w)
+  }
+
+  /** Islands + rollup back-half shared by [[substringSpans]] and
+    * [[substringSpansAgainst]]: merge the duplicated-window coverage
+    * into maximal spans per doc and join the per-doc statistics back.
+    * n_dup_spans / dup_tokens / n_dup_windows all roll up from the ONE
+    * islands lineage, and n_windows is pure per-row arithmetic
+    * (n − w + 1, floored at 0) — the hashed-window subtree is built
+    * exactly twice (the count and the join-back), never per-statistic.
+    */
+  private def substrSpanStats(
+      df: DataFrame,
+      dupWins: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int): DataFrame = {
+    val dup = dupWins.select(col(idCol), col("__pos"))
     val wPrev = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wCum = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
@@ -996,16 +1002,14 @@ object DedupOps {
       .agg(min(col("__pos")).as("__s"),
         (max(col("__pos")) + (w - 1)).as("__e"),
         count(lit(1)).as("__nd"))
-    // n_dup_spans / dup_tokens / n_dup_windows all roll up from the ONE
-    // islands lineage, and n_windows is pure per-row arithmetic
-    // (n − w + 1, floored at 0) — the hashed-window subtree is built
-    // exactly twice (the count and the join-back), never per-statistic.
     val per = spans.groupBy(col(idCol)).agg(
       count(lit(1)).cast("int").as("n_dup_spans"),
       sum(col("__e") - col("__s") + 1).as("dup_tokens"),
       sum(col("__nd")).cast("int").as("n_dup_windows"))
-    base.select(col(idCol), col("__n").as("n_tokens"),
-      greatest(col("__n") - (w - 1), lit(0)).as("n_windows"))
+    df.select(col(idCol),
+      size(split(col(textCol), " ")).as("n_tokens"))
+      .withColumn("n_windows",
+        greatest(col("n_tokens") - (w - 1), lit(0)))
       .join(per, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"), col("n_windows"),
         coalesce(col("n_dup_windows"), lit(0)).as("n_dup_windows"),
@@ -1019,6 +1023,120 @@ object DedupOps {
     * ownership key (doc_id · 2^21 + pos must stay injective).
     */
   val SubstringDedupMaxTokens: Int = 1 << 21
+
+  /** (idCol, __pos, __wh, __key) for every w-token window — the shared
+    * front of the ExactSubstr family. __key is the composite ownership
+    * key (doc_id · 2^21 + pos); the token-cap assert rides inside __n
+    * so column pruning can never drop it.
+    */
+  private def substrWindows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int): DataFrame = {
+    val base = df.select(col(idCol),
+      split(col(textCol), " ").as("__toks"))
+      .withColumn("__n",
+        size(col("__toks")) + coalesce(
+          assert_true(size(col("__toks")) < lit(SubstringDedupMaxTokens),
+            lit(s"ExactSubstr: document exceeds the 2^21 token cap"))
+            .cast("int"),
+          lit(0)))
+    base.filter(col("__n") >= w)
+      .select(col(idCol),
+        explode(sequence(lit(1), col("__n") - (w - 1))).as("__pos"),
+        col("__toks"))
+      .select(col(idCol), col("__pos"),
+        TextOps.baseHash60(
+          concat_ws(" ", slice(col("__toks"), col("__pos"), lit(w))))
+          .as("__wh"),
+        (col(idCol).cast("long") * SubstringDedupMaxTokens.toLong +
+          col("__pos")).as("__key"))
+  }
+
+  /** The corpus's window-hash summary — the MERGEABLE state that makes
+    * ExactSubstr incremental: per distinct window hash, its occurrence
+    * count and its minimum ownership key. Counts add and min-keys min,
+    * so per-batch / per-partition summaries fold losslessly
+    * ([[substrIndexMerge]]) — the same algebra every sketch in
+    * SketchOps carries, which is what lets a streaming ingest keep one
+    * summary per micro-batch and a reader fold them
+    * ([[graft.streaming.StreamingOps.substrIngest]]). O(distinct
+    * windows) rows of three longs; text never leaves the map side.
+    */
+  def substrIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int): DataFrame = {
+    require(w >= 2, s"substrIndex: window must be at least 2 tokens, got $w")
+    substrWindows(df, idCol, textCol, w)
+      .groupBy(col("__wh").as("wh"))
+      .agg(count(lit(1)).as("cnt"), min(col("__key")).as("minkey"))
+  }
+
+  /** Fold many summary frames into the summary of their union: counts
+    * add, ownership keys min. Exactly the index a single pass over the
+    * combined corpus would build.
+    */
+  def substrIndexMerge(parts: DataFrame): DataFrame =
+    parts.groupBy(col("wh"))
+      .agg(sum(col("cnt")).as("cnt"), min(col("minkey")).as("minkey"))
+
+  /** [[substringSpans]] for a BATCH against an existing corpus summary:
+    * a batch window is duplicated when its corpus-wide total — batch
+    * occurrences plus the index's count — reaches 2. With
+    * `index = substrIndex(A)` this equals `substringSpans(A ∪ batch)`
+    * restricted to the batch's docs (the equality the spec pins), but
+    * touches only the batch's text plus the summary — the corpus is
+    * never re-read, the [[DedupStore]] contract for exact substrings.
+    */
+  def substringSpansAgainst(
+      index: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int): DataFrame = {
+    require(w >= 2,
+      s"substringSpansAgainst: window must be at least 2 tokens, got $w")
+    val wins = substrWindows(df, idCol, textCol, w)
+    val dupHashes = wins.groupBy(col("__wh"))
+      .agg(count(lit(1)).as("__bc"))
+      .join(index.select(col("wh").as("__wh"), col("cnt").as("__ic")),
+        Seq("__wh"), "left")
+      .filter(col("__bc") + coalesce(col("__ic"), lit(0L)) >= 2)
+      .select(col("__wh"))
+    substrSpanStats(df, wins.join(dupHashes, "__wh"), idCol, textCol, w)
+  }
+
+  /** [[substringDedup]] for a BATCH against an existing corpus summary:
+    * ownership is the minimum composite key across the index AND the
+    * batch, so a window whose first occurrence lives in the indexed
+    * corpus removes ALL batch copies, while a window new to this batch
+    * keeps its earliest batch copy. With `index = substrIndex(A)` this
+    * equals `substringDedup(A ∪ batch)` restricted to the batch (ids
+    * must be globally unique across corpus and batch — the composite
+    * key's contract).
+    */
+  def substringDedupAgainst(
+      index: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int): DataFrame = {
+    require(w >= 2,
+      s"substringDedupAgainst: window must be at least 2 tokens, got $w")
+    val wins = substrWindows(df, idCol, textCol, w)
+    val cnt = wins.groupBy(col("__wh"))
+      .agg(count(lit(1)).as("__bc"), min(col("__key")).as("__bmin"))
+      .join(index.select(col("wh").as("__wh"), col("cnt").as("__ic"),
+        col("minkey").as("__imin")), Seq("__wh"), "left")
+      .filter(col("__bc") + coalesce(col("__ic"), lit(0L)) >= 2)
+      .select(col("__wh"),
+        least(col("__bmin"), coalesce(col("__imin"), col("__bmin")))
+          .as("__minkey"))
+    substrRemoval(df, wins, cnt, idCol, textCol, w)
+  }
 
   /** The REMOVAL form of [[substringSpans]] — Lee et al.'s ExactSubstr
     * dedup as a transform, not a report: every duplicated w-token
@@ -1047,30 +1165,27 @@ object DedupOps {
       textCol: String,
       w: Int): DataFrame = {
     require(w >= 2, s"substringDedup: window must be at least 2 tokens, got $w")
-    // the token-cap assert rides inside __n (adds coalesce(null-on-pass)
-    // = 0) so column pruning can never drop the check
-    val base = df.select(col(idCol),
-      split(col(textCol), " ").as("__toks"))
-      .withColumn("__n",
-        size(col("__toks")) + coalesce(
-          assert_true(size(col("__toks")) < lit(SubstringDedupMaxTokens),
-            lit(s"substringDedup: document exceeds the 2^21 token cap"))
-            .cast("int"),
-          lit(0)))
-    val wins = base.filter(col("__n") >= w)
-      .select(col(idCol),
-        explode(sequence(lit(1), col("__n") - (w - 1))).as("__pos"),
-        col("__toks"))
-      .select(col(idCol), col("__pos"),
-        TextOps.baseHash60(
-          concat_ws(" ", slice(col("__toks"), col("__pos"), lit(w))))
-          .as("__wh"),
-        (col(idCol).cast("long") * SubstringDedupMaxTokens.toLong +
-          col("__pos")).as("__key"))
+    val wins = substrWindows(df, idCol, textCol, w)
     val cnt = wins.groupBy(col("__wh"))
       .agg(count(lit(1)).as("__c"), min(col("__key")).as("__minkey"))
       .filter(col("__c") >= 2)
       .select(col("__wh"), col("__minkey"))
+    substrRemoval(df, wins, cnt, idCol, textCol, w)
+  }
+
+  /** Coverage + reassembly back-half shared by [[substringDedup]] and
+    * [[substringDedupAgainst]]: positions covered only by non-owner
+    * duplicate windows are removed (owner coverage immune), each doc
+    * rebuilds in-row from its kept tokens. `cnt` carries (__wh,
+    * __minkey) for the duplicated hashes.
+    */
+  private def substrRemoval(
+      df: DataFrame,
+      wins: DataFrame,
+      cnt: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int): DataFrame = {
     val cov = wins.join(cnt, "__wh")
       .select(col(idCol),
         explode(sequence(col("__pos"), col("__pos") + (w - 1))).as("__p"),
@@ -1080,7 +1195,9 @@ object DedupOps {
     val rm = cov.filter(col("__anyowner") === 0)
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__p"))).as("__rm0"))
-    base.join(rm, Seq(idCol), "left")
+    df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .join(rm, Seq(idCol), "left")
       .withColumn("__rm",
         coalesce(col("__rm0"), array().cast("array<int>")))
       .select(col(idCol), col("__n").as("n_tokens"),

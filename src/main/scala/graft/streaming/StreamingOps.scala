@@ -311,6 +311,40 @@ object StreamingOps {
     graft.operators.SketchOps.hllMerge(
       spark.read.parquet(sketchPath).drop("batch_id"), keys)
 
+  /** Streaming ExactSubstr maintenance — the window-hash summary
+    * ([[graft.operators.DedupOps.substrIndex]]: per-hash count +
+    * min ownership key) is a mergeable summary like the sketches
+    * (counts add, min-keys min), so it takes the [[sketchIngest]]
+    * layout verbatim: each micro-batch writes its own partial into a
+    * per-batch partition (replay overwrites itself — idempotent), and
+    * [[readSubstrIndex]] folds them into the corpus-so-far summary.
+    * Flag an arriving batch with
+    * [[graft.operators.DedupOps.substringSpansAgainst]] /
+    * [[substringDedupAgainst]] BEFORE ingesting it — the corpus text is
+    * never re-read, only its O(distinct windows) summary.
+    */
+  def substrIngest(
+      indexPath: String,
+      idCol: String,
+      textCol: String,
+      w: Int): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      graft.operators.DedupOps.substrIndex(batch, idCol, textCol, w)
+        .write.mode("overwrite")
+        .parquet(s"$indexPath/batch_id=$batchId")
+    }
+
+  /** Fold the per-batch window-hash partials under `indexPath` into
+    * the whole-corpus summary — identical to one
+    * [[graft.operators.DedupOps.substrIndex]] pass over every row seen
+    * so far. Same reader contract as [[readSketch]].
+    */
+  def readSubstrIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): DataFrame =
+    graft.operators.DedupOps.substrIndexMerge(
+      spark.read.parquet(indexPath).drop("batch_id"))
+
   def exactDedupStream(
       df: DataFrame,
       keys: Seq[String],

@@ -358,4 +358,69 @@ class DedupOpsSpec extends SparkSpec {
       .collect().sortBy(_._1)
     assert(again.map(_._2).toSeq === out.map(_._5).toSeq)
   }
+
+  test("substrIndex: per-half summaries merge into the whole build; " +
+    "spansAgainst/dedupAgainst on a batch equal the union computation " +
+    "restricted to the batch (incl. cross-corpus ownership: an indexed " +
+    "owner removes the batch copy); an empty index degrades to the " +
+    "plain form") {
+    val w = 4
+    val corpusA = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e z"),
+      (3L, "b c d e f y"),
+      (4L, "m n o p m n o p")).toDF("doc_id", "text")
+    val batchB = Seq(
+      (5L, "d1 d2 d3 d4 g1 g2 g3 g4 d1 d2 d3 d4"),
+      (6L, "u1 d1 d2 d3 d4 u2 u3 u4 u5 u6 u7 u8"),
+      (7L, "t u"),
+      (8L, "q1 q2 q3 q4 q5 q6"),
+      // cross-corpus: window "a b c d" is OWNED by doc 1 in the
+      // indexed corpus — the batch copy must be removed
+      (9L, "a b c d x9 y9 z9")).toDF("doc_id", "text")
+    val all = corpusA.union(batchB)
+
+    def idxRows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"wh", $"cnt", $"minkey").as[(Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    val whole = DedupOps.substrIndex(all, "doc_id", "text", w)
+    val merged = DedupOps.substrIndexMerge(
+      DedupOps.substrIndex(corpusA, "doc_id", "text", w)
+        .union(DedupOps.substrIndex(batchB, "doc_id", "text", w)))
+    assert(idxRows(merged) === idxRows(whole))
+
+    val idx = DedupOps.substrIndex(corpusA, "doc_id", "text", w)
+    def spansRows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"n_tokens", $"n_windows", $"n_dup_windows",
+        $"n_dup_spans", $"dup_tokens", $"dup_frac")
+        .as[(Long, Int, Int, Int, Int, Long, Double)]
+        .collect().sortBy(_._1).toSeq
+    assert(
+      spansRows(DedupOps.substringSpansAgainst(
+        idx, batchB, "doc_id", "text", w)) ===
+      spansRows(DedupOps.substringSpans(all, "doc_id", "text", w)
+        .filter($"doc_id" >= 5L)))
+    def dedupRows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"n_tokens", $"n_removed", $"n_kept",
+        $"text_dedup")
+        .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1).toSeq
+    val against = dedupRows(DedupOps.substringDedupAgainst(
+      idx, batchB, "doc_id", "text", w))
+    assert(against ===
+      dedupRows(DedupOps.substringDedup(all, "doc_id", "text", w)
+        .filter($"doc_id" >= 5L)))
+    // the cross-corpus case concretely: doc 9 lost "a b c d" to doc 1
+    assert(against.find(_._1 == 9L).get._5 === "x9 y9 z9")
+    // an empty index degrades both AGAINST forms to the plain ones
+    val empty = DedupOps.substrIndex(
+      corpusA.limit(0), "doc_id", "text", w)
+    assert(
+      spansRows(DedupOps.substringSpansAgainst(
+        empty, batchB, "doc_id", "text", w)) ===
+      spansRows(DedupOps.substringSpans(batchB, "doc_id", "text", w)))
+    assert(
+      dedupRows(DedupOps.substringDedupAgainst(
+        empty, batchB, "doc_id", "text", w)) ===
+      dedupRows(DedupOps.substringDedup(batchB, "doc_id", "text", w)))
+  }
 }

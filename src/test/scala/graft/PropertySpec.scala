@@ -315,6 +315,79 @@ class PropertySpec extends SparkSpec {
     }, samples = 10)
   }
 
+  test("hllMerge: 3-way split merged in either grouping equals the " +
+    "one-shot register file, and re-merging it is a no-op (idempotent " +
+    "max algebra)") {
+    import graft.operators.SketchOps
+    val rowsGen = for {
+      n <- Gen.choose(4, 80)
+      vs <- Gen.listOfN(n, Gen.choose(0L, 400L))
+    } yield vs.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+    check(Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("id", "g", "v")
+      def sk(d: org.apache.spark.sql.DataFrame) =
+        SketchOps.hllSketch(d, Seq("g"), "v")
+      def regsOf(d: org.apache.spark.sql.DataFrame) =
+        d.select($"g", $"regs").as[(String, Seq[Int])]
+          .collect().toSeq.sortBy(_._1)
+      val whole = regsOf(sk(df))
+      val p0 = sk(df.filter($"id" % 3 === 0))
+      val p1 = sk(df.filter($"id" % 3 === 1))
+      val p2 = sk(df.filter($"id" % 3 === 2))
+      val left = SketchOps.hllMerge(
+        SketchOps.hllMerge(p0.union(p1), Seq("g")).union(p2), Seq("g"))
+      val right = SketchOps.hllMerge(
+        p0.union(SketchOps.hllMerge(p1.union(p2), Seq("g"))), Seq("g"))
+      regsOf(left) == whole && regsOf(right) == whole &&
+        regsOf(SketchOps.hllMerge(left.union(left), Seq("g"))) == whole
+    }, samples = 10)
+  }
+
+  // NOTE deliberately NOT asserted: second-pass idempotence. Removal
+  // seams create new token adjacencies, and on a small alphabet those
+  // can form fresh duplicated windows — the same artifact the paper's
+  // char-span concatenation has. The invariants that ARE theorems:
+  // count arithmetic, and owner survival (an owner's positions are all
+  // kept and contiguous, so its window string survives reassembly).
+  test("substringDedup: on random small-alphabet corpora the counts are " +
+    "consistent and every originally-duplicated window survives " +
+    "somewhere (the owner copy is never destroyed)") {
+    import graft.operators.DedupOps
+    val w = 3
+    val docGen = for {
+      n <- Gen.choose(0, 24)
+      ts <- Gen.listOfN(n, Gen.oneOf("x", "y", "z", "q"))
+    } yield ts.mkString(" ")
+    val corpusGen = for {
+      m <- Gen.choose(2, 10)
+      ds <- Gen.listOfN(m, docGen)
+    } yield ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    def windows(text: String): Seq[String] = {
+      val ts = text.split(" ").toSeq
+      if (text.isEmpty || ts.length < w) Seq.empty
+      else ts.sliding(w).map(_.mkString(" ")).toSeq
+    }
+    check(Prop.forAll(corpusGen) { docs =>
+      val out = DedupOps.substringDedup(
+        docs.toDF("doc_id", "text"), "doc_id", "text", w)
+        .select($"doc_id", $"n_tokens", $"n_removed", $"n_kept",
+          $"text_dedup")
+        .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1).toSeq
+      val arith = out.forall { case (_, n, r, k, td) =>
+        n == r + k &&
+          (if (k == 0) td.isEmpty
+           else td.split(" ").length == k)
+      }
+      // every window that occurred >= 2 times in the original corpus
+      // keeps its owner copy: it must still occur in the dedup'd corpus
+      val orig = docs.flatMap(d => windows(d._2))
+      val dupSet = orig.groupBy(identity).filter(_._2.size >= 2).keySet
+      val after = out.flatMap(o => windows(o._5)).toSet
+      val owners = dupSet.forall(after.contains)
+      arith && owners
+    }, samples = 10)
+  }
+
   test("pagerankPick: rank mass stays ~1 over the graph, exactly one " +
     "authority per component, ranks positive") {
     import graft.operators.DedupOps

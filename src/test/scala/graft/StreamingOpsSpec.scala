@@ -306,9 +306,7 @@ class StreamingOpsSpec extends SparkSpec {
     "fold unchanged — max-idempotence, the property additive sketches " +
     "lack") {
     implicit val sql = spark.sqlContext
-    val d = java.nio.file.Files.createTempDirectory("graft_hll_").toFile
-    d.deleteOnExit()
-    val path = d.getAbsolutePath + "/sketch"
+    val path = tempDir("graft_hll_") + "/sketch"
     val rows = (1L to 200L).map(i => (i, s"g${i % 3}", i * 7 % 101))
     val input = MemoryStream[(Long, String, Long)]
     val q = input.toDS().toDF("id", "g", "v")
@@ -346,6 +344,54 @@ class StreamingOpsSpec extends SparkSpec {
       .select($"g", $"n_distinct_est").as[(String, Double)]
       .collect().toMap
     assert(est === estOne)
+  }
+
+  test("substrIngest: per-batch window-hash partials fold to the " +
+    "whole-corpus summary; flagging and deduping a NEW batch against " +
+    "the folded index equals the union computation — the corpus text " +
+    "is never re-read") {
+    implicit val sql = spark.sqlContext
+    val path = tempDir("graft_substr_") + "/index"
+    val w = 4
+    val b1 = Seq((1L, "a b c d e f"), (2L, "a b c d e z"))
+    val b2 = Seq((3L, "b c d e f y"), (4L, "m n o p m n o p"))
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(StreamingOps.substrIngest(path, "doc_id", "text", w))
+      .outputMode(OutputMode.Append).start()
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val seen = (b1 ++ b2).toDF("doc_id", "text")
+    def idxRows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"wh", $"cnt", $"minkey").as[(Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    val folded = StreamingOps.readSubstrIndex(spark, path)
+    assert(idxRows(folded) ===
+      idxRows(graft.operators.DedupOps.substrIndex(
+        seen, "doc_id", "text", w)))
+
+    // a new arriving batch (doc 9 duplicates doc 1's opening window)
+    val nb = Seq((9L, "a b c d x9 y9 z9")).toDF("doc_id", "text")
+    val union = seen.union(nb)
+    val flagged = graft.operators.DedupOps.substringSpansAgainst(
+      folded, nb, "doc_id", "text", w)
+      .select($"doc_id", $"n_dup_windows", $"dup_tokens")
+      .as[(Long, Int, Long)].head()
+    val unionRow = graft.operators.DedupOps.substringSpans(
+      union, "doc_id", "text", w)
+      .filter($"doc_id" === 9L)
+      .select($"doc_id", $"n_dup_windows", $"dup_tokens")
+      .as[(Long, Int, Long)].head()
+    assert(flagged === unionRow)
+    val cleaned = graft.operators.DedupOps.substringDedupAgainst(
+      folded, nb, "doc_id", "text", w)
+      .select($"text_dedup").as[String].head()
+    assert(cleaned === "x9 y9 z9")
   }
 
   test("exactDedupStream: exact re-arrivals within the watermark drop " +
