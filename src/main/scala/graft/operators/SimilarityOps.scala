@@ -998,6 +998,75 @@ object SimilarityOps {
         row_number().over(Window.orderBy(col("sim").desc, col(idCol).asc)))
   }
 
+  /** Top principal direction of an embedding column by POWER ITERATION
+    * — in-engine dimensionality reduction (the whitening/projection
+    * step ahead of ANN index builds, and the 1-component PCA a corpus
+    * drift monitor watches): v ← normalize((XᵀX)·v), iterated from the
+    * deterministic all-ones start, converging to the dominant
+    * eigenvector of the (uncentered) covariance — run over
+    * MEAN-CENTERED vectors upstream when classic PCA is wanted.
+    *
+    * Numeric discipline (the kmeansFit/t26 recipe): each matrix apply
+    * is two partial-aggregable decimal sums — s_i = Σ round(x_ij·v_j)
+    * per row, w_j = Σ round(s_i·x_ij) per dim — so cross-row addition
+    * order cannot matter; the norm folds the 12-dp-rounded squares
+    * exactly on the driver; loadings re-round to 9 dp per round, so
+    * the whole trajectory is engine-portable and a SQL oracle can
+    * restate every round verbatim.
+    *
+    * Scale shape: per round, two shuffles over the exploded (id, dim)
+    * frame with map-side combine, one broadcast of the 64-row v, and
+    * an O(d) driver collect — the Lloyd's shape (iters is a small
+    * constant; the corpus is scanned once per round, never held).
+    *
+    * Output: one row per dimension — `dim` (0-based), `loading`
+    * (9 dp), `eigval` (6 dp; ‖w‖ of the final round ≈ the dominant
+    * eigenvalue of XᵀX).
+    */
+  def powerIteration(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 4,
+      s"powerIteration: iters must be in 1..4 (each is a corpus pass), got $iters")
+    val spark = df.sparkSession
+    val dims = df.select(col(idCol).as("__id"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "__x")))
+    def roundN(x: Double, n: Int): Double =
+      BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def step(vDf: DataFrame): Array[Double] = {
+      val s = dims.join(broadcast(vDf), "dim")
+        .select(col("__id"),
+          round(col("__x") * col("v"), 12).cast("decimal(38,12)").as("__t"))
+        .groupBy(col("__id"))
+        .agg(sum(col("__t")).cast("double").as("__s"))
+      dims.join(s, "__id")
+        .select(col("dim"),
+          round(col("__s") * col("__x"), 12).cast("decimal(38,12)").as("__t2"))
+        .groupBy(col("dim")).agg(sum(col("__t2")).as("__w"))
+        .orderBy(col("dim"))
+        .collect().map(_.getDecimal(1).doubleValue())
+    }
+    import spark.implicits._
+    var v: Array[Double] = null
+    var eig = 0.0
+    var vDf = dims.select(col("dim")).distinct()
+      .select(col("dim"), lit(1.0).as("v"))
+    for (_ <- 1 to iters) {
+      val w = step(vDf)
+      val norm2 = w.map(x => BigDecimal(roundN(x * x, 12))).sum
+      eig = math.sqrt(norm2.toDouble)
+      v = w.map(x => roundN(x / eig, 9))
+      vDf = v.zipWithIndex.map { case (l, d) => (d, l) }.toSeq
+        .toDF("dim", "v")
+    }
+    v.zipWithIndex.map { case (l, d) => (d, l) }.toSeq
+      .toDF("dim", "loading")
+      .withColumn("eigval", lit(roundN(eig, 6)))
+      .select(col("dim"), col("loading"), col("eigval"))
+  }
+
   /** Per-DIMENSION statistics of an embedding column — the profile that
     * sizes SQ8 ranges, spots dead/saturated dimensions, and sanity-
     * checks a new embedding source. One posexplode + one partial-

@@ -993,6 +993,63 @@ object SimilarityQueries extends QueryModule {
         FROM r WHERE rank <= 10
         ORDER BY qid, rank""")),
 
+    // V35 — top principal component by power iteration (2 rounds, in-
+    // engine PCA): v ← normalize((XᵀX)v) from the all-ones start. Every
+    // arithmetic step is the kmeansFit/t26 discipline — 12-dp-rounded
+    // products into exact decimal sums, 9-dp loadings per round — so
+    // the oracle unrolls both rounds verbatim (two matrix applies, two
+    // normalizations) and the loadings/eigenvalue hash-match. The
+    // capability class this adds: dimensionality reduction/whitening
+    // ahead of ANN builds, and the drift statistic a corpus monitor
+    // watches (the dominant direction shifting = a source changed).
+    "v35_pca_power" -> Q(
+      fn = (s, dir) =>
+        graft.operators.SimilarityOps.powerIteration(
+          t(s, dir, "embeddings"), "vec_id", "embedding", iters = 2)
+          .orderBy(col("dim")),
+      bench = true,
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+          FROM embeddings, range(1, 65) t(i)),
+        s1 AS (
+          SELECT vec_id,
+                 CAST(sum(CAST(round(x * 1.0, 12) AS DECIMAL(38,12)))
+                   AS DOUBLE) AS s
+          FROM e GROUP BY 1),
+        w1 AS (
+          SELECT e.dim,
+                 CAST(sum(CAST(round(s1.s * e.x, 12) AS DECIMAL(38,12)))
+                   AS DECIMAL(38,12)) AS w
+          FROM e JOIN s1 USING (vec_id) GROUP BY 1),
+        n1 AS (
+          SELECT CAST(sum(CAST(round(CAST(w AS DOUBLE) * CAST(w AS DOUBLE),
+                   12) AS DECIMAL(38,12))) AS DOUBLE) AS n2
+          FROM w1),
+        v1 AS (
+          SELECT dim, round(CAST(w AS DOUBLE) / sqrt(n1.n2), 9) AS v
+          FROM w1, n1),
+        s2 AS (
+          SELECT e.vec_id,
+                 CAST(sum(CAST(round(e.x * v1.v, 12) AS DECIMAL(38,12)))
+                   AS DOUBLE) AS s
+          FROM e JOIN v1 USING (dim) GROUP BY 1),
+        w2 AS (
+          SELECT e.dim,
+                 CAST(sum(CAST(round(s2.s * e.x, 12) AS DECIMAL(38,12)))
+                   AS DECIMAL(38,12)) AS w
+          FROM e JOIN s2 USING (vec_id) GROUP BY 1),
+        n2c AS (
+          SELECT CAST(sum(CAST(round(CAST(w AS DOUBLE) * CAST(w AS DOUBLE),
+                   12) AS DECIMAL(38,12))) AS DOUBLE) AS n2
+          FROM w2)
+        SELECT w2.dim,
+               round(CAST(w2.w AS DOUBLE) / sqrt(n2c.n2), 9) AS loading,
+               round(sqrt(n2c.n2), 6) AS eigval
+        FROM w2, n2c
+        ORDER BY w2.dim""")),
+
     // V15 — residual ADC ORDERING under the oracle gate: v14 proves
     // candidate completeness (full probe/refine collapses to brute
     // force); this row pins the part v14 cannot — the residual ADC

@@ -410,4 +410,35 @@ class SimilarityOpsSpec extends SparkSpec {
       SimilarityOps.mmrRerank(cands, lambdaParam = 0.5, k = 0)
     }
   }
+
+  test("powerIteration: recovers a planted dominant axis, loadings are " +
+    "unit-norm within rounding, the all-ones start fixes the sign, " +
+    "reruns are bit-identical, iters guard") {
+    // 30 vectors ~ along axis 0 (amplitude 3) with small noise on
+    // axis 1 and nothing on 2/3: dominant eigenvector ≈ e0, and the
+    // positive amplitudes + all-ones start force loading(0) > 0
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array(3.0f, 0.1f * (i % 3 - 1), 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    def run() = SimilarityOps.powerIteration(
+      vecs, "vec_id", "embedding", iters = 2)
+      .orderBy($"dim")
+      .select($"dim", $"loading", $"eigval")
+      .as[(Int, Double, Double)].collect().toSeq
+    val out = run()
+    assert(out.map(_._1) === Seq(0, 1, 2, 3))
+    val loadings = out.map(_._2)
+    assert(loadings(0) > 0.99, loadings.toString) // planted axis, + sign
+    assert(math.abs(loadings(1)) < 0.1)
+    assert(loadings(2) === 0.0)
+    assert(loadings(3) === 0.0)
+    val norm = loadings.map(x => x * x).sum
+    assert(math.abs(norm - 1.0) < 1e-8, norm.toString)
+    // eigval ≈ Σ x0² = 30 · 9 = 270 (noise adds ~0.2)
+    assert(math.abs(out.head._3 - 270.0) < 2.0, out.head._3.toString)
+    assert(run() === out) // deterministic trajectory
+    intercept[IllegalArgumentException] {
+      SimilarityOps.powerIteration(vecs, "vec_id", "embedding", iters = 0)
+    }
+  }
 }
