@@ -1067,6 +1067,44 @@ object SimilarityOps {
       .select(col("dim"), col("loading"), col("eigval"))
   }
 
+  /** Project every embedding onto a principal direction — the APPLY
+    * side of [[powerIteration]] (whitening / 1-D reduction ahead of an
+    * ANN build, and the per-document drift score a corpus monitor
+    * ranks by): projection = ⟨x, v⟩, residual = ‖x − proj·v‖ =
+    * sqrt(‖x‖² − proj²) — how much of the vector lives OFF the
+    * dominant axis (high residual = the document the axis does not
+    * explain).
+    *
+    * Numeric discipline: both ⟨x,v⟩ and ‖x‖² fold as 12-dp-rounded
+    * products into exact decimal sums inside ONE partial-aggregable
+    * groupBy (order-independent addition); the projection re-rounds to
+    * 9 dp BEFORE it is squared for the residual, so both engines
+    * subtract identical doubles. One exchange on the id; the loadings
+    * frame (O(d) rows) broadcasts.
+    */
+  def pcaProject(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      loadings: DataFrame): DataFrame = {
+    val dims = df.select(col(idCol),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "__x")))
+    val p = dims
+      .join(broadcast(loadings.select(col("dim"), col("loading"))), "dim")
+      .groupBy(col(idCol))
+      .agg(
+        sum(round(col("__x") * col("loading"), 12).cast("decimal(38,12)"))
+          .cast("double").as("__p"),
+        sum(round(col("__x") * col("__x"), 12).cast("decimal(38,12)"))
+          .cast("double").as("__n2"))
+    p.select(col(idCol),
+        round(col("__p"), 9).as("projection"),
+        round(sqrt(greatest(lit(0.0),
+          col("__n2") - round(col("__p"), 9) * round(col("__p"), 9))), 6)
+          .as("residual"))
+      .orderBy(col(idCol))
+  }
+
   /** Per-DIMENSION statistics of an embedding column — the profile that
     * sizes SQ8 ranges, spots dead/saturated dimensions, and sanity-
     * checks a new embedding source. One posexplode + one partial-

@@ -1050,6 +1050,57 @@ object SimilarityQueries extends QueryModule {
         FROM w2, n2c
         ORDER BY w2.dim""")),
 
+    // V36 — PCA projection APPLY (whitening / drift scoring): every
+    // embedding projected onto the 1-round power-iteration axis, plus
+    // the off-axis residual norm. The oracle restates round 1 verbatim
+    // (v35's CTEs) then folds ⟨x,v⟩ and ‖x‖² in one grouped pass; the
+    // projection re-rounds to 9 dp BEFORE squaring so both engines
+    // subtract identical doubles. The capability class: per-document
+    // scores along the dominant corpus direction — the reduction fed
+    // to an ANN build, and the ranking a drift monitor reads.
+    "v36_pca_project" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val load = graft.operators.SimilarityOps.powerIteration(
+          emb, "vec_id", "embedding", iters = 1)
+        graft.operators.SimilarityOps.pcaProject(
+          emb, "vec_id", "embedding", load)
+      },
+      bench = true,
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+          FROM embeddings, range(1, 65) t(i)),
+        s1 AS (
+          SELECT vec_id,
+                 CAST(sum(CAST(round(x * 1.0, 12) AS DECIMAL(38,12)))
+                   AS DOUBLE) AS s
+          FROM e GROUP BY 1),
+        w1 AS (
+          SELECT e.dim,
+                 CAST(sum(CAST(round(s1.s * e.x, 12) AS DECIMAL(38,12)))
+                   AS DECIMAL(38,12)) AS w
+          FROM e JOIN s1 USING (vec_id) GROUP BY 1),
+        n1 AS (
+          SELECT CAST(sum(CAST(round(CAST(w AS DOUBLE) * CAST(w AS DOUBLE),
+                   12) AS DECIMAL(38,12))) AS DOUBLE) AS n2
+          FROM w1),
+        v1 AS (
+          SELECT dim, round(CAST(w AS DOUBLE) / sqrt(n1.n2), 9) AS v
+          FROM w1, n1),
+        p AS (
+          SELECT e.vec_id,
+                 CAST(sum(CAST(round(e.x * v1.v, 12) AS DECIMAL(38,12)))
+                   AS DOUBLE) AS pd,
+                 CAST(sum(CAST(round(e.x * e.x, 12) AS DECIMAL(38,12)))
+                   AS DOUBLE) AS n2
+          FROM e JOIN v1 USING (dim) GROUP BY 1)
+        SELECT vec_id, round(pd, 9) AS projection,
+               round(sqrt(greatest(0.0,
+                 n2 - round(pd, 9) * round(pd, 9))), 6) AS residual
+        FROM p ORDER BY vec_id""")),
+
     // V15 — residual ADC ORDERING under the oracle gate: v14 proves
     // candidate completeness (full probe/refine collapses to brute
     // force); this row pins the part v14 cannot — the residual ADC

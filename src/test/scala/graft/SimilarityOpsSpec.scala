@@ -441,4 +441,37 @@ class SimilarityOpsSpec extends SparkSpec {
       SimilarityOps.powerIteration(vecs, "vec_id", "embedding", iters = 0)
     }
   }
+
+  test("pcaProject: on-axis vectors project to ~their amplitude with ~0 " +
+    "residual, orthogonal vectors project to ~0 with full residual, " +
+    "Pythagoras holds per row") {
+    // axis-0-dominant corpus (forces loading ≈ e0), plus one probe on
+    // axis 1 — pure off-axis energy
+    val vecs = ((0 until 20).map(i =>
+      (i.toLong, Array(2.0f + 0.01f * (i % 2), 0.0f, 0.0f, 0.0f))) :+
+      (99L, Array(0.0f, 0.5f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val load = SimilarityOps.powerIteration(
+      vecs, "vec_id", "embedding", iters = 2)
+    val out = SimilarityOps.pcaProject(vecs, "vec_id", "embedding", load)
+      .as[(Long, Double, Double)].collect()
+      .map { case (id, p, r) => id -> ((p, r)) }.toMap
+    val onAxis = out(0L)
+    assert(math.abs(onAxis._1 - 2.0) < 0.01, onAxis.toString)
+    assert(onAxis._2 < 0.05, onAxis.toString)
+    val ortho = out(99L)
+    assert(math.abs(ortho._1) < 0.05, ortho.toString)
+    assert(math.abs(ortho._2 - 0.5) < 0.05, ortho.toString)
+    // Pythagoras: proj² + resid² == ‖x‖² within rounding, every row
+    out.foreach { case (id, (p, r)) =>
+      val n2 = if (id == 99L) 0.25
+        else { val a = 2.0 + 0.01 * (id % 2); a * a }
+      assert(math.abs(p * p + r * r - n2) < 1e-3, s"$id: $p $r")
+    }
+    // plan shape: loadings broadcast, one exchange keyed on the id
+    val plan = SimilarityOps.pcaProject(vecs, "vec_id", "embedding", load)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(2000))
+  }
 }
