@@ -81,4 +81,58 @@ object ClassifierOps {
       .map { case (x, wi) => x * lit(wi) }.reduce(_ + _)
     lit(1.0) / (lit(1.0) + exp(-z))
   }
+
+  /** Reliability diagram + Expected Calibration Error for a scored
+    * frame — the audit that must pass BEFORE a classifier score is
+    * used as a filter threshold (a quality gate cut at p≥0.9 keeps
+    * the wrong documents if 0.9 really means 60% precision; ECE is
+    * the standard one-number summary of that miscalibration).
+    *
+    * Semantics: scores bin into `bins` equal-width buckets over
+    * [0,1] (the top edge folds into the last bin); per bin —
+    * n, confidence = mean score, accuracy = mean label, gap =
+    * |conf − acc|; ece = Σ (n_b/N)·gap_b, repeated on every row so
+    * the frame is self-contained.
+    *
+    * Numeric discipline: the caller passes an ALREADY-ROUNDED score
+    * (≤6 dp — t26's output convention), so the per-bin score sum is
+    * EXACT as decimal(38,6) and the label sum is a BIGINT; conf/acc
+    * are each ONE double division rounded 6 dp, the gap subtracts
+    * two 6-dp values (within 1 ulp of a 6-dp point — never near a
+    * rounding midpoint), and ece folds round(n·gap, 6) decimals with
+    * one final division. One exchange on the bin id (B≈10 groups —
+    * partial-aggregated, skew-free by construction); the 1-row ECE
+    * total broadcasts back.
+    */
+  def calibrationBins(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in 2..1000, got $bins")
+    val s = score.cast("double")
+    val perBin = df
+      .select(
+        least(floor(s * lit(bins.toDouble)).cast("int"), lit(bins - 1))
+          .as("bin"),
+        s.as("__s"),
+        label.cast("int").cast("bigint").as("__y"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__s").cast("decimal(38,6)")).as("__ss"),
+        sum(col("__y")).as("__sy"))
+      .select(col("bin"), col("n"),
+        round(col("__ss").cast("double") / col("n").cast("double"), 6)
+          .as("conf"),
+        round(col("__sy").cast("double") / col("n").cast("double"), 6)
+          .as("acc"))
+      .withColumn("gap", round(abs(col("conf") - col("acc")), 6))
+    val total = perBin.agg(
+      round(
+        sum(round(col("gap") * col("n").cast("double"), 6)
+          .cast("decimal(38,6)")).cast("double") /
+          sum(col("n")).cast("double"), 9).as("ece"))
+    perBin.crossJoin(broadcast(total)).orderBy(col("bin"))
+  }
 }

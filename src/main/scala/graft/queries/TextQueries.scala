@@ -3003,6 +3003,89 @@ object TextQueries extends QueryModule {
                round(1.0/(1.0+exp(-(${z("w3")}))), 6) >= 0.5 AS pred
         FROM f CROSS JOIN w3
         ORDER BY doc_id"""
+      }),
+
+    // C17 — calibration audit (reliability diagram + ECE) of the t26
+    // classifier: BEFORE a score is used as a filter threshold, the
+    // per-bin confidence-vs-accuracy gap says what p≥0.9 actually
+    // buys. Training replays t26's three unrolled GD rounds verbatim;
+    // scores (6 dp — exact as decimal) bin into 10 equal-width
+    // buckets; conf/acc are one division each, the gap subtracts two
+    // 6-dp values, ece folds round(n·gap, 6) decimals with one final
+    // division. One ~10-group exchange + a broadcast 1-row total.
+    "c17_calibration_ece" -> Q(
+      fn = (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val feats = Seq(
+          col("n_chars") / 400.0,
+          size(split(col("text"), " ")) / lit(100.0))
+        val w = graft.operators.ClassifierOps.logisticFit(
+          docs, feats, col("lang") === "en", iters = 3, lr = 0.5)
+        val scored = docs.select(
+          round(graft.operators.ClassifierOps.logisticScore(feats, w), 6)
+            .as("score"),
+          (col("lang") === "en").as("y"))
+        graft.operators.ClassifierOps.calibrationBins(
+          scored, col("score"), col("y"), bins = 10)
+      },
+      bench = true,
+      oracle = Some {
+        def z(w: String) = s"1.0*${w}a + x1*${w}b + x2*${w}c"
+        def err(w: String) = s"(1.0/(1.0+exp(-(${z(w)}))) - y)"
+        def gradCte(g: String, w: String) =
+          s"""$g AS (
+             |  SELECT
+             |    CAST(sum(CAST(round(${err(w)} * 1.0, 9) AS DECIMAL(38,9)))
+             |         AS DOUBLE) / count(*) AS ga,
+             |    CAST(sum(CAST(round(${err(w)} * x1, 9) AS DECIMAL(38,9)))
+             |         AS DOUBLE) / count(*) AS gb,
+             |    CAST(sum(CAST(round(${err(w)} * x2, 9) AS DECIMAL(38,9)))
+             |         AS DOUBLE) / count(*) AS gc
+             |  FROM f CROSS JOIN $w)""".stripMargin
+        def stepCte(wNew: String, wOld: String, g: String) =
+          s"""$wNew AS (
+             |  SELECT round(${wOld}a - 0.5*ga, 9) AS ${wNew}a,
+             |         round(${wOld}b - 0.5*gb, 9) AS ${wNew}b,
+             |         round(${wOld}c - 0.5*gc, 9) AS ${wNew}c
+             |  FROM $wOld CROSS JOIN $g)""".stripMargin
+        s"""
+        WITH f AS (
+          SELECT doc_id,
+                 CAST(n_chars AS DOUBLE) / 400.0 AS x1,
+                 CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0 AS x2,
+                 CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+          FROM documents),
+        w0 AS (SELECT 0.0 AS w0a, 0.0 AS w0b, 0.0 AS w0c),
+        ${gradCte("g1", "w0")},
+        ${stepCte("w1", "w0", "g1")},
+        ${gradCte("g2", "w1")},
+        ${stepCte("w2", "w1", "g2")},
+        ${gradCte("g3", "w2")},
+        ${stepCte("w3", "w2", "g3")},
+        scored AS (
+          SELECT round(1.0/(1.0+exp(-(${z("w3")}))), 6) AS score,
+                 CAST(y AS BIGINT) AS yy
+          FROM f CROSS JOIN w3),
+        b AS (
+          SELECT CAST(least(floor(score * 10.0), 9.0) AS INT) AS bin,
+                 score, yy
+          FROM scored),
+        pb AS (
+          SELECT bin, count(*) AS n,
+                 round(CAST(sum(CAST(score AS DECIMAL(38,6))) AS DOUBLE)
+                   / count(*), 6) AS conf,
+                 round(CAST(sum(yy) AS DOUBLE) / count(*), 6) AS acc
+          FROM b GROUP BY 1),
+        pb2 AS (
+          SELECT bin, n, conf, acc, round(abs(conf - acc), 6) AS gap
+          FROM pb),
+        tot AS (
+          SELECT round(CAST(sum(CAST(round(gap * n, 6) AS DECIMAL(38,6)))
+                   AS DOUBLE) / CAST(sum(n) AS DOUBLE), 9) AS ece
+          FROM pb2)
+        SELECT bin, n, conf, acc, gap, ece
+        FROM pb2 CROSS JOIN tot
+        ORDER BY bin"""
       })
   )
 

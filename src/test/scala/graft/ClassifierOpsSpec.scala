@@ -38,4 +38,32 @@ class ClassifierOpsSpec extends SparkSpec {
       ClassifierOps.logisticFit(df, Seq.empty, col("y"), 1, 1.0)
     }
   }
+
+  test("calibrationBins: perfectly calibrated bins gap≈0, a confident-" +
+    "but-wrong bin carries its full gap into ECE, score=1.0 folds into " +
+    "the top bin, bins guard") {
+    // bin 1 (scores ~0.15): 20 rows, 3 positive -> conf 0.15, acc 0.15
+    // bin 9 (score 0.95 + one 1.0): 10 rows, 0 positive -> gap ~0.955
+    val rows =
+      (0 until 20).map(i => (0.15, i < 3)) ++
+      (0 until 9).map(_ => (0.95, false)) :+ ((1.0, false))
+    val df = rows.toDF("score", "y")
+    val out = ClassifierOps.calibrationBins(df, col("score"), col("y"), 10)
+      .as[(Int, Long, Double, Double, Double, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq(1, 9), "two occupied bins, 1.0 " +
+      "folded into bin 9")
+    val byBin = out.map(r => r._1 -> r).toMap
+    assert(byBin(1)._2 === 20L)
+    assert(byBin(1)._3 === 0.15 && byBin(1)._4 === 0.15)
+    assert(byBin(1)._5 === 0.0)
+    assert(byBin(9)._2 === 10L)
+    assert(byBin(9)._3 === 0.955 && byBin(9)._4 === 0.0)
+    assert(byBin(9)._5 === 0.955)
+    // ece = (20*0 + 10*0.955) / 30
+    assert(math.abs(out.head._6 - 9.55 / 30.0) < 1e-6, out.head._6.toString)
+    assert(out.map(_._6).distinct.size === 1, "ece repeated on every row")
+    intercept[IllegalArgumentException] {
+      ClassifierOps.calibrationBins(df, col("score"), col("y"), 1)
+    }
+  }
 }
