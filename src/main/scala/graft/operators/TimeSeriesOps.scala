@@ -1109,4 +1109,64 @@ object TimeSeriesOps {
         min(col(orderCol)).as("run_start"),
         max(col(orderCol)).as("run_end"))
   }
+
+  /** Per-key ordinary-least-squares TREND of a value over time — slope
+    * (value units per DAY), intercept (value at `origin`), and r² —
+    * the regression twin of e11's drift validation and the statistic a
+    * fleet-health monitor fits per sensor/source ("is this series
+    * drifting, and how fast, with what fit quality").
+    *
+    * Exactness: x = whole seconds since `origin` (integer), y = value
+    * scaled by `yScale` half-up to an integer — so ALL five moment
+    * sums (Σx, Σy, Σxy, Σx², Σy²) fold exactly (x·y ≤ ~1e15 per term,
+    * summed as decimal(38,0)), the closed-form numerators/denominators
+    * assemble in exact integer arithmetic including the day and
+    * y-scale factors, and each output is ONE double division rounded
+    * (slope 9 dp, intercept 6 dp; r² = num²/(den·den2) folds the same
+    * exact operands in IEEE double — identical on any engine). A
+    * zero-variance series (den ≤ 0) yields null slope/intercept/r².
+    *
+    * Scale shape: one partial-aggregable groupBy on the keys — a
+    * single exchange carrying five decimals per group, nothing
+    * corpus-sized; 100 TB of events reduce map-side first.
+    */
+  def olsTrend(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      yScale: Int = 100,
+      origin: String = "2024-01-01 00:00:00"): DataFrame = {
+    require(yScale > 0, s"olsTrend: yScale must be positive, got $yScale")
+    val x = expr(
+      s"(unix_micros($tsCol) - unix_micros(timestamp'$origin')) div 1000000")
+    val y = round(col(valueCol).cast("double") * yScale, 0).cast("bigint")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g = df
+      .select((keys.map(col) :+ x.as("__x") :+ y.as("__y")): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum(dec(col("__x") * col("__y"))).as("__sxy"),
+        sum(dec(col("__x") * col("__x"))).as("__sxx"),
+        sum(dec(col("__y") * col("__y"))).as("__syy"))
+    val n = dec(col("n"))
+    val num = n * col("__sxy") - dec(col("__sx")) * dec(col("__sy"))
+    val den = n * col("__sxx") - dec(col("__sx")) * dec(col("__sx"))
+    val den2 = n * col("__syy") - dec(col("__sy")) * dec(col("__sy"))
+    val ok = den > lit(0)
+    g.select((keys.map(col) :+ col("n") :+
+        when(ok, round((num * lit(86400)).cast("double") /
+          (den * lit(yScale)).cast("double"), 9)).as("slope_per_day") :+
+        when(ok, round(
+          (dec(col("__sy")) * col("__sxx") -
+            dec(col("__sx")) * col("__sxy")).cast("double") /
+          (den * lit(yScale)).cast("double"), 6)).as("intercept") :+
+        when(ok && den2 > lit(0), round(
+          num.cast("double") * num.cast("double") /
+            (den.cast("double") * den2.cast("double")), 9)).as("r2")): _*)
+      .orderBy(keys.map(col): _*)
+  }
 }

@@ -476,6 +476,56 @@ object TemporalQueries extends QueryModule {
         FROM d
         ORDER BY user_id, bucket_start""")),
 
+    // A46 — per-key OLS trend (slope/day, intercept at the origin, r²)
+    // of value over time: the regression twin of e11's drift check and
+    // the per-source drift statistic a fleet monitor fits. x = whole
+    // seconds since 2024-01-01 (integer), y = value×100 half-up to an
+    // integer, so all five moment sums fold EXACTLY (decimal on the
+    // Spark side, HUGEINT in DuckDB), the closed-form numerators and
+    // denominators — including the ×86400 day factor and the y-scale —
+    // assemble in exact integer arithmetic, and each output is one
+    // double division (r² multiplies/divides the same exact operands
+    // in IEEE double, identical cross-engine). One partial-aggregable
+    // exchange on event_type.
+    "a46_ols_trend" -> Q(
+      fn = (s, dir) =>
+        graft.operators.TimeSeriesOps.olsTrend(
+          t(s, dir, "events"), Seq("event_type"), "ts", "value"),
+      bench = true,
+      oracle = Some("""
+        WITH b AS (
+          SELECT event_type,
+                 (epoch_us(ts) -
+                  epoch_us(TIMESTAMP '2024-01-01 00:00:00')) // 1000000
+                   AS x,
+                 CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS y
+          FROM events),
+        g AS (
+          SELECT event_type, count(*) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+          FROM b GROUP BY 1),
+        d AS (
+          SELECT event_type, n,
+                 n * sxy - sx * sy AS num,
+                 n * sxx - sx * sx AS den,
+                 n * syy - sy * sy AS den2,
+                 sy * sxx - sx * sxy AS inum
+          FROM g)
+        SELECT event_type, n,
+               CASE WHEN den > 0 THEN
+                 round(CAST(num * 86400 AS DOUBLE) /
+                       CAST(den * 100 AS DOUBLE), 9) END AS slope_per_day,
+               CASE WHEN den > 0 THEN
+                 round(CAST(inum AS DOUBLE) /
+                       CAST(den * 100 AS DOUBLE), 6) END AS intercept,
+               CASE WHEN den > 0 AND den2 > 0 THEN
+                 round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) /
+                       (CAST(den AS DOUBLE) * CAST(den2 AS DOUBLE)), 9)
+               END AS r2
+        FROM d
+        ORDER BY event_type""")),
+
     // J10 — point-in-interval RANGE join (no equi key): which events
     // fall inside each event-type's opening 2-day window. Spark's naive
     // plan for a pure inequality join is a nested loop over the full

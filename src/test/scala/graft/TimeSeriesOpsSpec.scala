@@ -677,4 +677,36 @@ class TimeSeriesOpsSpec extends SparkSpec {
         Map("m" -> "v"))
     }
   }
+
+  test("olsTrend: exact slope/intercept/r2 on a perfect line, flat " +
+    "series -> slope 0 and null r2, single point -> all null, yScale " +
+    "guard") {
+    // "up": value = 2.0 + 0.01·i at 864 s steps (0.01 day) — exactly
+    // +1.0 value/day, and y×100 is integer-linear so every moment sum
+    // is exact; "flat": constant (den2 = 0); "one": a single point
+    // (den = 0)
+    val rows =
+      (0 until 50).map(i => ("up", 864L * i, 2.0 + 0.01 * i)) ++
+      (0 until 10).map(i => ("flat", 3600L * i, 5.0)) :+
+      (("one", 0L, 7.0))
+    val df = rows.toDF("k", "secs", "value")
+      .select($"k", timestamp_seconds($"secs" + lit(1704067200L)).as("ts"),
+        $"value")
+    val out = TimeSeriesOps.olsTrend(df, Seq("k"), "ts", "value")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("up")._2 === 50L)
+    assert(out("up")._3 === Some(1.0))
+    assert(out("up")._4 === Some(2.0))
+    assert(out("up")._5 === Some(1.0))
+    assert(out("flat")._3 === Some(0.0))
+    assert(out("flat")._4 === Some(5.0))
+    assert(out("flat")._5 === None, "zero y-variance -> r2 undefined")
+    assert(out("one")._3 === None)
+    assert(out("one")._4 === None)
+    assert(out("one")._5 === None)
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.olsTrend(df, Seq("k"), "ts", "value", yScale = 0)
+    }
+  }
 }
