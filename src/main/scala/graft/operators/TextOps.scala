@@ -531,6 +531,53 @@ object TextOps {
             col("n_shingles").cast("double"), 6)).as("novelty_frac"))
   }
 
+  /** Pairwise shingle-set OVERLAP between corpus slices — the
+    * contamination/overlap matrix a curation pipeline audits before
+    * mixing sources (and the train-vs-benchmark overlap check at the
+    * slice level): for every pair of groups, |A|, |B|, |A∩B|, Jaccard,
+    * and containment |A∩B|/min(|A|,|B|) over distinct k-token-shingle
+    * sets. Pairs with an EMPTY intersection are omitted (the matrix is
+    * sparse by construction at corpus scale).
+    *
+    * Scale shape: one distinct over (group, shingle-hash) — shuffles
+    * 16-byte hashes, never text; the intersection self-join re-keys on
+    * the hash alone, and a shingle shared by G groups contributes at
+    * most G²/2 pairs (G = slice count, small); per-group sizes are a
+    * G-row broadcast. All counts are exact — this is the ground truth
+    * the KMV estimate (a44) approximates.
+    */
+  def groupOverlap(
+      docs: org.apache.spark.sql.DataFrame,
+      groupCol: String,
+      textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val sh = docs
+      .select(col(groupCol).as("__g"),
+        explode(array_distinct(shingles(tokens(col(textCol)), k))).as("__s"))
+      .select(col("__g"), md5(col("__s")).as("__h"))
+      .distinct()
+    val sizes = sh.groupBy(col("__g")).agg(count(lit(1)).as("__sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.__h") === col("b.__h") && col("a.__g") < col("b.__g"))
+      .groupBy(col("a.__g").as("group_a"), col("b.__g").as("group_b"))
+      .agg(count(lit(1)).as("intersection"))
+    inter
+      .join(broadcast(sizes.select(col("__g").as("group_a"),
+        col("__sz").as("size_a"))), Seq("group_a"))
+      .join(broadcast(sizes.select(col("__g").as("group_b"),
+        col("__sz").as("size_b"))), Seq("group_b"))
+      .select(col("group_a"), col("group_b"), col("size_a"), col("size_b"),
+        col("intersection"),
+        round(col("intersection").cast("double") /
+          (col("size_a") + col("size_b") - col("intersection"))
+            .cast("double"), 6).as("jaccard"),
+        round(col("intersection").cast("double") /
+          least(col("size_a"), col("size_b")).cast("double"), 6)
+          .as("containment"))
+      .orderBy(col("group_a"), col("group_b"))
+  }
+
   /** Content-defined chunking (Rabin-Karp): polynomial rolling hash over
     * an 8-char window; a position is a chunk boundary when its hash is
     * divisible by `avgChunk` (expected chunk length = avgChunk chars).

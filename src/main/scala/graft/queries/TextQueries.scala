@@ -3086,7 +3086,38 @@ object TextQueries extends QueryModule {
         SELECT bin, n, conf, acc, gap, ece
         FROM pb2 CROSS JOIN tot
         ORDER BY bin"""
-      })
+      }),
+
+    // C18 — cross-slice contamination matrix: exact pairwise shingle-
+    // set overlap (|A|, |B|, |A∩B|, Jaccard, containment) between the
+    // corpus's language slices — the audit a pipeline runs before
+    // mixing sources, and the slice-level train-vs-benchmark overlap
+    // check; the exact ground truth the a44 KMV algebra estimates.
+    // Shuffles md5 hashes only; empty-intersection pairs are omitted
+    // on both sides; counts are BIGINT with one division per ratio.
+    "c18_slice_overlap" -> Q(
+      fn = (s, dir) =>
+        TextOps.groupOverlap(t(s, dir, "documents"), "lang", "text", 3),
+      bench = true,
+      oracle = Some(s"""
+        WITH s AS (
+          SELECT DISTINCT lang AS g, md5(sh) AS h FROM (
+            SELECT lang, unnest($sh3Sql) AS sh FROM documents)),
+        z AS (SELECT g, count(*) AS sz FROM s GROUP BY 1),
+        i AS (
+          SELECT a.g AS group_a, b.g AS group_b, count(*) AS intersection
+          FROM s a JOIN s b ON a.h = b.h AND a.g < b.g
+          GROUP BY 1, 2)
+        SELECT i.group_a, i.group_b,
+               z1.sz AS size_a, z2.sz AS size_b, i.intersection,
+               round(CAST(i.intersection AS DOUBLE) /
+                 CAST(z1.sz + z2.sz - i.intersection AS DOUBLE), 6)
+                 AS jaccard,
+               round(CAST(i.intersection AS DOUBLE) /
+                 CAST(least(z1.sz, z2.sz) AS DOUBLE), 6) AS containment
+        FROM i JOIN z z1 ON z1.g = i.group_a
+               JOIN z z2 ON z2.g = i.group_b
+        ORDER BY i.group_a, i.group_b""")),
   )
 
   /** Okapi BM25 over `documents` (k1=1.5, b=0.75 — both exactly

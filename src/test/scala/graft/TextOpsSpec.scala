@@ -380,4 +380,20 @@ class TextOpsSpec extends SparkSpec {
       (3L, 2, 1, Some(0.5)),
       (4L, 0, 0, None)))
   }
+
+  test("groupOverlap: exact pairwise Jaccard/containment over distinct " +
+    "shingle sets, within-group repeats collapse, empty pairs omitted, " +
+    "pair order is group_a < group_b") {
+    val docs = Seq(
+      ("A", "a b c d"),        // shingles {a b c, b c d}
+      ("A", "a b c"),          // repeat of "a b c" — distinct collapses
+      ("B", "b c d e"),        // {b c d, c d e} — shares "b c d" with A
+      ("C", "x y z w"))        // {x y z, y z w} — disjoint
+      .toDF("lang", "text")
+    val out = TextOps.groupOverlap(docs, "lang", "text", 3)
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    assert(out === Seq(("A", "B", 2L, 2L, 1L, 0.333333, 0.5)),
+      out.toString)
+  }
 }
