@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -220,5 +220,71 @@ object SearchOps {
         row_number().over(Window.orderBy(col("__s").desc, col(idCol))))
       .select(col(idCol), round(col("__s").cast("double"), 6).as("rrf"),
         col("n_lists"), col("rank"))
+  }
+
+  /** Ranking-quality evaluation — per-query MRR and nDCG@k of a SYSTEM
+    * ranking against GRADED relevance truth: the retrieval-eval loop
+    * that turns "the index serves something" into a quality number the
+    * way the measured-recall family (v25/v26/v29–v32) does for
+    * candidate completeness; nDCG adds what recall cannot see — rank
+    * ORDER quality under graded relevance.
+    *
+    * Definitions (standard burst-gain form): dcg = Σ over system ranks
+    * i ≤ k of (2^rel − 1)/log2(i+1); idcg = the same sum over truth's
+    * top-k by (rel desc, id asc); mrr = 1/rank of the first relevant
+    * system hit (0 if none); ndcg = dcg/idcg. Queries with NO
+    * positive-relevance truth rows are dropped (ndcg undefined).
+    *
+    * Numeric discipline: each gain term rounds to 9 dp and sums as
+    * decimal (order-independent; the two engines' log2 may differ in
+    * the last ulp — 9-dp rounding absorbs it, and gains are irrational
+    * so never near a rounding midpoint); mrr and ndcg are one double
+    * division each. Scale shape: system and truth join on (qid, id),
+    * then two partial-aggregable groupBy(qid) passes and one
+    * row_number window over ≤ truth-size rows — nothing corpus-sized;
+    * eval sets are bounded by construction.
+    */
+  def rankEval(
+      system: DataFrame,
+      truth: DataFrame,
+      qidCol: String,
+      idCol: String,
+      rankCol: String,
+      relCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"rankEval: k must be >= 1, got $k")
+    val sys = system.select(col(qidCol).as("__qid"), col(idCol).as("__id"),
+        col(rankCol).cast("int").as("__rank"))
+      .filter(col("__rank") <= k)
+    val tr = truth.select(col(qidCol).as("__qid"), col(idCol).as("__id"),
+      col(relCol).cast("int").as("__rel"))
+    def gainOf(rel: Column, pos: Column) =
+      round((pow(lit(2.0), rel.cast("double")) - lit(1.0)) /
+        log2(pos.cast("double") + lit(1.0)), 9).cast("decimal(38,9)")
+    val perSys = sys.join(tr, Seq("__qid", "__id"), "left")
+      .withColumn("__relv", coalesce(col("__rel"), lit(0)))
+      .groupBy(col("__qid"))
+      .agg(
+        sum(gainOf(col("__relv"), col("__rank"))).as("__dcg"),
+        min(when(col("__relv") > 0, col("__rank"))).as("__first"))
+    val pos = tr.filter(col("__rel") > 0)
+    val nRel = pos.groupBy(col("__qid")).agg(count(lit(1)).as("n_rel"))
+    val wI = Window.partitionBy(col("__qid"))
+      .orderBy(col("__rel").desc, col("__id").asc)
+    val ideal = pos
+      .withColumn("__pos", row_number().over(wI))
+      .filter(col("__pos") <= k)
+      .groupBy(col("__qid"))
+      .agg(sum(gainOf(col("__rel"), col("__pos"))).as("__idcg"))
+    nRel.join(ideal, Seq("__qid"))
+      .join(perSys, Seq("__qid"), "left")
+      .select(col("__qid").as(qidCol), col("n_rel"),
+        coalesce(round(lit(1.0) / col("__first").cast("double"), 6),
+          lit(0.0)).as("mrr"),
+        round(coalesce(col("__dcg").cast("double"), lit(0.0)), 9).as("dcg"),
+        round(col("__idcg").cast("double"), 9).as("idcg"),
+        round(coalesce(col("__dcg").cast("double"), lit(0.0)) /
+          col("__idcg").cast("double"), 6).as("ndcg"))
+      .orderBy(col(qidCol))
   }
 }

@@ -1101,6 +1101,90 @@ object SimilarityQueries extends QueryModule {
                  n2 - round(pd, 9) * round(pd, 9))), 6) AS residual
         FROM p ORDER BY vec_id""")),
 
+    // V37 — ranking-quality eval (MRR + nDCG@10) of single-bucket LSH
+    // serving against GRADED exact-cosine truth (exact top-9, grades
+    // 3/2/1 by rank tercile): the measured-recall family (v25…v32)
+    // says which true neighbors the layout FINDS; this row adds what
+    // recall cannot see — whether they arrive in the right ORDER under
+    // graded relevance. Gain terms round 9 dp before the decimal fold
+    // (absorbs the engines' last-ulp log2 differences), mrr/ndcg are
+    // one division each.
+    "v37_rank_eval" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val b = emb.withColumn("bucket",
+          SimilarityOps.lshBucket(col("embedding"), 8))
+        val q = b.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("bucket").as("qbucket"))
+        val truth = SimilarityOps.topKPerQuery(
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 9)
+          .select(col("qid"), col("vec_id"),
+            expr("CAST(4 - (rank + 2) DIV 3 AS INT)").as("rel"))
+        val wA = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+        val system = b.join(broadcast(q), col("bucket") === col("qbucket"))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("sim", SimilarityOps.cosine(col("embedding"), col("qe")))
+          .withColumn("rank", row_number().over(wA))
+          .where(col("rank") <= 10)
+          .select(col("qid"), col("vec_id"), col("rank"))
+        graft.operators.SearchOps.rankEval(
+          system, truth, "qid", "vec_id", "rank", "rel", 10)
+      },
+      bench = true,
+      oracle = Some(s"""
+        WITH b AS (
+          SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+        q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket
+              FROM b WHERE vec_id < 5),
+        ex AS (
+          SELECT q.qid, e.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${cosineSql("e.embedding", "q.qe")} DESC,
+                            e.vec_id) AS rnk
+          FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        truth AS (
+          SELECT qid, vec_id, CAST(4 - (rnk + 2) // 3 AS INT) AS rel
+          FROM ex WHERE rnk <= 9),
+        ap AS (
+          SELECT q.qid, b.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${cosineSql("b.embedding", "q.qe")} DESC,
+                            b.vec_id) AS rnk
+          FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.qid),
+        sys AS (SELECT qid, vec_id, rnk FROM ap WHERE rnk <= 10),
+        j AS (
+          SELECT s.qid, s.rnk, coalesce(t.rel, 0) AS relv
+          FROM sys s LEFT JOIN truth t
+            ON t.qid = s.qid AND t.vec_id = s.vec_id),
+        ps AS (
+          SELECT qid,
+                 sum(CAST(round((power(2.0, relv) - 1.0)
+                   / log2(rnk + 1.0), 9) AS DECIMAL(38,9))) AS dcg,
+                 min(CASE WHEN relv > 0 THEN rnk END) AS first
+          FROM j GROUP BY 1),
+        nr AS (SELECT qid, count(*) AS n_rel FROM truth
+               WHERE rel > 0 GROUP BY 1),
+        ideal AS (
+          SELECT qid,
+                 sum(CAST(round((power(2.0, rel) - 1.0)
+                   / log2(pos + 1.0), 9) AS DECIMAL(38,9))) AS idcg
+          FROM (SELECT qid, rel, vec_id,
+                       row_number() OVER (PARTITION BY qid
+                         ORDER BY rel DESC, vec_id) AS pos
+                FROM truth WHERE rel > 0)
+          WHERE pos <= 10 GROUP BY 1)
+        SELECT nr.qid, nr.n_rel,
+               coalesce(round(1.0 / ps.first, 6), 0.0) AS mrr,
+               round(coalesce(CAST(ps.dcg AS DOUBLE), 0.0), 9) AS dcg,
+               round(CAST(ideal.idcg AS DOUBLE), 9) AS idcg,
+               round(coalesce(CAST(ps.dcg AS DOUBLE), 0.0)
+                 / CAST(ideal.idcg AS DOUBLE), 6) AS ndcg
+        FROM nr JOIN ideal USING (qid) LEFT JOIN ps USING (qid)
+        ORDER BY nr.qid""")),
+
     // V15 — residual ADC ORDERING under the oracle gate: v14 proves
     // candidate completeness (full probe/refine collapses to brute
     // force); this row pins the part v14 cannot — the residual ADC

@@ -117,4 +117,40 @@ class SearchOpsSpec extends SparkSpec {
       SearchOps.rrfFuse(Nil, "id", "rank", k = 1)
     }
   }
+
+  test("rankEval: hand-computed dcg/idcg/ndcg/mrr, k cuts the system " +
+    "list, a query the system never answers scores 0, zero-relevance " +
+    "queries are dropped, k guard") {
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val log2_3 = math.log(3.0) / math.log(2.0)
+    // q1 truth: 10→rel3, 11→rel2, 12→rel1; system: 11,99,10 then 12 cut
+    // by k=3. dcg = 3/log2(2) + 0 + 7/log2(4) = 3 + 3.5 = 6.5;
+    // idcg = 7 + r9(3/log2(3)) + 0.5; mrr = 1 (rank-1 hit is relevant).
+    // q2 has truth but no system rows → all-zero scores, idcg intact.
+    // q3 has only rel=0 truth → dropped.
+    val truth = Seq((1L, 10L, 3), (1L, 11L, 2), (1L, 12L, 1),
+      (2L, 20L, 2), (3L, 30L, 0)).toDF("qid", "id", "rel")
+    val system = Seq((1L, 11L, 1), (1L, 99L, 2), (1L, 10L, 3),
+      (1L, 12L, 4)).toDF("qid", "id", "rank")
+    val out = SearchOps.rankEval(system, truth, "qid", "id", "rank", "rel",
+      k = 3).as[(Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(out.map(_._1) === Seq(1L, 2L), "q3 dropped, order by qid")
+    val q1 = out.head
+    val idcg1 = 7.0 + r9(3.0 / log2_3) + 0.5
+    assert(q1._2 === 3L)
+    assert(q1._3 === 1.0, "mrr: first system hit is relevant")
+    assert(q1._4 === 6.5, q1.toString)
+    assert(q1._5 === r9(idcg1), q1.toString)
+    assert(q1._6 === r6(6.5 / idcg1), q1.toString)
+    val q2 = out(1)
+    assert(q2._2 === 1L && q2._3 === 0.0 && q2._4 === 0.0 &&
+      q2._5 === 3.0 && q2._6 === 0.0, q2.toString)
+    intercept[IllegalArgumentException] {
+      SearchOps.rankEval(system, truth, "qid", "id", "rank", "rel", 0)
+    }
+  }
 }
