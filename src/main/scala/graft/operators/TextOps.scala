@@ -531,6 +531,42 @@ object TextOps {
             col("n_shingles").cast("double"), 6)).as("novelty_frac"))
   }
 
+  /** PII detection + redaction — the scrub pass a training-data
+    * pipeline runs before anything ships: per-document counts of
+    * email / IPv4 / long-digit-run (card-like) spans, and the text
+    * with each span replaced by a typed tag (`<EMAIL>`, `<IP>`,
+    * `<NUM>`), applied in that fixed order so the transform is
+    * deterministic (an email's digits are consumed before the
+    * long-number pass can see them).
+    *
+    * The patterns stay inside the regex subset whose semantics are
+    * identical between Java regex and RE2 (no backreferences, no
+    * lookaround; `\b` is the ASCII word boundary in both), so the
+    * scrubbed text is byte-identical cross-engine — the d13/d24
+    * reassembly discipline applied to redaction. Pure in-row map
+    * work: zero shuffles, codegen regexp, scales linearly.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val LongNumRe = "\\b[0-9]{13,19}\\b"
+
+  def piiScrub(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    // each count runs on the PREVIOUS pass's output, so a span consumed
+    // by an earlier tag (digits inside an email) is never double-counted
+    // — every count equals the number of tags of that type inserted
+    val t1 = regexp_replace(col(textCol), EmailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, Ipv4Re, "<IP>")
+    val t3 = regexp_replace(t2, LongNumRe, "<NUM>")
+    docs.select(col(idCol),
+      regexp_count(col(textCol), lit(EmailRe)).cast("int").as("n_email"),
+      regexp_count(t1, lit(Ipv4Re)).cast("int").as("n_ip"),
+      regexp_count(t2, lit(LongNumRe)).cast("int").as("n_num"),
+      t3.as("clean_text"))
+  }
+
   /** Pairwise shingle-set OVERLAP between corpus slices — the
     * contamination/overlap matrix a curation pipeline audits before
     * mixing sources (and the train-vs-benchmark overlap check at the

@@ -3118,6 +3118,64 @@ object TextQueries extends QueryModule {
         FROM i JOIN z z1 ON z1.g = i.group_a
                JOIN z z2 ON z2.g = i.group_b
         ORDER BY i.group_a, i.group_b""")),
+
+    // T36 — PII scrub (detect + redact): emails, IPv4s, long digit
+    // runs counted per doc and replaced by typed tags, the scrubbed
+    // TEXT itself hash-checked byte-identical (the d24 discipline).
+    // The corpus is synthetic word salad, so the query INJECTS
+    // deterministic spans in-engine first (every doc an email, every
+    // 5th an IP, every 7th a card number — the identical construction
+    // restated in SQL); patterns stay in the Java-regex ∩ RE2 subset
+    // so both engines see the same matches. Pure in-row map work.
+    "t36_pii_scrub" -> Q(
+      fn = (s, dir) => {
+        val aug = t(s, dir, "documents").select(col("doc_id"),
+          concat(
+            col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com"),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(lit(" from 10."),
+                pmod(col("doc_id"), lit(256)).cast("string"),
+                lit(".0.7"))).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(7)) === 0,
+              lit(" card 4111111111111111")).otherwise(lit("")))
+            .as("text"))
+        TextOps.piiScrub(aug, "doc_id", "text").orderBy(col("doc_id"))
+      },
+      bench = true,
+      oracle = Some(s"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example.com'
+                   || CASE WHEN doc_id % 5 = 0 THEN
+                        ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.0.7'
+                      ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0 THEN
+                        ' card 4111111111111111'
+                      ELSE '' END AS text
+          FROM documents),
+        p AS (
+          SELECT doc_id, text,
+                 regexp_replace(text, '${TextOps.EmailRe}', '<EMAIL>',
+                   'g') AS t1
+          FROM aug),
+        p2 AS (
+          SELECT doc_id, text, t1,
+                 regexp_replace(t1, '${TextOps.Ipv4Re}', '<IP>', 'g') AS t2
+          FROM p)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 '${TextOps.EmailRe}')) AS INT) AS n_email,
+               CAST(len(regexp_extract_all(t1,
+                 '${TextOps.Ipv4Re}')) AS INT) AS n_ip,
+               CAST(len(regexp_extract_all(t2,
+                 '${TextOps.LongNumRe}')) AS INT) AS n_num,
+               regexp_replace(t2, '${TextOps.LongNumRe}', '<NUM>', 'g')
+                 AS clean_text
+        FROM p2 ORDER BY doc_id""")),
   )
 
   /** Okapi BM25 over `documents` (k1=1.5, b=0.75 — both exactly

@@ -381,6 +381,26 @@ class TextOpsSpec extends SparkSpec {
       (4L, 0, 0, None)))
   }
 
+  test("piiScrub: counts equal inserted tags, email digits are consumed " +
+    "before the long-number pass, 12- and 20-digit runs don't match, " +
+    "clean text is the exact sequential redaction") {
+    val docs = Seq(
+      (1L, "mail bob.smith99@ex.co now 1.2.3.4 and 4111111111111111 " +
+        "plus 123456789012 id 12345678901234567890"),
+      // the 15-digit run sits INSIDE the email — the email pass consumes
+      // it, so n_num must be 0, not 1
+      (2L, "user123456789012345@x.io says hi"),
+      (3L, "nothing to scrub here"))
+      .toDF("doc_id", "text")
+    val out = TextOps.piiScrub(docs, "doc_id", "text")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(out(0) === ((1L, 1, 1, 1,
+      "mail <EMAIL> now <IP> and <NUM> " +
+        "plus 123456789012 id 12345678901234567890")))
+    assert(out(1) === ((2L, 1, 0, 0, "<EMAIL> says hi")))
+    assert(out(2) === ((3L, 0, 0, 0, "nothing to scrub here")))
+  }
+
   test("groupOverlap: exact pairwise Jaccard/containment over distinct " +
     "shingle sets, within-group repeats collapse, empty pairs omitted, " +
     "pair order is group_a < group_b") {
