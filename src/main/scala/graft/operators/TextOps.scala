@@ -531,6 +531,62 @@ object TextOps {
             col("n_shingles").cast("double"), 6)).as("novelty_frac"))
   }
 
+  /** Gopher-style quality RULE FLAGS (Rae et al. 2021's published
+    * heuristics, the named-threshold complement to [[qualityScore]]'s
+    * composite): per document — word count in [50, 100k], mean word
+    * length in [3, 10], symbol-to-word ratio (# and …) ≤ 0.1, bullet-
+    * line fraction ≤ 0.9, ≥ 2 stopword hits — each rule emitted as its
+    * own boolean plus the conjunction, so a curation report can say
+    * WHICH rule fired, not just that the doc dropped.
+    *
+    * All stats are integer counts with one rounded division per ratio
+    * (words = non-empty whitespace splits; word chars = text minus
+    * separators; '…' counted as non-overlapping '...' triples; lines =
+    * newline splits). Pure in-row codegen map work, zero shuffles.
+    */
+  def gopherRules(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      stopwords: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(stopwords.nonEmpty, "gopherRules: empty stopword list")
+    val t = col(textCol)
+    val words = filter(split(t, " "), w => length(w) > 0)
+    val nWords = size(words).cast("int")
+    val nWordsD = greatest(nWords, lit(1)).cast("double")
+    val nWchars = length(regexp_replace(t, "[ \n]", ""))
+    val nHash = length(t) - length(replace(t, lit("#"), lit("")))
+    val nEll =
+      ((length(t) - length(replace(t, lit("..."), lit("")))) / lit(3))
+        .cast("int")
+    val lines = split(t, "\n")
+    val nBullet =
+      size(filter(lines, l => l.startsWith("-") || l.startsWith("*")))
+    val stopHits =
+      size(filter(words, w => w.isInCollection(stopwords))).cast("int")
+    val meanLen = round(nWchars.cast("double") / nWordsD, 6)
+    val symRatio = round((nHash + nEll).cast("double") / nWordsD, 6)
+    val bulletFrac =
+      round(nBullet.cast("double") / size(lines).cast("double"), 6)
+    val rWords = nWords.between(50, 100000)
+    val rMean = meanLen.between(3.0, 10.0)
+    val rSym = symRatio <= 0.1
+    val rBullet = bulletFrac <= 0.9
+    val rStop = stopHits >= 2
+    docs.select(col(idCol),
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      symRatio.as("symbol_ratio"),
+      bulletFrac.as("bullet_frac"),
+      stopHits.as("stop_hits"),
+      rWords.as("r_words"),
+      rMean.as("r_mean_len"),
+      rSym.as("r_symbol"),
+      rBullet.as("r_bullet"),
+      rStop.as("r_stop"),
+      (rWords && rMean && rSym && rBullet && rStop).as("keep"))
+  }
+
   /** PII detection + redaction — the scrub pass a training-data
     * pipeline runs before anything ships: per-document counts of
     * email / IPv4 / long-digit-run (card-like) spans, and the text

@@ -3176,6 +3176,54 @@ object TextQueries extends QueryModule {
                regexp_replace(t2, '${TextOps.LongNumRe}', '<NUM>', 'g')
                  AS clean_text
         FROM p2 ORDER BY doc_id""")),
+
+    // T37 — Gopher rule flags (Rae et al. 2021): the named-threshold
+    // quality heuristics as per-rule booleans + the conjunction, so a
+    // curation report can attribute every drop to the rule that fired
+    // (t3's composite score says HOW good; this says WHY dropped).
+    // Integer counts, one rounded division per ratio, all in-row.
+    "t37_gopher_rules" -> Q(
+      fn = (s, dir) =>
+        TextOps.gopherRules(t(s, dir, "documents"), "doc_id", "text",
+          stopwords).orderBy(col("doc_id")),
+      bench = true,
+      oracle = Some(s"""
+        WITH w AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   x -> len(x) > 0)) AS INT) AS n_words,
+                 len(regexp_replace(text, '[ \n]', '', 'g')) AS n_wchars,
+                 len(text) - len(replace(text, '#', '')) AS n_hash,
+                 (len(text) - len(replace(text, '...', ''))) // 3 AS n_ell,
+                 len(list_filter(string_split(text, chr(10)),
+                   l -> l LIKE '-%' OR l LIKE '*%')) AS n_bullet,
+                 len(string_split(text, chr(10))) AS n_lines,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   x -> x IN (${stopwords.map(w => s"'$w'")
+                     .mkString(", ")}))) AS INT) AS stop_hits
+          FROM documents),
+        r AS (
+          SELECT doc_id, n_words,
+                 round(CAST(n_wchars AS DOUBLE)
+                   / greatest(n_words, 1), 6) AS mean_word_len,
+                 round(CAST(n_hash + n_ell AS DOUBLE)
+                   / greatest(n_words, 1), 6) AS symbol_ratio,
+                 round(CAST(n_bullet AS DOUBLE) / n_lines, 6)
+                   AS bullet_frac,
+                 stop_hits
+          FROM w)
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+               stop_hits,
+               n_words BETWEEN 50 AND 100000 AS r_words,
+               mean_word_len BETWEEN 3.0 AND 10.0 AS r_mean_len,
+               symbol_ratio <= 0.1 AS r_symbol,
+               bullet_frac <= 0.9 AS r_bullet,
+               stop_hits >= 2 AS r_stop,
+               (n_words BETWEEN 50 AND 100000)
+                 AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                 AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+                 AND stop_hits >= 2 AS keep
+        FROM r ORDER BY doc_id""")),
   )
 
   /** Okapi BM25 over `documents` (k1=1.5, b=0.75 — both exactly

@@ -381,6 +381,37 @@ class TextOpsSpec extends SparkSpec {
       (4L, 0, 0, None)))
   }
 
+  test("gopherRules: each rule fires on its own violation, the good doc " +
+    "keeps, ratios are exact one-division values") {
+    val good = ("the data " * 30).trim        // 60 words, mean 3.5, 30 stops
+    val short = "the a of to x"               // 5 words -> r_words fails
+    val hashy = ("x# the a " * 20).trim       // 60 words, 20 '#' -> r_symbol
+    val bullets = "- a b\n- c d\n* e f"       // all 3 lines bullets
+    val longw = ("abcdefghijklmnopqrst the " * 30).trim // mean 11.5
+    val docs = Seq((1L, good), (2L, short), (3L, hashy), (4L, bullets),
+      (5L, longw)).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(docs, "doc_id", "text",
+      Seq("the", "a", "of", "to"))
+      .orderBy($"doc_id")
+      .as[(Long, Int, Double, Double, Double, Int,
+        Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().toSeq
+    val g = out(0)
+    assert(g._2 === 60 && g._3 === 3.5 && g._6 === 30, g.toString)
+    assert(g._7 && g._8 && g._9 && g._10 && g._11 && g._12, g.toString)
+    val s = out(1)
+    assert(s._2 === 5 && !s._7 && !s._12, s.toString)
+    val h = out(2)
+    assert(h._4 === 0.333333 && !h._9 && !h._12, h.toString)
+    val b = out(3)
+    assert(b._5 === 1.0 && !b._10 && !b._12, b.toString)
+    val lw = out(4)
+    assert(lw._3 === 11.5 && !lw._8 && !lw._12, lw.toString)
+    intercept[IllegalArgumentException] {
+      TextOps.gopherRules(docs, "doc_id", "text", Nil)
+    }
+  }
+
   test("piiScrub: counts equal inserted tags, email digits are consumed " +
     "before the long-number pass, 12- and 20-digit runs don't match, " +
     "clean text is the exact sequential redaction") {
