@@ -27,12 +27,16 @@ object SimilarityQueries extends QueryModule {
     * folds ((e1+e2)+e3)... which is bit-identical to Spark's
     * aggregate-with-0.0-init left fold over the same element order.
     */
-  private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_transform(generate_series(1, 64), __i -> " +
+  private def dotNSql(a: String, b: String, n: Int): String =
+    s"list_reduce(list_transform(generate_series(1, $n), __i -> " +
       s"CAST(($a)[__i] AS DOUBLE) * CAST(($b)[__i] AS DOUBLE)), " +
       s"(__x, __y) -> __x + __y)"
+  private def dotSql(a: String, b: String): String = dotNSql(a, b, 64)
+  private def cosineNSql(a: String, b: String, n: Int): String =
+    s"round(${dotNSql(a, b, n)} / (sqrt(${dotNSql(a, a, n)}) * " +
+      s"sqrt(${dotNSql(b, b, n)})), 6)"
   private def cosineSql(a: String, b: String): String =
-    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+    cosineNSql(a, b, 64)
   /** Sign-LSH bucket over 8 deterministic integer hyperplanes
     * (weight(p,i0) = (p*37 + i0*17) % 19 - 9, i0 0-based).
     */
@@ -1100,6 +1104,60 @@ object SimilarityQueries extends QueryModule {
                round(sqrt(greatest(0.0,
                  n2 - round(pd, 9) * round(pd, 9))), 6) AS residual
         FROM p ORDER BY vec_id""")),
+
+    // V38 — MATRYOSHKA truncation recall: serve from only the first 16
+    // of 64 dimensions (the MRL deployment trick — prefix-truncate the
+    // embedding, keep the index 4× smaller/faster) and measure
+    // recall@10 against full-dim exact. Completes the dimension axis
+    // of the measured-quality family: v29/v31/v32 quantify PRECISION
+    // loss (bits per value), this quantifies DIMENSION loss — together
+    // they span the storage/quality plane an index designer actually
+    // navigates. Truncation is a zero-cost in-row slice; serving cost
+    // scales with the kept prefix.
+    "v38_mrl_recall" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val emb16 = emb.select(col("vec_id"),
+          slice(col("embedding"), 1, 16).as("embedding"))
+        val exact = SimilarityOps.topKPerQuery(
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+          .select(col("qid"), col("vec_id"))
+        val approx = SimilarityOps.topKPerQuery(
+          emb16, emb16.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+          .select(col("qid"), col("vec_id"))
+        exact
+          .join(approx.withColumn("__m", lit(1)), Seq("qid", "vec_id"),
+            "left")
+          .groupBy(col("qid"))
+          .agg(count(col("__m")).as("hits"))
+          .withColumn("recall", round(col("hits") / 10.0, 6))
+          .orderBy(col("qid"))
+      },
+      bench = true,
+      oracle = Some(s"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                   WHERE vec_id < 5),
+        ex AS (
+          SELECT q.qid, e.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${cosineSql("e.embedding", "q.qe")} DESC,
+                            e.vec_id) AS rnk
+          FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        exact AS (SELECT qid, vec_id FROM ex WHERE rnk <= 10),
+        ap AS (
+          SELECT q.qid, e.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${cosineNSql("e.embedding", "q.qe", 16)} DESC,
+                            e.vec_id) AS rnk
+          FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        approx AS (SELECT qid, vec_id FROM ap WHERE rnk <= 10),
+        hits AS (
+          SELECT e.qid, CAST(count(a.vec_id) AS BIGINT) AS hits
+          FROM exact e LEFT JOIN approx a
+            ON a.qid = e.qid AND a.vec_id = e.vec_id
+          GROUP BY e.qid)
+        SELECT qid, hits, round(hits / 10.0, 6) AS recall
+        FROM hits ORDER BY qid""")),
 
     // V37 — ranking-quality eval (MRR + nDCG@10) of single-bucket LSH
     // serving against GRADED exact-cosine truth (exact top-9, grades
