@@ -181,6 +181,53 @@ object SampleOps {
       .drop("__thr", "__grp")
   }
 
+  /** Mixture PLAN REPORT — the sizing step upstream of [[planMixture]]:
+    * given target mixture fractions and a total token budget, derive
+    * per group the available token mass, the required token count,
+    * the sampling rate, and the implied EPOCHS (ceil of the rate —
+    * rate > 1 means the source must repeat, the data-constrained
+    * regime a curriculum designer needs to see BEFORE committing to a
+    * mix). Complements c15's mix AUDIT (achieved-vs-target after the
+    * fact) with the plan before it.
+    *
+    * Exactness: token masses are BIGINT sums; required = round(frac ×
+    * budget) — both engines round the identical IEEE product;
+    * rate is ONE division rounded 6 dp and epochs ceils that rounded
+    * value, so the integer can't flip on a last-ulp disagreement.
+    * One partial-aggregable groupBy; targets join as a broadcast
+    * literal frame. Groups without a target row are dropped (they are
+    * not part of the plan); a target naming an absent group is a
+    * caller error surfaced by the inner join's empty row.
+    */
+  def mixtureReport(
+      df: DataFrame,
+      groupCol: String,
+      tokens: Column,
+      targets: Seq[(String, Double)],
+      budget: Long): DataFrame = {
+    require(targets.nonEmpty, "mixtureReport: empty target list")
+    require(targets.map(_._1).distinct.size == targets.size,
+      "mixtureReport: duplicate target group")
+    require(targets.forall(_._2 > 0), "mixtureReport: fractions must be > 0")
+    require(math.abs(targets.map(_._2).sum - 1.0) < 1e-9,
+      s"mixtureReport: fractions must sum to 1, got ${targets.map(_._2).sum}")
+    require(budget > 0 && budget <= (Long.MaxValue / 10000),
+      "mixtureReport: budget out of range")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = broadcast(targets.toDF(groupCol, "target_frac"))
+    df.groupBy(col(groupCol))
+      .agg(sum(tokens.cast("long")).as("tokens"))
+      .join(tgt, groupCol)
+      .withColumn("required_tokens",
+        round(col("target_frac") * lit(budget.toDouble), 0).cast("bigint"))
+      .withColumn("rate",
+        round(col("required_tokens").cast("double") /
+          col("tokens").cast("double"), 6))
+      .withColumn("epochs", ceil(col("rate")).cast("int"))
+      .orderBy(col(groupCol))
+  }
+
   /** Temperature-scaled mixture resampling — the standard multilingual/
     * multi-source flattening: group weights q_i ∝ (token mass)^alpha
     * (alpha in (0,1]; 1 = proportional, smaller = flatter head/tail),

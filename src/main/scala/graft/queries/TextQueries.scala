@@ -3224,6 +3224,47 @@ object TextQueries extends QueryModule {
                  AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
                  AND stop_hits >= 2 AS keep
         FROM r ORDER BY doc_id""")),
+
+    // C19 — mixture PLAN report (the sizing step BEFORE c15's audit):
+    // target language fractions + a 1M-token budget → per-lang token
+    // mass, required tokens, sampling rate, implied EPOCHS (rate > 1 =
+    // the source must repeat — the data-constrained regime made
+    // visible before committing to a mix). BIGINT token sums, one
+    // rounded division for the rate, epochs ceils the ROUNDED rate so
+    // the integer can't flip on a last-ulp disagreement.
+    "c19_mix_plan" -> Q(
+      fn = (s, dir) => {
+        val words = filter(split(col("text"), " "), w => length(w) > 0)
+        graft.operators.SampleOps.mixtureReport(
+          t(s, dir, "documents"), "lang", size(words),
+          Seq("de" -> 0.15, "en" -> 0.5, "es" -> 0.05, "fr" -> 0.1,
+            "zh" -> 0.2),
+          budget = 1000000L)
+      },
+      bench = true,
+      oracle = Some("""
+        WITH tok AS (
+          SELECT lang,
+                 CAST(sum(len(list_filter(string_split(text, ' '),
+                   x -> len(x) > 0))) AS BIGINT) AS tokens
+          FROM documents GROUP BY 1),
+        t AS (SELECT * FROM (VALUES
+                ('de', CAST(0.15 AS DOUBLE)), ('en', CAST(0.5 AS DOUBLE)),
+                ('es', CAST(0.05 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE)),
+                ('zh', CAST(0.2 AS DOUBLE))) AS v(lang, target_frac)),
+        p AS (
+          SELECT tok.lang, tok.tokens, t.target_frac,
+                 CAST(round(t.target_frac * 1000000.0, 0) AS BIGINT)
+                   AS required_tokens
+          FROM tok JOIN t USING (lang)),
+        r AS (
+          SELECT lang, tokens, target_frac, required_tokens,
+                 round(CAST(required_tokens AS DOUBLE)
+                   / CAST(tokens AS DOUBLE), 6) AS rate
+          FROM p)
+        SELECT lang, tokens, target_frac, required_tokens, rate,
+               CAST(ceil(rate) AS INT) AS epochs
+        FROM r ORDER BY lang""")),
   )
 
   /** Okapi BM25 over `documents` (k1=1.5, b=0.75 — both exactly

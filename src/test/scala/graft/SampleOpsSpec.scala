@@ -183,4 +183,26 @@ class SampleOpsSpec extends SparkSpec {
         "doc_id", "grp", $"__tok", 100L, 0.5)
     }
   }
+
+  test("mixtureReport: required/rate/epochs per group, rate > 1 surfaces " +
+    "the data-constrained regime, untargeted groups drop, guards") {
+    // A has 200 tokens, B has 50, C untargeted; budget 400 at 75/25:
+    // A needs 300 of 200 -> rate 1.5, epochs 2; B needs 100 of 50 ->
+    // rate 2.0, epochs 2
+    val docs = Seq(("A", 120L), ("A", 80L), ("B", 50L), ("C", 10L))
+      .toDF("grp", "tok")
+    val out = SampleOps.mixtureReport(docs, "grp", $"tok",
+      Seq("A" -> 0.75, "B" -> 0.25), budget = 400L)
+      .as[(String, Long, Double, Long, Double, Int)].collect().toSeq
+    assert(out === Seq(
+      ("A", 200L, 0.75, 300L, 1.5, 2),
+      ("B", 50L, 0.25, 100L, 2.0, 2)))
+    intercept[IllegalArgumentException] {
+      SampleOps.mixtureReport(docs, "grp", $"tok", Nil, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      SampleOps.mixtureReport(docs, "grp", $"tok",
+        Seq("A" -> 0.6, "B" -> 0.6), 1L)
+    }
+  }
 }
