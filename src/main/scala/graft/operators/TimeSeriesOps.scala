@@ -1136,33 +1136,75 @@ object TimeSeriesOps {
       tsCol: String,
       valueCol: String,
       yScale: Int = 100,
+      origin: String = "2024-01-01 00:00:00"): DataFrame =
+    olsEstimate(
+      olsSummarize(df, keys, tsCol, valueCol, yScale, origin), keys, yScale)
+
+  /** [[olsTrend]]'s MERGEABLE summary — the five moment sums + n per
+    * key. Because every field is an exact integer/decimal SUM, two
+    * summaries combine by plain addition ([[olsMerge]]) — the additive-
+    * sketch property (KMV/CMS/Bloom/MG all have a merge; regression
+    * state gets the same treatment), so per-day/per-partition/per-
+    * stream-batch trend state folds without re-reading history, and
+    * [[olsEstimate]] recovers the identical trend the one-shot pass
+    * computes (exact, not approximate — addition is associative).
+    */
+  def olsSummarize(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      yScale: Int = 100,
       origin: String = "2024-01-01 00:00:00"): DataFrame = {
-    require(yScale > 0, s"olsTrend: yScale must be positive, got $yScale")
+    require(yScale > 0, s"olsSummarize: yScale must be positive, got $yScale")
     val x = expr(
       s"(unix_micros($tsCol) - unix_micros(timestamp'$origin')) div 1000000")
     val y = round(col(valueCol).cast("double") * yScale, 0).cast("bigint")
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val g = df
-      .select((keys.map(col) :+ x.as("__x") :+ y.as("__y")): _*)
+    df.select((keys.map(col) :+ x.as("__x") :+ y.as("__y")): _*)
       .groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
-        sum(col("__x")).as("__sx"),
-        sum(col("__y")).as("__sy"),
-        sum(dec(col("__x") * col("__y"))).as("__sxy"),
-        sum(dec(col("__x") * col("__x"))).as("__sxx"),
-        sum(dec(col("__y") * col("__y"))).as("__syy"))
+        sum(col("__x")).as("sx"),
+        sum(col("__y")).as("sy"),
+        sum(dec(col("__x") * col("__y"))).as("sxy"),
+        sum(dec(col("__x") * col("__x"))).as("sxx"),
+        sum(dec(col("__y") * col("__y"))).as("syy"))
+  }
+
+  /** Combine [[olsSummarize]] frames (same keys/yScale/origin):
+    * element-wise addition per key — exact, associative, commutative.
+    */
+  def olsMerge(summaries: DataFrame, keys: Seq[String]): DataFrame =
+    summaries.groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("n")).cast("bigint").as("n"),
+        sum(col("sx")).cast("bigint").as("sx"),
+        sum(col("sy")).cast("bigint").as("sy"),
+        sum(col("sxy")).cast("decimal(38,0)").as("sxy"),
+        sum(col("sxx")).cast("decimal(38,0)").as("sxx"),
+        sum(col("syy")).cast("decimal(38,0)").as("syy"))
+
+  /** Closed-form trend from a summary — shared by the one-shot and the
+    * merged path; see [[olsTrend]] for the numeric discipline.
+    */
+  def olsEstimate(
+      summary: DataFrame,
+      keys: Seq[String],
+      yScale: Int = 100): DataFrame = {
+    require(yScale > 0, s"olsEstimate: yScale must be positive, got $yScale")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     val n = dec(col("n"))
-    val num = n * col("__sxy") - dec(col("__sx")) * dec(col("__sy"))
-    val den = n * col("__sxx") - dec(col("__sx")) * dec(col("__sx"))
-    val den2 = n * col("__syy") - dec(col("__sy")) * dec(col("__sy"))
+    val num = n * col("sxy") - dec(col("sx")) * dec(col("sy"))
+    val den = n * col("sxx") - dec(col("sx")) * dec(col("sx"))
+    val den2 = n * col("syy") - dec(col("sy")) * dec(col("sy"))
     val ok = den > lit(0)
-    g.select((keys.map(col) :+ col("n") :+
+    summary.select((keys.map(col) :+ col("n") :+
         when(ok, round((num * lit(86400)).cast("double") /
           (den * lit(yScale)).cast("double"), 9)).as("slope_per_day") :+
         when(ok, round(
-          (dec(col("__sy")) * col("__sxx") -
-            dec(col("__sx")) * col("__sxy")).cast("double") /
+          (dec(col("sy")) * col("sxx") -
+            dec(col("sx")) * col("sxy")).cast("double") /
           (den * lit(yScale)).cast("double"), 6)).as("intercept") :+
         when(ok && den2 > lit(0), round(
           num.cast("double") * num.cast("double") /

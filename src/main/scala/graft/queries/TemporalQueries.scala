@@ -526,6 +526,62 @@ object TemporalQueries extends QueryModule {
         FROM d
         ORDER BY event_type""")),
 
+    // A47 — OLS as a MERGEABLE summary: the corpus is split at a time
+    // midpoint, each half summarized independently (the five moment
+    // sums + n — all exact integer/decimal sums), the summaries merged
+    // by plain addition, and the trend estimated from the merged
+    // state. The oracle is a46's one-shot SQL VERBATIM — the row
+    // hash-matching it IS the associativity proof (per-day/partition/
+    // stream-batch regression state folds without re-reading history,
+    // the additive-sketch property KMV/CMS/Bloom/MG already have).
+    "a47_ols_merge" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+        val mid = lit("2024-02-01 00:00:00").cast("timestamp")
+        val half = (pred: org.apache.spark.sql.Column) =>
+          graft.operators.TimeSeriesOps.olsSummarize(
+            ev.filter(pred), Seq("event_type"), "ts", "value")
+        graft.operators.TimeSeriesOps.olsEstimate(
+          graft.operators.TimeSeriesOps.olsMerge(
+            half(col("ts") < mid).unionByName(half(col("ts") >= mid)),
+            Seq("event_type")),
+          Seq("event_type"))
+      },
+      bench = true,
+      oracle = Some("""
+        WITH b AS (
+          SELECT event_type,
+                 (epoch_us(ts) -
+                  epoch_us(TIMESTAMP '2024-01-01 00:00:00')) // 1000000
+                   AS x,
+                 CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS y
+          FROM events),
+        g AS (
+          SELECT event_type, count(*) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+          FROM b GROUP BY 1),
+        d AS (
+          SELECT event_type, n,
+                 n * sxy - sx * sy AS num,
+                 n * sxx - sx * sx AS den,
+                 n * syy - sy * sy AS den2,
+                 sy * sxx - sx * sxy AS inum
+          FROM g)
+        SELECT event_type, n,
+               CASE WHEN den > 0 THEN
+                 round(CAST(num * 86400 AS DOUBLE) /
+                       CAST(den * 100 AS DOUBLE), 9) END AS slope_per_day,
+               CASE WHEN den > 0 THEN
+                 round(CAST(inum AS DOUBLE) /
+                       CAST(den * 100 AS DOUBLE), 6) END AS intercept,
+               CASE WHEN den > 0 AND den2 > 0 THEN
+                 round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) /
+                       (CAST(den AS DOUBLE) * CAST(den2 AS DOUBLE)), 9)
+               END AS r2
+        FROM d
+        ORDER BY event_type""")),
+
     // J10 — point-in-interval RANGE join (no equi key): which events
     // fall inside each event-type's opening 2-day window. Spark's naive
     // plan for a pure inequality join is a nested loop over the full

@@ -486,4 +486,35 @@ class PlanSpec extends SparkSpec {
       rows(chain(hotRaw.filter(col("site_no") =!= 0)))
     assert(whole === split.sortBy(_.mkString("|")))
   }
+
+  test("a46: OLS trend is ONE partial-aggregated key exchange") {
+    val p = plan("a46_ols_trend")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("t36/t37: PII scrub and Gopher rules are pure in-row maps — " +
+    "zero exchanges") {
+    for (q <- Seq("t36_pii_scrub", "t37_gopher_rules")) {
+      val p = plan(q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, s"$q\n$p")
+    }
+  }
+
+  test("c18: the overlap self-join shuffles hashes only — no text " +
+    "column crosses an exchange") {
+    val p = plan("c18_slice_overlap")
+    // every hash exchange's output carries __h/__g (or the count
+    // columns), never the raw text
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .foreach(l => assert(!l.contains("text"), l))
+  }
+
+  test("v36: projection apply broadcasts the loadings and folds in one " +
+    "id-keyed aggregation") {
+    val p = plan("v36_pca_project")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p)
+    assert(p.contains("partial_sum"), p)
+  }
 }

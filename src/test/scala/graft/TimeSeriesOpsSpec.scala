@@ -709,4 +709,30 @@ class TimeSeriesOpsSpec extends SparkSpec {
       TimeSeriesOps.olsTrend(df, Seq("k"), "ts", "value", yScale = 0)
     }
   }
+
+  test("ols summary algebra: merge of arbitrary splits === one-shot " +
+    "summarize, and the estimate off merged state === olsTrend") {
+    val rows = (0 until 90).map(i =>
+      (if (i % 2 == 0) "a" else "b", 600L * i,
+        1.0 + 0.07 * (i % 13) + 0.002 * i))
+    val df = rows.toDF("k", "secs", "value")
+      .select($"k", timestamp_seconds($"secs" + lit(1704067200L)).as("ts"),
+        $"value")
+    def dump(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("k").collect().map(_.toSeq).toSeq
+    val oneShot = TimeSeriesOps.olsSummarize(df, Seq("k"), "ts", "value")
+    // three uneven splits by wall-clock minute
+    val s1 = TimeSeriesOps.olsSummarize(
+      df.filter(minute($"ts") < 10), Seq("k"), "ts", "value")
+    val s2 = TimeSeriesOps.olsSummarize(
+      df.filter(minute($"ts") >= 10 && minute($"ts") < 40),
+      Seq("k"), "ts", "value")
+    val s3 = TimeSeriesOps.olsSummarize(
+      df.filter(minute($"ts") >= 40), Seq("k"), "ts", "value")
+    val merged = TimeSeriesOps.olsMerge(
+      s1.unionByName(s2).unionByName(s3), Seq("k"))
+    assert(dump(merged) === dump(oneShot), "moment sums are additive")
+    assert(dump(TimeSeriesOps.olsEstimate(merged, Seq("k"))) ===
+      dump(TimeSeriesOps.olsTrend(df, Seq("k"), "ts", "value")))
+  }
 }
