@@ -345,6 +345,44 @@ object StreamingOps {
     graft.operators.DedupOps.substrIndexMerge(
       spark.read.parquet(indexPath).drop("batch_id"))
 
+  /** Streaming OLS-trend maintenance — the regression twin of
+    * [[sketchIngest]]: each micro-batch writes its own moment-sum
+    * summary file ([[graft.operators.TimeSeriesOps.olsSummarize]] —
+    * five exact integer/decimal sums + n per key), and
+    * [[readTrend]] folds them by plain addition into the identical
+    * state a one-shot pass over the whole stream computes (exact:
+    * the sums are associative), then estimates. Continuous drift
+    * monitoring over an unbounded stream costs O(keys) state on disk
+    * and never re-reads history.
+    */
+  def trendIngest(
+      trendPath: String,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      yScale: Int = 100,
+      origin: String = "2024-01-01 00:00:00"): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      graft.operators.TimeSeriesOps
+        .olsSummarize(batch, keys, tsCol, valueCol, yScale, origin)
+        .write.mode("overwrite")
+        .parquet(s"$trendPath/batch_id=$batchId")
+    }
+
+  /** Fold the per-batch trend summaries under `trendPath` and estimate
+    * — identical to [[graft.operators.TimeSeriesOps.olsTrend]] over
+    * every row seen so far. Same reader contract as [[readSketch]].
+    */
+  def readTrend(
+      spark: org.apache.spark.sql.SparkSession,
+      trendPath: String,
+      keys: Seq[String],
+      yScale: Int = 100): DataFrame =
+    graft.operators.TimeSeriesOps.olsEstimate(
+      graft.operators.TimeSeriesOps.olsMerge(
+        spark.read.parquet(trendPath).drop("batch_id"), keys),
+      keys, yScale)
+
   def exactDedupStream(
       df: DataFrame,
       keys: Seq[String],

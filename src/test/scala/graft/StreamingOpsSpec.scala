@@ -4,6 +4,7 @@ import graft.operators.IntensityOps.IntensityPoint
 import graft.streaming.StreamingOps
 import graft.streaming.StreamingOps.RawPoint
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.timestamp_seconds
 import org.apache.spark.sql.streaming.OutputMode
 
 class StreamingOpsSpec extends SparkSpec {
@@ -299,6 +300,42 @@ class StreamingOpsSpec extends SparkSpec {
       b1.toDF("id", "g", "v"), 0L)
     assert(sk(StreamingOps.readSketch(spark, path, Seq("g"), 32))
       === sk(oneShot))
+  }
+
+  test("trendIngest: per-batch moment summaries fold to the one-shot " +
+    "trend, and a replayed batch overwrites its own partition") {
+    implicit val sql = spark.sqlContext
+    val d = java.nio.file.Files.createTempDirectory("graft_trend_").toFile
+    d.deleteOnExit()
+    val path = d.getAbsolutePath + "/trend"
+    val base = 1704067200L
+    val rows = (0 until 150).map(i =>
+      (s"g${i % 2}", base + 600L * i, 1.0 + 0.05 * (i % 7) + 0.001 * i))
+    val mk = (r: Seq[(String, Long, Double)]) =>
+      r.toDF("k", "secs", "value")
+        .select($"k", timestamp_seconds($"secs").as("ts"), $"value")
+    val input = MemoryStream[(String, Long, Double)]
+    val q = input.toDS().toDF("k", "secs", "value")
+      .select($"k", timestamp_seconds($"secs").as("ts"), $"value")
+      .writeStream
+      .foreachBatch(StreamingOps.trendIngest(path, Seq("k"), "ts", "value"))
+      .outputMode(OutputMode.Append).start()
+    val (b1, b2) = rows.splitAt(90)
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k").collect().map(_.toSeq).toSeq
+    val oneShot = graft.operators.TimeSeriesOps.olsTrend(
+      mk(rows), Seq("k"), "ts", "value")
+    assert(dump(StreamingOps.readTrend(spark, path, Seq("k"))) ===
+      dump(oneShot), "streamed fold === one-shot trend")
+    // replaying batch 0 rewrites its own partition, fold unchanged
+    StreamingOps.trendIngest(path, Seq("k"), "ts", "value")(mk(b1), 0L)
+    assert(dump(StreamingOps.readTrend(spark, path, Seq("k"))) ===
+      dump(oneShot))
   }
 
   test("hllIngest: per-batch register partials fold to the whole-stream " +
