@@ -135,6 +135,48 @@ object MultimodalOps {
       })
   }
 
+  final case class PcmDecim(media_id: Long, rate_out: Int, n_out: Int,
+    sum_s: Long, sumsq: Long, peak: Int, first_s: Int, last_s: Int)
+
+  /** STRIDE decimation over decoded PCM — keep every `factor`-th
+    * sample (the audio twin of video frame-sampling: cut the rate
+    * before an expensive downstream model; naive decimation, no
+    * anti-alias filter — aliasing is the caller's tradeoff and the
+    * honest description of what stride sampling does). Each blob
+    * decodes ONCE in the typed mapPartitions (the codec is the
+    * legitimate mapPartitions case) and reduces IN the same pass to
+    * one row of integer-exact aggregates of the kept samples
+    * (n/sum/sumsq/peak/first/last) — nothing sample-sized ever
+    * shuffles, so 100 TB of audio costs one scan with per-blob
+    * O(n/factor) arithmetic. Invalid blobs yield no row
+    * ([[pcmFrames]]'s contract); `rate_out` = rate/factor truncated.
+    */
+  def pcmDecimate(blobs: DataFrame, factor: Int): Dataset[PcmDecim] = {
+    require(factor >= 1, s"pcmDecimate: factor must be >= 1, got $factor")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs
+      .select(col("media_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        MediaCodec.pcmSamples(b) match {
+          case Some((rate, s)) =>
+            var i = 0; var n = 0; var sum = 0L; var sq = 0L
+            var peak = 0; var first = 0; var last = 0
+            while (i < s.length) {
+              val v = s(i)
+              if (n == 0) first = v
+              last = v; n += 1; sum += v; sq += v.toLong * v
+              val a = math.abs(v); if (a > peak) peak = a
+              i += factor
+            }
+            Iterator.single(
+              PcmDecim(id, rate / factor, n, sum, sq, peak, first, last))
+          case None => Iterator.empty
+        }
+      })
+  }
+
   /** Energy-gate segmentation over the framed PCM stream — the VAD
     * (voice-activity-detection) shape every speech-data pipeline runs
     * before transcription/frame-sampling: a frame is ACTIVE when its

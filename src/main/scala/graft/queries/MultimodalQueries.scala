@@ -320,6 +320,52 @@ object MultimodalQueries extends QueryModule {
                round(CAST(n_samples AS DOUBLE) / sample_rate, 6)
                  AS duration_s
         FROM p
-        ORDER BY media_id"""))
+        ORDER BY media_id""")),
+
+    // M8 — stride decimation (keep every 4th sample): the audio twin
+    // of video frame-sampling — cut the rate ahead of an expensive
+    // downstream model. Each blob decodes once and reduces IN the
+    // decode pass to integer-exact aggregates of the kept samples;
+    // nothing sample-sized shuffles. The oracle re-derives the tone
+    // (m5/m7's construction), strides it with a list comprehension,
+    // and restates every aggregate in exact integer arithmetic.
+    "m8_pcm_decimate" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val blobs = t(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, graft.operators.MediaCodec.buildWavTone(id))))
+          .toDF("media_id", "blob")
+        MultimodalOps.pcmDecimate(blobs, factor = 4).toDF()
+          .orderBy(col("media_id"))
+      },
+      bench = true,
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id AS media_id,
+                 CAST((doc_id % 20 + 1) * 128 AS INT) AS n_samples,
+                 CAST(8000 + (doc_id % 7) * 2000 AS INT) AS rate,
+                 list_transform(
+                   generate_series(0, CAST((doc_id % 20 + 1) * 128 - 1
+                     AS BIGINT)),
+                   k -> (doc_id * 31 + k * 17) % 2003 - 1001) AS s
+          FROM documents),
+        d AS (
+          SELECT media_id, CAST(rate // 4 AS INT) AS rate_out,
+                 list_transform(
+                   generate_series(0, CAST((n_samples - 1) // 4 AS BIGINT)),
+                   j -> s[CAST(j * 4 + 1 AS INT)]) AS ks
+          FROM p)
+        SELECT media_id, rate_out,
+               CAST(len(ks) AS INT) AS n_out,
+               CAST(list_sum(ks) AS BIGINT) AS sum_s,
+               CAST(list_sum(list_transform(ks, v -> v * v)) AS BIGINT)
+                 AS sumsq,
+               CAST(list_max(list_transform(ks, v -> abs(v))) AS INT)
+                 AS peak,
+               CAST(ks[1] AS INT) AS first_s,
+               CAST(ks[len(ks)] AS INT) AS last_s
+        FROM d ORDER BY media_id"""))
   )
 }

@@ -340,4 +340,37 @@ class MultimodalOpsSpec extends SparkSpec {
       BigDecimal(math.sqrt((400.0 + 111 + 1800) / 10)).setScale(6,
         BigDecimal.RoundingMode.HALF_UP).toDouble)))
   }
+
+  test("pcmDecimate: strided aggregates match a hand refold, factor 1 " +
+    "keeps everything, factor beyond length keeps only sample 0, poison " +
+    "blobs emit nothing, factor guard") {
+    import graft.operators.MediaCodec
+    val id = 4L
+    val Some((rate, samples)) =
+      MediaCodec.pcmSamples(MediaCodec.buildWavTone(id))
+    def run(factor: Int) = MultimodalOps.pcmDecimate(
+      Seq((id, MediaCodec.buildWavTone(id)),
+        (99L, "not a wav".getBytes)).toDF("media_id", "blob"), factor)
+      .collect().toSeq
+    def expect(factor: Int) = {
+      val kept = samples.indices.filter(_ % factor == 0).map(samples(_))
+      (id, rate / factor, kept.length,
+        kept.map(_.toLong).sum, kept.map(v => v.toLong * v).sum,
+        kept.map(math.abs).max, kept.head, kept.last)
+    }
+    for (f <- Seq(1, 4, 7)) {
+      val out = run(f)
+      assert(out.length === 1, s"factor $f: poison blob contributed rows")
+      val d = out.head
+      assert((d.media_id, d.rate_out, d.n_out, d.sum_s, d.sumsq, d.peak,
+        d.first_s, d.last_s) === expect(f), s"factor $f")
+    }
+    val solo = run(samples.length + 10).head
+    assert(solo.n_out === 1 && solo.first_s === samples.head &&
+      solo.last_s === samples.head)
+    intercept[IllegalArgumentException] {
+      MultimodalOps.pcmDecimate(Seq((1L, Array[Byte]()))
+        .toDF("media_id", "blob"), 0)
+    }
+  }
 }
