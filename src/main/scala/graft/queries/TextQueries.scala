@@ -3265,6 +3265,67 @@ object TextQueries extends QueryModule {
         SELECT lang, tokens, target_frac, required_tokens, rate,
                CAST(ceil(rate) AS INT) AS epochs
         FROM r ORDER BY lang""")),
+
+    // C20 — language-ID CONFUSION MATRIX: t2's marker classifier
+    // evaluated against the labeled lang column — per (true, predicted)
+    // cell count, row fraction within the true language, hit flag, and
+    // overall accuracy (one division, broadcast back). Completes the
+    // classifier-eval layer (c17 calibration, v37 ranking, c20
+    // confusion); on this corpus it exposes exactly what an audit
+    // should — the marker profile covers en but not de/es/fr/zh, so
+    // those rows concentrate off-diagonal. Two tiny groupBys over
+    // G×G cells; the corpus-scale stage is the one scoring scan.
+    "c20_lang_confusion" -> Q(
+      fn = (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val (_, pred) = TextOps.langScores(toks, markers)
+        val cells = t(s, dir, "documents")
+          .select(col("lang"), pred.as("pred_lang"))
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+        val totals = cells.groupBy(col("lang")).agg(sum(col("n")).as("__t"))
+        val acc = cells.agg(
+          round(sum(when(col("lang") === col("pred_lang"), col("n"))
+              .otherwise(0L)).cast("double") /
+            sum(col("n")).cast("double"), 6).as("accuracy"))
+        cells.join(broadcast(totals), "lang")
+          .select(col("lang"), col("pred_lang"), col("n"),
+            round(col("n").cast("double") / col("__t").cast("double"), 6)
+              .as("row_frac"),
+            (col("lang") === col("pred_lang")).as("hit"))
+          .crossJoin(broadcast(acc))
+          .orderBy(col("lang"), col("pred_lang"))
+      },
+      bench = true,
+      oracle = Some {
+        val sc = markers.map { case (l, ws) => s"${markerSql(ws)} AS s_$l" }
+        val best =
+          s"greatest(${markers.map(m => s"s_${m._1}").mkString(", ")})"
+        val cases = markers.map { case (l, _) =>
+          s"WHEN s_$l = __best AND __best > 0 THEN '$l'"
+        }.mkString(" ")
+        s"""
+        WITH scored AS (
+          SELECT doc_id, lang, ${sc.mkString(", ")} FROM documents),
+        wb AS (SELECT *, $best AS __best FROM scored),
+        p AS (SELECT lang, CASE $cases ELSE 'und' END AS pred_lang
+              FROM wb),
+        cells AS (
+          SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2),
+        tot AS (
+          SELECT lang, CAST(sum(n) AS BIGINT) AS t FROM cells GROUP BY 1),
+        acc AS (
+          SELECT round(CAST(sum(CASE WHEN lang = pred_lang THEN n
+                   ELSE 0 END) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+                   AS accuracy
+          FROM cells)
+        SELECT c.lang, c.pred_lang, c.n,
+               round(CAST(c.n AS DOUBLE) / t.t, 6) AS row_frac,
+               c.lang = c.pred_lang AS hit,
+               acc.accuracy
+        FROM cells c JOIN tot t USING (lang) CROSS JOIN acc
+        ORDER BY c.lang, c.pred_lang"""
+      }),
   )
 
   /** Okapi BM25 over `documents` (k1=1.5, b=0.75 — both exactly
