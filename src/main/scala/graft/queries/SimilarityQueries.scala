@@ -1105,6 +1105,67 @@ object SimilarityQueries extends QueryModule {
                  n2 - round(pd, 9) * round(pd, 9))), 6) AS residual
         FROM p ORDER BY vec_id""")),
 
+    // V39 — embedding-space DRIFT between slices: the dominant
+    // direction (1-round power iteration, v35's construction) of the
+    // label=0 slice vs the rest, summarized as the cosine between the
+    // two axes — the one-number answer to "did a source change what
+    // the corpus points at" that v35's scaladoc promises (c13's PSI
+    // drift for scalar features, this for embedding space). Loadings
+    // are 9-dp unit vectors, so the cosine folds 12-dp-rounded
+    // products into an exact decimal sum — one broadcast-sized join
+    // on the 64-row frames.
+    "v39_pca_drift" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        def axis(pred: org.apache.spark.sql.Column, tag: String) =
+          graft.operators.SimilarityOps.powerIteration(
+            emb.filter(pred), "vec_id", "embedding", iters = 1)
+            .select(col("dim"), col("loading").as(s"l_$tag"),
+              col("eigval").as(s"e_$tag"))
+        axis(col("label") === 0, "a")
+          .join(axis(col("label") =!= 0, "b"), "dim")
+          .agg(
+            round(sum(round(col("l_a") * col("l_b"), 12)
+              .cast("decimal(38,12)")).cast("double"), 6).as("axis_cos"),
+            max(col("e_a")).as("eig_a"),
+            max(col("e_b")).as("eig_b"))
+      },
+      bench = true,
+      oracle = Some {
+        def chain(pred: String, tag: String) =
+          s"""e_$tag AS (
+             |  SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+             |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+             |  FROM embeddings, range(1, 65) t(i) WHERE $pred),
+             |s_$tag AS (
+             |  SELECT vec_id,
+             |         CAST(sum(CAST(round(x * 1.0, 12) AS DECIMAL(38,12)))
+             |           AS DOUBLE) AS s
+             |  FROM e_$tag GROUP BY 1),
+             |w_$tag AS (
+             |  SELECT e.dim,
+             |         CAST(sum(CAST(round(s.s * e.x, 12)
+             |           AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS w
+             |  FROM e_$tag e JOIN s_$tag s USING (vec_id) GROUP BY 1),
+             |n_$tag AS (
+             |  SELECT CAST(sum(CAST(round(CAST(w AS DOUBLE) *
+             |           CAST(w AS DOUBLE), 12) AS DECIMAL(38,12)))
+             |           AS DOUBLE) AS n2
+             |  FROM w_$tag),
+             |v_$tag AS (
+             |  SELECT dim, round(CAST(w AS DOUBLE) / sqrt(n.n2), 9) AS v,
+             |         round(sqrt(n.n2), 6) AS eig
+             |  FROM w_$tag, n_$tag n)""".stripMargin
+        s"""
+        WITH ${chain("label = 0", "a")},
+        ${chain("label <> 0", "b")}
+        SELECT round(CAST(sum(CAST(round(a.v * b.v, 12)
+                 AS DECIMAL(38,12))) AS DOUBLE), 6) AS axis_cos,
+               max(a.eig) AS eig_a,
+               max(b.eig) AS eig_b
+        FROM v_a a JOIN v_b b USING (dim)"""
+      }),
+
     // V38 — MATRYOSHKA truncation recall: serve from only the first 16
     // of 64 dimensions (the MRL deployment trick — prefix-truncate the
     // embedding, keep the index 4× smaller/faster) and measure
