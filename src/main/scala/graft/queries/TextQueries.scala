@@ -3326,6 +3326,47 @@ object TextQueries extends QueryModule {
         FROM cells c JOIN tot t USING (lang) CROSS JOIN acc
         ORDER BY c.lang, c.pred_lang"""
       }),
+
+    // T38 — LEAKAGE-FREE train/holdout split: the split key is the
+    // CONTENT hash (md5 of text), not the doc id, so exact duplicates
+    // can never straddle the boundary — the eval-contamination channel
+    // a random id split leaves open. The zero-violation property is
+    // not asserted in a test but EMITTED (n_violations, a content
+    // group seen on both sides — structurally 0) so the driver
+    // hash-checks the guarantee itself. Per-row hash decision + one
+    // md5-keyed audit groupBy; at 100 TB pair it with d14's store to
+    // extend the same guarantee to near-duplicates.
+    "t38_leakfree_split" -> Q(
+      fn = (s, dir) => {
+        val withSplit = t(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("__h"))
+          .withColumn("split",
+            graft.operators.SampleOps.hashSplit(col("__h"), 80))
+        val viol = withSplit.groupBy(col("__h"))
+          .agg(countDistinct(col("split")).as("__k"))
+          .agg(sum(when(col("__k") > 1, 1L).otherwise(0L))
+            .cast("bigint").as("n_violations"))
+        withSplit.crossJoin(broadcast(viol))
+          .select(col("doc_id"), col("split"), col("n_violations"))
+          .orderBy(col("doc_id"))
+      },
+      bench = true,
+      oracle = Some {
+        val h60 = baseHashSql.replace("md5(s)", "md5(md5(text))")
+        s"""
+        WITH sp AS (
+          SELECT doc_id, md5(text) AS h,
+                 CASE WHEN ($h60) % 100 < 80 THEN 'train'
+                      ELSE 'holdout' END AS split
+          FROM documents),
+        viol AS (
+          SELECT CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violations
+          FROM (SELECT h, count(DISTINCT split) AS k FROM sp GROUP BY h))
+        SELECT doc_id, split, viol.n_violations
+        FROM sp CROSS JOIN viol
+        ORDER BY doc_id"""
+      }),
   )
 
   /** Okapi BM25 over `documents` (k1=1.5, b=0.75 — both exactly

@@ -561,4 +561,39 @@ class PropertySpec extends SparkSpec {
       levenshtein($"a", $"b")).as[(Int, Int)].collect()
     assert(both.forall(r => r._1 === r._2), both.toSeq.toString)
   }
+
+  test("piiScrub / gopherRules fuzz: arbitrary text (PII-shaped " +
+    "fragments, unicode, control chars) never throws, counts are " +
+    "non-negative and match inserted tags, reruns are bit-identical") {
+    import graft.operators.TextOps
+    val fragGen = Gen.frequency(
+      (4, Gen.alphaNumStr.map(_.take(12))),
+      (2, Gen.const("a@b.co")),
+      (2, Gen.const("1.2.3.4")),
+      (1, Gen.const("4111111111111111")),
+      (1, Gen.const("@@..19 . ")),
+      (1, Gen.const(" \n\t一😀")),
+      (1, Gen.const("#### - * ...")))
+    val textGen = for {
+      n <- Gen.choose(0, 12)
+      fs <- Gen.listOfN(n, fragGen)
+      sep <- Gen.oneOf(" ", "", "\n")
+    } yield fs.mkString(sep)
+    check(Prop.forAll(Gen.listOfN(8, textGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val pii = TextOps.piiScrub(df, "doc_id", "text")
+        .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1)
+      val tagsMatch = pii.forall { case (_, ne, ni, nn, clean) =>
+        ne == "<EMAIL>".r.findAllIn(clean).size &&
+          ni == "<IP>".r.findAllIn(clean).size &&
+          nn == "<NUM>".r.findAllIn(clean).size
+      }
+      val gr = TextOps.gopherRules(df, "doc_id", "text",
+        Seq("the", "a")).collect().map(_.toSeq).sortBy(_.head.toString)
+      val rerun = TextOps.gopherRules(df, "doc_id", "text",
+        Seq("the", "a")).collect().map(_.toSeq).sortBy(_.head.toString)
+      tagsMatch && (gr.toSeq == rerun.toSeq)
+    }, samples = 30)
+  }
 }
