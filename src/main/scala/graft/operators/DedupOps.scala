@@ -852,6 +852,22 @@ object DedupOps {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
+  /** Jaro–Winkler similarity as a native codegen'd expression
+    * ([[graft.expressions.JaroWinkler]]) — the record-linkage scorer
+    * for short identifier-like strings, where a shared PREFIX should
+    * outweigh a tail edit (the opposite bias to Levenshtein's uniform
+    * per-position cost). Byte-level semantics pinned to the
+    * conventional reference implementation; see the expression's
+    * scaladoc for the probed edge cases. O(n·window) per pair, zero
+    * shuffle — composes into any blocked-pair refine stage exactly
+    * like [[myersLevenshtein]].
+    */
+  def jaroWinklerSim(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.JaroWinkler(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** Shared refine-stage scaffolding: join a blocked (a, b) pair set to
     * its capped text prefixes (columns `t_a`, `t_b`). Both edit-
     * distance forms build on this so the prefix/join behavior cannot

@@ -2242,6 +2242,38 @@ object TextQueries extends QueryModule {
         FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 2
         ORDER BY a, b""")),
 
+    // D25 — Jaro–Winkler scoring over sorted-neighborhood candidates:
+    // the classic record-linkage refine stage (Winkler 1990) composed
+    // from d19's distributed-exact blocking. Sorting on the 24-char
+    // text prefix puts near-identical openings adjacent; each candidate
+    // pair is then scored by the native byte-level JaroWinkler
+    // expression — prefix-weighted, so "same start, divergent tail"
+    // (the scraper-mirror signature Levenshtein underweights) scores
+    // high. Zero extra shuffle beyond the blocking sort: the score is
+    // a codegen'd projection over the pair stream, and the oracle is
+    // DuckDB's OWN jaro_winkler_similarity — an independent
+    // implementation agreeing to 6 dp pins the byte/window/
+    // transposition/boost semantics, not just our own mirror.
+    "d25_jaro_winkler" -> Q(
+      fn = (s, dir) =>
+        DedupOps.sortedNeighborPairs(
+          t(s, dir, "documents"), "doc_id",
+          substring(col("text"), 1, 24), window = 3)
+          .select(col("a"), col("b"),
+            round(DedupOps.jaroWinklerSim(col("key_a"), col("key_b")), 6)
+              .as("jw"))
+          .orderBy(col("a"), col("b")),
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id, substring(text, 1, 24) AS k,
+                 row_number() OVER (ORDER BY substring(text, 1, 24),
+                                    doc_id) AS rn
+          FROM documents)
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               round(jaro_winkler_similarity(a.k, b.k), 6) AS jw
+        FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 2
+        ORDER BY a, b""")),
+
     // D23 — exact duplicated-substring spans (Lee et al. ACL'22
     // ExactSubstr, token-window form, w = 8): windows whose hash occurs
     // ≥ 2 times corpus-wide mark their tokens duplicated; per doc the

@@ -596,4 +596,52 @@ class PropertySpec extends SparkSpec {
       tagsMatch && (gr.toSeq == rerun.toSeq)
     }, samples = 30)
   }
+
+  test("JaroWinkler: DuckDB-probed fixtures pin byte/window/transposition/" +
+    "boost semantics; invariants (symmetry, [0,1], identity, boost >= " +
+    "jaro) hold on random byte strings") {
+    import graft.expressions.JaroWinkler
+    def jw(a: String, b: String): Double =
+      JaroWinkler.jaroWinkler(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    // every value below was read off DuckDB 1.0's
+    // jaro_winkler_similarity on 2026-08-14 — an independent
+    // implementation, not our own mirror
+    val fixtures = Seq(
+      ("", "", 0.0), ("a", "", 0.0), ("", "a", 0.0), ("a", "a", 1.0),
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("abcd", "badc", 0.8333333333333334),
+      ("ab", "ba", 0.0), ("x", "y", 0.0),
+      ("CRATE", "TRACE", 0.7333333333333334),
+      ("DwAyNE", "DuANE", 0.8400000000000001),
+      ("kitten", "sitting", 0.746031746031746),
+      ("ss", "sss", 0.9111111111111111),
+      // é is two UTF-8 bytes: byte semantics give 0.849206…, code-point
+      // semantics would give 0.888888…
+      ("éclair", "eclair", 0.8492063492063492),
+      // jaro <= 0.7 with a common prefix: boost must NOT apply
+      ("ab", "aXYZQRST", 0.5416666666666666),
+      ("abcdef", "abczzzzzzzzzzzz", 0.5666666666666667),
+      // odd mismatch count (3-cycle): transpositions floor to 1
+      ("abcdefgh", "bcadefgh", 0.9583333333333334))
+    fixtures.foreach { case (a, b, want) =>
+      assert(jw(a, b) === want, s"jw($a, $b)")
+    }
+    val byteGen = Gen.frequency(
+      (8, Gen.choose(97, 101)), (1, Gen.choose(0, 255)))
+    val strGen = for {
+      n <- Gen.frequency((2, Gen.choose(0, 3)), (5, Gen.choose(4, 24)),
+        (1, Gen.choose(60, 120)))
+      bs <- Gen.listOfN(n, byteGen)
+    } yield bs.map(_.toByte).toArray
+    check(Prop.forAll(strGen, strGen) { (a, b) =>
+      val s = JaroWinkler.jaroWinkler(a, b)
+      val j = JaroWinkler.jaro(a, b)
+      s == JaroWinkler.jaroWinkler(b, a) &&
+        s >= 0.0 && s <= 1.0 && s >= j &&
+        (a.isEmpty || JaroWinkler.jaroWinkler(a, a) == 1.0) // identity
+    }, samples = 500)
+  }
 }
