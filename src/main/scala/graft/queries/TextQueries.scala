@@ -3359,6 +3359,141 @@ object TextQueries extends QueryModule {
         ORDER BY c.lang, c.pred_lang"""
       }),
 
+    // C21 — Cohen's KAPPA between the marker classifier and the labeled
+    // lang column: chance-corrected agreement, the number c20's raw
+    // accuracy overstates whenever the label distribution is skewed
+    // (a constant-majority classifier scores high accuracy but κ ≈ 0).
+    // Everything assembles in BIGINT from c20's G×G cell counts —
+    // κ = (N·agree − Σ_k row_k·col_k) / (N² − Σ_k row_k·col_k) is ONE
+    // division of exact integers, so the hash can't wobble. The margins
+    // and their product-sum are label-count-sized aggregates; the only
+    // corpus-scale stage is the same single scoring scan c20 runs.
+    // (BIGINT margins hold to ~3·10⁹ docs per label; past that the
+    // product-sum should assemble in DECIMAL(38,0).)
+    "c21_kappa" -> Q(
+      fn = (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val (_, pred) = TextOps.langScores(toks, markers)
+        val cells = t(s, dir, "documents")
+          .select(col("lang"), pred.as("pred_lang"))
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+        val rowT = cells.groupBy(col("lang")).agg(sum(col("n")).as("rt"))
+        val colT = cells.groupBy(col("pred_lang")).agg(sum(col("n")).as("ct"))
+        val peNum = rowT
+          .join(colT, rowT("lang") === colT("pred_lang"))
+          .agg(coalesce(sum(col("rt") * col("ct")), lit(0L)).as("pe_num"))
+        cells
+          .agg(sum(col("n")).as("n_total"),
+            sum(when(col("lang") === col("pred_lang"), col("n"))
+              .otherwise(0L)).as("n_agree"))
+          .crossJoin(broadcast(peNum))
+          .select(col("n_total"), col("n_agree"), col("pe_num"),
+            round(col("n_agree").cast("double") /
+              col("n_total").cast("double"), 6).as("po"),
+            round(col("pe_num").cast("double") /
+              (col("n_total") * col("n_total")).cast("double"), 6).as("pe"),
+            round((col("n_total") * col("n_agree") - col("pe_num"))
+                .cast("double") /
+              (col("n_total") * col("n_total") - col("pe_num"))
+                .cast("double"), 9).as("kappa"))
+      },
+      oracle = Some {
+        val sc = markers.map { case (l, ws) => s"${markerSql(ws)} AS s_$l" }
+        val best =
+          s"greatest(${markers.map(m => s"s_${m._1}").mkString(", ")})"
+        val cases = markers.map { case (l, _) =>
+          s"WHEN s_$l = __best AND __best > 0 THEN '$l'"
+        }.mkString(" ")
+        s"""
+        WITH scored AS (
+          SELECT doc_id, lang, ${sc.mkString(", ")} FROM documents),
+        wb AS (SELECT *, $best AS __best FROM scored),
+        p AS (SELECT lang, CASE $cases ELSE 'und' END AS pred_lang
+              FROM wb),
+        cells AS (
+          SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2),
+        rt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS rt
+               FROM cells GROUP BY 1),
+        ct AS (SELECT pred_lang, CAST(sum(n) AS BIGINT) AS ct
+               FROM cells GROUP BY 1),
+        pe AS (SELECT CAST(coalesce(sum(rt.rt * ct.ct), 0) AS BIGINT)
+                 AS pe_num
+               FROM rt JOIN ct ON ct.pred_lang = rt.lang),
+        b AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+                     CAST(sum(CASE WHEN lang = pred_lang THEN n
+                       ELSE 0 END) AS BIGINT) AS n_agree
+              FROM cells)
+        SELECT n_total, n_agree, pe_num,
+               round(CAST(n_agree AS DOUBLE)
+                 / CAST(n_total AS DOUBLE), 6) AS po,
+               round(CAST(pe_num AS DOUBLE)
+                 / CAST(n_total * n_total AS DOUBLE), 6) AS pe,
+               round(CAST(n_total * n_agree - pe_num AS DOUBLE)
+                 / CAST(n_total * n_total - pe_num AS DOUBLE), 9) AS kappa
+        FROM b CROSS JOIN pe"""
+      }),
+
+    // C22 — per-source language DIVERSITY: Shannon entropy (nats) and
+    // Simpson index of each source's language distribution — the
+    // concentration summary that flags a "multilingual" feed that is
+    // 98% one language. Shannon follows c5's decimal discipline (each
+    // −p·ln p term rounds to 9 dp then sums as exact DECIMAL, so the
+    // aggregation order can't move the hash); Simpson assembles wholly
+    // in BIGINT — 1 − Σn²/N² is ONE division. Two tiny groupBys over
+    // source×lang cells; the corpus never shuffles.
+    "c22_diversity" -> Q(
+      fn = (s, dir) => {
+        val cells = t(s, dir, "documents")
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n"))
+        val totals = cells.groupBy(col("source")).agg(
+          sum(col("n")).as("n_docs"),
+          count(lit(1)).as("n_langs"),
+          sum(col("n") * col("n")).as("sum_sq"))
+        val terms = cells
+          .join(broadcast(totals.select(col("source"), col("n_docs"))),
+            "source")
+          .select(col("source"),
+            round((col("n").cast("double") / col("n_docs").cast("double")) *
+              log(col("n").cast("double") / col("n_docs").cast("double")), 9)
+              .cast("decimal(28,9)").as("term"))
+          .groupBy(col("source"))
+          .agg(sum(col("term")).as("nsum"))
+        totals.join(terms, "source")
+          .select(col("source"), col("n_docs"), col("n_langs"),
+            round(-col("nsum").cast("double"), 6).as("shannon"),
+            round((col("n_docs") * col("n_docs") - col("sum_sq"))
+                .cast("double") /
+              (col("n_docs") * col("n_docs")).cast("double"), 6)
+              .as("simpson"))
+          .orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH cells AS (
+          SELECT source, lang, count(*) AS n
+          FROM documents GROUP BY 1, 2),
+        tot AS (
+          SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+                 CAST(count(*) AS BIGINT) AS n_langs,
+                 CAST(sum(n * n) AS BIGINT) AS sum_sq
+          FROM cells GROUP BY 1),
+        terms AS (
+          SELECT c.source,
+                 CAST(round(
+                   (CAST(c.n AS DOUBLE) / CAST(t.n_docs AS DOUBLE)) *
+                   ln(CAST(c.n AS DOUBLE) / CAST(t.n_docs AS DOUBLE)), 9)
+                   AS DECIMAL(28,9)) AS term
+          FROM cells c JOIN tot t USING (source)),
+        agg AS (
+          SELECT source, sum(term) AS nsum FROM terms GROUP BY 1)
+        SELECT t.source, t.n_docs, t.n_langs,
+               round(-CAST(a.nsum AS DOUBLE), 6) AS shannon,
+               round(CAST(t.n_docs * t.n_docs - t.sum_sq AS DOUBLE)
+                 / CAST(t.n_docs * t.n_docs AS DOUBLE), 6) AS simpson
+        FROM tot t JOIN agg a USING (source)
+        ORDER BY source""")),
+
     // T38 — LEAKAGE-FREE train/holdout split: the split key is the
     // CONTENT hash (md5 of text), not the doc id, so exact duplicates
     // can never straddle the boundary — the eval-contamination channel
