@@ -808,6 +808,62 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(ranked))
   }
 
+  /** PQ-ADC retrieve + EXACT re-rank — the two-stage serving shape
+    * every production ANN deployment actually runs (faiss's
+    * `IndexRefineFlat`, ScaNN's reorder stage): the compressed index
+    * proposes a `shortlist` of M candidates by ADC, then the TRUE
+    * squared L2 distance is computed for those M rows only and the
+    * final top-k ranks by the exact number. Fixes exactly the failure
+    * v31 measures (PQ's quantization error reordering close
+    * neighbors) at the cost of M raw-vector reads per query instead
+    * of the corpus.
+    *
+    * Scale shape: stage 1 is [[pqTopK]] (codes-only scan, broadcast
+    * ADC table); stage 2 broadcasts the M-row shortlist INTO the
+    * vector table join — the corpus is touched only by the codes
+    * scan, and the raw-vector read is M rows via broadcast-hash, no
+    * shuffle. Exact distances assemble per-dim as round-12 decimals
+    * (order-free sums), so the output is engine-portable.
+    *
+    * @return (idCol, ad2, d2, rank) — the approximate and exact
+    *         distances side by side; rank is by d2.
+    */
+  def pqTopKRefined(
+      embeddings: DataFrame,
+      query: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numSub: Int,
+      kCodes: Int,
+      iters: Int,
+      shortlist: Int,
+      k: Int): DataFrame = {
+    require(shortlist >= k,
+      s"pqTopKRefined: shortlist ($shortlist) must be >= k ($k)")
+    val short = pqTopK(embeddings, query, idCol, vecCol, numSub, kCodes,
+      iters, shortlist).drop("rank")
+    val query1 = singleQueryGuard(query, idCol, "pqTopKRefined")
+    val qDims = query1.select(
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "qv")))
+    val exact = embeddings
+      .join(broadcast(short), idCol)
+      .select(col(idCol), col("ad2"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "v")))
+      .join(broadcast(qDims), "dim")
+      .select(col(idCol), col("ad2"),
+        round((col("v") - col("qv")) * (col("v") - col("qv")), 12)
+          .cast("decimal(38,12)").as("dd"))
+      .groupBy(col(idCol), col("ad2"))
+      .agg(sum(col("dd")).as("__d2"))
+      .select(col(idCol), col("ad2"),
+        round(col("__d2").cast("double"), 6).as("d2"))
+    val ranked = Window.orderBy(col("d2").asc, col(idCol).asc)
+    exact
+      .orderBy(col("d2").asc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(ranked))
+  }
+
   // -------------------------------------------------------------------
   // Scalar quantization (SQ8) — the third compression path, between raw
   // vectors and PQ: each dimension quantizes INDEPENDENTLY to an 8-bit

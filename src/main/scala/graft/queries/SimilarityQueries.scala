@@ -730,6 +730,73 @@ object SimilarityQueries extends QueryModule {
         ORDER BY rank"""),
       bench = true),
 
+    // V40 — ADC + exact REFINE: v10's compressed-index retrieve
+    // proposes a 50-candidate shortlist, then the true L2 is computed
+    // for those 50 rows only and the final top-10 ranks by it — the
+    // two-stage serving shape production ANN actually deploys (faiss
+    // IndexRefineFlat, ScaNN reorder). This closes the loop v31
+    // quantifies: PQ recall loss comes from near-ties reordered by
+    // quantization error, and a cheap exact pass over M ≪ corpus rows
+    // recovers it. Output carries ad2 and d2 side by side so the
+    // reordering is visible in the hashed result, not asserted.
+    "v40_adc_refine" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimilarityOps.pqTopKRefined(
+          emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+          numSub = 4, kCodes = 4, iters = 1, shortlist = 50, k = 10)
+          .orderBy(col("rank"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id,
+                 CAST((i - 1) // 16 AS INT) AS sub,
+                 CAST((i - 1) % 16 AS INT) AS dsub,
+                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+          FROM embeddings, range(1, 65) t(i)),
+        init AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+                 vec_id
+          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+        cb AS (
+          SELECT e.sub, i.code, e.dsub, e.v AS c
+          FROM init i JOIN e ON e.vec_id = i.vec_id),
+        d AS (
+          SELECT e.vec_id, e.sub, cb.code,
+                 sum(CAST(round((e.v - cb.c) * (e.v - cb.c), 12)
+                   AS DECIMAL(38,12))) AS d2
+          FROM e JOIN cb ON e.sub = cb.sub AND e.dsub = cb.dsub
+          GROUP BY 1, 2, 3),
+        enc AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                     ORDER BY d2, code) AS rn
+            FROM d) WHERE rn = 1),
+        qt AS (SELECT sub, code, d2 FROM d WHERE vec_id = 0),
+        adc AS (
+          SELECT enc.vec_id,
+                 round(CAST(sum(qt.d2) AS DOUBLE), 6) AS ad2
+          FROM enc JOIN qt ON enc.sub = qt.sub AND enc.code = qt.code
+          WHERE enc.vec_id <> 0
+          GROUP BY 1),
+        short AS (
+          SELECT vec_id, ad2 FROM adc ORDER BY ad2, vec_id LIMIT 50),
+        ex AS (
+          SELECT s.vec_id, s.ad2,
+                 round(CAST(sum(CAST(round((e.v - q.v) * (e.v - q.v), 12)
+                   AS DECIMAL(38,12))) AS DOUBLE), 6) AS d2
+          FROM short s
+          JOIN e ON e.vec_id = s.vec_id
+          JOIN e q ON q.vec_id = 0 AND q.sub = e.sub AND q.dsub = e.dsub
+          GROUP BY 1, 2),
+        topk AS (
+          SELECT vec_id, ad2, d2 FROM ex ORDER BY d2, vec_id LIMIT 10)
+        SELECT vec_id, ad2, d2,
+               CAST(row_number() OVER (ORDER BY d2, vec_id) AS INT) AS rank
+        FROM topk
+        ORDER BY rank""")),
+
     // V12 — the PERSISTED index end-to-end under the oracle gate: write
     // trains the same codebook v7's oracle unrolls (k=4, 2 Lloyd's
     // iterations over the full corpus, deterministic by construction),
