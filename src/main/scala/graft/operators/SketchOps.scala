@@ -352,6 +352,34 @@ object SketchOps {
       .groupBy((keys.map(col) ++ Seq(col("depth_no"), col("bucket"))): _*)
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** Equi-join SIZE estimate from two CMS sketches over the join key
+    * (Cormode & Muthukrishnan 2005 §4.2): per depth the inner product
+    * Σ_b cntA[b]·cntB[b] never underestimates |A ⋈ B| (every true join
+    * pair lands in the same bucket; collisions only add), and the min
+    * across depths is the estimate. This is the cardinality oracle a
+    * planner wants BEFORE committing to a shuffle strategy at 100 TB —
+    * two d·w-sized summaries answer "how big is this join" without
+    * touching either table again, and because sketches of disjoint
+    * row sets merge ([[cmsMerge]]), the per-partition summaries fold
+    * up for free. Both sketches must share (depth, width) and the
+    * same value canonicalization — that is the caller's contract, as
+    * with [[cmsMerge]].
+    *
+    * @return (keys..., est_join_size) — one row per key group.
+    */
+  def cmsJoinSize(
+      sketchA: DataFrame,
+      sketchB: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val a = sketchA.withColumnRenamed("cnt", "__ca")
+    val b = sketchB.withColumnRenamed("cnt", "__cb")
+    a.join(b, keys ++ Seq("depth_no", "bucket"))
+      .groupBy((keys.map(col) :+ col("depth_no")): _*)
+      .agg(sum(col("__ca") * col("__cb")).as("__ip"))
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("__ip")).as("est_join_size"))
+  }
+
   /** Point-estimate the frequency of each (keys, value) row in `queries`:
     * min over the d depths of that depth's counter (absent counter = 0).
     * Classic CMS guarantee: never an underestimate, overestimate bounded

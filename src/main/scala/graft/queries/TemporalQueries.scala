@@ -1165,6 +1165,76 @@ object TemporalQueries extends QueryModule {
         JOIN ex ON ex.event_type = s.event_type AND ex.item = s.item
         ORDER BY s.event_type, s.item""")),
 
+    // A48 — JOIN-SIZE estimation from two CMS sketches (Cormode &
+    // Muthukrishnan 2005 §4.2): per depth, Σ_b cntA[b]·cntB[b] never
+    // undercounts |orders ⋈ customer| (true pairs share buckets;
+    // collisions only add) and min-across-depths is the estimate —
+    // the cardinality answer a planner needs BEFORE choosing a
+    // shuffle strategy, from two d·w summaries instead of a pass over
+    // either table. The estimate and the exact join count ship side
+    // by side so the overestimate factor is hashed output, not
+    // folklore. All counters and inner products assemble in BIGINT;
+    // the ratio is one division.
+    "a48_join_size_est" -> Q(
+      fn = (s, dir) => {
+        val ord = t(s, dir, "orders")
+        val cust = t(s, dir, "customer")
+        val skA = graft.operators.SketchOps.cmsSketch(
+          ord, Nil, "o_custkey", depth = 4, width = 64)
+        val skB = graft.operators.SketchOps.cmsSketch(
+          cust.select(col("c_custkey").as("o_custkey")), Nil, "o_custkey",
+          depth = 4, width = 64)
+        val est = graft.operators.SketchOps.cmsJoinSize(skA, skB, Nil)
+        val exact = ord
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .agg(count(lit(1)).as("exact_join_size"))
+        est.crossJoin(broadcast(exact))
+          .select(col("est_join_size"), col("exact_join_size"),
+            round(col("est_join_size").cast("double") /
+              col("exact_join_size").cast("double"), 6)
+              .as("overestimate"))
+      },
+      oracle = Some(s"""
+        WITH av AS (
+          SELECT o_custkey AS k, count(*) AS n,
+            list_transform([CAST(o_custkey AS VARCHAR)],
+              s -> ${TextQueries.baseHashSql})[1] % 2147483647 AS hv
+          FROM orders GROUP BY o_custkey),
+        ab AS (
+          SELECT d.dn,
+                 ((2 * d.dn + 3) * av.hv + (7 * d.dn + 1))
+                   % 2147483647 % 64 AS bucket,
+                 CAST(sum(av.n) AS BIGINT) AS cnt
+          FROM av CROSS JOIN (
+            SELECT unnest(generate_series(0, 3)) AS dn) d
+          GROUP BY 1, 2),
+        bv AS (
+          SELECT c_custkey AS k, count(*) AS n,
+            list_transform([CAST(c_custkey AS VARCHAR)],
+              s -> ${TextQueries.baseHashSql})[1] % 2147483647 AS hv
+          FROM customer GROUP BY c_custkey),
+        bb AS (
+          SELECT d.dn,
+                 ((2 * d.dn + 3) * bv.hv + (7 * d.dn + 1))
+                   % 2147483647 % 64 AS bucket,
+                 CAST(sum(bv.n) AS BIGINT) AS cnt
+          FROM bv CROSS JOIN (
+            SELECT unnest(generate_series(0, 3)) AS dn) d
+          GROUP BY 1, 2),
+        ip AS (
+          SELECT ab.dn, CAST(sum(ab.cnt * bb.cnt) AS BIGINT) AS ip
+          FROM ab JOIN bb ON bb.dn = ab.dn AND bb.bucket = ab.bucket
+          GROUP BY 1),
+        est AS (
+          SELECT CAST(min(ip) AS BIGINT) AS est_join_size FROM ip),
+        ex AS (
+          SELECT CAST(count(*) AS BIGINT) AS exact_join_size
+          FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)
+        SELECT est_join_size, exact_join_size,
+               round(CAST(est_join_size AS DOUBLE)
+                 / CAST(exact_join_size AS DOUBLE), 6) AS overestimate
+        FROM est CROSS JOIN ex""")),
+
     // A43 — HyperLogLog distinct users per event_type (m = 64
     // registers over the deterministic 60-bit md5 hash), INCLUDING the
     // merge algebra: per-half builds (even/odd event_id) fold by

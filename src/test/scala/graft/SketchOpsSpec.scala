@@ -344,6 +344,39 @@ class SketchOpsSpec extends SparkSpec {
       s"intersect $iEst vs $exactI")
   }
 
+  test("cmsJoinSize: never underestimates the true equi-join size, is " +
+    "exact without collisions, and per-part sketches folded by cmsMerge " +
+    "estimate identically to whole builds") {
+    // skewed left side (value v appears v times), two-valued right side
+    val left = (1L to 12L).flatMap(v => Seq.fill(v.toInt)(v)).toDF("v")
+    val right = (1L to 12L).flatMap(v =>
+      if (v % 3 == 0) Seq(v, v) else Seq(v)).toDF("v")
+    val exact = left.join(right, "v").count()
+    // wide sketch: 4x64 over 12 distinct values — estimate must still
+    // satisfy the >= bound, and typically equals exact here
+    val skA = SketchOps.cmsSketch(left, Nil, "v", 4, 64)
+    val skB = SketchOps.cmsSketch(right, Nil, "v", 4, 64)
+    val est = SketchOps.cmsJoinSize(skA, skB, Nil)
+      .select($"est_join_size").as[Long].head()
+    assert(est >= exact, s"est $est < exact $exact")
+    // narrow sketch (forced collisions): the bound must still hold
+    val estNarrow = SketchOps.cmsJoinSize(
+      SketchOps.cmsSketch(left, Nil, "v", 2, 4),
+      SketchOps.cmsSketch(right, Nil, "v", 2, 4), Nil)
+      .select($"est_join_size").as[Long].head()
+    assert(estNarrow >= exact, s"narrow est $estNarrow < exact $exact")
+    // mergeability: disjoint-half builds folded by cmsMerge give the
+    // same inner products as the whole-table build
+    val halves = SketchOps.cmsSketch(
+      left.filter($"v" % 2 === 0), Nil, "v", 4, 64)
+      .union(SketchOps.cmsSketch(
+        left.filter($"v" % 2 === 1), Nil, "v", 4, 64))
+    val estMerged = SketchOps.cmsJoinSize(
+      SketchOps.cmsMerge(halves, Nil), skB, Nil)
+      .select($"est_join_size").as[Long].head()
+    assert(estMerged === est)
+  }
+
   test("guards: k below 2 and reserved columns fail fast") {
     val df = Seq((1L, 2L)).toDF("g", "v")
     intercept[IllegalArgumentException] {
