@@ -156,6 +156,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children(0), children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_myers_lev"),
+      new ExpressionInfo(classOf[graft.expressions.MyersLev].getName,
+        "graft_myers_lev"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_myers_lev takes two arguments")
+        graft.expressions.MyersLev(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[graft.expressions.JaroWinkler].getName,
+        "graft_jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_jaro_winkler takes two arguments")
+        graft.expressions.JaroWinkler(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_min_shingle_md5"),
       new ExpressionInfo(classOf[graft.expressions.MinShingleMd5].getName,
         "graft_min_shingle_md5"),

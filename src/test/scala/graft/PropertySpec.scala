@@ -643,5 +643,16 @@ class PropertySpec extends SparkSpec {
         s >= 0.0 && s <= 1.0 && s >= j &&
         (a.isEmpty || JaroWinkler.jaroWinkler(a, a) == 1.0) // identity
     }, samples = 500)
+    // SQL-reachable through GraftExtensions, and the Column wrapper
+    // agrees with the direct byte-level call
+    val viaSql = spark.sql(
+      "SELECT graft_jaro_winkler('martha', 'marhta') AS jw, " +
+        "graft_myers_lev('kitten', 'sitting') AS lev")
+      .as[(Double, Int)].head()
+    assert(viaSql === ((0.9611111111111111, 3)))
+    val viaCol = Seq(("dixon", "dicksonx")).toDF("a", "b")
+      .select(graft.operators.DedupOps.jaroWinklerSim($"a", $"b"))
+      .as[Double].head()
+    assert(viaCol === 0.8133333333333332)
   }
 }
