@@ -402,6 +402,82 @@ object TextOps {
         col("avg_logprob"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999's interpolated form) — the smoothing that replaced
+    * [[bigramLogProb]]'s Jelinek-Mercer mix in every serious n-gram LM:
+    * the backoff weight is EARNED per history (D·N₁₊(w₁·)/c(w₁) — how
+    * many distinct continuations w₁ has), and the backoff distribution
+    * is the CONTINUATION probability N₁₊(·w₂)/B, not raw frequency —
+    * "Francisco" is frequent but follows only "San", so its continuation
+    * probability is tiny and KN stops hallucinating it after new
+    * histories.
+    *
+    *   p(w₂|w₁) = (c(w₁w₂) − D)/c(w₁) + D·N₁₊(w₁·)/c(w₁) · N₁₊(·w₂)/B
+    *
+    * with discount D = `dNum/dDen` (default ¾, the textbook value).
+    * Scored bigrams are corpus-attested by construction (the counts
+    * come from the same corpus), so c(w₁w₂) ≥ 1 > D and the max(·,0)
+    * clamp never binds.
+    *
+    * Engine-portability: both terms assemble as BIGINT-ratio doubles —
+    * (dDen·c₂ − dNum)/(dDen·c₁) and (dNum·N₁₊(w₁·)·N₁₊(·w₂))/(dDen·c₁·B)
+    * — ONE division each, then one add, one ln, round 6. The BIGINT
+    * products hold to c₁·B ≈ 9·10¹⁸/dDen; a 100 TB corpus should move
+    * the second term's numerator/denominator to DECIMAL(38,0) first.
+    *
+    * Scale shape: identical to [[bigramLogProb]] — in-row zip_with
+    * bigrams (no positional self-join), one shuffle for the bigram
+    * counts; the two continuation marginals re-aggregate that same
+    * vocabulary-scale frame, and B rides in as a broadcast 1-row join.
+    */
+  def knBigramLogProb(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      dNum: Int = 3,
+      dDen: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(dNum > 0 && dDen > dNum,
+      s"knBigramLogProb: discount $dNum/$dDen must lie in (0, 1) — at 0 " +
+        "nothing is reserved for backoff, at >= 1 attested bigrams go " +
+        "nonpositive")
+    val ts = tokens(col(textCol))
+    val bigrams = docs.select(col(idCol),
+      explode(zip_with(
+        slice(ts, lit(1), size(ts) - 1),
+        slice(ts, lit(2), size(ts) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = docs.select(explode(ts).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c1"))
+    val bi = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val cont1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("n1w"))
+    val cont2 = bi.groupBy(col("w2")).agg(count(lit(1)).as("ncw"))
+    val btypes = bi.agg(count(lit(1)).as("b_types"))
+    val t1 = (lit(dDen.toLong) * col("c2") - lit(dNum.toLong)).cast("double") /
+      (lit(dDen.toLong) * col("cw1")).cast("double")
+    val t2 = (lit(dNum.toLong) * col("n1w") * col("ncw")).cast("double") /
+      (lit(dDen.toLong) * col("cw1") * col("b_types")).cast("double")
+    val scored = bigrams
+      .join(bi, Seq("w1", "w2"))
+      .join(uni.select(col("token").as("w1"), col("c1").as("cw1")), "w1")
+      .join(cont1, "w1")
+      .join(cont2, "w2")
+      .crossJoin(broadcast(btypes))
+      .select(col(idCol),
+        round(log(t1 + t2), 6).cast("decimal(18,6)").as("lp"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("avg_kn_logprob"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_kn_logprob"))
+  }
+
   /** Per-source distribution drift: KL(source ‖ corpus) over unigram
     * token distributions — the observability number that catches a
     * source going off-distribution (a scraper regression, an injection

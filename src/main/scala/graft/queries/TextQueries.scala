@@ -2972,6 +2972,65 @@ object TextQueries extends QueryModule {
         FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
         ORDER BY d.doc_id""")),
 
+    // T39 — interpolated KNESER-NEY bigram scoring (D = 3/4): t27's
+    // production-grade sibling — the backoff weight is earned per
+    // history (D·N₁₊(w₁·)/c(w₁)) and the backoff distribution is the
+    // CONTINUATION count N₁₊(·w₂)/B, not raw frequency, so
+    // frequent-but-predictable tokens stop leaking probability into
+    // new contexts. Both probability terms are BIGINT-ratio doubles
+    // (one division each: (4c₂−3)/(4c₁) and 3·N₁₊N₁₊/(4c₁B)), added
+    // once, ln'd, rounded — no float-summation order anywhere before
+    // the decimal per-doc mean.
+    "t39_kn_bigram" -> Q(
+      fn = (s, dir) =>
+        TextOps.knBigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      bench = true,
+      oracle = Some("""
+        WITH tok AS (
+          SELECT doc_id, i, token
+          FROM (SELECT doc_id, string_split(text, ' ') AS ts
+                FROM documents),
+               LATERAL (SELECT unnest(ts) AS token,
+                               generate_subscripts(ts, 1) AS i)),
+        uni AS (
+          SELECT token, count(*) AS c1 FROM tok GROUP BY token),
+        bg AS (
+          SELECT t1.doc_id, t1.token AS w1, t2.token AS w2
+          FROM tok t1 JOIN tok t2
+            ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1),
+        bi AS (
+          SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        c1s AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1w
+                FROM bi GROUP BY w1),
+        c2s AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncw
+                FROM bi GROUP BY w2),
+        bt AS (SELECT CAST(count(*) AS BIGINT) AS b_types FROM bi),
+        lp AS (
+          SELECT bg.doc_id,
+                 CAST(round(ln(
+                   CAST(4 * bi.c2 - 3 AS DOUBLE)
+                     / CAST(4 * u1.c1 AS DOUBLE) +
+                   CAST(3 * c1s.n1w * c2s.ncw AS DOUBLE)
+                     / CAST(4 * u1.c1 * bt.b_types AS DOUBLE)), 6)
+                   AS DECIMAL(18,6)) AS lp
+          FROM bg
+          JOIN bi ON bi.w1 = bg.w1 AND bi.w2 = bg.w2
+          JOIN uni u1 ON u1.token = bg.w1
+          JOIN c1s ON c1s.w1 = bg.w1
+          JOIN c2s ON c2s.w2 = bg.w2
+          CROSS JOIN bt),
+        sc AS (
+          SELECT doc_id, count(*) AS n_bigrams,
+                 round(CAST(sum(lp) AS DOUBLE) / count(*), 6)
+                   AS avg_kn_logprob
+          FROM lp GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(sc.n_bigrams, 0) AS n_bigrams,
+               sc.avg_kn_logprob
+        FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
     // T26 — in-engine trained quality classifier: full-batch logistic
     // regression (3 GD steps, lr=0.5) over two cheap scaled features
     // (chars/400, tokens/100), target lang='en', then every doc scored
