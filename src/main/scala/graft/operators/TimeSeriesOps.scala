@@ -1211,4 +1211,49 @@ object TimeSeriesOps {
             (den.cast("double") * den2.cast("double")), 9)).as("r2")): _*)
       .orderBy(keys.map(col): _*)
   }
+
+  /** DISTRIBUTED-EXACT global row number over a total order — the
+    * two-pass partition-offset construction that replaces
+    * `row_number() OVER (ORDER BY …)`'s move-everything-to-one-
+    * partition plan: range-repartition on the order columns, count
+    * rows per partition (a parts-sized metadata frame), prefix-sum
+    * those counts into per-partition offsets, then broadcast the
+    * offsets back and add the partition-local row_number. The only
+    * global stage runs over `parts` rows of metadata; the corpus
+    * never leaves its range partition (same boundary discipline as
+    * sortedNeighborPairs).
+    *
+    * `order` must be a TOTAL order (caller supplies a unique
+    * tie-break column, e.g. the id) — equal keys may straddle a range
+    * boundary, and only totality makes the assigned numbers
+    * well-defined.
+    *
+    * @return the input columns plus `rn` (1-based LongType)
+    */
+  def globalRowNumber(
+      df: DataFrame,
+      order: Seq[Column],
+      numParts: Int = 0): DataFrame = {
+    require(order.nonEmpty, "globalRowNumber: order columns required")
+    val spark = df.sparkSession
+    val parts =
+      if (numParts > 0) numParts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = df
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // parts rows: the single-partition window is over metadata only
+    val offsets = base.groupBy(col("__pid")).count()
+      .select(col("__pid"),
+        coalesce(sum(col("count")).over(wOff), lit(0L)).as("__off"))
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    base
+      .join(broadcast(offsets), "__pid")
+      .withColumn("rn",
+        col("__off") + row_number().over(wLocal).cast("long"))
+      .drop("__pid", "__off")
+  }
 }

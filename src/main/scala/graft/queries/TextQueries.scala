@@ -3553,6 +3553,64 @@ object TextQueries extends QueryModule {
         FROM tot t JOIN agg a USING (source)
         ORDER BY source""")),
 
+    // C23 — QUANTILE NORMALIZATION of a per-doc statistic across
+    // sources: each doc's n_chars maps to the POOLED distribution's
+    // value at the same within-source quantile (type-1 inverse-CDF:
+    // idx = ⌈r·N/nₛ⌉), so every source ends up with an identical
+    // normalized distribution — the batch-effect correction that makes
+    // length/quality cutoffs comparable across feeds with different
+    // scrapers. Entirely INTEGER: ranks, the ceiling index, and the
+    // looked-up pooled value — no interpolation, no float midpoints
+    // anywhere (the convention the resample-interp midpoint bug
+    // taught). The pooled ranks come from globalRowNumber's two-pass
+    // partition-offset construction — the corpus-sized frame never
+    // collapses to one partition; its only global stage is a
+    // parts-sized metadata prefix sum.
+    "c23_quantile_normalize" -> Q(
+      fn = (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val pooled = graft.operators.TimeSeriesOps.globalRowNumber(
+          docs, Seq(col("n_chars"), col("doc_id")))
+          .select(col("rn").as("idx"), col("n_chars").as("norm_chars"))
+        val wS = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        val nPool = docs.agg(count(lit(1)).as("n_pool"))
+        docs
+          .withColumn("src_rn", row_number().over(wS).cast("long"))
+          .withColumn("n_s",
+            count(lit(1)).over(Window.partitionBy(col("source")))
+              .cast("long"))
+          .crossJoin(broadcast(nPool))
+          .withColumn("idx",
+            expr("(src_rn * n_pool + n_s - 1) div n_s"))
+          .join(pooled, "idx")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("src_rn"), col("norm_chars"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT n_chars,
+                 row_number() OVER (ORDER BY n_chars, doc_id) AS pool_rn
+          FROM documents),
+        s AS (
+          SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars, doc_id) AS src_rn,
+                 count(*) OVER (PARTITION BY source) AS n_s
+          FROM documents),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_pool FROM documents),
+        tgt AS (
+          SELECT s.doc_id, s.source, s.n_chars,
+                 CAST(s.src_rn AS BIGINT) AS src_rn,
+                 (s.src_rn * n.n_pool + s.n_s - 1) // s.n_s AS idx
+          FROM s CROSS JOIN n)
+        SELECT t.doc_id, t.source, t.n_chars, t.src_rn,
+               p.n_chars AS norm_chars
+        FROM tgt t JOIN p ON p.pool_rn = t.idx
+        ORDER BY t.doc_id""")),
+
     // T38 — LEAKAGE-FREE train/holdout split: the split key is the
     // CONTENT hash (md5 of text), not the doc id, so exact duplicates
     // can never straddle the boundary — the eval-contamination channel

@@ -735,4 +735,25 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(dump(TimeSeriesOps.olsEstimate(merged, Seq("k"))) ===
       dump(TimeSeriesOps.olsTrend(df, Seq("k"), "ts", "value")))
   }
+
+  test("globalRowNumber: partition-offset two-pass equals the global " +
+    "window across partition counts, heavy ties, and a parts > rows " +
+    "degenerate split") {
+    val rng = new scala.util.Random(46)
+    // heavy ties on the key force rows across range boundaries; the
+    // id tie-break makes the order total
+    val rows = (0L until 400L).map(i => (i, rng.nextInt(12)))
+    val df = rows.toDF("id", "k")
+    val viaWindow = df
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"k", $"id"))
+        .cast("long"))
+      .select($"id", $"rn").as[(Long, Long)].collect().toMap
+    for (parts <- Seq(1, 2, 7, 32, 1000)) {
+      val got = TimeSeriesOps.globalRowNumber(
+        df, Seq($"k", $"id"), numParts = parts)
+        .select($"id", $"rn").as[(Long, Long)].collect().toMap
+      assert(got === viaWindow, s"parts=$parts")
+    }
+  }
 }
