@@ -878,6 +878,52 @@ object SimilarityOps {
   // oracle-checkable bit for bit.
   // -------------------------------------------------------------------
 
+  /** Sign-matrix RANDOM PROJECTION (Achlioptas 2001's database-friendly
+    * JL transform): y_j = Σ_d v_d·s(d,j) with s(d,j) ∈ {±1} derived
+    * from the library's deterministic md5 hash of "dim_j" — no stored
+    * matrix, no RNG state, any executor (or any ENGINE: the oracle
+    * re-derives the same signs) reconstructs the projection from the
+    * two dimensions alone. The JL guarantee says m = O(log n/ε²)
+    * output dims preserve pairwise distances to (1±ε) — the cheap
+    * alternative to PCA (v35) when 100 TB makes a training pass
+    * unwelcome: zero training, zero driver state, one shuffle.
+    *
+    * Engine-portable by the usual discipline: per-(dim, j) terms round
+    * to 12 dp and sum as exact decimals, so no float-summation order
+    * exists. Output y values are UNSCALED sums (Var[y_j] = ‖v‖²);
+    * consumers normalize by √m — kept exact here so distortion
+    * measurement can do its one division at the end.
+    *
+    * Scale shape: the input explodes to inDims·outDims terms per
+    * vector before the (id, j) partial-agg — fine for reduction
+    * factors like 64→16; a production fuse would compute the fold
+    * in-row. The sign "matrix" never materializes anywhere.
+    *
+    * @return (idCol, j, y) — one row per output dimension,
+    *         y DECIMAL-exact
+    */
+  def rpProject(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      outDims: Int): DataFrame = {
+    require(outDims > 0, s"rpProject: outDims must be positive, got $outDims")
+    val spark = embeddings.sparkSession
+    val js = broadcast(spark.range(outDims).select(col("id").as("j")))
+    val sign = when(
+      pmod(graft.operators.TextOps.baseHash60(
+        concat_ws("_", col("dim").cast("string"), col("j").cast("string"))),
+        lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+    embeddings
+      .select(col(idCol),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "v")))
+      .join(js)
+      .select(col(idCol), col("j"),
+        round(col("v") * sign, 12).cast("decimal(26,12)").as("__t"))
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(col("__t")).as("y"))
+  }
+
   /** Learn the per-dimension (min, max) quantization ranges — the SQ8
     * codebook. One exploded aggregation whose groups are the dims
     * (partial-agged map-side; min/max SELECT input values rather than

@@ -797,6 +797,94 @@ object SimilarityQueries extends QueryModule {
         FROM topk
         ORDER BY rank""")),
 
+    // V41 — random-projection DISTORTION, measured: project 64 → 16
+    // dims through the hash-derived ±1 sign matrix (rpProject) and
+    // report, for every adjacent-id pair, the ratio of projected to
+    // true squared distance (scaled by 1/m, so JL says ≈ 1 ± ε).
+    // The number that tells you whether the cheap no-training
+    // reduction is good enough before you pay for a PCA pass (v35)
+    // at 100 TB — and like every recall/quality query in this
+    // family, it is hash-checked output, not a claim. All distance
+    // terms round-12 then sum as decimals; ONE division per pair at
+    // the end.
+    "v41_rp_distortion" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val y = SimilarityOps.rpProject(emb, "vec_id", "embedding",
+          outDims = 16)
+        val ya = y.select(col("vec_id").as("a"), col("j"),
+          col("y").as("ya")).filter(col("a") % 2 === 0)
+        val yb = y.select((col("vec_id") - 1).as("a"), col("j"),
+          col("y").as("yb"))
+        val d2y = ya.join(yb, Seq("a", "j"))
+          .select(col("a"),
+            round((col("ya") - col("yb")).cast("double") *
+              (col("ya") - col("yb")).cast("double"), 12)
+              .cast("decimal(26,12)").as("t"))
+          .groupBy(col("a")).agg(sum(col("t")).as("d2y"))
+        val e = emb.select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("dim", "v")))
+        val xa = e.select(col("vec_id").as("a"), col("dim"),
+          col("v").as("va")).filter(col("a") % 2 === 0)
+        val xb = e.select((col("vec_id") - 1).as("a"), col("dim"),
+          col("v").as("vb"))
+        val d2x = xa.join(xb, Seq("a", "dim"))
+          .select(col("a"),
+            round((col("va") - col("vb")) * (col("va") - col("vb")), 12)
+              .cast("decimal(26,12)").as("t"))
+          .groupBy(col("a")).agg(sum(col("t")).as("d2x"))
+        d2x.join(d2y, "a")
+          .select(col("a"), (col("a") + 1).as("b"),
+            round(col("d2x").cast("double"), 6).as("d2x"),
+            when(col("d2x") === 0, lit(null).cast("double"))
+              .otherwise(round(col("d2y").cast("double") /
+                (lit(16) * col("d2x")).cast("double"), 6))
+              .as("distortion"))
+          .orderBy(col("a"))
+      },
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+          FROM embeddings, range(1, 65) t(i)),
+        sj AS (
+          SELECT d.dim, j.j,
+                 CASE WHEN list_transform(
+                     [CAST(d.dim AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)],
+                     s -> ${TextQueries.baseHashSql})[1] % 2 = 0
+                   THEN 1.0 ELSE -1.0 END AS sgn
+          FROM (SELECT unnest(generate_series(0, 63)) AS dim) d
+          CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) j),
+        y AS (
+          SELECT e.vec_id, sj.j,
+                 sum(CAST(round(e.v * sj.sgn, 12) AS DECIMAL(26,12))) AS y
+          FROM e JOIN sj ON sj.dim = e.dim
+          GROUP BY 1, 2),
+        d2y AS (
+          SELECT a.vec_id AS a,
+                 sum(CAST(round(CAST(a.y - b.y AS DOUBLE) *
+                   CAST(a.y - b.y AS DOUBLE), 12) AS DECIMAL(26,12)))
+                   AS d2y
+          FROM y a JOIN y b
+            ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0 AND b.j = a.j
+          GROUP BY 1),
+        d2x AS (
+          SELECT a.vec_id AS a,
+                 sum(CAST(round((a.v - b.v) * (a.v - b.v), 12)
+                   AS DECIMAL(26,12))) AS d2x
+          FROM e a JOIN e b
+            ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0
+              AND b.dim = a.dim
+          GROUP BY 1)
+        SELECT x.a, x.a + 1 AS b,
+               round(CAST(x.d2x AS DOUBLE), 6) AS d2x,
+               CASE WHEN x.d2x = 0 THEN NULL
+                 ELSE round(CAST(y.d2y AS DOUBLE)
+                   / CAST(16 * x.d2x AS DOUBLE), 6) END AS distortion
+        FROM d2x x JOIN d2y y ON y.a = x.a
+        ORDER BY x.a""")),
+
     // V12 — the PERSISTED index end-to-end under the oracle gate: write
     // trains the same codebook v7's oracle unrolls (k=4, 2 Lloyd's
     // iterations over the full corpus, deterministic by construction),
