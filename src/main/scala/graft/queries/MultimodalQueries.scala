@@ -71,6 +71,61 @@ object MultimodalQueries extends QueryModule {
                AS j)
         ORDER BY media_id, patch_no""")),
 
+    // M9 — CROSS-MEDIA patch dedup: patches (m4's 64-byte grid) whose
+    // hash recurs in >= 2 DISTINCT payloads mark their bytes shared —
+    // the binary-domain analogue of d17's boilerplate detector, which
+    // is how repeated watermarks/logos/headers surface in an image or
+    // audio corpus without decoding anything. Per payload: patch
+    // count, shared-patch count, shared fraction. Patch BYTES never
+    // shuffle (m4 hashes in-row); the corpus-scale exchange carries
+    // 32-hex hashes, and the distinct-media count is a partial-agged
+    // groupBy on those hashes. One division per row at the end.
+    "m9_patch_dedup" -> Q(
+      fn = (s, dir) => {
+        val patches = MultimodalOps.patchify(
+          t(s, dir, "documents")
+            .select(col("doc_id").as("media_id"),
+              col("text").cast("binary").as("blob")),
+          "media_id", "blob", patchBytes = 64)
+        val shared = patches.groupBy(col("md5_hex"))
+          .agg(countDistinct(col("media_id")).as("__nm"))
+          .filter(col("__nm") >= 2)
+          .select(col("md5_hex"))
+        val tot = patches.groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_patches"))
+        val dup = patches.join(shared, "md5_hex")
+          .groupBy(col("media_id")).agg(count(lit(1)).as("__nd"))
+        tot.join(dup, Seq("media_id"), "left")
+          .select(col("media_id"), col("n_patches"),
+            coalesce(col("__nd"), lit(0L)).as("n_dup"),
+            round(coalesce(col("__nd"), lit(0L)).cast("double") /
+              col("n_patches").cast("double"), 6).as("dup_frac"))
+          .orderBy(col("media_id"))
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id AS media_id,
+                 md5(substr(text, CAST((j-1)*64 + 1 AS INT), 64)) AS h
+          FROM documents,
+               LATERAL (SELECT unnest(generate_series(1,
+                 CAST(ceil(greatest(length(text), 1) / 64.0) AS BIGINT)))
+                 AS j)),
+        sh AS (
+          SELECT h FROM p GROUP BY h
+          HAVING count(DISTINCT media_id) >= 2),
+        tot AS (
+          SELECT media_id, CAST(count(*) AS BIGINT) AS n_patches
+          FROM p GROUP BY 1),
+        d AS (
+          SELECT p.media_id, CAST(count(*) AS BIGINT) AS n_dup
+          FROM p JOIN sh USING (h) GROUP BY 1)
+        SELECT t.media_id, t.n_patches,
+               coalesce(d.n_dup, 0) AS n_dup,
+               round(CAST(coalesce(d.n_dup, 0) AS DOUBLE)
+                 / CAST(t.n_patches AS DOUBLE), 6) AS dup_frac
+        FROM tot t LEFT JOIN d USING (media_id)
+        ORDER BY media_id""")),
+
     // M2 — typed mapPartitions decode stub: blobs -> fixed feature schema,
     // partition-local (no blob ever shuffles). The oracle recomputes the
     // stub's features from codepoints.

@@ -1235,6 +1235,70 @@ object TemporalQueries extends QueryModule {
                  / CAST(exact_join_size AS DOUBLE), 6) AS overestimate
         FROM est CROSS JOIN ex""")),
 
+    // A49 — inter-arrival BURSTINESS per event type: per-user gap
+    // sequences (one lag over the (user, type) window), then CV² =
+    // n·Σg²/(Σg)² − 1 and the Goh–Barabási burstiness index
+    // (CV−1)/(CV+1) — ≈ 0/≈ −1/→ 1 for Poisson/periodic/bursty
+    // arrivals, the shape statistic a rate-limit or capacity plan
+    // actually needs (a30's EWMA tracks level; this says whether the
+    // level arrives smoothly or in spikes). Gap moments assemble as
+    // BIGINT/DECIMAL(38,0) micros (g² at day-scale gaps overflows
+    // BIGINT — hence the decimal square); the CV² float expression is
+    // the same mult/div/sub sequence on both engines, then one round.
+    "a49_burstiness" -> Q(
+      fn = (s, dir) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val g = t(s, dir, "events")
+          .select(col("event_type"),
+            (unix_micros(col("ts")) -
+              lag(unix_micros(col("ts")), 1).over(w)).as("g"))
+          .filter(col("g").isNotNull)
+        val cv2 = round(
+          (col("n_gaps").cast("double") * col("sg2").cast("double")) /
+            (col("sg").cast("double") * col("sg").cast("double")) -
+            lit(1.0), 9)
+        g.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_gaps"),
+            sum(col("g")).as("sg"),
+            sum(col("g").cast("decimal(38,0)") *
+              col("g").cast("decimal(38,0)")).as("sg2"))
+          .select(col("event_type"), col("n_gaps"),
+            round(col("sg").cast("double") /
+              (col("n_gaps") * lit(1000000L)).cast("double"), 6)
+              .as("mean_gap_s"),
+            cv2.as("cv2"))
+          .withColumn("burstiness",
+            round((sqrt(col("cv2")) - lit(1.0)) /
+              (sqrt(col("cv2")) + lit(1.0)), 6))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT event_type,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS g
+          FROM events),
+        a AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+                 CAST(sum(g) AS BIGINT) AS sg,
+                 sum(CAST(g AS DECIMAL(38,0)) * CAST(g AS DECIMAL(38,0)))
+                   AS sg2
+          FROM g WHERE g IS NOT NULL GROUP BY 1),
+        c AS (
+          SELECT event_type, n_gaps,
+                 round(CAST(sg AS DOUBLE)
+                   / CAST(n_gaps * 1000000 AS DOUBLE), 6) AS mean_gap_s,
+                 round((CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE))
+                   / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                   - 1.0, 9) AS cv2
+          FROM a)
+        SELECT event_type, n_gaps, mean_gap_s, cv2,
+               round((sqrt(cv2) - 1.0) / (sqrt(cv2) + 1.0), 6)
+                 AS burstiness
+        FROM c ORDER BY event_type""")),
+
     // A43 — HyperLogLog distinct users per event_type (m = 64
     // registers over the deterministic 60-bit md5 hash), INCLUDING the
     // merge algebra: per-half builds (even/odd event_id) fold by
