@@ -517,4 +517,56 @@ class PlanSpec extends SparkSpec {
       p)
     assert(p.contains("partial_sum"), p)
   }
+
+  test("d25: Jaro-Winkler scoring is a pure projection over the blocked " +
+    "pair stream — no join operator anywhere") {
+    val p = plan("d25_jaro_winkler")
+    assert(!p.contains("Join"), p)
+    // base + borrowed-boundary branch: exactly two corpus scans
+    assert("FileScan parquet".r.findAllIn(p).size === 2, p)
+  }
+
+  test("c23: every corpus-sized window is partitioned (__pid ranks or " +
+    "per-source ranks) — the only single-partition stages are the 1-row " +
+    "total and the parts-sized offset prefix sum") {
+    val p = plan("c23_quantile_normalize")
+    p.linesIterator.filter(_.contains("windowspecdefinition")).foreach { l =>
+      assert(l.contains("__pid") || l.contains("source"), l)
+    }
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("v40: the refine stage broadcasts the 50-row ADC shortlist into " +
+    "the vector join — no sort-merge join, corpus vectors read via " +
+    "broadcast-hash only") {
+    val p = plan("v40_adc_refine")
+    assert(p.contains("TakeOrderedAndProject(limit=50"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("a49: burstiness is the gap window plus ONE partial-aggregated " +
+    "type exchange (two hash exchanges total)") {
+    val p = plan("a49_burstiness")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("m9: the shared-patch count partial-aggregates the distinct " +
+    "media per hash; no cartesian anywhere") {
+    val p = plan("m9_patch_dedup")
+    assert(p.contains("partial_count(distinct media_id"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("v41: projection terms partial-sum map-side; the only nested-loop " +
+    "is the broadcast 16-row j fan-out (never a cartesian)") {
+    val p = plan("v41_rp_distortion")
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // ya and yb re-derive the projection lineage, so the 16-row
+    // broadcast fan-out appears once per side — both broadcast, never
+    // a shuffle
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+  }
 }
