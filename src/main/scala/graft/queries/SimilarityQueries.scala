@@ -885,6 +885,89 @@ object SimilarityQueries extends QueryModule {
         FROM d2x x JOIN d2y y ON y.a = x.a
         ORDER BY x.a""")),
 
+    // V42 — recall@10 of RANDOM-PROJECTION serving: rank the corpus by
+    // L2 in v41's 16-dim hash-sign space, compare to the exact 64-dim
+    // top-10 — the fourth axis of the measured-quality family
+    // (candidates v25–v30, precision v29/v31/v32, dimensions v38, now
+    // the PROJECTION). Together with v41's distortion this is the
+    // complete JL evidence: pairwise geometry is preserved to ±ε AND
+    // what that ε does to a served ranking is a hashed number, so
+    // "project 4× cheaper" is a decision, not a hope.
+    "v42_rp_recall" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val y = SimilarityOps.rpProject(emb, "vec_id", "embedding",
+          outDims = 16)
+        val yq = y.filter(col("vec_id") === 0)
+          .select(col("j"), col("y").as("yq"))
+        val rpTop = y.filter(col("vec_id") =!= 0)
+          .join(broadcast(yq), "j")
+          .select(col("vec_id"),
+            round((col("y") - col("yq")).cast("double") *
+              (col("y") - col("yq")).cast("double"), 12)
+              .cast("decimal(26,12)").as("t"))
+          .groupBy(col("vec_id")).agg(sum(col("t")).as("d2rp"))
+          .orderBy(col("d2rp").asc, col("vec_id").asc).limit(10)
+          .select(col("vec_id"))
+        val e = emb.select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("dim", "v")))
+        val qd = e.filter(col("vec_id") === 0)
+          .select(col("dim"), col("v").as("qv"))
+        val exTop = e.filter(col("vec_id") =!= 0)
+          .join(broadcast(qd), "dim")
+          .select(col("vec_id"),
+            round((col("v") - col("qv")) * (col("v") - col("qv")), 12)
+              .cast("decimal(26,12)").as("t"))
+          .groupBy(col("vec_id")).agg(sum(col("t")).as("d2"))
+          .orderBy(col("d2").asc, col("vec_id").asc).limit(10)
+          .select(col("vec_id"))
+        rpTop.join(exTop, "vec_id")
+          .agg(count(lit(1)).as("n_hit"))
+          .select(lit(10).as("k"), col("n_hit"),
+            round(col("n_hit").cast("double") / lit(10.0), 6).as("recall"))
+      },
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+          FROM embeddings, range(1, 65) t(i)),
+        sj AS (
+          SELECT d.dim, j.j,
+                 CASE WHEN list_transform(
+                     [CAST(d.dim AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)],
+                     s -> ${TextQueries.baseHashSql})[1] % 2 = 0
+                   THEN 1.0 ELSE -1.0 END AS sgn
+          FROM (SELECT unnest(generate_series(0, 63)) AS dim) d
+          CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) j),
+        y AS (
+          SELECT e.vec_id, sj.j,
+                 sum(CAST(round(e.v * sj.sgn, 12) AS DECIMAL(26,12))) AS y
+          FROM e JOIN sj ON sj.dim = e.dim
+          GROUP BY 1, 2),
+        rp AS (
+          SELECT a.vec_id,
+                 sum(CAST(round(CAST(a.y - q.y AS DOUBLE) *
+                   CAST(a.y - q.y AS DOUBLE), 12) AS DECIMAL(26,12)))
+                   AS d2rp
+          FROM y a JOIN y q ON q.vec_id = 0 AND q.j = a.j
+          WHERE a.vec_id <> 0
+          GROUP BY 1),
+        rt AS (SELECT vec_id FROM rp ORDER BY d2rp, vec_id LIMIT 10),
+        ex AS (
+          SELECT a.vec_id,
+                 sum(CAST(round((a.v - q.v) * (a.v - q.v), 12)
+                   AS DECIMAL(26,12))) AS d2
+          FROM e a JOIN e q ON q.vec_id = 0 AND q.dim = a.dim
+          WHERE a.vec_id <> 0
+          GROUP BY 1),
+        et AS (SELECT vec_id FROM ex ORDER BY d2, vec_id LIMIT 10),
+        h AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+              FROM rt JOIN et USING (vec_id))
+        SELECT CAST(10 AS INT) AS k, n_hit,
+               round(CAST(n_hit AS DOUBLE) / 10.0, 6) AS recall
+        FROM h""")),
+
     // V12 — the PERSISTED index end-to-end under the oracle gate: write
     // trains the same codebook v7's oracle unrolls (k=4, 2 Lloyd's
     // iterations over the full corpus, deterministic by construction),

@@ -1299,6 +1299,81 @@ object TemporalQueries extends QueryModule {
                  AS burstiness
         FROM c ORDER BY event_type""")),
 
+    // A50 — CHANGEPOINT per event type (binary segmentation, one
+    // split): the day t maximizing |S_t|, S_t = n·prefix_t − t·total
+    // over daily counts — the centered-CUSUM statistic, which for a
+    // single mean shift is the least-squares split point. a33 tracks
+    // the running drift; this NAMES the day the level changed and
+    // reports both segment means. The statistic is ENTIRELY BIGINT
+    // (counts, prefix sums, the n·prefix − t·total bilinear) — no
+    // float enters until the two segment-mean divisions at the end,
+    // so argmax ties (abs desc, earliest day) are exact, not
+    // ulp-dependent. One day-grain groupBy + one per-type window.
+    "a50_changepoint" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+        val tot = daily.groupBy(col("event_type"))
+          .agg(sum(col("x")).as("total"), count(lit(1)).as("n_days"))
+        val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        val wPick = Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("s_t")).desc, col("day").asc)
+        daily
+          .withColumn("t", row_number().over(wOrd).cast("long"))
+          .withColumn("prefix",
+            sum(col("x")).over(
+              wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+          .join(tot, "event_type")
+          .withColumn("s_t",
+            col("n_days") * col("prefix") - col("t") * col("total"))
+          .filter(col("t") < col("n_days"))
+          .withColumn("rk", row_number().over(wPick))
+          .filter(col("rk") === 1)
+          .select(col("event_type"), col("day").as("cp_day"),
+            col("n_days"), col("t").as("cp_t"),
+            abs(col("s_t")).as("cusum_stat"),
+            round(col("prefix").cast("double") / col("t").cast("double"), 6)
+              .as("mean_before"),
+            round((col("total") - col("prefix")).cast("double") /
+              (col("n_days") - col("t")).cast("double"), 6)
+              .as("mean_after"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        tt AS (
+          SELECT event_type, CAST(sum(x) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS n_days
+          FROM daily GROUP BY 1),
+        pre AS (
+          SELECT d.event_type, d.day,
+                 CAST(row_number() OVER (PARTITION BY d.event_type
+                   ORDER BY d.day) AS BIGINT) AS t,
+                 CAST(sum(d.x) OVER (PARTITION BY d.event_type
+                   ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS prefix,
+                 tt.total, tt.n_days
+          FROM daily d JOIN tt USING (event_type)),
+        s AS (
+          SELECT *, n_days * prefix - t * total AS s_t FROM pre),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                   ORDER BY abs(s_t) DESC, day) AS rk
+          FROM s WHERE t < n_days)
+        SELECT event_type, day AS cp_day, n_days, t AS cp_t,
+               CAST(abs(s_t) AS BIGINT) AS cusum_stat,
+               round(CAST(prefix AS DOUBLE) / CAST(t AS DOUBLE), 6)
+                 AS mean_before,
+               round(CAST(total - prefix AS DOUBLE)
+                 / CAST(n_days - t AS DOUBLE), 6) AS mean_after
+        FROM r WHERE rk = 1
+        ORDER BY event_type""")),
+
     // A43 — HyperLogLog distinct users per event_type (m = 64
     // registers over the deterministic 60-bit md5 hash), INCLUDING the
     // merge algebra: per-half builds (even/odd event_id) fold by
