@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column kit for large-scale corpus pipelines: tokenization,
@@ -1084,5 +1085,76 @@ object TextOps {
           split(bpeApplyCol(w, merges.map { case (r, p, _) => (r, p) }), ""),
           ch => coalesce(element_at(surfaceLit, ch), ch))))
     }
+  }
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * the maximal stopword-free token runs; each word scores
+    * deg(w)/freq(w) over the DOCUMENT's candidates (deg = Σ length of
+    * phrases containing w — long-phrase membership is evidence of
+    * multiword termhood; freq = occurrences), and a phrase scores the
+    * sum of its words' scores. Top-k distinct phrases per document.
+    * The unsupervised keyword layer the quality/search kit lacked:
+    * BM25 (t19) ranks docs for a query, this names the phrases worth
+    * querying.
+    *
+    * Engine-portability: per-word deg/freq terms round to 9 dp and
+    * sum as exact decimals (the c5 discipline), so the per-doc rank
+    * order — including ties, broken by phrase text — is identical in
+    * any engine. Scale shape: phrase runs derive from ONE per-doc
+    * window (islands on the running stopword count); word stats and
+    * phrase scores are per-doc-keyed groupBys, so everything
+    * partitions by document — no corpus-global state at all.
+    *
+    * @return (idCol, rank, phrase, n_words, score) — k rows per doc
+    *         with at least one candidate
+    */
+  def rakeKeywords(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      stopwords: Seq[String],
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"rakeKeywords: k must be >= 1, got $k")
+    require(stopwords.nonEmpty, "rakeKeywords: stopword list is empty — " +
+      "every document would be one giant phrase")
+    val stopLit = typedlit(stopwords)
+    val toks = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "word")))
+      .withColumn("brk",
+        array_contains(stopLit, col("word")) || col("word") === "")
+    val wRun = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val runs = toks
+      .withColumn("grp",
+        sum(when(col("brk"), 1L).otherwise(0L)).over(wRun))
+      .filter(!col("brk"))
+    val phrases = runs.groupBy(col(idCol), col("grp"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          s => s.getField("word"))).as("phrase"),
+        count(lit(1)).as("plen"))
+    val words = phrases.select(col(idCol), col("grp"), col("plen"),
+      explode(split(col("phrase"), " ")).as("word"))
+    val stats = words.groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+    val scored = words
+      .join(stats, Seq(idCol, "word"))
+      .select(col(idCol), col("grp"),
+        round(col("deg").cast("double") / col("freq").cast("double"), 9)
+          .cast("decimal(28,9)").as("term"))
+      .groupBy(col(idCol), col("grp"))
+      .agg(sum(col("term")).as("gscore"))
+    val wRank = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("phrase").asc)
+    phrases
+      .join(scored, Seq(idCol, "grp"))
+      .select(col(idCol), col("phrase"), col("plen"), col("gscore"))
+      .distinct()
+      .withColumn("score", col("gscore"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("phrase"),
+        col("plen").as("n_words"),
+        round(col("score").cast("double"), 6).as("score"))
   }
 }

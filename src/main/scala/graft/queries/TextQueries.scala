@@ -3031,6 +3031,66 @@ object TextQueries extends QueryModule {
         FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
         ORDER BY d.doc_id""")),
 
+    // T40 — RAKE keyword extraction (Rose et al. 2010): stopword-free
+    // token runs are the candidate phrases; word score = deg/freq over
+    // the doc's candidates, phrase score = Σ word scores, top-3 per
+    // doc. The unsupervised "what is this document about" layer —
+    // BM25 (t19) ranks docs for a query, this names the query-worthy
+    // phrases. Everything partitions by doc (one islands window + two
+    // doc-keyed groupBys); per-word terms round-9 then sum as exact
+    // decimals so rank ties break identically in both engines.
+    "t40_rake_keywords" -> Q(
+      fn = (s, dir) =>
+        TextOps.rakeKeywords(t(s, dir, "documents"), "doc_id", "text",
+          stopwords, k = 3)
+          .orderBy(col("doc_id"), col("rank")),
+      bench = true,
+      oracle = Some(s"""
+        WITH tok AS (
+          SELECT doc_id, i AS pos, token,
+                 (token IN (${stopwords.map(w => s"'$w'").mkString(", ")})
+                   OR token = '') AS brk
+          FROM (SELECT doc_id, string_split(text, ' ') AS ts
+                FROM documents),
+               LATERAL (SELECT unnest(ts) AS token,
+                               generate_subscripts(ts, 1) AS i)),
+        g AS (
+          SELECT *, sum(CASE WHEN brk THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM tok),
+        ph AS (
+          SELECT doc_id, grp,
+                 array_to_string(list(token ORDER BY pos), ' ') AS phrase,
+                 CAST(count(*) AS BIGINT) AS plen
+          FROM g WHERE NOT brk GROUP BY 1, 2),
+        w AS (
+          SELECT doc_id, grp, plen,
+                 unnest(string_split(phrase, ' ')) AS word
+          FROM ph),
+        ws AS (
+          SELECT doc_id, word, CAST(count(*) AS BIGINT) AS freq,
+                 CAST(sum(plen) AS BIGINT) AS deg
+          FROM w GROUP BY 1, 2),
+        sc AS (
+          SELECT w.doc_id, w.grp,
+                 sum(CAST(round(CAST(ws.deg AS DOUBLE)
+                   / CAST(ws.freq AS DOUBLE), 9) AS DECIMAL(28,9)))
+                   AS gscore
+          FROM w JOIN ws ON ws.doc_id = w.doc_id AND ws.word = w.word
+          GROUP BY 1, 2),
+        d AS (
+          SELECT DISTINCT ph.doc_id, ph.phrase, ph.plen, sc.gscore
+          FROM ph JOIN sc ON sc.doc_id = ph.doc_id AND sc.grp = ph.grp),
+        r AS (
+          SELECT doc_id, phrase, plen, gscore,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY gscore DESC, phrase) AS INT) AS rank
+          FROM d)
+        SELECT doc_id, rank, phrase, plen AS n_words,
+               round(CAST(gscore AS DOUBLE), 6) AS score
+        FROM r WHERE rank <= 3
+        ORDER BY doc_id, rank""")),
+
     // T26 — in-engine trained quality classifier: full-batch logistic
     // regression (3 GD steps, lr=0.5) over two cheap scaled features
     // (chars/400, tokens/100), target lang='en', then every doc scored
