@@ -299,6 +299,42 @@ object StreamingOps {
         .parquet(s"$sketchPath/batch_id=$batchId")
     }
 
+  /** Streaming count-min maintenance — [[sketchIngest]]'s frequency
+    * twin: each micro-batch writes its own (depth, bucket, cnt)
+    * partial ([[graft.operators.SketchOps.cmsSketch]], O(groups·d·w)
+    * rows) into a per-batch partition; [[readCmsSketch]] folds by
+    * counter addition ([[graft.operators.SketchOps.cmsMerge]]).
+    * Replay-safe the additive way (a replayed batch overwrites its own
+    * partition). The payoff beyond point estimates: TWO streamed
+    * sketches feed [[graft.operators.SketchOps.cmsJoinSize]] directly,
+    * so "how big would joining these two streams' keys be" is
+    * answerable from resident state without ever scanning either
+    * stream's history.
+    */
+  def cmsIngest(
+      sketchPath: String,
+      keys: Seq[String],
+      valueCol: String,
+      depth: Int,
+      width: Int): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      graft.operators.SketchOps.cmsSketch(batch, keys, valueCol, depth, width)
+        .write.mode("overwrite")
+        .parquet(s"$sketchPath/batch_id=$batchId")
+    }
+
+  /** Fold the per-batch CMS partials under `sketchPath` into the
+    * whole-stream sketch (counter addition — lossless). Same reader
+    * contract as [[readSketch]]: a plan holds the listing of the
+    * moment it resolved; re-invoke after ingest activity.
+    */
+  def readCmsSketch(
+      spark: org.apache.spark.sql.SparkSession,
+      sketchPath: String,
+      keys: Seq[String]): DataFrame =
+    graft.operators.SketchOps.cmsMerge(
+      spark.read.parquet(sketchPath).drop("batch_id"), keys)
+
   /** Fold the per-batch HLL partials under `sketchPath` into the
     * whole-stream register file — identical to one sketch over every
     * row seen so far. Same reader contract as [[readSketch]]: a plan

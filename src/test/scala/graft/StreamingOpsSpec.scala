@@ -302,6 +302,58 @@ class StreamingOpsSpec extends SparkSpec {
       === sk(oneShot))
   }
 
+  test("cmsIngest: per-batch partials fold to the whole-stream sketch, " +
+    "and cmsJoinSize answers off TWO streamed states without scanning " +
+    "either history") {
+    implicit val sql = spark.sqlContext
+    val d = java.nio.file.Files.createTempDirectory("graft_cms_").toFile
+    d.deleteOnExit()
+    val pa = d.getAbsolutePath + "/ska"
+    val pb = d.getAbsolutePath + "/skb"
+    val left = (1L to 300L).map(i => i % 40)
+    val right = (1L to 120L).map(i => i % 25)
+    def ingest(path: String, rows: Seq[Long]): Unit = {
+      val input = MemoryStream[Long]
+      val q = input.toDS().toDF("v")
+        .writeStream
+        .foreachBatch(StreamingOps.cmsIngest(path, Nil, "v", 4, 64))
+        .outputMode(OutputMode.Append).start()
+      val (b1, b2) = rows.splitAt(rows.size / 2)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+    }
+    ingest(pa, left)
+    ingest(pb, right)
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      df.select($"depth_no", $"bucket", $"cnt")
+        .as[(Int, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val streamedA = StreamingOps.readCmsSketch(spark, pa, Nil)
+    // collect NOW: a plan holds the file listing of the moment it
+    // resolved, and the replay below rewrites batch 0 — re-collecting
+    // streamedA after that is exactly the transient-failure case the
+    // readCmsSketch contract documents
+    val foldedA = sk(streamedA)
+    assert(foldedA === sk(graft.operators.SketchOps.cmsSketch(
+      left.toDF("v"), Nil, "v", 4, 64)), "fold == one-shot build")
+    // join-size estimate off the two streamed states: >= the true join
+    // size, and identical to the estimate from one-shot builds
+    val streamedB = StreamingOps.readCmsSketch(spark, pb, Nil)
+    val est = graft.operators.SketchOps.cmsJoinSize(
+      streamedA, streamedB, Nil).select($"est_join_size").as[Long].head()
+    val exact = left.toDF("v").join(right.toDF("v"), "v").count()
+    assert(est >= exact, s"est $est < exact $exact")
+    val estOne = graft.operators.SketchOps.cmsJoinSize(
+      graft.operators.SketchOps.cmsSketch(left.toDF("v"), Nil, "v", 4, 64),
+      graft.operators.SketchOps.cmsSketch(right.toDF("v"), Nil, "v", 4, 64),
+      Nil).select($"est_join_size").as[Long].head()
+    assert(est === estOne)
+    // replaying batch 0 rewrites its own partition — fold unchanged
+    StreamingOps.cmsIngest(pa, Nil, "v", 4, 64)(
+      left.splitAt(left.size / 2)._1.toDF("v"), 0L)
+    assert(sk(StreamingOps.readCmsSketch(spark, pa, Nil)) === foldedA)
+  }
+
   test("trendIngest: per-batch moment summaries fold to the one-shot " +
     "trend, and a replayed batch overwrites its own partition") {
     implicit val sql = spark.sqlContext
