@@ -2722,6 +2722,50 @@ object TextQueries extends QueryModule {
         FROM documents
         ORDER BY doc_id""")),
 
+    // T41 — SimHash HAMMING-DISTANCE histogram over sorted-neighborhood
+    // candidates: the calibration data behind a SimHash dedup
+    // threshold — "hamming ≤ h means near-dup" is a policy, and this
+    // emits the observed pair-count per distance so h is chosen from
+    // the corpus's own separation, not folklore. The 16-bit simhash is
+    // ITSELF the blocking key (numeric sort puts shared-high-bit
+    // hashes adjacent), so the pair stream needs ZERO joins — hamming
+    // is bit_count(xor(key_a, key_b)) as a pure projection, computed
+    // by two independent engines. d19's distributed-exact blocking; a
+    // G-row histogram with one broadcast total.
+    "t41_simhash_hamming" -> Q(
+      fn = (s, dir) => {
+        val pairs = DedupOps.sortedNeighborPairs(
+          t(s, dir, "documents"), "doc_id",
+          TextOps.simhash16(array_distinct(TextOps.tokens(col("text")))),
+          window = 3)
+          .select(bit_count(col("key_a").bitwiseXOR(col("key_b")))
+            .as("hamming"))
+        val tot = pairs.agg(count(lit(1)).as("__t"))
+        pairs.groupBy(col("hamming"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .crossJoin(broadcast(tot))
+          .select(col("hamming"), col("n_pairs"),
+            round(col("n_pairs").cast("double") / col("__t").cast("double"),
+              6).as("frac"))
+          .orderBy(col("hamming"))
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id, $simhashSql AS k,
+                 row_number() OVER (ORDER BY $simhashSql, doc_id) AS rn
+          FROM documents),
+        p AS (
+          SELECT bit_count(xor(a.k, b.k)) AS hamming
+          FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 2),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS t FROM p)
+        SELECT CAST(hamming AS INT) AS hamming,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(CAST(count(*) AS DOUBLE) / CAST(min(t.t) AS DOUBLE), 6)
+                 AS frac
+        FROM p CROSS JOIN t
+        GROUP BY 1
+        ORDER BY 1""")),
+
     // T18 — Unicode NFC normalization (native expression vs DuckDB's
     // nfc_normalize — two independent Unicode-conformant
     // implementations must agree byte for byte). The corpus is ASCII
