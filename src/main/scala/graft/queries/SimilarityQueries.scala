@@ -518,6 +518,88 @@ object SimilarityQueries extends QueryModule {
         FROM a2
         ORDER BY vec_id""")),
 
+    // V43 — IVF cell IMBALANCE factor: k·Σs²/N² over the trained cell
+    // sizes — the expected number of rows a random-query probe scans
+    // relative to the balanced N/k, i.e. the serving-cost multiplier
+    // an unbalanced clustering silently imposes (FAISS's imbalance
+    // metric; = 1 for perfect balance, → k when one cell absorbs
+    // everything). c7 maps what's IN the cells; this prices probing
+    // them. Assembles wholly in BIGINT off the k-row size frame — one
+    // division; the corpus-scale stage is v6's map-side assignment.
+    "v43_ivf_imbalance" -> Q(
+      fn = (s, dir) => {
+        val (asg, _) = SimilarityOps.kmeansFit(
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 4, iters = 2)
+        val sizes = asg.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_members"))
+        val stat = sizes.agg(
+          sum(col("n_members")).as("__n"),
+          sum(col("n_members") * col("n_members")).as("__ss"),
+          count(lit(1)).as("__k"))
+        sizes.crossJoin(broadcast(stat))
+          .select(col("cluster"), col("n_members"),
+            round(col("n_members").cast("double") / col("__n").cast("double"),
+              6).as("frac"),
+            round((col("__k") * col("__ss")).cast("double") /
+              (col("__n") * col("__n")).cast("double"), 6).as("imbalance"))
+          .orderBy(col("cluster"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, i AS dim, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+          FROM embeddings, range(1, 65) t(i)),
+        init AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+                 vec_id
+          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+        c0 AS (SELECT i.cluster, e.dim, e.v AS c
+               FROM init i JOIN e ON e.vec_id = i.vec_id),
+        d1 AS (
+          SELECT e.vec_id, c.cluster,
+                 sum(CAST(round((e.v - c.c) * (e.v - c.c), 12)
+                   AS DECIMAL(38,12))) AS d2
+          FROM e JOIN c0 c ON e.dim = c.dim
+          GROUP BY 1, 2),
+        a1 AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cluster) AS rn
+            FROM d1) WHERE rn = 1),
+        c1 AS (
+          SELECT a.cluster, e.dim,
+                 CAST(sum(CAST(round(e.v, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                   / count(*) AS c
+          FROM e JOIN a1 a ON e.vec_id = a.vec_id
+          GROUP BY 1, 2),
+        dd2 AS (
+          SELECT e.vec_id, c.cluster,
+                 sum(CAST(round((e.v - c.c) * (e.v - c.c), 12)
+                   AS DECIMAL(38,12))) AS d2
+          FROM e JOIN c1 c ON e.dim = c.dim
+          GROUP BY 1, 2),
+        a2 AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cluster) AS rn
+            FROM dd2) WHERE rn = 1),
+        sz AS (
+          SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+          FROM a2 GROUP BY 1),
+        st AS (
+          SELECT CAST(sum(n_members) AS BIGINT) AS n,
+                 CAST(sum(n_members * n_members) AS BIGINT) AS ss,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM sz)
+        SELECT sz.cluster, sz.n_members,
+               round(CAST(sz.n_members AS DOUBLE) / CAST(st.n AS DOUBLE), 6)
+                 AS frac,
+               round(CAST(st.k * st.ss AS DOUBLE)
+                 / CAST(st.n * st.n AS DOUBLE), 6) AS imbalance
+        FROM sz CROSS JOIN st
+        ORDER BY sz.cluster""")),
+
     // C7 — corpus cluster map: the k-means fit (v6's exact trajectory)
     // summarized per cluster — size, mean squared distance to the
     // centroid (cohesion), and the representative member (closest to
