@@ -655,4 +655,42 @@ class PropertySpec extends SparkSpec {
       .as[Double].head()
     assert(viaCol === 0.8133333333333332)
   }
+
+  test("rakeKeywords / knBigramLogProb fuzz: arbitrary texts (stopword " +
+    "runs, empties, unicode) never throw; RAKE phrases are stopword-free " +
+    "with positive scores and rank <= k; KN log-probs are <= 0 (p <= 1 " +
+    "is a theorem of the interpolated form); reruns are bit-identical") {
+    import graft.operators.TextOps
+    val stops = Seq("the", "a", "of", "to")
+    val wordGen = Gen.frequency(
+      (4, Gen.oneOf("data", "spark", "query", "join", "très", "一")),
+      (3, Gen.oneOf(stops)),
+      (1, Gen.const("")),
+      (1, Gen.alphaLowerStr.map(_.take(6))))
+    val textGen = for {
+      n <- Gen.choose(0, 30)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    check(Prop.forAll(Gen.listOfN(6, textGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val rake = TextOps.rakeKeywords(df, "doc_id", "text", stops, k = 3)
+        .as[(Long, Int, String, Long, Double)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+      val rakeOk = rake.forall { case (_, rank, phrase, nWords, score) =>
+        rank >= 1 && rank <= 3 && score > 0 &&
+          nWords == phrase.split(" ").length &&
+          phrase.split(" ").forall(w => !stops.contains(w) && w.nonEmpty)
+      }
+      val rake2 = TextOps.rakeKeywords(df, "doc_id", "text", stops, k = 3)
+        .as[(Long, Int, String, Long, Double)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+      val kn = TextOps.knBigramLogProb(df, "doc_id", "text")
+        .as[(Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+      val knOk = kn.forall { case (_, nBg, avg) =>
+        nBg >= 0 && avg.forall(_ <= 0.0) && (nBg > 0 || avg.isEmpty)
+      }
+      rakeOk && rake == rake2 && knOk
+    }, samples = 25)
+  }
 }
