@@ -3755,6 +3755,95 @@ object TextQueries extends QueryModule {
         FROM sp CROSS JOIN viol
         ORDER BY doc_id"""
       }),
+
+    // C24 — split REPRESENTATIVENESS: PSI of the length distribution
+    // between t38's holdout and train halves — t38 proves the split
+    // LEAKS nothing, this proves the holdout still LOOKS like the
+    // train set (a content-hash split is only valid for eval if it is
+    // also distributionally neutral; PSI < 0.1 = representative). Same
+    // ten 50-char bins, +1 Laplace smoothing, and one-division-
+    // before-ln discipline as c13; the total PSI folds round-6
+    // decimal terms so the headline number is order-free. Cost: one
+    // scan into a 10-bin grid.
+    "c24_split_psi" -> Q(
+      fn = (s, dir) => {
+        val b = t(s, dir, "documents").select(
+          graft.operators.SampleOps.hashSplit(md5(col("text")), 80)
+            .as("split"),
+          least(floor(col("n_chars") / lit(50)), lit(9)).cast("bigint")
+            .as("bin"))
+        val ct = b.filter(col("split") === "train")
+          .groupBy(col("bin")).agg(count(lit(1)).as("c_t"))
+        val ch = b.filter(col("split") === "holdout")
+          .groupBy(col("bin")).agg(count(lit(1)).as("c_h"))
+        val nt = b.filter(col("split") === "train")
+          .agg(count(lit(1)).as("n_t"))
+        val nh = b.filter(col("split") === "holdout")
+          .agg(count(lit(1)).as("n_h"))
+        val p = (col("c_h") + 1).cast("double") / (col("n_h") + 10)
+        val q = (col("c_t") + 1).cast("double") / (col("n_t") + 10)
+        val lnRatio = round(log(
+          ((col("c_h") + 1) * (col("n_t") + 10)).cast("double") /
+            ((col("c_t") + 1) * (col("n_h") + 10)).cast("double")), 9)
+        val terms = s.range(0, 10).select(col("id").as("bin"))
+          .join(ct, Seq("bin"), "left")
+          .withColumn("c_t", coalesce(col("c_t"), lit(0L)))
+          .join(ch, Seq("bin"), "left")
+          .withColumn("c_h", coalesce(col("c_h"), lit(0L)))
+          .crossJoin(broadcast(nt))
+          .crossJoin(broadcast(nh))
+          .withColumn("psi_term", round((p - q) * lnRatio, 6))
+        val total = terms.agg(
+          round(sum(col("psi_term").cast("decimal(18,6)")).cast("double"), 6)
+            .as("psi"))
+        terms
+          .crossJoin(broadcast(total))
+          .select(col("bin"), col("c_t"), col("c_h"), col("psi_term"),
+            col("psi"))
+          .orderBy(col("bin"))
+      },
+      oracle = Some {
+        val h60 = baseHashSql.replace("md5(s)", "md5(md5(text))")
+        s"""
+        WITH b AS (
+          SELECT CASE WHEN ($h60) % 100 < 80 THEN 'train'
+                      ELSE 'holdout' END AS split,
+                 CAST(least(floor(n_chars / 50), 9) AS BIGINT) AS bin
+          FROM documents),
+        ct AS (SELECT bin, CAST(count(*) AS BIGINT) AS c_t FROM b
+               WHERE split = 'train' GROUP BY 1),
+        ch AS (SELECT bin, CAST(count(*) AS BIGINT) AS c_h FROM b
+               WHERE split = 'holdout' GROUP BY 1),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS n_t FROM b
+               WHERE split = 'train'),
+        nh AS (SELECT CAST(count(*) AS BIGINT) AS n_h FROM b
+               WHERE split = 'holdout'),
+        grid AS (SELECT CAST(range AS BIGINT) AS bin FROM range(0, 10)),
+        terms AS (
+          SELECT g.bin,
+                 coalesce(ct.c_t, 0) AS c_t,
+                 coalesce(ch.c_h, 0) AS c_h,
+                 round(
+                   ((coalesce(ch.c_h, 0) + 1)
+                      / CAST(nh.n_h + 10 AS DOUBLE)
+                    - (coalesce(ct.c_t, 0) + 1)
+                      / CAST(nt.n_t + 10 AS DOUBLE)) *
+                   round(ln(
+                     CAST((coalesce(ch.c_h, 0) + 1) * (nt.n_t + 10)
+                       AS DOUBLE) /
+                     CAST((coalesce(ct.c_t, 0) + 1) * (nh.n_h + 10)
+                       AS DOUBLE)), 9), 6) AS psi_term
+          FROM grid g
+          LEFT JOIN ct ON ct.bin = g.bin
+          LEFT JOIN ch ON ch.bin = g.bin
+          CROSS JOIN nt CROSS JOIN nh),
+        tot AS (
+          SELECT round(CAST(sum(CAST(psi_term AS DECIMAL(18,6)))
+            AS DOUBLE), 6) AS psi FROM terms)
+        SELECT t.bin, t.c_t, t.c_h, t.psi_term, tot.psi
+        FROM terms t CROSS JOIN tot
+        ORDER BY t.bin"""
+      }),
   )
 
   /** Okapi BM25 over `documents` (k1=1.5, b=0.75 — both exactly
