@@ -2274,6 +2274,51 @@ object TextQueries extends QueryModule {
         FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 2
         ORDER BY a, b""")),
 
+    // D27 — record-linkage END-TO-END: d25's block-and-score chain
+    // (sorted-neighborhood on the 24-char prefix, byte-level
+    // Jaro–Winkler) thresholded at 0.9 and resolved into entities by
+    // connected components — block → score → threshold → resolve, the
+    // full Fellegi-Sunter-style pipeline as ONE lazy plan. The
+    // threshold compares the ROUNDED score (6 dp) so the edge set is
+    // engine-exact at the boundary; the resolve stage is the same CC
+    // the dedup family uses (bounded collect, limit-probed). Output =
+    // every linked record with its entity id and survivor flag.
+    "d27_linkage_e2e" -> Q(
+      fn = (s, dir) => {
+        val pairs = DedupOps.sortedNeighborPairs(
+          t(s, dir, "documents"), "doc_id",
+          substring(col("text"), 1, 24), window = 3)
+          .select(col("a"), col("b"),
+            round(DedupOps.jaroWinklerSim(col("key_a"), col("key_b")), 6)
+              .as("jw"))
+          .filter(col("jw") >= 0.9)
+          .select(col("a"), col("b"))
+        DedupOps.connectedComponents(pairs)
+          .withColumn("keep", col("id") === col("component"))
+          .orderBy(col("id"))
+      },
+      oracle = Some("""
+        WITH RECURSIVE r AS (
+          SELECT doc_id, substring(text, 1, 24) AS k,
+                 row_number() OVER (ORDER BY substring(text, 1, 24),
+                                    doc_id) AS rn
+          FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS a, b.doc_id AS b
+          FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 2
+          WHERE round(jaro_winkler_similarity(a.k, b.k), 6) >= 0.9),
+        e AS (SELECT a, b FROM pairs
+              UNION ALL SELECT b AS a, a AS b FROM pairs),
+        walk(id, label) AS (
+          SELECT DISTINCT a AS id, a AS label FROM e
+          UNION
+          SELECT e.a AS id, walk.label
+          FROM e JOIN walk ON e.b = walk.id)
+        SELECT id, min(label) AS component, id = min(label) AS keep
+        FROM walk
+        GROUP BY id
+        ORDER BY id""")),
+
     // D23 — exact duplicated-substring spans (Lee et al. ACL'22
     // ExactSubstr, token-window form, w = 8): windows whose hash occurs
     // ≥ 2 times corpus-wide mark their tokens duplicated; per doc the
