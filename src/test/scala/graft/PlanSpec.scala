@@ -569,4 +569,45 @@ class PlanSpec extends SparkSpec {
     // a shuffle
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
   }
+
+  test("t40: RAKE partitions by document everywhere — every hash " +
+    "exchange is doc_id-keyed, no corpus-global key") {
+    val p = plan("t40_rake_keywords")
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .foreach(l => assert(l.contains("doc_id"), l))
+  }
+
+  test("t41: the hamming pair stream has no join before the histogram " +
+    "(the simhash IS the blocking key)") {
+    val p = plan("t41_simhash_hamming")
+    // the only join is the 1-row broadcast total onto the <=17-row
+    // histogram — nothing pair- or corpus-sized joins anything
+    assert("Join".r.findAllIn(p).size ===
+      "BroadcastNestedLoopJoin".r.findAllIn(p).size, p)
+  }
+
+  test("d27: linkage threshold filters BEFORE the component resolve — " +
+    "the CC stage sees only >=0.9 edges, never the full pair stream") {
+    // the registered query ends in connectedComponents, whose bounded
+    // small-graph path materializes locally — so pin the lazy EDGE
+    // stage it consumes: the thresholded pair stream must carry the
+    // rounded-score filter in-plan and stay cartesian-free
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val edges = operators.DedupOps.sortedNeighborPairs(
+        docs, "doc_id", substring(col("text"), 1, 24), window = 3)
+      .select(col("a"), col("b"),
+        round(operators.DedupOps.jaroWinklerSim(col("key_a"), col("key_b")), 6)
+          .as("jw"))
+      .filter(col("jw") >= 0.9)
+      .select(col("a"), col("b"))
+    val p = edges.queryExecution.executedPlan.toString
+    // the rounded-score threshold is an in-plan Filter (Catalyst
+    // collapses the jw alias into the predicate itself)
+    assert(p.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("graft_jaro_winkler") &&
+        l.contains(">= 0.9")), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
