@@ -68,11 +68,16 @@ object Bench {
     val t2 = pass2.map(_._2).filter(_ >= 0).sum
     val f1 = pass1.count(_._2 < 0)
     val f2 = pass2.count(_._2 < 0)
+    // stdout carries the contract fields with ONE per-query map (pass2,
+    // the headline): with both pass maps inline the line outgrew the
+    // driver's stdout tail capture and BENCH_r{N}.json landed
+    // parsed:null. The full record including the pass1 map goes to the
+    // file below.
+    val stdoutJson = s"""{"metric":"total","value":$t2,"unit":"sec","queries":${fmt(pass2)},"sf":"$sfDir","pass1_total":$t1,"pass2_total":$t2,"failed_pass1":$f1,"failed_pass2":$f2}"""
     val json = s"""{"metric":"total","value":$t2,"unit":"sec","queries":${fmt(pass2)},"sf":"$sfDir","pass1_total":$t1,"pass2_total":$t2,"failed_pass1":$f1,"failed_pass2":$f2,"pass1":${fmt(pass1)}}"""
-    println(json)
-    // The one-line JSON outgrew the driver's stdout tail capture (its
-    // BENCH_r{N}.json lands with parsed:null), so ALSO persist it to a
-    // stable path the driver/judge can read back whole.
+    println(stdoutJson)
+    // Persist the complete record to a stable path the driver/judge can
+    // read back whole.
     try {
       val out = java.nio.file.Paths.get("bench", "BENCH_driver_latest.json")
       java.nio.file.Files.createDirectories(out.getParent)

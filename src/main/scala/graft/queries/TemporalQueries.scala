@@ -1374,6 +1374,272 @@ object TemporalQueries extends QueryModule {
         FROM r WHERE rk = 1
         ORDER BY event_type""")),
 
+    // A51 — WELCH'S T-TEST between two event cohorts (click vs view on
+    // `value`): the unequal-variance two-sample test an A/B readout
+    // needs. Moments assemble exactly — value casts to decimal(18,6)
+    // (the dimStats convention), s1/s2 sum in decimal so no float-
+    // addition order exists — and the derived chain (mean, sample var,
+    // standard error, t, Welch–Satterthwaite df) is the identical
+    // sequence of IEEE double ops on both engines from those exact
+    // operands, rounded once at the end. One partial-aggregable
+    // groupBy over the filtered scan, then a 2-row pivot — nothing
+    // driver-side, scales as a scan.
+    "a51_welch_ttest" -> Q(
+      fn = (s, dir) => {
+        val dec = col("value").cast("decimal(18,6)")
+        val g = t(s, dir, "events")
+          .filter(col("event_type").isin("click", "view"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec).as("s1"),
+            sum((dec * dec).cast("decimal(38,12)")).as("s2"))
+          .select(col("event_type"),
+            col("n"),
+            (col("s1").cast("double") / col("n").cast("double")).as("m"),
+            // the a49 discipline: exact decimal sums cast to double
+            // ONCE, then a fixed all-double chain (decimal products of
+            // two (38,·) operands would hit Spark's precision clamp)
+            ((col("n").cast("double") * col("s2").cast("double") -
+              col("s1").cast("double") * col("s1").cast("double")) /
+              (col("n").cast("double") *
+                (col("n") - 1).cast("double"))).as("v"))
+        val a = g.filter(col("event_type") === "click")
+          .select(col("n").as("na"), col("m").as("ma"), col("v").as("va"))
+        val b = g.filter(col("event_type") === "view")
+          .select(col("n").as("nb"), col("m").as("mb"), col("v").as("vb"))
+        val sa = col("va") / col("na").cast("double")
+        val sb = col("vb") / col("nb").cast("double")
+        a.crossJoin(b)
+          .select(
+            col("na"), col("nb"),
+            round(col("ma"), 6).as("mean_click"),
+            round(col("mb"), 6).as("mean_view"),
+            round((col("ma") - col("mb")) / sqrt(sa + sb), 6).as("t_stat"),
+            round((sa + sb) * (sa + sb) /
+              (sa * sa / (col("na") - 1).cast("double") +
+                sb * sb / (col("nb") - 1).cast("double")), 3).as("df"))
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(value AS DECIMAL(18,6))) AS s1,
+                 sum(CAST(CAST(value AS DECIMAL(18,6))
+                     * CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,12)))
+                   AS s2
+          FROM events WHERE event_type IN ('click', 'view')
+          GROUP BY 1),
+        m AS (
+          SELECT event_type, n,
+                 CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+                 (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS v
+          FROM g),
+        a AS (SELECT n AS na, m AS ma, v AS va FROM m
+              WHERE event_type = 'click'),
+        b AS (SELECT n AS nb, m AS mb, v AS vb FROM m
+              WHERE event_type = 'view')
+        SELECT na, nb,
+               round(ma, 6) AS mean_click,
+               round(mb, 6) AS mean_view,
+               round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+               round((va / na + vb / nb) * (va / na + vb / nb)
+                 / ((va / na) * (va / na) / (na - 1)
+                    + (vb / nb) * (vb / nb) / (nb - 1)), 3) AS df
+        FROM a CROSS JOIN b""")),
+
+    // A52 — KAPLAN–MEIER survival of signup→purchase conversion time:
+    // per user, duration (whole days) from first signup to first
+    // subsequent purchase; users who never purchase are right-censored
+    // at the corpus end. At each event day d: n_at_risk = users with
+    // duration ≥ d, deaths = uncensored durations = d, and
+    // S(d) = Π (1 − deaths/n_risk). The product replays cross-engine
+    // through the exp-Σln form: each factor's ln rounds to 12 dp, the
+    // cumulative sum folds in DECIMAL (order-free), exp at the end,
+    // round 6 — sum error ~1e-11 stays far from the 6-dp half-ulp, the
+    // t26/kmeansFit argument. A day where everyone at risk dies has
+    // ln(0) = −∞ (Spark log returns NULL there): an integer
+    // zero-factor flag carries through the same window instead, and
+    // S pins to exactly 0 from that day on. Shapes: two tiny windows
+    // over per-user rows, then day-grain aggregation — scan-dominated.
+    "a52_survival_km" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+        val end = ev.agg(max(col("ts")).as("t_end"))
+        val pu = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("__uid"), col("ts").as("tp"))
+        // the ts >= t0 guard lives in the JOIN condition: a user whose
+        // purchases all predate signup must stay (censored), not vanish
+        val dur = su
+          .join(pu,
+            col("__uid") === col("user_id") && col("tp") >= col("t0"),
+            "left")
+          .groupBy(col("user_id"), col("t0"))
+          .agg(min(col("tp")).as("tp"))
+          .crossJoin(broadcast(end))
+          .select(col("user_id"),
+            when(col("tp").isNotNull,
+              floor((unix_micros(col("tp")) - unix_micros(col("t0"))) /
+                lit(86400000000L)).cast("bigint"))
+              .otherwise(
+                floor((unix_micros(col("t_end")) - unix_micros(col("t0"))) /
+                  lit(86400000000L)).cast("bigint")).as("dur"),
+            col("tp").isNotNull.as("observed"))
+        val days = dur
+          .groupBy(col("dur").as("day"))
+          .agg(count(lit(1)).as("n_ending"),
+            sum(when(col("observed"), 1L).otherwise(0L)).as("deaths"))
+        val wOrd = Window.orderBy(col("day"))
+        val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+        val total = dur.agg(count(lit(1)).as("n_total"))
+        days
+          .crossJoin(broadcast(total))
+          .withColumn("ended_before",
+            coalesce(sum(col("n_ending"))
+              .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+          .withColumn("n_risk", col("n_total") - col("ended_before"))
+          .filter(col("deaths") > 0)
+          .withColumn("lnf",
+            when(col("deaths") < col("n_risk"),
+              round(log(
+                (col("n_risk") - col("deaths")).cast("double") /
+                  col("n_risk").cast("double")), 12)
+                .cast("decimal(24,12)"))
+              .otherwise(lit(null).cast("decimal(24,12)")))
+          .withColumn("zeroed",
+            sum(when(col("deaths") >= col("n_risk"), 1L).otherwise(0L))
+              .over(wCum))
+          .withColumn("survival",
+            when(col("zeroed") > 0, lit(0.0))
+              .otherwise(round(exp(
+                sum(col("lnf")).over(wCum).cast("double")), 6)))
+          .select(col("day"), col("n_risk"), col("deaths"), col("survival"))
+          .orderBy(col("day"))
+      },
+      oracle = Some("""
+        WITH su AS (
+          SELECT user_id, min(ts) AS t0 FROM events
+          WHERE event_type = 'signup' GROUP BY 1),
+        fin AS (SELECT max(ts) AS t_end FROM events),
+        dur AS (
+          SELECT s.user_id,
+                 CASE WHEN min(p.ts) IS NOT NULL
+                      THEN CAST(floor((epoch_us(min(p.ts))
+                             - epoch_us(s.t0)) / 86400000000) AS BIGINT)
+                      ELSE CAST(floor((epoch_us(f.t_end)
+                             - epoch_us(s.t0)) / 86400000000) AS BIGINT)
+                 END AS dur,
+                 min(p.ts) IS NOT NULL AS observed
+          FROM su s CROSS JOIN fin f
+          LEFT JOIN (SELECT user_id, ts FROM events
+                     WHERE event_type = 'purchase') p
+            ON p.user_id = s.user_id AND p.ts >= s.t0
+          GROUP BY s.user_id, s.t0, f.t_end),
+        days AS (
+          SELECT dur AS day, CAST(count(*) AS BIGINT) AS n_ending,
+                 CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+                   AS deaths
+          FROM dur GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM dur),
+        risk AS (
+          SELECT d.day, d.deaths,
+                 t.n_total - CAST(coalesce(sum(d.n_ending) OVER (
+                     ORDER BY d.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS n_risk
+          FROM days d CROSS JOIN tot t),
+        f AS (
+          SELECT day, n_risk, deaths,
+                 CASE WHEN deaths < n_risk
+                      THEN CAST(round(ln(CAST(n_risk - deaths AS DOUBLE)
+                             / CAST(n_risk AS DOUBLE)), 12)
+                           AS DECIMAL(24,12)) END AS lnf,
+                 CASE WHEN deaths >= n_risk THEN 1 ELSE 0 END AS z
+          FROM risk WHERE deaths > 0),
+        c AS (
+          SELECT day, n_risk, deaths,
+                 sum(lnf) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+                 CAST(sum(z) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS zeroed
+          FROM f)
+        SELECT day, n_risk, deaths,
+               CASE WHEN zeroed > 0 THEN 0.0
+                    ELSE round(exp(CAST(s AS DOUBLE)), 6) END AS survival
+        FROM c ORDER BY day""")),
+
+    // J15 — ALLEN INTERVAL RELATIONS between each user's click span
+    // and view span ([first, last] event per type): the 13-relation
+    // temporal algebra (before/meets/overlaps/starts/during/finishes/
+    // equals + inverses) that interval reasoning over sessions,
+    // outages, or annotation spans needs. One groupBy builds both
+    // spans, one broadcast-sized join pairs them per user, and the
+    // classification is a pure CASE chain over four timestamp
+    // compares — written in the identical guard order on both engines
+    // so every row takes the same branch. Output: relation → users.
+    "j15_allen_relations" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+        def span(tp: String, pre: String) =
+          ev.filter(col("event_type") === tp)
+            .groupBy(col("user_id"))
+            .agg(min(col("ts")).as(pre + "s"), max(col("ts")).as(pre + "e"))
+        val rel =
+          when(col("ae") < col("bs"), "before")
+            .when(col("ae") === col("bs"), "meets")
+            .when(col("as") > col("be"), "after")
+            .when(col("as") === col("be"), "met_by")
+            .when(col("as") === col("bs") && col("ae") === col("be"),
+              "equals")
+            .when(col("as") === col("bs"),
+              when(col("ae") < col("be"), "starts").otherwise("started_by"))
+            .when(col("ae") === col("be"),
+              when(col("as") > col("bs"), "finishes")
+                .otherwise("finished_by"))
+            .when(col("as") > col("bs") && col("ae") < col("be"), "during")
+            .when(col("as") < col("bs") && col("ae") > col("be"),
+              "contains")
+            .when(col("as") < col("bs"), "overlaps")
+            .otherwise("overlapped_by")
+        span("click", "a").join(span("view", "b"), "user_id")
+          .select(rel.as("relation"))
+          .groupBy(col("relation"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("relation"))
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT user_id, min(ts) AS "as", max(ts) AS ae FROM events
+          WHERE event_type = 'click' GROUP BY 1),
+        b AS (
+          SELECT user_id, min(ts) AS bs, max(ts) AS be FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+        r AS (
+          SELECT CASE
+                   WHEN a.ae < b.bs THEN 'before'
+                   WHEN a.ae = b.bs THEN 'meets'
+                   WHEN a."as" > b.be THEN 'after'
+                   WHEN a."as" = b.be THEN 'met_by'
+                   WHEN a."as" = b.bs AND a.ae = b.be THEN 'equals'
+                   WHEN a."as" = b.bs THEN
+                     CASE WHEN a.ae < b.be THEN 'starts'
+                          ELSE 'started_by' END
+                   WHEN a.ae = b.be THEN
+                     CASE WHEN a."as" > b.bs THEN 'finishes'
+                          ELSE 'finished_by' END
+                   WHEN a."as" > b.bs AND a.ae < b.be THEN 'during'
+                   WHEN a."as" < b.bs AND a.ae > b.be THEN 'contains'
+                   WHEN a."as" < b.bs THEN 'overlaps'
+                   ELSE 'overlapped_by'
+                 END AS relation
+          FROM a JOIN b USING (user_id))
+        SELECT relation, CAST(count(*) AS BIGINT) AS n_users
+        FROM r GROUP BY 1 ORDER BY relation""")),
+
     // A43 — HyperLogLog distinct users per event_type (m = 64
     // registers over the deterministic 60-bit md5 hash), INCLUDING the
     // merge algebra: per-half builds (even/odd event_id) fold by

@@ -177,7 +177,7 @@ class AnnRecallSpec extends SparkSpec {
     }
     assert(adc >= 0.0 && adc <= 1.0)
 
-    val d = java.nio.file.Files.createTempDirectory("graft_recall_").toFile
+    val d = tempDirFile("graft_recall_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
     IvfIndex.write(
@@ -221,8 +221,7 @@ class AnnRecallSpec extends SparkSpec {
     // headroom, and the raw-vs-residual dominance is asserted pairwise
     // at each budget.
     def build(residual: Boolean): String = {
-      val d = java.nio.file.Files
-        .createTempDirectory(s"graft_recall_res${residual}_").toFile
+      val d = tempDirFile(s"graft_recall_res${residual}_")
       d.deleteOnExit()
       val path = d.getAbsolutePath + "/index"
       IvfIndex.write(

@@ -13,7 +13,7 @@ class BandedLevenshteinRuleSpec extends SparkSpec {
   // file-backed (a LocalRelation filter is folded away at optimize
   // time, which would hide the rewrite from the plan)
   private lazy val pairsPath: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft_lev_").toFile
+    val d = tempDirFile("graft_lev_")
     d.deleteOnExit()
     Seq(
       ("kitten", "sitting"),   // distance 3

@@ -113,7 +113,7 @@ class CdcAuditSpec extends SparkSpec {
     assert(lines.exists(l => l.contains("2024-01-01 10:00:00 - ") &&
       l.contains("\"battery\":12.0")))
     // the write path lays the lines down as a per-site text file
-    val d = java.nio.file.Files.createTempDirectory("graft_audit_").toFile
+    val d = tempDirFile("graft_audit_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/report"
     TimeSeriesOps.writeAuditReport(

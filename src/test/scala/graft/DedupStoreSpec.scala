@@ -11,7 +11,7 @@ class DedupStoreSpec extends SparkSpec {
   import spark.implicits._
 
   private def store(tag: String): String = {
-    val d = java.nio.file.Files.createTempDirectory(tag).toFile
+    val d = tempDirFile(tag)
     d.deleteOnExit()
     d.getAbsolutePath
   }

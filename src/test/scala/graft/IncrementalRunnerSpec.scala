@@ -9,7 +9,7 @@ class IncrementalRunnerSpec extends SparkSpec {
   private def T(s: String) = java.sql.Timestamp.valueOf(s)
 
   private def tmpDir(): String = {
-    val d = java.nio.file.Files.createTempDirectory("graft_incr_").toFile
+    val d = tempDirFile("graft_incr_")
     d.deleteOnExit()
     d.getAbsolutePath + "/table"
   }

@@ -16,7 +16,7 @@ class IvfIndexSpec extends SparkSpec {
   test("query over the persisted index == in-memory ivfTopKLearned, " +
     "and the scan prunes to the probed cells") {
     val emb = Tables(spark, dir, "embeddings")
-    val d = java.nio.file.Files.createTempDirectory("graft_ivf_").toFile
+    val d = tempDirFile("graft_ivf_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
     IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
@@ -46,7 +46,7 @@ class IvfIndexSpec extends SparkSpec {
   test("queryBatch == a per-query loop of single queries; the batch scan " +
     "prunes to the union of probed cells and group-limits per query") {
     val emb = Tables(spark, dir, "embeddings")
-    val d = java.nio.file.Files.createTempDirectory("graft_ivfb_").toFile
+    val d = tempDirFile("graft_ivfb_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
     IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
@@ -81,7 +81,7 @@ class IvfIndexSpec extends SparkSpec {
   test("filtered search: a metadata predicate reaches the pruned scan as " +
     "a PushedFilter, and full-probe filtered query == filtered brute force") {
     val emb = Tables(spark, dir, "embeddings")
-    val d = java.nio.file.Files.createTempDirectory("graft_ivff_").toFile
+    val d = tempDirFile("graft_ivff_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
     IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
@@ -122,7 +122,7 @@ class IvfIndexSpec extends SparkSpec {
   test("queryAdcBatch == a per-query loop of queryAdc, with the batch " +
     "ADC pass pruned to probed cells and group-limited per query") {
     val emb = Tables(spark, dir, "embeddings")
-    val d = java.nio.file.Files.createTempDirectory("graft_ivfab_").toFile
+    val d = tempDirFile("graft_ivfab_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
     IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
@@ -166,7 +166,7 @@ class IvfIndexSpec extends SparkSpec {
     val emb = Tables(spark, dir, "embeddings")
     val h1 = emb.filter($"vec_id" < 250)
     val h2 = emb.filter($"vec_id" >= 250)
-    val d = java.nio.file.Files.createTempDirectory("graft_ivfa_").toFile
+    val d = tempDirFile("graft_ivfa_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
     IvfIndex.write(h1, "vec_id", "embedding", kCells = 4, trainIters = 2,
@@ -223,7 +223,7 @@ class IvfIndexSpec extends SparkSpec {
     val emb = Tables(spark, dir, "embeddings")
     val h1 = emb.filter($"vec_id" < 250)
     val h2 = emb.filter($"vec_id" >= 250)
-    val d = java.nio.file.Files.createTempDirectory("graft_ivfap_").toFile
+    val d = tempDirFile("graft_ivfap_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
     IvfIndex.write(h1, "vec_id", "embedding", kCells = 4, trainIters = 2,
@@ -260,7 +260,7 @@ class IvfIndexSpec extends SparkSpec {
     val emb = Tables(spark, dir, "embeddings")
     val h1 = emb.filter($"vec_id" < 250)
     val h2 = emb.filter($"vec_id" >= 250)
-    val d = java.nio.file.Files.createTempDirectory("graft_ivfar_").toFile
+    val d = tempDirFile("graft_ivfar_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
     IvfIndex.write(h1, "vec_id", "embedding", kCells = 4, trainIters = 2,
@@ -319,7 +319,7 @@ class IvfIndexSpec extends SparkSpec {
     // The index must build on the SURVIVING cells and stay correct.
     val vecs = ((0L until 40L).map(i => (i, Array(1.0f, 2.0f))) :+
       (40L, Array(5.0f, 6.0f))).toDF("vec_id", "embedding")
-    val d = java.nio.file.Files.createTempDirectory("graft_ivfg_").toFile
+    val d = tempDirFile("graft_ivfg_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
     IvfIndex.write(vecs, "vec_id", "embedding", kCells = 4, trainIters = 2,
@@ -346,7 +346,7 @@ class IvfIndexSpec extends SparkSpec {
   test("delete rewrites only the affected cells, removes emptied cell " +
     "directories, and queries never see deleted rows") {
     val emb = Tables(spark, dir, "embeddings")
-    val d = java.nio.file.Files.createTempDirectory("graft_ivfd_").toFile
+    val d = tempDirFile("graft_ivfd_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
     IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
@@ -401,7 +401,7 @@ class IvfIndexSpec extends SparkSpec {
       (0L, Array(0.0f, 0.1f)), (1L, Array(0.1f, 0.0f)), (2L, Array(0.2f, 0.1f)),
       (3L, Array(10.0f, 10.1f)), (4L, Array(10.1f, 9.9f)), (5L, Array(9.9f, 10.0f)))
       .toDF("vec_id", "embedding")
-    val d = java.nio.file.Files.createTempDirectory("graft_ivfe_").toFile
+    val d = tempDirFile("graft_ivfe_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
     IvfIndex.write(vecs, "vec_id", "embedding", kCells = 2, trainIters = 3,
@@ -423,7 +423,7 @@ class IvfIndexSpec extends SparkSpec {
   test("compact collapses append-accumulated files to one per cell " +
     "without changing any query result; stats reports the repair") {
     val emb = Tables(spark, dir, "embeddings")
-    val d = java.nio.file.Files.createTempDirectory("graft_ivfc_").toFile
+    val d = tempDirFile("graft_ivfc_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
     IvfIndex.write(emb.filter($"vec_id" < 200), "vec_id", "embedding",
@@ -460,7 +460,7 @@ class IvfIndexSpec extends SparkSpec {
   test("IVF x PQ: queryAdc == query at full refine; the ADC pass is " +
     "partition-pruned and reads codes, never vectors") {
     val emb = Tables(spark, dir, "embeddings")
-    val d = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toFile
+    val d = tempDirFile("graft_ivfpq_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
     IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
@@ -512,7 +512,7 @@ class IvfIndexSpec extends SparkSpec {
 
   test("_meta sidecar: the index is self-describing, misuse fails fast") {
     val emb = Tables(spark, dir, "embeddings")
-    val d = java.nio.file.Files.createTempDirectory("graft_ivfm_").toFile
+    val d = tempDirFile("graft_ivfm_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
     IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
@@ -554,7 +554,7 @@ class IvfIndexSpec extends SparkSpec {
     "residuals, ADC distances match a driver-side recomputation, and " +
     "full refine still recovers the exact IVF result") {
     val emb = Tables(spark, dir, "embeddings")
-    val d = java.nio.file.Files.createTempDirectory("graft_ivfr_").toFile
+    val d = tempDirFile("graft_ivfr_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
     IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
@@ -652,7 +652,7 @@ class IvfIndexSpec extends SparkSpec {
     "first pass, and full-probe/full-refine filtered ADC == filtered " +
     "brute force") {
     val emb = Tables(spark, dir, "embeddings")
-    val d = java.nio.file.Files.createTempDirectory("graft_ivffa_").toFile
+    val d = tempDirFile("graft_ivffa_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
     IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
@@ -700,7 +700,7 @@ class IvfIndexSpec extends SparkSpec {
   test("the driver-side codebook cache loads once across N single " +
     "queries and is invalidated by a rebuild") {
     val emb = Tables(spark, dir, "embeddings")
-    val d = java.nio.file.Files.createTempDirectory("graft_ivfcc_").toFile
+    val d = tempDirFile("graft_ivfcc_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
     IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
@@ -730,7 +730,7 @@ class IvfIndexSpec extends SparkSpec {
   test("an out-of-band rebuild (another process, no invalidateCache) is " +
     "picked up by the _meta stamp — no stale codebook is ever served") {
     val emb = Tables(spark, dir, "embeddings")
-    val d = java.nio.file.Files.createTempDirectory("graft_ivfoob_").toFile
+    val d = tempDirFile("graft_ivfoob_")
     d.deleteOnExit()
     val servePath = d.getAbsolutePath + "/index"
     val otherPath = d.getAbsolutePath + "/other"
@@ -774,7 +774,7 @@ class IvfIndexSpec extends SparkSpec {
 
   test("queryBatchChunked == queryBatch for a batch larger than maxBatch") {
     val emb = Tables(spark, dir, "embeddings")
-    val d = java.nio.file.Files.createTempDirectory("graft_ivfch_").toFile
+    val d = tempDirFile("graft_ivfch_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
     IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
@@ -794,7 +794,7 @@ class IvfIndexSpec extends SparkSpec {
       nprobe = 2, k = 5, maxBatch = 1000)) === whole)
 
     // the ADC twin holds the same contract over a PQ layout
-    val dp = java.nio.file.Files.createTempDirectory("graft_ivfchp_").toFile
+    val dp = tempDirFile("graft_ivfchp_")
     dp.deleteOnExit()
     val pqPath = dp.getAbsolutePath + "/index"
     IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
@@ -820,7 +820,7 @@ class IvfIndexSpec extends SparkSpec {
       (0L, Array(0.0f, 0.1f)), (1L, Array(0.1f, 0.0f)),
       (2L, Array(10.0f, 10.1f)), (3L, Array(10.1f, 9.9f)))
       .toDF("vec_id", "embedding")
-    val d = java.nio.file.Files.createTempDirectory("graft_ivfda_").toFile
+    val d = tempDirFile("graft_ivfda_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
     IvfIndex.write(vecs, "vec_id", "embedding", kCells = 2, trainIters = 2,
@@ -836,7 +836,7 @@ class IvfIndexSpec extends SparkSpec {
   test("compact clears a stale vectors_old leftover from a crashed " +
     "previous run and swaps cleanly") {
     val emb = Tables(spark, dir, "embeddings")
-    val d = java.nio.file.Files.createTempDirectory("graft_ivfco_").toFile
+    val d = tempDirFile("graft_ivfco_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
     IvfIndex.write(emb.filter($"vec_id" < 100), "vec_id", "embedding",
@@ -858,7 +858,7 @@ class IvfIndexSpec extends SparkSpec {
   test("compact recovers a crash BETWEEN the swap renames: roll-forward " +
     "from vectors_compacting, roll-back from vectors_old") {
     val emb = Tables(spark, dir, "embeddings")
-    val d = java.nio.file.Files.createTempDirectory("graft_ivfcr_").toFile
+    val d = tempDirFile("graft_ivfcr_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
     IvfIndex.write(emb, "vec_id", "embedding", kCells = 2, trainIters = 2,
@@ -887,7 +887,7 @@ class IvfIndexSpec extends SparkSpec {
   test("chunked serving ignores extra caller columns — a query frame " +
     "carrying a __h column chunks on clean data (reserved-name collision)") {
     val emb = Tables(spark, dir, "embeddings")
-    val d = java.nio.file.Files.createTempDirectory("graft_ivfhc_").toFile
+    val d = tempDirFile("graft_ivfhc_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
     IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
@@ -912,7 +912,7 @@ class IvfIndexSpec extends SparkSpec {
   test("IVF x SQ8: the codes-only first pass never reads vectors, " +
     "full probe + full refine == exact query, and append maintains codes") {
     val emb = Tables(spark, dir, "embeddings")
-    val d = java.nio.file.Files.createTempDirectory("graft_ivfsq_").toFile
+    val d = tempDirFile("graft_ivfsq_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
     IvfIndex.write(emb.filter($"vec_id" < 400), "vec_id", "embedding",
@@ -974,7 +974,7 @@ class IvfIndexSpec extends SparkSpec {
   test("a FAILED PQ write still releases its corpus-scale checkpoint " +
     "(try/finally, not success-path-only)") {
     val emb = Tables(spark, dir, "embeddings")
-    val d = java.nio.file.Files.createTempDirectory("graft_ivffl_").toFile
+    val d = tempDirFile("graft_ivffl_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
     val before = spark.sparkContext.getPersistentRDDs.keySet
@@ -993,7 +993,7 @@ class IvfIndexSpec extends SparkSpec {
   test("sampled training (trainPct) fits the codebook on EXACTLY the " +
     "restated md5 subset; encoding and serving stay full-corpus") {
     val emb = Tables(spark, dir, "embeddings")
-    val d = java.nio.file.Files.createTempDirectory("graft_ivfsm_").toFile
+    val d = tempDirFile("graft_ivfsm_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
     IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
@@ -1038,7 +1038,7 @@ class IvfIndexSpec extends SparkSpec {
     "codebooks are bit-equal to a full-train build over the restated " +
     "md5 sample, while encoding stays full-corpus") {
     val emb = Tables(spark, dir, "embeddings")
-    val d = java.nio.file.Files.createTempDirectory("graft_ivfrs_").toFile
+    val d = tempDirFile("graft_ivfrs_")
     d.deleteOnExit()
     val sampled = d.getAbsolutePath + "/sampled"
     val restated = d.getAbsolutePath + "/restated"
@@ -1070,7 +1070,7 @@ class IvfIndexSpec extends SparkSpec {
   test("mergeFrom folds a shard into the destination: counts add up, " +
     "src cells re-derive under dst's codebook, misuse fails fast") {
     val emb = Tables(spark, dir, "embeddings")
-    val d = java.nio.file.Files.createTempDirectory("graft_ivfmg_").toFile
+    val d = tempDirFile("graft_ivfmg_")
     d.deleteOnExit()
     val dst = d.getAbsolutePath + "/even"
     val src = d.getAbsolutePath + "/odd"
@@ -1126,7 +1126,7 @@ class IvfIndexSpec extends SparkSpec {
   test("write refuses a caller column named like a reserved layout " +
     "column instead of silently overwriting it") {
     val emb = Tables(spark, dir, "embeddings")
-    val d = java.nio.file.Files.createTempDirectory("graft_ivfrs_").toFile
+    val d = tempDirFile("graft_ivfrs_")
     d.deleteOnExit()
     for (bad <- Seq("cell", "codes", "sq8", "__base")) {
       val e = intercept[IllegalArgumentException] {
@@ -1140,7 +1140,7 @@ class IvfIndexSpec extends SparkSpec {
   test("append/mergeFrom guards: reserved or drifting batch schemas and " +
     "self-merges fail fast instead of corrupting the layout") {
     val emb = Tables(spark, dir, "embeddings")
-    val d = java.nio.file.Files.createTempDirectory("graft_ivfg_").toFile
+    val d = tempDirFile("graft_ivfg_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
     IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,
@@ -1178,7 +1178,7 @@ class IvfIndexSpec extends SparkSpec {
     // its files mid-flight. The contract: clean missing-file failure
     // (retry-safe), or a complete answer for ONE generation.
     val emb = Tables(spark, dir, "embeddings")
-    val d = java.nio.file.Files.createTempDirectory("graft_ivfrace_").toFile
+    val d = tempDirFile("graft_ivfrace_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
     IvfIndex.write(emb, "vec_id", "embedding", kCells = 4, trainIters = 2,

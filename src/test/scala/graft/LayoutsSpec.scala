@@ -10,7 +10,7 @@ class LayoutsSpec extends SparkSpec {
   import spark.implicits._
 
   test("same-bucketing join runs with zero exchanges") {
-    val d = java.nio.file.Files.createTempDirectory("graft_bucket_").toFile
+    val d = tempDirFile("graft_bucket_")
     d.deleteOnExit()
     val left = (0 until 200).map(i => (i % 20, i.toLong, i * 1.5))
       .toDF("site_no", "row_id", "v")
@@ -88,7 +88,7 @@ class LayoutsSpec extends SparkSpec {
 
   test("zorder: per-file min/max footprints shrink on BOTH dimensions " +
     "vs the unsorted layout, and rows survive exactly") {
-    val d = java.nio.file.Files.createTempDirectory("graft_zorder_").toFile
+    val d = tempDirFile("graft_zorder_")
     d.deleteOnExit()
     val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
       .select($"l_orderkey", $"l_partkey", $"l_quantity")
@@ -125,7 +125,7 @@ class LayoutsSpec extends SparkSpec {
 
   test("compactTable: file count collapses to the byte-derived target, " +
     "rows survive exactly, and a mid-swap crash self-heals both ways") {
-    val d = java.nio.file.Files.createTempDirectory("graft_ctable_").toFile
+    val d = tempDirFile("graft_ctable_")
     d.deleteOnExit()
     val p = d.getAbsolutePath + "/t"
     spark.range(0, 10000).toDF("id")

@@ -46,7 +46,7 @@ class PipelineCliSpec extends SparkSpec {
 
   test("nmdb-catchup mode: resumes, validates, appends to the store") {
     import spark.implicits._
-    val d = java.nio.file.Files.createTempDirectory("graft_cli_nmdb_").toFile
+    val d = tempDirFile("graft_cli_nmdb_")
     d.deleteOnExit()
     val in = d.getAbsolutePath + "/in"
     val out = d.getAbsolutePath + "/out"
@@ -81,7 +81,7 @@ class PipelineCliSpec extends SparkSpec {
 
   test("nmdb-catchup run twice: earlier same-day hours survive the append") {
     import spark.implicits._
-    val d = java.nio.file.Files.createTempDirectory("graft_cli_nmdb2_").toFile
+    val d = tempDirFile("graft_cli_nmdb2_")
     d.deleteOnExit()
     val in1 = d.getAbsolutePath + "/in1"
     val in2 = d.getAbsolutePath + "/in2"
@@ -143,7 +143,7 @@ class PipelineCliSpec extends SparkSpec {
   test("curate mode: decision log covers every input doc, gates compose, " +
     "curated output carries deduped text") {
     import spark.implicits._
-    val d = java.nio.file.Files.createTempDirectory("graft_cur_").toFile
+    val d = tempDirFile("graft_cur_")
     d.deleteOnExit()
     val in = d.getAbsolutePath + "/in"
     val out = d.getAbsolutePath + "/out"

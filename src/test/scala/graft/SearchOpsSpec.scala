@@ -57,7 +57,7 @@ class SearchOpsSpec extends SparkSpec {
   test("bm25QueryIndex == bm25TopK over the same corpus, and the " +
     "postings scan is partition-pruned to the query terms' buckets") {
     val docs = Tables(spark, dir, "documents")
-    val d = java.nio.file.Files.createTempDirectory("graft_bm25_").toFile
+    val d = tempDirFile("graft_bm25_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
     SearchOps.bm25IndexWrite(docs, "doc_id", "text", path, numBuckets = 16)

@@ -92,7 +92,7 @@ class SinkSpec extends SparkSpec {
   }
 
   test("ParquetDaySink is the same seam: upsert keeps untouched partitions") {
-    val d = java.nio.file.Files.createTempDirectory("graft_sink_").toFile
+    val d = tempDirFile("graft_sink_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/table"
     val sink: Sink = new ParquetDaySink(path)
@@ -141,7 +141,7 @@ class SinkSpec extends SparkSpec {
 
   test("replaying a micro-batch through Sink.foreachBatch(ParquetDaySink) " +
     "is idempotent (restart/replay exactly-once)") {
-    val d = java.nio.file.Files.createTempDirectory("graft_replay_").toFile
+    val d = tempDirFile("graft_replay_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/table"
     val fn = Sink.foreachBatch(new ParquetDaySink(path))
@@ -165,7 +165,7 @@ class SinkSpec extends SparkSpec {
 
   test("MeteredSink: write metrics ride the write job itself — rows, " +
     "null timestamps, and the written span, updated per upsert") {
-    val d = java.nio.file.Files.createTempDirectory("graft_metered_").toFile
+    val d = tempDirFile("graft_metered_")
     d.deleteOnExit()
     val sink = new MeteredSink(new ParquetDaySink(d.getAbsolutePath + "/t"))
     assert(sink.lastMetrics.isEmpty)

@@ -20,6 +20,13 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     d.toString
   }
 
+  /** [[tempDir]] as a File — the shape most specs consume. */
+  def tempDirFile(tag: String): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory(tag)
+    SparkSpec.registerForCleanup(d)
+    d.toFile
+  }
+
   override def afterAll(): Unit = super.afterAll()
 }
 

@@ -87,7 +87,7 @@ class StreamingOpsSpec extends SparkSpec {
 
   test("file-source streaming e2e: csv readStream -> dedup -> sink") {
     import org.apache.spark.sql.types._
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_").toFile
+    val dir = tempDirFile("graft_stream_")
     dir.deleteOnExit()
     val srcDir = new java.io.File(dir, "src"); srcDir.mkdirs()
     val schema = StructType(Seq(
@@ -119,7 +119,7 @@ class StreamingOpsSpec extends SparkSpec {
   test("checkpointed restart through ParquetPointUpsertSink: no " +
     "duplicates, no loss") {
     import org.apache.spark.sql.types._
-    val dir = java.nio.file.Files.createTempDirectory("graft_restart_").toFile
+    val dir = tempDirFile("graft_restart_")
     dir.deleteOnExit()
     val srcDir = new java.io.File(dir, "src"); srcDir.mkdirs()
     val out = new java.io.File(dir, "out").getAbsolutePath
@@ -166,7 +166,7 @@ class StreamingOpsSpec extends SparkSpec {
   test("streaming NMDB path e2e: feed -> drift validation -> point-upsert " +
     "store (earlier same-day hours survive later batches)") {
     implicit val sql = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("graft_nmdb_stream_").toFile
+    val dir = tempDirFile("graft_nmdb_stream_")
     dir.deleteOnExit()
     val out = new java.io.File(dir, "store").getAbsolutePath
     val sinkFn = graft.operators.Sink.foreachBatch(
@@ -207,7 +207,7 @@ class StreamingOpsSpec extends SparkSpec {
     val h2rows = emb.filter($"vec_id" >= 250)
       .select($"vec_id", $"embedding")
       .as[(Long, Array[Float])].collect().toSeq
-    val d = java.nio.file.Files.createTempDirectory("graft_sidx_").toFile
+    val d = tempDirFile("graft_sidx_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/index"
     // build the base on exactly the columns the stream will carry —
@@ -259,7 +259,7 @@ class StreamingOpsSpec extends SparkSpec {
   test("sketchIngest: per-batch partials fold to the whole-stream " +
     "sketch, and a replayed batch overwrites its own partition") {
     implicit val sql = spark.sqlContext
-    val d = java.nio.file.Files.createTempDirectory("graft_qsk_").toFile
+    val d = tempDirFile("graft_qsk_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/sketch"
     val rows = (1L to 200L).map(i => (i, s"g${i % 3}", (i * 7 % 101).toDouble))
@@ -306,7 +306,7 @@ class StreamingOpsSpec extends SparkSpec {
     "and cmsJoinSize answers off TWO streamed states without scanning " +
     "either history") {
     implicit val sql = spark.sqlContext
-    val d = java.nio.file.Files.createTempDirectory("graft_cms_").toFile
+    val d = tempDirFile("graft_cms_")
     d.deleteOnExit()
     val pa = d.getAbsolutePath + "/ska"
     val pb = d.getAbsolutePath + "/skb"
@@ -357,7 +357,7 @@ class StreamingOpsSpec extends SparkSpec {
   test("trendIngest: per-batch moment summaries fold to the one-shot " +
     "trend, and a replayed batch overwrites its own partition") {
     implicit val sql = spark.sqlContext
-    val d = java.nio.file.Files.createTempDirectory("graft_trend_").toFile
+    val d = tempDirFile("graft_trend_")
     d.deleteOnExit()
     val path = d.getAbsolutePath + "/trend"
     val base = 1704067200L
@@ -562,7 +562,7 @@ class StreamingOpsSpec extends SparkSpec {
   test("dedupIngest: cross-batch duplicate visibility through the store, " +
     "flag log lands per batch, replayed batch ids are skipped") {
     implicit val sql = spark.sqlContext
-    val d = java.nio.file.Files.createTempDirectory("graft_sdedup_").toFile
+    val d = tempDirFile("graft_sdedup_")
     d.deleteOnExit()
     val store = d.getAbsolutePath + "/store"
     val flagsP = d.getAbsolutePath + "/flags"
@@ -612,7 +612,7 @@ class StreamingOpsSpec extends SparkSpec {
   test("decontaminateIngest: per-batch verdicts against the static " +
     "benchmark land once, replayed batch ids are skipped") {
     implicit val sql = spark.sqlContext
-    val d = java.nio.file.Files.createTempDirectory("graft_sdecon_").toFile
+    val d = tempDirFile("graft_sdecon_")
     d.deleteOnExit()
     val flagsP = d.getAbsolutePath + "/flags"
     val evalItem = "which year did the treaty of utrecht end the war"
