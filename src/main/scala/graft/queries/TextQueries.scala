@@ -3801,6 +3801,177 @@ object TextQueries extends QueryModule {
         ORDER BY doc_id"""
       }),
 
+    // T42 — GOOD–TURING frequency smoothing over TRIGRAM types (Gale
+    // & Sampson's simple form, unsmoothed count-of-counts):
+    // r* = (r+1)·N_{r+1}/N_r for r = 1..5, the adjusted probability
+    // r*/N, and the unseen-mass estimate P₀ = N₁/N carried on every
+    // row — the LM-eval smoothing baseline next to t24's add-k and
+    // t39's Kneser–Ney. Trigrams, not unigrams, because GT lives on
+    // the low-count tail (N₁, N₂, …) and this corpus's unigram
+    // vocabulary is tiny-and-saturated — every word occurs thousands
+    // of times, so the unigram N_{1..5} are all empty; the trigram
+    // space has the genuine singleton tail the estimator exists for.
+    // Everything assembles in BIGINT (type counts → count-of-counts →
+    // the (r+1)·N_{r+1} numerator); each output is ONE division from
+    // integer operands (p_gt divides r* by N — two IEEE steps on
+    // identical operands, deterministic both engines). Plan: explode →
+    // type groupBy on md5 hashes (map-side combined, never text) →
+    // count-of-counts groupBy over ~dozens of rows → a tiny self-join
+    // on r+1. Corpus-scale work is the type count; everything after
+    // is O(distinct counts).
+    "t42_good_turing" -> Q(
+      fn = (s, dir) => {
+        val words = t(s, dir, "documents")
+          .select(explode(
+            TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+          .select(md5(col("sh")).as("w"))
+        val wc = words.groupBy(col("w")).agg(count(lit(1)).as("r"))
+        val cc = wc.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+        val tot = words.agg(count(lit(1)).as("n_tokens"))
+        val n1 = cc.filter(col("r") === 1)
+          .select(col("n_r").as("n_1"))
+        cc.alias("a")
+          .join(cc.alias("b"), col("b.r") === col("a.r") + 1, "left")
+          .select(col("a.r").as("r"), col("a.n_r").as("n_r"),
+            coalesce(col("b.n_r"), lit(0L)).as("n_r1"))
+          .filter(col("r") <= 5)
+          .crossJoin(broadcast(tot))
+          .crossJoin(broadcast(n1))
+          .select(col("r"), col("n_r"),
+            round(((col("r") + 1) * col("n_r1")).cast("double") /
+              col("n_r").cast("double"), 9).as("r_star"),
+            round(
+              round(((col("r") + 1) * col("n_r1")).cast("double") /
+                col("n_r").cast("double"), 9) /
+                col("n_tokens").cast("double"), 12).as("p_gt"),
+            col("n_tokens"),
+            round(col("n_1").cast("double") /
+              col("n_tokens").cast("double"), 9).as("p0_mass"))
+          .orderBy(col("r"))
+      },
+      oracle = Some(s"""
+        WITH w AS (SELECT md5(unnest($sh3Sql)) AS w FROM documents),
+        wc AS (SELECT w, CAST(count(*) AS BIGINT) AS r FROM w GROUP BY 1),
+        cc AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r
+               FROM wc GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM w),
+        n1 AS (SELECT n_r AS n_1 FROM cc WHERE r = 1)
+        SELECT a.r, a.n_r,
+               round(CAST((a.r + 1) * coalesce(b.n_r, 0) AS DOUBLE)
+                 / CAST(a.n_r AS DOUBLE), 9) AS r_star,
+               round(round(CAST((a.r + 1) * coalesce(b.n_r, 0) AS DOUBLE)
+                 / CAST(a.n_r AS DOUBLE), 9)
+                 / CAST(t.n_tokens AS DOUBLE), 12) AS p_gt,
+               t.n_tokens,
+               round(CAST(n1.n_1 AS DOUBLE)
+                 / CAST(t.n_tokens AS DOUBLE), 9) AS p0_mass
+        FROM cc a LEFT JOIN cc b ON b.r = a.r + 1
+        CROSS JOIN tot t CROSS JOIN n1
+        WHERE a.r <= 5
+        ORDER BY a.r"""),
+      bench = true),
+
+    // C25 — HEAPS' LAW fit of vocabulary growth, V(N) ≈ k·N^β, over
+    // trigram-shingle TYPES in doc_id ingest order: each distinct
+    // shingle is owned by its FIRST document (min doc_id — the t25
+    // first-owner rule), so V(d) is the running sum of newly-owned
+    // types and N(d) the running shingle instances; β and ln k come
+    // from the closed-form least squares on (ln N, ln V). The ln
+    // terms round to 12 dp and fold as DECIMAL (order-free sums —
+    // the c24/t30 discipline), and the regression chain is a fixed
+    // double expression from those exact sums. β well below 1 says
+    // the corpus keeps repeating itself; β near 1 says every new doc
+    // brings new content — the growth number a crawl-vs-dedup budget
+    // is planned against. Shuffles hashes only, never text.
+    "c25_heaps_fit" -> Q(
+      fn = (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sh = docs.select(col("doc_id"),
+          explode(TextOps.shingles(TextOps.tokens(col("text")), 3))
+            .as("sh"))
+        val perDoc = docs.select(col("doc_id"),
+          greatest(size(TextOps.tokens(col("text"))) - 2, lit(0))
+            .cast("long").as("ns"))
+        val owners = sh.select(md5(col("sh")).as("h"), col("doc_id"))
+          .groupBy(col("h")).agg(min(col("doc_id")).as("d0"))
+          .groupBy(col("d0")).agg(count(lit(1)).as("new_types"))
+        val wCum = Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val pts = perDoc
+          .join(owners, col("doc_id") === col("d0"), "left")
+          .select(col("doc_id"), col("ns"),
+            coalesce(col("new_types"), lit(0L)).as("nt"))
+          .withColumn("cn", sum(col("ns")).over(wCum))
+          .withColumn("cv", sum(col("nt")).over(wCum))
+          .filter(col("cn") > 0 && col("cv") > 0)
+          .select(
+            round(log(col("cn").cast("double")), 12).as("x"),
+            round(log(col("cv").cast("double")), 12).as("y"))
+        val dec = (c: Column) => c.cast("decimal(28,12)")
+        val s_ = pts.agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("x"))).as("sx"),
+          sum(dec(col("y"))).as("sy"),
+          sum(dec(round(col("x") * col("x"), 12))).as("sxx"),
+          sum(dec(round(col("x") * col("y"), 12))).as("sxy"))
+        val nD = col("n").cast("double")
+        val beta = (nD * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (nD * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double"))
+        s_.select(col("n").as("n_points"),
+          round(beta, 6).as("beta"),
+          round((col("sy").cast("double") -
+            beta * col("sx").cast("double")) / nD, 6).as("ln_k"))
+      },
+      oracle = Some(s"""
+        WITH sh AS (
+          SELECT doc_id, md5(unnest($sh3Sql)) AS h FROM documents),
+        per AS (
+          SELECT doc_id,
+                 CAST(greatest(len($toksSql) - 2, 0) AS BIGINT) AS ns
+          FROM documents),
+        own AS (
+          SELECT d0, CAST(count(*) AS BIGINT) AS new_types FROM (
+            SELECT h, min(doc_id) AS d0 FROM sh GROUP BY 1)
+          GROUP BY 1),
+        pts AS (
+          SELECT round(ln(CAST(cn AS DOUBLE)), 12) AS x,
+                 round(ln(CAST(cv AS DOUBLE)), 12) AS y
+          FROM (
+            SELECT p.doc_id,
+                   CAST(sum(p.ns) OVER (ORDER BY p.doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cn,
+                   CAST(sum(coalesce(o.new_types, 0)) OVER (
+                     ORDER BY p.doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cv
+            FROM per p LEFT JOIN own o ON o.d0 = p.doc_id)
+          WHERE cn > 0 AND cv > 0),
+        s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(x AS DECIMAL(28,12))) AS sx,
+                 sum(CAST(y AS DECIMAL(28,12))) AS sy,
+                 sum(CAST(round(x * x, 12) AS DECIMAL(28,12))) AS sxx,
+                 sum(CAST(round(x * y, 12) AS DECIMAL(28,12))) AS sxy
+          FROM pts)
+        SELECT n AS n_points,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                 AS beta,
+               round((CAST(sy AS DOUBLE)
+                   - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS ln_k
+        FROM s"""),
+      bench = true),
+
     // C24 — split REPRESENTATIVENESS: PSI of the length distribution
     // between t38's holdout and train halves — t38 proves the split
     // LEAKS nothing, this proves the holdout still LOOKS like the
