@@ -2864,6 +2864,90 @@ object SimilarityQueries extends QueryModule {
                  round(sqrt((nd * s2 - s1 * s1) / (nd * (nd - 1.0))), 6)
                END AS std
         FROM s
-        ORDER BY dim"""))
+        ORDER BY dim""")),
+
+    // V44 — per-label CENTROID DRIFT between two embedding snapshots
+    // (even vec_ids = old, odd = new — the parity split every
+    // deterministic A/B harness here uses): per (label, snapshot, dim)
+    // means from exact decimal sums rounded to 9 dp, then the L2 and
+    // mean-|Δ| distances between each label's old and new centroid.
+    // THE embedding-space monitoring number: a re-embedded or
+    // re-trained encoder shifts centroids long before downstream
+    // metrics notice, and at 100 TB this is one posexplode → one
+    // partial-aggregable groupBy(label, half, dim) → a 64-row-per-
+    // label join — no vector ever leaves its partition un-aggregated.
+    // The 9-dp mean differences cast EXACTLY to decimal(18,9) (they
+    // sit ~2 ulp from the 9-dp grid, never near a cast midpoint), so
+    // Δ² and Σ|Δ| fold in decimal with zero float-order dependence;
+    // sqrt and the /64 are one IEEE step each from exact operands.
+    "v44_centroid_drift" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val dims = emb.select(col("label"),
+          (pmod(col("vec_id"), lit(2)) === 0).as("is_old"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("dim", "x")))
+        val cent = dims
+          .groupBy(col("label"), col("is_old"), col("dim"))
+          .agg(sum(col("x").cast("decimal(18,6)")).as("s1"),
+            count(lit(1)).as("n"))
+          .select(col("label"), col("is_old"), col("dim"),
+            round(col("s1").cast("double") / col("n").cast("double"), 9)
+              .as("m"))
+        val o = cent.filter(col("is_old"))
+          .select(col("label"), col("dim"), col("m").as("mo"))
+        val nw = cent.filter(!col("is_old"))
+          .select(col("label").as("__l"), col("dim").as("__d"),
+            col("m").as("mn"))
+        val dd = round(col("mn") - col("mo"), 9).cast("decimal(18,9)")
+        val counts = emb.groupBy(col("label"))
+          .agg(sum(when(pmod(col("vec_id"), lit(2)) === 0, 1L)
+            .otherwise(0L)).as("n_old"),
+            sum(when(pmod(col("vec_id"), lit(2)) === 1, 1L)
+              .otherwise(0L)).as("n_new"))
+        o.join(nw, col("label") === col("__l") && col("dim") === col("__d"))
+          .groupBy(col("label"))
+          .agg(sum(dd * dd).as("d2"),
+            sum(abs(dd)).as("l1"))
+          .join(counts, "label")
+          .select(col("label"), col("n_old"), col("n_new"),
+            round(sqrt(col("d2").cast("double")), 6).as("drift_l2"),
+            round(col("l1").cast("double") / lit(64.0), 9)
+              .as("mean_abs_diff"))
+          .orderBy(col("label"))
+      },
+      bench = true,
+      oracle = Some("""
+        WITH x AS (
+          SELECT label, vec_id % 2 = 0 AS is_old, CAST(i - 1 AS INT) AS dim,
+                 CAST(embedding[i] AS DOUBLE) AS v
+          FROM embeddings,
+               LATERAL (SELECT unnest(generate_series(1, 64)) AS i)),
+        cent AS (
+          SELECT label, is_old, dim,
+                 round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 9) AS m
+          FROM x GROUP BY 1, 2, 3),
+        d AS (
+          SELECT o.label,
+                 CAST(round(n.m - o.m, 9) AS DECIMAL(18,9)) AS dd
+          FROM cent o JOIN cent n
+            ON n.label = o.label AND n.dim = o.dim
+           AND o.is_old AND NOT n.is_old),
+        agg AS (
+          SELECT label, sum(dd * dd) AS d2, sum(abs(dd)) AS l1
+          FROM d GROUP BY 1),
+        c AS (
+          SELECT label,
+                 CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_old,
+                 CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_new
+          FROM embeddings GROUP BY 1)
+        SELECT a.label, c.n_old, c.n_new,
+               round(sqrt(CAST(a.d2 AS DOUBLE)), 6) AS drift_l2,
+               round(CAST(a.l1 AS DOUBLE) / 64.0, 9) AS mean_abs_diff
+        FROM agg a JOIN c ON c.label = a.label
+        ORDER BY a.label"""))
   )
 }

@@ -3972,6 +3972,91 @@ object TextQueries extends QueryModule {
         FROM s"""),
       bench = true),
 
+    // D28 — pairwise CONTAINMENT over blocked candidate pairs: for
+    // id-adjacent pairs (the d11 blocking shape), |A∩B| over distinct
+    // trigram-shingle sets and BOTH asymmetric containments
+    // |A∩B|/|A|, |A∩B|/|B| next to Jaccard — the quote/subset
+    // detector Jaccard structurally misses (a short doc fully
+    // contained in a long one has tiny Jaccard but containment 1.0;
+    // Broder's containment measure). Zero-intersection pairs stay in
+    // the output via a left join (a blocked pair with NO overlap is a
+    // finding, not a dropped row). Shuffles md5 hashes keyed by doc,
+    // intersections partial-aggregate per pair; pair count is bounded
+    // by the blocking stage — never all-pairs.
+    "d28_containment_pairs" -> Q(
+      fn = (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sets = docs.select(col("doc_id"),
+          explode(TextOps.shingles(TextOps.tokens(col("text")), 3))
+            .as("sh"))
+          .select(col("doc_id"), md5(col("sh")).as("h"))
+          .distinct()
+        val sz = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val pairs = docs
+          .select(col("doc_id").as("a"),
+            explode(sequence(lit(1), lit(2))).as("d"))
+          .select(col("a"), (col("a") + col("d")).as("b"))
+          .join(sz.select(col("doc_id").as("a"), col("sz").as("size_a")),
+            "a")
+          .join(sz.select(col("doc_id").as("b"), col("sz").as("size_b")),
+            "b")
+        val inter = pairs
+          .join(sets.select(col("doc_id").as("a"), col("h")), "a")
+          .join(sets.select(col("doc_id").as("b"), col("h").as("h2")),
+            "b")
+          .filter(col("h") === col("h2"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(inter, Seq("a", "b"), "left")
+          .select(col("a"), col("b"), col("size_a"), col("size_b"),
+            coalesce(col("inter"), lit(0L)).as("intersection"))
+          .withColumn("containment_a",
+            round(col("intersection").cast("double") /
+              col("size_a").cast("double"), 6))
+          .withColumn("containment_b",
+            round(col("intersection").cast("double") /
+              col("size_b").cast("double"), 6))
+          .withColumn("jaccard",
+            round(col("intersection").cast("double") /
+              (col("size_a") + col("size_b") - col("intersection"))
+                .cast("double"), 6))
+          .orderBy(col("a"), col("b"))
+      },
+      oracle = Some(s"""
+        WITH sets AS (
+          SELECT DISTINCT doc_id, md5(sh) AS h FROM (
+            SELECT doc_id, unnest($sh3Sql) AS sh FROM documents)),
+        sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+               FROM sets GROUP BY 1),
+        pairs AS (
+          SELECT a.doc_id AS a, a.doc_id + d.d AS b
+          FROM documents a,
+               LATERAL (SELECT unnest(generate_series(1, 2)) AS d) d),
+        pz AS (
+          SELECT p.a, p.b, za.sz AS size_a, zb.sz AS size_b
+          FROM pairs p
+          JOIN sz za ON za.doc_id = p.a
+          JOIN sz zb ON zb.doc_id = p.b),
+        i AS (
+          SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS intersection
+          FROM pairs p
+          JOIN sets x ON x.doc_id = p.a
+          JOIN sets y ON y.doc_id = p.b AND y.h = x.h
+          GROUP BY 1, 2)
+        SELECT p.a, p.b, p.size_a, p.size_b,
+               coalesce(i.intersection, 0) AS intersection,
+               round(CAST(coalesce(i.intersection, 0) AS DOUBLE)
+                 / CAST(p.size_a AS DOUBLE), 6) AS containment_a,
+               round(CAST(coalesce(i.intersection, 0) AS DOUBLE)
+                 / CAST(p.size_b AS DOUBLE), 6) AS containment_b,
+               round(CAST(coalesce(i.intersection, 0) AS DOUBLE)
+                 / CAST(p.size_a + p.size_b - coalesce(i.intersection, 0)
+                        AS DOUBLE), 6) AS jaccard
+        FROM pz p LEFT JOIN i ON i.a = p.a AND i.b = p.b
+        ORDER BY p.a, p.b"""),
+      bench = true),
+
     // C24 — split REPRESENTATIVENESS: PSI of the length distribution
     // between t38's holdout and train halves — t38 proves the split
     // LEAKS nothing, this proves the holdout still LOOKS like the
