@@ -677,6 +677,44 @@ object DedupOps {
       .select(col("id"), col("component"), col("pr"), col("is_authority"))
   }
 
+  /** Synchronous LABEL PROPAGATION over an undirected pair graph
+    * (Raghavan et al. 2007), the deterministic variant: every node
+    * starts labeled with its own id; each round it adopts the label
+    * most frequent among its neighbors, ties broken by SMALLEST label
+    * — no randomness, so the trajectory replays identically under
+    * retries and in a CTE-unrolled SQL oracle (the d21/t26
+    * discipline). `iters` fixed rounds build as ONE lazy plan: per
+    * round, an edge-keyed join + a partial-aggregable
+    * groupBy(node, label) + one per-node row_number pick — the whole
+    * thing is integer-only (no float enters at any point). Community
+    * detection as the softer sibling of [[connectedComponents]]: CC
+    * merges anything touching; LPA keeps weakly-bridged clusters
+    * apart, which is what a near-dup resolver wants when two dup
+    * clusters share one accidental candidate pair.
+    */
+  def labelPropagation(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"labelPropagation: iters must be >= 1 (got $iters)")
+    val e = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+    var labels = e.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var i = 0
+    while (i < iters) {
+      val w = Window.partitionBy(col("a"))
+        .orderBy(col("cnt").desc, col("label").asc)
+      labels = e
+        .join(labels.select(col("id").as("__n"), col("label")),
+          col("b") === col("__n"))
+        .groupBy(col("a"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("a").as("id"), col("label"))
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("community"))
+  }
+
   /** Sorted-neighborhood blocking — the third blocking family next to
     * LSH buckets ([[minhashCandidatePairs]]) and SimHash bands: order
     * the corpus by a blocking key (length, a fingerprint prefix, a

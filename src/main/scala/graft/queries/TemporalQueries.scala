@@ -1640,6 +1640,71 @@ object TemporalQueries extends QueryModule {
         SELECT relation, CAST(count(*) AS BIGINT) AS n_users
         FROM r GROUP BY 1 ORDER BY relation""")),
 
+    // A53 — LAST-TOUCH REVENUE ATTRIBUTION: each purchase's value is
+    // credited to the user's most recent preceding touch (click or
+    // view) within a 7-day lookback, else to 'direct' — the
+    // marketing-analytics join every event warehouse runs nightly.
+    // ONE pass, no self-join: last(touch, ignoreNulls) over the
+    // per-user (ts, event_id) window carries the latest touch type
+    // and timestamp onto every purchase row (the same carry-forward
+    // shape as a6's ffill), so the "find the preceding event" lookup
+    // that is a correlated subquery in row stores is a single
+    // user-keyed exchange here. Revenue folds as decimal(18,6)
+    // (order-free), one cast-and-round at the end.
+    "a53_attribution" -> Q(
+      fn = (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val touch = col("event_type").isin("click", "view")
+        val ev = t(s, dir, "events")
+          .filter(col("event_type").isin("click", "view", "purchase"))
+          .withColumn("lt_type",
+            last(when(touch, col("event_type")), ignoreNulls = true)
+              .over(w))
+          .withColumn("lt_ts",
+            last(when(touch, col("ts")), ignoreNulls = true).over(w))
+        ev.filter(col("event_type") === "purchase")
+          .select(
+            when(col("lt_ts").isNotNull &&
+              unix_micros(col("ts")) - unix_micros(col("lt_ts")) <=
+                lit(604800000000L), col("lt_type"))
+              .otherwise(lit("direct")).as("channel"),
+            col("value"))
+          .groupBy(col("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("value").cast("decimal(18,6)")).as("rev"))
+          .select(col("channel"), col("n_purchases"),
+            round(col("rev").cast("double"), 6).as("revenue"))
+          .orderBy(col("channel"))
+      },
+      bench = true,
+      oracle = Some("""
+        WITH ev AS (
+          SELECT *,
+                 last_value(CASE WHEN event_type IN ('click', 'view')
+                            THEN event_type END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS lt_type,
+                 last_value(CASE WHEN event_type IN ('click', 'view')
+                            THEN ts END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS lt_ts
+          FROM events
+          WHERE event_type IN ('click', 'view', 'purchase')),
+        p AS (
+          SELECT CASE WHEN lt_ts IS NOT NULL
+                       AND epoch_us(ts) - epoch_us(lt_ts) <= 604800000000
+                      THEN lt_type ELSE 'direct' END AS channel,
+                 value
+          FROM ev WHERE event_type = 'purchase')
+        SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+                 AS revenue
+        FROM p GROUP BY 1 ORDER BY channel""")),
+
     // A43 — HyperLogLog distinct users per event_type (m = 64
     // registers over the deterministic 60-bit md5 hash), INCLUDING the
     // merge algebra: per-half builds (even/odd event_id) fold by

@@ -3972,6 +3972,52 @@ object TextQueries extends QueryModule {
         FROM s"""),
       bench = true),
 
+    // D29 — LABEL PROPAGATION communities over the MinHash candidate
+    // graph (deterministic LPA: adopt the most frequent neighbor
+    // label, ties to the smallest; 3 sync rounds as one lazy
+    // integer-only plan). The softer resolve next to d7's connected
+    // components: CC merges anything touching, LPA keeps
+    // weakly-bridged dup clusters apart when two real clusters share
+    // one accidental candidate pair. The oracle replays all three
+    // rounds as unrolled CTEs with the identical count-desc/label-asc
+    // pick — no floats anywhere, so the trajectory is exact.
+    "d29_label_propagation" -> Q(
+      fn = (s, dir) => {
+        val pairs = DedupOps.minhashCandidatePairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          shingleK = 3, numPerm = 8, bands = 2)
+          .select(col("a"), col("b"))
+        DedupOps.labelPropagation(pairs, iters = 3)
+          .orderBy(col("id"))
+      },
+      bench = true,
+      oracle = Some({
+        def roundCte(r: Int): String = {
+          val prev = if (r == 1) "l0" else s"l${r - 1}"
+          s"""
+        l$r AS (
+          SELECT id, label FROM (
+            SELECT e.a AS id, l.label, count(*) AS cnt,
+                   row_number() OVER (PARTITION BY e.a
+                     ORDER BY count(*) DESC, l.label) AS rn
+            FROM e JOIN $prev l ON l.id = e.b
+            GROUP BY e.a, l.label)
+          WHERE rn = 1)"""
+        }
+        s"""
+        WITH $bandsSql,
+        pairs AS (
+          SELECT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y
+            ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+          WHERE x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+        e AS (SELECT a, b FROM pairs
+              UNION ALL SELECT b AS a, a AS b FROM pairs),
+        l0 AS (SELECT DISTINCT a AS id, a AS label FROM e),${roundCte(1)},${roundCte(2)},${roundCte(3)}
+        SELECT id, label AS community FROM l3 ORDER BY id"""
+      })),
+
     // D28 — pairwise CONTAINMENT over blocked candidate pairs: for
     // id-adjacent pairs (the d11 blocking shape), |A∩B| over distinct
     // trigram-shingle sets and BOTH asymmetric containments
