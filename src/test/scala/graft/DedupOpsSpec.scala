@@ -110,6 +110,32 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation: bridged triangles stay two communities " +
+    "(where CC merges them), hand-replicated 3-round trajectory, " +
+    "edge-order invariant") {
+    // two triangles {1,2,3} and {4,5,6} joined by the single bridge
+    // 3-4 — the exact topology where CC over-merges and LPA holds
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val out = DedupOps.labelPropagation(pairs, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // hand-replayed deterministic LPA (most-frequent neighbor label,
+    // ties to smallest): r1 = (2,1,1,3,4,4), r2 = (1,1,1,4,3,3),
+    // r3 converges to the two triangles
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // CC on the same pairs merges everything — the contrast is the point
+    val cc = DedupOps.connectedComponents(pairs)
+      .select("component").distinct().count()
+    assert(cc === 1L)
+    // edge order and orientation must not change the outcome
+    val shuffled = Seq((4L, 3L), (6L, 5L), (6L, 4L), (5L, 4L),
+      (3L, 2L), (3L, 1L), (2L, 1L)).toDF("a", "b")
+    val out2 = DedupOps.labelPropagation(shuffled, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out2 === out)
+  }
+
   test("pagerankPick: the hub outranks leaves, symmetric ties break to " +
     "the lowest id, one authority per component, hand-replicated ranks") {
     // path 1-2-3 (2 is the hub) plus the symmetric pair 4-5

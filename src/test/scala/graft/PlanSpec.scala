@@ -586,6 +586,36 @@ class PlanSpec extends SparkSpec {
       "BroadcastNestedLoopJoin".r.findAllIn(p).size, p)
   }
 
+  test("a53: the attribution carry-forward rides ONE user-keyed " +
+    "exchange; only the final tiny channel agg adds another") {
+    val p = plan("a53_attribution")
+    val userEx = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") &&
+        l.contains("user_id")).size
+    assert(userEx === 1, p)
+  }
+
+  test("v44: centroid means partial-aggregate map-side before the " +
+    "(label, half, dim) exchange") {
+    val p = plan("v44_centroid_drift")
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("c25: the Heaps-fit shuffles carry md5 hashes, never text") {
+    val p = plan("c25_heaps_fit")
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .foreach(l => assert(!l.contains("text#"), l))
+  }
+
+  test("d28/d29: blocked-pair containment and LPA stay free of " +
+    "cartesian/nested-loop joins") {
+    for (q <- Seq("d28_containment_pairs", "d29_label_propagation")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q + "\n" + p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q + "\n" + p)
+    }
+  }
+
   test("d27: linkage threshold filters BEFORE the component resolve — " +
     "the CC stage sees only >=0.9 edges, never the full pair stream") {
     // the registered query ends in connectedComponents, whose bounded
