@@ -1640,6 +1640,66 @@ object TemporalQueries extends QueryModule {
         SELECT relation, CAST(count(*) AS BIGINT) AS n_users
         FROM r GROUP BY 1 ORDER BY relation""")),
 
+    // J16 — INTERVAL-OVERLAP MEASURE: j15 names the Allen relation
+    // between each user's click and view spans; this one MEASURES the
+    // intersection — overlap micros = max(0, min(ends) − max(starts))
+    // per user, aggregated into the corpus summary (pair count,
+    // overlapping share, total/mean overlap seconds). The micros stay
+    // BIGINT through every sum; the second divisions are one IEEE
+    // step each from exact integer operands. Same one-groupBy-
+    // per-type + user-keyed join shape as j15 — scan-dominated.
+    "j16_interval_overlap" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+        def span(tp: String, pre: String) =
+          ev.filter(col("event_type") === tp)
+            .groupBy(col("user_id"))
+            .agg(min(col("ts")).as(pre + "s"), max(col("ts")).as(pre + "e"))
+        val ov = span("click", "a").join(span("view", "b"), "user_id")
+          .select(greatest(lit(0L),
+            least(unix_micros(col("ae")), unix_micros(col("be"))) -
+              greatest(unix_micros(col("as")), unix_micros(col("bs"))))
+            .as("ov_us"))
+        ov.agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("ov_us") > 0, 1L).otherwise(0L))
+              .as("n_overlapping"),
+            sum(col("ov_us")).as("tot_us"))
+          .select(col("n_pairs"), col("n_overlapping"),
+            round(col("n_overlapping").cast("double") /
+              col("n_pairs").cast("double"), 6).as("overlap_share"),
+            round(col("tot_us").cast("double") / lit(1000000.0), 6)
+              .as("total_overlap_s"),
+            round(col("tot_us").cast("double") /
+              (col("n_overlapping").cast("double") * lit(1000000.0)), 6)
+              .as("mean_overlap_s"))
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT user_id, epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
+          FROM events WHERE event_type = 'click' GROUP BY 1),
+        b AS (
+          SELECT user_id, epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
+          FROM events WHERE event_type = 'view' GROUP BY 1),
+        ov AS (
+          SELECT greatest(0, least(a.e, b.e) - greatest(a.s, b.s))
+                   AS ov_us
+          FROM a JOIN b USING (user_id)),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(sum(CASE WHEN ov_us > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_overlapping,
+                 CAST(sum(ov_us) AS BIGINT) AS tot_us
+          FROM ov)
+        SELECT n_pairs, n_overlapping,
+               round(CAST(n_overlapping AS DOUBLE)
+                 / CAST(n_pairs AS DOUBLE), 6) AS overlap_share,
+               round(CAST(tot_us AS DOUBLE) / 1000000.0, 6)
+                 AS total_overlap_s,
+               round(CAST(tot_us AS DOUBLE)
+                 / (CAST(n_overlapping AS DOUBLE) * 1000000.0), 6)
+                 AS mean_overlap_s
+        FROM agg""")),
+
     // A53 — LAST-TOUCH REVENUE ATTRIBUTION: each purchase's value is
     // credited to the user's most recent preceding touch (click or
     // view) within a 7-day lookback, else to 'direct' — the

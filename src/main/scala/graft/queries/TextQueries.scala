@@ -3972,6 +3972,69 @@ object TextQueries extends QueryModule {
         FROM s"""),
       bench = true),
 
+    // T43 — per-document CHARACTER ENTROPY: Shannon entropy (nats)
+    // over the doc's character distribution plus the /ln(distinct)
+    // normalized form — the cheapest repetitive-garbage detector
+    // (near-zero entropy = one char repeated; c22 measures diversity
+    // across sources, this measures it INSIDE each doc). Char counts
+    // are BIGINT; each term p·ln(p) is two IEEE steps from one
+    // integer division, rounds to 12 dp and folds as DECIMAL per doc
+    // (order-free), one final round. Everything partitions by doc_id
+    // — the exchange carries (doc, char, count) rows bounded by
+    // alphabet size, never text.
+    "t43_char_entropy" -> Q(
+      fn = (s, dir) => {
+        val chars = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+          .filter(col("ch") =!= "") // Spark's limit=-1 keeps a trailing ""
+        val cc = chars.groupBy(col("doc_id"), col("ch"))
+          .agg(count(lit(1)).as("c"))
+        val n = cc.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("k"))
+        val p = col("c").cast("double") / col("n").cast("double")
+        cc.join(n, "doc_id")
+          .select(col("doc_id"), col("n"), col("k"),
+            round(p * log(p), 12).cast("decimal(24,12)").as("term"))
+          .groupBy(col("doc_id"), col("n"), col("k"))
+          .agg(sum(col("term")).as("s"))
+          .select(col("doc_id"), col("n").as("n_chars"),
+            col("k").as("n_distinct"),
+            round(-col("s").cast("double"), 6).as("entropy"),
+            when(col("k") > 1,
+              round(-col("s").cast("double") /
+                log(col("k").cast("double")), 6))
+              .otherwise(lit(0.0)).as("entropy_norm"))
+          .orderBy(col("doc_id"))
+      },
+      bench = true,
+      oracle = Some("""
+        WITH ch AS (
+          SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+          FROM documents),
+        cc AS (
+          SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+          FROM ch WHERE ch <> '' GROUP BY 1, 2),
+        n AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM cc GROUP BY 1),
+        terms AS (
+          SELECT cc.doc_id, n.n, n.k,
+                 CAST(round((CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE))
+                   * ln(CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE)), 12)
+                   AS DECIMAL(24,12)) AS term
+          FROM cc JOIN n USING (doc_id)),
+        s AS (
+          SELECT doc_id, n, k, sum(term) AS s
+          FROM terms GROUP BY 1, 2, 3)
+        SELECT doc_id, n AS n_chars, k AS n_distinct,
+               round(-CAST(s AS DOUBLE), 6) AS entropy,
+               CASE WHEN k > 1
+                    THEN round(-CAST(s AS DOUBLE)
+                           / ln(CAST(k AS DOUBLE)), 6)
+                    ELSE 0.0 END AS entropy_norm
+        FROM s ORDER BY doc_id""")),
+
     // D29 — LABEL PROPAGATION communities over the MinHash candidate
     // graph (deterministic LPA: adopt the most frequent neighbor
     // label, ties to the smallest; 3 sync rounds as one lazy
