@@ -159,6 +159,55 @@ object RelationalQueries extends QueryModule {
     // of documents compacts to target-sized files behind the rename-
     // aside crash-safe swap (the stores' protocol on a bare directory);
     // contents must survive byte-equal — only the file geometry moves.
+    // S27 — PARTITION LAYOUT ADVISOR: for a proposed partition key
+    // (lang, source) over the documents corpus, the numbers a 100 TB
+    // layout decision actually needs — rows, bytes (payload chars as
+    // the proxy), byte share, estimated file count at the target file
+    // size, and each partition's skew vs the mean. One partial-
+    // aggregable groupBy + a broadcast 1-row total; everything BIGINT
+    // until the two final divisions. The advisory rule is the one
+    // s24's compaction and Layouts' bucketing implement: partitions
+    // at ≫1 target file want splitting/bucketing, many ≪1 partitions
+    // want coalescing into a parent key.
+    "s27_layout_advisor" -> Q(
+      fn = (s, dir) => {
+        val target = 65536L // bytes per file; 128 MiB in production
+        val per = t(s, dir, "documents")
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("rows"),
+            sum(col("n_chars")).as("bytes"))
+        val tot = per.agg(sum(col("bytes")).as("tot_bytes"),
+          count(lit(1)).as("n_parts"))
+        per.crossJoin(broadcast(tot))
+          .select(col("lang"), col("source"), col("rows"), col("bytes"),
+            round(col("bytes").cast("double") /
+              col("tot_bytes").cast("double"), 6).as("byte_share"),
+            greatest(lit(1L),
+              ceil(col("bytes").cast("double") / lit(target.toDouble))
+                .cast("bigint")).as("est_files"),
+            round(col("bytes").cast("double") * col("n_parts").cast("double") /
+              col("tot_bytes").cast("double"), 6).as("skew_vs_mean"))
+          .orderBy(col("lang"), col("source"))
+      },
+      oracle = Some("""
+        WITH per AS (
+          SELECT lang, source, CAST(count(*) AS BIGINT) AS rows,
+                 CAST(sum(n_chars) AS BIGINT) AS bytes
+          FROM documents GROUP BY 1, 2),
+        tot AS (
+          SELECT CAST(sum(bytes) AS BIGINT) AS tot_bytes,
+                 CAST(count(*) AS BIGINT) AS n_parts
+          FROM per)
+        SELECT lang, source, rows, bytes,
+               round(CAST(bytes AS DOUBLE)
+                 / CAST(tot_bytes AS DOUBLE), 6) AS byte_share,
+               greatest(1, CAST(ceil(CAST(bytes AS DOUBLE) / 65536.0)
+                 AS BIGINT)) AS est_files,
+               round(CAST(bytes AS DOUBLE) * CAST(n_parts AS DOUBLE)
+                 / CAST(tot_bytes AS DOUBLE), 6) AS skew_vs_mean
+        FROM per CROSS JOIN tot
+        ORDER BY lang, source""")),
+
     "s24_compact_table" -> Q(
       fn = (s, dir) => {
         val tmp = freshTmpDir("s24_compact_") + "/docs"

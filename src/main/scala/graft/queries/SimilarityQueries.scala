@@ -2866,6 +2866,76 @@ object SimilarityQueries extends QueryModule {
         FROM s
         ORDER BY dim""")),
 
+    // V46 — CONTRASTIVE TRIPLET MINING (anchor, positive, negative)
+    // — the training-pair builder a contrastive/metric-learning run
+    // consumes: per anchor, the positive is a same-label vector and
+    // the negative a different-label vector, each drawn by the
+    // SampleOps id-hash discipline (min md5("anchor:candidate") —
+    // deterministic, retry-safe, no rand()) with the anchor's own
+    // vector excluded. The emitted pos/neg cosines and margin make
+    // triplet quality a hash-checked output. Shape: anchors
+    // broadcast, candidates scored in one corpus pass, the per-
+    // (anchor, side) pick is a rank-1 window (WindowGroupLimit cuts
+    // map-side), vectors re-joined only for the k picked rows.
+    "v46_triplet_mine" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val anchors = broadcast(emb.filter(col("vec_id") < 40)
+          .select(col("vec_id").as("aid"), col("label").as("albl"),
+            col("embedding").as("avec")))
+        val cand = emb.join(anchors, col("vec_id") =!= col("aid"))
+          .select(col("aid"), col("avec"),
+            col("vec_id").as("cid"), col("embedding").as("cvec"),
+            (col("label") === col("albl")).as("is_pos"),
+            md5(concat_ws(":", col("aid"), col("vec_id"))).as("h"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("aid"), col("is_pos"))
+          .orderBy(col("h"), col("cid"))
+        val picks = cand.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+        val pos = picks.filter(col("is_pos"))
+          .select(col("aid"), col("avec"), col("cid").as("pos_id"),
+            SimilarityOps.cosine(col("cvec"), col("avec")).as("pos_sim"))
+        val neg = picks.filter(!col("is_pos"))
+          .select(col("aid").as("__a2"), col("cid").as("neg_id"),
+            SimilarityOps.cosine(col("cvec"), col("avec")).as("neg_sim"))
+        pos.join(neg, col("aid") === col("__a2"))
+          .select(col("aid").as("anchor"), col("pos_id"), col("neg_id"),
+            col("pos_sim"), col("neg_sim"),
+            round(col("pos_sim") - col("neg_sim"), 6).as("margin"))
+          .orderBy(col("anchor"))
+      },
+      bench = true,
+      oracle = Some(s"""
+        WITH a AS (
+          SELECT vec_id AS aid, label AS albl, embedding AS avec
+          FROM embeddings WHERE vec_id < 40),
+        c AS (
+          SELECT a.aid, a.avec, e.vec_id AS cid, e.embedding AS cvec,
+                 e.label = a.albl AS is_pos,
+                 md5(CAST(a.aid AS VARCHAR) || ':'
+                     || CAST(e.vec_id AS VARCHAR)) AS h
+          FROM a JOIN embeddings e ON e.vec_id <> a.aid),
+        p AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY aid, is_pos
+                        ORDER BY h, cid) AS rn
+            FROM c)
+          WHERE rn = 1),
+        pos AS (
+          SELECT aid, avec, cid AS pos_id,
+                 ${cosineSql("cvec", "avec")} AS pos_sim
+          FROM p WHERE is_pos),
+        neg AS (
+          SELECT aid, cid AS neg_id,
+                 ${cosineSql("cvec", "avec")} AS neg_sim
+          FROM p WHERE NOT is_pos)
+        SELECT pos.aid AS anchor, pos.pos_id, neg.neg_id,
+               pos.pos_sim, neg.neg_sim,
+               round(pos.pos_sim - neg.neg_sim, 6) AS margin
+        FROM pos JOIN neg USING (aid)
+        ORDER BY anchor""")),
+
     // V44 — per-label CENTROID DRIFT between two embedding snapshots
     // (even vec_ids = old, odd = new — the parity split every
     // deterministic A/B harness here uses): per (label, snapshot, dim)
