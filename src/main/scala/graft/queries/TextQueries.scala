@@ -3972,6 +3972,73 @@ object TextQueries extends QueryModule {
         FROM s"""),
       bench = true),
 
+    // C26 — CONTAMINATION SCORECARD by source: d10/d12/d16 flag the
+    // contaminated docs; this ranks the SOURCES — per source (bench
+    // docs excluded from scoring), how many docs share ≥1 trigram
+    // shingle with the benchmark set, the rate, and the mean distinct
+    // hit shingles per doc. The number a curation pipeline acts on:
+    // a source with 40% benchmark overlap gets dropped or re-crawled,
+    // not filtered doc-by-doc. Same hashed-shingle shapes as d10 —
+    // the shuffle carries integer hashes keyed by shingle then doc;
+    // the benchmark side is the small broadcastable set. Ratios are
+    // BIGINT-assembled, one division each.
+    "c26_contamination_scorecard" -> Q(
+      fn = (s, dir) => {
+        val hashed = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextOps.hashedShingles3(TextOps.tokens(col("text")))
+              .as("hs"))
+        val bench = hashed.filter(col("doc_id") % 50 === 0)
+          .select(explode(col("hs")).as("sh")).distinct()
+        val docsh = hashed.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), explode(col("hs")).as("sh"))
+          .distinct()
+        val hits = docsh.join(bench, "sh")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+        hashed.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), col("source"))
+          .join(hits, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("hits").isNotNull, 1L).otherwise(0L))
+              .as("n_contaminated"),
+            sum(coalesce(col("hits"), lit(0L))).as("tot_hits"))
+          .select(col("source"), col("n_docs"), col("n_contaminated"),
+            round(col("n_contaminated").cast("double") /
+              col("n_docs").cast("double"), 6).as("contamination_rate"),
+            round(col("tot_hits").cast("double") /
+              col("n_docs").cast("double"), 6).as("mean_hit_shingles"))
+          .orderBy(col("source"))
+      },
+      bench = true,
+      oracle = Some(s"""
+        WITH $hashedCteSql,
+        bench AS (
+          SELECT DISTINCT unnest(hs) AS sh FROM hashed
+          WHERE doc_id % 50 = 0),
+        docsh AS (
+          SELECT DISTINCT doc_id, unnest(hs) AS sh FROM hashed
+          WHERE doc_id % 50 <> 0),
+        hits AS (
+          SELECT d.doc_id, CAST(count(*) AS BIGINT) AS hits
+          FROM docsh d JOIN bench b ON b.sh = d.sh
+          GROUP BY 1),
+        scored AS (
+          SELECT h.doc_id, doc.source, hits.hits
+          FROM hashed h
+          JOIN documents doc ON doc.doc_id = h.doc_id
+          LEFT JOIN hits ON hits.doc_id = h.doc_id
+          WHERE h.doc_id % 50 <> 0)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN hits IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_contaminated,
+               round(CAST(sum(CASE WHEN hits IS NOT NULL THEN 1 ELSE 0
+                 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                 AS contamination_rate,
+               round(CAST(sum(coalesce(hits, 0)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS mean_hit_shingles
+        FROM scored GROUP BY 1 ORDER BY source""")),
+
     // T43 — per-document CHARACTER ENTROPY: Shannon entropy (nats)
     // over the doc's character distribution plus the /ln(distinct)
     // normalized form — the cheapest repetitive-garbage detector
