@@ -80,6 +80,89 @@ object MultimodalQueries extends QueryModule {
     // shuffle (m4 hashes in-row); the corpus-scale exchange carries
     // 32-hex hashes, and the distinct-media count is a partial-agged
     // groupBy on those hashes. One division per row at the end.
+    // M10 — PERCEPTUAL dHASH + near-dup hamming histogram: each blob's
+    // first 72 bytes read as a 9×8 grayscale patch (the deterministic
+    // stand-in for a decoded thumbnail); dHash bit j = pixel[r][c] >
+    // pixel[r][c+1] over the 8 column pairs of each of 8 rows — the
+    // gradient fingerprint image dedup uses (robust to brightness
+    // shifts, unlike m9's exact patch md5). The 64 bits pack into TWO
+    // 32-bit BIGINT words (bit 63 would overflow a signed pow-of-two
+    // assembly on both engines — the t41 word-split); id-adjacent
+    // pairs then histogram by hamming = Σ bit_count(xor). All in-row
+    // codegen arithmetic: the corpus-wide exchange carries two longs
+    // per blob, never pixels.
+    "m10_dhash_neardup" -> Q(
+      fn = (s, dir) => {
+        def px(p: Int) = ascii(substring(col("text"), p, 1))
+        def word(w: Int) = (0 until 32).map { jj =>
+          val j = w * 32 + jj
+          val r = j / 8
+          val c = j % 8
+          when(px(r * 9 + c + 1) > px(r * 9 + c + 2),
+            lit(1L << jj)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        val hashes = t(s, dir, "documents")
+          .filter(length(col("text")) >= 72)
+          .select(col("doc_id"), word(0).as("w0"), word(1).as("w1"))
+        val pairs = hashes
+          .select(col("doc_id").as("a"), col("w0").as("w0a"),
+            col("w1").as("w1a"),
+            explode(sequence(lit(1), lit(2))).as("d"))
+          .select(col("a"), (col("a") + col("d")).as("b"),
+            col("w0a"), col("w1a"))
+          .join(hashes.select(col("doc_id").as("b"), col("w0").as("w0b"),
+            col("w1").as("w1b")), "b")
+        val ham = pairs.select(
+          (bit_count(col("w0a").bitwiseXOR(col("w0b"))) +
+            bit_count(col("w1a").bitwiseXOR(col("w1b"))))
+            .cast("int").as("hamming"))
+        val tot = ham.agg(count(lit(1)).as("n_total"))
+        ham.groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+          .crossJoin(broadcast(tot))
+          .select(col("hamming"), col("n_pairs"),
+            round(col("n_pairs").cast("double") /
+              col("n_total").cast("double"), 6).as("share"))
+          .orderBy(col("hamming"))
+      },
+      bench = true,
+      oracle = Some("""
+        WITH h AS (
+          SELECT doc_id,
+                 CAST(list_sum(list_transform(generate_series(0, 31),
+                   j -> CASE WHEN
+                     ord(substr(text, CAST((j // 8) * 9 + (j % 8) + 1
+                       AS INT), 1)) >
+                     ord(substr(text, CAST((j // 8) * 9 + (j % 8) + 2
+                       AS INT), 1))
+                     THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END))
+                   AS BIGINT) AS w0,
+                 CAST(list_sum(list_transform(generate_series(32, 63),
+                   j -> CASE WHEN
+                     ord(substr(text, CAST((j // 8) * 9 + (j % 8) + 1
+                       AS INT), 1)) >
+                     ord(substr(text, CAST((j // 8) * 9 + (j % 8) + 2
+                       AS INT), 1))
+                     THEN CAST(pow(2.0, j - 32) AS BIGINT) ELSE 0 END))
+                   AS BIGINT) AS w1
+          FROM documents WHERE length(text) >= 72),
+        pairs AS (
+          SELECT a.w0 AS w0a, a.w1 AS w1a, b.w0 AS w0b, b.w1 AS w1b
+          FROM h a
+          JOIN LATERAL (SELECT unnest(generate_series(1, 2)) AS d) d
+            ON true
+          JOIN h b ON b.doc_id = a.doc_id + d.d),
+        ham AS (
+          SELECT CAST(bit_count(xor(w0a, w0b))
+                    + bit_count(xor(w1a, w1b)) AS INT) AS hamming
+          FROM pairs),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM ham)
+        SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+               round(CAST(count(*) AS DOUBLE)
+                 / CAST(max(n_total) AS DOUBLE), 6) AS share
+        FROM ham CROSS JOIN tot
+        GROUP BY hamming
+        ORDER BY hamming""")),
+
     "m9_patch_dedup" -> Q(
       fn = (s, dir) => {
         val patches = MultimodalOps.patchify(
