@@ -2936,6 +2936,131 @@ object SimilarityQueries extends QueryModule {
         FROM pos JOIN neg USING (aid)
         ORDER BY anchor""")),
 
+    // V48 — kNN LABEL-CONSISTENCY (label-noise detector): for each
+    // probe vector, the share of its k=5 nearest neighbors (cosine)
+    // that carry the SAME label — the standard confident-learning
+    // signal for mislabeled samples (a probe whose neighborhood
+    // disagrees with its tag is a relabel/review candidate). Probes
+    // broadcast; one corpus pass scores, the per-probe k-cut is a
+    // rank window WindowGroupLimit trims map-side; the share is one
+    // integer division. flagged = consistency < 0.5 makes the review
+    // queue itself a hash-checked output.
+    "v48_knn_label_consistency" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val probes = broadcast(emb.filter(col("vec_id") < 60)
+          .select(col("vec_id").as("pid"), col("label").as("plbl"),
+            col("embedding").as("pvec")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("pid"))
+          .orderBy(col("sim").desc, col("cid").asc)
+        emb.join(probes, col("vec_id") =!= col("pid"))
+          .select(col("pid"), col("plbl"),
+            col("vec_id").as("cid"), col("label").as("clbl"),
+            SimilarityOps.cosine(col("embedding"), col("pvec"))
+              .as("sim"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .groupBy(col("pid"), col("plbl"))
+          .agg(sum(when(col("clbl") === col("plbl"), 1L).otherwise(0L))
+            .as("n_same"))
+          .select(col("pid").as("vec_id"), col("plbl").as("label"),
+            col("n_same"),
+            round(col("n_same").cast("double") / 5.0, 6)
+              .as("consistency"),
+            (col("n_same") < 3).as("flagged"))
+          .orderBy(col("vec_id"))
+      },
+      bench = true,
+      oracle = Some(s"""
+        WITH p AS (
+          SELECT vec_id AS pid, label AS plbl, embedding AS pvec
+          FROM embeddings WHERE vec_id < 60),
+        c AS (
+          SELECT p.pid, p.plbl, e.vec_id AS cid, e.label AS clbl,
+                 ${cosineSql("e.embedding", "p.pvec")} AS sim
+          FROM p JOIN embeddings e ON e.vec_id <> p.pid),
+        k AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY pid
+                        ORDER BY sim DESC, cid) AS rn
+            FROM c)
+          WHERE rn <= 5)
+        SELECT pid AS vec_id, plbl AS label,
+               CAST(sum(CASE WHEN clbl = plbl THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_same,
+               round(CAST(sum(CASE WHEN clbl = plbl THEN 1 ELSE 0 END)
+                 AS DOUBLE) / 5.0, 6) AS consistency,
+               sum(CASE WHEN clbl = plbl THEN 1 ELSE 0 END) < 3
+                 AS flagged
+        FROM k GROUP BY 1, 2
+        ORDER BY vec_id""")),
+
+    // V47 — HARD-NEGATIVE MINING: for each anchor, the single
+    // highest-cosine DIFFERENT-label vector — the negative that
+    // actually teaches a contrastive model something (v46's hash-drawn
+    // negative is easy by construction; the hard one sits right at the
+    // decision boundary). Also emits the hardness gap vs the anchor's
+    // best same-label positive, so "how confusable is this class" is
+    // a hash-checked output. Shape: anchors broadcast, one corpus
+    // pass scores candidates, per-(anchor, side) top-1 is a rank-1
+    // window WindowGroupLimit cuts map-side — no vectors shuffle.
+    "v47_hard_negatives" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val anchors = broadcast(emb.filter(col("vec_id") < 40)
+          .select(col("vec_id").as("aid"), col("label").as("albl"),
+            col("embedding").as("avec")))
+        val scored = emb.join(anchors, col("vec_id") =!= col("aid"))
+          .select(col("aid"),
+            col("vec_id").as("cid"),
+            (col("label") === col("albl")).as("is_pos"),
+            SimilarityOps.cosine(col("embedding"), col("avec"))
+              .as("sim"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("aid"), col("is_pos"))
+          .orderBy(col("sim").desc, col("cid").asc)
+        val top = scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+        val pos = top.filter(col("is_pos"))
+          .select(col("aid"), col("cid").as("best_pos_id"),
+            col("sim").as("best_pos_sim"))
+        val neg = top.filter(!col("is_pos"))
+          .select(col("aid").as("__a2"), col("cid").as("hard_neg_id"),
+            col("sim").as("hard_neg_sim"))
+        pos.join(neg, col("aid") === col("__a2"))
+          .select(col("aid").as("anchor"), col("best_pos_id"),
+            col("hard_neg_id"), col("best_pos_sim"),
+            col("hard_neg_sim"),
+            round(col("best_pos_sim") - col("hard_neg_sim"), 6)
+              .as("hardness_gap"))
+          .orderBy(col("anchor"))
+      },
+      bench = true,
+      oracle = Some(s"""
+        WITH a AS (
+          SELECT vec_id AS aid, label AS albl, embedding AS avec
+          FROM embeddings WHERE vec_id < 40),
+        c AS (
+          SELECT a.aid, e.vec_id AS cid, e.label = a.albl AS is_pos,
+                 ${cosineSql("e.embedding", "a.avec")} AS sim
+          FROM a JOIN embeddings e ON e.vec_id <> a.aid),
+        p AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY aid, is_pos
+                        ORDER BY sim DESC, cid) AS rn
+            FROM c)
+          WHERE rn = 1),
+        pos AS (SELECT aid, cid AS best_pos_id, sim AS best_pos_sim
+                FROM p WHERE is_pos),
+        neg AS (SELECT aid, cid AS hard_neg_id, sim AS hard_neg_sim
+                FROM p WHERE NOT is_pos)
+        SELECT pos.aid AS anchor, best_pos_id, hard_neg_id,
+               best_pos_sim, hard_neg_sim,
+               round(best_pos_sim - hard_neg_sim, 6) AS hardness_gap
+        FROM pos JOIN neg USING (aid)
+        ORDER BY anchor""")),
+
     // V44 — per-label CENTROID DRIFT between two embedding snapshots
     // (even vec_ids = old, odd = new — the parity split every
     // deterministic A/B harness here uses): per (label, snapshot, dim)

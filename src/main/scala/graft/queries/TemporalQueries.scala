@@ -1640,6 +1640,64 @@ object TemporalQueries extends QueryModule {
         SELECT relation, CAST(count(*) AS BIGINT) AS n_users
         FROM r GROUP BY 1 ORDER BY relation""")),
 
+    // A54 — SEASONAL-NAIVE FORECAST BACKTEST: forecast each day's
+    // event count by the same weekday last week (the baseline every
+    // fancier forecaster must beat), scored per event type with MAE
+    // and MAPE. The join is on exact epoch arithmetic (day − 7d
+    // micros), not lag(7) — a type with missing days must match the
+    // CALENDAR week-ago day or not score at all, and the day-grain
+    // frame is calendar-sized. Errors stay BIGINT; MAE is one
+    // division; MAPE folds round-9 per-day ratios as decimals
+    // (order-free) with one final division.
+    "a54_seasonal_backtest" -> Q(
+      fn = (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+        val f = daily.select(col("event_type").as("__t"),
+          col("day").as("__d"), col("x").as("fc"))
+        daily
+          .join(f, col("__t") === col("event_type") &&
+            unix_micros(col("__d")) ===
+              unix_micros(col("day")) - lit(604800000000L))
+          .select(col("event_type"),
+            abs(col("x") - col("fc")).as("ae"),
+            round(abs(col("x") - col("fc")).cast("double") /
+              col("x").cast("double"), 9).cast("decimal(20,9)")
+              .as("ape"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days_scored"),
+            sum(col("ae")).as("sae"),
+            sum(col("ape")).as("sape"))
+          .select(col("event_type"), col("n_days_scored"),
+            round(col("sae").cast("double") /
+              col("n_days_scored").cast("double"), 6).as("mae"),
+            round(col("sape").cast("double") /
+              col("n_days_scored").cast("double"), 6).as("mape"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        j AS (
+          SELECT a.event_type,
+                 CAST(abs(a.x - f.x) AS BIGINT) AS ae,
+                 CAST(round(CAST(abs(a.x - f.x) AS DOUBLE)
+                   / CAST(a.x AS DOUBLE), 9) AS DECIMAL(20,9)) AS ape
+          FROM daily a JOIN daily f
+            ON f.event_type = a.event_type
+           AND epoch_us(f.day) = epoch_us(a.day) - 604800000000)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days_scored,
+               round(CAST(sum(ae) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS mae,
+               round(CAST(sum(ape) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS mape
+        FROM j GROUP BY 1 ORDER BY event_type""")),
+
     // J16 — INTERVAL-OVERLAP MEASURE: j15 names the Allen relation
     // between each user's click and view spans; this one MEASURES the
     // intersection — overlap micros = max(0, min(ends) − max(starts))

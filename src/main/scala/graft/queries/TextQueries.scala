@@ -4148,6 +4148,134 @@ object TextQueries extends QueryModule {
         SELECT id, label AS community FROM l3 ORDER BY id"""
       })),
 
+    // D30 — JACCARD THRESHOLD SWEEP: the survivor-count CDF over
+    // blocked pairs at thresholds 0.1..0.9 — t41 calibrates the
+    // SimHash hamming cut, this calibrates the Jaccard cut the
+    // MinHash family (d2–d4, d22's S-curve) serves against: "how many
+    // pairs would each threshold keep" as data, before committing a
+    // 100 TB dedup run to one. The pair stream mixes the id-adjacent
+    // background (near-zero J on this corpus) with deterministic
+    // TRUNCATED TWINS for every 5th doc (first 3/5 of the tokens,
+    // id-offset — the d22 injection recipe), so the sweep has real
+    // mass in the mid deciles instead of reading vacuously zero.
+    // Pair Jaccards compute once (the d28 shapes — hash-only
+    // shuffles, blocked pairs); the sweep itself is a 9×11-row grid
+    // join over the decile histogram, nothing pair-sized re-scans.
+    "d30_jaccard_sweep" -> Q(
+      fn = (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val twins = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            array_join(expr(
+              "slice(split(text, ' '), 1, " +
+                "greatest(cast(floor(size(split(text, ' ')) * 3 / 5) " +
+                "as int), 3))"), " ").as("text"))
+        val corpus = docs.select(col("doc_id"), col("text"))
+          .unionByName(twins)
+        val sets = corpus.select(col("doc_id"),
+          explode(TextOps.shingles(TextOps.tokens(col("text")), 3))
+            .as("sh"))
+          .select(col("doc_id"), md5(col("sh")).as("h"))
+          .distinct()
+        val sz = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val adj = docs
+          .select(col("doc_id").as("a"),
+            explode(sequence(lit(1), lit(2))).as("d"))
+          .select(col("a"), (col("a") + col("d")).as("b"))
+        val twinPairs = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select(col("doc_id").as("a"),
+            (col("doc_id") + lit(1000000L)).as("b"))
+        val pairs = adj.unionByName(twinPairs)
+          .join(sz.select(col("doc_id").as("a"), col("sz").as("sza")),
+            "a")
+          .join(sz.select(col("doc_id").as("b"), col("sz").as("szb")),
+            "b")
+        val inter = pairs
+          .join(sets.select(col("doc_id").as("a"), col("h")), "a")
+          .join(sets.select(col("doc_id").as("b"), col("h").as("h2")),
+            "b")
+          .filter(col("h") === col("h2"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("i"))
+        val jacc = pairs.join(inter, Seq("a", "b"), "left")
+          .select(round(coalesce(col("i"), lit(0L)).cast("double") /
+            (col("sza") + col("szb") - coalesce(col("i"), lit(0L)))
+              .cast("double"), 6).as("j"))
+        val hist = jacc
+          .groupBy(floor(col("j") * 10).cast("long").as("b"))
+          .agg(count(lit(1)).as("c"))
+        val tot = jacc.agg(count(lit(1)).as("n_total"))
+        val grid = t(s, dir, "documents").limit(1)
+          .select(explode(sequence(lit(1), lit(9))).as("t"))
+        grid.join(hist, col("b") >= col("t"), "left")
+          .groupBy(col("t"))
+          .agg(sum(coalesce(col("c"), lit(0L))).as("n_above"))
+          .crossJoin(broadcast(tot))
+          .select(round(col("t").cast("double") / 10.0, 1)
+            .as("threshold"),
+            col("n_above"),
+            round(col("n_above").cast("double") /
+              col("n_total").cast("double"), 6).as("survivor_share"))
+          .orderBy(col("threshold"))
+      },
+      bench = true,
+      oracle = Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id,
+                 array_to_string((string_split(text, ' '))[1:greatest(
+                   CAST(floor(len(string_split(text, ' ')) * 3 / 5)
+                     AS INT), 3)], ' ') AS text
+          FROM documents WHERE doc_id % 5 = 0),
+        sets AS (
+          SELECT DISTINCT doc_id, md5(sh) AS h FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     generate_series(1, len(string_split(text, ' ')) - 2),
+                     i -> array_to_string(
+                       (string_split(text, ' '))[i:i+2], ' '))) AS sh
+            FROM corpus)),
+        sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+               FROM sets GROUP BY 1),
+        pairs AS (
+          SELECT a.doc_id AS a, a.doc_id + d.d AS b
+          FROM documents a,
+               LATERAL (SELECT unnest(generate_series(1, 2)) AS d) d
+          UNION ALL
+          SELECT doc_id AS a, doc_id + 1000000 AS b
+          FROM documents WHERE doc_id % 5 = 0),
+        pz AS (
+          SELECT p.a, p.b, za.sz AS sza, zb.sz AS szb
+          FROM pairs p
+          JOIN sz za ON za.doc_id = p.a
+          JOIN sz zb ON zb.doc_id = p.b),
+        i AS (
+          SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS i
+          FROM pairs p
+          JOIN sets x ON x.doc_id = p.a
+          JOIN sets y ON y.doc_id = p.b AND y.h = x.h
+          GROUP BY 1, 2),
+        j AS (
+          SELECT round(CAST(coalesce(i.i, 0) AS DOUBLE)
+                   / CAST(p.sza + p.szb - coalesce(i.i, 0) AS DOUBLE), 6)
+                   AS j
+          FROM pz p LEFT JOIN i ON i.a = p.a AND i.b = p.b),
+        hist AS (
+          SELECT CAST(floor(j * 10) AS BIGINT) AS b,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM j GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM j),
+        grid AS (SELECT unnest(generate_series(1, 9)) AS t)
+        SELECT round(CAST(g.t AS DOUBLE) / 10.0, 1) AS threshold,
+               CAST(sum(coalesce(h.c, 0)) AS BIGINT) AS n_above,
+               round(CAST(sum(coalesce(h.c, 0)) AS DOUBLE)
+                 / CAST(max(tot.n_total) AS DOUBLE), 6)
+                 AS survivor_share
+        FROM grid g LEFT JOIN hist h ON h.b >= g.t CROSS JOIN tot
+        GROUP BY g.t
+        ORDER BY threshold""")),
+
     // D28 — pairwise CONTAINMENT over blocked candidate pairs: for
     // id-adjacent pairs (the d11 blocking shape), |A∩B| over distinct
     // trigram-shingle sets and BOTH asymmetric containments
