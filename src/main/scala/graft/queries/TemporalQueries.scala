@@ -1640,6 +1640,89 @@ object TemporalQueries extends QueryModule {
         SELECT relation, CAST(count(*) AS BIGINT) AS n_users
         FROM r GROUP BY 1 ORDER BY relation""")),
 
+    // C27 — DAILY DISTRIBUTION-DRIFT TRAJECTORY: KL(day's event-type
+    // mix ‖ corpus mix) per day with +1 Laplace smoothing — c5
+    // measures drift between two static slices; this emits the curve
+    // an ingest monitor actually alarms on (the day a source changed
+    // its mix shows as a spike). The full day×type grid is built
+    // explicitly (a missing type on a day must contribute its
+    // smoothed term, not silently drop); each term's ratio assembles
+    // as ONE division from BIGINT products before ln (the c13/c24
+    // discipline), terms round-12 and fold as decimals per day.
+    // Day-grain frames only; the corpus-scale work is one
+    // (day, type) groupBy.
+    "c27_daily_drift" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(date_trunc("day", col("ts")).as("day"),
+            col("event_type"))
+        val daily = ev.groupBy(col("day"), col("event_type"))
+          .agg(count(lit(1)).as("c"))
+        val days = ev.groupBy(col("day")).agg(count(lit(1)).as("nd"))
+        val types = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("ct"))
+        val tot = ev.agg(count(lit(1)).as("n"),
+          countDistinct(col("event_type")).as("k"))
+        val grid = days.crossJoin(broadcast(types))
+          .join(daily, Seq("day", "event_type"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("day"), col("nd"),
+            (coalesce(col("c"), lit(0L)) + 1).as("c1"),
+            (col("nd") + col("k")).as("ndk"),
+            (col("ct") + 1).as("ct1"),
+            (col("n") + col("k")).as("nk"))
+        grid
+          .select(col("day"), col("nd"),
+            round((col("c1").cast("double") / col("ndk").cast("double")) *
+              log((col("c1") * col("nk")).cast("double") /
+                (col("ndk") * col("ct1")).cast("double")), 12)
+              .cast("decimal(24,12)").as("term"))
+          .groupBy(col("day"), col("nd"))
+          .agg(sum(col("term")).as("s"))
+          .select(col("day"), col("nd").as("n_events"),
+            round(col("s").cast("double"), 6).as("kl"))
+          .orderBy(col("day"))
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 event_type
+          FROM events),
+        daily AS (
+          SELECT day, event_type, CAST(count(*) AS BIGINT) AS c
+          FROM ev GROUP BY 1, 2),
+        days AS (
+          SELECT day, CAST(count(*) AS BIGINT) AS nd
+          FROM ev GROUP BY 1),
+        types AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS ct
+          FROM ev GROUP BY 1),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(DISTINCT event_type) AS BIGINT) AS k
+          FROM ev),
+        grid AS (
+          SELECT d.day, d.nd,
+                 coalesce(x.c, 0) + 1 AS c1,
+                 d.nd + t.k AS ndk,
+                 y.ct + 1 AS ct1,
+                 t.n + t.k AS nk
+          FROM days d
+          CROSS JOIN types y
+          LEFT JOIN daily x ON x.day = d.day
+                           AND x.event_type = y.event_type
+          CROSS JOIN tot t),
+        terms AS (
+          SELECT day, nd,
+                 CAST(round((CAST(c1 AS DOUBLE) / CAST(ndk AS DOUBLE))
+                   * ln(CAST(c1 * nk AS DOUBLE)
+                        / CAST(ndk * ct1 AS DOUBLE)), 12)
+                   AS DECIMAL(24,12)) AS term
+          FROM grid)
+        SELECT day, nd AS n_events,
+               round(CAST(sum(term) AS DOUBLE), 6) AS kl
+        FROM terms GROUP BY 1, 2 ORDER BY day""")),
+
     // A54 — SEASONAL-NAIVE FORECAST BACKTEST: forecast each day's
     // event count by the same weekday last week (the baseline every
     // fancier forecaster must beat), scored per event type with MAE

@@ -3972,6 +3972,61 @@ object TextQueries extends QueryModule {
         FROM s"""),
       bench = true),
 
+    // T44 — WORD DISPERSION (Church–Gale burstiness): per word, the
+    // variance/mean ratio of its per-document counts (docs where it
+    // appears at all) plus document frequency — the classic
+    // content-word vs function-word discriminator (a bursty word
+    // concentrates in few docs; a function word spreads evenly).
+    // Moments fold from BIGINT counts through the a51/a49 discipline
+    // (exact integer sums → one double chain); the corpus-scale work
+    // is one (word, doc) groupBy, everything after is
+    // vocabulary-sized.
+    "t44_word_dispersion" -> Q(
+      fn = (s, dir) => {
+        val wd = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy(col("w"), col("doc_id"))
+          .agg(count(lit(1)).as("c"))
+        wd.groupBy(col("w"))
+          .agg(count(lit(1)).as("df"),
+            sum(col("c")).as("s1"),
+            sum(col("c") * col("c")).as("s2"))
+          .filter(col("df") > 1)
+          .select(col("w").as("word"), col("df"), col("s1").as("tf"),
+            round(col("s1").cast("double") / col("df").cast("double"), 6)
+              .as("mean_per_doc"),
+            round(
+              ((col("df").cast("double") * col("s2").cast("double") -
+                col("s1").cast("double") * col("s1").cast("double")) /
+                (col("df").cast("double") *
+                  (col("df") - 1).cast("double"))) /
+                (col("s1").cast("double") / col("df").cast("double")),
+              6).as("dispersion"))
+          .orderBy(col("word"))
+      },
+      bench = true,
+      oracle = Some(s"""
+        WITH wd AS (
+          SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT doc_id, unnest($toksSql) AS w FROM documents)
+          GROUP BY 1, 2),
+        m AS (
+          SELECT w AS word, CAST(count(*) AS BIGINT) AS df,
+                 CAST(sum(c) AS BIGINT) AS s1,
+                 CAST(sum(c * c) AS BIGINT) AS s2
+          FROM wd GROUP BY 1)
+        SELECT word, df, s1 AS tf,
+               round(CAST(s1 AS DOUBLE) / CAST(df AS DOUBLE), 6)
+                 AS mean_per_doc,
+               round(((CAST(df AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 / (CAST(df AS DOUBLE) * CAST(df - 1 AS DOUBLE)))
+                 / (CAST(s1 AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+                 AS dispersion
+        FROM m WHERE df > 1
+        ORDER BY word""")),
+
     // C26 — CONTAMINATION SCORECARD by source: d10/d12/d16 flag the
     // contaminated docs; this ranks the SOURCES — per source (bench
     // docs excluded from scoring), how many docs share ≥1 trigram
