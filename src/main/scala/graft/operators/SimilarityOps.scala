@@ -1237,6 +1237,63 @@ object SimilarityOps {
       .orderBy(col("dim"))
   }
 
+  /** Per-label centroid state as a MERGEABLE SUMMARY — the sketch/OLS
+    * property applied to embedding monitoring: per (label, dim) the
+    * exact decimal element sum and count. Additive, associative,
+    * commutative, so per-partition / per-day / per-stream-batch
+    * summaries fold with [[centroidMerge]] into exactly the one-shot
+    * summary, and drift between two corpora ([[centroidDriftFrom]])
+    * never re-reads vectors — only O(labels × dims) summary rows.
+    * One posexplode + one partial-aggregable groupBy; no raw vector
+    * crosses a shuffle un-aggregated.
+    */
+  def centroidSummarize(
+      df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "__x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("__x").cast("decimal(18,6)")).as("s1"),
+        count(lit(1)).as("n"))
+
+  /** Fold centroid summaries (same schema as [[centroidSummarize]])
+    * — lossless: decimal sums add, counts add.
+    */
+  def centroidMerge(summaries: DataFrame): DataFrame =
+    summaries.groupBy(col("label"), col("dim"))
+      .agg(sum(col("s1")).as("s1"), sum(col("n")).as("n"))
+
+  /** Drift between two centroid summaries — v44's outputs (per-label
+    * L2 and mean-|Δ| between 9-dp means) computed from summary rows
+    * alone. The 9-dp mean differences cast EXACTLY to decimal(18,9)
+    * (~2 ulp from the 9-dp grid, never near a cast midpoint), so the
+    * distance folds carry no float-order dependence.
+    */
+  def centroidDriftFrom(oldSum: DataFrame, newSum: DataFrame): DataFrame = {
+    def means(s: DataFrame, m: String, n: String) =
+      s.select(col("label"), col("dim"),
+        round(col("s1").cast("double") / col("n").cast("double"), 9)
+          .as(m), col("n").as(n))
+    val o = means(oldSum, "mo", "no")
+    val nw = means(newSum, "mn", "nn")
+      .select(col("label").as("__l"), col("dim").as("__d"),
+        col("mn"), col("nn"))
+    val dd = round(col("mn") - col("mo"), 9).cast("decimal(18,9)")
+    val dims = o.join(nw,
+      col("label") === col("__l") && col("dim") === col("__d"))
+    val nOld = oldSum.groupBy(col("label"))
+      .agg((max(col("n"))).as("n_old"))
+    val nNew = newSum.groupBy(col("label"))
+      .agg((max(col("n"))).as("n_new"))
+    dims.groupBy(col("label"))
+      .agg(sum(dd * dd).as("d2"), sum(abs(dd)).as("l1"),
+        count(lit(1)).as("ndims"))
+      .join(nOld, "label").join(nNew, "label")
+      .select(col("label"), col("n_old"), col("n_new"),
+        round(sqrt(col("d2").cast("double")), 6).as("drift_l2"),
+        round(col("l1").cast("double") / col("ndims").cast("double"), 9)
+          .as("mean_abs_diff"))
+  }
+
   /** Maximal Marginal Relevance re-ranking of a per-query candidate
     * head: greedily pick argmax λ·sim − (1−λ)·max_cosine_to_selected —
     * the standard diversity pass between first-stage retrieval and

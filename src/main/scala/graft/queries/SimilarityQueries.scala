@@ -55,6 +55,43 @@ object SimilarityQueries extends QueryModule {
   private def mmrCosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)}))"
 
+  /** Shared by v44 (one-shot) and v49 (summarize→merge→drift): the
+    * hash match of v49 against the SAME oracle is the associativity
+    * proof — the a47 OLS-merge discipline applied to centroid state.
+    */
+  private val centroidDriftOracleSql = """
+        WITH x AS (
+          SELECT label, vec_id % 2 = 0 AS is_old, CAST(i - 1 AS INT) AS dim,
+                 CAST(embedding[i] AS DOUBLE) AS v
+          FROM embeddings,
+               LATERAL (SELECT unnest(generate_series(1, 64)) AS i)),
+        cent AS (
+          SELECT label, is_old, dim,
+                 round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 9) AS m
+          FROM x GROUP BY 1, 2, 3),
+        d AS (
+          SELECT o.label,
+                 CAST(round(n.m - o.m, 9) AS DECIMAL(18,9)) AS dd
+          FROM cent o JOIN cent n
+            ON n.label = o.label AND n.dim = o.dim
+           AND o.is_old AND NOT n.is_old),
+        agg AS (
+          SELECT label, sum(dd * dd) AS d2, sum(abs(dd)) AS l1
+          FROM d GROUP BY 1),
+        c AS (
+          SELECT label,
+                 CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_old,
+                 CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_new
+          FROM embeddings GROUP BY 1)
+        SELECT a.label, c.n_old, c.n_new,
+               round(sqrt(CAST(a.d2 AS DOUBLE)), 6) AS drift_l2,
+               round(CAST(a.l1 AS DOUBLE) / 64.0, 9) AS mean_abs_diff
+        FROM agg a JOIN c ON c.label = a.label
+        ORDER BY a.label"""
+
   /** v33's oracle: the MMR greedy trajectory (λ=0.6, k=5, head=20,
     * qids 0–3) as k unrolled CTE rounds — sel{r} carries the picks so
     * far, p{r} scores every remaining candidate with a correlated
@@ -2996,6 +3033,29 @@ object SimilarityQueries extends QueryModule {
         FROM k GROUP BY 1, 2
         ORDER BY vec_id""")),
 
+    // V49 — CENTROID-STATE MERGE ALGEBRA: the old/new snapshots are
+    // each summarized in TWO id-range parts, folded with
+    // centroidMerge, and drifted from summaries alone — against
+    // v44's one-shot oracle VERBATIM, so the hash match IS the
+    // associativity proof (the a47 OLS-merge discipline). This is the
+    // 100 TB shape: per-partition/per-day centroid state folds
+    // without re-reading vectors; drift answers from O(labels×dims)
+    // summary rows.
+    "v49_centroid_merge" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        def part(m: Int) = SimilarityOps.centroidSummarize(
+          emb.filter(pmod(col("vec_id"), lit(4)) === m),
+          "label", "embedding")
+        val oldSum = SimilarityOps.centroidMerge(
+          part(0).unionByName(part(2)))
+        val newSum = SimilarityOps.centroidMerge(
+          part(1).unionByName(part(3)))
+        SimilarityOps.centroidDriftFrom(oldSum, newSum)
+          .orderBy(col("label"))
+      },
+      oracle = Some(centroidDriftOracleSql)),
+
     // V47 — HARD-NEGATIVE MINING: for each anchor, the single
     // highest-cosine DIFFERENT-label vector — the negative that
     // actually teaches a contrastive model something (v46's hash-drawn
@@ -3112,37 +3172,6 @@ object SimilarityQueries extends QueryModule {
           .orderBy(col("label"))
       },
       bench = true,
-      oracle = Some("""
-        WITH x AS (
-          SELECT label, vec_id % 2 = 0 AS is_old, CAST(i - 1 AS INT) AS dim,
-                 CAST(embedding[i] AS DOUBLE) AS v
-          FROM embeddings,
-               LATERAL (SELECT unnest(generate_series(1, 64)) AS i)),
-        cent AS (
-          SELECT label, is_old, dim,
-                 round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
-                   / CAST(count(*) AS DOUBLE), 9) AS m
-          FROM x GROUP BY 1, 2, 3),
-        d AS (
-          SELECT o.label,
-                 CAST(round(n.m - o.m, 9) AS DECIMAL(18,9)) AS dd
-          FROM cent o JOIN cent n
-            ON n.label = o.label AND n.dim = o.dim
-           AND o.is_old AND NOT n.is_old),
-        agg AS (
-          SELECT label, sum(dd * dd) AS d2, sum(abs(dd)) AS l1
-          FROM d GROUP BY 1),
-        c AS (
-          SELECT label,
-                 CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
-                   AS BIGINT) AS n_old,
-                 CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
-                   AS BIGINT) AS n_new
-          FROM embeddings GROUP BY 1)
-        SELECT a.label, c.n_old, c.n_new,
-               round(sqrt(CAST(a.d2 AS DOUBLE)), 6) AS drift_l2,
-               round(CAST(a.l1 AS DOUBLE) / 64.0, 9) AS mean_abs_diff
-        FROM agg a JOIN c ON c.label = a.label
-        ORDER BY a.label"""))
+      oracle = Some(centroidDriftOracleSql))
   )
 }

@@ -299,6 +299,37 @@ object StreamingOps {
         .parquet(s"$sketchPath/batch_id=$batchId")
     }
 
+  /** Streaming CENTROID-STATE maintenance — the embedding-monitoring
+    * twin of [[sketchIngest]]: each micro-batch writes its per-label
+    * centroid summary ([[graft.operators.SimilarityOps
+    * .centroidSummarize]], O(labels × dims) rows) into a per-batch
+    * partition; [[readCentroid]] folds them with `centroidMerge`
+    * (decimal sums add, counts add — lossless). Replay-safe the
+    * additive way (a replayed batch overwrites its own partition);
+    * drift between the streamed state and any reference summary
+    * answers from summary rows without scanning vector history.
+    */
+  def centroidIngest(
+      sketchPath: String,
+      labelCol: String,
+      vecCol: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      graft.operators.SimilarityOps
+        .centroidSummarize(batch, labelCol, vecCol)
+        .write.mode("overwrite")
+        .parquet(s"$sketchPath/batch_id=$batchId")
+    }
+
+  /** Fold the per-batch centroid partials under `sketchPath` into the
+    * whole-stream summary — identical to one summarize over every row
+    * seen so far. Same reader contract as [[readSketch]].
+    */
+  def readCentroid(
+      spark: org.apache.spark.sql.SparkSession,
+      sketchPath: String): DataFrame =
+    graft.operators.SimilarityOps.centroidMerge(
+      spark.read.parquet(sketchPath).drop("batch_id"))
+
   /** Streaming count-min maintenance — [[sketchIngest]]'s frequency
     * twin: each micro-batch writes its own (depth, bucket, cnt)
     * partial ([[graft.operators.SketchOps.cmsSketch]], O(groups·d·w)

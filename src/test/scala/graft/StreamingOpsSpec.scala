@@ -302,6 +302,51 @@ class StreamingOpsSpec extends SparkSpec {
       === sk(oneShot))
   }
 
+  test("centroidIngest: per-batch centroid summaries fold to the " +
+    "one-shot summarize, drift answers off streamed state, and a " +
+    "replayed batch overwrites its own partition") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.SimilarityOps
+    val d = tempDirFile("graft_cent_")
+    val path = d.getAbsolutePath + "/cent"
+    // deterministic 4-dim vectors over 2 labels
+    val rows = (1L to 60L).map(i =>
+      (i % 2, Seq((i % 7).toDouble, (i % 5).toDouble,
+        (i % 3).toDouble, 1.0)))
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = input.toDS().toDF("label", "vec")
+      .writeStream
+      .foreachBatch(StreamingOps.centroidIngest(path, "label", "vec"))
+      .outputMode(OutputMode.Append).start()
+    val (b1, b2) = rows.splitAt(25)
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      df.select($"label", $"dim", $"s1".cast("string"), $"n")
+        .as[(Long, Int, String, Long)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    val streamed = StreamingOps.readCentroid(spark, path)
+    val folded = sk(streamed)
+    val oneShot = SimilarityOps.centroidSummarize(
+      rows.toDF("label", "vec"), "label", "vec")
+    assert(folded === sk(oneShot), "fold == one-shot summarize")
+    // drift off the streamed state vs a shifted reference — answers
+    // from summary rows alone, no vector history scanned
+    val ref = SimilarityOps.centroidSummarize(
+      rows.map { case (l, v) => (l, v.map(_ + 1.0)) }
+        .toDF("label", "vec"), "label", "vec")
+    val drift = SimilarityOps.centroidDriftFrom(streamed, ref)
+      .select($"label", $"drift_l2").as[(Long, Double)]
+      .collect().toMap
+    // every dim shifted by exactly +1 → L2 = sqrt(4) = 2
+    assert(drift(0L) === 2.0 && drift(1L) === 2.0, drift)
+    // replaying batch 0 rewrites its own partition — fold unchanged
+    StreamingOps.centroidIngest(path, "label", "vec")(
+      b1.toDF("label", "vec"), 0L)
+    assert(sk(StreamingOps.readCentroid(spark, path)) === folded)
+  }
+
   test("cmsIngest: per-batch partials fold to the whole-stream sketch, " +
     "and cmsJoinSize answers off TWO streamed states without scanning " +
     "either history") {
