@@ -1640,6 +1640,111 @@ object TemporalQueries extends QueryModule {
         SELECT relation, CAST(count(*) AS BIGINT) AS n_users
         FROM r GROUP BY 1 ORDER BY relation""")),
 
+    // J17 — INTERPOLATING AS-OF JOIN: for each purchase, the user's
+    // 'view' value AT that instant, linearly interpolated between the
+    // bracketing view readings (prev ≤ ts, next > ts; ffill/bfill at
+    // the edges) — the sensor-fusion join j4's step-function as-of
+    // can't express. NO correlated subquery and NO range join: the
+    // union trick tags both streams, sorts once per user, and carries
+    // prev via last(ignoreNulls) ascending + next via
+    // first(ignoreNulls) over the FOLLOWING frame — one user-keyed
+    // exchange, one sort, two frame passes (PlanSpec-pinned). The
+    // lerp weight is one micros division; the chain runs on identical
+    // IEEE operands both engines, rounded once. Same-ts views sort
+    // BEFORE the purchase (src tag), so prev claims them and next
+    // never does — the boundary is deterministic, not tie-luck.
+    "j17_interp_asof" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+        val tagged = ev.filter(col("event_type").isin("view", "purchase"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            when(col("event_type") === "view", 0).otherwise(1).as("src"),
+            when(col("event_type") === "view", col("value")).as("vv"))
+        val ord = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("src"), col("event_id"))
+        val wPrev = ord.rowsBetween(Window.unboundedPreceding, 0)
+        val wNext = ord.rowsBetween(0, Window.unboundedFollowing)
+        val carried = tagged
+          .withColumn("p_ts",
+            last(when(col("src") === 0, col("ts")), ignoreNulls = true)
+              .over(wPrev))
+          .withColumn("p_v",
+            last(when(col("src") === 0, col("vv")), ignoreNulls = true)
+              .over(wPrev))
+          .withColumn("n_ts",
+            first(when(col("src") === 0, col("ts")), ignoreNulls = true)
+              .over(wNext))
+          .withColumn("n_v",
+            first(when(col("src") === 0, col("vv")), ignoreNulls = true)
+              .over(wNext))
+        val w = (unix_micros(col("ts")) - unix_micros(col("p_ts")))
+          .cast("double") /
+          (unix_micros(col("n_ts")) - unix_micros(col("p_ts")))
+            .cast("double")
+        carried.filter(col("src") === 1)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            round(
+              when(col("p_ts").isNotNull && col("n_ts").isNotNull,
+                when(col("n_ts") === col("p_ts"), col("p_v"))
+                  .otherwise(col("p_v") +
+                    (col("n_v") - col("p_v")) * w))
+                .when(col("p_ts").isNotNull, col("p_v"))
+                .otherwise(col("n_v")), 6).as("view_value_at"),
+            when(col("p_ts").isNotNull && col("n_ts").isNotNull,
+              "interp")
+              .when(col("p_ts").isNotNull, "ffill")
+              .when(col("n_ts").isNotNull, "bfill")
+              .otherwise("none").as("method"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      oracle = Some("""
+        WITH tagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS src,
+                 CASE WHEN event_type = 'view' THEN value END AS vv
+          FROM events WHERE event_type IN ('view', 'purchase')),
+        carried AS (
+          SELECT *,
+                 last_value(CASE WHEN src = 0 THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                     ORDER BY ts, src, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS p_ts,
+                 last_value(CASE WHEN src = 0 THEN vv END IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                     ORDER BY ts, src, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS p_v,
+                 first_value(CASE WHEN src = 0 THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                     ORDER BY ts, src, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS n_ts,
+                 first_value(CASE WHEN src = 0 THEN vv END IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                     ORDER BY ts, src, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS n_v
+          FROM tagged)
+        SELECT user_id, event_id, ts,
+               round(CASE
+                 WHEN p_ts IS NOT NULL AND n_ts IS NOT NULL THEN
+                   CASE WHEN n_ts = p_ts THEN p_v
+                        ELSE p_v + (n_v - p_v) *
+                          (CAST(epoch_us(ts) - epoch_us(p_ts) AS DOUBLE)
+                           / CAST(epoch_us(n_ts) - epoch_us(p_ts)
+                               AS DOUBLE))
+                   END
+                 WHEN p_ts IS NOT NULL THEN p_v
+                 ELSE n_v END, 6) AS view_value_at,
+               CASE WHEN p_ts IS NOT NULL AND n_ts IS NOT NULL
+                      THEN 'interp'
+                    WHEN p_ts IS NOT NULL THEN 'ffill'
+                    WHEN n_ts IS NOT NULL THEN 'bfill'
+                    ELSE 'none' END AS method
+        FROM carried WHERE src = 1
+        ORDER BY user_id, event_id""")),
+
     // C27 — DAILY DISTRIBUTION-DRIFT TRAJECTORY: KL(day's event-type
     // mix ‖ corpus mix) per day with +1 Laplace smoothing — c5
     // measures drift between two static slices; this emits the curve

@@ -616,6 +616,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("j17: the interpolating as-of runs the union-window shape — " +
+    "ONE user-keyed exchange feeds both frame passes, no join at all") {
+    val p = plan("j17_interp_asof")
+    val userEx = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") &&
+        l.contains("user_id")).size
+    assert(userEx === 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("d27: linkage threshold filters BEFORE the component resolve — " +
     "the CC stage sees only >=0.9 edges, never the full pair stream") {
     // the registered query ends in connectedComponents, whose bounded
