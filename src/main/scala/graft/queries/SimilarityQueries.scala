@@ -3033,6 +3033,79 @@ object SimilarityQueries extends QueryModule {
         FROM k GROUP BY 1, 2
         ORDER BY vec_id""")),
 
+    // V50 — EMBEDDING NORM OUTLIER SCREEN: per-vector L2 norm,
+    // corpus z-score, and the |z| > 3 flag — the cheapest sanity
+    // screen before an ANN build (a zero/huge-norm vector poisons
+    // cosine serving and k-means alike; v22 profiles dimensions,
+    // this profiles VECTORS). This corpus ships unit-normalized
+    // (every norm exactly 1.0 — the screen would read vacuously
+    // clean AND divide by a zero std), so the query INJECTS
+    // deterministic corruption in-engine — every 25th vector scaled
+    // by 1 + id%7, every 50th zeroed, the t36/m3 fixture discipline
+    // — and the screen must flag exactly those. Norms round to 6 dp
+    // so they cast exactly to decimal(18,6) and the corpus moments
+    // fold order-free; the z chain is the a51 all-double sequence,
+    // guarded for the all-equal std = 0 corpus. One in-row norm pass
+    // + one 1-row broadcast.
+    "v50_norm_outliers" -> Q(
+      fn = (s, dir) => {
+        val factor = when(pmod(col("vec_id"), lit(50)) === 0, lit(0.0))
+          .when(pmod(col("vec_id"), lit(25)) === 0,
+            (lit(1) + pmod(col("vec_id"), lit(7))).cast("double"))
+          .otherwise(lit(1.0))
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            round(SimilarityOps.normFold(col("embedding")) * factor, 6)
+              .as("norm"))
+        val dec = col("norm").cast("decimal(18,6)")
+        val stats = emb.agg(count(lit(1)).as("n"),
+            sum(dec).as("s1"),
+            sum((dec * dec).cast("decimal(38,12)")).as("s2"))
+          .select(col("n"),
+            (col("s1").cast("double") / col("n").cast("double"))
+              .as("mean"),
+            sqrt((col("n").cast("double") * col("s2").cast("double") -
+              col("s1").cast("double") * col("s1").cast("double")) /
+              (col("n").cast("double") *
+                (col("n") - 1).cast("double"))).as("std"))
+        emb.crossJoin(broadcast(stats))
+          .select(col("vec_id"), col("norm"),
+            when(col("std") > 0,
+              round((col("norm") - col("mean")) / col("std"), 6))
+              .otherwise(lit(0.0)).as("z"))
+          .withColumn("is_outlier", abs(col("z")) > 3.0)
+          .orderBy(col("vec_id"))
+      },
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT vec_id,
+                 round(sqrt(${dotSql("embedding", "embedding")})
+                   * (CASE WHEN vec_id % 50 = 0 THEN 0.0
+                           WHEN vec_id % 25 = 0
+                             THEN CAST(1 + vec_id % 7 AS DOUBLE)
+                           ELSE 1.0 END), 6) AS norm
+          FROM embeddings),
+        st AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(norm AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+                 CAST(sum(CAST(CAST(norm AS DECIMAL(18,6))
+                     * CAST(norm AS DECIMAL(18,6)) AS DECIMAL(38,12)))
+                   AS DOUBLE) AS s2
+          FROM e),
+        m AS (
+          SELECT n, s1 / n AS mean,
+                 sqrt((n * s2 - s1 * s1) / (n * (n - 1.0))) AS std
+          FROM st)
+        SELECT vec_id, norm,
+               CASE WHEN std > 0
+                    THEN round((norm - mean) / std, 6)
+                    ELSE 0.0 END AS z,
+               abs(CASE WHEN std > 0
+                        THEN round((norm - mean) / std, 6)
+                        ELSE 0.0 END) > 3.0 AS is_outlier
+        FROM e CROSS JOIN m
+        ORDER BY vec_id""")),
+
     // V49 — CENTROID-STATE MERGE ALGEBRA: the old/new snapshots are
     // each summarized in TWO id-range parts, folded with
     // centroidMerge, and drifted from summaries alone — against

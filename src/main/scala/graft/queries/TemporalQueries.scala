@@ -1640,6 +1640,104 @@ object TemporalQueries extends QueryModule {
         SELECT relation, CAST(count(*) AS BIGINT) AS n_users
         FROM r GROUP BY 1 ORDER BY relation""")),
 
+    // A55 — FUNNEL STEP LATENCY QUANTILES: p50/p90 of the time spent
+    // in each funnel transition (signup→first click after it, that
+    // click→first purchase after it) — a12 counts who converts, this
+    // says HOW LONG each hop takes, which is what a latency SLA or a
+    // nurture-campaign trigger is tuned against. Quantiles are exact
+    // type-1 order statistics over integer micros (the c23/a9
+    // discipline — rank = ceil(p·n) via integer-safe floor
+    // arithmetic, no interpolation midpoints by construction); the
+    // micros convert to seconds with one division each. Per-user
+    // step picks are two conditional min-joins; the quantile windows
+    // partition by transition.
+    "a55_step_latency" -> Q(
+      fn = (s, dir) => {
+        val ev = t(s, dir, "events")
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+        val cl = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("__u1"), col("ts").as("tc"))
+        val t1 = su.join(cl,
+            col("__u1") === col("user_id") && col("tc") >= col("t0"))
+          .groupBy(col("user_id"), col("t0"))
+          .agg(min(col("tc")).as("t1"))
+        val t2 = t1.join(
+            ev.filter(col("event_type") === "purchase")
+              .select(col("user_id").as("__u2"), col("ts").as("tp")),
+            col("__u2") === col("user_id") && col("tp") >= col("t1"))
+          .groupBy(col("user_id"), col("t0"), col("t1"))
+          .agg(min(col("tp")).as("t2"))
+        val lats =
+          t1.select(lit("1_signup_to_click").as("transition"),
+            col("user_id"),
+            (unix_micros(col("t1")) - unix_micros(col("t0"))).as("lat"))
+          .unionByName(
+            t2.select(lit("2_click_to_purchase").as("transition"),
+              col("user_id"),
+              (unix_micros(col("t2")) - unix_micros(col("t1")))
+                .as("lat")))
+        val wOrd = Window.partitionBy(col("transition"))
+          .orderBy(col("lat"), col("user_id"))
+        val wAll = Window.partitionBy(col("transition"))
+        val ranked = lats
+          .withColumn("rn", row_number().over(wOrd).cast("long"))
+          .withColumn("n", count(lit(1)).over(wAll))
+        def pick(p: Int) = // rank = ceil(p·n/100), integer-exact
+          min(when(col("rn") ===
+            floor(((col("n") * p + 99).cast("double")) / 100.0)
+              .cast("long"), col("lat")))
+        ranked.groupBy(col("transition"))
+          .agg(max(col("n")).as("n_users"),
+            pick(50).as("p50_us"), pick(90).as("p90_us"))
+          .select(col("transition"), col("n_users"),
+            round(col("p50_us").cast("double") / 1000000.0, 6)
+              .as("p50_s"),
+            round(col("p90_us").cast("double") / 1000000.0, 6)
+              .as("p90_s"))
+          .orderBy(col("transition"))
+      },
+      oracle = Some("""
+        WITH su AS (
+          SELECT user_id, min(ts) AS t0 FROM events
+          WHERE event_type = 'signup' GROUP BY 1),
+        t1 AS (
+          SELECT s.user_id, s.t0, min(c.ts) AS t1
+          FROM su s JOIN events c
+            ON c.user_id = s.user_id AND c.event_type = 'click'
+           AND c.ts >= s.t0
+          GROUP BY 1, 2),
+        t2 AS (
+          SELECT t1.user_id, t1.t1, min(p.ts) AS t2
+          FROM t1 JOIN events p
+            ON p.user_id = t1.user_id AND p.event_type = 'purchase'
+           AND p.ts >= t1.t1
+          GROUP BY 1, 2),
+        lats AS (
+          SELECT '1_signup_to_click' AS transition, user_id,
+                 epoch_us(t1) - epoch_us(t0) AS lat
+          FROM t1
+          UNION ALL
+          SELECT '2_click_to_purchase' AS transition, user_id,
+                 epoch_us(t2) - epoch_us(t1) AS lat
+          FROM t2),
+        ranked AS (
+          SELECT transition, lat,
+                 CAST(row_number() OVER (PARTITION BY transition
+                   ORDER BY lat, user_id) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY transition)
+                   AS BIGINT) AS n
+          FROM lats)
+        SELECT transition, max(n) AS n_users,
+               round(CAST(min(CASE WHEN rn = CAST(floor(
+                   CAST(n * 50 + 99 AS DOUBLE) / 100.0) AS BIGINT)
+                 THEN lat END) AS DOUBLE) / 1000000.0, 6) AS p50_s,
+               round(CAST(min(CASE WHEN rn = CAST(floor(
+                   CAST(n * 90 + 99 AS DOUBLE) / 100.0) AS BIGINT)
+                 THEN lat END) AS DOUBLE) / 1000000.0, 6) AS p90_s
+        FROM ranked GROUP BY transition
+        ORDER BY transition""")),
+
     // J17 — INTERPOLATING AS-OF JOIN: for each purchase, the user's
     // 'view' value AT that instant, linearly interpolated between the
     // bracketing view readings (prev ≤ ts, next > ts; ffill/bfill at

@@ -3972,6 +3972,63 @@ object TextQueries extends QueryModule {
         FROM s"""),
       bench = true),
 
+    // T45 — VOCABULARY COVERAGE CURVE: share of all token
+    // occurrences covered by the top-k most frequent types, at
+    // k ∈ {5, 10, 20, 40} — the tokenizer-budget planning number
+    // (c11 fits the Zipf exponent; this reads the curve the budget
+    // decision actually uses: "40 types cover 100%, 10 cover 27%").
+    // Frequency ranks break ties by word for engine-exact ordering;
+    // the cumulative sum runs over the vocabulary-sized frame (tiny
+    // after the corpus groupBy); each share is one division from
+    // BIGINT operands. The grid joins on min(k, vocab) so a k past
+    // the vocabulary reads the full-coverage row, not a dropped one.
+    "t45_vocab_coverage" -> Q(
+      fn = (s, dir) => {
+        val wc = t(s, dir, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val wOrd = Window.orderBy(col("c").desc, col("w").asc)
+        val cum = wc
+          .withColumn("rn", row_number().over(wOrd).cast("long"))
+          .withColumn("cum", sum(col("c")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        val tot = wc.agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("vocab"))
+        val grid = t(s, dir, "documents").limit(1)
+          .select(explode(array(lit(5L), lit(10L), lit(20L), lit(40L)))
+            .as("k"))
+        grid.crossJoin(broadcast(tot))
+          .join(cum, col("rn") === least(col("k"), col("vocab")))
+          .select(col("k"), col("vocab"), col("n_tokens"),
+            col("cum").as("covered_tokens"),
+            round(col("cum").cast("double") /
+              col("n_tokens").cast("double"), 6).as("coverage"))
+          .orderBy(col("k"))
+      },
+      oracle = Some(s"""
+        WITH wc AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT unnest($toksSql) AS w FROM documents)
+          GROUP BY 1),
+        cum AS (
+          SELECT CAST(row_number() OVER (ORDER BY c DESC, w)
+                   AS BIGINT) AS rn,
+                 CAST(sum(c) OVER (ORDER BY c DESC, w
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+          FROM wc),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+                       CAST(count(*) AS BIGINT) AS vocab
+                FROM wc),
+        grid AS (SELECT unnest([5, 10, 20, 40]) AS k)
+        SELECT CAST(g.k AS BIGINT) AS k, t.vocab, t.n_tokens,
+               c.cum AS covered_tokens,
+               round(CAST(c.cum AS DOUBLE)
+                 / CAST(t.n_tokens AS DOUBLE), 6) AS coverage
+        FROM grid g CROSS JOIN tot t
+        JOIN cum c ON c.rn = least(g.k, t.vocab)
+        ORDER BY k""")),
+
     // T44 — WORD DISPERSION (Church–Gale burstiness): per word, the
     // variance/mean ratio of its per-document counts (docs where it
     // appears at all) plus document frequency — the classic
