@@ -1640,6 +1640,73 @@ object TemporalQueries extends QueryModule {
         SELECT relation, CAST(count(*) AS BIGINT) AS n_users
         FROM r GROUP BY 1 ORDER BY relation""")),
 
+    // J18 — EVENT-SEQUENCE PATTERN MATCH (MATCH_RECOGNIZE-lite):
+    // each user's event history collapses to an ordered initial
+    // string (s/c/v/p/e by ts, event_id — the a19 deterministic
+    // listagg), and regex patterns over that string answer ordered-
+    // sequence questions a12's fixed funnel can't: signup→…→click→
+    // …→purchase in order, ≥2 CONSECUTIVE errors, repeat purchase.
+    // Patterns stay in the Java-regex ∩ RE2 subset (the t36 rule).
+    // One user-keyed groupBy builds the strings; the match pass is
+    // in-row; output is a 3-row scorecard. At 100 TB the sequence
+    // string is bounded by per-user event counts — the same growth
+    // law as any sessionization.
+    "j18_sequence_match" -> Q(
+      fn = (s, dir) => {
+        val seqs = t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(concat_ws("", transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              substring(col("event_type"), 1, 1).as("i")))),
+            x => x.getField("i"))).as("seq"))
+        val pats = Seq(
+          "s.*c.*p" -> "signup_then_click_then_purchase",
+          "ee" -> "consecutive_errors",
+          "p.*p" -> "repeat_purchase")
+        val agg = seqs.agg(
+          count(lit(1)).as("n_users"),
+          pats.zipWithIndex.map { case ((p, _), i) =>
+            sum(when(col("seq").rlike(p), 1L).otherwise(0L))
+              .as(s"m$i")
+          }: _*)
+        agg.select(explode(array(pats.zipWithIndex.map {
+            case ((p, name), i) =>
+              struct(lit(name).as("pattern"), col("n_users"),
+                col(s"m$i").as("n_matched"))
+          }: _*)).as("r"))
+          .select(col("r.pattern"), col("r.n_users"),
+            col("r.n_matched"),
+            round(col("r.n_matched").cast("double") /
+              col("r.n_users").cast("double"), 6).as("share"))
+          .orderBy(col("pattern"))
+      },
+      oracle = Some("""
+        WITH seqs AS (
+          SELECT user_id,
+                 string_agg(substr(event_type, 1, 1), ''
+                   ORDER BY ts, event_id) AS seq
+          FROM events GROUP BY 1),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(CASE WHEN regexp_matches(seq, 's.*c.*p')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS m0,
+                 CAST(sum(CASE WHEN regexp_matches(seq, 'ee')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+                 CAST(sum(CASE WHEN regexp_matches(seq, 'p.*p')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS m2
+          FROM seqs),
+        rows_ AS (
+          SELECT 'signup_then_click_then_purchase' AS pattern,
+                 n_users, m0 AS n_matched FROM m
+          UNION ALL
+          SELECT 'consecutive_errors', n_users, m1 FROM m
+          UNION ALL
+          SELECT 'repeat_purchase', n_users, m2 FROM m)
+        SELECT pattern, n_users, n_matched,
+               round(CAST(n_matched AS DOUBLE)
+                 / CAST(n_users AS DOUBLE), 6) AS share
+        FROM rows_ ORDER BY pattern""")),
+
     // A55 — FUNNEL STEP LATENCY QUANTILES: p50/p90 of the time spent
     // in each funnel transition (signup→first click after it, that
     // click→first purchase after it) — a12 counts who converts, this
