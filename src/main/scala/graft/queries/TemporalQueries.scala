@@ -1640,6 +1640,63 @@ object TemporalQueries extends QueryModule {
         SELECT relation, CAST(count(*) AS BIGINT) AS n_users
         FROM r GROUP BY 1 ORDER BY relation""")),
 
+    // J19 — BITEMPORAL AS-OF (valid time × system time): "what did
+    // we BELIEVE on S the value was AT V" — the two-axis point query
+    // s26's SCD-2 (system-time only) cannot answer, and the one that
+    // makes corrections auditable (a late-arriving fact changes the
+    // answer for old valid times only after its recorded_at). The
+    // fact stream derives deterministically from events: valid_from
+    // = ts, recorded_at = ts + (event_id mod 3) hours of ingest lag.
+    // The pick is ONE window per user after the two inequality
+    // filters — rows recorded by S, valid by V, latest valid_from
+    // wins with recorded_at then event_id as the correction
+    // tie-break (a later recording of the same valid instant
+    // supersedes). One user-keyed exchange; the filters prune before
+    // the sort.
+    "j19_bitemporal_asof" -> Q(
+      fn = (s, dir) => {
+        val v = lit("2024-01-20 00:00:00").cast("timestamp")
+        val sys = lit("2024-01-22 00:00:00").cast("timestamp")
+        val facts = t(s, dir, "events")
+          .filter(col("event_type") === "view")
+          .select(col("user_id"), col("value"),
+            col("ts").as("valid_from"),
+            timestamp_micros(unix_micros(col("ts")) +
+              pmod(col("event_id"), lit(3)) * lit(3600000000L))
+              .as("recorded_at"),
+            col("event_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("valid_from").desc, col("recorded_at").desc,
+            col("event_id").desc)
+        facts
+          .filter(col("recorded_at") <= sys && col("valid_from") <= v)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("valid_from"), col("recorded_at"),
+            round(col("value"), 6).as("value_at"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some("""
+        WITH facts AS (
+          SELECT user_id, value, ts AS valid_from,
+                 make_timestamp(epoch_us(ts)
+                   + (event_id % 3) * 3600000000) AS recorded_at,
+                 event_id
+          FROM events WHERE event_type = 'view'),
+        f AS (
+          SELECT * FROM facts
+          WHERE recorded_at <= TIMESTAMP '2024-01-22 00:00:00'
+            AND valid_from <= TIMESTAMP '2024-01-20 00:00:00'),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY valid_from DESC, recorded_at DESC,
+                            event_id DESC) AS rn
+          FROM f)
+        SELECT user_id, valid_from, recorded_at,
+               round(value, 6) AS value_at
+        FROM r WHERE rn = 1
+        ORDER BY user_id""")),
+
     // J18 — EVENT-SEQUENCE PATTERN MATCH (MATCH_RECOGNIZE-lite):
     // each user's event history collapses to an ordered initial
     // string (s/c/v/p/e by ts, event_id — the a19 deterministic
