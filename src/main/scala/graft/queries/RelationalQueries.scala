@@ -159,6 +159,57 @@ object RelationalQueries extends QueryModule {
     // of documents compacts to target-sized files behind the rename-
     // aside crash-safe swap (the stores' protocol on a bare directory);
     // contents must survive byte-equal — only the file geometry moves.
+    // S28 — ERASURE SWEEP (right-to-be-forgotten audit): one subject
+    // set (user_id ≡ 0 mod 97) swept across every table that keys on
+    // it — events by user_id, orders by o_custkey, customer by
+    // c_custkey — reporting per-table before/purged/after counts.
+    // The warehouse-scale shape of S10's single-table delete: each
+    // table pays ONE anti-join against the broadcast subject set
+    // (conditional partial-aggregated counts here, the same plan the
+    // write-side purge runs), and the audit row proves completeness
+    // per table. All BIGINT.
+    "s28_erasure_sweep" -> Q(
+      fn = (s, dir) => {
+        def sweep(df: DataFrame, key: String, table: String) =
+          df.agg(
+            count(lit(1)).as("rows_before"),
+            sum(when(pmod(col(key), lit(97)) === 0, 1L).otherwise(0L))
+              .as("rows_purged"))
+            .select(lit(table).as("table_name"), col("rows_before"),
+              col("rows_purged"),
+              (col("rows_before") - col("rows_purged")).as("rows_after"))
+        val out = sweep(
+          t(s, dir, "events").select(col("user_id")), "user_id",
+          "events")
+          .unionByName(sweep(
+            t(s, dir, "orders").select(col("o_custkey").as("user_id")),
+            "user_id", "orders"))
+          .unionByName(sweep(
+            t(s, dir, "customer").select(col("c_custkey").as("user_id")),
+            "user_id", "customer"))
+        out.orderBy(col("table_name"))
+      },
+      oracle = Some("""
+        WITH sw AS (
+          SELECT 'events' AS table_name,
+                 CAST(count(*) AS BIGINT) AS rows_before,
+                 CAST(sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS rows_purged
+          FROM events
+          UNION ALL
+          SELECT 'orders', CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0
+                   END) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'customer', CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0
+                   END) AS BIGINT)
+          FROM customer)
+        SELECT table_name, rows_before, rows_purged,
+               rows_before - rows_purged AS rows_after
+        FROM sw ORDER BY table_name""")),
+
     // S27 — PARTITION LAYOUT ADVISOR: for a proposed partition key
     // (lang, source) over the documents corpus, the numbers a 100 TB
     // layout decision actually needs — rows, bytes (payload chars as

@@ -1640,6 +1640,73 @@ object TemporalQueries extends QueryModule {
         SELECT relation, CAST(count(*) AS BIGINT) AS n_users
         FROM r GROUP BY 1 ORDER BY relation""")),
 
+    // A56 — SESSION BOUNCE RATE: sessions by the 30-minute gap rule
+    // (a7's sessionization windows), then the share that contain
+    // exactly one event plus the mean session size — the engagement
+    // headline a7's per-session rows feed. Two windows over one
+    // user-keyed sort (lag for the gap, running sum for the session
+    // id — the islands discipline), one partial-aggregable rollup;
+    // all BIGINT until two final divisions.
+    "a56_bounce_rate" -> Q(
+      fn = (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("gap_us",
+            unix_micros(col("ts")) -
+              lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("brk",
+            when(col("gap_us").isNull ||
+              col("gap_us") > lit(1800000000L), 1L).otherwise(0L))
+          .withColumn("sid",
+            sum(col("brk")).over(
+              w.rowsBetween(Window.unboundedPreceding, 0)))
+        ev.groupBy(col("user_id"), col("sid"))
+          .agg(count(lit(1)).as("n_events"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("n_events") === 1, 1L).otherwise(0L))
+              .as("n_bounce"),
+            sum(col("n_events")).as("tot_events"))
+          .select(col("n_sessions"), col("n_bounce"),
+            round(col("n_bounce").cast("double") /
+              col("n_sessions").cast("double"), 6).as("bounce_rate"),
+            round(col("tot_events").cast("double") /
+              col("n_sessions").cast("double"), 6)
+              .as("mean_session_events"))
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT user_id, ts, event_id,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM events),
+        s AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN gap_us IS NULL
+                                 OR gap_us > 1800000000
+                               THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS sid
+          FROM g),
+        sess AS (
+          SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events
+          FROM s GROUP BY 1, 2),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                 CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_bounce,
+                 CAST(sum(n_events) AS BIGINT) AS tot_events
+          FROM sess)
+        SELECT n_sessions, n_bounce,
+               round(CAST(n_bounce AS DOUBLE)
+                 / CAST(n_sessions AS DOUBLE), 6) AS bounce_rate,
+               round(CAST(tot_events AS DOUBLE)
+                 / CAST(n_sessions AS DOUBLE), 6)
+                 AS mean_session_events
+        FROM agg""")),
+
     // J19 — BITEMPORAL AS-OF (valid time × system time): "what did
     // we BELIEVE on S the value was AT V" — the two-axis point query
     // s26's SCD-2 (system-time only) cannot answer, and the one that
