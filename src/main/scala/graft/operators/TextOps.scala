@@ -918,6 +918,31 @@ object TextOps {
           greatest(k.getField("n_trigrams"), lit(1)), 6).as("dup_3gram_frac"))
   }
 
+  /** Per-document character entropy in ONE in-row pass
+    * ([[graft.expressions.EntropyKit]]) — the zero-shuffle serving
+    * form of t43's explode→groupBy construction (alphabet×docs
+    * exchange → pure projection). Same arithmetic contract as the
+    * kit's scaladoc; the explode(array(kit)) Generate barrier keeps
+    * CollapseProject from re-evaluating the pass per field read (the
+    * repetitionSignals discipline).
+    */
+  def charEntropy(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val kit = ColumnBridge.column(graft.expressions.EntropyKit(
+      ColumnBridge.expression(col(textCol))))
+    val k = col("__k")
+    docs
+      .select(col(idCol), explode(array(kit)).as("__k"))
+      .select(col(idCol),
+        k.getField("n_chars").as("n_chars"),
+        k.getField("n_distinct").as("n_distinct"),
+        k.getField("entropy").as("entropy"),
+        k.getField("entropy_norm").as("entropy_norm"))
+  }
+
   /** Explode/groupBy twin of [[repetitionSignals]] (executable spec of
     * the modal-gram semantics; shuffles — do not use at scale).
     */

@@ -75,6 +75,38 @@ object TextQueries extends QueryModule {
       |    THEN 1 ELSE -1 END)) > 0
       |  THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
 
+  /** Shared by t43 (explode→groupBy) and t46 (native one-pass kit):
+    * the hash match of both against this ONE oracle is the
+    * equivalence proof between the shuffled and in-row forms.
+    */
+  private val charEntropyOracleSql = """
+        WITH ch AS (
+          SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+          FROM documents),
+        cc AS (
+          SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+          FROM ch WHERE ch <> '' GROUP BY 1, 2),
+        n AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM cc GROUP BY 1),
+        terms AS (
+          SELECT cc.doc_id, n.n, n.k,
+                 CAST(round((CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE))
+                   * ln(CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE)), 12)
+                   AS DECIMAL(24,12)) AS term
+          FROM cc JOIN n USING (doc_id)),
+        s AS (
+          SELECT doc_id, n, k, sum(term) AS s
+          FROM terms GROUP BY 1, 2, 3)
+        SELECT doc_id, n AS n_chars, k AS n_distinct,
+               round(-CAST(s AS DOUBLE), 6) AS entropy,
+               CASE WHEN k > 1
+                    THEN round(-CAST(s AS DOUBLE)
+                           / ln(CAST(k AS DOUBLE)), 6)
+                    ELSE 0.0 END AS entropy_norm
+        FROM s ORDER BY doc_id"""
+
   private val markers = Seq(
     "en" -> Seq("the", "a"),
     "db" -> Seq("table", "row", "column"),
@@ -4186,33 +4218,22 @@ object TextQueries extends QueryModule {
           .orderBy(col("doc_id"))
       },
       bench = true,
-      oracle = Some("""
-        WITH ch AS (
-          SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
-          FROM documents),
-        cc AS (
-          SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
-          FROM ch WHERE ch <> '' GROUP BY 1, 2),
-        n AS (
-          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
-                 CAST(count(*) AS BIGINT) AS k
-          FROM cc GROUP BY 1),
-        terms AS (
-          SELECT cc.doc_id, n.n, n.k,
-                 CAST(round((CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE))
-                   * ln(CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE)), 12)
-                   AS DECIMAL(24,12)) AS term
-          FROM cc JOIN n USING (doc_id)),
-        s AS (
-          SELECT doc_id, n, k, sum(term) AS s
-          FROM terms GROUP BY 1, 2, 3)
-        SELECT doc_id, n AS n_chars, k AS n_distinct,
-               round(-CAST(s AS DOUBLE), 6) AS entropy,
-               CASE WHEN k > 1
-                    THEN round(-CAST(s AS DOUBLE)
-                           / ln(CAST(k AS DOUBLE)), 6)
-                    ELSE 0.0 END AS entropy_norm
-        FROM s ORDER BY doc_id""")),
+      oracle = Some(charEntropyOracleSql)),
+
+    // T46 — the SAME character-entropy screen as ONE in-row pass
+    // ([[graft.operators.TextOps.charEntropy]] over the native
+    // EntropyKit): zero shuffles — at 100 TB the quality screen is a
+    // projection, not an alphabet×docs exchange. Hash-matched against
+    // t43's oracle VERBATIM, which is the equivalence proof that the
+    // codegen kit computes exactly the shuffled form (the
+    // repetitionSignals discipline: same decimal term fold, same
+    // rounding, behind the Generate barrier so the pass runs once).
+    "t46_char_entropy_kit" -> Q(
+      fn = (s, dir) =>
+        TextOps.charEntropy(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      bench = true,
+      oracle = Some(charEntropyOracleSql)),
 
     // D29 — LABEL PROPAGATION communities over the MinHash candidate
     // graph (deterministic LPA: adopt the most frequent neighbor

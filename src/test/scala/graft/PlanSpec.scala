@@ -616,6 +616,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t46: the native entropy kit is a pure projection — ZERO " +
+    "exchanges before the output sort (t43's twin pays an " +
+    "alphabet-by-docs shuffle)") {
+    val p = plan("t46_char_entropy_kit")
+    val pre = p.linesIterator.takeWhile(!_.contains("Sort")).toSeq
+    assert(!pre.exists(_.contains("Exchange hashpartitioning")), p)
+    assert(p.contains("graft_entropy_kit"), p)
+  }
+
   test("j17: the interpolating as-of runs the union-window shape — " +
     "ONE user-keyed exchange feeds both frame passes, no join at all") {
     val p = plan("j17_interp_asof")

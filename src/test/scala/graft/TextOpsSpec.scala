@@ -412,6 +412,31 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("charEntropy kit: hand-computed values, uniform/degenerate " +
+    "corners, and the 12-dp decimal fold matching the shuffled form") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"),        // one class: H = 0, norm pinned 0.0
+      (2L, "ab"),          // uniform 2: H = ln 2, norm = 1.0
+      (3L, "aab"),         // 2/3, 1/3
+      (4L, "abcd")         // uniform 4: norm = 1.0
+    ).toDF("doc_id", "text")
+    val out = TextOps.charEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 4L, 1L, 0.0, 0.0)))
+    def r12(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s2 = (r12(0.5 * math.log(0.5)) * 2).toDouble
+    assert(out(2L) === ((2L, 2L, 2L, r6(-s2), r6(-s2 / math.log(2.0)))))
+    val s3 = (r12((2.0 / 3) * math.log(2.0 / 3)) +
+      r12((1.0 / 3) * math.log(1.0 / 3))).toDouble
+    assert(out(3L) === ((3L, 3L, 2L, r6(-s3), r6(-s3 / math.log(2.0)))))
+    assert(out(4L)._5 === 1.0) // uniform over 4 classes
+  }
+
   test("piiScrub: counts equal inserted tags, email digits are consumed " +
     "before the long-number pass, 12- and 20-digit runs don't match, " +
     "clean text is the exact sequential redaction") {
