@@ -463,6 +463,37 @@ class PropertySpec extends SparkSpec {
     }, samples = 15)
   }
 
+  test("EntropyKit fuzz: arbitrary unicode strings — never throws; " +
+    "0 <= H <= ln(k) + half-ulp, norm in [0,1], counts consistent, " +
+    "deterministic, permutation-invariant") {
+    import graft.expressions.EntropyKit
+    import org.apache.spark.unsafe.types.UTF8String
+    val strGen = Gen.oneOf(
+      Gen.alphaStr,
+      Gen.listOf(Gen.oneOf('a', 'b', ' ', 'é', '中', '\n'))
+        .map(_.mkString),
+      Gen.const(""),
+      Gen.const("aaaaaaa"))
+    check(Prop.forAll(strGen) { s =>
+      val row = EntropyKit.compute(UTF8String.fromString(s))
+      val (n, k) = (row.getLong(0), row.getLong(1))
+      val (h, hn) = (row.getDouble(2), row.getDouble(3))
+      val cps = s.codePoints().toArray
+      val okCounts = n == cps.length && k == cps.distinct.length
+      // bounds hold up to the 6-dp rounding half-ulp
+      val okH = h >= -5e-7 &&
+        (k <= 1 || h <= math.log(k.toDouble) + 5e-7)
+      val okNorm = hn >= -5e-7 && hn <= 1.0 + 5e-7
+      // deterministic, and invariant under character permutation
+      val again = EntropyKit.compute(UTF8String.fromString(s))
+      val perm = EntropyKit.compute(UTF8String.fromString(
+        new String(cps.reverse, 0, cps.length)))
+      okCounts && okH && okNorm &&
+        again.getDouble(2) == h && again.getDouble(3) == hn &&
+        perm.getDouble(2) == h && perm.getDouble(3) == hn
+    }, samples = 300)
+  }
+
   test("MediaCodec fuzz: arbitrary byte blobs — random, magic-prefixed, " +
     "and bit-flipped/truncated real containers — never throw; invalid " +
     "rows surface as invalid/None; pcmStats is consistent with " +
