@@ -4004,6 +4004,74 @@ object TextQueries extends QueryModule {
         FROM s"""),
       bench = true),
 
+    // T47 — PADDING-WASTE SWEEP for batch packing: if sequences
+    // batch in B equal-count LENGTH BUCKETS (each padded to its
+    // bucket max), what fraction of the compute is padding, at
+    // B ∈ {1, 2, 4, 8}? The training-batch planning number t11's
+    // packer is deployed against — B=1 reads "pad everything to
+    // global max" and the curve says what each extra bucket buys.
+    // Ranks come from globalRowNumber (distributed-exact: range
+    // partition + per-part offsets — NO corpus-sized single
+    // partition, the c23 machinery); bucket index
+    // floor((rn−1)·B/n) is pure integer arithmetic, and waste is
+    // BIGINT sums with one final division per B.
+    "t47_padding_waste" -> Q(
+      fn = (s, dir) => {
+        val lens = t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("len"))
+        val ranked = graft.operators.TimeSeriesOps.globalRowNumber(
+          lens, Seq(col("len"), col("doc_id")))
+        val tot = lens.agg(count(lit(1)).as("n"))
+        val grid = ranked.crossJoin(broadcast(tot))
+          .select(col("len"), col("rn"), col("n"),
+            explode(array(lit(1L), lit(2L), lit(4L), lit(8L)))
+              .as("n_buckets"))
+          .withColumn("bucket",
+            ((col("rn") - 1) * col("n_buckets") -
+              pmod((col("rn") - 1) * col("n_buckets"), col("n"))) /
+              col("n"))
+        val perBucket = grid
+          .groupBy(col("n_buckets"), col("bucket"))
+          .agg(count(lit(1)).as("bn"), max(col("len")).as("bmax"),
+            sum(col("len")).as("btok"))
+        perBucket
+          .groupBy(col("n_buckets"))
+          .agg(sum(col("btok")).as("total_tokens"),
+            sum(col("bn") * col("bmax")).as("padded_tokens"))
+          .select(col("n_buckets"), col("total_tokens"),
+            col("padded_tokens"),
+            round((col("padded_tokens") - col("total_tokens"))
+              .cast("double") / col("padded_tokens").cast("double"), 6)
+              .as("waste"))
+          .orderBy(col("n_buckets"))
+      },
+      oracle = Some(s"""
+        WITH lens AS (
+          SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS len
+          FROM documents),
+        ranked AS (
+          SELECT len, CAST(row_number() OVER (ORDER BY len, doc_id)
+                   AS BIGINT) AS rn
+          FROM lens),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lens),
+        grid AS (
+          SELECT r.len, b.n_buckets,
+                 ((r.rn - 1) * b.n_buckets) // t.n AS bucket
+          FROM ranked r CROSS JOIN tot t
+          CROSS JOIN (SELECT unnest([1, 2, 4, 8]) AS n_buckets) b),
+        per AS (
+          SELECT n_buckets, bucket, CAST(count(*) AS BIGINT) AS bn,
+                 CAST(max(len) AS BIGINT) AS bmax,
+                 CAST(sum(len) AS BIGINT) AS btok
+          FROM grid GROUP BY 1, 2)
+        SELECT CAST(n_buckets AS BIGINT) AS n_buckets,
+               CAST(sum(btok) AS BIGINT) AS total_tokens,
+               CAST(sum(bn * bmax) AS BIGINT) AS padded_tokens,
+               round(CAST(sum(bn * bmax) - sum(btok) AS DOUBLE)
+                 / CAST(sum(bn * bmax) AS DOUBLE), 6) AS waste
+        FROM per GROUP BY 1 ORDER BY n_buckets""")),
+
     // T45 — VOCABULARY COVERAGE CURVE: share of all token
     // occurrences covered by the top-k most frequent types, at
     // k ∈ {5, 10, 20, 40} — the tokenizer-budget planning number
