@@ -1640,6 +1640,124 @@ object TemporalQueries extends QueryModule {
         SELECT relation, CAST(count(*) AS BIGINT) AS n_users
         FROM r GROUP BY 1 ORDER BY relation""")),
 
+    // A57 — CUPED variance reduction (Deng et al. 2013): the
+    // experimentation readout a51's raw t-test feeds into — per-user
+    // pre-period purchase value (days < Jan 16) as the covariate,
+    // post-period as the metric, θ = cov(x,y)/var(x) pooled, adjusted
+    // mean per arm = ȳ_g − θ·(x̄_g − x̄). Per-user sums fold as exact
+    // decimals; the pooled moments take the c25 discipline (doubles
+    // from exact decimals, products rounded to 12 dp and re-folded as
+    // decimals — no float-order anywhere); θ and the adjusted means
+    // are one fixed all-double chain. Also reports the variance-
+    // reduction factor 1 − var(y−θx)/var(y) — the number that says
+    // whether the covariate was worth collecting. Everything is two
+    // user-grain groupBys + O(1)-row frames.
+    "a57_cuped" -> Q(
+      fn = (s, dir) => {
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        val per = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(col("ts") < cut,
+              col("value").cast("decimal(18,6)"))).as("xd"),
+            sum(when(col("ts") >= cut,
+              col("value").cast("decimal(18,6)"))).as("yd"))
+          .select(col("user_id"),
+            pmod(col("user_id"), lit(2)).as("arm"),
+            coalesce(col("xd").cast("double"), lit(0.0)).as("x"),
+            coalesce(col("yd").cast("double"), lit(0.0)).as("y"))
+        val dec12 = (c: Column) => round(c, 12).cast("decimal(28,12)")
+        val mom = per.agg(
+          count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(18,6)")).as("sx"),
+          sum(col("y").cast("decimal(18,6)")).as("sy"),
+          sum(dec12(col("x") * col("x"))).as("sxx"),
+          sum(dec12(col("x") * col("y"))).as("sxy"),
+          sum(dec12(col("y") * col("y"))).as("syy"))
+        val nD = col("n").cast("double")
+        val sxD = col("sx").cast("double")
+        val syD = col("sy").cast("double")
+        val theta = (nD * col("sxy").cast("double") - sxD * syD) /
+          (nD * col("sxx").cast("double") - sxD * sxD)
+        val varY = (nD * col("syy").cast("double") - syD * syD) /
+          (nD * (nD - 1))
+        val varAdj = varY -
+          ((nD * col("sxy").cast("double") - sxD * syD) /
+            (nD * (nD - 1))) * theta
+        val pooled = mom.select(
+          theta.as("theta"), (sxD / nD).as("mx"),
+          (lit(1.0) - varAdj / varY).as("vr"))
+        per.groupBy(col("arm"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("x").cast("decimal(18,6)")).as("gx"),
+            sum(col("y").cast("decimal(18,6)")).as("gy"))
+          .crossJoin(broadcast(pooled))
+          .select(col("arm"), col("n_users"),
+            round(col("gy").cast("double") /
+              col("n_users").cast("double"), 6).as("mean_y"),
+            round(col("gy").cast("double") /
+              col("n_users").cast("double") -
+              col("theta") *
+                (col("gx").cast("double") /
+                  col("n_users").cast("double") - col("mx")), 6)
+              .as("mean_y_cuped"),
+            round(col("theta"), 6).as("theta"),
+            round(col("vr"), 6).as("variance_reduction"))
+          .orderBy(col("arm"))
+      },
+      oracle = Some("""
+        WITH per AS (
+          SELECT user_id, user_id % 2 AS arm,
+                 coalesce(CAST(sum(CASE WHEN ts < TIMESTAMP
+                     '2024-01-16 00:00:00'
+                   THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE),
+                   0.0) AS x,
+                 coalesce(CAST(sum(CASE WHEN ts >= TIMESTAMP
+                     '2024-01-16 00:00:00'
+                   THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE),
+                   0.0) AS y
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY 1, 2),
+        mom AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(round(x * x, 12) AS DECIMAL(28,12)))
+                   AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(round(x * y, 12) AS DECIMAL(28,12)))
+                   AS DOUBLE) AS sxy,
+                 CAST(sum(CAST(round(y * y, 12) AS DECIMAL(28,12)))
+                   AS DOUBLE) AS syy
+          FROM per),
+        pooled AS (
+          SELECT (CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n AS DOUBLE) * sxx - sx * sx) AS theta,
+                 sx / CAST(n AS DOUBLE) AS mx,
+                 1.0 - ((CAST(n AS DOUBLE) * syy - sy * sy)
+                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
+                   - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+                     * ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n AS DOUBLE) * sxx - sx * sx)))
+                   / ((CAST(n AS DOUBLE) * syy - sy * sy)
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+                   AS vr
+          FROM mom),
+        g AS (
+          SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS gx,
+                 CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS gy
+          FROM per GROUP BY 1)
+        SELECT arm, n_users,
+               round(gy / n_users, 6) AS mean_y,
+               round(gy / n_users
+                 - p.theta * (gx / n_users - p.mx), 6) AS mean_y_cuped,
+               round(p.theta, 6) AS theta,
+               round(p.vr, 6) AS variance_reduction
+        FROM g CROSS JOIN pooled p
+        ORDER BY arm""")),
+
     // A56 — SESSION BOUNCE RATE: sessions by the 30-minute gap rule
     // (a7's sessionization windows), then the share that contain
     // exactly one event plus the mean session size — the engagement

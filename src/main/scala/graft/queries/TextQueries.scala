@@ -4184,6 +4184,48 @@ object TextQueries extends QueryModule {
         FROM m WHERE df > 1
         ORDER BY word""")),
 
+    // C28 — EXACT-DUP RATE BY SOURCE: share of each source's docs
+    // whose md5(text) occurs ≥2 times corpus-wide, plus how many are
+    // the cluster's FIRST copy (min doc_id — the keeper under d1's
+    // rule) vs redundant — c14 prices the global savings, this names
+    // WHICH FEEDS are recycling content. Hash-keyed shuffles only;
+    // the per-source rollup partial-aggregates.
+    "c28_dup_by_source" -> Q(
+      fn = (s, dir) => {
+        val h = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+        val clusters = h.groupBy(col("h"))
+          .agg(count(lit(1)).as("sz"), min(col("doc_id")).as("keeper"))
+        h.join(clusters, "h")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_in_dup"),
+            sum(when(col("sz") > 1 && col("doc_id") =!= col("keeper"),
+              1L).otherwise(0L)).as("n_redundant"))
+          .select(col("source"), col("n_docs"), col("n_in_dup"),
+            col("n_redundant"),
+            round(col("n_redundant").cast("double") /
+              col("n_docs").cast("double"), 6).as("redundant_rate"))
+          .orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT doc_id, source, md5(text) AS h FROM documents),
+        cl AS (
+          SELECT h, CAST(count(*) AS BIGINT) AS sz,
+                 min(doc_id) AS keeper
+          FROM h GROUP BY 1)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_in_dup,
+               CAST(sum(CASE WHEN sz > 1 AND doc_id <> keeper
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_redundant,
+               round(CAST(sum(CASE WHEN sz > 1 AND doc_id <> keeper
+                   THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS redundant_rate
+        FROM h JOIN cl USING (h)
+        GROUP BY 1 ORDER BY source""")),
+
     // C26 — CONTAMINATION SCORECARD by source: d10/d12/d16 flag the
     // contaminated docs; this ranks the SOURCES — per source (bench
     // docs excluded from scoring), how many docs share ≥1 trigram
