@@ -4391,6 +4391,130 @@ object TextQueries extends QueryModule {
         SELECT id, label AS community FROM l3 ORDER BY id"""
       })),
 
+    // D31 — LSH CANDIDATE PRECISION: d22 measures the banding
+    // config's RECALL (which true near-dups the bands surface); this
+    // measures its PRECISION — of the candidate pairs the bands
+    // generate over the twin-injected corpus (d30's fixture), what
+    // fraction are true near-dups at Jaccard ≥ 0.5? Together they
+    // price a (bands, rows) choice on both axes before a 100 TB run.
+    // Exact Jaccard computes ONLY on the candidate set (bounded by
+    // banding — the whole point), via the d28 intersection shapes;
+    // hash-only shuffles.
+    "d31_lsh_precision" -> Q(
+      fn = (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val twins = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            array_join(expr(
+              "slice(split(text, ' '), 1, " +
+                "greatest(cast(floor(size(split(text, ' ')) * 3 / 5) " +
+                "as int), 3))"), " ").as("text"))
+        val corpus = docs.select(col("doc_id"), col("text"))
+          .unionByName(twins)
+        val cand = DedupOps.minhashCandidatePairs(
+          corpus, "doc_id", "text", shingleK = 3, numPerm = 8, bands = 2)
+          .select(col("a"), col("b"))
+        val sets = corpus.select(col("doc_id"),
+          explode(TextOps.shingles(TextOps.tokens(col("text")), 3))
+            .as("sh"))
+          .select(col("doc_id"), md5(col("sh")).as("h"))
+          .distinct()
+        val sz = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val pz = cand
+          .join(sz.select(col("doc_id").as("a"), col("sz").as("sza")),
+            "a")
+          .join(sz.select(col("doc_id").as("b"), col("sz").as("szb")),
+            "b")
+        val inter = cand
+          .join(sets.select(col("doc_id").as("a"), col("h")), "a")
+          .join(sets.select(col("doc_id").as("b"), col("h").as("h2")),
+            "b")
+          .filter(col("h") === col("h2"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("i"))
+        pz.join(inter, Seq("a", "b"), "left")
+          .select(round(coalesce(col("i"), lit(0L)).cast("double") /
+            (col("sza") + col("szb") - coalesce(col("i"), lit(0L)))
+              .cast("double"), 6).as("j"))
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when(col("j") >= 0.5, 1L).otherwise(0L))
+              .as("n_true_neardup"))
+          .select(col("n_candidates"), col("n_true_neardup"),
+            round(col("n_true_neardup").cast("double") /
+              col("n_candidates").cast("double"), 6).as("precision"))
+      },
+      bench = true,
+      oracle = Some(s"""
+        WITH RECURSIVE corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id,
+                 array_to_string((string_split(text, ' '))[1:greatest(
+                   CAST(floor(len(string_split(text, ' ')) * 3 / 5)
+                     AS INT), 3)], ' ') AS text
+          FROM documents WHERE doc_id % 5 = 0),
+        hashed AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, len(th) - 2),
+                   __i -> ((th[__i] * 1000003 + th[__i+1]) % 1000000007
+                     * 1000003 + th[__i+2]) % 1000000007) AS hs
+          FROM (SELECT doc_id,
+                       list_transform(string_split(text, ' '),
+                         s -> $baseHashSql % 1000000007) AS th
+                FROM corpus)),
+        sigs AS (
+          SELECT doc_id, list_transform(generate_series(0, 7),
+            p -> list_min(list_transform(hs,
+              x -> ((p * 2 + 3) * (x % 2147483647) + (p * 7 + 1))
+                % 2147483647))) AS mh
+          FROM hashed),
+        bands AS (
+          SELECT doc_id, 0 AS band_idx,
+                 md5(array_to_string(list_transform(mh[1:4],
+                   __v -> CAST(__v AS VARCHAR)), '')) AS band_key
+          FROM sigs
+          UNION ALL
+          SELECT doc_id, 1 AS band_idx,
+                 md5(array_to_string(list_transform(mh[5:8],
+                   __v -> CAST(__v AS VARCHAR)), '')) AS band_key
+          FROM sigs),
+        cand AS (
+          SELECT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y
+            ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+          WHERE x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+        sets AS (
+          SELECT DISTINCT doc_id, md5(sh) AS h FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     generate_series(1, len(string_split(text, ' ')) - 2),
+                     i -> array_to_string(
+                       (string_split(text, ' '))[i:i+2], ' '))) AS sh
+            FROM corpus)),
+        sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+               FROM sets GROUP BY 1),
+        i AS (
+          SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS i
+          FROM cand c
+          JOIN sets x ON x.doc_id = c.a
+          JOIN sets y ON y.doc_id = c.b AND y.h = x.h
+          GROUP BY 1, 2),
+        j AS (
+          SELECT round(CAST(coalesce(i.i, 0) AS DOUBLE)
+                   / CAST(za.sz + zb.sz - coalesce(i.i, 0) AS DOUBLE),
+                   6) AS j
+          FROM cand c
+          JOIN sz za ON za.doc_id = c.a
+          JOIN sz zb ON zb.doc_id = c.b
+          LEFT JOIN i ON i.a = c.a AND i.b = c.b)
+        SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_true_neardup,
+               round(CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS precision
+        FROM j""")),
+
     // D30 — JACCARD THRESHOLD SWEEP: the survivor-count CDF over
     // blocked pairs at thresholds 0.1..0.9 — t41 calibrates the
     // SimHash hamming cut, this calibrates the Jaccard cut the
