@@ -1256,4 +1256,49 @@ object TimeSeriesOps {
         col("__off") + row_number().over(wLocal).cast("long"))
       .drop("__pid", "__off")
   }
+
+  /** DISTRIBUTED-EXACT global running sums — [[globalRowNumber]]'s
+    * prefix-sum sibling: each long column in `sumCols` gains a
+    * `<col>_cum` running total under the global `order`, with NO
+    * corpus-sized single-partition window. Same construction:
+    * range-repartition on the order (a total order consistent across
+    * partition boundaries), per-partition running sums, and a
+    * parts-sized offset frame (the only partition-less window is
+    * over per-partition TOTALS — metadata, not data) broadcast back.
+    * Equal order keys within a partition accumulate in their local
+    * row order, so pass a TIE-FREE order (append a unique id) when
+    * per-row — not per-key-group — prefixes must be reproducible.
+    */
+  def globalPrefixSum(
+      df: DataFrame,
+      order: Seq[Column],
+      sumCols: Seq[String],
+      numParts: Int = 0): DataFrame = {
+    require(order.nonEmpty, "globalPrefixSum: order columns required")
+    require(sumCols.nonEmpty, "globalPrefixSum: sum columns required")
+    val spark = df.sparkSession
+    val parts =
+      if (numParts > 0) numParts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = df
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("__pid"))
+      .agg(sumCols.head -> "sum", sumCols.tail.map(_ -> "sum"): _*)
+      .select(col("__pid") +: sumCols.map { c =>
+        coalesce(sum(col(s"sum($c)")).over(wOff), lit(0L))
+          .as(s"__off_$c")
+      }: _*)
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withCum = base
+      .join(broadcast(offsets), "__pid")
+    sumCols.foldLeft(withCum) { (acc, c) =>
+      acc.withColumn(s"${c}_cum",
+        col(s"__off_$c") + sum(col(c)).over(wLocal))
+    }.drop("__pid" +: sumCols.map(c => s"__off_$c"): _*)
+  }
 }

@@ -3927,14 +3927,17 @@ object TextQueries extends QueryModule {
         val owners = sh.select(md5(col("sh")).as("h"), col("doc_id"))
           .groupBy(col("h")).agg(min(col("doc_id")).as("d0"))
           .groupBy(col("d0")).agg(count(lit(1)).as("new_types"))
-        val wCum = Window.orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, 0)
-        val pts = perDoc
-          .join(owners, col("doc_id") === col("d0"), "left")
-          .select(col("doc_id"), col("ns"),
-            coalesce(col("new_types"), lit(0L)).as("nt"))
-          .withColumn("cn", sum(col("ns")).over(wCum))
-          .withColumn("cv", sum(col("nt")).over(wCum))
+        // distributed-exact prefix sums (globalPrefixSum — the
+        // globalRowNumber machinery): at corpus scale the V/N running
+        // totals must NOT ride a partition-less window over every doc
+        val pts = graft.operators.TimeSeriesOps.globalPrefixSum(
+            perDoc
+              .join(owners, col("doc_id") === col("d0"), "left")
+              .select(col("doc_id"), col("ns"),
+                coalesce(col("new_types"), lit(0L)).as("nt")),
+            Seq(col("doc_id")), Seq("ns", "nt"))
+          .select(col("doc_id"), col("ns_cum").as("cn"),
+            col("nt_cum").as("cv"))
           .filter(col("cn") > 0 && col("cv") > 0)
           .select(
             round(log(col("cn").cast("double")), 12).as("x"),

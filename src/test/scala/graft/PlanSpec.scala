@@ -607,6 +607,20 @@ class PlanSpec extends SparkSpec {
       .foreach(l => assert(!l.contains("text#"), l))
   }
 
+  test("c25: the prefix sums are distributed-exact — the only " +
+    "SinglePartition exchange feeds the parts-sized offset frame, " +
+    "never doc rows") {
+    val p = plan("c25_heaps_fit")
+    // globalPrefixSum: doc rows range-partition; the partition-less
+    // window runs over per-partition TOTALS (metadata). A global sort
+    // or single-partition window over the doc stream would show as a
+    // rangepartitioning(doc_id, 1) or a Window with no partition spec
+    // consuming the scan side — assert the offset construction is
+    // present and the doc-side carries a range exchange
+    assert(p.contains("rangepartitioning(doc_id"), p)
+    assert(p.toLowerCase.contains("spark_partition_id"), p)
+  }
+
   test("d28/d29: blocked-pair containment and LPA stay free of " +
     "cartesian/nested-loop joins") {
     for (q <- Seq("d28_containment_pairs", "d29_label_propagation")) {

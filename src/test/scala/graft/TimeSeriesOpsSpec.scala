@@ -756,4 +756,30 @@ class TimeSeriesOpsSpec extends SparkSpec {
       assert(got === viaWindow, s"parts=$parts")
     }
   }
+
+  test("globalPrefixSum: partition-offset running totals equal the " +
+    "global window across partition counts, two columns at once, " +
+    "negatives included") {
+    val rng = new scala.util.Random(47)
+    val rows = (0L until 300L).map(i =>
+      (i, rng.nextInt(9), rng.nextInt(100).toLong,
+        (rng.nextInt(41) - 20).toLong))
+    val df = rows.toDF("id", "k", "a", "b")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"k", $"id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val viaWindow = df
+      .withColumn("ca", sum($"a").over(w))
+      .withColumn("cb", sum($"b").over(w))
+      .select($"id", $"ca", $"cb").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    for (parts <- Seq(1, 2, 7, 32, 1000)) {
+      val got = TimeSeriesOps.globalPrefixSum(
+        df, Seq($"k", $"id"), Seq("a", "b"), numParts = parts)
+        .select($"id", $"a_cum", $"b_cum").as[(Long, Long, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got === viaWindow, s"parts=$parts")
+    }
+  }
 }
