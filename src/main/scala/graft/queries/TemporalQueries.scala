@@ -1640,6 +1640,62 @@ object TemporalQueries extends QueryModule {
         SELECT relation, CAST(count(*) AS BIGINT) AS n_users
         FROM r GROUP BY 1 ORDER BY relation""")),
 
+    // A58 — DIFFERENCE-IN-DIFFERENCES: the causal-effect baseline
+    // when assignment isn't randomized — effect = (treated post −
+    // treated pre) − (control post − control pre) over per-arm,
+    // per-period purchase means (same arms/periods as a57, so the
+    // experimentation kit reads off one fixture). One conditional
+    // partial-aggregated scan into a 4-cell frame; means are one
+    // division each from exact decimal sums, the DiD combination is
+    // a fixed double chain rounded once.
+    "a58_diff_in_diff" -> Q(
+      fn = (s, dir) => {
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        val cells = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(pmod(col("user_id"), lit(2)).as("arm"),
+            (col("ts") >= cut).as("post"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).as("s"))
+          .select(col("arm"), col("post"),
+            (col("s").cast("double") / col("n").cast("double"))
+              .as("m"))
+        def cell(a: Int, p: Boolean) =
+          min(when(col("arm") === a && col("post") === p, col("m")))
+        cells.agg(
+            cell(1, true).as("t_post"), cell(1, false).as("t_pre"),
+            cell(0, true).as("c_post"), cell(0, false).as("c_pre"))
+          .select(
+            round(col("t_pre"), 6).as("treated_pre"),
+            round(col("t_post"), 6).as("treated_post"),
+            round(col("c_pre"), 6).as("control_pre"),
+            round(col("c_post"), 6).as("control_post"),
+            round((col("t_post") - col("t_pre")) -
+              (col("c_post") - col("c_pre")), 6).as("did_effect"))
+      },
+      oracle = Some("""
+        WITH cells AS (
+          SELECT user_id % 2 AS arm,
+                 ts >= TIMESTAMP '2024-01-16 00:00:00' AS post,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS m
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY 1, 2),
+        w AS (
+          SELECT
+            min(CASE WHEN arm = 1 AND post THEN m END) AS t_post,
+            min(CASE WHEN arm = 1 AND NOT post THEN m END) AS t_pre,
+            min(CASE WHEN arm = 0 AND post THEN m END) AS c_post,
+            min(CASE WHEN arm = 0 AND NOT post THEN m END) AS c_pre
+          FROM cells)
+        SELECT round(t_pre, 6) AS treated_pre,
+               round(t_post, 6) AS treated_post,
+               round(c_pre, 6) AS control_pre,
+               round(c_post, 6) AS control_post,
+               round((t_post - t_pre) - (c_post - c_pre), 6)
+                 AS did_effect
+        FROM w""")),
+
     // A57 — CUPED variance reduction (Deng et al. 2013): the
     // experimentation readout a51's raw t-test feeds into — per-user
     // pre-period purchase value (days < Jan 16) as the covariate,

@@ -4187,6 +4187,50 @@ object TextQueries extends QueryModule {
         FROM m WHERE df > 1
         ORDER BY word""")),
 
+    // T48 — EFFECTIVE TOKEN MASS per source: total tokens vs the
+    // tokens that survive exact dedup (c28's min-id keeper rule) —
+    // "the feed claims 2M tokens but contributes 1.4M effective" is
+    // the number a mixture plan (c19) should consume instead of raw
+    // counts. One hash-cluster pass + one per-source rollup; BIGINT
+    // until the final share division.
+    "t48_effective_tokens" -> Q(
+      fn = (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("toks"),
+            md5(col("text")).as("h"))
+        val keepers = docs.groupBy(col("h"))
+          .agg(min(col("doc_id")).as("keeper"))
+        docs.join(keepers, "h")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("toks")).as("total_tokens"),
+            sum(when(col("doc_id") === col("keeper"), col("toks"))
+              .otherwise(0L)).as("effective_tokens"))
+          .select(col("source"), col("n_docs"), col("total_tokens"),
+            col("effective_tokens"),
+            round(col("effective_tokens").cast("double") /
+              col("total_tokens").cast("double"), 6)
+              .as("effective_share"))
+          .orderBy(col("source"))
+      },
+      oracle = Some(s"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(len($toksSql) AS BIGINT) AS toks,
+                 md5(text) AS h
+          FROM documents),
+        k AS (SELECT h, min(doc_id) AS keeper FROM d GROUP BY 1)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(toks) AS BIGINT) AS total_tokens,
+               CAST(sum(CASE WHEN doc_id = keeper THEN toks ELSE 0 END)
+                 AS BIGINT) AS effective_tokens,
+               round(CAST(sum(CASE WHEN doc_id = keeper THEN toks
+                   ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(toks) AS DOUBLE), 6) AS effective_share
+        FROM d JOIN k USING (h)
+        GROUP BY 1 ORDER BY source""")),
+
     // C28 — EXACT-DUP RATE BY SOURCE: share of each source's docs
     // whose md5(text) occurs ≥2 times corpus-wide, plus how many are
     // the cluster's FIRST copy (min doc_id — the keeper under d1's
