@@ -3033,6 +3033,69 @@ object SimilarityQueries extends QueryModule {
         FROM k GROUP BY 1, 2
         ORDER BY vec_id""")),
 
+    // V51 — SQ8 RECONSTRUCTION-ERROR PROFILE: per-label mean/max L2
+    // error between each vector and its dequantized SQ8 code — the
+    // STORAGE-side quality number next to v32's serving-side recall
+    // (recall says the ranking survives; this says how much geometry
+    // the 4× compression spends, per label, so a mixed-quality corpus
+    // shows WHERE quantization hurts). Per-dim squared diffs fold as
+    // the strict left fold (zip_with + aggregate — the dotNSql
+    // contract), per-vector errors round to 9 dp and cast EXACTLY to
+    // decimal(18,9) for the order-free label rollup; one division at
+    // the end. Codes derive from the same sq8Fit frame v16/v17 gate.
+    "v51_sq8_error" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val mm = SimilarityOps.sq8Fit(emb, "embedding")
+        val vhat = SimilarityOps.sq8DequantCol(
+          SimilarityOps.sq8EncodeCol(col("embedding"), mm), mm)
+        val err2 = aggregate(
+          zip_with(col("embedding").cast("array<double>"), vhat,
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)
+        val errs = emb.select(col("label"),
+          round(sqrt(err2), 9).as("err"))
+        errs.groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("err").cast("decimal(18,9)")).as("s"),
+            max(col("err")).as("mx"))
+          .select(col("label"), col("n"),
+            round(col("s").cast("double") / col("n").cast("double"), 6)
+              .as("mean_err"),
+            round(col("mx"), 6).as("max_err"))
+          .orderBy(col("label"))
+      },
+      bench = true,
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, label, i AS dim,
+                 CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+          FROM embeddings, range(1, 65) t(i)),
+        mm AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY 1),
+        d AS (
+          SELECT e.vec_id, e.label, e.dim, e.v,
+                 mm.mn + (CASE WHEN mm.mx = mm.mn THEN 0
+                          ELSE CAST(round((e.v - mm.mn) * 255.0 /
+                                 (mm.mx - mm.mn), 0) AS INT) END)
+                   * (mm.mx - mm.mn) / 255.0 AS vhat
+          FROM e JOIN mm ON e.dim = mm.dim),
+        terms AS (
+          SELECT vec_id, label,
+                 list((d.v - d.vhat) * (d.v - d.vhat)
+                   ORDER BY d.dim) AS t2
+          FROM d GROUP BY 1, 2),
+        errs AS (
+          SELECT label,
+                 round(sqrt(list_reduce(t2, (a, b) -> a + b)), 9)
+                   AS err
+          FROM terms)
+        SELECT label, CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(CAST(err AS DECIMAL(18,9))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS mean_err,
+               round(max(err), 6) AS max_err
+        FROM errs GROUP BY 1
+        ORDER BY label""")),
+
     // V50 — EMBEDDING NORM OUTLIER SCREEN: per-vector L2 norm,
     // corpus z-score, and the |z| > 3 flag — the cheapest sanity
     // screen before an ANN build (a zero/huge-norm vector poisons
