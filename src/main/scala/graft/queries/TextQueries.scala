@@ -4187,6 +4187,48 @@ object TextQueries extends QueryModule {
         FROM m WHERE df > 1
         ORDER BY word""")),
 
+    // T49 — BLOCKLIST SCREEN (the C4-style badword filter): per doc,
+    // blocklisted-token count, density, and the keep flag at the 5%
+    // threshold — with the list kept as DATA (a broadcast-ready
+    // in-plan array, not a regex) so a 100 TB run can swap lists
+    // without recompiling, and the filter stays a pure in-row
+    // higher-order function: zero shuffles, codegen size/filter.
+    // Density is one division from integer operands.
+    "t49_blocklist_filter" -> Q(
+      fn = (s, dir) => {
+        val blocklist = Seq("slow", "error", "big")
+        val toks = TextOps.tokens(col("text"))
+        val blocked = size(filter(toks,
+          t => t.isInCollection(blocklist)))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(toks).as("n_tokens"),
+            blocked.as("n_blocked"))
+          .select(col("doc_id"), col("n_tokens"), col("n_blocked"),
+            round(col("n_blocked").cast("double") /
+              greatest(col("n_tokens"), lit(1)).cast("double"), 6)
+              .as("blocked_ratio"))
+          .withColumn("keep", col("blocked_ratio") < 0.05)
+          .orderBy(col("doc_id"))
+      },
+      bench = true,
+      oracle = Some(s"""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len($toksSql) AS INT) AS n_tokens,
+                 CAST(len(list_filter($toksSql,
+                   t -> t IN ('slow', 'error', 'big'))) AS INT)
+                   AS n_blocked
+          FROM documents)
+        SELECT doc_id, n_tokens, n_blocked,
+               round(CAST(n_blocked AS DOUBLE)
+                 / CAST(greatest(n_tokens, 1) AS DOUBLE), 6)
+                 AS blocked_ratio,
+               round(CAST(n_blocked AS DOUBLE)
+                 / CAST(greatest(n_tokens, 1) AS DOUBLE), 6) < 0.05
+                 AS keep
+        FROM d ORDER BY doc_id""")),
+
     // T48 — EFFECTIVE TOKEN MASS per source: total tokens vs the
     // tokens that survive exact dedup (c28's min-id keeper rule) —
     // "the feed claims 2M tokens but contributes 1.4M effective" is
