@@ -13,6 +13,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * cap, which is what moves the unbounded verify stage (d11) from the
   * slowest query on the board into the pack WITHOUT changing a single
   * output value (the oracle stays DuckDB's own `levenshtein`).
+  * Oracle caveat: DuckDB's `levenshtein` is BYTE-level ('éclair' vs
+  * 'eclair' → 2) while this is code-point-level (→ 1, matching Spark),
+  * so DuckDB parity holds only on ASCII payloads — which the synthetic
+  * documents table is; a non-ASCII corpus needs a code-point-safe
+  * oracle encoding instead.
   *
   * Semantics match Spark's `levenshtein` exactly: distance over UNICODE
   * CODE POINTS (not UTF-16 units), null if either side is null. The

@@ -113,8 +113,11 @@ object ClassifierOps {
     val s = score.cast("double")
     val perBin = df
       .select(
-        least(floor(s * lit(bins.toDouble)).cast("int"), lit(bins - 1))
-          .as("bin"),
+        // clamp BOTH edges: a stray score < 0 would otherwise mint a
+        // negative bin id that silently enters the ECE weighting
+        greatest(
+          least(floor(s * lit(bins.toDouble)).cast("int"), lit(bins - 1)),
+          lit(0)).as("bin"),
         s.as("__s"),
         label.cast("int").cast("bigint").as("__y"))
       .groupBy(col("bin"))

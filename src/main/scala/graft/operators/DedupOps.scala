@@ -1088,6 +1088,20 @@ object DedupOps {
       idCol: String,
       textCol: String,
       w: Int): DataFrame = {
+    // the ownership key is id·2^21 + pos: a non-integral id would CAST
+    // to null (null __key/minkey nulls every __owner comparison,
+    // silently keeping/removing the wrong tokens) and a negative id
+    // inverts the global-first-occurrence order — reject statically,
+    // and ride the runtime bound into the plan like the token cap
+    df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType |
+          _: org.apache.spark.sql.types.ShortType |
+          _: org.apache.spark.sql.types.IntegerType |
+          _: org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"ExactSubstr: id column '$idCol' must be an integral type " +
+          s"(the ownership key is id*2^21+pos), got $other")
+    }
     val base = df.select(col(idCol),
       split(col(textCol), " ").as("__toks"))
       .withColumn("__n",
@@ -1095,6 +1109,10 @@ object DedupOps {
           assert_true(size(col("__toks")) < lit(SubstringDedupMaxTokens),
             lit(s"ExactSubstr: document exceeds the 2^21 token cap"))
             .cast("int"),
+          lit(0)) + coalesce(
+          assert_true(col(idCol).isNotNull && col(idCol) >= lit(0),
+            lit(s"ExactSubstr: id column '$idCol' must be non-null and " +
+              "non-negative (ownership key id*2^21+pos)")).cast("int"),
           lit(0)))
     base.filter(col("__n") >= w)
       .select(col(idCol),

@@ -420,11 +420,12 @@ object TextOps {
     * come from the same corpus), so c(w₁w₂) ≥ 1 > D and the max(·,0)
     * clamp never binds.
     *
-    * Engine-portability: both terms assemble as BIGINT-ratio doubles —
+    * Engine-portability: both terms assemble as integer-ratio doubles —
     * (dDen·c₂ − dNum)/(dDen·c₁) and (dNum·N₁₊(w₁·)·N₁₊(·w₂))/(dDen·c₁·B)
-    * — ONE division each, then one add, one ln, round 6. The BIGINT
-    * products hold to c₁·B ≈ 9·10¹⁸/dDen; a 100 TB corpus should move
-    * the second term's numerator/denominator to DECIMAL(38,0) first.
+    * — ONE division each, then one add, one ln, round 6. The second
+    * term's triple products run as DECIMAL(38,0) unconditionally (the
+    * BIGINT form wraps silently past c₁·B ≈ 9·10¹⁸/dDen); the first
+    * term's dDen·c₁ stays BIGINT — it is corpus-token bounded.
     *
     * Scale shape: identical to [[bigramLogProb]] — in-row zip_with
     * bigrams (no positional self-join), one shuffle for the bigram
@@ -457,8 +458,13 @@ object TextOps {
     val btypes = bi.agg(count(lit(1)).as("b_types"))
     val t1 = (lit(dDen.toLong) * col("c2") - lit(dNum.toLong)).cast("double") /
       (lit(dDen.toLong) * col("cw1")).cast("double")
-    val t2 = (lit(dNum.toLong) * col("n1w") * col("ncw")).cast("double") /
-      (lit(dDen.toLong) * col("cw1") * col("b_types")).cast("double")
+    // decimal(38,0) products: the BIGINT form wraps silently once
+    // dDen·c(w1)·B exceeds ~9.2e18 (non-ANSI) — exact integers cast
+    // to double either way, so values are unchanged where both fit
+    val t2 = (lit(dNum.toLong).cast("decimal(38,0)") * col("n1w") *
+        col("ncw")).cast("double") /
+      (lit(dDen.toLong).cast("decimal(38,0)") * col("cw1") *
+        col("b_types")).cast("double")
     val scored = bigrams
       .join(bi, Seq("w1", "w2"))
       .join(uni.select(col("token").as("w1"), col("c1").as("cw1")), "w1")

@@ -1165,8 +1165,11 @@ object TimeSeriesOps {
       .groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
-        sum(col("__x")).as("sx"),
-        sum(col("__y")).as("sy"),
+        // sx/sy as decimal too: a BIGINT sum of x ~1e8 s silently
+        // wraps past ~9e10 rows per key, breaking the exact-merge
+        // contract the other three moments already guard against
+        sum(dec(col("__x"))).as("sx"),
+        sum(dec(col("__y"))).as("sy"),
         sum(dec(col("__x") * col("__y"))).as("sxy"),
         sum(dec(col("__x") * col("__x"))).as("sxx"),
         sum(dec(col("__y") * col("__y"))).as("syy"))
@@ -1179,8 +1182,8 @@ object TimeSeriesOps {
     summaries.groupBy(keys.map(col): _*)
       .agg(
         sum(col("n")).cast("bigint").as("n"),
-        sum(col("sx")).cast("bigint").as("sx"),
-        sum(col("sy")).cast("bigint").as("sy"),
+        sum(col("sx")).cast("decimal(38,0)").as("sx"),
+        sum(col("sy")).cast("decimal(38,0)").as("sy"),
         sum(col("sxy")).cast("decimal(38,0)").as("sxy"),
         sum(col("sxx")).cast("decimal(38,0)").as("sxx"),
         sum(col("syy")).cast("decimal(38,0)").as("syy"))
