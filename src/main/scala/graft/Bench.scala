@@ -28,6 +28,19 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // VERDICT r14 item 6: the 274×2-query single-JVM run inflated
+      // 1.5–10× over fresh-session cost. The dominant leak is the LIVE
+      // status stores, which run even with the UI off: defaults retain
+      // 100k task records, 1k stages/jobs, and 1000 SQL executions —
+      // each SQL record holding the full plan-graph string — so ~550
+      // executions × thousands of tasks accumulate hundreds of MB of
+      // old-gen and listener-bus churn by pass2. Benchmarks don't read
+      // the UI; keep only a screenful.
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "50")
+      .config("spark.ui.retainedTasks", "500")
+      .config("spark.sql.ui.retainedExecutions", "5")
+      .config("spark.appStateStore.asyncTracking.enable", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -48,15 +61,33 @@ object Bench {
     // One untimed run absorbs JVM/codegen/scan warm-up so the first timed
     // query isn't charged for it.
     try force("q1_agg") catch { case _: Throwable => () }
+    // Between query FAMILIES (name prefix up to the first underscore's
+    // letter group: a*, c*, d*, ...), drop leaked state OUTSIDE any
+    // query's timer: clear the cache manager (a stray .cache() must not
+    // tax the next family) and give the ContextCleaner a GC to reap
+    // unreachable shuffles/broadcasts — the r14 artifact's pass2
+    // inflation signature (VERDICT item 6).
+    def familyOf(name: String): String = name.takeWhile(_.isLetter)
+    def familyHygiene(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+    }
     // A failed query must be VISIBLE: its slot reports -1, never a
     // plausible-looking elapsed time.
-    def timedPass(): Seq[(String, Double)] = names.map { name =>
-      val t0 = System.nanoTime()
-      val ok = try { force(name); true } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        false
+    def timedPass(): Seq[(String, Double)] = {
+      var family = ""
+      names.map { name =>
+        if (familyOf(name) != family) {
+          family = familyOf(name)
+          familyHygiene()
+        }
+        val t0 = System.nanoTime()
+        val ok = try { force(name); true } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val pass1 = timedPass()
     val pass2 = timedPass()

@@ -76,26 +76,49 @@ object DedupBench {
       ()
     }
     import graft.operators.DedupOps
-    val cases: Seq[(String, () => DataFrame)] = Seq(
+    val allCases: Seq[(String, () => DataFrame)] = Seq(
       "light_spans" -> (() => DedupOps.substringSpans(dupLight, "doc_id", "text", w)),
       "light_dedup" -> (() => DedupOps.substringDedup(dupLight, "doc_id", "text", w)),
       "heavy_spans" -> (() => DedupOps.substringSpans(dupHeavy, "doc_id", "text", w)),
       "heavy_dedup" -> (() => DedupOps.substringDedup(dupHeavy, "doc_id", "text", w)),
       "hot_spans" -> (() => DedupOps.substringSpans(hotBoiler, "doc_id", "text", w)),
       "hot_dedup" -> (() => DedupOps.substringDedup(hotBoiler, "doc_id", "text", w)))
+    // VERDICT r14 item 3: at mult=200 the six-case × two-pass single-JVM
+    // run died of session pressure (~13 min of accumulated shuffle state
+    // before pass2). SPARK_GRAFT_DEDUP_CASES selects a subset so
+    // scripts/dedup_spike_forked.sh can give each case its own JVM —
+    // warm numbers with cluster-honest isolation (a real deployment is
+    // one app per job anyway) — while the default stays the all-cases
+    // single-JVM shape for the lighter mults.
+    val caseFilter = sys.env.get("SPARK_GRAFT_DEDUP_CASES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val cases = caseFilter match {
+      case Some(sel) =>
+        val unknown = sel -- allCases.map(_._1).toSet
+        require(unknown.isEmpty, s"unknown dedup-bench cases: $unknown")
+        allCases.filter(c => sel(c._1))
+      case None => allCases
+    }
 
     // a18 signal on the hot fixture's shuffle key (the window hash):
-    // top-1 window-hash share of all windows
-    val hotWins = hotBoiler
-      .select(explode(expr(
-        s"transform(sequence(1, greatest(size(split(text, ' ')) - ${w - 1}, 0)), " +
-          s"i -> concat_ws(' ', slice(split(text, ' '), i, $w)))"))
-        .as("win"))
-      .select(graft.operators.TextOps.baseHash60($"win").as("h"))
-    val prof = graft.operators.SkewOps
-      .skewProfile(hotWins, Seq("h"), topK = 1)
-      .select($"share", $"skew").as[(Double, Double)].head()
-    val nDocs = dupLight.count()
+    // top-1 window-hash share of all windows. Skipped in forked
+    // single-case runs that don't touch the hot fixture — the merge
+    // script takes the fields from the hot_* runs.
+    val wantProfile = cases.exists(_._1.startsWith("hot_"))
+    val prof =
+      if (!wantProfile) (-1.0, -1.0)
+      else {
+        val hotWins = hotBoiler
+          .select(explode(expr(
+            s"transform(sequence(1, greatest(size(split(text, ' ')) - ${w - 1}, 0)), " +
+              s"i -> concat_ws(' ', slice(split(text, ' '), i, $w)))"))
+            .as("win"))
+          .select(graft.operators.TextOps.baseHash60($"win").as("h"))
+        graft.operators.SkewOps
+          .skewProfile(hotWins, Seq("h"), topK = 1)
+          .select($"share", $"skew").as[(Double, Double)].head()
+      }
+    val nDocs = if (wantProfile || caseFilter.isEmpty) dupLight.count() else -1L
 
     try force(cases.head._2()) catch { case _: Throwable => () } // warm-up
     def pass(): Seq[(String, Double)] = cases.map { case (name, mk) =>

@@ -80,6 +80,13 @@ object LevelsBench {
         LevelPipeline.processLevels(raw, stations, silo, intensity,
           bucketedAsofSeconds = Some(bucketSecs),
           naiveLevel4Frame = naiveL4)),
+      // BOTH hatches on the uniform fixture: the downside measurement
+      // for the r15 bucketed level1 (is the hatch free when not needed?)
+      "uniform_full_bucketed" -> (() =>
+        LevelPipeline.processLevels(raw, stations, silo, intensity,
+          bucketedAsofSeconds = Some(bucketSecs),
+          naiveLevel4Frame = naiveL4,
+          bucketedLevel1Seconds = Some(bucketSecs))),
       "hot_union" -> (() =>
         LevelPipeline.processLevels(hot, stations, silo, intensity,
           naiveLevel4Frame = naiveL4)),
@@ -87,7 +94,21 @@ object LevelsBench {
         LevelPipeline.processLevels(hot, stations, silo, intensity,
           bucketedAsofSeconds = Some(bucketSecs),
           naiveLevel4Frame = naiveL4)),
-      "hot_l1_dedup_only" -> (() => LevelPipeline.level1(hot)))
+      // the r15 headline: bucketed as-of AND bucketed level1 lag/dedup —
+      // what processLevels(autoSkew = true) selects at share >= 0.5
+      "hot_full_bucketed" -> (() =>
+        LevelPipeline.processLevels(hot, stations, silo, intensity,
+          bucketedAsofSeconds = Some(bucketSecs),
+          naiveLevel4Frame = naiveL4,
+          bucketedLevel1Seconds = Some(bucketSecs))),
+      // the real-world mode: profile + decide + run, all timed together
+      "hot_auto" -> (() =>
+        LevelPipeline.processLevels(hot, stations, silo, intensity,
+          naiveLevel4Frame = naiveL4, autoSkew = true,
+          autoSkewBucketSeconds = bucketSecs)),
+      "hot_l1_dedup_only" -> (() => LevelPipeline.level1(hot)),
+      "hot_l1_bucketed_only" -> (() =>
+        LevelPipeline.level1(hot, bucketSeconds = Some(bucketSecs))))
 
     // the a18 signal on the hot fixture's shuffle key
     val prof = graft.operators.SkewOps

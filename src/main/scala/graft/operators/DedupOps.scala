@@ -1109,11 +1109,19 @@ object DedupOps {
           assert_true(size(col("__toks")) < lit(SubstringDedupMaxTokens),
             lit(s"ExactSubstr: document exceeds the 2^21 token cap"))
             .cast("int"),
-          lit(0)) + coalesce(
-          assert_true(col(idCol).isNotNull && col(idCol) >= lit(0),
-            lit(s"ExactSubstr: id column '$idCol' must be non-null and " +
-              "non-negative (ownership key id*2^21+pos)")).cast("int"),
           lit(0)))
+    // the id assert rides inside __key — the very expression it protects
+    // — NOT inside __n: the hash-COUNT lineage consumes only __wh, and
+    // hanging the assert on __n would drag idCol into that subtree and
+    // break its text-only ReadSchema (the d23 PlanSpec pin). Every
+    // ownership consumer (__key/minkey) gets the validation; the
+    // count-only path prunes it away together with the key it validates.
+    // The assert is the FIRST coalesce branch, not an added term: binary
+    // arithmetic codegen short-circuits on a null left operand, so
+    // `null_id * K + assert` would skip the assert exactly on the null
+    // ids it exists to reject. assert_true passes -> null -> coalesce
+    // falls through to the real key; fails -> throws before any key is
+    // built.
     base.filter(col("__n") >= w)
       .select(col(idCol),
         explode(sequence(lit(1), col("__n") - (w - 1))).as("__pos"),
@@ -1122,7 +1130,11 @@ object DedupOps {
         TextOps.baseHash60(
           concat_ws(" ", slice(col("__toks"), col("__pos"), lit(w))))
           .as("__wh"),
-        (col(idCol).cast("long") * SubstringDedupMaxTokens.toLong +
+        (coalesce(
+          assert_true(col(idCol).isNotNull && col(idCol) >= lit(0),
+            lit(s"ExactSubstr: id column '$idCol' must be non-null and " +
+              "non-negative (ownership key id*2^21+pos)")).cast("long"),
+          col(idCol).cast("long") * SubstringDedupMaxTokens.toLong) +
           col("__pos")).as("__key"))
   }
 

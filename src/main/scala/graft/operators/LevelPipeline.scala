@@ -56,14 +56,42 @@ object LevelPipeline {
     *     [0.8, 1.2] x prev_count -> 1; else the raw flag;
     *  5. the diff-less first row of each site is skipped (`:365-369`).
     */
-  def level1(raw: DataFrame, dedupWindowSeconds: Long = 29 * 60): DataFrame = {
-    val w = Window.partitionBy(col("site_no")).orderBy(col("time"))
-    val lagged = raw
+  /** @param bucketSeconds engage the bucket-and-carry forms of the lag
+    *   and the 29-min dedup ([[TimeSeriesOps.withLagBucketed]] /
+    *   [[TimeSeriesOps.dedupWithinBucketed]]): rows shuffle on
+    *   (site_no, time bucket) instead of site_no alone, so ONE hot
+    *   site spreads over span/bucket tasks instead of serializing its
+    *   whole sequence through one sort (the measured 40-of-71.5 s
+    *   residual at mult=200 hot, SCALE.md §10 finding 2). Same values
+    *   row-for-row — the lag-before-dedup order of the reference
+    *   (`pipeline/cosmoz_process_levels.py:389-396`) is preserved;
+    *   must be >= dedupWindowSeconds.
+    */
+  def level1(
+      raw: DataFrame,
+      dedupWindowSeconds: Long = 29 * 60,
+      bucketSeconds: Option[Long] = None): DataFrame = {
+    val filtered = raw
       .filter(!(col("count").isNull && col("battery").isNull))
-      .withColumn("prev_count", lag(col("count"), 1).over(w))
-    val deduped = TimeSeriesOps.dedupWithin(
-      lagged, Seq("site_no"), "time", dedupWindowSeconds,
-      cmpCols = sensorFields)
+    val lagged = bucketSeconds match {
+      case Some(b) =>
+        TimeSeriesOps.withLagBucketed(
+          filtered, Seq("site_no"), "time", Seq("count"), b)
+          .withColumnRenamed("count_prev", "prev_count")
+      case None =>
+        val w = Window.partitionBy(col("site_no")).orderBy(col("time"))
+        filtered.withColumn("prev_count", lag(col("count"), 1).over(w))
+    }
+    val deduped = bucketSeconds match {
+      case Some(b) =>
+        TimeSeriesOps.dedupWithinBucketed(
+          lagged, Seq("site_no"), "time", dedupWindowSeconds,
+          cmpCols = sensorFields, bucketSeconds = b)
+      case None =>
+        TimeSeriesOps.dedupWithin(
+          lagged, Seq("site_no"), "time", dedupWindowSeconds,
+          cmpCols = sensorFields)
+    }
     deduped
       .filter(col("prev_count").isNotNull)
       .withColumn("flag",
@@ -279,8 +307,36 @@ object LevelPipeline {
         col("soil_moist_filtered"), col("depth_filtered"))
   }
 
+  /** The measured skew decision for one chain run: the a18 top-key
+    * share of the raw feed and the hatches it engages (SCALE.md §10:
+    * bucketed J4 wins 1.45× at share 0.60, loses-or-ties uniform —
+    * rule: engage at share >= ~0.5; the level1 bucket-and-carry rides
+    * the same signal).
+    */
+  final case class SkewPlan(
+      topShare: Double,
+      bucketedAsofSeconds: Option[Long],
+      bucketedLevel1Seconds: Option[Long])
+
+  /** Profile the raw feed's series key and decide the hatches — ONE
+    * cheap aggregation ([[SkewOps.topKeyShare]]) ahead of the chain.
+    */
+  def planSkew(
+      raw: DataFrame,
+      threshold: Double = 0.5,
+      bucketSeconds: Long = 21600L): SkewPlan = {
+    val share = SkewOps.topKeyShare(raw, Seq("site_no"))
+    if (share >= threshold)
+      SkewPlan(share, Some(bucketSeconds), Some(bucketSeconds))
+    else SkewPlan(share, None, None)
+  }
+
   /** The full raw -> level4 chain with shared inputs.
-    * `bucketedAsofSeconds` threads the j11 hatch into level2's J4.
+    * `bucketedAsofSeconds` threads the j11 hatch into level2's J4;
+    * `bucketedLevel1Seconds` the bucket-and-carry into level1.
+    * `autoSkew = true` measures the a18 top-key share instead
+    * ([[planSkew]]) and engages BOTH hatches at share >= `autoSkewThreshold`
+    * — the caller arguments are ignored in that mode.
     */
   def processLevels(
       raw: DataFrame,
@@ -288,10 +344,19 @@ object LevelPipeline {
       silo: DataFrame,
       intensity: DataFrame,
       bucketedAsofSeconds: Option[Long] = None,
-      naiveLevel4Frame: Boolean = false): DataFrame = {
-    val l1 = level1(raw)
+      naiveLevel4Frame: Boolean = false,
+      bucketedLevel1Seconds: Option[Long] = None,
+      autoSkew: Boolean = false,
+      autoSkewThreshold: Double = 0.5,
+      autoSkewBucketSeconds: Long = 21600L): DataFrame = {
+    val (asofB, l1B) =
+      if (autoSkew) {
+        val plan = planSkew(raw, autoSkewThreshold, autoSkewBucketSeconds)
+        (plan.bucketedAsofSeconds, plan.bucketedLevel1Seconds)
+      } else (bucketedAsofSeconds, bucketedLevel1Seconds)
+    val l1 = level1(raw, bucketSeconds = l1B)
     val l2 = level2(l1, stations, silo, intensity,
-      bucketedAsofSeconds = bucketedAsofSeconds)
+      bucketedAsofSeconds = asofB)
     val l3 = level3(l2, stations)
     level4(l3, naiveFrame = naiveLevel4Frame)
   }

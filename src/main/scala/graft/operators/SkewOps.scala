@@ -98,4 +98,17 @@ object SkewOps {
       .orderBy((col("n").desc +: keys.map(col(_).asc)): _*)
       .limit(topK)
   }
+
+  /** The share of rows held by the hottest key — [[skewProfile]]'s
+    * top-1 `share` as a plain Double (0.0 on an empty frame). ONE
+    * cheap aggregation (map-side-combined count per key + a 1-row
+    * global) and a 1-row collect; this is the a18 signal the measured
+    * skew-hatch decision rule reads (SCALE.md §10: engage the
+    * bucketed forms at share >= ~0.5).
+    */
+  def topKeyShare(df: DataFrame, keys: Seq[String]): Double = {
+    val top = skewProfile(df.select(keys.map(col): _*), keys, topK = 1)
+      .select(col("share")).collect()
+    if (top.isEmpty) 0.0 else top(0).getDouble(0)
+  }
 }

@@ -602,6 +602,140 @@ object TimeSeriesOps {
     cols.foldLeft(df)((d, c) => d.withColumn(s"${c}_prev", lag(col(c), 1).over(w)))
   }
 
+  /** [[withLag]] by BUCKET-AND-CARRY — the same answer with the
+    * hot-series serialization broken up. `withLag`'s window partitions
+    * on the series keys alone, so one hot series is one task sorting
+    * the whole series (the measured 40-of-71.5 s level1 residual,
+    * SCALE.md §10 finding 2). Here rows shuffle on (keys, time bucket)
+    * — a hot series spreads over span/bucketSeconds tasks — the lag
+    * resolves within each bucket, and only the FIRST row of a bucket
+    * needs cross-bucket data: the last value of the latest previous
+    * non-empty bucket, ONE carried value per (series, bucket), computed
+    * on a metadata-scale summary frame (distinct non-empty buckets per
+    * series) and joined back on the bucket key. Same grid trick as
+    * [[graft.operators.AsofStrategies.asOfLookupBucketed]] (j11).
+    *
+    * Equivalence with [[withLag]] needs (tsCol ++ tieBreak) to order
+    * rows deterministically within a series (same caveat as `withLag`
+    * itself — ties without a tie-break are nondeterministic in BOTH
+    * forms). Null series keys form their own series, exactly like the
+    * window form (the carry join is null-safe on the keys).
+    *
+    * Timestamps are assumed post-epoch (`div` truncation == floor);
+    * every fixture and the reference's feeds satisfy this.
+    */
+  def withLagBucketed(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      cols: Seq[String],
+      bucketSeconds: Long,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(bucketSeconds > 0,
+      s"withLagBucketed: bucketSeconds must be positive, got $bucketSeconds")
+    val reserved = Set("__b", "__rn") ++ cols.map(c => s"__lag_$c") ++
+      cols.map(c => s"__last_$c") ++ cols.map(c => s"__carry_$c")
+    for (c <- df.columns)
+      require(!reserved(c),
+        s"withLagBucketed reserves column $c — rename it on the input")
+    val bMicros = bucketSeconds * 1000000L
+    val withB = df.withColumn("__b", expr(s"unix_micros($tsCol) div $bMicros"))
+    val ord = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
+    val wB = Window
+      .partitionBy((keys.map(col) :+ col("__b")): _*)
+      .orderBy(ord: _*)
+    val local = cols.foldLeft(withB)((d, c) =>
+      d.withColumn(s"__lag_$c", lag(col(c), 1).over(wB)))
+      .withColumn("__rn", row_number().over(wB))
+    // one row per (series, non-empty bucket): the bucket's LAST value
+    // of each lag column under the same (ts, tieBreak) order
+    val ordStruct = struct((col(tsCol) +: tieBreak.map(col)): _*)
+    val summary = withB
+      .groupBy((keys.map(col) :+ col("__b")): _*)
+      .agg(max_by(struct(cols.map(col): _*), ordStruct).as("__last"))
+    // the carry: previous NON-EMPTY bucket's last values — a plain lag
+    // over the summary frame (metadata scale: distinct buckets/series)
+    val wS = Window.partitionBy(keys.map(col): _*).orderBy(col("__b"))
+    val carry = summary.select(
+      (keys.map(col) :+ col("__b")) ++ cols.map(c =>
+        lag(col(s"__last.$c"), 1).over(wS).as(s"__carry_$c")): _*)
+    val l = local.alias("l")
+    val r = carry.alias("r")
+    val cond = (keys.map(k => col(s"l.$k") <=> col(s"r.$k")) :+
+      (col("l.__b") <=> col("r.__b"))).reduce(_ && _)
+    l.join(r, cond)
+      .select(df.columns.map(c => col(s"l.$c")) ++ cols.map(c =>
+        // first-in-bucket takes the carry; row_number (not lag-is-null)
+        // distinguishes "no prior row" from a prior row whose VALUE is
+        // null — both are legitimate lag results
+        when(col("l.__rn") === 1, col(s"r.__carry_$c"))
+          .otherwise(col(s"l.__lag_$c")).as(s"${c}_prev")): _*)
+  }
+
+  /** [[dedupWithin]] by BUCKET-AND-CARRY — same answer, no serialized
+    * group. `dedupWithin` partitions on (keys ++ cmpCols); a series
+    * emitting IDENTICAL sensor tuples at volume (the true-duplicate
+    * flood) lands one giant group on one task. With
+    * `bucketSeconds >= windowSeconds`, a row's latest strictly-earlier
+    * equal row within the window lies either in the row's own bucket
+    * (the same strict-predecessor range frame, now per bucket) or in
+    * bucket b−1 (anything in b−2 or earlier is > bucketSeconds >=
+    * windowSeconds away — and strictly so, since a b−1-or-earlier row
+    * sits below the bucket boundary), so the cross-bucket state is ONE
+    * carried max-timestamp per (group, bucket), computed on the
+    * group×bucket summary frame and joined back null-safe.
+    */
+  def dedupWithinBucketed(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      windowSeconds: Long,
+      cmpCols: Seq[String],
+      bucketSeconds: Long,
+      markOnly: Boolean = false,
+      dupFlagCol: String = "__is_dup"): DataFrame = {
+    require(bucketSeconds >= windowSeconds,
+      s"dedupWithinBucketed: bucketSeconds ($bucketSeconds) must be >= " +
+        s"windowSeconds ($windowSeconds) so only the previous bucket " +
+        "can hold an in-window predecessor")
+    for (c <- Seq("__b", "__prior_in", "__bmax", "__prev_bmax"))
+      require(!df.columns.contains(c),
+        s"dedupWithinBucketed reserves column $c — rename it on the input")
+    val gk = keys ++ cmpCols
+    val bMicros = bucketSeconds * 1000000L
+    val tsMicros = unix_micros(col(tsCol))
+    val withB = df.withColumn("__b", expr(s"unix_micros($tsCol) div $bMicros"))
+    val wIn = Window
+      .partitionBy((gk.map(col) :+ col("__b")): _*)
+      .orderBy(tsMicros)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val local = withB.withColumn("__prior_in", max(tsMicros).over(wIn))
+    val summary = withB
+      .groupBy((gk.map(col) :+ col("__b")): _*)
+      .agg(max(tsMicros).as("__bmax"))
+    // exactly bucket b−1's max (empty bucket → null): RANGE frame
+    // [−1, −1] on the bucket id, over the metadata-scale summary
+    val wPrev = Window.partitionBy(gk.map(col): _*)
+      .orderBy(col("__b")).rangeBetween(-1, -1)
+    val carry = summary.select(
+      (gk.map(col) :+ col("__b")) :+
+        max(col("__bmax")).over(wPrev).as("__prev_bmax"): _*)
+    val l = local.alias("l")
+    val r = carry.alias("r")
+    val cond = (gk.map(k => col(s"l.$k") <=> col(s"r.$k")) :+
+      (col("l.__b") <=> col("r.__b"))).reduce(_ && _)
+    val tsL = unix_micros(col(s"l.$tsCol"))
+    // greatest skips nulls; __prev_bmax < bucket start <= ts, so the
+    // carried candidate is strictly earlier by construction
+    val latestPriorEqual = greatest(col("l.__prior_in"), col("r.__prev_bmax"))
+    val isDup = latestPriorEqual.isNotNull &&
+      latestPriorEqual >= tsL - windowSeconds * 1000000L
+    val marked = l.join(r, cond)
+      .select(df.columns.map(c => col(s"l.$c")) :+ isDup.as(dupFlagCol): _*)
+    if (markOnly) marked
+    else marked.filter(!col(dupFlagCol)).drop(dupFlagCol)
+  }
+
   /** Bucketed point-in-interval join — the non-equi time join Spark
     * otherwise executes as BroadcastNestedLoopJoin (every point against
     * every interval: O(points x intervals), the plan that dies first at

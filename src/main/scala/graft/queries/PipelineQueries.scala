@@ -204,10 +204,36 @@ object PipelineQueries extends QueryModule {
       bench = true),
 
     "pl_levels_e2e" -> Q(
-      fn = (s, dir) => {
+      fn = (s, dir) => levelsE2e(s, dir, l1Bucket = None, asofBucket = None),
+      oracle = Some(levelsOracleSql),
+      bench = true),
+
+    // PL-B — the SAME chain through BOTH measured skew hatches (bucketed
+    // level1 lag/dedup + bucketed J4 as-of, 6 h buckets — what
+    // processLevels(autoSkew = true) selects at top-key share >= 0.5):
+    // identical oracle SQL as pl_levels_e2e, so the two physical chains
+    // must hash-match through DuckDB. That is the contract that makes
+    // the auto-engaged hatch safe: the skew profile may only ever change
+    // the PLAN, never the answer.
+    "pl_levels_bucketed" -> Q(
+      fn = (s, dir) => levelsE2e(s, dir, l1Bucket = Some(21600L),
+        asofBucket = Some(21600L)),
+      oracle = Some(levelsOracleSql),
+      bench = true)
+  )
+
+  /** The full raw -> level4 chain as one verifiable frame, the two skew
+    * hatches threadable (None/None = the union+window default plan).
+    */
+  private def levelsE2e(
+      s: SparkSession,
+      dir: String,
+      l1Bucket: Option[Long],
+      asofBucket: Option[Long]): DataFrame = {
         val stations = stationsDf(s)
-        val l1 = LevelPipeline.level1(rawDf(s, dir))
-        val l2 = LevelPipeline.level2(l1, stations, siloDf(s), intensityDf(s))
+        val l1 = LevelPipeline.level1(rawDf(s, dir), bucketSeconds = l1Bucket)
+        val l2 = LevelPipeline.level2(l1, stations, siloDf(s), intensityDf(s),
+          bucketedAsofSeconds = asofBucket)
         val l3 = LevelPipeline.level3(l2, stations)
         val valid = l3.filter(col("flag") === 0)
         // the ±3h sums as DECIMAL PREFIX DIFFERENCES (two add-only
@@ -246,8 +272,10 @@ object PipelineQueries extends QueryModule {
             round(col("__dp_sum").cast("double") / col("__n"), 6)
               .as("depth_filtered"))
           .orderBy(col("site_no"), col("time"))
-      },
-      oracle = Some(s"""
+  }
+
+  /** The single DuckDB restatement both physical chains must hash-match. */
+  private lazy val levelsOracleSql: String = s"""
         WITH $rawCtesSql,
         lagged AS (
           SELECT *,
@@ -391,7 +419,5 @@ object PipelineQueries extends QueryModule {
                round(CAST(sm_sum AS DOUBLE) / n, 6) AS soil_moist_filtered,
                round(CAST(dp_sum AS DOUBLE) / n, 6) AS depth_filtered
         FROM smoothed
-        ORDER BY site_no, time"""),
-      bench = true)
-  )
+        ORDER BY site_no, time"""
 }

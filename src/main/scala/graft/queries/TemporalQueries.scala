@@ -293,6 +293,32 @@ object TemporalQueries extends QueryModule {
         ORDER BY event_id"""),
       bench = true),
 
+    // J6-B — the 29-min dedup through BUCKET-AND-CARRY (TimeSeriesOps
+    // .dedupWithinBucketed, 6 h buckets >= the 29-min window, so a row's
+    // latest strictly-earlier equal row is in its own bucket or exactly
+    // one back — ONE carried max-timestamp per (group, bucket) replaces
+    // the serialized whole-series sort when one series floods identical
+    // tuples). Same oracle SQL as j6_dedup_within: the two physical
+    // dedups must hash-match through DuckDB.
+    "j6b_dedup_bucketed" -> Q(
+      fn = (s, dir) =>
+        TimeSeriesOps
+          .dedupWithinBucketed(t(s, dir, "events"), Seq("user_id"), "ts",
+            windowSeconds = 29 * 60, cmpCols = Seq("event_type"),
+            bucketSeconds = 21600L)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+          .orderBy(col("event_id")),
+      oracle = Some("""
+        SELECT event_id, user_id, event_type, ts FROM events a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM events b
+          WHERE b.user_id = a.user_id
+            AND b.event_type = a.event_type
+            AND b.ts < a.ts
+            AND b.ts >= a.ts - INTERVAL 1740 SECOND)
+        ORDER BY event_id"""),
+      bench = true),
+
     // A1 — centered +/-3h(+1s) moving aggregate (the level4 filter,
     // pipeline/cosmoz_process_levels.py:62-77). Range frame on epoch
     // seconds; exact decimal sum + count, avg derived deterministically.
@@ -349,6 +375,33 @@ object TemporalQueries extends QueryModule {
             col("value_prev"),
             (col("value") - col("value_prev")).as("diff"))
           .orderBy(col("event_id")),
+      oracle = Some("""
+        SELECT event_id, user_id, value,
+               lag(value) OVER w AS value_prev,
+               value - lag(value) OVER w AS diff
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id""")),
+
+    // A2-B — the lag through BUCKET-AND-CARRY (TimeSeriesOps
+    // .withLagBucketed, 6 h buckets): withLag's exact semantics with the
+    // hot-series serialization broken up — rows shuffle on (series,
+    // bucket) and the first row of each bucket takes ONE carried value
+    // from the previous non-empty bucket (the j11 grid trick applied to
+    // level1's measured 40-of-71.5 s residual, SCALE.md §10 finding 2).
+    // Same oracle SQL as a2_lag_diff: both physical forms must
+    // hash-match through DuckDB, which is what makes the auto-engaged
+    // skew hatch safe.
+    "a2b_lag_bucketed" -> Q(
+      fn = (s, dir) =>
+        TimeSeriesOps
+          .withLagBucketed(t(s, dir, "events"), Seq("user_id"), "ts",
+            Seq("value"), bucketSeconds = 21600L, tieBreak = Seq("event_id"))
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("value_prev"),
+            (col("value") - col("value_prev")).as("diff"))
+          .orderBy(col("event_id")),
+      bench = true,
       oracle = Some("""
         SELECT event_id, user_id, value,
                lag(value) OVER w AS value_prev,

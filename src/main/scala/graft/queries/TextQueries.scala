@@ -2469,6 +2469,104 @@ object TextQueries extends QueryModule {
         FROM tok t LEFT JOIN rm ON rm.doc_id = t.doc_id
         ORDER BY t.doc_id""")),
 
+    // D26 — the ExactSubstr SERVE path, oracle-gated (VERDICT r14 item
+    // 7): index the even half of the corpus (substrIndex's mergeable
+    // (wh, cnt, minkey) summary), then flag AND dedup the odd half
+    // against it in-query. The theorem the spec already pins —
+    // spansAgainst(index(A), B) == spans(A ∪ B)↾B, ownership = the
+    // union's min key — is here hash-checked through DuckDB: the oracle
+    // replays d23's span construction and d24's removal over ALL
+    // documents (the union) and restricts every statistic to the batch
+    // half. The corpus text is never re-read on the Spark side — only
+    // the batch text plus the three-long summary cross the serve path.
+    "d26_substr_against" -> Q(
+      fn = (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 2 === 0)
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+        val idx = DedupOps.substrIndex(corpus, "doc_id", "text", 8)
+        val spans = DedupOps
+          .substringSpansAgainst(idx, batch, "doc_id", "text", 8)
+        val dedup = DedupOps
+          .substringDedupAgainst(idx, batch, "doc_id", "text", 8)
+          .select(col("doc_id"), col("n_removed"), col("n_kept"),
+            col("text_dedup"))
+        spans.join(dedup, Seq("doc_id")).orderBy(col("doc_id"))
+      },
+      bench = true,
+      oracle = Some(s"""
+        WITH tok AS (
+          SELECT doc_id, $toksSql AS toks,
+                 CAST(len($toksSql) AS INT) AS n_tokens
+          FROM documents),
+        win AS (
+          SELECT doc_id, i AS pos,
+                 list_transform([array_to_string(toks[i:i+7], ' ')],
+                   s -> $baseHashSql)[1] AS wh,
+                 doc_id * 2097152 + i AS key
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 7)) AS i
+                FROM tok WHERE len(toks) >= 8)),
+        cnt AS (
+          SELECT wh, min(key) AS mk FROM win
+          GROUP BY wh HAVING count(*) >= 2),
+        dup AS (
+          SELECT w.doc_id, w.pos, w.key, c.mk
+          FROM win w JOIN cnt c ON c.wh = w.wh),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos > coalesce(max(pos + 7) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1) + 1
+                      THEN 1 ELSE 0 END AS brk
+          FROM dup WHERE doc_id % 2 = 1),
+        grp AS (
+          SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+          FROM isl),
+        spans AS (
+          SELECT doc_id, g, min(pos) AS s, max(pos) + 7 AS e
+          FROM grp GROUP BY 1, 2),
+        per AS (
+          SELECT doc_id, CAST(count(*) AS INT) AS n_dup_spans,
+                 CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+          FROM spans GROUP BY 1),
+        nw AS (SELECT doc_id, CAST(count(*) AS INT) AS n_windows
+               FROM win WHERE doc_id % 2 = 1 GROUP BY 1),
+        nd AS (SELECT doc_id, CAST(count(*) AS INT) AS n_dup_windows
+               FROM dup WHERE doc_id % 2 = 1 GROUP BY 1),
+        cov AS (
+          SELECT doc_id, CAST(p AS INT) AS p,
+                 max(CASE WHEN key = mk THEN 1 ELSE 0 END) AS ao
+          FROM (SELECT d.doc_id, d.key, d.mk,
+                       unnest(generate_series(d.pos, d.pos + 7)) AS p
+                FROM dup d WHERE d.doc_id % 2 = 1)
+          GROUP BY 1, 2),
+        rm AS (
+          SELECT doc_id, list_sort(list(p)) AS rml
+          FROM cov WHERE ao = 0 GROUP BY 1)
+        SELECT t.doc_id, t.n_tokens,
+               coalesce(nw.n_windows, 0) AS n_windows,
+               coalesce(nd.n_dup_windows, 0) AS n_dup_windows,
+               coalesce(per.n_dup_spans, 0) AS n_dup_spans,
+               coalesce(per.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+               round(CAST(coalesce(per.dup_tokens, 0) AS DOUBLE)
+                 / t.n_tokens, 6) AS dup_frac,
+               CAST(coalesce(len(rm.rml), 0) AS INT) AS n_removed,
+               CAST(t.n_tokens - coalesce(len(rm.rml), 0) AS INT)
+                 AS n_kept,
+               coalesce(array_to_string(list_filter(t.toks, (x, i) ->
+                 NOT list_contains(coalesce(rm.rml, []), i)), ' '), '')
+                 AS text_dedup
+        FROM tok t
+        LEFT JOIN nw ON nw.doc_id = t.doc_id
+        LEFT JOIN nd ON nd.doc_id = t.doc_id
+        LEFT JOIN per ON per.doc_id = t.doc_id
+        LEFT JOIN rm ON rm.doc_id = t.doc_id
+        WHERE t.doc_id % 2 = 1
+        ORDER BY t.doc_id""")),
+
     // D11 — character-level edit-distance verification of a blocked pair
     // set (the record-linkage refine step after LSH/sorted-neighborhood
     // blocking): Levenshtein distance + normalized similarity

@@ -385,6 +385,29 @@ class DedupOpsSpec extends SparkSpec {
     assert(again.map(_._2).toSeq === out.map(_._5).toSeq)
   }
 
+  test("ExactSubstr id validation (ADVICE r14): non-integral id types " +
+    "reject statically; null/negative ids fail in-plan on every " +
+    "ownership consumer — and the assert rides __key, not the " +
+    "hash-count lineage (the d23 text-only scan pin)") {
+    val bad = Seq(("x", "a b c d e"), ("y", "a b c d e"))
+      .toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      DedupOps.substringDedup(bad, "doc_id", "text", w = 4)
+    }
+    val neg = Seq((-1L, "a b c d e"), (2L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      DedupOps.substringDedup(neg, "doc_id", "text", w = 4).collect()
+    }
+    assert(e.getMessage != null)
+    val nul = Seq((java.lang.Long.valueOf(3L), "a b c d e"),
+      (null.asInstanceOf[java.lang.Long], "a b c d e"))
+      .toDF("doc_id", "text")
+    intercept[Exception] {
+      DedupOps.substrIndex(nul, "doc_id", "text", w = 4).collect()
+    }
+  }
+
   test("substrIndex: per-half summaries merge into the whole build; " +
     "spansAgainst/dedupAgainst on a batch equal the union computation " +
     "restricted to the batch (incl. cross-corpus ownership: an indexed " +

@@ -240,4 +240,60 @@ class LevelPipelineSpec extends SparkSpec {
         emulateOldVersion = true, bucketedAsofSeconds = Some(3600L))
     }
   }
+
+  test("level1 bucket-and-carry equals the window form row for row on " +
+    "the full sf0.001 fixture — the hot-series hatch changes the PLAN, " +
+    "never the answer (lag-before-dedup order preserved)") {
+    val raw5 = graft.queries.PipelineQueries.rawDf(spark, "/root/testdata/sf0.001")
+    val plain = LevelPipeline.level1(raw5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(plain.nonEmpty)
+    // half-hour buckets force real cross-bucket carries at the fixture's
+    // 30-min cadence; 6 h is the production default
+    for (b <- Seq(1800L, 21600L)) {
+      val bucketed = LevelPipeline.level1(raw5, bucketSeconds = Some(b))
+        .collect().map(_.toString).sorted.toSeq
+      assert(bucketed === plain, s"bucketSeconds=$b")
+    }
+  }
+
+  test("planSkew: the hot fixture auto-selects the bucketed hatches, the " +
+    "uniform fixture does not — and autoSkew threads the decision " +
+    "through processLevels with the answer unchanged") {
+    import org.apache.spark.sql.functions.{col => C}
+    val raw5 = graft.queries.PipelineQueries.rawDf(spark, "/root/testdata/sf0.001")
+    // uniform: 5 synthetic sites at equal cadence -> share ~0.2
+    val uniformPlan = LevelPipeline.planSkew(raw5)
+    assert(uniformPlan.topShare < 0.5)
+    assert(uniformPlan.bucketedAsofSeconds.isEmpty)
+    assert(uniformPlan.bucketedLevel1Seconds.isEmpty)
+    // hot: replicate site 0 until it holds >= 60% of rows
+    val hot = raw5.unionByName(
+      raw5.filter(C("site_no") === 0).crossJoin(
+        spark.range(4).select(C("id").as("__r")))
+        .withColumn("time",
+          expr("time + make_interval(0, 0, 0, 0, 0, 0, __r + 1)"))
+        .drop("__r"))
+    val hotPlan = LevelPipeline.planSkew(hot)
+    assert(hotPlan.topShare >= 0.5)
+    assert(hotPlan.bucketedAsofSeconds === Some(21600L))
+    assert(hotPlan.bucketedLevel1Seconds === Some(21600L))
+    // autoSkew-on equals hatches-off on the UNIFORM fixture (where the
+    // plan resolves to no hatches) and equals explicitly-bucketed on a
+    // small hot slice, so the switch can never change values
+    val stations5 = graft.queries.PipelineQueries.stationsDf(spark)
+    val silo5 = graft.queries.PipelineQueries.siloDf(spark)
+    val inten5 = graft.queries.PipelineQueries.intensityDf(spark)
+    val auto = LevelPipeline.processLevels(raw5, stations5, silo5, inten5,
+      autoSkew = true).collect().map(_.toString).sorted.toSeq
+    val manual = LevelPipeline.processLevels(raw5, stations5, silo5, inten5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(auto === manual)
+    // force the hot branch end-to-end at a low threshold: both hatches
+    // engage and the chain still matches the default plan's rows
+    val autoHot = LevelPipeline.processLevels(raw5, stations5, silo5, inten5,
+      autoSkew = true, autoSkewThreshold = 0.1)
+      .collect().map(_.toString).sorted.toSeq
+    assert(autoHot === manual)
+  }
 }

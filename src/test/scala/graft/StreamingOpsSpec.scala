@@ -943,4 +943,56 @@ class StreamingOpsSpec extends SparkSpec {
     // the open tails (key1 "c", key2 "x") are state, not output
     assert(got.size === 3)
   }
+
+  test("state-store bounds (VERDICT r14 item 5): runStream state stays " +
+    "FLAT at |keys| as events grow; exactDedupStream state EXPIRES with " +
+    "the watermark instead of accumulating every key ever seen") {
+    implicit val sql = spark.sqlContext
+    def lastState(q: org.apache.spark.sql.streaming.StreamingQuery)
+        : (Long, Long) = {
+      val s = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.headOption).last
+      (s.numRowsTotal, s.numRowsRemoved)
+    }
+    val nKeys = 2000
+    val base = 1704067200000L
+    // runStream: 3 batches x one event per key, alternating values —
+    // every batch closes the previous run, state must hold at |keys|
+    val runIn = MemoryStream[StreamingOps.RunEvent]
+    val runQ = StreamingOps.runStream(runIn.toDS())
+      .writeStream.format("noop").outputMode(OutputMode.Append).start()
+    for (b <- 0 until 3) {
+      runIn.addData((0 until nKeys).map(k =>
+        StreamingOps.RunEvent(k.toLong,
+          new java.sql.Timestamp(base + b * 60000L),
+          if (b % 2 == 0) "a" else "b")))
+      runQ.processAllAvailable()
+      assert(lastState(runQ)._1 === nKeys.toLong, s"after batch $b")
+    }
+    runQ.stop()
+    // exactDedupStream: a resend adds no rows; a generation a full
+    // horizon later evicts the old one — state never holds 2 generations
+    val dIn = MemoryStream[(Long, java.sql.Timestamp)]
+    val dQ = StreamingOps.exactDedupStream(
+      dIn.toDF().toDF("k", "ts"), Seq("k"), "ts", watermark = "10 minutes")
+      .writeStream.format("noop").outputMode(OutputMode.Append).start()
+    def gen(lo: Int, hi: Int, atMs: Long) =
+      (lo until hi).map(k => (k.toLong, new java.sql.Timestamp(atMs)))
+    dIn.addData(gen(0, nKeys, base)); dQ.processAllAvailable()
+    assert(lastState(dQ)._1 === nKeys.toLong)
+    dIn.addData(gen(0, nKeys, base)); dQ.processAllAvailable()
+    assert(lastState(dQ)._1 === nKeys.toLong, "dup resend added state")
+    // 1 h later = far past the 10 min watermark: the first generation
+    // must be removed once the watermark advances (eviction runs on the
+    // batch AFTER the one that moves the watermark, hence two batches)
+    dIn.addData(gen(nKeys, 2 * nKeys, base + 3600000L))
+    dQ.processAllAvailable()
+    dIn.addData(gen(2 * nKeys, 3 * nKeys, base + 7200000L))
+    dQ.processAllAvailable()
+    val (rows, removed) = lastState(dQ)
+    dQ.stop()
+    assert(removed > 0L, "watermark never evicted state")
+    assert(rows <= 2L * nKeys,
+      s"state accumulated beyond a generation + in-flight: $rows")
+  }
 }

@@ -782,4 +782,109 @@ class TimeSeriesOpsSpec extends SparkSpec {
       assert(got === viaWindow, s"parts=$parts")
     }
   }
+
+  /** Deterministic pseudo-random series fixture for the bucket-and-carry
+    * equivalence tests: 3 series keys INCLUDING null, timestamps dense
+    * enough that bucket boundaries land mid-series, duplicate sensor
+    * tuples at varying gaps, null values, and coincident-second rows
+    * disambiguated by id (the tie-break).
+    */
+  private def carryFixture(n: Int, seed: Long): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val keys = Array[Integer](1, 2, null)
+    val rows = (0 until n).map { i =>
+      val k = keys(rng.nextInt(3))
+      // 0..6 h span in uneven steps; ~5% exact repeats of the prior second
+      val t = 1704067200L + rng.nextInt(6 * 3600)
+      val v: java.lang.Double =
+        if (rng.nextInt(10) == 0) null else rng.nextInt(5).toDouble
+      (i.toLong, k, new java.sql.Timestamp(t * 1000L), v)
+    }
+    rows.toDF("id", "k", "t", "v")
+  }
+
+  test("withLagBucketed == withLag: null keys, null values, boundary " +
+    "rows, ties — every bucket width") {
+    val df = carryFixture(500, seed = 42)
+    val expected = TimeSeriesOps
+      .withLag(df, Seq("k"), "t", Seq("v"), tieBreak = Seq("id"))
+      .select($"id", $"v_prev").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    for (b <- Seq(60L, 1740L, 3600L, 86400L)) {
+      val got = TimeSeriesOps
+        .withLagBucketed(df, Seq("k"), "t", Seq("v"), bucketSeconds = b,
+          tieBreak = Seq("id"))
+        .select($"id", $"v_prev").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(got === expected, s"bucketSeconds=$b")
+    }
+  }
+
+  test("withLagBucketed: first row of a series carries null across any " +
+    "number of leading empty buckets") {
+    val df = Seq(
+      (1L, 1, java.sql.Timestamp.valueOf("2024-01-01 00:00:30"), 1.0),
+      (2L, 1, java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), 2.0))
+      .toDF("id", "k", "t", "v")
+    val got = TimeSeriesOps
+      .withLagBucketed(df, Seq("k"), "t", Seq("v"), bucketSeconds = 3600L)
+      .select($"id", $"v_prev").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(1L -> None, 2L -> Some(1.0)))
+  }
+
+  test("withLagBucketed rejects non-positive buckets and reserved columns") {
+    val df = carryFixture(10, seed = 1)
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.withLagBucketed(df, Seq("k"), "t", Seq("v"), 0L)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.withLagBucketed(
+        df.withColumn("__b", lit(1)), Seq("k"), "t", Seq("v"), 60L)
+    }
+  }
+
+  test("dedupWithinBucketed == dedupWithin: kept set AND markOnly flags " +
+    "match at every legal bucket width") {
+    val df = carryFixture(500, seed = 7)
+    def flags(out: DataFrame): Map[Long, Boolean] =
+      out.select($"id", $"__is_dup").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val expected = flags(TimeSeriesOps.dedupWithin(
+      df, Seq("k"), "t", windowSeconds = 1740L, cmpCols = Seq("v"),
+      markOnly = true))
+    for (b <- Seq(1740L, 3600L, 7200L, 86400L)) {
+      val got = flags(TimeSeriesOps.dedupWithinBucketed(
+        df, Seq("k"), "t", windowSeconds = 1740L, cmpCols = Seq("v"),
+        bucketSeconds = b, markOnly = true))
+      assert(got === expected, s"bucketSeconds=$b")
+      // and the filtering form keeps exactly the unflagged rows
+      val kept = TimeSeriesOps.dedupWithinBucketed(
+        df, Seq("k"), "t", 1740L, Seq("v"), bucketSeconds = b)
+        .select($"id").as[Long].collect().toSet
+      assert(kept === expected.filter(!_._2).keySet, s"bucketSeconds=$b")
+    }
+  }
+
+  test("dedupWithinBucketed: in-window predecessor exactly one bucket " +
+    "back is seen; window-boundary row (ts - window) is IN the window") {
+    val df = Seq(
+      // bucket 0 ends at :29:00 (1740 s buckets); row B sits in bucket 1
+      // exactly windowSeconds after row A -> still a duplicate
+      (1L, 1, java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 5.0),
+      (2L, 1, java.sql.Timestamp.valueOf("2024-01-01 00:34:00"), 5.0),
+      // 1741 s after row B -> strictly outside, kept
+      (3L, 1, java.sql.Timestamp.valueOf("2024-01-01 01:03:01"), 5.0))
+      .toDF("id", "k", "t", "v")
+    val kept = TimeSeriesOps.dedupWithinBucketed(
+      df, Seq("k"), "t", windowSeconds = 1740L, cmpCols = Seq("v"),
+      bucketSeconds = 1740L)
+      .select($"id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L))
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.dedupWithinBucketed(
+        df, Seq("k"), "t", windowSeconds = 1740L, cmpCols = Seq("v"),
+        bucketSeconds = 1739L) // < window: prev-bucket carry insufficient
+    }
+  }
 }
