@@ -56,16 +56,23 @@ object LevelPipeline {
     *     [0.8, 1.2] x prev_count -> 1; else the raw flag;
     *  5. the diff-less first row of each site is skipped (`:365-369`).
     */
-  /** @param bucketSeconds engage the bucket-and-carry forms of the lag
-    *   and the 29-min dedup ([[TimeSeriesOps.withLagBucketed]] /
-    *   [[TimeSeriesOps.dedupWithinBucketed]]): rows shuffle on
-    *   (site_no, time bucket) instead of site_no alone, so ONE hot
-    *   site spreads over span/bucket tasks instead of serializing its
-    *   whole sequence through one sort (the measured 40-of-71.5 s
-    *   residual at mult=200 hot, SCALE.md §10 finding 2). Same values
-    *   row-for-row — the lag-before-dedup order of the reference
-    *   (`pipeline/cosmoz_process_levels.py:389-396`) is preserved;
-    *   must be >= dedupWindowSeconds.
+  /** @param bucketSeconds engage the bucket-and-carry LAG
+    *   ([[TimeSeriesOps.withLagBucketed]]): rows shuffle on (site_no,
+    *   time bucket) instead of site_no alone, so ONE hot site spreads
+    *   over span/bucket tasks instead of serializing its whole sequence
+    *   through one sort (the measured 40-of-71.5 s level1 residual at
+    *   mult=200 hot, SCALE.md §10 finding 2). The 29-min dedup stays in
+    *   window form DELIBERATELY: its partition key is (site_no ++ all
+    *   14 sensor fields), which a hot site does NOT serialize — only an
+    *   identical-tuple flood does — and LEVELS_SPIKE_r15 measured the
+    *   bucketed dedup 2× SLOWER here (near-unique sensor tuples make
+    *   the bucket summary corpus-sized, so its carry join re-shuffles
+    *   the whole stream on a 16-column key for nothing). Use
+    *   [[TimeSeriesOps.dedupWithinBucketed]] directly for the flood
+    *   case. Same values row-for-row — the lag-before-dedup order of
+    *   the reference (`pipeline/cosmoz_process_levels.py:389-396`) is
+    *   preserved; must be >= dedupWindowSeconds (the carry-width
+    *   contract the dedup form would need if engaged).
     */
   def level1(
       raw: DataFrame,
@@ -82,16 +89,9 @@ object LevelPipeline {
         val w = Window.partitionBy(col("site_no")).orderBy(col("time"))
         filtered.withColumn("prev_count", lag(col("count"), 1).over(w))
     }
-    val deduped = bucketSeconds match {
-      case Some(b) =>
-        TimeSeriesOps.dedupWithinBucketed(
-          lagged, Seq("site_no"), "time", dedupWindowSeconds,
-          cmpCols = sensorFields, bucketSeconds = b)
-      case None =>
-        TimeSeriesOps.dedupWithin(
-          lagged, Seq("site_no"), "time", dedupWindowSeconds,
-          cmpCols = sensorFields)
-    }
+    val deduped = TimeSeriesOps.dedupWithin(
+      lagged, Seq("site_no"), "time", dedupWindowSeconds,
+      cmpCols = sensorFields)
     deduped
       .filter(col("prev_count").isNotNull)
       .withColumn("flag",
