@@ -38,19 +38,36 @@ import json, sys, glob, os
 tmp, out, mult = sys.argv[1], sys.argv[2], int(sys.argv[3])
 merged = {"metric": "dedup_spike", "unit": "sec", "mult": mult,
           "forked": True, "pass2": {}, "pass1": {}}
+saw_hot = False
 for f in sorted(glob.glob(os.path.join(tmp, "*.json"))):
+    # ADVICE r15: a case JVM that exits 0 without printing its JSON line
+    # (or prints a truncated one) must fail with the CASE named, not an
+    # IndexError/KeyError after all six multi-minute runs completed
+    case = os.path.basename(f)[:-5]
     with open(f) as fh:
         lines = [l for l in fh if l.strip().startswith("{")]
-    d = json.loads(lines[-1])
-    for k in ("sf", "w", "cpus"):
-        merged[k] = d[k]
+    if not lines:
+        sys.exit(f"[dedup-spike-forked] case {case}: no JSON line in its "
+                 f"output ({f}) — the forked JVM printed nothing parseable")
+    try:
+        d = json.loads(lines[-1])
+        for k in ("sf", "w", "cpus"):
+            merged[k] = d[k]
+        merged["pass2"].update(d["pass2"])
+        merged["pass1"].update(d["pass1"])
+    except (json.JSONDecodeError, KeyError) as e:
+        sys.exit(f"[dedup-spike-forked] case {case}: malformed JSON line "
+                 f"({e}) in {f}")
     if d.get("hot_top_share", -1.0) >= 0:
         merged["hot_top_share"] = d["hot_top_share"]
         merged["hot_top_skew"] = d["hot_top_skew"]
+        saw_hot = True
     if d.get("n_docs", -1) >= 0:
         merged["n_docs"] = d["n_docs"]
-    merged["pass2"].update(d["pass2"])
-    merged["pass1"].update(d["pass1"])
+if not saw_hot:
+    print("[dedup-spike-forked] WARNING: no hot_* case in the selected set "
+          "— merged artifact has no n_docs/hot_top_share fields",
+          file=sys.stderr)
 with open(out, "w") as fh:
     fh.write(json.dumps(merged) + "\n")
 print(json.dumps(merged))

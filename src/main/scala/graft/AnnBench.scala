@@ -56,7 +56,17 @@ object AnnBench {
         $"__rep")
     val corpus = all.filter($"__rep" < mult - 1).drop("__rep")
     val batch = all.filter($"__rep" === mult - 1).drop("__rep")
-    val queries = all.drop("__rep").orderBy($"vec_id").limit(64)
+    // queries: 64 base vectors from replica 0, strided over the base
+    // vec_id range (ADVICE r15: the 64 SMALLEST remapped ids were all
+    // replicas of the first few base vectors — near-identical probes,
+    // and a distribution that CHANGED with mult, confounding the
+    // cross-mult growth-law readout). Replica 0 carries no dim-0 nudge,
+    // so the query set is geometrically identical at every mult.
+    val nBase = emb.count()
+    val stride = math.max(1L, nBase / 64L)
+    val queries = all.filter($"__rep" === 0).drop("__rep")
+      .filter(expr(s"(vec_id div $mult) % $stride = 0"))
+      .orderBy($"vec_id").limit(64)
     val nCorpus = corpus.count()
     val kSqrt = math.max(4, math.round(math.sqrt(nCorpus.toDouble)).toInt)
 

@@ -99,14 +99,27 @@ object Bench {
     val t2 = pass2.map(_._2).filter(_ >= 0).sum
     val f1 = pass1.count(_._2 < 0)
     val f2 = pass2.count(_._2 < 0)
-    // stdout carries the contract fields with ONE per-query map (pass2,
-    // the headline): with both pass maps inline the line outgrew the
-    // driver's stdout tail capture and BENCH_r{N}.json landed
-    // parsed:null. The full record including the pass1 map goes to the
-    // file below.
+    // stdout carries the full contract line (one per-query map — pass2,
+    // the headline) AND, as the LAST printed line, a compact per-family
+    // summary: the driver snapshots only the final ~2000 chars of output
+    // (r14/r15 landed parsed:null because the ~8 KB per-query line can
+    // never fit that window), so the self-contained round artifact needs
+    // a complete JSON line that fits the tail — per-family pass2 totals
+    // (~300 chars) plus a pointer to the full per-query record below
+    // (VERDICT r15 item 8).
     val stdoutJson = s"""{"metric":"total","value":$t2,"unit":"sec","queries":${fmt(pass2)},"sf":"$sfDir","pass1_total":$t1,"pass2_total":$t2,"failed_pass1":$f1,"failed_pass2":$f2}"""
     val json = s"""{"metric":"total","value":$t2,"unit":"sec","queries":${fmt(pass2)},"sf":"$sfDir","pass1_total":$t1,"pass2_total":$t2,"failed_pass1":$f1,"failed_pass2":$f2,"pass1":${fmt(pass1)}}"""
     println(stdoutJson)
+    val famTotals = pass2.groupBy { case (n, _) => familyOf(n) }.toSeq
+      .sortBy(_._1)
+      .map { case (fam, xs) =>
+        val secs = xs.map(_._2).filter(_ >= 0).sum
+        s""""$fam":${math.round(secs * 1000.0) / 1000.0}"""
+      }.mkString("{", ",", "}")
+    // "queries" stays a MAP (a tail-parser iterating it must not trip on
+    // a string) — per-family pass2 totals; the per-query map is in the
+    // file named by queries_detail.
+    println(s"""{"metric":"total","value":$t2,"unit":"sec","sf":"$sfDir","n_queries":${names.size},"pass1_total":$t1,"pass2_total":$t2,"failed_pass1":$f1,"failed_pass2":$f2,"queries":$famTotals,"queries_detail":"bench/BENCH_driver_latest.json"}""")
     // Persist the complete record to a stable path the driver/judge can
     // read back whole.
     try {

@@ -62,7 +62,6 @@ object StreamBench {
       .option("checkpointLocation", s"$ckRoot/run")
       .outputMode("append").start()
     val t0 = System.nanoTime()
-    var emitted = 0L
     for (b <- 0 until 4) {
       runIn.addData((0 until nKeys).map(k =>
         RunEvent(k.toLong, new java.sql.Timestamp(base + b * 60000L),
@@ -72,7 +71,6 @@ object StreamBench {
     val runSecs = (System.nanoTime() - t0) / 1e9
     val runTrail = stateTrail(runQ)
     runQ.stop()
-    emitted = 0L // emitted runs are noop-sunk; the trail is the artifact
 
     // ---- exactDedupStream: watermark eviction --------------------------
     val dedupIn = MemoryStream[(Long, java.sql.Timestamp)]

@@ -113,11 +113,22 @@ object ClassifierOps {
     val s = score.cast("double")
     val perBin = df
       .select(
-        // clamp BOTH edges: a stray score < 0 would otherwise mint a
-        // negative bin id that silently enters the ECE weighting
-        greatest(
-          least(floor(s * lit(bins.toDouble)).cast("int"), lit(bins - 1)),
-          lit(0)).as("bin"),
+        // a score outside [0, 1] is not a calibrated probability — it
+        // would silently saturate into an edge bin and bias the ECE
+        // weighting (ADVICE r15). The assert rides the bin expression
+        // itself as the FIRST coalesce branch (binary arithmetic
+        // codegen short-circuits a null operand; see DedupOps' __key):
+        // pass -> null -> fall through to the real bin; fail -> throw.
+        // Null scores pass through as a null bin, exactly as before.
+        // The edge clamp stays: floor(1.0 * bins) needs bins-1, and a
+        // score within 1 ulp of an edge must not mint bin -1/bins.
+        coalesce(
+          assert_true(s.isNull || (s >= 0.0 && s <= 1.0),
+            lit(s"calibrationBins: score outside [0, 1] is not a " +
+              "calibrated probability")).cast("int"),
+          greatest(
+            least(floor(s * lit(bins.toDouble)).cast("int"), lit(bins - 1)),
+            lit(0))).as("bin"),
         s.as("__s"),
         label.cast("int").cast("bigint").as("__y"))
       .groupBy(col("bin"))

@@ -663,13 +663,19 @@ object TimeSeriesOps {
     val r = carry.alias("r")
     val cond = (keys.map(k => col(s"l.$k") <=> col(s"r.$k")) :+
       (col("l.__b") <=> col("r.__b"))).reduce(_ && _)
+    // withLag REPLACES a pre-existing `<col>_prev` via withColumn; match
+    // that here by dropping it from the base projection (ADVICE r15 —
+    // keeping both would emit a duplicate-named column and the two
+    // forms would diverge on such an input)
+    val outNames = cols.map(c => s"${c}_prev").toSet
     l.join(r, cond)
-      .select(df.columns.map(c => col(s"l.$c")) ++ cols.map(c =>
-        // first-in-bucket takes the carry; row_number (not lag-is-null)
-        // distinguishes "no prior row" from a prior row whose VALUE is
-        // null — both are legitimate lag results
-        when(col("l.__rn") === 1, col(s"r.__carry_$c"))
-          .otherwise(col(s"l.__lag_$c")).as(s"${c}_prev")): _*)
+      .select(df.columns.filterNot(outNames).map(c => col(s"l.$c")) ++
+        cols.map(c =>
+          // first-in-bucket takes the carry; row_number (not lag-is-null)
+          // distinguishes "no prior row" from a prior row whose VALUE is
+          // null — both are legitimate lag results
+          when(col("l.__rn") === 1, col(s"r.__carry_$c"))
+            .otherwise(col(s"l.__lag_$c")).as(s"${c}_prev")): _*)
   }
 
   /** [[dedupWithin]] by BUCKET-AND-CARRY — same answer, no serialized
