@@ -138,6 +138,164 @@ object NearestCentroid {
   }
 }
 
+/** [[NearestCentroid]] behind a two-level coarse-quantizer tree — the
+  * SAME argmin, cell for cell (pinned in NearestKitSpec/IvfIndexSpec),
+  * at O(√k·d) expected cost per row instead of the flat O(k·d) that was
+  * measured as the kCells wall (SCALE.md §10d: √n-cells build cost 7×
+  * the fixed-32 build because every row argmins over all k cells).
+  *
+  * Structure (built driver-side, [[graft.operators.SimilarityOps
+  * .buildCellTree]]): the k centroids are grouped into ~√k super-cells;
+  * each group carries its super-centroid, its RADIUS (max euclidean
+  * distance from the super-centroid to any child centroid), and its
+  * child indices. Per row: compute the plain-double distance to every
+  * super-centroid (O(√k·d)), visit groups in ascending order of the
+  * triangle-inequality lower bound lb = max(0, d(v, super) − radius) —
+  * no child of the group can be closer than lb — and STOP as soon as
+  * the next group's lb² exceeds the best child distance found
+  * (plus a conservative slack for the double-vs-decimal arithmetic
+  * gap). Children within a visited group evaluate with the exact
+  * decimal [[NearestMath.d2Range]] incl. its argmin pruning, so the
+  * returned (cluster, d2) is bit-identical to the flat expression:
+  * pruning skips only candidates that PROVABLY cannot win, and ties
+  * resolve to the lowest cluster id exactly as the flat strict-`<`
+  * first-entry rule does (children are scanned in ascending-id order
+  * inside a group; across groups an explicit lowest-id-on-tie compare
+  * replaces the ordering the flat loop got for free).
+  */
+case class NearestCentroidGrouped(
+    child: Expression,
+    clusters: Array[Int],
+    centroids: Array[Array[Double]],
+    groupCentroids: Array[Array[Double]],
+    groupRadius: Array[Double],
+    groupChildren: Array[Array[Int]])
+  extends UnaryExpression {
+
+  require(clusters.nonEmpty && clusters.length == centroids.length,
+    "graft_nearest_centroid_grouped needs one cluster id per centroid")
+  require(groupCentroids.length == groupRadius.length &&
+    groupCentroids.length == groupChildren.length && groupCentroids.nonEmpty,
+    "graft_nearest_centroid_grouped needs (centroid, radius, children) " +
+      "per group")
+  require(groupChildren.map(_.length).sum == centroids.length,
+    "graft_nearest_centroid_grouped: every centroid must belong to " +
+      "exactly one group")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("d2", DecimalType(38, 12), nullable = false)))
+  override def prettyName: String = "graft_nearest_centroid_grouped"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (NearestMath.vecElemType(child).isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_centroid_grouped requires array<float|double>, " +
+        s"got ${child.dataType}")
+
+  private lazy val isFloat = NearestMath.vecElemType(child).contains(FloatType)
+
+  protected override def nullSafeEval(v: Any): Any =
+    NearestCentroidGrouped.nearest(
+      v.asInstanceOf[ArrayData], isFloat, clusters, centroids,
+      groupCentroids, groupRadius, groupChildren)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cl = ctx.addReferenceObj("clusters", clusters, "int[]")
+    val ce = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val gc = ctx.addReferenceObj("groupCentroids", groupCentroids, "double[][]")
+    val gr = ctx.addReferenceObj("groupRadius", groupRadius, "double[]")
+    val gh = ctx.addReferenceObj("groupChildren", groupChildren, "int[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.expressions.NearestCentroidGrouped.nearest(" +
+        s"$v, $isFloat, $cl, $ce, $gc, $gr, $gh)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroidGrouped =
+    copy(child = newChild)
+}
+
+object NearestCentroidGrouped {
+  /** Plain-double d2 (bounds arithmetic only — decisions about ACTUAL
+    * distances always re-evaluate through the decimal [[NearestMath
+    * .d2Range]]).
+    */
+  private def d2Double(
+      vec: ArrayData, isFloat: Boolean, cent: Array[Double]): Double = {
+    val n = math.min(cent.length, vec.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val a = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      val diff = a - cent(i)
+      acc += diff * diff
+      i += 1
+    }
+    acc
+  }
+
+  /** Called from generated code. Exact argmin — see the class doc for
+    * why pruning cannot change the result: the skip condition carries a
+    * slack term covering (a) the ≤ 0.5e-12-per-term divergence between
+    * the decimal-rounded child distances and their true values, and
+    * (b) double rounding in the bound arithmetic itself, so a group is
+    * skipped only when every child is PROVABLY worse than the current
+    * best even under worst-case rounding.
+    */
+  def nearest(
+      vec: ArrayData, isFloat: Boolean, clusters: Array[Int],
+      centroids: Array[Array[Double]], groupCentroids: Array[Array[Double]],
+      groupRadius: Array[Double], groupChildren: Array[Array[Int]]): InternalRow = {
+    val g = groupCentroids.length
+    val dims = vec.numElements()
+    // lower bound per group: no child can be closer than
+    // d(v, super) − radius (triangle inequality)
+    val lb = new Array[Double](g)
+    val order = new Array[Integer](g)
+    var gi = 0
+    while (gi < g) {
+      val d = math.sqrt(d2Double(vec, isFloat, groupCentroids(gi)))
+      val l = d - groupRadius(gi)
+      lb(gi) = if (l > 0.0) l * l else 0.0
+      order(gi) = gi
+      gi += 1
+    }
+    java.util.Arrays.sort(order, (a: Integer, b: Integer) =>
+      java.lang.Double.compare(lb(a), lb(b)))
+    var best: JBigDecimal = null
+    var bestD = 0.0
+    var bi = -1
+    var oi = 0
+    var done = false
+    while (oi < g && !done) {
+      val grp = order(oi).intValue()
+      // groups are visited in ascending-lb order: once one group's lb
+      // clears the slackened best, every later group does too
+      if (best != null &&
+        lb(grp) > bestD + dims * 1e-12 + 1e-9 * (1.0 + lb(grp) + bestD))
+        done = true
+      else {
+        val kids = groupChildren(grp)
+        var c = 0
+        while (c < kids.length) {
+          val ci = kids(c)
+          val d = NearestMath.d2Range(vec, isFloat, 0, centroids(ci), best)
+          val cmp = if (best == null) -1 else d.compareTo(best)
+          // lowest cluster id on exact ties — the flat loop's
+          // first-entry rule, restated across out-of-order groups
+          if (cmp < 0 || (cmp == 0 && clusters(ci) < clusters(bi))) {
+            best = d; bestD = d.doubleValue(); bi = ci
+          }
+          c += 1
+        }
+      }
+      oi += 1
+    }
+    InternalRow(clusters(bi), Decimal(scala.math.BigDecimal(best)))
+  }
+}
+
 /** Per-subspace nearest-codeword ids (PQ encoding) for a float/double
   * vector column against a literal PQ codebook: array<int> in subspace
   * order, subvector `s` = vec[s*dsubLen, (s+1)*dsubLen), ties -> the

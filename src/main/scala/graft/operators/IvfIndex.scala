@@ -77,12 +77,16 @@ object IvfIndex {
 
   /** The persisted self-description of an index (`<path>/_meta`).
     * `sq8` records whether the layout carries per-vector SQ8 codes (the
-    * per-dim ranges live at `<path>/sq8_codebook`); absent in sidecars
-    * written before the field existed, which reads as false.
+    * per-dim ranges live at `<path>/sq8_codebook`); `kCellsAuto` whether
+    * `kCells` was auto-sized by [[write]] from the corpus row count
+    * rather than pinned by the caller (the operational record of the
+    * sizing decision — a rebuild can tell a deliberate geometry from a
+    * default). Either field absent in sidecars written before it
+    * existed reads as false.
     */
   final case class Meta(
       idCol: String, vecCol: String, kCells: Int, dims: Int, pq: Option[Pq],
-      sq8: Boolean = false)
+      sq8: Boolean = false, kCellsAuto: Boolean = false)
 
   // ---- driver-side caches, keyed by index path --------------------------
   // The codebook is kCells x dims doubles and the meta a few hundred
@@ -194,7 +198,7 @@ object IvfIndex {
     MetaSidecar.write(spark, path,
       s""""idCol":${jstr(meta.idCol)},"vecCol":${jstr(meta.vecCol)},""" +
         s""""kCells":${meta.kCells},"dims":${meta.dims},"pq":$pqJson,""" +
-        s""""sq8":${meta.sq8}""")
+        s""""sq8":${meta.sq8},"kCellsAuto":${meta.kCellsAuto}""")
   }
 
   /** Read the `<path>/_meta` sidecar (cached per path, stamp-checked). */
@@ -215,8 +219,9 @@ object IvfIndex {
       }
       Meta(node.get("idCol").asText, node.get("vecCol").asText,
         node.get("kCells").asInt, node.get("dims").asInt, pq,
-        // absent in pre-sq8 sidecars -> false (still version 1)
-        Option(node.get("sq8")).exists(_.asBoolean))
+        // absent in pre-sq8/pre-auto sidecars -> false (still version 1)
+        Option(node.get("sq8")).exists(_.asBoolean),
+        Option(node.get("kCellsAuto")).exists(_.asBoolean))
     }
 
   /** (cell, __centroid array<double>) rows from the cached codebook — the
@@ -263,12 +268,23 @@ object IvfIndex {
     * probe/refine are sample-independent (any codebook yields the same
     * exact top-k — the v18 oracle gate).
     */
+  /** `kCells = 0` (or [[write]] without a pinned value) AUTO-SIZES the
+    * cell count as min(⌈√n⌉, [[AutoKCellsCap]]) over the corpus row
+    * count — the measured §10d rule promoted from guidance to the
+    * default (VERDICT r15 item 2): √n balances probe work (O(k) per
+    * query) against per-cell scan size (n/k rows), and the cap bounds
+    * the per-row assignment cost, which even under the two-level tree
+    * grows as O(√k·d). The choice is recorded in `_meta` as
+    * `kCellsAuto` with the effective `kCells`.
+    */
+  val AutoKCellsCap: Int = 4096
+
   def write(
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
-      kCells: Int,
-      trainIters: Int,
+      kCells: Int = 0,
+      trainIters: Int = 2,
       path: String,
       pq: Option[Pq] = None,
       sq8: Boolean = false,
@@ -277,6 +293,18 @@ object IvfIndex {
     import spark.implicits._
     require(trainPct > 0 && trainPct <= 100,
       s"trainPct ($trainPct) must be in 1..100")
+    require(kCells >= 0,
+      s"kCells ($kCells) must be positive, or 0 to auto-size")
+    val auto = kCells == 0
+    val k =
+      if (!auto) kCells
+      else {
+        // one count over the corpus (the build re-scans it several
+        // times anyway); 4 cells floor keeps tiny corpora partitioned
+        val n = embeddings.count()
+        math.max(4, math.min(AutoKCellsCap.toLong,
+          math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+      }
     // the layout persists every caller column (filtered search predicates
     // may reference them) PLUS the reserved columns the build attaches;
     // a caller column with a reserved name would be silently overwritten
@@ -290,7 +318,7 @@ object IvfIndex {
       if (trainPct == 100) embeddings
       else trainSampleOf(embeddings, idCol, trainPct)
     val (_, cent) = SimilarityOps.kmeansFit(
-      trainSet, idCol, vecCol, kCells, trainIters)
+      trainSet, idCol, vecCol, k, trainIters)
     // a too-aggressive trainPct on a small corpus can sample zero rows;
     // without this check the failure surfaces as an opaque "max of empty
     // collection" two lines down instead of naming the real cause
@@ -350,7 +378,7 @@ object IvfIndex {
     // the new stream's batch ids (ADVICE r9)
     val fs = fsFor(spark, path)
     fs.delete(hadoopPath(s"$path/_appended"), true)
-    writeMeta(spark, path, Meta(idCol, vecCol, kCells, dims, pq, sq8))
+    writeMeta(spark, path, Meta(idCol, vecCol, k, dims, pq, sq8, auto))
     invalidateCache(path)
   }
 

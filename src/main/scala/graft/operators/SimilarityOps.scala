@@ -405,6 +405,23 @@ object SimilarityOps {
     * function tree (interpreted, boxed per element).
     */
   private def nearestExpr(
+      vec: Column, centroids: Seq[(Int, Array[Double])]): Column =
+    if (centroids.length >= TreeAssignThreshold)
+      nearestExprTree(vec, centroids)
+    else nearestExprFlat(vec, centroids)
+
+  /** Past this codebook size, [[nearestExpr]] routes through the
+    * two-level coarse-quantizer tree: the flat argmin is O(k·d) per row
+    * — the measured kCells wall (SCALE.md §10d: a √n-cells build cost
+    * 7× the fixed-32 build at mult=50 purely in assignment) — while the
+    * tree is O(√k·d) expected with the SAME result cell-for-cell
+    * (triangle-inequality pruning never skips a possible winner; pinned
+    * in NearestKitSpec + IvfIndexSpec). Below the threshold the tree's
+    * super-level pass is pure overhead.
+    */
+  private[graft] val TreeAssignThreshold = 64
+
+  private[graft] def nearestExprFlat(
       vec: Column, centroids: Seq[(Int, Array[Double])]): Column = {
     require(centroids.nonEmpty, "empty codebook")
     import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -412,6 +429,96 @@ object SimilarityOps {
     ColumnBridge.column(graft.expressions.NearestCentroid(
       ColumnBridge.expression(vec),
       sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+  }
+
+  private[graft] def nearestExprTree(
+      vec: Column, centroids: Seq[(Int, Array[Double])]): Column = {
+    require(centroids.nonEmpty, "empty codebook")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sorted = centroids.sortBy(_._1)
+    val tree = buildCellTree(sorted.map(_._2).toArray)
+    ColumnBridge.column(graft.expressions.NearestCentroidGrouped(
+      ColumnBridge.expression(vec),
+      sorted.map(_._1).toArray, sorted.map(_._2).toArray,
+      tree._1, tree._2, tree._3))
+  }
+
+  /** Group k centroids into ⌈√k⌉ super-cells for the tree expression:
+    * (groupCentroids, groupRadius, groupChildren — indices into the
+    * ascending-id centroid array, ascending within each group). A small
+    * plain-double Lloyd's over the CENTROIDS runs on the driver (k × d
+    * doubles of metadata; init = first g centroids, fixed 8 rounds,
+    * ties to the lowest group — deterministic). Grouping quality only
+    * affects pruning EFFICIENCY, never the result: the expression's
+    * bound logic is exact for any disjoint cover. Driver cost is
+    * O(g·k·d) per round = O(k^1.5·d) — fine up to k ~ 10^5; past that
+    * the grouping itself would recurse (a 3-level tree), the recorded
+    * next boundary.
+    */
+  private[graft] def buildCellTree(cents: Array[Array[Double]])
+      : (Array[Array[Double]], Array[Double], Array[Array[Int]]) = {
+    val k = cents.length
+    val g = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val dims = cents.map(_.length).max
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0.0; var i = 0
+      while (i < n) { val df = a(i) - b(i); acc += df * df; i += 1 }
+      acc
+    }
+    var gc: Array[Array[Double]] =
+      Array.tabulate(math.min(g, k))(i => cents(i).clone())
+    val assign = new Array[Int](k)
+    var round = 0
+    while (round < 8) {
+      var i = 0
+      while (i < k) {
+        var bi = 0; var bd = Double.MaxValue; var j = 0
+        while (j < gc.length) {
+          val d = d2(cents(i), gc(j))
+          if (d < bd) { bd = d; bi = j }
+          j += 1
+        }
+        assign(i) = bi
+        i += 1
+      }
+      val sums = Array.fill(gc.length)(new Array[Double](dims))
+      val ns = new Array[Int](gc.length)
+      i = 0
+      while (i < k) {
+        val s = sums(assign(i)); val c = cents(i)
+        var d = 0
+        while (d < c.length) { s(d) += c(d); d += 1 }
+        ns(assign(i)) += 1
+        i += 1
+      }
+      gc = Array.tabulate(gc.length) { j =>
+        if (ns(j) == 0) gc(j)  // empty group keeps its centroid
+        else sums(j).map(_ / ns(j))
+      }
+      round += 1
+    }
+    // final assignment -> children lists; drop empty groups
+    val children = Array.fill(gc.length)(Vector.newBuilder[Int])
+    var i = 0
+    while (i < k) {
+      var bi = 0; var bd = Double.MaxValue; var j = 0
+      while (j < gc.length) {
+        val d = d2(cents(i), gc(j))
+        if (d < bd) { bd = d; bi = j }
+        j += 1
+      }
+      children(bi) += i
+      i += 1
+    }
+    val kept = children.zipWithIndex
+      .map { case (b, j) => (b.result(), j) }.filter(_._1.nonEmpty)
+    val outC = kept.map { case (_, j) => gc(j) }
+    val outCh = kept.map { case (ch, _) => ch.toArray }
+    val outR = kept.map { case (ch, j) =>
+      ch.map(ci => math.sqrt(d2(gc(j), cents(ci)))).max
+    }
+    (outC, outR, outCh)
   }
 
   /** Attach each row's nearest-centroid id (ties -> lowest cluster id)

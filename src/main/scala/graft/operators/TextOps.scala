@@ -1007,11 +1007,42 @@ object TextOps {
   // the whole training unrolls in SQL for the oracle gate.
   // -------------------------------------------------------------------
 
-  /** The merge symbol for merge rank r (1-based): U+E000 + r - 1. Input
-    * text containing private-use chars would collide — the standard
-    * trainer assumption (real tokenizers byte-escape first).
+  /** Merge-symbol capacity: the BMP private-use area (6,400 code
+    * points) plus the two supplementary private-use planes (65,534
+    * each) — 137,468 ranks, comfortably past the 32k–100k merges
+    * production tokenizers train (VERDICT r15 item 4 lifted the old
+    * 6,400 cap).
     */
-  private def mergeChar(rank: Int): String = (0xE000 + rank - 1).toChar.toString
+  val BpeMaxMerges: Int = 6400 + 65534 + 65534
+
+  /** The merge symbol for merge rank r (1-based): ranks 1..6400 map to
+    * the BMP private-use area (U+E000..U+F8FF — single chars, exactly
+    * the pre-r16 scheme, so existing merge tables are unchanged);
+    * higher ranks spill into the supplementary private-use planes 15
+    * and 16 (U+F0000.., U+100000.. — surrogate pairs in the JVM, still
+    * one CODE POINT per symbol, which is what Spark's UTF8String
+    * `replace`/`split` and the driver loop's code-point arrays both
+    * operate on). Input text containing private-use chars would
+    * collide — the standard trainer assumption (real tokenizers
+    * byte-escape first).
+    */
+  private def mergeCp(rank: Int): Int =
+    if (rank <= 6400) 0xE000 + rank - 1
+    else if (rank <= 6400 + 65534) 0xF0000 + (rank - 6401)
+    else 0x100000 + (rank - 6401 - 65534)
+
+  /** Inverse of [[mergeCp]]: the merge rank of a code point, or 0 when
+    * it is not a merge symbol.
+    */
+  private def mergeRankOf(cp: Int): Int =
+    if (cp >= 0xE000 && cp < 0xE000 + 6400) cp - 0xE000 + 1
+    else if (cp >= 0xF0000 && cp < 0xF0000 + 65534) cp - 0xF0000 + 6401
+    else if (cp >= 0x100000 && cp < 0x100000 + 65534)
+      cp - 0x100000 + 6401 + 65534
+    else 0
+
+  private def mergeChar(rank: Int): String =
+    new String(Character.toChars(mergeCp(rank)))
 
   /** (word, cnt) vocabulary table of a document frame: whitespace
     * pre-tokenization (BPE merges never cross word boundaries), one
@@ -1045,6 +1076,119 @@ object TextOps {
     * released deterministically.
     */
   def bpeTrain(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      numMerges: Int): Seq[(Int, String, Long)] = {
+    require(numMerges > 0 && numMerges <= BpeMaxMerges,
+      s"numMerges ($numMerges) must be in 1..$BpeMaxMerges " +
+        "(the private-use planes)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // ONE distributed pass builds the (word, cnt) table; the merge loop
+    // then runs entirely driver-side over that vocabulary-scale data
+    // (VERDICT r15 item 4: the per-round formulation ran one Spark job +
+    // 1-row collect PER merge — 32k production merges would be 32k
+    // sequential jobs whose fixed stage latency dwarfs the vocab-sized
+    // work; [[bpeTrainPerRoundJobs]] keeps that form for the equivalence
+    // spec). The collect is the same "vocabulary is metadata" judgement
+    // the old localCheckpoint made — a 100 TB corpus's word table is
+    // orders of magnitude smaller than the corpus.
+    val vocab = bpeWordTable(docs, textCol).as[(String, Long)].collect()
+    bpeTrainDriver(
+      vocab.map { case (w, c) => (w.codePoints().toArray, c) }, numMerges)
+  }
+
+  /** The driver-side get_stats/merge loop over a collected (word-as-
+    * code-points, count) vocabulary, with INCREMENTAL pair-count
+    * maintenance: pair counts live in one hash map keyed by
+    * (a << 21 | b) (code points are 21-bit, so the key order IS the
+    * (a, b) lexicographic order = the UTF-8 byte order the per-round
+    * job's `ORDER BY pair ASC` tie-break uses), and a merge touches
+    * only the words that currently contain its pair (an inverted
+    * pair -> word-indices index; stale entries are harmless — their
+    * remove/re-add contributions cancel). Per round: an O(|pairs|)
+    * argmax + O(affected words) rewrite, instead of a full corpus-
+    * vocabulary Spark job. Semantics are EXACTLY the per-round job's:
+    * OVERLAPPING adjacent-pair counts weighted by word frequency,
+    * ties to the lexicographically smallest pair, leftmost-non-
+    * overlapping merge application, early stop when no pairs remain
+    * (pinned both ways in BpeSpec).
+    */
+  private def bpeTrainDriver(
+      vocab: Array[(Array[Int], Long)],
+      numMerges: Int): Seq[(Int, String, Long)] = {
+    import scala.collection.mutable
+    def key(a: Int, b: Int): Long = (a.toLong << 21) | b.toLong
+    def pairStr(k: Long): String =
+      new String(Character.toChars((k >> 21).toInt)) +
+        new String(Character.toChars((k & 0x1FFFFF).toInt))
+    val syms = vocab.map(_._1)
+    val cnt = vocab.map(_._2)
+    val pairCount = new mutable.LongMap[Long]()
+    val pairWords = new mutable.LongMap[mutable.BitSet]()
+    def addWord(i: Int, s: Array[Int], sign: Long): Unit = {
+      var j = 0
+      while (j + 1 < s.length) {
+        val k = key(s(j), s(j + 1))
+        val n = pairCount.getOrElse(k, 0L) + sign * cnt(i)
+        if (n == 0L) pairCount.remove(k) else pairCount.update(k, n)
+        if (sign > 0) pairWords.getOrElseUpdate(k, new mutable.BitSet) += i
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < syms.length) { addWord(i, syms(i), 1L); i += 1 }
+    val merges = Vector.newBuilder[(Int, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      // deterministic argmax regardless of map iteration order:
+      // max count, then smallest key (= lexicographically smallest pair)
+      var bestK = -1L
+      var bestN = Long.MinValue
+      pairCount.foreachEntry { (k, n) =>
+        if (n > bestN || (n == bestN && k < bestK)) { bestK = k; bestN = n }
+      }
+      if (bestK < 0) exhausted = true
+      else {
+        merges += ((r, pairStr(bestK), bestN))
+        val a = (bestK >> 21).toInt
+        val b = (bestK & 0x1FFFFF).toInt
+        val z = mergeCp(r)
+        // every word currently holding the pair (plus harmless stale
+        // entries); the pair can never re-form — merges replace two
+        // symbols with one FRESH symbol, never delete one — so the
+        // index entry is consumed, not kept
+        val affected = pairWords.remove(bestK).getOrElse(new mutable.BitSet)
+        affected.foreach { wi =>
+          val old = syms(wi)
+          addWord(wi, old, -1L)
+          val out = new Array[Int](old.length)
+          var j = 0
+          var m = 0
+          while (j < old.length) {
+            if (j + 1 < old.length && old(j) == a && old(j + 1) == b) {
+              out(m) = z; m += 1; j += 2
+            } else { out(m) = old(j); m += 1; j += 1 }
+          }
+          syms(wi) = java.util.Arrays.copyOf(out, m)
+          addWord(wi, syms(wi), 1L)
+        }
+        r += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** The pre-r16 one-Spark-job-per-merge-round trainer, kept as the
+    * distributed cross-check [[bpeTrain]]'s driver loop is pinned
+    * against in BpeSpec (same vocabulary scan, same overlapping pair
+    * count via `sequence`/`substring`, same `ORDER BY n DESC, pair ASC`
+    * tie-break, same literal-replace application). Capped at 6,400
+    * merges — its `substring(sym, i, 2)` pair extraction assumes
+    * single-UTF16-unit symbols, i.e. the BMP private-use area.
+    */
+  private[graft] def bpeTrainPerRoundJobs(
       docs: org.apache.spark.sql.DataFrame,
       textCol: String,
       numMerges: Int): Seq[(Int, String, Long)] = {
@@ -1087,12 +1231,19 @@ object TextOps {
     */
   def bpeSurfaceForms(merges: Seq[(Int, String, Long)]): Map[Int, String] = {
     val byRank = merges.map { case (r, p, _) => r -> p }.toMap
-    def expand(s: String): String = s.flatMap { ch =>
-      val cp = ch.toInt
-      if (cp >= 0xE000 && cp < 0xE000 + 6400) {
-        byRank.get(cp - 0xE000 + 1).map(expand)
-          .getOrElse(ch.toString)
-      } else ch.toString
+    // iterate CODE POINTS, not UTF-16 units: ranks past 6,400 are
+    // supplementary-plane symbols (surrogate pairs in the String)
+    def expand(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        val rank = mergeRankOf(cp)
+        val sub = if (rank > 0) byRank.get(rank).map(expand) else None
+        sb.append(sub.getOrElse(new String(Character.toChars(cp))))
+        i += Character.charCount(cp)
+      }
+      sb.toString
     }
     merges.map { case (r, p, _) => r -> expand(p) }.toMap
   }

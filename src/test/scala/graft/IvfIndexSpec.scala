@@ -43,6 +43,59 @@ class IvfIndexSpec extends SparkSpec {
       plan)
   }
 
+  test("large-kCells write routes assignment through the coarse-" +
+    "quantizer tree with every row's cell identical to the flat argmin") {
+    // VERDICT r15 item 1: past SimilarityOps.TreeAssignThreshold the
+    // build's per-row assignment runs the two-level tree; the persisted
+    // layout must be cell-for-cell what the flat O(k·d) argmin would
+    // have written (full-probe == brute force is codebook-INDEPENDENT,
+    // but cell equality is the stronger pin and costs one pass here).
+    val emb = Tables(spark, dir, "embeddings")
+    val d = tempDirFile("graft_ivftree_")
+    val path = d.getAbsolutePath + "/index"
+    val kCells = SimilarityOps.TreeAssignThreshold + 8 // forces the tree
+    IvfIndex.write(emb, "vec_id", "embedding", kCells = kCells,
+      trainIters = 2, path = path)
+    val meta = IvfIndex.readMeta(spark, path)
+    assert(meta.kCells === kCells && !meta.kCellsAuto)
+    val cb = spark.read.parquet(s"$path/codebook")
+      .as[(Int, Int, Double)].collect().toSeq
+    val cents = SimilarityOps.centroidArrays(cb)
+    assert(cents.length === kCells)
+    val persisted = spark.read.parquet(s"$path/vectors")
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    val flat = emb.select($"vec_id",
+      SimilarityOps.nearestExprFlat($"embedding", cents)
+        .getField("cluster").as("cell"))
+      .as[(Long, Int)].collect().toMap
+    assert(persisted === flat,
+      "tree-assigned cells must equal the flat argmin on every row")
+  }
+
+  test("kCells = 0 auto-sizes to min(ceil(sqrt(n)), cap), records the " +
+    "choice in _meta, and the layout serves normally") {
+    val emb = Tables(spark, dir, "embeddings")
+    val d = tempDirFile("graft_ivfauto_")
+    val path = d.getAbsolutePath + "/index"
+    IvfIndex.write(emb, "vec_id", "embedding", trainIters = 2, path = path)
+    val n = emb.count()
+    val expectK = math.max(4, math.min(IvfIndex.AutoKCellsCap.toLong,
+      math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+    val meta = IvfIndex.readMeta(spark, path)
+    assert(meta.kCells === expectK, s"n=$n")
+    assert(meta.kCellsAuto, "_meta must record that kCells was auto-sized")
+    // the auto-sized layout is a normal index: full probe == brute force
+    val qvec = emb.filter($"vec_id" === 3)
+      .select($"embedding".cast("array<double>")).as[Array[Double]].head()
+    val got = IvfIndex.query(spark, path, qvec, excludeId = Some(3L),
+      nprobe = expectK, k = 5)
+      .select($"vec_id").as[Long].collect().toSeq
+    val brute = SimilarityOps.bruteForceTopK(
+      emb, emb.filter($"vec_id" === 3), "vec_id", "embedding", 5)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(got === brute)
+  }
+
   test("queryBatch == a per-query loop of single queries; the batch scan " +
     "prunes to the union of probed cells and group-limits per query") {
     val emb = Tables(spark, dir, "embeddings")

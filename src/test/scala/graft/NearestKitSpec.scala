@@ -91,6 +91,51 @@ class NearestKitSpec extends SparkSpec {
     }
   }
 
+  test("NearestCentroidGrouped (two-level tree) == flat NearestCentroid " +
+    "cell-for-cell, on clustered, uniform, tied, and boundary vectors") {
+    val dims = 16
+    // 120 centroids in 10 tight clusters (pruning actually fires) plus
+    // 8 scattered ones; cluster ids shuffled so ascending-id != grouped
+    val clustered = for {
+      g <- 0 until 10; j <- 0 until 12
+    } yield vec(g + 300, dims).zip(vec(g * 12 + j + 700, dims))
+      .map { case (base, nudge) => base + nudge * 0.01 }
+    val scattered = (0 until 8).map(i => vec(i + 900, dims))
+    val allCents = (clustered ++ scattered).zipWithIndex
+      .map { case (c, i) => ((i * 37) % 128, c.toArray) } // permuted ids
+    assert(allCents.map(_._1).distinct.length === allCents.length)
+    // probes: near cluster centers, between clusters (boundary — the
+    // case where a lazily-pruned group could hide the true argmin),
+    // far outside, and EXACTLY on a centroid (tie with itself)
+    val probes =
+      (0 until 40).map(i => vec(i + 1500, dims)) ++
+        (0 until 10).map(g => vec(g + 300, dims)) ++
+        clustered.take(5).map(_.toArray) ++
+        Seq(vec(301, dims).zip(vec(302, dims)).map { case (a, b) => (a + b) / 2 })
+    val df = probes.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val flat = df.select($"id",
+      SimilarityOps.nearestExprFlat($"v", allCents).as("m"))
+      .select($"id", $"m.cluster", $"m.d2".cast("string"))
+      .as[(Long, Int, String)].collect().sortBy(_._1)
+    val tree = df.select($"id",
+      SimilarityOps.nearestExprTree($"v", allCents).as("m"))
+      .select($"id", $"m.cluster", $"m.d2".cast("string"))
+      .as[(Long, Int, String)].collect().sortBy(_._1)
+    assert(tree === flat,
+      "tree assignment must equal the flat argmin bit-for-bit " +
+        "(cell AND exact decimal distance)")
+    // duplicate-centroid tie across DIFFERENT tree groups still lands
+    // the lowest cluster id
+    val c0 = vec(42, dims)
+    val tied = (0 until 80).map(i => (i + 1, vec(i + 2500, dims))) ++
+      Seq((90, c0), (85, c0)) // same point, ids out of order
+    val got = df.limit(1).select(
+      SimilarityOps.nearestExprTree(typedlit(c0), tied).as("m"))
+      .select($"m.cluster").as[Int].head()
+    assert(got === 85)
+  }
+
   test("PqCodesOf slices subspaces correctly: each code is the " +
     "per-subspace reference argmin (pruning invisible)") {
     val dims = 12
