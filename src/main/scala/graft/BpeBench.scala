@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** VERDICT r15 item 4's timing note: the driver-side merge loop vs the
+  * pre-r16 one-Spark-job-per-round trainer, on the same corpus. The
+  * per-round form pays a fixed stage latency PER MERGE (the structural
+  * reason production 32k-merge training was impossible); the driver
+  * loop pays one distributed word-table scan and then metadata-scale
+  * work per round. Reported: per-round trainer at its old costs for a
+  * modest rank budget, the driver loop at that same budget AND at a
+  * production-scale budget the old cap could never reach.
+  */
+object BpeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val jobMerges = sys.env.getOrElse("SPARK_GRAFT_BPE_JOB_MERGES", "200").toInt
+    val bigMerges = sys.env.getOrElse("SPARK_GRAFT_BPE_BIG_MERGES", "32000").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables(spark, sfDir, "documents")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    import graft.operators.TextOps
+    // warm-up: JVM/codegen/scan
+    TextOps.bpeTrain(docs, "text", 5)
+    val (mJobs, tJobs) =
+      timed(TextOps.bpeTrainPerRoundJobs(docs, "text", jobMerges))
+    val (mDrv, tDrv) = timed(TextOps.bpeTrain(docs, "text", jobMerges))
+    require(mJobs == mDrv, "trainers diverged — BpeSpec should have caught this")
+    val (mBig, tBig) = timed(TextOps.bpeTrain(docs, "text", bigMerges))
+    println(s"""{"metric":"bpe_timing","unit":"sec","sf":"$sfDir","cpus":$cpus,"job_merges":$jobMerges,"per_round_jobs":$tJobs,"driver_loop_same_budget":$tDrv,"big_merges":$bigMerges,"big_merges_trained":${mBig.size},"driver_loop_big":$tBig}""")
+    spark.stop()
+  }
+}

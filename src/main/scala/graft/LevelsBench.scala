@@ -71,54 +71,74 @@ object LevelsBench {
       df.select(bit_xor(xxhash64(df.columns.map(col).toSeq: _*))).collect()
       ()
     }
-    import graft.operators.LevelPipeline
-    val cases: Seq[(String, () => DataFrame)] = Seq(
+    import graft.operators.{LevelPipeline, SkewOps}
+    // steady-state profile for hot_profiled: seeded OUTSIDE the timers
+    // (the first-run dedicated scan is hot_auto's cost, already
+    // measured); both passes share the path, so pass1's refresh feeds
+    // pass2 — the scheduled-ingest loop exactly
+    val profDir = java.nio.file.Files.createTempDirectory("levels_prof")
+      .toString + "/p"
+    SkewOps.writeProfile(spark, profDir,
+      SkewOps.hotKeyProfile(hot, Seq("site_no")))
+    val cases: Seq[(String, () => Unit)] = Seq(
       "uniform_union" -> (() =>
-        LevelPipeline.processLevels(raw, stations, silo, intensity,
-          naiveLevel4Frame = naiveL4)),
+        force(LevelPipeline.processLevels(raw, stations, silo, intensity,
+          naiveLevel4Frame = naiveL4))),
       "uniform_bucketed" -> (() =>
-        LevelPipeline.processLevels(raw, stations, silo, intensity,
+        force(LevelPipeline.processLevels(raw, stations, silo, intensity,
           bucketedAsofSeconds = Some(bucketSecs),
-          naiveLevel4Frame = naiveL4)),
+          naiveLevel4Frame = naiveL4))),
       // BOTH hatches on the uniform fixture: the downside measurement
       // for the r15 bucketed level1 (is the hatch free when not needed?)
       "uniform_full_bucketed" -> (() =>
-        LevelPipeline.processLevels(raw, stations, silo, intensity,
+        force(LevelPipeline.processLevels(raw, stations, silo, intensity,
           bucketedAsofSeconds = Some(bucketSecs),
           naiveLevel4Frame = naiveL4,
-          bucketedLevel1Seconds = Some(bucketSecs))),
+          bucketedLevel1Seconds = Some(bucketSecs)))),
       "hot_union" -> (() =>
-        LevelPipeline.processLevels(hot, stations, silo, intensity,
-          naiveLevel4Frame = naiveL4)),
+        force(LevelPipeline.processLevels(hot, stations, silo, intensity,
+          naiveLevel4Frame = naiveL4))),
       "hot_bucketed" -> (() =>
-        LevelPipeline.processLevels(hot, stations, silo, intensity,
+        force(LevelPipeline.processLevels(hot, stations, silo, intensity,
           bucketedAsofSeconds = Some(bucketSecs),
-          naiveLevel4Frame = naiveL4)),
+          naiveLevel4Frame = naiveL4))),
       // the r15 headline: bucketed as-of AND bucketed level1 lag/dedup —
       // what processLevels(autoSkew = true) selects at share >= 0.5
       "hot_full_bucketed" -> (() =>
-        LevelPipeline.processLevels(hot, stations, silo, intensity,
+        force(LevelPipeline.processLevels(hot, stations, silo, intensity,
           bucketedAsofSeconds = Some(bucketSecs),
           naiveLevel4Frame = naiveL4,
-          bucketedLevel1Seconds = Some(bucketSecs))),
-      // the real-world mode: profile + decide + run, all timed together
+          bucketedLevel1Seconds = Some(bucketSecs)))),
+      // the pre-r16 auto mode: DEDICATED profile scan + decide + run,
+      // all timed together (the ~17 s overhead r15 measured)
       "hot_auto" -> (() =>
-        LevelPipeline.processLevels(hot, stations, silo, intensity,
+        force(LevelPipeline.processLevels(hot, stations, silo, intensity,
           naiveLevel4Frame = naiveL4, autoSkew = true,
-          autoSkewBucketSeconds = bucketSecs)),
-      "hot_l1_dedup_only" -> (() => LevelPipeline.level1(hot)),
+          autoSkewBucketSeconds = bucketSecs))),
+      // the r16 mode: decision from last run's profile (zero jobs),
+      // free observe() refresh INSIDE the timer — the target is within
+      // ~10% of hot_full_bucketed (VERDICT r15 item 3)
+      "hot_profiled" -> (() => {
+        val r = LevelPipeline.processLevelsProfiled(
+          hot, stations, silo, intensity, profDir,
+          naiveLevel4Frame = naiveL4, bucketSeconds = bucketSecs)
+        force(r.df)
+        r.refresh()
+        ()
+      }),
+      "hot_l1_dedup_only" -> (() => force(LevelPipeline.level1(hot))),
       "hot_l1_bucketed_only" -> (() =>
-        LevelPipeline.level1(hot, bucketSeconds = Some(bucketSecs))))
+        force(LevelPipeline.level1(hot, bucketSeconds = Some(bucketSecs)))))
 
     // the a18 signal on the hot fixture's shuffle key
     val prof = graft.operators.SkewOps
       .skewProfile(hot.select($"site_no"), Seq("site_no"), topK = 1)
       .select($"share", $"skew").as[(Double, Double)].head()
 
-    try force(cases.head._2()) catch { case _: Throwable => () } // warm-up
+    try cases.head._2() catch { case _: Throwable => () } // warm-up
     def pass(): Seq[(String, Double)] = cases.map { case (name, mk) =>
       val t0 = System.nanoTime()
-      val ok = try { force(mk()); true } catch { case e: Throwable =>
+      val ok = try { mk(); true } catch { case e: Throwable =>
         System.err.println(s"[levels-bench] $name FAILED: ${e.getMessage}")
         false
       }

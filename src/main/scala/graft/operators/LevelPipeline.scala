@@ -360,4 +360,64 @@ object LevelPipeline {
     val l3 = level3(l2, stations)
     level4(l3, naiveFrame = naiveLevel4Frame)
   }
+
+  /** One profiled chain run: the frame to act on, the skew plan it was
+    * built under, and the refresh callback to invoke AFTER the caller's
+    * action completes (it folds the free observation into the persisted
+    * profile; None if no action ran).
+    */
+  final case class ProfiledLevels(
+      df: DataFrame,
+      plan: SkewPlan,
+      refresh: () => Option[SkewOps.SkewProfile])
+
+  /** [[processLevels]](autoSkew) with the profile scan made ~FREE for
+    * the scheduled-ingest reality (VERDICT r15 item 3: the dedicated
+    * [[SkewOps.topKeyShare]] job was ~17 s of hot_auto's 63 s at
+    * mult=200). The hatch decision comes from LAST run's persisted
+    * profile at `profilePath` — zero jobs — and THIS run's raw scan
+    * carries a free `observe()` ([[SkewOps.observeProfile]]) that
+    * re-measures (total rows, stored-hot-key share, current mode);
+    * calling `refresh()` after the caller's action persists the update.
+    * A dedicated scan runs ONLY when there is no usable profile: the
+    * first run ever, or the run after the observed mode moved off the
+    * stored hot key (share = -1 in the sidecar). Decision rule and
+    * hatches are EXACTLY [[planSkew]]'s, so the e2e result is
+    * hash-identical to `processLevels(autoSkew = true)` (pinned in
+    * LevelPipelineSpec; `pl_levels_bucketed` carries the oracle).
+    */
+  def processLevelsProfiled(
+      raw: DataFrame,
+      stations: DataFrame,
+      silo: DataFrame,
+      intensity: DataFrame,
+      profilePath: String,
+      naiveLevel4Frame: Boolean = false,
+      threshold: Double = 0.5,
+      bucketSeconds: Long = 21600L): ProfiledLevels = {
+    val spark = raw.sparkSession
+    val keys = Seq("site_no")
+    val prior = SkewOps.readProfile(spark, profilePath) match {
+      case Some(p) if p.share >= 0.0 => p
+      case _ =>
+        // first run, or the hot key moved (share unknown): pay the one
+        // dedicated scan and persist what it measured
+        val measured = SkewOps.hotKeyProfile(raw, keys)
+        SkewOps.writeProfile(spark, profilePath, measured)
+        measured
+    }
+    val plan =
+      if (prior.share >= threshold)
+        SkewPlan(prior.share, Some(bucketSeconds), Some(bucketSeconds))
+      else SkewPlan(prior.share, None, None)
+    val (observedRaw, obs) =
+      SkewOps.observeProfile(raw, keys, Some(prior.hotKey))
+    val out = processLevels(observedRaw, stations, silo, intensity,
+      bucketedAsofSeconds = plan.bucketedAsofSeconds,
+      naiveLevel4Frame = naiveLevel4Frame,
+      bucketedLevel1Seconds = plan.bucketedLevel1Seconds)
+    ProfiledLevels(out, plan,
+      () => SkewOps.refreshProfile(spark, profilePath, keys,
+        Some(prior.hotKey), obs))
+  }
 }

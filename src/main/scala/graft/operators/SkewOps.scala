@@ -107,8 +107,161 @@ object SkewOps {
     * bucketed forms at share >= ~0.5).
     */
   def topKeyShare(df: DataFrame, keys: Seq[String]): Double = {
+    dedicatedProfileJobs.incrementAndGet()
     val top = skewProfile(df.select(keys.map(col): _*), keys, topK = 1)
       .select(col("share")).collect()
     if (top.isEmpty) 0.0 else top(0).getDouble(0)
+  }
+
+  /** How many DEDICATED profile scans ran in this JVM (topKeyShare /
+    * hotKeyProfile) — test observability for the piggybacked mode:
+    * steady-state profiled runs must not increment it (VERDICT r15
+    * item 3: the dedicated scan was ~17 s of hot_auto's 63 s).
+    */
+  private[graft] val dedicatedProfileJobs =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // -------------------------------------------------------------------
+  // Persisted skew profiles + piggybacked refresh (VERDICT r15 item 3).
+  //
+  // planSkew/topKeyShare pay a dedicated full scan of the input per
+  // run — measured at ~17 s of a 63 s mult=200 chain. The scheduled-
+  // ingest reality is that the SAME feed runs repeatedly, so the plan
+  // can come from LAST run's profile (a tiny persisted sidecar, zero
+  // jobs) while THIS run refreshes the profile for free: an observe()
+  // riding the chain's own first pass records the total row count, the
+  // stored hot key's exact count, and the stream's current mode. When
+  // the mode still equals the stored hot key the refreshed share is
+  // exact; when the hot key MOVED, the profile records the new hot
+  // value with share = -1 ("unknown"), and the next run falls back to
+  // one dedicated scan to re-measure — the honest convergence: at most
+  // one paid scan per hot-key change, zero in steady state.
+  // -------------------------------------------------------------------
+
+  /** A persisted key-skew profile: the hottest value of `keys` (values
+    * stringified, in key order), its row `share` (-1 = unknown — the
+    * hot key changed since the share was measured), and the feed's
+    * `total` rows when last observed.
+    */
+  final case class SkewProfile(
+      keys: Seq[String], hotKey: Seq[String], share: Double, total: Long)
+
+  /** Read `<path>/_meta` (None when no profile has been written). */
+  def readProfile(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[SkewProfile] =
+    if (!MetaSidecar.exists(spark, path)) None
+    else {
+      val node = MetaSidecar.read(spark, path, "skew profile",
+        "run the pipeline once with a profile path to create it")
+      def strs(field: String): Seq[String] = {
+        val arr = node.get(field)
+        (0 until arr.size).map(i => arr.get(i).asText)
+      }
+      Some(SkewProfile(strs("keys"), strs("hotKey"),
+        node.get("share").asDouble, node.get("total").asLong))
+    }
+
+  /** Overwrite the profile sidecar at `<path>/_meta`. */
+  def writeProfile(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      p: SkewProfile): Unit = {
+    import MetaSidecar.jstr
+    def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
+    MetaSidecar.write(spark, path,
+      s""""keys":${arr(p.keys)},"hotKey":${arr(p.hotKey)},""" +
+        s""""share":${p.share},"total":${p.total}""")
+  }
+
+  /** One dedicated scan measuring the hottest key's value and share —
+    * the fallback [[profiledPlanShare]] pays when no (fresh) profile
+    * exists. Returns share 0.0 / empty hot key on an empty frame.
+    */
+  def hotKeyProfile(df: DataFrame, keys: Seq[String]): SkewProfile = {
+    dedicatedProfileJobs.incrementAndGet()
+    val rows = skewProfile(df.select(keys.map(col): _*), keys, topK = 1)
+      .select((keys.map(c => col(c).cast("string")) :+ col("share") :+
+        col("n")): _*)
+      .collect()
+    if (rows.isEmpty) SkewProfile(keys, Seq.fill(keys.size)(""), 0.0, 0L)
+    else {
+      val r = rows(0)
+      SkewProfile(keys,
+        keys.indices.map(i => Option(r.getString(i)).getOrElse("")),
+        r.getDouble(keys.size), r.getLong(keys.size + 1))
+    }
+  }
+
+  // keys flattened to ONE observable string: multi-key hot values
+  // compare and mode() as a unit (the \u0001 separator never occurs in
+  // the reference feeds; a null key stringifies as empty, like
+  // concat_ws — profile heuristics, not join semantics)
+  private def keyStr(keys: Seq[String]): Column =
+    concat_ws("\u0001", keys.map(k => coalesce(col(k).cast("string"),
+      lit(""))): _*)
+
+  /** Attach the free profile observation to `df`: metrics ride whatever
+    * action the caller's chain runs (no extra job). Returns the
+    * observed frame plus the
+    * [[org.apache.spark.sql.Observation]] to hand to
+    * [[refreshProfile]] after that action completes.
+    */
+  def observeProfile(
+      df: DataFrame,
+      keys: Seq[String],
+      lastHot: Option[Seq[String]]): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val ks = keyStr(keys)
+    val hotCond = lastHot.fold(lit(false))(h =>
+      ks === lit(h.mkString("\u0001")))
+    val observed = df.observe(obs,
+      count(lit(1)).as("__total"),
+      sum(when(hotCond, 1L).otherwise(0L)).as("__hot_n"),
+      mode(ks).as("__mode"))
+    (observed, obs)
+  }
+
+  /** Fold an [[observeProfile]] observation into a refreshed profile and
+    * persist it at `path`. None (and no write) when the observed action
+    * has not run. Share is exact when the mode still equals the hot key
+    * the observation counted; otherwise the profile records the NEW hot
+    * value with share = -1 (unknown) so the next run re-measures.
+    */
+  def refreshProfile(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      keys: Seq[String],
+      lastHot: Option[Seq[String]],
+      obs: org.apache.spark.sql.Observation,
+      waitSeconds: Int = 30): Option[SkewProfile] = {
+    // the observation resolves from an ASYNC listener a beat after the
+    // observed action returns — wait boundedly (an already-resolved
+    // future returns immediately; a run whose action never happened
+    // times out to None and writes nothing)
+    val row =
+      try scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(waitSeconds, "s"))
+      catch {
+        case _: java.util.concurrent.TimeoutException => null
+        case _: InterruptedException => null
+      }
+    if (row == null) None
+    else {
+      val total = row.getAs[Long]("__total")
+      val hotN = Option(row.getAs[Any]("__hot_n"))
+        .fold(0L)(_.asInstanceOf[Long])
+      val newHot = Option(row.getAs[String]("__mode"))
+        .map(_.split("\u0001", -1).toSeq)
+        .getOrElse(Seq.fill(keys.size)(""))
+      val share =
+        if (total == 0L) 0.0
+        else if (lastHot.contains(newHot))
+          math.round(hotN.toDouble / total * 1e6) / 1e6
+        else -1.0
+      val p = SkewProfile(keys, newHot, share, total)
+      writeProfile(spark, path, p)
+      Some(p)
+    }
   }
 }

@@ -699,11 +699,37 @@ object TimeSeriesOps {
       cmpCols: Seq[String],
       bucketSeconds: Long,
       markOnly: Boolean = false,
-      dupFlagCol: String = "__is_dup"): DataFrame = {
+      dupFlagCol: String = "__is_dup",
+      keyWidthGuard: Boolean = true): DataFrame = {
     require(bucketSeconds >= windowSeconds,
       s"dedupWithinBucketed: bucketSeconds ($bucketSeconds) must be >= " +
         s"windowSeconds ($windowSeconds) so only the previous bucket " +
         "can hold an in-window predecessor")
+    // Wide-key misuse guard (VERDICT r15 item 6): this form pays for
+    // itself ONLY when the partition key (keys ++ cmpCols) has few
+    // distinct values relative to rows — the identical-tuple flood it
+    // exists for. On near-unique keys the per-(group, bucket) carry
+    // summary is corpus-sized and the null-safe carry join re-shuffles
+    // everything: measured 2× SLOWER than plain dedupWithin (SCALE.md
+    // §10b finding 2). One bounded probe (first 100k rows, one
+    // map-side-combinable agg) refuses the pessimizing call instead of
+    // leaving the rule as tribal knowledge; pass keyWidthGuard = false
+    // to override when the head of the data is unrepresentative.
+    if (keyWidthGuard) {
+      val probe = df.select((keys ++ cmpCols).map(col): _*).limit(100000)
+        .agg(count(lit(1)).as("n"),
+          approx_count_distinct(struct((keys ++ cmpCols).map(col): _*))
+            .as("d"))
+        .collect()(0)
+      val (n, d) = (probe.getLong(0), probe.getLong(1))
+      if (n >= 1000 && d.toDouble / n > 0.8)
+        throw new IllegalArgumentException(
+          f"dedupWithinBucketed: the partition key (${(keys ++ cmpCols)
+            .mkString(", ")}) is near-unique (~$d%d distinct in the first " +
+            f"$n%d rows) — bucket-and-carry is measured 2x SLOWER than " +
+            "dedupWithin on wide keys (its carry summary is corpus-sized); " +
+            "use dedupWithin, or pass keyWidthGuard = false to override")
+    }
     for (c <- Seq("__b", "__prior_in", "__bmax", "__prev_bmax"))
       require(!df.columns.contains(c),
         s"dedupWithinBucketed reserves column $c — rename it on the input")

@@ -296,4 +296,71 @@ class LevelPipelineSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(autoHot === manual)
   }
+
+  test("processLevelsProfiled: first run pays ONE dedicated scan, steady " +
+    "state pays zero (the decision comes from last run's profile and " +
+    "the refresh rides the chain's own action), answers unchanged; a " +
+    "moved hot key degrades to unknown-share and re-measures once") {
+    import org.apache.spark.sql.functions.{col => C}
+    import graft.operators.SkewOps
+    val dir = "/root/testdata/sf0.001"
+    val raw5 = graft.queries.PipelineQueries.rawDf(spark, dir)
+    val stations5 = graft.queries.PipelineQueries.stationsDf(spark)
+    val silo5 = graft.queries.PipelineQueries.siloDf(spark)
+    val inten5 = graft.queries.PipelineQueries.intensityDf(spark)
+    val hot = raw5.unionByName(
+      raw5.filter(C("site_no") === 0).crossJoin(
+        spark.range(4).select(C("id").as("__r")))
+        .withColumn("time",
+          expr("time + make_interval(0, 0, 0, 0, 0, 0, __r + 1)"))
+        .drop("__r"))
+    val profDir = tempDirFile("graft_skewprof_").getAbsolutePath + "/p"
+    val reference = LevelPipeline.processLevels(hot, stations5, silo5, inten5,
+      autoSkew = true).collect().map(_.toString).sorted.toSeq
+
+    // run 1: no profile -> one dedicated scan, hatches engaged, profile
+    // persisted with the measured hot key; refresh makes the share exact
+    val before = SkewOps.dedicatedProfileJobs.get()
+    val run1 = LevelPipeline.processLevelsProfiled(
+      hot, stations5, silo5, inten5, profDir)
+    assert(SkewOps.dedicatedProfileJobs.get() === before + 1)
+    assert(run1.plan.bucketedAsofSeconds === Some(21600L))
+    assert(run1.plan.bucketedLevel1Seconds === Some(21600L))
+    val rows1 = run1.df.collect().map(_.toString).sorted.toSeq
+    assert(rows1 === reference,
+      "profiled chain must be row-identical to processLevels(autoSkew)")
+    val refreshed1 = run1.refresh()
+    assert(refreshed1.isDefined)
+    assert(refreshed1.get.hotKey === Seq("0"))
+    assert(refreshed1.get.share >= 0.5,
+      s"refresh must land the exact hot share, got ${refreshed1.get.share}")
+
+    // run 2 (steady state): ZERO dedicated scans, same plan, same rows
+    val run2 = LevelPipeline.processLevelsProfiled(
+      hot, stations5, silo5, inten5, profDir)
+    assert(SkewOps.dedicatedProfileJobs.get() === before + 1,
+      "steady-state profiled run must not pay a dedicated profile scan")
+    assert(run2.plan.bucketedAsofSeconds === Some(21600L))
+    assert(run2.df.collect().map(_.toString).sorted.toSeq === reference)
+    assert(run2.refresh().exists(_.share >= 0.5))
+
+    // hot key moves: seed a stale profile claiming site 3 is hot. The
+    // run plans from the stale share (still engaged), the refresh sees
+    // mode != stored hot -> share -1 (unknown), and the NEXT run pays
+    // exactly one dedicated scan to re-measure
+    SkewOps.writeProfile(spark, profDir,
+      SkewOps.SkewProfile(Seq("site_no"), Seq("3"), 0.9, 1L))
+    val run3 = LevelPipeline.processLevelsProfiled(
+      hot, stations5, silo5, inten5, profDir)
+    assert(SkewOps.dedicatedProfileJobs.get() === before + 1)
+    run3.df.count()
+    val refreshed3 = run3.refresh()
+    assert(refreshed3.exists(p => p.share === -1.0 && p.hotKey === Seq("0")),
+      s"moved hot key must degrade to unknown share, got $refreshed3")
+    val run4 = LevelPipeline.processLevelsProfiled(
+      hot, stations5, silo5, inten5, profDir)
+    assert(SkewOps.dedicatedProfileJobs.get() === before + 2,
+      "the run after an unknown-share profile re-measures once")
+    assert(run4.plan.bucketedAsofSeconds === Some(21600L))
+  }
 }

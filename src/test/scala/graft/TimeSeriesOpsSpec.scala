@@ -866,6 +866,38 @@ class TimeSeriesOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedupWithinBucketed refuses a near-unique partition key (the " +
+    "measured 2x-loss misuse), stays silent on the identical-tuple " +
+    "flood it exists for, and keyWidthGuard = false overrides") {
+    // near-unique: every (k, v) tuple distinct -> bucket-and-carry's
+    // summary is corpus-sized (SCALE.md §10b finding 2's shape)
+    val wide = (0 until 3000).map { i =>
+      (i.toLong, i, new java.sql.Timestamp(1704067200000L + i * 1000L),
+        i.toDouble)
+    }.toDF("id", "k", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      TimeSeriesOps.dedupWithinBucketed(
+        wide, Seq("k"), "t", windowSeconds = 1740L, cmpCols = Seq("v"),
+        bucketSeconds = 3600L)
+    }
+    assert(e.getMessage.contains("near-unique"))
+    // flood: 3000 rows over 3 groups -> guard silent, operator runs
+    val flood = (0 until 3000).map { i =>
+      (i.toLong, i % 3, new java.sql.Timestamp(1704067200000L + i * 1000L),
+        1.0)
+    }.toDF("id", "k", "t", "v")
+    val kept = TimeSeriesOps.dedupWithinBucketed(
+      flood, Seq("k"), "t", windowSeconds = 1740L, cmpCols = Seq("v"),
+      bucketSeconds = 3600L)
+      .count()
+    assert(kept > 0)
+    // override: the caller who knows the head is unrepresentative
+    val forced = TimeSeriesOps.dedupWithinBucketed(
+      wide, Seq("k"), "t", windowSeconds = 1740L, cmpCols = Seq("v"),
+      bucketSeconds = 3600L, keyWidthGuard = false)
+    assert(forced.count() === 3000L) // all tuples distinct: nothing drops
+  }
+
   test("dedupWithinBucketed: in-window predecessor exactly one bucket " +
     "back is seen; window-boundary row (ts - window) is IN the window") {
     val df = Seq(
