@@ -40,7 +40,15 @@ object BpeBench {
     val (mDrv, tDrv) = timed(TextOps.bpeTrain(docs, "text", jobMerges))
     require(mJobs == mDrv, "trainers diverged — BpeSpec should have caught this")
     val (mBig, tBig) = timed(TextOps.bpeTrain(docs, "text", bigMerges))
-    println(s"""{"metric":"bpe_timing","unit":"sec","sf":"$sfDir","cpus":$cpus,"job_merges":$jobMerges,"per_round_jobs":$tJobs,"driver_loop_same_budget":$tDrv,"big_merges":$bigMerges,"big_merges_trained":${mBig.size},"driver_loop_big":$tBig}""")
+    // the sf corpus is word-salad over a tiny vocabulary (it runs dry
+    // after ~90 merges), so the production-budget datapoint needs a
+    // synthetic vocabulary with real pair structure: 200k distinct
+    // md5-hex words (16-char alphabet -> deep merge chains), one scan
+    // to the word table, then the driver loop at a 2k-merge budget
+    val synth = spark.range(200000L)
+      .selectExpr("md5(cast(id as string)) as text")
+    val (mSynth, tSynth) = timed(TextOps.bpeTrain(synth, "text", 2000))
+    println(s"""{"metric":"bpe_timing","unit":"sec","sf":"$sfDir","cpus":$cpus,"job_merges":$jobMerges,"per_round_jobs":$tJobs,"driver_loop_same_budget":$tDrv,"big_merges":$bigMerges,"big_merges_trained":${mBig.size},"driver_loop_big":$tBig,"synth_vocab":200000,"synth_merges":2000,"synth_trained":${mSynth.size},"driver_loop_synth":$tSynth}""")
     spark.stop()
   }
 }

@@ -72,6 +72,42 @@ object NearestMath {
       case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
       case _ => None
     }
+
+  /** Plain-double d2 over the same range — the SCREENING pass of the
+    * double-first argmin (see [[candidateSlack]]); decisions about
+    * actual distances always re-run through the decimal [[d2Range]].
+    */
+  def d2Double(
+      vec: ArrayData, isFloat: Boolean, offset: Int,
+      cent: Array[Double]): Double = {
+    val n = math.min(cent.length, vec.numElements() - offset)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val a =
+        if (isFloat) vec.getFloat(offset + i).toDouble
+        else vec.getDouble(offset + i)
+      val diff = a - cent(i)
+      acc += diff * diff
+      i += 1
+    }
+    acc
+  }
+
+  /** The provable gap between a centroid's decimal-contract d2 and its
+    * plain-double d2, with margin: per-term HALF_UP rounding moves each
+    * of n terms by <= 0.5e-12, and the double summation's relative
+    * error is <= n·2^-53 of the (non-negative) term sum. Any centroid
+    * whose DOUBLE distance exceeds the double minimum by more than
+    * twice this slack therefore cannot be the DECIMAL argmin — which is
+    * what lets the expressions below run the BigDecimal arithmetic on a
+    * handful of candidates instead of all k (the decimal ops are ~100×
+    * a double flop and were the measured assignment bottleneck,
+    * SCALE.md §10d/§10e). Ties are unaffected: every centroid within
+    * the slack window IS evaluated exactly.
+    */
+  def candidateSlack(n: Int, d2: Double): Double =
+    n * 1e-12 + 1e-9 * (1.0 + d2)
 }
 
 /** Nearest centroid of a literal codebook for a float/double vector
@@ -122,16 +158,43 @@ case class NearestCentroid(
 object NearestCentroid {
   /** Called from generated code. Strict `<` keeps the first (= lowest
     * id) centroid on exact-decimal ties.
+    *
+    * Double-first argmin (r16): one plain-double pass over all k
+    * centroids screens to the candidates within [[NearestMath
+    * .candidateSlack]] of the double minimum; only THOSE evaluate the
+    * decimal contract — the result (including tie resolution) is
+    * bit-identical to evaluating decimal everywhere, at ~k× fewer
+    * BigDecimal ops (the measured assignment bottleneck). A non-finite
+    * screening minimum (NaN/Infinity input) falls back to the full
+    * decimal loop, which throws the documented ANSI-cast error exactly
+    * as before.
     */
   def nearest(
       vec: ArrayData, isFloat: Boolean, clusters: Array[Int],
       centroids: Array[Array[Double]]): InternalRow = {
+    val k = centroids.length
+    val dd = new Array[Double](k)
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < k) {
+      val d = NearestMath.d2Double(vec, isFloat, 0, centroids(c))
+      dd(c) = d
+      if (d < bestD) bestD = d
+      c += 1
+    }
+    val screen = java.lang.Double.isFinite(bestD)
+    val cut =
+      if (screen)
+        bestD + 2.0 * NearestMath.candidateSlack(vec.numElements(), bestD)
+      else Double.PositiveInfinity
     var best: JBigDecimal = null
     var bi = 0
-    var c = 0
-    while (c < centroids.length) {
-      val d = NearestMath.d2Range(vec, isFloat, 0, centroids(c), best)
-      if (best == null || d.compareTo(best) < 0) { best = d; bi = c }
+    c = 0
+    while (c < k) {
+      if (!screen || dd(c) <= cut) {
+        val d = NearestMath.d2Range(vec, isFloat, 0, centroids(c), best)
+        if (best == null || d.compareTo(best) < 0) { best = d; bi = c }
+      }
       c += 1
     }
     InternalRow(clusters(bi), Decimal(scala.math.BigDecimal(best)))
@@ -217,37 +280,37 @@ case class NearestCentroidGrouped(
 }
 
 object NearestCentroidGrouped {
-  /** Plain-double d2 (bounds arithmetic only — decisions about ACTUAL
-    * distances always re-evaluate through the decimal [[NearestMath
-    * .d2Range]]).
-    */
-  private def d2Double(
-      vec: ArrayData, isFloat: Boolean, cent: Array[Double]): Double = {
-    val n = math.min(cent.length, vec.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      val a = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
-      val diff = a - cent(i)
-      acc += diff * diff
-      i += 1
-    }
-    acc
-  }
-
-  /** Called from generated code. Exact argmin — see the class doc for
-    * why pruning cannot change the result: the skip condition carries a
-    * slack term covering (a) the ≤ 0.5e-12-per-term divergence between
-    * the decimal-rounded child distances and their true values, and
-    * (b) double rounding in the bound arithmetic itself, so a group is
-    * skipped only when every child is PROVABLY worse than the current
-    * best even under worst-case rounding.
+  /** Called from generated code. Exact argmin in two screens:
+    *
+    *  1. GROUP screen — groups are visited in ascending order of the
+    *     triangle-inequality lower bound lb = max(0, d(v, super) −
+    *     radius)²; once a group's lb clears the running double minimum
+    *     plus [[NearestMath.candidateSlack]], every remaining group is
+    *     provably worse and the loop stops (this is what makes the
+    *     expected cost O(√k·d) when the centroids cluster; on
+    *     distance-concentrated data — e.g. uniform random vectors —
+    *     the bounds cannot separate groups and this screen degrades to
+    *     visiting all of them, measured and documented in SCALE.md
+    *     §10e).
+    *  2. CANDIDATE screen — visited children are measured in plain
+    *     double; only those within the slack window of the double
+    *     minimum evaluate the decimal contract, in ascending cluster-id
+    *     order so exact-decimal ties resolve to the lowest id exactly
+    *     like the flat loop's first-entry rule.
+    *
+    * Both screens only ever discard PROVABLY-worse centroids (slack
+    * covers the decimal-vs-double gap and the bound arithmetic's own
+    * rounding), so the returned (cluster, d2) is bit-identical to the
+    * flat expression — pinned in NearestKitSpec. A non-finite
+    * screening minimum falls back to the full decimal loop, which
+    * throws the documented ANSI-cast error exactly as the flat form.
     */
   def nearest(
       vec: ArrayData, isFloat: Boolean, clusters: Array[Int],
       centroids: Array[Array[Double]], groupCentroids: Array[Array[Double]],
       groupRadius: Array[Double], groupChildren: Array[Array[Int]]): InternalRow = {
     val g = groupCentroids.length
+    val k = centroids.length
     val dims = vec.numElements()
     // lower bound per group: no child can be closer than
     // d(v, super) − radius (triangle inequality)
@@ -255,7 +318,8 @@ object NearestCentroidGrouped {
     val order = new Array[Integer](g)
     var gi = 0
     while (gi < g) {
-      val d = math.sqrt(d2Double(vec, isFloat, groupCentroids(gi)))
+      val d = math.sqrt(NearestMath.d2Double(vec, isFloat, 0,
+        groupCentroids(gi)))
       val l = d - groupRadius(gi)
       lb(gi) = if (l > 0.0) l * l else 0.0
       order(gi) = gi
@@ -263,34 +327,50 @@ object NearestCentroidGrouped {
     }
     java.util.Arrays.sort(order, (a: Integer, b: Integer) =>
       java.lang.Double.compare(lb(a), lb(b)))
-    var best: JBigDecimal = null
-    var bestD = 0.0
-    var bi = -1
+    // visited children's double distances; NaN marks "never visited"
+    // (an unvisited child was excluded by a group bound that already
+    // carries the slack, so it can never be a decimal candidate)
+    val dd = new Array[Double](k)
+    java.util.Arrays.fill(dd, Double.NaN)
+    var bestD = Double.PositiveInfinity
     var oi = 0
     var done = false
     while (oi < g && !done) {
       val grp = order(oi).intValue()
-      // groups are visited in ascending-lb order: once one group's lb
-      // clears the slackened best, every later group does too
-      if (best != null &&
-        lb(grp) > bestD + dims * 1e-12 + 1e-9 * (1.0 + lb(grp) + bestD))
+      // ascending-lb order: once one group clears the slackened running
+      // minimum, every later group does too (bestD only decreases)
+      if (java.lang.Double.isFinite(bestD) &&
+        lb(grp) > bestD + 2.0 * NearestMath.candidateSlack(dims, bestD))
         done = true
       else {
         val kids = groupChildren(grp)
         var c = 0
         while (c < kids.length) {
           val ci = kids(c)
-          val d = NearestMath.d2Range(vec, isFloat, 0, centroids(ci), best)
-          val cmp = if (best == null) -1 else d.compareTo(best)
-          // lowest cluster id on exact ties — the flat loop's
-          // first-entry rule, restated across out-of-order groups
-          if (cmp < 0 || (cmp == 0 && clusters(ci) < clusters(bi))) {
-            best = d; bestD = d.doubleValue(); bi = ci
-          }
+          val d = NearestMath.d2Double(vec, isFloat, 0, centroids(ci))
+          dd(ci) = d
+          if (d < bestD) bestD = d
           c += 1
         }
       }
       oi += 1
+    }
+    val screen = java.lang.Double.isFinite(bestD)
+    val cut =
+      if (screen) bestD + 2.0 * NearestMath.candidateSlack(dims, bestD)
+      else Double.PositiveInfinity
+    var best: JBigDecimal = null
+    var bi = 0
+    var ci = 0
+    while (ci < k) {
+      // ascending cluster-id order (centroids are id-sorted), so strict
+      // `<` keeps the lowest id on exact-decimal ties, like the flat
+      // loop; NaN (unvisited) fails the <= and is skipped
+      if ((screen && dd(ci) <= cut) || !screen) {
+        val d = NearestMath.d2Range(vec, isFloat, 0, centroids(ci), best)
+        if (best == null || d.compareTo(best) < 0) { best = d; bi = ci }
+      }
+      ci += 1
     }
     InternalRow(clusters(bi), Decimal(scala.math.BigDecimal(best)))
   }
@@ -342,7 +422,10 @@ case class PqCodesOf(
 }
 
 object PqCodesOf {
-  /** Called from generated code. */
+  /** Called from generated code. Same double-first screening as
+    * [[NearestCentroid.nearest]], per subspace (the PQ encode was the
+    * other all-decimal argmin in the build's hot path).
+    */
   def encode(
       vec: ArrayData, isFloat: Boolean, codes: Array[Array[Int]],
       codebooks: Array[Array[Array[Double]]], dsubLen: Int): ArrayData = {
@@ -350,12 +433,28 @@ object PqCodesOf {
     var s = 0
     while (s < codebooks.length) {
       val cws = codebooks(s)
-      var best: JBigDecimal = null
-      var bi = 0
+      val off = s * dsubLen
+      val dd = new Array[Double](cws.length)
+      var bestD = Double.PositiveInfinity
       var c = 0
       while (c < cws.length) {
-        val d = NearestMath.d2Range(vec, isFloat, s * dsubLen, cws(c), best)
-        if (best == null || d.compareTo(best) < 0) { best = d; bi = c }
+        val d = NearestMath.d2Double(vec, isFloat, off, cws(c))
+        dd(c) = d
+        if (d < bestD) bestD = d
+        c += 1
+      }
+      val screen = java.lang.Double.isFinite(bestD)
+      val cut =
+        if (screen) bestD + 2.0 * NearestMath.candidateSlack(dsubLen, bestD)
+        else Double.PositiveInfinity
+      var best: JBigDecimal = null
+      var bi = 0
+      c = 0
+      while (c < cws.length) {
+        if (!screen || dd(c) <= cut) {
+          val d = NearestMath.d2Range(vec, isFloat, off, cws(c), best)
+          if (best == null || d.compareTo(best) < 0) { best = d; bi = c }
+        }
         c += 1
       }
       out(s) = codes(s)(bi)
