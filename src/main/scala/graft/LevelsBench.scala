@@ -126,6 +126,16 @@ object LevelsBench {
         r.refresh()
         ()
       }),
+      // the refresh-cadence steady state: plan from the profile, no
+      // observation attached — must be ~= hot_full_bucketed exactly
+      "hot_profiled_norefresh" -> (() => {
+        val r = LevelPipeline.processLevelsProfiled(
+          hot, stations, silo, intensity, profDir,
+          naiveLevel4Frame = naiveL4, bucketSeconds = bucketSecs,
+          observeRefresh = false)
+        force(r.df)
+        ()
+      }),
       "hot_l1_dedup_only" -> (() => force(LevelPipeline.level1(hot))),
       "hot_l1_bucketed_only" -> (() =>
         force(LevelPipeline.level1(hot, bucketSeconds = Some(bucketSecs)))))

@@ -386,6 +386,15 @@ object LevelPipeline {
     * hash-identical to `processLevels(autoSkew = true)` (pinned in
     * LevelPipelineSpec; `pl_levels_bucketed` carries the oracle).
     */
+  /** @param observeRefresh attach the free-ish profile observation to
+    *   this run (the metrics ride the chain's own action, but the
+    *   CollectMetrics node is a non-codegen row barrier over the raw
+    *   scan — measured ~15% on the mult=200 chain). The scheduled-
+    *   ingest cadence is to refresh every Nth run: `false` plans from
+    *   the stored profile with ZERO added cost and returns a no-op
+    *   refresh (LEVELS_SPIKE_r16: hot_profiled_norefresh ==
+    *   hot_full_bucketed).
+    */
   def processLevelsProfiled(
       raw: DataFrame,
       stations: DataFrame,
@@ -394,7 +403,8 @@ object LevelPipeline {
       profilePath: String,
       naiveLevel4Frame: Boolean = false,
       threshold: Double = 0.5,
-      bucketSeconds: Long = 21600L): ProfiledLevels = {
+      bucketSeconds: Long = 21600L,
+      observeRefresh: Boolean = true): ProfiledLevels = {
     val spark = raw.sparkSession
     val keys = Seq("site_no")
     val prior = SkewOps.readProfile(spark, profilePath) match {
@@ -410,14 +420,18 @@ object LevelPipeline {
       if (prior.share >= threshold)
         SkewPlan(prior.share, Some(bucketSeconds), Some(bucketSeconds))
       else SkewPlan(prior.share, None, None)
-    val (observedRaw, obs) =
-      SkewOps.observeProfile(raw, keys, Some(prior.hotKey))
-    val out = processLevels(observedRaw, stations, silo, intensity,
+    val (chainRaw, refresh) =
+      if (observeRefresh) {
+        val (observedRaw, obs) =
+          SkewOps.observeProfile(raw, keys, Some(prior.hotKey))
+        (observedRaw,
+          () => SkewOps.refreshProfile(spark, profilePath, keys,
+            Some(prior.hotKey), obs))
+      } else (raw, () => Option.empty[SkewOps.SkewProfile])
+    val out = processLevels(chainRaw, stations, silo, intensity,
       bucketedAsofSeconds = plan.bucketedAsofSeconds,
       naiveLevel4Frame = naiveLevel4Frame,
       bucketedLevel1Seconds = plan.bucketedLevel1Seconds)
-    ProfiledLevels(out, plan,
-      () => SkewOps.refreshProfile(spark, profilePath, keys,
-        Some(prior.hotKey), obs))
+    ProfiledLevels(out, plan, refresh)
   }
 }

@@ -1125,17 +1125,28 @@ object TextOps {
     val syms = vocab.map(_._1)
     val cnt = vocab.map(_._2)
     val pairCount = new mutable.LongMap[Long]()
-    val pairWords = new mutable.LongMap[mutable.BitSet]()
+    // inverted pair -> word-indices index as APPEND-ONLY int buffers
+    // (not BitSet: a BitSet is max-index/8 bytes however few words hold
+    // the pair, and merges mint thousands of sparse pairs — measured
+    // OOM on a 200k-word vocabulary). Duplicate and stale entries are
+    // allowed; the per-round stamp array dedupes at consumption.
+    val pairWords = new mutable.LongMap[mutable.ArrayBuffer[Int]]()
     def addWord(i: Int, s: Array[Int], sign: Long): Unit = {
       var j = 0
       while (j + 1 < s.length) {
         val k = key(s(j), s(j + 1))
         val n = pairCount.getOrElse(k, 0L) + sign * cnt(i)
         if (n == 0L) pairCount.remove(k) else pairCount.update(k, n)
-        if (sign > 0) pairWords.getOrElseUpdate(k, new mutable.BitSet) += i
+        if (sign > 0) {
+          val buf = pairWords.getOrElseUpdate(k, new mutable.ArrayBuffer[Int])
+          // one entry per (pair, word) per rewrite is enough — collapse
+          // the common repeated-adjacency run ("aaaa") to one append
+          if (buf.isEmpty || buf(buf.length - 1) != i) buf += i
+        }
         j += 1
       }
     }
+    val stamp = new Array[Int](syms.length) // last round that processed i
     var i = 0
     while (i < syms.length) { addWord(i, syms(i), 1L); i += 1 }
     val merges = Vector.newBuilder[(Int, String, Long)]
@@ -1159,20 +1170,28 @@ object TextOps {
         // entries); the pair can never re-form — merges replace two
         // symbols with one FRESH symbol, never delete one — so the
         // index entry is consumed, not kept
-        val affected = pairWords.remove(bestK).getOrElse(new mutable.BitSet)
+        val affected = pairWords.remove(bestK)
+          .getOrElse(mutable.ArrayBuffer.empty[Int])
         affected.foreach { wi =>
-          val old = syms(wi)
-          addWord(wi, old, -1L)
-          val out = new Array[Int](old.length)
-          var j = 0
-          var m = 0
-          while (j < old.length) {
-            if (j + 1 < old.length && old(j) == a && old(j + 1) == b) {
-              out(m) = z; m += 1; j += 2
-            } else { out(m) = old(j); m += 1; j += 1 }
+          // stamp-dedup: a word may appear several times in the buffer
+          // (several rewrites appended it); process it once per round.
+          // Stale entries (the word no longer holds the pair) are a
+          // no-op remove/re-add — harmless by construction.
+          if (stamp(wi) != r) {
+            stamp(wi) = r
+            val old = syms(wi)
+            addWord(wi, old, -1L)
+            val out = new Array[Int](old.length)
+            var j = 0
+            var m = 0
+            while (j < old.length) {
+              if (j + 1 < old.length && old(j) == a && old(j + 1) == b) {
+                out(m) = z; m += 1; j += 2
+              } else { out(m) = old(j); m += 1; j += 1 }
+            }
+            syms(wi) = java.util.Arrays.copyOf(out, m)
+            addWord(wi, syms(wi), 1L)
           }
-          syms(wi) = java.util.Arrays.copyOf(out, m)
-          addWord(wi, syms(wi), 1L)
         }
         r += 1
       }

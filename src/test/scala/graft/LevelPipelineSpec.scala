@@ -362,5 +362,16 @@ class LevelPipelineSpec extends SparkSpec {
     assert(SkewOps.dedicatedProfileJobs.get() === before + 2,
       "the run after an unknown-share profile re-measures once")
     assert(run4.plan.bucketedAsofSeconds === Some(21600L))
+    run4.df.count()
+    run4.refresh()
+
+    // refresh-cadence mode: no observation attached, zero dedicated
+    // scans, no-op refresh — same plan, same rows
+    val run5 = LevelPipeline.processLevelsProfiled(
+      hot, stations5, silo5, inten5, profDir, observeRefresh = false)
+    assert(SkewOps.dedicatedProfileJobs.get() === before + 2)
+    assert(run5.plan.bucketedAsofSeconds === Some(21600L))
+    assert(run5.df.collect().map(_.toString).sorted.toSeq === reference)
+    assert(run5.refresh().isEmpty, "norefresh mode must be a no-op refresh")
   }
 }
