@@ -219,19 +219,49 @@ object PipelineQueries extends QueryModule {
       fn = (s, dir) => levelsE2e(s, dir, l1Bucket = Some(21600L),
         asofBucket = Some(21600L)),
       oracle = Some(levelsOracleSql),
+      bench = true),
+
+    // PL-P — the r16 PROFILED decision path under the oracle gate: the
+    // hot-key profile is measured once and persisted (SkewOps
+    // .hotKeyProfile/writeProfile — the first-run shape), read back to
+    // decide the hatches (threshold 0.1 engages BOTH on the 5-site
+    // fixture, share ~0.2 — the same hatches pl_levels_bucketed gates),
+    // and the chain runs over the OBSERVED raw frame (SkewOps
+    // .observeProfile — the free-refresh CollectMetrics node riding the
+    // scan). Identical oracle SQL as pl_levels_e2e: the hash match is
+    // the proof that neither the profile-driven decision nor the
+    // observation node can ever change an answer — only the plan.
+    "pl_levels_profiled" -> Q(
+      fn = (s, dir) => {
+        val profDir = freshTmpDir("plp_") + "/prof"
+        val raw = rawDf(s, dir)
+        graft.operators.SkewOps.writeProfile(s, profDir,
+          graft.operators.SkewOps.hotKeyProfile(raw, Seq("site_no")))
+        val prior = graft.operators.SkewOps.readProfile(s, profDir).get
+        val (obsRaw, _) = graft.operators.SkewOps.observeProfile(
+          raw, Seq("site_no"), Some(prior.hotKey))
+        val b = if (prior.share >= 0.1) Some(21600L) else None
+        levelsE2e(s, dir, l1Bucket = b, asofBucket = b,
+          rawOverride = Some(obsRaw))
+      },
+      oracle = Some(levelsOracleSql),
       bench = true)
   )
 
   /** The full raw -> level4 chain as one verifiable frame, the two skew
-    * hatches threadable (None/None = the union+window default plan).
+    * hatches threadable (None/None = the union+window default plan);
+    * `rawOverride` lets the profiled entry run the chain over an
+    * observation-carrying raw frame.
     */
   private def levelsE2e(
       s: SparkSession,
       dir: String,
       l1Bucket: Option[Long],
-      asofBucket: Option[Long]): DataFrame = {
+      asofBucket: Option[Long],
+      rawOverride: Option[DataFrame] = None): DataFrame = {
         val stations = stationsDf(s)
-        val l1 = LevelPipeline.level1(rawDf(s, dir), bucketSeconds = l1Bucket)
+        val l1 = LevelPipeline.level1(rawOverride.getOrElse(rawDf(s, dir)),
+          bucketSeconds = l1Bucket)
         val l2 = LevelPipeline.level2(l1, stations, siloDf(s), intensityDf(s),
           bucketedAsofSeconds = asofBucket)
         val l3 = LevelPipeline.level3(l2, stations)

@@ -1175,6 +1175,105 @@ object SimilarityQueries extends QueryModule {
         FROM r WHERE rank <= 10
         ORDER BY qid, rank""")),
 
+    // V52 — the r16 build defaults under the oracle gate: write() with
+    // kCells UNPINNED auto-sizes cells to min(⌈√n⌉, 4096) (SCALE.md
+    // §10d's rule promoted to default), which at sf0.01 lands k = 71 —
+    // past SimilarityOps.TreeAssignThreshold, so every row's cell comes
+    // from the two-level coarse-quantizer tree with double-first
+    // screening. The oracle computes the SAME k in SQL and unrolls the
+    // same 2-iteration Lloyd's as v12, then serves the same 3-query
+    // batch — the returned CELL column is the assignment, so a single
+    // vector routed differently by the tree/screening than by the
+    // plain unrolled argmin hash-mismatches. This is the oracle gate
+    // for both r16 assignment paths; NearestKitSpec carries the
+    // bit-parity pins, this row carries the end-to-end proof.
+    "v52_index_auto" -> Q(
+      fn = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val path = freshIndexDir("v52_") + "/index"
+        graft.operators.IvfIndex.write(
+          emb, "vec_id", "embedding", trainIters = 2, path = path)
+        val meta = graft.operators.IvfIndex.readMeta(s, path)
+        require(meta.kCellsAuto, "v52 exists to gate the auto-size default")
+        graft.operators.IvfIndex.queryBatch(
+          s, path, emb.filter(col("vec_id") < 3), nprobe = 2, k = 10)
+          .orderBy(col("qid"), col("rank"))
+      },
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT vec_id, i AS dim, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+          FROM embeddings, range(1, 65) t(i)),
+        kk AS (
+          SELECT CAST(GREATEST(4, LEAST(4096, CEIL(SQRT(count(*))))) AS INT)
+            AS k
+          FROM embeddings),
+        init AS (
+          SELECT CAST(rn - 1 AS INT) AS cluster, vec_id
+          FROM (SELECT vec_id,
+                       row_number() OVER (ORDER BY vec_id) AS rn
+                FROM embeddings), kk
+          WHERE rn <= kk.k),
+        c0 AS (SELECT i.cluster, e.dim, e.v AS c
+               FROM init i JOIN e ON e.vec_id = i.vec_id),
+        d1 AS (
+          SELECT e.vec_id, c.cluster,
+                 sum(CAST(round((e.v - c.c) * (e.v - c.c), 12)
+                   AS DECIMAL(38,12))) AS d2
+          FROM e JOIN c0 c ON e.dim = c.dim
+          GROUP BY 1, 2),
+        a1 AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cluster) AS rn
+            FROM d1) WHERE rn = 1),
+        c1 AS (
+          SELECT a.cluster, e.dim,
+                 CAST(sum(CAST(round(e.v, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                   / count(*) AS c
+          FROM e JOIN a1 a ON e.vec_id = a.vec_id
+          GROUP BY 1, 2),
+        dd2 AS (
+          SELECT e.vec_id, c.cluster,
+                 sum(CAST(round((e.v - c.c) * (e.v - c.c), 12)
+                   AS DECIMAL(38,12))) AS d2
+          FROM e JOIN c1 c ON e.dim = c.dim
+          GROUP BY 1, 2),
+        a2 AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cluster) AS rn
+            FROM dd2) WHERE rn = 1),
+        cb AS (
+          SELECT cluster AS cell, list(c ORDER BY dim) AS centroid
+          FROM c1 GROUP BY 1),
+        q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+              WHERE vec_id < 3),
+        probed AS (
+          SELECT qid, qe, cell FROM (
+            SELECT q.qid, q.qe, cb.cell,
+                   row_number() OVER (PARTITION BY q.qid ORDER BY
+                     ${cosineSql("q.qe", "cb.centroid")} DESC,
+                     cb.cell) AS crank
+            FROM cb, q)
+          WHERE crank <= 2),
+        scored AS (
+          SELECT p.qid, b.vec_id, a.cluster AS cell,
+                 ${cosineSql("b.embedding", "p.qe")} AS sim
+          FROM embeddings b
+          JOIN a2 a ON a.vec_id = b.vec_id
+          JOIN probed p ON p.cell = a.cluster
+          WHERE b.vec_id <> p.qid),
+        r AS (
+          SELECT qid, vec_id, cell, sim,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY sim DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        SELECT qid, vec_id, cell, sim, rank
+        FROM r WHERE rank <= 10
+        ORDER BY qid, rank""")),
+
     // V13 — incremental index growth under the oracle gate: the codebook
     // trains on the FIRST HALF of the corpus only (write), the second
     // half arrives later (append: frozen-codebook assignment, no
