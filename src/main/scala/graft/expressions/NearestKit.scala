@@ -313,47 +313,49 @@ object NearestCentroidGrouped {
     val k = centroids.length
     val dims = vec.numElements()
     // lower bound per group: no child can be closer than
-    // d(v, super) − radius (triangle inequality)
+    // d(v, super) − radius (triangle inequality). No sort: visiting the
+    // MIN-bound group first tightens the running minimum nearly as well
+    // as a full ascending order, and the measured boxed-comparator sort
+    // cost more per row than the bounds ever saved (SCALE.md §10e probe:
+    // tree 11.0 s vs flat 6.5 s per 98k-row pass BEFORE this cut).
     val lb = new Array[Double](g)
-    val order = new Array[Integer](g)
+    var minG = 0
     var gi = 0
     while (gi < g) {
       val d = math.sqrt(NearestMath.d2Double(vec, isFloat, 0,
         groupCentroids(gi)))
       val l = d - groupRadius(gi)
       lb(gi) = if (l > 0.0) l * l else 0.0
-      order(gi) = gi
+      if (lb(gi) < lb(minG)) minG = gi
       gi += 1
     }
-    java.util.Arrays.sort(order, (a: Integer, b: Integer) =>
-      java.lang.Double.compare(lb(a), lb(b)))
     // visited children's double distances; NaN marks "never visited"
     // (an unvisited child was excluded by a group bound that already
     // carries the slack, so it can never be a decimal candidate)
     val dd = new Array[Double](k)
     java.util.Arrays.fill(dd, Double.NaN)
     var bestD = Double.PositiveInfinity
-    var oi = 0
-    var done = false
-    while (oi < g && !done) {
-      val grp = order(oi).intValue()
-      // ascending-lb order: once one group clears the slackened running
-      // minimum, every later group does too (bestD only decreases)
-      if (java.lang.Double.isFinite(bestD) &&
-        lb(grp) > bestD + 2.0 * NearestMath.candidateSlack(dims, bestD))
-        done = true
-      else {
-        val kids = groupChildren(grp)
-        var c = 0
-        while (c < kids.length) {
-          val ci = kids(c)
-          val d = NearestMath.d2Double(vec, isFloat, 0, centroids(ci))
-          dd(ci) = d
-          if (d < bestD) bestD = d
-          c += 1
-        }
+    def visit(grp: Int): Unit = {
+      val kids = groupChildren(grp)
+      var c = 0
+      while (c < kids.length) {
+        val ci = kids(c)
+        val d = NearestMath.d2Double(vec, isFloat, 0, centroids(ci))
+        dd(ci) = d
+        if (d < bestD) bestD = d
+        c += 1
       }
-      oi += 1
+    }
+    visit(minG)
+    gi = 0
+    while (gi < g) {
+      // per-group SKIP against the (only-decreasing) running minimum —
+      // a skipped group's children are provably worse than the final
+      // best, slack included
+      if (gi != minG && !(java.lang.Double.isFinite(bestD) &&
+        lb(gi) > bestD + 2.0 * NearestMath.candidateSlack(dims, bestD)))
+        visit(gi)
+      gi += 1
     }
     val screen = java.lang.Double.isFinite(bestD)
     val cut =
