@@ -76,6 +76,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(children(1), "window"), intLit(children(2), "avgChunk"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_mg_top1"),
+      new ExpressionInfo(classOf[graft.expressions.MgTopOne].getName,
+        "graft_mg_top1"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_mg_top1(value, k)")
+        val k = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_mg_top1 k must be an int literal, got $other")
+        }
+        graft.expressions.MgTopOne(children.head, k)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_dotfold"),
       new ExpressionInfo(classOf[DotFold].getName, "graft_dotfold"),
       (children: Seq[Expression]) => {

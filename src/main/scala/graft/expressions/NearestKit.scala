@@ -164,10 +164,16 @@ object NearestCentroid {
     * .candidateSlack]] of the double minimum; only THOSE evaluate the
     * decimal contract — the result (including tie resolution) is
     * bit-identical to evaluating decimal everywhere, at ~k× fewer
-    * BigDecimal ops (the measured assignment bottleneck). A non-finite
-    * screening minimum (NaN/Infinity input) falls back to the full
-    * decimal loop, which throws the documented ANSI-cast error exactly
-    * as before.
+    * BigDecimal ops (the measured assignment bottleneck). ANY
+    * non-finite double distance — not just a non-finite minimum —
+    * disables screening and falls back to the full decimal loop, so a
+    * single NaN/±Infinity-scale centroid coordinate still reaches
+    * [[NearestMath.d2Range]] and throws the documented ANSI-cast error
+    * exactly as the unscreened form (ADVICE r16: screening a non-finite
+    * CANDIDATE out while the minimum stayed finite skipped the throw).
+    * The only other way a double distance goes infinite — finite terms
+    * whose plain-double SUM overflows — also lands in the full decimal
+    * loop: slower, never wrong.
     */
   def nearest(
       vec: ArrayData, isFloat: Boolean, clusters: Array[Int],
@@ -175,14 +181,16 @@ object NearestCentroid {
     val k = centroids.length
     val dd = new Array[Double](k)
     var bestD = Double.PositiveInfinity
+    var anyNonFinite = false
     var c = 0
     while (c < k) {
       val d = NearestMath.d2Double(vec, isFloat, 0, centroids(c))
       dd(c) = d
+      if (!java.lang.Double.isFinite(d)) anyNonFinite = true
       if (d < bestD) bestD = d
       c += 1
     }
-    val screen = java.lang.Double.isFinite(bestD)
+    val screen = !anyNonFinite
     val cut =
       if (screen)
         bestD + 2.0 * NearestMath.candidateSlack(vec.numElements(), bestD)
@@ -212,12 +220,16 @@ object NearestCentroid {
   * each group carries its super-centroid, its RADIUS (max euclidean
   * distance from the super-centroid to any child centroid), and its
   * child indices. Per row: compute the plain-double distance to every
-  * super-centroid (O(√k·d)), visit groups in ascending order of the
-  * triangle-inequality lower bound lb = max(0, d(v, super) − radius) —
-  * no child of the group can be closer than lb — and STOP as soon as
-  * the next group's lb² exceeds the best child distance found
-  * (plus a conservative slack for the double-vs-decimal arithmetic
-  * gap). Children within a visited group evaluate with the exact
+  * super-centroid (O(√k·d)) and the triangle-inequality lower bound
+  * lb = max(0, d(v, super) − radius)² — no child of the group can be
+  * closer than lb. The MIN-lb group is visited first to seed a tight
+  * running minimum, then the remaining groups are scanned in array
+  * order with a per-group SKIP: a group whose lb exceeds the running
+  * best (plus a conservative slack for the double-vs-decimal
+  * arithmetic gap) is provably worse and its children are never
+  * measured. (No full ascending-lb sort: the boxed comparator cost
+  * more per row than the ordering ever saved — SCALE.md §10e, commit
+  * acc67ee.) Children within a visited group evaluate with the exact
   * decimal [[NearestMath.d2Range]] incl. its argmin pruning, so the
   * returned (cluster, d2) is bit-identical to the flat expression:
   * pruning skips only candidates that PROVABLY cannot win, and ties
@@ -301,9 +313,12 @@ object NearestCentroidGrouped {
     * Both screens only ever discard PROVABLY-worse centroids (slack
     * covers the decimal-vs-double gap and the bound arithmetic's own
     * rounding), so the returned (cluster, d2) is bit-identical to the
-    * flat expression — pinned in NearestKitSpec. A non-finite
-    * screening minimum falls back to the full decimal loop, which
-    * throws the documented ANSI-cast error exactly as the flat form.
+    * flat expression — pinned in NearestKitSpec. ANY non-finite double
+    * arithmetic — a group bound or a visited child distance — disables
+    * both screens and falls back to the full decimal loop over all k
+    * centroids, which throws the documented ANSI-cast error exactly as
+    * the flat form (same ADVICE-r16 contract as
+    * [[NearestCentroid.nearest]]).
     */
   def nearest(
       vec: ArrayData, isFloat: Boolean, clusters: Array[Int],
@@ -320,12 +335,17 @@ object NearestCentroidGrouped {
     // tree 11.0 s vs flat 6.5 s per 98k-row pass BEFORE this cut).
     val lb = new Array[Double](g)
     var minG = 0
+    var anyNonFinite = false
     var gi = 0
     while (gi < g) {
       val d = math.sqrt(NearestMath.d2Double(vec, isFloat, 0,
         groupCentroids(gi)))
       val l = d - groupRadius(gi)
       lb(gi) = if (l > 0.0) l * l else 0.0
+      // a non-finite bound (NaN super-distance, or an Inf one that
+      // would SKIP a group whose children the decimal contract must
+      // still see) voids both screens — full decimal loop below
+      if (!java.lang.Double.isFinite(lb(gi))) anyNonFinite = true
       if (lb(gi) < lb(minG)) minG = gi
       gi += 1
     }
@@ -342,6 +362,7 @@ object NearestCentroidGrouped {
         val ci = kids(c)
         val d = NearestMath.d2Double(vec, isFloat, 0, centroids(ci))
         dd(ci) = d
+        if (!java.lang.Double.isFinite(d)) anyNonFinite = true
         if (d < bestD) bestD = d
         c += 1
       }
@@ -357,7 +378,7 @@ object NearestCentroidGrouped {
         visit(gi)
       gi += 1
     }
-    val screen = java.lang.Double.isFinite(bestD)
+    val screen = !anyNonFinite && java.lang.Double.isFinite(bestD)
     val cut =
       if (screen) bestD + 2.0 * NearestMath.candidateSlack(dims, bestD)
       else Double.PositiveInfinity
@@ -438,14 +459,19 @@ object PqCodesOf {
       val off = s * dsubLen
       val dd = new Array[Double](cws.length)
       var bestD = Double.PositiveInfinity
+      var anyNonFinite = false
       var c = 0
       while (c < cws.length) {
         val d = NearestMath.d2Double(vec, isFloat, off, cws(c))
         dd(c) = d
+        if (!java.lang.Double.isFinite(d)) anyNonFinite = true
         if (d < bestD) bestD = d
         c += 1
       }
-      val screen = java.lang.Double.isFinite(bestD)
+      // any non-finite double distance -> full decimal loop, so the
+      // ANSI-cast throw fires even when the MINIMUM is finite (same
+      // ADVICE-r16 contract as NearestCentroid.nearest)
+      val screen = !anyNonFinite
       val cut =
         if (screen) bestD + 2.0 * NearestMath.candidateSlack(dsubLen, bestD)
         else Double.PositiveInfinity

@@ -386,14 +386,24 @@ object LevelPipeline {
     * hash-identical to `processLevels(autoSkew = true)` (pinned in
     * LevelPipelineSpec; `pl_levels_bucketed` carries the oracle).
     */
-  /** @param observeRefresh attach the free-ish profile observation to
-    *   this run (the metrics ride the chain's own action, but the
-    *   CollectMetrics node is a non-codegen row barrier over the raw
-    *   scan — measured ~15% on the mult=200 chain). The scheduled-
-    *   ingest cadence is to refresh every Nth run: `false` plans from
-    *   the stored profile with ZERO added cost and returns a no-op
-    *   refresh (LEVELS_SPIKE_r16: hot_profiled_norefresh ==
-    *   hot_full_bucketed).
+  /** @param observeRefresh master switch for the profile observation
+    *   (the metrics ride the chain's own action, but the CollectMetrics
+    *   node is a non-codegen row barrier over the raw scan — measured
+    *   15–40% on the mult=200 chain). `false` plans from the stored
+    *   profile with ZERO added cost and returns a no-op refresh
+    *   (LEVELS_SPIKE_r16: hot_profiled_norefresh == hot_full_bucketed).
+    * @param refreshEveryN the refresh CADENCE, persisted state rather
+    *   than caller discipline (VERDICT r16 item 2): the profile sidecar
+    *   carries `runsSinceRefresh`, and the observation is attached only
+    *   on the run where `runsSinceRefresh + 1 >= refreshEveryN`;
+    *   skipping runs just bump the counter (one tiny sidecar write, no
+    *   Spark job). The default 4 amortizes the measured 15–40% barrier
+    *   to ~4–10% of steady-state chain time while a moved hot key is
+    *   still noticed within N runs (and then re-measured once — the
+    *   existing convergence). `1` = refresh every run (the pre-r17
+    *   behavior); a freshly MEASURED profile (first run / post-move
+    *   re-measure) starts its counter at 0, so the next refresh lands
+    *   N runs later.
     */
   def processLevelsProfiled(
       raw: DataFrame,
@@ -404,14 +414,18 @@ object LevelPipeline {
       naiveLevel4Frame: Boolean = false,
       threshold: Double = 0.5,
       bucketSeconds: Long = 21600L,
-      observeRefresh: Boolean = true): ProfiledLevels = {
+      observeRefresh: Boolean = true,
+      refreshEveryN: Int = 4): ProfiledLevels = {
+    require(refreshEveryN >= 1,
+      s"processLevelsProfiled: refreshEveryN must be >= 1, got $refreshEveryN")
     val spark = raw.sparkSession
     val keys = Seq("site_no")
     val prior = SkewOps.readProfile(spark, profilePath) match {
       case Some(p) if p.share >= 0.0 => p
       case _ =>
         // first run, or the hot key moved (share unknown): pay the one
-        // dedicated scan and persist what it measured
+        // dedicated scan and persist what it measured (counter 0 — the
+        // cadence starts counting from this fresh measurement)
         val measured = SkewOps.hotKeyProfile(raw, keys)
         SkewOps.writeProfile(spark, profilePath, measured)
         measured
@@ -420,14 +434,23 @@ object LevelPipeline {
       if (prior.share >= threshold)
         SkewPlan(prior.share, Some(bucketSeconds), Some(bucketSeconds))
       else SkewPlan(prior.share, None, None)
+    val refreshDue = prior.runsSinceRefresh + 1 >= refreshEveryN
     val (chainRaw, refresh) =
-      if (observeRefresh) {
+      if (observeRefresh && refreshDue) {
         val (observedRaw, obs) =
           SkewOps.observeProfile(raw, keys, Some(prior.hotKey))
         (observedRaw,
           () => SkewOps.refreshProfile(spark, profilePath, keys,
             Some(prior.hotKey), obs))
-      } else (raw, () => Option.empty[SkewOps.SkewProfile])
+      } else {
+        if (observeRefresh) {
+          // off-cadence run: record that a run planned off this profile
+          // without refreshing it — sidecar-only, no observation barrier
+          SkewOps.writeProfile(spark, profilePath,
+            prior.copy(runsSinceRefresh = prior.runsSinceRefresh + 1))
+        }
+        (raw, () => Option.empty[SkewOps.SkewProfile])
+      }
     val out = processLevels(chainRaw, stations, silo, intensity,
       bucketedAsofSeconds = plan.bucketedAsofSeconds,
       naiveLevel4Frame = naiveLevel4Frame,

@@ -663,19 +663,23 @@ object TimeSeriesOps {
     val r = carry.alias("r")
     val cond = (keys.map(k => col(s"l.$k") <=> col(s"r.$k")) :+
       (col("l.__b") <=> col("r.__b"))).reduce(_ && _)
-    // withLag REPLACES a pre-existing `<col>_prev` via withColumn; match
-    // that here by dropping it from the base projection (ADVICE r15 —
-    // keeping both would emit a duplicate-named column and the two
-    // forms would diverge on such an input)
-    val outNames = cols.map(c => s"${c}_prev").toSet
-    l.join(r, cond)
-      .select(df.columns.filterNot(outNames).map(c => col(s"l.$c")) ++
-        cols.map(c =>
-          // first-in-bucket takes the carry; row_number (not lag-is-null)
-          // distinguishes "no prior row" from a prior row whose VALUE is
-          // null — both are legitimate lag results
-          when(col("l.__rn") === 1, col(s"r.__carry_$c"))
-            .otherwise(col(s"l.__lag_$c")).as(s"${c}_prev")): _*)
+    // withLag REPLACES a pre-existing `<col>_prev` via withColumn — IN
+    // PLACE, keeping the column's position; match both halves of that
+    // here (ADVICE r15 flagged the duplicate column; ADVICE r16 the
+    // end-appended position): substitute the new expression at the
+    // original position, append only the genuinely new names.
+    // first-in-bucket takes the carry; row_number (not lag-is-null)
+    // distinguishes "no prior row" from a prior row whose VALUE is
+    // null — both are legitimate lag results
+    val prevExpr: Map[String, Column] = cols.map(c => s"${c}_prev" ->
+      when(col("l.__rn") === 1, col(s"r.__carry_$c"))
+        .otherwise(col(s"l.__lag_$c"))).toMap
+    val inPlace = df.columns.map(c =>
+      prevExpr.get(c).map(_.as(c)).getOrElse(col(s"l.$c")))
+    val appended = cols.map(c => s"${c}_prev")
+      .filterNot(df.columns.contains)
+      .map(n => prevExpr(n).as(n))
+    l.join(r, cond).select(inPlace ++ appended: _*)
   }
 
   /** [[dedupWithin]] by BUCKET-AND-CARRY — same answer, no serialized
@@ -690,6 +694,11 @@ object TimeSeriesOps {
     * sits below the bucket boundary), so the cross-bucket state is ONE
     * carried max-timestamp per (group, bucket), computed on the
     * group×bucket summary frame and joined back null-safe.
+    *
+    * NOTE: with `keyWidthGuard = true` (default) this call is NOT
+    * purely lazy — it runs one bounded probe job (first ~100k rows, one
+    * map-side agg) at plan-build time to refuse near-unique partition
+    * keys; see the guard comment in the body for the warn/throw band.
     */
   def dedupWithinBucketed(
       df: DataFrame,
@@ -711,10 +720,21 @@ object TimeSeriesOps {
     // exists for. On near-unique keys the per-(group, bucket) carry
     // summary is corpus-sized and the null-safe carry join re-shuffles
     // everything: measured 2× SLOWER than plain dedupWithin (SCALE.md
-    // §10b finding 2). One bounded probe (first 100k rows, one
-    // map-side-combinable agg) refuses the pessimizing call instead of
-    // leaving the rule as tribal knowledge; pass keyWidthGuard = false
-    // to override when the head of the data is unrepresentative.
+    // §10b finding 2). One bounded probe refuses the pessimizing call
+    // instead of leaving the rule as tribal knowledge; pass
+    // keyWidthGuard = false to override when the head of the data is
+    // unrepresentative.
+    //
+    // The probe is EAGER — this otherwise-lazy plan builder runs one
+    // small Spark job at call time — and SAMPLED: limit(100000) with no
+    // ordering takes whatever rows arrive first (partition-order
+    // dependent), judged by approx_count_distinct (rsd ~5%). A hard
+    // cutoff on such a signal would flap on borderline inputs across
+    // runs (ADVICE r16), so the rule is a BAND: distinct/row ratio
+    // above 0.9 throws (no plausible sample noise rescues a key that
+    // wide), (0.7, 0.9] logs a warning and proceeds (the caller sees
+    // the risk; a rerun never flips between silent success and an
+    // exception), at or below 0.7 the guard is silent.
     if (keyWidthGuard) {
       val probe = df.select((keys ++ cmpCols).map(col): _*).limit(100000)
         .agg(count(lit(1)).as("n"),
@@ -722,13 +742,20 @@ object TimeSeriesOps {
             .as("d"))
         .collect()(0)
       val (n, d) = (probe.getLong(0), probe.getLong(1))
-      if (n >= 1000 && d.toDouble / n > 0.8)
+      val ratio = if (n == 0L) 0.0 else d.toDouble / n
+      if (n >= 1000 && ratio > 0.9)
         throw new IllegalArgumentException(
           f"dedupWithinBucketed: the partition key (${(keys ++ cmpCols)
             .mkString(", ")}) is near-unique (~$d%d distinct in the first " +
             f"$n%d rows) — bucket-and-carry is measured 2x SLOWER than " +
             "dedupWithin on wide keys (its carry summary is corpus-sized); " +
             "use dedupWithin, or pass keyWidthGuard = false to override")
+      else if (n >= 1000 && ratio > 0.7)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          f"dedupWithinBucketed: the partition key (${(keys ++ cmpCols)
+            .mkString(", ")}) sampled ~$d%d distinct in the first $n%d " +
+            f"rows (ratio $ratio%.2f, warn band 0.7-0.9) — if the key is " +
+            "truly near-unique, plain dedupWithin is ~2x faster")
     }
     for (c <- Seq("__b", "__prior_in", "__bmax", "__prev_bmax"))
       require(!df.columns.contains(c),

@@ -70,6 +70,54 @@ class BpeSpec extends SparkSpec {
     assert(dt === jt)
   }
 
+  test("lazy-heap argmax == O(|pairs|) scan argmax, merge for merge, on " +
+    "real and adversarial vocabularies (VERDICT r16 item 1)") {
+    // the heap path is the default inside bpeTrain; this pins it against
+    // the retained scan on the same collected vocabulary — stale-entry
+    // discards, duplicate pushes after down-up count cancels, and the
+    // (count desc, key asc) tie-break must all be invisible
+    def vocabOf(texts: String*): Array[(Array[Int], Long)] = {
+      val d = docs(texts: _*)
+      TextOps.bpeWordTable(d, "text").as[(String, Long)].collect()
+        .map { case (w, c) => (w.codePoints().toArray, c) }
+    }
+    val realVocab = TextOps.bpeWordTable(
+      Tables(spark, "/root/testdata/sf0.001", "documents"), "text")
+      .as[(String, Long)].collect()
+      .map { case (w, c) => (w.codePoints().toArray, c) }
+    assert(realVocab.nonEmpty) // fixture sanity
+    assert(
+      TextOps.bpeTrainDriver(realVocab.map { case (s, c) => (s.clone(), c) },
+        120, argmaxViaHeap = true) ===
+      TextOps.bpeTrainDriver(realVocab.map { case (s, c) => (s.clone(), c) },
+        120, argmaxViaHeap = false))
+    val tricky = vocabOf("aaa aab aba abab baba bb bb aaaa ab ba baab")
+    assert(
+      TextOps.bpeTrainDriver(tricky.map { case (s, c) => (s.clone(), c) },
+        30, argmaxViaHeap = true) ===
+      TextOps.bpeTrainDriver(tricky.map { case (s, c) => (s.clone(), c) },
+        30, argmaxViaHeap = false))
+  }
+
+  test("bpeWordTable minCount floors the vocabulary before it reaches " +
+    "the driver; counts of surviving words are unchanged") {
+    val d = docs("ab ab ab cd cd zz")
+    val full = TextOps.bpeWordTable(d, "text")
+      .as[(String, Long)].collect().toMap
+    assert(full === Map("ab" -> 3L, "cd" -> 2L, "zz" -> 1L))
+    val floored = TextOps.bpeWordTable(d, "text", minCount = 2L)
+      .as[(String, Long)].collect().toMap
+    assert(floored === Map("ab" -> 3L, "cd" -> 2L),
+      "hapax tail must be dropped, surviving counts untouched")
+    // threaded through bpeTrain: with zz gone, training sees only ab/cd
+    val merges = TextOps.bpeTrain(d, "text", numMerges = 2, minCount = 2L)
+    assert(merges.map(_._2) === Seq("ab", "cd"))
+    assert(merges.map(_._3) === Seq(3L, 2L))
+    intercept[IllegalArgumentException] {
+      TextOps.bpeWordTable(d, "text", minCount = 0L)
+    }
+  }
+
   test("merge ranks past 6400 use supplementary private-use symbols: " +
     "surface expansion and tokenization stay code-point-correct") {
     // the cap is now BpeMaxMerges (137,468 >= the 32k production shape);

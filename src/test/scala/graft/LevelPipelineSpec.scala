@@ -298,9 +298,10 @@ class LevelPipelineSpec extends SparkSpec {
   }
 
   test("processLevelsProfiled: first run pays ONE dedicated scan, steady " +
-    "state pays zero (the decision comes from last run's profile and " +
-    "the refresh rides the chain's own action), answers unchanged; a " +
-    "moved hot key degrades to unknown-share and re-measures once") {
+    "state pays zero, the refresh fires ON SCHEDULE (every Nth run via " +
+    "the persisted runsSinceRefresh counter, not every run), answers " +
+    "unchanged; a moved hot key degrades to unknown-share and " +
+    "re-measures once") {
     import org.apache.spark.sql.functions.{col => C}
     import graft.operators.SkewOps
     val dir = "/root/testdata/sf0.001"
@@ -317,61 +318,98 @@ class LevelPipelineSpec extends SparkSpec {
     val profDir = tempDirFile("graft_skewprof_").getAbsolutePath + "/p"
     val reference = LevelPipeline.processLevels(hot, stations5, silo5, inten5,
       autoSkew = true).collect().map(_.toString).sorted.toSeq
+    def observes(r: LevelPipeline.ProfiledLevels): Boolean =
+      r.df.queryExecution.analyzed.treeString.contains("CollectMetrics")
+    def counter(): Int = SkewOps.readProfile(spark, profDir).get.runsSinceRefresh
 
-    // run 1: no profile -> one dedicated scan, hatches engaged, profile
-    // persisted with the measured hot key; refresh makes the share exact
+    // run 1: no profile -> one dedicated scan (exact measurement),
+    // hatches engaged; with the default cadence (N = 4) the observation
+    // is NOT attached — the fresh measurement starts the counter
     val before = SkewOps.dedicatedProfileJobs.get()
     val run1 = LevelPipeline.processLevelsProfiled(
       hot, stations5, silo5, inten5, profDir)
     assert(SkewOps.dedicatedProfileJobs.get() === before + 1)
     assert(run1.plan.bucketedAsofSeconds === Some(21600L))
     assert(run1.plan.bucketedLevel1Seconds === Some(21600L))
+    assert(!observes(run1),
+      "an off-cadence run must not carry the CollectMetrics barrier")
     val rows1 = run1.df.collect().map(_.toString).sorted.toSeq
     assert(rows1 === reference,
       "profiled chain must be row-identical to processLevels(autoSkew)")
-    val refreshed1 = run1.refresh()
-    assert(refreshed1.isDefined)
-    assert(refreshed1.get.hotKey === Seq("0"))
-    assert(refreshed1.get.share >= 0.5,
-      s"refresh must land the exact hot share, got ${refreshed1.get.share}")
+    assert(run1.refresh().isEmpty, "off-cadence refresh is a no-op")
+    assert(counter() === 1)
+    val stored1 = SkewOps.readProfile(spark, profDir).get
+    assert(stored1.hotKey === Seq("0") && stored1.share >= 0.5,
+      "the dedicated scan's exact measurement must be what persists")
 
-    // run 2 (steady state): ZERO dedicated scans, same plan, same rows
-    val run2 = LevelPipeline.processLevelsProfiled(
+    // runs 2 and 3: ZERO dedicated scans, ZERO observations — the
+    // counter ladder climbs via sidecar writes alone
+    for (expected <- Seq(2, 3)) {
+      val run = LevelPipeline.processLevelsProfiled(
+        hot, stations5, silo5, inten5, profDir)
+      assert(SkewOps.dedicatedProfileJobs.get() === before + 1,
+        "steady-state profiled run must not pay a dedicated profile scan")
+      assert(run.plan.bucketedAsofSeconds === Some(21600L))
+      assert(!observes(run))
+      assert(run.refresh().isEmpty)
+      assert(counter() === expected)
+    }
+
+    // run 4: counter + 1 reaches N -> the observation rides this run,
+    // refresh lands the exact share and RESETS the counter
+    val run4 = LevelPipeline.processLevelsProfiled(
       hot, stations5, silo5, inten5, profDir)
-    assert(SkewOps.dedicatedProfileJobs.get() === before + 1,
-      "steady-state profiled run must not pay a dedicated profile scan")
-    assert(run2.plan.bucketedAsofSeconds === Some(21600L))
-    assert(run2.df.collect().map(_.toString).sorted.toSeq === reference)
-    assert(run2.refresh().exists(_.share >= 0.5))
+    assert(SkewOps.dedicatedProfileJobs.get() === before + 1)
+    assert(observes(run4), "the Nth run must attach the observation")
+    assert(run4.df.collect().map(_.toString).sorted.toSeq === reference)
+    val refreshed4 = run4.refresh()
+    assert(refreshed4.isDefined)
+    assert(refreshed4.get.hotKey === Seq("0"))
+    assert(refreshed4.get.share >= 0.5,
+      s"refresh must land the exact hot share, got ${refreshed4.get.share}")
+    assert(counter() === 0, "a completed refresh resets the cadence counter")
 
-    // hot key moves: seed a stale profile claiming site 3 is hot. The
+    // refreshEveryN = 1 pins the pre-r17 behavior: observe every run
+    val every = LevelPipeline.processLevelsProfiled(
+      hot, stations5, silo5, inten5, profDir, refreshEveryN = 1)
+    assert(observes(every))
+    every.df.count()
+    assert(every.refresh().exists(_.share >= 0.5))
+
+    // hot key moves: seed a stale profile claiming site 3 is hot, with
+    // the counter one short of the schedule so THIS run observes. The
     // run plans from the stale share (still engaged), the refresh sees
     // mode != stored hot -> share -1 (unknown), and the NEXT run pays
     // exactly one dedicated scan to re-measure
     SkewOps.writeProfile(spark, profDir,
-      SkewOps.SkewProfile(Seq("site_no"), Seq("3"), 0.9, 1L))
-    val run3 = LevelPipeline.processLevelsProfiled(
+      SkewOps.SkewProfile(Seq("site_no"), Seq("3"), 0.9, 1L,
+        runsSinceRefresh = 3))
+    val run5 = LevelPipeline.processLevelsProfiled(
       hot, stations5, silo5, inten5, profDir)
     assert(SkewOps.dedicatedProfileJobs.get() === before + 1)
-    run3.df.count()
-    val refreshed3 = run3.refresh()
-    assert(refreshed3.exists(p => p.share === -1.0 && p.hotKey === Seq("0")),
-      s"moved hot key must degrade to unknown share, got $refreshed3")
-    val run4 = LevelPipeline.processLevelsProfiled(
+    assert(observes(run5))
+    run5.df.count()
+    val refreshed5 = run5.refresh()
+    assert(refreshed5.exists(p => p.share === -1.0 && p.hotKey === Seq("0")),
+      s"moved hot key must degrade to unknown share, got $refreshed5")
+    val run6 = LevelPipeline.processLevelsProfiled(
       hot, stations5, silo5, inten5, profDir)
     assert(SkewOps.dedicatedProfileJobs.get() === before + 2,
       "the run after an unknown-share profile re-measures once")
-    assert(run4.plan.bucketedAsofSeconds === Some(21600L))
-    run4.df.count()
-    run4.refresh()
+    assert(run6.plan.bucketedAsofSeconds === Some(21600L))
+    run6.df.count()
+    run6.refresh()
 
-    // refresh-cadence mode: no observation attached, zero dedicated
-    // scans, no-op refresh — same plan, same rows
-    val run5 = LevelPipeline.processLevelsProfiled(
+    // master switch off: no observation, no counter churn, no-op refresh
+    val preCounter = counter()
+    val run7 = LevelPipeline.processLevelsProfiled(
       hot, stations5, silo5, inten5, profDir, observeRefresh = false)
     assert(SkewOps.dedicatedProfileJobs.get() === before + 2)
-    assert(run5.plan.bucketedAsofSeconds === Some(21600L))
-    assert(run5.df.collect().map(_.toString).sorted.toSeq === reference)
-    assert(run5.refresh().isEmpty, "norefresh mode must be a no-op refresh")
+    assert(!observes(run7))
+    assert(run7.plan.bucketedAsofSeconds === Some(21600L))
+    assert(run7.df.collect().map(_.toString).sorted.toSeq === reference)
+    assert(run7.refresh().isEmpty, "norefresh mode must be a no-op refresh")
+    assert(counter() === preCounter,
+      "observeRefresh = false must not advance the cadence counter")
   }
 }

@@ -136,6 +136,53 @@ class NearestKitSpec extends SparkSpec {
     assert(got === 85)
   }
 
+  test("a non-finite CANDIDATE throws the ANSI-cast error even when the " +
+    "double minimum is finite (screening must not skip the throw — " +
+    "ADVICE r16), flat / grouped / PQ forms alike") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val dims = 8
+    val good = (0 until 3).map(c => (c, vec(c + 10, dims)))
+    val poisoned = good :+ (3, Array.fill(dims)(Double.NaN))
+    val v = new GenericArrayData(vec(1, dims))
+    val sorted = poisoned.sortBy(_._1)
+    // flat: the NaN centroid's double distance is NaN while the minimum
+    // is finite — pre-fix it was screened out silently
+    val eFlat = intercept[ArithmeticException] {
+      graft.expressions.NearestCentroid.nearest(v, false,
+        sorted.map(_._1).toArray, sorted.map(_._2).toArray)
+    }
+    assert(eFlat.getMessage.contains("non-finite"))
+    // grouped: same contract through the tree (poison in one group, the
+    // probe nearest a clean group)
+    val manyCents = (0 until 70).map(c => (c, vec(c + 10, dims))) :+
+      (70, Array.fill(dims)(Double.NaN))
+    intercept[Exception] {
+      spark.range(1).select(
+        SimilarityOps.nearestExprTree(typedlit(vec(1, dims)), manyCents))
+        .collect()
+    }
+    // PQ: poison one subspace's codeword; the other codewords stay finite
+    val cbRows = (for {
+      s <- 0 until 2; code <- 0 until 3; d <- 0 until 4
+    } yield (s, code, d, vec(s * 10 + code, 4)(d))) ++
+      (0 until 4).map(d => (1, 3, d, Double.NaN))
+    intercept[Exception] {
+      SimilarityOps.pqEncode(
+        Seq((1L, vec(5, 8))).toDF("id", "v"), "id", "v", cbRows).collect()
+    }
+    // an Inf-OVERFLOW distance whose TERMS are finite must NOT throw:
+    // per-term (1e150)^2 = 1e300 is a finite double, but the plain-
+    // double SUM of 8 of them overflows to Inf — the decimal contract
+    // sums them exactly, so the fallback runs the full loop and returns
+    // the clean argmin instead of throwing
+    val okHuge = (0 until 3).map(c => (c, vec(c, dims))) :+
+      (3, Array.fill(dims)(1e150))
+    val rowHuge = graft.expressions.NearestCentroid.nearest(
+      new GenericArrayData(vec(1, dims)), false,
+      okHuge.map(_._1).toArray, okHuge.map(_._2).toArray)
+    assert(rowHuge.getInt(0) === argminRef(vec(1, dims), okHuge))
+  }
+
   test("PqCodesOf slices subspaces correctly: each code is the " +
     "per-subspace reference argmin (pruning invisible)") {
     val dims = 12

@@ -111,4 +111,47 @@ class SkewOpsSpec extends SparkSpec {
       SkewOps.skewProfile(df.withColumnRenamed("payload", "share"), Seq("k"))
     }
   }
+
+  test("graft_mg_top1: exact mode whenever a key dominates, deterministic " +
+    "lexicographic tie, null-only group -> null, bounded on wide keys") {
+    // hot key 'h' at 60% share over 8 partitions (merge + serialize
+    // paths both exercised), cold tail of 400 distinct values — the
+    // high-cardinality regime mode() was unbounded in (ADVICE r16)
+    val rows = Seq.fill(600)("h") ++ (0 until 400).map(i => f"cold_$i%04d")
+    val df = spark.sparkContext.parallelize(rows, 8).toDF("v")
+    val got = df.selectExpr("graft_mg_top1(v, 32)").as[String].head()
+    assert(got === "h",
+      "a 60%-share key must be the MG top-1 (the >= 1/k retention " +
+        "guarantee plus dominance)")
+    // exact two-way tie, 31-counter summary holds both: smaller string
+    val tie = (Seq.fill(5)("bb") ++ Seq.fill(5)("aa")).toDF("v")
+    assert(tie.selectExpr("graft_mg_top1(v, 32)").as[String].head() === "aa")
+    // all-null input -> null (mode() contract)
+    val nul = Seq[Option[String]](None, None).toDF("v")
+    assert(nul.selectExpr("graft_mg_top1(v, 32)").as[String].head() === null)
+    // k must be a literal >= 2
+    intercept[Exception] { spark.sql("SELECT graft_mg_top1('a', 1)").collect() }
+  }
+
+  test("observeProfile rides a high-cardinality feed with the bounded " +
+    "sketch and still lands the exact >= 50%-share hot key") {
+    // 5000 distinct cold keys + one 55%-share hot key: the profile must
+    // count the hot share EXACTLY (sum-when) and the sketch must name
+    // the hot key as the observed mode
+    val cold = spark.range(5000).select(concat(lit("c"), $"id").as("site_no"))
+    val hot = spark.range(6100).select(lit("hotsite").as("site_no"))
+    val feed = cold.unionByName(hot).repartition(8)
+    val (observed, obs) = SkewOps.observeProfile(
+      feed, Seq("site_no"), lastHot = Some(Seq("hotsite")))
+    observed.count() // the caller's action the metrics ride
+    val p = SkewOps.refreshProfile(spark,
+      tempDirFile("graft_mgprof_").getAbsolutePath + "/p",
+      Seq("site_no"), Some(Seq("hotsite")), obs)
+    assert(p.isDefined)
+    assert(p.get.hotKey === Seq("hotsite"),
+      "MG top-1 must surface the dominant key on a wide-cardinality feed")
+    assert(p.get.share === math.round(6100.0 / 11100.0 * 1e6) / 1e6,
+      "the share must stay EXACT (it is the sum-when counter, not the sketch)")
+    assert(p.get.total === 11100L)
+  }
 }

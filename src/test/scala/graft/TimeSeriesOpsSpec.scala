@@ -833,6 +833,23 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got === Map(1L -> None, 2L -> Some(1.0)))
   }
 
+  test("withLagBucketed matches withLag's SCHEMA exactly on a " +
+    "pre-existing <col>_prev: replaced IN PLACE, same column order " +
+    "(ADVICE r16 — positional consumers must see identical frames)") {
+    val df = carryFixture(50, seed = 3)
+      .withColumn("v_prev", lit(-1.0))   // stale column, mid-schema
+      .withColumn("w", col("v") * 2)     // and something after it
+    val win = TimeSeriesOps.withLag(df, Seq("k"), "t", Seq("v"),
+      tieBreak = Seq("id"))
+    val buck = TimeSeriesOps.withLagBucketed(df, Seq("k"), "t", Seq("v"),
+      bucketSeconds = 3600L, tieBreak = Seq("id"))
+    assert(buck.columns.toSeq === win.columns.toSeq,
+      "column ORDER must match withColumn's in-place replacement")
+    val key = (r: org.apache.spark.sql.Row) => r.getLong(0)
+    assert(buck.collect().map(r => key(r) -> r.toSeq).toMap ===
+      win.collect().map(r => key(r) -> r.toSeq).toMap)
+  }
+
   test("withLagBucketed rejects non-positive buckets and reserved columns") {
     val df = carryFixture(10, seed = 1)
     intercept[IllegalArgumentException] {
