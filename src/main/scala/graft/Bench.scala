@@ -1,4 +1,6 @@
 package graft
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.MapType
@@ -121,12 +123,32 @@ object Bench {
     // file named by queries_detail.
     println(s"""{"metric":"total","value":$t2,"unit":"sec","sf":"$sfDir","n_queries":${names.size},"pass1_total":$t1,"pass2_total":$t2,"failed_pass1":$f1,"failed_pass2":$f2,"queries":$famTotals,"queries_detail":"bench/BENCH_driver_latest.json"}""")
     // Persist the complete record to a stable path the driver/judge can
-    // read back whole.
+    // read back whole — twice: the rolling "latest" and a per-ROUND
+    // final artifact (VERDICT r16 item 5: the driver's BENCH_r{N}.json
+    // snapshot is a 2000-char stdout tail that can never hold the
+    // per-query map, so the self-contained round record is written from
+    // THIS side). The round number is inferred as max(existing
+    // BENCH_r*.json in the repo root) — the driver writes round N's
+    // snapshot before round N+1 builds, so during round N+1 the max is
+    // N and this run belongs to N+1.
     try {
+      val full = json + "\n"
       val out = java.nio.file.Paths.get("bench", "BENCH_driver_latest.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val rPat = java.util.regex.Pattern.compile("BENCH_r(\\d+)\\.json")
+      val prior = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+        .iterator().asScala
+        .flatMap { p =>
+          val m = rPat.matcher(p.getFileName.toString)
+          if (m.matches()) Some(m.group(1).toInt) else None
+        }.foldLeft(0)(math.max)
+      val round = prior + 1
+      val roundJson = s"""{"round":$round,""" + full.stripPrefix("{")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench", s"BENCH_r${round}_final.json"),
+        roundJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not persist JSON: ${e.getMessage}")
     }

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** VERDICT r16 items 3 + 4: the isolated nearest-centroid ASSIGNMENT
+  * probe — flat vs two-level tree (adaptive routing on and off) vs the
+  * flag-gated three-level tree, on the distance-concentrated synthetic
+  * embeddings where §10e measured the tree as a pure ~25% premium.
+  *
+  * What the artifact must show:
+  *  - `k*_tree2_adaptive` within ~5% of `k*_flat`: the per-task
+  *    TreeRouting sample detects the dead group screen and erases the
+  *    premium (item 3's done bar);
+  *  - `k4096_tree3` vs `k4096_tree2_fixed`: the 3-level structure's
+  *    cost priced at an artificially large k long before the ~10⁵-cell
+  *    scale that needs it (item 4's done bar — no win expected here,
+  *    the corpus cannot give bounds anything to separate).
+  *
+  * Same discipline as the other spikes: the corpus is the embeddings
+  * table replicated mult× with a dim-0 nudge (AnnBench's recipe), the
+  * codebook is `k` strided corpus vectors (metadata, rides the
+  * expression), every variant materializes the same xxhash64 fold,
+  * two timed passes with the warm one reported, one JSON line.
+  */
+object TreeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_TREE_MULT", "50").toInt
+    val kBig = sys.env.getOrElse("SPARK_GRAFT_TREE_K", "4096").toInt
+    val kSmall = sys.env.getOrElse("SPARK_GRAFT_TREE_KSMALL", "313").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val emb = Tables(spark, sfDir, "embeddings").select($"vec_id", $"embedding")
+    val corpus = emb
+      .crossJoin(spark.range(mult.toLong).select($"id".as("__rep")))
+      .select(($"vec_id" * mult + $"__rep").as("vec_id"), expr(
+        "transform(embedding, (x, i) -> CASE WHEN i = 0 " +
+          "THEN CAST(x + __rep * CAST(0.001 AS FLOAT) AS FLOAT) " +
+          "ELSE x END)").as("embedding"))
+    val nCorpus = corpus.count()
+    require(nCorpus >= kBig,
+      s"corpus ($nCorpus rows) must cover the largest codebook ($kBig)")
+
+    // k strided corpus vectors as the codebook — deterministic, distinct
+    // (the rep nudge), metadata-scale collect
+    def codebook(k: Int): Seq[(Int, Array[Double])] = {
+      val stride = nCorpus / k
+      corpus.filter($"vec_id" % stride === 0).orderBy($"vec_id").limit(k)
+        .select($"embedding").as[Array[Float]].collect()
+        .zipWithIndex.map { case (v, i) => (i, v.map(_.toDouble)) }.toSeq
+    }
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      try { f; (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[tree-bench] FAILED: ${e.getMessage}")
+        -1.0
+      }
+    }
+    def force(df: DataFrame): Unit = {
+      df.select(bit_xor(xxhash64(df.columns.map(col).toSeq: _*))).collect()
+      ()
+    }
+    import graft.operators.SimilarityOps
+    def assign(expr: Column): DataFrame =
+      corpus.select($"vec_id", expr.getField("cluster").as("cluster"))
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val hashes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def variant(tag: String, mk: () => Column): Unit = {
+      // fresh expression per pass: the adaptive router must SAMPLE in
+      // the timed pass (a reused decided router would flatter it)
+      val cold = timed(force(assign(mk())))
+      val warm = timed(force(assign(mk())))
+      results(tag + "_cold") = cold
+      results(tag) = warm
+      hashes(tag) = assign(mk())
+        .select(bit_xor(xxhash64($"vec_id", $"cluster"))).as[Long].head()
+    }
+
+    // deterministic random UNIT vectors — pairwise distances concentrate
+    // (the §10e regime: triangle-inequality bounds cannot separate
+    // groups), so the tree's screen is dead by construction. This is
+    // the fixture item 3's done bar is measured on: tree2_adaptive must
+    // land within ~5% of flat because the router detects the dead
+    // screen and falls back.
+    def codebookConcentrated(k: Int): Seq[(Int, Array[Double])] =
+      (0 until k).map { i =>
+        val raw = Array.tabulate(64)(d => math.sin(i * 31 + d * 7))
+        val norm = math.sqrt(raw.map(x => x * x).sum)
+        (i, raw.map(_ / norm))
+      }
+
+    for ((k, label, cents) <- Seq(
+      (kSmall, s"k$kSmall", codebook(kSmall)),
+      (kSmall, s"k${kSmall}conc", codebookConcentrated(kSmall)),
+      (kBig, s"k$kBig", codebook(kBig)))) {
+      variant(s"${label}_flat",
+        () => SimilarityOps.nearestExprFlat($"embedding", cents))
+      variant(s"${label}_tree2_fixed",
+        () => SimilarityOps.nearestExprTree($"embedding", cents,
+          adaptiveRouting = false))
+      variant(s"${label}_tree2_adaptive",
+        () => SimilarityOps.nearestExprTree($"embedding", cents,
+          adaptiveRouting = true))
+      if (k == kBig)
+        variant(s"${label}_tree3",
+          () => SimilarityOps.nearestExprTree3($"embedding", cents))
+      // every physical form must assign identically (bit-parity is
+      // spec-pinned; this is the volume-scale restatement)
+      val distinctHashes = hashes.filter(_._1.startsWith(label + "_"))
+        .values.toSet
+      require(distinctHashes.size == 1,
+        s"$label variants disagree: $hashes")
+    }
+    val timings = results
+      .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    println(s"""{"metric":"ann_tree_probe","unit":"sec","sf":"$sfDir","cpus":$cpus,"mult":$mult,"n_corpus":$nCorpus,"dims":64,$timings}""")
+    spark.stop()
+  }
+}

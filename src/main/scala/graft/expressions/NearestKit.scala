@@ -110,6 +110,45 @@ object NearestMath {
     n * 1e-12 + 1e-9 * (1.0 + d2)
 }
 
+/** Per-task adaptive tree-vs-flat router for [[NearestCentroidGrouped]]
+  * (VERDICT r16 item 3): the first `sampleRows` rows run the tree path
+  * while RECORDING its group-screen hit rate (groups skipped / groups
+  * total); if, at the end of the sample, the observed skip fraction is
+  * below `minSkipFrac` — the triangle-inequality bounds are not
+  * separating groups, §10e's distance-concentrated case where the tree
+  * is a pure ~25% premium — every later row takes the flat screened
+  * argmin instead. Both paths are bit-identical in results (pinned in
+  * NearestKitSpec), so the switch is purely a cost decision; the
+  * observation is free (two long adds per sampled row against work that
+  * is O(√k·d)).
+  *
+  * One instance per expression; it travels to executors inside the
+  * plan's codegen references, and Spark deserializes those PER TASK —
+  * each task samples its own first rows and decides independently (no
+  * cross-task coordination, no shared mutable state). A task shorter
+  * than the sample stays on the tree path, which is at worst the
+  * measured ~25% premium on a bounded number of rows.
+  */
+final class TreeRouting(
+    val sampleRows: Int, val minSkipFrac: Double) extends Serializable {
+  private var rows: Int = 0
+  private var skipped: Long = 0L
+  private var groups: Long = 0L
+  private var flat: Boolean = false
+  private var decided: Boolean = false
+  def useFlat: Boolean = flat
+  def sampling: Boolean = !decided
+  def record(skippedGroups: Int, totalGroups: Int): Unit = {
+    rows += 1
+    skipped += skippedGroups
+    groups += totalGroups
+    if (rows >= sampleRows) {
+      decided = true
+      flat = groups > 0L && skipped.toDouble / groups < minSkipFrac
+    }
+  }
+}
+
 /** Nearest centroid of a literal codebook for a float/double vector
   * column: struct(cluster, d2 DECIMAL(38,12)), ties -> the FIRST entry
   * (callers pass `clusters` sorted ascending, making the tie rule
@@ -244,7 +283,8 @@ case class NearestCentroidGrouped(
     centroids: Array[Array[Double]],
     groupCentroids: Array[Array[Double]],
     groupRadius: Array[Double],
-    groupChildren: Array[Array[Int]])
+    groupChildren: Array[Array[Int]],
+    adaptiveRouting: Boolean = true)
   extends UnaryExpression {
 
   require(clusters.nonEmpty && clusters.length == centroids.length,
@@ -270,10 +310,24 @@ case class NearestCentroidGrouped(
 
   private lazy val isFloat = NearestMath.vecElemType(child).contains(FloatType)
 
+  // one router per expression instance; deserialized PER TASK inside
+  // the codegen references, so each task decides independently. The
+  // skip fraction only pays for the tree when it beats the tree's own
+  // overhead: the super-pass costs g extra distance evals per row and a
+  // skipped group saves ~k/g child evals, so break-even is at
+  // skipFrac ≈ (g/k)·(g/g) = g²/k... measured conservatively as 2g/k
+  // with a 0.05 floor (g ≈ √k makes that ~2/√k).
+  @transient private lazy val routing: TreeRouting = {
+    val g = groupCentroids.length.toDouble
+    val k = centroids.length.toDouble
+    new TreeRouting(4096, math.max(2.0 * g / k, 0.05))
+  }
+  private def routingOrNull: TreeRouting = if (adaptiveRouting) routing else null
+
   protected override def nullSafeEval(v: Any): Any =
     NearestCentroidGrouped.nearest(
       v.asInstanceOf[ArrayData], isFloat, clusters, centroids,
-      groupCentroids, groupRadius, groupChildren)
+      groupCentroids, groupRadius, groupChildren, routingOrNull)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cl = ctx.addReferenceObj("clusters", clusters, "int[]")
@@ -281,9 +335,14 @@ case class NearestCentroidGrouped(
     val gc = ctx.addReferenceObj("groupCentroids", groupCentroids, "double[][]")
     val gr = ctx.addReferenceObj("groupRadius", groupRadius, "double[]")
     val gh = ctx.addReferenceObj("groupChildren", groupChildren, "int[][]")
+    val rt =
+      if (adaptiveRouting)
+        ctx.addReferenceObj("routing", routingOrNull,
+          "graft.expressions.TreeRouting")
+      else "((graft.expressions.TreeRouting) null)"
     defineCodeGen(ctx, ev, v =>
       s"graft.expressions.NearestCentroidGrouped.nearest(" +
-        s"$v, $isFloat, $cl, $ce, $gc, $gr, $gh)")
+        s"$v, $isFloat, $cl, $ce, $gc, $gr, $gh, $rt)")
   }
 
   override protected def withNewChildInternal(
@@ -323,7 +382,13 @@ object NearestCentroidGrouped {
   def nearest(
       vec: ArrayData, isFloat: Boolean, clusters: Array[Int],
       centroids: Array[Array[Double]], groupCentroids: Array[Array[Double]],
-      groupRadius: Array[Double], groupChildren: Array[Array[Int]]): InternalRow = {
+      groupRadius: Array[Double], groupChildren: Array[Array[Int]],
+      routing: TreeRouting): InternalRow = {
+    // adaptive route (VERDICT r16 item 3): once this task's sample
+    // showed the bounds don't separate groups, the flat screened argmin
+    // — bit-identical results, no super-pass premium
+    if (routing != null && routing.useFlat)
+      return NearestCentroid.nearest(vec, isFloat, clusters, centroids)
     val g = groupCentroids.length
     val k = centroids.length
     val dims = vec.numElements()
@@ -368,16 +433,21 @@ object NearestCentroidGrouped {
       }
     }
     visit(minG)
+    var skippedGroups = 0
     gi = 0
     while (gi < g) {
       // per-group SKIP against the (only-decreasing) running minimum —
       // a skipped group's children are provably worse than the final
       // best, slack included
-      if (gi != minG && !(java.lang.Double.isFinite(bestD) &&
-        lb(gi) > bestD + 2.0 * NearestMath.candidateSlack(dims, bestD)))
-        visit(gi)
+      if (gi != minG) {
+        if (java.lang.Double.isFinite(bestD) &&
+          lb(gi) > bestD + 2.0 * NearestMath.candidateSlack(dims, bestD))
+          skippedGroups += 1
+        else visit(gi)
+      }
       gi += 1
     }
+    if (routing != null && routing.sampling) routing.record(skippedGroups, g)
     val screen = !anyNonFinite && java.lang.Double.isFinite(bestD)
     val cut =
       if (screen) bestD + 2.0 * NearestMath.candidateSlack(dims, bestD)
@@ -390,6 +460,223 @@ object NearestCentroidGrouped {
       // `<` keeps the lowest id on exact-decimal ties, like the flat
       // loop; NaN (unvisited) fails the <= and is skipped
       if ((screen && dd(ci) <= cut) || !screen) {
+        val d = NearestMath.d2Range(vec, isFloat, 0, centroids(ci), best)
+        if (best == null || d.compareTo(best) < 0) { best = d; bi = ci }
+      }
+      ci += 1
+    }
+    InternalRow(clusters(bi), Decimal(scala.math.BigDecimal(best)))
+  }
+}
+
+/** [[NearestCentroidGrouped]] with ONE MORE coarse level — the 3-level
+  * tree the §10e scale ledger records as needed only past ~10⁵ cells,
+  * where the 2-level super-pass itself (O(√k·d) per row) becomes the
+  * double-flop wall (k·d ≈ 6.4×10⁷ flops/row at k ~ 10⁶). Built now,
+  * behind [[graft.operators.SimilarityOps.nearestExpr]]'s k-threshold /
+  * `graft.ann.treeLevels` flag, so the structure exists before the
+  * scale does (VERDICT r16 item 4).
+  *
+  * Structure: the ~√k groups of the 2-level tree are themselves grouped
+  * into ~√√k SUPER-groups; a super-group's radius covers every
+  * DESCENDANT CENTROID (max over member groups j of d(superCentroid,
+  * groupCentroid_j) + groupRadius_j — the triangle inequality makes
+  * that a valid bound on any child under j). Per row: O(k^(1/4)·d)
+  * super bounds screen whole super-groups; surviving super-groups
+  * compute their member groups' bounds (lazily — a skipped super-group
+  * never prices its groups); surviving groups visit children. Same
+  * slack discipline, same ascending-id decimal pass, same non-finite
+  * fallback as the 2-level form, so the result is bit-identical to the
+  * flat argmin (pinned in NearestKitSpec).
+  */
+case class NearestCentroidGrouped3(
+    child: Expression,
+    clusters: Array[Int],
+    centroids: Array[Array[Double]],
+    groupCentroids: Array[Array[Double]],
+    groupRadius: Array[Double],
+    groupChildren: Array[Array[Int]],
+    superCentroids: Array[Array[Double]],
+    superRadius: Array[Double],
+    superChildren: Array[Array[Int]])
+  extends UnaryExpression {
+
+  require(clusters.nonEmpty && clusters.length == centroids.length,
+    "graft_nearest_centroid_grouped3 needs one cluster id per centroid")
+  require(groupCentroids.length == groupRadius.length &&
+    groupCentroids.length == groupChildren.length && groupCentroids.nonEmpty,
+    "graft_nearest_centroid_grouped3 needs (centroid, radius, children) " +
+      "per group")
+  require(groupChildren.map(_.length).sum == centroids.length,
+    "graft_nearest_centroid_grouped3: every centroid must belong to " +
+      "exactly one group")
+  require(superCentroids.length == superRadius.length &&
+    superCentroids.length == superChildren.length && superCentroids.nonEmpty,
+    "graft_nearest_centroid_grouped3 needs (centroid, radius, children) " +
+      "per super-group")
+  require(superChildren.map(_.length).sum == groupCentroids.length,
+    "graft_nearest_centroid_grouped3: every group must belong to " +
+      "exactly one super-group")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("d2", DecimalType(38, 12), nullable = false)))
+  override def prettyName: String = "graft_nearest_centroid_grouped3"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (NearestMath.vecElemType(child).isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_centroid_grouped3 requires array<float|double>, " +
+        s"got ${child.dataType}")
+
+  private lazy val isFloat = NearestMath.vecElemType(child).contains(FloatType)
+
+  protected override def nullSafeEval(v: Any): Any =
+    NearestCentroidGrouped3.nearest(
+      v.asInstanceOf[ArrayData], isFloat, clusters, centroids,
+      groupCentroids, groupRadius, groupChildren,
+      superCentroids, superRadius, superChildren)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cl = ctx.addReferenceObj("clusters", clusters, "int[]")
+    val ce = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val gc = ctx.addReferenceObj("groupCentroids", groupCentroids, "double[][]")
+    val gr = ctx.addReferenceObj("groupRadius", groupRadius, "double[]")
+    val gh = ctx.addReferenceObj("groupChildren", groupChildren, "int[][]")
+    val sc = ctx.addReferenceObj("superCentroids", superCentroids, "double[][]")
+    val sr = ctx.addReferenceObj("superRadius", superRadius, "double[]")
+    val sh = ctx.addReferenceObj("superChildren", superChildren, "int[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.expressions.NearestCentroidGrouped3.nearest(" +
+        s"$v, $isFloat, $cl, $ce, $gc, $gr, $gh, $sc, $sr, $sh)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroidGrouped3 =
+    copy(child = newChild)
+}
+
+object NearestCentroidGrouped3 {
+  /** Called from generated code. Three screens, all exact: super-group
+    * bounds prune whole branches, group bounds (computed LAZILY — only
+    * inside surviving super-groups) prune groups, and the candidate
+    * screen gates the decimal arithmetic — each against the
+    * only-decreasing running double minimum plus
+    * [[NearestMath.candidateSlack]]. ANY non-finite double arithmetic
+    * voids every screen and falls back to the full decimal loop (the
+    * ADVICE-r16 contract shared with the flat and 2-level forms).
+    */
+  def nearest(
+      vec: ArrayData, isFloat: Boolean, clusters: Array[Int],
+      centroids: Array[Array[Double]], groupCentroids: Array[Array[Double]],
+      groupRadius: Array[Double], groupChildren: Array[Array[Int]],
+      superCentroids: Array[Array[Double]], superRadius: Array[Double],
+      superChildren: Array[Array[Int]]): InternalRow = {
+    val s = superCentroids.length
+    val k = centroids.length
+    val dims = vec.numElements()
+    var anyNonFinite = false
+    // super-group lower bounds — O(s·d)
+    val lbA = new Array[Double](s)
+    var minS = 0
+    var si = 0
+    while (si < s) {
+      val d = math.sqrt(NearestMath.d2Double(vec, isFloat, 0,
+        superCentroids(si)))
+      val l = d - superRadius(si)
+      lbA(si) = if (l > 0.0) l * l else 0.0
+      if (!java.lang.Double.isFinite(lbA(si))) anyNonFinite = true
+      if (lbA(si) < lbA(minS)) minS = si
+      si += 1
+    }
+    // group bounds, computed lazily per surviving super-group;
+    // NaN = not computed
+    val lbB = new Array[Double](groupCentroids.length)
+    java.util.Arrays.fill(lbB, Double.NaN)
+    def groupBound(gi: Int): Double = {
+      if (java.lang.Double.isNaN(lbB(gi))) {
+        val d = math.sqrt(NearestMath.d2Double(vec, isFloat, 0,
+          groupCentroids(gi)))
+        val l = d - groupRadius(gi)
+        lbB(gi) = if (l > 0.0) l * l else 0.0
+        if (!java.lang.Double.isFinite(lbB(gi))) anyNonFinite = true
+      }
+      lbB(gi)
+    }
+    val dd = new Array[Double](k)
+    java.util.Arrays.fill(dd, Double.NaN)
+    var bestD = Double.PositiveInfinity
+    def visit(grp: Int): Unit = {
+      val kids = groupChildren(grp)
+      var c = 0
+      while (c < kids.length) {
+        val ci = kids(c)
+        val d = NearestMath.d2Double(vec, isFloat, 0, centroids(ci))
+        dd(ci) = d
+        if (!java.lang.Double.isFinite(d)) anyNonFinite = true
+        if (d < bestD) bestD = d
+        c += 1
+      }
+    }
+    def cut(): Double =
+      if (java.lang.Double.isFinite(bestD))
+        bestD + 2.0 * NearestMath.candidateSlack(dims, bestD)
+      else Double.PositiveInfinity
+    // seed the running minimum from the min-bound super-group's
+    // min-bound group (the 2-level "visit minG first" trick, one level
+    // down), then scan every super-group with the per-branch skip
+    locally {
+      val members = superChildren(minS)
+      var minGi = members(0)
+      var mi = 1
+      while (mi < members.length) {
+        if (groupBound(members(mi)) < groupBound(minGi)) minGi = members(mi)
+        mi += 1
+      }
+      visit(minGi)
+      mi = 0
+      while (mi < members.length) {
+        val gi = members(mi)
+        if (gi != minGi && !(groupBound(gi) > cut())) visit(gi)
+        mi += 1
+      }
+    }
+    si = 0
+    while (si < s) {
+      if (si != minS && !(lbA(si) > cut())) {
+        val members = superChildren(si)
+        // min-bound member FIRST (then the rest with the skip): when
+        // the super bounds cannot separate (every lbA ≈ 0 — the
+        // concentrated case), this is what keeps the running minimum
+        // tightening as fast as the 2-level form's global-min seed —
+        // without it the first TreeBench probe measured 3-level
+        // assignment SLOWER than flat (43 s vs 32 s at k = 4096)
+        // purely from visit order
+        var minGi = members(0)
+        var mi = 1
+        while (mi < members.length) {
+          if (groupBound(members(mi)) < groupBound(minGi)) minGi = members(mi)
+          mi += 1
+        }
+        if (!(groupBound(minGi) > cut())) visit(minGi)
+        mi = 0
+        while (mi < members.length) {
+          val gi = members(mi)
+          if (gi != minGi && !(groupBound(gi) > cut())) visit(gi)
+          mi += 1
+        }
+      }
+      si += 1
+    }
+    val screen = !anyNonFinite && java.lang.Double.isFinite(bestD)
+    val theCut = if (screen) cut() else Double.PositiveInfinity
+    var best: JBigDecimal = null
+    var bi = 0
+    var ci = 0
+    while (ci < k) {
+      // ascending cluster-id order, strict `<`: lowest id on exact ties,
+      // like the flat loop; NaN (unvisited) fails the <= and is skipped
+      if ((screen && dd(ci) <= theCut) || !screen) {
         val d = NearestMath.d2Range(vec, isFloat, 0, centroids(ci), best)
         if (best == null || d.compareTo(best) < 0) { best = d; bi = ci }
       }

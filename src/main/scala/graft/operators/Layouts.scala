@@ -161,6 +161,75 @@ object Layouts {
 
   private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
 
+  /** Production-shape parquet file target: 128 MiB (the advisory rule
+    * the s27 layout-advisor query states; HDFS-block-sized files keep
+    * scans one-split-per-file and the namenode listing small).
+    */
+  val DefaultTargetFileBytes: Long = 128L * 1024 * 1024
+
+  /** The layout advisor's on-disk numbers for one table directory —
+    * ONE namenode listing, no data read: current bytes and file count,
+    * the estimated file count at `targetFileBytes`, and the mean bytes
+    * per current file. This is the operator form of the s27 advisor
+    * query's est-files-at-target column, and what
+    * [[compactTableAdvised]] derives its default from (VERDICT r16
+    * item 7: the advisor and the compactor were adjacent but
+    * unconnected — callers picked target file counts by hand).
+    */
+  final case class TableLayoutStats(
+      bytes: Long, files: Long, estFilesAtTarget: Long, avgFileBytes: Long)
+
+  def layoutStats(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = DefaultTargetFileBytes): TableLayoutStats = {
+    require(targetFileBytes > 0,
+      s"layoutStats: targetFileBytes must be positive, got $targetFileBytes")
+    val fs = hPath(path).getFileSystem(spark.sessionState.newHadoopConf())
+    // DATA files only — _SUCCESS / .crc markers must not count toward
+    // the geometry (getContentSummary would include them)
+    val it = fs.listFiles(hPath(path), true)
+    var bytes = 0L
+    var files = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        bytes += st.getLen
+        files += 1
+      }
+    }
+    val est = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    TableLayoutStats(bytes, files, est,
+      if (files == 0L) 0L else bytes / files)
+  }
+
+  /** [[compactTable]] with the target derived from the ADVISOR instead
+    * of a hand-picked byte count: one [[layoutStats]] listing prices
+    * the current geometry, and the rewrite aims at
+    * `targetFileBytes`-sized files (default 128 MiB — the s27 advisory
+    * rule). Returns the stats the decision was made from, so callers
+    * can log/skip: a table already at `estFilesAtTarget` files with
+    * healthy `avgFileBytes` does not need the rewrite, and
+    * `skipIfHealthy` (default true) makes that check part of the
+    * operator — compaction is IO-expensive, the advisor read is free,
+    * so the advised form never rewrites a table whose file count
+    * already matches the target geometry (within 25% average-size
+    * slack).
+    */
+  def compactTableAdvised(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = DefaultTargetFileBytes,
+      skipIfHealthy: Boolean = true): TableLayoutStats = {
+    val stats = layoutStats(spark, path, targetFileBytes)
+    val healthy = stats.files == stats.estFilesAtTarget &&
+      (stats.files <= 1L || stats.avgFileBytes >= targetFileBytes / 4 * 3)
+    if (!(skipIfHealthy && healthy))
+      compactTable(spark, path, targetFileBytes)
+    stats
+  }
+
   /** Compact a plain-parquet table directory to ~`targetFileBytes`
     * files — the generic small-file repair for any append-accumulated
     * dataset (the store-specific compactors in IvfIndex/DedupStore are

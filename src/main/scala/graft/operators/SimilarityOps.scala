@@ -405,10 +405,21 @@ object SimilarityOps {
     * function tree (interpreted, boxed per element).
     */
   private def nearestExpr(
-      vec: Column, centroids: Seq[(Int, Array[Double])]): Column =
-    if (centroids.length >= TreeAssignThreshold)
-      nearestExprTree(vec, centroids)
-    else nearestExprFlat(vec, centroids)
+      vec: Column, centroids: Seq[(Int, Array[Double])]): Column = {
+    val k = centroids.length
+    val forced = sys.props.get("graft.ann.treeLevels").map(_.toInt)
+    forced match {
+      case Some(1) => nearestExprFlat(vec, centroids)
+      case Some(2) => nearestExprTree(vec, centroids)
+      case Some(3) => nearestExprTree3(vec, centroids)
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft.ann.treeLevels must be 1, 2 or 3, got $other")
+      case None =>
+        if (k >= Tree3AssignThreshold) nearestExprTree3(vec, centroids)
+        else if (k >= TreeAssignThreshold) nearestExprTree(vec, centroids)
+        else nearestExprFlat(vec, centroids)
+    }
+  }
 
   /** Past this codebook size, [[nearestExpr]] routes through the
     * two-level coarse-quantizer tree: the flat argmin is O(k·d) per row
@@ -417,9 +428,24 @@ object SimilarityOps {
     * tree is O(√k·d) expected with the SAME result cell-for-cell
     * (triangle-inequality pruning never skips a possible winner; pinned
     * in NearestKitSpec + IvfIndexSpec). Below the threshold the tree's
-    * super-level pass is pure overhead.
+    * super-level pass is pure overhead. On data whose distances
+    * concentrate (bounds never separate), the expression's own
+    * per-task [[graft.expressions.TreeRouting]] sample detects the
+    * dead screen and falls back to the flat screened argmin after
+    * ~4k rows (VERDICT r16 item 3) — so mis-routing above the
+    * threshold costs a bounded sample, not the whole task.
     */
   private[graft] val TreeAssignThreshold = 64
+
+  /** Past THIS size the 2-level tree's own super-pass (O(√k·d) per row)
+    * is the recorded wall (§10e: k·d ≈ 6.4×10⁷ flops/row at k ~ 10⁶)
+    * and [[nearestExpr]] routes through the 3-level form — ⌈√g⌉
+    * super-groups over the ⌈√k⌉ groups, O(k^(1/4)·d) at the top. Far
+    * beyond sandbox scale by design (VERDICT r16 item 4: the structure
+    * should exist before the scale does); `-Dgraft.ann.treeLevels=3`
+    * forces it for specs and the ANN spike.
+    */
+  private[graft] val Tree3AssignThreshold = 100000
 
   private[graft] def nearestExprFlat(
       vec: Column, centroids: Seq[(Int, Array[Double])]): Column = {
@@ -432,7 +458,8 @@ object SimilarityOps {
   }
 
   private[graft] def nearestExprTree(
-      vec: Column, centroids: Seq[(Int, Array[Double])]): Column = {
+      vec: Column, centroids: Seq[(Int, Array[Double])],
+      adaptiveRouting: Boolean = true): Column = {
     require(centroids.nonEmpty, "empty codebook")
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val sorted = centroids.sortBy(_._1)
@@ -440,7 +467,37 @@ object SimilarityOps {
     ColumnBridge.column(graft.expressions.NearestCentroidGrouped(
       ColumnBridge.expression(vec),
       sorted.map(_._1).toArray, sorted.map(_._2).toArray,
-      tree._1, tree._2, tree._3))
+      tree._1, tree._2, tree._3, adaptiveRouting))
+  }
+
+  /** The 3-level form of [[nearestExprTree]]: the 2-level grouping,
+    * then the same driver-side Lloyd's once more over the GROUP
+    * centroids into ⌈√g⌉ super-groups, each super-radius covering every
+    * descendant centroid via d(super, group) + groupRadius. Driver cost
+    * O(g^1.5·d) = O(k^0.75·d) — cheaper than the level below it.
+    */
+  private[graft] def nearestExprTree3(
+      vec: Column, centroids: Seq[(Int, Array[Double])]): Column = {
+    require(centroids.nonEmpty, "empty codebook")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sorted = centroids.sortBy(_._1)
+    val tree = buildCellTree(sorted.map(_._2).toArray)
+    val (gc, gr, gch) = tree
+    val superT = buildCellTree(gc)
+    val (sc, sch) = (superT._1, superT._3)
+    // a super-group's radius must cover CENTROIDS, not just its member
+    // groups' centroids: max over members of d(super, group) + radius
+    val sr = sch.zipWithIndex.map { case (members, si) =>
+      members.map { gi =>
+        val d2v = sc(si).zip(gc(gi))
+          .map { case (a, b) => (a - b) * (a - b) }.sum
+        math.sqrt(d2v) + gr(gi)
+      }.max
+    }
+    ColumnBridge.column(graft.expressions.NearestCentroidGrouped3(
+      ColumnBridge.expression(vec),
+      sorted.map(_._1).toArray, sorted.map(_._2).toArray,
+      gc, gr, gch, sc, sr, sch))
   }
 
   /** Group k centroids into ⌈√k⌉ super-cells for the tree expression:

@@ -1145,7 +1145,17 @@ object TextOps {
     * count (or equal count and smaller key) would itself be the
     * maximum. Heap order (count desc, key asc) makes tie-breaks
     * identical to the scan's. Total pushes ≈ total count updates — the
-    * work the incremental maintenance already did — each at O(log H);
+    * work the incremental maintenance already did — each at O(log H).
+    *
+    * Lazy deletion alone is NOT enough: only argmax pops remove
+    * entries, so the heap would grow with the TOTAL update volume of
+    * the whole training run (the first cut did exactly that and
+    * GC-thrashed on a 200k-word vocabulary — same failure mode as the
+    * r16 BitSet index, different container). A periodic REBUILD bounds
+    * it: whenever the heap exceeds 4× the live pair count (min 64k),
+    * it is rebuilt from the live map — O(|pairs| log |pairs|), paid at
+    * most once per ~3·|pairs| pushes, so amortized cost per update
+    * stays O(log |pairs|) and memory stays O(|pairs|).
     * `argmaxViaHeap = false` keeps the scan for the BpeSpec
     * heap-equals-scan pin.
     */
@@ -1169,7 +1179,7 @@ object TextOps {
         if (c != 0) c else java.lang.Long.compare(x(1), y(1)) // key ASC
       }
     }
-    val heap = new java.util.PriorityQueue[Array[Long]](1024, heapCmp)
+    var heap = new java.util.PriorityQueue[Array[Long]](1024, heapCmp)
     var heapLive = false // the initial build pushes once at the end
     // inverted pair -> word-indices index as APPEND-ONLY int buffers
     // (not BitSet: a BitSet is max-index/8 bytes however few words hold
@@ -1177,19 +1187,23 @@ object TextOps {
     // OOM on a 200k-word vocabulary). Duplicate and stale entries are
     // allowed; the per-round stamp array dedupes at consumption.
     val pairWords = new mutable.LongMap[mutable.ArrayBuffer[Int]]()
+    def bump(k: Long, delta: Long): Unit = {
+      val n = pairCount.getOrElse(k, 0L) + delta
+      if (n == 0L) pairCount.remove(k) else pairCount.update(k, n)
+      if (heapLive && argmaxViaHeap && n > 0L) heap.add(Array(n, k))
+    }
+    def register(k: Long, i: Int): Unit = {
+      val buf = pairWords.getOrElseUpdate(k, new mutable.ArrayBuffer[Int])
+      // one entry per (pair, word) per rewrite is enough — collapse
+      // the common repeated-adjacency run ("aaaa") to one append
+      if (buf.isEmpty || buf(buf.length - 1) != i) buf += i
+    }
     def addWord(i: Int, s: Array[Int], sign: Long): Unit = {
       var j = 0
       while (j + 1 < s.length) {
         val k = key(s(j), s(j + 1))
-        val n = pairCount.getOrElse(k, 0L) + sign * cnt(i)
-        if (n == 0L) pairCount.remove(k) else pairCount.update(k, n)
-        if (heapLive && argmaxViaHeap && n > 0L) heap.add(Array(n, k))
-        if (sign > 0) {
-          val buf = pairWords.getOrElseUpdate(k, new mutable.ArrayBuffer[Int])
-          // one entry per (pair, word) per rewrite is enough — collapse
-          // the common repeated-adjacency run ("aaaa") to one append
-          if (buf.isEmpty || buf(buf.length - 1) != i) buf += i
-        }
+        bump(k, sign * cnt(i))
+        if (sign > 0) register(k, i)
         j += 1
       }
     }
@@ -1224,6 +1238,15 @@ object TextOps {
       }
       if (bestK < 0) exhausted = true
       else {
+        // bound the lazy heap: rebuild from the live map once stale
+        // entries dominate (see scaladoc — without this the heap grows
+        // with the run's total update volume, not the live pair count)
+        if (argmaxViaHeap &&
+          heap.size > math.max(4L * pairCount.size, 65536L)) {
+          heap = new java.util.PriorityQueue[Array[Long]](
+            math.max(pairCount.size, 16), heapCmp)
+          pairCount.foreachEntry((k, n) => heap.add(Array(n, k)))
+        }
         merges += ((r, pairStr(bestK), bestN))
         val a = (bestK >> 21).toInt
         val b = (bestK & 0x1FFFFF).toInt
@@ -1237,22 +1260,53 @@ object TextOps {
         affected.foreach { wi =>
           // stamp-dedup: a word may appear several times in the buffer
           // (several rewrites appended it); process it once per round.
-          // Stale entries (the word no longer holds the pair) are a
-          // no-op remove/re-add — harmless by construction.
+          // Stale entries (the word no longer holds the pair) scan to
+          // zero sites and touch nothing — harmless by construction.
           if (stamp(wi) != r) {
             stamp(wi) = r
             val old = syms(wi)
-            addWord(wi, old, -1L)
+            val w = cnt(wi)
+            // DELTA rewrite (r17): the r16 form removed and re-added
+            // EVERY pair of every affected word — O(word length) map
+            // updates per word, measured as the actual bpe_timing wall
+            // (the argmax scan the heap replaced was only ~3% of the
+            // synth case). Only the pairs AROUND each merge site
+            // change; everything else cancels exactly, so update just
+            // those: per site, dec the site pair, dec the left
+            // neighbor pair unless the previous site's right-dec
+            // already covered it (back-to-back sites), dec the right
+            // neighbor pair always, inc (newPrev, z) when z has a left
+            // neighbor in the NEW word, and inc (z, right) unless the
+            // right neighbor starts the NEXT site (that pair is the
+            // next site's left-inc, as (z, z)). Balanced-multiset
+            // checked on xabab/aaaa/aab by hand; BpeSpec pins the
+            // whole trainer against the per-round-job twin on
+            // adversarial run/tie fixtures.
             val out = new Array[Int](old.length)
             var j = 0
             var m = 0
+            var prevSite = -2
             while (j < old.length) {
               if (j + 1 < old.length && old(j) == a && old(j + 1) == b) {
-                out(m) = z; m += 1; j += 2
+                bump(key(a, b), -w)
+                if (j > 0 && prevSite != j - 2)
+                  bump(key(old(j - 1), old(j)), -w)
+                if (j + 2 < old.length)
+                  bump(key(old(j + 1), old(j + 2)), -w)
+                if (m > 0) {
+                  val kL = key(out(m - 1), z)
+                  bump(kL, w); register(kL, wi)
+                }
+                val nextIsSite = j + 3 < old.length &&
+                  old(j + 2) == a && old(j + 3) == b
+                if (j + 2 < old.length && !nextIsSite) {
+                  val kR = key(z, old(j + 2))
+                  bump(kR, w); register(kR, wi)
+                }
+                out(m) = z; m += 1; prevSite = j; j += 2
               } else { out(m) = old(j); m += 1; j += 1 }
             }
-            syms(wi) = java.util.Arrays.copyOf(out, m)
-            addWord(wi, syms(wi), 1L)
+            if (m < old.length) syms(wi) = java.util.Arrays.copyOf(out, m)
           }
         }
         r += 1

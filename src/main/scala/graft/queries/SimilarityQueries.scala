@@ -159,6 +159,88 @@ object SimilarityQueries extends QueryModule {
     sb.toString
   }
 
+  // V52/V53 share ONE oracle string (the shared-oracle equivalence
+  // convention): the SQL below computes the auto-sized k, unrolls the
+  // same 2-iteration Lloyd's as v12, and serves the same 3-query
+  // batch. v52 runs it against the DEFAULT assignment route (2-level
+  // tree at k = 71), v53 against the FORCED 3-level tree — the hash
+  // match across both physical forms is the proof that the extra
+  // coarse level can never change an assignment.
+  lazy val v52OracleSql: String = s"""
+        WITH e AS (
+          SELECT vec_id, i AS dim, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+          FROM embeddings, range(1, 65) t(i)),
+        kk AS (
+          SELECT CAST(GREATEST(4, LEAST(4096, CEIL(SQRT(count(*))))) AS INT)
+            AS k
+          FROM embeddings),
+        init AS (
+          SELECT CAST(rn - 1 AS INT) AS cluster, vec_id
+          FROM (SELECT vec_id,
+                       row_number() OVER (ORDER BY vec_id) AS rn
+                FROM embeddings), kk
+          WHERE rn <= kk.k),
+        c0 AS (SELECT i.cluster, e.dim, e.v AS c
+               FROM init i JOIN e ON e.vec_id = i.vec_id),
+        d1 AS (
+          SELECT e.vec_id, c.cluster,
+                 sum(CAST(round((e.v - c.c) * (e.v - c.c), 12)
+                   AS DECIMAL(38,12))) AS d2
+          FROM e JOIN c0 c ON e.dim = c.dim
+          GROUP BY 1, 2),
+        a1 AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cluster) AS rn
+            FROM d1) WHERE rn = 1),
+        c1 AS (
+          SELECT a.cluster, e.dim,
+                 CAST(sum(CAST(round(e.v, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                   / count(*) AS c
+          FROM e JOIN a1 a ON e.vec_id = a.vec_id
+          GROUP BY 1, 2),
+        dd2 AS (
+          SELECT e.vec_id, c.cluster,
+                 sum(CAST(round((e.v - c.c) * (e.v - c.c), 12)
+                   AS DECIMAL(38,12))) AS d2
+          FROM e JOIN c1 c ON e.dim = c.dim
+          GROUP BY 1, 2),
+        a2 AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cluster) AS rn
+            FROM dd2) WHERE rn = 1),
+        cb AS (
+          SELECT cluster AS cell, list(c ORDER BY dim) AS centroid
+          FROM c1 GROUP BY 1),
+        q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+              WHERE vec_id < 3),
+        probed AS (
+          SELECT qid, qe, cell FROM (
+            SELECT q.qid, q.qe, cb.cell,
+                   row_number() OVER (PARTITION BY q.qid ORDER BY
+                     ${cosineSql("q.qe", "cb.centroid")} DESC,
+                     cb.cell) AS crank
+            FROM cb, q)
+          WHERE crank <= 2),
+        scored AS (
+          SELECT p.qid, b.vec_id, a.cluster AS cell,
+                 ${cosineSql("b.embedding", "p.qe")} AS sim
+          FROM embeddings b
+          JOIN a2 a ON a.vec_id = b.vec_id
+          JOIN probed p ON p.cell = a.cluster
+          WHERE b.vec_id <> p.qid),
+        r AS (
+          SELECT qid, vec_id, cell, sim,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY sim DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        SELECT qid, vec_id, cell, sim, rank
+        FROM r WHERE rank <= 10
+        ORDER BY qid, rank"""
+
   val queries: Map[String, Q] = Map(
     // V1 — brute-force cosine top-k against one query vector: broadcast the
     // query, score in one pass, TakeOrderedAndProject for the k-heap (the
@@ -1199,80 +1281,35 @@ object SimilarityQueries extends QueryModule {
           s, path, emb.filter(col("vec_id") < 3), nprobe = 2, k = 10)
           .orderBy(col("qid"), col("rank"))
       },
-      oracle = Some(s"""
-        WITH e AS (
-          SELECT vec_id, i AS dim, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
-          FROM embeddings, range(1, 65) t(i)),
-        kk AS (
-          SELECT CAST(GREATEST(4, LEAST(4096, CEIL(SQRT(count(*))))) AS INT)
-            AS k
-          FROM embeddings),
-        init AS (
-          SELECT CAST(rn - 1 AS INT) AS cluster, vec_id
-          FROM (SELECT vec_id,
-                       row_number() OVER (ORDER BY vec_id) AS rn
-                FROM embeddings), kk
-          WHERE rn <= kk.k),
-        c0 AS (SELECT i.cluster, e.dim, e.v AS c
-               FROM init i JOIN e ON e.vec_id = i.vec_id),
-        d1 AS (
-          SELECT e.vec_id, c.cluster,
-                 sum(CAST(round((e.v - c.c) * (e.v - c.c), 12)
-                   AS DECIMAL(38,12))) AS d2
-          FROM e JOIN c0 c ON e.dim = c.dim
-          GROUP BY 1, 2),
-        a1 AS (
-          SELECT vec_id, cluster FROM (
-            SELECT vec_id, cluster,
-                   row_number() OVER (PARTITION BY vec_id
-                     ORDER BY d2, cluster) AS rn
-            FROM d1) WHERE rn = 1),
-        c1 AS (
-          SELECT a.cluster, e.dim,
-                 CAST(sum(CAST(round(e.v, 12) AS DECIMAL(38,12))) AS DOUBLE)
-                   / count(*) AS c
-          FROM e JOIN a1 a ON e.vec_id = a.vec_id
-          GROUP BY 1, 2),
-        dd2 AS (
-          SELECT e.vec_id, c.cluster,
-                 sum(CAST(round((e.v - c.c) * (e.v - c.c), 12)
-                   AS DECIMAL(38,12))) AS d2
-          FROM e JOIN c1 c ON e.dim = c.dim
-          GROUP BY 1, 2),
-        a2 AS (
-          SELECT vec_id, cluster FROM (
-            SELECT vec_id, cluster,
-                   row_number() OVER (PARTITION BY vec_id
-                     ORDER BY d2, cluster) AS rn
-            FROM dd2) WHERE rn = 1),
-        cb AS (
-          SELECT cluster AS cell, list(c ORDER BY dim) AS centroid
-          FROM c1 GROUP BY 1),
-        q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-              WHERE vec_id < 3),
-        probed AS (
-          SELECT qid, qe, cell FROM (
-            SELECT q.qid, q.qe, cb.cell,
-                   row_number() OVER (PARTITION BY q.qid ORDER BY
-                     ${cosineSql("q.qe", "cb.centroid")} DESC,
-                     cb.cell) AS crank
-            FROM cb, q)
-          WHERE crank <= 2),
-        scored AS (
-          SELECT p.qid, b.vec_id, a.cluster AS cell,
-                 ${cosineSql("b.embedding", "p.qe")} AS sim
-          FROM embeddings b
-          JOIN a2 a ON a.vec_id = b.vec_id
-          JOIN probed p ON p.cell = a.cluster
-          WHERE b.vec_id <> p.qid),
-        r AS (
-          SELECT qid, vec_id, cell, sim,
-                 CAST(row_number() OVER (PARTITION BY qid
-                   ORDER BY sim DESC, vec_id) AS INT) AS rank
-          FROM scored)
-        SELECT qid, vec_id, cell, sim, rank
-        FROM r WHERE rank <= 10
-        ORDER BY qid, rank""")),
+      oracle = Some(v52OracleSql)),
+
+    // V53 — the FORCED 3-level coarse-quantizer tree under the same
+    // oracle gate as v52 (shared oracle string — the hash match IS the
+    // equivalence proof): graft.ann.treeLevels=3 routes every
+    // nearest-centroid assignment in the build through
+    // NearestCentroidGrouped3 (super-groups over groups over cells),
+    // the structure nearestExpr auto-engages past ~1e5 cells (VERDICT
+    // r16 item 4). A single vector routed differently by the extra
+    // coarse level would hash-mismatch against the SQL-unrolled argmin.
+    "v53_index_tree3" -> Q(
+      fn = (s, dir) => {
+        val prev = sys.props.get("graft.ann.treeLevels")
+        sys.props("graft.ann.treeLevels") = "3"
+        try {
+          val emb = t(s, dir, "embeddings")
+          val path = freshIndexDir("v53_") + "/index"
+          graft.operators.IvfIndex.write(
+            emb, "vec_id", "embedding", trainIters = 2, path = path)
+          graft.operators.IvfIndex.queryBatch(
+            s, path, emb.filter(col("vec_id") < 3), nprobe = 2, k = 10)
+            .orderBy(col("qid"), col("rank"))
+        } finally prev match {
+          case Some(v) => sys.props("graft.ann.treeLevels") = v
+          case None => sys.props.remove("graft.ann.treeLevels"): Unit
+        }
+      },
+      oracle = Some(v52OracleSql)),
+
 
     // V13 — incremental index growth under the oracle gate: the codebook
     // trains on the FIRST HALF of the corpus only (write), the second

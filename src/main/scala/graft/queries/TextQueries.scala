@@ -4377,6 +4377,47 @@ object TextQueries extends QueryModule {
     // rule) vs redundant — c14 prices the global savings, this names
     // WHICH FEEDS are recycling content. Hash-keyed shuffles only;
     // the per-source rollup partial-aggregates.
+    // C29 — BOUNDED approximate mode per group: graft_mg_top1 (the
+    // Misra–Gries top-1 aggregate the skew-profile observation rides,
+    // ADVICE r16) against DuckDB's exact group-wise argmax. The derived
+    // tag gives every language a ~2/3-share dominant value and a tail
+    // spread over 97 values (< 1.1% each), so the MG guarantee — any
+    // item above n/32 retained, estimates undercounting by at most
+    // n/32 — makes the sketch's answer provably the EXACT mode; the
+    // hash match is the end-to-end gate on the aggregate's update,
+    // merge, and eval paths (merge exercised for real: the scan is
+    // multi-partition). O(32) state per partial buffer vs mode()'s
+    // per-distinct-value state — the 100 TB posture is the point.
+    "c29_mg_mode" -> Q(
+      fn = (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("lang"), col("doc_id"),
+            when(col("doc_id") % 3 < 2, lit("primary"))
+              .otherwise(concat(lit("tail-"), col("doc_id") % 97))
+              .as("tag"))
+          .groupBy(col("lang"))
+          .agg(expr("graft_mg_top1(tag, 32)").as("top_tag"),
+            count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"))
+      },
+      oracle = Some("""
+        WITH tags AS (
+          SELECT lang,
+                 CASE WHEN doc_id % 3 < 2 THEN 'primary'
+                      ELSE 'tail-' || CAST(doc_id % 97 AS VARCHAR) END AS tag
+          FROM documents),
+        ranked AS (
+          SELECT lang, tag, CAST(count(*) AS BIGINT) AS c,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY count(*) DESC, tag) AS rn
+          FROM tags GROUP BY 1, 2)
+        SELECT r.lang, r.tag AS top_tag, t.n_docs
+        FROM ranked r
+        JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+              FROM tags GROUP BY 1) t USING (lang)
+        WHERE r.rn = 1
+        ORDER BY lang""")),
+
     "c28_dup_by_source" -> Q(
       fn = (s, dir) => {
         val h = t(s, dir, "documents")

@@ -154,6 +154,46 @@ class LayoutsSpec extends SparkSpec {
     assert(spark.read.parquet(p).count() === 10000)
   }
 
+  test("compactTableAdvised: advisor-driven compaction equals the " +
+    "hand-tuned call on a skewed small-file fixture, a healthy table " +
+    "is NOT rewritten, and the stats come from one listing") {
+    val target = 4L * 1024 * 1024
+    def mk(tag: String): String = {
+      val p = tempDirFile(s"graft_cadv_$tag").getAbsolutePath + "/t"
+      // skewed small-file geometry: 48 files, most near-empty
+      spark.range(0, 200000).toDF("id")
+        .withColumn("part", when($"id" < 190000, 0).otherwise($"id" % 47 + 1))
+        .repartition(48, $"part").drop("part")
+        .write.parquet(p)
+      p
+    }
+    def files(p: String): Seq[java.io.File] = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+    val advisedPath = mk("a")
+    val handPath = mk("b")
+    val statsBefore = Layouts.layoutStats(spark, advisedPath, target)
+    // hash-partitioning may leave some of the 48 slots empty (skipped
+    // at write) — the point is MANY small files, not an exact count
+    assert(statsBefore.files > 10 && statsBefore.files <= 48)
+    assert(statsBefore.estFilesAtTarget ===
+      math.max(1L, (statsBefore.bytes + target - 1) / target))
+    val decided = Layouts.compactTableAdvised(spark, advisedPath, target)
+    assert(decided === statsBefore, "returned stats = the pre-rewrite read")
+    Layouts.compactTable(spark, handPath, target) // the hand-tuned twin
+    assert(files(advisedPath).size === files(handPath).size,
+      "advisor-driven file geometry must equal the hand-tuned call's")
+    assert(spark.read.parquet(advisedPath).count() === 200000)
+    // healthy table: advised call is a no-op (same file inodes survive)
+    val namesBefore = files(advisedPath).map(_.getName)
+    val statsAfter = Layouts.compactTableAdvised(spark, advisedPath, target)
+    assert(statsAfter.files === statsAfter.estFilesAtTarget)
+    assert(files(advisedPath).map(_.getName) === namesBefore,
+      "a table already at target geometry must not be rewritten")
+    intercept[IllegalArgumentException] {
+      Layouts.layoutStats(spark, advisedPath, 0L)
+    }
+  }
+
   test("zorder: an ALL-NULL z-column degrades to a zero-bit range — the " +
     "other columns still cluster instead of the layout silently skipping") {
     val df = spark.range(0, 1024).toDF("a")

@@ -136,6 +136,64 @@ class NearestKitSpec extends SparkSpec {
     assert(got === 85)
   }
 
+  test("NearestCentroidGrouped3 (three-level tree) == flat argmin " +
+    "bit-for-bit on clustered, uniform, tied, and boundary vectors; " +
+    "adaptive routing (sampled flat fallback) changes nothing") {
+    val dims = 16
+    // 120 clustered + 8 scattered centroids, permuted ids — the same
+    // adversarial codebook as the 2-level parity test
+    val clustered = for {
+      g <- 0 until 10; j <- 0 until 12
+    } yield vec(g + 300, dims).zip(vec(g * 12 + j + 700, dims))
+      .map { case (base, nudge) => base + nudge * 0.01 }
+    val scattered = (0 until 8).map(i => vec(i + 900, dims))
+    val allCents = (clustered ++ scattered).zipWithIndex
+      .map { case (c, i) => ((i * 37) % 128, c.toArray) }
+    val probes =
+      (0 until 40).map(i => vec(i + 1500, dims)) ++
+        (0 until 10).map(g => vec(g + 300, dims)) ++
+        clustered.take(5).map(_.toArray) ++
+        Seq(vec(301, dims).zip(vec(302, dims)).map { case (a, b) => (a + b) / 2 })
+    val df = probes.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    def run(c: org.apache.spark.sql.Column) =
+      df.select($"id", c.as("m"))
+        .select($"id", $"m.cluster", $"m.d2".cast("string"))
+        .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+    val flat = run(SimilarityOps.nearestExprFlat($"v", allCents))
+    assert(run(SimilarityOps.nearestExprTree3($"v", allCents)) === flat,
+      "3-level assignment must equal the flat argmin bit-for-bit")
+    // adaptive routing decided mid-stream: sampleRows smaller than the
+    // probe count forces a decision; uniform random probes against this
+    // codebook exercise both verdicts across tasks — results must not
+    // move either way
+    assert(run(SimilarityOps.nearestExprTree($"v", allCents,
+      adaptiveRouting = true)) === flat)
+    assert(run(SimilarityOps.nearestExprTree($"v", allCents,
+      adaptiveRouting = false)) === flat)
+    // duplicate-centroid tie across different 3-level branches still
+    // lands the lowest cluster id
+    val c0 = vec(42, dims)
+    val tied = (0 until 80).map(i => (i + 1, vec(i + 2500, dims))) ++
+      Seq((90, c0), (85, c0))
+    val got = df.limit(1).select(
+      SimilarityOps.nearestExprTree3(typedlit(c0), tied).as("m"))
+      .select($"m.cluster").as[Int].head()
+    assert(got === 85)
+  }
+
+  test("TreeRouting decides flat on a dead screen and stays on the tree " +
+    "when bounds separate; both only after the sample") {
+    val r = new graft.expressions.TreeRouting(sampleRows = 10,
+      minSkipFrac = 0.5)
+    for (_ <- 0 until 9) { r.record(0, 8); assert(!r.useFlat && r.sampling) }
+    r.record(0, 8) // 10th row: 0/80 skipped < 0.5 -> flat
+    assert(r.useFlat && !r.sampling)
+    val keep = new graft.expressions.TreeRouting(10, 0.5)
+    for (_ <- 0 until 10) keep.record(7, 8) // 70/80 skipped >= 0.5
+    assert(!keep.useFlat && !keep.sampling)
+  }
+
   test("a non-finite CANDIDATE throws the ANSI-cast error even when the " +
     "double minimum is finite (screening must not skip the throw — " +
     "ADVICE r16), flat / grouped / PQ forms alike") {
