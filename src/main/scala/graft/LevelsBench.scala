@@ -115,13 +115,27 @@ object LevelsBench {
         force(LevelPipeline.processLevels(hot, stations, silo, intensity,
           naiveLevel4Frame = naiveL4, autoSkew = true,
           autoSkewBucketSeconds = bucketSecs))),
-      // the r16 mode: decision from last run's profile (zero jobs),
-      // free observe() refresh INSIDE the timer — the target is within
-      // ~10% of hot_full_bucketed (VERDICT r15 item 3)
+      // the r17 DEFAULT: decision from last run's profile, refresh only
+      // every refreshEveryN-th run (persisted counter — most scheduled
+      // runs carry NO observation barrier, so this should track
+      // hot_profiled_norefresh; the ladder of counter values across the
+      // warm-up + two passes exercises both shapes)
       "hot_profiled" -> (() => {
         val r = LevelPipeline.processLevelsProfiled(
           hot, stations, silo, intensity, profDir,
           naiveLevel4Frame = naiveL4, bucketSeconds = bucketSecs)
+        force(r.df)
+        r.refresh()
+        ()
+      }),
+      // the pre-r17 every-run shape: observation + refresh INSIDE the
+      // timer every time — prices the CollectMetrics barrier the
+      // cadence exists to amortize (VERDICT r16 item 2)
+      "hot_profiled_everyrun" -> (() => {
+        val r = LevelPipeline.processLevelsProfiled(
+          hot, stations, silo, intensity, profDir,
+          naiveLevel4Frame = naiveL4, bucketSeconds = bucketSecs,
+          refreshEveryN = 1)
         force(r.df)
         r.refresh()
         ()

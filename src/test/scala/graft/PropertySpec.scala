@@ -724,4 +724,75 @@ class PropertySpec extends SparkSpec {
       rakeOk && rake == rake2 && knOk
     }, samples = 25)
   }
+
+  // ---- BPE delta-rewrite trainer vs an independent naive reference ----
+
+  /** Naive BPE trainer reimplemented from the spec (recount EVERY pair
+    * from scratch each round — no incremental maintenance, no inverted
+    * index, no delta rewrites, no heap), sharing NOTHING with
+    * TextOps.bpeTrainDriver but the merge-symbol code-point mapping.
+    * The r17 delta rewrite (only pairs around a merge site update) is
+    * exactly the kind of boundary-condition code random small-alphabet
+    * vocabularies break: runs ("aaaa"), back-to-back sites, sites at
+    * word edges, words shrinking to one symbol.
+    */
+  private def naiveBpe(
+      vocab0: Seq[(Array[Int], Long)],
+      numMerges: Int): Seq[(Int, String, Long)] = {
+    def cpOf(rank: Int): Int = 0xE000 + rank - 1 // ranks stay tiny here
+    var words = vocab0.map { case (s, c) => (s.clone(), c) }
+    val out = Seq.newBuilder[(Int, String, Long)]
+    var r = 1
+    var stop = false
+    while (r <= numMerges && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(Int, Int), Long]
+      for ((s, c) <- words; j <- 0 until s.length - 1)
+        counts((s(j), s(j + 1))) = counts.getOrElse((s(j), s(j + 1)), 0L) + c
+      if (counts.isEmpty) stop = true
+      else {
+        val ((a, b), n) = counts.toSeq
+          .sortBy { case ((x, y), m) => (-m, x.toLong << 21 | y) }.head
+        out += ((r,
+          new String(Character.toChars(a)) + new String(Character.toChars(b)),
+          n))
+        val z = cpOf(r)
+        words = words.map { case (s, c) =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var j = 0
+          while (j < s.length) {
+            if (j + 1 < s.length && s(j) == a && s(j + 1) == b) {
+              buf += z; j += 2
+            } else { buf += s(j); j += 1 }
+          }
+          (buf.toArray, c)
+        }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  test("bpeTrainDriver (delta rewrites; heap AND scan argmax) == the " +
+    "naive recount-from-scratch reference on random tiny-alphabet " +
+    "vocabularies — runs, back-to-back sites, edge sites") {
+    val wordGen = for {
+      len <- Gen.choose(1, 8)
+      cs <- Gen.listOfN(len, Gen.oneOf('a'.toInt, 'b'.toInt, 'c'.toInt))
+    } yield cs.toArray
+    val vocabGen = for {
+      n <- Gen.choose(1, 12)
+      ws <- Gen.listOfN(n, wordGen)
+      counts <- Gen.listOfN(n, Gen.choose(1L, 3L))
+    } yield ws.zip(counts)
+    check(Prop.forAll(vocabGen, Gen.choose(1, 12)) { (vocab, merges) =>
+      val ref = naiveBpe(vocab, merges)
+      val heap = graft.operators.TextOps.bpeTrainDriver(
+        vocab.map { case (s, c) => (s.clone(), c) }.toArray, merges,
+        argmaxViaHeap = true)
+      val scan = graft.operators.TextOps.bpeTrainDriver(
+        vocab.map { case (s, c) => (s.clone(), c) }.toArray, merges,
+        argmaxViaHeap = false)
+      heap == ref && scan == ref
+    }, samples = 300)
+  }
 }
