@@ -46,7 +46,8 @@ object PipelineCli {
       padSeconds: Long = 6 * 3600,
       benchmark: Option[String] = None,
       minQuality: Double = 0.3,
-      sep: String = "\n")
+      sep: String = "\n",
+      targetFileBytes: Long = graft.operators.Layouts.DefaultTargetFileBytes)
 
   /** Pure argument parser (reference semantics: -d xor -t, ints checked,
     * negative windows rejected). Returns Left(error) on bad usage.
@@ -76,9 +77,11 @@ object PipelineCli {
         v.toLongOption.toRight(s"--pad-seconds must be an integer, got '$v'")
           .flatMap(p => loop(t, c.copy(padSeconds = p)))
       case "--mode" :: v :: t =>
-        if (v == "levels" || v == "nmdb-catchup" || v == "curate")
+        if (v == "levels" || v == "nmdb-catchup" || v == "curate" ||
+          v == "compact")
           loop(t, c.copy(mode = v))
-        else Left(s"--mode must be levels, nmdb-catchup or curate, got '$v'")
+        else Left(
+          s"--mode must be levels, nmdb-catchup, curate or compact, got '$v'")
       case "--feed" :: v :: t => loop(t, c.copy(feed = v))
       case "--benchmark" :: v :: t => loop(t, c.copy(benchmark = Some(v)))
       case "--min-quality" :: v :: t =>
@@ -88,6 +91,11 @@ object PipelineCli {
       case "--sep" :: v :: t =>
         if (v.isEmpty) Left("--sep must be a non-empty literal separator")
         else loop(t, c.copy(sep = v))
+      case "--target-file-bytes" :: v :: t =>
+        v.toLongOption match {
+          case Some(n) if n > 0 => loop(t, c.copy(targetFileBytes = n))
+          case _ => Left(s"--target-file-bytes needs a positive long, got '$v'")
+        }
       case "--max-lookback-hours" :: v :: t =>
         v.toIntOption.filter(_ > 0)
           .toRight(s"--max-lookback-hours must be a positive integer, got '$v'")
@@ -95,8 +103,9 @@ object PipelineCli {
       case other :: _ => Left(s"unknown argument '$other'")
     }
     loop(args.toList, Config()).flatMap { c =>
-      if (c.input.isEmpty || c.output.isEmpty)
-        Left("--input and --output are required")
+      if (c.input.isEmpty || (c.output.isEmpty && c.mode != "compact"))
+        Left(if (c.mode == "compact") "--input is required"
+        else "--input and --output are required")
       else if (c.mode == "nmdb-catchup" && c.feed.isEmpty)
         Left("--feed is required in nmdb-catchup mode")
       else if (c.backprocessDays.isDefined && c.fromDatetime.isDefined)
@@ -141,8 +150,38 @@ object PipelineCli {
     c.mode match {
       case "nmdb-catchup" => runNmdbCatchup(spark, c)
       case "curate" => runCurate(spark, c)
+      case "compact" => runCompact(spark, c)
       case _ => runLevels(spark, c)
     }
+
+  /** Maintenance entry point — the small-file repair a scheduled job
+    * runs over any append-accumulated table directory:
+    * {{{
+    * runMain graft.PipelineCli --mode compact --input <tableDir>
+    *   [--target-file-bytes N]    (default 128 MiB)
+    * }}}
+    * Advisor-driven ([[graft.operators.Layouts.compactTableAdvised]]):
+    * one namenode listing decides; a table already at target geometry
+    * is NOT rewritten (the rewrite is the expensive part, the read is
+    * free). Prints one JSON line with the pre-decision stats and
+    * whether the rewrite ran — the auditable record the cron keeps.
+    */
+  def runCompact(spark: SparkSession, c: Config): Unit = {
+    import graft.operators.Layouts
+    val before = Layouts.layoutStats(spark, c.input, c.targetFileBytes)
+    val stats = Layouts.compactTableAdvised(spark, c.input, c.targetFileBytes)
+    val after = Layouts.layoutStats(spark, c.input, c.targetFileBytes)
+    val rewrote = after.files != before.files || after.bytes != before.bytes
+    println(s"""{"mode":"compact","path":${jstr(c.input)},""" +
+      s""""target_file_bytes":${c.targetFileBytes},""" +
+      s""""bytes":${stats.bytes},"files_before":${before.files},""" +
+      s""""files_after":${after.files},""" +
+      s""""est_files_at_target":${stats.estFilesAtTarget},""" +
+      s""""rewrote":$rewrote}""")
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
   /** Corpus curation entry point — the LLM-pipeline twin of the levels
     * cron: quality-gate, within-doc line dedup, corpus exact dedup, and

@@ -187,4 +187,38 @@ class PipelineCliSpec extends SparkSpec {
       benchmark = Some(bench), sep = "\n"))
     assert(spark.read.parquet(s"$out/curated").count() === 2)
   }
+
+  test("parse: compact mode needs only --input, validates " +
+    "--target-file-bytes") {
+    val ok = PipelineCli.parse(Seq(
+      "--mode", "compact", "--input", "/x/t",
+      "--target-file-bytes", "1048576"))
+    assert(ok === Right(PipelineCli.Config(
+      input = "/x/t", mode = "compact", targetFileBytes = 1048576L)))
+    assert(PipelineCli.parse(Seq("--mode", "compact")).isLeft)
+    assert(PipelineCli.parse(Seq(
+      "--mode", "compact", "--input", "/x/t",
+      "--target-file-bytes", "0")).isLeft)
+    assert(PipelineCli.parse(Seq(
+      "--mode", "compact", "--input", "/x/t",
+      "--target-file-bytes", "lots")).isLeft)
+  }
+
+  test("compact mode: advisor-driven rewrite collapses a small-file " +
+    "table, a second run is a no-op, rows survive") {
+    val dir = tempDirFile("graft_clicompact_").getAbsolutePath + "/t"
+    spark.range(0, 5000).toDF("id").repartition(16).write.parquet(dir)
+    def files(): Seq[String] = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted.toSeq
+    assert(files().size === 16)
+    PipelineCli.run(spark, PipelineCli.Config(
+      input = dir, mode = "compact", targetFileBytes = 1L << 30))
+    assert(files().size === 1, "16 small files must collapse to 1")
+    assert(spark.read.parquet(dir).count() === 5000)
+    val once = files()
+    PipelineCli.run(spark, PipelineCli.Config(
+      input = dir, mode = "compact", targetFileBytes = 1L << 30))
+    assert(files() === once,
+      "a healthy table must not be rewritten (same inodes survive)")
+  }
 }
