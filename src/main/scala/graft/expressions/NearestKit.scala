@@ -124,10 +124,15 @@ object NearestMath {
   *
   * One instance per expression; it travels to executors inside the
   * plan's codegen references, and Spark deserializes those PER TASK —
-  * each task samples its own first rows and decides independently (no
-  * cross-task coordination, no shared mutable state). A task shorter
-  * than the sample stays on the tree path, which is at worst the
-  * measured ~25% premium on a bounded number of rows.
+  * each task samples its own first rows and decides independently. The
+  * INTERPRETED path (nullSafeEval) can share the driver-side instance
+  * across local-mode threads; the fields are deliberately tolerant of
+  * that: both routes return bit-identical results, so a torn or stale
+  * read can only perturb WHICH route a row takes, never what it
+  * returns, and the counters only inform the one-way sampling→decided
+  * transition. A task shorter than the sample stays on the tree path,
+  * which is at worst the measured ~25% premium on a bounded number of
+  * rows.
   */
 final class TreeRouting(
     val sampleRows: Int, val minSkipFrac: Double) extends Serializable {
