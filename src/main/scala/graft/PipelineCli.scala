@@ -168,16 +168,24 @@ object PipelineCli {
     */
   def runCompact(spark: SparkSession, c: Config): Unit = {
     import graft.operators.Layouts
-    val before = Layouts.layoutStats(spark, c.input, c.targetFileBytes)
-    val stats = Layouts.compactTableAdvised(spark, c.input, c.targetFileBytes)
-    val after = Layouts.layoutStats(spark, c.input, c.targetFileBytes)
-    val rewrote = after.files != before.files || after.bytes != before.bytes
+    // ONE listing, made inside the operator; `rewrote` is the
+    // operator's own decision, never a before/after inference (a
+    // rewrite reproducing identical geometry must still log
+    // rewrote:true — ADVICE r17). files_after costs a second listing
+    // only when a rewrite actually ran.
+    val outcome = Layouts.compactTableAdvised(spark, c.input,
+      c.targetFileBytes)
+    val filesAfter =
+      if (outcome.rewrote)
+        Layouts.layoutStats(spark, c.input, c.targetFileBytes).files
+      else outcome.stats.files
     println(s"""{"mode":"compact","path":${jstr(c.input)},""" +
       s""""target_file_bytes":${c.targetFileBytes},""" +
-      s""""bytes":${stats.bytes},"files_before":${before.files},""" +
-      s""""files_after":${after.files},""" +
-      s""""est_files_at_target":${stats.estFilesAtTarget},""" +
-      s""""rewrote":$rewrote}""")
+      s""""bytes":${outcome.stats.bytes},""" +
+      s""""files_before":${outcome.stats.files},""" +
+      s""""files_after":$filesAfter,""" +
+      s""""est_files_at_target":${outcome.stats.estFilesAtTarget},""" +
+      s""""rewrote":${outcome.rewrote}}""")
   }
 
   private def jstr(s: String): String =

@@ -53,12 +53,21 @@ object TreeBench {
       s"corpus ($nCorpus rows) must cover the largest codebook ($kBig)")
 
     // k strided corpus vectors as the codebook — deterministic, distinct
-    // (the rep nudge), metadata-scale collect
+    // (the rep nudge), metadata-scale collect. The modulo pick assumes
+    // the derived vec_ids are dense from 0 (true for the testdata
+    // tables this main reads); on a sparse/offset id space it would
+    // silently probe a smaller codebook than the k the JSON record
+    // claims, so the size is ASSERTED (ADVICE r17).
     def codebook(k: Int): Seq[(Int, Array[Double])] = {
-      val stride = nCorpus / k
-      corpus.filter($"vec_id" % stride === 0).orderBy($"vec_id").limit(k)
+      val stride = math.max(1L, nCorpus / k)
+      val picked = corpus.filter($"vec_id" % stride === 0)
+        .orderBy($"vec_id").limit(k)
         .select($"embedding").as[Array[Float]].collect()
-        .zipWithIndex.map { case (v, i) => (i, v.map(_.toDouble)) }.toSeq
+      require(picked.length == k,
+        s"codebook($k): stride pick yielded ${picked.length} rows — " +
+          "corpus vec_ids are not dense from 0; the artifact's k would " +
+          "misstate the probed codebook")
+      picked.zipWithIndex.map { case (v, i) => (i, v.map(_.toDouble)) }.toSeq
     }
 
     def timed(f: => Unit): Double = {

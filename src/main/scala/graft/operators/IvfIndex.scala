@@ -279,6 +279,15 @@ object IvfIndex {
     */
   val AutoKCellsCap: Int = 4096
 
+  /** `treeLevels` forces the nearest-centroid routing structure for
+    * THIS build's assignments (1 = flat, 2/3 = coarse-quantizer tree;
+    * None = k-threshold auto, overridable process-wide by the
+    * `graft.ann.treeLevels` sysprop). An explicit parameter, not a
+    * sysprop mutation, so forcing a level for one build (v53's 3-level
+    * oracle gate) can never reroute a concurrent build (ADVICE r17).
+    * Routing affects the PLAN only — every level assigns bit-identically
+    * (NearestKitSpec parity pins; v53 hash-matches v52's oracle).
+    */
   def write(
       embeddings: DataFrame,
       idCol: String,
@@ -288,7 +297,8 @@ object IvfIndex {
       path: String,
       pq: Option[Pq] = None,
       sq8: Boolean = false,
-      trainPct: Int = 100): Unit = {
+      trainPct: Int = 100,
+      treeLevels: Option[Int] = None): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     require(trainPct > 0 && trainPct <= 100,
@@ -318,7 +328,7 @@ object IvfIndex {
       if (trainPct == 100) embeddings
       else trainSampleOf(embeddings, idCol, trainPct)
     val (_, cent) = SimilarityOps.kmeansFit(
-      trainSet, idCol, vecCol, k, trainIters)
+      trainSet, idCol, vecCol, k, trainIters, treeLevels)
     // a too-aggressive trainPct on a small corpus can sample zero rows;
     // without this check the failure surfaces as an opaque "max of empty
     // collection" two lines down instead of naming the real cause
@@ -338,7 +348,8 @@ object IvfIndex {
     // corpus cannot sit in the block manager, and each scan is
     // embarrassingly parallel).
     val centArrs = SimilarityOps.centroidArrays(cent)
-    val withCell = SimilarityOps.attachCell(embeddings, vecCol, centArrs, "cell")
+    val withCell = SimilarityOps.attachCell(embeddings, vecCol, centArrs,
+      "cell", treeLevels)
     val withPq = pq.fold(withCell) { p =>
       // what gets quantized: raw vectors, or (residual=true) each
       // vector's offset from its own cell centroid

@@ -204,30 +204,40 @@ object Layouts {
       if (files == 0L) 0L else bytes / files)
   }
 
+  /** What [[compactTableAdvised]] decided and the single listing it
+    * decided from — `rewrote` is the decision ITSELF, not an inference:
+    * a caller that logs before/after geometry instead would misreport a
+    * rewrite that happens to reproduce identical (files, bytes) as a
+    * no-op, and pays two extra recursive listings to do it (ADVICE
+    * r17).
+    */
+  final case class CompactOutcome(stats: TableLayoutStats, rewrote: Boolean)
+
   /** [[compactTable]] with the target derived from the ADVISOR instead
     * of a hand-picked byte count: one [[layoutStats]] listing prices
     * the current geometry, and the rewrite aims at
     * `targetFileBytes`-sized files (default 128 MiB — the s27 advisory
-    * rule). Returns the stats the decision was made from, so callers
-    * can log/skip: a table already at `estFilesAtTarget` files with
-    * healthy `avgFileBytes` does not need the rewrite, and
-    * `skipIfHealthy` (default true) makes that check part of the
-    * operator — compaction is IO-expensive, the advisor read is free,
-    * so the advised form never rewrites a table whose file count
-    * already matches the target geometry (within 25% average-size
-    * slack).
+    * rule). Returns the stats the decision was made from plus whether
+    * the rewrite ran, so callers can log/skip without re-listing: a
+    * table already at `estFilesAtTarget` files with healthy
+    * `avgFileBytes` does not need the rewrite, and `skipIfHealthy`
+    * (default true) makes that check part of the operator — compaction
+    * is IO-expensive, the advisor read is free, so the advised form
+    * never rewrites a table whose file count already matches the target
+    * geometry (within 25% average-size slack).
     */
   def compactTableAdvised(
       spark: SparkSession,
       path: String,
       targetFileBytes: Long = DefaultTargetFileBytes,
-      skipIfHealthy: Boolean = true): TableLayoutStats = {
+      skipIfHealthy: Boolean = true): CompactOutcome = {
     val stats = layoutStats(spark, path, targetFileBytes)
     val healthy = stats.files == stats.estFilesAtTarget &&
       (stats.files <= 1L || stats.avgFileBytes >= targetFileBytes / 4 * 3)
-    if (!(skipIfHealthy && healthy))
+    val rewrote = !(skipIfHealthy && healthy)
+    if (rewrote)
       compactTable(spark, path, targetFileBytes)
-    stats
+    CompactOutcome(stats, rewrote)
   }
 
   /** Compact a plain-parquet table directory to ~`targetFileBytes`

@@ -404,10 +404,19 @@ object SimilarityOps {
     * collapsing) and ~50x faster than the equivalent higher-order-
     * function tree (interpreted, boxed per element).
     */
+  /** `treeLevels` forces the routing structure per CALL (1 = flat,
+    * 2/3 = tree); `None` falls back to the `graft.ann.treeLevels`
+    * sysprop as a process-wide default, then to the k-thresholds. The
+    * explicit parameter exists so a caller forcing a level (v53's
+    * 3-level oracle gate) never mutates global state a concurrent
+    * query could race on (ADVICE r17).
+    */
   private def nearestExpr(
-      vec: Column, centroids: Seq[(Int, Array[Double])]): Column = {
+      vec: Column, centroids: Seq[(Int, Array[Double])],
+      treeLevels: Option[Int] = None): Column = {
     val k = centroids.length
-    val forced = sys.props.get("graft.ann.treeLevels").map(_.toInt)
+    val forced = treeLevels.orElse(
+      sys.props.get("graft.ann.treeLevels").map(_.toInt))
     forced match {
       case Some(1) => nearestExprFlat(vec, centroids)
       case Some(2) => nearestExprTree(vec, centroids)
@@ -583,9 +592,9 @@ object SimilarityOps {
     */
   private[operators] def attachCell(
       df: DataFrame, vecCol: String, centroids: Seq[(Int, Array[Double])],
-      outCol: String): DataFrame =
+      outCol: String, treeLevels: Option[Int] = None): DataFrame =
     df.withColumn(outCol,
-      nearestExpr(col(vecCol), centroids).getField("cluster"))
+      nearestExpr(col(vecCol), centroids, treeLevels).getField("cluster"))
 
   /** Map-side nearest-centroid assignment against a driver-resident
     * codebook: (idCol, cluster, d2). Shared by [[kmeansFit]] and
@@ -594,8 +603,10 @@ object SimilarityOps {
     */
   def assignNearest(
       df: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[(Int, Array[Double])]): DataFrame =
-    df.select(col(idCol), nearestExpr(col(vecCol), centroids).as("__m"))
+      centroids: Seq[(Int, Array[Double])],
+      treeLevels: Option[Int] = None): DataFrame =
+    df.select(col(idCol),
+      nearestExpr(col(vecCol), centroids, treeLevels).as("__m"))
       .select(col(idCol), col("__m.cluster").as("cluster"),
         col("__m.d2").as("d2"))
 
@@ -616,7 +627,8 @@ object SimilarityOps {
       idCol: String,
       vecCol: String,
       k: Int,
-      iters: Int): (DataFrame, Seq[(Int, Int, Double)]) = {
+      iters: Int,
+      treeLevels: Option[Int] = None): (DataFrame, Seq[(Int, Int, Double)]) = {
     require(k > 0 && iters > 0, "k and iters must be positive")
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -634,7 +646,7 @@ object SimilarityOps {
       // argmin ([[attachCell]]), the per-(cluster, dim) decimal mean
       // is the ONLY shuffle (k x dims groups, partial-agged map-side)
       cent = attachCell(embeddings.select(col(vecCol)), vecCol,
-        centroidArrays(cent), "cluster")
+        centroidArrays(cent), "cluster", treeLevels)
         .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "v0")))
         .groupBy(col("cluster"), col("dim"))
         .agg((sum(round(col("v0").cast("double"), 12).cast("decimal(38,12)"))
@@ -642,7 +654,8 @@ object SimilarityOps {
         .as[(Int, Int, Double)].collect().toSeq
       i += 1
     }
-    (assignNearest(embeddings, idCol, vecCol, centroidArrays(cent)), cent)
+    (assignNearest(embeddings, idCol, vecCol, centroidArrays(cent),
+      treeLevels), cent)
   }
 
   /** IVF ANN over a LEARNED codebook: k-means trains the cells, every

@@ -1285,28 +1285,24 @@ object SimilarityQueries extends QueryModule {
 
     // V53 — the FORCED 3-level coarse-quantizer tree under the same
     // oracle gate as v52 (shared oracle string — the hash match IS the
-    // equivalence proof): graft.ann.treeLevels=3 routes every
-    // nearest-centroid assignment in the build through
-    // NearestCentroidGrouped3 (super-groups over groups over cells),
-    // the structure nearestExpr auto-engages past ~1e5 cells (VERDICT
-    // r16 item 4). A single vector routed differently by the extra
-    // coarse level would hash-mismatch against the SQL-unrolled argmin.
+    // equivalence proof): treeLevels = Some(3), threaded as an explicit
+    // write() parameter (never a sys.props mutation a concurrent query
+    // could race on — ADVICE r17), routes every nearest-centroid
+    // assignment in the build through NearestCentroidGrouped3
+    // (super-groups over groups over cells), the structure nearestExpr
+    // auto-engages past ~1e5 cells (VERDICT r16 item 4). A single
+    // vector routed differently by the extra coarse level would
+    // hash-mismatch against the SQL-unrolled argmin.
     "v53_index_tree3" -> Q(
       fn = (s, dir) => {
-        val prev = sys.props.get("graft.ann.treeLevels")
-        sys.props("graft.ann.treeLevels") = "3"
-        try {
-          val emb = t(s, dir, "embeddings")
-          val path = freshIndexDir("v53_") + "/index"
-          graft.operators.IvfIndex.write(
-            emb, "vec_id", "embedding", trainIters = 2, path = path)
-          graft.operators.IvfIndex.queryBatch(
-            s, path, emb.filter(col("vec_id") < 3), nprobe = 2, k = 10)
-            .orderBy(col("qid"), col("rank"))
-        } finally prev match {
-          case Some(v) => sys.props("graft.ann.treeLevels") = v
-          case None => sys.props.remove("graft.ann.treeLevels"): Unit
-        }
+        val emb = t(s, dir, "embeddings")
+        val path = freshIndexDir("v53_") + "/index"
+        graft.operators.IvfIndex.write(
+          emb, "vec_id", "embedding", trainIters = 2, path = path,
+          treeLevels = Some(3))
+        graft.operators.IvfIndex.queryBatch(
+          s, path, emb.filter(col("vec_id") < 3), nprobe = 2, k = 10)
+          .orderBy(col("qid"), col("rank"))
       },
       oracle = Some(v52OracleSql)),
 

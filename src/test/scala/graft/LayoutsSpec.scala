@@ -178,15 +178,17 @@ class LayoutsSpec extends SparkSpec {
     assert(statsBefore.estFilesAtTarget ===
       math.max(1L, (statsBefore.bytes + target - 1) / target))
     val decided = Layouts.compactTableAdvised(spark, advisedPath, target)
-    assert(decided === statsBefore, "returned stats = the pre-rewrite read")
+    assert(decided.stats === statsBefore, "returned stats = the pre-rewrite read")
+    assert(decided.rewrote, "an unhealthy table must report rewrote = true")
     Layouts.compactTable(spark, handPath, target) // the hand-tuned twin
     assert(files(advisedPath).size === files(handPath).size,
       "advisor-driven file geometry must equal the hand-tuned call's")
     assert(spark.read.parquet(advisedPath).count() === 200000)
     // healthy table: advised call is a no-op (same file inodes survive)
     val namesBefore = files(advisedPath).map(_.getName)
-    val statsAfter = Layouts.compactTableAdvised(spark, advisedPath, target)
-    assert(statsAfter.files === statsAfter.estFilesAtTarget)
+    val after = Layouts.compactTableAdvised(spark, advisedPath, target)
+    assert(!after.rewrote, "a healthy table must report rewrote = false")
+    assert(after.stats.files === after.stats.estFilesAtTarget)
     assert(files(advisedPath).map(_.getName) === namesBefore,
       "a table already at target geometry must not be rewritten")
     intercept[IllegalArgumentException] {
