@@ -89,6 +89,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.expressions.MgTopOne(children.head, k)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_mg_topk"),
+      new ExpressionInfo(classOf[graft.expressions.MgTopK].getName,
+        "graft_mg_topk"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "graft_mg_topk(value, k, topN)")
+        def intLit(e: Expression, n: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_mg_topk $n must be an int literal, got $other")
+        }
+        graft.expressions.MgTopK(children.head,
+          intLit(children(1), "k"), intLit(children(2), "topN"))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_dotfold"),
       new ExpressionInfo(classOf[DotFold].getName, "graft_dotfold"),
       (children: Seq[Expression]) => {

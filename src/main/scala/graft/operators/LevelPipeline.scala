@@ -308,27 +308,38 @@ object LevelPipeline {
   }
 
   /** The measured skew decision for one chain run: the a18 top-key
-    * share of the raw feed and the hatches it engages (SCALE.md §10:
-    * bucketed J4 wins 1.45× at share 0.60, loses-or-ties uniform —
-    * rule: engage at share >= ~0.5; the level1 bucket-and-carry rides
-    * the same signal).
+    * share of the raw feed, the skew-qualified hot keys' SUMMED share
+    * (VERDICT r17 item 7 — two comparable hot sites are the same
+    * single-task pile-up as one site holding their combined share),
+    * and the hatches the rule engages (SCALE.md §10: bucketed J4 wins
+    * 1.45× at share 0.60, loses-or-ties uniform — rule: engage at
+    * top-1 share >= ~0.5 OR qualified summed share >= ~0.5; the level1
+    * bucket-and-carry rides the same signal).
     */
   final case class SkewPlan(
       topShare: Double,
       bucketedAsofSeconds: Option[Long],
-      bucketedLevel1Seconds: Option[Long])
+      bucketedLevel1Seconds: Option[Long],
+      hotSetShare: Double = 0.0)
 
   /** Profile the raw feed's series key and decide the hatches — ONE
-    * cheap aggregation ([[SkewOps.topKeyShare]]) ahead of the chain.
+    * cheap aggregation ([[SkewOps.hotKeyProfile]], same single scan
+    * the old top-1 profile paid; only the TakeOrdered limit grew)
+    * ahead of the chain. Decision rule = [[SkewOps.engages]]: top-1
+    * share OR the skew-qualified hot keys' summed share clearing
+    * `threshold`. A uniform feed qualifies no keys (every skew ≈ 1 <
+    * [[SkewOps.HotSkewFactor]]), so its summed share is 0 and it can
+    * never engage through the multi-hot arm.
     */
   def planSkew(
       raw: DataFrame,
       threshold: Double = 0.5,
       bucketSeconds: Long = 21600L): SkewPlan = {
-    val share = SkewOps.topKeyShare(raw, Seq("site_no"))
-    if (share >= threshold)
-      SkewPlan(share, Some(bucketSeconds), Some(bucketSeconds))
-    else SkewPlan(share, None, None)
+    val p = SkewOps.hotKeyProfile(raw, Seq("site_no"))
+    if (SkewOps.engages(p, threshold))
+      SkewPlan(p.share, Some(bucketSeconds), Some(bucketSeconds),
+        p.hotSetShare)
+    else SkewPlan(p.share, None, None, p.hotSetShare)
   }
 
   /** The full raw -> level4 chain with shared inputs.
@@ -431,17 +442,18 @@ object LevelPipeline {
         measured
     }
     val plan =
-      if (prior.share >= threshold)
-        SkewPlan(prior.share, Some(bucketSeconds), Some(bucketSeconds))
-      else SkewPlan(prior.share, None, None)
+      if (SkewOps.engages(prior, threshold))
+        SkewPlan(prior.share, Some(bucketSeconds), Some(bucketSeconds),
+          prior.hotSetShare)
+      else SkewPlan(prior.share, None, None, prior.hotSetShare)
     val refreshDue = prior.runsSinceRefresh + 1 >= refreshEveryN
     val (chainRaw, refresh) =
       if (observeRefresh && refreshDue) {
         val (observedRaw, obs) =
-          SkewOps.observeProfile(raw, keys, Some(prior.hotKey))
+          SkewOps.observeProfile(raw, keys, Some(prior))
         (observedRaw,
           () => SkewOps.refreshProfile(spark, profilePath, keys,
-            Some(prior.hotKey), obs))
+            Some(prior), obs, degradeShare = threshold / 2))
       } else {
         if (observeRefresh) {
           // off-cadence run: record that a run planned off this profile

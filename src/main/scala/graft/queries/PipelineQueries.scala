@@ -239,8 +239,10 @@ object PipelineQueries extends QueryModule {
           graft.operators.SkewOps.hotKeyProfile(raw, Seq("site_no")))
         val prior = graft.operators.SkewOps.readProfile(s, profDir).get
         val (obsRaw, _) = graft.operators.SkewOps.observeProfile(
-          raw, Seq("site_no"), Some(prior.hotKey))
-        val b = if (prior.share >= 0.1) Some(21600L) else None
+          raw, Seq("site_no"), Some(prior))
+        val b =
+          if (graft.operators.SkewOps.engages(prior, 0.1)) Some(21600L)
+          else None
         levelsE2e(s, dir, l1Bucket = b, asofBucket = b,
           rawOverride = Some(obsRaw))
       },

@@ -141,17 +141,149 @@ class SkewOpsSpec extends SparkSpec {
     val cold = spark.range(5000).select(concat(lit("c"), $"id").as("site_no"))
     val hot = spark.range(6100).select(lit("hotsite").as("site_no"))
     val feed = cold.unionByName(hot).repartition(8)
+    val prior = SkewOps.SkewProfile(
+      Seq("site_no"), Seq("hotsite"), 0.55, 11100L)
     val (observed, obs) = SkewOps.observeProfile(
-      feed, Seq("site_no"), lastHot = Some(Seq("hotsite")))
+      feed, Seq("site_no"), Some(prior))
     observed.count() // the caller's action the metrics ride
     val p = SkewOps.refreshProfile(spark,
       tempDirFile("graft_mgprof_").getAbsolutePath + "/p",
-      Seq("site_no"), Some(Seq("hotsite")), obs)
+      Seq("site_no"), Some(prior), obs)
     assert(p.isDefined)
     assert(p.get.hotKey === Seq("hotsite"),
       "MG top-1 must surface the dominant key on a wide-cardinality feed")
     assert(p.get.share === math.round(6100.0 / 11100.0 * 1e6) / 1e6,
       "the share must stay EXACT (it is the sum-when counter, not the sketch)")
     assert(p.get.total === 11100L)
+  }
+
+  test("no-skew high-cardinality feed: an arbitrary near-tie mode becomes " +
+    "a bounded CANDIDATE, never a share = -1 invalidation (ADVICE r17)") {
+    // ~uniform feed, 500 keys x 20 rows: the MG top-1 is an arbitrary
+    // near-tie winner. The refresh must KEEP the exact no-skew profile
+    // (share stays measured, hotKey stays the stored key) and record the
+    // observed modes as candidates for exact counting next cycle — the
+    // old rule re-measured the full corpus every cadence on exactly
+    // this feed class
+    val feed = spark.range(10000)
+      .select(concat(lit("k"), $"id" % 500).as("site_no")).repartition(8)
+    val prior = SkewOps.SkewProfile(
+      Seq("site_no"), Seq("k7"), 0.002, 10000L)
+    val (observed, obs) = SkewOps.observeProfile(
+      feed, Seq("site_no"), Some(prior))
+    observed.count()
+    val dir = tempDirFile("graft_noskew_").getAbsolutePath + "/p"
+    val p = SkewOps.refreshProfile(spark, dir,
+      Seq("site_no"), Some(prior), obs).get
+    assert(p.share >= 0.0, s"no-skew profile must never degrade, got $p")
+    assert(p.hotKey === Seq("k7"),
+      "the exactly-counted stored key stays the profile's hot key")
+    assert(p.share === 0.002, "k7's share is the exact sum-when count")
+    assert(p.candidates.nonEmpty &&
+      p.candidates.size <= SkewOps.MaxCandidates,
+      s"observed modes become bounded candidates, got ${p.candidates}")
+    // round-trip: the candidate list survives the sidecar
+    assert(SkewOps.readProfile(spark, dir).get === p)
+  }
+
+  test("a genuinely MOVED hot key converges through the candidate " +
+    "counter — exact share, zero dedicated scans — while live stakes " +
+    "still degrade to a re-measure") {
+    // feed: new hot key 'newhot' at 60%, stored profile still claims
+    // a long-gone 'oldhot' with a tiny share (a cooled hot key, not a
+    // live one). Cycle 1: mode = newhot is uncounted but stakes are
+    // cold -> kept profile carries newhot as a candidate. Cycle 2: the
+    // candidate's sum-when counter lands the EXACT 60% share and
+    // newhot is promoted to the hot key.
+    val cold = spark.range(4000)
+      .select(concat(lit("c"), $"id").as("site_no"))
+    val hot = spark.range(6000).select(lit("newhot").as("site_no"))
+    val feed = cold.unionByName(hot).repartition(8)
+    val dir = tempDirFile("graft_moved_").getAbsolutePath + "/p"
+    val prior = SkewOps.SkewProfile(
+      Seq("site_no"), Seq("oldhot"), 0.01, 10000L)
+    val (o1, obs1) = SkewOps.observeProfile(feed, Seq("site_no"), Some(prior))
+    o1.count()
+    val p1 = SkewOps.refreshProfile(spark, dir,
+      Seq("site_no"), Some(prior), obs1).get
+    assert(p1.share >= 0.0 && p1.candidates.contains(Seq("newhot")),
+      s"cold-stakes mode move must carry the candidate, got $p1")
+    val (o2, obs2) = SkewOps.observeProfile(feed, Seq("site_no"), Some(p1))
+    o2.count()
+    val p2 = SkewOps.refreshProfile(spark, dir,
+      Seq("site_no"), Some(p1), obs2).get
+    assert(p2.hotKey === Seq("newhot"),
+      s"the exactly-counted candidate must be promoted, got $p2")
+    assert(p2.share === 0.6, "the promoted share is exact (6000/10000)")
+    // live stakes: the same uncounted mode with a stored share at the
+    // decision scale must re-measure (the ambiguity could flip a plan)
+    val hotPrior = SkewOps.SkewProfile(
+      Seq("site_no"), Seq("oldhot"), 0.9, 10000L)
+    val (o3, obs3) = SkewOps.observeProfile(feed, Seq("site_no"),
+      Some(hotPrior))
+    o3.count()
+    val p3 = SkewOps.refreshProfile(spark, dir,
+      Seq("site_no"), Some(hotPrior), obs3).get
+    assert(p3.share === -1.0 && p3.hotKey === Seq("newhot"),
+      s"live-stakes mode move must degrade to a re-measure, got $p3")
+  }
+
+  test("hotKeyProfile + engages: TWO comparable hot sites engage through " +
+    "the summed qualified share; a uniform feed qualifies nothing " +
+    "(VERDICT r17 item 7)") {
+    // 2 hot keys at ~35% each + 30 cold keys sharing the rest: neither
+    // hot key clears a 0.5 top-1 threshold alone, their qualified sum
+    // (~0.7) does; every hot key's skew is ~11x the mean — far over
+    // the 4x qualification bar
+    val hot = spark.range(7000)
+      .select(concat(lit("h"), $"id" % 2).as("site_no"))
+    val cold = spark.range(3000)
+      .select(concat(lit("c"), $"id" % 30).as("site_no"))
+    val two = hot.unionByName(cold).repartition(8)
+    val p2 = SkewOps.hotKeyProfile(two, Seq("site_no"))
+    assert(p2.share < 0.5 && p2.share > 0.3)
+    assert(p2.hotSet.size === 2 &&
+      p2.hotSet.toSet === Set(Seq("h0"), Seq("h1")),
+      s"both comparable hot sites must qualify, got ${p2.hotSet}")
+    assert(p2.hotSetShare > 0.5 && !SkewOps.engages(p2, 0.75))
+    assert(SkewOps.engages(p2, 0.5),
+      "summed qualified share must engage what no single key can")
+    // uniform: skew ~1 everywhere -> empty hot set, never engages
+    val uni = spark.range(10000)
+      .select(concat(lit("u"), $"id" % 10).as("site_no"))
+    val pu = SkewOps.hotKeyProfile(uni, Seq("site_no"))
+    assert(pu.hotSet.isEmpty && pu.hotSetShare === 0.0)
+    assert(!SkewOps.engages(pu, 0.5))
+    // single dominant key: unchanged top-1 arm
+    val one = spark.range(10000)
+      .select(when($"id" < 6000, "dom").otherwise(concat(lit("c"), $"id"))
+        .as("site_no"))
+    val po = SkewOps.hotKeyProfile(one, Seq("site_no"))
+    assert(po.share === 0.6 && po.hotSet === Seq(Seq("dom")))
+    assert(SkewOps.engages(po, 0.5))
+  }
+
+  test("graft_mg_topk: ranked multi-mode surface — count desc, ties " +
+    "lexicographic, bounded, arity/type guards") {
+    val rows = Seq.fill(500)("a") ++ Seq.fill(300)("b") ++
+      Seq.fill(300)("c") ++ (0 until 50).map(i => f"tail$i%02d")
+    val df = spark.sparkContext.parallelize(rows, 8).toDF("v")
+    val got = df.selectExpr("graft_mg_topk(v, 32, 3)")
+      .as[Seq[String]].head()
+    assert(got === Seq("a", "b", "c"),
+      "top-3 by estimated count desc — deterministic given the same " +
+        "multiset and partitioning")
+    assert(df.selectExpr("graft_mg_topk(v, 32, 1)").as[Seq[String]].head()
+      === Seq("a"))
+    // empty group -> empty array, never null elements
+    val empty = Seq.empty[String].toDF("v")
+    assert(empty.selectExpr("graft_mg_topk(v, 32, 3)")
+      .as[Seq[String]].collect().head === Seq.empty[String])
+    intercept[Exception] {
+      spark.sql("SELECT graft_mg_topk('a', 32)").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT graft_mg_topk('a', 32, 40)").collect()
+    }
   }
 }
