@@ -17,6 +17,17 @@ object BpeBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val jobMerges = sys.env.getOrElse("SPARK_GRAFT_BPE_JOB_MERGES", "200").toInt
     val bigMerges = sys.env.getOrElse("SPARK_GRAFT_BPE_BIG_MERGES", "32000").toInt
+    // The recorded r17 residual boundary (SCALE.md): 32k-merge training
+    // over a ~10M-word floor-filtered vocabulary — the per-merge site
+    // scan includes stale inverted-index entries, and whether that term
+    // matters was never measured at the scale the knob targets.
+    // SPARK_GRAFT_BPE_BOUNDARY=1 runs ONLY that probe: a synthetic
+    // vocabulary of `SPARK_GRAFT_BPE_WORDS` distinct md5 words (each
+    // appearing twice so a minCount=2 floor is actually exercised) and
+    // the driver loop at `SPARK_GRAFT_BPE_MERGES`, reporting trained
+    // merges + wall so a rate can be quoted even if the budget runs the
+    // vocabulary dry.
+    val boundary = sys.env.get("SPARK_GRAFT_BPE_BOUNDARY").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,13 +37,25 @@ object BpeBench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = Tables(spark, sfDir, "documents")
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()
       val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
     import graft.operators.TextOps
+    if (boundary) {
+      val words = sys.env.getOrElse("SPARK_GRAFT_BPE_WORDS", "10000000").toLong
+      val merges = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "32000").toInt
+      val synth = spark.range(words * 2)
+        .selectExpr(s"md5(cast(id % $words as string)) as text")
+      TextOps.bpeTrain(spark.range(1000L)
+        .selectExpr("md5(cast(id as string)) as text"), "text", 5) // warm-up
+      val (m, t) = timed(TextOps.bpeTrain(synth, "text", merges, minCount = 2L))
+      println(s"""{"metric":"bpe_boundary","unit":"sec","cpus":$cpus,"vocab_words":$words,"merge_budget":$merges,"merges_trained":${m.size},"driver_loop_sec":$t,"merges_per_sec":${if (t > 0) m.size / t else -1.0}}""")
+      spark.stop()
+      return
+    }
+    val docs = Tables(spark, sfDir, "documents")
     // warm-up: JVM/codegen/scan
     TextOps.bpeTrain(docs, "text", 5)
     val (mJobs, tJobs) =

@@ -41,6 +41,11 @@ object TreeBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // SPARK_GRAFT_TREE_SYNTH_ONLY=1 skips the strided-codebook default
+    // families so the >= 1e5-cell synthetic probe (below) can run on 3
+    // JVMs without re-paying the k4096 flat baselines each time
+    val synthOnly = sys.env.get("SPARK_GRAFT_TREE_SYNTH_ONLY").contains("1")
+
     val emb = Tables(spark, sfDir, "embeddings").select($"vec_id", $"embedding")
     val corpus = emb
       .crossJoin(spark.range(mult.toLong).select($"id".as("__rep")))
@@ -48,8 +53,8 @@ object TreeBench {
         "transform(embedding, (x, i) -> CASE WHEN i = 0 " +
           "THEN CAST(x + __rep * CAST(0.001 AS FLOAT) AS FLOAT) " +
           "ELSE x END)").as("embedding"))
-    val nCorpus = corpus.count()
-    require(nCorpus >= kBig,
+    val nCorpus = if (synthOnly) -1L else corpus.count()
+    require(synthOnly || nCorpus >= kBig,
       s"corpus ($nCorpus rows) must cover the largest codebook ($kBig)")
 
     // k strided corpus vectors as the codebook — deterministic, distinct
@@ -112,10 +117,10 @@ object TreeBench {
         (i, raw.map(_ / norm))
       }
 
-    for ((k, label, cents) <- Seq(
+    for ((k, label, cents) <- (if (synthOnly) Seq.empty else Seq(
       (kSmall, s"k$kSmall", codebook(kSmall)),
       (kSmall, s"k${kSmall}conc", codebookConcentrated(kSmall)),
-      (kBig, s"k$kBig", codebook(kBig)))) {
+      (kBig, s"k$kBig", codebook(kBig))))) {
       variant(s"${label}_flat",
         () => SimilarityOps.nearestExprFlat($"embedding", cents))
       variant(s"${label}_tree2_fixed",
@@ -134,9 +139,83 @@ object TreeBench {
       require(distinctHashes.size == 1,
         s"$label variants disagree: $hashes")
     }
+
+    // VERDICT r17 item 6: the scale the 3-level tree TARGETS (>= 1e5
+    // cells, past Tree3AssignThreshold) never had a fixture — the k4096
+    // probe priced the structure 25x below its engagement point.
+    // SPARK_GRAFT_TREE_SYNTH_K=100000 builds a fully synthetic,
+    // SEPARABLE regime at that scale: sqrt(k) far-apart group anchors
+    // (spread 10, member jitter 0.05), a corpus drawn around the same
+    // anchors (its own jitter 0.2) so the tree's group screen has real
+    // separation to exploit — the clusterable case the 2-level premium
+    // claim was tied to, now at the k where the SUPER level should pay.
+    // Deterministic sin-hash vectors on both sides; corpus rows =
+    // SPARK_GRAFT_TREE_SYNTH_N (default 20000 — flat is O(k*d) per row,
+    // ~1.3e11 mul-adds per pass at the defaults).
+    val synthK = sys.env.getOrElse("SPARK_GRAFT_TREE_SYNTH_K", "0").toInt
+    if (synthK > 0) {
+      val synthN = sys.env.getOrElse("SPARK_GRAFT_TREE_SYNTH_N", "20000").toInt
+      val g = math.ceil(math.sqrt(synthK.toDouble)).toInt
+      def anchor(grp: Int, d: Int): Double =
+        10.0 * math.sin(grp * 131.0 + d * 17.0)
+      val synthCents: Seq[(Int, Array[Double])] = (0 until synthK).map { i =>
+        (i, Array.tabulate(64)(d =>
+          anchor(i % g, d) + 0.05 * math.sin(i * 31.0 + d * 7.0)))
+      }
+      val synthCorpus = spark.range(synthN.toLong).select(
+        $"id".cast("int").as("vec_id"),
+        expr(("transform(sequence(0, 63), d -> " +
+          s"10.0d * sin((id % $g) * 131.0d + d * 17.0d) + " +
+          "0.2d * sin(id * 997.0d + d * 13.0d))")).as("embedding"))
+      def assignS(e: Column): DataFrame =
+        synthCorpus.select($"vec_id", e.getField("cluster").as("cluster"))
+      // At this k the DRIVER-side tree construction (single-threaded
+      // Lloyd's grouping over the 1e5 centroids) costs the same order
+      // as scanning a 20k-row corpus flat, so build and assignment are
+      // timed SEPARATELY — conflating them (the k4096 probe's shape)
+      // would report the tree at parity with flat when its per-row
+      // assignment is an order faster. A production write() pays the
+      // build once per codebook against a corpus-scale assignment, so
+      // the per-row number is the one the 1e5-cell engagement
+      // threshold must be judged on; the build cost is its own
+      // finding (it grows O(k^1.5 d) on one driver thread). Fresh
+      // expression per pass still: the adaptive router must SAMPLE in
+      // the timed pass.
+      def variantS(tag: String, mk: () => Column): Unit = {
+        val b1 = System.nanoTime()
+        val e1 = mk()
+        val build1 = (System.nanoTime() - b1) / 1e9
+        val cold = timed(force(assignS(e1)))
+        val b2 = System.nanoTime()
+        val e2 = mk()
+        val build2 = (System.nanoTime() - b2) / 1e9
+        val warm = timed(force(assignS(e2)))
+        results(tag + "_build_cold") = build1
+        results(tag + "_cold") = cold
+        results(tag + "_build") = build2
+        results(tag) = warm
+        hashes(tag) = assignS(mk())
+          .select(bit_xor(xxhash64($"vec_id", $"cluster"))).as[Long].head()
+      }
+      val label = s"k${synthK}synth"
+      variantS(s"${label}_flat",
+        () => SimilarityOps.nearestExprFlat($"embedding", synthCents))
+      variantS(s"${label}_tree2_fixed",
+        () => SimilarityOps.nearestExprTree($"embedding", synthCents,
+          adaptiveRouting = false))
+      variantS(s"${label}_tree2_adaptive",
+        () => SimilarityOps.nearestExprTree($"embedding", synthCents,
+          adaptiveRouting = true))
+      variantS(s"${label}_tree3",
+        () => SimilarityOps.nearestExprTree3($"embedding", synthCents))
+      val distinctHashes = hashes.filter(_._1.startsWith(label + "_"))
+        .values.toSet
+      require(distinctHashes.size == 1,
+        s"$label variants disagree: $hashes")
+    }
     val timings = results
       .map { case (k, v) => s""""$k":$v""" }.mkString(",")
-    println(s"""{"metric":"ann_tree_probe","unit":"sec","sf":"$sfDir","cpus":$cpus,"mult":$mult,"n_corpus":$nCorpus,"dims":64,$timings}""")
+    println(s"""{"metric":"ann_tree_probe","unit":"sec","sf":"$sfDir","cpus":$cpus,"mult":$mult,"n_corpus":$nCorpus,"dims":64,"synth_k":$synthK,$timings}""")
     spark.stop()
   }
 }
