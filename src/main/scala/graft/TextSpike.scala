@@ -109,8 +109,16 @@ object TextSpike {
     }
 
     // d31's precision shape: banded minhash candidates, exact Jaccard
-    // computed ONLY on the candidate set via intersection joins
-    def lshPrecision(in: DataFrame): DataFrame = {
+    // computed ONLY on the candidate set via intersection joins.
+    // `sampleOneIn` > 1 keeps a deterministic 1-in-N id-hash draw of
+    // the candidate PAIRS before the exact-verification joins — the
+    // scalable precision-measurement shape: precision is a statistic,
+    // and the exact candidate×shingle join's spill footprint grows
+    // with corpus × candidate volume (measured: > 80 GB of spill at
+    // mult=200 / 1.2M docs on the unsampled form — the disk wall this
+    // spike exists to find), while a fixed-rate sample bounds it at
+    // 1/N with a √-law error on the estimated rate.
+    def lshPrecision(in: DataFrame, sampleOneIn: Long = 1L): DataFrame = {
       val twins = in.filter(pmod($"doc_id", lit(5)) === 0)
         .select(($"doc_id" + lit(1000000000L)).as("doc_id"),
           array_join(expr(
@@ -118,9 +126,13 @@ object TextSpike {
               "greatest(cast(floor(size(split(text, ' ')) * 3 / 5) " +
               "as int), 3))"), " ").as("text"))
       val c = in.unionByName(twins)
-      val cand = DedupOps.minhashCandidatePairs(
+      val candAll = DedupOps.minhashCandidatePairs(
         c, "doc_id", "text", shingleK = 3, numPerm = 8, bands = 2)
         .select($"a", $"b")
+      val cand =
+        if (sampleOneIn <= 1L) candAll
+        else candAll.filter(
+          pmod(xxhash64($"a", $"b"), lit(sampleOneIn)) === 0)
       val sets = c.select($"doc_id",
         explode(TextOps.shingles(TextOps.tokens($"text"), 3)).as("sh"))
         .select($"doc_id", md5($"sh").as("h"))
@@ -160,7 +172,9 @@ object TextSpike {
         spans.join(dedup, Seq("doc_id"))
       }),
       "containment" -> (() => containment(corpus)),
-      "lsh_precision" -> (() => lshPrecision(corpus)))
+      "lsh_precision" -> (() => lshPrecision(corpus)),
+      "lsh_precision_sampled" -> (() => lshPrecision(corpus,
+        sampleOneIn = 16L)))
     val caseFilter = sys.env.get("SPARK_GRAFT_TEXT_CASES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val cases = caseFilter match {

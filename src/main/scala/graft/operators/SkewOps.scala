@@ -151,12 +151,14 @@ object SkewOps {
     *    [[graft.operators.LevelPipeline.processLevelsProfiled]]
     *    attaches the observe() barrier only every `refreshEveryN`-th
     *    run, and this counter is what "every Nth" counts);
-    *  - `hotSet`/`hotSetShare`: the skew-QUALIFIED hot keys (occupancy
-    *    ≥ [[HotSkewFactor]] × the mean key's, measured at dedicated-
-    *    scan time) and their exact summed share — the multi-hot-key
-    *    signal (VERDICT r17 item 7: two comparable hot sites at ~35%
-    *    each never clear a top-1 threshold, but their 70% summed share
-    *    is exactly the single-task pile-up the hatches exist for);
+    *  - `hotSet`/`hotSetShare`: the QUALIFIED hot keys (occupancy ≥
+    *    [[HotSkewFactor]] × the mean key's, or own share ≥
+    *    [[SoloQualifyShare]] — the low-cardinality arm; measured at
+    *    dedicated-scan time) and their exact summed share — the
+    *    multi-hot-key signal (VERDICT r17 item 7: two comparable hot
+    *    sites at ~35% each never clear a top-1 threshold, but their
+    *    70% summed share is exactly the single-task pile-up the
+    *    hatches exist for);
     *  - `candidates`: observed modes awaiting an exact count (bounded,
     *    ≤ [[MaxCandidates]]). The refresh counts each candidate's
     *    exact share next observation, so a genuinely-moved hot key is
@@ -178,6 +180,18 @@ object SkewOps {
     * 4× by a wide margin.
     */
   val HotSkewFactor: Double = 4.0
+
+  /** A key ALSO qualifies when its own share clears this floor,
+    * regardless of skew-over-mean: on a LOW-cardinality key space the
+    * mean is dominated by the hot keys themselves (two sites at 41%
+    * each among five have skew only ~2× — under [[HotSkewFactor]] —
+    * yet each is a task holding 41% of all rows, exactly the pile-up
+    * the hatches exist for). The floor can only ADD engagement when
+    * the qualified SUM already clears the caller's decision threshold,
+    * so a uniform many-key feed (every share far below 0.3) is
+    * unaffected.
+    */
+  val SoloQualifyShare: Double = 0.3
 
   /** At most this many observed-but-unmeasured modes are carried as
     * candidates for exact counting on the next refresh.
@@ -261,8 +275,9 @@ object SkewOps {
         keys.indices.map(i => Option(r.getString(i)).getOrElse(""))
       val top = rows(0)
       val topShare = top.getDouble(keys.size)
-      val qualified = rows.toSeq
-        .filter(_.getDouble(keys.size + 2) >= HotSkewFactor)
+      val qualified = rows.toSeq.filter(r =>
+        r.getDouble(keys.size + 2) >= HotSkewFactor ||
+          r.getDouble(keys.size) >= SoloQualifyShare)
       val hotSetShare =
         math.round(qualified.map(_.getDouble(keys.size)).sum * 1e6) / 1e6
       val total =

@@ -295,6 +295,33 @@ class LevelPipelineSpec extends SparkSpec {
       autoSkew = true, autoSkewThreshold = 0.1)
       .collect().map(_.toString).sorted.toSeq
     assert(autoHot === manual)
+    // TWO comparable hot sites (VERDICT r17 item 7): neither clears the
+    // top-1 threshold alone, the qualified summed share does — the
+    // hatches engage through the multi-hot arm, and the chain through
+    // them still matches the default plan row for row
+    val twoHot = raw5.unionByName(
+      raw5.filter(C("site_no").isin(0, 1)).crossJoin(
+        spark.range(6).select(C("id").as("__r")))
+        .withColumn("time",
+          expr("time + make_interval(0, 0, 0, 0, 0, 0, __r + 1)"))
+        .drop("__r"))
+    val twoHotPlan = LevelPipeline.planSkew(twoHot)
+    assert(twoHotPlan.topShare < 0.5,
+      s"fixture must keep each hot site under the top-1 threshold, " +
+        s"got ${twoHotPlan.topShare}")
+    assert(twoHotPlan.hotSetShare >= 0.5,
+      s"two comparable hot sites must clear the SUMMED threshold, " +
+        s"got ${twoHotPlan.hotSetShare}")
+    assert(twoHotPlan.bucketedAsofSeconds === Some(21600L))
+    assert(twoHotPlan.bucketedLevel1Seconds === Some(21600L))
+    val twoHotRef = LevelPipeline.processLevels(
+      twoHot, stations5, silo5, inten5)
+      .collect().map(_.toString).sorted.toSeq
+    val twoHotAuto = LevelPipeline.processLevels(
+      twoHot, stations5, silo5, inten5, autoSkew = true)
+      .collect().map(_.toString).sorted.toSeq
+    assert(twoHotAuto === twoHotRef,
+      "the multi-hot-engaged hatches may change the plan, never the answer")
   }
 
   test("processLevelsProfiled: first run pays ONE dedicated scan, steady " +

@@ -254,6 +254,18 @@ class SkewOpsSpec extends SparkSpec {
     val pu = SkewOps.hotKeyProfile(uni, Seq("site_no"))
     assert(pu.hotSet.isEmpty && pu.hotSetShare === 0.0)
     assert(!SkewOps.engages(pu, 0.5))
+    // LOW-cardinality two-hot (the SoloQualifyShare arm): among only 5
+    // keys the mean is dominated by the hot keys themselves, so their
+    // skew-over-mean is ~2x — under the 4x factor — but each holds 40%
+    // of all rows; the share floor must qualify them and the sum engage
+    val low = spark.range(10000)
+      .select(when($"id" < 4000, "h0").when($"id" < 8000, "h1")
+        .otherwise(concat(lit("c"), $"id" % 3)).as("site_no"))
+    val pl = SkewOps.hotKeyProfile(low, Seq("site_no"))
+    assert(pl.share === 0.4 && pl.share < 0.5)
+    assert(pl.hotSet.toSet === Set(Seq("h0"), Seq("h1")),
+      s"share-floor arm must qualify both 40%-share keys, got ${pl.hotSet}")
+    assert(pl.hotSetShare === 0.8 && SkewOps.engages(pl, 0.5))
     // single dominant key: unchanged top-1 arm
     val one = spark.range(10000)
       .select(when($"id" < 6000, "dom").otherwise(concat(lit("c"), $"id"))
