@@ -184,6 +184,13 @@ object TextSpike {
         allCases.filter(c => sel(c._1))
       case None => allCases
     }
+    // an empty/whitespace SPARK_GRAFT_TEXT_CASES yields an empty
+    // selection that passes the unknown-cases require; without this the
+    // warm-up's cases.head throws into the catch-all and the run
+    // silently emits empty pass maps instead of failing loudly
+    require(cases.nonEmpty,
+      "SPARK_GRAFT_TEXT_CASES selected no cases — unset it or name " +
+        s"at least one of: ${allCases.map(_._1).mkString(", ")}")
 
     def force(df: DataFrame): Unit = {
       df.select(bit_xor(xxhash64(df.columns.map(col).toSeq: _*))).collect()

@@ -45,6 +45,10 @@ object TreeBench {
     // families so the >= 1e5-cell synthetic probe (below) can run on 3
     // JVMs without re-paying the k4096 flat baselines each time
     val synthOnly = sys.env.get("SPARK_GRAFT_TREE_SYNTH_ONLY").contains("1")
+    require(!synthOnly ||
+      sys.env.getOrElse("SPARK_GRAFT_TREE_SYNTH_K", "0").toInt > 0,
+      "SPARK_GRAFT_TREE_SYNTH_ONLY=1 with no SPARK_GRAFT_TREE_SYNTH_K " +
+        "measures nothing — set a positive synth k (ADVICE r18)")
 
     val emb = Tables(spark, sfDir, "embeddings").select($"vec_id", $"embedding")
     val corpus = emb
@@ -213,9 +217,16 @@ object TreeBench {
       require(distinctHashes.size == 1,
         s"$label variants disagree: $hashes")
     }
-    val timings = results
-      .map { case (k, v) => s""""$k":$v""" }.mkString(",")
-    println(s"""{"metric":"ann_tree_probe","unit":"sec","sf":"$sfDir","cpus":$cpus,"mult":$mult,"n_corpus":$nCorpus,"dims":64,"synth_k":$synthK,$timings}""")
+    // join the timing fields into the field list rather than appending
+    // ",$timings": a configuration that populates no variants (e.g.
+    // synth-only with synth_k=0) previously emitted a trailing comma —
+    // a malformed JSON artifact (ADVICE r18)
+    val fields = Seq(s""""metric":"ann_tree_probe"""", """"unit":"sec"""",
+      s""""sf":"$sfDir"""", s""""cpus":$cpus""", s""""mult":$mult""",
+      s""""n_corpus":$nCorpus""", """"dims":64""",
+      s""""synth_k":$synthK""") ++
+      results.map { case (k, v) => s""""$k":$v""" }
+    println(fields.mkString("{", ",", "}"))
     spark.stop()
   }
 }

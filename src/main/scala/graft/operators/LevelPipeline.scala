@@ -327,9 +327,12 @@ object LevelPipeline {
     * the old top-1 profile paid; only the TakeOrdered limit grew)
     * ahead of the chain. Decision rule = [[SkewOps.engages]]: top-1
     * share OR the skew-qualified hot keys' summed share clearing
-    * `threshold`. A uniform feed qualifies no keys (every skew ≈ 1 <
-    * [[SkewOps.HotSkewFactor]]), so its summed share is 0 and it can
-    * never engage through the multi-hot arm.
+    * `threshold`. A uniform feed of ANY cardinality qualifies no keys
+    * — every skew ≈ 1, under both [[SkewOps.HotSkewFactor]] and the
+    * share-floor arm's [[SkewOps.SoloMinSkew]] co-requirement (ADVICE
+    * r18: the bare 0.3 floor let a uniform 3-key feed qualify at
+    * share ≈ 0.333 each) — so its summed share is 0 and it can never
+    * engage through the multi-hot arm.
     */
   def planSkew(
       raw: DataFrame,

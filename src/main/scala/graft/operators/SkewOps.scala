@@ -81,7 +81,21 @@ object SkewOps {
   def skewProfile(
       df: DataFrame,
       keys: Seq[String],
-      topK: Int = 20): DataFrame = {
+      topK: Int = 20): DataFrame =
+    skewProfileWithTotal(df, keys, topK).drop("__total")
+
+  /** [[skewProfile]] plus the exact `__total` row count carried through
+    * (same single aggregation — the stats frame already computes it).
+    * Internal: [[hotKeyProfile]] persists the exact total rather than
+    * back-deriving it from the 6-dp-rounded share (ADVICE r18 — the
+    * reconstruction error grows with feed size, and the refresh path
+    * writes the exact counter, so the persisted field alternated
+    * between exact and estimated depending on which path wrote it).
+    */
+  private def skewProfileWithTotal(
+      df: DataFrame,
+      keys: Seq[String],
+      topK: Int): DataFrame = {
     require(keys.nonEmpty, "skewProfile: at least one key column")
     require(topK >= 1, "skewProfile: topK must be positive")
     for (c <- Seq("n", "share", "skew", "__total", "__distinct"))
@@ -94,7 +108,7 @@ object SkewOps {
       .select((keys.map(col) :+ col("n") :+
         round(col("n") / col("__total"), 6).as("share") :+
         round(col("n") / (col("__total") / col("__distinct")), 6)
-          .as("skew")): _*)
+          .as("skew") :+ col("__total")): _*)
       .orderBy((col("n").desc +: keys.map(col(_).asc)): _*)
       .limit(topK)
   }
@@ -181,17 +195,30 @@ object SkewOps {
     */
   val HotSkewFactor: Double = 4.0
 
-  /** A key ALSO qualifies when its own share clears this floor,
-    * regardless of skew-over-mean: on a LOW-cardinality key space the
-    * mean is dominated by the hot keys themselves (two sites at 41%
-    * each among five have skew only ~2× — under [[HotSkewFactor]] —
-    * yet each is a task holding 41% of all rows, exactly the pile-up
-    * the hatches exist for). The floor can only ADD engagement when
-    * the qualified SUM already clears the caller's decision threshold,
-    * so a uniform many-key feed (every share far below 0.3) is
-    * unaffected.
+  /** A key ALSO qualifies when its own share clears this floor AND its
+    * skew-over-mean clears [[SoloMinSkew]]: on a LOW-cardinality key
+    * space the mean is dominated by the hot keys themselves (two sites
+    * at 41% each among five have skew only ~2× — under
+    * [[HotSkewFactor]] — yet each is a task holding 41% of all rows,
+    * exactly the pile-up the hatches exist for). The [[SoloMinSkew]]
+    * co-requirement keeps the floor honest on UNIFORM low-cardinality
+    * feeds (ADVICE r18): a uniform 3-key feed has every share ≈ 0.333
+    * over the floor with a summed share ≈ 1, yet skew ≈ 1 everywhere —
+    * no key outweighs the average, so no pile-up exists and bucketed
+    * forms lose-or-tie; such keys must NOT qualify.
     */
   val SoloQualifyShare: Double = 0.3
+
+  /** The minimal skew-over-mean the [[SoloQualifyShare]] arm also
+    * demands. A uniform feed has skew ≈ 1 for every key regardless of
+    * cardinality; a genuinely hot key on a low-cardinality space still
+    * clears 1.5× comfortably (two 40%-share sites among five keys sit
+    * at 2.0×). Between the two arms: high-cardinality hot keys qualify
+    * on [[HotSkewFactor]] alone, low-cardinality hot keys on
+    * share-floor + this, and uniform feeds of ANY cardinality qualify
+    * nothing.
+    */
+  val SoloMinSkew: Double = 1.5
 
   /** At most this many observed-but-unmeasured modes are carried as
     * candidates for exact counting on the next refresh.
@@ -265,9 +292,9 @@ object SkewOps {
   def hotKeyProfile(
       df: DataFrame, keys: Seq[String], topK: Int = 8): SkewProfile = {
     dedicatedProfileJobs.incrementAndGet()
-    val rows = skewProfile(df.select(keys.map(col): _*), keys, topK)
+    val rows = skewProfileWithTotal(df.select(keys.map(col): _*), keys, topK)
       .select((keys.map(c => col(c).cast("string")) :+ col("share") :+
-        col("n") :+ col("skew")): _*)
+        col("n") :+ col("skew") :+ col("__total")): _*)
       .collect()
     if (rows.isEmpty) SkewProfile(keys, Seq.fill(keys.size)(""), 0.0, 0L)
     else {
@@ -275,14 +302,14 @@ object SkewOps {
         keys.indices.map(i => Option(r.getString(i)).getOrElse(""))
       val top = rows(0)
       val topShare = top.getDouble(keys.size)
-      val qualified = rows.toSeq.filter(r =>
-        r.getDouble(keys.size + 2) >= HotSkewFactor ||
-          r.getDouble(keys.size) >= SoloQualifyShare)
+      val qualified = rows.toSeq.filter { r =>
+        val skew = r.getDouble(keys.size + 2)
+        skew >= HotSkewFactor ||
+          (r.getDouble(keys.size) >= SoloQualifyShare && skew >= SoloMinSkew)
+      }
       val hotSetShare =
         math.round(qualified.map(_.getDouble(keys.size)).sum * 1e6) / 1e6
-      val total =
-        if (topShare <= 0.0) 0L
-        else math.round(top.getLong(keys.size + 1) / topShare)
+      val total = top.getLong(keys.size + 3)
       SkewProfile(keys, keyOf(top), topShare, total,
         hotSet = qualified.map(keyOf), hotSetShare = hotSetShare)
     }

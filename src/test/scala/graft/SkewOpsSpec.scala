@@ -157,6 +157,33 @@ class SkewOpsSpec extends SparkSpec {
     assert(p.get.total === 11100L)
   }
 
+  test("multi-key profile observation flattens nulls to empty string: " +
+    "(a, null) and (a, '') COLLIDE — documented profile heuristic, " +
+    "never join semantics (VERDICT r18 advisory 3)") {
+    // the flattened observable (keyStr) maps null -> "" like concat_ws,
+    // so a stored hot key ("a","") counts rows of BOTH ("a",null) and
+    // ("a",""). Fine for a plan-steering share estimate (the collision
+    // can only merge two variants of the same leading key); this pin
+    // exists so any future use of multi-key profiles for SEMANTICS
+    // (not plans) trips here first
+    val df = spark.range(600).select(lit("a").as("k1"),
+        when($"id" < 300, lit(null).cast("string")).otherwise(lit(""))
+          .as("k2"))
+      .unionByName(spark.range(400).select(lit("b").as("k1"),
+        lit("x").as("k2")))
+    val prior = SkewOps.SkewProfile(
+      Seq("k1", "k2"), Seq("a", ""), 0.6, 1000L)
+    val (observed, obs) = SkewOps.observeProfile(
+      df, Seq("k1", "k2"), Some(prior))
+    observed.count()
+    val p = SkewOps.refreshProfile(spark,
+      tempDirFile("graft_nullkey_").getAbsolutePath + "/p",
+      Seq("k1", "k2"), Some(prior), obs)
+    assert(p.isDefined && p.get.share === 0.6,
+      "the ('a',null) rows fold into the ('a','') counter — the " +
+        s"collision is the documented behavior, got ${p.map(_.share)}")
+  }
+
   test("no-skew high-cardinality feed: an arbitrary near-tie mode becomes " +
     "a bounded CANDIDATE, never a share = -1 invalidation (ADVICE r17)") {
     // ~uniform feed, 500 keys x 20 rows: the MG top-1 is an arbitrary
@@ -254,6 +281,20 @@ class SkewOpsSpec extends SparkSpec {
     val pu = SkewOps.hotKeyProfile(uni, Seq("site_no"))
     assert(pu.hotSet.isEmpty && pu.hotSetShare === 0.0)
     assert(!SkewOps.engages(pu, 0.5))
+    // uniform LOW-cardinality (ADVICE r18): 3 keys at ~33% each clear
+    // the bare 0.3 share floor and would sum to ~1.0, but skew ~1
+    // everywhere — no key outweighs the average, no pile-up exists,
+    // and the SoloMinSkew co-requirement must reject all of them
+    val uni3 = spark.range(9000)
+      .select(concat(lit("u"), $"id" % 3).as("site_no"))
+    val pu3 = SkewOps.hotKeyProfile(uni3, Seq("site_no"))
+    assert(pu3.hotSet.isEmpty && pu3.hotSetShare === 0.0,
+      s"uniform 3-key feed must qualify no keys through the share " +
+        s"floor, got hotSet=${pu3.hotSet} sum=${pu3.hotSetShare}")
+    assert(!SkewOps.engages(pu3, 0.5) && !SkewOps.engages(pu3, 1.0))
+    assert(pu3.total === 9000L,
+      "total must be the exact __total counter, not a share-derived " +
+        s"estimate (ADVICE r18), got ${pu3.total}")
     // LOW-cardinality two-hot (the SoloQualifyShare arm): among only 5
     // keys the mean is dominated by the hot keys themselves, so their
     // skew-over-mean is ~2x — under the 4x factor — but each holds 40%
