@@ -50,7 +50,10 @@ object BpeBench {
         .selectExpr(s"md5(cast(id % $words as string)) as text")
       TextOps.bpeTrain(spark.range(1000L)
         .selectExpr("md5(cast(id as string)) as text"), "text", 5) // warm-up
-      val (m, t) = timed(TextOps.bpeTrain(synth, "text", merges, minCount = 2L))
+      // heapGuard off: the boundary probe EXISTS to measure the very
+      // footprint the guard refuses (the operator of record keeps it on)
+      val (m, t) = timed(TextOps.bpeTrain(synth, "text", merges,
+        minCount = 2L, heapGuard = false))
       println(s"""{"metric":"bpe_boundary","unit":"sec","cpus":$cpus,"vocab_words":$words,"merge_budget":$merges,"merges_trained":${m.size},"driver_loop_sec":$t,"merges_per_sec":${if (t > 0) m.size / t else -1.0}}""")
       spark.stop()
       return

@@ -67,6 +67,21 @@ object LevelsBench {
       when(pmod(xxhash64($"time", $"internal_temperature"), lit(2)) === 0,
         lit(0)).otherwise($"site_no"))
 
+    // TWO-comparable-hot-site fixture (VERDICT r18 item 4): 7/20 of all
+    // rows hash onto site 0 and another 7/20 onto site 1; the
+    // unreassigned 30% keeps its original uniform-5 site, so sites 0/1
+    // each end at ~41% — neither clears a 0.5 top-1 threshold alone,
+    // both qualify through the share-floor arm (skew ~2x the 5-key
+    // mean, over SoloMinSkew), and their ~82% summed share is what
+    // SkewOps.engages fires on. This prices the multi-hot hatch
+    // decision the r18 round landed with spec pins only.
+    val multihot = raw.withColumn("site_no",
+      when(pmod(xxhash64($"time", $"internal_temperature"), lit(20)) < 7,
+        lit(0))
+        .when(pmod(xxhash64($"time", $"internal_temperature"), lit(20)) < 14,
+          lit(1))
+        .otherwise($"site_no"))
+
     def force(df: DataFrame): Unit = {
       df.select(bit_xor(xxhash64(df.columns.map(col).toSeq: _*))).collect()
       ()
@@ -78,9 +93,7 @@ object LevelsBench {
     // pass2 — the scheduled-ingest loop exactly
     val profDir = java.nio.file.Files.createTempDirectory("levels_prof")
       .toString + "/p"
-    SkewOps.writeProfile(spark, profDir,
-      SkewOps.hotKeyProfile(hot, Seq("site_no")))
-    val cases: Seq[(String, () => Unit)] = Seq(
+    val allCases: Seq[(String, () => Unit)] = Seq(
       "uniform_union" -> (() =>
         force(LevelPipeline.processLevels(raw, stations, silo, intensity,
           naiveLevel4Frame = naiveL4))),
@@ -152,12 +165,58 @@ object LevelsBench {
       }),
       "hot_l1_dedup_only" -> (() => force(LevelPipeline.level1(hot))),
       "hot_l1_bucketed_only" -> (() =>
-        force(LevelPipeline.level1(hot, bucketSeconds = Some(bucketSecs)))))
+        force(LevelPipeline.level1(hot, bucketSeconds = Some(bucketSecs)))),
+      // the multi-hot pricing triplet: hatch-off, hatch-on (what the
+      // summed arm selects), and the live planSkew decision — engaging
+      // through the summed share, since no single site clears 0.5
+      "multihot_union" -> (() =>
+        force(LevelPipeline.processLevels(multihot, stations, silo,
+          intensity, naiveLevel4Frame = naiveL4))),
+      "multihot_full_bucketed" -> (() =>
+        force(LevelPipeline.processLevels(multihot, stations, silo,
+          intensity, bucketedAsofSeconds = Some(bucketSecs),
+          naiveLevel4Frame = naiveL4,
+          bucketedLevel1Seconds = Some(bucketSecs)))),
+      "multihot_auto" -> (() =>
+        force(LevelPipeline.processLevels(multihot, stations, silo,
+          intensity, naiveLevel4Frame = naiveL4, autoSkew = true,
+          autoSkewBucketSeconds = bucketSecs))))
+
+    // case subset for forked per-JVM runs at the heaviest mults (the
+    // TextSpike discipline); empty selections fail loudly (ADVICE r18)
+    val caseFilter = sys.env.get("SPARK_GRAFT_LEVELS_CASES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val cases = caseFilter match {
+      case Some(sel) =>
+        val unknown = sel -- allCases.map(_._1).toSet
+        require(unknown.isEmpty, s"unknown levels-bench cases: $unknown")
+        allCases.filter(c => sel(c._1))
+      case None => allCases
+    }
+    require(cases.nonEmpty,
+      "SPARK_GRAFT_LEVELS_CASES selected no cases — unset it or name " +
+        s"at least one of: ${allCases.map(_._1).mkString(", ")}")
+    def selected(prefix: String): Boolean =
+      cases.exists(_._1.startsWith(prefix))
+    // fixture-scale signals and the profile seed cost a dedicated scan
+    // each — pay them only for fixtures a selected case actually runs
+    if (selected("hot_profiled"))
+      SkewOps.writeProfile(spark, profDir,
+        SkewOps.hotKeyProfile(hot, Seq("site_no")))
 
     // the a18 signal on the hot fixture's shuffle key
-    val prof = graft.operators.SkewOps
-      .skewProfile(hot.select($"site_no"), Seq("site_no"), topK = 1)
-      .select($"share", $"skew").as[(Double, Double)].head()
+    val prof =
+      if (selected("hot")) graft.operators.SkewOps
+        .skewProfile(hot.select($"site_no"), Seq("site_no"), topK = 1)
+        .select($"share", $"skew").as[(Double, Double)].head()
+      else (-1.0, -1.0)
+    // the multi-hot fixture's decision signals: top-1 share (must sit
+    // under 0.5) and the skew-qualified summed share (what engages)
+    val mprof =
+      if (selected("multihot")) {
+        val p = SkewOps.hotKeyProfile(multihot, Seq("site_no"))
+        (p.share, p.hotSetShare)
+      } else (-1.0, -1.0)
 
     try cases.head._2() catch { case _: Throwable => () } // warm-up
     def pass(): Seq[(String, Double)] = cases.map { case (name, mk) =>
@@ -172,7 +231,7 @@ object LevelsBench {
     val p2 = pass()
     def fmt(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"levels_spike","unit":"sec","sf":"$sfDir","mult":$mult,"bucket_seconds":$bucketSecs,"cpus":$cpus,"naive_l4":$naiveL4,"hot_top_share":${prof._1},"hot_top_skew":${prof._2},"pass2":${fmt(p2)},"pass1":${fmt(p1)}}""")
+    println(s"""{"metric":"levels_spike","unit":"sec","sf":"$sfDir","mult":$mult,"bucket_seconds":$bucketSecs,"cpus":$cpus,"naive_l4":$naiveL4,"hot_top_share":${prof._1},"hot_top_skew":${prof._2},"multihot_top_share":${mprof._1},"multihot_hotset_share":${mprof._2},"pass2":${fmt(p2)},"pass1":${fmt(p1)}}""")
     spark.stop()
   }
 }

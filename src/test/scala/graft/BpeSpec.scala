@@ -158,4 +158,31 @@ class BpeSpec extends SparkSpec {
         "token stream must losslessly cover the text")
     }
   }
+
+  test("driver-heap pre-flight refuses BEFORE the merge loop commits, " +
+    "recommends a concrete minCount floor, and heapGuard = false " +
+    "overrides (VERDICT r18 item 3)") {
+    val d = docs("alpha beta gamma alpha beta alpha", "delta alpha beta")
+    // a 1 KB budget no vocabulary fits: the guard must throw with the
+    // fix in the message (floor + driver memory + the override), not
+    // let the loop run
+    val e = intercept[IllegalArgumentException] {
+      TextOps.bpeTrain(d, "text", numMerges = 2, heapBudgetBytes = 1024L)
+    }
+    assert(e.getMessage.contains("minCount >=") &&
+      e.getMessage.contains("SPARK_DRIVER_MEM") &&
+      e.getMessage.contains("heapGuard"),
+      s"the refusal must carry its own fix, got: ${e.getMessage}")
+    // override: same call trains normally and matches the default-guard
+    // result merge for merge
+    val forced = TextOps.bpeTrain(d, "text", numMerges = 2,
+      heapGuard = false, heapBudgetBytes = 1024L)
+    assert(forced === TextOps.bpeTrain(d, "text", numMerges = 2),
+      "the override must only skip the guard, never change training")
+    // the model is calibrated to BPE_BOUNDARY_r18's measured point:
+    // 10M words x ~32 code points -> ~55 GB estimated vs ~59 GB live
+    val est = TextOps.bpeDriverHeapEstimate(10000000L, 320000000L)
+    assert(est > 50e9.toLong && est < 60e9.toLong,
+      s"estimate must stay calibrated to the measured boundary, got $est")
+  }
 }
