@@ -185,37 +185,65 @@ object TreeBench {
       // finding (it grows O(k^1.5 d) on one driver thread). Fresh
       // expression per pass still: the adaptive router must SAMPLE in
       // the timed pass.
+      // SPARK_GRAFT_TREE_BUILD_ONLY=1 times ONLY the tree
+      // construction (two fresh builds per variant, cold + warm) and
+      // skips the corpus assignment + hash agreement: the shape for
+      // k >= 1e6 probes where the 0.5 GB codebook inside the
+      // assignment EXPRESSION would dominate the measurement (plan
+      // serialization, not the build under test)
+      val buildOnly = sys.env.get("SPARK_GRAFT_TREE_BUILD_ONLY")
+        .contains("1")
+      // comma-subset of flat,tree2_fixed,tree2_adaptive,tree3 (default
+      // all) so heavy-k probes can skip the O(k*d)-per-row flat
+      // baseline; empty selections fail loudly (the ADVICE r18 rule)
+      val variantFilter = sys.env.get("SPARK_GRAFT_TREE_SYNTH_VARIANTS")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      variantFilter.foreach { sel =>
+        val known = Set("flat", "tree2_fixed", "tree2_adaptive", "tree3")
+        require(sel.nonEmpty && (sel -- known).isEmpty,
+          s"SPARK_GRAFT_TREE_SYNTH_VARIANTS must name a non-empty " +
+            s"subset of ${known.mkString(",")}, got $sel")
+      }
+      def variantOn(short: String): Boolean =
+        variantFilter.forall(_.contains(short))
       def variantS(tag: String, mk: () => Column): Unit = {
         val b1 = System.nanoTime()
         val e1 = mk()
         val build1 = (System.nanoTime() - b1) / 1e9
-        val cold = timed(force(assignS(e1)))
+        val cold = if (buildOnly) -1.0 else timed(force(assignS(e1)))
         val b2 = System.nanoTime()
         val e2 = mk()
         val build2 = (System.nanoTime() - b2) / 1e9
-        val warm = timed(force(assignS(e2)))
+        val warm = if (buildOnly) -1.0 else timed(force(assignS(e2)))
         results(tag + "_build_cold") = build1
-        results(tag + "_cold") = cold
+        if (!buildOnly) results(tag + "_cold") = cold
         results(tag + "_build") = build2
-        results(tag) = warm
-        hashes(tag) = assignS(mk())
-          .select(bit_xor(xxhash64($"vec_id", $"cluster"))).as[Long].head()
+        if (!buildOnly) results(tag) = warm
+        if (!buildOnly)
+          hashes(tag) = assignS(mk())
+            .select(bit_xor(xxhash64($"vec_id", $"cluster"))).as[Long].head()
       }
       val label = s"k${synthK}synth"
-      variantS(s"${label}_flat",
-        () => SimilarityOps.nearestExprFlat($"embedding", synthCents))
-      variantS(s"${label}_tree2_fixed",
-        () => SimilarityOps.nearestExprTree($"embedding", synthCents,
-          adaptiveRouting = false))
-      variantS(s"${label}_tree2_adaptive",
-        () => SimilarityOps.nearestExprTree($"embedding", synthCents,
-          adaptiveRouting = true))
-      variantS(s"${label}_tree3",
-        () => SimilarityOps.nearestExprTree3($"embedding", synthCents))
-      val distinctHashes = hashes.filter(_._1.startsWith(label + "_"))
-        .values.toSet
-      require(distinctHashes.size == 1,
-        s"$label variants disagree: $hashes")
+      if (variantOn("flat"))
+        variantS(s"${label}_flat",
+          () => SimilarityOps.nearestExprFlat($"embedding", synthCents))
+      if (variantOn("tree2_fixed"))
+        variantS(s"${label}_tree2_fixed",
+          () => SimilarityOps.nearestExprTree($"embedding", synthCents,
+            adaptiveRouting = false))
+      if (variantOn("tree2_adaptive"))
+        variantS(s"${label}_tree2_adaptive",
+          () => SimilarityOps.nearestExprTree($"embedding", synthCents,
+            adaptiveRouting = true))
+      if (variantOn("tree3"))
+        variantS(s"${label}_tree3",
+          () => SimilarityOps.nearestExprTree3($"embedding", synthCents))
+      if (!buildOnly) {
+        val distinctHashes = hashes.filter(_._1.startsWith(label + "_"))
+          .values.toSet
+        require(distinctHashes.size == 1,
+          s"$label variants disagree: $hashes")
+      }
     }
     // join the timing fields into the field list rather than appending
     // ",$timings": a configuration that populates no variants (e.g.
