@@ -263,4 +263,62 @@ class NearestKitSpec extends SparkSpec {
     assert(got.view.mapValues(_.toList).toMap ===
       expect.view.mapValues(_.toList).toMap)
   }
+
+  test("parallel buildCellTree == an independent serial Lloyd's oracle, " +
+    "array for array, above the parallel-path threshold — and " +
+    "run-to-run deterministic (VERDICT r18 item 1)") {
+    // k*g = 4096*64 = 262144 > the 65536 work floor, so this exercises
+    // the PARALLEL argmin; the oracle below is a straight serial
+    // re-statement of the documented algorithm (init = first g
+    // centroids, fixed 8 rounds, ties to the lowest group, empty
+    // groups keep their centroid and are dropped at the end). Equality
+    // is exact — the parallel form writes per-index slots and
+    // accumulates means sequentially, so no float reorder exists.
+    val k = 4096; val dims = 8
+    val cents = Array.tabulate(k)(i =>
+      Array.tabulate(dims)(d => math.sin(i * 13.0 + d * 7.0) * 5.0))
+    def serialOracle(cs: Array[Array[Double]])
+        : (Array[Array[Double]], Array[Double], Array[Array[Int]]) = {
+      val n = cs.length
+      val g = math.ceil(math.sqrt(n.toDouble)).toInt
+      def d2(a: Array[Double], b: Array[Double]): Double =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      var gc = Array.tabulate(math.min(g, n))(i => cs(i).clone())
+      val assign = new Array[Int](n)
+      for (_ <- 0 until 8) {
+        for (i <- 0 until n)
+          assign(i) = gc.indices.minBy(j => (d2(cs(i), gc(j)), j))
+        val sums = Array.fill(gc.length)(new Array[Double](dims))
+        val ns = new Array[Int](gc.length)
+        for (i <- 0 until n) {
+          for (d <- 0 until dims) sums(assign(i))(d) += cs(i)(d)
+          ns(assign(i)) += 1
+        }
+        gc = Array.tabulate(gc.length)(j =>
+          if (ns(j) == 0) gc(j) else sums(j).map(_ / ns(j)))
+      }
+      for (i <- 0 until n)
+        assign(i) = gc.indices.minBy(j => (d2(cs(i), gc(j)), j))
+      val kept = gc.indices.map(j =>
+        (j, (0 until n).filter(assign(_) == j).toArray))
+        .filter(_._2.nonEmpty)
+      (kept.map(p => gc(p._1)).toArray,
+        kept.map { case (j, ch) =>
+          ch.map(ci => math.sqrt(d2(gc(j), cs(ci)))).max }.toArray,
+        kept.map(_._2).toArray)
+    }
+    val (egc, er, ech) = serialOracle(cents)
+    val (gc1, r1, ch1) = SimilarityOps.buildCellTree(cents)
+    assert(gc1.map(_.toSeq).toSeq === egc.map(_.toSeq).toSeq,
+      "group centroids must match the serial oracle exactly")
+    assert(r1.toSeq === er.toSeq, "radii must match exactly")
+    assert(ch1.map(_.toSeq).toSeq === ech.map(_.toSeq).toSeq,
+      "children lists must match exactly")
+    // run-to-run: a second build over the same input is identical
+    // (parallel execution order must never leak into the tree)
+    val (gc2, r2, ch2) = SimilarityOps.buildCellTree(cents)
+    assert(gc2.map(_.toSeq).toSeq === gc1.map(_.toSeq).toSeq &&
+      r2.toSeq === r1.toSeq &&
+      ch2.map(_.toSeq).toSeq === ch1.map(_.toSeq).toSeq)
+  }
 }
