@@ -525,9 +525,30 @@ object SimilarityOps {
     * change the result, and the centroid-mean ACCUMULATION stays
     * sequential in index order — the build is bit-identical to the
     * serial form. The O(k·d) sequential remainder is negligible
-    * (6.4e6 adds per round at k=1e5, d=64). Past k ~ 1e6 the k × d
-    * metadata itself (~0.5 GB) is the next boundary, not the loop.
+    * (6.4e6 adds per round at k=1e5, d=64).
+    *
+    * Past [[TreeBuildSampleMax]] cells the Lloyd's ROUNDS train on a
+    * deterministic stride sample of the centroids (every ⌈k/max⌉-th,
+    * spread across the ascending-id order) and only the FINAL
+    * assignment — one pass instead of nine — touches all k: grouping
+    * quality affects pruning efficiency alone, so a sampled trainer
+    * trades nothing but a slightly looser cover for an O(rounds×)
+    * build cut exactly where the build is largest (the boundary
+    * SCALE.md §10h recorded as "sample the grouping Lloyd's if k
+    * grows another order" — built in r19). At 1e6 cells the full
+    * loop measured 18.2–21.3 s parallel; the sampled form pays ~1
+    * all-k pass ≈ 2–4 s. Below the threshold nothing changes
+    * (NearestKitSpec pins the full form against a serial oracle).
+    * Past k ~ 1e6 the k × d metadata itself (~0.5 GB) is the next
+    * boundary, not the loop.
     */
+  /** Above this many cells, [[buildCellTree]]'s Lloyd's rounds train
+    * on a stride sample of the centroids instead of all of them. The
+    * value keeps every recorded fixture (k ≤ 1e5) on the full,
+    * oracle-pinned form while a 1e6-cell codebook trains on ~125k.
+    */
+  private[graft] val TreeBuildSampleMax: Int = 131072
+
   private[graft] def buildCellTree(cents: Array[Array[Double]])
       : (Array[Array[Double]], Array[Double], Array[Array[Int]]) = {
     val k = cents.length
@@ -542,11 +563,12 @@ object SimilarityOps {
     var gc: Array[Array[Double]] =
       Array.tabulate(math.min(g, k))(i => cents(i).clone())
     val assign = new Array[Int](k)
-    // per-index argmin into a pre-sized slot: parallel-safe and
+    // per-index argmin into its own pre-sized slot: parallel-safe and
     // order-independent; the common-pool fork only pays past a size
     // where the serial loop is already sub-millisecond
-    def assignAll(groups: Array[Array[Double]]): Unit = {
-      def one(i: Int): Unit = {
+    def assignIdx(idx: Array[Int], groups: Array[Array[Double]]): Unit = {
+      def one(t: Int): Unit = {
+        val i = idx(t)
         var bi = 0; var bd = Double.MaxValue; var j = 0
         while (j < groups.length) {
           val d = d2(cents(i), groups(j))
@@ -555,23 +577,50 @@ object SimilarityOps {
         }
         assign(i) = bi
       }
-      if (k.toLong * groups.length < 65536L) {
-        var i = 0; while (i < k) { one(i); i += 1 }
+      if (idx.length.toLong * groups.length < 65536L) {
+        var t = 0; while (t < idx.length) { one(t); t += 1 }
       } else
-        java.util.stream.IntStream.range(0, k).parallel().forEach(one(_))
+        java.util.stream.IntStream.range(0, idx.length).parallel()
+          .forEach(one(_))
     }
+    val allIdx = Array.range(0, k)
+    // Lloyd's rounds train on a deterministic HASH-spread sample past
+    // the threshold (grouping quality only affects pruning
+    // efficiency); the final all-k assignment below builds the actual
+    // cover. A hash spread, not a stride: cell ids can carry
+    // structure (any periodic order aliases a stride to a biased
+    // subset — the synthetic 1e6-cell fixture's i%g anchors would
+    // train an 8-stride on 1/8 of the anchor groups), while a mixed
+    // integer hash has no alignment with any id order and stays
+    // replay-deterministic.
+    val train =
+      if (k <= TreeBuildSampleMax) allIdx
+      else {
+        val step = math.ceil(k.toDouble / TreeBuildSampleMax).toLong
+        val b = Array.newBuilder[Int]
+        var i = 0
+        while (i < k) {
+          var h = i.toLong * 0x9E3779B97F4A7C15L
+          h ^= (h >>> 32)
+          if (java.lang.Long.remainderUnsigned(h, step) == 0L) b += i
+          i += 1
+        }
+        val t = b.result()
+        if (t.isEmpty) allIdx else t
+      }
     var round = 0
     while (round < 8) {
-      assignAll(gc)
+      assignIdx(train, gc)
       val sums = Array.fill(gc.length)(new Array[Double](dims))
       val ns = new Array[Int](gc.length)
-      var i = 0
-      while (i < k) {
+      var t = 0
+      while (t < train.length) {
+        val i = train(t)
         val s = sums(assign(i)); val c = cents(i)
         var d = 0
         while (d < c.length) { s(d) += c(d); d += 1 }
         ns(assign(i)) += 1
-        i += 1
+        t += 1
       }
       gc = Array.tabulate(gc.length) { j =>
         if (ns(j) == 0) gc(j)  // empty group keeps its centroid
@@ -580,7 +629,7 @@ object SimilarityOps {
       round += 1
     }
     // final assignment -> children lists; drop empty groups
-    assignAll(gc)
+    assignIdx(allIdx, gc)
     val children = Array.fill(gc.length)(Vector.newBuilder[Int])
     var i = 0
     while (i < k) {

@@ -321,4 +321,31 @@ class NearestKitSpec extends SparkSpec {
       r2.toSeq === r1.toSeq &&
       ch2.map(_.toSeq).toSeq === ch1.map(_.toSeq).toSeq)
   }
+
+  test("sampled-trainer buildCellTree (k > TreeBuildSampleMax) still " +
+    "yields a valid disjoint radius-covering partition, " +
+    "deterministically — grouping quality is pruning-only") {
+    val k = SimilarityOps.TreeBuildSampleMax + 20000
+    val cents = Array.tabulate(k)(i =>
+      Array(math.sin(i * 13.0) * 5.0, math.cos(i * 7.0) * 5.0))
+    val (gc, r, ch) = SimilarityOps.buildCellTree(cents)
+    // disjoint cover: every cell index appears exactly once
+    val flat = ch.flatten
+    assert(flat.length === k && flat.toSet.size === k,
+      "children lists must partition all k cells")
+    // radii cover: each member sits within its group's radius (the
+    // exactness of the tree's bound logic rests on this alone)
+    for (gi <- gc.indices; ci <- ch(gi)) {
+      val d = math.sqrt(gc(gi).zip(cents(ci))
+        .map { case (a, b) => (a - b) * (a - b) }.sum)
+      assert(d <= r(gi) + 1e-9, s"member $ci outside group $gi radius")
+    }
+    // children ascend within each group (the documented contract)
+    ch.foreach(c => assert(c.toSeq === c.sorted.toSeq))
+    // deterministic run to run
+    val (gc2, r2, ch2) = SimilarityOps.buildCellTree(cents)
+    assert(gc2.map(_.toSeq).toSeq === gc.map(_.toSeq).toSeq &&
+      r2.toSeq === r.toSeq &&
+      ch2.map(_.toSeq).toSeq === ch.map(_.toSeq).toSeq)
+  }
 }
