@@ -183,19 +183,9 @@ object LevelsBench {
           autoSkewBucketSeconds = bucketSecs))))
 
     // case subset for forked per-JVM runs at the heaviest mults (the
-    // TextSpike discipline); empty selections fail loudly (ADVICE r18)
-    val caseFilter = sys.env.get("SPARK_GRAFT_LEVELS_CASES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val cases = caseFilter match {
-      case Some(sel) =>
-        val unknown = sel -- allCases.map(_._1).toSet
-        require(unknown.isEmpty, s"unknown levels-bench cases: $unknown")
-        allCases.filter(c => sel(c._1))
-      case None => allCases
-    }
-    require(cases.nonEmpty,
-      "SPARK_GRAFT_LEVELS_CASES selected no cases — unset it or name " +
-        s"at least one of: ${allCases.map(_._1).mkString(", ")}")
+    // TextSpike discipline); empty selections and unknown names fail
+    // loudly (ADVICE r18) — shared parser, see HarnessEnv
+    val cases = HarnessEnv.selectCases("SPARK_GRAFT_LEVELS_CASES", allCases)
     def selected(prefix: String): Boolean =
       cases.exists(_._1.startsWith(prefix))
     // fixture-scale signals and the profile seed cost a dedicated scan

@@ -175,22 +175,9 @@ object TextSpike {
       "lsh_precision" -> (() => lshPrecision(corpus)),
       "lsh_precision_sampled" -> (() => lshPrecision(corpus,
         sampleOneIn = 16L)))
-    val caseFilter = sys.env.get("SPARK_GRAFT_TEXT_CASES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val cases = caseFilter match {
-      case Some(sel) =>
-        val unknown = sel -- allCases.map(_._1).toSet
-        require(unknown.isEmpty, s"unknown text-spike cases: $unknown")
-        allCases.filter(c => sel(c._1))
-      case None => allCases
-    }
-    // an empty/whitespace SPARK_GRAFT_TEXT_CASES yields an empty
-    // selection that passes the unknown-cases require; without this the
-    // warm-up's cases.head throws into the catch-all and the run
-    // silently emits empty pass maps instead of failing loudly
-    require(cases.nonEmpty,
-      "SPARK_GRAFT_TEXT_CASES selected no cases — unset it or name " +
-        s"at least one of: ${allCases.map(_._1).mkString(", ")}")
+    // empty/whitespace selections and unknown names fail loudly
+    // (ADVICE r18) — shared parser, see HarnessEnv
+    val cases = HarnessEnv.selectCases("SPARK_GRAFT_TEXT_CASES", allCases)
 
     def force(df: DataFrame): Unit = {
       df.select(bit_xor(xxhash64(df.columns.map(col).toSeq: _*))).collect()

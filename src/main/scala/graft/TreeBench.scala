@@ -45,8 +45,9 @@ object TreeBench {
     // families so the >= 1e5-cell synthetic probe (below) can run on 3
     // JVMs without re-paying the k4096 flat baselines each time
     val synthOnly = sys.env.get("SPARK_GRAFT_TREE_SYNTH_ONLY").contains("1")
-    require(!synthOnly ||
-      sys.env.getOrElse("SPARK_GRAFT_TREE_SYNTH_K", "0").toInt > 0,
+    // parsed once here, consumed by the synth block below
+    val synthK = sys.env.getOrElse("SPARK_GRAFT_TREE_SYNTH_K", "0").toInt
+    require(!synthOnly || synthK > 0,
       "SPARK_GRAFT_TREE_SYNTH_ONLY=1 with no SPARK_GRAFT_TREE_SYNTH_K " +
         "measures nothing — set a positive synth k (ADVICE r18)")
 
@@ -156,7 +157,6 @@ object TreeBench {
     // Deterministic sin-hash vectors on both sides; corpus rows =
     // SPARK_GRAFT_TREE_SYNTH_N (default 20000 — flat is O(k*d) per row,
     // ~1.3e11 mul-adds per pass at the defaults).
-    val synthK = sys.env.getOrElse("SPARK_GRAFT_TREE_SYNTH_K", "0").toInt
     if (synthK > 0) {
       val synthN = sys.env.getOrElse("SPARK_GRAFT_TREE_SYNTH_N", "20000").toInt
       val g = math.ceil(math.sqrt(synthK.toDouble)).toInt
@@ -195,15 +195,11 @@ object TreeBench {
         .contains("1")
       // comma-subset of flat,tree2_fixed,tree2_adaptive,tree3 (default
       // all) so heavy-k probes can skip the O(k*d)-per-row flat
-      // baseline; empty selections fail loudly (the ADVICE r18 rule)
-      val variantFilter = sys.env.get("SPARK_GRAFT_TREE_SYNTH_VARIANTS")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      variantFilter.foreach { sel =>
-        val known = Set("flat", "tree2_fixed", "tree2_adaptive", "tree3")
-        require(sel.nonEmpty && (sel -- known).isEmpty,
-          s"SPARK_GRAFT_TREE_SYNTH_VARIANTS must name a non-empty " +
-            s"subset of ${known.mkString(",")}, got $sel")
-      }
+      // baseline; empty selections and unknown names fail loudly
+      // (ADVICE r18) — shared parser, see HarnessEnv
+      val variantFilter = HarnessEnv.selectedNames(
+        "SPARK_GRAFT_TREE_SYNTH_VARIANTS",
+        Seq("flat", "tree2_fixed", "tree2_adaptive", "tree3"))
       def variantOn(short: String): Boolean =
         variantFilter.forall(_.contains(short))
       def variantS(tag: String, mk: () => Column): Unit = {

@@ -167,8 +167,10 @@ object SkewOps {
     *    run, and this counter is what "every Nth" counts);
     *  - `hotSet`/`hotSetShare`: the QUALIFIED hot keys (occupancy ≥
     *    [[HotSkewFactor]] × the mean key's, or own share ≥
-    *    [[SoloQualifyShare]] — the low-cardinality arm; measured at
-    *    dedicated-scan time) and their exact summed share — the
+    *    [[SoloQualifyShare]] with skew ≥ [[SoloMinSkew]] — the
+    *    low-cardinality arm; the skew co-requirement keeps uniform
+    *    feeds out, ADVICE r18; measured at dedicated-scan time) and
+    *    their exact summed share — the
     *    multi-hot-key signal (VERDICT r17 item 7: two comparable hot
     *    sites at ~35% each never clear a top-1 threshold, but their
     *    70% summed share is exactly the single-task pile-up the
@@ -210,15 +212,20 @@ object SkewOps {
   val SoloQualifyShare: Double = 0.3
 
   /** The minimal skew-over-mean the [[SoloQualifyShare]] arm also
-    * demands. A uniform feed has skew ≈ 1 for every key regardless of
-    * cardinality; a genuinely hot key on a low-cardinality space still
-    * clears 1.5× comfortably (two 40%-share sites among five keys sit
-    * at 2.0×). Between the two arms: high-cardinality hot keys qualify
-    * on [[HotSkewFactor]] alone, low-cardinality hot keys on
+    * demands. Since skew = share × distinct, this is exactly "own
+    * share at least 25% over the uniform occupancy 1/distinct": a
+    * uniform feed has skew ≈ 1 for every key regardless of
+    * cardinality and never qualifies, while genuinely imbalanced
+    * low-cardinality feeds clear it — 45/45/10 among three keys sits
+    * at 1.35, 35/35/20/10 among four at 1.4, two 40%-share sites
+    * among five at 2.0. (1.5 here would wrongly disqualify the first
+    * two — real two-task pile-ups — which is why the margin is 25%,
+    * not 50%.) Between the two arms: high-cardinality hot keys
+    * qualify on [[HotSkewFactor]] alone, low-cardinality hot keys on
     * share-floor + this, and uniform feeds of ANY cardinality qualify
     * nothing.
     */
-  val SoloMinSkew: Double = 1.5
+  val SoloMinSkew: Double = 1.25
 
   /** At most this many observed-but-unmeasured modes are carried as
     * candidates for exact counting on the next refresh.

@@ -1143,13 +1143,25 @@ object TextOps {
         val keep = math.max(1L,
           budget / math.max(1L, est / vocab.length)).min(vocab.length.toLong)
         val sortedCnt = vocab.map(_._2).sorted
-        val floorAt = sortedCnt((vocab.length - keep.toInt).max(0)) + 1L
+        // the count AT the cut keeps at least ~keep words (count ties
+        // keep more); no +1 — on a flat distribution (all counts
+        // equal) a +1 floor would keep ZERO words and recommend a
+        // degenerate training run (round-19 self-review). When the
+        // cut lands on the caller's current floor, no minCount can
+        // shrink this vocabulary — say so instead of recommending it.
+        val floorAt = sortedCnt((vocab.length - keep.toInt).max(0))
+        val floorAdvice =
+          if (floorAt > minCount)
+            f"raise the vocabulary floor (try minCount >= $floorAt%d — " +
+              f"keeps ~$keep%d words, count ties may keep more), "
+          else
+            "the count distribution is too flat for a minCount floor " +
+              "to shrink it, so "
         throw new IllegalArgumentException(
           f"bpeTrain: the merge loop would hold ~${est / 1e9}%.1f GB of " +
             f"driver heap for this ${vocab.length}%d-word vocabulary " +
             f"(budget ${budget / 1e9}%.1f GB = 70%% of -Xmx unless " +
-            "overridden). Raise the vocabulary floor (try minCount >= " +
-            f"$floorAt%d, keeping ~$keep%d words), grow the driver " +
+            s"overridden). ${floorAdvice}grow the driver " +
             "(SPARK_DRIVER_MEM / spark.driver.memory), or pass " +
             "heapGuard = false if this footprint is measured and " +
             "intended (BPE_BOUNDARY_r18: ~59 GB at 10M words)")

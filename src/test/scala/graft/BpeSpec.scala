@@ -184,5 +184,17 @@ class BpeSpec extends SparkSpec {
     val est = TextOps.bpeDriverHeapEstimate(10000000L, 320000000L)
     assert(est > 50e9.toLong && est < 60e9.toLong,
       s"estimate must stay calibrated to the measured boundary, got $est")
+    // FLAT count distribution (every word once): no floor can shrink
+    // the vocabulary — the refusal must say so rather than recommend
+    // a floor that would keep zero words (round-19 self-review: the
+    // first cut's floorAt+1 recommendation emptied flat vocabularies)
+    val flat = docs("aa bb cc dd", "ee ff gg hh")
+    val e2 = intercept[IllegalArgumentException] {
+      TextOps.bpeTrain(flat, "text", numMerges = 2, heapBudgetBytes = 1024L)
+    }
+    assert(e2.getMessage.contains("too flat") &&
+      !e2.getMessage.contains("minCount >="),
+      s"flat distributions must not get a floor recommendation, got: " +
+        e2.getMessage)
   }
 }

@@ -295,6 +295,17 @@ class SkewOpsSpec extends SparkSpec {
     assert(pu3.total === 9000L,
       "total must be the exact __total counter, not a share-derived " +
         s"estimate (ADVICE r18), got ${pu3.total}")
+    // genuinely IMBALANCED low-cardinality: 45/45/10 among 3 keys —
+    // skew 1.35 per hot key (a 1.5 bar would wrongly reject this real
+    // two-task pile-up; the 1.25 bar = "25% over uniform occupancy"
+    // admits it while still rejecting uniform's 1.0)
+    val imb3 = spark.range(10000)
+      .select(when($"id" < 4500, "h0").when($"id" < 9000, "h1")
+        .otherwise(lit("c0")).as("site_no"))
+    val pi3 = SkewOps.hotKeyProfile(imb3, Seq("site_no"))
+    assert(pi3.hotSet.toSet === Set(Seq("h0"), Seq("h1")),
+      s"both 45%-share keys must qualify at skew 1.35, got ${pi3.hotSet}")
+    assert(pi3.hotSetShare === 0.9 && SkewOps.engages(pi3, 0.5))
     // LOW-cardinality two-hot (the SoloQualifyShare arm): among only 5
     // keys the mean is dominated by the hot keys themselves, so their
     // skew-over-mean is ~2x — under the 4x factor — but each holds 40%
