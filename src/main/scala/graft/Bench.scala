@@ -18,11 +18,13 @@ import org.apache.spark.sql.types.MapType
   *    are reported: pass2 >> pass1 is the signature of session
   *    degradation (leaked caches, heap pressure), pass1 >> pass2 of
   *    cold-start noise. The headline `value` is the warm pass2 total;
-  *  - a pass2 slot that exceeds 2.5× its own pass1 (by > 1 s) is
-  *    re-measured once and the best of (pass2, re-measure) reported,
-  *    with all three timings flagged under "anomalies" — a transient
-  *    machine event can contaminate one measurement but never the
-  *    round record unchallenged (VERDICT r17 item 1).
+  *  - a pass2 slot that exceeds 2.5× its own pass1 (by > 1 s), OR
+  *    exceeds it by more than 2 s outright (the absolute arm — VERDICT
+  *    r19 item 5), is re-measured once and the best of (pass2,
+  *    re-measure) reported, with all three timings flagged under
+  *    "anomalies" — a transient machine event can contaminate one
+  *    measurement but never the round record unchallenged (VERDICT
+  *    r17 item 1).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -108,7 +110,11 @@ object Bench {
         val parts =
           try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
           finally src.close()
-        Some((if (parts.length > 7) parts(7) else 0L, parts.sum))
+        // denominator: fields 1..8 only (user nice system idle iowait
+        // irq softirq steal) — guest/guest_nice (9, 10) are already
+        // folded into user/nice by the kernel, so summing them would
+        // double-count guest time and deflate steal_pct (ADVICE r19)
+        Some((if (parts.length > 7) parts(7) else 0L, parts.take(8).sum))
       } catch { case _: Throwable => None }
     val jiffies0 = cpuJiffies()
     val pass1 = timedPass()
@@ -122,12 +128,17 @@ object Bench {
     // re-measure) and all three values land in the artifact under
     // "anomalies", so a transient can never again sit unchallenged in
     // the round record. The 1 s absolute floor keeps sub-second timer
-    // noise from triggering re-runs.
+    // noise from triggering re-runs. A SECOND, absolute-delta arm
+    // (pass2 − pass1 > 2 s regardless of ratio) catches transients on
+    // slots too slow for 2.5× — r19's c25_heaps_fit sat at 1.83× its
+    // pass1 while being the round's largest absolute mover, +2.9 s
+    // (VERDICT r19 item 5).
     val p1Map = pass1.toMap
     val anomalies: Seq[(String, (Double, Double, Double))] =
       pass2raw.flatMap { case (name, t2q) =>
         val t1q = p1Map.getOrElse(name, -1.0)
-        if (t1q >= 0 && t2q >= 0 && t2q > t1q * 2.5 && t2q - t1q > 1.0) {
+        if (t1q >= 0 && t2q >= 0 &&
+          ((t2q > t1q * 2.5 && t2q - t1q > 1.0) || t2q - t1q > 2.0)) {
           // hygiene runs before EVERY re-measure (a mid-family pass2
           // slot only got it at its family boundary, so a re-measure is
           // marginally cleaner than the slot it re-checks) — recorded

@@ -98,6 +98,9 @@ object TreeBench {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val hashes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // None = no synth block ran; Some(false) = ran but agreement not
+    // verifiable (build-only, or a single-variant subset — ADVICE r19)
+    var synthAgreementChecked: Option[Boolean] = None
     def variant(tag: String, mk: () => Column): Unit = {
       // fresh expression per pass: the adaptive router must SAMPLE in
       // the timed pass (a reused decided router would flatter it)
@@ -235,11 +238,20 @@ object TreeBench {
         variantS(s"${label}_tree3",
           () => SimilarityOps.nearestExprTree3($"embedding", synthCents))
       if (!buildOnly) {
-        val distinctHashes = hashes.filter(_._1.startsWith(label + "_"))
-          .values.toSet
-        require(distinctHashes.size == 1,
+        val labelHashes = hashes.filter(_._1.startsWith(label + "_")).values
+        require(labelHashes.toSet.size <= 1,
           s"$label variants disagree: $hashes")
-      }
+        // with a single-variant SPARK_GRAFT_TREE_SYNTH_VARIANTS subset
+        // the require above passes vacuously — the artifact must say
+        // whether cross-variant agreement was actually verified rather
+        // than let a subset probe impersonate the checked run
+        // (ADVICE r19)
+        synthAgreementChecked = Some(labelHashes.size >= 2)
+        if (labelHashes.size < 2)
+          System.err.println("[tree-bench] fewer than two synth " +
+            "variants ran — cross-variant hash agreement NOT verified " +
+            "this run (see hash_agreement_checked)")
+      } else synthAgreementChecked = Some(false)
     }
     // join the timing fields into the field list rather than appending
     // ",$timings": a configuration that populates no variants (e.g.
@@ -249,6 +261,8 @@ object TreeBench {
       s""""sf":"$sfDir"""", s""""cpus":$cpus""", s""""mult":$mult""",
       s""""n_corpus":$nCorpus""", """"dims":64""",
       s""""synth_k":$synthK""") ++
+      synthAgreementChecked.map(b =>
+        s""""hash_agreement_checked":$b""").toSeq ++
       results.map { case (k, v) => s""""$k":$v""" }
     println(fields.mkString("{", ",", "}"))
     spark.stop()

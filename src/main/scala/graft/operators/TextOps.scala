@@ -1130,7 +1130,7 @@ object TextOps {
     if (heapGuard && vocab.nonEmpty) {
       var totalCp = 0L
       vocab.foreach(v => totalCp += v._1.codePointCount(0, v._1.length))
-      val est = bpeDriverHeapEstimate(vocab.length.toLong, totalCp)
+      val est = bpeDriverHeapEstimate(vocab.length.toLong, totalCp, numMerges)
       val budget =
         if (heapBudgetBytes >= 0L) heapBudgetBytes
         else (Runtime.getRuntime.maxMemory * 0.7).toLong
@@ -1155,8 +1155,14 @@ object TextOps {
             f"raise the vocabulary floor (try minCount >= $floorAt%d — " +
               f"keeps ~$keep%d words, count ties may keep more), "
           else
-            "the count distribution is too flat for a minCount floor " +
-              "to shrink it, so "
+            // floorAt == minCount: ties AT the caller's current floor
+            // dominate the vocabulary, so no floor keeps close to the
+            // affordable ~keep words (a higher floor may still shrink
+            // it, just far past the target — ADVICE r19: the old text
+            // overclaimed "cannot shrink it" for non-degenerate ties)
+            "the count distribution is too flat at the cut for a " +
+              "minCount floor to land near the affordable word count " +
+              "(ties at the current floor dominate), so "
         throw new IllegalArgumentException(
           f"bpeTrain: the merge loop would hold ~${est / 1e9}%.1f GB of " +
             f"driver heap for this ${vocab.length}%d-word vocabulary " +
@@ -1174,13 +1180,28 @@ object TextOps {
   /** The merge loop's live-heap model, calibrated against
     * BPE_BOUNDARY_r18's measurement (10M words × ~32 chars → ~59 GB
     * live; the model gives 55 GB — the honest ±10%% of a structure
-    * estimate): ~4 KB/word of pair-index buffers + heap entries across
-    * a full 32k-merge run, plus ~48 bytes per code point (the int
-    * symbols plus their share of per-pair map entries).
+    * estimate): ~48 bytes per code point (the int symbol arrays, the
+    * initial pair inverted-index entries, and their share of per-pair
+    * map entries — built BEFORE the first merge, so merge-independent)
+    * plus a per-word term for the state the merge ROUNDS accumulate
+    * (rewrite-time index appends, lazy-heap entries, rebuild garbage).
+    * The accumulated term scales with the merge budget (ADVICE r19:
+    * the flat 4 KB/word assumed a full 32k-merge production run and
+    * falsely refused small-budget trainings on large vocabularies —
+    * e.g. 200k words × 2000 merges estimated ~1.1 GB where the real
+    * loop never approaches it): a 200-byte/word floor (initial
+    * pair-count/heap entries exist at round zero) plus the remaining
+    * ~3.8 KB/word prorated by numMerges/32000, the calibration run's
+    * budget — linear-in-merges is itself conservative past the early
+    * rounds, where most of the churn concentrates. The default keeps
+    * the calibrated full-run shape (BpeSpec pins the 10M-word point).
     */
   private[graft] def bpeDriverHeapEstimate(
-      nWords: Long, totalCodePoints: Long): Long =
-    4000L * nWords + 48L * totalCodePoints
+      nWords: Long, totalCodePoints: Long, numMerges: Int = 32000): Long = {
+    val mergeScale = numMerges.toDouble / 32000.0
+    200L * nWords + (3800.0 * nWords * mergeScale).toLong +
+      48L * totalCodePoints
+  }
 
   /** The driver-side get_stats/merge loop over a collected (word-as-
     * code-points, count) vocabulary, with INCREMENTAL pair-count

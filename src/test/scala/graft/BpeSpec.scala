@@ -184,6 +184,17 @@ class BpeSpec extends SparkSpec {
     val est = TextOps.bpeDriverHeapEstimate(10000000L, 320000000L)
     assert(est > 50e9.toLong && est < 60e9.toLong,
       s"estimate must stay calibrated to the measured boundary, got $est")
+    // ADVICE r19: the merge-accumulated term scales with the merge
+    // budget — a 2000-merge training on the same 10M-word vocabulary
+    // must not be priced as the full 32k-merge calibration run (the
+    // flat model falsely refused small-budget trainings), while the
+    // merge-independent base (symbol arrays + initial pair index) and
+    // the per-word floor never scale away
+    val estSmall = TextOps.bpeDriverHeapEstimate(10000000L, 320000000L, 2000)
+    assert(estSmall < est / 2,
+      s"small merge budgets must shrink the estimate, got $estSmall vs $est")
+    assert(estSmall > 48L * 320000000L + 200L * 10000000L,
+      s"the merge-independent base must survive, got $estSmall")
     // FLAT count distribution (every word once): no floor can shrink
     // the vocabulary — the refusal must say so rather than recommend
     // a floor that would keep zero words (round-19 self-review: the
