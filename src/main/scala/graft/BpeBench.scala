@@ -43,6 +43,37 @@ object BpeBench {
       (r, (System.nanoTime() - t0) / 1e9)
     }
     import graft.operators.TextOps
+    // SPARK_GRAFT_BPE_SHARDED=1: the escape-hatch probe (VERDICT r19
+    // item 1). Same synthetic vocabulary shape as the boundary probe,
+    // but trained with bpeTrainSharded — the word table stays on the
+    // executors and the driver holds only the pair-count map, so the
+    // run must SUCCEED on a driver the in-operator heap guard refuses
+    // the collected loop on (the artifact records both facts from the
+    // same JVM). Default budget 500 merges: the probe prices the
+    // per-round job cost (merges_per_sec quotes the 32k extrapolation);
+    // the full production budget is hours of sequential jobs by design.
+    if (sys.env.get("SPARK_GRAFT_BPE_SHARDED").contains("1")) {
+      val words = sys.env.getOrElse("SPARK_GRAFT_BPE_WORDS", "10000000").toLong
+      val merges = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "500").toInt
+      val synth = spark.range(words * 2)
+        .selectExpr(s"md5(cast(id % $words as string)) as text")
+      TextOps.bpeTrainSharded(spark.range(1000L)
+        .selectExpr("md5(cast(id as string)) as text"), "text", 5) // warm-up
+      // the guard's verdict on the DRIVER loop for this vocabulary at
+      // this -Xmx, recorded from the operator itself (on a driver big
+      // enough to pass, this trains and times the loop instead — also
+      // a valid datapoint)
+      val (refused, driverSec) =
+        try { val (_, t) = timed(TextOps.bpeTrain(synth, "text", merges,
+          minCount = 2L)); (false, t) }
+        catch { case _: IllegalArgumentException => (true, -1.0) }
+      val (m, t) = timed(TextOps.bpeTrainSharded(synth, "text", merges,
+        minCount = 2L))
+      val gb = Runtime.getRuntime.maxMemory / 1e9
+      println(s"""{"metric":"bpe_sharded","unit":"sec","cpus":$cpus,"vocab_words":$words,"merge_budget":$merges,"merges_trained":${m.size},"sharded_sec":$t,"merges_per_sec":${if (t > 0) m.size / t else -1.0},"driver_loop_guard_refused":$refused,"driver_loop_sec":$driverSec,"max_heap_gb":$gb}""")
+      spark.stop()
+      return
+    }
     if (boundary) {
       val words = sys.env.getOrElse("SPARK_GRAFT_BPE_WORDS", "10000000").toLong
       val merges = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "32000").toInt

@@ -1168,8 +1168,10 @@ object TextOps {
             f"driver heap for this ${vocab.length}%d-word vocabulary " +
             f"(budget ${budget / 1e9}%.1f GB = 70%% of -Xmx unless " +
             s"overridden). ${floorAdvice}grow the driver " +
-            "(SPARK_DRIVER_MEM / spark.driver.memory), or pass " +
-            "heapGuard = false if this footprint is measured and " +
+            "(SPARK_DRIVER_MEM / spark.driver.memory), switch to " +
+            "bpeTrainSharded (identical merges, word table stays on " +
+            "the executors — pays one Spark job per merge round), or " +
+            "pass heapGuard = false if this footprint is measured and " +
             "intended (BPE_BOUNDARY_r18: ~59 GB at 10M words)")
       }
     }
@@ -1445,6 +1447,208 @@ object TextOps {
       }
       merges.reverse
     } finally org.apache.spark.sql.graftbridge.CheckpointBridge.release(words)
+  }
+
+  /** Distributed-state BPE trainer: identical semantics to [[bpeTrain]]
+    * (same overlapping weighted pair counts, same (count desc, pair asc)
+    * tie-break, same leftmost-non-overlapping rewrite, same early stop —
+    * pinned merge-for-merge in BpeSpec), but the WORD TABLE never leaves
+    * the executors. This retires the last BPE scale residual (VERDICT
+    * r19 item 1): [[bpeTrain]] collects the vocabulary and holds the
+    * merge loop's whole working set on the driver — measured ~59 GB at
+    * 10M words (BPE_BOUNDARY_r18), guarded but not escapable beyond
+    * driver memory. Here the driver holds ONLY the pair-count map and
+    * its lazy argmax heap (O(distinct pairs) — a few hundred MB at web
+    * scale, two orders under the word table), while the words live as a
+    * cached RDD sharded across executors.
+    *
+    * Per merge round, ONE narrow Spark job (no shuffle): each partition
+    * rewrites its affected words (leftmost-non-overlapping), computes
+    * its pair-count delta as old-pairs-minus-new-pairs — the multiset
+    * difference is trivially exact, no incremental bookkeeping to trust
+    * — locally aggregates, and ships only the per-partition delta maps
+    * (a handful of entries: the pairs around the merge sites) to the
+    * driver. Long sums are exact and order-independent, so the result
+    * is partitioning-invariant (spec-pinned). Lineage grows one map per
+    * round; `checkpointInterval` bounds it with a localCheckpoint, and
+    * each round's RDD is persisted MEMORY_AND_DISK while the previous
+    * one is released.
+    *
+    * Cost model vs [[bpeTrain]]: the driver loop does metadata-scale
+    * work per round with zero job overhead — PREFER IT whenever the
+    * vocabulary passes the heap pre-flight. The sharded form pays one
+    * job (~tens of ms fixed latency + a full affected-scan over the
+    * cached shards) per round — at 32k merges that is sequential-job
+    * territory measured in hours, the honest price of a vocabulary no
+    * single machine can hold. This is the escape hatch [[bpeTrain]]'s
+    * refusal message names, not the default.
+    */
+  def bpeTrainSharded(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minCount: Long = 1L,
+      checkpointInterval: Int = 64): Seq[(Int, String, Long)] = {
+    require(numMerges > 0 && numMerges <= BpeMaxMerges,
+      s"numMerges ($numMerges) must be in 1..$BpeMaxMerges " +
+        "(the private-use planes)")
+    require(checkpointInterval >= 1,
+      s"checkpointInterval must be >= 1, got $checkpointInterval")
+    import scala.collection.mutable
+    import org.apache.spark.storage.StorageLevel
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def key(a: Int, b: Int): Long = (a.toLong << 21) | b.toLong
+    def pairStr(k: Long): String =
+      new String(Character.toChars((k >> 21).toInt)) +
+        new String(Character.toChars((k & 0x1FFFFF).toInt))
+    // (symbols, weight, delta) — delta is the word's pair-count change
+    // from the round that produced this generation, interleaved
+    // (key, delta) pairs, null for untouched words (no per-word alloc
+    // on the common path)
+    var cur = bpeWordTable(docs, textCol, minCount)
+      .as[(String, Long)].rdd
+      .map { case (w, c) => (w.codePoints().toArray, c, null: Array[Long]) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // per-partition local aggregation, merged on the driver: one narrow
+    // job, no shuffle — the collected payload is the DISTINCT-pair map
+    // of each partition, never the words
+    def collectCounts(
+        rdd: org.apache.spark.rdd.RDD[(Array[Int], Long, Array[Long])],
+        fromDeltas: Boolean): Array[(Long, Long)] =
+      rdd.mapPartitions { it =>
+        val m = new mutable.LongMap[Long]()
+        it.foreach { case (s, c, d) =>
+          if (fromDeltas) {
+            if (d != null) {
+              var i = 0
+              while (i < d.length) {
+                m.update(d(i), m.getOrElse(d(i), 0L) + d(i + 1)); i += 2
+              }
+            }
+          } else {
+            var j = 0
+            while (j + 1 < s.length) {
+              val k = key(s(j), s(j + 1))
+              m.update(k, m.getOrElse(k, 0L) + c); j += 1
+            }
+          }
+        }
+        m.iterator.filter(_._2 != 0L)
+      }.collect()
+    val pairCount = new mutable.LongMap[Long]()
+    // same lazy max-heap discipline as [[bpeTrainDriver]] (stale entries
+    // discarded on pop, rebuild once stale entries dominate) — the heap
+    // is over DISTINCT pairs, driver-metadata scale by construction
+    val heapCmp = new java.util.Comparator[Array[Long]] {
+      override def compare(x: Array[Long], y: Array[Long]): Int = {
+        val c = java.lang.Long.compare(y(0), x(0)) // count DESC
+        if (c != 0) c else java.lang.Long.compare(x(1), y(1)) // key ASC
+      }
+    }
+    var heap = new java.util.PriorityQueue[Array[Long]](1024, heapCmp)
+    def bump(k: Long, delta: Long): Unit = {
+      val n = pairCount.getOrElse(k, 0L) + delta
+      if (n == 0L) pairCount.remove(k) else pairCount.update(k, n)
+      if (n > 0L) heap.add(Array(n, k))
+    }
+    collectCounts(cur, fromDeltas = false)
+      .foreach { case (k, n) => bump(k, n) }
+    val merges = Vector.newBuilder[(Int, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      var bestK = -1L
+      var bestN = Long.MinValue
+      var found = false
+      while (!found && !heap.isEmpty) {
+        val e = heap.poll()
+        if (pairCount.getOrElse(e(1), 0L) == e(0)) {
+          bestK = e(1); bestN = e(0); found = true
+        }
+      }
+      if (bestK < 0) exhausted = true
+      else {
+        if (heap.size > math.max(4L * pairCount.size, 65536L)) {
+          heap = new java.util.PriorityQueue[Array[Long]](
+            math.max(pairCount.size, 16), heapCmp)
+          pairCount.foreachEntry((k, n) => heap.add(Array(n, k)))
+        }
+        merges += ((r, pairStr(bestK), bestN))
+        val a = (bestK >> 21).toInt
+        val b = (bestK & 0x1FFFFF).toInt
+        val z = mergeCp(r)
+        val prev = cur
+        cur = prev.map { case (s, c, _) =>
+          if (!bpeContainsPair(s, a, b)) (s, c, null: Array[Long])
+          else {
+            val ns = bpeRewritePair(s, a, b, z)
+            (ns, c, bpePairDelta(s, ns, c))
+          }
+        }.persist(StorageLevel.MEMORY_AND_DISK)
+        if (r % checkpointInterval == 0) cur.localCheckpoint()
+        // the one action of the round: materializes (and caches) the
+        // new generation while shipping only the aggregated deltas
+        collectCounts(cur, fromDeltas = true)
+          .foreach { case (k, d) => bump(k, d) }
+        prev.unpersist(blocking = false)
+        r += 1
+      }
+    }
+    cur.unpersist(blocking = false)
+    merges.result()
+  }
+
+  /** True when `s` holds the adjacent pair (a, b). */
+  private[graft] def bpeContainsPair(s: Array[Int], a: Int, b: Int): Boolean = {
+    var j = 0
+    while (j + 1 < s.length) {
+      if (s(j) == a && s(j + 1) == b) return true
+      j += 1
+    }
+    false
+  }
+
+  /** Leftmost-non-overlapping rewrite of the pair (a, b) to symbol z —
+    * the same greedy application order as [[bpeTrainDriver]]'s in-place
+    * rewrite and [[bpeApplyCol]]'s literal replace.
+    */
+  private[graft] def bpeRewritePair(
+      s: Array[Int], a: Int, b: Int, z: Int): Array[Int] = {
+    val out = new Array[Int](s.length)
+    var j = 0
+    var m = 0
+    while (j < s.length) {
+      if (j + 1 < s.length && s(j) == a && s(j + 1) == b) {
+        out(m) = z; m += 1; j += 2
+      } else { out(m) = s(j); m += 1; j += 1 }
+    }
+    if (m < s.length) java.util.Arrays.copyOf(out, m) else out
+  }
+
+  /** The exact pair-count delta of rewriting `oldS` to `newS` at word
+    * weight `w`: new-pairs minus old-pairs as a multiset difference —
+    * no incremental site bookkeeping, so correctness is by definition
+    * of the count. Interleaved (key, delta) pairs, nonzero entries only.
+    */
+  private[graft] def bpePairDelta(
+      oldS: Array[Int], newS: Array[Int], w: Long): Array[Long] = {
+    import scala.collection.mutable
+    def key(a: Int, b: Int): Long = (a.toLong << 21) | b.toLong
+    val m = new mutable.LongMap[Long]()
+    var j = 0
+    while (j + 1 < oldS.length) {
+      val k = key(oldS(j), oldS(j + 1))
+      m.update(k, m.getOrElse(k, 0L) - w); j += 1
+    }
+    j = 0
+    while (j + 1 < newS.length) {
+      val k = key(newS(j), newS(j + 1))
+      m.update(k, m.getOrElse(k, 0L) + w); j += 1
+    }
+    val out = new mutable.ArrayBuilder.ofLong
+    m.foreachEntry { (k, d) => if (d != 0L) { out += k; out += d } }
+    out.result()
   }
 
   /** Surface string of every merge symbol: rank -> the concatenation of

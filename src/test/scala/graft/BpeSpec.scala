@@ -99,6 +99,38 @@ class BpeSpec extends SparkSpec {
         30, argmaxViaHeap = false))
   }
 
+  test("sharded trainer == driver-loop trainer, merge for merge, on a " +
+    "real corpus slice and adversarial fixtures; partitioning- and " +
+    "checkpoint-interval-invariant (VERDICT r19 item 1)") {
+    // bpeTrainSharded keeps the word table on the executors and ships
+    // only per-partition pair-count deltas to the driver — semantics
+    // must be indistinguishable from the driver loop: same pairs, same
+    // ranks, same selection-time counts, same early stop. 120 merges on
+    // the word-salad corpus runs the vocabulary DRY (~90 merges), so
+    // the early-stop path is exercised too.
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val driver = TextOps.bpeTrain(d, "text", numMerges = 120)
+    val sharded = TextOps.bpeTrainSharded(d, "text", numMerges = 120)
+    assert(sharded === driver,
+      "sharded trainer must reproduce the driver loop exactly")
+    // adversarial overlaps/ties + a checkpoint interval that forces
+    // several mid-run localCheckpoints (lineage truncation must not
+    // perturb results)
+    val tricky = docs("aaa aab aba abab baba bb bb", "aaaa ab ba baab")
+    val dt = TextOps.bpeTrain(tricky, "text", numMerges = 30)
+    assert(TextOps.bpeTrainSharded(tricky, "text", 30) === dt)
+    assert(TextOps.bpeTrainSharded(tricky, "text", 30,
+      checkpointInterval = 7) === dt)
+    // partitioning invariance: per-partition delta maps merge by exact
+    // Long sums, so shard boundaries cannot show through
+    assert(TextOps.bpeTrainSharded(d.repartition(13), "text", 40) ===
+      TextOps.bpeTrain(d, "text", 40))
+    // minCount floors on the distributed side too
+    val fl = docs("ab ab ab cd cd zz")
+    assert(TextOps.bpeTrainSharded(fl, "text", 2, minCount = 2L) ===
+      TextOps.bpeTrain(fl, "text", 2, minCount = 2L))
+  }
+
   test("bpeWordTable minCount floors the vocabulary before it reaches " +
     "the driver; counts of surviving words are unchanged") {
     val d = docs("ab ab ab cd cd zz")
