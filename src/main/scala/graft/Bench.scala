@@ -19,12 +19,12 @@ import org.apache.spark.sql.types.MapType
   *    degradation (leaked caches, heap pressure), pass1 >> pass2 of
   *    cold-start noise. The headline `value` is the warm pass2 total;
   *  - a pass2 slot that exceeds 2.5× its own pass1 (by > 1 s), OR
-  *    exceeds it by more than 2 s outright (the absolute arm — VERDICT
-  *    r19 item 5), is re-measured once and the best of (pass2,
-  *    re-measure) reported, with all three timings flagged under
-  *    "anomalies" — a transient machine event can contaminate one
-  *    measurement but never the round record unchallenged (VERDICT
-  *    r17 item 1).
+  *    exceeds it by more than 2 s at ≥ 1.2× (the absolute arm —
+  *    VERDICT r19 item 5), is re-measured once and the best of
+  *    (pass2, re-measure) reported, with all three timings flagged
+  *    under "anomalies" — a transient machine event can contaminate
+  *    one measurement but never the round record unchallenged
+  *    (VERDICT r17 item 1).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -129,16 +129,22 @@ object Bench {
     // "anomalies", so a transient can never again sit unchallenged in
     // the round record. The 1 s absolute floor keeps sub-second timer
     // noise from triggering re-runs. A SECOND, absolute-delta arm
-    // (pass2 − pass1 > 2 s regardless of ratio) catches transients on
-    // slots too slow for 2.5× — r19's c25_heaps_fit sat at 1.83× its
-    // pass1 while being the round's largest absolute mover, +2.9 s
-    // (VERDICT r19 item 5).
+    // (pass2 − pass1 > 2 s AND pass2 > 1.2× pass1) catches transients
+    // on slots too slow for 2.5× — r19's c25_heaps_fit sat at 1.83×
+    // its pass1 while being the round's largest absolute mover,
+    // +2.9 s (VERDICT r19 item 5). The 1.2× relative floor keeps the
+    // arm off the ordinary ±variance of multi-second slots: each
+    // re-measure reports min(pass2, remeasure) — a low-biased
+    // statistic vs the single-sample slots of earlier rounds — so it
+    // must fire on genuine shape changes, not routine jitter
+    // (round-20 self-review).
     val p1Map = pass1.toMap
     val anomalies: Seq[(String, (Double, Double, Double))] =
       pass2raw.flatMap { case (name, t2q) =>
         val t1q = p1Map.getOrElse(name, -1.0)
         if (t1q >= 0 && t2q >= 0 &&
-          ((t2q > t1q * 2.5 && t2q - t1q > 1.0) || t2q - t1q > 2.0)) {
+          ((t2q > t1q * 2.5 && t2q - t1q > 1.0) ||
+            (t2q - t1q > 2.0 && t2q > t1q * 1.2))) {
           // hygiene runs before EVERY re-measure (a mid-family pass2
           // slot only got it at its family boundary, so a re-measure is
           // marginally cleaner than the slot it re-checks) — recorded

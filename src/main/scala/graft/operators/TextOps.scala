@@ -18,7 +18,11 @@ import org.apache.spark.sql.functions._
   * expressed with ascii/floor/pow arithmetic (not shift builtins) so the
   * exact same formula runs on any ANSI SQL engine.
   */
-object TextOps {
+// Serializable: executor-side closures (the sharded BPE trainer's
+// per-partition passes) call module helpers through local forwarders,
+// which captures the module reference in the lifted lambda; the module
+// is stateless and deserializes back to the singleton via readResolve.
+object TextOps extends Serializable {
 
   /** Whitespace tokens (the corpus convention: single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
@@ -1044,6 +1048,33 @@ object TextOps {
   private def mergeChar(rank: Int): String =
     new String(Character.toChars(mergeCp(rank)))
 
+  /** Packed pair key: code points are 21-bit, so (a << 21 | b) orders
+    * identically to (a, b) lexicographic = the UTF-8 byte order the
+    * trainers' `ORDER BY pair ASC` tie-break is defined on. ONE
+    * definition — the driver loop, the sharded trainer, and the delta
+    * helper all ride this exact packing, and their merge-for-merge
+    * equality depends on it (round-20 self-review: three divergent
+    * copies invited silent drift).
+    */
+  private[graft] def bpePairKey(a: Int, b: Int): Long =
+    (a.toLong << 21) | b.toLong
+
+  /** Inverse of [[bpePairKey]]: the two-symbol pair string. */
+  private[graft] def bpePairStr(k: Long): String =
+    new String(Character.toChars((k >> 21).toInt)) +
+      new String(Character.toChars((k & 0x1FFFFF).toInt))
+
+  /** The argmax heap order shared by both trainers: count DESC, then
+    * packed key ASC (= lexicographically smallest pair on ties).
+    */
+  private[graft] val bpeHeapCmp: java.util.Comparator[Array[Long]] =
+    new java.util.Comparator[Array[Long]] {
+      override def compare(x: Array[Long], y: Array[Long]): Int = {
+        val c = java.lang.Long.compare(y(0), x(0)) // count DESC
+        if (c != 0) c else java.lang.Long.compare(x(1), y(1)) // key ASC
+      }
+    }
+
   /** (word, cnt) vocabulary table of a document frame: whitespace
     * pre-tokenization (BPE merges never cross word boundaries), one
     * corpus scan, vocabulary-scale output.
@@ -1253,21 +1284,14 @@ object TextOps {
       numMerges: Int,
       argmaxViaHeap: Boolean = true): Seq[(Int, String, Long)] = {
     import scala.collection.mutable
-    def key(a: Int, b: Int): Long = (a.toLong << 21) | b.toLong
-    def pairStr(k: Long): String =
-      new String(Character.toChars((k >> 21).toInt)) +
-        new String(Character.toChars((k & 0x1FFFFF).toInt))
+    def key(a: Int, b: Int): Long = bpePairKey(a, b)
+    def pairStr(k: Long): String = bpePairStr(k)
     val syms = vocab.map(_._1)
     val cnt = vocab.map(_._2)
     val pairCount = new mutable.LongMap[Long]()
     // lazy max-heap over (count, key) snapshots; entries go stale when
     // the count changes — validated against pairCount on pop
-    val heapCmp = new java.util.Comparator[Array[Long]] {
-      override def compare(x: Array[Long], y: Array[Long]): Int = {
-        val c = java.lang.Long.compare(y(0), x(0)) // count DESC
-        if (c != 0) c else java.lang.Long.compare(x(1), y(1)) // key ASC
-      }
-    }
+    val heapCmp = bpeHeapCmp
     var heap = new java.util.PriorityQueue[Array[Long]](1024, heapCmp)
     var heapLive = false // the initial build pushes once at the end
     // inverted pair -> word-indices index as APPEND-ONLY int buffers
@@ -1470,9 +1494,19 @@ object TextOps {
     * (a handful of entries: the pairs around the merge sites) to the
     * driver. Long sums are exact and order-independent, so the result
     * is partitioning-invariant (spec-pinned). Lineage grows one map per
-    * round; `checkpointInterval` bounds it with a localCheckpoint, and
-    * each round's RDD is persisted MEMORY_AND_DISK while the previous
-    * one is released.
+    * round; `checkpointInterval` bounds it with a checkpoint, and each
+    * round's RDD is persisted MEMORY_AND_DISK while the previous one
+    * is released.
+    *
+    * FAULT TOLERANCE (round-20 self-review): the default
+    * localCheckpoint trades recomputability for speed — lineage is
+    * truncated to cached blocks, so an executor/block loss mid-run
+    * aborts the training rather than recomputing. Fine on a single
+    * machine or a short run; for the multi-hour cluster runs this
+    * trainer exists for, pass `reliableCheckpoints = true` (requires
+    * `spark.sparkContext.setCheckpointDir` to a fault-tolerant store)
+    * and each checkpoint generation is written out, bounding any
+    * replay to one interval.
     *
     * Cost model vs [[bpeTrain]]: the driver loop does metadata-scale
     * work per round with zero job overhead — PREFER IT whenever the
@@ -1488,7 +1522,8 @@ object TextOps {
       textCol: String,
       numMerges: Int,
       minCount: Long = 1L,
-      checkpointInterval: Int = 64): Seq[(Int, String, Long)] = {
+      checkpointInterval: Int = 64,
+      reliableCheckpoints: Boolean = false): Seq[(Int, String, Long)] = {
     require(numMerges > 0 && numMerges <= BpeMaxMerges,
       s"numMerges ($numMerges) must be in 1..$BpeMaxMerges " +
         "(the private-use planes)")
@@ -1497,11 +1532,13 @@ object TextOps {
     import scala.collection.mutable
     import org.apache.spark.storage.StorageLevel
     val spark = docs.sparkSession
+    require(!reliableCheckpoints ||
+      spark.sparkContext.getCheckpointDir.isDefined,
+      "bpeTrainSharded: reliableCheckpoints = true needs " +
+        "spark.sparkContext.setCheckpointDir to a fault-tolerant store")
     import spark.implicits._
-    def key(a: Int, b: Int): Long = (a.toLong << 21) | b.toLong
-    def pairStr(k: Long): String =
-      new String(Character.toChars((k >> 21).toInt)) +
-        new String(Character.toChars((k & 0x1FFFFF).toInt))
+    def key(a: Int, b: Int): Long = bpePairKey(a, b)
+    def pairStr(k: Long): String = bpePairStr(k)
     // (symbols, weight, delta) — delta is the word's pair-count change
     // from the round that produced this generation, interleaved
     // (key, delta) pairs, null for untouched words (no per-word alloc
@@ -1510,27 +1547,21 @@ object TextOps {
       .as[(String, Long)].rdd
       .map { case (w, c) => (w.codePoints().toArray, c, null: Array[Long]) }
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // per-partition local aggregation, merged on the driver: one narrow
-    // job, no shuffle — the collected payload is the DISTINCT-pair map
-    // of each partition, never the words
-    def collectCounts(
-        rdd: org.apache.spark.rdd.RDD[(Array[Int], Long, Array[Long])],
-        fromDeltas: Boolean): Array[(Long, Long)] =
+    // per-round delta aggregation: per-partition local maps, merged on
+    // the driver — one narrow job, no shuffle. A pair appears once per
+    // partition that TOUCHED it this round (pairs around the merge
+    // sites — a small set), so the collected payload stays metadata-
+    // scale without a per-round shuffle's latency tax.
+    def collectDeltas(
+        rdd: org.apache.spark.rdd.RDD[(Array[Int], Long, Array[Long])])
+        : Array[(Long, Long)] =
       rdd.mapPartitions { it =>
         val m = new mutable.LongMap[Long]()
-        it.foreach { case (s, c, d) =>
-          if (fromDeltas) {
-            if (d != null) {
-              var i = 0
-              while (i < d.length) {
-                m.update(d(i), m.getOrElse(d(i), 0L) + d(i + 1)); i += 2
-              }
-            }
-          } else {
-            var j = 0
-            while (j + 1 < s.length) {
-              val k = key(s(j), s(j + 1))
-              m.update(k, m.getOrElse(k, 0L) + c); j += 1
+        it.foreach { case (_, _, d) =>
+          if (d != null) {
+            var i = 0
+            while (i < d.length) {
+              m.update(d(i), m.getOrElse(d(i), 0L) + d(i + 1)); i += 2
             }
           }
         }
@@ -1540,20 +1571,35 @@ object TextOps {
     // same lazy max-heap discipline as [[bpeTrainDriver]] (stale entries
     // discarded on pop, rebuild once stale entries dominate) — the heap
     // is over DISTINCT pairs, driver-metadata scale by construction
-    val heapCmp = new java.util.Comparator[Array[Long]] {
-      override def compare(x: Array[Long], y: Array[Long]): Int = {
-        val c = java.lang.Long.compare(y(0), x(0)) // count DESC
-        if (c != 0) c else java.lang.Long.compare(x(1), y(1)) // key ASC
-      }
-    }
+    val heapCmp = bpeHeapCmp
     var heap = new java.util.PriorityQueue[Array[Long]](1024, heapCmp)
     def bump(k: Long, delta: Long): Unit = {
       val n = pairCount.getOrElse(k, 0L) + delta
       if (n == 0L) pairCount.remove(k) else pairCount.update(k, n)
       if (n > 0L) heap.add(Array(n, k))
     }
-    collectCounts(cur, fromDeltas = false)
-      .foreach { case (k, n) => bump(k, n) }
+    // INITIAL counts take one exact reduceByKey shuffle BEFORE the
+    // collect, unlike the per-round deltas: at round zero every
+    // partition holds counts for most of the pair alphabet, so an
+    // unmerged collect would ship O(partitions × |pairs|) tuples and
+    // push a heap entry per PARTIAL (round-20 self-review — the md5
+    // probe's 256-pair alphabet masked it; a web vocabulary's ~1e5+
+    // round-zero pairs across ~1e3 partitions would not). The merged
+    // table fills the map first; the heap is then built once, the
+    // driver loop's own init discipline.
+    cur.mapPartitions { it =>
+      val m = new mutable.LongMap[Long]()
+      it.foreach { case (s, c, _) =>
+        var j = 0
+        while (j + 1 < s.length) {
+          val k = key(s(j), s(j + 1))
+          m.update(k, m.getOrElse(k, 0L) + c); j += 1
+        }
+      }
+      m.iterator
+    }.reduceByKey(_ + _).collect()
+      .foreach { case (k, n) => if (n > 0L) pairCount.update(k, n) }
+    pairCount.foreachEntry((k, n) => heap.add(Array(n, k)))
     val merges = Vector.newBuilder[(Int, String, Long)]
     var r = 1
     var exhausted = false
@@ -1586,11 +1632,12 @@ object TextOps {
             (ns, c, bpePairDelta(s, ns, c))
           }
         }.persist(StorageLevel.MEMORY_AND_DISK)
-        if (r % checkpointInterval == 0) cur.localCheckpoint()
+        if (r % checkpointInterval == 0) {
+          if (reliableCheckpoints) cur.checkpoint() else cur.localCheckpoint()
+        }
         // the one action of the round: materializes (and caches) the
         // new generation while shipping only the aggregated deltas
-        collectCounts(cur, fromDeltas = true)
-          .foreach { case (k, d) => bump(k, d) }
+        collectDeltas(cur).foreach { case (k, d) => bump(k, d) }
         prev.unpersist(blocking = false)
         r += 1
       }
@@ -1634,7 +1681,7 @@ object TextOps {
   private[graft] def bpePairDelta(
       oldS: Array[Int], newS: Array[Int], w: Long): Array[Long] = {
     import scala.collection.mutable
-    def key(a: Int, b: Int): Long = (a.toLong << 21) | b.toLong
+    def key(a: Int, b: Int): Long = bpePairKey(a, b)
     val m = new mutable.LongMap[Long]()
     var j = 0
     while (j + 1 < oldS.length) {

@@ -121,6 +121,22 @@ class BpeSpec extends SparkSpec {
     assert(TextOps.bpeTrainSharded(tricky, "text", 30) === dt)
     assert(TextOps.bpeTrainSharded(tricky, "text", 30,
       checkpointInterval = 7) === dt)
+    // reliable (fault-tolerant) checkpoints: same merges, and the mode
+    // refuses loudly without a checkpoint dir (round-20 self-review:
+    // localCheckpoint-truncated lineage cannot survive block loss on a
+    // multi-hour cluster run — the reliable path is the shipped answer)
+    val hadDir = spark.sparkContext.getCheckpointDir
+    if (hadDir.isEmpty)
+      intercept[IllegalArgumentException] {
+        TextOps.bpeTrainSharded(tricky, "text", 30,
+          checkpointInterval = 7, reliableCheckpoints = true)
+      }
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("bpe-sharded-ck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    assert(TextOps.bpeTrainSharded(tricky, "text", 30,
+      checkpointInterval = 7, reliableCheckpoints = true) === dt,
+      "reliable checkpoints must not perturb training")
     // partitioning invariance: per-partition delta maps merge by exact
     // Long sums, so shard boundaries cannot show through
     assert(TextOps.bpeTrainSharded(d.repartition(13), "text", 40) ===
