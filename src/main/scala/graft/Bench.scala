@@ -19,7 +19,7 @@ import org.apache.spark.sql.types.MapType
   *    degradation (leaked caches, heap pressure), pass1 >> pass2 of
   *    cold-start noise. The headline `value` is the warm pass2 total;
   *  - a pass2 slot that exceeds 2.5× its own pass1 (by > 1 s), OR
-  *    exceeds it by more than 2 s at ≥ 1.2× (the absolute arm —
+  *    exceeds it by more than 2 s outright (the absolute arm —
   *    VERDICT r19 item 5), is re-measured once and the best of
   *    (pass2, re-measure) reported, with all three timings flagged
   *    under "anomalies" — a transient machine event can contaminate
@@ -129,22 +129,25 @@ object Bench {
     // "anomalies", so a transient can never again sit unchallenged in
     // the round record. The 1 s absolute floor keeps sub-second timer
     // noise from triggering re-runs. A SECOND, absolute-delta arm
-    // (pass2 − pass1 > 2 s AND pass2 > 1.2× pass1) catches transients
-    // on slots too slow for 2.5× — r19's c25_heaps_fit sat at 1.83×
-    // its pass1 while being the round's largest absolute mover,
-    // +2.9 s (VERDICT r19 item 5). The 1.2× relative floor keeps the
-    // arm off the ordinary ±variance of multi-second slots: each
-    // re-measure reports min(pass2, remeasure) — a low-biased
-    // statistic vs the single-sample slots of earlier rounds — so it
-    // must fire on genuine shape changes, not routine jitter
-    // (round-20 self-review).
+    // (pass2 − pass1 > 2 s at any ratio) catches transients on slots
+    // too slow for 2.5× — r19's c25_heaps_fit sat at 1.83× its pass1
+    // while being the round's largest absolute mover, +2.9 s (VERDICT
+    // r19 item 5). Deliberately NO relative floor on this arm: for
+    // every slot in the current suite (slowest pass1 ~7 s) a +2 s
+    // move already implies ≥ 1.28×, so a floor is a no-op today, and
+    // on a future slow slot it would disable exactly the
+    // largest-absolute-mover coverage this arm exists for. The known
+    // trade (round-20 self-review): each fired slot reports
+    // min(pass2, remeasure) — a low-biased statistic vs the
+    // single-sample slots of earlier rounds — which is why all three
+    // timings land in the artifact's "anomalies" for the reader to
+    // re-judge, and a re-measure costs one extra query run.
     val p1Map = pass1.toMap
     val anomalies: Seq[(String, (Double, Double, Double))] =
       pass2raw.flatMap { case (name, t2q) =>
         val t1q = p1Map.getOrElse(name, -1.0)
         if (t1q >= 0 && t2q >= 0 &&
-          ((t2q > t1q * 2.5 && t2q - t1q > 1.0) ||
-            (t2q - t1q > 2.0 && t2q > t1q * 1.2))) {
+          ((t2q > t1q * 2.5 && t2q - t1q > 1.0) || t2q - t1q > 2.0)) {
           // hygiene runs before EVERY re-measure (a mid-family pass2
           // slot only got it at its family boundary, so a re-measure is
           // marginally cleaner than the slot it re-checks) — recorded

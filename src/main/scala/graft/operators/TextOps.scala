@@ -1506,7 +1506,13 @@ object TextOps extends Serializable {
     * trainer exists for, pass `reliableCheckpoints = true` (requires
     * `spark.sparkContext.setCheckpointDir` to a fault-tolerant store)
     * and each checkpoint generation is written out, bounding any
-    * replay to one interval.
+    * replay to one interval. Superseded checkpoint generations are
+    * DELETED as soon as the next one materializes (and the last on
+    * completion) — replay only ever needs the newest generation, and
+    * Spark's own cleaner would otherwise keep all ~numMerges/interval
+    * word-table copies on the checkpoint store for the whole run
+    * (round-20 self-review: at web scale that exhausts the store the
+    * feature exists to protect).
     *
     * Cost model vs [[bpeTrain]]: the driver loop does metadata-scale
     * work per round with zero job overhead — PREFER IT whenever the
@@ -1601,6 +1607,18 @@ object TextOps extends Serializable {
       .foreach { case (k, n) => if (n > 0L) pairCount.update(k, n) }
     pairCount.foreachEntry((k, n) => heap.add(Array(n, k)))
     val merges = Vector.newBuilder[(Int, String, Long)]
+    // the newest materialized reliable checkpoint; its predecessor is
+    // deleted the moment a newer one exists (see scaladoc)
+    var lastReliableCk: Option[org.apache.spark.rdd.RDD[_]] = None
+    def deleteCheckpointOf(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+      rdd.getCheckpointFile.foreach { dir =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+          ()
+        } catch { case _: java.io.IOException => () } // best-effort GC
+      }
     var r = 1
     var exhausted = false
     while (r <= numMerges && !exhausted) {
@@ -1632,17 +1650,27 @@ object TextOps extends Serializable {
             (ns, c, bpePairDelta(s, ns, c))
           }
         }.persist(StorageLevel.MEMORY_AND_DISK)
-        if (r % checkpointInterval == 0) {
+        val checkpointing = r % checkpointInterval == 0
+        if (checkpointing) {
           if (reliableCheckpoints) cur.checkpoint() else cur.localCheckpoint()
         }
         // the one action of the round: materializes (and caches) the
         // new generation while shipping only the aggregated deltas
         collectDeltas(cur).foreach { case (k, d) => bump(k, d) }
         prev.unpersist(blocking = false)
+        if (checkpointing && reliableCheckpoints && cur.isCheckpointed) {
+          // the new generation's checkpoint is materialized — every
+          // older generation is now unreachable by any replay path
+          lastReliableCk.foreach(deleteCheckpointOf)
+          lastReliableCk = Some(cur)
+        }
         r += 1
       }
     }
     cur.unpersist(blocking = false)
+    // training is done and the merges live on the driver — the final
+    // checkpoint generation has nothing left to replay
+    lastReliableCk.foreach(deleteCheckpointOf)
     merges.result()
   }
 

@@ -131,11 +131,18 @@ class BpeSpec extends SparkSpec {
         TextOps.bpeTrainSharded(tricky, "text", 30,
           checkpointInterval = 7, reliableCheckpoints = true)
       }
-    val ckDir = java.nio.file.Files
-      .createTempDirectory("bpe-sharded-ck").toString
-    spark.sparkContext.setCheckpointDir(ckDir)
-    assert(TextOps.bpeTrainSharded(tricky, "text", 30,
-      checkpointInterval = 7, reliableCheckpoints = true) === dt,
+    else
+      // shared-session ordering artifact: some earlier suite set a dir,
+      // so the refusal branch is untestable THIS run — say so instead
+      // of vanishing silently (round-20 self-review)
+      info("refusal branch skipped: a checkpoint dir was already set")
+    // tempDir, not a raw createTempDirectory: checkpoint files fill the
+    // dir, and deleteOnExit-style cleanup no-ops on non-empty dirs
+    // (ADVICE r13) — the helper's shutdown hook actually removes it
+    spark.sparkContext.setCheckpointDir(tempDir("bpe-sharded-ck"))
+    val reliableRun = TextOps.bpeTrainSharded(tricky, "text", 30,
+      checkpointInterval = 7, reliableCheckpoints = true)
+    assert(reliableRun === dt,
       "reliable checkpoints must not perturb training")
     // partitioning invariance: per-partition delta maps merge by exact
     // Long sums, so shard boundaries cannot show through
