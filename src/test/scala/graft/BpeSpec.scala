@@ -154,6 +154,53 @@ class BpeSpec extends SparkSpec {
       TextOps.bpeTrain(fl, "text", 2, minCount = 2L))
   }
 
+  test("sharded-trainer helpers: greedy rewrite and exact multiset " +
+    "deltas on hand-computed overlap cases; reliable-checkpoint GC " +
+    "leaves the checkpoint dir empty after training") {
+    def cps(s: String): Array[Int] = s.codePoints().toArray
+    val z = 'Z'.toInt
+    // leftmost-non-overlapping: aaaa -> ZZ, aaa -> Za (the driver
+    // loop's and bpeApplyCol's greedy order)
+    assert(TextOps.bpeRewritePair(cps("aaaa"), 'a', 'a', z).toSeq ===
+      cps("ZZ").toSeq)
+    assert(TextOps.bpeRewritePair(cps("aaa"), 'a', 'a', z).toSeq ===
+      cps("Za").toSeq)
+    assert(TextOps.bpeRewritePair(cps("xaby"), 'a', 'b', z).toSeq ===
+      cps("xZy").toSeq)
+    // exact multiset delta at weight 3: aaaa has overlapping pairs
+    // {aa:3}; ZZ has {ZZ:1} -> delta {aa:-9, ZZ:+3}
+    def key(a: Int, b: Int): Long = (a.toLong << 21) | b.toLong
+    def deltaMap(oldS: String, newS: String, w: Long): Map[Long, Long] = {
+      val d = TextOps.bpePairDelta(cps(oldS), cps(newS), w)
+      (0 until d.length by 2).map(i => d(i) -> d(i + 1)).toMap
+    }
+    assert(deltaMap("aaaa", "ZZ", 3L) ===
+      Map(key('a', 'a') -> -9L, key('Z', 'Z') -> 3L))
+    // back-to-back sites with survivors both sides: xababy -> xZZy
+    assert(deltaMap("xababy", "xZZy", 1L) === Map(
+      key('x', 'a') -> -1L, key('a', 'b') -> -2L, key('b', 'a') -> -1L,
+      key('b', 'y') -> -1L, key('x', 'Z') -> 1L, key('Z', 'Z') -> 1L,
+      key('Z', 'y') -> 1L))
+    // pairs unchanged by the rewrite cancel to ZERO entries (nonzero-
+    // only contract)
+    assert(deltaMap("ab", "ab", 5L) === Map.empty)
+    // reliable-checkpoint GC: superseded generations are deleted on
+    // supersession and the last on completion — after a multi-
+    // checkpoint run the dir holds no rdd data (round-20 self-review:
+    // without the GC a 32k-merge run keeps ~500 word-table copies)
+    val gcDir = java.nio.file.Files.createTempDirectory("bpe-ck-gc")
+    SparkSpec.registerForCleanup(gcDir)
+    spark.sparkContext.setCheckpointDir(gcDir.toString)
+    val d = docs("aaa aab aba abab baba bb bb", "aaaa ab ba baab")
+    TextOps.bpeTrainSharded(d, "text", 30,
+      checkpointInterval = 5, reliableCheckpoints = true)
+    import scala.jdk.CollectionConverters._
+    val leftover = java.nio.file.Files.walk(gcDir).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_)).toSeq
+    assert(leftover.isEmpty,
+      s"checkpoint store must be empty after training, found: $leftover")
+  }
+
   test("bpeWordTable minCount floors the vocabulary before it reaches " +
     "the driver; counts of surviving words are unchanged") {
     val d = docs("ab ab ab cd cd zz")
