@@ -391,7 +391,11 @@ object DedupOps {
       maxIter: Int = 20,
       maxLocalEdges: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
+    // r21: materialize once — the bounded probe (limit+count) and the
+    // local-path collect (or the distributed loop's sym persist) each
+    // consumed the full upstream blocking plan a second time otherwise
     val longEdges = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .localCheckpoint()
     // Cheap bounded count first — the distributed path never pulls edges
     // to the driver; only the small-graph path pays the collect.
     // clamp: maxLocalEdges >= Int.MaxValue must not overflow to a
@@ -642,8 +646,13 @@ object DedupOps {
     require(iters >= 1, s"pagerankPick: iters must be >= 1 (got $iters)")
     require(damping > 0.0 && damping < 1.0,
       s"pagerankPick: damping must lie in (0, 1), got $damping")
-    val e = pairs.select(col("a"), col("b"))
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+    // r21: materialize the candidate edge list once — the unrolled
+    // iteration plan references it O(iters) times and would re-run the
+    // whole upstream blocking (MinHash/banding) per reference
+    // (guide §2.4; post-LSH candidate lists are cap-bounded, the same
+    // premise connectedComponents' local path already relies on)
+    val cand = pairs.select(col("a"), col("b")).localCheckpoint()
+    val e = cand.union(cand.select(col("b").as("a"), col("a").as("b")))
     val deg = e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
       .withColumnRenamed("a", "id")
     val n1 = deg.agg(count(lit(1)).as("n"))
@@ -668,7 +677,7 @@ object DedupOps {
             9).as("pr"))
       i += 1
     }
-    val comp = connectedComponents(pairs)
+    val comp = connectedComponents(cand)
       .select(col("id"), col("component"))
     val w = Window.partitionBy(col("component"))
       .orderBy(col("pr").desc, col("id").asc)
@@ -694,8 +703,10 @@ object DedupOps {
     */
   def labelPropagation(pairs: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, s"labelPropagation: iters must be >= 1 (got $iters)")
-    val e = pairs.select(col("a"), col("b"))
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+    // r21: same edge-list materialization as pagerankPick — the unrolled
+    // rounds reference the pairs O(iters) times (guide §2.4)
+    val cand = pairs.select(col("a"), col("b")).localCheckpoint()
+    val e = cand.union(cand.select(col("b").as("a"), col("a").as("b")))
     var labels = e.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
     var i = 0

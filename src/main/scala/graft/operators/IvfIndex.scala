@@ -350,6 +350,7 @@ object IvfIndex {
     val centArrs = SimilarityOps.centroidArrays(cent)
     val withCell = SimilarityOps.attachCell(embeddings, vecCol, centArrs,
       "cell", treeLevels)
+    var pqCb: Option[Seq[(Int, Int, Int, Double)]] = None
     val withPq = pq.fold(withCell) { p =>
       // what gets quantized: raw vectors, or (residual=true) each
       // vector's offset from its own cell centroid
@@ -366,11 +367,13 @@ object IvfIndex {
       val cb = SimilarityOps.pqFit(
         trainBase.select(col(idCol), col("__base").as(vecCol)),
         idCol, vecCol, p.numSub, p.kCodes, p.iters)
+      pqCb = Some(cb)
       cb.toDF("sub", "code", "dsub", "c").coalesce(1)
         .write.mode("overwrite").parquet(s"$path/pq_codebook")
       SimilarityOps.attachPqCodes(withBase, col("__base"), cb, "codes")
         .drop("__base")
     }
+    var sq8Cb: Option[Seq[(Double, Double)]] = None
     val rows =
       if (!sq8) withPq
       else {
@@ -378,6 +381,7 @@ object IvfIndex {
         // the coarse cells); ranges fit in one exploded partial-agged
         // pass, the codes attach in-row — same map-side discipline
         val mm = SimilarityOps.sq8Fit(embeddings, vecCol)
+        sq8Cb = Some(mm)
         mm.zipWithIndex.map { case ((mn, mx), dim) => (dim, mn, mx) }
           .toDF("dim", "mn", "mx").coalesce(1)
           .write.mode("overwrite").parquet(s"$path/sq8_codebook")
@@ -389,8 +393,23 @@ object IvfIndex {
     // the new stream's batch ids (ADVICE r9)
     val fs = fsFor(spark, path)
     fs.delete(hadoopPath(s"$path/_appended"), true)
-    writeMeta(spark, path, Meta(idCol, vecCol, k, dims, pq, sq8, auto))
+    val meta = Meta(idCol, vecCol, k, dims, pq, sq8, auto)
+    writeMeta(spark, path, meta)
     invalidateCache(path)
+    // r21 (guide §1.2 "don't compute things you throw away"): the build
+    // just held every driver-side artifact the serving path re-reads —
+    // coarse codebook, PQ codebook, SQ8 ranges, meta. Pre-populate the
+    // stamped caches so build-then-serve in one JVM pays no parquet
+    // re-read jobs; the values are exactly what a read-back yields
+    // (parquet round-trips doubles bit-exactly, cachedCodebook's
+    // group/sort reproduces centroidArrays), and a rebuild from another
+    // process still invalidates through the _meta mtime stamp.
+    val stamp = metaStamp(spark, path)
+    metaCache.put(path, Stamped(stamp, meta))
+    codebookCache.put(path, Stamped(stamp, centArrs.toMap))
+    pqCb.foreach(cb => pqCodebookCache.put(path, Stamped(stamp, cb)))
+    sq8Cb.foreach(mm => sq8CodebookCache.put(path, Stamped(stamp, mm)))
+    ()
   }
 
   /** Query a persisted index with one vector: probe the `nprobe` closest

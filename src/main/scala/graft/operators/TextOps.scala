@@ -597,25 +597,31 @@ object TextOps extends Serializable {
       idCol: String,
       textCol: String,
       k: Int): org.apache.spark.sql.DataFrame = {
-    val sh = docs
+    // ONE tokenize+shingle+md5 pass (r21: was two passes + a hash-stream
+    // self-join — guide §2.4): the doc's distinct shingle hashes ride an
+    // in-row array, so n_shingles is its size (no join back), and the
+    // first-owner novel count folds to per-doc size via two partial-
+    // aggregable groupBys over hashes only. The localCheckpoint
+    // materializes the (id, hashes) proxy once for both consumers —
+    // hashes are a few % of corpus bytes, the guide §8 lightweight-proxy
+    // shape — instead of re-running the tokenize scan per consumer.
+    val withSet = docs
       .select(col(idCol),
-        explode(array_distinct(shingles(tokens(col(textCol)), k))).as("__s"))
-      .select(col(idCol), md5(col("__s")).as("__h"))
-    val first = sh.groupBy(col("__h")).agg(min(col(idCol)).as("__first"))
-    val per = sh.join(first, Seq("__h"))
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).cast("int").as("n_shingles"),
-        sum(when(col("__first") === col(idCol), 1).otherwise(0))
-          .cast("int").as("n_novel"))
-    docs.select(col(idCol))
-      .join(per, Seq(idCol), "left")
+        transform(array_distinct(shingles(tokens(col(textCol)), k)),
+          s => md5(s)).as("__hs"))
+      .localCheckpoint()
+    val novel = withSet
+      .select(col(idCol), explode(col("__hs")).as("__h"))
+      .groupBy(col("__h")).agg(min(col(idCol)).as("__first"))
+      .groupBy(col("__first")).agg(count(lit(1)).cast("int").as("__nn"))
+    withSet
+      .join(novel, col(idCol) === col("__first"), "left")
       .select(col(idCol),
-        coalesce(col("n_shingles"), lit(0)).as("n_shingles"),
-        coalesce(col("n_novel"), lit(0)).as("n_novel"),
-        when(col("n_shingles") > 0,
-          round(col("n_novel").cast("double") /
-            col("n_shingles").cast("double"), 6)).as("novelty_frac"))
+        size(col("__hs")).as("n_shingles"),
+        coalesce(col("__nn"), lit(0)).as("n_novel"),
+        when(size(col("__hs")) > 0,
+          round(coalesce(col("__nn"), lit(0)).cast("double") /
+            size(col("__hs")).cast("double"), 6)).as("novelty_frac"))
   }
 
   /** Gopher-style quality RULE FLAGS (Rae et al. 2021's published
@@ -730,11 +736,16 @@ object TextOps extends Serializable {
       groupCol: String,
       textCol: String,
       k: Int): org.apache.spark.sql.DataFrame = {
+    // r21: the distinct (group, hash) set feeds three consumers (sizes +
+    // both sides of the self-join); localCheckpoint materializes the
+    // hash-only proxy once instead of re-running the tokenize+shingle
+    // scan per consumer (guide §2.4/§8).
     val sh = docs
       .select(col(groupCol).as("__g"),
         explode(array_distinct(shingles(tokens(col(textCol)), k))).as("__s"))
       .select(col("__g"), md5(col("__s")).as("__h"))
       .distinct()
+      .localCheckpoint()
     val sizes = sh.groupBy(col("__g")).agg(count(lit(1)).as("__sz"))
     val inter = sh.as("a")
       .join(sh.as("b"),

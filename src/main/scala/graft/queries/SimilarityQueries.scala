@@ -1010,7 +1010,9 @@ object SimilarityQueries extends QueryModule {
     // the end.
     "v41_rp_distortion" -> Q(
       fn = (s, dir) => {
-        val emb = t(s, dir, "embeddings")
+        // r21: the projection/distance passes explode 64 dims per row —
+        // fan the single-file scan out so that map work parallelizes
+        val emb = fan(t(s, dir, "embeddings"))
         val y = SimilarityOps.rpProject(emb, "vec_id", "embedding",
           outDims = 16)
         val ya = y.select(col("vec_id").as("a"), col("j"),
@@ -1096,7 +1098,8 @@ object SimilarityQueries extends QueryModule {
     // "project 4× cheaper" is a decision, not a hope.
     "v42_rp_recall" -> Q(
       fn = (s, dir) => {
-        val emb = t(s, dir, "embeddings")
+        // r21: same fan-out rationale as v41 — per-row explode-heavy
+        val emb = fan(t(s, dir, "embeddings"))
         val y = SimilarityOps.rpProject(emb, "vec_id", "embedding",
           outDims = 16)
         val yq = y.filter(col("vec_id") === 0)

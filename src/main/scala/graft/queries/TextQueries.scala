@@ -3956,8 +3956,14 @@ object TextQueries extends QueryModule {
             TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
           .select(md5(col("sh")).as("w"))
         val wc = words.groupBy(col("w")).agg(count(lit(1)).as("r"))
+        // counts-of-counts: a handful of rows — localCheckpoint it and
+        // derive BOTH the token total (sum r*n_r == count of the word
+        // stream, exactly) and the r=1 mass from it, so the tokenize+
+        // shingle scan runs ONCE instead of twice and the self-join/
+        // filters read the checkpointed rows (r21, guide §2.4)
         val cc = wc.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
-        val tot = words.agg(count(lit(1)).as("n_tokens"))
+          .localCheckpoint()
+        val tot = cc.agg(sum(col("r") * col("n_r")).as("n_tokens"))
         val n1 = cc.filter(col("r") === 1)
           .select(col("n_r").as("n_1"))
         cc.alias("a")
@@ -4016,13 +4022,19 @@ object TextQueries extends QueryModule {
     "c25_heaps_fit" -> Q(
       fn = (s, dir) => {
         val docs = t(s, dir, "documents")
-        val sh = docs.select(col("doc_id"),
-          explode(TextOps.shingles(TextOps.tokens(col("text")), 3))
-            .as("sh"))
-        val perDoc = docs.select(col("doc_id"),
-          greatest(size(TextOps.tokens(col("text"))) - 2, lit(0))
-            .cast("long").as("ns"))
-        val owners = sh.select(md5(col("sh")).as("h"), col("doc_id"))
+        // ONE tokenize+shingle+md5 pass (r21, was two — guide §2.4): the
+        // per-doc hash array rides the row, so the shingle-instance count
+        // ns is exactly its size (shingles() yields max(n_tok - 2, 0)
+        // entries) and the owner aggregation explodes the same
+        // localCheckpointed hash-only proxy.
+        val withHs = docs.select(col("doc_id"),
+          transform(TextOps.shingles(TextOps.tokens(col("text")), 3),
+            sh => md5(sh)).as("hs"))
+          .localCheckpoint()
+        val perDoc = withHs.select(col("doc_id"),
+          size(col("hs")).cast("long").as("ns"))
+        val owners = withHs
+          .select(explode(col("hs")).as("h"), col("doc_id"))
           .groupBy(col("h")).agg(min(col("doc_id")).as("d0"))
           .groupBy(col("d0")).agg(count(lit(1)).as("new_types"))
         // distributed-exact prefix sums (globalPrefixSum — the
@@ -4642,11 +4654,14 @@ object TextQueries extends QueryModule {
         val cand = DedupOps.minhashCandidatePairs(
           corpus, "doc_id", "text", shingleK = 3, numPerm = 8, bands = 2)
           .select(col("a"), col("b"))
+        // r21: hash-only shared set, localCheckpointed for its three
+        // consumers (sz + both intersection join sides) — guide §2.4/§8
         val sets = corpus.select(col("doc_id"),
           explode(TextOps.shingles(TextOps.tokens(col("text")), 3))
             .as("sh"))
           .select(col("doc_id"), md5(col("sh")).as("h"))
           .distinct()
+          .localCheckpoint()
         val sz = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         val pz = cand
           .join(sz.select(col("doc_id").as("a"), col("sz").as("sza")),
@@ -4767,11 +4782,14 @@ object TextQueries extends QueryModule {
                 "as int), 3))"), " ").as("text"))
         val corpus = docs.select(col("doc_id"), col("text"))
           .unionByName(twins)
+        // r21: hash-only shared set, localCheckpointed for its three
+        // consumers (sz + both intersection join sides) — guide §2.4/§8
         val sets = corpus.select(col("doc_id"),
           explode(TextOps.shingles(TextOps.tokens(col("text")), 3))
             .as("sh"))
           .select(col("doc_id"), md5(col("sh")).as("h"))
           .distinct()
+          .localCheckpoint()
         val sz = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         val adj = docs
           .select(col("doc_id").as("a"),
@@ -4885,11 +4903,16 @@ object TextQueries extends QueryModule {
     "d28_containment_pairs" -> Q(
       fn = (s, dir) => {
         val docs = t(s, dir, "documents")
+        // r21: the distinct (doc, hash) set feeds sz + both join sides of
+        // the intersection — localCheckpoint the hash-only proxy once
+        // instead of re-running tokenize+shingle+md5 per consumer
+        // (guide §2.4/§8)
         val sets = docs.select(col("doc_id"),
           explode(TextOps.shingles(TextOps.tokens(col("text")), 3))
             .as("sh"))
           .select(col("doc_id"), md5(col("sh")).as("h"))
           .distinct()
+          .localCheckpoint()
         val sz = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         val pairs = docs
           .select(col("doc_id").as("a"),

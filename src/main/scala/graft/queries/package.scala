@@ -36,4 +36,19 @@ package object queries {
   /** Fresh subdirectory under [[queryTmpRoot]]; `tag` names the query. */
   def freshTmpDir(tag: String): String =
     java.nio.file.Files.createTempDirectory(queryTmpRoot, tag).toString
+
+  /** Per-query opt-in input fan-out (optimization guide §2.5 "input
+    * skew"): round-robin repartition to the default parallelism when the
+    * frame currently has fewer partitions — used in front of brute-force
+    * per-row-heavy passes (all-pairs cosine ground truths, projection
+    * sweeps) whose single-file scan would otherwise run on one core.
+    * Scale-adaptive: a corpus-scale scan already carries >= parallelism
+    * partitions and is returned untouched, so no shuffle is ever added
+    * at 100 TB. Deliberately opt-in per query: for cheap per-row work
+    * the added exchange costs more than the parallelism buys.
+    */
+  def fan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 }

@@ -764,19 +764,26 @@ class IvfIndexSpec extends SparkSpec {
       nprobe = 2, k = 10)
       .select($"vec_id", $"sim").as[(Long, Double)].collect().toSeq
 
+    // r21: write() pre-populates the stamped caches from the artifacts
+    // the build already holds, so a build-then-serve JVM performs ZERO
+    // physical codebook reads — N queries still share one cache entry
     val before = IvfIndex.codebookReads.get()
     val first = ask()
     (1 to 4).foreach(_ => assert(ask() === first))
-    assert(IvfIndex.codebookReads.get() === before + 1,
-      "5 single queries against one index must load the codebook once")
+    assert(IvfIndex.codebookReads.get() === before,
+      "5 single queries after a same-JVM write must re-read nothing")
 
-    // a rebuild invalidates: the next query re-reads and serves the NEW
-    // codebook (here trained on half the corpus, so cells genuinely move)
+    // a cold cache (e.g. a serving JVM that didn't build) loads once
+    IvfIndex.invalidateCache(path)
+    (1 to 4).foreach(_ => assert(ask() === first))
+    assert(IvfIndex.codebookReads.get() === before + 1,
+      "cold-cache single queries against one index must load the codebook once")
+
+    // a rebuild replaces the cached codebook with the NEW one (here
+    // trained on half the corpus, so cells genuinely move)
     IvfIndex.write(emb.filter($"vec_id" < 250), "vec_id", "embedding",
       kCells = 4, trainIters = 2, path = path)
     val after = ask()
-    assert(IvfIndex.codebookReads.get() === before + 2,
-      "a rebuild must drop the cached codebook")
     assert(after.forall(_._1 < 250), "results must reflect the rebuilt index")
   }
 
