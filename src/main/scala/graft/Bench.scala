@@ -50,6 +50,13 @@ object Bench {
       .config("spark.ui.retainedTasks", "500")
       .config("spark.sql.ui.retainedExecutions", "5")
       .config("spark.appStateStore.asyncTracking.enable", "true")
+      // r21 write-path hygiene (guide §9-adjacent, scale-independent):
+      // commit task output directly (algorithm 2 — one rename pass, not
+      // two) and skip _SUCCESS markers nothing reads. Standard
+      // production settings for FS sinks; measured on the persisted-
+      // store queries (s6/s14/s24/d14), values identical either way.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -28,6 +28,11 @@ object ProfileQuery {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // write-path A/B knobs (committer + success markers)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs",
+        sys.env.getOrElse("SPARK_GRAFT_SUCCESS_MARKS", "true"))
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        sys.env.getOrElse("SPARK_GRAFT_FOC_V", "1"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -67,11 +67,13 @@ object DedupOps {
     val comp = connectedComponents(pairs)
       .select(col("id").as("__cc_id"), col("component"))
     val scored = docs.select(col(idCol), score.as("score"))
-    val withComp = scored
+    // r21: consumed by the winner agg AND the final join — materialize
+    // the (id, score, component) proxy once (guide §2.4)
+    val withComp = Reuse.once(scored
       .join(comp, col(idCol).cast("long") === col("__cc_id"), "left")
       .withColumn("component",
         coalesce(col("component"), col(idCol).cast("long")))
-      .drop("__cc_id")
+      .drop("__cc_id"))
     val winners = withComp
       .groupBy(col("component"))
       .agg(min_by(col(idCol), struct((-col("score")).as("ns"), col(idCol)))
@@ -394,8 +396,8 @@ object DedupOps {
     // r21: materialize once — the bounded probe (limit+count) and the
     // local-path collect (or the distributed loop's sym persist) each
     // consumed the full upstream blocking plan a second time otherwise
-    val longEdges = edges.select(col("a").cast("long"), col("b").cast("long"))
-      .localCheckpoint()
+    val longEdges = Reuse.once(
+      edges.select(col("a").cast("long"), col("b").cast("long")))
     // Cheap bounded count first — the distributed path never pulls edges
     // to the driver; only the small-graph path pays the collect.
     // clamp: maxLocalEdges >= Int.MaxValue must not overflow to a
@@ -651,7 +653,7 @@ object DedupOps {
     // whole upstream blocking (MinHash/banding) per reference
     // (guide §2.4; post-LSH candidate lists are cap-bounded, the same
     // premise connectedComponents' local path already relies on)
-    val cand = pairs.select(col("a"), col("b")).localCheckpoint()
+    val cand = Reuse.once(pairs.select(col("a"), col("b")))
     val e = cand.union(cand.select(col("b").as("a"), col("a").as("b")))
     val deg = e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
       .withColumnRenamed("a", "id")
@@ -705,7 +707,7 @@ object DedupOps {
     require(iters >= 1, s"labelPropagation: iters must be >= 1 (got $iters)")
     // r21: same edge-list materialization as pagerankPick — the unrolled
     // rounds reference the pairs O(iters) times (guide §2.4)
-    val cand = pairs.select(col("a"), col("b")).localCheckpoint()
+    val cand = Reuse.once(pairs.select(col("a"), col("b")))
     val e = cand.union(cand.select(col("b").as("a"), col("a").as("b")))
     var labels = e.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))

@@ -609,7 +609,7 @@ object TextOps extends Serializable {
       .select(col(idCol),
         transform(array_distinct(shingles(tokens(col(textCol)), k)),
           s => md5(s)).as("__hs"))
-      .localCheckpoint()
+      .transform(Reuse.once)
     val novel = withSet
       .select(col(idCol), explode(col("__hs")).as("__h"))
       .groupBy(col("__h")).agg(min(col(idCol)).as("__first"))
@@ -745,7 +745,7 @@ object TextOps extends Serializable {
         explode(array_distinct(shingles(tokens(col(textCol)), k))).as("__s"))
       .select(col("__g"), md5(col("__s")).as("__h"))
       .distinct()
-      .localCheckpoint()
+      .transform(Reuse.once)
     val sizes = sh.groupBy(col("__g")).agg(count(lit(1)).as("__sz"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -1455,7 +1455,7 @@ object TextOps extends Serializable {
       s"numMerges ($numMerges) must be in 1..6400 (the private-use plane)")
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = bpeWordTable(docs, textCol).localCheckpoint()
+    val words = bpeWordTable(docs, textCol).transform(Reuse.once)
     try {
       var merges = List.empty[(Int, String, Long)]
       var r = 1

@@ -1858,9 +1858,13 @@ object TextQueries extends QueryModule {
         val kept0 = docs.select(col("doc_id"), col("text"),
           m("n_tok").as("n_tok"), m("quality").as("quality"))
           .filter(col("quality") >= 0.5 && col("n_tok") >= 10)
+        // r21: the kept stage feeds blocking, canonical pick AND the final
+        // dup_count join — materialize it once, the persisted stage
+        // boundary a production curation chain writes anyway (guide §2.4)
         val kept = DedupOps.exactDedupStats(kept0, md5(col("text")), "doc_id",
           carryCols = Seq("text", "quality"))
           .select(col("doc_id"), col("text"), col("quality"), col("dup_count"))
+          .transform(graft.operators.Reuse.once)
         val pairs = DedupOps.minhashCandidatePairs(kept, "doc_id", "text",
           shingleK = 3, numPerm = 8, bands = 2).select(col("a"), col("b"))
         DedupOps.canonicalPick(kept, "doc_id", col("quality"), pairs)
@@ -3962,7 +3966,7 @@ object TextQueries extends QueryModule {
         // shingle scan runs ONCE instead of twice and the self-join/
         // filters read the checkpointed rows (r21, guide §2.4)
         val cc = wc.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
-          .localCheckpoint()
+          .transform(graft.operators.Reuse.once)
         val tot = cc.agg(sum(col("r") * col("n_r")).as("n_tokens"))
         val n1 = cc.filter(col("r") === 1)
           .select(col("n_r").as("n_1"))
@@ -4030,7 +4034,7 @@ object TextQueries extends QueryModule {
         val withHs = docs.select(col("doc_id"),
           transform(TextOps.shingles(TextOps.tokens(col("text")), 3),
             sh => md5(sh)).as("hs"))
-          .localCheckpoint()
+          .transform(graft.operators.Reuse.once)
         val perDoc = withHs.select(col("doc_id"),
           size(col("hs")).cast("long").as("ns"))
         val owners = withHs
@@ -4661,7 +4665,7 @@ object TextQueries extends QueryModule {
             .as("sh"))
           .select(col("doc_id"), md5(col("sh")).as("h"))
           .distinct()
-          .localCheckpoint()
+          .transform(graft.operators.Reuse.once)
         val sz = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         val pz = cand
           .join(sz.select(col("doc_id").as("a"), col("sz").as("sza")),
@@ -4789,7 +4793,7 @@ object TextQueries extends QueryModule {
             .as("sh"))
           .select(col("doc_id"), md5(col("sh")).as("h"))
           .distinct()
-          .localCheckpoint()
+          .transform(graft.operators.Reuse.once)
         val sz = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         val adj = docs
           .select(col("doc_id").as("a"),
@@ -4912,7 +4916,7 @@ object TextQueries extends QueryModule {
             .as("sh"))
           .select(col("doc_id"), md5(col("sh")).as("h"))
           .distinct()
-          .localCheckpoint()
+          .transform(graft.operators.Reuse.once)
         val sz = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         val pairs = docs
           .select(col("doc_id").as("a"),
