@@ -57,6 +57,15 @@ object Bench {
       // store queries (s6/s14/s24/d14), values identical either way.
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      // r21: the default whole-stage-codegen class cache (100 entries)
+      // thrashes under a 282-query suite — every pass-2 slot re-pays
+      // Janino compilation for plans it already compiled in pass 1.
+      // 5000 entries lets compiled classes survive the whole pass
+      // (generated-class metadata is tens of KB each — bounded, and it
+      // caches CODE, never data/results). The standard long-running-
+      // session setting for any production endpoint serving many query
+      // shapes; static conf, so it must be set at session creation.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted

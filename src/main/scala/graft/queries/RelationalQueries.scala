@@ -770,7 +770,11 @@ object RelationalQueries extends QueryModule {
     // by the hash compare, as in a8.
     "a29_cube" -> Q(
       fn = (s, dir) =>
-        t(s, dir, "lineitem")
+        // r21: CUBE expands 4 grouping sets per row BEFORE the partial
+        // agg — fan the single-file scan so that 4x map work parallelizes
+        fan(t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("l_quantity")))
           .cube(col("l_returnflag"), col("l_linestatus"))
           .agg(grouping_id().as("gid"),
             count(lit(1)).as("n"),

@@ -2110,8 +2110,10 @@ object TextQueries extends QueryModule {
         DedupStore.write(
           docs.filter(col("doc_id") < 400), "doc_id", "text", tmp,
           maxBucket = 1 << 30)
-        val flags = DedupStore.dedupNewBatch(
-          s, tmp, docs.filter(col("doc_id") >= 400), tau = 0.5)
+        // r21: flags feeds the append's clean-row filter AND the returned
+        // frame — materialize the serve join once (guide §2.4)
+        val flags = graft.operators.Reuse.once(DedupStore.dedupNewBatch(
+          s, tmp, docs.filter(col("doc_id") >= 400), tau = 0.5))
         // lifecycle smoke inside the same query: admitting the clean
         // rows must not change the store's verdict on the same batch
         DedupStore.append(s, tmp, docs.filter(col("doc_id") >= 400),
