@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver stdout contract (VERDICT r21 item 2: every BENCH_r*.json since
+// round 1 carries parsed:null): the forked run's output must reach stdout
+// RAW — the default LoggedOutput strategy prefixes every line with
+// "[info] ", which defeats any JSON parse of the bench's contract line —
+// and sbt's "[success] Total time ..." trailer must not displace that
+// line as the last line of stdout. Scoped to `run` only; test output
+// keeps its prefixes (the driver's test-tail parsing works with them).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -203,27 +203,27 @@ object Bench {
     val t2 = pass2.map(_._2).filter(_ >= 0).sum
     val f1 = pass1.count(_._2 < 0)
     val f2 = pass2.count(_._2 < 0)
-    // stdout carries the full contract line (one per-query map — pass2,
-    // the headline) AND, as the LAST printed line, a compact per-family
-    // summary: the driver snapshots only the final ~2000 chars of output
-    // (r14/r15 landed parsed:null because the ~8 KB per-query line can
-    // never fit that window), so the self-contained round artifact needs
-    // a complete JSON line that fits the tail — per-family pass2 totals
-    // (~300 chars) plus a pointer to the full per-query record below
-    // (VERDICT r15 item 8).
-    val stdoutJson = s"""{"metric":"total","value":$t2,"unit":"sec","queries":${fmt(pass2)},"sf":"$sfDir","pass1_total":$t1,"pass2_total":$t2,"failed_pass1":$f1,"failed_pass2":$f2,"anomalies":$anomaliesJson,"env":$envJson}"""
-    val json = s"""{"metric":"total","value":$t2,"unit":"sec","queries":${fmt(pass2)},"sf":"$sfDir","pass1_total":$t1,"pass2_total":$t2,"failed_pass1":$f1,"failed_pass2":$f2,"anomalies":$anomaliesJson,"env":$envJson,"pass1":${fmt(pass1)}}"""
-    println(stdoutJson)
+    // stdout contract (VERDICT r21 item 2 — parsed:null in every round's
+    // BENCH snapshot): the LAST line of stdout is the ONE contract JSON
+    // line, `{"metric",...,"queries":{<query>:sec,...},"sf":...}` with a
+    // real per-QUERY map (the driver's per_query/scaling comparisons key
+    // on query names). Field order puts the big maps FIRST and the
+    // scalars (totals, failures, env) LAST so the driver's ~2000-char
+    // tail archive still ends with the human-readable summary even
+    // though the full line is ~16 KB. A compact per-family line prints
+    // BEFORE it for console readability; build.sbt strips sbt's
+    // "[info] " prefix from forked run output and suppresses the
+    // "[success] Total time" trailer so nothing follows the contract
+    // line. Both prints happen after artifact persistence and
+    // spark.stop() so no late log write can land after them.
+    val json = s"""{"metric":"total","queries":${fmt(pass2)},"pass1":${fmt(pass1)},"anomalies":$anomaliesJson,"value":$t2,"unit":"sec","sf":"$sfDir","n_queries":${names.size},"pass1_total":$t1,"pass2_total":$t2,"failed_pass1":$f1,"failed_pass2":$f2,"n_anomalies":${anomalies.size},"env":$envJson}"""
     val famTotals = pass2.groupBy { case (n, _) => familyOf(n) }.toSeq
       .sortBy(_._1)
       .map { case (fam, xs) =>
         val secs = xs.map(_._2).filter(_ >= 0).sum
         s""""$fam":${math.round(secs * 1000.0) / 1000.0}"""
       }.mkString("{", ",", "}")
-    // "queries" stays a MAP (a tail-parser iterating it must not trip on
-    // a string) — per-family pass2 totals; the per-query map is in the
-    // file named by queries_detail.
-    println(s"""{"metric":"total","value":$t2,"unit":"sec","sf":"$sfDir","n_queries":${names.size},"pass1_total":$t1,"pass2_total":$t2,"failed_pass1":$f1,"failed_pass2":$f2,"n_anomalies":${anomalies.size},"env":$envJson,"queries":$famTotals,"queries_detail":"bench/BENCH_driver_latest.json"}""")
+    val famJson = s"""{"metric":"total","value":$t2,"unit":"sec","sf":"$sfDir","n_queries":${names.size},"pass1_total":$t1,"pass2_total":$t2,"failed_pass1":$f1,"failed_pass2":$f2,"n_anomalies":${anomalies.size},"env":$envJson,"families":$famTotals,"queries_detail":"bench/BENCH_driver_latest.json"}"""
     // Persist the complete record to a stable path the driver/judge can
     // read back whole — twice: the rolling "latest" and a per-ROUND
     // final artifact (VERDICT r16 item 5: the driver's BENCH_r{N}.json
@@ -278,6 +278,13 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not persist JSON: ${e.getMessage}")
     }
-    spark.stop()
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")
+    }
+    // LAST act: the two stdout lines — compact per-family summary for
+    // the console, then the full contract line as the final line.
+    println(famJson)
+    println(json)
   }
 }

@@ -38,6 +38,17 @@ object IncrementalRunner {
       .repartition(col("site_no"), col(DayCol))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
+      // Dynamic partition overwrite stages task output under
+      // .spark-staging-<jobId> and moves whole partition dirs at job
+      // commit; under committer algorithm v2 (direct task-commit
+      // renames) the staging interaction is strictly slower here —
+      // measured r22: s6 3.16 s (v1) vs 3.90 s (v2) warm — and v2's
+      // task-commit visibility is the documented correctness risk that
+      // pairs worst with overwrite semantics. Pin v1 for THIS write
+      // path; the option lands on the write job's own Hadoop conf
+      // (newHadoopConfWithOptions), so a session-level v2 default for
+      // plain appends/overwrites is untouched.
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "1")
       .partitionBy("site_no", DayCol)
       .parquet(path)
 

@@ -336,8 +336,13 @@ object IvfIndex {
       s"write: training sample is empty (trainPct=$trainPct selected no " +
         s"rows) — raise trainPct or train on the full corpus")
     val dims = cent.map(_._2).max + 1
-    cent.toDF("cell", "dim", "c").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/codebook")
+    // sidecars are driver-resident metadata — write them without a Spark
+    // job each (r22, see DriverParquet; was coalesce(1).write x3 per
+    // build, ~50-200 ms of scheduling+commit apiece)
+    DriverParquet.overwrite(spark, s"$path/codebook",
+      Seq(DriverParquet.Field("cell", "int"), DriverParquet.Field("dim", "int"),
+        DriverParquet.Field("c", "double")),
+      cent.iterator.map { case (cl, d, c) => Seq(cl, d, c) })
     // Everything after the fit is MAP-SIDE: the cell is an in-row argmin
     // against the literal codebook ([[SimilarityOps.attachCell]]), the
     // residual an in-row zip_with, the PQ codes in-row argmins — no
@@ -368,8 +373,10 @@ object IvfIndex {
         trainBase.select(col(idCol), col("__base").as(vecCol)),
         idCol, vecCol, p.numSub, p.kCodes, p.iters)
       pqCb = Some(cb)
-      cb.toDF("sub", "code", "dsub", "c").coalesce(1)
-        .write.mode("overwrite").parquet(s"$path/pq_codebook")
+      DriverParquet.overwrite(spark, s"$path/pq_codebook",
+        Seq(DriverParquet.Field("sub", "int"), DriverParquet.Field("code", "int"),
+          DriverParquet.Field("dsub", "int"), DriverParquet.Field("c", "double")),
+        cb.iterator.map { case (s0, co, d0, c0) => Seq(s0, co, d0, c0) })
       SimilarityOps.attachPqCodes(withBase, col("__base"), cb, "codes")
         .drop("__base")
     }
@@ -382,13 +389,29 @@ object IvfIndex {
         // pass, the codes attach in-row — same map-side discipline
         val mm = SimilarityOps.sq8Fit(embeddings, vecCol)
         sq8Cb = Some(mm)
-        mm.zipWithIndex.map { case ((mn, mx), dim) => (dim, mn, mx) }
-          .toDF("dim", "mn", "mx").coalesce(1)
-          .write.mode("overwrite").parquet(s"$path/sq8_codebook")
+        DriverParquet.overwrite(spark, s"$path/sq8_codebook",
+          Seq(DriverParquet.Field("dim", "int"), DriverParquet.Field("mn", "double"),
+            DriverParquet.Field("mx", "double")),
+          mm.iterator.zipWithIndex.map { case ((mn, mx), dim) => Seq(dim, mn, mx) })
         withPq.withColumn("sq8",
           SimilarityOps.sq8EncodeCol(col(vecCol), mm))
       }
-    rows.write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    // Cluster by cell before the layout write (guide §6 "hash
+    // distribution mode avoids the many-small-files problem at the cost
+    // of a shuffle"): each write task then owns whole cells, so a cell
+    // directory gets ONE file instead of one per upstream partition —
+    // the same layout [[compact]] repairs appends into, now produced by
+    // the build itself. At corpus scale this bounds the file count at
+    // kCells (vs scan-tasks x kCells); locally it also un-serializes the
+    // write — a single-file embeddings scan otherwise writes every cell
+    // directory sequentially from one task (measured r22: v52's vectors
+    // write 0.87 s serial). The partition count is pinned to the default
+    // parallelism because an un-numbered repartition lets AQE coalesce
+    // the tiny local shuffle back to ONE task, re-serializing the write;
+    // the file count is unaffected either way (a cell hashes to exactly
+    // one reducer, so the layout is one file per cell at any count).
+    rows.repartition(spark.sparkContext.defaultParallelism, col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
     // a rebuild is a new incarnation: stale replay markers must not mask
     // the new stream's batch ids (ADVICE r9)
     val fs = fsFor(spark, path)
@@ -720,6 +743,9 @@ object IvfIndex {
             .repartition(col("cell"))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
+            // v1 for dynamic-overwrite staging — same reasoning and
+            // measurement as IncrementalRunner.upsertByDay (r22)
+            .option("mapreduce.fileoutputcommitter.algorithm.version", "1")
             .partitionBy("cell")
             .parquet(src)
         val fs = fsFor(spark, src)
